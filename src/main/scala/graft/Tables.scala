@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * The reference engine reads one keyed table per source instance
+  * (reference: src/main/scala/io/cdap/plugin/table/streaming/TableInputDStream.scala:59
+  * — `sec.fromDataset(name).rdd`); here every table is a parquet directory and
+  * the scan is Spark's vectorized `FileSourceScanExec`, so predicate pushdown /
+  * column pruning are handled by Catalyst. At 100 TB these would be partitioned
+  * table paths; nothing in this API assumes single-file inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Timestamp columns stored as parquet TIMESTAMP(NANOS) — unsupported by
+    * Spark's reader, so they are read as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and converted to TimestampType
+    * here (integral `div` — a double division would lose precision above
+    * 2^53 ns).
+    */
+  private val nanoTsCols = Set("ts", "o_orderdate", "l_shipdate")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val raw = spark.read.parquet(path(dir, name))
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      if (nanoTsCols.contains(f.name) && f.dataType == LongType)
+        df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+      else df
+    }
+  }
+
+  /** Register every table as a temp view named after the table, so catalog
+    * queries can freely mix the DataFrame API and `spark.sql`. Idempotent.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2c Q13 + north-star extensions):
+  * exact hash-dedup, MinHash+LSH near-dup, SimHash, exact n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is one hash-partitioned groupBy on the content hash;
+  *  - MinHash signatures are computed in a single narrow pass per document
+  *    (custom `MinHashSignature` expression — no per-permutation explode), and
+  *    the only wide exchange is the band-bucket self-join, whose fan-out is
+  *    bounded by bucket sizes (salt/band-count are the tuning knobs);
+  *  - candidate verification joins only LSH candidates, never all pairs.
+  *
+  * Oracle parity: every hash is the portable md5-based hash60 (GraftHash), so
+  * DuckDB reproduces signatures and simhashes bit-for-bit.
+  */
+object DedupOps {
+  import RelationalSupport.t
+
+  private val P = 1000000007L
+  val NumPerms = 128
+  val NumBands = 64 // 2 rows per band -> P(miss | J=0.7) = (1-0.49)^64 ~ 2e-19
+
+  /** DuckDB CTEs: distinct word-3-shingles per doc + set sizes. */
+  val ShingleCtes: String =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Exact-Jaccard pair SQL over the shingle CTEs at a given threshold. */
+  def exactJaccardSql(threshold: Double): String =
+    s"""WITH $ShingleCtes,
+       |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 4) AS j
+       |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB simhash-per-doc select (doc_id, simhash), no ORDER BY. */
+  val SimhashSql: String =
+    """simhash_t AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash FROM (
+      |    SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN c ELSE -c END) s FROM (
+      |      SELECT doc_id, c, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) h FROM (
+      |        SELECT doc_id, w, count(*) c FROM (
+      |          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM documents) GROUP BY 1, 2))
+      |    CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // exact dedup: latest-wins-per-content-hash; one shuffle on the hash.
+    QueryDef("q13_dedup_exact", (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    }, Some(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    // full MinHash signature dump — byte-exact oracle for the signature kernel.
+    QueryDef("q42_minhash_sig", (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), minhashSig(shingles(tokens(col("text")), 3), NumPerms).as("sig"))
+        .filter(col("sig").isNotNull)
+      base.select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
+        .orderBy("doc_id", "perm")
+    }, Some(
+      s"""WITH $ShingleCtes,
+         |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $P AS h FROM sh),
+         |sig AS (SELECT doc_id, i, min(((2*i + 1) * h + (i * 2654435761) % $P) % $P) m
+         |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, ${NumPerms - 1})) AS i) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(i AS INTEGER) AS perm, CAST(m AS BIGINT) AS minhash
+         |FROM sig ORDER BY doc_id, perm""".stripMargin)),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard-verified at J >= 0.7.
+    QueryDef("q17_minhash_lsh", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = docs.select(col("doc_id"), minhashSig(col("sh"), NumPerms).as("sig"))
+      // band key = (band index, the band's signature rows); 2 rows per band.
+      // Only (doc_id, band key) is shuffled — shingle sets are re-joined by id
+      // for candidate verification, so the LSH exchange stays narrow at scale.
+      val bands = sigs.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => struct(b.as("b"),
+            element_at(col("sig"), (b * 2 + 1).cast("int")).as("v0"),
+            element_at(col("sig"), (b * 2 + 2).cast("int")).as("v1")))).as(Seq("p", "bk")))
+        .select(col("doc_id"), col("bk"))
+      val a = bands.select(col("doc_id").as("a_id"), col("bk"))
+      val b = bands.select(col("doc_id").as("b_id"), col("bk"))
+      val candPairs = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      val cands = candPairs
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+      cands.withColumn("j", r4(j))
+        .filter(j >= 0.7)
+        .select("a_id", "b_id", "j")
+        .orderBy("a_id", "b_id")
+    }, Some(exactJaccardSql(0.7))),
+
+    // exact n-gram Jaccard similarity join (lower threshold, no LSH pruning).
+    QueryDef("q43_ngram_jaccard", (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("a_id"), col("s"))
+      val b = sh.select(col("doc_id").as("b_id"), col("s"))
+      val inter = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      val withSizes = inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      val j = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+      withSizes.withColumn("j", r4(j)).filter(j >= 0.5)
+        .select("a_id", "b_id", "j").orderBy("a_id", "b_id")
+    }, Some(exactJaccardSql(0.5))),
+
+    // SimHash fingerprint per document (multiset-weighted, 60-bit).
+    QueryDef("q18_simhash", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), simhash60(col("tk")).as("simhash"))
+        .orderBy("doc_id")
+    }, Some(s"WITH $SimhashSql SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id")),
+
+    // near-dup pairs by SimHash Hamming distance <= 10.
+    QueryDef("q19_simhash_pairs", (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), simhash60(col("tk")).as("simhash"))
+      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hd") <= 10)
+        .select("a_id", "b_id", "hd")
+        .orderBy("a_id", "b_id")
+    }, Some(
+      s"""WITH $SimhashSql
+         |SELECT a.doc_id a_id, b.doc_id b_id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+         |FROM simhash_t a JOIN simhash_t b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY a_id, b_id""".stripMargin))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.functions.GraftHash
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The container has no image/audio codecs, so decoding is a clearly-marked
+  * deterministic STUB (`DecodeStub`): the Spark-side shape — binary column,
+  * partition-wise batch iteration via mapPartitions on a typed schema, stable
+  * output schema — is real and tested; only the pixel/sample math is fake.
+  * At 100 TB the binary column rides in parquet alongside metadata; decode is
+  * narrow per-partition work with no shuffle.
+  */
+object MultimodalOps {
+  import RelationalSupport.t
+
+  /** Deterministic fake "decode" of a binary asset: all fields are pure
+    * functions of the md5-derived hash60 of the payload, so results are
+    * reproducible in the oracle. A real deployment swaps this for a codec
+    * (e.g. JNI/ffmpeg) without touching the Spark plumbing around it.
+    */
+  object DecodeStub {
+    def mime(h: Long): String = (h % 3) match {
+      case 0 => "image"
+      case 1 => "audio"
+      case _ => "video"
+    }
+    def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
+      val h = GraftHash.hash60(payload)
+      val m = mime(h)
+      val frames = m match {
+        case "image" => 1L
+        case "audio" => 0L
+        case _       => h % 240
+      }
+      (m, h % 1280, h % 720, frames)
+    }
+  }
+
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  val defs: Seq[QueryDef] = Seq(
+    // binary-column metadata aggregation (expression-only path).
+    QueryDef("q24_mm_bytes", (s, dir) => {
+      val h = graftHash(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), encode(col("text"), "UTF-8").as("payload"), h.as("h"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_assets"),
+          sum(length(col("payload")).cast("long")).as("total_bytes"),
+          r4(avg(col("h") % 1280)).as("avg_width"))
+        .orderBy("source")
+    }, Some(
+      """SELECT source, count(*) AS n_assets,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  round(avg(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1280), 4) AS avg_width
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // partition-wise batch decode through the stub (mapPartitions plumbing).
+    QueryDef("q46_mm_decode", (s, dir) => {
+      val spark = s
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val enc = org.apache.spark.sql.Encoders.row(decodeSchema)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (m, w, h, f) = DecodeStub.decode(r.getAs[Array[Byte]](1))
+          Row(id, m, w, h, f)
+        }
+      }(enc).orderBy("doc_id")
+    }, Some(
+      """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents)
+        |SELECT doc_id,
+        |  CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
+        |  h % 1280 AS width, h % 720 AS height,
+        |  CASE h % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE h % 240 END AS n_frames
+        |FROM h ORDER BY doc_id""".stripMargin))
+  )
+}

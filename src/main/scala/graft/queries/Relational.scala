@@ -1,0 +1,331 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The relational surface of the engine.
+  *
+  * Q1–Q4 exercise the reference's own operator set (scan, schema projection,
+  * key-as-field, full-snapshot identity — SURVEY.md §2a); Q5–Q12 exercise the
+  * downstream relational algebra the reference exists to feed (its docs name
+  * "send it to a Joiner plugin to provide lookup-like functionality",
+  * reference docs/Table-streamingsource.md:10-14); the rest widen SQL-surface
+  * coverage (set ops, rollup, semi/anti joins, correlated subqueries, scalar
+  * functions, windowed buckets).
+  *
+  * Scale notes (100 TB stance, verified via .explain in RelationalSpec):
+  *  - dimension sides of joins (region/nation/customer vs lineitem/orders) are
+  *    explicitly `broadcast()` so the fact table never shuffles for them;
+  *  - aggregations are partial (map-side combine) by construction — plain
+  *    `groupBy.agg` on codegen'd built-ins;
+  *  - every filter/projection is declarative so it reaches the parquet scan
+  *    (PushedFilters / ReadSchema).
+  */
+object RelationalSupport {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+}
+
+object Relational {
+  import RelationalSupport.t
+
+  private def d(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+
+  val defs: Seq[QueryDef] = Seq(
+    // --- reference surface -------------------------------------------------
+    d("q01_scan_project",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey") { (s, dir) =>
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+    },
+
+    // key-as-field: the reference maps the storage row key into a named schema
+    // column (rowField — reference TableStreamingSourceConfig.java:52-56).
+    d("q02_key_as_field",
+      "SELECT o_orderkey AS row_key, o_totalprice FROM orders ORDER BY row_key") { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey").as("row_key"), col("o_totalprice")).orderBy("row_key")
+    },
+
+    d("q03_type_decode",
+      "SELECT p_partkey, p_size, p_retailprice FROM part ORDER BY p_partkey") { (s, dir) =>
+      t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice").orderBy("p_partkey")
+    },
+
+    d("q04_snapshot_full",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
+      t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    },
+
+    // the reference's documented raison d'être: lookup enrichment of a stream
+    // against the table snapshot (reference docs/Table-streamingsource.md:10-14).
+    d("q05_lookup_join",
+      """SELECT e.event_id, e.user_id, c.c_name FROM events e
+        | JOIN customer c ON e.user_id = c.c_custkey
+        | ORDER BY e.event_id, c.c_name""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val c = t(s, dir, "customer")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        .select(e("event_id"), e("user_id"), c("c_name"))
+        .orderBy("event_id", "c_name")
+    },
+
+    // --- downstream relational algebra ------------------------------------
+    d("q06_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        | WHERE l_discount > 0.05 AND l_quantity < 10
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    d("q07_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |   round(sum(l_quantity), 4) AS sum_qty,
+        |   round(sum(l_extendedprice), 4) AS sum_base,
+        |   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |   round(avg(l_discount), 6) AS avg_disc,
+        |   count(*) AS cnt
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(sum("l_quantity")).as("sum_qty"),
+          r4(sum("l_extendedprice")).as("sum_base"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          r6(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    d("q08_join_agg_revenue",
+      """SELECT r.r_name, n.n_name,
+        |   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |   count(*) AS n_items
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      // lineitem⋈orders is the only true shuffle join; customer is broadcast
+      // at test SF (at 100 TB AQE decides), nation/region always broadcast.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    d("q09_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |   SELECT o_custkey, o_orderkey, o_totalprice,
+        |     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |   FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    d("q10_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      // global sort + limit: Spark plans TakeOrderedAndProject (no full sort at scale)
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    d("q11_set_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        | INTERSECT
+        | SELECT s_nationkey AS nationkey FROM supplier
+        | ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // event-time tumbling window, expressed through the real streaming window()
+    // operator and projected to an epoch-second bucket for oracle parity.
+    d("q12_tumbling_window",
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s, event_type,
+        |   count(*) AS n, round(sum(value), 4) AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_s"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_s", "event_type")
+    },
+
+    // --- wider SQL surface -------------------------------------------------
+    d("q25_rollup",
+      """SELECT coalesce(r.r_name, 'ALL') AS region_name, coalesce(n.n_name, 'ALL') AS nation_name,
+        |   count(*) AS n_cust, round(sum(c.c_acctbal), 4) AS sum_bal
+        | FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY ROLLUP(r.r_name, n.n_name)
+        | ORDER BY region_name, nation_name""".stripMargin) { (s, dir) =>
+      // expressed as SQL: rollup's Expand duplicates grouping attribute ids,
+      // which trips the DataFrame ambiguous-self-join check on re-selection.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT coalesce(r.r_name, 'ALL') AS region_name, coalesce(n.n_name, 'ALL') AS nation_name,
+          |   count(*) AS n_cust, round(sum(c.c_acctbal), 4) AS sum_bal
+          | FROM customer c
+          | JOIN nation n ON c.c_nationkey = n.n_nationkey
+          | JOIN region r ON n.n_regionkey = r.r_regionkey
+          | GROUP BY ROLLUP(r.r_name, n.n_name)
+          | ORDER BY region_name, nation_name""".stripMargin)
+    },
+
+    d("q26_exists_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        | ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    d("q27_not_exists_anti",
+      """SELECT c_custkey FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    d("q28_outer_join_count",
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        | FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    d("q29_scalar_string_funcs",
+      """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS pfx, length(p_name) AS name_len,
+        |   round(abs(p_retailprice - 1000.0), 4) AS dist
+        | FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("pfx"),
+        length(col("p_name")).as("name_len"),
+        r4(abs(col("p_retailprice") - 1000.0)).as("dist"))
+        .orderBy("p_partkey")
+    },
+
+    d("q30_date_parts",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+        |   count(*) AS n, round(sum(o_totalprice), 4) AS total
+        | FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .orderBy("y", "m")
+    },
+
+    d("q31_case_having",
+      """SELECT c_mktsegment, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+        |   count(*) AS n
+        | FROM customer GROUP BY 1, 2 HAVING count(*) > 10
+        | ORDER BY c_mktsegment, bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(
+          col("c_mktsegment"),
+          when(col("c_acctbal") < 0, "neg").when(col("c_acctbal") < 5000, "mid").otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy("c_mktsegment", "bucket")
+    },
+
+    d("q32_union_all",
+      """SELECT src, nk, count(*) AS n FROM (
+        |   SELECT 'cust' AS src, c_nationkey AS nk FROM customer
+        |   UNION ALL
+        |   SELECT 'supp' AS src, s_nationkey AS nk FROM supplier)
+        | GROUP BY src, nk ORDER BY src, nk""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(lit("cust").as("src"), col("c_nationkey").as("nk"))
+      val sp = t(s, dir, "supplier").select(lit("supp").as("src"), col("s_nationkey").as("nk"))
+      c.unionAll(sp).groupBy("src", "nk").agg(count(lit(1)).as("n")).orderBy("src", "nk")
+    },
+
+    d("q33_correlated_subquery",
+      """SELECT o_custkey, count(*) AS n_above FROM orders o
+        | WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        | GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_above FROM orders o
+          | WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          | GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    },
+
+    d("q34_distinct_counts",
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supp FROM lineitem""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), countDistinct(col("l_suppkey")).as("n_supp"))
+    },
+
+    d("q36_stats_agg",
+      """SELECT l_returnflag, round(min(l_extendedprice), 4) AS min_p, round(max(l_extendedprice), 4) AS max_p,
+        |   round(stddev_samp(l_extendedprice), 4) AS sd_p
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r4(min("l_extendedprice")).as("min_p"),
+          r4(max("l_extendedprice")).as("max_p"),
+          r4(stddev_samp(col("l_extendedprice"))).as("sd_p"))
+        .orderBy("l_returnflag")
+    },
+
+    d("q37_pivot_case",
+      """SELECT l_returnflag,
+        |   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_f,
+        |   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_o
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r4(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0))).as("qty_f"),
+          r4(sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0))).as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // approximate distinct: no cross-engine oracle (HLL implementations differ);
+    // correctness is bounded-error vs exact, asserted in RelationalSpec.
+    QueryDef("q35_approx_distinct", (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None)
+  )
+}

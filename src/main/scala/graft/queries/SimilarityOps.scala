@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] dim-64).
+  *
+  * Scale design: query vectors are always the broadcast side; the corpus is
+  * never shuffled or collected. Brute-force top-k is the exactness baseline;
+  * IVF (cells from a fixed codebook, nprobe-limited probing) is the scale
+  * path — at 100 TB the cell assignment is one narrow pass and probing reads
+  * only nprobe/ncells of the corpus.
+  *
+  * Cosine is the custom codegen'd [[graft.functions.CosineSimilarity]]
+  * expression; similarities are rounded to 6 dp *before* ranking on both the
+  * Spark and oracle sides so ordering is reproducible.
+  */
+object SimilarityOps {
+  import RelationalSupport.t
+
+  val K = 10
+  val NQueries = 5
+  val NCells = 16
+  val NProbe = 4
+  val NearDupThreshold = 0.4 // embeddings are near-orthogonal; max observed cos ~0.51
+
+  /** DuckDB double-precision cosine of two DOUBLE[] expressions, rounded r6. */
+  def duckCos(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+    // brute-force exact top-k for fixed query vectors (vec_id < NQueries).
+    QueryDef("q15_knn_cosine", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("sim", r6(cosineSim(col("qv"), col("embedding"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT query_id, vec_id, ${duckCos("qv", "v")} AS sim FROM q, c WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
+    // embedding-cosine near-duplicate similarity self-join.
+    QueryDef("q16_neardup_embed", (s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", r6(cosineSim(col("va"), col("vb"))))
+        .filter(col("sim") >= NearDupThreshold)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id", "b_id")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+         |SELECT a.vec_id a_id, b.vec_id b_id, ${duckCos("a.v", "b.v")} AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.v", "b.v")} >= $NearDupThreshold
+         |ORDER BY a_id, b_id""".stripMargin)),
+
+    QueryDef("q44_vector_stats", (s, dir) => {
+      val ad = col("embedding").cast("array<double>")
+      val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+      emb(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), r4(avg(norm)).as("avg_norm"))
+        .orderBy("label")
+    }, Some(
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // IVF-style ANN: fixed codebook (vec_id < NCells as centroids — a
+    // deterministic stand-in for an offline k-means), nearest-cell assignment,
+    // nprobe-limited probing, exact re-rank within probed cells.
+    QueryDef("q45_ivf_ann", (s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("csim", r6(cosineSim(col("embedding"), col("cv"))))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("psim", r6(cosineSim(col("qv"), col("cv"))))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NProbe)
+        .select(col("query_id"), col("qv"), col("cid").as("cell"))
+      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      assign.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", r6(cosineSim(col("qv"), col("embedding"))))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCells),
+         |asgn AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.cid) arn
+         |  FROM e CROSS JOIN cent) WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+         |probes AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${duckCos("q.qv", "cent.cv")} DESC, cent.cid) prn
+         |  FROM q CROSS JOIN cent) WHERE prn <= $NProbe),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a ON a.cell = p.cell),
+         |scored AS (SELECT c.query_id, c.vec_id,
+         |    ${duckCos("q.qv", "e.v")} AS sim,
+         |    row_number() OVER (PARTITION BY c.query_id ORDER BY ${duckCos("q.qv", "e.v")} DESC, c.vec_id) rn
+         |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.vec_id
+         |  WHERE c.vec_id != c.query_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM scored WHERE rn <= $K ORDER BY query_id, rk""".stripMargin))
+  )
+}

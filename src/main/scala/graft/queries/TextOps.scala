@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, quality
+  * scoring, language-ID, fingerprinting, BPE-ish token counting — all over the
+  * `documents` table, all pure narrow map work (no shuffle except the final
+  * aggregations), so they scale linearly with corpus size.
+  */
+object TextOps {
+  import RelationalSupport.t
+
+  /** DuckDB CTE producing (doc_id, t=tokens) — the oracle twin of tokens(). */
+  val ToksCte = "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q14_token_counts", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .groupBy("lang", "word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "word")
+    }, Some(
+      s"""WITH $ToksCte
+         |SELECT lang, w AS word, count(*) AS n FROM (
+         |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM documents)
+         |GROUP BY lang, w ORDER BY lang, word""".stripMargin)),
+
+    QueryDef("q20_lang_id", (s, dir) => {
+      val tk = tokens(col("text"))
+      def score(words: String*) = size(filter(tk, x => x.isin(words: _*)))
+      val sEn = score("the", "and", "of", "to", "in", "is")
+      val sEs = score("el", "la", "los", "que", "y", "en")
+      val sDe = score("der", "die", "und", "das", "ist")
+      val sFr = score("le", "les", "des", "et", "une", "dans")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("text").rlike("[一-鿿]"), "zh")
+          .when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+          .when(sEs >= sDe && sEs >= sFr, "es")
+          .when(sDe >= sFr, "de")
+          .otherwise("fr").as("pred_lang"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') tk FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  len(list_filter(tk, x -> x IN ('the','and','of','to','in','is'))) s_en,
+        |  len(list_filter(tk, x -> x IN ('el','la','los','que','y','en'))) s_es,
+        |  len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) s_de,
+        |  len(list_filter(tk, x -> x IN ('le','les','des','et','une','dans'))) s_fr
+        |  FROM t)
+        |SELECT doc_id, CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |  WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q21_text_quality", (s, dir) => {
+      val tk = tokens(col("text"))
+      val nTok = size(tk)
+      val sumLen = aggregate(transform(tk, x => length(x)), lit(0), (a, x) => a + x)
+      val nStop = size(filter(tk, x => x.isin("the", "a", "of", "and", "to", "in", "is", "on")))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        when(nTok > 0, r4(sumLen.cast("double") / nTok)).as("avg_tok_len"),
+        when(nTok > 0, r6(nStop.cast("double") / nTok)).as("stop_ratio"),
+        r6(punct.cast("double") / length(col("text"))).as("punct_ratio"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $ToksCte
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+         |  CASE WHEN len(t) > 0 THEN round(list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t), 4) END AS avg_tok_len,
+         |  CASE WHEN len(t) > 0 THEN round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) * 1.0 / len(t), 6) END AS stop_ratio,
+         |  round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / len(text), 6) AS punct_ratio
+         |FROM toks JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q22_fingerprint", (s, dir) => {
+      val sh = shingles(tokens(col("text")), 3)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_min(transform(sh, x => graftHash(x))).as("fp"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH $ToksCte
+         |SELECT doc_id,
+         |  list_min(list_transform(
+         |    list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS fp
+         |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q23_bpe_token_count", (s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(bpeTokens(col("text"))).as("n_bpe"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column<->Expression conversion (Spark 4
+  * moved Column onto ColumnNode; `new Column(expr)` no longer exists). This is
+  * the supported classic-session path, just not public API — isolated here so
+  * the rest of the codebase stays vanilla.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
