@@ -1,0 +1,177 @@
+package graft.sources.reftable
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Duration literals with the reference's exact grammar: `\d+[dhms]`
+  * (reference: TableStreamingSourceConfig.java:115 validates with this regex;
+  * hydrator-common TimeParser supplies the semantics; default is 1h,
+  * TableStreamingSourceConfig.java:109-111).
+  */
+object Durations {
+  private val Pattern = """^(\d+)([dhms])$""".r
+
+  def parse(s: String): Long = s.trim match {
+    case Pattern(n, unit) =>
+      val v = n.toLong
+      unit match {
+        case "s" => v * 1000L
+        case "m" => v * 60L * 1000L
+        case "h" => v * 60L * 60L * 1000L
+        case "d" => v * 24L * 60L * 60L * 1000L
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"Invalid duration '$other': must match \\d+[dhms] (e.g. '5s', '10m', '1h', '2d')")
+  }
+}
+
+/** Avro-style record-schema JSON (the reference's schema config format —
+  * parsed by Schema.parseJson at TableStreamingSourceConfig.java:101-107; the
+  * documented shape is docs/Table-streamingsource.md:43-51: a top-level record
+  * with named fields whose types are primitives or ["type","null"] unions).
+  * Spark DDL strings ("a INT, b STRING") are also accepted.
+  */
+object SchemaJson {
+  def parse(s: String): StructType = {
+    val trimmed = s.trim
+    if (trimmed.startsWith("{")) parseRecordJson(trimmed)
+    else StructType.fromDDL(trimmed)
+  }
+
+  private def primitive(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int"     => IntegerType
+    case "long"    => LongType
+    case "float"   => FloatType
+    case "double"  => DoubleType
+    case "string"  => StringType
+    case "bytes"   => BinaryType
+    case "timestamp" => TimestampType
+    case other => throw new IllegalArgumentException(s"Unsupported schema type '$other'")
+  }
+
+  /** Minimal JSON walker for the record shape — no external JSON dep needed
+    * beyond Jackson, which ships with Spark.
+    */
+  private def parseRecordJson(s: String): StructType = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root = try new ObjectMapper().readTree(s)
+    catch { case NonFatal(e) => throw new IllegalArgumentException(s"Invalid schema JSON: ${e.getMessage}") }
+    if (root.path("type").asText() != "record")
+      throw new IllegalArgumentException("Schema JSON must be a record schema")
+    val fields = root.path("fields")
+    if (!fields.isArray || fields.isEmpty)
+      throw new IllegalArgumentException("Schema JSON must declare a non-empty fields array")
+    val out = (0 until fields.size()).map { i =>
+      val f = fields.get(i)
+      val name = f.path("name").asText()
+      if (name.isEmpty) throw new IllegalArgumentException(s"Schema field $i has no name")
+      val t = f.path("type")
+      if (t.isTextual) StructField(name, primitive(t.asText()), nullable = false)
+      else if (t.isArray) {
+        // nullable union: [T, "null"] in either order
+        val parts = (0 until t.size()).map(j => t.get(j).asText())
+        val nonNull = parts.filterNot(_ == "null")
+        if (nonNull.size != 1 || parts.size > 2)
+          throw new IllegalArgumentException(s"Field '$name': only [T, \"null\"] unions are supported")
+        StructField(name, primitive(nonNull.head), nullable = parts.contains("null"))
+      } else throw new IllegalArgumentException(s"Field '$name' has an invalid type")
+    }
+    StructType(out)
+  }
+}
+
+/** Validated source options — the analogue of TableStreamingSourceConfig.
+  *
+  * Options:
+  *  - `path`            (required) parquet directory of the snapshot table
+  *  - `schema`          (required — the reference has no schema inference)
+  *                      record-JSON or Spark DDL, the *output* schema
+  *  - `rowField`        (optional) output field populated from `keyColumn`
+  *                      (reference: TableStreamingSourceConfig.java:52-56 —
+  *                      must exist in the schema and be non-nullable,
+  *                      :131-142)
+  *  - `keyColumn`       storage column acting as the row key (required iff
+  *                      rowField is set; the parquet analogue of the byte[]
+  *                      row key)
+  *  - `refreshInterval` duration literal, default "1h"
+  *                      (TableStreamingSourceConfig.java:109-111)
+  *  - `emitMode`        "refresh" (default; one micro-batch per refresh
+  *                      generation — idiomatic Structured Streaming) or
+  *                      "trigger" (offset advances every trigger, the
+  *                      reference's DStream cadence where each batch re-emits
+  *                      the current snapshot)
+  *  - `genColumn`       (optional) name of an extra long column carrying the
+  *                      refresh generation
+  */
+final case class RefTableOptions(
+    path: String,
+    schema: StructType,
+    rowField: Option[String],
+    keyColumn: Option[String],
+    refreshMs: Long,
+    emitPerTrigger: Boolean,
+    genColumn: Option[String]) {
+
+  /** Output schema as seen by Spark (declared schema + optional gen column). */
+  def outputSchema: StructType =
+    genColumn.fold(schema)(g => StructType(schema.fields :+ StructField(g, LongType, nullable = false)))
+
+  /** Underlying storage column for an output field. */
+  def storageColumn(field: String): String =
+    if (rowField.contains(field)) keyColumn.get else field
+}
+
+object RefTableOptions {
+  def from(options: CaseInsensitiveStringMap): RefTableOptions = {
+    val errs = scala.collection.mutable.ListBuffer.empty[String]
+
+    val path = Option(options.get("path")).filter(_.nonEmpty)
+    if (path.isEmpty) errs += "Required option 'path' is missing"
+
+    val schemaStr = Option(options.get("schema")).filter(_.nonEmpty)
+    val schema: Option[StructType] = schemaStr match {
+      case None => errs += "Required option 'schema' is missing (the source does not infer schemas)"; None
+      case Some(s) =>
+        try Some(SchemaJson.parse(s))
+        catch { case NonFatal(e) => errs += s"Invalid 'schema': ${e.getMessage}"; None }
+    }
+
+    val rowField = Option(options.get("rowField")).filter(_.nonEmpty)
+    val keyColumn = Option(options.get("keyColumn")).filter(_.nonEmpty)
+    (rowField, schema) match {
+      case (Some(rf), Some(st)) =>
+        st.fields.find(_.name == rf) match {
+          case None =>
+            errs += s"rowField '$rf' must be a field in the schema"
+          case Some(f) if f.nullable =>
+            // reference: TableStreamingSourceConfig.java:138-142
+            errs += s"rowField '$rf' must not be nullable"
+          case _ => ()
+        }
+        if (keyColumn.isEmpty) errs += "Option 'keyColumn' is required when 'rowField' is set"
+      case _ => ()
+    }
+
+    val refreshMs =
+      try Durations.parse(Option(options.get("refreshInterval")).getOrElse("1h"))
+      catch { case NonFatal(e) => errs += s"Invalid 'refreshInterval': ${e.getMessage}"; 0L }
+
+    val emitPerTrigger = Option(options.get("emitMode")).getOrElse("refresh") match {
+      case "refresh" => false
+      case "trigger" => true
+      case other => errs += s"Invalid 'emitMode' '$other': must be 'refresh' or 'trigger'"; false
+    }
+
+    val genColumn = Option(options.get("genColumn")).filter(_.nonEmpty)
+    for (g <- genColumn; st <- schema; if st.fieldNames.contains(g))
+      errs += s"genColumn '$g' collides with a schema field"
+
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
+    RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sources.reftable
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 provider for the refreshable-snapshot table source.
+  *
+  * The Spark-native rebuild of the reference plugin (reference entry point:
+  * TableStreamingSource.java:72-96): a keyed table re-read from storage every
+  * `refreshInterval`, each refresh generation emitted as one complete
+  * snapshot into a Structured Streaming query (and also readable as a plain
+  * batch table). Deploy-time validation (reference configurePipeline,
+  * TableStreamingSource.java:59-70) happens in [[inferSchema]] — analysis
+  * time, driver only; invalid options never launch a job.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("reftable")
+  *     .option("path", dir).option("schema", ddlOrRecordJson)
+  *     .option("rowField", "row_key").option("keyColumn", "n_nationkey")
+  *     .option("refreshInterval", "5s")
+  *     .load()
+  * }}}
+  */
+class RefTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "reftable"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RefTableOptions.from(options).outputSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(properties)))
+}
+
+class RefTable(opts: RefTableOptions) extends Table with SupportsRead {
+  override def name(): String = s"reftable(${opts.path})"
+  override def schema(): StructType = opts.outputSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RefTableScanBuilder(opts)
+}
+
+/** Column pruning reaches the parquet readers (the reference's analogue:
+  * schema-restricted decoding, TableStreamingSource.java:114-116 — only
+  * declared columns are decoded).
+  */
+class RefTableScanBuilder(opts: RefTableOptions)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = opts.outputSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve our field order/types; honor the requested subset
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(opts.outputSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new RefTableScan(opts, required)
+}
+
+class RefTableScan(opts: RefTableOptions, required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]"
+
+  override def toBatch: Batch = new RefTableBatch(opts, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RefTableMicroBatchStream(opts, required)
+}
+
+/** One-shot batch read of the current snapshot. */
+class RefTableBatch(opts: RefTableOptions, required: StructType) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
+    SnapshotFiles.list(opts.path).map(f => RefTableInputPartition(f.path, f.length, gen)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RefTableReaderFactory(opts, required)
+}

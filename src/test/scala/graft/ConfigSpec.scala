@@ -1,0 +1,122 @@
+package graft
+
+import graft.sources.reftable.{Durations, RefTableOptions, SchemaJson}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+/** Mirrors the reference's config-validation unit tests
+  * (TableStreamingSourceConfigTest.java): a valid baseline config plus
+  * mutated negative cases, asserting the offending option is named.
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  private val baseSchema =
+    """{"type":"record","name":"row","fields":[
+      |  {"name":"key","type":"long"},
+      |  {"name":"name","type":["string","null"]},
+      |  {"name":"score","type":["double","null"]},
+      |  {"name":"ok","type":["boolean","null"]}]}""".stripMargin
+
+  private def opts(kv: (String, String)*): CaseInsensitiveStringMap = {
+    val base = Map("path" -> "/tmp/x", "schema" -> baseSchema)
+    new CaseInsensitiveStringMap((base ++ kv.toMap).asJava)
+  }
+
+  // reference: TableStreamingSourceConfigTest.java:49-53 (valid config)
+  test("valid config parses") {
+    val o = RefTableOptions.from(opts())
+    assert(o.schema.fieldNames.toSeq == Seq("key", "name", "score", "ok"))
+    assert(o.refreshMs == 3600 * 1000L) // default 1h
+  }
+
+  // reference :56-64 (valid rowField)
+  test("valid rowField accepted") {
+    val o = RefTableOptions.from(opts("rowField" -> "key", "keyColumn" -> "id"))
+    assert(o.rowField.contains("key"))
+    assert(o.storageColumn("key") == "id")
+    assert(o.storageColumn("name") == "name")
+  }
+
+  // reference :67-75 (valid refreshInterval "5d")
+  test("refreshInterval 5d accepted") {
+    val o = RefTableOptions.from(opts("refreshInterval" -> "5d"))
+    assert(o.refreshMs == 5L * 24 * 3600 * 1000)
+  }
+
+  // reference :78-89 (rowField not in schema)
+  test("rowField not in schema rejected") {
+    val e = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("rowField" -> "nope", "keyColumn" -> "id"))
+    }
+    assert(e.getMessage.contains("rowField"))
+  }
+
+  // reference :92-103 (nullable rowField rejected; nullability is
+  // load-bearing — TableStreamingSourceConfig.java:138-142)
+  test("nullable rowField rejected") {
+    val e = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("rowField" -> "name", "keyColumn" -> "id"))
+    }
+    assert(e.getMessage.contains("must not be nullable"))
+  }
+
+  // reference :106-117 (malformed refreshInterval "t3")
+  test("malformed refreshInterval rejected") {
+    val e = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("refreshInterval" -> "t3"))
+    }
+    assert(e.getMessage.contains("refreshInterval"))
+  }
+
+  // reference :120-131 (malformed schema JSON)
+  test("malformed schema rejected") {
+    val e = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("schema" -> "{not json"))
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("missing schema rejected (no inference)") {
+    val m = new CaseInsensitiveStringMap(Map("path" -> "/tmp/x").asJava)
+    val e = intercept[IllegalArgumentException](RefTableOptions.from(m))
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("duration grammar: exact reference semantics") {
+    assert(Durations.parse("5s") == 5000L)
+    assert(Durations.parse("10m") == 600000L)
+    assert(Durations.parse("1h") == 3600000L)
+    assert(Durations.parse("2d") == 172800000L)
+    intercept[IllegalArgumentException](Durations.parse("5"))
+    intercept[IllegalArgumentException](Durations.parse("s5"))
+    intercept[IllegalArgumentException](Durations.parse("5w"))
+    intercept[IllegalArgumentException](Durations.parse("5 s"))
+    intercept[IllegalArgumentException](Durations.parse("-5s"))
+  }
+
+  test("duration property: n + unit round-trips for all valid units") {
+    val units = Map("s" -> 1000L, "m" -> 60000L, "h" -> 3600000L, "d" -> 86400000L)
+    val rnd = new Random(42)
+    for (_ <- 1 to 200; u <- units.keys) {
+      val n = rnd.nextLong(1000000L)
+      assert(Durations.parse(s"$n$u") == n * units(u))
+    }
+  }
+
+  test("schema JSON: primitives, nullability, DDL fallback") {
+    val st = SchemaJson.parse(baseSchema)
+    assert(st("key") == StructField("key", LongType, nullable = false))
+    assert(st("name") == StructField("name", StringType, nullable = true))
+    assert(st("score").dataType == DoubleType)
+    assert(st("ok").dataType == BooleanType)
+    val ddl = SchemaJson.parse("a INT, b STRING")
+    assert(ddl.fieldNames.toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException](SchemaJson.parse("""{"type":"enum"}"""))
+    intercept[IllegalArgumentException](
+      SchemaJson.parse("""{"type":"record","name":"r","fields":[{"name":"x","type":"matrix"}]}"""))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.{GraftHash, HashFunctions, VectorFunctions}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the portable-hash contract (values must equal DuckDB's
+  * `CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)`) and the kernel expressions.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hash60 equals the DuckDB oracle constant") {
+    // SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT) = 419982666956583591
+    assert(GraftHash.hash60("hello") == 419982666956583591L)
+    // column-level helper agrees with the JVM-side implementation
+    val got = Seq("hello", "", "spark graft", "日本語").toDF("s")
+      .select(col("s"), graftHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, h) <- got) assert(h == GraftHash.hash60(s), s"mismatch for '$s'")
+  }
+
+  test("cosine expression: exact values, nulls, length mismatch") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 1.0f))
+    ).toDF("a", "b").select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 0.8) < 1e-12)
+
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+    assert(mismatch.collect()(0).isNullAt(0))
+  }
+
+  test("cosine expression matches the HOF fallback bit-for-bit") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val both = e.select(
+      VectorFunctions.cosineSim(col("embedding"), col("embedding")).as("expr"),
+      cosine(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("expr") =!= col("hof")).count() == 0)
+  }
+
+  test("simhash60 is deterministic and respects multiset weights") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("a", "b", "a")), // identical multiset -> identical simhash
+      (3L, Seq("a", "b"))       // different multiset -> may differ
+    ).toDF("id", "toks").select(col("id"), HashFunctions.simhash60(col("toks")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) >= 0L && m(1L) < (1L << 60))
+  }
+
+  test("minhash signature equals the universal-hash formula") {
+    val sh = Seq("x y z", "y z w")
+    val df = Seq(Tuple1(sh)).toDF("sh")
+      .select(HashFunctions.minhashSig(col("sh"), 8).as("sig"))
+    val sig = df.collect()(0).getSeq[Long](0)
+    val expected = (0 until 8).map { p =>
+      sh.map(s => GraftHash.perm(p, GraftHash.hash60(s))).min
+    }
+    assert(sig == expected)
+    // empty shingle set -> null signature
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(HashFunctions.minhashSig(col("sh"), 8).as("sig"))
+    assert(empty.collect()(0).isNullAt(0))
+  }
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs at J>=0.7 (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val lsh = Catalog.byName("q17_minhash_lsh").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Catalog.byName("q43_ngram_jaccard").fn(spark, dir)
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, "LSH with 64 bands x 2 rows must have full recall at J>=0.7 here")
+    assert(exact.nonEmpty, "test data should contain near-duplicate documents")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = Catalog.byName("q35_approx_distinct").fn(spark, dir).first().getLong(0)
+    val exact = Tables.load(spark, dir, "lineitem").select(countDistinct("l_partkey")).first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}

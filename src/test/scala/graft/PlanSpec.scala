@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the catalog queries must not just be correct,
+  * they must produce the plans that survive a 100 TB scale-up — broadcast
+  * joins for dimensions, filter pushdown into scans, top-k without a global
+  * sort, whole-stage codegen on the hot aggregation path.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q05 lookup join broadcasts the dimension side") {
+    assert(plan("q05_lookup_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q08 multi-way join broadcasts all dimension tables") {
+    val p = plan("q08_join_agg_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    // the only shuffle join permitted is lineitem join orders
+    assert(p.split("BroadcastHashJoin").length >= 4, s"expected >=3 broadcast joins:\n$p")
+  }
+
+  test("q06 filters are pushed into the parquet scan") {
+    val p = plan("q06_filter_project")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(l_discount") || p.contains("LessThan(l_quantity")),
+      s"filters should reach the scan:\n$p")
+  }
+
+  test("q10 top-k avoids a global sort") {
+    assert(plan("q10_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q07 aggregation runs inside whole-stage codegen with partial agg") {
+    val df = Catalog.byName("q07_agg_pricing").fn(spark, dir)
+    df.collect() // finalize the adaptive plan; codegen stages appear only then
+    val p = df.queryExecution.executedPlan.toString()
+    // finalized AQE plans render whole-stage-codegen stages as "*(n)" markers
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen stage in:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q15 knn broadcasts the query vectors, not the corpus") {
+    val p = plan("q15_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must be broadcast:\n$p")
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle query name exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}
