@@ -26,18 +26,22 @@ object DedupOps {
   val NumPerms = 128
   val NumBands = 64 // 2 rows per band -> P(miss | J=0.7) = (1-0.49)^64 ~ 2e-19
 
-  /** DuckDB CTEs: distinct word-3-shingles per doc + set sizes. */
+  /** DuckDB CTEs: distinct word-3-shingles per doc (string form `sh` and
+    * hashed form `hsh` — joins run on the 60-bit hash, not the string, to
+    * keep exchange payloads narrow) + set sizes.
+    */
   val ShingleCtes: String =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks)),
-      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
+      |hsh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) h FROM sh),
+      |sizes AS (SELECT doc_id, count(*) n FROM hsh GROUP BY 1)""".stripMargin
 
-  /** Exact-Jaccard pair SQL over the shingle CTEs at a given threshold. */
+  /** Exact-Jaccard pair SQL over the hashed shingle CTEs at a threshold. */
   def exactJaccardSql(threshold: Double): String =
     s"""WITH $ShingleCtes,
        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 4) AS j
        |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
        |WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold ORDER BY a_id, b_id""".stripMargin
@@ -65,11 +69,11 @@ object DedupOps {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
 
     // full MinHash signature dump — byte-exact oracle for the signature kernel.
+    // posexplode skips null signatures, so no isNotNull filter (which would
+    // make predicate pushdown duplicate the expensive signature expression).
     QueryDef("q42_minhash_sig", (s, dir) => {
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), minhashSig(shingles(tokens(col("text")), 3), NumPerms).as("sig"))
-        .filter(col("sig").isNotNull)
-      base.select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(minhashSig(tokens(col("text")), 3, NumPerms)).as(Seq("perm", "minhash")))
         .orderBy("doc_id", "perm")
     }, Some(
       s"""WITH $ShingleCtes,
@@ -81,29 +85,24 @@ object DedupOps {
 
     // MinHash-LSH near-dup pairs, exact-Jaccard-verified at J >= 0.7.
     QueryDef("q17_minhash_lsh", (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sigs = docs.select(col("doc_id"), minhashSig(col("sh"), NumPerms).as("sig"))
-      // band key = (band index, the band's signature rows); 2 rows per band.
-      // Only (doc_id, band key) is shuffled — shingle sets are re-joined by id
-      // for candidate verification, so the LSH exchange stays narrow at scale.
-      val bands = sigs.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-          b => struct(b.as("b"),
-            element_at(col("sig"), (b * 2 + 1).cast("int")).as("v0"),
-            element_at(col("sig"), (b * 2 + 2).cast("int")).as("v1")))).as(Seq("p", "bk")))
+      // hashed distinct shingle sets, used only for candidate verification
+      val hashedSets = t(s, dir, "documents")
+        .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("hs"))
+      // band keys computed in one pass with the signature (MinHashBands);
+      // only (doc_id, band key) is shuffled — shingle sets are re-joined by
+      // id for verification, so the LSH exchange stays narrow at scale.
+      val bands = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(minhashBands(tokens(col("text")), 3, NumBands)).as(Seq("p", "bk")))
         .select(col("doc_id"), col("bk"))
       val a = bands.select(col("doc_id").as("a_id"), col("bk"))
       val b = bands.select(col("doc_id").as("b_id"), col("bk"))
       val candPairs = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
       val cands = candPairs
-        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-      val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+        .join(hashedSets.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
+        .join(hashedSets.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
+      val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+      val j = inter / (size(col("ha")) + size(col("hb")) - inter)
       cands.withColumn("j", r4(j))
         .filter(j >= 0.7)
         .select("a_id", "b_id", "j")
@@ -111,13 +110,14 @@ object DedupOps {
     }, Some(exactJaccardSql(0.7))),
 
     // exact n-gram Jaccard similarity join (lower threshold, no LSH pruning).
+    // Joins on the hashed shingle, not the string — narrow exchange payload.
     QueryDef("q43_ngram_jaccard", (s, dir) => {
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+        .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 3)).as("h"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("a_id"), col("s"))
-      val b = sh.select(col("doc_id").as("b_id"), col("s"))
-      val inter = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      val a = sh.select(col("doc_id").as("a_id"), col("h"))
+      val b = sh.select(col("doc_id").as("b_id"), col("h"))
+      val inter = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
       val withSizes = inter
         .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))

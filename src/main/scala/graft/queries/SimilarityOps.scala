@@ -59,7 +59,11 @@ object SimilarityOps {
     // embedding-cosine near-duplicate similarity self-join.
     QueryDef("q16_neardup_embed", (s, dir) => {
       val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      // the corpus arrives as a single file = one partition; spread the
+      // streamed side of the nested-loop join across cores (at 100 TB the
+      // corpus is naturally multi-partition and this is a no-op cost-wise)
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("sim", r6(cosineSim(col("va"), col("vb"))))

@@ -79,10 +79,9 @@ object TextOps {
          |FROM toks JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q22_fingerprint", (s, dir) => {
-      val sh = shingles(tokens(col("text")), 3)
       t(s, dir, "documents").select(
         col("doc_id"),
-        array_min(transform(sh, x => graftHash(x))).as("fp"))
+        array_min(graft.functions.HashFunctions.shingleHashes(tokens(col("text")), 3)).as("fp"))
         .orderBy("doc_id")
     }, Some(
       s"""WITH $ToksCte

@@ -59,18 +59,27 @@ class ExpressionsSpec extends AnyFunSuite {
   }
 
   test("minhash signature equals the universal-hash formula") {
+    val toks = Seq("x", "y", "z", "w") // 3-shingles: "x y z", "y z w"
     val sh = Seq("x y z", "y z w")
-    val df = Seq(Tuple1(sh)).toDF("sh")
-      .select(HashFunctions.minhashSig(col("sh"), 8).as("sig"))
+    val df = Seq(Tuple1(toks)).toDF("toks")
+      .select(HashFunctions.minhashSig(col("toks"), 3, 8).as("sig"))
     val sig = df.collect()(0).getSeq[Long](0)
     val expected = (0 until 8).map { p =>
       sh.map(s => GraftHash.perm(p, GraftHash.hash60(s))).min
     }
     assert(sig == expected)
-    // empty shingle set -> null signature
-    val empty = Seq(Tuple1(Seq.empty[String])).toDF("sh")
-      .select(HashFunctions.minhashSig(col("sh"), 8).as("sig"))
-    assert(empty.collect()(0).isNullAt(0))
+    // shingle hashes: distinct, order-preserving, matches hash60 directly
+    val hs = Seq(Tuple1(toks)).toDF("toks")
+      .select(HashFunctions.shingleHashes(col("toks"), 3).as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(hs == sh.map(GraftHash.hash60))
+    // fewer than k tokens -> null signature, empty shingle set
+    val empty = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+      .select(HashFunctions.minhashSig(col("toks"), 3, 8).as("sig"),
+        HashFunctions.shingleHashes(col("toks"), 3).as("hs"))
+    val r = empty.collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Long](1).isEmpty)
   }
 
   test("MinHash-LSH finds exactly the exact-Jaccard pairs at J>=0.7 (sf0.001)") {
