@@ -15,6 +15,7 @@ final case class QueryDef(
 object Catalog {
   lazy val all: Seq[QueryDef] =
     queries.Relational.defs ++
+      queries.Advanced.defs ++
       queries.TextOps.defs ++
       queries.DedupOps.defs ++
       queries.SimilarityOps.defs ++

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of SQL-surface coverage: exact percentiles, ordered array
+  * aggregation, grouping sets, JSON extraction, as-of joins, wider
+  * string/date functions, banded SimHash near-dup, and session windows.
+  */
+object Advanced {
+  import RelationalSupport.t
+
+  val defs: Seq[QueryDef] = Seq(
+    // exact interpolated percentiles (Spark `percentile` == DuckDB quantile_cont)
+    QueryDef("q50_percentiles", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          r6(expr("percentile(value, 0.5)")).as("p50"),
+          r6(expr("percentile(value, 0.9)")).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ordered array aggregation (sort_array fixes collect_list's order)
+    QueryDef("q51_array_agg", (s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // GROUPING SETS beyond rollup
+    QueryDef("q52_grouping_sets", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nk,
+          |   count(*) AS n, round(sum(c_acctbal), 4) AS bal
+          | FROM customer
+          | GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          | ORDER BY seg, nk""".stripMargin)
+    }, Some(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+        |   count(*) AS n, round(sum(c_acctbal), 4) AS bal
+        | FROM customer
+        | GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        | ORDER BY seg, nk""".stripMargin)),
+
+    // JSON property extraction from the events payload
+    QueryDef("q53_json_extract", (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(min("k").as("min_k"), max("k").as("max_k"), r6(avg("k")).as("avg_k"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // as-of join: for each purchase, the latest prior click by the same user
+    // (composed from an inequality join + window top-1 — SURVEY §7.3
+    // preference (a): built-ins before custom operators).
+    QueryDef("q54_asof_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+      p.join(c, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("c_id"))
+        .orderBy("p_id")
+    }, Some(
+      """SELECT p_id, c_id FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // wider string functions: levenshtein, lpad, replace, split_part
+    QueryDef("q55_string_funcs", (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        regexp_replace(col("p_type"), " ", "-").as("dashed"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("first_word"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev,
+        |  lpad(p_brand, 12, '_') AS padded,
+        |  replace(p_type, ' ', '-') AS dashed,
+        |  split_part(p_type, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ISO weekday + ISO week bucketing (epoch seconds to avoid ts typing)
+    QueryDef("q56_date_funcs", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          (weekday(col("ts")) + 1).as("isodow"),
+          unix_timestamp(date_trunc("week", col("ts"))).as("week_s"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("v"))
+        .orderBy("week_s", "isodow")
+    }, Some(
+      """SELECT CAST(isodow(ts) AS INTEGER) AS isodow,
+        |  CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s,
+        |  count(*) AS n, round(sum(value), 4) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY week_s, isodow""".stripMargin)),
+
+    // banded SimHash near-dup: 60 bits = 4 bands x 15; Hamming distance <= 3
+    // pigeonholes at least one identical band, so candidate recall is exactly
+    // 1 and the all-pairs oracle is equivalent — the LSH shape that replaces
+    // q19's O(n^2) scan at scale.
+    QueryDef("q57_simhash_banded", (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), simhash60(col("tk")).as("simhash"))
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS b, shiftright(simhash, b * 15) & 32767 AS v))")).as("bk"))
+      val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("ha"), col("bk"))
+      val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "ha", "hb").dropDuplicates("a_id", "b_id")
+        .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hd") <= 3)
+        .select("a_id", "b_id", "hd")
+        .orderBy("a_id", "b_id")
+    }, Some(
+      s"""WITH ${DedupOps.SimhashSql}
+         |SELECT a.doc_id a_id, b.doc_id b_id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+         |FROM simhash_t a JOIN simhash_t b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin)),
+
+    // session windows: per-user sessions with a 30-minute inactivity gap
+    // (Spark session_window vs a gaps-and-islands oracle; microsecond
+    // precision on both sides).
+    QueryDef("q58_session_window", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), r4(sum("value")).as("v"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"), col("n_events"), col("v"))
+        .orderBy("user_id", "start_us")
+    }, Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS v
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
+  )
+}

@@ -7,7 +7,16 @@ import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** State for streaming sessionization: open sessions per user, in event-time
+  * order. Timestamps in microseconds (matching session_window precision).
+  */
+case class SessionState(sessions: List[SessionAgg])
+case class SessionAgg(startUs: Long, lastUs: Long, n: Long, v: Double)
+case class SessionOut(user_id: Long, start_us: Long, n_events: Long, v: Double)
+case class EventIn(user_id: Long, tsm: java.sql.Timestamp, ts_us: Long, value: Double)
 
 /** Streaming queries driven through the `reftable` DSv2 source and Spark's
   * file streaming source. Each runs a real StreamingQuery to a memory sink,
@@ -108,6 +117,123 @@ object StreamingOps {
     }, Some(
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s, event_type,
         |   count(*) AS n, round(sum(value), 4) AS sum_value
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // custom stateful streaming: per-user sessionization (30-minute gap) via
+    // flatMapGroupsWithState with event-time timeouts. Sessions are emitted
+    // only when the watermark passes their close; end-of-stream state is
+    // flushed by sentinel rows that advance the watermark between AvailableNow
+    // drains. Output must equal the batch session_window / gaps-and-islands
+    // oracle (q58) exactly.
+    QueryDef("q59_stateful_sessions", (s, dir) => {
+      import s.implicits._
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      val gapUs = 30L * 60 * 1000000
+      val evSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+
+      val streamDir = Files.createTempDirectory("graft_sess_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+
+      val raw = s.readStream.schema(evSchema).parquet(streamDir.toString)
+      val events = raw
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsm", "0 seconds")
+        // NOTE: do NOT filter the sentinel rows here — a filter gets pushed
+        // below the watermark operator into the scan, so the sentinels would
+        // never reach EventTimeWatermarkExec and the watermark would never
+        // advance past the real data. Sentinel sessions (user_id < 0) are
+        // dropped from the OUTPUT instead.
+        // tsm stays in the projection: the event-time-timeout check requires
+        // the watermarked column to be present in the child plan
+        .select(col("user_id"), col("tsm"), unix_micros(col("tsm")).as("ts_us"), col("value"))
+        .as[EventIn]
+
+      def mergeEvents(st: SessionState, evs: Seq[EventIn]): SessionState = {
+        var sessions = st.sessions
+        evs.sortBy(e => (e.ts_us, e.value)).foreach { e =>
+          sessions match {
+            case head :: tail if e.ts_us - head.lastUs < gapUs && e.ts_us >= head.startUs =>
+              sessions = head.copy(lastUs = math.max(head.lastUs, e.ts_us), n = head.n + 1, v = head.v + e.value) :: tail
+            case _ =>
+              sessions = SessionAgg(e.ts_us, e.ts_us, 1L, e.value) :: sessions
+          }
+        }
+        SessionState(sessions)
+      }
+
+      val sessions = events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, evs: Iterator[EventIn], state: GroupState[SessionState]) =>
+            if (state.hasTimedOut) {
+              val done = state.get.sessions.reverseIterator
+                .map(a => SessionOut(uid, a.startUs, a.n, a.v)).toList
+              state.remove()
+              done.iterator
+            } else {
+              val st = mergeEvents(state.getOption.getOrElse(SessionState(Nil)), evs.toSeq)
+              state.update(st)
+              // fire once the watermark passes the newest session's close
+              state.setTimeoutTimestamp(st.sessions.head.lastUs / 1000 + gapUs / 1000 + 1)
+              Iterator.empty
+            }
+        }
+
+      // the three drains share one checkpoint so state survives between them
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      val ck = Files.createTempDirectory("graft_sess_ck_").toString
+      def drainCk(): Unit = {
+        val q = sessions.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+            val rows = b.collect()
+            out.synchronized { out ++= rows }
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        q.stop()
+      }
+
+      def writeSentinel(name: String, tsNanos: Long): Unit = {
+        Seq((-(1L), tsNanos, -(1L), "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .repartition(1).write.mode("append").parquet(streamDir.toString + "_stage")
+        // move the staged file in atomically so the file source sees one new file
+        val stage = new java.io.File(streamDir.toString + "_stage")
+        stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, i) => Files.move(f.toPath, streamDir.resolve(s"$name$i.parquet"))
+        }
+      }
+
+      drainCk()
+      writeSentinel("sentinel1_", 2_000_000_000_000_000_000L) // ~2033
+      drainCk()
+      writeSentinel("sentinel2_", 2_100_000_000_000_000_000L) // ~2036
+      drainCk()
+
+      val result = out.synchronized { out.filter(_.user_id >= 0).toList }
+      s.createDataFrame(result)
+        .select(col("user_id"), col("start_us"), col("n_events"), r4(col("v")).as("v"))
+        .orderBy("user_id", "start_us")
+    }, Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS v
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
   )
 }
