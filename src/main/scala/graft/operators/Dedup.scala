@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document DataFrame — the user-facing API
+  * the catalog queries (q13/q17/q18/q19/q42/q43/q57) delegate to.
+  *
+  * All text operators tokenize with `[a-z0-9]+` over the lowercased text and
+  * hash with the portable md5-derived 60-bit hash, so results are engine-
+  * reproducible (the DuckDB oracles in graft.queries.DedupOps are the spec).
+  *
+  * Scale stance: signatures/fingerprints are single-pass narrow map work;
+  * the only wide exchanges are band-bucket joins (LSH) and hash-key joins
+  * restricted to candidates.
+  */
+object Dedup {
+
+  /** Exact content dedup: one row per distinct value of `contentCol` with the
+    * minimum id as the survivor and the duplicate count. One hash-partitioned
+    * aggregation on the content hash.
+    */
+  def exactByContent(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct hashed k-shingle sets per document: (id, hs array<long>). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), shingleHashes(tokens(col(textCol)), k).as("hs"))
+
+  /** MinHash-LSH near-duplicate pairs, exact-Jaccard-verified.
+    * Returns (a_id, b_id, j) with a_id < b_id and j >= threshold.
+    *
+    * numBands bands of 2 signature rows: P(candidate | J) = 1-(1-J^2)^numBands
+    * — at the default 64 bands, recall at J>=0.7 is 1-2e-19, so the output
+    * equals the exact-Jaccard similarity join at a fraction of the pairs.
+    */
+  def minHashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, k)
+    val bands = df
+      .select(col(idCol), posexplode(minhashBands(tokens(col(textCol)), k, numBands)).as(Seq("p", "bk")))
+      .select(col(idCol), col("bk"))
+    val a = bands.select(col(idCol).as("a_id"), col("bk"))
+    val b = bands.select(col(idCol).as("b_id"), col("bk"))
+    val candPairs = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val cands = candPairs
+      .join(sets.select(col(idCol).as("a_id"), col("hs").as("ha")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("hs").as("hb")), Seq("b_id"))
+    val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    val j = inter / (size(col("ha")) + size(col("hb")) - inter)
+    cands.withColumn("j", r4(j)).filter(j >= threshold).select("a_id", "b_id", "j")
+  }
+
+  /** Exact n-gram Jaccard similarity join on hashed shingles (no pruning —
+    * the correctness baseline for [[minHashLsh]]; pair count grows with
+    * shingle collision rates, prefer LSH at scale).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), k)).as("h"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a_id"), col("h"))
+    val b = sh.select(col(idCol).as("b_id"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val withSizes = inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), Seq("b_id"))
+    val j = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    withSizes.withColumn("j", r4(j)).filter(j >= threshold).select("a_id", "b_id", "j")
+  }
+
+  /** 60-bit multiset-weighted SimHash per document: (id, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col(idCol), simhash60(col("tk")).as("simhash"))
+
+  /** All-pairs SimHash Hamming-distance pairs (exact, O(n^2) — small n or
+    * verification only; use [[simhashBandedPairs]] at scale).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 10): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val a = sh.select(col(idCol).as("a_id"), col("simhash").as("ha"))
+    val b = sh.select(col(idCol).as("b_id"), col("simhash").as("hb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hd") <= maxHamming)
+      .select("a_id", "b_id", "hd")
+  }
+
+  /** Banded SimHash near-dup join: 60 bits split into 4 bands of 15; by
+    * pigeonhole any pair with Hamming distance <= 3 shares at least one
+    * exact band, so candidate recall is exactly 1 for maxHamming <= 3 and
+    * the exchange is a narrow equi-join instead of an O(n^2) scan.
+    */
+  def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "full recall is only guaranteed for maxHamming <= 3 with 4 bands")
+    val sh = simhash(df, idCol, textCol)
+    val bands = sh.select(col(idCol), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS b, shiftright(simhash, b * 15) & 32767 AS v))")).as("bk"))
+    val a = bands.select(col(idCol).as("a_id"), col("simhash").as("ha"), col("bk"))
+    val b = bands.select(col(idCol).as("b_id"), col("simhash").as("hb"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").dropDuplicates("a_id", "b_id")
+      .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hd") <= maxHamming)
+      .select("a_id", "b_id", "hd")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>/array<double>).
+  *
+  * Query vectors are always the broadcast side; the corpus is never shuffled
+  * or collected. Similarities are computed by the codegen'd
+  * [[graft.functions.CosineSimilarity]] expression in double precision and
+  * rounded to 6 dp before ranking for reproducible ordering.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * queries: (query_id, qv). Returns (query_id, rk, neighbor_id, sim).
+    */
+  def cosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
+    corpus.join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+
+  /** All-pairs cosine near-duplicate join above a threshold. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val a = corpus.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", r6(cosineSim(col("va"), col("vb"))))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** IVF-style approximate top-k: assign the corpus to the nearest centroid,
+    * probe the nProbe closest cells per query, exact re-rank inside them.
+    * centroids: (cid, cv). At 100 TB probing reads ~nProbe/|centroids| of
+    * the corpus instead of all of it.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val wAssign = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+    val assign = corpus.crossJoin(broadcast(centroids))
+      .withColumn("csim", r6(cosineSim(col(vecCol), col("cv"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col(idCol), col("cid").as("cell"), col(vecCol))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("psim", r6(cosineSim(col("qv"), col("cv"))))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
+    assign.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+}

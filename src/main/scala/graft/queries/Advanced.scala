@@ -126,19 +126,7 @@ object Advanced {
     // 1 and the all-pairs oracle is equivalent — the LSH shape that replaces
     // q19's O(n^2) scan at scale.
     QueryDef("q57_simhash_banded", (s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), simhash60(col("tk")).as("simhash"))
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b AS b, shiftright(simhash, b * 15) & 32767 AS v))")).as("bk"))
-      val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("ha"), col("bk"))
-      val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("bk"))
-      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "ha", "hb").dropDuplicates("a_id", "b_id")
-        .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("hd") <= 3)
-        .select("a_id", "b_id", "hd")
+      graft.operators.Dedup.simhashBandedPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")
     }, Some(
       s"""WITH ${DedupOps.SimhashSql}
@@ -151,10 +139,7 @@ object Advanced {
     // (Spark session_window vs a gaps-and-islands oracle; microsecond
     // precision on both sides).
     QueryDef("q58_session_window", (s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"), r4(sum("value")).as("v"))
-        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"), col("n_events"), col("v"))
+      graft.operators.Sessionize.batch(t(s, dir, "events"), "user_id", "ts", "value", "30 minutes")
         .orderBy("user_id", "start_us")
     }, Some(
       """WITH marked AS (

@@ -60,9 +60,8 @@ object DedupOps {
   val defs: Seq[QueryDef] = Seq(
     // exact dedup: latest-wins-per-content-hash; one shuffle on the hash.
     QueryDef("q13_dedup_exact", (s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.operators.Dedup.exactByContent(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("content_hash", "text_hash")
         .orderBy("text_hash")
     }, Some(
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -85,69 +84,27 @@ object DedupOps {
 
     // MinHash-LSH near-dup pairs, exact-Jaccard-verified at J >= 0.7.
     QueryDef("q17_minhash_lsh", (s, dir) => {
-      // hashed distinct shingle sets, used only for candidate verification
-      val hashedSets = t(s, dir, "documents")
-        .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("hs"))
-      // band keys computed in one pass with the signature (MinHashBands);
-      // only (doc_id, band key) is shuffled — shingle sets are re-joined by
-      // id for verification, so the LSH exchange stays narrow at scale.
-      val bands = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(minhashBands(tokens(col("text")), 3, NumBands)).as(Seq("p", "bk")))
-        .select(col("doc_id"), col("bk"))
-      val a = bands.select(col("doc_id").as("a_id"), col("bk"))
-      val b = bands.select(col("doc_id").as("b_id"), col("bk"))
-      val candPairs = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-      val cands = candPairs
-        .join(hashedSets.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
-        .join(hashedSets.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
-      val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
-      val j = inter / (size(col("ha")) + size(col("hb")) - inter)
-      cands.withColumn("j", r4(j))
-        .filter(j >= 0.7)
-        .select("a_id", "b_id", "j")
+      graft.operators.Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.7, k = 3, numBands = NumBands)
         .orderBy("a_id", "b_id")
     }, Some(exactJaccardSql(0.7))),
 
     // exact n-gram Jaccard similarity join (lower threshold, no LSH pruning).
     // Joins on the hashed shingle, not the string — narrow exchange payload.
     QueryDef("q43_ngram_jaccard", (s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 3)).as("h"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("a_id"), col("h"))
-      val b = sh.select(col("doc_id").as("b_id"), col("h"))
-      val inter = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-      val withSizes = inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      val j = col("i").cast("double") / (col("na") + col("nb") - col("i"))
-      withSizes.withColumn("j", r4(j)).filter(j >= 0.5)
-        .select("a_id", "b_id", "j").orderBy("a_id", "b_id")
+      graft.operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3)
+        .orderBy("a_id", "b_id")
     }, Some(exactJaccardSql(0.5))),
 
     // SimHash fingerprint per document (multiset-weighted, 60-bit).
     QueryDef("q18_simhash", (s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), simhash60(col("tk")).as("simhash"))
-        .orderBy("doc_id")
+      graft.operators.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }, Some(s"WITH $SimhashSql SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id")),
 
     // near-dup pairs by SimHash Hamming distance <= 10.
     QueryDef("q19_simhash_pairs", (s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), simhash60(col("tk")).as("simhash"))
-      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
-      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
-      a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("hd") <= 10)
-        .select("a_id", "b_id", "hd")
+      graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
         .orderBy("a_id", "b_id")
     }, Some(
       s"""WITH $SimhashSql

@@ -41,12 +41,7 @@ object SimilarityOps {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("sim", r6(cosineSim(col("qv"), col("embedding"))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      graft.operators.Similarity.cosineTopK(e, q, "vec_id", "embedding", K)
         .orderBy("query_id", "rk")
     }, Some(
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),
@@ -58,17 +53,7 @@ object SimilarityOps {
 
     // embedding-cosine near-duplicate similarity self-join.
     QueryDef("q16_neardup_embed", (s, dir) => {
-      val e = emb(s, dir)
-      // the corpus arrives as a single file = one partition; spread the
-      // streamed side of the nested-loop join across cores (at 100 TB the
-      // corpus is naturally multi-partition and this is a no-op cost-wise)
-      val a = e.repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", r6(cosineSim(col("va"), col("vb"))))
-        .filter(col("sim") >= NearDupThreshold)
-        .select("a_id", "b_id", "sim")
+      graft.operators.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", NearDupThreshold)
         .orderBy("a_id", "b_id")
     }, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
@@ -96,27 +81,9 @@ object SimilarityOps {
       val e = emb(s, dir)
       val cent = e.filter(col("vec_id") < NCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-      val assign = e.crossJoin(broadcast(cent))
-        .withColumn("csim", r6(cosineSim(col("embedding"), col("cv"))))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("psim", r6(cosineSim(col("qv"), col("cv"))))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= NProbe)
-        .select(col("query_id"), col("qv"), col("cid").as("cell"))
-      val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-      assign.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", r6(cosineSim(col("qv"), col("embedding"))))
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= K)
-        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      graft.operators.Similarity.ivfTopK(e, q, cent, "vec_id", "embedding", K, NProbe)
         .orderBy("query_id", "rk")
     }, Some(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

@@ -17,10 +17,7 @@ object TextOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_token_counts", (s, dir) => {
-      t(s, dir, "documents")
-        .select(col("lang"), explode(tokens(col("text"))).as("word"))
-        .groupBy("lang", "word")
-        .agg(count(lit(1)).as("n"))
+      graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"), "lang", "text")
         .orderBy("lang", "word")
     }, Some(
       s"""WITH $ToksCte
@@ -29,19 +26,7 @@ object TextOps {
          |GROUP BY lang, w ORDER BY lang, word""".stripMargin)),
 
     QueryDef("q20_lang_id", (s, dir) => {
-      val tk = tokens(col("text"))
-      def score(words: String*) = size(filter(tk, x => x.isin(words: _*)))
-      val sEn = score("the", "and", "of", "to", "in", "is")
-      val sEs = score("el", "la", "los", "que", "y", "en")
-      val sDe = score("der", "die", "und", "das", "ist")
-      val sFr = score("le", "les", "des", "et", "une", "dans")
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("text").rlike("[一-鿿]"), "zh")
-          .when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
-          .when(sEs >= sDe && sEs >= sFr, "es")
-          .when(sDe >= sFr, "de")
-          .otherwise("fr").as("pred_lang"))
+      graft.operators.TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }, Some(
       """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') tk FROM documents),
@@ -58,17 +43,7 @@ object TextOps {
         |FROM s ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q21_text_quality", (s, dir) => {
-      val tk = tokens(col("text"))
-      val nTok = size(tk)
-      val sumLen = aggregate(transform(tk, x => length(x)), lit(0), (a, x) => a + x)
-      val nStop = size(filter(tk, x => x.isin("the", "a", "of", "and", "to", "in", "is", "on")))
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        nTok.as("n_tok"),
-        when(nTok > 0, r4(sumLen.cast("double") / nTok)).as("avg_tok_len"),
-        when(nTok > 0, r6(nStop.cast("double") / nTok)).as("stop_ratio"),
-        r6(punct.cast("double") / length(col("text"))).as("punct_ratio"))
+      graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }, Some(
       s"""WITH $ToksCte
@@ -79,9 +54,7 @@ object TextOps {
          |FROM toks JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q22_fingerprint", (s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        array_min(graft.functions.HashFunctions.shingleHashes(tokens(col("text")), 3)).as("fp"))
+      graft.operators.TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }, Some(
       s"""WITH $ToksCte
@@ -92,9 +65,7 @@ object TextOps {
          |FROM toks ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q23_bpe_token_count", (s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(bpeTokens(col("text"))).as("n_bpe"))
+      graft.operators.TextAnalysis.bpeTokenCount(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }, Some(
       """SELECT doc_id,
