@@ -41,6 +41,46 @@ object Similarity {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Deterministic spherical k-means codebook for [[ivfTopK]]: Lloyd
+    * iterations expressed as DataFrame ops. Init = the k lowest-id vectors;
+    * assignment = max cosine (ties to lower cid); update = elementwise mean.
+    * Each iteration is one broadcast nested-loop assignment plus one narrow
+    * explode/aggregate — no corpus shuffle beyond the (cid, pos) aggregation,
+    * so it scales to corpora that never fit on the driver. Clusters that lose
+    * all members drop out (k may shrink).
+    */
+  def trainKMeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 3): DataFrame = {
+    var cent = corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    for (_ <- 1 to iterations) {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .withColumn("csim", r6(cosineSim(col(vecCol), col("cv"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col(vecCol))
+      cent = assigned
+        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+    }
+    cent
+  }
+
+  /** Mean best-centroid similarity — the k-means objective, for tests. */
+  def assignmentObjective(corpus: DataFrame, centroids: DataFrame, vecCol: String): Double = {
+    val w = Window.partitionBy("__rid").orderBy(col("csim").desc)
+    corpus.withColumn("__rid", monotonically_increasing_id())
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSim(col(vecCol), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(avg("csim")).first().getDouble(0)
+  }
+
   /** IVF-style approximate top-k: assign the corpus to the nearest centroid,
     * probe the nProbe closest cells per query, exact re-rank inside them.
     * centroids: (cid, cv). At 100 TB probing reads ~nProbe/|centroids| of

@@ -1,0 +1,101 @@
+package graft.sources.reftable
+
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Translation of Spark data-source filters into parquet-mr FilterPredicates
+  * for the reftable readers. Accepted filters benefit from parquet's
+  * row-group statistics (whole row groups skipped) plus exact record-level
+  * filtering, so accepted filters do NOT need Spark-side re-evaluation.
+  *
+  * Supported: =, <, <=, >, >=, IsNull, IsNotNull, In, And, Or, Not over
+  * int/long/float/double/boolean/string fields (rowField redirected to its
+  * storage key column). Everything else stays a residual for Spark.
+  */
+object RefTableFilters {
+
+  /** Storage-side field name + type for a schema field, if pushable. */
+  private def storageField(opts: RefTableOptions, name: String): Option[(String, DataType)] =
+    opts.schema.fields.find(_.name == name)
+      .filter(_ => !opts.genColumn.contains(name))
+      .map(f => (opts.storageColumn(f.name), f.dataType))
+
+  def translate(opts: RefTableOptions, f: Filter): Option[FilterPredicate] = f match {
+    case EqualTo(a, v) => leaf(opts, a, v, Op.Eq)
+    case GreaterThan(a, v) => leaf(opts, a, v, Op.Gt)
+    case GreaterThanOrEqual(a, v) => leaf(opts, a, v, Op.GtEq)
+    case LessThan(a, v) => leaf(opts, a, v, Op.Lt)
+    case LessThanOrEqual(a, v) => leaf(opts, a, v, Op.LtEq)
+    case IsNull(a) => leaf(opts, a, null, Op.Eq)
+    case IsNotNull(a) => leaf(opts, a, null, Op.NotEq)
+    case In(a, vs) if vs.nonEmpty =>
+      val parts = vs.toSeq.map(v => leaf(opts, a, v, Op.Eq))
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.reduce(FilterApi.or))
+    case And(l, r) =>
+      for (lp <- translate(opts, l); rp <- translate(opts, r)) yield FilterApi.and(lp, rp)
+    case Or(l, r) =>
+      for (lp <- translate(opts, l); rp <- translate(opts, r)) yield FilterApi.or(lp, rp)
+    case Not(EqualTo(a, v)) => leaf(opts, a, v, Op.NotEq)
+    case _ => None
+  }
+
+  private object Op extends Enumeration { val Eq, NotEq, Gt, GtEq, Lt, LtEq = Value }
+
+  private def leaf(opts: RefTableOptions, attr: String, v: Any, op: Op.Value): Option[FilterPredicate] =
+    storageField(opts, attr).flatMap { case (col, dt) =>
+      try dt match {
+        case IntegerType =>
+          val c = FilterApi.intColumn(col)
+          val x = if (v == null) null else java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x); case Op.NotEq => FilterApi.notEq(c, x)
+            case Op.Gt => FilterApi.gt(c, x); case Op.GtEq => FilterApi.gtEq(c, x)
+            case Op.Lt => FilterApi.lt(c, x); case Op.LtEq => FilterApi.ltEq(c, x)
+          })
+        case LongType =>
+          val c = FilterApi.longColumn(col)
+          val x = if (v == null) null else java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x); case Op.NotEq => FilterApi.notEq(c, x)
+            case Op.Gt => FilterApi.gt(c, x); case Op.GtEq => FilterApi.gtEq(c, x)
+            case Op.Lt => FilterApi.lt(c, x); case Op.LtEq => FilterApi.ltEq(c, x)
+          })
+        case FloatType =>
+          val c = FilterApi.floatColumn(col)
+          val x = if (v == null) null else java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x); case Op.NotEq => FilterApi.notEq(c, x)
+            case Op.Gt => FilterApi.gt(c, x); case Op.GtEq => FilterApi.gtEq(c, x)
+            case Op.Lt => FilterApi.lt(c, x); case Op.LtEq => FilterApi.ltEq(c, x)
+          })
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(col)
+          val x = if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x); case Op.NotEq => FilterApi.notEq(c, x)
+            case Op.Gt => FilterApi.gt(c, x); case Op.GtEq => FilterApi.gtEq(c, x)
+            case Op.Lt => FilterApi.lt(c, x); case Op.LtEq => FilterApi.ltEq(c, x)
+          })
+        case BooleanType =>
+          val c = FilterApi.booleanColumn(col)
+          val x = if (v == null) null else java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
+          op match {
+            case Op.Eq => Some(FilterApi.eq(c, x))
+            case Op.NotEq => Some(FilterApi.notEq(c, x))
+            case _ => None
+          }
+        case StringType =>
+          val c = FilterApi.binaryColumn(col)
+          val x = if (v == null) null else Binary.fromString(v.asInstanceOf[String])
+          Some(op match {
+            case Op.Eq => FilterApi.eq(c, x); case Op.NotEq => FilterApi.notEq(c, x)
+            case Op.Gt => FilterApi.gt(c, x); case Op.GtEq => FilterApi.gtEq(c, x)
+            case Op.Lt => FilterApi.lt(c, x); case Op.LtEq => FilterApi.ltEq(c, x)
+          })
+        case _ => None // timestamps (unit-dependent), binary, etc: residual
+      } catch { case _: ClassCastException => None }
+    }
+}

@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** A snapshot file pinned at refresh time. Pinning (path, length) at the
@@ -69,7 +70,8 @@ object RefTableOffset {
   *    current table state — the reference's restart behavior (its pipeline
   *    test stops/restarts and expects current rows, PipelineTest.java:151-177).
   */
-class RefTableMicroBatchStream(opts: RefTableOptions, required: StructType)
+class RefTableMicroBatchStream(
+    opts: RefTableOptions, required: StructType, pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream {
 
   private var last: RefTableOffset = _
@@ -100,7 +102,7 @@ class RefTableMicroBatchStream(opts: RefTableOptions, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RefTableReaderFactory(opts, required)
+    new RefTableReaderFactory(opts, required, pushed)
 
   override def deserializeOffset(json: String): Offset = {
     val o = RefTableOffset.fromJson(json)

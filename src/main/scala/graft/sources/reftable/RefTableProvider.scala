@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -59,8 +59,9 @@ class RefTable(opts: RefTableOptions) extends Table with SupportsRead {
   * declared columns are decoded).
   */
 class RefTableScanBuilder(opts: RefTableOptions)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = opts.outputSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our field order/types; honor the requested subset
@@ -68,26 +69,39 @@ class RefTableScanBuilder(opts: RefTableOptions)
     required = StructType(opts.outputSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = new RefTableScan(opts, required)
+  /** Accepted filters run inside parquet-mr (row-group statistics skipping +
+    * exact record-level filtering), so they need no Spark re-evaluation; the
+    * returned residuals are the ones we cannot translate.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(f => RefTableFilters.translate(opts, f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new RefTableScan(opts, required, pushed)
 }
 
-class RefTableScan(opts: RefTableOptions, required: StructType) extends Scan {
+class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Filter]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]"
+    s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def toBatch: Batch = new RefTableBatch(opts, required)
+  override def toBatch: Batch = new RefTableBatch(opts, required, pushed)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RefTableMicroBatchStream(opts, required)
+    new RefTableMicroBatchStream(opts, required, pushed)
 }
 
 /** One-shot batch read of the current snapshot. */
-class RefTableBatch(opts: RefTableOptions, required: StructType) extends Batch {
+class RefTableBatch(opts: RefTableOptions, required: StructType, pushed: Array[Filter]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
     SnapshotFiles.list(opts.path).map(f => RefTableInputPartition(f.path, f.length, gen)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RefTableReaderFactory(opts, required)
+    new RefTableReaderFactory(opts, required, pushed)
 }

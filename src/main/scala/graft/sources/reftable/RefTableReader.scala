@@ -7,6 +7,8 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
@@ -14,6 +16,7 @@ import org.apache.parquet.schema.{MessageType, Type}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,10 +33,10 @@ final case class RefTableInputPartition(path: String, length: Long, gen: Long)
   * per-executor transformer init for the same reason,
   * TableStreamingSource.java:113-115).
   */
-class RefTableReaderFactory(opts: RefTableOptions, required: StructType)
+class RefTableReaderFactory(opts: RefTableOptions, required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RefTablePartitionReader(opts, required, partition.asInstanceOf[RefTableInputPartition])
+    new RefTablePartitionReader(opts, required, pushed, partition.asInstanceOf[RefTableInputPartition])
 }
 
 /** Executor-side decoder: schema-directed projection from the storage row
@@ -49,6 +52,7 @@ class RefTableReaderFactory(opts: RefTableOptions, required: StructType)
 class RefTablePartitionReader(
     opts: RefTableOptions,
     required: StructType,
+    pushed: Array[Filter],
     partition: RefTableInputPartition)
     extends PartitionReader[InternalRow] {
 
@@ -66,8 +70,13 @@ class RefTablePartitionReader(
     finally r.close()
   }
 
+  // columns referenced only by pushed filters must still be read (Spark may
+  // prune them from the output projection once a filter is fully pushed)
+  private val filterCols: Seq[String] = pushed.toSeq.flatMap(_.references)
+    .flatMap(n => if (opts.genColumn.contains(n)) None else Some(opts.storageColumn(n)))
+
   private val requestedSchema: MessageType = {
-    val wanted = fieldSources.flatten.distinct
+    val wanted = (fieldSources.flatten ++ filterCols).distinct
     val missing = wanted.filterNot(fileSchema.containsField)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
@@ -78,7 +87,11 @@ class RefTablePartitionReader(
 
   private val reader: ParquetReader[Group] = {
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, requestedSchema.toString)
-    ParquetReader.builder(new GroupReadSupport(), new Path(partition.path)).withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(partition.path)).withConf(conf)
+    val preds = pushed.flatMap(f => RefTableFilters.translate(opts, f))
+    val withF = if (preds.isEmpty) b
+      else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))
+    withF.build()
   }
 
   /** nanos-per-micro divisor for INT64 timestamp columns, per file annotation. */

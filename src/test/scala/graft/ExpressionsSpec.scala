@@ -93,6 +93,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "test data should contain near-duplicate documents")
   }
 
+  test("k-means training improves the IVF codebook objective") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val naive = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    val trained = Similarity.trainKMeans(e, "vec_id", "embedding", k = 8, iterations = 3)
+    assert(trained.count() <= 8)
+    val before = Similarity.assignmentObjective(e, naive, "embedding")
+    val after = Similarity.assignmentObjective(e, trained, "embedding")
+    assert(after >= before, s"objective should not regress: $before -> $after")
+    // trained centroids also serve ivfTopK
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = Similarity.ivfTopK(e, q, trained, "vec_id", "embedding", k = 5, nProbe = 3)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val dir = "/root/testdata/sf0.001"
     val approx = Catalog.byName("q35_approx_distinct").fn(spark, dir).first().getLong(0)

@@ -135,6 +135,28 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(RefTableOffset.fromJson(t2.json()) == t2)
   }
 
+  test("filter pushdown: filters reach the scan and results stay correct") {
+    val dir = Files.createTempDirectory("reftable_filter_").toString
+    import spark.implicits._
+    (1L to 100L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+      .filter(col("id") > 90 && col("id") <= 95)
+    // pushed into the scan (visible in the plan description)...
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PushedFilters: [") && planStr.contains("GreaterThan(id,90)"),
+      s"expected pushed filters in:\n$planStr")
+    // ...and correct, including when the filter column is pruned from output
+    assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      (91L to 95L).map(i => s"name_$i"))
+    // unsupported filter shapes stay residual and still evaluate correctly
+    val residual = spark.read.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+      .filter(length(col("name")) === lit(6)) // name_1..name_9
+    assert(residual.count() == 9)
+  }
+
   test("generation snapshot is pinned: same gen replans identical files") {
     val dir = Files.createTempDirectory("reftable_pin_").toString
     writeTable(dir, Seq((1L, "a")))
