@@ -70,6 +70,59 @@ object Similarity {
     cent
   }
 
+  /** Signed-random-projection (SRP) LSH for cosine ANN: signature bit i is
+    * the sign of the dot product with a deterministic pseudo-random
+    * hyperplane (components derived from the portable hash, so signatures
+    * are engine-reproducible). Vectors are bucketed by signature bands;
+    * candidates = bucket collisions, exactly re-ranked. Recall rises with
+    * nTables; the bucket join is the only wide exchange.
+    *
+    * Tuning note: per-bit collision probability is 1 - θ/π. The defaults
+    * (4 bits x 16 tables) target corpora where neighbors sit at cos ≈ 0.4
+    * (θ ≈ 66°, per-table collision ≈ 0.63^4): ~94% recall. Corpora with
+    * tight clusters (cos ≥ 0.8 neighbors) can afford 8-12 bits per table
+    * for much sharper pruning.
+    */
+  def srpTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      bitsPerTable: Int = 4, nTables: Int = 16): DataFrame = {
+    import graft.functions.GraftHash
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // deterministic hyperplanes: component (t, b, d) ~ U(-0.5, 0.5)
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, bitsPerTable, dim) {
+      (t, b, d) => GraftHash.hash60(s"srp:$t:$b:$d").toDouble / (1L << 60).toDouble - 0.5
+    }
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val p = bc.value
+      (0 until p.length).map { t =>
+        var sig = 0
+        var b = 0
+        while (b < p(t).length) {
+          var dot = 0.0
+          var d = 0
+          while (d < p(t)(b).length && d < v.length) { dot += p(t)(b)(d) * v(d); d += 1 }
+          if (dot > 0) sig |= (1 << b)
+          b += 1
+        }
+        t.toLong * 65536L + sig
+      }
+    }
+    val cBuckets = corpus.select(col(idCol), explode(sigUdf(col(vecCol))).as("bucket"))
+    val qBuckets = queries.select(col("query_id"), col("qv"), explode(sigUdf(col("qv"))).as("bucket"))
+    val cands = cBuckets.join(broadcast(qBuckets), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col(idCol)).dropDuplicates("query_id", idCol)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
+    cands.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+
   /** Mean best-centroid similarity — the k-means objective, for tests. */
   def assignmentObjective(corpus: DataFrame, centroids: DataFrame, vecCol: String): Double = {
     val w = Window.partitionBy("__rid").orderBy(col("csim").desc)

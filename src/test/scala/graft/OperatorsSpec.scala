@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Similarity, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the scale-path operators: salting must be result-identical to
+  * the plain shapes; SRP-LSH must hit a useful recall against brute force.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join equals plain join") {
+    val ev = Tables.load(spark, dir, "events").select("event_id", "user_id")
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val plain = ev.join(cust, Seq("user_id"))
+      .select("event_id", "user_id", "c_name")
+    val salted = Skew.saltedJoin(ev, cust, "user_id")
+      .select("event_id", "user_id", "c_name")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val ev = Tables.load(spark, dir, "events")
+    val plain = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val salted = Skew.saltedCountSum(ev, "user_id", "value")
+    val joined = plain.as("p").join(salted.as("s"), Seq("user_id"))
+    assert(joined.count() == plain.count())
+    // counts identical; double sums within fp tolerance of reordering
+    assert(joined.filter(col("p.n") =!= col("s.n")).count() == 0)
+    assert(joined.filter(abs(col("p.sum_value") - col("s.sum_value")) > 1e-6).count() == 0)
+  }
+
+  test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.srpTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"SRP recall@10 = $recall")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+}
