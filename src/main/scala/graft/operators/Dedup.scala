@@ -76,6 +76,23 @@ object Dedup {
     withSizes.withColumn("j", r4(j)).filter(j >= threshold).select("a_id", "b_id", "j")
   }
 
+  /** Full corpus dedup: remove exact duplicates (keep the minimum id per
+    * content hash) and then near-duplicates via MinHash-LSH (greedy: of each
+    * near-dup pair, the higher id is dropped). Returns the surviving rows of
+    * `df`. One LSH pass + two hash joins — no all-pairs work.
+    */
+  def dedupCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64): DataFrame = {
+    val exactSurvivors = df.groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min(idCol).as(idCol))
+      .select(idCol)
+    val kept = df.join(exactSurvivors, Seq(idCol), "left_semi")
+    val nearDupLosers = minHashLsh(kept, idCol, textCol, threshold, k, numBands)
+      .select(col("b_id").as(idCol)).distinct()
+    kept.join(nearDupLosers, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit multiset-weighted SimHash per document: (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("tk"))

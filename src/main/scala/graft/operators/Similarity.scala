@@ -15,18 +15,33 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact brute-force top-k neighbors for each query vector.
-    * queries: (query_id, qv). Returns (query_id, rk, neighbor_id, sim).
+  /** All (query, candidate) cosine scores — queries broadcast. */
+  private def scoreAll(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        r6(cosineSim(col("qv"), col(vecCol))).as("sim"))
+
+  /** Exact brute-force top-k neighbors for each query vector via the bounded
+    * top-k heap aggregator ([[TopKAggregator]]): the shuffle carries at most
+    * k candidates per (map partition, query) instead of the full score
+    * matrix. queries: (query_id, qv). Returns (query_id, rk, neighbor_id, sim).
     */
   def cosineTopK(
       corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame =
+    TopK.perQuery(scoreAll(corpus, queries, idCol, vecCol), k)
+
+  /** The window-rank formulation of [[cosineTopK]] — shuffles every score;
+    * kept as the equivalence baseline for the aggregator (see OperatorsSpec).
+    */
+  def cosineTopKWindow(
+      corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
-    corpus.join(broadcast(queries), col(idCol) =!= col("query_id"))
-      .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scoreAll(corpus, queries, idCol, vecCol)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
   }
 
   /** All-pairs cosine near-duplicate join above a threshold. */

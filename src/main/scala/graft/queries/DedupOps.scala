@@ -37,6 +37,9 @@ object DedupOps {
       |hsh AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) h FROM sh),
       |sizes AS (SELECT doc_id, count(*) n FROM hsh GROUP BY 1)""".stripMargin
 
+  /** Same CTE chain over an arbitrary source relation. */
+  def shingleCtes(src: String): String = ShingleCtes.replace("FROM documents", s"FROM $src")
+
   /** Exact-Jaccard pair SQL over the hashed shingle CTEs at a threshold. */
   def exactJaccardSql(threshold: Double): String =
     s"""WITH $ShingleCtes,
@@ -101,6 +104,23 @@ object DedupOps {
     QueryDef("q18_simhash", (s, dir) => {
       graft.operators.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }, Some(s"WITH $SimhashSql SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id")),
+
+    // end-to-end corpus dedup: exact (min-id survivor per content hash) then
+    // MinHash-LSH near-dup removal (higher id of each pair dropped).
+    QueryDef("q60_dedup_corpus", (s, dir) => {
+      graft.operators.Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+        .select("doc_id").orderBy("doc_id")
+    }, Some(
+      s"""WITH exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (SELECT d.* FROM documents d JOIN exact_keep USING (doc_id)),
+         |${shingleCtes("kept")},
+         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+         |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7)
+         |SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT b_id FROM losers)
+         |ORDER BY doc_id""".stripMargin)),
 
     // near-dup pairs by SimHash Hamming distance <= 10.
     QueryDef("q19_simhash_pairs", (s, dir) => {

@@ -212,10 +212,11 @@ object StreamingOps {
         }
       }
 
+      // drain 1: ingest events, build state. drain 2: the sentinel advances
+      // the watermark in its batch, and AvailableNow runs one follow-up
+      // no-data batch in the same drain where every timeout fires.
       drainCk()
       writeSentinel("sentinel1_", 2_000_000_000_000_000_000L) // ~2033
-      drainCk()
-      writeSentinel("sentinel2_", 2_100_000_000_000_000_000L) // ~2036
       drainCk()
 
       val result = out.synchronized { out.filter(_.user_id >= 0).toList }

@@ -64,6 +64,24 @@ object TextOps {
          |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS fp
          |FROM toks ORDER BY doc_id""".stripMargin)),
 
+    // quality-gate pipeline: filter the corpus on quality metrics, report
+    // survivors per language — the shape of a real training-data filter pass.
+    QueryDef("q61_quality_filter", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = graft.operators.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      docs.join(q, Seq("doc_id"))
+        .filter(col("n_tok") >= 30 && col("punct_ratio") <= 0.1)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH $ToksCte,
+         |q AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+         |  round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / len(text), 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id))
+         |SELECT lang, count(*) AS n FROM documents JOIN q USING (doc_id)
+         |WHERE n_tok >= 30 AND punct_ratio <= 0.1
+         |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("q23_bpe_token_count", (s, dir) => {
       graft.operators.TextAnalysis.bpeTokenCount(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")

@@ -35,6 +35,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.filter(abs(col("p.sum_value") - col("s.sum_value")) > 1e-6).count() == 0)
   }
 
+  test("top-k heap aggregator equals the window-rank formulation exactly") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val viaAgg = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaWindow = Similarity.cosineTopKWindow(e, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 70)
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)

@@ -112,6 +112,36 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(latest() == Set((9L, "z")))
   }
 
+  test("trigger emit mode: the full snapshot is re-emitted every micro-batch") {
+    // the reference's DStream cadence (SURVEY §1.4 #1 / §2c Q4): each batch
+    // carries the entire current table, identically, until a refresh.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("reftable_trigger_").toString
+    writeTable(dir, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String)]]
+    val df = spark.readStream.format("reftable")
+      .option("path", dir).option("schema", ddl)
+      .option("refreshInterval", "1h").option("emitMode", "trigger")
+      .load()
+    val q = df.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        batches.synchronized { batches += rows }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("reftable_trigger_ck_").toString)
+      .trigger(Trigger.ProcessingTime(150))
+      .start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (batches.synchronized(batches.size) < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    val got = batches.synchronized(batches.toList)
+    assert(got.size >= 3, s"expected >=3 micro-batches, got ${got.size}")
+    val expected = Set((1L, "a"), (2L, "b"), (3L, "c"))
+    got.foreach(b => assert(b == expected, s"every batch must be the full snapshot, got $b"))
+  }
+
   test("offset arithmetic: refresh mode holds, trigger mode advances") {
     val dir = Files.createTempDirectory("reftable_off_").toString
     writeTable(dir, Seq((1L, "a")))
