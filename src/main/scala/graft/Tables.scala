@@ -44,4 +44,23 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+
+  /** Idempotent dataset DDL — the analogue of the reference's
+    * exists-check → create with concurrent-create tolerance
+    * (TableStreamingSource.java:81-87): ensure a parquet table directory
+    * exists with the given schema, creating an empty one if missing and
+    * tolerating a concurrent creator winning the race.
+    */
+  def ensureTable(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      try spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("ignore").parquet(path)
+      catch {
+        // a concurrent creator won the race - same outcome, not an error
+        case _: org.apache.spark.sql.AnalysisException if fs.exists(p) => ()
+      }
+    }
+  }
 }

@@ -135,6 +135,36 @@ object Advanced {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin)),
 
+    // format breadth: the same relation round-tripped through CSV and JSON
+    // (Spark's other batch sources) must agree with the parquet oracle.
+    QueryDef("q62_format_roundtrip", (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      val nation = t(s, dir, "nation")
+      nation.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+      nation.write.mode("overwrite").json(s"$out/json")
+      val fromCsv = s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT").csv(s"$out/csv")
+        .select(col("n_nationkey"), col("n_name"), lit("csv").as("src"))
+      val fromJson = s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(s"$out/json")
+        .select(col("n_nationkey"), col("n_name"), lit("json").as("src"))
+      fromCsv.unionAll(fromJson).orderBy("src", "n_nationkey")
+    }, Some(
+      """SELECT n_nationkey, n_name, src FROM (
+        |  SELECT n_nationkey, n_name, 'csv' AS src FROM nation
+        |  UNION ALL SELECT n_nationkey, n_name, 'json' AS src FROM nation)
+        |ORDER BY src, n_nationkey""".stripMargin)),
+
+    // SQL-registered kernel functions: the same simhash through spark.sql
+    QueryDef("q63_sql_functions", (s, dir) => {
+      graft.functions.Registry.registerAll(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id, graft_simhash60(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS simhash
+          |FROM documents WHERE size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0
+          |ORDER BY doc_id""".stripMargin)
+    }, Some(s"WITH ${DedupOps.SimhashSql} SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id")),
+
     // session windows: per-user sessions with a 30-minute inactivity gap
     // (Spark session_window vs a gaps-and-islands oracle; microsecond
     // precision on both sides).

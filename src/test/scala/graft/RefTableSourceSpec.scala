@@ -165,6 +165,19 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(RefTableOffset.fromJson(t2.json()) == t2)
   }
 
+  test("ensureTable: create-if-missing, idempotent, tolerant of existing data") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("ensure_").toString + "/tbl"
+    Tables.ensureTable(spark, dir, schema)
+    assert(spark.read.parquet(dir).count() == 0) // created empty with schema
+    assert(spark.read.parquet(dir).schema.fieldNames.toSeq == Seq("id", "name"))
+    Tables.ensureTable(spark, dir, schema) // second call: no-op
+    writeTable(dir, Seq((1L, "a")))
+    Tables.ensureTable(spark, dir, schema) // existing data untouched
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("filter pushdown: filters reach the scan and results stay correct") {
     val dir = Files.createTempDirectory("reftable_filter_").toString
     import spark.implicits._
