@@ -93,6 +93,41 @@ object Dedup {
     kept.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
+  /** Near-duplicate clustering: connected components over the MinHash-LSH
+    * pair graph, labels = minimum reachable id. Iterative min-label
+    * propagation to fixpoint (iterations ≈ cluster diameter — near-dup
+    * clusters are shallow, so 2–4 rounds in practice); each round is one
+    * join + aggregate, with localCheckpoint to cut the growing lineage.
+    * Returns (id, cluster_id) for every document (singletons cluster with
+    * themselves) — the transitive-closure-correct form of [[dedupCorpus]]'s
+    * greedy pair removal.
+    */
+  def clusterNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64,
+      maxIterations: Int = 20): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, threshold, k, numBands)
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint(eager = true)
+    var labels = df.select(col(idCol).as("id")).withColumn("label", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("nl")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("nl").as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint(eager = true)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** 60-bit multiset-weighted SimHash per document: (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("tk"))

@@ -135,6 +135,29 @@ object Advanced {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin)),
 
+    // window-function breadth: lag/lead/first_value + running sum in one pass
+    QueryDef("q65_window_breadth", (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_orderkey").over(running).as("first_order"),
+        r4(sum("o_totalprice").over(running)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // format breadth: the same relation round-tripped through CSV and JSON
     // (Spark's other batch sources) must agree with the parquet oracle.
     QueryDef("q62_format_roundtrip", (s, dir) => {

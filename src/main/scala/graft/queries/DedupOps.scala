@@ -122,6 +122,28 @@ object DedupOps {
          |SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT b_id FROM losers)
          |ORDER BY doc_id""".stripMargin)),
 
+    // near-dup clustering: connected components over the LSH pair graph,
+    // cluster label = min reachable id; oracle = recursive-CTE transitive
+    // closure over the exact-Jaccard pairs.
+    QueryDef("q64_dedup_clusters", (s, dir) => {
+      graft.operators.Dedup.clusterNearDups(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH RECURSIVE
+         |${ShingleCtes},
+         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+         |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7),
+         |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(u, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v)
+         |SELECT u AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin)),
+
     // near-dup pairs by SimHash Hamming distance <= 10.
     QueryDef("q19_simhash_pairs", (s, dir) => {
       graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)

@@ -47,6 +47,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaAgg.size == 70)
   }
 
+  test("near-dup clustering is a valid partition refining the pair graph") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, dir, "documents")
+    val clusters = Dedup.clusterNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == docs.count()) // every doc labeled
+    // each pair's endpoints share a cluster (transitivity of components)
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster label is the minimum member id
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
