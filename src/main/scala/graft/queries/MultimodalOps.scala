@@ -69,23 +69,60 @@ object MultimodalOps {
 
     // partition-wise batch decode through the stub (mapPartitions plumbing).
     QueryDef("q46_mm_decode", (s, dir) => {
-      val spark = s
       val src = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val enc = org.apache.spark.sql.Encoders.row(decodeSchema)
-      src.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val (m, w, h, f) = DecodeStub.decode(r.getAs[Array[Byte]](1))
-          Row(id, m, w, h, f)
-        }
-      }(enc).orderBy("doc_id")
+      graft.operators.Multimodal.decodeAssets(src, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }, Some(
       """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents)
         |SELECT doc_id,
         |  CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
         |  h % 1280 AS width, h % 720 AS height,
         |  CASE h % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE h % 240 END AS n_frames
-        |FROM h ORDER BY doc_id""".stripMargin))
+        |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // frame sampling: up to 3 evenly spaced frame indices per asset, the
+    // fan-out shape of a frame-extraction pipeline (explode over indices).
+    QueryDef("q66_mm_frames", (s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val decoded = graft.operators.Multimodal.decodeAssets(src, "doc_id", "payload")
+      graft.operators.Multimodal.sampleFrames(decoded, maxFrames = 3)
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_sampled"), sum("frame_idx").as("idx_sum"))
+        .orderBy("mime")
+    }, Some(
+      """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
+        |  CASE h % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE h % 240 END AS nf FROM h),
+        |fr AS (SELECT doc_id, mime, unnest(
+        |    CASE WHEN mime = 'image' THEN [CAST(0 AS BIGINT)]
+        |         WHEN mime = 'video' AND nf > 0 THEN
+        |           list_distinct(list_transform(generate_series(0, 2), i -> (i * greatest(nf, 1)) // 3))
+        |         ELSE [] END) AS frame_idx FROM d)
+        |SELECT mime, count(*) AS n_sampled, CAST(sum(frame_idx) AS BIGINT) AS idx_sum
+        |FROM fr GROUP BY mime ORDER BY mime""".stripMargin)),
+
+    // deterministic resize-to-bounding-box metadata (aspect preserved)
+    QueryDef("q67_mm_resize", (s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val decoded = graft.operators.Multimodal.decodeAssets(src, "doc_id", "payload")
+      graft.operators.Multimodal.resizeMeta(decoded, maxDim = 256)
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n"), r4(avg("out_w")).as("avg_w"), r4(avg("out_h")).as("avg_h"))
+        .orderBy("mime")
+    }, Some(
+      """WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
+        |  h % 1280 AS w, h % 720 AS ht FROM h),
+        |r AS (SELECT doc_id, mime,
+        |  (w * least(256, greatest(w, ht, 1))) // greatest(w, ht, 1) AS out_w,
+        |  (ht * least(256, greatest(w, ht, 1))) // greatest(w, ht, 1) AS out_h FROM d)
+        |SELECT mime, count(*) AS n, round(avg(out_w), 4) AS avg_w, round(avg(out_h), 4) AS avg_h
+        |FROM r GROUP BY mime ORDER BY mime""".stripMargin))
   )
 }
