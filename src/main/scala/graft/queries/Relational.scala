@@ -321,6 +321,27 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // TPC-H Q3 shape: shipping-priority top-k over a 3-way join
+    d("q68_shipping_priority",
+      """SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |   o.o_orderpriority
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | WHERE c.c_mktsegment = 'BUILDING'
+        | GROUP BY l.l_orderkey, o.o_orderpriority
+        | ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderpriority"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
     // approximate distinct: no cross-engine oracle (HLL implementations differ);
     // correctness is bounded-error vs exact, asserted in RelationalSpec.
     QueryDef("q35_approx_distinct", (s, dir) =>

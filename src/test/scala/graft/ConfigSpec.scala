@@ -107,6 +107,28 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("schema JSON round-trip property: flat record schemas survive render+parse") {
+    val types = Seq("boolean" -> BooleanType, "int" -> IntegerType, "long" -> LongType,
+      "float" -> FloatType, "double" -> DoubleType, "string" -> StringType, "bytes" -> BinaryType)
+    val rnd = new Random(7)
+    for (_ <- 1 to 100) {
+      val n = 1 + rnd.nextInt(8)
+      val fields = (0 until n).map { i =>
+        val (tn, dt) = types(rnd.nextInt(types.size))
+        val nullable = rnd.nextBoolean()
+        (s"f$i", tn, dt, nullable)
+      }
+      val json = fields.map { case (name, tn, _, nullable) =>
+        if (nullable) s"""{"name":"$name","type":["$tn","null"]}"""
+        else s"""{"name":"$name","type":"$tn"}"""
+      }.mkString("""{"type":"record","name":"r","fields":[""", ",", "]}")
+      val parsed = SchemaJson.parse(json)
+      assert(parsed.fields.toSeq == fields.map { case (name, _, dt, nullable) =>
+        StructField(name, dt, nullable)
+      })
+    }
+  }
+
   test("schema JSON: primitives, nullability, DDL fallback") {
     val st = SchemaJson.parse(baseSchema)
     assert(st("key") == StructField("key", LongType, nullable = false))

@@ -55,6 +55,18 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("lineage listener records the tables a query read") {
+    Lineage.register(spark)
+    Lineage.reset()
+    Catalog.byName("q05_lookup_join").fn(spark, dir).collect()
+    // QueryExecutionListener callbacks run async; allow a short settle
+    val deadline = System.currentTimeMillis() + 10000
+    while (Lineage.sourcesRead.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val sources = Lineage.sourcesRead.mkString(";")
+    assert(sources.contains("events.parquet") && sources.contains("customer.parquet"),
+      s"expected lineage to record both join inputs, got: $sources")
+  }
+
   test("every oracle query name exists in queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
