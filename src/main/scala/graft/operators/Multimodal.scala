@@ -45,6 +45,20 @@ object Multimodal {
     decoded.select(col("id"), col("mime"), explode(idxs).as("frame_idx"))
   }
 
+  /** Feature extraction stub: a deterministic dim-`dim` embedding derived
+    * from the payload via the portable hash (component d =
+    * (hash60(utf8(payload) ++ ":" ++ d) mod 1000) / 1000). A real model
+    * (CLIP, wav2vec, …) drops into the same (binary → array<double>) shape;
+    * the output feeds [[Similarity]] unchanged.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.graftHash
+    val text = decode(col(payloadCol), "UTF-8")
+    val vec = transform(sequence(lit(0), lit(dim - 1)),
+      d => (graftHash(concat(text, lit(":"), d.cast("string"))) % 1000).cast("double") / 1000.0)
+    df.select(col(idCol), vec.as("features"))
+  }
+
   /** Deterministic "resize" metadata: scale width/height to fit a bounding
     * box, preserving aspect ratio (integer math, portable to the oracle).
     */

@@ -105,6 +105,29 @@ object MultimodalOps {
         |SELECT mime, count(*) AS n_sampled, CAST(sum(frame_idx) AS BIGINT) AS idx_sum
         |FROM fr GROUP BY mime ORDER BY mime""".stripMargin)),
 
+    // feature-extract -> similarity pipeline: stub embeddings from binary
+    // payloads feed the same top-k search as real model features would.
+    QueryDef("q69_mm_embed_knn", (s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val emb = graft.operators.Multimodal.extractFeatures(src, "doc_id", "payload", dim = 8)
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("features").as("qv"))
+      graft.operators.Similarity.cosineTopK(emb, q, "doc_id", "features", k = 5)
+        .orderBy("query_id", "rk")
+    }, Some {
+      val feat = """list_transform(generate_series(0, 7), d ->
+        |    (CAST(('0x' || substr(md5(text || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 1000.0)""".stripMargin
+      s"""WITH f AS (SELECT doc_id, CAST($feat AS DOUBLE[]) v FROM documents),
+         |q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 3),
+         |s AS (SELECT query_id, doc_id, ${SimilarityOps.duckCos("qv", "v")} AS sim
+         |  FROM q, f WHERE doc_id != query_id),
+         |r AS (SELECT query_id, doc_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, doc_id AS neighbor_id, sim
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin
+    }),
+
     // deterministic resize-to-bounding-box metadata (aspect preserved)
     QueryDef("q67_mm_resize", (s, dir) => {
       val src = t(s, dir, "documents")
