@@ -64,3 +64,27 @@ object TextAnalysis {
   def bpeTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(bpeTokens(col(textCol))).as("n_bpe"))
 }
+
+/** Dataset profiling: one row per numeric/string column with the stats a
+  * pipeline health check needs (nulls, distincts, min/max). One pass — a
+  * single aggregation over all requested columns.
+  */
+object Profiling {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val total = df.count()
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, total, total - row.getLong(i * 4), row.getLong(i * 4 + 1),
+        row.getString(i * 4 + 2), row.getString(i * 4 + 3))
+    }.toDF("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+  }
+}

@@ -135,6 +135,20 @@ object Advanced {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin)),
 
+    // one-pass dataset profiling (nulls/distincts/min/max per column)
+    QueryDef("q71_profile", (s, dir) => {
+      graft.operators.Profiling.profile(
+        t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("col_name")
+    }, Some(
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS col_name, count(*) AS n_rows, count(*) - count(c_custkey) AS n_null,
+        |    count(DISTINCT c_custkey) AS n_distinct, CAST(min(c_custkey) AS VARCHAR) AS min_val, CAST(max(c_custkey) AS VARCHAR) AS max_val FROM customer
+        |  UNION ALL SELECT 'c_name', count(*), count(*) - count(c_name), count(DISTINCT c_name), min(c_name), max(c_name) FROM customer
+        |  UNION ALL SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey), count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment) FROM customer)
+        |ORDER BY col_name""".stripMargin)),
+
     // window-function breadth: lag/lead/first_value + running sum in one pass
     QueryDef("q65_window_breadth", (s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -119,6 +119,34 @@ object StreamingOps {
         |   count(*) AS n, round(sum(value), 4) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // streaming deduplication: the same source file exposed twice (every
+    // event arrives in duplicate); watermarked dropDuplicates must restore
+    // exactly-once semantics — aggregates equal the plain batch oracle.
+    QueryDef("q70_stream_dedup", (s, dir) => {
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      val evDir = Files.createTempDirectory("graft_dedupstream_")
+      Files.createSymbolicLink(evDir.resolve("a.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      Files.createSymbolicLink(evDir.resolve("b.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val raw = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+        .parquet(evDir.toString)
+      val deduped = raw
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsm", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      drain(s, deduped, "complete").orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // custom stateful streaming: per-user sessionization (30-minute gap) via
     // flatMapGroupsWithState with event-time timeouts. Sessions are emitted
     // only when the watermark passes their close; end-of-stream state is
