@@ -119,6 +119,41 @@ object StreamingOps {
         |   count(*) AS n, round(sum(value), 4) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // stream-stream inner join with time-range condition and watermarks on
+    // both sides: purchases joined to the same user's clicks from the
+    // preceding hour. Inner joins emit eagerly as matches arrive, so one
+    // drain suffices; the batch oracle is the same inequality join.
+    QueryDef("q72_stream_stream_join", (s, dir) => {
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      val evSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val evDir = Files.createTempDirectory("graft_ssj_")
+      Files.createSymbolicLink(evDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      def side(tpe: String, prefix: String) = s.readStream.schema(evSchema).parquet(evDir.toString)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsm", "1 hour")
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("tsm").as(s"${prefix}_ts"))
+      val p = side("purchase", "p")
+      val c = side("click", "c")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"))
+      drain(s, joined, "append").orderBy("p_id", "c_id")
+    }, Some(
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin)),
+
     // streaming deduplication: the same source file exposed twice (every
     // event arrives in duplicate); watermarked dropDuplicates must restore
     // exactly-once semantics — aggregates equal the plain batch oracle.

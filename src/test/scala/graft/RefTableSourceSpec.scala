@@ -165,6 +165,28 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(RefTableOffset.fromJson(t2.json()) == t2)
   }
 
+  test("empty snapshot: an ensureTable-created table streams zero rows cleanly") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("reftable_empty_").toString + "/tbl"
+    Tables.ensureTable(spark, dir, schema)
+    // batch: empty, correct schema
+    val batch = spark.read.format("reftable").option("path", dir).option("schema", ddl).load()
+    assert(batch.count() == 0)
+    // streaming: one empty generation, query drains without error
+    var rows = -1L
+    val q = spark.readStream.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => rows = b.count(); () }
+      .option("checkpointLocation", Files.createTempDirectory("reftable_empty_ck_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    assert(rows == 0, s"expected an empty snapshot batch, got $rows rows")
+  }
+
   test("ensureTable: create-if-missing, idempotent, tolerant of existing data") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
