@@ -28,14 +28,18 @@ object Advanced {
         |  round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // ordered array aggregation (sort_array fixes collect_list's order)
+    // ordered array aggregation (sort_array fixes collect_list's order).
+    // The array is canonicalized to its compact JSON text on BOTH sides:
+    // the driver's comparator sorts/hashes cell values, which is undefined
+    // for native array cells, and `[1,2,3]` renders identically from Spark
+    // to_json and DuckDB to_json.
     QueryDef("q51_array_agg", (s, dir) => {
       t(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+        .agg(to_json(sort_array(collect_list(col("c_custkey")))).as("custkeys"))
         .orderBy("c_nationkey")
     }, Some(
-      """SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys
+      """SELECT c_nationkey, CAST(to_json(list_sort(list(c_custkey))) AS VARCHAR) AS custkeys
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     // GROUPING SETS beyond rollup

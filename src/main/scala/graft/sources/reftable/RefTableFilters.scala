@@ -23,22 +23,37 @@ object RefTableFilters {
       .map(f => (opts.storageColumn(f.name), f.dataType))
 
   def translate(opts: RefTableOptions, f: Filter): Option[FilterPredicate] = f match {
-    case EqualTo(a, v) => leaf(opts, a, v, Op.Eq)
-    case GreaterThan(a, v) => leaf(opts, a, v, Op.Gt)
-    case GreaterThanOrEqual(a, v) => leaf(opts, a, v, Op.GtEq)
-    case LessThan(a, v) => leaf(opts, a, v, Op.Lt)
-    case LessThanOrEqual(a, v) => leaf(opts, a, v, Op.LtEq)
+    case EqualTo(a, v) if v != null => leaf(opts, a, v, Op.Eq)
+    case GreaterThan(a, v) if v != null => leaf(opts, a, v, Op.Gt)
+    case GreaterThanOrEqual(a, v) if v != null => leaf(opts, a, v, Op.GtEq)
+    case LessThan(a, v) if v != null => leaf(opts, a, v, Op.Lt)
+    case LessThanOrEqual(a, v) if v != null => leaf(opts, a, v, Op.LtEq)
     case IsNull(a) => leaf(opts, a, null, Op.Eq)
     case IsNotNull(a) => leaf(opts, a, null, Op.NotEq)
     case In(a, vs) if vs.nonEmpty =>
-      val parts = vs.toSeq.map(v => leaf(opts, a, v, Op.Eq))
-      if (parts.exists(_.isEmpty)) None
-      else Some(parts.flatten.reduce(FilterApi.or))
+      // SQL IN: a null element never matches (x = NULL is unknown), while
+      // parquet eq(c, null) matches nulls — so null elements are simply
+      // dropped. An all-null list matches nothing: stays residual (Spark
+      // evaluates it to no rows).
+      val nonNull = vs.toSeq.filter(_ != null)
+      if (nonNull.isEmpty) None
+      else {
+        val parts = nonNull.map(v => leaf(opts, a, v, Op.Eq))
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatten.reduce(FilterApi.or))
+      }
     case And(l, r) =>
       for (lp <- translate(opts, l); rp <- translate(opts, r)) yield FilterApi.and(lp, rp)
     case Or(l, r) =>
       for (lp <- translate(opts, l); rp <- translate(opts, r)) yield FilterApi.or(lp, rp)
-    case Not(EqualTo(a, v)) => leaf(opts, a, v, Op.NotEq)
+    case Not(EqualTo(a, v)) if v != null =>
+      // parquet-mr record-level notEq KEEPS nulls (NotEq.updateNull sets
+      // true), but SQL `a != v` is unknown for null a and must DROP the row;
+      // AND an is-not-null guard (notEq(c, null)) so the pushed predicate
+      // matches SQL three-valued logic even inside disjunctions, where Spark
+      // adds no IsNotNull constraint of its own.
+      for (nn <- leaf(opts, a, null, Op.NotEq); ne <- leaf(opts, a, v, Op.NotEq))
+        yield FilterApi.and(nn, ne)
     case _ => None
   }
 

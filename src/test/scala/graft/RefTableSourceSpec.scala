@@ -222,6 +222,26 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(residual.count() == 9)
   }
 
+  test("pushed != and IN honor SQL three-valued logic on nullable columns") {
+    // parquet-mr record-level notEq KEEPS nulls and eq(c, null) MATCHES
+    // nulls; SQL `a != v` / `a IN (...)` must drop null rows. The pushed
+    // translation guards these (RefTableFilters), and the disjunction case
+    // is the dangerous one: Spark infers no IsNotNull constraint there.
+    val dir = Files.createTempDirectory("reftable_nulls_").toString
+    import spark.implicits._
+    Seq((1L, Option("x")), (2L, Option("y")), (3L, Option.empty[String]),
+        (4L, Option.empty[String]), (5L, Option("x")))
+      .toDF("id", "name").repartition(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(df.filter(col("name") =!= "x")) == Seq(2L))
+    assert(ids(df.filter(col("name") =!= "x" || col("id") > 100)) == Seq(2L))
+    assert(ids(df.filter(col("name").isin("x", null))) == Seq(1L, 5L))
+    assert(ids(df.filter(col("name").isNull)) == Seq(3L, 4L))
+  }
+
   test("generation snapshot is pinned: same gen replans identical files") {
     val dir = Files.createTempDirectory("reftable_pin_").toString
     writeTable(dir, Seq((1L, "a")))
