@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.GraftFunctions._
 import graft.functions.VectorFunctions.cosineSim
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,26 +56,59 @@ object Similarity {
       .select("a_id", "b_id", "sim")
   }
 
+  /** The per-row argmax over a codebook, as a single narrow projection: the
+    * centroids (inherently small — a codebook is k vectors by design) are
+    * folded into a literal array of (cid, cv) structs ordered by cid, and
+    * `aggregate()` keeps the best (sim, cid) as it scans. Strict `>` over the
+    * cid-ordered array gives the lowest cid on ties — the same rule as a
+    * `row_number() OVER (ORDER BY sim DESC, cid)` argmax, with NO Exchange:
+    * the corpus-wide window shuffle the naive formulation pays is gone, and
+    * the pipeline stays narrow until the probe join.
+    *
+    * Returns a struct column with fields `cid` and `sim`.
+    */
+  private def bestCentroid(centroids: DataFrame, vecCol: String): Column = {
+    val rows = centroids
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "bestCentroid: empty codebook")
+    val cents = array(rows.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedlit(cv).as("cv"))
+    }: _*)
+    aggregate(
+      cents,
+      struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = r6(cosineSim(col(vecCol), c("cv")))
+        when(s > acc("sim"), struct(c("cid").as("cid"), s.as("sim"))).otherwise(acc)
+      })
+  }
+
+  /** Nearest-centroid cell per corpus row — one narrow pass, no shuffle. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), bestCentroid(centroids, vecCol)("cid").as("cell"), col(vecCol))
+
   /** Deterministic spherical k-means codebook for [[ivfTopK]]: Lloyd
     * iterations expressed as DataFrame ops. Init = the k lowest-id vectors;
-    * assignment = max cosine (ties to lower cid); update = elementwise mean.
-    * Each iteration is one broadcast nested-loop assignment plus one narrow
-    * explode/aggregate — no corpus shuffle beyond the (cid, pos) aggregation,
-    * so it scales to corpora that never fit on the driver. Clusters that lose
-    * all members drop out (k may shrink).
+    * assignment = max cosine (ties to lower cid) via the shuffle-free
+    * [[bestCentroid]] projection; update = elementwise mean. Each iteration
+    * is one narrow assignment pass plus one (cid, pos) aggregation — the
+    * corpus itself is never shuffled, so this scales to corpora that never
+    * fit on the driver (only the k centroids ever reach it, once per
+    * iteration). Clusters that lose all members drop out (k may shrink).
     */
   def trainKMeans(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 3): DataFrame = {
-    var cent = corpus.filter(col(idCol) < k)
+    // the k lowest ids — explicit, so sparse/offset id spaces still yield k
+    // centroids (filter(id < k) only worked for dense 0-based ids)
+    var cent = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
     for (_ <- 1 to iterations) {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-      val assigned = corpus.crossJoin(broadcast(cent))
-        .withColumn("csim", r6(cosineSim(col(vecCol), col("cv"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col(vecCol))
+      val assigned = assignCells(corpus, cent, idCol, vecCol)
+        .select(col("cell").as("cid"), col(vecCol))
       cent = assigned
         .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
@@ -139,30 +172,20 @@ object Similarity {
   }
 
   /** Mean best-centroid similarity — the k-means objective, for tests. */
-  def assignmentObjective(corpus: DataFrame, centroids: DataFrame, vecCol: String): Double = {
-    val w = Window.partitionBy("__rid").orderBy(col("csim").desc)
-    corpus.withColumn("__rid", monotonically_increasing_id())
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosineSim(col(vecCol), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .agg(avg("csim")).first().getDouble(0)
-  }
+  def assignmentObjective(corpus: DataFrame, centroids: DataFrame, vecCol: String): Double =
+    corpus.select(bestCentroid(centroids, vecCol)("sim").as("s"))
+      .agg(avg("s")).first().getDouble(0)
 
   /** IVF-style approximate top-k: assign the corpus to the nearest centroid,
     * probe the nProbe closest cells per query, exact re-rank inside them.
     * centroids: (cid, cv). At 100 TB probing reads ~nProbe/|centroids| of
-    * the corpus instead of all of it.
+    * the corpus instead of all of it, and the assignment pass is a narrow
+    * projection ([[assignCells]]) — no Exchange before the probe join.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val wAssign = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-    val assign = corpus.crossJoin(broadcast(centroids))
-      .withColumn("csim", r6(cosineSim(col(vecCol), col("cv"))))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col(idCol), col("cid").as("cell"), col(vecCol))
+    val assign = assignCells(corpus, centroids, idCol, vecCol)
     val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("psim", r6(cosineSim(col("qv"), col("cv"))))

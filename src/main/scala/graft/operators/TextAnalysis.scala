@@ -65,26 +65,74 @@ object TextAnalysis {
     df.select(col(idCol), size(bpeTokens(col(textCol))).as("n_bpe"))
 }
 
-/** Dataset profiling: one row per numeric/string column with the stats a
-  * pipeline health check needs (nulls, distincts, min/max). One pass — a
-  * single aggregation over all requested columns.
+/** Dataset profiling: one row per column with the stats a pipeline health
+  * check needs (nulls, distincts, min/max).
+  *
+  * Mixing several exact `countDistinct`s into one aggregation makes Catalyst
+  * Expand-multiply every input row once per distinct column (N× scan
+  * amplification plus giant shuffles at 100 TB), so exact profiling runs as
+  * two Expand-free distributed passes and fully composes in the plan — no
+  * driver-side count()/collect():
+  *   1. one codegen'd whole-stage aggregation for counts/min/max, unpivoted
+  *      with `stack`;
+  *   2. a melt to (col_name, value) rows → two-phase distinct (map-side
+  *      partial dedup, then one shuffle keyed by (col_name, value)).
   */
 object Profiling {
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+
+  private def statsPass(df: DataFrame, cols: Seq[String], extra: String => Seq[Column]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nonnull"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        max(col(c)).cast("string").as(s"${c}__max")) ++ extra(c)
     }
-    val total = df.count()
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.zipWithIndex.map { case (c, i) =>
-      (c, total, total - row.getLong(i * 4), row.getLong(i * 4 + 1),
-        row.getString(i * 4 + 2), row.getString(i * 4 + 3))
-    }.toDF("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+    df.agg(count(lit(1)).as("__total"), aggs: _*)
+  }
+
+  /** Exact distinct counts per column, one shuffle, no Expand: melt to
+    * (col_name, value-as-string) then two-phase distinct. Distinctness is
+    * taken on the canonical string rendering (exact for integral / string /
+    * boolean columns; doubles round-trip losslessly through Spark's
+    * rendering).
+    */
+  private def distinctPass(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $stackArgs)").as(Seq("col_name", "val")))
+      .filter(col("val").isNotNull)
+      .distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+  }
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', `${c}__nonnull`, `${c}__min`, `${c}__max`").mkString(", ")
+    val stats = statsPass(df, cols, _ => Nil).select(
+      col("__total").as("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs)").as(Seq("col_name", "nonnull", "min_val", "max_val")))
+    stats.join(distinctPass(df, cols), Seq("col_name"), "left")
+      .select(
+        col("col_name"), col("n_rows"),
+        (col("n_rows") - col("nonnull")).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"))
+  }
+
+  /** The 100 TB default: a single scan, no melt shuffle — distincts are
+    * HyperLogLog++ sketches (relative standard deviation `rsd`), which merge
+    * as ordinary partial aggregates, so N columns profile in one pass with
+    * no Expand.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nonnull`, `${c}__min`, `${c}__max`, `${c}__distinct`").mkString(", ")
+    statsPass(df, cols, c => Seq(approx_count_distinct(col(c), rsd).as(s"${c}__distinct")))
+      .select(
+        col("__total").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs)")
+          .as(Seq("col_name", "nonnull", "min_val", "max_val", "n_distinct")))
+      .select(
+        col("col_name"), col("n_rows"),
+        (col("n_rows") - col("nonnull")).as("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
   }
 }

@@ -47,6 +47,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaAgg.size == 70)
   }
 
+
+  test("profiler is Expand-free and approx distincts track exact ones") {
+    val cust = Tables.load(spark, dir, "customer")
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val exact = operators.Profiling.profile(cust, cols)
+    // the scale hazard the rewrite removes: N countDistincts in one agg
+    // Expand-multiply every input row N times
+    val plan = exact.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Expand"), s"profiler plan must not Expand:\n$plan")
+    val byCol = exact.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol("c_custkey").getLong(3) == cust.count())
+    assert(byCol("c_mktsegment").getLong(3) == 5)
+    assert(byCol.values.forall(_.getLong(2) == 0L))
+    val approx = operators.Profiling.profileApprox(cust, cols, rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val e = byCol(c).getLong(3).toDouble
+      assert(math.abs(approx(c) - e) / e <= 0.15,
+        s"approx distinct for $c drifted: ${approx(c)} vs $e")
+    }
+  }
+
   test("near-dup clustering is a valid partition refining the pair graph") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, dir, "documents")

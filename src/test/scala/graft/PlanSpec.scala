@@ -51,6 +51,17 @@ class PlanSpec extends AnyFunSuite {
       s"query side must be broadcast:\n$p")
   }
 
+  test("IVF cell assignment stays narrow: no Exchange, no Window") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val p = operators.Similarity.assignCells(e, cent, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"assignment must be a shuffle-free projection over the broadcast codebook:\n$p")
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
