@@ -44,13 +44,50 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
   }
 
-  /** All-pairs cosine near-duplicate join above a threshold. */
-  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  /** All-pairs cosine near-duplicate join above a threshold.
+    *
+    * O(n²) nested-loop work — NEVER run this at scale. It exists as the
+    * recall oracle for [[nearDupPairsLsh]] (OperatorsSpec) and for thresholds
+    * below ~0.8, where no sublinear method can prune (a weak-threshold dense
+    * similarity join has Ω(n²) output in the worst case).
+    */
+  def nearDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     val a = corpus.repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("a_id"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", r6(cosineSim(col("va"), col("vb"))))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** Scale-safe cosine near-duplicate join: SRP-LSH bucketing → bucket
+    * equi-join → exact re-rank → threshold. The only wide exchanges are the
+    * bucket self-join and the candidate dedup; no nested-loop join anywhere.
+    *
+    * Recall is probabilistic but sharp at near-dup thresholds: per-bit
+    * collision p = 1 − θ/π, so a true pair at cos ≥ 0.95 (θ ≤ 18°, p ≥ 0.90)
+    * survives ≥ 1 of the 24 12-bit tables with probability
+    * 1 − (1 − 0.9^12)^24 ≈ 0.9996, and genuine near-copies (cos ≥ 0.99) are
+    * found with probability 1 − 10⁻¹³. Precision is exact (candidates are
+    * re-ranked with the real cosine). Thresholds ≪ 0.8 cannot be LSH-pruned —
+    * use [[nearDupPairsExact]] and accept the quadratic cost.
+    */
+  def nearDupPairsLsh(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bitsPerTable: Int = 12, nTables: Int = 24, dim: Option[Int] = None): DataFrame = {
+    val sig = srpSignatureUdf(corpus, vecCol, bitsPerTable, nTables, dim)
+    val buckets = corpus
+      .select(col(idCol).as("id"), explode(sig(col(vecCol).cast("array<double>"))).as("bucket"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val va = corpus.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    cands.join(va, Seq("a_id")).join(vb, Seq("b_id"))
       .withColumn("sim", r6(cosineSim(col("va"), col("vb"))))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
@@ -131,19 +168,23 @@ object Similarity {
     * tight clusters (cos ≥ 0.8 neighbors) can afford 8-12 bits per table
     * for much sharper pruning.
     */
-  def srpTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10,
-      bitsPerTable: Int = 4, nTables: Int = 16): DataFrame = {
+  /** Signature UDF for SRP-LSH: per table, one bit per deterministic
+    * pseudo-random hyperplane (components derived from the portable hash, so
+    * signatures are engine-reproducible); bucket key = table*2^16 + sig.
+    * Apply to an `array<double>` column. `dim` defaults to one driver-side
+    * probe of the corpus — pass it explicitly on hot paths.
+    */
+  private def srpSignatureUdf(
+      corpus: DataFrame, vecCol: String,
+      bitsPerTable: Int, nTables: Int, dim: Option[Int]) = {
     import graft.functions.GraftHash
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val d0 = dim.getOrElse(corpus.select(size(col(vecCol))).first().getInt(0))
     // deterministic hyperplanes: component (t, b, d) ~ U(-0.5, 0.5)
-    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, bitsPerTable, dim) {
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables, bitsPerTable, d0) {
       (t, b, d) => GraftHash.hash60(s"srp:$t:$b:$d").toDouble / (1L << 60).toDouble - 0.5
     }
-    val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(planes)
-    val sigUdf = udf { (v: Seq[Float]) =>
+    val bc = corpus.sparkSession.sparkContext.broadcast(planes)
+    udf { (v: Seq[Double]) =>
       val p = bc.value
       (0 until p.length).map { t =>
         var sig = 0
@@ -158,8 +199,17 @@ object Similarity {
         t.toLong * 65536L + sig
       }
     }
-    val cBuckets = corpus.select(col(idCol), explode(sigUdf(col(vecCol))).as("bucket"))
-    val qBuckets = queries.select(col("query_id"), col("qv"), explode(sigUdf(col("qv"))).as("bucket"))
+  }
+
+  def srpTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      bitsPerTable: Int = 4, nTables: Int = 16, dim: Option[Int] = None): DataFrame = {
+    val sigUdf = srpSignatureUdf(corpus, vecCol, bitsPerTable, nTables, dim)
+    val cBuckets = corpus.select(col(idCol),
+      explode(sigUdf(col(vecCol).cast("array<double>"))).as("bucket"))
+    val qBuckets = queries.select(col("query_id"), col("qv"),
+      explode(sigUdf(col("qv").cast("array<double>"))).as("bucket"))
     val cands = cBuckets.join(broadcast(qBuckets), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col("qv"), col(idCol)).dropDuplicates("query_id", idCol)

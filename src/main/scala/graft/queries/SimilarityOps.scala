@@ -26,7 +26,14 @@ object SimilarityOps {
   val NQueries = 5
   val NCells = 16
   val NProbe = 4
-  val NearDupThreshold = 0.4 // embeddings are near-orthogonal; max observed cos ~0.51
+  val Dim = 64
+  // q16: near-dup detection at a realistic threshold. The raw embeddings are
+  // near-orthogonal (max observed cos ~0.51 — no organic near-dups), so the
+  // query plants one deterministic near-copy per vector: component 0 nudged
+  // by +0.05 in double precision, identically computable in Spark and DuckDB
+  // (cos(v, v') ≈ 0.999).
+  val NearDupSim = 0.95
+  val PlantOffset = 1000000L
 
   /** DuckDB double-precision cosine of two DOUBLE[] expressions, rounded r6. */
   def duckCos(a: String, b: String): String =
@@ -34,6 +41,19 @@ object SimilarityOps {
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
 
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** The q16 corpus: embeddings (as array<double>) plus one planted
+    * deterministic near-copy per vector (ids offset by [[PlantOffset]]).
+    */
+  def plantedNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.select(
+      (col("vec_id") + lit(PlantOffset)).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.05)),
+        slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+    base.unionAll(planted)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // brute-force exact top-k for fixed query vectors (vec_id < NQueries).
@@ -51,15 +71,24 @@ object SimilarityOps {
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
          |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
 
-    // embedding-cosine near-duplicate similarity self-join.
+    // embedding-cosine near-duplicate join, scale-safe: SRP-LSH bucket
+    // equi-join → exact re-rank → threshold (no nested-loop join — see the
+    // PlanSpec assertion). The oracle is the EXACT all-pairs join over the
+    // same planted corpus, so a hash match proves LSH recall is exactly 1
+    // here (precision is exact by re-rank). Thresholds ≪ 0.8 are not
+    // LSH-prunable; that regime stays with Similarity.nearDupPairsExact,
+    // recall-spec'd in OperatorsSpec.
     QueryDef("q16_neardup_embed", (s, dir) => {
-      graft.operators.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", NearDupThreshold)
+      graft.operators.Similarity
+        .nearDupPairsLsh(plantedNearDupCorpus(s, dir), "vec_id", "v", NearDupSim, dim = Some(Dim))
         .orderBy("a_id", "b_id")
     }, Some(
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v FROM base),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
          |SELECT a.vec_id a_id, b.vec_id b_id, ${duckCos("a.v", "b.v")} AS sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.v", "b.v")} >= $NearDupThreshold
+         |FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim
          |ORDER BY a_id, b_id""".stripMargin)),
 
     QueryDef("q44_vector_stats", (s, dir) => {

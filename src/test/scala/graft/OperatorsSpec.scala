@@ -88,6 +88,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH near-dup pairs equal the exact all-pairs join on the planted corpus") {
+    // the q16 shape: recall of the bucketed SRP-LSH join must be exactly 1
+    // against the O(n^2) baseline it replaces (which stays quarantined here)
+    val corpus = queries.SimilarityOps.plantedNearDupCorpus(spark, dir)
+    val lsh = Similarity.nearDupPairsLsh(
+      corpus, "vec_id", "v", queries.SimilarityOps.NearDupSim, dim = Some(64))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairsExact(
+      corpus, "vec_id", "v", queries.SimilarityOps.NearDupSim)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted corpus must contain near-dup pairs")
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).take(5)} / extra ${(lsh -- exact).take(5)}")
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)

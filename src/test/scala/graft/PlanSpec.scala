@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
       s"query side must be broadcast:\n$p")
   }
 
+  test("q16 near-dup join is a bucket equi-join, never a nested-loop join") {
+    val p = plan("q16_neardup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"near-dup pairs must come from the LSH bucket join:\n$p")
+  }
+
   test("IVF cell assignment stays narrow: no Exchange, no Window") {
     import org.apache.spark.sql.functions.col
     val e = Tables.load(spark, dir, "embeddings")
