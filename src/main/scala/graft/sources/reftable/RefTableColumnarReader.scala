@@ -1,0 +1,174 @@
+package graft.sources.reftable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetInputFormat}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.{MessageType, Type}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Columnar scan path: decodes parquet through Spark's
+  * VectorizedParquetRecordReader (the same batched decoder the built-in
+  * parquet source uses — dictionary-aware, null-vector based, ~10× the
+  * example-Group row decode) and republishes the batch under the source's
+  * output projection:
+  *
+  *  - storage columns are requested once each and shared when both `rowField`
+  *    and the raw key column appear in the schema;
+  *  - the generation column rides the reader's partition-value mechanism
+  *    (a ConstantColumnVector, zero per-row cost);
+  *  - TIMESTAMP(NANOS) columns — unsupported by the vectorized decoder as
+  *    timestamps — are requested as LongType (legacy nanosAsLong contract)
+  *    and wrapped in a floorDiv(·,1000) view, keeping the batch columnar.
+  *
+  * Row-group + page-level skipping comes from the pushed FilterPredicates;
+  * exact filtering is Spark's job — the scan builder returns every filter as
+  * a residual (see RefTableScanBuilder.pushFilters).
+  */
+object RefTableColumnarReader {
+  /** Types the vectorized decoder handles for this source's flat schemas. */
+  def supports(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType | TimestampType | DateType | ShortType | ByteType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+}
+
+class RefTableColumnarReader(
+    opts: RefTableOptions,
+    required: StructType,
+    pushed: Array[Filter],
+    partition: RefTableInputPartition)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val conf = new Configuration()
+  private val hadoopPath = new Path(partition.path)
+
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hadoopPath, conf))
+    try r.getFooter.getFileMetaData.getSchema
+    finally r.close()
+  }
+
+  private def isNanos(col: String): Boolean =
+    fileSchema.containsField(col) &&
+      (fileSchema.getType(Seq(col): _*).getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+        case _ => false
+      })
+
+  // output field i -> storage column (None = synthesized generation column)
+  private val fieldSources: Array[Option[String]] = required.fields.map { f =>
+    if (opts.genColumn.contains(f.name)) None else Some(opts.storageColumn(f.name))
+  }
+
+  {
+    val missing = fieldSources.flatten.distinct.filterNot(fileSchema.containsField)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Columns ${missing.mkString(", ")} not found in ${partition.path} " +
+          s"(file has: ${fileSchema.getFields.toArray.map(_.asInstanceOf[Type].getName).mkString(", ")})")
+  }
+
+  // distinct storage columns, each requested once; nanos timestamps as longs
+  private val storageCols: Array[String] = fieldSources.flatten.distinct
+  private val requestedSpark: StructType = StructType(storageCols.map { c =>
+    val outType = required.fields(fieldSources.indexOf(Some(c))).dataType
+    val readType = if (outType == TimestampType && isNanos(c)) LongType else outType
+    StructField(c, readType, nullable = true)
+  })
+
+  private val genField: Option[StructField] =
+    opts.genColumn.filter(g => required.fieldNames.contains(g)).map(g => StructField(g, LongType, false))
+
+  private val reader: VectorizedParquetRecordReader = {
+    // the conf keys Spark's parquet read path expects (set by
+    // ParquetFileFormat on the built-in path; we are our own file format)
+    conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", requestedSpark.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
+    val preds = pushed.flatMap(f => RefTableFilters.translate(opts, f))
+    if (preds.nonEmpty) ParquetInputFormat.setFilterPredicate(conf, preds.reduce(FilterApi.and))
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /* offHeap */ false, /* capacity */ 4096)
+    val split = new FileSplit(hadoopPath, partition.start, partition.length, Array.empty[String])
+    r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    genField match {
+      case Some(g) =>
+        val row = new GenericInternalRow(1)
+        row.update(0, partition.gen)
+        r.initBatch(StructType(Seq(g)), row)
+      case None =>
+        r.initBatch(new StructType(), InternalRow.empty)
+    }
+    r.enableReturningBatches()
+    r
+  }
+
+  // republish the inner batch's vectors under the output projection; the
+  // vectors are stable across batches (only numRows changes)
+  private var out: ColumnarBatch = _
+
+  private def project(inner: ColumnarBatch): ColumnarBatch = {
+    if (out == null) {
+      val vectors: Array[ColumnVector] = fieldSources.zipWithIndex.map {
+        case (None, _) => inner.column(storageCols.length) // the gen partition column
+        case (Some(c), i) =>
+          val v = inner.column(storageCols.indexOf(c))
+          if (required.fields(i).dataType == TimestampType && isNanos(c))
+            new NanosToMicrosVector(v)
+          else v
+      }
+      out = new ColumnarBatch(vectors)
+    }
+    out.setNumRows(inner.numRows())
+    out
+  }
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): ColumnarBatch = project(reader.resultBatch())
+  override def close(): Unit = reader.close()
+}
+
+/** A TimestampType view over an INT64(NANOS) column decoded as longs:
+  * floorDiv by 1000 on read (floor, not truncate — pre-epoch values).
+  */
+private[reftable] class NanosToMicrosVector(child: ColumnVector)
+    extends ColumnVector(TimestampType) {
+  override def getLong(rowId: Int): Long = Math.floorDiv(child.getLong(rowId), 1000L)
+  override def hasNull: Boolean = child.hasNull
+  override def numNulls(): Int = child.numNulls()
+  override def isNullAt(rowId: Int): Boolean = child.isNullAt(rowId)
+  override def getBoolean(rowId: Int): Boolean = child.getBoolean(rowId)
+  override def getByte(rowId: Int): Byte = child.getByte(rowId)
+  override def getShort(rowId: Int): Short = child.getShort(rowId)
+  override def getInt(rowId: Int): Int = child.getInt(rowId)
+  override def getFloat(rowId: Int): Float = child.getFloat(rowId)
+  override def getDouble(rowId: Int): Double = child.getDouble(rowId)
+  override def getArray(rowId: Int): ColumnarArray = child.getArray(rowId)
+  override def getMap(ordinal: Int): ColumnarMap = child.getMap(ordinal)
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =
+    child.getDecimal(rowId, precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String = child.getUTF8String(rowId)
+  override def getBinary(rowId: Int): Array[Byte] = child.getBinary(rowId)
+  override def getChild(ordinal: Int): ColumnVector = child.getChild(ordinal)
+  override def close(): Unit = () // the child belongs to the inner reader
+}

@@ -98,7 +98,7 @@ class RefTableMicroBatchStream(
     val e = end.asInstanceOf[RefTableOffset]
     if (e.batch < 0) return Array.empty
     val files = snapshots.getOrElseUpdate(e.gen, SnapshotFiles.list(opts.path))
-    files.map(f => RefTableInputPartition(f.path, f.length, e.gen)).toArray
+    RefTablePartitions.plan(files, e.gen)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -69,14 +69,17 @@ class RefTableScanBuilder(opts: RefTableOptions)
     required = StructType(opts.outputSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  /** Accepted filters run inside parquet-mr (row-group statistics skipping +
-    * exact record-level filtering), so they need no Spark re-evaluation; the
-    * returned residuals are the ones we cannot translate.
+  /** Translatable filters are pushed for parquet row-group / page skipping,
+    * but EVERY filter is also returned as a residual for Spark to
+    * re-evaluate — the same contract as Spark's own file sources. The
+    * vectorized read path only filters at row-group/page granularity, and
+    * treating pushed filters as exact is how three-valued-logic bugs sneak
+    * in (parquet record-level notEq keeps nulls); re-evaluation costs one
+    * codegen'd pass over survivors and buys exactness by construction.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, residual) = filters.partition(f => RefTableFilters.translate(opts, f).isDefined)
-    pushed = ok
-    residual
+    pushed = filters.filter(f => RefTableFilters.translate(opts, f).isDefined)
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -100,7 +103,7 @@ class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Fi
 class RefTableBatch(opts: RefTableOptions, required: StructType, pushed: Array[Filter]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
-    SnapshotFiles.list(opts.path).map(f => RefTableInputPartition(f.path, f.length, gen)).toArray
+    RefTablePartitions.plan(SnapshotFiles.list(opts.path), gen)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RefTableReaderFactory(opts, required, pushed)

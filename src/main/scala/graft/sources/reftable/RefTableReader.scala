@@ -20,21 +20,68 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One snapshot file = one input partition. At cluster scale the natural
-  * refinement is row-group splits sized by maxPartitionBytes; file granularity
-  * keeps the snapshot-pinning contract simple and is already parallel across
-  * the snapshot's files.
+/** One byte range of one snapshot file = one input partition: files are
+  * split at maxPartitionBytes boundaries and a range reads the row groups
+  * whose midpoint falls inside it (parquet's standard split contract), so a
+  * snapshot of few large files still parallelizes across the cluster.
+  * Splitting needs no footer reads on the driver — ranges are arithmetic
+  * over the pinned (path, fileLength) list.
   */
-final case class RefTableInputPartition(path: String, length: Long, gen: Long)
+final case class RefTableInputPartition(
+    path: String, start: Long, length: Long, fileLength: Long, gen: Long)
     extends InputPartition
+
+object RefTablePartitions {
+  /** Default split target, overridden by spark.sql.files.maxPartitionBytes. */
+  private def targetSplitBytes: Long = {
+    import scala.util.Try
+    Try(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.files.maxPartitionBytes", "128MB")))
+      .getOrElse(128L * 1024 * 1024)
+  }
+
+  def plan(files: Seq[SnapshotFile], gen: Long): Array[InputPartition] = {
+    val target = math.max(1L, targetSplitBytes)
+    files.iterator.flatMap { f =>
+      if (f.length <= target) {
+        Iterator.single(RefTableInputPartition(f.path, 0L, f.length, f.length, gen))
+      } else {
+        (0L until f.length by target).iterator.map { start =>
+          RefTableInputPartition(f.path, start, math.min(target, f.length - start), f.length, gen)
+        }
+      }
+    }.toArray
+  }
+}
 
 /** Serializable factory — only (options, required schema) ship to executors;
   * readers are constructed executor-side (the reference relied on lazy
   * per-executor transformer init for the same reason,
   * TableStreamingSource.java:113-115).
+  *
+  * Scans are columnar whenever every output type is supported by Spark's
+  * vectorized parquet decoder (all the source's declared types are); the
+  * row-by-row Group reader remains as the fallback for exotic DDL types.
   */
 class RefTableReaderFactory(opts: RefTableOptions, required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    // every type vectorizable, and no storage column requested at two
+    // different output types (each storage column is decoded once)
+    val colType = scala.collection.mutable.Map.empty[String, DataType]
+    required.fields.forall { f =>
+      RefTableColumnarReader.supports(f.dataType) &&
+        (opts.genColumn.contains(f.name) ||
+          colType.getOrElseUpdate(opts.storageColumn(f.name), f.dataType) == f.dataType)
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new RefTableColumnarReader(opts, required, pushed, partition.asInstanceOf[RefTableInputPartition])
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RefTablePartitionReader(opts, required, pushed, partition.asInstanceOf[RefTableInputPartition])
 }
@@ -88,6 +135,7 @@ class RefTablePartitionReader(
   private val reader: ParquetReader[Group] = {
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, requestedSchema.toString)
     val b = ParquetReader.builder(new GroupReadSupport(), new Path(partition.path)).withConf(conf)
+      .withFileRange(partition.start, partition.start + partition.length)
     val preds = pushed.flatMap(f => RefTableFilters.translate(opts, f))
     val withF = if (preds.isEmpty) b
       else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))
@@ -140,11 +188,25 @@ class RefTablePartitionReader(
     case BooleanType => current.getBoolean(col, 0)
     case StringType  => UTF8String.fromBytes(current.getBinary(col, 0).getBytes)
     case BinaryType  => current.getBinary(col, 0).getBytes
+    case DateType    => current.getInteger(col, 0) // days since epoch (parquet DATE)
+    case d: DecimalType =>
+      // unscaled value in INT32/INT64 (p <= 18) or big-endian bytes
+      // (BINARY / FIXED_LEN_BYTE_ARRAY) per the parquet DECIMAL spec
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      fileSchema.getType(Seq(col): _*).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => Decimal(current.getInteger(col, 0).toLong, d.precision, d.scale)
+        case INT64 => Decimal(current.getLong(col, 0), d.precision, d.scale)
+        case _ =>
+          val bytes = current.getBinary(col, 0).getBytes
+          Decimal(BigDecimal(BigInt(bytes), d.scale), d.precision, d.scale)
+      }
     case TimestampType =>
       val v = current.getLong(col, 0)
       tsDivisors(col) match {
         case -1L => v * 1000L // millis -> micros
-        case d   => v / d
+        // floorDiv, not /: truncating division rounds pre-1970 nanos toward
+        // zero, off by one micro vs SQL floor semantics
+        case d => Math.floorDiv(v, d)
       }
     case other =>
       throw new UnsupportedOperationException(s"reftable: unsupported type $other for column $col")

@@ -242,6 +242,78 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(ids(df.filter(col("name").isNull)) == Seq(3L, 4L))
   }
 
+  test("a multi-row-group file splits into multiple partitions and reads identically") {
+    val dir = Files.createTempDirectory("reftable_split_").toString
+    import spark.implicits._
+    (1L to 20000L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartition(1).write.option("parquet.block.size", "65536")
+      .mode("overwrite").parquet(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val df = spark.read.format("reftable")
+        .option("path", dir).option("schema", ddl).load()
+      assert(df.rdd.getNumPartitions > 1,
+        s"expected byte-range splits, got ${df.rdd.getNumPartitions} partition(s)")
+      assert(df.count() == 20000L)
+      assert(df.agg(sum("id")).first().getLong(0) == 20000L * 20001L / 2)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("the scan is columnar: vectorized batches with ColumnarToRow above") {
+    val dir = Files.createTempDirectory("reftable_columnar_").toString
+    writeTable(dir, Seq((1L, "a"), (2L, "b")))
+    val df = spark.read.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("ColumnarToRow"), s"expected a columnar scan:\n$p")
+  }
+
+  test("TIMESTAMP(NANOS) storage decodes to microsecond timestamps") {
+    // the driver testdata stores event timestamps as parquet TIMESTAMP(NANOS),
+    // which Spark's own reader refuses as a timestamp; the reftable columnar
+    // path reads them as longs and serves a floorDiv(ns,1000) timestamp view
+    val dir = "/root/testdata/sf0.001"
+    val viaRef = spark.read.format("reftable")
+      .option("path", Tables.path(dir, "events"))
+      .option("schema", "event_id BIGINT, ts TIMESTAMP")
+      .load()
+    val expected = Tables.load(spark, dir, "events").select("event_id", "ts")
+    assert(viaRef.count() == expected.count())
+    assert(viaRef.exceptAll(expected).count() == 0 && expected.exceptAll(viaRef).count() == 0)
+  }
+
+  test("decimal and date columns decode on both the columnar and row paths") {
+    val dir = Files.createTempDirectory("reftable_dec_").toString
+    import spark.implicits._
+    Seq((1L, BigDecimal("123.45"), java.sql.Date.valueOf("2020-01-02")),
+        (2L, BigDecimal("-7.89"), java.sql.Date.valueOf("1969-12-31")))
+      .toDF("id", "amt", "d")
+      .withColumn("amt", col("amt").cast("decimal(12,2)"))
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val decDdl = "id BIGINT, amt DECIMAL(12,2), d DATE"
+    // columnar (default) path
+    val got = spark.read.format("reftable")
+      .option("path", dir).option("schema", decDdl).load()
+    val exp = spark.read.parquet(dir).select("id", "amt", "d")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    // row fallback path, driven directly
+    import graft.sources.reftable.{RefTableInputPartition, RefTablePartitionReader, SnapshotFiles}
+    val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> dir, "schema" -> decDdl).asJava))
+    val f = SnapshotFiles.list(dir).head
+    val rdr = new RefTablePartitionReader(
+      opts, opts.outputSchema, Array.empty,
+      RefTableInputPartition(f.path, 0L, f.length, f.length, 0L))
+    val rows = try Iterator.continually(rdr).takeWhile(_.next()).map(_.get().copy()).toList
+      finally rdr.close()
+    val byId = rows.sortBy(_.getLong(0))
+    assert(byId.size == 2)
+    assert(byId(0).getDecimal(1, 12, 2).toString == "123.45")
+    assert(byId(1).getDecimal(1, 12, 2).toString == "-7.89")
+    assert(byId(1).getInt(2) == -1) // 1969-12-31 = epoch day -1
+  }
+
   test("generation snapshot is pinned: same gen replans identical files") {
     val dir = Files.createTempDirectory("reftable_pin_").toString
     writeTable(dir, Seq((1L, "a")))
