@@ -106,6 +106,12 @@ object SchemaJson {
   *                      the current snapshot)
   *  - `genColumn`       (optional) name of an extra long column carrying the
   *                      refresh generation
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` (optional) admission
+  *                      control: cap each micro-batch at N snapshot files /
+  *                      ~N bytes (size literal like `128MB` accepted). A
+  *                      generation larger than the cap is emitted across
+  *                      several micro-batches; the generation stays pinned
+  *                      until fully emitted, so snapshot identity holds.
   */
 final case class RefTableOptions(
     path: String,
@@ -114,7 +120,9 @@ final case class RefTableOptions(
     keyColumn: Option[String],
     refreshMs: Long,
     emitPerTrigger: Boolean,
-    genColumn: Option[String]) {
+    genColumn: Option[String],
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -170,8 +178,26 @@ object RefTableOptions {
     for (g <- genColumn; st <- schema; if st.fieldNames.contains(g))
       errs += s"genColumn '$g' collides with a schema field"
 
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).filter(_.nonEmpty).flatMap { s =>
+      try {
+        val n = s.trim.toInt
+        if (n <= 0) { errs += s"Invalid 'maxFilesPerTrigger' '$s': must be a positive integer"; None }
+        else Some(n)
+      } catch { case _: NumberFormatException =>
+        errs += s"Invalid 'maxFilesPerTrigger' '$s': must be a positive integer"; None }
+    }
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).filter(_.nonEmpty).flatMap { s =>
+      try {
+        val n = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.trim)
+        if (n <= 0) { errs += s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count"; None }
+        else Some(n)
+      } catch { case NonFatal(_) =>
+        errs += s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count (e.g. '64MB')"; None }
+    }
+
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
-    RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn)
+    RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
+      maxFiles, maxBytes)
   }
 }

@@ -5,7 +5,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{
+  CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -32,17 +34,22 @@ object SnapshotFiles {
   }
 }
 
-/** Offset = (batch counter, refresh generation). JSON-serialized into the
-  * streaming checkpoint.
+/** Offset = (batch counter, refresh generation, files emitted so far in the
+  * generation). `upTo` = -1 means "the whole generation" — both the legacy
+  * round-1 offset format and the unchunked fast path decode that way.
+  * JSON-serialized into the streaming checkpoint.
   */
-final case class RefTableOffset(batch: Long, gen: Long) extends Offset {
-  override def json(): String = s"""{"batch":$batch,"gen":$gen}"""
+final case class RefTableOffset(batch: Long, gen: Long, upTo: Long = -1L) extends Offset {
+  override def json(): String = s"""{"batch":$batch,"gen":$gen,"upTo":$upTo}"""
 }
 
 object RefTableOffset {
   def fromJson(s: String): RefTableOffset = {
     val n = new ObjectMapper().readTree(s)
-    RefTableOffset(n.path("batch").asLong(), n.path("gen").asLong())
+    RefTableOffset(
+      n.path("batch").asLong(),
+      n.path("gen").asLong(),
+      if (n.has("upTo")) n.path("upTo").asLong() else -1L)
   }
 }
 
@@ -62,6 +69,16 @@ object RefTableOffset {
   *    Structured Streaming (no-data triggers are skipped, and
   *    processAllAvailable() terminates). emitMode=trigger reproduces the
   *    DStream cadence: every trigger re-emits the current snapshot.
+  *  - Admission control (SupportsAdmissionControl): with
+  *    maxFilesPerTrigger / maxBytesPerTrigger a generation is emitted across
+  *    several micro-batches (offset `upTo` = cumulative file count). The
+  *    generation stays pinned until fully emitted — a refresh boundary
+  *    crossed mid-generation does NOT switch snapshots, preserving snapshot
+  *    identity; the next generation begins at the following batch.
+  *  - Trigger.AvailableNow (SupportsTriggerAvailableNow): the current
+  *    generation is pinned at prepare time and drained (in chunks if
+  *    limited), then the query stops — also what makes trigger-emit mode
+  *    terminate under AvailableNow.
   *  - commit(end) releases snapshot metadata for generations < end.gen — the
   *    reference never unpersisted old snapshots (leak at
   *    TableInputDStream.scala:59); here old generations are dropped as soon
@@ -72,33 +89,94 @@ object RefTableOffset {
   */
 class RefTableMicroBatchStream(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter] = Array.empty)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var last: RefTableOffset = _
+  private var availableNowGen: Option[Long] = None
   private val snapshots = scala.collection.mutable.Map.empty[Long, Seq[SnapshotFile]]
 
   private def computeGen(nowMs: Long): Long =
     if (opts.refreshMs <= 0) 0L else nowMs / opts.refreshMs
 
-  override def initialOffset(): Offset = RefTableOffset(-1L, -1L)
+  private def filesOf(gen: Long): Seq[SnapshotFile] =
+    snapshots.getOrElseUpdate(gen, SnapshotFiles.list(opts.path))
 
-  override def latestOffset(): Offset = synchronized {
+  override def initialOffset(): Offset = RefTableOffset(-1L, -1L, -1L)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      opts.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case several => ReadLimit.compositeLimit(several.toArray)
+    }
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
     val gen = computeGen(System.currentTimeMillis())
-    val prev = Option(last).getOrElse(RefTableOffset(-1L, -1L))
-    val genChanged = gen != prev.gen
-    if (genChanged) snapshots.getOrElseUpdate(gen, SnapshotFiles.list(opts.path))
-    val batch =
-      if (genChanged || opts.emitPerTrigger) prev.batch + 1
-      else prev.batch
-    last = RefTableOffset(batch, if (genChanged) gen else prev.gen)
+    filesOf(gen)
+    availableNowGen = Some(gen)
+  }
+
+  /** End index (exclusive, cumulative file count) for a batch starting at
+    * `from`, under a read limit. Always admits at least one file.
+    */
+  private def sliceEnd(files: Seq[SnapshotFile], from: Int, limit: ReadLimit): Long = limit match {
+    case m: ReadMaxFiles => math.min(from.toLong + m.maxFiles(), files.size.toLong)
+    case b: ReadMaxBytes =>
+      var i = from
+      var bytes = 0L
+      while (i < files.size && (i == from || bytes + files(i).length <= b.maxBytes())) {
+        bytes += files(i).length
+        i += 1
+      }
+      i.toLong
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(l => sliceEnd(files, from, l)).min
+    case _ => files.size.toLong
+  }
+
+  override def latestOffset(): Offset = latestOffset(null, getDefaultReadLimit)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val prev = Option(last)
+      .orElse(Option(start).map(_.asInstanceOf[RefTableOffset]))
+      .getOrElse(RefTableOffset(-1L, -1L, -1L))
+    val prevTotal = if (prev.gen >= 0) filesOf(prev.gen).size.toLong else 0L
+    val prevUpTo = if (prev.upTo < 0) prevTotal else prev.upTo
+    last =
+      if (prev.gen >= 0 && prevUpTo < prevTotal) {
+        // partially-emitted generation: finish it before any refresh —
+        // snapshot identity requires the whole generation from one pinning
+        RefTableOffset(prev.batch + 1, prev.gen,
+          sliceEnd(filesOf(prev.gen), prevUpTo.toInt, limit))
+      } else {
+        val gen = availableNowGen.getOrElse(computeGen(System.currentTimeMillis()))
+        if (gen != prev.gen)
+          RefTableOffset(prev.batch + 1, gen, sliceEnd(filesOf(gen), 0, limit))
+        else if (opts.emitPerTrigger && availableNowGen.isEmpty)
+          RefTableOffset(prev.batch + 1, prev.gen, prevTotal) // full re-emission
+        else prev
+      }
     last
   }
+
+  override def reportLatestOffset(): Offset = synchronized { last }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val e = end.asInstanceOf[RefTableOffset]
     if (e.batch < 0) return Array.empty
-    val files = snapshots.getOrElseUpdate(e.gen, SnapshotFiles.list(opts.path))
-    RefTablePartitions.plan(files, e.gen)
+    val files = filesOf(e.gen)
+    val hi = if (e.upTo < 0) files.size else math.min(e.upTo, files.size.toLong).toInt
+    val lo = Option(start).map(_.asInstanceOf[RefTableOffset]) match {
+      // continuation of a partially-emitted generation; anything else
+      // (new generation, trigger-mode re-emission) starts from file 0
+      case Some(s) if s.batch >= 0 && s.gen == e.gen && s.upTo >= 0 && s.upTo < hi =>
+        math.min(s.upTo, files.size.toLong).toInt
+      case _ => 0
+    }
+    RefTablePartitions.plan(files.slice(lo, hi), e.gen)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

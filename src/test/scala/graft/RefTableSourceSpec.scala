@@ -314,6 +314,135 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(byId(1).getInt(2) == -1) // 1969-12-31 = epoch day -1
   }
 
+  test("admission control: a generation chunks at maxFilesPerTrigger with the gen pinned") {
+    val dir = Files.createTempDirectory("reftable_adm_").toString
+    import spark.implicits._
+    (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(5).write.mode("overwrite").parquet(dir)
+    val nFiles = graft.sources.reftable.SnapshotFiles.list(dir).size
+    assert(nFiles == 5)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> ddl, "refreshInterval" -> "1h",
+      "maxFilesPerTrigger" -> "2").asJava))
+    val s = new RefTableMicroBatchStream(o, o.outputSchema)
+    val start = s.initialOffset()
+    val o1 = s.latestOffset(start, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o1.upTo == 2)
+    assert(s.planInputPartitions(start, o1).length == 2)
+    val o2 = s.latestOffset(o1, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o2.gen == o1.gen && o2.upTo == 4, "generation must stay pinned across chunks")
+    assert(s.planInputPartitions(o1, o2).length == 2)
+    val o3 = s.latestOffset(o2, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o3.gen == o1.gen && o3.upTo == 5)
+    assert(s.planInputPartitions(o2, o3).length == 1)
+    // fully emitted + no refresh boundary crossed -> offset holds
+    val o4 = s.latestOffset(o3, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o4 == o3)
+  }
+
+  test("admission control end-to-end: chunked batches reassemble the snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("reftable_adm_e2e_").toString
+    import spark.implicits._
+    (1L to 9L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    assert(graft.sources.reftable.SnapshotFiles.list(dir).size == 3)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    val q = spark.readStream.format("reftable")
+      .option("path", dir).option("schema", ddl)
+      .option("refreshInterval", "1h").option("genColumn", "_gen")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("_gen", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        batches.synchronized { batches += rows }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("reftable_adm_ck_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val got = batches.synchronized(batches.toList)
+    assert(got.size == 3, s"expected 3 single-file micro-batches, got ${got.size}")
+    assert(got.forall(_.nonEmpty), s"each chunk carries one file: ${got.map(_.size)}")
+    assert(got.map(_.map(_._2).toSet).reduce(_ ++ _).size == got.map(_.size).sum,
+      "chunks must be disjoint")
+    assert(got.flatten.map(_._1).toSet.size == 1, "all chunks must carry the same generation")
+    assert(got.flatten.map(_._2).toSet == (1L to 9L).toSet)
+  }
+
+  test("stream-static enrichment tracks lookup mutations across generations (one query)") {
+    // SURVEY §7.4 risk 4: during ONE continuous query, the joined output of
+    // each refresh generation must equal the batch join against that
+    // generation's snapshot. The lookup side mutates mid-query via a
+    // delete+rename swap of a single staged file. A plain-parquet directory
+    // has no snapshot isolation (a listing can pin a file the swap is about
+    // to delete — the same hazard any non-transactional table rewrite has),
+    // so the swap runs right AFTER a generation's batch lands: with a 5s
+    // refresh that puts ~4.8s between the swap and the next listing.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = Files.createTempDirectory("reftable_multigen_").toString
+    import spark.implicits._
+    def lookupDf(version: Int) = {
+      val n = if (version == 1) 3L else 5L
+      (1L to n).map(i => (i, s"v${version}_$i")).toDF("id", "name")
+    }
+    lookupDf(1).repartition(1).write.mode("overwrite").parquet(dir)
+    val events = (1L to 10L).map(i => (100L + i, 1L + (i % 5))).toDF("ev_id", "id")
+    val expected: Map[Int, Set[(Long, Long, String)]] = (1 to 2).map { v =>
+      v -> events.join(lookupDf(v), Seq("id")).select("ev_id", "id", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }.toMap
+
+    val lookupStream = spark.readStream.format("reftable")
+      .option("path", dir).option("schema", ddl)
+      .option("refreshInterval", "5s").option("genColumn", "_gen")
+      .load()
+    val joined = lookupStream.join(events, Seq("id"))
+      .select(col("_gen"), col("ev_id"), col("id"), col("name"))
+    val perGen = scala.collection.mutable.LinkedHashMap.empty[Long, Set[(Long, Long, String)]]
+    val q = joined.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        perGen.synchronized { rows.groupBy(_._1).foreach { case (g, rs) => perGen(g) = rs.map(_._2).toSet } }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("reftable_mg_ck_").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    def waitFor(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      cond
+    }
+    // stage the v2 file up front so the post-observation swap is two
+    // metadata ops (delete + rename), microseconds against the 5s margin
+    val staging = Files.createTempDirectory("reftable_mg_staging_").toString
+    lookupDf(2).repartition(1).write.mode("overwrite").parquet(staging)
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = fs.listStatus(new HPath(staging))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(waitFor(perGen.synchronized(perGen.values.exists(_ == expected(1)))),
+      "v1 generation never observed")
+    fs.listStatus(new HPath(dir)).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.rename(staged, new HPath(dir, "data_v2.parquet"))
+    assert(waitFor(perGen.synchronized(perGen.values.exists(_ == expected(2)))),
+      s"v2 generation never observed after the swap; perGen=${perGen.synchronized(perGen.toList)} " +
+        s"qex=${q.exception} files=${graft.sources.reftable.SnapshotFiles.list(dir)}")
+    q.stop()
+    val gens = perGen.synchronized(perGen.toList)
+    // every generation's join equals the batch join against v1 or v2 (an
+    // empty set is tolerated only for a listing that raced the swap window)
+    gens.foreach { case (g, rows) =>
+      assert(rows == expected(1) || rows == expected(2) || rows.isEmpty,
+        s"gen $g joined output matches neither snapshot: $rows")
+    }
+    assert(gens.last._2 == expected(2), "final generation must reflect the mutated lookup")
+  }
+
   test("generation snapshot is pinned: same gen replans identical files") {
     val dir = Files.createTempDirectory("reftable_pin_").toString
     writeTable(dir, Seq((1L, "a")))
