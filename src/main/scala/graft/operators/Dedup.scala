@@ -125,6 +125,12 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterNearDups did not converge after $maxIterations iterations " +
+          s"($changed labels still changing): a near-dup chain deeper than " +
+          s"$maxIterations exists — raise maxIterations (propagation is " +
+          "O(graph diameter) rounds; near-dup clusters are normally shallow)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -153,6 +153,46 @@ object Advanced {
         |  UNION ALL SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment) FROM customer)
         |ORDER BY col_name""".stripMargin)),
 
+    // DECIMAL decode through the reftable source: the query derives a
+    // decimal table from `customer`, reads it back through the source's
+    // vectorized path, and aggregates; the oracle computes the same result
+    // from the original table, so a hash match proves exact decimal decode
+    // end-to-end (sums over DECIMAL are exact — no float tolerance in play).
+    QueryDef("q73_reftable_decimal", (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_refdec_").toString
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"),
+          col("c_nationkey"))
+        .write.mode("overwrite").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "c_custkey BIGINT, bal DECIMAL(12,2), c_nationkey INT")
+        .load()
+        .groupBy("c_nationkey")
+        .agg(sum("bal").cast("decimal(14,2)").as("total_bal"), count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """SELECT c_nationkey, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS total_bal,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // DATE decode through the reftable source, same round-trip pattern.
+    QueryDef("q74_reftable_date", (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_refdate_").toString
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+        .write.mode("overwrite").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "o_orderkey BIGINT, od DATE")
+        .load()
+        .groupBy("od")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"))
+        .orderBy("od")
+    }, Some(
+      """SELECT CAST(o_orderdate AS DATE) AS od, count(*) AS n, min(o_orderkey) AS first_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // window-function breadth: lag/lead/first_value + running sum in one pass
     QueryDef("q65_window_breadth", (s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -235,20 +235,36 @@ object StreamingOps {
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
           (uid: Long, evs: Iterator[EventIn], state: GroupState[SessionState]) =>
             if (state.hasTimedOut) {
-              val done = state.get.sessions.reverseIterator
-                .map(a => SessionOut(uid, a.startUs, a.n, a.v)).toList
-              state.remove()
+              // evict only sessions definitively closed by the watermark;
+              // out-of-order arrivals can leave newer sessions still open
+              // when the timeout fires — those stay in state and re-arm
+              val wmUs = state.getCurrentWatermarkMs() * 1000
+              val (closed, open) = state.get.sessions.partition(a => a.lastUs + gapUs <= wmUs)
+              val done = closed.sortBy(_.startUs).map(a => SessionOut(uid, a.startUs, a.n, a.v))
+              if (open.isEmpty) state.remove()
+              else {
+                state.update(SessionState(open))
+                state.setTimeoutTimestamp(open.map(_.lastUs).max / 1000 + gapUs / 1000 + 1)
+              }
               done.iterator
             } else {
               val st = mergeEvents(state.getOption.getOrElse(SessionState(Nil)), evs.toSeq)
               state.update(st)
-              // fire once the watermark passes the newest session's close
-              state.setTimeoutTimestamp(st.sessions.head.lastUs / 1000 + gapUs / 1000 + 1)
+              // arm for the watermark passing the LAST-closing open session:
+              // head is merely the most recently touched session — after a
+              // late event it can be older than other open sessions, and a
+              // head-based timeout would flush (and split) them early
+              state.setTimeoutTimestamp(st.sessions.map(_.lastUs).max / 1000 + gapUs / 1000 + 1)
               Iterator.empty
             }
         }
 
-      // the three drains share one checkpoint so state survives between them
+      // the three drains share one checkpoint so state survives between them.
+      // HARNESS BOUNDARY: the b.collect() below gathers the per-batch SESSION
+      // AGGREGATES (thousands of rows) onto the driver purely so this oracle
+      // query can hand one DataFrame back to the comparator. A production
+      // pipeline must keep the sink distributed (parquet/Kafka/foreachBatch
+      // writing partitions) — never copy this collect into an operator path.
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       val ck = Files.createTempDirectory("graft_sess_ck_").toString
       def drainCk(): Unit = {
