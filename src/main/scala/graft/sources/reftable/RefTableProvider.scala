@@ -34,6 +34,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class RefTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "reftable"
 
+  // Deploy-time vs run-time validation split (reference:
+  // TableStreamingSource.java:59-70 vs :74-76): inferSchema runs at analysis
+  // time and rejects bad options before any job launches; getTable re-runs
+  // the same validation at table-resolution time, which is where late-bound
+  // option values land in Spark (the analogue of the reference's CDAP-macro
+  // case — macros defer dataset creation to run time,
+  // TableStreamingSource.java:67-69; Spark has no macro layer, so the second
+  // validation pass is the whole contract).
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RefTableOptions.from(options).outputSchema
 
