@@ -186,13 +186,19 @@ object Similarity {
     val bc = corpus.sparkSession.sparkContext.broadcast(planes)
     udf { (v: Seq[Double]) =>
       val p = bc.value
+      // copy to a primitive array first: the deserialized Seq's apply is far
+      // from O(1)-cheap, and this loop indexes each element nTables×bits
+      // times (measured 100× slowdown without the copy)
+      val a = v.toArray
       (0 until p.length).map { t =>
         var sig = 0
         var b = 0
         while (b < p(t).length) {
+          val plane = p(t)(b)
+          val n = math.min(plane.length, a.length)
           var dot = 0.0
           var d = 0
-          while (d < p(t)(b).length && d < v.length) { dot += p(t)(b)(d) * v(d); d += 1 }
+          while (d < n) { dot += plane(d) * a(d); d += 1 }
           if (dot > 0) sig |= (1 << b)
           b += 1
         }

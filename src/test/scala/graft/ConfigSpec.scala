@@ -72,6 +72,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refreshInterval"))
   }
 
+  test("admission-control options validate: positive counts, size literals") {
+    assert(RefTableOptions.from(opts("maxFilesPerTrigger" -> "3")).maxFilesPerTrigger.contains(3))
+    assert(RefTableOptions.from(opts("maxBytesPerTrigger" -> "64MB"))
+      .maxBytesPerTrigger.contains(64L * 1024 * 1024))
+    val e1 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("maxFilesPerTrigger" -> "0"))
+    }
+    assert(e1.getMessage.contains("maxFilesPerTrigger"))
+    val e2 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("maxBytesPerTrigger" -> "lots"))
+    }
+    assert(e2.getMessage.contains("maxBytesPerTrigger"))
+  }
+
   // reference :120-131 (malformed schema JSON)
   test("malformed schema rejected") {
     val e = intercept[IllegalArgumentException] {
