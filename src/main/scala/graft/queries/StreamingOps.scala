@@ -49,6 +49,20 @@ object StreamingOps {
     mem.filter(col("_gen") === maxGen).drop("_gen")
   }
 
+
+  /** Stateful streaming state is partitioned by spark.sql.shuffle.partitions
+    * at the FIRST batch and fixed into the checkpoint. These harness queries
+    * keep tiny state (≤ tens of thousands of keys) behind fresh checkpoints,
+    * so 32 state-store instances per stateful operator are pure per-trigger
+    * overhead — size to the data and restore afterwards. A production job
+    * sizes this once to its own key cardinality before the first run.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // full-snapshot emission through the source, key-as-field included:
     // streaming output must equal the batch table contents (reference
@@ -92,7 +106,7 @@ object StreamingOps {
 
     // event-time tumbling window through Spark's file streaming source with a
     // watermark — the batch q12 oracle must reproduce it exactly.
-    QueryDef("q47_stream_tumbling", (s, dir) => {
+    QueryDef("q47_stream_tumbling", (s, dir) => withShufflePartitions(s, 8) {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
       // the file streaming source wants a directory; expose the single
@@ -123,7 +137,7 @@ object StreamingOps {
     // both sides: purchases joined to the same user's clicks from the
     // preceding hour. Inner joins emit eagerly as matches arrive, so one
     // drain suffices; the batch oracle is the same inequality join.
-    QueryDef("q72_stream_stream_join", (s, dir) => {
+    QueryDef("q72_stream_stream_join", (s, dir) => withShufflePartitions(s, 8) {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
       val evSchema = StructType(Seq(
@@ -157,7 +171,7 @@ object StreamingOps {
     // streaming deduplication: the same source file exposed twice (every
     // event arrives in duplicate); watermarked dropDuplicates must restore
     // exactly-once semantics — aggregates equal the plain batch oracle.
-    QueryDef("q70_stream_dedup", (s, dir) => {
+    QueryDef("q70_stream_dedup", (s, dir) => withShufflePartitions(s, 8) {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
       val evDir = Files.createTempDirectory("graft_dedupstream_")
@@ -188,7 +202,7 @@ object StreamingOps {
     // flushed by sentinel rows that advance the watermark between AvailableNow
     // drains. Output must equal the batch session_window / gaps-and-islands
     // oracle (q58) exactly.
-    QueryDef("q59_stateful_sessions", (s, dir) => {
+    QueryDef("q59_stateful_sessions", (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
