@@ -20,6 +20,7 @@ object Catalog {
       queries.DedupOps.defs ++
       queries.SimilarityOps.defs ++
       queries.MultimodalOps.defs ++
+      queries.CurationOps.defs ++
       queries.StreamingOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap

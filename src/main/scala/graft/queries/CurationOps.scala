@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation catalog entries over `documents`: deterministic
+  * sampling, per-group caps, TF-IDF, and pattern scrubbing — each checked
+  * against a DuckDB oracle computing the identical decision function (the
+  * engine-portable md5-based 60-bit hash, r6-rounded scores, RE2-safe
+  * regexes).
+  */
+object CurationOps {
+  import RelationalSupport.t
+
+  /** DuckDB rendering of the portable 60-bit hash used by Curation. */
+  private def duckHash60(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  // planted-PII construction shared by the Spark and DuckDB sides of q78
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  val defs: Seq[QueryDef] = Seq(
+    // deterministic 10% Bernoulli sample: the keep-decision is a pure
+    // function of the id, so the sample is byte-stable across engines,
+    // runs, and partition layouts — df.sample() is none of those.
+    QueryDef("q75_sample_deterministic", (s, dir) => {
+      Curation.deterministicSample(t(s, dir, "documents"), "doc_id", 10, "sample")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${duckHash60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin)),
+
+    // cap each language at 20 documents, chosen by stable hash (an unbiased
+    // reproducible subset, not head-of-scan); WindowGroupLimit keeps the
+    // shuffle at O(cap) rows per group.
+    QueryDef("q76_cap_per_group", (s, dir) => {
+      Curation.capPerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }, Some(
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ${duckHash60("'cap:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
+         |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    // top-3 TF-IDF terms per document; scores r6-rounded before ranking on
+    // both sides so the ordering is engine-reproducible.
+    QueryDef("q77_tfidf_topk", (s, dir) => {
+      Curation.topTfidfTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, round(tf * ln((nd + 1.0) / (df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rk, word, tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // pattern scrubbing on planted PII: each document gets a deterministic
+    // email prefix (the corpus itself has none), the scrub must remove it,
+    // and the md5 of the scrubbed text is compared — so the replacement has
+    // to land byte-identically in both engines.
+    QueryDef("q78_pii_scrub", (s, dir) => {
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("contact user"), col("doc_id").cast("string"),
+          lit("@example.com said: "), col("text")).as("text"))
+      Curation.scrubPattern(planted, "doc_id", "text", EmailPat, "<EMAIL>")
+        .select(col("doc_id"), col("n_matches"), md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS INTEGER) AS n_matches,
+         |  md5(regexp_replace(t, '$EmailPat', '<EMAIL>', 'g')) AS scrub_md5
+         |FROM (SELECT doc_id,
+         |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com said: ' || text AS t
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin))
+  )
+}

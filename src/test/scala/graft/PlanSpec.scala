@@ -68,6 +68,10 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must be a shuffle-free projection over the broadcast codebook:\n$p")
   }
 
+  test("q76 per-group cap uses WindowGroupLimit (partial top-n before the exchange)") {
+    assert(plan("q76_cap_per_group").contains("WindowGroupLimit"))
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
