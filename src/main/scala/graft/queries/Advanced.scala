@@ -193,6 +193,35 @@ object Advanced {
       """SELECT CAST(o_orderdate AS DATE) AS od, count(*) AS n, min(o_orderkey) AS first_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // bucketed co-located join: both fact tables written bucketBy(orderkey)
+    // + sortBy, so the join needs NO exchange and NO sort on either side —
+    // the shape that turns the biggest shuffle of a 100 TB star join into a
+    // local merge (PlanSpec asserts the exchange-free join plan). The oracle
+    // is the same join from the raw tables.
+    QueryDef("q79_bucketed_join", (s, dir) => {
+      val nb = 8
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+        .option("path", java.nio.file.Files.createTempDirectory("graft_b_orders_").toString)
+        .mode("overwrite").saveAsTable("graft_b_orders")
+      Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+        .option("path", java.nio.file.Files.createTempDirectory("graft_b_lineitem_").toString)
+        .mode("overwrite").saveAsTable("graft_b_lineitem")
+      val o = s.table("graft_b_orders")
+      val l = s.table("graft_b_lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }, Some(
+      """SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev, count(*) AS n
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // window-function breadth: lag/lead/first_value + running sum in one pass
     QueryDef("q65_window_breadth", (s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -72,6 +72,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q76_cap_per_group").contains("WindowGroupLimit"))
   }
 
+  test("bucketed join needs no exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    // write both sides bucketed+sorted on the join key, then force the
+    // sort-merge path (broadcast off) — the join must read the buckets
+    // directly with NO Exchange. (The residual per-bucket Sort remains
+    // unless spark.sql.legacy.bucketedTableScan.outputOrdering is enabled —
+    // Spark stopped trusting bucket sort order by default in SPARK-28632 —
+    // and is a cheap in-memory pass over pre-sorted runs, not a shuffle.)
+    val s = spark
+        s.sql("DROP TABLE IF EXISTS graft_bspec_orders")
+        s.sql("DROP TABLE IF EXISTS graft_bspec_lineitem")
+    // one writer task → one file per bucket, so the scan can also trust the
+    // bucket sort order (at scale: repartition by the bucket expression)
+    Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .repartition(1)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", java.nio.file.Files.createTempDirectory("graft_bspec_orders_").toString)
+        .mode("overwrite").saveAsTable("graft_bspec_orders")
+    Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .repartition(1)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", java.nio.file.Files.createTempDirectory("graft_bspec_lineitem_").toString)
+        .mode("overwrite").saveAsTable("graft_bspec_lineitem")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = s.table("graft_bspec_orders")
+      val l = s.table("graft_bspec_lineitem")
+      val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan must be bucket-aware:\n$p")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
