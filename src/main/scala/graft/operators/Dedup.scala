@@ -94,11 +94,13 @@ object Dedup {
   }
 
   /** Near-duplicate clustering: connected components over the MinHash-LSH
-    * pair graph, labels = minimum reachable id. Iterative min-label
-    * propagation to fixpoint (iterations ≈ cluster diameter — near-dup
-    * clusters are shallow, so 2–4 rounds in practice); each round is one
-    * join + aggregate, with localCheckpoint to cut the growing lineage.
-    * Returns (id, cluster_id) for every document (singletons cluster with
+    * pair graph, labels = minimum reachable id. Each round combines
+    * pointer-jumping (label ← label of current label, which halves chain
+    * depth, so convergence is O(log diameter) — deep chains cost rounds,
+    * not a rewrite) with neighbor-min propagation; each round is two joins
+    * + one aggregate, with localCheckpoint to cut the growing lineage.
+    * Near-dup clusters are shallow, so 2–4 rounds in practice. Returns
+    * (id, cluster_id) for every document (singletons cluster with
     * themselves) — the transitive-closure-correct form of [[dedupCorpus]]'s
     * greedy pair removal.
     */
@@ -107,31 +109,48 @@ object Dedup {
       threshold: Double = 0.7, k: Int = 3, numBands: Int = 64,
       maxIterations: Int = 20): DataFrame = {
     val pairs = minHashLsh(df, idCol, textCol, threshold, k, numBands)
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    connectedComponents(
+      df.select(col(idCol).as("id")),
+      pairs.select(col("a_id").as("u"), col("b_id").as("v")),
+      maxIterations)
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** Min-label connected components over an undirected edge list
+    * (`u`,`v` — one direction suffices) for the given node ids; see
+    * [[clusterNearDups]] for the algorithm. Returns (id, cluster_id).
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("u"), col("v"))
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = true)
-    var labels = df.select(col(idCol).as("id")).withColumn("label", col("id"))
+    var labels = ids.select(col("id")).withColumn("label", col("id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
+      // pointer jump: labels are themselves node ids, so a self-join
+      // resolves label -> that node's current label
+      val byId = labels.select(col("id").as("jid"), col("label").as("jl"))
+      val jumped = labels.join(byId, labels("label") === byId("jid"), "left")
+        .select(col("id"), col("label").as("orig"),
+          least(col("label"), coalesce(col("jl"), col("label"))).as("jlabel"))
       val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("label").as("nl")), Seq("v"))
+        .join(jumped.select(col("id").as("v"), col("jlabel").as("nl")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min("nl").as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+      val updated = jumped.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("orig"),
+          least(col("jlabel"), coalesce(col("nmin"), col("jlabel"))).as("next"))
         .localCheckpoint(eager = true)
-      changed = updated.filter(col("next") < col("label")).count()
+      changed = updated.filter(col("next") < col("orig")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       iter += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"clusterNearDups did not converge after $maxIterations iterations " +
-          s"($changed labels still changing): a near-dup chain deeper than " +
-          s"$maxIterations exists — raise maxIterations (propagation is " +
-          "O(graph diameter) rounds; near-dup clusters are normally shallow)")
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+        s"connectedComponents did not converge after $maxIterations iterations " +
+          s"($changed labels still changing): raise maxIterations " +
+          "(pointer-jumping converges in O(log diameter) rounds)")
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** 60-bit multiset-weighted SimHash per document: (id, simhash). */

@@ -102,6 +102,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).take(5)} / extra ${(lsh -- exact).take(5)}")
   }
 
+  test("connected components converge on a 200-deep chain within the default budget") {
+    // a path graph has diameter = n-1: plain min-label propagation needs n-1
+    // rounds (>> the 20-round default), pointer-jumping needs ~log2(n)
+    import spark.implicits._
+    import graft.operators.Dedup
+    val n = 200
+    val ids = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = Dedup.connectedComponents(ids, edges) // default maxIterations = 20
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      "every chain node must label to the minimum id 0")
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
