@@ -96,11 +96,31 @@ class RefTableScanBuilder(opts: RefTableOptions)
   override def build(): Scan = new RefTableScan(opts, required, pushed)
 }
 
-class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Filter]) extends Scan {
+class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Filter])
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]" +
       s" PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Size the snapshot for the optimizer: without statistics a DSv2 relation
+    * defaults to Long.MaxValue and is NEVER auto-broadcast — which would
+    * defeat the source's documented purpose (a small lookup table feeding a
+    * join, docs/Table-streamingsource.md:10-14). File bytes scaled by the
+    * session compression factor, like Spark's own file sources.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val factor =
+        try org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+        catch { case _: Throwable => 1.0 }
+      val onDisk = SnapshotFiles.list(opts.path).map(_.length).sum
+      math.max(1L, (onDisk * factor).toLong)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def toBatch: Batch = new RefTableBatch(opts, required, pushed)
 

@@ -443,6 +443,22 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(gens.last._2 == expected(2), "final generation must reflect the mutated lookup")
   }
 
+  test("a small snapshot is auto-broadcast in joins (statistics reported)") {
+    // without SupportsReportStatistics a DSv2 relation sizes to Long.Max
+    // and can never be the build side — the reference's entire lookup-join
+    // purpose requires the snapshot to broadcast on its own
+    val dir = Files.createTempDirectory("reftable_stats_").toString
+    writeTable(dir, (1L to 100L).map(i => (i, s"n$i")))
+    val lookup = spark.read.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+    import spark.implicits._
+    val facts = (1L to 10000L).map(i => (i, 1L + i % 100)).toDF("fact_id", "id")
+    val joined = facts.join(lookup, Seq("id"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), s"snapshot must auto-broadcast:\n$p")
+  }
+
   test("generation snapshot is pinned: same gen replans identical files") {
     val dir = Files.createTempDirectory("reftable_pin_").toString
     writeTable(dir, Seq((1L, "a")))
