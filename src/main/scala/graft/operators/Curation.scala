@@ -11,12 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Engine-portable 60-bit hash of a string column (decimal value of the
-    * first 15 hex digits of md5) — the same construction the DuckDB oracles
-    * use, so sampling/capping decisions are reproducible across engines.
+  /** Engine-portable 60-bit hash ([[graft.functions.GraftFunctions.graftHash]])
+    * — the construction the DuckDB oracles replicate, so sampling/capping
+    * decisions are reproducible across engines.
     */
-  private def hash60Col(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def hash60Col(c: Column): Column = graftHash(c)
 
   /** Deterministic Bernoulli sample: keep a row iff the salted hash of its
     * id falls under `percent`. No RNG state, no shuffle, no driver

@@ -114,13 +114,20 @@ object Similarity {
     val cents = array(rows.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), typedlit(cv).as("cv"))
     }: _*)
-    aggregate(
+    val folded = aggregate(
       cents,
       struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
       (acc, c) => {
         val s = r6(cosineSim(col(vecCol), c("cv")))
         when(s > acc("sim"), struct(c("cid").as("cid"), s.as("sim"))).otherwise(acc)
       })
+    // a null or zero-norm vector yields null cosines, which never beat the
+    // init sentinel — mirror the window-argmax formulation (nulls rank
+    // last): assign the lowest cid with a null similarity, instead of
+    // leaking a phantom cell -1 into the index/codebook
+    when(folded("cid") === -1L,
+      struct(lit(rows.head._1).as("cid"), lit(null).cast("double").as("sim")))
+      .otherwise(folded)
   }
 
   /** Nearest-centroid cell per corpus row — one narrow pass, no shuffle. */

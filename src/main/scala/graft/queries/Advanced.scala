@@ -159,7 +159,9 @@ object Advanced {
     // from the original table, so a hash match proves exact decimal decode
     // end-to-end (sums over DECIMAL are exact — no float tolerance in play).
     QueryDef("q73_reftable_decimal", (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_refdec_").toString
+      // fixed path, overwritten per run — createTempDirectory here would
+      // leak one table copy per bench/verify invocation
+      val out = sys.props("java.io.tmpdir") + "/graft_q73_refdec"
       Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"),
           col("c_nationkey"))
@@ -178,7 +180,7 @@ object Advanced {
 
     // DATE decode through the reftable source, same round-trip pattern.
     QueryDef("q74_reftable_date", (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_refdate_").toString
+      val out = sys.props("java.io.tmpdir") + "/graft_q74_refdate"
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
         .write.mode("overwrite").parquet(out)
@@ -204,11 +206,11 @@ object Advanced {
       s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
       Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
         .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-        .option("path", java.nio.file.Files.createTempDirectory("graft_b_orders_").toString)
+        .option("path", sys.props("java.io.tmpdir") + "/graft_q79_orders")
         .mode("overwrite").saveAsTable("graft_b_orders")
       Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-        .option("path", java.nio.file.Files.createTempDirectory("graft_b_lineitem_").toString)
+        .option("path", sys.props("java.io.tmpdir") + "/graft_q79_lineitem")
         .mode("overwrite").saveAsTable("graft_b_lineitem")
       val o = s.table("graft_b_orders")
       val l = s.table("graft_b_lineitem")
@@ -248,7 +250,7 @@ object Advanced {
     // format breadth: the same relation round-tripped through CSV and JSON
     // (Spark's other batch sources) must agree with the parquet oracle.
     QueryDef("q62_format_roundtrip", (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      val out = sys.props("java.io.tmpdir") + "/graft_q62_fmt"
       val nation = t(s, dir, "nation")
       nation.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
       nation.write.mode("overwrite").json(s"$out/json")

@@ -45,6 +45,23 @@ object RefTableColumnarReader {
     case _: DecimalType => true
     case _ => false
   }
+
+  /** Per-executor footer-schema cache: byte-range splits of the same file
+    * (and re-reads across generations) share one footer parse instead of
+    * one metadata round-trip per split. Parquet part files are immutable
+    * and practically uniquely named; the cache is cleared if it ever grows
+    * past a bound so long-lived executors don't accumulate entries.
+    */
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+
+  private[reftable] def fileSchemaOf(path: Path, conf: Configuration): MessageType = {
+    if (footerCache.size > 4096) footerCache.clear()
+    footerCache.computeIfAbsent(path.toString, { _ =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      try r.getFooter.getFileMetaData.getSchema
+      finally r.close()
+    })
+  }
 }
 
 class RefTableColumnarReader(
@@ -57,11 +74,7 @@ class RefTableColumnarReader(
   private val conf = new Configuration()
   private val hadoopPath = new Path(partition.path)
 
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hadoopPath, conf))
-    try r.getFooter.getFileMetaData.getSchema
-    finally r.close()
-  }
+  private val fileSchema: MessageType = RefTableColumnarReader.fileSchemaOf(hadoopPath, conf)
 
   private def isNanos(col: String): Boolean =
     fileSchema.containsField(col) &&

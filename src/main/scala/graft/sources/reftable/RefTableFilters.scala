@@ -6,13 +6,19 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 /** Translation of Spark data-source filters into parquet-mr FilterPredicates
-  * for the reftable readers. Accepted filters benefit from parquet's
-  * row-group statistics (whole row groups skipped) plus exact record-level
-  * filtering, so accepted filters do NOT need Spark-side re-evaluation.
+  * for the reftable readers. These predicates are an OPTIMIZATION only —
+  * row-group statistics skipping everywhere, page skipping and record-level
+  * filtering where the reader supports it (the vectorized path filters at
+  * row-group/page granularity only). Correctness does NOT depend on them:
+  * RefTableScanBuilder.pushFilters returns every filter as a residual, and
+  * Spark re-evaluates exactly above the scan. Do not revert that contract —
+  * record-level parquet semantics differ from SQL three-valued logic (e.g.
+  * notEq keeps nulls), and the guards here only make the *statistics* level
+  * agree with SQL.
   *
   * Supported: =, <, <=, >, >=, IsNull, IsNotNull, In, And, Or, Not over
   * int/long/float/double/boolean/string fields (rowField redirected to its
-  * storage key column). Everything else stays a residual for Spark.
+  * storage key column). Everything else is not translated.
   */
 object RefTableFilters {
 

@@ -86,6 +86,13 @@ object RefTableOffset {
   *  - Restart: planInputPartitions for an unknown generation re-lists the
   *    current table state — the reference's restart behavior (its pipeline
   *    test stops/restarts and expects current rows, PipelineTest.java:151-177).
+  *    A mid-generation offset recovered from the checkpoint is NOT continued
+  *    (the pinned listing died with the previous driver — continuing would
+  *    stitch two listings into one "snapshot"): the partial generation is
+  *    abandoned and the current state re-emitted as a fresh generation.
+  *    Replaying the single uncommitted chunk batch after a restart still
+  *    slices the re-listed state — at-least-once within the abandoned
+  *    generation; sinks requiring exact determinism should run unchunked.
   */
 class RefTableMicroBatchStream(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter] = Array.empty)
@@ -143,20 +150,36 @@ class RefTableMicroBatchStream(
     val prev = Option(last)
       .orElse(Option(start).map(_.asInstanceOf[RefTableOffset]))
       .getOrElse(RefTableOffset(-1L, -1L, -1L))
+    // pinned-by-this-instance check must precede filesOf, which (re-)pins
+    val prevPinned = prev.gen >= 0 && snapshots.contains(prev.gen)
     val prevTotal = if (prev.gen >= 0) filesOf(prev.gen).size.toLong else 0L
     val prevUpTo = if (prev.upTo < 0) prevTotal else prev.upTo
     last =
-      if (prev.gen >= 0 && prevUpTo < prevTotal) {
+      if (prev.gen >= 0 && prevUpTo < prevTotal && prevPinned) {
         // partially-emitted generation: finish it before any refresh —
         // snapshot identity requires the whole generation from one pinning
         RefTableOffset(prev.batch + 1, prev.gen,
           sliceEnd(filesOf(prev.gen), prevUpTo.toInt, limit))
+      } else if (prev.gen >= 0 && prevUpTo < prevTotal) {
+        // restart recovered a mid-generation offset, but the pinning died
+        // with the previous driver: continuing would stitch chunks from two
+        // different listings into one "snapshot". Abandon the partial
+        // generation and emit the current state as a FRESH generation
+        // (reference restart semantics: reload current state) — consumers
+        // keyed on the generation column discard the partial one.
+        // At-least-once, never mixed-snapshot.
+        val files = snapshots(prev.gen)
+        val gen = math.max(computeGen(System.currentTimeMillis()), prev.gen + 1)
+        snapshots(gen) = files
+        RefTableOffset(prev.batch + 1, gen, sliceEnd(files, 0, limit))
       } else {
         val gen = availableNowGen.getOrElse(computeGen(System.currentTimeMillis()))
-        if (gen != prev.gen)
+        if (prev.gen < gen)
           RefTableOffset(prev.batch + 1, gen, sliceEnd(filesOf(gen), 0, limit))
         else if (opts.emitPerTrigger && availableNowGen.isEmpty)
-          RefTableOffset(prev.batch + 1, prev.gen, prevTotal) // full re-emission
+          // trigger-mode re-emission honors the admission caps too: a cycle
+          // of chunked batches re-covers the snapshot, then restarts
+          RefTableOffset(prev.batch + 1, prev.gen, sliceEnd(filesOf(prev.gen), 0, limit))
         else prev
       }
     last

@@ -3,7 +3,6 @@ package graft.sources.reftable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -104,18 +103,14 @@ class RefTablePartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
-  private val inputFile = HadoopInputFile.fromPath(new Path(partition.path), conf)
 
   // storage column needed for each output field (None → synthesized gen col)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
     if (opts.genColumn.contains(f.name)) None else Some(opts.storageColumn(f.name))
   }
 
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(inputFile)
-    try r.getFooter.getFileMetaData.getSchema
-    finally r.close()
-  }
+  private val fileSchema: MessageType =
+    RefTableColumnarReader.fileSchemaOf(new Path(partition.path), conf)
 
   // columns referenced only by pushed filters must still be read (Spark may
   // prune them from the output projection once a filter is fully pushed)

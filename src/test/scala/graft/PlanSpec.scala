@@ -88,12 +88,12 @@ class PlanSpec extends AnyFunSuite {
     Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
       .repartition(1)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", java.nio.file.Files.createTempDirectory("graft_bspec_orders_").toString)
+      .option("path", sys.props("java.io.tmpdir") + "/graft_bspec_orders")
         .mode("overwrite").saveAsTable("graft_bspec_orders")
     Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
       .repartition(1)
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", java.nio.file.Files.createTempDirectory("graft_bspec_lineitem_").toString)
+      .option("path", sys.props("java.io.tmpdir") + "/graft_bspec_lineitem")
         .mode("overwrite").saveAsTable("graft_bspec_lineitem")
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

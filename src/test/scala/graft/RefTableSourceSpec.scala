@@ -340,6 +340,49 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(o4 == o3)
   }
 
+  test("restart mid-generation abandons the partial gen instead of stitching listings") {
+    val dir = Files.createTempDirectory("reftable_abandon_").toString
+    import spark.implicits._
+    (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(5).write.mode("overwrite").parquet(dir)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> ddl, "refreshInterval" -> "1h",
+      "maxFilesPerTrigger" -> "2").asJava))
+    val s1 = new RefTableMicroBatchStream(o, o.outputSchema)
+    val o1 = s1.latestOffset(s1.initialOffset(), s1.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o1.upTo == 2)
+    // "restart": a fresh instance knows only the checkpointed offset — its
+    // pinned listing is gone, so continuing at upTo=2 could stitch chunks
+    // of two different listings into one snapshot
+    val s2 = new RefTableMicroBatchStream(o, o.outputSchema)
+    s2.deserializeOffset(o1.json())
+    val o2 = s2.latestOffset(null, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o2.gen > o1.gen, s"partial generation must be abandoned, got $o2")
+    assert(o2.upTo == 2, "the fresh generation restarts chunking from file 0")
+    assert(s2.planInputPartitions(o1, o2).length == 2)
+  }
+
+  test("trigger emit mode honors admission caps: chunked re-emission cycles") {
+    val dir = Files.createTempDirectory("reftable_trigcap_").toString
+    import spark.implicits._
+    (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(5).write.mode("overwrite").parquet(dir)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> ddl, "refreshInterval" -> "1h",
+      "emitMode" -> "trigger", "maxFilesPerTrigger" -> "2").asJava))
+    val s = new RefTableMicroBatchStream(o, o.outputSchema)
+    var prev = s.initialOffset()
+    val upTos = (1 to 5).map { _ =>
+      val nxt = s.latestOffset(prev, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+      val n = s.planInputPartitions(prev, nxt).length
+      prev = nxt
+      (nxt.upTo, n)
+    }
+    // 2,2 / 4,2 / 5,1 completes the snapshot; the next trigger re-starts
+    // the cycle at the cap, never the whole snapshot in one batch
+    assert(upTos == Seq((2L, 2), (4L, 2), (5L, 1), (2L, 2), (4L, 2)), s"got $upTos")
+  }
+
   test("admission control end-to-end: chunked batches reassemble the snapshot") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("reftable_adm_e2e_").toString
