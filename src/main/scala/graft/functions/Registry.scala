@@ -1,28 +1,34 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Registers the graft kernel expressions as SQL functions, so `spark.sql`
   * users get the same surface as the Column API:
   *
   * {{{
-  *   graft.functions.Registry.registerAll(spark)
+  *   graft.functions.Registry.registerAll(spark)          // per session
+  *   // or cluster-wide at session build time:
+  *   //   --conf spark.sql.extensions=graft.functions.GraftExtensions
   *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) FROM ...")
   * }}}
   */
 object Registry {
+
+  /** The single function table: shared by per-session temp registration and
+    * [[GraftExtensions]] injection, so both surfaces stay identical.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
+    "graft_minhash_sig" -> (exprs => MinHashSignature(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    "graft_minhash_bands" -> (exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    "graft_shingle_hashes" -> (exprs => ShingleHashes(exprs(0), intArg(exprs(1)))))
+
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    r.createOrReplaceTempFunction("graft_simhash60",
-      exprs => SimHash60(exprs.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSignature(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "scala_udf")
-    r.createOrReplaceTempFunction("graft_minhash_bands",
-      exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "scala_udf")
-    r.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "scala_udf")
+    builders.foreach { case (name, b) => r.createOrReplaceTempFunction(name, b, "scala_udf") }
   }
 
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
@@ -35,4 +41,19 @@ object Registry {
     case other =>
       throw new IllegalArgumentException(s"expected an integer literal argument, got $other")
   }
+}
+
+/** `spark.sql.extensions` entry point: injects the kernel functions at
+  * session build time, the idiomatic cluster-wide deployment
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`); session
+  * code can still call [[Registry.registerAll]] for ad-hoc use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        b))
+    }
 }

@@ -13,3 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Test-only bridge to SparkSessionExtensions' private[sql] function
+  * application, so the `spark.sql.extensions` entry point can be verified
+  * without building a second SparkSession (extensions are applied only at
+  * session construction).
+  */
+object ExtensionsBridge {
+  def applyFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
+}

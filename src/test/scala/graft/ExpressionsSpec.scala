@@ -115,4 +115,21 @@ class ExpressionsSpec extends AnyFunSuite {
     val exact = Tables.load(spark, dir, "lineitem").select(countDistinct("l_partkey")).first().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("GraftExtensions injects the kernel functions at session build time") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.ExtensionsBridge.applyFunctions(
+      ext, new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry)
+    val names = graft.functions.Registry.builders.map(_._1)
+    names.foreach { n =>
+      assert(reg.functionExists(FunctionIdentifier(n)), s"$n not injected")
+    }
+    // the injected builder constructs the real kernel expression
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("a", "b"), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val e = reg.lookupFunction(FunctionIdentifier("graft_simhash60"), Seq(lit))
+    assert(e.isInstanceOf[graft.functions.SimHash60])
+  }
 }
