@@ -159,9 +159,10 @@ object Advanced {
     // from the original table, so a hash match proves exact decimal decode
     // end-to-end (sums over DECIMAL are exact — no float tolerance in play).
     QueryDef("q73_reftable_decimal", (s, dir) => {
-      // fixed path, overwritten per run — createTempDirectory here would
-      // leak one table copy per bench/verify invocation
-      val out = sys.props("java.io.tmpdir") + "/graft_q73_refdec"
+      // per-invocation path: unique per (session, sf) so concurrent runs
+      // never overwrite each other mid-read; overwritten on re-run within a
+      // session rather than leaking one copy per invocation
+      val out = RelationalSupport.scratchDir(s, dir, "q73_refdec")
       Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"),
           col("c_nationkey"))
@@ -180,7 +181,7 @@ object Advanced {
 
     // DATE decode through the reftable source, same round-trip pattern.
     QueryDef("q74_reftable_date", (s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_q74_refdate"
+      val out = RelationalSupport.scratchDir(s, dir, "q74_refdate")
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
         .write.mode("overwrite").parquet(out)
@@ -202,18 +203,23 @@ object Advanced {
     // is the same join from the raw tables.
     QueryDef("q79_bucketed_join", (s, dir) => {
       val nb = 8
-      s.sql("DROP TABLE IF EXISTS graft_b_orders")
-      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      // table names + paths carry the invocation tag: the metastore-visible
+      // names race across concurrent invocations just like shared paths do
+      val tag = RelationalSupport.scratchTag(s, dir)
+      val ordersTbl = s"graft_b_orders_$tag"
+      val lineitemTbl = s"graft_b_lineitem_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      s.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
       Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
         .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-        .option("path", sys.props("java.io.tmpdir") + "/graft_q79_orders")
-        .mode("overwrite").saveAsTable("graft_b_orders")
+        .option("path", RelationalSupport.scratchDir(s, dir, "q79_orders"))
+        .mode("overwrite").saveAsTable(ordersTbl)
       Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-        .option("path", sys.props("java.io.tmpdir") + "/graft_q79_lineitem")
-        .mode("overwrite").saveAsTable("graft_b_lineitem")
-      val o = s.table("graft_b_orders")
-      val l = s.table("graft_b_lineitem")
+        .option("path", RelationalSupport.scratchDir(s, dir, "q79_lineitem"))
+        .mode("overwrite").saveAsTable(lineitemTbl)
+      val o = s.table(ordersTbl)
+      val l = s.table(lineitemTbl)
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy("o_custkey")
         .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"),
@@ -250,7 +256,7 @@ object Advanced {
     // format breadth: the same relation round-tripped through CSV and JSON
     // (Spark's other batch sources) must agree with the parquet oracle.
     QueryDef("q62_format_roundtrip", (s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_q62_fmt"
+      val out = RelationalSupport.scratchDir(s, dir, "q62_fmt")
       val nation = t(s, dir, "nation")
       nation.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
       nation.write.mode("overwrite").json(s"$out/json")

@@ -26,6 +26,25 @@ import org.apache.spark.sql.functions._
 object RelationalSupport {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Scratch identifier unique per (invocation, scale factor): queries that
+    * materialize intermediate tables must never share paths or table names
+    * across concurrent bench/verify runs — a second invocation overwriting a
+    * fixed path mid-read corrupts the first's results. The Spark application
+    * id is unique per session; the sf-dir basename separates the scale
+    * factors when one session runs several.
+    */
+  def scratchTag(spark: SparkSession, dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"${sf}_${spark.sparkContext.applicationId}".replaceAll("[^A-Za-z0-9_]", "_")
+  }
+
+  /** Unique scratch directory under java.io.tmpdir for query `name`. One
+    * fixed dir per (invocation, sf, query) — overwritten on re-run within a
+    * session (bench runs each query twice), never shared across sessions.
+    */
+  def scratchDir(spark: SparkSession, dir: String, name: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${name}_${scratchTag(spark, dir)}"
 }
 
 object Relational {

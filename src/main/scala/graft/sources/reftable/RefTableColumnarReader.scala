@@ -46,21 +46,46 @@ object RefTableColumnarReader {
     case _ => false
   }
 
-  /** Per-executor footer-schema cache: byte-range splits of the same file
+  /** Per-executor footer-metadata cache: byte-range splits of the same file
     * (and re-reads across generations) share one footer parse instead of
-    * one metadata round-trip per split. Parquet part files are immutable
-    * and practically uniquely named; the cache is cleared if it ever grows
-    * past a bound so long-lived executors don't accumulate entries.
+    * one metadata round-trip per split. Keyed on (path, fileLength) — the
+    * length comes from the generation's pinned listing, so a file swapped
+    * in place under a stable name (the delete+rename pattern) stops hitting
+    * the old entry the moment its size changes; same-length swaps of
+    * *parquet* files are vanishingly rare (footer offsets/stats differ).
+    * The cache is cleared if it ever grows past a bound so long-lived
+    * executors don't accumulate entries.
     */
-  private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.hadoop.metadata.FileMetaData]()
 
-  private[reftable] def fileSchemaOf(path: Path, conf: Configuration): MessageType = {
+  private[reftable] def fileMetaOf(
+      path: Path, fileLength: Long, conf: Configuration): org.apache.parquet.hadoop.metadata.FileMetaData = {
     if (footerCache.size > 4096) footerCache.clear()
-    footerCache.computeIfAbsent(path.toString, { _ =>
+    footerCache.computeIfAbsent(s"$path#$fileLength", { _ =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-      try r.getFooter.getFileMetaData.getSchema
+      try r.getFooter.getFileMetaData
       finally r.close()
     })
+  }
+
+  /** Per-file datetime rebase modes, mirroring the decision Spark's built-in
+    * parquet path makes in DataSourceUtils.datetimeRebaseSpec: files that
+    * carry the writer markers `org.apache.spark.legacyDateTime` /
+    * `org.apache.spark.legacyINT96` (Spark ≤2.x or legacy-mode writers on
+    * the hybrid Julian–Gregorian calendar) are rebased in LEGACY mode using
+    * the writer timezone recorded in `org.apache.spark.timeZone`; all other
+    * files — modern Spark and non-Spark writers on the proleptic Gregorian
+    * calendar — read as written (CORRECTED). Returns
+    * (datetimeMode, datetimeTz, int96Mode, int96Tz).
+    */
+  private[reftable] def rebaseSpec(
+      meta: org.apache.parquet.hadoop.metadata.FileMetaData): (String, String, String, String) = {
+    val kv = meta.getKeyValueMetaData
+    val tz = Option(kv.get("org.apache.spark.timeZone")).getOrElse("UTC")
+    val dt = if (kv.containsKey("org.apache.spark.legacyDateTime")) "LEGACY" else "CORRECTED"
+    val i96 = if (kv.containsKey("org.apache.spark.legacyINT96")) "LEGACY" else "CORRECTED"
+    (dt, tz, i96, tz)
   }
 }
 
@@ -74,7 +99,8 @@ class RefTableColumnarReader(
   private val conf = new Configuration()
   private val hadoopPath = new Path(partition.path)
 
-  private val fileSchema: MessageType = RefTableColumnarReader.fileSchemaOf(hadoopPath, conf)
+  private val fileMeta = RefTableColumnarReader.fileMetaOf(hadoopPath, partition.fileLength, conf)
+  private val fileSchema: MessageType = fileMeta.getSchema
 
   private def isNanos(col: String): Boolean =
     fileSchema.containsField(col) &&
@@ -120,8 +146,9 @@ class RefTableColumnarReader(
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
     val preds = pushed.flatMap(f => RefTableFilters.translate(opts, f))
     if (preds.nonEmpty) ParquetInputFormat.setFilterPredicate(conf, preds.reduce(FilterApi.and))
+    val (dtMode, dtTz, i96Mode, i96Tz) = RefTableColumnarReader.rebaseSpec(fileMeta)
     val r = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /* offHeap */ false, /* capacity */ 4096)
+      null, dtMode, dtTz, i96Mode, i96Tz, /* offHeap */ false, /* capacity */ 4096)
     val split = new FileSplit(hadoopPath, partition.start, partition.length, Array.empty[String])
     r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
     genField match {

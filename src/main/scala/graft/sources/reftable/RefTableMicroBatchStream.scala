@@ -35,12 +35,20 @@ object SnapshotFiles {
 }
 
 /** Offset = (batch counter, refresh generation, files emitted so far in the
-  * generation). `upTo` = -1 means "the whole generation" — both the legacy
-  * round-1 offset format and the unchunked fast path decode that way.
+  * generation, wall-clock generation at emission time). `upTo` = -1 means
+  * "the whole generation" — both the legacy round-1 offset format and the
+  * unchunked fast path decode that way. `wall` = -1 means "same as gen"
+  * (the normal case and the legacy format): it diverges only when a
+  * restart-abandoned generation forces `gen` to run ahead of wall-clock —
+  * the refresh decision always compares against `wall`, never the possibly
+  * synthetic `gen`, so run-ahead never suppresses a real refresh boundary.
   * JSON-serialized into the streaming checkpoint.
   */
-final case class RefTableOffset(batch: Long, gen: Long, upTo: Long = -1L) extends Offset {
-  override def json(): String = s"""{"batch":$batch,"gen":$gen,"upTo":$upTo}"""
+final case class RefTableOffset(batch: Long, gen: Long, upTo: Long = -1L, wall: Long = -1L)
+    extends Offset {
+  /** The wall-clock generation this offset was emitted under. */
+  def wallGen: Long = if (wall >= 0) wall else gen
+  override def json(): String = s"""{"batch":$batch,"gen":$gen,"upTo":$upTo,"wall":$wall}"""
 }
 
 object RefTableOffset {
@@ -49,7 +57,8 @@ object RefTableOffset {
     RefTableOffset(
       n.path("batch").asLong(),
       n.path("gen").asLong(),
-      if (n.has("upTo")) n.path("upTo").asLong() else -1L)
+      if (n.has("upTo")) n.path("upTo").asLong() else -1L,
+      if (n.has("wall")) n.path("wall").asLong() else -1L)
   }
 }
 
@@ -159,7 +168,7 @@ class RefTableMicroBatchStream(
         // partially-emitted generation: finish it before any refresh —
         // snapshot identity requires the whole generation from one pinning
         RefTableOffset(prev.batch + 1, prev.gen,
-          sliceEnd(filesOf(prev.gen), prevUpTo.toInt, limit))
+          sliceEnd(filesOf(prev.gen), prevUpTo.toInt, limit), prev.wall)
       } else if (prev.gen >= 0 && prevUpTo < prevTotal) {
         // restart recovered a mid-generation offset, but the pinning died
         // with the previous driver: continuing would stitch chunks from two
@@ -167,19 +176,28 @@ class RefTableMicroBatchStream(
         // generation and emit the current state as a FRESH generation
         // (reference restart semantics: reload current state) — consumers
         // keyed on the generation column discard the partial one.
-        // At-least-once, never mixed-snapshot.
+        // At-least-once, never mixed-snapshot. The generation number may
+        // run ahead of wall-clock here (gen monotonicity), so the offset
+        // records the true wall-clock generation separately — the next
+        // real refresh boundary is detected against `wall`, not `gen`.
         val files = snapshots(prev.gen)
-        val gen = math.max(computeGen(System.currentTimeMillis()), prev.gen + 1)
+        val wallNow = computeGen(System.currentTimeMillis())
+        val gen = math.max(wallNow, prev.gen + 1)
         snapshots(gen) = files
-        RefTableOffset(prev.batch + 1, gen, sliceEnd(files, 0, limit))
+        RefTableOffset(prev.batch + 1, gen, sliceEnd(files, 0, limit), wallNow)
       } else {
-        val gen = availableNowGen.getOrElse(computeGen(System.currentTimeMillis()))
-        if (prev.gen < gen)
-          RefTableOffset(prev.batch + 1, gen, sliceEnd(filesOf(gen), 0, limit))
-        else if (opts.emitPerTrigger && availableNowGen.isEmpty)
+        val wallNow = availableNowGen.getOrElse(computeGen(System.currentTimeMillis()))
+        if (prev.gen < 0 || wallNow > prev.wallGen) {
+          // new refresh boundary crossed (or first poll): emit a fresh
+          // generation. `gen` stays strictly monotonic even if a prior
+          // abandon pushed it past wall-clock.
+          val gen = math.max(wallNow, prev.gen + 1)
+          snapshots(gen) = filesOf(wallNow)
+          RefTableOffset(prev.batch + 1, gen, sliceEnd(snapshots(gen), 0, limit), wallNow)
+        } else if (opts.emitPerTrigger && availableNowGen.isEmpty)
           // trigger-mode re-emission honors the admission caps too: a cycle
           // of chunked batches re-covers the snapshot, then restarts
-          RefTableOffset(prev.batch + 1, prev.gen, sliceEnd(filesOf(prev.gen), 0, limit))
+          RefTableOffset(prev.batch + 1, prev.gen, sliceEnd(filesOf(prev.gen), 0, limit), prev.wall)
         else prev
       }
     last

@@ -110,7 +110,7 @@ class RefTablePartitionReader(
   }
 
   private val fileSchema: MessageType =
-    RefTableColumnarReader.fileSchemaOf(new Path(partition.path), conf)
+    RefTableColumnarReader.fileMetaOf(new Path(partition.path), partition.fileLength, conf).getSchema
 
   // columns referenced only by pushed filters must still be read (Spark may
   // prune them from the output projection once a filter is fully pushed)

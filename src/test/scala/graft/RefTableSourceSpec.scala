@@ -360,6 +360,31 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(o2.gen > o1.gen, s"partial generation must be abandoned, got $o2")
     assert(o2.upTo == 2, "the fresh generation restarts chunking from file 0")
     assert(s2.planInputPartitions(o1, o2).length == 2)
+    // the abandoned-gen offset records the true wall-clock generation
+    // separately: gen ran ahead (prev.gen + 1 > floor(now/1h)), and a later
+    // refresh decision must compare against wall, not the synthetic gen
+    assert(o2.wall >= 0 && o2.wall < o2.gen,
+      s"abandon must record wall-clock gen alongside the synthetic gen, got $o2")
+  }
+
+  test("a synthetic run-ahead generation does not suppress the next real refresh") {
+    val dir = Files.createTempDirectory("reftable_runahead_").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(dir)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> ddl, "refreshInterval" -> "1s").asJava))
+    val s = new RefTableMicroBatchStream(o, o.outputSchema)
+    // a restart-abandon can leave gen far ahead of wall-clock; simulate the
+    // checkpointed aftermath directly: gen = wall + 1000
+    val wallNow = System.currentTimeMillis() / 1000L
+    val prev = RefTableOffset(batch = 3L, gen = wallNow + 1000L, upTo = -1L, wall = wallNow)
+    Thread.sleep(1100) // cross at least one real refresh boundary
+    val nxt = s.latestOffset(prev, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(nxt.batch == prev.batch + 1 && nxt.gen == prev.gen + 1,
+      s"the boundary after an abandon must still emit (monotonic gen), got $nxt")
+    assert(nxt.wall > prev.wall && nxt.wall < nxt.gen,
+      s"wall-clock gen must advance independently of the synthetic gen, got $nxt")
+    assert(s.planInputPartitions(prev, nxt).length == 1)
   }
 
   test("trigger emit mode honors admission caps: chunked re-emission cycles") {
