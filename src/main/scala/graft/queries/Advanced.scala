@@ -196,6 +196,30 @@ object Advanced {
       """SELECT CAST(o_orderdate AS DATE) AS od, count(*) AS n, min(o_orderkey) AS first_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Hive-partitioned snapshot through the reftable source: the table is
+    // written as c_mktsegment=<v> directories, the source decodes the
+    // partition value from the path (constant vector, zero per-row cost)
+    // and the IN filter prunes the listing to 2 of 5 directories on the
+    // driver (PlanSpec asserts the pruning; this oracle proves the values).
+    QueryDef("q80_reftable_partitioned", (s, dir) => {
+      val out = RelationalSupport.scratchDir(s, dir, "q80_refpart")
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"), col("c_mktsegment"))
+        .write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "c_custkey BIGINT, c_acctbal DOUBLE, c_nationkey INT, c_mktsegment STRING")
+        .option("partitionColumns", "c_mktsegment")
+        .load()
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), r4(sum("c_acctbal")).as("bal"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    }, Some(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS bal
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // bucketed co-located join: both fact tables written bucketBy(orderkey)
     // + sortBy, so the join needs NO exchange and NO sort on either side —
     // the shape that turns the biggest shuffle of a 100 TB star join into a

@@ -109,10 +109,18 @@ class RefTableColumnarReader(
         case _ => false
       })
 
-  // output field i -> storage column (None = synthesized generation column)
+  // output field i -> storage column (None = constant column: the
+  // synthesized generation column or a directory partition value)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
-    if (opts.genColumn.contains(f.name)) None else Some(opts.storageColumn(f.name))
+    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name)) None
+    else Some(opts.storageColumn(f.name))
   }
+
+  // constant fields ride the vectorized reader's partition-column mechanism:
+  // one ConstantColumnVector each, zero per-row decode cost
+  private val constFields: Array[StructField] =
+    required.fields.filter(f => opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name))
+  private val constIndex: Map[String, Int] = constFields.map(_.name).zipWithIndex.toMap
 
   {
     val missing = fieldSources.flatten.distinct.filterNot(fileSchema.containsField)
@@ -129,9 +137,6 @@ class RefTableColumnarReader(
     val readType = if (outType == TimestampType && isNanos(c)) LongType else outType
     StructField(c, readType, nullable = true)
   })
-
-  private val genField: Option[StructField] =
-    opts.genColumn.filter(g => required.fieldNames.contains(g)).map(g => StructField(g, LongType, false))
 
   private val reader: VectorizedParquetRecordReader = {
     // the conf keys Spark's parquet read path expects (set by
@@ -151,13 +156,16 @@ class RefTableColumnarReader(
       null, dtMode, dtTz, i96Mode, i96Tz, /* offHeap */ false, /* capacity */ 4096)
     val split = new FileSplit(hadoopPath, partition.start, partition.length, Array.empty[String])
     r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-    genField match {
-      case Some(g) =>
-        val row = new GenericInternalRow(1)
-        row.update(0, partition.gen)
-        r.initBatch(StructType(Seq(g)), row)
-      case None =>
-        r.initBatch(new StructType(), InternalRow.empty)
+    if (constFields.isEmpty) r.initBatch(new StructType(), InternalRow.empty)
+    else {
+      val row = new GenericInternalRow(constFields.length)
+      constFields.zipWithIndex.foreach { case (f, i) =>
+        val v: Any =
+          if (opts.genColumn.contains(f.name)) java.lang.Long.valueOf(partition.gen)
+          else RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType)
+        row.update(i, v)
+      }
+      r.initBatch(StructType(constFields.toIndexedSeq), row)
     }
     r.enableReturningBatches()
     r
@@ -170,7 +178,8 @@ class RefTableColumnarReader(
   private def project(inner: ColumnarBatch): ColumnarBatch = {
     if (out == null) {
       val vectors: Array[ColumnVector] = fieldSources.zipWithIndex.map {
-        case (None, _) => inner.column(storageCols.length) // the gen partition column
+        case (None, i) => // constant (gen / partition-value) vector
+          inner.column(storageCols.length + constIndex(required.fields(i).name))
         case (Some(c), i) =>
           val v = inner.column(storageCols.indexOf(c))
           if (required.fields(i).dataType == TimestampType && isNanos(c))

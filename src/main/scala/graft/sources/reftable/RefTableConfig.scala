@@ -112,6 +112,12 @@ object SchemaJson {
   *                      generation larger than the cap is emitted across
   *                      several micro-batches; the generation stays pinned
   *                      until fully emitted, so snapshot identity holds.
+  *  - `partitionColumns` (optional) comma-separated schema fields populated
+  *                      from Hive-style `col=value` directory names, in
+  *                      nesting order. Partitioned layout is how a 100 TB
+  *                      table actually sits on storage; filters over these
+  *                      columns prune the listing on the driver
+  *                      (see [[RefTablePartitioning]]).
   */
 final case class RefTableOptions(
     path: String,
@@ -122,7 +128,8 @@ final case class RefTableOptions(
     emitPerTrigger: Boolean,
     genColumn: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) {
+    maxBytesPerTrigger: Option[Long] = None,
+    partitionColumns: Seq[String] = Nil) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -131,6 +138,9 @@ final case class RefTableOptions(
   /** Underlying storage column for an output field. */
   def storageColumn(field: String): String =
     if (rowField.contains(field)) keyColumn.get else field
+
+  /** True for a field decoded from the directory path, not file content. */
+  def isPartitionCol(field: String): Boolean = partitionColumns.contains(field)
 }
 
 object RefTableOptions {
@@ -178,6 +188,21 @@ object RefTableOptions {
     for (g <- genColumn; st <- schema; if st.fieldNames.contains(g))
       errs += s"genColumn '$g' collides with a schema field"
 
+    val partitionColumns: Seq[String] = Option(options.get("partitionColumns"))
+      .filter(_.nonEmpty).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    if (partitionColumns.distinct.size != partitionColumns.size)
+      errs += "Option 'partitionColumns' lists a column twice"
+    for (pc <- partitionColumns; st <- schema) {
+      st.fields.find(_.name == pc) match {
+        case None => errs += s"partition column '$pc' must be a field in the schema"
+        case Some(f) if !RefTablePartitioning.supportedType(f.dataType) =>
+          errs += s"partition column '$pc' has unsupported type ${f.dataType.simpleString}"
+        case _ => ()
+      }
+      if (rowField.contains(pc))
+        errs += s"rowField '$pc' cannot also be a partition column (the key lives in file content)"
+    }
+
     val maxFiles = Option(options.get("maxFilesPerTrigger")).filter(_.nonEmpty).flatMap { s =>
       try {
         val n = s.trim.toInt
@@ -198,6 +223,6 @@ object RefTableOptions {
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
-      maxFiles, maxBytes)
+      maxFiles, maxBytes, partitionColumns)
   }
 }

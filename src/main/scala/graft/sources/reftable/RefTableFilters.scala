@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   */
 object RefTableFilters {
 
-  /** Storage-side field name + type for a schema field, if pushable. */
+  /** Storage-side field name + type for a schema field, if pushable.
+    * Partition columns are excluded — they exist only in directory names,
+    * and parquet-mr rejects predicates over absent columns; their filters
+    * are handled by listing-time pruning instead.
+    */
   private def storageField(opts: RefTableOptions, name: String): Option[(String, DataType)] =
     opts.schema.fields.find(_.name == name)
-      .filter(_ => !opts.genColumn.contains(name))
+      .filter(_ => !opts.genColumn.contains(name) && !opts.isPartitionCol(name))
       .map(f => (opts.storageColumn(f.name), f.dataType))
 
   def translate(opts: RefTableOptions, f: Filter): Option[FilterPredicate] = f match {

@@ -14,24 +14,59 @@ import org.apache.spark.sql.types.StructType
 /** A snapshot file pinned at refresh time. Pinning (path, length) at the
   * refresh boundary is what gives a generation snapshot identity even if the
   * underlying table is overwritten mid-generation — parquet files are
-  * immutable once written.
+  * immutable once written. `partitionValues` carries the file's Hive-style
+  * directory values (raw strings as listed; empty for flat layouts).
   */
-final case class SnapshotFile(path: String, length: Long)
+final case class SnapshotFile(
+    path: String, length: Long, partitionValues: Map[String, String] = Map.empty)
 
 object SnapshotFiles {
-  def list(dir: String): Seq[SnapshotFile] = {
+  def list(dir: String): Seq[SnapshotFile] = list(dir, Nil)
+
+  def list(dir: String, partitionColumns: Seq[String]): Seq[SnapshotFile] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) throw new IllegalArgumentException(s"reftable path does not exist: $dir")
-    val it = fs.listStatus(p)
-    it.toIndexedSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.toString)
-      .map(s => SnapshotFile(s.getPath.toString, s.getLen)) match {
-      case Seq() if fs.getFileStatus(p).isFile => Seq(SnapshotFile(p.toString, fs.getFileStatus(p).getLen))
-      case other => other
+    if (partitionColumns.isEmpty) {
+      fs.listStatus(p).toIndexedSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
+        .map(s => SnapshotFile(s.getPath.toString, s.getLen)) match {
+        case Seq() if fs.getFileStatus(p).isFile =>
+          Seq(SnapshotFile(p.toString, fs.getFileStatus(p).getLen))
+        case other => other
+      }
+    } else {
+      // Hive layout: one directory level per partition column, in option
+      // order; values decoded from `col=value` names. One recursive listing
+      // per refresh on the driver — at many-partition scale swap for a
+      // manifest/catalog listing, the contract downstream stays the same.
+      def walk(d: Path, depth: Int, acc: Map[String, String]): Seq[SnapshotFile] =
+        if (depth == partitionColumns.size) {
+          fs.listStatus(d).toIndexedSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => SnapshotFile(s.getPath.toString, s.getLen, acc))
+        } else {
+          fs.listStatus(d).toIndexedSeq
+            .filter(s => s.isDirectory &&
+              !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+            .flatMap { s =>
+              val name = s.getPath.getName
+              val eq = name.indexOf('=')
+              if (eq < 0 || RefTablePartitioning.unescape(name.substring(0, eq)) != partitionColumns(depth))
+                throw new IllegalArgumentException(
+                  s"reftable: expected '${partitionColumns(depth)}=<value>' directories under $d, found '$name'")
+              walk(s.getPath, depth + 1,
+                acc + (partitionColumns(depth) -> RefTablePartitioning.unescape(name.substring(eq + 1))))
+            }
+        }
+      walk(p, 0, Map.empty).sortBy(_.path)
     }
   }
+
+  /** Listing for a scan: partition-aware and pruned by the pushed filters. */
+  def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] =
+    RefTablePartitioning.prune(list(opts.path, opts.partitionColumns), opts, filters)
 }
 
 /** Offset = (batch counter, refresh generation, files emitted so far in the
@@ -115,7 +150,10 @@ class RefTableMicroBatchStream(
     if (opts.refreshMs <= 0) 0L else nowMs / opts.refreshMs
 
   private def filesOf(gen: Long): Seq[SnapshotFile] =
-    snapshots.getOrElseUpdate(gen, SnapshotFiles.list(opts.path))
+    // partition pruning happens at pinning time: a generation of a
+    // partitioned table under a partition filter IS the pruned listing
+    // (offsets and admission-control slices count pruned files only)
+    snapshots.getOrElseUpdate(gen, SnapshotFiles.pruned(opts, pushed.toSeq))
 
   override def initialOffset(): Offset = RefTableOffset(-1L, -1L, -1L)
 

@@ -85,9 +85,15 @@ class RefTableScanBuilder(opts: RefTableOptions)
     * treating pushed filters as exact is how three-valued-logic bugs sneak
     * in (parquet record-level notEq keeps nulls); re-evaluation costs one
     * codegen'd pass over survivors and buys exactness by construction.
+    *
+    * Filters over partition columns are retained too: they never reach
+    * parquet (the columns aren't in the files) but prune the directory
+    * listing on the driver (RefTablePartitioning.prune).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => RefTableFilters.translate(opts, f).isDefined)
+    pushed = filters.filter(f =>
+      RefTableFilters.translate(opts, f).isDefined ||
+        (f.references.nonEmpty && f.references.forall(opts.isPartitionCol)))
     filters
   }
 
@@ -115,7 +121,9 @@ class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Fi
         try org.apache.spark.sql.SparkSession.active.conf
           .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
         catch { case _: Throwable => 1.0 }
-      val onDisk = SnapshotFiles.list(opts.path).map(_.length).sum
+      // post-pruning size: a partition-filtered scan of a huge table is
+      // exactly the case where accurate (small) stats enable the broadcast
+      val onDisk = SnapshotFiles.pruned(opts, pushed.toSeq).map(_.length).sum
       math.max(1L, (onDisk * factor).toLong)
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -132,7 +140,7 @@ class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Fi
 class RefTableBatch(opts: RefTableOptions, required: StructType, pushed: Array[Filter]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
-    RefTablePartitions.plan(SnapshotFiles.list(opts.path), gen)
+    RefTablePartitions.plan(SnapshotFiles.pruned(opts, pushed.toSeq), gen)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RefTableReaderFactory(opts, required, pushed)

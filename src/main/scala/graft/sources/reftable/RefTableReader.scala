@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * over the pinned (path, fileLength) list.
   */
 final case class RefTableInputPartition(
-    path: String, start: Long, length: Long, fileLength: Long, gen: Long)
+    path: String, start: Long, length: Long, fileLength: Long, gen: Long,
+    partitionValues: Map[String, String] = Map.empty)
     extends InputPartition
 
 object RefTablePartitions {
@@ -44,10 +45,11 @@ object RefTablePartitions {
     val target = math.max(1L, targetSplitBytes)
     files.iterator.flatMap { f =>
       if (f.length <= target) {
-        Iterator.single(RefTableInputPartition(f.path, 0L, f.length, f.length, gen))
+        Iterator.single(RefTableInputPartition(f.path, 0L, f.length, f.length, gen, f.partitionValues))
       } else {
         (0L until f.length by target).iterator.map { start =>
-          RefTableInputPartition(f.path, start, math.min(target, f.length - start), f.length, gen)
+          RefTableInputPartition(
+            f.path, start, math.min(target, f.length - start), f.length, gen, f.partitionValues)
         }
       }
     }.toArray
@@ -68,11 +70,12 @@ class RefTableReaderFactory(opts: RefTableOptions, required: StructType, pushed:
 
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     // every type vectorizable, and no storage column requested at two
-    // different output types (each storage column is decoded once)
+    // different output types (each storage column is decoded once);
+    // constant columns (gen, partition values) ride partition vectors
     val colType = scala.collection.mutable.Map.empty[String, DataType]
     required.fields.forall { f =>
       RefTableColumnarReader.supports(f.dataType) &&
-        (opts.genColumn.contains(f.name) ||
+        (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) ||
           colType.getOrElseUpdate(opts.storageColumn(f.name), f.dataType) == f.dataType)
     }
   }
@@ -104,9 +107,19 @@ class RefTablePartitionReader(
 
   private val conf = new Configuration()
 
-  // storage column needed for each output field (None → synthesized gen col)
+  // storage column needed for each output field (None → constant column:
+  // the synthesized gen col, or a partition value from the directory path)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
-    if (opts.genColumn.contains(f.name)) None else Some(opts.storageColumn(f.name))
+    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name)) None
+    else Some(opts.storageColumn(f.name))
+  }
+
+  // per-partition constant values for the None fields (null elsewhere)
+  private val constVals: Array[Any] = required.fields.map { f =>
+    if (opts.genColumn.contains(f.name)) partition.gen
+    else if (opts.isPartitionCol(f.name))
+      RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType)
+    else null
   }
 
   private val fileSchema: MessageType =
@@ -115,7 +128,9 @@ class RefTablePartitionReader(
   // columns referenced only by pushed filters must still be read (Spark may
   // prune them from the output projection once a filter is fully pushed)
   private val filterCols: Seq[String] = pushed.toSeq.flatMap(_.references)
-    .flatMap(n => if (opts.genColumn.contains(n)) None else Some(opts.storageColumn(n)))
+    .flatMap(n =>
+      if (opts.genColumn.contains(n) || opts.isPartitionCol(n)) None
+      else Some(opts.storageColumn(n)))
 
   private val requestedSchema: MessageType = {
     val wanted = (fieldSources.flatten ++ filterCols).distinct
@@ -165,7 +180,7 @@ class RefTablePartitionReader(
     var i = 0
     while (i < required.length) {
       fieldSources(i) match {
-        case None => row.update(i, partition.gen)
+        case None => row.update(i, constVals(i))
         case Some(srcCol) =>
           if (current.getFieldRepetitionCount(srcCol) == 0) row.setNullAt(i)
           else row.update(i, decode(srcCol, required.fields(i).dataType))

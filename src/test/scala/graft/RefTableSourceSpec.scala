@@ -387,6 +387,78 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(s.planInputPartitions(prev, nxt).length == 1)
   }
 
+  test("hive-partitioned snapshot: listing, value decode, and driver-side pruning") {
+    import graft.sources.reftable.{RefTablePartitioning, SnapshotFiles}
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNull, Not}
+    val dir = Files.createTempDirectory("reftable_part_").toString
+    import spark.implicits._
+    Seq((1L, "a", "red"), (2L, "b", "red"), (3L, "c", "blue"), (4L, "d", null))
+      .toDF("id", "name", "color")
+      .repartition(1).write.mode("overwrite").partitionBy("color").parquet(dir)
+    val pddl = "id BIGINT, name STRING, color STRING"
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> dir, "schema" -> pddl, "partitionColumns" -> "color").asJava))
+
+    // listing: every leaf file carries its directory value (null → sentinel)
+    val files = SnapshotFiles.list(dir, Seq("color"))
+    assert(files.size == 3)
+    assert(files.flatMap(_.partitionValues.get("color")).toSet ==
+      Set("red", "blue", RefTablePartitioning.HiveDefaultPartition))
+
+    // equality / IN prune exactly; null partitions survive only IsNull;
+    // a negated equality prunes BOTH the matching and the null partition
+    // (NULL can never satisfy the predicate) — the possible-outcome algebra
+    def vals(fs: Seq[graft.sources.reftable.SnapshotFile]) =
+      fs.map(_.partitionValues("color")).toSet
+    assert(vals(RefTablePartitioning.prune(files, o, Seq(EqualTo("color", "red")))) == Set("red"))
+    assert(vals(RefTablePartitioning.prune(files, o, Seq(In("color", Array("red", "blue"))))) ==
+      Set("red", "blue"))
+    assert(vals(RefTablePartitioning.prune(files, o, Seq(IsNull("color")))) ==
+      Set(RefTablePartitioning.HiveDefaultPartition))
+    assert(vals(RefTablePartitioning.prune(files, o, Seq(Not(EqualTo("color", "red"))))) == Set("blue"))
+    // a filter over a non-partition column never prunes
+    assert(RefTablePartitioning.prune(files, o, Seq(EqualTo("id", 1L))).size == 3)
+
+    // end-to-end: partition values decode; filter results match; the scan
+    // under a partition filter plans only the pruned files
+    val df = spark.read.format("reftable")
+      .option("path", dir).option("schema", pddl).option("partitionColumns", "color").load()
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "red"), (2L, "red"), (3L, "blue"), (4L, null)))
+    val filtered = df.filter(col("color") === "red")
+    assert(filtered.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.partitions.size == 1,
+      s"partition filter must prune the listing to the one matching file, " +
+        s"got ${scans.map(_.partitions.size)}")
+  }
+
+  test("partitioned snapshot streams with pruned generations") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("reftable_part_stream_").toString
+    import spark.implicits._
+    Seq((1L, "a", "red"), (2L, "b", "blue"), (3L, "c", "blue"))
+      .toDF("id", "name", "color")
+      .repartition(1).write.mode("overwrite").partitionBy("color").parquet(dir)
+    val pddl = "id BIGINT, name STRING, color STRING"
+    var got: Seq[(Long, String)] = Nil
+    val q = spark.readStream.format("reftable")
+      .option("path", dir).option("schema", pddl).option("partitionColumns", "color").load()
+      .filter(col("color") === "blue")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got = b.collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("reftable_part_ck_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    assert(got == Seq((2L, "blue"), (3L, "blue")))
+  }
+
   test("trigger emit mode honors admission caps: chunked re-emission cycles") {
     val dir = Files.createTempDirectory("reftable_trigcap_").toString
     import spark.implicits._
