@@ -220,6 +220,47 @@ object Advanced {
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // snapshot diff (key-level CDC between two table states): the "after"
+    // state deterministically deletes keys ending in 3, renames keys ending
+    // in 5, and inserts key+1000000 copies of keys ending in 7; the diff
+    // must recover exactly those changes. The oracle replays the same diff
+    // as a FULL OUTER JOIN in DuckDB.
+    QueryDef("q81_snapshot_diff", (s, dir) => {
+      val before = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val after = before
+        .filter(col("c_custkey") % 10 =!= 3)
+        .withColumn("c_name",
+          when(col("c_custkey") % 10 === 5, concat(col("c_name"), lit("*")))
+            .otherwise(col("c_name")))
+        .unionByName(before.filter(col("c_custkey") % 10 === 7)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      graft.operators.SnapshotDiff.diff(before, after, Seq("c_custkey"))
+        .orderBy("c_custkey", "change_type")
+    }, Some(
+      """WITH before_t AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
+        |after_t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 5 THEN c_name || '*' ELSE c_name END AS c_name,
+        |    c_acctbal, c_nationkey
+        |  FROM customer WHERE c_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 7)
+        |SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_name ELSE a.c_name END AS c_name,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal ELSE a.c_acctbal END AS c_acctbal,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_nationkey ELSE a.c_nationkey END AS c_nationkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |       WHEN a.c_custkey IS NULL THEN 'delete' ELSE 'update' END AS change_type
+        |FROM before_t b FULL OUTER JOIN after_t a ON b.c_custkey = a.c_custkey
+        |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+        |   OR NOT (b.c_name IS NOT DISTINCT FROM a.c_name
+        |       AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal
+        |       AND b.c_nationkey IS NOT DISTINCT FROM a.c_nationkey)
+        |ORDER BY c_custkey, change_type""".stripMargin)),
+
     // bucketed co-located join: both fact tables written bucketBy(orderkey)
     // + sortBy, so the join needs NO exchange and NO sort on either side —
     // the shape that turns the biggest shuffle of a 100 TB star join into a
@@ -253,6 +294,41 @@ object Advanced {
       """SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev, count(*) AS n
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // bloom-filter semi-join reduction: the fact side is pre-filtered by a
+    // Bloom filter of the selective dim side's keys (codegen'd
+    // might_contain at the scan, before the join shuffle) — result must be
+    // IDENTICAL to the plain join, which is exactly what the oracle checks.
+    QueryDef("q82_bloom_join", (s, dir) => {
+      val sel = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val fact = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_quantity")
+      graft.operators.BloomJoin.prunedJoin(fact, sel, "l_orderkey", expectedItems = 100000L)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("rev"),
+          r4(max("o_totalprice")).as("tp"))
+        .orderBy("l_orderkey")
+    }, Some(
+      """SELECT l_orderkey, count(*) AS n, round(sum(l_extendedprice), 4) AS rev,
+        |  round(max(o_totalprice), 4) AS tp
+        |FROM lineitem JOIN (SELECT o_orderkey, o_totalprice FROM orders
+        |                    WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // sliding event-time windows (30-minute window, 10-minute slide: every
+    // event lands in exactly 3 windows). The oracle fans each row out to
+    // its 3 window starts explicitly.
+    QueryDef("q83_sliding_window", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("v"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("n"), col("v"))
+        .orderBy("ws")
+    }, Some(
+      """SELECT ws, count(*) AS n, round(sum(value), 4) AS v FROM (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 - 600*k AS BIGINT) AS ws, value
+        |  FROM events, UNNEST([0, 1, 2]) AS t(k))
+        |GROUP BY ws ORDER BY ws""".stripMargin)),
 
     // window-function breadth: lag/lead/first_value + running sum in one pass
     QueryDef("q65_window_breadth", (s, dir) => {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Similarity, Skew}
+import graft.operators.{Similarity, Skew, SnapshotDiff}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -21,6 +21,74 @@ class OperatorsSpec extends AnyFunSuite {
       .select("event_id", "user_id", "c_name")
     assert(plain.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("snapshot diff: inserts, deletes, updates, null-safe keys and values") {
+    import spark.implicits._
+    val before = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")), (Some(3L), None: Option[String]),
+      (None: Option[Long], Some("nullkey")))
+      .toDF("id", "v")
+    val after = Seq(
+      (Some(1L), Some("a")),   // unchanged -> dropped
+      (Some(2L), Some("B")),   // update
+      (Some(3L), Some("c")),   // update from null value (null-safe compare)
+      (None: Option[Long], Some("nullkey")), // null keys match null-safely -> unchanged
+      (Some(9L), Some("new"))) // insert
+      .toDF("id", "v")
+    val got = SnapshotDiff.diff(before, after, Seq("id"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2))).toSet
+    assert(got == Set(
+      (Some(2L), Some("B"), "update"),
+      (Some(3L), Some("c"), "update"),
+      (Some(9L), Some("new"), "insert")))
+
+    // delete shows the before-image
+    val del = SnapshotDiff.diff(after, before, Seq("id"))
+      .filter(col("change_type") === "delete")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(del == Set((9L, "new")))
+  }
+
+  test("change feed: successive generations emit their diffs") {
+    import spark.implicits._
+    val feed = new SnapshotDiff.ChangeFeed(Seq("id"))
+    val g1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val g2 = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v")
+    val g3 = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val d1 = feed.next(g1).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d1 == Set((1L, "insert"), (2L, "insert")), "first generation is all inserts")
+    val d2 = feed.next(g2).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d2 == Set((2L, "update"), (3L, "insert")))
+    val d3 = feed.next(g3).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d3 == Set((1L, "delete")))
+  }
+
+  test("bloom-pruned join equals plain join and filters the fact side pre-join") {
+    import graft.operators.BloomJoin
+    val fact = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    val sel = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = fact.join(sel, Seq("l_orderkey"))
+    val bloomed = BloomJoin.prunedJoin(fact, sel, "l_orderkey", expectedItems = 10000L)
+    assert(plain.exceptAll(bloomed).count() == 0)
+    assert(bloomed.exceptAll(plain).count() == 0)
+    // the reduction is real: the might_contain filter sits below the join
+    // and drops most fact rows before any shuffle
+    val planStr = bloomed.queryExecution.executedPlan.toString()
+    assert(planStr.contains("might_contain"), s"expected a bloom filter in the plan:\n$planStr")
+    val factRows = fact.count()
+    val survivors = fact.filter(org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          sel.select(org.apache.spark.sql.graft.ColumnBridge.column(
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(col("l_orderkey"))),
+              10000L).toAggregateExpression())).head.getAs[Array[Byte]](0),
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(col("l_orderkey")))))).count()
+    assert(survivors < factRows / 2,
+      s"bloom should prune most fact rows here, kept $survivors of $factRows")
   }
 
   test("salted aggregation equals plain aggregation") {
