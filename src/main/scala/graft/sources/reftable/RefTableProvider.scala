@@ -103,11 +103,28 @@ class RefTableScanBuilder(opts: RefTableOptions)
 }
 
 class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Filter])
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String =
     s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]" +
       s" PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Runtime (dynamic-partition-pruning) filters: a join against a
+    * selective dimension hands the dim-side key values to this scan at
+    * execution time; values over partition columns prune the listing just
+    * like statically pushed filters. This is what keeps a date-partitioned
+    * 100 TB fact scan from reading every date when the join itself names
+    * the dates. Spark re-invokes toBatch after filter(), so the batch
+    * below plans with the combined filter set.
+    */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    opts.partitionColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
   /** Size the snapshot for the optimizer: without statistics a DSv2 relation
     * defaults to Long.MaxValue and is NEVER auto-broadcast — which would
@@ -130,7 +147,7 @@ class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Fi
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  override def toBatch: Batch = new RefTableBatch(opts, required, pushed)
+  override def toBatch: Batch = new RefTableBatch(opts, required, pushed ++ runtimeFilters)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RefTableMicroBatchStream(opts, required, pushed)

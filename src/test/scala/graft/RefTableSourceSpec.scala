@@ -435,6 +435,45 @@ class RefTableSourceSpec extends AnyFunSuite {
         s"got ${scans.map(_.partitions.size)}")
   }
 
+  test("dynamic partition pruning: a join prunes the partitioned scan at runtime") {
+    val dir = Files.createTempDirectory("reftable_dpp_").toString
+    import spark.implicits._
+    Seq((1L, "a", "red"), (2L, "b", "red"), (3L, "c", "blue"), (4L, "d", "green"))
+      .toDF("id", "name", "color")
+      .repartition(1).write.mode("overwrite").partitionBy("color").parquet(dir)
+    val fact = spark.read.format("reftable")
+      .option("path", dir)
+      .option("schema", "id BIGINT, name STRING, color STRING")
+      .option("partitionColumns", "color").load()
+    // a selective dim side: the join key values are only known at run time
+    // (a real scan + filter — a LocalRelation gets constant-folded and no
+    // longer counts as a "selective predicate" for the DPP heuristic)
+    val dimDir = Files.createTempDirectory("reftable_dpp_dim_").toString
+    Seq(("red", 1), ("yellow", 1), ("blue", 2)).toDF("color", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === 1)
+    val joined = fact.join(broadcast(dim), Seq("color"))
+    val got = joined.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("color"))).toSet
+    assert(got == Set((1L, "red"), (2L, "red")))
+    val planStr = joined.queryExecution.executedPlan.toString()
+    assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a runtime filter on the reftable scan:\n$planStr")
+    // the green and blue partitions were never read: the scan's row count
+    // is the red partition only (AQE hides stage subtrees, so recurse)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect { case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s } ++
+        p.collect { case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q }
+          .flatMap(q => scans(q.plan))
+    val scan = (joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case p => scans(p)
+    }).head
+    assert(scan.metrics("numOutputRows").value == 2,
+      s"runtime pruning should limit the scan to the red partition, " +
+        s"read ${scan.metrics("numOutputRows").value} rows")
+  }
+
   test("partitioned snapshot streams with pruned generations") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("reftable_part_stream_").toString
