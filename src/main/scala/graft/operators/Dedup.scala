@@ -116,6 +116,44 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Quality-aware corpus dedup: cluster near-duplicates
+    * ([[clusterNearDups]]) and keep exactly one document per cluster — the
+    * one maximizing `qualityCol` (ties broken by minimum id), instead of
+    * [[dedupCorpus]]'s blind min-id survivor. The selection is one
+    * WindowGroupLimit top-1 per cluster (partial limits before the
+    * exchange, no full-partition materialization). Returns the surviving
+    * (id, cluster_id) rows.
+    */
+  def dedupKeepBest(
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64): DataFrame = {
+    val clusters = clusterNearDups(df, idCol, textCol, threshold, k, numBands)
+    val scored = clusters.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(qualityCol).desc, col(idCol).asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("cluster_id"))
+  }
+
+  /** Benchmark-contamination check: for each corpus document, how many of
+    * its distinct word n-grams appear in ANY benchmark document — the
+    * standard train/test overlap scan for a training corpus (8-grams by
+    * default, the usual contamination window). One narrow fused
+    * shingle+hash pass per side, then a single equi-join on the 60-bit
+    * gram hash: the benchmark side (small by nature) broadcasts, so the
+    * corpus — the 100 TB side — is never shuffled. Returns
+    * (id, n_contaminated) for contaminated documents only.
+    */
+  def contamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), n)).as("h"))
+    val benchGrams = benchmark.select(explode(shingleHashes(tokens(col(textCol)), n)).as("h")).distinct()
+    corpusGrams.join(broadcast(benchGrams), Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Min-label connected components over an undirected edge list
     * (`u`,`v` — one direction suffices) for the given node ids; see
     * [[clusterNearDups]] for the algorithm. Returns (id, cluster_id).

@@ -144,6 +144,56 @@ object DedupOps {
          |SELECT u AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin)),
 
+    // benchmark contamination: corpus docs sharing any word-8-gram with the
+    // benchmark split (doc_id % 50 == 0). The join runs on the portable
+    // 60-bit gram hash, so DuckDB reproduces the hits exactly.
+    QueryDef("q84_contamination", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) h FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) s
+        |  FROM toks)),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, count(*) AS n_contaminated
+        |FROM corpus JOIN bench USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // quality-aware dedup: one survivor per near-dup cluster, the longest
+    // document (ties -> min id) — survivor selection a real pipeline wants,
+    // vs q60's blind min-id. Oracle: the q64 recursive-closure clusters +
+    // an argmax by n_chars.
+    QueryDef("q85_dedup_keep_best", (s, dir) => {
+      graft.operators.Dedup.dedupKeepBest(
+        t(s, dir, "documents"), "doc_id", "text", "n_chars", threshold = 0.7)
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH RECURSIVE
+         |${ShingleCtes},
+         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+         |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7),
+         |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(u, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+         |clusters AS (SELECT u AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY u),
+         |ranked AS (SELECT c.doc_id, c.cluster_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id ASC) rn
+         |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // near-dup pairs by SimHash Hamming distance <= 10.
     QueryDef("q19_simhash_pairs", (s, dir) => {
       graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
