@@ -295,6 +295,30 @@ object Advanced {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // metadata-only aggregation through the reftable source: COUNT/MIN/MAX
+    // are answered from parquet footer statistics (one partial row per
+    // file, no data pages read — RefTableSourceSpec asserts the pushed
+    // plan); the oracle computes the same aggregates from the raw table.
+    QueryDef("q86_agg_pushdown", (s, dir) => {
+      val out = RelationalSupport.scratchDir(s, dir, "q86_aggpd")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), to_date(col("o_orderdate")).as("od"))
+        .write.mode("overwrite").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "o_orderkey BIGINT, o_totalprice DOUBLE, od DATE")
+        .load()
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          r4(min("o_totalprice")).as("min_tp"), r4(max("o_totalprice")).as("max_tp"),
+          min("od").as("min_od"), max("od").as("max_od"))
+    }, Some(
+      """SELECT count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  round(min(o_totalprice), 4) AS min_tp, round(max(o_totalprice), 4) AS max_tp,
+        |  CAST(min(o_orderdate) AS DATE) AS min_od, CAST(max(o_orderdate) AS DATE) AS max_od
+        |FROM orders""".stripMargin)),
+
     // bloom-filter semi-join reduction: the fact side is pre-filtered by a
     // Bloom filter of the selective dim side's keys (codegen'd
     // might_contain at the scan, before the join shuffle) — result must be

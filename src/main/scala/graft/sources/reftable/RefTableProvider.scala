@@ -68,9 +68,11 @@ class RefTable(opts: RefTableOptions) extends Table with SupportsRead {
   * declared columns are decoded).
   */
 class RefTableScanBuilder(opts: RefTableOptions)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = opts.outputSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[RefTableAggregates.AggSpec]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our field order/types; honor the requested subset
@@ -99,7 +101,25 @@ class RefTableScanBuilder(opts: RefTableOptions)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new RefTableScan(opts, required, pushed)
+  /** COUNT/MIN/MAX from footer statistics (see [[RefTableAggregates]]).
+    * Spark only offers an aggregation for pushdown when every filter was
+    * fully consumed by the source; our residual-filter contract therefore
+    * already restricts this to filterless scans — `pushed.isEmpty` makes
+    * the invariant explicit.
+    */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (pushed.nonEmpty) return false
+    RefTableAggregates.accept(opts, aggregation) match {
+      case Some(specs) => pushedAgg = Some(specs); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(specs) => new RefTableAggScan(opts, specs)
+    case None => new RefTableScan(opts, required, pushed)
+  }
 }
 
 class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Filter])

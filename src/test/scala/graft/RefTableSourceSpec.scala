@@ -435,6 +435,40 @@ class RefTableSourceSpec extends AnyFunSuite {
         s"got ${scans.map(_.partitions.size)}")
   }
 
+  test("aggregate pushdown: count/min/max answered from footer statistics only") {
+    val dir = Files.createTempDirectory("reftable_aggpd_").toString
+    import spark.implicits._
+    Seq((1L, 10.5, "a"), (2L, -3.25, "b"), (3L, 99.0, null), (4L, 7.0, "d"))
+      .toDF("id", "v", "s")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val nFiles = graft.sources.reftable.SnapshotFiles.list(dir).size
+    assert(nFiles == 2)
+    val df = spark.read.format("reftable")
+      .option("path", dir).option("schema", "id BIGINT, v DOUBLE, s STRING").load()
+      .agg(count(lit(1)).as("n"), count(col("s")).as("ns"),
+        min("id").as("min_id"), max("id").as("max_id"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getDouble(4), row.getDouble(5)) == (4L, 3L, 1L, 4L, -3.25, 99.0))
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PushedAggregates"),
+      s"expected the footer-statistics scan, got:\n$planStr")
+    // min/max over a STRING column must NOT push (truncatable stats):
+    // falls back to the normal scan and still answers correctly
+    val strAgg = spark.read.format("reftable")
+      .option("path", dir).option("schema", "id BIGINT, v DOUBLE, s STRING").load()
+      .agg(min("s").as("min_s"), max("s").as("max_s"))
+    assert(!strAgg.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    assert(strAgg.collect().head.toSeq == Seq("a", "d"))
+    // a filtered aggregate must not push either (stats ignore the filter)
+    val filtered = spark.read.format("reftable")
+      .option("path", dir).option("schema", "id BIGINT, v DOUBLE, s STRING").load()
+      .filter(col("id") > 1).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    assert(filtered.collect().head.getLong(0) == 3L)
+  }
+
   test("dynamic partition pruning: a join prunes the partitioned scan at runtime") {
     val dir = Files.createTempDirectory("reftable_dpp_").toString
     import spark.implicits._
