@@ -133,6 +133,35 @@ object StreamingOps {
         |   count(*) AS n, round(sum(value), 4) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // event-time SLIDING window (30m / 10m) through the file streaming
+    // source — the streaming form of q83, same explicit-fan-out oracle:
+    // every event belongs to exactly 3 overlapping windows.
+    QueryDef("q87_stream_sliding", (s, dir) => withShufflePartitions(s, 8) {
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      val evDir = Files.createTempDirectory("graft_slide_")
+      Files.createSymbolicLink(evDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val raw = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+        .parquet(evDir.toString)
+      val agg = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("v"))
+      drain(s, agg, "complete")
+        .select(unix_timestamp(col("w.start")).as("ws"), col("n"), col("v"))
+        .orderBy("ws")
+    }, Some(
+      """SELECT ws, count(*) AS n, round(sum(value), 4) AS v FROM (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 - 600*k AS BIGINT) AS ws, value
+        |  FROM events, UNNEST([0, 1, 2]) AS t(k))
+        |GROUP BY ws ORDER BY ws""".stripMargin)),
+
     // stream-stream inner join with time-range condition and watermarks on
     // both sides: purchases joined to the same user's clicks from the
     // preceding hour. Inner joins emit eagerly as matches arrive, so one

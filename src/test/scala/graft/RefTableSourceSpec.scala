@@ -508,6 +508,31 @@ class RefTableSourceSpec extends AnyFunSuite {
         s"read ${scan.metrics("numOutputRows").value} rows")
   }
 
+  test("two-level partitioning: nested listing and pruning on both levels") {
+    import graft.sources.reftable.{RefTablePartitioning, SnapshotFiles}
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan}
+    val dir = Files.createTempDirectory("reftable_part2_").toString
+    import spark.implicits._
+    Seq((1L, "red", 1), (2L, "red", 2), (3L, "blue", 1), (4L, "blue", 2))
+      .toDF("id", "color", "bucket")
+      .repartition(1).write.mode("overwrite").partitionBy("color", "bucket").parquet(dir)
+    val pddl = "id BIGINT, color STRING, bucket INT"
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> dir, "schema" -> pddl, "partitionColumns" -> "color,bucket").asJava))
+    val files = SnapshotFiles.list(dir, Seq("color", "bucket"))
+    assert(files.size == 4)
+    assert(files.forall(f => f.partitionValues.keySet == Set("color", "bucket")))
+    val kept = RefTablePartitioning.prune(files, o,
+      Seq(And(EqualTo("color", "red"), GreaterThan("bucket", 1))))
+    assert(kept.map(_.partitionValues).toSet == Set(Map("color" -> "red", "bucket" -> "2")))
+    // end-to-end: both partition columns decode typed
+    val df = spark.read.format("reftable")
+      .option("path", dir).option("schema", pddl).option("partitionColumns", "color,bucket").load()
+      .filter(col("color") === "red" && col("bucket") > 1)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((2L, "red", 2)))
+  }
+
   test("partitioned snapshot streams with pruned generations") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("reftable_part_stream_").toString
