@@ -93,8 +93,12 @@ class RefTableColumnarReader(
     opts: RefTableOptions,
     required: StructType,
     pushed: Array[Filter],
-    partition: RefTableInputPartition)
+    partition: RefTableInputPartition,
+    limit: Option[Int] = None)
     extends PartitionReader[ColumnarBatch] {
+
+  // pushed LIMIT: rows still wanted from this partition
+  private var remaining: Int = limit.getOrElse(Int.MaxValue)
 
   private val conf = new Configuration()
   private val hadoopPath = new Path(partition.path)
@@ -188,11 +192,13 @@ class RefTableColumnarReader(
       }
       out = new ColumnarBatch(vectors)
     }
-    out.setNumRows(inner.numRows())
+    val n = math.min(inner.numRows(), remaining)
+    remaining -= n
+    out.setNumRows(n)
     out
   }
 
-  override def next(): Boolean = reader.nextBatch()
+  override def next(): Boolean = remaining > 0 && reader.nextBatch()
   override def get(): ColumnarBatch = project(reader.resultBatch())
   override def close(): Unit = reader.close()
 }

@@ -69,10 +69,11 @@ class RefTable(opts: RefTableOptions) extends Table with SupportsRead {
   */
 class RefTableScanBuilder(opts: RefTableOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = opts.outputSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Seq[RefTableAggregates.AggSpec]] = None
+  private var pushedLimit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our field order/types; honor the requested subset
@@ -116,18 +117,34 @@ class RefTableScanBuilder(opts: RefTableOptions)
     }
   }
 
+  /** LIMIT pushdown: readers stop after N rows per partition — partial
+    * (Spark still applies the global limit above), so a `LIMIT 5` preview
+    * of a 100 TB snapshot reads a handful of pages per partition instead
+    * of whole files. Guarded to filterless scans: with a pushed parquet
+    * predicate the vectorized reader over-returns at page granularity and
+    * a per-partition cap could starve the residual filter of matches.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty) return false
+    pushedLimit = Some(limit)
+    true
+  }
+
   override def build(): Scan = pushedAgg match {
     case Some(specs) => new RefTableAggScan(opts, specs)
-    case None => new RefTableScan(opts, required, pushed)
+    case None => new RefTableScan(opts, required, pushed, pushedLimit)
   }
 }
 
-class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Filter])
+class RefTableScan(
+    opts: RefTableOptions, required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String =
     s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]" +
-      s" PushedFilters: [${pushed.mkString(", ")}]"
+      s" PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.fold("")(n => s" PushedLimit: $n")
 
   /** Runtime (dynamic-partition-pruning) filters: a join against a
     * selective dimension hands the dim-side key values to this scan at
@@ -167,18 +184,20 @@ class RefTableScan(opts: RefTableOptions, required: StructType, pushed: Array[Fi
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  override def toBatch: Batch = new RefTableBatch(opts, required, pushed ++ runtimeFilters)
+  override def toBatch: Batch = new RefTableBatch(opts, required, pushed ++ runtimeFilters, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RefTableMicroBatchStream(opts, required, pushed)
 }
 
 /** One-shot batch read of the current snapshot. */
-class RefTableBatch(opts: RefTableOptions, required: StructType, pushed: Array[Filter]) extends Batch {
+class RefTableBatch(
+    opts: RefTableOptions, required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
     RefTablePartitions.plan(SnapshotFiles.pruned(opts, pushed.toSeq), gen)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RefTableReaderFactory(opts, required, pushed)
+    new RefTableReaderFactory(opts, required, pushed, limit)
 }

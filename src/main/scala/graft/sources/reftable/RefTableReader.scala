@@ -65,7 +65,9 @@ object RefTablePartitions {
   * vectorized parquet decoder (all the source's declared types are); the
   * row-by-row Group reader remains as the fallback for exotic DDL types.
   */
-class RefTableReaderFactory(opts: RefTableOptions, required: StructType, pushed: Array[Filter])
+class RefTableReaderFactory(
+    opts: RefTableOptions, required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = {
@@ -82,10 +84,12 @@ class RefTableReaderFactory(opts: RefTableOptions, required: StructType, pushed:
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new RefTableColumnarReader(opts, required, pushed, partition.asInstanceOf[RefTableInputPartition])
+    new RefTableColumnarReader(
+      opts, required, pushed, partition.asInstanceOf[RefTableInputPartition], limit)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RefTablePartitionReader(opts, required, pushed, partition.asInstanceOf[RefTableInputPartition])
+    new RefTablePartitionReader(
+      opts, required, pushed, partition.asInstanceOf[RefTableInputPartition], limit)
 }
 
 /** Executor-side decoder: schema-directed projection from the storage row
@@ -102,8 +106,12 @@ class RefTablePartitionReader(
     opts: RefTableOptions,
     required: StructType,
     pushed: Array[Filter],
-    partition: RefTableInputPartition)
+    partition: RefTableInputPartition,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  // pushed LIMIT: rows still wanted from this partition
+  private var remaining: Int = limit.getOrElse(Int.MaxValue)
 
   private val conf = new Configuration()
 
@@ -171,7 +179,9 @@ class RefTablePartitionReader(
   private var current: Group = _
 
   override def next(): Boolean = {
+    if (remaining <= 0) return false
     current = reader.read()
+    if (current != null) remaining -= 1
     current != null
   }
 

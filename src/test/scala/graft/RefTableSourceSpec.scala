@@ -435,6 +435,38 @@ class RefTableSourceSpec extends AnyFunSuite {
         s"got ${scans.map(_.partitions.size)}")
   }
 
+  test("limit pushdown: readers stop early; filtered limits fall back") {
+    val dir = Files.createTempDirectory("reftable_limit_").toString
+    import spark.implicits._
+    (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val base = spark.read.format("reftable")
+      .option("path", dir).option("schema", ddl).load()
+    val limited = base.limit(5)
+    assert(limited.collect().length == 5)
+    val planStr = limited.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PushedLimit: 5"), s"expected a pushed limit, got:\n$planStr")
+    // with a filter the limit must NOT push (per-partition caps could
+    // starve the residual filter); result still correct
+    val filtered = base.filter(col("id") > 90).limit(5)
+    assert(!filtered.queryExecution.executedPlan.toString().contains("PushedLimit"))
+    assert(filtered.collect().map(_.getLong(0)).forall(_ > 90))
+  }
+
+  test("SQL DDL: CREATE TABLE ... USING reftable works end-to-end") {
+    val dir = Files.createTempDirectory("reftable_ddl_").toString
+    writeTable(dir, Seq((1L, "a"), (2L, "b")))
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    spark.sql(
+      s"""CREATE TABLE graft_ddl_t USING reftable
+         |OPTIONS (path '$dir', schema 'id BIGINT, name STRING')""".stripMargin)
+    try {
+      val got = spark.sql("SELECT id, name FROM graft_ddl_t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+  }
+
   test("aggregate pushdown: count/min/max answered from footer statistics only") {
     val dir = Files.createTempDirectory("reftable_aggpd_").toString
     import spark.implicits._
