@@ -73,15 +73,31 @@ object SnapshotDiff {
 
     def next(cur: DataFrame): DataFrame = synchronized {
       val snap = cur.localCheckpoint(true)
+      // key columns first in EVERY batch — the first (all-insert) batch
+      // must use the same column order diff() produces, or positional
+      // sinks break between batch 1 and batch 2
+      val valCols = snap.columns.toSeq.filterNot(keyCols.contains)
       val out = prev match {
-        case None => snap.withColumn("change_type", lit("insert"))
+        case None =>
+          snap.select((keyCols ++ valCols).map(col): _*)
+            .withColumn("change_type", lit("insert"))
         case Some(p) =>
           val d = diff(p, snap, keyCols).localCheckpoint(true)
-          p.unpersist()
+          release(p)
           d
       }
       prev = Some(snap)
       out
     }
+
+    /** Free a retired generation's checkpointed blocks. localCheckpoint
+      * persists at the RDD level, which DataFrame.unpersist (CacheManager)
+      * does not touch — unpersist the LogicalRDD's RDD directly.
+      */
+    private def release(df: DataFrame): Unit =
+      try df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 }

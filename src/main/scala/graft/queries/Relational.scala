@@ -41,10 +41,26 @@ object RelationalSupport {
 
   /** Unique scratch directory under java.io.tmpdir for query `name`. One
     * fixed dir per (invocation, sf, query) — overwritten on re-run within a
-    * session (bench runs each query twice), never shared across sessions.
+    * session (bench runs each query twice), never shared across sessions,
+    * and deleted at JVM exit (uniqueness would otherwise leak one table
+    * copy per invocation).
     */
-  def scratchDir(spark: SparkSession, dir: String, name: String): String =
-    sys.props("java.io.tmpdir") + s"/graft_${name}_${scratchTag(spark, dir)}"
+  def scratchDir(spark: SparkSession, dir: String, name: String): String = {
+    val d = sys.props("java.io.tmpdir") + s"/graft_${name}_${scratchTag(spark, dir)}"
+    cleanupHook
+    created.add(d)
+    d
+  }
+
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(rm)
+      f.delete(); ()
+    }
+    created.forEach(p => rm(new java.io.File(p)))
+  }))
 }
 
 object Relational {

@@ -143,6 +143,30 @@ class RefTableAggFooterReader(specs: Seq[RefTableAggregates.AggSpec], partition:
             "rewrite the file with statistics or avoid metadata-only aggregates")
         (b.getRowCount, s)
       }
+      // per-chunk min or max; None ONLY for a provably empty / all-null
+      // chunk. A chunk whose min/max statistics simply weren't written
+      // (stats disabled, or suppressed by parquet-mr's corrupt-statistics
+      // check for legacy float writers) is indistinguishable from data —
+      // silently skipping it would return a wrong answer, so it throws.
+      def minMax(c: String, pickMin: Boolean): Option[Any] = {
+        val parts = stats(c).flatMap { case (rows, s) =>
+          if (s.hasNonNullValue) Some(if (pickMin) s.genericGetMin() else s.genericGetMax())
+          else if (rows == 0L || (s.isNumNullsSet && s.getNumNulls == rows)) None
+          else throw new IllegalStateException(
+            s"reftable: min/max statistics missing for $c in ${partition.path}; " +
+              "rewrite the file with statistics or avoid metadata-only aggregates")
+        }
+        if (parts.isEmpty) None
+        else Some(parts.reduce((a, b) =>
+          if ((a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) == pickMin) a else b))
+      }
+      // footer stats for SMALLINT/TINYINT (physical INT32) come back as
+      // Integer; narrow to the declared type for the partial row
+      def narrow(v: Any, dt: DataType): Any = dt match {
+        case ShortType => v.asInstanceOf[Number].shortValue()
+        case ByteType  => v.asInstanceOf[Number].byteValue()
+        case _ => v
+      }
       val out = new GenericInternalRow(specs.length)
       specs.zipWithIndex.foreach { case (spec, i) =>
         spec match {
@@ -154,16 +178,8 @@ class RefTableAggFooterReader(specs: Seq[RefTableAggregates.AggSpec], partition:
                 s"reftable: null counts unset for $c in ${partition.path}")
               rows - s.getNumNulls
             }.sum)
-          case MinSpec(c, _) =>
-            val mins = stats(c).collect { case (_, s) if s.hasNonNullValue => s.genericGetMin() }
-            out.update(i, if (mins.isEmpty) null
-              else mins.reduce((a, b) =>
-                if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b))
-          case MaxSpec(c, _) =>
-            val maxs = stats(c).collect { case (_, s) if s.hasNonNullValue => s.genericGetMax() }
-            out.update(i, if (maxs.isEmpty) null
-              else maxs.reduce((a, b) =>
-                if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b))
+          case MinSpec(c, dt) => out.update(i, minMax(c, pickMin = true).map(narrow(_, dt)).orNull)
+          case MaxSpec(c, dt) => out.update(i, minMax(c, pickMin = false).map(narrow(_, dt)).orNull)
         }
       }
       out

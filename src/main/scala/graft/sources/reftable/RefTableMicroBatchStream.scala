@@ -207,17 +207,21 @@ class RefTableMicroBatchStream(
         // snapshot identity requires the whole generation from one pinning
         RefTableOffset(prev.batch + 1, prev.gen,
           sliceEnd(filesOf(prev.gen), prevUpTo.toInt, limit), prev.wall)
-      } else if (prev.gen >= 0 && prevUpTo < prevTotal) {
-        // restart recovered a mid-generation offset, but the pinning died
-        // with the previous driver: continuing would stitch chunks from two
-        // different listings into one "snapshot". Abandon the partial
-        // generation and emit the current state as a FRESH generation
-        // (reference restart semantics: reload current state) — consumers
-        // keyed on the generation column discard the partial one.
-        // At-least-once, never mixed-snapshot. The generation number may
-        // run ahead of wall-clock here (gen monotonicity), so the offset
-        // records the true wall-clock generation separately — the next
-        // real refresh boundary is detected against `wall`, not `gen`.
+      } else if (prev.gen >= 0 && !prevPinned && prev.upTo >= 0) {
+        // restart recovered a chunked offset, but the pinning died with
+        // the previous driver: the original listing (and its total file
+        // count) is unknowable, so ANY chunked offset from a dead driver
+        // is abandoned — even one whose upTo happens to equal the current
+        // listing size, which may be a truncated emission of a larger old
+        // listing. Continuing would stitch chunks from two different
+        // listings into one "snapshot"; instead the current state is
+        // re-emitted as a FRESH generation (reference restart semantics:
+        // reload current state) — consumers keyed on the generation column
+        // discard the partial one. At-least-once, never mixed-snapshot.
+        // The generation number may run ahead of wall-clock here (gen
+        // monotonicity), so the offset records the true wall-clock
+        // generation separately — the next real refresh boundary is
+        // detected against `wall`, not `gen`.
         val files = snapshots(prev.gen)
         val wallNow = computeGen(System.currentTimeMillis())
         val gen = math.max(wallNow, prev.gen + 1)
@@ -228,10 +232,18 @@ class RefTableMicroBatchStream(
         if (prev.gen < 0 || wallNow > prev.wallGen) {
           // new refresh boundary crossed (or first poll): emit a fresh
           // generation. `gen` stays strictly monotonic even if a prior
-          // abandon pushed it past wall-clock.
+          // abandon pushed it past wall-clock. A boundary ALWAYS re-lists
+          // (never reuse a listing pinned under a colliding older gen
+          // number after a run-ahead — that would freeze the stream on a
+          // stale listing forever); AvailableNow uses the listing pinned
+          // at prepare time.
           val gen = math.max(wallNow, prev.gen + 1)
-          snapshots(gen) = filesOf(wallNow)
-          RefTableOffset(prev.batch + 1, gen, sliceEnd(snapshots(gen), 0, limit), wallNow)
+          val files = availableNowGen match {
+            case Some(g) => filesOf(g)
+            case None => SnapshotFiles.pruned(opts, pushed.toSeq)
+          }
+          snapshots(gen) = files
+          RefTableOffset(prev.batch + 1, gen, sliceEnd(files, 0, limit), wallNow)
         } else if (opts.emitPerTrigger && availableNowGen.isEmpty)
           // trigger-mode re-emission honors the admission caps too: a cycle
           // of chunked batches re-covers the snapshot, then restarts

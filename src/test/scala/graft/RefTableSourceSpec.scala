@@ -367,6 +367,69 @@ class RefTableSourceSpec extends AnyFunSuite {
       s"abandon must record wall-clock gen alongside the synthetic gen, got $o2")
   }
 
+  test("a chunked offset from a dead driver is abandoned even if it looks complete") {
+    val dir = Files.createTempDirectory("reftable_trunc_").toString
+    import spark.implicits._
+    (1L to 9L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> ddl, "refreshInterval" -> "1h",
+      "maxFilesPerTrigger" -> "1").asJava))
+    val s1 = new RefTableMicroBatchStream(o, o.outputSchema)
+    val o1 = s1.latestOffset(s1.initialOffset(), s1.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o1.upTo == 1) // 1 of 3 emitted, then "crash"
+    // the table shrinks to exactly upTo files before the restart: the old
+    // listing's total is unknowable, so upTo == new-listing-size must NOT
+    // be read as "generation complete" — the emission was truncated
+    Seq((100L, "x")).toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(dir)
+    assert(graft.sources.reftable.SnapshotFiles.list(dir).size == 1)
+    val s2 = new RefTableMicroBatchStream(o, o.outputSchema)
+    s2.deserializeOffset(o1.json())
+    val o2 = s2.latestOffset(null, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o2.gen > o1.gen, s"a dead driver's chunked offset must be abandoned, got $o2")
+    assert(o2.upTo == 1 && s2.planInputPartitions(o1, o2).length == 1)
+  }
+
+  test("a refresh boundary after an abandon re-lists instead of reusing the pinned listing") {
+    val dir = Files.createTempDirectory("reftable_relist_").toString
+    import spark.implicits._
+    (1L to 4L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> ddl, "refreshInterval" -> "1s",
+      "maxFilesPerTrigger" -> "1").asJava))
+    // crash mid-generation, restart, abandon: gen now runs one ahead of
+    // wall-clock, and the abandoned listing sits pinned under that number
+    val s1 = new RefTableMicroBatchStream(o, o.outputSchema)
+    val o1 = s1.latestOffset(s1.initialOffset(), s1.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    val s2 = new RefTableMicroBatchStream(o, o.outputSchema)
+    s2.deserializeOffset(o1.json())
+    val o2 = s2.latestOffset(null, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o2.gen > o1.gen && o2.upTo == 1)
+    val o2b = s2.latestOffset(o2, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o2b.gen == o2.gen && o2b.upTo == 2, "drain the abandoned generation first")
+    // the table changes; the NEXT boundary lands exactly on the pinned
+    // gen number — it must re-list (3 files), not re-emit the stale 2
+    (1L to 9L).map(i => (i, s"m$i")).toDF("id", "name")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val deadline = System.currentTimeMillis() + 10000
+    var nxt = o2b
+    while (nxt.gen == o2b.gen && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      nxt = s2.latestOffset(nxt, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    }
+    assert(nxt.gen > o2b.gen, "a refresh boundary must fire within the deadline")
+    // drain the new generation fully and count its files
+    var endO = nxt
+    while (endO.upTo < 3) {
+      val n = s2.latestOffset(endO, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+      assert(n.gen == nxt.gen, s"generation must stay pinned while draining, got $n vs $nxt")
+      endO = n
+    }
+    assert(endO.upTo == 3,
+      s"the post-abandon boundary must emit the CURRENT 3-file listing, got $endO")
+  }
+
   test("a synthetic run-ahead generation does not suppress the next real refresh") {
     val dir = Files.createTempDirectory("reftable_runahead_").toString
     import spark.implicits._
