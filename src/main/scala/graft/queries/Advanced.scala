@@ -295,6 +295,26 @@ object Advanced {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // versioned snapshot roots: two publishes, the read resolves the
+    // atomic pointer to the CURRENT version only (old versions retained
+    // for pinned readers — the snapshot-isolation layer plain parquet
+    // overwrites lack). The oracle recomputes version 2's content.
+    QueryDef("q88_versioned_snapshot", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q88_ver")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      graft.sources.reftable.VersionedTable.publish(c, root)
+      graft.sources.reftable.VersionedTable.publish(
+        c.filter(col("c_custkey") % 2 === 0)
+          .withColumn("c_acctbal", r4(col("c_acctbal") * 2)), root)
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE")
+        .load()
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name, round(c_acctbal * 2, 4) AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0 ORDER BY c_custkey""".stripMargin)),
+
     // metadata-only aggregation through the reftable source: COUNT/MIN/MAX
     // are answered from parquet footer statistics (one partial row per
     // file, no data pages read — RefTableSourceSpec asserts the pushed

@@ -24,9 +24,16 @@ object SnapshotFiles {
   def list(dir: String): Seq[SnapshotFile] = list(dir, Nil)
 
   def list(dir: String, partitionColumns: Seq[String]): Seq[SnapshotFile] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) throw new IllegalArgumentException(s"reftable path does not exist: $dir")
+    val conf = new Configuration()
+    // a versioned root (VersionedTable) resolves to its current version
+    // dir ONCE per listing — the pinned file list then stays readable even
+    // if a new version is published mid-generation (old versions are
+    // retained, unlike an in-place overwrite which deletes files under a
+    // running scan)
+    val resolved = VersionedTable.resolve(dir, conf).getOrElse(dir)
+    val p = new Path(resolved)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) throw new IllegalArgumentException(s"reftable path does not exist: $resolved")
     if (partitionColumns.isEmpty) {
       fs.listStatus(p).toIndexedSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -498,6 +498,32 @@ class RefTableSourceSpec extends AnyFunSuite {
         s"got ${scans.map(_.partitions.size)}")
   }
 
+  test("versioned table: atomic pointer swap, pinned listings survive publishes") {
+    import graft.sources.reftable.{SnapshotFiles, VersionedTable}
+    val root = Files.createTempDirectory("reftable_ver_").toString + "/tbl"
+    import spark.implicits._
+    val v1 = VersionedTable.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    val df = spark.read.format("reftable").option("path", root).option("schema", ddl)
+    assert(df.load().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // pin a listing (as a streaming generation would), then publish v2:
+    // the pinned v1 files must still exist — no delete-under-reader
+    val pinned = SnapshotFiles.list(root)
+    assert(pinned.forall(_.path.contains(v1)))
+    val v2 = VersionedTable.publish(Seq((3L, "c")).toDF("id", "name"), root)
+    assert(pinned.forall(f => new java.io.File(new java.net.URI(
+      if (f.path.startsWith("file:")) f.path else "file:" + f.path)).exists()),
+      "files of a retained version must survive a publish")
+    // a fresh resolve sees exactly v2 — never a mix
+    assert(df.load().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(SnapshotFiles.list(root).forall(_.path.contains(v2)))
+    // pruning keeps the newest keepVersions directories, current included
+    VersionedTable.publish(Seq((4L, "d")).toDF("id", "name"), root, keepVersions = 2)
+    val v4 = VersionedTable.publish(Seq((5L, "e")).toDF("id", "name"), root, keepVersions = 2)
+    val dirs = VersionedTable.versionDirs(root)
+    assert(dirs.size == 2 && dirs.contains(v4), s"expected 2 retained versions, got $dirs")
+    assert(df.load().collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("limit pushdown: readers stop early; filtered limits fall back") {
     val dir = Files.createTempDirectory("reftable_limit_").toString
     import spark.implicits._
