@@ -92,12 +92,22 @@ object SnapshotDiff {
 
     /** Free a retired generation's checkpointed blocks. localCheckpoint
       * persists at the RDD level, which DataFrame.unpersist (CacheManager)
-      * does not touch — unpersist the LogicalRDD's RDD directly.
+      * does not touch — unpersist the LogicalRDD's RDD directly. A miss is
+      * logged, never swallowed silently: if the plan shape changes across
+      * Spark versions the feed would otherwise re-grow the leak this
+      * exists to prevent, with nothing to diagnose it by.
       */
-    private def release(df: DataFrame): Unit =
-      try df.queryExecution.analyzed.collectFirst {
+    private def release(df: DataFrame): Unit = {
+      val rdd = try df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(false))
-      catch { case scala.util.control.NonFatal(_) => () }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      rdd match {
+        case Some(r) => r.unpersist(false); ()
+        case None =>
+          org.slf4j.LoggerFactory.getLogger(classOf[ChangeFeed]).warn(
+            "ChangeFeed could not locate the checkpointed RDD of a retired " +
+              "generation; its blocks will only be freed by the ContextCleaner")
+      }
+    }
   }
 }

@@ -152,6 +152,13 @@ class RefTableMicroBatchStream(
   private var last: RefTableOffset = _
   private var availableNowGen: Option[Long] = None
   private val snapshots = scala.collection.mutable.Map.empty[Long, Seq[SnapshotFile]]
+  // generations whose listing THIS instance pinned at emission time.
+  // `snapshots.contains` is NOT that: replay of an uncommitted batch
+  // (planInputPartitions) and prepareForTriggerAvailableNow both pin
+  // listings incidentally, and treating those as "ours" would let a
+  // restart continue a dead driver's chunked generation against a fresh
+  // listing — stitching two listings into one snapshot.
+  private val ownGens = scala.collection.mutable.Set.empty[Long]
 
   private def computeGen(nowMs: Long): Long =
     if (opts.refreshMs <= 0) 0L else nowMs / opts.refreshMs
@@ -204,8 +211,7 @@ class RefTableMicroBatchStream(
     val prev = Option(last)
       .orElse(Option(start).map(_.asInstanceOf[RefTableOffset]))
       .getOrElse(RefTableOffset(-1L, -1L, -1L))
-    // pinned-by-this-instance check must precede filesOf, which (re-)pins
-    val prevPinned = prev.gen >= 0 && snapshots.contains(prev.gen)
+    val prevPinned = prev.gen >= 0 && ownGens.contains(prev.gen)
     val prevTotal = if (prev.gen >= 0) filesOf(prev.gen).size.toLong else 0L
     val prevUpTo = if (prev.upTo < 0) prevTotal else prev.upTo
     last =
@@ -257,6 +263,9 @@ class RefTableMicroBatchStream(
           RefTableOffset(prev.batch + 1, prev.gen, sliceEnd(filesOf(prev.gen), 0, limit), prev.wall)
         else prev
       }
+    // every generation this instance emits is owned from here on —
+    // continuation of its chunks against this pinning is safe
+    if (last != null && last.gen >= 0) ownGens += last.gen
     last
   }
 
@@ -289,7 +298,8 @@ class RefTableMicroBatchStream(
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[RefTableOffset]
     snapshots.keys.filter(_ < e.gen).toList.foreach(snapshots.remove)
+    ownGens.filter(_ < e.gen).toList.foreach(ownGens.remove)
   }
 
-  override def stop(): Unit = synchronized { snapshots.clear() }
+  override def stop(): Unit = synchronized { snapshots.clear(); ownGens.clear() }
 }

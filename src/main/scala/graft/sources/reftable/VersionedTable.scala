@@ -35,35 +35,56 @@ object VersionedTable {
   private def fc(conf: Configuration): FileContext = FileContext.getFileContext(conf)
 
   /** The version directory the pointer currently names, if `root` is a
-    * versioned table root.
+    * versioned table root. One filesystem call: open the pointer directly
+    * and treat file-not-found as "not a versioned root" (an exists-probe
+    * first would double the RPCs on every listing of every table).
     */
   def resolve(root: String, conf: Configuration = new Configuration()): Option[String] = {
     val ptr = new Path(root, Pointer)
     val fs = ptr.getFileSystem(conf)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-      if (name.isEmpty) None else Some(new Path(root, name).toString)
-    }
+    val in = try fs.open(ptr)
+    catch { case _: java.io.FileNotFoundException => return None }
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    if (name.isEmpty) None else Some(new Path(root, name).toString)
   }
 
   /** Publish `df` as the next version of the table at `root`: write the
-    * complete version directory, atomically swap the pointer, prune old
-    * versions beyond `keepVersions`. Returns the new version name.
+    * complete version directory (staged, then renamed into place),
+    * atomically swap the pointer, prune old versions beyond
+    * `keepVersions`. Returns the new version name.
+    *
+    * `keepVersions` counts the current version, so the minimum of 2
+    * always retains the immediately-replaced version — a pinned reader of
+    * the previous current must survive the publish, which is this layer's
+    * whole purpose.
+    *
+    * Concurrent publishers are safe from corruption — version names carry
+    * a unique suffix, so no two writers ever share a directory, and a
+    * failed write leaves only an ignored staging dir — but the pointer is
+    * last-writer-wins: coordinate writers if "latest" must be a total
+    * order.
     */
   def publish(df: DataFrame, root: String, keepVersions: Int = 3): String = {
-    require(keepVersions >= 1, "keepVersions must be >= 1")
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2: retaining only the current version would delete " +
+        "the previous one under readers still pinned to it")
     val conf = new Configuration()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    // monotonic version names even under clock ties: bump past the max
+    // monotonic version names even under clock ties: bump past the max;
+    // the random suffix keeps concurrent publishers out of each other's
+    // directories
     val existing = versionDirs(root, conf)
     val next = math.max(System.currentTimeMillis(),
       existing.lastOption.map(versionNum(_) + 1).getOrElse(0L))
-    val name = f"v$next%019d"
-    df.write.parquet(new Path(rootPath, name).toString)
+    val name = f"v$next%019d" + "_" + java.util.UUID.randomUUID().toString.take(8)
+    // stage, then rename: a crashed write leaves a .staging dir that
+    // versionDirs ignores, never a half-written version counted by
+    // retention
+    val staging = new Path(rootPath, s".staging-$name")
+    df.write.parquet(staging.toString)
+    fc(conf).rename(staging, new Path(rootPath, name))
     // atomic pointer swap: write a temp file, rename over _CURRENT
     val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
@@ -77,7 +98,7 @@ object VersionedTable {
     name
   }
 
-  private def versionNum(name: String): Long = name.stripPrefix("v").toLong
+  private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 
   /** Version directory names under `root`, oldest first. */
   def versionDirs(root: String, conf: Configuration = new Configuration()): Seq[String] = {
@@ -85,7 +106,7 @@ object VersionedTable {
     val fs = rootPath.getFileSystem(conf)
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toIndexedSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{19}"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{19}_[0-9a-f]{8}"))
       .map(_.getPath.getName).sorted
   }
 }

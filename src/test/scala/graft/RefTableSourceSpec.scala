@@ -385,6 +385,10 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(graft.sources.reftable.SnapshotFiles.list(dir).size == 1)
     val s2 = new RefTableMicroBatchStream(o, o.outputSchema)
     s2.deserializeOffset(o1.json())
+    // Spark replays the uncommitted batch BEFORE polling for a new offset
+    // on restart; the replay pins a fresh listing under prev.gen, which
+    // must not make the generation look continuable (it is not "ours")
+    s2.planInputPartitions(s2.initialOffset(), o1)
     val o2 = s2.latestOffset(null, s2.getDefaultReadLimit).asInstanceOf[RefTableOffset]
     assert(o2.gen > o1.gen, s"a dead driver's chunked offset must be abandoned, got $o2")
     assert(o2.upTo == 1 && s2.planInputPartitions(o1, o2).length == 1)
