@@ -98,6 +98,25 @@ object VersionedTable {
     name
   }
 
+  /** Compact the current version into ~`targetFileBytes` files and publish
+    * the result as a new version. Small-file explosion is the classic
+    * slow death of a frequently-refreshed table (every listing, footer
+    * read and task launch scales with file count); with versioned roots,
+    * compaction is just another publish — readers pinned to the
+    * fragmented version keep draining it, new generations get the
+    * compacted one.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024, keepVersions: Int = 3): String = {
+    val conf = new Configuration()
+    val current = resolve(root, conf).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table root"))
+    val bytes = SnapshotFiles.list(current).map(_.length).sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    publish(spark.read.parquet(current).repartition(parts), root, keepVersions)
+  }
+
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 
   /** Version directory names under `root`, oldest first. */

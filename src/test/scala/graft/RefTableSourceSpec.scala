@@ -528,6 +528,20 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(df.load().collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("versioned compaction: many small files become few, content unchanged") {
+    import graft.sources.reftable.{SnapshotFiles, VersionedTable}
+    val root = Files.createTempDirectory("reftable_compact_").toString + "/tbl"
+    import spark.implicits._
+    VersionedTable.publish(
+      (1L to 64L).map(i => (i, s"n$i")).toDF("id", "name").repartition(16), root)
+    assert(SnapshotFiles.list(root).size == 16)
+    VersionedTable.compact(spark, root) // 64 tiny rows -> 1 file
+    assert(SnapshotFiles.list(root).size == 1)
+    val got = spark.read.format("reftable").option("path", root).option("schema", ddl)
+      .load().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 64L))
+  }
+
   test("limit pushdown: readers stop early; filtered limits fall back") {
     val dir = Files.createTempDirectory("reftable_limit_").toString
     import spark.implicits._
