@@ -118,6 +118,9 @@ object SchemaJson {
   *                      table actually sits on storage; filters over these
   *                      columns prune the listing on the driver
   *                      (see [[RefTablePartitioning]]).
+  *  - `version`         (optional) pin reads to a named version of a
+  *                      [[VersionedTable]] root (time travel) instead of
+  *                      resolving the `_CURRENT` pointer.
   */
 final case class RefTableOptions(
     path: String,
@@ -129,7 +132,8 @@ final case class RefTableOptions(
     genColumn: Option[String],
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    partitionColumns: Seq[String] = Nil) {
+    partitionColumns: Seq[String] = Nil,
+    version: Option[String] = None) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -222,7 +226,9 @@ object RefTableOptions {
 
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
+    val version = Option(options.get("version")).filter(_.nonEmpty)
+
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
-      maxFiles, maxBytes, partitionColumns)
+      maxFiles, maxBytes, partitionColumns, version)
   }
 }

@@ -23,14 +23,21 @@ final case class SnapshotFile(
 object SnapshotFiles {
   def list(dir: String): Seq[SnapshotFile] = list(dir, Nil)
 
-  def list(dir: String, partitionColumns: Seq[String]): Seq[SnapshotFile] = {
+  def list(dir: String, partitionColumns: Seq[String]): Seq[SnapshotFile] =
+    list(dir, partitionColumns, None)
+
+  def list(dir: String, partitionColumns: Seq[String], version: Option[String]): Seq[SnapshotFile] = {
     val conf = new Configuration()
     // a versioned root (VersionedTable) resolves to its current version
     // dir ONCE per listing — the pinned file list then stays readable even
     // if a new version is published mid-generation (old versions are
     // retained, unlike an in-place overwrite which deletes files under a
-    // running scan)
-    val resolved = VersionedTable.resolve(dir, conf).getOrElse(dir)
+    // running scan). An explicit `version` pins the read to that version
+    // instead (time travel).
+    val resolved = version match {
+      case Some(v) => new Path(dir, v).toString
+      case None => VersionedTable.resolve(dir, conf).getOrElse(dir)
+    }
     val p = new Path(resolved)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) throw new IllegalArgumentException(s"reftable path does not exist: $resolved")
@@ -71,9 +78,12 @@ object SnapshotFiles {
     }
   }
 
-  /** Listing for a scan: partition-aware and pruned by the pushed filters. */
+  /** Listing for a scan: partition-aware, version-aware, and pruned by the
+    * pushed filters.
+    */
   def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] =
-    RefTablePartitioning.prune(list(opts.path, opts.partitionColumns), opts, filters)
+    RefTablePartitioning.prune(
+      list(opts.path, opts.partitionColumns, opts.version), opts, filters)
 }
 
 /** Offset = (batch counter, refresh generation, files emitted so far in the

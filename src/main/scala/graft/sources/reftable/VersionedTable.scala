@@ -117,6 +117,22 @@ object VersionedTable {
     publish(spark.read.parquet(current).repartition(parts), root, keepVersions)
   }
 
+  /** Key-level changes (insert/delete/update) from `fromVersion` to the
+    * current version — a changefeed between retained versions, composing
+    * the versioned layer with [[graft.operators.SnapshotDiff]]: one
+    * key-shuffle join, no storage changelog needed.
+    */
+  def changes(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      keyCols: Seq[String], fromVersion: String): org.apache.spark.sql.DataFrame = {
+    val conf = new Configuration()
+    val current = resolve(root, conf).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table root"))
+    val from = new Path(root, fromVersion).toString
+    graft.operators.SnapshotDiff.diff(
+      spark.read.parquet(from), spark.read.parquet(current), keyCols)
+  }
+
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 
   /** Version directory names under `root`, oldest first. */

@@ -528,6 +528,24 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(df.load().collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("time travel and version changefeeds on a versioned root") {
+    import graft.sources.reftable.VersionedTable
+    val root = Files.createTempDirectory("reftable_tt_").toString + "/tbl"
+    import spark.implicits._
+    val v1 = VersionedTable.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    VersionedTable.publish(Seq((2L, "B"), (3L, "c")).toDF("id", "name"), root)
+    def read(version: Option[String]) = {
+      val r = spark.read.format("reftable").option("path", root).option("schema", ddl)
+      version.fold(r)(v => r.option("version", v)).load()
+        .orderBy("id").collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    }
+    assert(read(None) == Seq((2L, "B"), (3L, "c")), "default read resolves the pointer")
+    assert(read(Some(v1)) == Seq((1L, "a"), (2L, "b")), "version option time-travels")
+    val ch = VersionedTable.changes(spark, root, Seq("id"), v1)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(ch == Set((1L, "delete"), (2L, "update"), (3L, "insert")))
+  }
+
   test("versioned compaction: many small files become few, content unchanged") {
     import graft.sources.reftable.{SnapshotFiles, VersionedTable}
     val root = Files.createTempDirectory("reftable_compact_").toString + "/tbl"
