@@ -113,17 +113,25 @@ class RefTableColumnarReader(
         case _ => false
       })
 
+  // forward schema evolution: a declared column absent from this (older)
+  // file reads as a null constant when allowMissingColumns is set
+  private def missingFromFile(f: StructField): Boolean =
+    !opts.genColumn.contains(f.name) && !opts.isPartitionCol(f.name) &&
+      opts.allowMissingColumns && !fileSchema.containsField(opts.storageColumn(f.name))
+
   // output field i -> storage column (None = constant column: the
-  // synthesized generation column or a directory partition value)
+  // synthesized generation column, a directory partition value, or a
+  // null-filled evolved column this file predates)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
-    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name)) None
+    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f)) None
     else Some(opts.storageColumn(f.name))
   }
 
   // constant fields ride the vectorized reader's partition-column mechanism:
   // one ConstantColumnVector each, zero per-row decode cost
   private val constFields: Array[StructField] =
-    required.fields.filter(f => opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name))
+    required.fields.filter(f =>
+      opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f))
   private val constIndex: Map[String, Int] = constFields.map(_.name).zipWithIndex.toMap
 
   {
@@ -131,7 +139,8 @@ class RefTableColumnarReader(
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"Columns ${missing.mkString(", ")} not found in ${partition.path} " +
-          s"(file has: ${fileSchema.getFields.toArray.map(_.asInstanceOf[Type].getName).mkString(", ")})")
+          s"(file has: ${fileSchema.getFields.toArray.map(_.asInstanceOf[Type].getName).mkString(", ")}); " +
+          "set allowMissingColumns=true to null-fill evolved columns")
   }
 
   // distinct storage columns, each requested once; nanos timestamps as longs
@@ -153,7 +162,13 @@ class RefTableColumnarReader(
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
-    val preds = pushed.flatMap(f => RefTableFilters.translate(opts, f))
+    // predicates referencing a column this file lacks cannot reach
+    // parquet (it rejects unknown columns); the residual above the scan
+    // evaluates them over the null-filled rows with SQL semantics
+    val preds = pushed
+      .filter(_.references.forall(n => opts.genColumn.contains(n) ||
+        opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
+      .flatMap(f => RefTableFilters.translate(opts, f))
     if (preds.nonEmpty) ParquetInputFormat.setFilterPredicate(conf, preds.reduce(FilterApi.and))
     val (dtMode, dtTz, i96Mode, i96Tz) = RefTableColumnarReader.rebaseSpec(fileMeta)
     val r = new VectorizedParquetRecordReader(
@@ -166,7 +181,9 @@ class RefTableColumnarReader(
       constFields.zipWithIndex.foreach { case (f, i) =>
         val v: Any =
           if (opts.genColumn.contains(f.name)) java.lang.Long.valueOf(partition.gen)
-          else RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType)
+          else if (opts.isPartitionCol(f.name))
+            RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType)
+          else null // evolved column this file predates
         row.update(i, v)
       }
       r.initBatch(StructType(constFields.toIndexedSeq), row)

@@ -121,6 +121,9 @@ object SchemaJson {
   *  - `version`         (optional) pin reads to a named version of a
   *                      [[VersionedTable]] root (time travel) instead of
   *                      resolving the `_CURRENT` pointer.
+  *  - `allowMissingColumns` (optional, default false) forward schema
+  *                      evolution: declared columns absent from older
+  *                      files read as nulls instead of erroring.
   */
 final case class RefTableOptions(
     path: String,
@@ -133,7 +136,8 @@ final case class RefTableOptions(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     partitionColumns: Seq[String] = Nil,
-    version: Option[String] = None) {
+    version: Option[String] = None,
+    allowMissingColumns: Boolean = false) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -224,11 +228,18 @@ object RefTableOptions {
         errs += s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count (e.g. '64MB')"; None }
     }
 
-    if (errs.nonEmpty)
-      throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     val version = Option(options.get("version")).filter(_.nonEmpty)
 
+    val allowMissing = Option(options.get("allowMissingColumns")).filter(_.nonEmpty) match {
+      case None => false
+      case Some(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => s.toBoolean
+      case Some(other) =>
+        errs += s"Invalid 'allowMissingColumns' '$other': must be true or false"; false
+    }
+
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
-      maxFiles, maxBytes, partitionColumns, version)
+      maxFiles, maxBytes, partitionColumns, version, allowMissing)
   }
 }

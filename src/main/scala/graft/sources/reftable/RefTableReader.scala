@@ -115,10 +115,18 @@ class RefTablePartitionReader(
 
   private val conf = new Configuration()
 
-  // storage column needed for each output field (None → constant column:
-  // the synthesized gen col, or a partition value from the directory path)
+  private val fileSchema: MessageType =
+    RefTableColumnarReader.fileMetaOf(new Path(partition.path), partition.fileLength, conf).getSchema
+
+  // forward schema evolution: declared column absent from this older file
+  private def missingFromFile(f: StructField): Boolean =
+    !opts.genColumn.contains(f.name) && !opts.isPartitionCol(f.name) &&
+      opts.allowMissingColumns && !fileSchema.containsField(opts.storageColumn(f.name))
+
+  // storage column needed for each output field (None → constant: the gen
+  // col, a directory partition value, or a null-filled evolved column)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
-    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name)) None
+    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f)) None
     else Some(opts.storageColumn(f.name))
   }
 
@@ -130,15 +138,15 @@ class RefTablePartitionReader(
     else null
   }
 
-  private val fileSchema: MessageType =
-    RefTableColumnarReader.fileMetaOf(new Path(partition.path), partition.fileLength, conf).getSchema
-
   // columns referenced only by pushed filters must still be read (Spark may
-  // prune them from the output projection once a filter is fully pushed)
+  // prune them from the output projection once a filter is fully pushed);
+  // filter-only columns this file lacks are simply not readable here — the
+  // residual evaluates over the null-filled rows
   private val filterCols: Seq[String] = pushed.toSeq.flatMap(_.references)
     .flatMap(n =>
       if (opts.genColumn.contains(n) || opts.isPartitionCol(n)) None
       else Some(opts.storageColumn(n)))
+    .filter(c => !opts.allowMissingColumns || fileSchema.containsField(c))
 
   private val requestedSchema: MessageType = {
     val wanted = (fieldSources.flatten ++ filterCols).distinct
@@ -146,7 +154,8 @@ class RefTablePartitionReader(
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"Columns ${missing.mkString(", ")} not found in ${partition.path} " +
-          s"(file has: ${fileSchema.getFields.toArray.map(_.asInstanceOf[Type].getName).mkString(", ")})")
+          s"(file has: ${fileSchema.getFields.toArray.map(_.asInstanceOf[Type].getName).mkString(", ")}); " +
+          "set allowMissingColumns=true to null-fill evolved columns")
     new MessageType(fileSchema.getName, wanted.map(n => fileSchema.getType(Seq(n): _*)): _*)
   }
 
@@ -154,7 +163,10 @@ class RefTablePartitionReader(
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, requestedSchema.toString)
     val b = ParquetReader.builder(new GroupReadSupport(), new Path(partition.path)).withConf(conf)
       .withFileRange(partition.start, partition.start + partition.length)
-    val preds = pushed.flatMap(f => RefTableFilters.translate(opts, f))
+    val preds = pushed
+      .filter(_.references.forall(n => opts.genColumn.contains(n) ||
+        opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
+      .flatMap(f => RefTableFilters.translate(opts, f))
     val withF = if (preds.isEmpty) b
       else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))
     withF.build()

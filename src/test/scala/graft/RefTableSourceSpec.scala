@@ -528,6 +528,43 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(df.load().collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("schema evolution: columns absent from older files null-fill when allowed") {
+    val dir = Files.createTempDirectory("reftable_evolve_").toString
+    import spark.implicits._
+    // an old 2-column file and a new 3-column file in one table
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val evolved = "id BIGINT, name STRING, score DOUBLE"
+    def read(allow: Boolean) = spark.read.format("reftable")
+      .option("path", dir).option("schema", evolved)
+      .option("allowMissingColumns", allow.toString).load()
+    // strict mode: the old file errors loudly
+    val strictErr = intercept[org.apache.spark.SparkException](read(false).collect())
+    assert(strictErr.getMessage.contains("not found") ||
+      Option(strictErr.getCause).exists(_.getMessage.contains("not found")))
+    // evolution mode: old rows null-fill the new column (columnar path)
+    val rows = read(true).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))))
+    // a filter on the evolved column is exact over null-filled rows
+    assert(read(true).filter(col("score") > 5).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(read(true).filter(col("score").isNull).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // row fallback path agrees (drive it directly on the old file)
+    import graft.sources.reftable.{RefTableInputPartition, RefTableOptions => RTO, RefTablePartitionReader, SnapshotFiles}
+    val o = RTO.from(new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "schema" -> evolved, "allowMissingColumns" -> "true").asJava))
+    val oldFile = SnapshotFiles.list(dir).filter { f =>
+      val rdr = new RefTablePartitionReader(o, o.outputSchema, Array.empty,
+        RefTableInputPartition(f.path, 0L, f.length, f.length, 0L))
+      val rs = try Iterator.continually(rdr).takeWhile(_.next()).map(_.get().copy()).toList
+        finally rdr.close()
+      rs.exists(_.isNullAt(2))
+    }
+    assert(oldFile.size == 1, "the row path must also null-fill the evolved column")
+  }
+
   test("time travel and version changefeeds on a versioned root") {
     import graft.sources.reftable.VersionedTable
     val root = Files.createTempDirectory("reftable_tt_").toString + "/tbl"
