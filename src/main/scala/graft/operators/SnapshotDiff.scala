@@ -102,7 +102,10 @@ object SnapshotDiff {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       } catch { case scala.util.control.NonFatal(_) => None }
       rdd match {
-        case Some(r) => r.unpersist(false); ()
+        case Some(r) =>
+          // tolerate a stopped context racing the release (query shutdown)
+          try { r.unpersist(false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
         case None =>
           org.slf4j.LoggerFactory.getLogger(classOf[ChangeFeed]).warn(
             "ChangeFeed could not locate the checkpointed RDD of a retired " +

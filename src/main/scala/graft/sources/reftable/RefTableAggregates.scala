@@ -104,25 +104,29 @@ class RefTableAggScan(opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSp
     override def planInputPartitions(): Array[InputPartition] = {
       val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
       // one partition per FILE (never byte ranges): a footer describes the
-      // whole file, and each file must be counted exactly once
-      SnapshotFiles.list(opts.path, opts.partitionColumns)
+      // whole file, and each file must be counted exactly once. The
+      // version-aware pruned listing (no filters can be pushed here)
+      // keeps time-travel reads honest.
+      SnapshotFiles.pruned(opts, Nil)
         .map(f => RefTableInputPartition(f.path, 0L, f.length, f.length, gen, f.partitionValues)
           : InputPartition)
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new RefTableAggReaderFactory(specs)
+      new RefTableAggReaderFactory(opts, specs)
   }
 }
 
-class RefTableAggReaderFactory(specs: Seq[RefTableAggregates.AggSpec])
+class RefTableAggReaderFactory(opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSpec])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RefTableAggFooterReader(specs, partition.asInstanceOf[RefTableInputPartition])
+    new RefTableAggFooterReader(opts, specs, partition.asInstanceOf[RefTableInputPartition])
 }
 
 /** Reads ONLY the footer of its file and emits one partial-aggregate row. */
-class RefTableAggFooterReader(specs: Seq[RefTableAggregates.AggSpec], partition: RefTableInputPartition)
+class RefTableAggFooterReader(
+    opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSpec],
+    partition: RefTableInputPartition)
     extends PartitionReader[InternalRow] {
   import RefTableAggregates._
 
@@ -132,7 +136,12 @@ class RefTableAggFooterReader(specs: Seq[RefTableAggregates.AggSpec], partition:
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(partition.path), new Configuration()))
     try {
+      val footerSchema = reader.getFooter.getFileMetaData.getSchema
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      // schema evolution: a column this (older) file predates is all-null
+      // by definition — count contributes 0, min/max contribute nothing
+      def absent(col: String): Boolean =
+        opts.allowMissingColumns && !footerSchema.containsField(col)
       def chunk(block: org.apache.parquet.hadoop.metadata.BlockMetaData, col: String) =
         block.getColumns.asScala.find(_.getPath.toDotString == col).getOrElse(
           throw new IllegalStateException(s"reftable: column $col missing from ${partition.path}"))
@@ -149,6 +158,7 @@ class RefTableAggFooterReader(specs: Seq[RefTableAggregates.AggSpec], partition:
       // check for legacy float writers) is indistinguishable from data —
       // silently skipping it would return a wrong answer, so it throws.
       def minMax(c: String, pickMin: Boolean): Option[Any] = {
+        if (absent(c)) return None
         val parts = stats(c).flatMap { case (rows, s) =>
           if (s.hasNonNullValue) Some(if (pickMin) s.genericGetMin() else s.genericGetMax())
           else if (rows == 0L || (s.isNumNullsSet && s.getNumNulls == rows)) None
@@ -173,7 +183,7 @@ class RefTableAggFooterReader(specs: Seq[RefTableAggregates.AggSpec], partition:
           case CountStarSpec =>
             out.update(i, blocks.map(_.getRowCount).sum)
           case CountSpec(c) =>
-            out.update(i, stats(c).map { case (rows, s) =>
+            out.update(i, if (absent(c)) 0L else stats(c).map { case (rows, s) =>
               if (!s.isNumNullsSet) throw new IllegalStateException(
                 s"reftable: null counts unset for $c in ${partition.path}")
               rows - s.getNumNulls

@@ -69,6 +69,26 @@ object RefTableColumnarReader {
     })
   }
 
+  /** Forward schema evolution, shared by both read paths: a declared
+    * column absent from this (older) file reads as a null constant when
+    * allowMissingColumns is set.
+    */
+  private[reftable] def missingFromFile(
+      opts: RefTableOptions, fileSchema: MessageType, f: StructField): Boolean =
+    !opts.genColumn.contains(f.name) && !opts.isPartitionCol(f.name) &&
+      opts.allowMissingColumns && !fileSchema.containsField(opts.storageColumn(f.name))
+
+  /** Pushed filters usable against THIS file, shared by both read paths:
+    * parquet rejects predicates over columns it doesn't have, so filters
+    * referencing a column this file lacks are withheld here — the residual
+    * above the scan evaluates them over the null-filled rows with SQL
+    * semantics.
+    */
+  private[reftable] def pushableForFile(
+      opts: RefTableOptions, fileSchema: MessageType, pushed: Array[Filter]): Array[Filter] =
+    pushed.filter(_.references.forall(n => opts.genColumn.contains(n) ||
+      opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
+
   /** Per-file datetime rebase modes, mirroring the decision Spark's built-in
     * parquet path makes in DataSourceUtils.datetimeRebaseSpec: files that
     * carry the writer markers `org.apache.spark.legacyDateTime` /
@@ -113,11 +133,8 @@ class RefTableColumnarReader(
         case _ => false
       })
 
-  // forward schema evolution: a declared column absent from this (older)
-  // file reads as a null constant when allowMissingColumns is set
   private def missingFromFile(f: StructField): Boolean =
-    !opts.genColumn.contains(f.name) && !opts.isPartitionCol(f.name) &&
-      opts.allowMissingColumns && !fileSchema.containsField(opts.storageColumn(f.name))
+    RefTableColumnarReader.missingFromFile(opts, fileSchema, f)
 
   // output field i -> storage column (None = constant column: the
   // synthesized generation column, a directory partition value, or a
@@ -162,12 +179,7 @@ class RefTableColumnarReader(
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
-    // predicates referencing a column this file lacks cannot reach
-    // parquet (it rejects unknown columns); the residual above the scan
-    // evaluates them over the null-filled rows with SQL semantics
-    val preds = pushed
-      .filter(_.references.forall(n => opts.genColumn.contains(n) ||
-        opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
+    val preds = RefTableColumnarReader.pushableForFile(opts, fileSchema, pushed)
       .flatMap(f => RefTableFilters.translate(opts, f))
     if (preds.nonEmpty) ParquetInputFormat.setFilterPredicate(conf, preds.reduce(FilterApi.and))
     val (dtMode, dtTz, i96Mode, i96Tz) = RefTableColumnarReader.rebaseSpec(fileMeta)

@@ -120,8 +120,7 @@ class RefTablePartitionReader(
 
   // forward schema evolution: declared column absent from this older file
   private def missingFromFile(f: StructField): Boolean =
-    !opts.genColumn.contains(f.name) && !opts.isPartitionCol(f.name) &&
-      opts.allowMissingColumns && !fileSchema.containsField(opts.storageColumn(f.name))
+    RefTableColumnarReader.missingFromFile(opts, fileSchema, f)
 
   // storage column needed for each output field (None → constant: the gen
   // col, a directory partition value, or a null-filled evolved column)
@@ -163,9 +162,7 @@ class RefTablePartitionReader(
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, requestedSchema.toString)
     val b = ParquetReader.builder(new GroupReadSupport(), new Path(partition.path)).withConf(conf)
       .withFileRange(partition.start, partition.start + partition.length)
-    val preds = pushed
-      .filter(_.references.forall(n => opts.genColumn.contains(n) ||
-        opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
+    val preds = RefTableColumnarReader.pushableForFile(opts, fileSchema, pushed)
       .flatMap(f => RefTableFilters.translate(opts, f))
     val withF = if (preds.isEmpty) b
       else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))

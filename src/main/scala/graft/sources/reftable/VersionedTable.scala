@@ -64,7 +64,19 @@ object VersionedTable {
     * last-writer-wins: coordinate writers if "latest" must be a total
     * order.
     */
-  def publish(df: DataFrame, root: String, keepVersions: Int = 3): String = {
+  def publish(df: DataFrame, root: String, keepVersions: Int = 3): String =
+    publishInternal(df, root, keepVersions, Nil)
+
+  /** As [[publish]], writing a Hive-partitioned layout inside the version
+    * directory (readers declare the matching `partitionColumns` option).
+    */
+  def publishPartitioned(
+      df: DataFrame, root: String, partitionColumns: Seq[String],
+      keepVersions: Int = 3): String =
+    publishInternal(df, root, keepVersions, partitionColumns)
+
+  private def publishInternal(
+      df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String]): String = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +
         "the previous one under readers still pinned to it")
@@ -83,15 +95,21 @@ object VersionedTable {
     // versionDirs ignores, never a half-written version counted by
     // retention
     val staging = new Path(rootPath, s".staging-$name")
-    df.write.parquet(staging.toString)
+    val writer = df.write
+    (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
+      .parquet(staging.toString)
     fc(conf).rename(staging, new Path(rootPath, name))
     // atomic pointer swap: write a temp file, rename over _CURRENT
     val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(name.getBytes("UTF-8")) finally out.close()
     fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
-    // prune: oldest first, never the just-published current
-    val prunable = versionDirs(root, conf).filterNot(_ == name)
+    // prune: oldest first, never the just-published current, and never the
+    // version _CURRENT names right now — a slow concurrent publisher may
+    // have swapped the pointer to an older name after our swap, and
+    // deleting its target would break readers until the next publish
+    val pointed = resolve(root, conf).map(p => new Path(p).getName)
+    val prunable = versionDirs(root, conf).filterNot(v => v == name || pointed.contains(v))
     prunable.dropRight(keepVersions - 1).foreach { old =>
       fs.delete(new Path(rootPath, old), true)
     }
@@ -108,13 +126,21 @@ object VersionedTable {
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      targetFileBytes: Long = 128L * 1024 * 1024, keepVersions: Int = 3): String = {
+      targetFileBytes: Long = 128L * 1024 * 1024, keepVersions: Int = 3,
+      partitionColumns: Seq[String] = Nil): String = {
     val conf = new Configuration()
     val current = resolve(root, conf).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
-    val bytes = SnapshotFiles.list(current).map(_.length).sum
+    val bytes = SnapshotFiles.list(current, partitionColumns).map(_.length).sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    publish(spark.read.parquet(current).repartition(parts), root, keepVersions)
+    // Hive-partitioned versions must be compacted AS partitioned — a flat
+    // rewrite would brick readers declaring partitionColumns
+    val df = spark.read.parquet(current)
+    val compacted =
+      if (partitionColumns.isEmpty) df.repartition(parts)
+      else df.repartition(parts,
+        partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+    publishInternal(compacted, root, keepVersions, partitionColumns)
   }
 
   /** Key-level changes (insert/delete/update) from `fromVersion` to the

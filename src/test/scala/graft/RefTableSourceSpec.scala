@@ -583,6 +583,52 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(ch == Set((1L, "delete"), (2L, "update"), (3L, "insert")))
   }
 
+  test("aggregate pushdown honors time travel and schema evolution") {
+    import graft.sources.reftable.VersionedTable
+    import spark.implicits._
+    // time travel: pushed count must read the PINNED version, not current
+    val root = Files.createTempDirectory("reftable_aggver_").toString + "/tbl"
+    val v1 = VersionedTable.publish((1L to 3L).map(i => (i, s"n$i")).toDF("id", "name"), root)
+    VersionedTable.publish(Seq((9L, "z")).toDF("id", "name"), root)
+    val pinned = spark.read.format("reftable")
+      .option("path", root).option("schema", ddl).option("version", v1).load()
+      .agg(count(lit(1)).as("n"))
+    assert(pinned.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    assert(pinned.collect().head.getLong(0) == 3L,
+      "pushed aggregates must respect the version option")
+    // evolution: an old file lacking the column contributes 0 / nothing
+    val dir = Files.createTempDirectory("reftable_aggev_").toString
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((2L, "b", 9.5), (3L, "c", 1.5)).toDF("id", "name", "score").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val agg = spark.read.format("reftable")
+      .option("path", dir).option("schema", "id BIGINT, name STRING, score DOUBLE")
+      .option("allowMissingColumns", "true").load()
+      .agg(count(lit(1)).as("n"), count(col("score")).as("ns"),
+        min("score").as("mn"), max("score").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) == (3L, 2L, 1.5, 9.5),
+      s"evolved-column aggregates must treat missing columns as all-null, got $r")
+  }
+
+  test("versioned compaction preserves a Hive-partitioned layout") {
+    import graft.sources.reftable.{SnapshotFiles, VersionedTable}
+    val root = Files.createTempDirectory("reftable_cpart_").toString + "/tbl"
+    import spark.implicits._
+    VersionedTable.publishPartitioned(
+      Seq((1L, "x", "red"), (2L, "y", "blue"), (3L, "z", "red")).toDF("id", "name", "color")
+        .repartition(4), root, Seq("color"))
+    VersionedTable.compact(spark, root, partitionColumns = Seq("color"))
+    // still a valid partitioned layout, values intact
+    val got = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, name STRING, color STRING")
+      .option("partitionColumns", "color").load()
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(2))).toSeq
+    assert(got == Seq((1L, "red"), (2L, "blue"), (3L, "red")))
+    assert(SnapshotFiles.list(root, Seq("color")).nonEmpty)
+  }
+
   test("versioned compaction: many small files become few, content unchanged") {
     import graft.sources.reftable.{SnapshotFiles, VersionedTable}
     val root = Files.createTempDirectory("reftable_compact_").toString + "/tbl"
