@@ -315,6 +315,33 @@ object Advanced {
       """SELECT c_custkey, c_name, round(c_acctbal * 2, 4) AS c_acctbal
         |FROM customer WHERE c_custkey % 2 = 0 ORDER BY c_custkey""".stripMargin)),
 
+    // forward schema evolution through the reftable source: the table has
+    // an old epoch written without o_totalprice and a new epoch with it;
+    // allowMissingColumns null-fills the old files, and the aggregate
+    // proves the fill (count of non-nulls, null-safe sum) matches the
+    // oracle's CASE-based reconstruction.
+    QueryDef("q89_schema_evolution", (s, dir) => {
+      val out = RelationalSupport.scratchDir(s, dir, "q89_evolve")
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(out)
+      o.filter(col("o_orderkey") % 2 === 1).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("append").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .option("allowMissingColumns", "true")
+        .load()
+        .groupBy((col("o_orderkey") % 2).as("epoch"))
+        .agg(count(lit(1)).as("n"), count(col("o_totalprice")).as("n_price"),
+          r4(sum("o_totalprice")).as("tp"))
+        .orderBy("epoch")
+    }, Some(
+      """SELECT o_orderkey % 2 AS epoch, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_price,
+        |  round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 4) AS tp
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // metadata-only aggregation through the reftable source: COUNT/MIN/MAX
     // are answered from parquet footer statistics (one partial row per
     // file, no data pages read — RefTableSourceSpec asserts the pushed
