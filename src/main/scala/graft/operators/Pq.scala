@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for compressed approximate nearest-neighbor
+  * search — the memory-scale path of the ANN family ([[Similarity]] has
+  * the compute-scale paths: brute force, IVF probing, SRP-LSH).
+  *
+  * A d-dim float vector becomes `m` small codes (one per d/m-dim
+  * subspace, each quantized against its own `ksub`-centroid
+  * sub-codebook): 64 floats → 8 codes ≈ 32× less memory, which is what
+  * lets a 100 TB embedding corpus live in executor memory as codes while
+  * the full vectors stay on disk for the final re-rank.
+  *
+  * Division of labor, all Spark-shaped:
+  *  - codebooks train DRIVER-side on a small deterministic sample
+  *    (industry practice — PQ codebooks need thousands of vectors, not
+  *    the corpus) and broadcast;
+  *  - encoding is one narrow map over the corpus;
+  *  - search is asymmetric distance computation (ADC): per query one
+  *    m×ksub lookup table, per candidate `m` table lookups instead of a
+  *    d-term dot product; top-(k·refine) by ADC then an exact cosine
+  *    re-rank of just those candidates (standard re-ranking keeps
+  *    precision exact).
+  *
+  * Vectors are L2-normalized before quantization, so squared L2 on
+  * quantized vectors orders like cosine (‖q−x‖² = 2−2·cos on the unit
+  * sphere) and the ADC ranking matches the exact ranking it approximates.
+  */
+object Pq {
+
+  /** Sub-codebooks: `cents(j)(c)` is centroid c of subspace j. */
+  final case class Codebooks(m: Int, dsub: Int, cents: Array[Array[Array[Double]]])
+      extends Serializable
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    val n = math.sqrt(n2)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  private def sub(v: Array[Double], j: Int, dsub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train sub-codebooks on a deterministic sample (the `sampleSize`
+    * lowest-id vectors): per subspace, Lloyd iterations with L2 over the
+    * normalized slices, initialized from the first `ksub` distinct
+    * slices. Only the sample ever reaches the driver.
+    */
+  def train(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 2048, iterations: Int = 10): Codebooks = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
+      .filter(_.nonEmpty)
+      .map(normalize)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val d = sample.head.length
+    require(d % m == 0, s"vector dim $d must be divisible by m=$m")
+    val dsub = d / m
+    val cents = Array.tabulate(m) { j =>
+      val slices = sample.map(sub(_, j, dsub))
+      var cb = slices.distinct.take(ksub)
+      for (_ <- 1 to iterations) {
+        val sums = Array.fill(cb.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cb.length)
+        slices.foreach { s =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val dist = l2sq(s, cb(c))
+            if (dist < bd) { bd = dist; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+        }
+        cb = cb.indices.toArray.collect {
+          case c if counts(c) > 0 => sums(c).map(_ / counts(c))
+        }
+      }
+      cb
+    }
+    Codebooks(m, dsub, cents)
+  }
+
+  /** One narrow encoding pass: (id, codes). Null / empty vectors encode
+    * to null and drop out of ADC candidacy.
+    */
+  def encode(corpus: DataFrame, cb: Codebooks, idCol: String, vecCol: String): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val enc = udf { (v: Seq[Double]) =>
+      if (v == null || v.isEmpty) null
+      else {
+        val b = bc.value
+        val x = normalize(v.toArray)
+        Array.tabulate(b.m) { j =>
+          val s = sub(x, j, b.dsub)
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < b.cents(j).length) {
+            val d = l2sq(s, b.cents(j)(c))
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+    }
+    corpus.select(col(idCol), enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** Approximate top-k by ADC with exact re-ranking: candidates =
+    * top-(k·refine) per query by quantized distance (m table lookups per
+    * candidate), then the true cosine ranks the final k. Same output
+    * shape as [[Similarity.cosineTopK]]: (query_id, rk, neighbor_id, sim).
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame, cb: Codebooks,
+      idCol: String, vecCol: String, k: Int = 10, refine: Int = 4): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    // per-query lookup table: tab(j)(c) = ||q_j - cent_{j,c}||^2
+    val tables = udf { (q: Seq[Double]) =>
+      val b = bc.value
+      val x = normalize(q.toArray)
+      Array.tabulate(b.m)(j => b.cents(j).map(c => l2sq(sub(x, j, b.dsub), c)))
+    }
+    val adc = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
+      var s = 0.0
+      var j = 0
+      while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
+      s
+    }
+    val enc = encode(corpus, cb, idCol, vecCol).filter(col("codes").isNotNull)
+    val qt = queries.select(col("query_id"), col("qv"),
+      tables(col("qv").cast("array<double>")).as("qtab"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("ad").asc, col(idCol))
+    val cands = enc.crossJoin(broadcast(qt))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("ad", adc(col("codes"), col("qtab")))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * refine)
+      .select(col("query_id"), col("qv"), col(idCol))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
+    cands.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+}

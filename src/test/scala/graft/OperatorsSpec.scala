@@ -184,6 +184,28 @@ class OperatorsSpec extends AnyFunSuite {
       "every chain node must label to the minimum id 0")
   }
 
+  test("PQ-ADC with re-ranking reaches >=60% recall@10 vs brute force") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 32)
+    // 64 floats -> 8 codes: the memory win is the point
+    assert(cb.m * cb.dsub == 64 && cb.cents.forall(_.length <= 32))
+    val approx = Pq.topK(e, q, cb, "vec_id", "embedding", k = 10, refine = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.6, s"recall $recall too low")
+    // determinism: same codebooks, same result
+    val cb2 = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 32)
+    assert(cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq)
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
