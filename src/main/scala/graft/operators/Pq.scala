@@ -74,7 +74,10 @@ object Pq {
     val dsub = d / m
     val cents = Array.tabulate(m) { j =>
       val slices = sample.map(sub(_, j, dsub))
-      var cb = slices.distinct.take(ksub)
+      // content-distinct init (Array equality is by reference — distinct on
+      // the raw arrays would keep duplicates and let strict-< assignment
+      // starve the copies into a collapsed codebook)
+      var cb = slices.map(_.toSeq).distinct.take(ksub).map(_.toArray)
       for (_ <- 1 to iterations) {
         val sums = Array.fill(cb.length)(new Array[Double](dsub))
         val counts = new Array[Long](cb.length)
@@ -100,15 +103,22 @@ object Pq {
     Codebooks(m, dsub, cents)
   }
 
-  /** One narrow encoding pass: (id, codes). Null / empty vectors encode
-    * to null and drop out of ADC candidacy.
+  /** One narrow encoding pass: (id, codes). Null, empty, or
+    * wrong-dimension vectors encode to null and drop out of ADC
+    * candidacy — a single malformed row must not kill a 100 TB job, and
+    * zero-padding/truncating it would produce silently wrong codes.
     */
-  def encode(corpus: DataFrame, cb: Codebooks, idCol: String, vecCol: String): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+  def encode(corpus: DataFrame, cb: Codebooks, idCol: String, vecCol: String): DataFrame =
+    encodeWith(corpus, corpus.sparkSession.sparkContext.broadcast(cb), idCol, vecCol)
+
+  private def encodeWith(
+      corpus: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Codebooks],
+      idCol: String, vecCol: String): DataFrame = {
     val enc = udf { (v: Seq[Double]) =>
-      if (v == null || v.isEmpty) null
+      val b = bc.value
+      if (v == null || v.length != b.m * b.dsub) null
       else {
-        val b = bc.value
         val x = normalize(v.toArray)
         Array.tabulate(b.m) { j =>
           val s = sub(x, j, b.dsub)
@@ -136,11 +146,16 @@ object Pq {
       corpus: DataFrame, queries: DataFrame, cb: Codebooks,
       idCol: String, vecCol: String, k: Int = 10, refine: Int = 4): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cb)
-    // per-query lookup table: tab(j)(c) = ||q_j - cent_{j,c}||^2
+    // per-query lookup table: tab(j)(c) = ||q_j - cent_{j,c}||^2; a null
+    // or wrong-dimension query yields a null table and drops out, like
+    // malformed corpus rows do in encode
     val tables = udf { (q: Seq[Double]) =>
       val b = bc.value
-      val x = normalize(q.toArray)
-      Array.tabulate(b.m)(j => b.cents(j).map(c => l2sq(sub(x, j, b.dsub), c)))
+      if (q == null || q.length != b.m * b.dsub) null
+      else {
+        val x = normalize(q.toArray)
+        Array.tabulate(b.m)(j => b.cents(j).map(c => l2sq(sub(x, j, b.dsub), c)))
+      }
     }
     val adc = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
       var s = 0.0
@@ -148,9 +163,10 @@ object Pq {
       while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
       s
     }
-    val enc = encode(corpus, cb, idCol, vecCol).filter(col("codes").isNotNull)
+    val enc = encodeWith(corpus, bc, idCol, vecCol).filter(col("codes").isNotNull)
     val qt = queries.select(col("query_id"), col("qv"),
       tables(col("qv").cast("array<double>")).as("qtab"))
+      .filter(col("qtab").isNotNull)
     val wAdc = Window.partitionBy("query_id").orderBy(col("ad").asc, col(idCol))
     val cands = enc.crossJoin(broadcast(qt))
       .filter(col(idCol) =!= col("query_id"))
@@ -158,11 +174,6 @@ object Pq {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= k * refine)
       .select(col("query_id"), col("qv"), col(idCol))
-    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
-    cands.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
-      .withColumn("rk", row_number().over(wRank))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"), col("sim"))
+    Similarity.rerank(cands, corpus, idCol, vecCol, k)
   }
 }

@@ -226,6 +226,16 @@ object Similarity {
     val cands = cBuckets.join(broadcast(qBuckets), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col("qv"), col(idCol)).dropDuplicates("query_id", idCol)
+    rerank(cands, corpus, idCol, vecCol, k)
+  }
+
+  /** Shared exact re-rank for ANN candidate sets: join the true vectors,
+    * exact cosine, top-k per query (ties to the lower id). `cands` must
+    * carry (query_id, qv, idCol). Kept in one place so the tie-break and
+    * rounding rules can never diverge between ANN variants.
+    */
+  private[operators] def rerank(
+      cands: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
     cands.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("sim", r6(cosineSim(col("qv"), col(vecCol))))
