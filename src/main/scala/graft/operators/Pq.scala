@@ -176,4 +176,48 @@ object Pq {
       .select(col("query_id"), col("qv"), col(idCol))
     Similarity.rerank(cands, corpus, idCol, vecCol, k)
   }
+
+  /** IVF-PQ — the canonical billion-scale ANN architecture, composed from
+    * the pieces above: coarse IVF cells prune the candidate set (a probe
+    * reads ~nProbe/|cells| of the corpus), PQ codes score the survivors
+    * by ADC (m table lookups per pair, codes-only — the full vectors are
+    * touched ONLY for the final exact re-rank of top-(k·refine)).
+    * centroids: (cid, cv) from [[Similarity.trainKMeans]]; cb from
+    * [[train]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame, cb: Codebooks,
+      idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val tables = udf { (q: Seq[Double]) =>
+      val b = bc.value
+      if (q == null || q.length != b.m * b.dsub) null
+      else {
+        val x = normalize(q.toArray)
+        Array.tabulate(b.m)(j => b.cents(j).map(c => l2sq(sub(x, j, b.dsub), c)))
+      }
+    }
+    val adc = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
+      var s = 0.0
+      var j = 0
+      while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
+      s
+    }
+    // one narrow pass: cell assignment + code, both from broadcast state
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    val enc = encodeWith(assigned, bc, idCol, vecCol)
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .filter(col("codes").isNotNull)
+    val probes = Similarity.probeCells(queries, centroids, nProbe)
+      .withColumn("qtab", tables(col("qv").cast("array<double>")))
+      .filter(col("qtab").isNotNull)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("ad").asc, col(idCol))
+    val cands = enc.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("ad", adc(col("codes"), col("qtab")))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * refine)
+      .select(col("query_id"), col("qv"), col(idCol))
+    Similarity.rerank(cands, corpus, idCol, vecCol, k)
+  }
 }

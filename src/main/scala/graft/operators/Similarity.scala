@@ -255,16 +255,24 @@ object Similarity {
     * the corpus instead of all of it, and the assignment pass is a narrow
     * projection ([[assignCells]]) — no Exchange before the probe join.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val assign = assignCells(corpus, centroids, idCol, vecCol)
+  /** The `nProbe` nearest cells per query: (query_id, qv, cell). Shared
+    * by [[ivfTopK]] and [[Pq.ivfPqTopK]].
+    */
+  private[operators] def probeCells(
+      queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("psim", r6(cosineSim(col("qv"), col("cv"))))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val assign = assignCells(corpus, centroids, idCol, vecCol)
+    val probes = probeCells(queries, centroids, nProbe)
     val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))
     assign.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))

@@ -204,6 +204,18 @@ class OperatorsSpec extends AnyFunSuite {
     // determinism: same codebooks, same result
     val cb2 = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 32)
     assert(cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq)
+
+    // IVF-PQ composition: coarse cells + codes + re-rank still find a
+    // useful fraction of the true neighbors while touching full vectors
+    // only at the re-rank
+    val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 8)
+    val ivfpq = Pq.ivfPqTopK(e, q, cents, cb, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $ivfpqRecall")
+    assert(ivfpqRecall >= 0.5, s"IVF-PQ recall $ivfpqRecall too low")
   }
 
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
