@@ -111,11 +111,12 @@ object Pq {
   def encode(corpus: DataFrame, cb: Codebooks, idCol: String, vecCol: String): DataFrame =
     encodeWith(corpus, corpus.sparkSession.sparkContext.broadcast(cb), idCol, vecCol)
 
-  private def encodeWith(
-      corpus: DataFrame,
-      bc: org.apache.spark.broadcast.Broadcast[Codebooks],
-      idCol: String, vecCol: String): DataFrame = {
-    val enc = udf { (v: Seq[Double]) =>
+  /** The encoding UDF over a broadcast codebook — exposed separately so
+    * composers (IVF-PQ) can add the codes column inside an existing
+    * narrow projection instead of paying a self-join.
+    */
+  private def codesUdf(bc: org.apache.spark.broadcast.Broadcast[Codebooks]) =
+    udf { (v: Seq[Double]) =>
       val b = bc.value
       if (v == null || v.length != b.m * b.dsub) null
       else {
@@ -134,8 +135,12 @@ object Pq {
         }
       }
     }
-    corpus.select(col(idCol), enc(col(vecCol).cast("array<double>")).as("codes"))
-  }
+
+  private def encodeWith(
+      corpus: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Codebooks],
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), codesUdf(bc)(col(vecCol).cast("array<double>")).as("codes"))
 
   /** Approximate top-k by ADC with exact re-ranking: candidates =
     * top-(k·refine) per query by quantized distance (m table lookups per
@@ -203,11 +208,13 @@ object Pq {
       while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
       s
     }
-    // one narrow pass: cell assignment + code, both from broadcast state
-    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
-    val enc = encodeWith(assigned, bc, idCol, vecCol)
-      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+    // ONE narrow pass over the corpus: cell assignment and code, both
+    // computed from broadcast state in the same projection — never a
+    // self-join (which would re-scan the corpus and shuffle both sides)
+    val enc = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+      .withColumn("codes", codesUdf(bc)(col(vecCol).cast("array<double>")))
       .filter(col("codes").isNotNull)
+      .select(col(idCol), col("cell"), col("codes"))
     val probes = Similarity.probeCells(queries, centroids, nProbe)
       .withColumn("qtab", tables(col("qv").cast("array<double>")))
       .filter(col("qtab").isNotNull)
