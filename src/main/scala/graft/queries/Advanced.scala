@@ -444,6 +444,23 @@ object Advanced {
         |  UNION ALL SELECT n_nationkey, n_name, 'json' AS src FROM nation)
         |ORDER BY src, n_nationkey""".stripMargin)),
 
+    // ORC round-trip: Spark's other bundled columnar format must agree
+    // with the parquet-derived oracle (q62 covers CSV/JSON; spark-avro is
+    // not on this classpath).
+    QueryDef("q90_orc_roundtrip", (s, dir) => {
+      val out = RelationalSupport.scratchDir(s, dir, "q90_orc")
+      Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), r4(sum("s_acctbal")).as("bal"), min("s_name").as("first_name"))
+        .orderBy("s_nationkey")
+    }, Some(
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 4) AS bal,
+        |  min(s_name) AS first_name
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL-registered kernel functions: the same simhash through spark.sql
     QueryDef("q63_sql_functions", (s, dir) => {
       graft.functions.Registry.registerAll(s)
