@@ -629,6 +629,66 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(SnapshotFiles.list(root, Seq("color")).nonEmpty)
   }
 
+  test("full-stack integration: versioned + partitioned + genColumn + admission + restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.reftable.VersionedTable
+    val root = Files.createTempDirectory("reftable_full_").toString + "/tbl"
+    import spark.implicits._
+    VersionedTable.publishPartitioned(
+      Seq((1L, "a", "red"), (2L, "b", "blue"), (3L, "c", "red")).toDF("id", "name", "color"),
+      root, Seq("color"))
+    val ck = Files.createTempDirectory("reftable_full_ck_").toString
+    def drainOnce(): Seq[(Long, String, Long)] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[(Long, String, Long)]
+      val q = spark.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", "id BIGINT, name STRING, color STRING")
+        .option("partitionColumns", "color")
+        .option("genColumn", "_gen")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          acc.synchronized {
+            acc ++= b.collect().map(r =>
+              (r.getAs[Long]("id"), r.getAs[String]("color"), r.getAs[Long]("_gen")))
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+      acc.synchronized(acc.toList)
+    }
+    val run1 = drainOnce()
+    // chunked batches (1 file each) reassemble exactly one generation of v1
+    assert(run1.map(_._3).distinct.size == 1, s"one generation expected, got $run1")
+    assert(run1.map(r => (r._1, r._2)).sorted ==
+      Seq((1L, "red"), (2L, "blue"), (3L, "red")))
+    // publish v2 and restart from the same checkpoint: a fresh generation
+    // of exactly the new version's content (partition values intact)
+    VersionedTable.publishPartitioned(
+      Seq((4L, "d", "green"), (5L, "e", "red")).toDF("id", "name", "color"),
+      root, Seq("color"))
+    val run2 = drainOnce()
+    assert(run2.nonEmpty && run2.map(_._3).distinct.size == 1)
+    assert(run2.map(_._3).head > run1.map(_._3).head, "the restart emits a newer generation")
+    assert(run2.map(r => (r._1, r._2)).sorted == Seq((4L, "green"), (5L, "red")))
+  }
+
+  test("versioned layer rejects misuse loudly") {
+    import graft.sources.reftable.VersionedTable
+    import spark.implicits._
+    val plain = Files.createTempDirectory("reftable_misuse_").toString
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").parquet(plain)
+    intercept[IllegalArgumentException](VersionedTable.compact(spark, plain))
+    intercept[IllegalArgumentException](
+      VersionedTable.changes(spark, plain, Seq("id"), "v0000000000000000000_00000000"))
+    intercept[IllegalArgumentException](
+      VersionedTable.publish(Seq((1L, "a")).toDF("id", "name"), plain + "/v", keepVersions = 1))
+  }
+
   test("versioned compaction: many small files become few, content unchanged") {
     import graft.sources.reftable.{SnapshotFiles, VersionedTable}
     val root = Files.createTempDirectory("reftable_compact_").toString + "/tbl"
