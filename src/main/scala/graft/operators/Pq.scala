@@ -63,13 +63,17 @@ object Pq {
   def train(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, sampleSize: Int = 2048, iterations: Int = 10): Codebooks = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+    val raw = corpus.orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol).cast("array<double>")).collect()
       .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
       .filter(_.nonEmpty)
-      .map(normalize)
-    require(sample.nonEmpty, "PQ training sample is empty")
-    val d = sample.head.length
+    require(raw.nonEmpty, "PQ training sample is empty")
+    // train only on vectors of the sample's dominant dimension: a stray
+    // truncated embedding would otherwise poison codebooks with
+    // zero-padded slices (or crash the slicer) — the same malformed rows
+    // encode() deliberately drops
+    val d = raw.groupBy(_.length).maxBy { case (_, vs) => vs.length }._1
+    val sample = raw.filter(_.length == d).map(normalize)
     require(d % m == 0, s"vector dim $d must be divisible by m=$m")
     val dsub = d / m
     val cents = Array.tabulate(m) { j =>
@@ -147,14 +151,13 @@ object Pq {
     * candidate), then the true cosine ranks the final k. Same output
     * shape as [[Similarity.cosineTopK]]: (query_id, rk, neighbor_id, sim).
     */
-  def topK(
-      corpus: DataFrame, queries: DataFrame, cb: Codebooks,
-      idCol: String, vecCol: String, k: Int = 10, refine: Int = 4): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
-    // per-query lookup table: tab(j)(c) = ||q_j - cent_{j,c}||^2; a null
-    // or wrong-dimension query yields a null table and drops out, like
-    // malformed corpus rows do in encode
-    val tables = udf { (q: Seq[Double]) =>
+  /** Per-query lookup table: tab(j)(c) = ||q_j - cent_{j,c}||^2; a null
+    * or wrong-dimension query yields a null table and drops out, like
+    * malformed corpus rows do in encode. Shared by [[topK]] and
+    * [[ivfPqTopK]].
+    */
+  private def tablesUdf(bc: org.apache.spark.broadcast.Broadcast[Codebooks]) =
+    udf { (q: Seq[Double]) =>
       val b = bc.value
       if (q == null || q.length != b.m * b.dsub) null
       else {
@@ -162,12 +165,21 @@ object Pq {
         Array.tabulate(b.m)(j => b.cents(j).map(c => l2sq(sub(x, j, b.dsub), c)))
       }
     }
-    val adc = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
-      var s = 0.0
-      var j = 0
-      while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
-      s
-    }
+
+  /** ADC score: m table lookups per (codes, query-table) pair. */
+  private val adcUdf = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
+    var s = 0.0
+    var j = 0
+    while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
+    s
+  }
+
+  def topK(
+      corpus: DataFrame, queries: DataFrame, cb: Codebooks,
+      idCol: String, vecCol: String, k: Int = 10, refine: Int = 4): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val tables = tablesUdf(bc)
+    val adc = adcUdf
     val enc = encodeWith(corpus, bc, idCol, vecCol).filter(col("codes").isNotNull)
     val qt = queries.select(col("query_id"), col("qv"),
       tables(col("qv").cast("array<double>")).as("qtab"))
@@ -194,20 +206,8 @@ object Pq {
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame, cb: Codebooks,
       idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cb)
-    val tables = udf { (q: Seq[Double]) =>
-      val b = bc.value
-      if (q == null || q.length != b.m * b.dsub) null
-      else {
-        val x = normalize(q.toArray)
-        Array.tabulate(b.m)(j => b.cents(j).map(c => l2sq(sub(x, j, b.dsub), c)))
-      }
-    }
-    val adc = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
-      var s = 0.0
-      var j = 0
-      while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
-      s
-    }
+    val tables = tablesUdf(bc)
+    val adc = adcUdf
     // ONE narrow pass over the corpus: cell assignment and code, both
     // computed from broadcast state in the same projection — never a
     // self-join (which would re-scan the corpus and shuffle both sides)

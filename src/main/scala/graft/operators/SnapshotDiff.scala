@@ -31,12 +31,20 @@ object SnapshotDiff {
       s"snapshot diff requires identical schemas, got ${before.columns.toSeq} vs ${after.columns.toSeq}")
     val valCols = before.columns.toSeq.filterNot(keyCols.contains)
 
+    // marker names must not collide with any aliased value column (a value
+    // column literally named "present" would alias to __b_present too)
+    def freshMarker(prefix: String): String =
+      Iterator.from(0).map(i => s"${prefix}present$i")
+        .find(n => !valCols.exists(c => s"__b_$c" == n || s"__a_$c" == n)).get
+    val bPresent = freshMarker("__b_")
+    val aPresent = freshMarker("__a_")
+
     val b = before.select(
       keyCols.map(c => col(c).as(s"__bk_$c")) ++
-        valCols.map(c => col(c).as(s"__b_$c")) :+ lit(1).as("__b_present"): _*)
+        valCols.map(c => col(c).as(s"__b_$c")) :+ lit(1).as(bPresent): _*)
     val a = after.select(
       keyCols.map(c => col(c).as(s"__ak_$c")) ++
-        valCols.map(c => col(c).as(s"__a_$c")) :+ lit(1).as("__a_present"): _*)
+        valCols.map(c => col(c).as(s"__a_$c")) :+ lit(1).as(aPresent): _*)
 
     val joinCond = keyCols.map(c => col(s"__bk_$c") <=> col(s"__ak_$c")).reduce(_ && _)
     val unchanged =
@@ -45,8 +53,8 @@ object SnapshotDiff {
 
     b.join(a, joinCond, "full_outer")
       .withColumn("change_type",
-        when(col("__b_present").isNull, lit("insert"))
-          .when(col("__a_present").isNull, lit("delete"))
+        when(col(bPresent).isNull, lit("insert"))
+          .when(col(aPresent).isNull, lit("delete"))
           .when(unchanged, lit("unchanged"))
           .otherwise(lit("update")))
       .filter(col("change_type") =!= "unchanged")
@@ -70,7 +78,14 @@ object SnapshotDiff {
     */
   final class ChangeFeed(keyCols: Seq[String]) {
     private var prev: Option[DataFrame] = None
+    private var prevDiff: Option[DataFrame] = None
 
+    /** The changes in `cur` relative to the previous call's snapshot.
+      * The returned DataFrame is checkpointed and stays valid only until
+      * the NEXT call — consume it within the current micro-batch (the
+      * natural foreachBatch usage), because the following call releases
+      * its blocks along with the retired snapshot.
+      */
     def next(cur: DataFrame): DataFrame = synchronized {
       val snap = cur.localCheckpoint(true)
       // key columns first in EVERY batch — the first (all-insert) batch
@@ -84,6 +99,8 @@ object SnapshotDiff {
         case Some(p) =>
           val d = diff(p, snap, keyCols).localCheckpoint(true)
           release(p)
+          prevDiff.foreach(release) // the diff handed out last batch
+          prevDiff = Some(d)
           d
       }
       prev = Some(snap)

@@ -90,21 +90,37 @@ object RefTableColumnarReader {
       opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
 
   /** Per-file datetime rebase modes, mirroring the decision Spark's built-in
-    * parquet path makes in DataSourceUtils.datetimeRebaseSpec: files that
-    * carry the writer markers `org.apache.spark.legacyDateTime` /
-    * `org.apache.spark.legacyINT96` (Spark ≤2.x or legacy-mode writers on
-    * the hybrid Julian–Gregorian calendar) are rebased in LEGACY mode using
-    * the writer timezone recorded in `org.apache.spark.timeZone`; all other
-    * files — modern Spark and non-Spark writers on the proleptic Gregorian
-    * calendar — read as written (CORRECTED). Returns
-    * (datetimeMode, datetimeTz, int96Mode, int96Tz).
+    * parquet path makes in DataSourceUtils: LEGACY (hybrid
+    * Julian–Gregorian rebasing, using the writer timezone recorded in
+    * `org.apache.spark.timeZone`) when the writer marker
+    * `org.apache.spark.legacyDateTime` / `org.apache.spark.legacyINT96`
+    * is present, OR when the recorded writer version predates the marker
+    * itself — Spark ≤2.x always wrote the legacy calendar but the
+    * markers only exist since 3.0 (3.1 for INT96, which 3.0 still wrote
+    * legacy). Everything else — modern Spark and non-Spark writers on the
+    * proleptic Gregorian calendar — reads as written (CORRECTED).
+    * Returns (datetimeMode, datetimeTz, int96Mode, int96Tz).
     */
   private[reftable] def rebaseSpec(
       meta: org.apache.parquet.hadoop.metadata.FileMetaData): (String, String, String, String) = {
     val kv = meta.getKeyValueMetaData
     val tz = Option(kv.get("org.apache.spark.timeZone")).getOrElse("UTC")
-    val dt = if (kv.containsKey("org.apache.spark.legacyDateTime")) "LEGACY" else "CORRECTED"
-    val i96 = if (kv.containsKey("org.apache.spark.legacyINT96")) "LEGACY" else "CORRECTED"
+    // writer version as (major, minor), if the file was written by Spark
+    val version: Option[(Int, Int)] =
+      Option(kv.get("org.apache.spark.version")).flatMap { v =>
+        v.split("\\.").take(2) match {
+          case Array(ma, mi) => scala.util.Try((ma.toInt, mi.toInt)).toOption
+          case _ => None
+        }
+      }
+    val dt =
+      if (kv.containsKey("org.apache.spark.legacyDateTime") ||
+        version.exists(_._1 < 3)) "LEGACY"
+      else "CORRECTED"
+    val i96 =
+      if (kv.containsKey("org.apache.spark.legacyINT96") ||
+        version.exists(v => v._1 < 3 || (v._1 == 3 && v._2 == 0))) "LEGACY"
+      else "CORRECTED"
     (dt, tz, i96, tz)
   }
 }

@@ -134,8 +134,20 @@ object VersionedTable {
     val bytes = SnapshotFiles.list(current, partitionColumns).map(_.length).sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // Hive-partitioned versions must be compacted AS partitioned — a flat
-    // rewrite would brick readers declaring partitionColumns
-    val df = spark.read.parquet(current)
+    // rewrite would brick readers declaring partitionColumns. Partition
+    // type INFERENCE must be off for the read: it would re-type
+    // numeric-looking string values (bucket=007 → bucket=7) and rewrite
+    // the directory names, silently changing what readers decode.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.getOption(inferKey)
+    val df =
+      if (partitionColumns.isEmpty) spark.read.parquet(current)
+      else
+        try { spark.conf.set(inferKey, "false"); spark.read.parquet(current) }
+        finally saved match {
+          case Some(v) => spark.conf.set(inferKey, v)
+          case None => spark.conf.unset(inferKey)
+        }
     val compacted =
       if (partitionColumns.isEmpty) df.repartition(parts)
       else df.repartition(parts,

@@ -48,6 +48,13 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("change_type") === "delete")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(del == Set((9L, "new")))
+
+    // a value column literally named "present" must not collide with the
+    // internal presence markers
+    val bp = Seq((1L, true)).toDF("id", "present")
+    val ap = Seq((1L, false)).toDF("id", "present")
+    assert(SnapshotDiff.diff(bp, ap, Seq("id"))
+      .collect().map(_.getString(2)).toSeq == Seq("update"))
   }
 
   test("change feed: successive generations emit their diffs") {
