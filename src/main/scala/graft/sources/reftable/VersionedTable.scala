@@ -171,6 +171,19 @@ object VersionedTable {
       spark.read.parquet(from), spark.read.parquet(current), keyCols)
   }
 
+  /** foreachBatch sink that publishes each micro-batch as a new version —
+    * for COMPLETE-mode aggregation streams, where every batch is the full
+    * current result, this closes the reference's loop end to end: a
+    * stream maintains a refreshable snapshot table that the reftable
+    * source (and its changefeeds) consume with snapshot isolation.
+    * Append/update-mode batches are deltas, not snapshots — publishing
+    * them as table states would be wrong, hence the name.
+    */
+  def completeModePublisher(
+      root: String, keepVersions: Int = 3,
+      partitionColumns: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch, _) => { publishInternal(batch, root, keepVersions, partitionColumns); () }
+
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 
   /** Version directory names under `root`, oldest first. */

@@ -677,6 +677,43 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(run2.map(r => (r._1, r._2)).sorted == Seq((4L, "green"), (5L, "red")))
   }
 
+  test("complete-mode stream publishes a versioned snapshot table (closed loop)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.sources.reftable.VersionedTable
+    import spark.implicits._
+    val in = Files.createTempDirectory("reftable_loop_in_")
+    val root = Files.createTempDirectory("reftable_loop_out_").toString + "/tbl"
+    val ck = Files.createTempDirectory("reftable_loop_ck_").toString
+    Seq((1L, "red"), (2L, "red"), (3L, "blue")).toDF("id", "color")
+      .coalesce(1).write.parquet(in.toString + "/b0")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType), StructField("color", StringType))))
+        .option("recursiveFileLookup", "true")
+        .parquet(in.toString)
+        .groupBy("color").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch(VersionedTable.completeModePublisher(root))
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    drain()
+    def readBack() = spark.read.format("reftable")
+      .option("path", root).option("schema", "color STRING, n BIGINT").load()
+      .orderBy("color").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(readBack() == Seq(("blue", 1L), ("red", 2L)))
+    // more input, another drain: the snapshot table advances a version
+    Seq((4L, "blue"), (5L, "green")).toDF("id", "color")
+      .coalesce(1).write.parquet(in.toString + "/b1")
+    drain()
+    assert(readBack() == Seq(("blue", 2L), ("green", 1L), ("red", 2L)))
+    assert(VersionedTable.versionDirs(root).size >= 2)
+  }
+
   test("versioned layer rejects misuse loudly") {
     import graft.sources.reftable.VersionedTable
     import spark.implicits._
