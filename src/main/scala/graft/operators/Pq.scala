@@ -72,7 +72,10 @@ object Pq {
     // truncated embedding would otherwise poison codebooks with
     // zero-padded slices (or crash the slicer) — the same malformed rows
     // encode() deliberately drops
-    val d = raw.groupBy(_.length).maxBy { case (_, vs) => vs.length }._1
+    // deterministic tie-break (count, then larger dim) — groupBy returns a
+    // hash map whose iteration order must not decide which half of a
+    // mixed-dimension corpus silently drops out
+    val d = raw.groupBy(_.length).maxBy { case (len, vs) => (vs.length, len) }._1
     val sample = raw.filter(_.length == d).map(normalize)
     require(d % m == 0, s"vector dim $d must be divisible by m=$m")
     val dsub = d / m

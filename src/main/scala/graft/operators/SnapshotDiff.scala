@@ -107,6 +107,17 @@ object SnapshotDiff {
       out
     }
 
+    /** Release the final snapshot and diff when the feed is done — without
+      * this the last generation's two checkpointed block sets stay pinned
+      * until the object is GC'd.
+      */
+    def close(): Unit = synchronized {
+      prev.foreach(release)
+      prevDiff.foreach(release)
+      prev = None
+      prevDiff = None
+    }
+
     /** Free a retired generation's checkpointed blocks. localCheckpoint
       * persists at the RDD level, which DataFrame.unpersist (CacheManager)
       * does not touch — unpersist the LogicalRDD's RDD directly. A miss is

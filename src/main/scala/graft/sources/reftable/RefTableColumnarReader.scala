@@ -101,7 +101,7 @@ object RefTableColumnarReader {
     * proleptic Gregorian calendar — reads as written (CORRECTED).
     * Returns (datetimeMode, datetimeTz, int96Mode, int96Tz).
     */
-  private[reftable] def rebaseSpec(
+  private[graft] def rebaseSpec(
       meta: org.apache.parquet.hadoop.metadata.FileMetaData): (String, String, String, String) = {
     val kv = meta.getKeyValueMetaData
     val tz = Option(kv.get("org.apache.spark.timeZone")).getOrElse("UTC")

@@ -115,8 +115,9 @@ class RefTablePartitionReader(
 
   private val conf = new Configuration()
 
-  private val fileSchema: MessageType =
-    RefTableColumnarReader.fileMetaOf(new Path(partition.path), partition.fileLength, conf).getSchema
+  private val fileMeta =
+    RefTableColumnarReader.fileMetaOf(new Path(partition.path), partition.fileLength, conf)
+  private val fileSchema: MessageType = fileMeta.getSchema
 
   // forward schema evolution: declared column absent from this older file
   private def missingFromFile(f: StructField): Boolean =
@@ -127,6 +128,24 @@ class RefTablePartitionReader(
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
     if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f)) None
     else Some(opts.storageColumn(f.name))
+  }
+
+  {
+    // this fallback decoder does NOT implement hybrid-calendar rebasing;
+    // a legacy-calendar file whose projection includes a date/timestamp
+    // must fail loudly rather than silently diverge from the columnar
+    // path (which does rebase)
+    val (dtMode, _, _, _) = RefTableColumnarReader.rebaseSpec(fileMeta)
+    val needsRebase = dtMode == "LEGACY" &&
+      required.fields.iterator.zip(fieldSources.iterator).exists {
+        case (f, Some(_)) => f.dataType == TimestampType || f.dataType == DateType
+        case _ => false
+      }
+    if (needsRebase)
+      throw new UnsupportedOperationException(
+        s"reftable: ${partition.path} was written on the legacy hybrid calendar and the " +
+          "row fallback reader does not rebase dates/timestamps; project only " +
+          "vectorizable columns (the columnar path rebases) or rewrite the file")
   }
 
   // per-partition constant values for the None fields (null elsewhere)

@@ -39,13 +39,27 @@ object VersionedTable {
     * and treat file-not-found as "not a versioned root" (an exists-probe
     * first would double the RPCs on every listing of every table).
     */
-  def resolve(root: String, conf: Configuration = new Configuration()): Option[String] = {
+  def resolve(root: String, conf: Configuration = new Configuration()): Option[String] =
+    pointerLines(root, conf).flatMap(_.headOption.filter(_.nonEmpty))
+      .map(name => new Path(root, name).toString)
+
+  /** The publish marker recorded with the current pointer, if any — used
+    * by [[completeModePublisher]] for replay idempotency.
+    */
+  def publishedMarker(root: String, conf: Configuration = new Configuration()): Option[String] =
+    pointerLines(root, conf).flatMap(_.lift(1)).filter(_.nonEmpty)
+
+  /** Pointer file content as lines: line 1 = version name, optional
+    * line 2 = publish marker. Both written in ONE atomic rename, so the
+    * marker can never disagree with the version it was published with.
+    */
+  private def pointerLines(root: String, conf: Configuration): Option[Seq[String]] = {
     val ptr = new Path(root, Pointer)
     val fs = ptr.getFileSystem(conf)
     val in = try fs.open(ptr)
     catch { case _: java.io.FileNotFoundException => return None }
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-    if (name.isEmpty) None else Some(new Path(root, name).toString)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    Some(text.split('\n').toIndexedSeq.map(_.trim))
   }
 
   /** Publish `df` as the next version of the table at `root`: write the
@@ -76,7 +90,8 @@ object VersionedTable {
     publishInternal(df, root, keepVersions, partitionColumns)
 
   private def publishInternal(
-      df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String]): String = {
+      df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
+      marker: Option[String] = None): String = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +
         "the previous one under readers still pinned to it")
@@ -100,9 +115,10 @@ object VersionedTable {
       .parquet(staging.toString)
     fc(conf).rename(staging, new Path(rootPath, name))
     // atomic pointer swap: write a temp file, rename over _CURRENT
+    // (the optional marker rides the same rename — see pointerLines)
     val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
+    try out.write((name + marker.fold("")("\n" + _)).getBytes("UTF-8")) finally out.close()
     fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
     // prune: oldest first, never the just-published current, and never the
     // version _CURRENT names right now — a slow concurrent publisher may
@@ -137,17 +153,16 @@ object VersionedTable {
     // rewrite would brick readers declaring partitionColumns. Partition
     // type INFERENCE must be off for the read: it would re-type
     // numeric-looking string values (bucket=007 → bucket=7) and rewrite
-    // the directory names, silently changing what readers decode.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val saved = spark.conf.getOption(inferKey)
+    // the directory names, silently changing what readers decode. The
+    // conf is scoped to a child session (own SQLConf, shared context) so
+    // concurrent queries on the caller's session are untouched.
     val df =
       if (partitionColumns.isEmpty) spark.read.parquet(current)
-      else
-        try { spark.conf.set(inferKey, "false"); spark.read.parquet(current) }
-        finally saved match {
-          case Some(v) => spark.conf.set(inferKey, v)
-          case None => spark.conf.unset(inferKey)
-        }
+      else {
+        val scoped = spark.newSession()
+        scoped.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        scoped.read.parquet(current)
+      }
     val compacted =
       if (partitionColumns.isEmpty) df.repartition(parts)
       else df.repartition(parts,
@@ -182,7 +197,17 @@ object VersionedTable {
   def completeModePublisher(
       root: String, keepVersions: Int = 3,
       partitionColumns: Seq[String] = Nil): (DataFrame, Long) => Unit =
-    (batch, _) => { publishInternal(batch, root, keepVersions, partitionColumns); () }
+    (batch, batchId) => {
+      // foreachBatch is at-least-once: a replayed batch must not publish
+      // a duplicate version (it would burn a retention slot and could
+      // prune a version a pinned reader still needs). The batch id rides
+      // the pointer's atomic rename, so marker and version can't diverge.
+      if (!publishedMarker(root).contains(batchId.toString)) {
+        publishInternal(batch, root, keepVersions, partitionColumns,
+          marker = Some(batchId.toString))
+      }
+      ()
+    }
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 

@@ -49,12 +49,13 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(del == Set((9L, "new")))
 
-    // a value column literally named "present" must not collide with the
-    // internal presence markers
-    val bp = Seq((1L, true)).toDF("id", "present")
-    val ap = Seq((1L, false)).toDF("id", "present")
+    // value columns colliding with the internal presence markers must not
+    // break the diff — "present0" exercises the fresh-name search loop,
+    // not just the renamed base
+    val bp = Seq((1L, true, "x")).toDF("id", "present0", "present1")
+    val ap = Seq((1L, false, "x")).toDF("id", "present0", "present1")
     assert(SnapshotDiff.diff(bp, ap, Seq("id"))
-      .collect().map(_.getString(2)).toSeq == Seq("update"))
+      .collect().map(_.getString(3)).toSeq == Seq("update"))
   }
 
   test("change feed: successive generations emit their diffs") {

@@ -714,6 +714,61 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(VersionedTable.versionDirs(root).size >= 2)
   }
 
+  test("rebase decision: legacy markers OR a pre-3.x writer version mean LEGACY") {
+    import graft.sources.reftable.RefTableColumnarReader
+    import org.apache.parquet.hadoop.metadata.FileMetaData
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType("message m { optional int64 ts; }")
+    def meta(kv: (String, String)*): FileMetaData =
+      new FileMetaData(schema, kv.toMap.asJava, "test")
+    def spec(kv: (String, String)*): (String, String) = {
+      val (dt, _, i96, _) = RefTableColumnarReader.rebaseSpec(meta(kv: _*))
+      (dt, i96)
+    }
+    // explicit markers always win
+    assert(spec("org.apache.spark.legacyDateTime" -> "",
+      "org.apache.spark.version" -> "3.5.0") == ("LEGACY", "CORRECTED"))
+    assert(spec("org.apache.spark.legacyINT96" -> "")._2 == "LEGACY")
+    // Spark <=2.x predates the markers: version alone forces LEGACY
+    assert(spec("org.apache.spark.version" -> "2.4.5") == ("LEGACY", "LEGACY"))
+    // 3.0 wrote INT96 legacy without a marker, datetimes corrected
+    assert(spec("org.apache.spark.version" -> "3.0.1") == ("CORRECTED", "LEGACY"))
+    // modern Spark and non-Spark writers: corrected
+    assert(spec("org.apache.spark.version" -> "3.5.0") == ("CORRECTED", "CORRECTED"))
+    assert(spec() == ("CORRECTED", "CORRECTED"))
+  }
+
+  test("partitioned compaction preserves string partition values verbatim") {
+    import graft.sources.reftable.VersionedTable
+    val root = Files.createTempDirectory("reftable_cstr_").toString + "/tbl"
+    import spark.implicits._
+    VersionedTable.publishPartitioned(
+      Seq((1L, "007"), (2L, "10")).toDF("id", "bucket"), root, Seq("bucket"))
+    VersionedTable.compact(spark, root, partitionColumns = Seq("bucket"))
+    // type inference would have rewritten bucket=007 -> bucket=7
+    val got = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, bucket STRING")
+      .option("partitionColumns", "bucket").load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "007"), (2L, "10")),
+      "compaction must not re-type numeric-looking string partition values")
+  }
+
+  test("complete-mode publisher is idempotent across batch replays") {
+    import graft.sources.reftable.VersionedTable
+    val root = Files.createTempDirectory("reftable_idem_").toString + "/tbl"
+    import spark.implicits._
+    val sink = VersionedTable.completeModePublisher(root)
+    sink(Seq((1L, "a")).toDF("id", "name"), 0L)
+    val afterFirst = VersionedTable.versionDirs(root)
+    // foreachBatch replays the same batch id after a crash: no new version
+    sink(Seq((1L, "a")).toDF("id", "name"), 0L)
+    assert(VersionedTable.versionDirs(root) == afterFirst,
+      "a replayed batch must not publish a duplicate version")
+    sink(Seq((2L, "b")).toDF("id", "name"), 1L)
+    assert(VersionedTable.versionDirs(root).size == afterFirst.size + 1)
+  }
+
   test("versioned layer rejects misuse loudly") {
     import graft.sources.reftable.VersionedTable
     import spark.implicits._
