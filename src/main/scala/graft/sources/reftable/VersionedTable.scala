@@ -196,18 +196,24 @@ object VersionedTable {
     */
   def completeModePublisher(
       root: String, keepVersions: Int = 3,
-      partitionColumns: Seq[String] = Nil): (DataFrame, Long) => Unit =
+      partitionColumns: Seq[String] = Nil): (DataFrame, Long) => Unit = {
+    // foreachBatch is at-least-once: a replayed batch must not publish a
+    // duplicate version (it would burn a retention slot and could prune a
+    // version a pinned reader still needs). The marker rides the
+    // pointer's atomic rename, so marker and version can't diverge. It is
+    // scoped to THIS publisher instance: a bare batch id would wrongly
+    // skip batch 0 of a stream restarted with a fresh checkpoint (ids
+    // reset), silently freezing the table — a new instance re-publishing
+    // one replayed batch after a driver restart is the safer failure.
+    val instance = java.util.UUID.randomUUID().toString.take(8)
     (batch, batchId) => {
-      // foreachBatch is at-least-once: a replayed batch must not publish
-      // a duplicate version (it would burn a retention slot and could
-      // prune a version a pinned reader still needs). The batch id rides
-      // the pointer's atomic rename, so marker and version can't diverge.
-      if (!publishedMarker(root).contains(batchId.toString)) {
-        publishInternal(batch, root, keepVersions, partitionColumns,
-          marker = Some(batchId.toString))
+      val m = s"$instance:$batchId"
+      if (!publishedMarker(root).contains(m)) {
+        publishInternal(batch, root, keepVersions, partitionColumns, marker = Some(m))
       }
       ()
     }
+  }
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 

@@ -767,6 +767,12 @@ class RefTableSourceSpec extends AnyFunSuite {
       "a replayed batch must not publish a duplicate version")
     sink(Seq((2L, "b")).toDF("id", "name"), 1L)
     assert(VersionedTable.versionDirs(root).size == afterFirst.size + 1)
+    // a NEW publisher instance (fresh checkpoint, batch ids reset) must
+    // still publish its batch 0 — the marker is instance-scoped
+    val sink2 = VersionedTable.completeModePublisher(root)
+    sink2(Seq((3L, "c")).toDF("id", "name"), 0L)
+    assert(VersionedTable.versionDirs(root).size == afterFirst.size + 2,
+      "a restarted stream's first batch must not be skipped")
   }
 
   test("versioned layer rejects misuse loudly") {
