@@ -30,6 +30,11 @@ import org.apache.spark.sql.DataFrame
   * streaming generations, partitioned layouts inside the version dir).
   */
 object VersionedTable {
+  /** Pointer file name. ON-DISK FORMAT: line 1 is the current version
+    * directory name; an optional line 2 is a publish marker (see
+    * [[completeModePublisher]]). External tooling reading `_CURRENT`
+    * must take the FIRST line only.
+    */
   val Pointer = "_CURRENT"
 
   private def fc(conf: Configuration): FileContext = FileContext.getFileContext(conf)
@@ -159,7 +164,16 @@ object VersionedTable {
     val df =
       if (partitionColumns.isEmpty) spark.read.parquet(current)
       else {
+        // newSession() starts from SparkConf defaults, NOT the caller's
+        // runtime SQL confs — copy them over (timezone, parquet write
+        // options, …) before overriding the one key being scoped, or the
+        // compacted rewrite silently diverges from directly-published
+        // versions
         val scoped = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try scoped.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () } // static confs
+        }
         scoped.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         scoped.read.parquet(current)
       }
@@ -205,6 +219,9 @@ object VersionedTable {
     // skip batch 0 of a stream restarted with a fresh checkpoint (ids
     // reset), silently freezing the table — a new instance re-publishing
     // one replayed batch after a driver restart is the safer failure.
+    // CONTRACT: create one publisher per query; sharing the returned
+    // function across two queries on the same root would make their
+    // batch ids collide and silently skip publishes.
     val instance = java.util.UUID.randomUUID().toString.take(8)
     (batch, batchId) => {
       val m = s"$instance:$batchId"
