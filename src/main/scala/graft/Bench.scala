@@ -37,16 +37,23 @@ object Bench {
         }
     }
     def p50(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // The harness that records this line keeps only the LAST ~2000 chars of
+    // stdout; the full-name double-precision form was ~6 KB, so its opening
+    // brace fell off the window and the line was never machine-parsed
+    // (BENCH_r01..r03 all record parsed:null). Keys are therefore the qNN
+    // prefix (unique — full names in BASELINE.md's table) and values are
+    // rounded to ms so the complete line fits in the window.
+    def r3(v: Double): String = f"$v%.3f"
+    def short(k: String): String = k.takeWhile(_ != '_')
     def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }.mkString("{", ",", "}")
     // warm population excludes the cold first run (with runs=2, p50 over
     // both would silently report min(cold, warm))
     val warm = results.map { case (k, rs) => k -> (if (rs.size > 1) p50(rs.tail) else rs.head) }
-    val cold = results.map { case (k, rs) => k -> rs.head }
     val total = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(warm)},""" +
-      s""""cold":${jsonMap(cold)},"cold_total":$coldTotal,"runs":$runs,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._2.head).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(warm)},""" +
+      s""""cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
