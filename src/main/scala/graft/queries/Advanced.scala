@@ -470,6 +470,33 @@ object Advanced {
         |  min(s_name) AS first_name
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Data skipping: customer published range-clustered on c_acctbal into a
+    // versioned root (which also writes the _STATS.json manifest), then read
+    // back through the source under a selective range filter. The oracle
+    // proves values; RefTableStatsSpec proves most files are never planned.
+    // At 100 TB this is the difference between O(matching) and O(files)
+    // tasks for a range query on the cluster key.
+    QueryDef("q91_clustered_skip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q91_cluster")
+      graft.sources.reftable.VersionedTable.publishClustered(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        root, Seq("c_acctbal"), numFiles = 8)
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING")
+        .load()
+        .filter(col("c_acctbal") >= 0.0 && col("c_acctbal") < 1000.0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r4(sum("c_acctbal")).as("bal"),
+          r4(min("c_acctbal")).as("lo"), r4(max("c_acctbal")).as("hi"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS bal,
+        |  round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
+        |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL-registered kernel functions: the same simhash through spark.sql
     QueryDef("q63_sql_functions", (s, dir) => {
       graft.functions.Registry.registerAll(s)

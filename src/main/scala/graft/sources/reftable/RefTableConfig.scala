@@ -124,6 +124,11 @@ object SchemaJson {
   *  - `allowMissingColumns` (optional, default false) forward schema
   *                      evolution: declared columns absent from older
   *                      files read as nulls instead of erroring.
+  *  - `statsPruning`    (optional, default true) skip whole files at
+  *                      listing time from a `_STATS.json` manifest's
+  *                      per-file min/max under the pushed filters
+  *                      (see [[RefTableStats]]); false disables the
+  *                      manifest read entirely.
   */
 final case class RefTableOptions(
     path: String,
@@ -137,7 +142,8 @@ final case class RefTableOptions(
     maxBytesPerTrigger: Option[Long] = None,
     partitionColumns: Seq[String] = Nil,
     version: Option[String] = None,
-    allowMissingColumns: Boolean = false) {
+    allowMissingColumns: Boolean = false,
+    statsPruning: Boolean = true) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -230,16 +236,19 @@ object RefTableOptions {
 
     val version = Option(options.get("version")).filter(_.nonEmpty)
 
-    val allowMissing = Option(options.get("allowMissingColumns")).filter(_.nonEmpty) match {
-      case None => false
-      case Some(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => s.toBoolean
-      case Some(other) =>
-        errs += s"Invalid 'allowMissingColumns' '$other': must be true or false"; false
-    }
+    def boolOpt(name: String, default: Boolean): Boolean =
+      Option(options.get(name)).filter(_.nonEmpty) match {
+        case None => default
+        case Some(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => s.toBoolean
+        case Some(other) =>
+          errs += s"Invalid '$name' '$other': must be true or false"; default
+      }
+    val allowMissing = boolOpt("allowMissingColumns", default = false)
+    val statsPruning = boolOpt("statsPruning", default = true)
 
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
-      maxFiles, maxBytes, partitionColumns, version, allowMissing)
+      maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning)
   }
 }

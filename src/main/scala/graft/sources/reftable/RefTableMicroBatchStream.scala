@@ -26,18 +26,24 @@ object SnapshotFiles {
   def list(dir: String, partitionColumns: Seq[String]): Seq[SnapshotFile] =
     list(dir, partitionColumns, None)
 
-  def list(dir: String, partitionColumns: Seq[String], version: Option[String]): Seq[SnapshotFile] = {
-    val conf = new Configuration()
-    // a versioned root (VersionedTable) resolves to its current version
-    // dir ONCE per listing — the pinned file list then stays readable even
-    // if a new version is published mid-generation (old versions are
-    // retained, unlike an in-place overwrite which deletes files under a
-    // running scan). An explicit `version` pins the read to that version
-    // instead (time travel).
-    val resolved = version match {
+  /** The concrete snapshot directory a table path names right now: a
+    * versioned root (VersionedTable) resolves to its current version dir
+    * ONCE per listing — the pinned file list then stays readable even if a
+    * new version is published mid-generation (old versions are retained,
+    * unlike an in-place overwrite which deletes files under a running
+    * scan). An explicit `version` pins the read to that version instead
+    * (time travel). Resolving an already-resolved dir is a no-op (version
+    * dirs contain no pointer file).
+    */
+  def resolveDir(dir: String, version: Option[String], conf: Configuration): String =
+    version match {
       case Some(v) => new Path(dir, v).toString
       case None => VersionedTable.resolve(dir, conf).getOrElse(dir)
     }
+
+  def list(dir: String, partitionColumns: Seq[String], version: Option[String]): Seq[SnapshotFile] = {
+    val conf = new Configuration()
+    val resolved = resolveDir(dir, version, conf)
     val p = new Path(resolved)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) throw new IllegalArgumentException(s"reftable path does not exist: $resolved")
@@ -79,11 +85,19 @@ object SnapshotFiles {
   }
 
   /** Listing for a scan: partition-aware, version-aware, and pruned by the
-    * pushed filters.
+    * pushed filters — first exactly on directory partition values, then on
+    * the `_STATS.json` per-file ranges when the snapshot carries one
+    * ([[RefTableStats]]). The version dir is resolved ONCE so the files and
+    * the manifest are guaranteed to come from the same snapshot.
     */
-  def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] =
-    RefTablePartitioning.prune(
-      list(opts.path, opts.partitionColumns, opts.version), opts, filters)
+  def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] = {
+    val conf = new Configuration()
+    val resolved = resolveDir(opts.path, opts.version, conf)
+    RefTableStats.prune(
+      resolved,
+      RefTablePartitioning.prune(list(resolved, opts.partitionColumns, None), opts, filters),
+      opts, filters, conf)
+  }
 }
 
 /** Offset = (batch counter, refresh generation, files emitted so far in the

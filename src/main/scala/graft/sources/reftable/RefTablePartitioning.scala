@@ -80,19 +80,24 @@ object RefTablePartitioning {
 
   // ---- possible-outcome algebra ------------------------------------------
 
-  /** Which SQL outcomes the predicate can take over this file's rows. */
-  private final case class Tri(t: Boolean, f: Boolean, n: Boolean)
-  private val True = Tri(t = true, f = false, n = false)
-  private val False = Tri(t = false, f = true, n = false)
-  private val Null = Tri(t = false, f = false, n = true)
-  private val Unknown = Tri(t = true, f = true, n = true)
+  /** Which SQL outcomes the predicate can take over this file's rows.
+    * Shared with [[RefTableStats]], whose range-valued leaves compose
+    * through the same connectives (the combinators are monotone: a leaf
+    * returning a superset of the truly possible outcomes can only ever
+    * KEEP extra files, never prune a matching one).
+    */
+  private[reftable] final case class Tri(t: Boolean, f: Boolean, n: Boolean)
+  private[reftable] val True = Tri(t = true, f = false, n = false)
+  private[reftable] val False = Tri(t = false, f = true, n = false)
+  private[reftable] val Null = Tri(t = false, f = false, n = true)
+  private[reftable] val Unknown = Tri(t = true, f = true, n = true)
 
-  private def not(a: Tri): Tri = Tri(a.f, a.t, a.n)
-  private def and(a: Tri, b: Tri): Tri = Tri(
+  private[reftable] def not(a: Tri): Tri = Tri(a.f, a.t, a.n)
+  private[reftable] def and(a: Tri, b: Tri): Tri = Tri(
     a.t && b.t,
     a.f || b.f,
     (a.n && (b.t || b.n)) || (b.n && (a.t || a.n)))
-  private def or(a: Tri, b: Tri): Tri = Tri(
+  private[reftable] def or(a: Tri, b: Tri): Tri = Tri(
     a.t || b.t,
     a.f && b.f,
     (a.n && (b.f || b.n)) || (b.n && (a.f || a.n)))
@@ -107,7 +112,7 @@ object RefTablePartitioning {
     else files.filter(sf => usable.forall(fl => eval(fl, sf.partitionValues, opts).t))
   }
 
-  private def eval(f: Filter, vals: Map[String, String], opts: RefTableOptions): Tri = f match {
+  private[reftable] def eval(f: Filter, vals: Map[String, String], opts: RefTableOptions): Tri = f match {
     case EqualTo(a, v)            => cmp(a, v, vals, opts)(_ == 0)
     case GreaterThan(a, v)        => cmp(a, v, vals, opts)(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(a, v, vals, opts)(_ >= 0)

@@ -1,0 +1,376 @@
+package graft.sources.reftable
+
+import java.util.concurrent.{Callable, ConcurrentHashMap, Executors}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics: a `_STATS.json` manifest written at publish
+  * time, consumed at listing time to skip whole files.
+  *
+  * Parquet already skips row groups executor-side from footer statistics,
+  * but by then every surviving file has cost a scheduled task and a footer
+  * read. At 100k-file scale the win is pruning the task list on the driver:
+  * one small manifest read replaces 100k footer opens, and files whose
+  * [min,max] cannot satisfy the pushed filters never become tasks at all —
+  * the Delta/Iceberg data-skipping pattern on plain storage. Combined with
+  * [[VersionedTable.publishClustered]] (range-clustered layout → tight,
+  * disjoint per-file bounds) a selective range filter plans O(matching)
+  * tasks instead of O(files).
+  *
+  * Pruning reuses [[RefTablePartitioning]]'s possible-outcome algebra with
+  * range leaves: for each file the evaluator computes which SQL outcomes
+  * (TRUE/FALSE/NULL) a predicate can take over rows bounded by the file's
+  * [min,max] and null count, and keeps the file iff TRUE is possible. Leaves
+  * over partition columns delegate to the exact directory-value evaluation,
+  * so one pass handles predicates mixing partition and data columns.
+  * Anything undecidable is Unknown = kept; a manifest entry whose recorded
+  * length disagrees with the listed file (replaced in place) is ignored for
+  * that file; a missing or unreadable manifest disables skipping entirely —
+  * the layer can only ever remove provably-non-matching files.
+  *
+  * Only types whose footer statistics are exact and losslessly ordered
+  * participate: int/long/short/byte, float/double, boolean, date. Strings
+  * are excluded (writers may truncate binary stats), decimals and
+  * timestamps are excluded (representation/rebase subtleties) — filters
+  * over those columns simply don't skip. Float/double bounds are sanitized
+  * at write time: a NaN bound drops the column (parquet-mr's Double.compare
+  * ordering lets NaN reach max, and SQL NaN-ordering would make pruning on
+  * it wrong) and zero bounds are widened to [-0.0, +0.0] (SQL treats them
+  * equal; the file must not be skipped for the other zero).
+  */
+object RefTableStats {
+
+  val ManifestName = "_STATS.json"
+
+  /** Min/max stay as parsed JSON scalars; the declared Spark type of the
+    * filtered column directs interpretation at evaluation time.
+    */
+  final case class ColStats(min: Option[JsonNode], max: Option[JsonNode], nulls: Long)
+  final case class FileStats(length: Long, rows: Long, cols: Map[String, ColStats])
+
+  // ---- manifest write ------------------------------------------------------
+
+  /** Write `dir/_STATS.json` covering every `*.parquet` under `dir`
+    * (recursing through Hive `col=value` subdirectories). Keys are paths
+    * relative to `dir`, so the manifest survives the versioned-publish
+    * staging rename. Bounded-parallel footer reads: publish-time driver
+    * cost, one footer per new file.
+    */
+  def writeManifest(dir: String, conf: Configuration = new Configuration()): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val qualified = fs.makeQualified(base).toString
+    def walk(p: Path): Seq[FileStatus] = fs.listStatus(p).toIndexedSeq.flatMap { s =>
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet")) Seq(s)
+      else if (s.isDirectory && !name.startsWith("_") && !name.startsWith(".")) walk(s.getPath)
+      else Nil
+    }
+    val files = walk(base)
+    val pool = Executors.newFixedThreadPool(math.max(1, math.min(8, files.size)))
+    val entries = try {
+      files.map { st =>
+        pool.submit(new Callable[(String, Long, Long, Map[String, (Any, Any, Long)])] {
+          override def call() = {
+            val full = st.getPath.toString
+            val rel = if (full.startsWith(qualified + "/")) full.substring(qualified.length + 1) else full
+            val (rows, cols) = fileColumnStats(st.getPath, conf)
+            (rel, st.getLen, rows, cols)
+          }
+        })
+      }.map(_.get())
+    } finally pool.shutdown()
+
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    val filesNode = root.putObject("files")
+    entries.foreach { case (rel, len, rows, cols) =>
+      val f = filesNode.putObject(rel)
+      f.put("len", len)
+      f.put("rows", rows)
+      val cn = f.putObject("cols")
+      cols.foreach { case (c, (mn, mx, nulls)) =>
+        val o = cn.putObject(c)
+        putScalar(o, "min", mn)
+        putScalar(o, "max", mx)
+        o.put("nulls", nulls)
+      }
+    }
+    val out = fs.create(new Path(base, ManifestName), true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
+  private def putScalar(o: com.fasterxml.jackson.databind.node.ObjectNode, k: String, v: Any): Unit =
+    v match {
+      case null => ()
+      case b: java.lang.Boolean => o.put(k, b.booleanValue())
+      case f: java.lang.Float   => o.put(k, f.doubleValue())
+      case d: java.lang.Double  => o.put(k, d.doubleValue())
+      case n: Number            => o.put(k, n.longValue())
+      case other => throw new IllegalStateException(s"reftable stats: unexpected bound $other")
+    }
+
+  /** True when this parquet column's footer min/max are exact and ordered
+    * the way the matching Spark type compares: plain signed ints, date
+    * (INT32 epoch days), float/double, boolean. Everything else is skipped.
+    */
+  private def statable(pt: PrimitiveType): Boolean = {
+    import PrimitiveType.PrimitiveTypeName._
+    val logical = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case BOOLEAN | FLOAT | DOUBLE => logical == null
+      case INT32 | INT64 => logical match {
+        case null => true
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  /** (rowCount, column → (min, max, nulls)) from one file's footer. A
+    * column is omitted when any row group lacks usable statistics — unlike
+    * aggregate pushdown this is a pure optimization, so silent omission is
+    * the correct degradation (the file is simply never skipped on that
+    * column). `nulls` is -1 when any row group leaves the null count unset.
+    */
+  private def fileColumnStats(path: Path, conf: Configuration): (Long, Map[String, (Any, Any, Long)]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val md = reader.getFooter
+      val blocks = md.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val fields = md.getFileMetaData.getSchema.getFields.asScala
+        .filter(f => f.isPrimitive && statable(f.asPrimitiveType))
+      val cols = fields.flatMap { field =>
+        val name = field.getName
+        val chunks = blocks.map(b =>
+          (b.getRowCount, b.getColumns.asScala.find(_.getPath.toDotString == name)))
+        if (chunks.exists(_._2.isEmpty)) None
+        else {
+          val stats = chunks.map { case (r, c) => (r, c.get.getStatistics) }
+          if (stats.exists { case (r, s) =>
+            s == null || (!s.hasNonNullValue && r > 0 && !(s.isNumNullsSet && s.getNumNulls == r))
+          }) None // some chunk's bounds are simply unrecorded — unusable
+          else {
+            val bounds = stats.collect { case (_, s) if s.hasNonNullValue =>
+              (s.genericGetMin(), s.genericGetMax())
+            }
+            val nulls =
+              if (stats.forall(_._2.isNumNullsSet)) stats.map(_._2.getNumNulls).sum else -1L
+            if (bounds.isEmpty) Some(name -> (null, null, nulls)) // all-null column
+            else {
+              val mn = bounds.map(_._1).minBy(comparableKey)
+              val mx = bounds.map(_._2).maxBy(comparableKey)
+              sanitize(mn, mx).map { case (lo, hi) => name -> (lo, hi, nulls) }
+            }
+          }
+        }
+      }
+      (rows, cols.toMap)
+    } finally reader.close()
+  }
+
+  private def comparableKey(v: Any): Comparable[Any] = v.asInstanceOf[Comparable[Any]]
+
+  /** NaN bounds drop the column; zero bounds widen to [-0.0, +0.0]. */
+  private def sanitize(mn: Any, mx: Any): Option[(Any, Any)] = (mn, mx) match {
+    case (a: java.lang.Float, b: java.lang.Float) =>
+      sanitizeFp(a.doubleValue(), b.doubleValue())
+    case (a: java.lang.Double, b: java.lang.Double) =>
+      sanitizeFp(a.doubleValue(), b.doubleValue())
+    case other => Some(other)
+  }
+
+  private def sanitizeFp(lo: Double, hi: Double): Option[(Any, Any)] =
+    if (lo.isNaN || hi.isNaN) None
+    else Some((
+      java.lang.Double.valueOf(if (lo == 0.0d) -0.0d else lo),
+      java.lang.Double.valueOf(if (hi == 0.0d) 0.0d else hi)))
+
+  // ---- manifest read -------------------------------------------------------
+
+  /** Parsed manifests keyed by (path, length, mtime) — versioned snapshot
+    * dirs are immutable, so entries effectively never invalidate; the
+    * mtime/length key covers in-place rewrites of plain dirs.
+    */
+  private val manifestCache = new ConcurrentHashMap[String, Map[String, FileStats]]()
+
+  /** The manifest for a snapshot dir, or None when absent/unreadable. Fail
+    * open: skipping is an optimization, a malformed sidecar must never
+    * brick the table (a warning is printed once per cache fill).
+    */
+  def load(dir: String, conf: Configuration): Option[Map[String, FileStats]] = {
+    val p = new Path(dir, ManifestName)
+    try {
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p) // throws FileNotFoundException when absent
+      val key = s"${p.toString}#${st.getLen}#${st.getModificationTime}"
+      if (manifestCache.size > 1024) manifestCache.clear()
+      Some(manifestCache.computeIfAbsent(key, { _ =>
+        val in = fs.open(p)
+        val root = try new ObjectMapper().readTree(in) finally in.close()
+        val files = root.path("files")
+        files.properties().asScala.map { e =>
+          val fn = e.getValue
+          val cols = fn.path("cols").properties().asScala.map { c =>
+            val v = c.getValue
+            c.getKey -> ColStats(
+              Option(v.get("min")).filterNot(_.isNull),
+              Option(v.get("max")).filterNot(_.isNull),
+              if (v.has("nulls")) v.get("nulls").asLong() else -1L)
+          }.toMap
+          e.getKey -> FileStats(fn.path("len").asLong(), fn.path("rows").asLong(), cols)
+        }.toMap
+      }))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case NonFatal(e) =>
+        System.err.println(s"reftable: ignoring unreadable $ManifestName in $dir: ${e.getMessage}")
+        None
+    }
+  }
+
+  // ---- pruning -------------------------------------------------------------
+
+  import RefTablePartitioning.{Tri, True, False, Null, Unknown, and, or, not}
+
+  /** Drop files whose statistics prove the pushed filters cannot be TRUE
+    * for any row. No-op without filters or without a manifest.
+    */
+  def prune(
+      resolvedDir: String, files: Seq[SnapshotFile], opts: RefTableOptions,
+      filters: Seq[Filter], conf: Configuration): Seq[SnapshotFile] = {
+    if (filters.isEmpty || !opts.statsPruning || files.isEmpty) return files
+    val manifest = load(resolvedDir, conf).getOrElse(return files)
+    val qualified = new Path(resolvedDir).getFileSystem(conf)
+      .makeQualified(new Path(resolvedDir)).toString
+    files.filter { sf =>
+      val rel =
+        if (sf.path.startsWith(qualified + "/")) sf.path.substring(qualified.length + 1)
+        else sf.path
+      manifest.get(rel) match {
+        case Some(fstats) if fstats.length == sf.length =>
+          fstats.rows > 0 && filters.forall(f => evalFile(f, sf, fstats, opts).t)
+        case _ => true // unknown or stale entry: never skip on it
+      }
+    }
+  }
+
+  /** Possible outcomes of `f` over the file's rows: composition recurses
+    * here, partition-column leaves evaluate exactly against the directory
+    * value, single-data-column leaves evaluate against the stats range.
+    */
+  private[reftable] def evalFile(
+      f: Filter, sf: SnapshotFile, fstats: FileStats, opts: RefTableOptions): Tri = f match {
+    case And(l, r) => and(evalFile(l, sf, fstats, opts), evalFile(r, sf, fstats, opts))
+    case Or(l, r)  => or(evalFile(l, sf, fstats, opts), evalFile(r, sf, fstats, opts))
+    case Not(c)    => not(evalFile(c, sf, fstats, opts))
+    case leaf =>
+      val refs = leaf.references.toSeq
+      if (refs.nonEmpty && refs.forall(opts.isPartitionCol))
+        RefTablePartitioning.eval(leaf, sf.partitionValues, opts)
+      else refs match {
+        case Seq(one) if !opts.isPartitionCol(one) => statsLeaf(leaf, one, fstats, opts)
+        case _ => Unknown
+      }
+  }
+
+  private def statsLeaf(f: Filter, ref: String, fstats: FileStats, opts: RefTableOptions): Tri = {
+    if (opts.genColumn.contains(ref)) return Unknown
+    val field = opts.schema.fields.find(_.name == ref).getOrElse(return Unknown)
+    val cs = fstats.cols.get(opts.storageColumn(ref))
+    // what the null count allows (cs absent → both unknown → possible)
+    val mayNull = cs.forall(_.nulls != 0L)
+    val mayNonNull = cs.forall(c =>
+      c.min.isDefined || c.nulls < 0L || c.nulls < fstats.rows)
+    f match {
+      case IsNull(_)    => Tri(mayNull, mayNonNull, n = false)
+      case IsNotNull(_) => Tri(mayNonNull, mayNull, n = false)
+      case EqualNullSafe(_, null) => Tri(mayNull, mayNonNull, n = false)
+      case _ if cs.isEmpty => Unknown
+      case EqualTo(_, v)            => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+        (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) }
+      case GreaterThan(_, v)        => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+        (hi > 0, lo <= 0) }
+      case GreaterThanOrEqual(_, v) => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+        (hi >= 0, lo < 0) }
+      case LessThan(_, v)           => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+        (lo < 0, hi >= 0) }
+      case LessThanOrEqual(_, v)    => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+        (lo <= 0, hi > 0) }
+      case EqualNullSafe(_, v) =>
+        // never NULL: a null row compares FALSE against a non-null literal
+        val eq = rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+          (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) }
+        Tri(eq.t, eq.f || eq.n || mayNull, n = false)
+      case In(_, vs) =>
+        vs.foldLeft(False: Tri) { (acc, v) =>
+          or(acc, rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
+            (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) })
+        }
+      case _ => Unknown // string predicates and anything unrecognized
+    }
+  }
+
+  /** Outcomes of a comparison leaf given sign(min-v) and sign(max-v):
+    * `pick` returns (TRUE possible, FALSE possible); NULL possibility comes
+    * from the null count. Handles the all-null and empty-file cases.
+    */
+  private def rangeCmp(v: Any, dt: DataType, cs: ColStats, fstats: FileStats)(
+      pick: (Int, Int) => (Boolean, Boolean)): Tri = {
+    if (v == null) return Null
+    (cs.min, cs.max) match {
+      case (Some(mn), Some(mx)) =>
+        (compareNode(mn, v, dt), compareNode(mx, v, dt)) match {
+          case (Some(lo), Some(hi)) =>
+            val (t, f) = pick(lo, hi)
+            Tri(t, f, cs.nulls != 0L)
+          case _ => Unknown
+        }
+      case _ =>
+        if (fstats.rows == 0L) Tri(t = false, f = false, n = false) // no rows, no outcome
+        else if (cs.nulls == fstats.rows) Null // provably all-null column
+        else Unknown // defensive: a bound-less entry we didn't write ourselves
+    }
+  }
+
+  /** sign(statBound - literal) in the declared Spark type's order, None
+    * when the literal's runtime type is unexpected (→ Unknown → kept).
+    * NaN literals order greatest, matching Spark; -0.0 == 0.0 is handled
+    * by the write-time zero widening, so plain Double.compare is correct
+    * here.
+    */
+  private def compareNode(node: JsonNode, v: Any, dt: DataType): Option[Int] = dt match {
+    case IntegerType | LongType | ShortType | ByteType => v match {
+      case n: Number => Some(java.lang.Long.compare(node.asLong(), n.longValue()))
+      case _ => None
+    }
+    case FloatType | DoubleType => v match {
+      case n: Number => Some(java.lang.Double.compare(node.asDouble(), n.doubleValue()))
+      case _ => None
+    }
+    case BooleanType => v match {
+      case b: java.lang.Boolean => Some(java.lang.Boolean.compare(node.asBoolean(), b.booleanValue()))
+      case _ => None
+    }
+    case DateType => v match {
+      case d: java.sql.Date => Some(java.lang.Long.compare(node.asLong(), d.toLocalDate.toEpochDay))
+      case d: java.time.LocalDate => Some(java.lang.Long.compare(node.asLong(), d.toEpochDay))
+      case _ => None
+    }
+    case _ => None // strings/decimals/timestamps never statted; schema drift lands here too
+  }
+}

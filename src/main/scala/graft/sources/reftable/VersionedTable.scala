@@ -94,6 +94,27 @@ object VersionedTable {
       keepVersions: Int = 3): String =
     publishInternal(df, root, keepVersions, partitionColumns)
 
+  /** Publish with a range-clustered layout: rows range-partitioned and
+    * sorted on `clusterCols` across `numFiles` files. Each file then covers
+    * a tight, near-disjoint [min,max] on the cluster key, which is what
+    * makes the published `_STATS.json` effective — a selective filter on
+    * the key plans O(matching) files instead of O(files)
+    * ([[RefTableStats]]). The sort also helps parquet row-group/page skips
+    * and compression inside each file. This is the data-layout half of
+    * data skipping; the manifest is the metadata half — every publish
+    * writes one, but un-clustered layouts rarely have prunable bounds.
+    */
+  def publishClustered(
+      df: DataFrame, root: String, clusterCols: Seq[String], numFiles: Int,
+      keepVersions: Int = 3): String = {
+    require(clusterCols.nonEmpty, "publishClustered needs at least one cluster column")
+    require(numFiles > 0, "numFiles must be positive")
+    val cols = clusterCols.map(df.col)
+    publishInternal(
+      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      root, keepVersions, Nil)
+  }
+
   private def publishInternal(
       df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
       marker: Option[String] = None): String = {
@@ -118,6 +139,10 @@ object VersionedTable {
     val writer = df.write
     (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
       .parquet(staging.toString)
+    // the statistics manifest is written into the staging dir, so the
+    // version rename publishes data and stats as one atomic unit and the
+    // manifest's relative file keys stay valid after the rename
+    RefTableStats.writeManifest(staging.toString, conf)
     fc(conf).rename(staging, new Path(rootPath, name))
     // atomic pointer swap: write a temp file, rename over _CURRENT
     // (the optional marker rides the same rename — see pointerLines)

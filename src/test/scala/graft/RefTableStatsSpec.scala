@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.reftable._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+/** File skipping from `_STATS.json` manifests (RefTableStats) and the
+  * range-clustered publish that makes it effective.
+  *
+  * The load-bearing test is the randomized equivalence: for every random
+  * filter tree, reading through the source WITH skipping must return
+  * exactly what Spark returns reading every file — over data that
+  * deliberately contains nulls, NaN and -0.0, the three classic
+  * footer-stats traps. A false skip is a silently missing row in
+  * production, so this gets random trees, not examples.
+  */
+class RefTableStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft_stats_$name").toString
+
+  private def opts(pairs: (String, String)*): RefTableOptions =
+    RefTableOptions.from(new CaseInsensitiveStringMap(pairs.toMap.asJava))
+
+  // deterministic corpus hitting the traps: ~1/7 null v, NaN rows, -0.0 rows
+  private def corpus() = {
+    import spark.implicits._
+    (0 until 1000).map { id =>
+      val v: java.lang.Double =
+        if (id % 7 == 0) null
+        else if (id % 53 == 0) Double.NaN
+        else if (id % 11 == 0) -0.0d
+        else id * 1.5d - 200.0d
+      (id.toLong, id % 10, v)
+    }.toDF("id", "b", "v")
+  }
+
+  test("manifest round-trip records bounds, null counts, and skips unstatable types") {
+    import spark.implicits._
+    val dir = tmpDir("roundtrip")
+    Seq(
+      (1L, 10, 2.5d, java.sql.Date.valueOf("2024-01-03"), "aa", Some(7L)),
+      (5L, -2, -1.5d, java.sql.Date.valueOf("2024-06-01"), "zz", None),
+      (3L, 0, 0.75d, java.sql.Date.valueOf("2024-03-15"), "mm", None))
+      .toDF("id", "k", "v", "d", "s", "maybe")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    RefTableStats.writeManifest(dir, conf)
+    val m = RefTableStats.load(dir, conf).get
+    assert(m.size == 1)
+    val fileStats = m.values.head
+    assert(fileStats.rows == 3)
+    val id = fileStats.cols("id")
+    assert(id.min.get.asLong == 1L && id.max.get.asLong == 5L && id.nulls == 0L)
+    assert(fileStats.cols("k").min.get.asLong == -2L)
+    assert(fileStats.cols("v").min.get.asDouble == -1.5d)
+    // date bounds are epoch days
+    assert(fileStats.cols("d").min.get.asLong ==
+      java.sql.Date.valueOf("2024-01-03").toLocalDate.toEpochDay)
+    assert(!fileStats.cols.contains("s"), "string stats are truncatable — must not be recorded")
+    val maybe = fileStats.cols("maybe")
+    assert(maybe.nulls == 2L && maybe.min.get.asLong == 7L)
+  }
+
+  test("clustered publish skips files a range filter cannot match, result-identically") {
+    val root = tmpDir("cluster")
+    VersionedTable.publishClustered(corpus(), root, Seq("id"), numFiles = 8)
+    val o = opts("path" -> root, "schema" -> "id BIGINT, b INT, v DOUBLE")
+    val all = SnapshotFiles.pruned(o, Nil)
+    assert(all.size == 8)
+    // a 5%-of-keyspace range must plan a fraction of the files
+    val narrow = SnapshotFiles.pruned(o,
+      Seq(And(GreaterThanOrEqual("id", 100L), LessThan("id", 150L))))
+    assert(narrow.size <= 2, s"expected <=2 of 8 files, planned ${narrow.size}")
+    // disabling the option reads the manifest not at all
+    val off = opts("path" -> root, "schema" -> "id BIGINT, b INT, v DOUBLE",
+      "statsPruning" -> "false")
+    assert(SnapshotFiles.pruned(off,
+      Seq(And(GreaterThanOrEqual("id", 100L), LessThan("id", 150L)))).size == 8)
+    // the skipped plan returns exactly the unskipped result
+    def read(enabled: Boolean) = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, b INT, v DOUBLE")
+      .option("statsPruning", enabled.toString).load()
+      .filter(col("id") >= 100L && col("id") < 150L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(read(enabled = true)) == ids(read(enabled = false)))
+    assert(ids(read(enabled = true)) == (100L until 150L))
+    // and the DataFrame path really plans the skipped listing, not just
+    // the internal API: the executed scan carries <=2 input partitions
+    val scans = read(enabled = true).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.partitions.size <= 2,
+      s"stats pruning must reach the planned scan, got ${scans.map(_.partitions.size)}")
+  }
+
+  test("random filter trees: skipping never changes the result (nulls, NaN, -0.0 present)") {
+    val root = tmpDir("equiv")
+    VersionedTable.publishClustered(corpus(), root, Seq("id"), numFiles = 6)
+    val baseline = spark.read.parquet(
+      SnapshotFiles.resolveDir(root, None, conf))
+    def viaSource = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, b INT, v DOUBLE").load()
+
+    def leaf(rnd: Random): (Column, Unit) = rnd.nextInt(10) match {
+      case 0 => (col("id") >= rnd.nextInt(1200).toLong, ())
+      case 1 => (col("id") < rnd.nextInt(1200).toLong, ())
+      case 2 => (col("id") === rnd.nextInt(1200).toLong, ())
+      case 3 => (col("b").isin(rnd.nextInt(10), rnd.nextInt(12)), ())
+      case 4 => (col("v") > (rnd.nextInt(2000) - 1000).toDouble, ())
+      case 5 => (col("v") <= (rnd.nextInt(2000) - 1000).toDouble, ())
+      case 6 => (col("v") === 0.0d, ())
+      case 7 => (col("v") === Double.NaN, ())
+      case 8 => (col("v").isNull, ())
+      case 9 => (col("v").isNotNull, ())
+    }
+    def tree(rnd: Random, depth: Int): Column =
+      if (depth <= 0) leaf(rnd)._1
+      else rnd.nextInt(8) match {
+        case 0 | 1 | 2 => leaf(rnd)._1
+        case 3 | 4 => tree(rnd, depth - 1) && tree(rnd, depth - 1)
+        case 5 | 6 => tree(rnd, depth - 1) || tree(rnd, depth - 1)
+        case 7 => !tree(rnd, depth - 1)
+      }
+
+    val rnd = new Random(20260812)
+    (1 to 30).foreach { i =>
+      val predicate = tree(rnd, 3)
+      val want = baseline.filter(predicate).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val got = viaSource.filter(predicate).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"tree $i ($predicate): skipping changed the result")
+    }
+  }
+
+  test("mixed partition + data-column predicates prune on both dimensions") {
+    import spark.implicits._
+    val root = tmpDir("mixed")
+    val df = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    VersionedTable.publishPartitioned(df, root, Seq("par"))
+    val o = opts("path" -> root, "schema" -> "id BIGINT, par STRING",
+      "partitionColumns" -> "par")
+    val all = SnapshotFiles.pruned(o, Nil)
+    // one And filter mixing a partition leaf and a stats leaf: partition
+    // pruning alone can't use it (mixed references), stats eval must
+    val mixed = SnapshotFiles.pruned(o,
+      Seq(And(EqualTo("par", "even"), GreaterThan("id", 10000L))))
+    assert(mixed.isEmpty, s"expected 0 files of ${all.size}, planned ${mixed.size}")
+    val half = SnapshotFiles.pruned(o, Seq(EqualTo("par", "odd")))
+    assert(half.nonEmpty && half.size < all.size)
+  }
+
+  test("a stale manifest entry (length mismatch) never skips that file") {
+    import spark.implicits._
+    val dir = tmpDir("stale")
+    Seq((1L, 5.0d), (2L, 6.0d)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    RefTableStats.writeManifest(dir, conf)
+    // replace the data file in place under the same name: new content far
+    // outside the recorded bounds, different length
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val swap = tmpDir("stale_new")
+    (0 until 64).map(i => (1000L + i, 500.0d + i)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(swap)
+    val newFile = Files.list(Paths.get(swap)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(newFile, part, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val o = opts("path" -> dir, "schema" -> "id BIGINT, v DOUBLE")
+    // stats say id<=2, the replaced file holds id>=1000: must still be read
+    val kept = SnapshotFiles.pruned(o, Seq(GreaterThan("id", 900L)))
+    assert(kept.size == 1, "length-mismatched file must be kept despite its stats entry")
+  }
+
+  test("an unreadable manifest fails open") {
+    import spark.implicits._
+    val dir = tmpDir("corrupt")
+    Seq((1L, 2L)).toDF("id", "x").coalesce(1).write.mode("overwrite").parquet(dir)
+    Files.writeString(Paths.get(dir, RefTableStats.ManifestName), "{not json")
+    val o = opts("path" -> dir, "schema" -> "id BIGINT, x BIGINT")
+    assert(RefTableStats.load(dir, conf).isEmpty)
+    assert(SnapshotFiles.pruned(o, Seq(EqualTo("id", 999L))).size == 1)
+  }
+
+  test("date bounds prune date filters") {
+    import spark.implicits._
+    val dir = tmpDir("dates")
+    Seq("2024-01-01", "2024-01-05").map(java.sql.Date.valueOf).toDF("d")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq("2025-06-01", "2025-06-09").map(java.sql.Date.valueOf).toDF("d")
+      .coalesce(1).write.mode("append").parquet(dir)
+    RefTableStats.writeManifest(dir, conf)
+    val o = opts("path" -> dir, "schema" -> "d DATE")
+    assert(SnapshotFiles.pruned(o, Nil).size == 2)
+    val kept = SnapshotFiles.pruned(o,
+      Seq(GreaterThan("d", java.sql.Date.valueOf("2025-01-01"))))
+    assert(kept.size == 1)
+    // LocalDate literals (java8 datetime API) prune identically
+    val kept8 = SnapshotFiles.pruned(o,
+      Seq(LessThan("d", java.time.LocalDate.parse("2024-06-01"))))
+    assert(kept8.size == 1)
+  }
+
+  test("every publish carries a manifest; compaction re-derives it") {
+    import spark.implicits._
+    val root = tmpDir("publish")
+    VersionedTable.publish((1 to 100).map(i => (i.toLong, i * 2.0d)).toDF("id", "v"), root)
+    val v1 = SnapshotFiles.resolveDir(root, None, conf)
+    assert(RefTableStats.load(v1, conf).nonEmpty)
+    VersionedTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val v2 = SnapshotFiles.resolveDir(root, None, conf)
+    assert(v2 != v1 && RefTableStats.load(v2, conf).nonEmpty)
+  }
+}
