@@ -497,6 +497,19 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact corpus heavy hitters with distinct-count-independent shuffle
+    // (Misra-Gries candidates + exact verify — operators/Frequency.scala).
+    // The oracle is the naive full groupBy top-k, so a hash match proves
+    // the two-pass plan is exact on this corpus, ties included.
+    QueryDef("q92_heavy_hitters", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      graft.operators.Frequency.heavyHitters(toks, "token", k = 20, capacity = 8192)
+    }, Some(
+      """SELECT w AS item, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, item LIMIT 20""".stripMargin)),
+
     // SQL-registered kernel functions: the same simhash through spark.sql
     QueryDef("q63_sql_functions", (s, dir) => {
       graft.functions.Registry.registerAll(s)

@@ -240,4 +240,31 @@ class OperatorsSpec extends AnyFunSuite {
     info(s"SRP recall@10 = $recall")
     assert(recall >= 0.6, s"recall $recall too low")
   }
+
+  test("heavy hitters: two-pass Misra-Gries equals the naive top-k, ties included") {
+    import spark.implicits._
+    // adversarial shape: a Zipf-ish head, a tied pair at the k boundary,
+    // and a long singleton tail that must never survive to the shuffle
+    val rows =
+      (1 to 1000).map(_ => "alpha") ++ (1 to 400).map(_ => "beta") ++
+      (1 to 400).map(_ => "gamma") ++ (1 to 37).map(_ => "delta") ++
+      (1 to 37).map(_ => "epsilon") ++ (1 to 20000).map(i => s"tail_$i")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("w")
+    def naive(k: Int) = df.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def mg(k: Int, cap: Int) = graft.operators.Frequency.heavyHitters(df, "w", k, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // n ≈ 21874, capacity 1024 → threshold ≈ 21: every true top-5 count
+    // (1000, 400, 400, 37, 37) clears it, so the result is provably exact
+    assert(mg(5, 1024) == naive(5))
+    // capacity ≥ distinct count degenerates to fully exact for any k
+    assert(mg(8, 30000).take(5) == naive(5))
+    // nulls are ignored, not counted
+    val withNulls = spark.sparkContext
+      .parallelize(Seq[String]("x", null, "x", null, "y"), 2).toDF("w")
+    assert(graft.operators.Frequency.heavyHitters(withNulls, "w", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 2L), ("y", 1L)))
+  }
 }
