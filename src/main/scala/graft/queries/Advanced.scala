@@ -497,6 +497,30 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Z-order layout: orders published Morton-clustered on (o_custkey,
+    // o_totalprice), read back under a box filter on BOTH dimensions. The
+    // oracle proves values; RefTableStatsSpec proves a lexicographic
+    // layout cannot prune the trailing dimension while z-order prunes all.
+    QueryDef("q93_zorder_skip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q93_zorder")
+      graft.sources.reftable.VersionedTable.publishZOrdered(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        root, Seq("o_custkey", "o_totalprice"), numFiles = 8)
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .load()
+        .filter(col("o_custkey") < 300 && col("o_totalprice") >= 50000.0 &&
+          col("o_totalprice") < 150000.0)
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"),
+          min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total,
+        |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders
+        |WHERE o_custkey < 300 AND o_totalprice >= 50000 AND o_totalprice < 150000""".stripMargin)),
+
     // Exact corpus heavy hitters with distinct-count-independent shuffle
     // (Misra-Gries candidates + exact verify — operators/Frequency.scala).
     // The oracle is the naive full groupBy top-k, so a hash match proves

@@ -115,6 +115,23 @@ object VersionedTable {
       root, keepVersions, Nil)
   }
 
+  /** Publish clustered on the z-order (Morton) curve over `zCols` instead
+    * of lexicographically: every file then covers a bounded window in EACH
+    * clustered dimension, so the stats manifest prunes selective filters
+    * on any of them — the multi-column layout [[publishClustered]] cannot
+    * give (its trailing columns get no locality). See [[ZOrder]].
+    */
+  def publishZOrdered(
+      df: DataFrame, root: String, zCols: Seq[String], numFiles: Int,
+      keepVersions: Int = 3): String = {
+    require(numFiles > 0, "numFiles must be positive")
+    val zc = "__graft_z"
+    val staged = df.withColumn(zc, ZOrder.zColumn(df, zCols))
+    publishInternal(
+      staged.repartitionByRange(numFiles, staged(zc)).sortWithinPartitions(zc).drop(zc),
+      root, keepVersions, Nil)
+  }
+
   private def publishInternal(
       df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
       marker: Option[String] = None): String = {

@@ -214,6 +214,39 @@ class RefTableStatsSpec extends AnyFunSuite {
     assert(kept8.size == 1)
   }
 
+  test("z-order clustering prunes on every clustered dimension; lexicographic only on the first") {
+    import spark.implicits._
+    // 256x256 uniform grid: the worst case for lexicographic trailing
+    // columns (every x-file spans all of y) and the textbook case for z
+    val grid = (0 until 65536).map(i => (i % 256, i / 256, i.toLong)).toDF("x", "y", "id")
+    val zRoot = tmpDir("zorder")
+    val lexRoot = tmpDir("lex")
+    VersionedTable.publishZOrdered(grid, zRoot, Seq("x", "y"), numFiles = 16)
+    VersionedTable.publishClustered(grid, lexRoot, Seq("x", "y"), numFiles = 16)
+    val ddl = "x INT, y INT, id BIGINT"
+    def planned(root: String, filters: Seq[Filter]) =
+      SnapshotFiles.pruned(opts("path" -> root, "schema" -> ddl), filters).size
+    assert(planned(zRoot, Nil) == 16 && planned(lexRoot, Nil) == 16)
+    val onX = Seq(And(GreaterThanOrEqual("x", 10), LessThan("x", 20)))
+    val onY = Seq(And(GreaterThanOrEqual("y", 10), LessThan("y", 20)))
+    // leading column: both layouts prune
+    assert(planned(lexRoot, onX) <= 2)
+    assert(planned(zRoot, onX) <= 8, s"z on x planned ${planned(zRoot, onX)}")
+    // trailing column: lexicographic is blind, z still prunes
+    assert(planned(lexRoot, onY) == 16)
+    assert(planned(zRoot, onY) <= 8, s"z on y planned ${planned(zRoot, onY)}")
+    // and a box on both dimensions compounds
+    assert(planned(zRoot, onX ++ onY) <= 4)
+    // skipping never changes results (the box straddles file boundaries)
+    def ids(root: String, skip: Boolean) = spark.read.format("reftable")
+      .option("path", root).option("schema", ddl)
+      .option("statsPruning", skip.toString).load()
+      .filter(col("x") >= 10 && col("x") < 20 && col("y") >= 10 && col("y") < 20)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(zRoot, skip = true) == ids(zRoot, skip = false))
+    assert(ids(zRoot, skip = true).size == 100)
+  }
+
   test("every publish carries a manifest; compaction re-derives it") {
     import spark.implicits._
     val root = tmpDir("publish")
