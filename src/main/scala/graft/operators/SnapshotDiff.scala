@@ -66,6 +66,53 @@ object SnapshotDiff {
           col("change_type"): _*)
   }
 
+  /** As [[diff]], but emitting BOTH row images: the key columns (equal on
+    * both sides by construction), then `<c>_before` / `<c>_after` for every
+    * value column (null image for inserts/deletes respectively), then
+    * `change_type`. This is the shape downstream incremental computation
+    * needs — [[IncrementalAgg.maintain]] must subtract an update's old
+    * contribution and add its new one, including when the update moves the
+    * row between groups, which the single-image [[diff]] cannot express.
+    */
+  def diffImages(before: DataFrame, after: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshot diff needs at least one key column")
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"snapshot diff requires identical schemas, got ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    val valCols = before.columns.toSeq.filterNot(keyCols.contains)
+
+    // same marker-collision discipline as diff()
+    def freshMarker(prefix: String): String =
+      Iterator.from(0).map(i => s"${prefix}present$i")
+        .find(n => !valCols.exists(c => s"__b_$c" == n || s"__a_$c" == n)).get
+    val bPresent = freshMarker("__b_")
+    val aPresent = freshMarker("__a_")
+
+    val b = before.select(
+      keyCols.map(c => col(c).as(s"__bk_$c")) ++
+        valCols.map(c => col(c).as(s"__b_$c")) :+ lit(1).as(bPresent): _*)
+    val a = after.select(
+      keyCols.map(c => col(c).as(s"__ak_$c")) ++
+        valCols.map(c => col(c).as(s"__a_$c")) :+ lit(1).as(aPresent): _*)
+
+    val joinCond = keyCols.map(c => col(s"__bk_$c") <=> col(s"__ak_$c")).reduce(_ && _)
+    val unchanged =
+      if (valCols.isEmpty) lit(true)
+      else valCols.map(c => col(s"__b_$c") <=> col(s"__a_$c")).reduce(_ && _)
+
+    b.join(a, joinCond, "full_outer")
+      .withColumn("change_type",
+        when(col(bPresent).isNull, lit("insert"))
+          .when(col(aPresent).isNull, lit("delete"))
+          .when(unchanged, lit("unchanged"))
+          .otherwise(lit("update")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(
+        keyCols.map(c => coalesce(col(s"__bk_$c"), col(s"__ak_$c")).as(c)) ++
+          valCols.flatMap(c => Seq(
+            col(s"__b_$c").as(s"${c}_before"), col(s"__a_$c").as(s"${c}_after"))) :+
+          col("change_type"): _*)
+  }
+
   /** Turns a snapshot-per-generation stream (e.g. the reftable source in a
     * foreachBatch sink) into a changefeed: each call diffs the arriving
     * snapshot against the previous one and returns the changes (the first

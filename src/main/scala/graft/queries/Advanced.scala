@@ -497,6 +497,49 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental view maintenance: the customer-balance-per-nation
+    // aggregate is maintained from a change set (delete %10==3, bump
+    // balance %10==5, re-nation %10==7, insert shifted copies of %10==9)
+    // instead of recomputed — O(changes) work. The oracle aggregates the
+    // replayed after-state DIRECTLY, so a hash match proves maintenance
+    // converges to recompute, null/count bookkeeping included. Cents keep
+    // the sums integral (no float-order drift between the two plans).
+    QueryDef("q94_incremental_agg", (s, dir) => {
+      import graft.operators.{IncrementalAgg, SnapshotDiff}
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val before = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      val after = before
+        .filter(col("c_custkey") % 10 =!= 3)
+        .withColumn("cents",
+          when(col("c_custkey") % 10 === 5, col("cents") + 10000L).otherwise(col("cents")))
+        .withColumn("c_nationkey",
+          when(col("c_custkey") % 10 === 7, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")))
+        .unionAll(before.filter(col("c_custkey") % 10 === 9)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_nationkey"), col("cents")))
+      IncrementalAgg.maintain(
+        IncrementalAgg.aggregate(before, Seq("c_nationkey"), Seq("cents")),
+        SnapshotDiff.diffImages(before, after, Seq("c_custkey")),
+        Seq("c_nationkey"), Seq("cents"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |after AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 7 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 5 THEN cents + 10000 ELSE cents END AS cents
+        |  FROM base WHERE c_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey, cents FROM base WHERE c_custkey % 10 = 9)
+        |SELECT c_nationkey, sum(cents) AS sum_cents, count(cents) AS nn_cents,
+        |  count(*) AS cnt
+        |FROM after GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // Z-order layout: orders published Morton-clustered on (o_custkey,
     // o_totalprice), read back under a box filter on BOTH dimensions. The
     // oracle proves values; RefTableStatsSpec proves a lexicographic

@@ -267,4 +267,48 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("x", 2L), ("y", 1L)))
   }
+
+  test("incremental aggregate maintenance equals recompute under random churn") {
+    import spark.implicits._
+    import graft.operators.{IncrementalAgg, SnapshotDiff}
+    val rnd = new scala.util.Random(42)
+    // groups include null; measure includes nulls; updates move rows
+    // between groups and flip measures to/from null
+    def grp(i: Int): java.lang.Integer = if (i % 13 == 0) null else Int.box(i % 5)
+    def mea(i: Int): java.lang.Long = if (i % 7 == 0) null else Long.box(i.toLong * 3)
+    val before = (0 until 2000).map(i => (i.toLong, grp(i), mea(i)))
+      .toDF("id", "g", "m")
+    val afterRows = (0 until 2000).flatMap { i =>
+      rnd.nextInt(10) match {
+        case 0 => Nil // delete ~10%
+        case 1 | 2 => Seq((i.toLong, grp(i + 1), mea(i + 2))) // group/measure moves
+        case 3 => Seq((i.toLong, grp(i), null: java.lang.Long)) // measure drained
+        case _ => Seq((i.toLong, grp(i), mea(i)))
+      }
+    } ++ (5000 until 5200).map(i => (i.toLong, grp(i), mea(i))) // inserts
+    val after = afterRows.toDF("id", "g", "m")
+
+    val maintained = IncrementalAgg.maintain(
+      IncrementalAgg.aggregate(before, Seq("g"), Seq("m")),
+      SnapshotDiff.diffImages(before, after, Seq("id")),
+      Seq("g"), Seq("m"))
+    val recomputed = IncrementalAgg.aggregate(after, Seq("g"), Seq("m"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("∅"),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(canon(maintained) == canon(recomputed))
+
+    // drained group: all non-null measures deleted but rows remain → sum
+    // NULL, cnt intact; emptied group disappears entirely
+    val b2 = Seq((1L, 1, Some(5L)), (2L, 1, None), (3L, 2, Some(9L))).map {
+      case (id, g, m) => (id, g, m.map(Long.box).orNull)
+    }.toDF("id", "g", "m")
+    val a2 = Seq((2L, 1, null: java.lang.Long)).toDF("id", "g", "m") // 1 & 3 deleted
+    val m2 = IncrementalAgg.maintain(
+      IncrementalAgg.aggregate(b2, Seq("g"), Seq("m")),
+      SnapshotDiff.diffImages(b2, a2, Seq("id")), Seq("g"), Seq("m"))
+      .collect().map(r => (r.getInt(0), r.isNullAt(1), r.getLong(3))).toSeq
+    assert(m2 == Seq((1, true, 1L)), s"got $m2")
+  }
 }
