@@ -497,6 +497,34 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The write path end-to-end: INSERT OVERWRITE then INSERT-style append
+    // publish versions of a reftable (never mutating files in place), and
+    // the read-back aggregate must match the oracle's replay of the same
+    // two writes. Each bench re-run overwrites first, so the state is
+    // deterministic per invocation.
+    QueryDef("q95_write_roundtrip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q95_write")
+      val ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      nation.write.format("reftable").option("path", root).option("schema", ddl)
+        .mode("overwrite").save()
+      nation.filter(col("n_regionkey") === 0)
+        .select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .write.format("reftable").option("path", root).option("schema", ddl)
+        .mode("append").save()
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_nationkey").as("lo"), max("n_nationkey").as("hi"))
+        .orderBy("n_regionkey")
+    }, Some(
+      """WITH written AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, n_regionkey FROM nation WHERE n_regionkey = 0)
+        |SELECT n_regionkey, count(*) AS n, min(n_nationkey) AS lo, max(n_nationkey) AS hi
+        |FROM written GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Incremental view maintenance: the customer-balance-per-nation
     // aggregate is maintained from a change set (delete %10==3, bump
     // balance %10==5, re-nation %10==7, insert shifted copies of %10==9)

@@ -53,14 +53,24 @@ class RefTableProvider extends TableProvider with DataSourceRegister {
     new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(properties)))
 }
 
-class RefTable(opts: RefTableOptions) extends Table with SupportsRead {
+class RefTable(opts: RefTableOptions) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"reftable(${opts.path})"
   override def schema(): StructType = opts.outputSchema
+  // BATCH_WRITE is required by the DataFrameWriter.save() capability gate
+  // even though the produced Write is a V1Write fallback; V1_BATCH_WRITE is
+  // what routes the physical plan through the InsertableRelation.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RefTableScanBuilder(opts)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new RefTableWriteBuilder(opts, info)
 }
 
 /** Column pruning reaches the parquet readers (the reference's analogue:

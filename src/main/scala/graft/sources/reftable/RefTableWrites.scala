@@ -1,0 +1,99 @@
+package graft.sources.reftable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.InsertableRelation
+
+/** Write path for reftable: `INSERT INTO` / `INSERT OVERWRITE` /
+  * `df.write.format("reftable")` publish VERSIONS of the table.
+  *
+  * The reference is read-only (a CDAP source plugin; writes happened
+  * through separate sink plugins against the transactional Table). On
+  * plain file storage the only safe write under concurrent snapshot
+  * readers is the versioned publish — an in-place append or overwrite
+  * deletes/mutates files a pinned generation listing may still be
+  * reading. So:
+  *
+  *  - overwrite (SQL `INSERT OVERWRITE`, SaveMode.Overwrite): the data
+  *    becomes the next version;
+  *  - append (SQL `INSERT INTO`, SaveMode.Append): current ∪ data becomes
+  *    the next version (the current snapshot is read back through the
+  *    source itself, so partitioned layouts and schema evolution behave
+  *    exactly as reads do);
+  *  - a target holding bare parquet files that is NOT a versioned root is
+  *    refused outright rather than corrupted in place;
+  *  - `version`-pinned (time travel) relations and `genColumn` projections
+  *    are read-only by construction.
+  *
+  * Implemented as a V1Write fallback: the insertable relation receives the
+  * analyzed DataFrame (columns already aligned to the table schema) and
+  * delegates to [[VersionedTable]], which also writes the `_STATS.json`
+  * skipping manifest — so written tables are immediately prunable.
+  * Streaming writes go through [[VersionedTable.completeModePublisher]].
+  */
+object RefTableWrites {
+
+  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean): Unit = {
+    if (opts.version.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable: a version-pinned (time travel) relation is read-only")
+    if (opts.genColumn.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable: tables declaring genColumn are read-only projections of refresh generations")
+
+    // files store the key under its storage name, not the rowField alias
+    val stored: DataFrame = opts.rowField match {
+      case Some(rf) => data.withColumnRenamed(rf, opts.keyColumn.get)
+      case None => data.toDF()
+    }
+
+    val conf = new Configuration()
+    val root = new Path(opts.path)
+    val fs = root.getFileSystem(conf)
+    val versioned = VersionedTable.resolve(opts.path, conf).isDefined
+    if (!versioned && fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      throw new UnsupportedOperationException(
+        s"reftable: ${opts.path} holds bare parquet files without a ${VersionedTable.Pointer} " +
+          "pointer; writing in place would mutate files under concurrent snapshot readers. " +
+          "Publish it as a versioned root (VersionedTable.publish) or target a fresh directory.")
+
+    val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))
+    val aligned = stored.select(storageNames.map(col).toIndexedSeq: _*)
+    val payload =
+      if (overwrite || !versioned) aligned
+      else {
+        // current snapshot through our own read path (storage-named schema)
+        val ddl = org.apache.spark.sql.types.StructType(opts.schema.fields.map(f =>
+          f.copy(name = opts.storageColumn(f.name)))).toDDL
+        val reader = data.sparkSession.read.format("reftable")
+          .option("path", opts.path).option("schema", ddl)
+          .option("allowMissingColumns", opts.allowMissingColumns.toString)
+        val cur = (if (opts.partitionColumns.nonEmpty)
+          reader.option("partitionColumns", opts.partitionColumns.mkString(","))
+        else reader).load()
+        cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
+      }
+    if (opts.partitionColumns.nonEmpty)
+      VersionedTable.publishPartitioned(payload, opts.path, opts.partitionColumns)
+    else VersionedTable.publish(payload, opts.path)
+    ()
+  }
+}
+
+class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  // SaveMode.Overwrite / INSERT OVERWRITE arrive as truncate() on the
+  // builder; the InsertableRelation flag covers older fallback call sites
+  private var truncateAll = false
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
+        RefTableWrites.insert(opts, data, truncateAll || overwrite)
+    }
+  }
+}

@@ -242,6 +242,23 @@ object VersionedTable {
       spark.read.parquet(from), spark.read.parquet(current), keyCols)
   }
 
+  /** As [[changes]], with both row images per value column
+    * ([[graft.operators.SnapshotDiff.diffImages]]) — the input shape
+    * [[graft.operators.IncrementalAgg.maintain]] needs, so an aggregate
+    * over a versioned table can be advanced version-to-version for
+    * O(changes) instead of recomputed for O(table).
+    */
+  def changesImages(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      keyCols: Seq[String], fromVersion: String): org.apache.spark.sql.DataFrame = {
+    val conf = new Configuration()
+    val current = resolve(root, conf).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table root"))
+    val from = new Path(root, fromVersion).toString
+    graft.operators.SnapshotDiff.diffImages(
+      spark.read.parquet(from), spark.read.parquet(current), keyCols)
+  }
+
   /** foreachBatch sink that publishes each micro-batch as a new version —
     * for COMPLETE-mode aggregation streams, where every batch is the full
     * current result, this closes the reference's loop end to end: a

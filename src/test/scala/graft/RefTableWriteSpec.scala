@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.{RefTableStats, SnapshotFiles, VersionedTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reftable write path: INSERT INTO / INSERT OVERWRITE / DataFrame
+  * writes publish versions (never mutate in place), compose with the
+  * versioned layer's retention and the stats manifest, and refuse the
+  * unsafe targets.
+  */
+class RefTableWriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_write_$name")
+    Files.delete(d) // the writer should create it
+    d.toString
+  }
+
+  private val ddl = "id BIGINT, name STRING"
+
+  private def readBack(root: String) = spark.read.format("reftable")
+    .option("path", root).option("schema", ddl).load()
+    .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("DataFrame overwrite then append publish versions; both readable and retained") {
+    import spark.implicits._
+    val root = tmpDir("df")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("overwrite").save()
+    assert(readBack(root) == Seq((1L, "a"), (2L, "b")))
+    assert(VersionedTable.resolve(root, conf).nonEmpty, "writer must create a versioned root")
+
+    Seq((3L, "c")).toDF("id", "name")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("append").save()
+    assert(readBack(root) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // append produced a NEW version; the pre-append version is retained
+    assert(VersionedTable.versionDirs(root, conf).size == 2)
+
+    Seq((9L, "z")).toDF("id", "name")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("overwrite").save()
+    assert(readBack(root) == Seq((9L, "z")))
+    assert(VersionedTable.versionDirs(root, conf).size == 3)
+  }
+
+  test("SQL INSERT INTO and INSERT OVERWRITE work against a created table") {
+    import spark.implicits._
+    val root = tmpDir("sql")
+    val table = "graft_write_sql_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // no column list: the provider owns its schema (options), like reads do
+    spark.sql(
+      s"""CREATE TABLE $table USING reftable
+         |OPTIONS (path '$root', schema '$ddl')""".stripMargin)
+    try {
+      spark.sql(s"INSERT INTO $table VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $table SELECT 3L, 'c'")
+      assert(spark.table(table).orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      spark.sql(s"INSERT OVERWRITE $table VALUES (7, 'x')")
+      assert(spark.table(table).as[(Long, String)].collect().toSeq == Seq((7L, "x")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("written tables carry the stats manifest and skip files") {
+    import spark.implicits._
+    val root = tmpDir("stats")
+    (0 until 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id"))
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("overwrite").save()
+    val resolved = SnapshotFiles.resolveDir(root, None, conf)
+    assert(RefTableStats.load(resolved, conf).nonEmpty)
+  }
+
+  test("rowField writes store the key under its storage column name") {
+    import spark.implicits._
+    val root = tmpDir("rowfield")
+    val writerDdl = "row_key BIGINT NOT NULL, payload STRING"
+    Seq((1L, "p1"), (2L, "p2")).toDF("row_key", "payload")
+      .write.format("reftable").option("path", root)
+      .option("schema", writerDdl)
+      .option("rowField", "row_key").option("keyColumn", "k")
+      .mode("overwrite").save()
+    // the file holds column `k`; reading WITHOUT rowField sees storage names
+    val stored = spark.read.parquet(SnapshotFiles.resolveDir(root, None, conf))
+    assert(stored.columns.sorted.toSeq == Seq("k", "payload"))
+    // and reading WITH the same rowField mapping round-trips
+    val rt = spark.read.format("reftable")
+      .option("path", root).option("schema", writerDdl)
+      .option("rowField", "row_key").option("keyColumn", "k").load()
+      .orderBy("row_key").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rt == Seq((1L, "p1"), (2L, "p2")))
+  }
+
+  test("partitioned writes publish Hive layouts; append merges through the source") {
+    import spark.implicits._
+    val root = tmpDir("part")
+    val pddl = "id BIGINT, bucket STRING"
+    def w(rows: Seq[(Long, String)], mode: String) =
+      rows.toDF("id", "bucket").write.format("reftable")
+        .option("path", root).option("schema", pddl)
+        .option("partitionColumns", "bucket").mode(mode).save()
+    w(Seq((1L, "x"), (2L, "y")), "overwrite")
+    w(Seq((3L, "x")), "append")
+    val cur = SnapshotFiles.resolveDir(root, None, conf)
+    assert(new java.io.File(cur, "bucket=x").isDirectory)
+    val back = spark.read.format("reftable")
+      .option("path", root).option("schema", pddl)
+      .option("partitionColumns", "bucket").load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "x"), (2L, "y"), (3L, "x")))
+  }
+
+  test("unsafe targets are refused: bare parquet dirs, pinned versions, gen columns") {
+    import spark.implicits._
+    val bare = Files.createTempDirectory("graft_write_bare").toString
+    Seq((1L, "a")).toDF("id", "name").write.mode("overwrite").parquet(bare)
+    val df = Seq((2L, "b")).toDF("id", "name")
+    val e1 = intercept[Exception] {
+      df.write.format("reftable").option("path", bare).option("schema", ddl)
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("bare parquet"), e1.getMessage)
+
+    val root = tmpDir("refuse")
+    df.write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("overwrite").save()
+    val v1 = VersionedTable.versionDirs(root, conf).head
+    val e2 = intercept[Exception] {
+      df.write.format("reftable").option("path", root).option("schema", ddl)
+        .option("version", v1).mode("append").save()
+    }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+
+    // with the gen column supplied the analyzer passes and OUR guard fires
+    val e3 = intercept[Exception] {
+      Seq((2L, "b", 0L)).toDF("id", "name", "gen")
+        .write.format("reftable").option("path", tmpDir("gen")).option("schema", ddl)
+        .option("genColumn", "gen").mode("overwrite").save()
+    }
+    assert(e3.getMessage.contains("read-only"), e3.getMessage)
+  }
+
+  test("incremental aggregate maintained across INSERTs equals recompute (changesImages)") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val root = tmpDir("ivm")
+    val vddl = "id BIGINT, g INT, m BIGINT"
+    (0 until 500).map(i => (i.toLong, i % 7, i.toLong * 3)).toDF("id", "g", "m")
+      .write.format("reftable").option("path", root).option("schema", vddl)
+      .mode("overwrite").save()
+    val v1 = VersionedTable.versionDirs(root, conf).last
+    // pinned to v1 via time travel: DataFrames are lazy, and an unpinned
+    // read here would silently re-list the CURRENT version when evaluated
+    // after the append below
+    val agg1 = IncrementalAgg.aggregate(
+      spark.read.format("reftable").option("path", root).option("schema", vddl)
+        .option("version", v1).load(),
+      Seq("g"), Seq("m"))
+
+    // churn arrives as a plain INSERT (append publishes version 2)
+    (500 until 650).map(i => (i.toLong, i % 7, i.toLong * 3)).toDF("id", "g", "m")
+      .write.format("reftable").option("path", root).option("schema", vddl)
+      .mode("append").save()
+
+    val maintained = IncrementalAgg.maintain(
+      agg1, VersionedTable.changesImages(spark, root, Seq("id"), v1), Seq("g"), Seq("m"))
+    val recomputed = IncrementalAgg.aggregate(
+      spark.read.format("reftable").option("path", root).option("schema", vddl).load(),
+      Seq("g"), Seq("m"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(canon(maintained) == canon(recomputed))
+  }
+}
