@@ -31,8 +31,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .load()
   * }}}
   */
-class RefTableProvider extends TableProvider with DataSourceRegister {
+class RefTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "reftable"
+
+  /** `writeStream.format("reftable")`: publish each complete-mode batch as
+    * a version of the table at `path` (see [[RefTableSink]]). The same
+    * explicit-schema contract as reads: `path` and `schema` are required
+    * and validated up front (DataStreamWriter routes TableProviders
+    * through inferSchema before the V1-sink fallback, so schema-less sink
+    * options could never reach here anyway), and each arriving batch is
+    * checked against the declaration. Extra options: `keepVersions`
+    * (default 3); `partitionColumns` produce a Hive layout inside each
+    * version, with the DataStreamWriter's `partitionBy` honored when the
+    * option is absent.
+    */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    if (outputMode != org.apache.spark.sql.streaming.OutputMode.Complete())
+      throw new IllegalArgumentException(
+        "reftable sink requires outputMode=complete: every batch must be the full " +
+          "table state (append/update batches are deltas, not snapshots)")
+    val opts = RefTableOptions.from(
+      new CaseInsensitiveStringMap(parameters.asJava))
+    if (opts.version.nonEmpty)
+      throw new IllegalArgumentException("reftable sink: a pinned 'version' is read-only")
+    if (opts.genColumn.nonEmpty)
+      throw new IllegalArgumentException(
+        "reftable sink: 'genColumn' is a read-side projection of refresh generations")
+    val keep = parameters.get("keepVersions").map(_.trim.toInt).getOrElse(3)
+    val partCols =
+      if (opts.partitionColumns.nonEmpty) opts.partitionColumns else partitionColumns
+    new RefTableSink(opts, keep, partCols)
+  }
 
   // Deploy-time vs run-time validation split (reference:
   // TableStreamingSource.java:59-70 vs :74-76): inferSchema runs at analysis

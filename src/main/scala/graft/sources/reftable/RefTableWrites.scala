@@ -84,6 +84,36 @@ object RefTableWrites {
   }
 }
 
+/** V1 streaming sink: each complete-mode batch is published as a version —
+  * `writeStream.format("reftable")` is now the sink-side of the loop the
+  * source reads (a stream MAINTAINS a refreshable snapshot table, with the
+  * same replay idempotency as [[VersionedTable.completeModePublisher]]).
+  * Complete mode is required: append/update batches are deltas, and
+  * publishing a delta as a table state would be silently wrong.
+  */
+class RefTableSink(
+    opts: RefTableOptions, keepVersions: Int, partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val publish =
+    VersionedTable.completeModePublisher(opts.path, keepVersions, partitionColumns)
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // the declared schema is the write contract, same as it is for reads;
+    // a drifted stream must fail loudly, not publish a surprise layout
+    val declared = opts.schema.fieldNames.toSeq
+    if (data.columns.toSeq != declared)
+      throw new IllegalStateException(
+        s"reftable sink: batch columns ${data.columns.toSeq} do not match the " +
+          s"declared schema $declared")
+    val batch = org.apache.spark.sql.graft.DatasetBridge.rebatch(data)
+    val stored = opts.rowField match {
+      case Some(rf) => batch.withColumnRenamed(rf, opts.keyColumn.get)
+      case None => batch
+    }
+    publish(stored, batchId)
+  }
+  override def toString: String = s"RefTableSink(${opts.path})"
+}
+
 class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   // SaveMode.Overwrite / INSERT OVERWRITE arrive as truncate() on the

@@ -14,6 +14,26 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge for V1 streaming sinks: the Dataset handed to `Sink.addBatch` is
+  * bound to the micro-batch's IncrementalExecution and cannot be re-planned
+  * by arbitrary batch actions; re-wrapping its logical plan in a fresh
+  * Dataset detaches it (the same move Spark's own ForeachBatchSink makes
+  * before invoking user code). `Dataset.ofRows` is private[sql], hence the
+  * bridge.
+  */
+object DatasetBridge {
+  def rebatch(data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrame = {
+    val classic = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    // the micro-batch plan still carries isStreaming sources, so batch
+    // actions on a plain re-wrap are rejected; pin the executed RDD into a
+    // non-streaming LogicalRDD, exactly as ForeachBatchSink does
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classic.queryExecution.toRdd, classic, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
+  }
+}
+
 /** Test-only bridge to SparkSessionExtensions' private[sql] function
   * application, so the `spark.sql.extensions` entry point can be verified
   * without building a second SparkSession (extensions are applied only at

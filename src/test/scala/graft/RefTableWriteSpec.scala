@@ -150,6 +150,67 @@ class RefTableWriteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("read-only"), e3.getMessage)
   }
 
+  test("writeStream.format(reftable) publishes complete-mode batches as versions") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_sink_")
+    val in = s"$base/in"
+    val root = s"$base/tbl"
+    val ck = s"$base/ck"
+    Seq((1L, "red"), (2L, "red"), (3L, "blue")).toDF("id", "color")
+      .coalesce(1).write.parquet(s"$in/b0")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, color STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .groupBy("color").agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("reftable")
+        .option("path", root)
+        .option("schema", "color STRING, n BIGINT")
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    drain()
+    def readBack() = spark.read.format("reftable")
+      .option("path", root).option("schema", "color STRING, n BIGINT").load()
+      .orderBy("color").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(readBack() == Seq(("blue", 1L), ("red", 2L)))
+    Seq((4L, "blue"), (5L, "green")).toDF("id", "color")
+      .coalesce(1).write.parquet(s"$in/b1")
+    drain()
+    assert(readBack() == Seq(("blue", 2L), ("green", 1L), ("red", 2L)))
+    assert(VersionedTable.versionDirs(root, conf).size >= 2)
+
+    // append mode is a delta, not a snapshot: refused at start
+    val e = intercept[Exception] {
+      spark.readStream.schema("id LONG, color STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream.format("reftable").option("path", s"$base/tbl2")
+        .option("schema", "id LONG, color STRING")
+        .option("checkpointLocation", s"$base/ck2")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    assert(e.getMessage.contains("complete"), e.getMessage)
+
+    // a batch that drifts from the declared schema fails loudly
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.schema("id LONG, color STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .groupBy("color").agg(count(lit(1)).as("WRONG"))
+        .writeStream.format("reftable").option("path", s"$base/tbl3")
+        .option("schema", "color STRING, n BIGINT")
+        .option("checkpointLocation", s"$base/ck3")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    assert(e2.getMessage.contains("declared schema") ||
+      Option(e2.getCause).exists(_.getMessage.contains("declared schema")), e2.getMessage)
+  }
+
   test("incremental aggregate maintained across INSERTs equals recompute (changesImages)") {
     import spark.implicits._
     import graft.operators.IncrementalAgg
