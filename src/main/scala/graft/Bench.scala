@@ -43,7 +43,9 @@ object Bench {
     // (BENCH_r01..r03 all record parsed:null). Keys are therefore the qNN
     // prefix (unique — full names in BASELINE.md's table) and values are
     // rounded to ms so the complete line fits in the window.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would silently break the JSON contract
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def short(k: String): String = k.takeWhile(_ != '_')
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }.mkString("{", ",", "}")

@@ -65,6 +65,10 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     val keep = parameters.get("keepVersions").map(_.trim.toInt).getOrElse(3)
     val partCols =
       if (opts.partitionColumns.nonEmpty) opts.partitionColumns else partitionColumns
+    // writer-side partitionBy bypasses the option validation path
+    partCols.foreach(c => if (!opts.schema.fieldNames.contains(c))
+      throw new IllegalArgumentException(
+        s"reftable sink: partition column '$c' is not a field of the declared schema"))
     new RefTableSink(opts, keep, partCols)
   }
 

@@ -54,11 +54,20 @@ object RefTableWrites {
     val root = new Path(opts.path)
     val fs = root.getFileSystem(conf)
     val versioned = VersionedTable.resolve(opts.path, conf).isDefined
-    if (!versioned && fs.exists(root) &&
-      fs.listStatus(root).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    // bare data = loose parquet files OR partition-style subdirectories
+    // without a pointer. The latter matters: creating a pointer next to a
+    // bare Hive layout would not corrupt it, but every reader of the root
+    // would silently stop seeing it — shadowing is as wrong as deleting.
+    def bareData(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      (s.isFile && n.endsWith(".parquet")) ||
+        (s.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          !n.matches("v\\d{19}_[0-9a-f]{8}"))
+    }
+    if (!versioned && fs.exists(root) && fs.listStatus(root).exists(bareData))
       throw new UnsupportedOperationException(
-        s"reftable: ${opts.path} holds bare parquet files without a ${VersionedTable.Pointer} " +
-          "pointer; writing in place would mutate files under concurrent snapshot readers. " +
+        s"reftable: ${opts.path} holds bare snapshot data without a ${VersionedTable.Pointer} " +
+          "pointer; writing would mutate or shadow files under concurrent snapshot readers. " +
           "Publish it as a versioned root (VersionedTable.publish) or target a fresh directory.")
 
     val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))

@@ -40,8 +40,9 @@ object ZOrder {
         s"z-order column '$c' must be numeric, got ${f.dataType.simpleString}")
     }
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
-    val buckets: Seq[Column] = cols.map { c =>
-      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+    // one batched quantile job for all columns, not one job per column
+    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val buckets: Seq[Column] = cols.zip(allBounds.toIndexedSeq).map { case (c, bounds) =>
       val lookup = udf { (v: java.lang.Double) =>
         if (v == null) 0
         else {

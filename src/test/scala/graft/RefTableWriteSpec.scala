@@ -129,7 +129,18 @@ class RefTableWriteSpec extends AnyFunSuite {
       df.write.format("reftable").option("path", bare).option("schema", ddl)
         .mode("append").save()
     }
-    assert(e1.getMessage.contains("bare parquet"), e1.getMessage)
+    assert(e1.getMessage.contains("bare snapshot data"), e1.getMessage)
+
+    // a bare Hive layout (partition dirs, no pointer) is refused too — a
+    // new pointer would silently shadow it for every reader of the root
+    val bareHive = Files.createTempDirectory("graft_write_barehive").toString
+    Seq((1L, "a", "x")).toDF("id", "name", "bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(bareHive)
+    val eHive = intercept[Exception] {
+      df.write.format("reftable").option("path", bareHive).option("schema", ddl)
+        .mode("overwrite").save()
+    }
+    assert(eHive.getMessage.contains("bare snapshot data"), eHive.getMessage)
 
     val root = tmpDir("refuse")
     df.write.format("reftable").option("path", root).option("schema", ddl)
