@@ -132,6 +132,20 @@ object VersionedTable {
       root, keepVersions, Nil)
   }
 
+  /** Bare snapshot data directly under a would-be root: loose parquet
+    * files or non-version, non-hidden subdirectories (a Hive layout).
+    * Creating a pointer next to such data would not corrupt it — but every
+    * reader of the root would silently stop seeing it, which is as wrong
+    * as deleting it. First publishes refuse; [[adopt]] migrates.
+    */
+  private def bareEntries(rootPath: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[Path] =
+    fs.listStatus(rootPath).toIndexedSeq.filter { s =>
+      val n = s.getPath.getName
+      (s.isFile && n.endsWith(".parquet")) ||
+        (s.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          !n.matches("v\\d{19}_[0-9a-f]{8}"))
+    }.map(_.getPath)
+
   private def publishInternal(
       df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
       marker: Option[String] = None): String = {
@@ -141,6 +155,11 @@ object VersionedTable {
     val conf = new Configuration()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
+    if (resolve(root, conf).isEmpty && fs.exists(rootPath) && bareEntries(rootPath, fs).nonEmpty)
+      throw new IllegalStateException(
+        s"$root holds bare snapshot data without a $Pointer pointer; publishing would " +
+          "shadow it for every reader of the root. Run VersionedTable.adopt(root) once " +
+          "(with readers quiesced) to migrate it into version form, or target a fresh dir.")
     fs.mkdirs(rootPath)
     // monotonic version names even under clock ties: bump past the max;
     // the random suffix keeps concurrent publishers out of each other's
@@ -289,6 +308,33 @@ object VersionedTable {
       }
       ()
     }
+  }
+
+  /** One-time migration of a bare snapshot directory into a versioned
+    * root: the existing files / Hive partition dirs are RENAMED into a
+    * first version directory and the pointer is written. Run with readers
+    * quiesced — mid-adoption a reader of the bare root could see a partial
+    * listing (this is the one transition the pointer can't make atomic,
+    * which is why it is an explicit operation and not an implicit side
+    * effect of publishing). Returns the created version name.
+    */
+  def adopt(root: String): String = {
+    val conf = new Configuration()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(resolve(root, conf).isEmpty, s"$root is already a versioned table root")
+    val entries = if (fs.exists(rootPath)) bareEntries(rootPath, fs) else Nil
+    require(entries.nonEmpty, s"$root has no bare snapshot data to adopt")
+    val name = f"v${System.currentTimeMillis()}%019d" + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val versionDir = new Path(rootPath, name)
+    fs.mkdirs(versionDir)
+    entries.foreach(e => fc(conf).rename(e, new Path(versionDir, e.getName)))
+    val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
+    name
   }
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong

@@ -161,6 +161,24 @@ class RefTableWriteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("read-only"), e3.getMessage)
   }
 
+  test("adopt migrates a bare dir into a versioned root; publishes then proceed") {
+    import spark.implicits._
+    val bare = Files.createTempDirectory("graft_adopt_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.mode("overwrite").parquet(bare)
+    // direct publish refuses (would shadow), adopt migrates, then appending works
+    val eDirect = intercept[Exception] {
+      VersionedTable.publish(Seq((9L, "z")).toDF("id", "name"), bare)
+    }
+    assert(eDirect.getMessage.contains("adopt"), eDirect.getMessage)
+    VersionedTable.adopt(bare)
+    assert(VersionedTable.resolve(bare, conf).nonEmpty)
+    assert(readBack(bare) == Seq((1L, "a"), (2L, "b")))
+    Seq((3L, "c")).toDF("id", "name")
+      .write.format("reftable").option("path", bare).option("schema", ddl)
+      .mode("append").save()
+    assert(readBack(bare) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("writeStream.format(reftable) publishes complete-mode batches as versions") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
