@@ -497,6 +497,24 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Auto-salted (partial-salting) join: hot keys detected by a
+    // Misra-Gries pass fan out over the salt domain, cold keys join
+    // untouched, and the result must be EXACTLY the plain inner join —
+    // proven against the oracle running the plain join. On this uniform
+    // data the detector simply nominates the top keys; equality is the
+    // contract being tested.
+    QueryDef("q96_skew_autosalt", (s, dir) => {
+      val fact = t(s, dir, "orders").select(col("o_custkey").as("ck"), col("o_totalprice"))
+      val dim = t(s, dir, "customer").select(col("c_custkey").as("ck"), col("c_mktsegment"))
+      graft.operators.Skew.autoSaltedJoin(fact, dim, "ck", saltFactor = 8, hotShare = 0.01)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The write path end-to-end: INSERT OVERWRITE then INSERT-style append
     // publish versions of a reftable (never mutating files in place), and
     // the read-back aggregate must match the oracle's replay of the same

@@ -268,6 +268,25 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("auto-salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    // one key carries ~90% of the fact side; nulls on both sides; a dim
+    // key with no fact rows and a fact key with no dim row
+    val fact = ((1 to 9000).map(_ => (Some(1L), "hot")) ++
+      (1 to 500).map(i => (Some(i.toLong % 40 + 2), s"cold$i")) ++
+      Seq((None: Option[Long], "nullkey"), (Some(999L), "nodim")))
+      .map { case (k, v) => (k.map(Long.box).orNull, v) }.toDF("k", "v")
+    val dim = ((1L to 45L).map(k => (Long.box(k), s"d$k")) :+
+      ((null: java.lang.Long), "dnull")).toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val plain = canon(fact.join(dim, Seq("k")))
+    val auto = canon(graft.operators.Skew.autoSaltedJoin(fact, dim, "k",
+      saltFactor = 4, hotShare = 0.01))
+    assert(auto == plain && plain.size == 9500)
+  }
+
   test("incremental aggregate maintenance equals recompute under random churn") {
     import spark.implicits._
     import graft.operators.{IncrementalAgg, SnapshotDiff}
