@@ -135,4 +135,50 @@ object Profiling {
         (col("n_rows") - col("nonnull")).as("n_null"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Metadata-only profile of a published reftable: rows, null counts and
+    * min/max per statable column straight from the snapshot's
+    * `_STATS.json` manifest — ZERO data pages read, so a 100 TB table
+    * profiles in the time it takes to read one small JSON file. Columns
+    * the manifest doesn't cover (strings, decimals, timestamps) are
+    * omitted; a column absent from some files (schema evolution) reports
+    * a null `n_null` (those files' null counts are unknowable without a
+    * scan). Values render as the raw storage scalar (dates are epoch
+    * days). Requires a manifest — published tables always have one.
+    */
+  def profileFromStats(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Option[String] = None): DataFrame = {
+    import graft.sources.reftable.{RefTableStats, SnapshotFiles}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = SnapshotFiles.resolveDir(root, version, conf)
+    val manifest = RefTableStats.load(dir, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir carries no ${RefTableStats.ManifestName}; publish through VersionedTable " +
+          "or write one with RefTableStats.writeManifest"))
+    val files = manifest.values.toSeq
+    val totalRows = files.map(_.rows).sum
+    val colNames = files.flatMap(_.cols.keys).distinct.sorted
+    val rows = colNames.map { c =>
+      val entries = files.flatMap(f => f.cols.get(c).map((f.rows, _)))
+      val everywhere = entries.size == files.size
+      val nullsKnown = everywhere && entries.forall(_._2.nulls >= 0L)
+      val nNull: Any = if (nullsKnown) Long.box(entries.map(_._2.nulls).sum) else null
+      val mins = entries.flatMap(_._2.min)
+      val maxs = entries.flatMap(_._2.max)
+      def pick(ns: Seq[com.fasterxml.jackson.databind.JsonNode], takeMin: Boolean): Any =
+        if (ns.isEmpty) null
+        else if (ns.forall(_.isIntegralNumber)) {
+          val vs = ns.map(_.asLong); (if (takeMin) vs.min else vs.max).toString
+        } else {
+          val vs = ns.map(_.asDouble); (if (takeMin) vs.min else vs.max).toString
+        }
+      org.apache.spark.sql.Row(c, totalRows, nNull, pick(mins, takeMin = true),
+        pick(maxs, takeMin = false))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "col_name STRING, n_rows BIGINT, n_null BIGINT, min_val STRING, max_val STRING"))
+  }
 }

@@ -497,6 +497,28 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Metadata-only profiling: rows/nulls/min/max served entirely from the
+    // published _STATS.json manifest — zero data pages read (the scan-free
+    // complement of q71's exact profile). The oracle recomputes the same
+    // statistics from the raw table, so a hash match proves the manifest
+    // contents are exact, not just prune-safe.
+    QueryDef("q97_stats_profile", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q97_statsprof")
+      graft.sources.reftable.VersionedTable.publish(
+        Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey"), root)
+      graft.operators.Profiling.profileFromStats(s, root).orderBy("col_name")
+    }, Some(
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(c_custkey) AS n_null,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max_val FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        |  FROM customer)
+        |ORDER BY col_name""".stripMargin)),
+
     // Auto-salted (partial-salting) join: hot keys detected by a
     // Misra-Gries pass fan out over the salt domain, cold keys join
     // untouched, and the result must be EXACTLY the plain inner join —

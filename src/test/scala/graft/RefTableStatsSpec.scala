@@ -247,6 +247,31 @@ class RefTableStatsSpec extends AnyFunSuite {
     assert(ids(zRoot, skip = true).size == 100)
   }
 
+  test("metadata-only profile equals the scanning profile on statable columns") {
+    import spark.implicits._
+    val root = tmpDir("statsprof")
+    val df = (0 until 400).map { i =>
+      (i.toLong, if (i % 5 == 0) null else Int.box(i % 17), i * 0.25 - 3.0)
+    }.toDF("id", "k", "v")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 3)
+    val fromStats = graft.operators.Profiling.profileFromStats(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).sortBy(_._1).toSeq
+    val scanned = graft.operators.Profiling.profile(df, Seq("id", "k", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5))).sortBy(_._1).toSeq
+    assert(fromStats == scanned)
+
+    // schema evolution: a column absent from one file reports unknown nulls
+    val dir = tmpDir("statsprof_evo")
+    Seq((1L, 5)).toDF("id", "extra").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(Tuple1(2L)).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    RefTableStats.writeManifest(dir, conf)
+    val evo = graft.operators.Profiling.profileFromStats(spark, dir)
+      .collect().map(r => (r.getString(0), r.isNullAt(2))).toMap
+    assert(evo("id") == false && evo("extra") == true)
+  }
+
   test("every publish carries a manifest; compaction re-derives it") {
     import spark.implicits._
     val root = tmpDir("publish")
