@@ -497,6 +497,34 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Categorical skipping: documents published clustered by `lang`, the
+    // manifest augmented with exact per-file value sets (strings can't use
+    // truncatable min/max bounds), then read under a lang filter — the
+    // lang='en'-style predicate every training-data pipeline runs. The
+    // oracle proves values; RefTableStatsSpec proves files are skipped.
+    QueryDef("q98_categorical_skip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q98_cat")
+      graft.sources.reftable.VersionedTable.publishClustered(
+        t(s, dir, "documents").select("doc_id", "lang", "text"),
+        root, Seq("lang"), numFiles = 4)
+      val resolved = graft.sources.reftable.SnapshotFiles.resolveDir(
+        root, None, new org.apache.hadoop.conf.Configuration())
+      graft.sources.reftable.RefTableStats.augmentCategorical(s, resolved, Seq("lang"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "doc_id BIGINT, lang STRING, text STRING")
+        .load()
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"),
+          max(length(col("text"))).as("max_len"))
+        .orderBy("lang")
+    }, Some(
+      """SELECT lang, count(*) AS n, min(doc_id) AS first_doc,
+        |  max(length(text)) AS max_len
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Metadata-only profiling: rows/nulls/min/max served entirely from the
     // published _STATS.json manifest — zero data pages read (the scan-free
     // complement of q71's exact profile). The oracle recomputes the same

@@ -53,9 +53,15 @@ object RefTableStats {
   val ManifestName = "_STATS.json"
 
   /** Min/max stay as parsed JSON scalars; the declared Spark type of the
-    * filtered column directs interpretation at evaluation time.
+    * filtered column directs interpretation at evaluation time. `vals` is
+    * the exact distinct non-null value set of a categorical STRING column
+    * (added by [[augmentCategorical]]) — when present, predicates evaluate
+    * over the finite set instead of a range, which is exact where string
+    * min/max bounds cannot be trusted (writers truncate them).
     */
-  final case class ColStats(min: Option[JsonNode], max: Option[JsonNode], nulls: Long)
+  final case class ColStats(
+      min: Option[JsonNode], max: Option[JsonNode], nulls: Long,
+      vals: Option[Seq[String]] = None)
   final case class FileStats(length: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- manifest write ------------------------------------------------------
@@ -200,6 +206,92 @@ object RefTableStats {
       java.lang.Double.valueOf(if (lo == 0.0d) -0.0d else lo),
       java.lang.Double.valueOf(if (hi == 0.0d) 0.0d else hi)))
 
+  /** Augment a snapshot's manifest with exact per-file distinct-value sets
+    * for categorical STRING columns — the skipping story for the columns
+    * min/max cannot cover (string footer bounds are truncatable). Two
+    * passes over the published data, both narrow: an approx-distinct gate
+    * per (file, column) first, so `collect_set` only ever runs where the
+    * set is provably small (a miscalled "categorical" column costs the
+    * gate pass, not an executor OOM), then the exact sets. Files whose set
+    * exceeds `maxDistinct` keep no entry (→ never skipped on that column).
+    * Call after publish on layouts clustered by the categorical column —
+    * an unclustered layout has every value in every file and prunes
+    * nothing. Null counts ride along (exact, from count(*) − count(col)).
+    */
+  def augmentCategorical(
+      spark: org.apache.spark.sql.SparkSession, dir: String, cols: Seq[String],
+      maxDistinct: Int = 64, conf: Configuration = new Configuration()): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "augmentCategorical needs at least one column")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val qualified = fs.makeQualified(base).toString
+    // content files only; partition-encoded columns never live in files
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"categorical column '$c' not present in $dir"))
+    val keyed = df.select(
+      (input_file_name().as("__f") +: cols.map(c => col(c).cast("string").as(c))): _*)
+    val gate = keyed.groupBy("__f")
+      .agg(count(lit(1)).as("__rows"),
+        cols.flatMap(c => Seq(
+          approx_count_distinct(col(c), 0.05).as(s"__ad_$c"),
+          (count(lit(1)) - count(col(c))).as(s"__nulls_$c"))): _*)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    // exact sets ONLY for (column, file) pairs the gate admitted — a
+    // collect_set over a miscalled high-cardinality column never runs
+    val exactPerCol: Map[String, Map[String, Seq[String]]] = cols.map { c =>
+      val qualifying = gate.collect {
+        case (f, r) if r.getAs[Long](s"__ad_$c") <= maxDistinct * 2L => f
+      }.toSeq
+      val sets =
+        if (qualifying.isEmpty) Map.empty[String, Seq[String]]
+        else keyed.filter(col("__f").isin(qualifying: _*))
+          .groupBy("__f").agg(collect_set(col(c)).as("__vals"))
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("__vals").toSeq)
+          .toMap
+      c -> sets
+    }.toMap
+
+    // splice into the manifest: re-read raw JSON, attach vals/nulls
+    val mf = new Path(base, ManifestName)
+    val in = fs.open(mf)
+    val root = try new ObjectMapper().readTree(in)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    val filesNode = root.path("files").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def relOf(abs: String): String = {
+      val norm = new Path(abs).toString
+      if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
+    }
+    gate.foreach { case (absFile, g) =>
+      val rel = relOf(absFile)
+      val fileNode = Option(filesNode.get(rel)).collect {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      }.getOrElse(throw new IllegalStateException(
+        s"augmentCategorical: $rel not in $ManifestName — regenerate the manifest first"))
+      val colsNode = fileNode.path("cols")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      cols.foreach { c =>
+        // the 5%-rsd gate over-admits; the exact size is the final check
+        exactPerCol(c).get(absFile).filter(_.size <= maxDistinct).foreach { raw =>
+          val vs = raw.sorted
+          val cn = Option(colsNode.get(c)).collect {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          }.getOrElse(colsNode.putObject(c))
+          val arr = cn.putArray("vals")
+          vs.foreach(arr.add)
+          cn.put("nulls", g.getAs[Long](s"__nulls_$c"))
+        }
+      }
+    }
+    val out = fs.create(mf, true)
+    try out.write(new ObjectMapper().writeValueAsBytes(root)) finally out.close()
+    manifestCache.clear() // the manifest changed under any cached key's mtime granularity
+  }
+
   // ---- manifest read -------------------------------------------------------
 
   /** Parsed manifests keyed by (path, length, mtime) — versioned snapshot
@@ -227,10 +319,13 @@ object RefTableStats {
           val fn = e.getValue
           val cols = fn.path("cols").properties().asScala.map { c =>
             val v = c.getValue
+            val vals = Option(v.get("vals")).filter(_.isArray).map(a =>
+              (0 until a.size()).map(a.get(_).asText()))
             c.getKey -> ColStats(
               Option(v.get("min")).filterNot(_.isNull),
               Option(v.get("max")).filterNot(_.isNull),
-              if (v.has("nulls")) v.get("nulls").asLong() else -1L)
+              if (v.has("nulls")) v.get("nulls").asLong() else -1L,
+              vals)
           }.toMap
           e.getKey -> FileStats(fn.path("len").asLong(), fn.path("rows").asLong(), cols)
         }.toMap
@@ -295,11 +390,13 @@ object RefTableStats {
     // what the null count allows (cs absent → both unknown → possible)
     val mayNull = cs.forall(_.nulls != 0L)
     val mayNonNull = cs.forall(c =>
-      c.min.isDefined || c.nulls < 0L || c.nulls < fstats.rows)
+      c.min.isDefined || c.vals.exists(_.nonEmpty) || c.nulls < 0L || c.nulls < fstats.rows)
     f match {
       case IsNull(_)    => Tri(mayNull, mayNonNull, n = false)
       case IsNotNull(_) => Tri(mayNonNull, mayNull, n = false)
       case EqualNullSafe(_, null) => Tri(mayNull, mayNonNull, n = false)
+      case _ if cs.exists(_.vals.isDefined) =>
+        valueSetLeaf(f, cs.get.vals.get, cs.get.nulls != 0L)
       case _ if cs.isEmpty => Unknown
       case EqualTo(_, v)            => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
         (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) }
@@ -322,6 +419,51 @@ object RefTableStats {
             (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) })
         }
       case _ => Unknown // string predicates and anything unrecognized
+    }
+  }
+
+  /** Exact possible outcomes over a finite value set: the predicate is
+    * simply evaluated on every distinct value — TRUE possible iff some
+    * value satisfies it, FALSE possible iff some value refutes it, NULL
+    * from the null count. Unrecognized literal types or leaf shapes fall
+    * back to Unknown.
+    */
+  private def valueSetLeaf(f: Filter, vals: Seq[String], mayNull: Boolean): Tri = {
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def over(p: String => Boolean): Tri =
+      if (vals.isEmpty) if (mayNull) Null else Tri(t = false, f = false, n = false)
+      else Tri(vals.exists(p), vals.exists(!p(_)), mayNull)
+    f match {
+      case EqualTo(_, v)            => str(v).map(s => over(_ == s)).getOrElse(Unknown)
+      case EqualNullSafe(_, v) =>
+        str(v).map { s =>
+          val eq = over(_ == s)
+          Tri(eq.t, eq.f || mayNull, n = false)
+        }.getOrElse(Unknown)
+      // Spark orders strings by UTF-8 bytes; JVM String comparison is
+      // UTF-16 and diverges on non-ASCII, so compare in Spark's space
+      case GreaterThan(_, v)        => str(v).map(s => over(utf8(_).compareTo(utf8(s)) > 0)).getOrElse(Unknown)
+      case GreaterThanOrEqual(_, v) => str(v).map(s => over(utf8(_).compareTo(utf8(s)) >= 0)).getOrElse(Unknown)
+      case LessThan(_, v)           => str(v).map(s => over(utf8(_).compareTo(utf8(s)) < 0)).getOrElse(Unknown)
+      case LessThanOrEqual(_, v)    => str(v).map(s => over(utf8(_).compareTo(utf8(s)) <= 0)).getOrElse(Unknown)
+      case In(_, lits) =>
+        val strs = lits.toSeq.map(str)
+        if (strs.exists(s => s.isEmpty && !lits.contains(null))) Unknown
+        else {
+          val set = strs.flatten.toSet
+          val hasNullLit = lits.contains(null)
+          val base = over(set.contains)
+          if (hasNullLit) or(base, Null) else base
+        }
+      case StringStartsWith(_, p) => over(_.startsWith(p))
+      case StringEndsWith(_, p)   => over(_.endsWith(p))
+      case StringContains(_, p)   => over(_.contains(p))
+      case _ => Unknown
     }
   }
 

@@ -247,6 +247,40 @@ class RefTableStatsSpec extends AnyFunSuite {
     assert(ids(zRoot, skip = true).size == 100)
   }
 
+  test("categorical value sets prune string predicates exactly") {
+    import spark.implicits._
+    val root = tmpDir("cat")
+    // 5 segments, clustered by segment → ~1 value per file; seg is null
+    // for a slice of rows
+    val df = (0 until 1000).map { i =>
+      val seg = if (i % 97 == 0) null else s"seg${i % 5}"
+      (i.toLong, seg, s"payload$i")
+    }.toDF("id", "seg", "payload")
+    VersionedTable.publishClustered(df, root, Seq("seg"), numFiles = 5)
+    val resolved = SnapshotFiles.resolveDir(root, None, conf)
+    RefTableStats.augmentCategorical(spark, resolved, Seq("seg"))
+    val o = opts("path" -> root, "schema" -> "id BIGINT, seg STRING, payload STRING")
+    val all = SnapshotFiles.pruned(o, Nil).size
+    def planned(fs: Filter*) = SnapshotFiles.pruned(o, fs.toSeq).size
+    assert(planned(EqualTo("seg", "seg3")) < all)
+    assert(planned(In("seg", Array[Any]("seg0", "seg4"))) < all)
+    assert(planned(StringStartsWith("seg", "seg1")) < all)
+    assert(planned(EqualTo("seg", "nonexistent")) == 0)
+    // a high-cardinality column never gets sets and never skips
+    RefTableStats.augmentCategorical(spark, resolved, Seq("payload"), maxDistinct = 16)
+    assert(planned(EqualTo("payload", "nope")) == all)
+    // and results are identical with skipping on and off, nulls included
+    def rows(skip: Boolean, cond: org.apache.spark.sql.Column) = spark.read
+      .format("reftable").option("path", root)
+      .option("schema", "id BIGINT, seg STRING, payload STRING")
+      .option("statsPruning", skip.toString).load()
+      .filter(cond).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    for (cond <- Seq(col("seg") === "seg2", col("seg").isNull,
+        !(col("seg") === "seg2"), col("seg").startsWith("seg4"))) {
+      assert(rows(skip = true, cond) == rows(skip = false, cond), s"cond $cond")
+    }
+  }
+
   test("metadata-only profile equals the scanning profile on statable columns") {
     import spark.implicits._
     val root = tmpDir("statsprof")
