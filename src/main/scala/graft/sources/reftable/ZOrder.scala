@@ -28,21 +28,33 @@ object ZOrder {
 
   private val Bits = 8 // 256 equi-depth buckets per column
 
-  /** A long z-value column interleaving `cols` (numeric, ≤ 7 columns).
-    * Nulls bucket to 0 and therefore cluster together at the curve start.
+  /** A long z-value column interleaving `cols` (numeric, date or
+    * timestamp; ≤ 7 columns). Dates bucket on epoch days and timestamps on
+    * epoch seconds — only the ORDER matters for bucketing, so any
+    * monotonic numeric image works. Nulls bucket to 0 and therefore
+    * cluster together at the curve start.
     */
   def zColumn(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 7, "z-order needs 1..7 columns")
-    cols.foreach { c =>
+    val images: Seq[Column] = cols.map { c =>
       val f = df.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"z-order column '$c' not in schema"))
-      require(f.dataType.isInstanceOf[NumericType],
-        s"z-order column '$c' must be numeric, got ${f.dataType.simpleString}")
+      f.dataType match {
+        case _: NumericType => col(c).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), lit("1970-01-01")).cast("double")
+        case org.apache.spark.sql.types.TimestampType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"z-order column '$c' must be numeric/date/timestamp, got ${other.simpleString}")
+      }
     }
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
-    // one batched quantile job for all columns, not one job per column
-    val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
-    val buckets: Seq[Column] = cols.zip(allBounds.toIndexedSeq).map { case (c, bounds) =>
+    // quantiles run over the numeric images; one batched job for all
+    // columns, not one job per column
+    val imageNames = cols.indices.map(i => s"__graft_z_img_$i")
+    val imaged = df.select(cols.indices.map(i => images(i).as(imageNames(i))): _*)
+    val allBounds = imaged.stat.approxQuantile(imageNames.toArray, probs, 0.001)
+    val buckets: Seq[Column] = images.zip(allBounds.toIndexedSeq).map { case (img, bounds) =>
       val lookup = udf { (v: java.lang.Double) =>
         if (v == null) 0
         else {
@@ -51,7 +63,7 @@ object ZOrder {
           math.min(ip, (1 << Bits) - 1)
         }
       }
-      lookup(col(c).cast("double"))
+      lookup(img)
     }
     // interleave: output bit (i*d + j) = bit i of column j's bucket
     val d = buckets.size
