@@ -395,7 +395,10 @@ object RefTableStats {
       case IsNull(_)    => Tri(mayNull, mayNonNull, n = false)
       case IsNotNull(_) => Tri(mayNonNull, mayNull, n = false)
       case EqualNullSafe(_, null) => Tri(mayNull, mayNonNull, n = false)
-      case _ if cs.exists(_.vals.isDefined) =>
+      // value sets only apply to STRING columns: augment renders values as
+      // strings, so using them for a numeric column would compare apples
+      // to renderings — fall through to the (exact) range path instead
+      case _ if cs.exists(_.vals.isDefined) && field.dataType == StringType =>
         valueSetLeaf(f, cs.get.vals.get, cs.get.nulls != 0L)
       case _ if cs.isEmpty => Unknown
       case EqualTo(_, v)            => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
@@ -452,13 +455,14 @@ object RefTableStats {
       case LessThan(_, v)           => str(v).map(s => over(utf8(_).compareTo(utf8(s)) < 0)).getOrElse(Unknown)
       case LessThanOrEqual(_, v)    => str(v).map(s => over(utf8(_).compareTo(utf8(s)) <= 0)).getOrElse(Unknown)
       case In(_, lits) =>
-        val strs = lits.toSeq.map(str)
-        if (strs.exists(s => s.isEmpty && !lits.contains(null))) Unknown
+        // any non-null literal we cannot read as a string → Unknown (a
+        // mixed-type IN should never be pruned on a partial view of it)
+        if (lits.exists(l => l != null && str(l).isEmpty)) Unknown
         else {
-          val set = strs.flatten.toSet
-          val hasNullLit = lits.contains(null)
+          val set = lits.toSeq.flatMap(str).toSet
           val base = over(set.contains)
-          if (hasNullLit) or(base, Null) else base
+          // SQL IN with a NULL element: non-matches yield NULL, never FALSE
+          if (lits.contains(null)) or(base, Null) else base
         }
       case StringStartsWith(_, p) => over(_.startsWith(p))
       case StringEndsWith(_, p)   => over(_.endsWith(p))

@@ -327,6 +327,51 @@ class RefTableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("random trees over categorical + date columns: skipping never changes results") {
+    import spark.implicits._
+    val root = tmpDir("catequiv")
+    val df = (0 until 1200).map { i =>
+      val seg = if (i % 31 == 0) null else s"s${i % 6}"
+      val d = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + i % 120))
+      (i.toLong, seg, d)
+    }.toDF("id", "seg", "d")
+    VersionedTable.publishClustered(df, root, Seq("seg", "d"), numFiles = 6)
+    val resolved = SnapshotFiles.resolveDir(root, None, conf)
+    RefTableStats.augmentCategorical(spark, resolved, Seq("seg"))
+    val baseline = spark.read.parquet(resolved)
+    val src = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, seg STRING, d DATE").load()
+
+    def leaf(rnd: Random): Column = rnd.nextInt(9) match {
+      case 0 => col("seg") === s"s${rnd.nextInt(8)}"
+      case 1 => col("seg").isin(s"s${rnd.nextInt(8)}", s"s${rnd.nextInt(8)}")
+      case 2 => col("seg").startsWith(if (rnd.nextBoolean()) "s" else "s1")
+      case 3 => col("seg").isNull
+      case 4 => col("seg").isNotNull
+      case 5 => col("seg") > s"s${rnd.nextInt(8)}"
+      case 6 => col("d") >= java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(18990 + rnd.nextInt(150)))
+      case 7 => col("d") < java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(18990 + rnd.nextInt(150)))
+      case 8 => col("id") < rnd.nextInt(1500).toLong
+    }
+    def tree(rnd: Random, depth: Int): Column =
+      if (depth <= 0) leaf(rnd)
+      else rnd.nextInt(8) match {
+        case 0 | 1 | 2 => leaf(rnd)
+        case 3 | 4 => tree(rnd, depth - 1) && tree(rnd, depth - 1)
+        case 5 | 6 => tree(rnd, depth - 1) || tree(rnd, depth - 1)
+        case 7 => !tree(rnd, depth - 1)
+      }
+    val rnd = new Random(20260813)
+    (1 to 25).foreach { i =>
+      val p = tree(rnd, 3)
+      val want = baseline.filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = src.filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"tree $i ($p): skipping changed the result")
+    }
+  }
+
   test("metadata-only profile equals the scanning profile on statable columns") {
     import spark.implicits._
     val root = tmpDir("statsprof")
