@@ -57,14 +57,33 @@ object VersionedTable {
   /** Pointer file content as lines: line 1 = version name, optional
     * line 2 = publish marker. Both written in ONE atomic rename, so the
     * marker can never disagree with the version it was published with.
+    *
+    * Retries on ChecksumException: the LOCAL ChecksumFs moves a file and
+    * its .crc sidecar in two steps during the pointer swap, so a reader
+    * racing a publisher can transiently see new bytes under the old
+    * checksum. HDFS/object-store renames don't have the window; on local
+    * storage the state settles within one swap, so a short retry is
+    * correct rather than papering over real corruption (it rethrows after
+    * 10 attempts).
     */
   private def pointerLines(root: String, conf: Configuration): Option[Seq[String]] = {
     val ptr = new Path(root, Pointer)
     val fs = ptr.getFileSystem(conf)
-    val in = try fs.open(ptr)
-    catch { case _: java.io.FileNotFoundException => return None }
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    Some(text.split('\n').toIndexedSeq.map(_.trim))
+    var attempts = 0
+    while (true) {
+      try {
+        val in = try fs.open(ptr)
+        catch { case _: java.io.FileNotFoundException => return None }
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        return Some(text.split('\n').toIndexedSeq.map(_.trim))
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+          Thread.sleep(5L * attempts)
+      }
+    }
+    None // unreachable
   }
 
   /** Publish `df` as the next version of the table at `root`: write the
@@ -182,10 +201,7 @@ object VersionedTable {
     fc(conf).rename(staging, new Path(rootPath, name))
     // atomic pointer swap: write a temp file, rename over _CURRENT
     // (the optional marker rides the same rename — see pointerLines)
-    val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write((name + marker.fold("")("\n" + _)).getBytes("UTF-8")) finally out.close()
-    fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
+    swapPointer(rootPath, fs, conf, name + marker.fold("")("\n" + _))
     // prune: oldest first, never the just-published current, and never the
     // version _CURRENT names right now — a slow concurrent publisher may
     // have swapped the pointer to an older name after our swap, and
@@ -330,11 +346,37 @@ object VersionedTable {
     val versionDir = new Path(rootPath, name)
     fs.mkdirs(versionDir)
     entries.foreach(e => fc(conf).rename(e, new Path(versionDir, e.getName)))
+    swapPointer(rootPath, rootPath.getFileSystem(conf), conf, name)
+    name
+  }
+
+  /** Replace `_CURRENT` with `content` via tmp-file + rename. HDFS and
+    * most object stores make the OVERWRITE rename atomic; the LOCAL
+    * ChecksumFs implements it as delete-then-rename, so two concurrent
+    * swappers can collide on FileAlreadyExistsException — caught and
+    * retried, which preserves the documented last-writer-wins contract
+    * (readers see one complete pointer or the other throughout; the race
+    * spec drives six concurrent publishers through this path).
+    */
+  private def swapPointer(
+      rootPath: Path, fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
+      content: String): Unit = {
     val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
-    fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
-    name
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
+        done = true
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+          Thread.sleep(5L * attempts)
+      }
+    }
   }
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong

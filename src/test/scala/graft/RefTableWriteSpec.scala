@@ -161,6 +161,33 @@ class RefTableWriteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("read-only"), e3.getMessage)
   }
 
+  test("concurrent publishers never corrupt the root: one wins, all versions land") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("race")
+    VersionedTable.publish(Seq((0L, "seed")).toDF("id", "name"), root, keepVersions = 16)
+    val racers = (1 to 6).map { i =>
+      Future(VersionedTable.publish(
+        (1 to 50).map(j => (j.toLong, s"w$i")).toDF("id", "name"), root, keepVersions = 16))
+    }
+    val names = Await.result(Future.sequence(racers), 120.seconds)
+    assert(names.distinct.size == 6, "every racer must get its own version dir")
+    // the pointer names exactly one of them, and that version reads cleanly
+    val current = VersionedTable.resolve(root, conf).map(p => new java.io.File(p).getName)
+    assert(current.exists(names.contains), s"pointer $current not among $names")
+    val rows = spark.read.format("reftable")
+      .option("path", root).option("schema", ddl).load().collect()
+    assert(rows.length == 50 && rows.map(_.getString(1)).distinct.length == 1,
+      "the visible snapshot must be one complete racer's data, never a mix")
+    // every raced version directory is intact and carries its manifest
+    names.foreach { v =>
+      assert(graft.sources.reftable.RefTableStats.load(
+        new java.io.File(root, v).toString, conf).nonEmpty, s"$v lost its manifest")
+    }
+  }
+
   test("adopt migrates a bare dir into a versioned root; publishes then proceed") {
     import spark.implicits._
     val bare = Files.createTempDirectory("graft_adopt_").toString
