@@ -56,6 +56,57 @@ object Frequency {
     counts.keySet().iterator().asScala
   }
 
+  /** Per-group exact top-`k`: [[heavyHitters]] stratified by `groupCol`
+    * (top tokens per language, top URLs per domain, …). One Misra-Gries
+    * summary per group per partition — candidate state is
+    * groups × capacity per partition, so size `capacity` to the group
+    * fan-out (the guarantee is per group: exact whenever the group's k-th
+    * count exceeds that group's row count / capacity). The verify pass
+    * counts candidate (group, item) pairs only, and the final per-group
+    * top-k runs through a rank window Spark executes as WindowGroupLimit
+    * (partial top-k before the exchange). Group and item are both
+    * canonicalized to strings; null groups and null items are ignored.
+    */
+  def heavyHittersByGroup(
+      df: DataFrame, groupCol: String, itemCol: String, k: Int,
+      capacity: Int = 8192): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(capacity >= k, "capacity must be at least k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(String, String)] = df.select(
+      col(groupCol).cast("string").as("g"), col(itemCol).cast("string").as("item"))
+      .filter(col("g").isNotNull && col("item").isNotNull)
+      .as[(String, String)]
+    val candidates = pairs.mapPartitions { it =>
+      val perGroup = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+      it.foreach { case (g, x) =>
+        var counts = perGroup.get(g)
+        if (counts == null) { counts = new java.util.HashMap[String, Long](); perGroup.put(g, counts) }
+        val c = counts.get(x)
+        if (c != 0L) counts.put(x, c + 1L)
+        else if (counts.size < capacity) counts.put(x, 1L)
+        else {
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+          }
+        }
+      }
+      perGroup.entrySet().iterator().asScala.flatMap(e =>
+        e.getValue.keySet().iterator().asScala.map(e.getKey -> _))
+    }.toDF("g", "item").distinct()
+    val counted = pairs.toDF("g", "item")
+      .join(broadcast(candidates), Seq("g", "item"), "left_semi")
+      .groupBy("g", "item")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("cnt"), asc("item"))
+    counted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Exact top-`k` most frequent values of `itemCol` (nulls ignored),
     * ties broken by item ascending. Output: (item, cnt), descending.
     */

@@ -497,6 +497,26 @@ object Advanced {
         |FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-group heavy hitters: top-10 tokens PER LANGUAGE with the same
+    // bounded-shuffle two-pass as q92, stratified — the per-domain
+    // vocabulary query. Oracle = full groupBy + rank window, so the hash
+    // match proves per-group exactness, ties included.
+    QueryDef("q99_heavy_hitters_by_group", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      graft.operators.Frequency.heavyHittersByGroup(toks, "lang", "token", k = 10, capacity = 8192)
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"), desc("cnt"), asc("item"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT lang, w AS item, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT lang, item, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item) AS rk FROM c)
+        |SELECT lang, item, cnt FROM r WHERE rk <= 10
+        |ORDER BY lang, cnt DESC, item""".stripMargin)),
+
     // Categorical skipping: documents published clustered by `lang`, the
     // manifest augmented with exact per-file value sets (strings can't use
     // truncatable min/max bounds), then read under a lang filter — the

@@ -268,6 +268,29 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("per-group heavy hitters equal the naive per-group top-k") {
+    import spark.implicits._
+    val rows = (for {
+      g <- Seq("a", "b", "c")
+      (w, n) <- Seq(("x", 200), ("y", 90), ("z", 90), ("w", 7))
+      _ <- 1 to (if (g == "b") n / 2 + 1 else n)
+    } yield (g, w + g)) ++ (1 to 5000).map(i => ("a", s"tail$i")) ++
+      Seq((null, "ignored"), ("a", null))
+    val df = spark.sparkContext.parallelize(rows, 6).toDF("g", "w")
+    def naive(k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("cnt"), asc("w"))
+      df.filter(col("g").isNotNull && col("w").isNotNull)
+        .groupBy("g", "w").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("g", "w", "cnt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    }
+    val got = graft.operators.Frequency.heavyHittersByGroup(df, "g", "w", k = 3, capacity = 512)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == naive(3))
+  }
+
   test("auto-salted join equals the plain join on skewed data") {
     import spark.implicits._
     // one key carries ~90% of the fact side; nulls on both sides; a dim
