@@ -129,6 +129,20 @@ object SchemaJson {
   *                      per-file min/max under the pushed filters
   *                      (see [[RefTableStats]]); false disables the
   *                      manifest read entirely.
+  *
+  * Write-side layout options (ignored by reads; see [[RefTableWrites]]):
+  *  - `clusterBy`       comma-separated columns — published versions are
+  *                      range-clustered on them (tight per-file bounds for
+  *                      the skipping manifest);
+  *  - `zorderBy`        comma-separated numeric/date/timestamp columns —
+  *                      versions are Morton-clustered so selective filters
+  *                      on ANY of them skip files; exclusive with
+  *                      `clusterBy`, and neither combines with
+  *                      `partitionColumns`;
+  *  - `clusterFiles`    (default 16) target file count for either layout;
+  *  - `categoricalStats` comma-separated STRING columns — after publish,
+  *                      the manifest is augmented with exact per-file
+  *                      value sets for them.
   */
 final case class RefTableOptions(
     path: String,
@@ -143,7 +157,11 @@ final case class RefTableOptions(
     partitionColumns: Seq[String] = Nil,
     version: Option[String] = None,
     allowMissingColumns: Boolean = false,
-    statsPruning: Boolean = true) {
+    statsPruning: Boolean = true,
+    clusterBy: Seq[String] = Nil,
+    zorderBy: Seq[String] = Nil,
+    clusterFiles: Int = 16,
+    categoricalStats: Seq[String] = Nil) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -246,9 +264,44 @@ object RefTableOptions {
     val allowMissing = boolOpt("allowMissingColumns", default = false)
     val statsPruning = boolOpt("statsPruning", default = true)
 
+    def colList(name: String): Seq[String] = Option(options.get(name))
+      .filter(_.nonEmpty).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val clusterBy = colList("clusterBy")
+    val zorderBy = colList("zorderBy")
+    val categoricalStats = colList("categoricalStats")
+    if (clusterBy.nonEmpty && zorderBy.nonEmpty)
+      errs += "Options 'clusterBy' and 'zorderBy' are mutually exclusive"
+    if ((clusterBy.nonEmpty || zorderBy.nonEmpty) && partitionColumns.nonEmpty)
+      errs += "Layout options ('clusterBy'/'zorderBy') do not combine with 'partitionColumns'"
+    for (st <- schema) {
+      (clusterBy ++ zorderBy).foreach(c => if (!st.fieldNames.contains(c))
+        errs += s"layout column '$c' must be a field in the schema")
+      zorderBy.foreach(c => st.fields.find(_.name == c).foreach { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.NumericType | DateType | TimestampType => ()
+          case other => errs += s"zorderBy column '$c' must be numeric/date/timestamp, " +
+            s"got ${other.simpleString}"
+        }
+      })
+      categoricalStats.foreach(c => st.fields.find(_.name == c) match {
+        case None => errs += s"categoricalStats column '$c' must be a field in the schema"
+        case Some(f) if f.dataType != StringType =>
+          errs += s"categoricalStats column '$c' must be STRING (value sets are exact " +
+            s"only for strings), got ${f.dataType.simpleString}"
+        case _ => ()
+      })
+    }
+    val clusterFiles = Option(options.get("clusterFiles")).filter(_.nonEmpty) match {
+      case None => 16
+      case Some(s) =>
+        try { val n = s.trim.toInt; if (n <= 0) { errs += s"Invalid 'clusterFiles' '$s': must be positive"; 16 } else n }
+        catch { case _: NumberFormatException => errs += s"Invalid 'clusterFiles' '$s': must be a positive integer"; 16 }
+    }
+
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
-      maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning)
+      maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning,
+      clusterBy, zorderBy, clusterFiles, categoricalStats)
   }
 }

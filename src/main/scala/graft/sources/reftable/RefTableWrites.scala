@@ -86,9 +86,20 @@ object RefTableWrites {
         else reader).load()
         cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
       }
-    if (opts.partitionColumns.nonEmpty)
+    // layout options name OUTPUT fields; the payload carries storage names
+    def storage(cols: Seq[String]): Seq[String] = cols.map(opts.storageColumn)
+    if (opts.zorderBy.nonEmpty)
+      VersionedTable.publishZOrdered(payload, opts.path, storage(opts.zorderBy), opts.clusterFiles)
+    else if (opts.clusterBy.nonEmpty)
+      VersionedTable.publishClustered(payload, opts.path, storage(opts.clusterBy), opts.clusterFiles)
+    else if (opts.partitionColumns.nonEmpty)
       VersionedTable.publishPartitioned(payload, opts.path, opts.partitionColumns)
     else VersionedTable.publish(payload, opts.path)
+    if (opts.categoricalStats.nonEmpty) {
+      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
+      RefTableStats.augmentCategorical(
+        data.sparkSession, resolved, storage(opts.categoricalStats))
+    }
     ()
   }
 }

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.sources.reftable.{RefTableStats, SnapshotFiles, VersionedTable}
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{And, EqualTo, GreaterThanOrEqual, LessThan}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The reftable write path: INSERT INTO / INSERT OVERWRITE / DataFrame
@@ -159,6 +160,49 @@ class RefTableWriteSpec extends AnyFunSuite {
         .option("genColumn", "gen").mode("overwrite").save()
     }
     assert(e3.getMessage.contains("read-only"), e3.getMessage)
+  }
+
+  test("writer layout options: clusterBy/zorderBy/categoricalStats drive skipping") {
+    import spark.implicits._
+    import graft.sources.reftable.{RefTableOptions => RO}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    def ro(pairs: (String, String)*) =
+      RO.from(new CaseInsensitiveStringMap(pairs.toMap.asJava))
+    val root = tmpDir("layoutopts")
+    val lddl = "id BIGINT, seg STRING, v DOUBLE"
+    (0 until 1000).map(i => (i.toLong, s"s${i % 4}", i * 0.5)).toDF("id", "seg", "v")
+      .write.format("reftable").option("path", root).option("schema", lddl)
+      .option("clusterBy", "id").option("clusterFiles", "5")
+      .option("categoricalStats", "seg")
+      .mode("overwrite").save()
+    val o = ro("path" -> root, "schema" -> lddl)
+    assert(SnapshotFiles.pruned(o, Nil).size == 5)
+    assert(SnapshotFiles.pruned(o,
+      Seq(And(GreaterThanOrEqual("id", 100L), LessThan("id", 200L)))).size <= 2)
+    assert(SnapshotFiles.pruned(o, Seq(EqualTo("seg", "nope"))).isEmpty)
+
+    // zorder option on two numeric columns
+    val zroot = tmpDir("layoutz")
+    (0 until 4096).map(i => (i % 64, i / 64, i.toLong)).toDF("x", "y", "id")
+      .write.format("reftable").option("path", zroot)
+      .option("schema", "x INT, y INT, id BIGINT")
+      .option("zorderBy", "x,y").option("clusterFiles", "8")
+      .mode("overwrite").save()
+    val zo = ro("path" -> zroot, "schema" -> "x INT, y INT, id BIGINT")
+    assert(SnapshotFiles.pruned(zo,
+      Seq(And(GreaterThanOrEqual("y", 10), LessThan("y", 14)))).size < 8)
+
+    // option validation: conflicting and ill-typed layouts fail up front
+    val bad1 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
+      "clusterBy" -> "id", "zorderBy" -> "v"))
+    assert(bad1.getMessage.contains("mutually exclusive"))
+    val bad2 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
+      "zorderBy" -> "seg"))
+    assert(bad2.getMessage.contains("numeric/date/timestamp"))
+    val bad3 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
+      "categoricalStats" -> "v"))
+    assert(bad3.getMessage.contains("STRING"))
   }
 
   test("concurrent publishers never corrupt the root: one wins, all versions land") {
