@@ -54,8 +54,17 @@ object Bench {
     val warm = results.map { case (k, rs) => k -> (if (rs.size > 1) p50(rs.tail) else rs.head) }
     val total = warm.map(_._2).sum
     val coldTotal = results.map(_._2.head).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(warm)},""" +
-      s""""cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(warm)},""" +
+      s""""cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfDir"}"""
+    // belt-and-braces for the machine parse: (a) the raw line on stdout (the
+    // forked run inherits sbt's stdout via run/outputStrategy=StdoutOutput, so
+    // no "[info] " prefix), (b) the same JSON as BENCH.json in the repo root
+    // (the forked JVM's cwd), which survives any stdout-window truncation
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH.json"), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

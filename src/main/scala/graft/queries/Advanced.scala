@@ -652,7 +652,7 @@ object Advanced {
         |  FROM base WHERE c_custkey % 10 <> 3
         |  UNION ALL
         |  SELECT c_custkey + 1000000, c_nationkey, cents FROM base WHERE c_custkey % 10 = 9)
-        |SELECT c_nationkey, sum(cents) AS sum_cents, count(cents) AS nn_cents,
+        |SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS sum_cents, count(cents) AS nn_cents,
         |  count(*) AS cnt
         |FROM after GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 

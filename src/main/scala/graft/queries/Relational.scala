@@ -377,11 +377,16 @@ object Relational {
         .limit(20)
     },
 
-    // approximate distinct: no cross-engine oracle (HLL implementations differ);
-    // correctness is bounded-error vs exact, asserted in RelationalSpec.
+    // approximate distinct: HLL implementations differ across engines, so the
+    // estimate itself has no cross-engine oracle. Instead the query outputs the
+    // bounded-error CHECK — |approx-exact|/exact within 3× the configured rsd
+    // (0.05 default; 3 sigma) — which DuckDB reproduces as a constant TRUE.
+    // The tight-bound assertion lives in RelationalSpec.
     QueryDef("q35_approx_distinct", (s, dir) =>
       t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select((abs(col("approx") - col("exact")) / col("exact") <= 0.15).as("ok")),
+      Some("SELECT TRUE AS ok"))
   )
 }

@@ -111,9 +111,13 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("approx_count_distinct is within 5% of exact") {
     val dir = "/root/testdata/sf0.001"
-    val approx = Catalog.byName("q35_approx_distinct").fn(spark, dir).first().getLong(0)
-    val exact = Tables.load(spark, dir, "lineitem").select(countDistinct("l_partkey")).first().getLong(0)
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val approx = lineitem.select(approx_count_distinct("l_partkey")).first().getLong(0)
+    val exact = lineitem.select(countDistinct("l_partkey")).first().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    // the catalog entry outputs the (looser, 3-sigma) bound as a boolean the
+    // cross-engine oracle can reproduce
+    assert(Catalog.byName("q35_approx_distinct").fn(spark, dir).first().getBoolean(0))
   }
 
   test("GraftExtensions injects the kernel functions at session build time") {
