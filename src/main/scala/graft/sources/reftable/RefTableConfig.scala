@@ -125,10 +125,13 @@ object SchemaJson {
   *                      evolution: declared columns absent from older
   *                      files read as nulls instead of erroring.
   *  - `statsPruning`    (optional, default true) skip whole files at
-  *                      listing time from a `_STATS.json` manifest's
-  *                      per-file min/max under the pushed filters
-  *                      (see [[RefTableStats]]); false disables the
-  *                      manifest read entirely.
+  *                      listing time from the statistics manifest's
+  *                      per-file min/max under the pushed filters — the
+  *                      single `_STATS.json` document on small versions,
+  *                      the sharded `_STATS/` parquet manifest (evaluated
+  *                      as a distributed job) on many-file versions (see
+  *                      [[RefTableStats]]); false disables the manifest
+  *                      read entirely.
   *
   * Write-side layout options (ignored by reads; see [[RefTableWrites]]):
   *  - `clusterBy`       comma-separated columns — published versions are

@@ -39,10 +39,12 @@ import org.apache.spark.sql.types._
   * the layer can only ever remove provably-non-matching files.
   *
   * Only types whose footer statistics are exact and losslessly ordered
-  * participate: int/long/short/byte, float/double, boolean, date. Strings
-  * are excluded (writers may truncate binary stats), decimals and
-  * timestamps are excluded (representation/rebase subtleties) — filters
-  * over those columns simply don't skip. Float/double bounds are sanitized
+  * participate: int/long/short/byte, float/double, boolean, date, and
+  * timestamp stored as INT64 micros/nanos (exact integers; the rebase
+  * caveat applies only to INT96/legacy files). Strings are excluded
+  * (writers may truncate binary stats) and decimals are excluded
+  * (representation subtleties) — filters over those columns simply don't
+  * skip. Float/double bounds are sanitized
   * at write time: a NaN bound drops the column (parquet-mr's Double.compare
   * ordering lets NaN reach max, and SQL NaN-ordering would make pruning on
   * it wrong) and zero bounds are widened to [-0.0, +0.0] (SQL treats them
@@ -51,6 +53,25 @@ import org.apache.spark.sql.types._
 object RefTableStats {
 
   val ManifestName = "_STATS.json"
+
+  /** Sharded manifest: a `_STATS/` parquet directory with one row per data
+    * file, written instead of the single JSON document when the version has
+    * more files than [[ShardThreshold]]. A million-file version makes a
+    * single JSON manifest a hundreds-of-MB driver parse per query; parquet
+    * shards are read, filtered and evaluated as a distributed job, and the
+    * driver materializes only the surviving file list (see
+    * [[pruneSharded]]). Row schema: path STRING (relative), len BIGINT,
+    * rows BIGINT, cols STRING (the per-column stats as JSON — the same
+    * shape as the JSON manifest's `cols` object, so both formats share one
+    * parser and one evaluator).
+    */
+  val ShardDirName = "_STATS"
+
+  /** Above this file count a publish writes the sharded parquet manifest
+    * (and reads footers as a distributed job) instead of the driver-side
+    * JSON document.
+    */
+  val ShardThreshold = 4096
 
   /** Min/max stay as parsed JSON scalars; the declared Spark type of the
     * filtered column directs interpretation at evaluation time. `vals` is
@@ -66,13 +87,23 @@ object RefTableStats {
 
   // ---- manifest write ------------------------------------------------------
 
-  /** Write `dir/_STATS.json` covering every `*.parquet` under `dir`
+  /** Write a statistics manifest covering every `*.parquet` under `dir`
     * (recursing through Hive `col=value` subdirectories). Keys are paths
     * relative to `dir`, so the manifest survives the versioned-publish
-    * staging rename. Bounded-parallel footer reads: publish-time driver
-    * cost, one footer per new file.
+    * staging rename.
+    *
+    * Up to `shardThreshold` files this is the single `_STATS.json`
+    * document, built with bounded-parallel driver-side footer reads — at
+    * publish-file counts that is one cheap pass. Beyond the threshold
+    * (and when a SparkSession is active) both the footer reads and the
+    * manifest itself go distributed: a Spark job reads footers
+    * executor-side and writes the `_STATS/` parquet shards, so a
+    * million-file publish never funnels a million footers — or a
+    * hundreds-of-MB JSON document — through the driver.
     */
-  def writeManifest(dir: String, conf: Configuration = new Configuration()): Unit = {
+  def writeManifest(
+      dir: String, conf: Configuration = new Configuration(),
+      shardThreshold: Int = ShardThreshold): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
     val qualified = fs.makeQualified(base).toString
@@ -83,6 +114,11 @@ object RefTableStats {
       else Nil
     }
     val files = walk(base)
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+    if (files.size > shardThreshold && spark.isDefined) {
+      writeManifestSharded(spark.get, dir, files, conf)
+      return
+    }
     val pool = Executors.newFixedThreadPool(math.max(1, math.min(8, files.size)))
     val entries = try {
       files.map { st =>
@@ -105,16 +141,60 @@ object RefTableStats {
       val f = filesNode.putObject(rel)
       f.put("len", len)
       f.put("rows", rows)
-      val cn = f.putObject("cols")
-      cols.foreach { case (c, (mn, mx, nulls)) =>
-        val o = cn.putObject(c)
-        putScalar(o, "min", mn)
-        putScalar(o, "max", mx)
-        o.put("nulls", nulls)
-      }
+      f.set("cols", colsNode(mapper, cols))
+      ()
     }
     val out = fs.create(new Path(base, ManifestName), true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
+  private def colsNode(
+      mapper: ObjectMapper,
+      cols: Map[String, (Any, Any, Long)]): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val cn = mapper.createObjectNode()
+    cols.foreach { case (c, (mn, mx, nulls)) =>
+      val o = cn.putObject(c)
+      putScalar(o, "min", mn)
+      putScalar(o, "max", mx)
+      o.put("nulls", nulls)
+    }
+    cn
+  }
+
+  /** The distributed manifest write: footer reads happen executor-side
+    * (one Spark task per ~[[ShardFilesPerTask]] files), results land as
+    * parquet shards under `dir/_STATS`. Driver cost is the listing it
+    * already holds plus the write job — independent of per-file stats
+    * volume.
+    */
+  private val ShardFilesPerTask = 1024
+
+  private[reftable] def writeManifestSharded(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      files: Seq[FileStatus], conf: Configuration): Unit = {
+    import spark.implicits._
+    val base = new Path(dir)
+    val qualified = base.getFileSystem(conf).makeQualified(base).toString
+    val paths: Seq[(String, Long)] = files.map { st =>
+      val full = st.getPath.toString
+      val rel = if (full.startsWith(qualified + "/")) full.substring(qualified.length + 1) else full
+      (rel, st.getLen)
+    }
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(conf))
+    val tasks = math.max(1, (paths.size + ShardFilesPerTask - 1) / ShardFilesPerTask)
+    val rows = spark.createDataset(paths)
+      .repartition(tasks)
+      .mapPartitions { it =>
+        val c = confB.value.value
+        val mapper = new ObjectMapper()
+        it.map { case (rel, len) =>
+          val (nRows, cols) = fileColumnStats(new Path(qualified, rel), c)
+          (rel, len, nRows, mapper.writeValueAsString(colsNode(mapper, cols)))
+        }
+      }
+      .toDF("path", "len", "rows", "cols")
+    rows.write.mode("overwrite").parquet(new Path(base, ShardDirName).toString)
   }
 
   private def putScalar(o: com.fasterxml.jackson.databind.node.ObjectNode, k: String, v: Any): Unit =
@@ -129,7 +209,12 @@ object RefTableStats {
 
   /** True when this parquet column's footer min/max are exact and ordered
     * the way the matching Spark type compares: plain signed ints, date
-    * (INT32 epoch days), float/double, boolean. Everything else is skipped.
+    * (INT32 epoch days), timestamp (INT64 micros or nanos — exact integers,
+    * losslessly ordered; the rebase caveat only applies to INT96/legacy
+    * files, which this writer never produces), float/double, boolean.
+    * Everything else is skipped. TIMESTAMP(MILLIS) is excluded so the
+    * manifest never stores a bound in a unit the evaluator would have to
+    * rescale.
     */
   private def statable(pt: PrimitiveType): Boolean = {
     import PrimitiveType.PrimitiveTypeName._
@@ -140,6 +225,9 @@ object RefTableStats {
         case null => true
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS ||
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
         case _ => false
       }
       case _ => false
@@ -191,6 +279,12 @@ object RefTableStats {
 
   private def comparableKey(v: Any): Comparable[Any] = v.asInstanceOf[Comparable[Any]]
 
+  /** Epoch micros of an instant; getEpochSecond floors and getNano is
+    * always non-negative, so pre-1970 values stay exact.
+    */
+  private def instantMicros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
   /** NaN bounds drop the column; zero bounds widen to [-0.0, +0.0]. */
   private def sanitize(mn: Any, mx: Any): Option[(Any, Any)] = (mn, mx) match {
     case (a: java.lang.Float, b: java.lang.Float) =>
@@ -209,14 +303,24 @@ object RefTableStats {
   /** Augment a snapshot's manifest with exact per-file distinct-value sets
     * for categorical STRING columns — the skipping story for the columns
     * min/max cannot cover (string footer bounds are truncatable). Two
-    * passes over the published data, both narrow: an approx-distinct gate
-    * per (file, column) first, so `collect_set` only ever runs where the
-    * set is provably small (a miscalled "categorical" column costs the
-    * gate pass, not an executor OOM), then the exact sets. Files whose set
-    * exceeds `maxDistinct` keep no entry (→ never skipped on that column).
-    * Call after publish on layouts clustered by the categorical column —
-    * an unclustered layout has every value in every file and prunes
-    * nothing. Null counts ride along (exact, from count(*) − count(col)).
+    * passes over the published data, both narrow and both distributed: an
+    * approx-distinct gate per (file, column) first, so `collect_set` only
+    * ever runs where the set is provably small (a miscalled "categorical"
+    * column costs the gate pass, not an executor OOM), then the exact sets
+    * via a semi-join against the qualifying files — never an
+    * `isin(files…)` literal, which would explode the plan at manifest
+    * scale, and never a per-file driver collect beyond the value sets that
+    * are themselves the manifest payload. Files whose set exceeds
+    * `maxDistinct` keep no entry (→ never skipped on that column). Call
+    * after publish on layouts clustered by the categorical column — an
+    * unclustered layout has every value in every file and prunes nothing.
+    * Null counts ride along (exact, from count(*) − count(col)).
+    *
+    * The rewrite is atomic for the JSON manifest (tmp file + OVERWRITE
+    * rename, the [[VersionedTable]] pointer-swap pattern). The sharded
+    * format swaps directories with two renames; the manifest is briefly
+    * absent between them, which the fail-open reader tolerates (skipping
+    * disables for that blink, results stay correct).
     */
   def augmentCategorical(
       spark: org.apache.spark.sql.SparkSession, dir: String, cols: Seq[String],
@@ -237,59 +341,117 @@ object RefTableStats {
         cols.flatMap(c => Seq(
           approx_count_distinct(col(c), 0.05).as(s"__ad_$c"),
           (count(lit(1)) - count(col(c))).as(s"__nulls_$c"))): _*)
-      .collect()
-      .map(r => r.getString(0) -> r).toMap
-    // exact sets ONLY for (column, file) pairs the gate admitted — a
-    // collect_set over a miscalled high-cardinality column never runs
-    val exactPerCol: Map[String, Map[String, Seq[String]]] = cols.map { c =>
-      val qualifying = gate.collect {
-        case (f, r) if r.getAs[Long](s"__ad_$c") <= maxDistinct * 2L => f
-      }.toSeq
-      val sets =
-        if (qualifying.isEmpty) Map.empty[String, Seq[String]]
-        else keyed.filter(col("__f").isin(qualifying: _*))
-          .groupBy("__f").agg(collect_set(col(c)).as("__vals"))
-          .collect()
-          .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("__vals").toSeq)
-          .toMap
-      c -> sets
+    def relOf0(abs: String): String = {
+      val norm = new Path(abs).toString
+      if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
+    }
+    // (rel file, column) -> (sorted distinct values, null count); one
+    // collected row per QUALIFYING file — exactly the payload that will be
+    // written into the manifest, nothing per-file beyond it
+    val updates: Map[(String, String), (Seq[String], Long)] = cols.flatMap { c =>
+      val qual = gate
+        .filter(col(s"__ad_$c") <= maxDistinct * 2L) // 5%-rsd gate over-admits; exact check below
+        .select(col("__f"), col(s"__nulls_$c").as("__nulls"))
+      keyed.select(col("__f"), col(c))
+        .join(qual.select("__f"), Seq("__f"), "left_semi")
+        .groupBy("__f").agg(collect_set(col(c)).as("__vals"))
+        .join(qual, Seq("__f"))
+        .filter(size(col("__vals")) <= maxDistinct)
+        .select(col("__f"), col("__vals"), col("__nulls"))
+        .collect()
+        .map(r => (relOf0(r.getString(0)), c) ->
+          (r.getAs[scala.collection.Seq[String]]("__vals").toSeq.sorted, r.getAs[Long]("__nulls")))
     }.toMap
 
-    // splice into the manifest: re-read raw JSON, attach vals/nulls
+    if (fs.exists(new Path(base, ManifestName)))
+      spliceJson(fs, base, cols, updates)
+    else if (fs.exists(new Path(base, ShardDirName)))
+      spliceSharded(spark, fs, base, updates)
+    else throw new IllegalStateException(
+      s"augmentCategorical: no $ManifestName or $ShardDirName in $dir — " +
+        "regenerate the manifest first")
+    manifestCache.clear() // the manifest changed under any cached key's mtime granularity
+  }
+
+  /** Attach `vals`/`nulls` updates to one file's `cols` object node. */
+  private def attach(
+      colsNode: com.fasterxml.jackson.databind.node.ObjectNode,
+      c: String, vals: Seq[String], nulls: Long): Unit = {
+    val cn = Option(colsNode.get(c)).collect {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+    }.getOrElse(colsNode.putObject(c))
+    val arr = cn.putArray("vals")
+    vals.foreach(arr.add)
+    cn.put("nulls", nulls)
+    ()
+  }
+
+  private def spliceJson(
+      fs: org.apache.hadoop.fs.FileSystem, base: Path, cols: Seq[String],
+      updates: Map[(String, String), (Seq[String], Long)]): Unit = {
     val mf = new Path(base, ManifestName)
     val in = fs.open(mf)
     val root = try new ObjectMapper().readTree(in)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     finally in.close()
     val filesNode = root.path("files").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    def relOf(abs: String): String = {
-      val norm = new Path(abs).toString
-      if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
-    }
-    gate.foreach { case (absFile, g) =>
-      val rel = relOf(absFile)
+    updates.foreach { case ((rel, c), (vals, nulls)) =>
       val fileNode = Option(filesNode.get(rel)).collect {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
       }.getOrElse(throw new IllegalStateException(
         s"augmentCategorical: $rel not in $ManifestName — regenerate the manifest first"))
-      val colsNode = fileNode.path("cols")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      cols.foreach { c =>
-        // the 5%-rsd gate over-admits; the exact size is the final check
-        exactPerCol(c).get(absFile).filter(_.size <= maxDistinct).foreach { raw =>
-          val vs = raw.sorted
-          val cn = Option(colsNode.get(c)).collect {
-            case o: com.fasterxml.jackson.databind.node.ObjectNode => o
-          }.getOrElse(colsNode.putObject(c))
-          val arr = cn.putArray("vals")
-          vs.foreach(arr.add)
-          cn.put("nulls", g.getAs[Long](s"__nulls_$c"))
-        }
-      }
+      attach(fileNode.path("cols")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode], c, vals, nulls)
     }
-    val out = fs.create(mf, true)
+    // tmp + OVERWRITE rename: a version dir is published (readers may hold
+    // it), so the manifest must never be observable half-written
+    val tmp = new Path(base, s".${ManifestName}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
     try out.write(new ObjectMapper().writeValueAsBytes(root)) finally out.close()
-    manifestCache.clear() // the manifest changed under any cached key's mtime granularity
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getConf)
+      .rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def spliceSharded(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: Path,
+      updates: Map[(String, String), (Seq[String], Long)]): Unit = {
+    import spark.implicits._
+    val sd = new Path(base, ShardDirName)
+    // rel -> (col -> (vals, nulls)); bounded by the qualifying files
+    val byFile: Map[String, Map[String, (Seq[String], Long)]] =
+      updates.toSeq.groupBy(_._1._1).map { case (rel, kvs) =>
+        rel -> kvs.map { case ((_, c), v) => c -> v }.toMap
+      }
+    val byFileB = spark.sparkContext.broadcast(byFile)
+    val merged = spark.read.parquet(shardFiles(sd, fs): _*)
+      .select("path", "len", "rows", "cols").as[(String, Long, Long, String)]
+      .mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        val ups = byFileB.value
+        it.map { case (rel, len, rows, colsJson) =>
+          ups.get(rel) match {
+            case None => (rel, len, rows, colsJson)
+            case Some(colUpdates) =>
+              val cn = mapper.readTree(colsJson)
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              colUpdates.foreach { case (c, (vals, nulls)) => attach(cn, c, vals, nulls) }
+              (rel, len, rows, mapper.writeValueAsString(cn))
+          }
+        }
+      }.toDF("path", "len", "rows", "cols")
+    val tmp = new Path(base, s".${ShardDirName}.tmp${System.nanoTime()}")
+    merged.write.parquet(tmp.toString)
+    // two renames; the reader fails open during the gap
+    val trash = new Path(base, s".${ShardDirName}.old${System.nanoTime()}")
+    if (!fs.rename(sd, trash))
+      throw new java.io.IOException(s"augmentCategorical: could not stage out $sd")
+    if (!fs.rename(tmp, sd)) {
+      fs.rename(trash, sd) // restore the original manifest
+      throw new java.io.IOException(s"augmentCategorical: could not publish $tmp as $sd")
+    }
+    fs.delete(trash, true)
+    ()
   }
 
   // ---- manifest read -------------------------------------------------------
@@ -300,34 +462,46 @@ object RefTableStats {
     */
   private val manifestCache = new ConcurrentHashMap[String, Map[String, FileStats]]()
 
+  /** Per-file `cols` object (either manifest format) → typed stats. */
+  private[reftable] def parseCols(colsNode: JsonNode): Map[String, ColStats] =
+    colsNode.properties().asScala.map { c =>
+      val v = c.getValue
+      val vals = Option(v.get("vals")).filter(_.isArray).map(a =>
+        (0 until a.size()).map(a.get(_).asText()))
+      c.getKey -> ColStats(
+        Option(v.get("min")).filterNot(_.isNull),
+        Option(v.get("max")).filterNot(_.isNull),
+        if (v.has("nulls")) v.get("nulls").asLong() else -1L,
+        vals)
+    }.toMap
+
   /** The manifest for a snapshot dir, or None when absent/unreadable. Fail
     * open: skipping is an optimization, a malformed sidecar must never
     * brick the table (a warning is printed once per cache fill).
+    *
+    * A sharded `_STATS/` manifest is also surfaced here, materialized
+    * driver-side through a Spark read — that keeps every Map-shaped
+    * consumer (metadata-only profiling, specs) working against either
+    * format, at O(files) driver memory. The pruning path never goes
+    * through this method for shards ([[pruneSharded]] stays distributed);
+    * a Map-shaped consumer that truly meets a million-file manifest should
+    * read `dir/_STATS` as a DataFrame instead.
     */
   def load(dir: String, conf: Configuration): Option[Map[String, FileStats]] = {
     val p = new Path(dir, ManifestName)
     try {
       val fs = p.getFileSystem(conf)
-      val st = fs.getFileStatus(p) // throws FileNotFoundException when absent
+      if (!fs.exists(p)) return loadSharded(dir, fs, conf)
+      val st = fs.getFileStatus(p)
       val key = s"${p.toString}#${st.getLen}#${st.getModificationTime}"
       if (manifestCache.size > 1024) manifestCache.clear()
       Some(manifestCache.computeIfAbsent(key, { _ =>
         val in = fs.open(p)
         val root = try new ObjectMapper().readTree(in) finally in.close()
-        val files = root.path("files")
-        files.properties().asScala.map { e =>
+        root.path("files").properties().asScala.map { e =>
           val fn = e.getValue
-          val cols = fn.path("cols").properties().asScala.map { c =>
-            val v = c.getValue
-            val vals = Option(v.get("vals")).filter(_.isArray).map(a =>
-              (0 until a.size()).map(a.get(_).asText()))
-            c.getKey -> ColStats(
-              Option(v.get("min")).filterNot(_.isNull),
-              Option(v.get("max")).filterNot(_.isNull),
-              if (v.has("nulls")) v.get("nulls").asLong() else -1L,
-              vals)
-          }.toMap
-          e.getKey -> FileStats(fn.path("len").asLong(), fn.path("rows").asLong(), cols)
+          e.getKey -> FileStats(fn.path("len").asLong(), fn.path("rows").asLong(),
+            parseCols(fn.path("cols")))
         }.toMap
       }))
     } catch {
@@ -338,30 +512,129 @@ object RefTableStats {
     }
   }
 
+  /** The shard parquet files, listed explicitly — passing the `_STATS` dir
+    * itself to `spark.read` trips the hidden-path filter (underscore
+    * prefix), which is exactly the property that hides the manifest from
+    * DATA listings; the leaf files carry normal names.
+    */
+  private def shardFiles(
+      sd: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    fs.listStatus(sd).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+
+  private def loadSharded(
+      dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      conf: Configuration): Option[Map[String, FileStats]] = {
+    val sd = new Path(dir, ShardDirName)
+    try {
+      if (!fs.getFileStatus(sd).isDirectory) return None // throws FNF when absent
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(return None)
+      val shards = shardFiles(sd, fs)
+      if (shards.isEmpty) return None
+      val st = fs.getFileStatus(sd)
+      val key = s"${sd.toString}#shard#${st.getModificationTime}"
+      if (manifestCache.size > 1024) manifestCache.clear()
+      Some(manifestCache.computeIfAbsent(key, { _ =>
+        import spark.implicits._
+        spark.read.parquet(shards: _*)
+          .select("path", "len", "rows", "cols").as[(String, Long, Long, String)]
+          .collect()
+          .map { case (rel, len, rows, colsJson) =>
+            rel -> FileStats(len, rows, parseCols(new ObjectMapper().readTree(colsJson)))
+          }.toMap
+      }))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case NonFatal(e) =>
+        System.err.println(s"reftable: ignoring unreadable $ShardDirName in $dir: ${e.getMessage}")
+        None
+    }
+  }
+
   // ---- pruning -------------------------------------------------------------
 
   import RefTablePartitioning.{Tri, True, False, Null, Unknown, and, or, not}
 
   /** Drop files whose statistics prove the pushed filters cannot be TRUE
-    * for any row. No-op without filters or without a manifest.
+    * for any row. No-op without filters or without a manifest. A JSON
+    * manifest evaluates in memory on the driver; a sharded `_STATS/`
+    * manifest evaluates as a distributed job ([[pruneSharded]]) so the
+    * driver never parses per-file stats at all.
     */
   def prune(
       resolvedDir: String, files: Seq[SnapshotFile], opts: RefTableOptions,
       filters: Seq[Filter], conf: Configuration): Seq[SnapshotFile] = {
     if (filters.isEmpty || !opts.statsPruning || files.isEmpty) return files
+    val fs = new Path(resolvedDir).getFileSystem(conf)
+    val qualified = fs.makeQualified(new Path(resolvedDir)).toString
+    if (!fs.exists(new Path(resolvedDir, ManifestName)) &&
+        fs.exists(new Path(resolvedDir, ShardDirName))) {
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(spark) =>
+          return pruneSharded(spark, resolvedDir, qualified, files, opts, filters)
+        case None => () // no session to run the job: fall through to load()
+      }
+    }
     val manifest = load(resolvedDir, conf).getOrElse(return files)
-    val qualified = new Path(resolvedDir).getFileSystem(conf)
-      .makeQualified(new Path(resolvedDir)).toString
     files.filter { sf =>
-      val rel =
-        if (sf.path.startsWith(qualified + "/")) sf.path.substring(qualified.length + 1)
-        else sf.path
-      manifest.get(rel) match {
+      manifest.get(relOf(sf.path, qualified)) match {
         case Some(fstats) if fstats.length == sf.length =>
           fstats.rows > 0 && filters.forall(f => evalFile(f, sf, fstats, opts).t)
         case _ => true // unknown or stale entry: never skip on it
       }
     }
+  }
+
+  private def relOf(path: String, qualified: String): String =
+    if (path.startsWith(qualified + "/")) path.substring(qualified.length + 1) else path
+
+  /** Distributed file skipping over the sharded manifest: the listing
+    * (which the driver must hold anyway to plan splits) joins the parquet
+    * shards, the Tri evaluator runs per manifest row executor-side, and
+    * only the SURVIVING relative paths come back — O(matching) driver
+    * materialization under a selective filter, never an O(files) JSON
+    * parse. Files without a (fresh) manifest row keep themselves via the
+    * left join, preserving the fail-open contract.
+    */
+  private[reftable] def pruneSharded(
+      spark: org.apache.spark.sql.SparkSession, resolvedDir: String,
+      qualified: String, files: Seq[SnapshotFile], opts: RefTableOptions,
+      filters: Seq[Filter]): Seq[SnapshotFile] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val listed: Seq[(String, Long, Map[String, String])] =
+      files.map(sf => (relOf(sf.path, qualified), sf.length, sf.partitionValues))
+    val listedDf = spark.createDataset(listed).toDF("rel", "flen", "pv")
+    val sd = new Path(resolvedDir, ShardDirName)
+    val shardPaths = shardFiles(sd, sd.getFileSystem(spark.sessionState.newHadoopConf()))
+    if (shardPaths.isEmpty) return files // empty manifest dir: fail open
+    val shards = spark.read.parquet(shardPaths: _*)
+      .select(col("path"), col("len"), col("rows"), col("cols"))
+    // stale rows (len mismatch ⇒ file replaced in place) drop out of the
+    // join and the file keeps itself, same as the JSON path
+    val joined = listedDf
+      .join(shards, listedDf("rel") === shards("path") && listedDf("flen") === shards("len"),
+        "left")
+      .select(listedDf("rel"), listedDf("flen"), listedDf("pv"),
+        shards("rows"), shards("cols"))
+      .as[(String, Long, Map[String, String], Option[Long], Option[String])]
+    val fts = filters // stable local for closure cleanliness
+    val o = opts
+    val kept = joined.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.flatMap { case (rel, flen, pv, rowsOpt, colsOpt) =>
+        (rowsOpt, colsOpt) match {
+          case (Some(nRows), Some(colsJson)) =>
+            val fstats = FileStats(flen, nRows, parseCols(mapper.readTree(colsJson)))
+            val sf = SnapshotFile(rel, flen, pv)
+            if (fstats.rows > 0 && fts.forall(f => evalFile(f, sf, fstats, o).t)) Some(rel)
+            else None
+          case _ => Some(rel) // no manifest row: never skip on it
+        }
+      }
+    }.collect().toSet
+    files.filter(sf => kept.contains(relOf(sf.path, qualified)))
   }
 
   /** Possible outcomes of `f` over the file's rows: composition recurses
@@ -517,6 +790,20 @@ object RefTableStats {
       case d: java.time.LocalDate => Some(java.lang.Long.compare(node.asLong(), d.toEpochDay))
       case _ => None
     }
-    case _ => None // strings/decimals/timestamps never statted; schema drift lands here too
+    // TimestampType bounds are INT64 micros (statable admits only MICROS
+    // footers for timestamp-declared columns — a NANOS footer can only be
+    // read as LongType via nanosAsLong, which compares above)
+    case TimestampType => (v match {
+      case t: java.sql.Timestamp => Some(t.toInstant)
+      case i: java.time.Instant => Some(i)
+      case _ => None
+    }).map(i => java.lang.Long.compare(node.asLong(), instantMicros(i)))
+    case TimestampNTZType => v match {
+      case l: java.time.LocalDateTime =>
+        Some(java.lang.Long.compare(node.asLong(),
+          instantMicros(l.toInstant(java.time.ZoneOffset.UTC))))
+      case _ => None
+    }
+    case _ => None // strings/decimals never statted; schema drift lands here too
   }
 }

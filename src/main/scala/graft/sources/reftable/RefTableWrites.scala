@@ -28,6 +28,21 @@ import org.apache.spark.sql.sources.InsertableRelation
   *  - `version`-pinned (time travel) relations and `genColumn` projections
   *    are read-only by construction.
   *
+  * CONCURRENCY CONTRACT — single writer per table. The pointer swap is
+  * last-writer-wins: two concurrent OVERWRITEs leave whichever finished
+  * last (the natural overwrite semantics), but two concurrent APPENDs each
+  * read the same base snapshot and publish base ∪ own-rows, so the loser's
+  * rows are silently absent from the surviving version — a lost update,
+  * which users expect from INSERT INTO far less than from overwrite. There
+  * is no compare-and-swap primitive on plain file storage to close this
+  * (HDFS rename cannot express "rename iff _CURRENT still names X");
+  * engines with the same storage model (Delta on HDFS without a
+  * coordination service, Hive on plain dirs) document the same
+  * restriction. Serialize appends through one writer — e.g. the streaming
+  * sink, or an external lock — when more than one process may INSERT INTO
+  * the same root. Readers are never endangered: every version is complete
+  * and immutable, the anomaly is only which version the pointer names.
+  *
   * Implemented as a V1Write fallback: the insertable relation receives the
   * analyzed DataFrame (columns already aligned to the table schema) and
   * delegates to [[VersionedTable]], which also writes the `_STATS.json`

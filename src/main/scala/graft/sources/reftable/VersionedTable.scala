@@ -191,9 +191,24 @@ object VersionedTable {
     // versionDirs ignores, never a half-written version counted by
     // retention
     val staging = new Path(rootPath, s".staging-$name")
-    val writer = df.write
-    (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
-      .parquet(staging.toString)
+    // publish timestamps as INT64 micros, not Spark's default INT96:
+    // micros are the modern standard (what Delta/Iceberg write), and their
+    // footer min/max are exact integers the skipping manifest can record —
+    // INT96 stats are untrustworthy and would leave timestamp filters
+    // unprunable. Session conf is the only switch parquet exposes, so set
+    // and restore around the write.
+    val tsConfKey = "spark.sql.parquet.outputTimestampType"
+    val spark = df.sparkSession
+    val prevTs = spark.conf.getOption(tsConfKey)
+    spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write
+      (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
+        .parquet(staging.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConfKey, v)
+      case None => spark.conf.unset(tsConfKey)
+    }
     // the statistics manifest is written into the staging dir, so the
     // version rename publishes data and stats as one atomic unit and the
     // manifest's relative file keys stay valid after the rename
