@@ -656,6 +656,51 @@ object Advanced {
         |  count(*) AS cnt
         |FROM after GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Changefeed-maintained aggregate over the WRITE PATH end-to-end: three
+    // INSERTs publish three versions of a reftable; the per-nation balance
+    // aggregate is advanced version-to-version from
+    // VersionedTable.changesImages (O(changes) per step — q94 drives the
+    // same maintenance from a synthetic diff) and must equal the oracle's
+    // direct recompute of the FINAL table state, null/count bookkeeping
+    // included. changesImages resolves version paths eagerly at call time,
+    // so each maintenance step reads exactly the (from, to) pair it names.
+    QueryDef("q101_changefeed_agg", (s, dir) => {
+      import graft.operators.IncrementalAgg
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q101_cf")
+      val ddl = "c_custkey BIGINT, c_nationkey INT, cents BIGINT"
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      def write(part: Int, mode: String): Unit =
+        base.filter(col("c_custkey") % 3 === part)
+          .write.format("reftable").option("path", root).option("schema", ddl)
+          .mode(mode).save()
+      write(0, "overwrite") // fresh state per invocation (bench re-runs)
+      val v1 = VersionedTable.versionDirs(root).last
+      val agg1 = IncrementalAgg.aggregate(
+        s.read.format("reftable").option("path", root).option("schema", ddl)
+          .option("version", v1).load(),
+        Seq("c_nationkey"), Seq("cents"))
+      write(1, "append")
+      val v2 = VersionedTable.versionDirs(root).last
+      val agg2 = IncrementalAgg.maintain(agg1,
+        VersionedTable.changesImages(s, root, Seq("c_custkey"), v1),
+        Seq("c_nationkey"), Seq("cents"))
+      write(2, "append")
+      val agg3 = IncrementalAgg.maintain(agg2,
+        VersionedTable.changesImages(s, root, Seq("c_custkey"), v2),
+        Seq("c_nationkey"), Seq("cents"))
+      agg3.orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(cents) AS nn_cents, count(*) AS cnt
+        |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // Z-order layout: orders published Morton-clustered on (o_custkey,
     // o_totalprice), read back under a box filter on BOTH dimensions. The
     // oracle proves values; RefTableStatsSpec proves a lexicographic

@@ -104,6 +104,40 @@ object StreamingOps {
         | JOIN customer c ON e.user_id = c.c_custkey
         | ORDER BY e.event_id, c.c_name""".stripMargin)),
 
+    // streaming read over a Z-ORDERED version under a 2-D box filter, with
+    // admission control: the predicate is DECLARED via the `filter` option
+    // (Spark never pushes Catalyst filters into streaming DSv2 scans — the
+    // option is the streaming pushdown channel), generation pinning prunes
+    // the listing from the stats manifest FIRST, so maxFilesPerTrigger
+    // chunks over O(matching) files, not O(all) (RefTableStatsSpec asserts
+    // the batch counts). The query's own .filter stays the exactness
+    // residual; the result must equal the batch q93 oracle exactly.
+    QueryDef("q100_stream_zorder_skip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q100_zstream")
+      graft.sources.reftable.VersionedTable.publishZOrdered(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        root, Seq("o_custkey", "o_totalprice"), numFiles = 8)
+      val df = s.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .option("refreshInterval", "1h")
+        .option("genColumn", "_gen")
+        .option("filter",
+          "o_custkey < 300 AND o_totalprice >= 50000.0 AND o_totalprice < 150000.0")
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .filter(col("o_custkey") < 300 && col("o_totalprice") >= 50000.0 &&
+          col("o_totalprice") < 150000.0)
+      latestGen(s, drain(s, df, "append"))
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"),
+          min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total,
+        |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders
+        |WHERE o_custkey < 300 AND o_totalprice >= 50000 AND o_totalprice < 150000""".stripMargin)),
+
     // event-time tumbling window through Spark's file streaming source with a
     // watermark — the batch q12 oracle must reproduce it exactly.
     QueryDef("q47_stream_tumbling", (s, dir) => withShufflePartitions(s, 8) {

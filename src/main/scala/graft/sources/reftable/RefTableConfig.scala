@@ -124,6 +124,30 @@ object SchemaJson {
   *  - `allowMissingColumns` (optional, default false) forward schema
   *                      evolution: declared columns absent from older
   *                      files read as nulls instead of erroring.
+  *  - `filter`          (optional) SQL predicate DECLARING the filter the
+  *                      query applies over this table — e.g.
+  *                      `"x >= 10 AND x < 20 AND y < 5"`. Spark never
+  *                      pushes Catalyst filters into a streaming DSv2 scan
+  *                      (MicroBatchExecution builds the ScanBuilder
+  *                      without V2ScanRelationPushDown), so a streaming
+  *                      query's predicate cannot reach the source the way
+  *                      a batch query's does; this option closes the gap
+  *                      by declaration. The source prunes listings
+  *                      (partition dirs, stats manifest) and row-groups
+  *                      with it; rows from surviving files are emitted
+  *                      UNFILTERED — the query's own filter stays the
+  *                      exactness residual, identical to the batch pushed-
+  *                      filter contract. Declare only predicates the query
+  *                      actually applies.
+  *  - `strictSnapshot`  (optional, default false) refuse the admission
+  *                      caps (`maxFilesPerTrigger`/`maxBytesPerTrigger`):
+  *                      a chunked generation recovered after a driver
+  *                      restart is re-emitted from a FRESH listing
+  *                      (at-least-once within the abandoned generation —
+  *                      see [[RefTableMicroBatchStream]]), so sinks that
+  *                      demand exact generation determinism must run
+  *                      unchunked. Setting this makes that contract a
+  *                      validation error instead of a runbook footnote.
   *  - `statsPruning`    (optional, default true) skip whole files at
   *                      listing time from the statistics manifest's
   *                      per-file min/max under the pushed filters — the
@@ -161,6 +185,8 @@ final case class RefTableOptions(
     version: Option[String] = None,
     allowMissingColumns: Boolean = false,
     statsPruning: Boolean = true,
+    strictSnapshot: Boolean = false,
+    filterSql: Option[String] = None,
     clusterBy: Seq[String] = Nil,
     zorderBy: Seq[String] = Nil,
     clusterFiles: Int = 16,
@@ -266,6 +292,29 @@ object RefTableOptions {
       }
     val allowMissing = boolOpt("allowMissingColumns", default = false)
     val statsPruning = boolOpt("statsPruning", default = true)
+    val strictSnapshot = boolOpt("strictSnapshot", default = false)
+
+    // syntax + attribute validation only (no SparkSession needed here);
+    // the full resolve/translate happens at scan construction
+    // (RefTableFilters.declared), where pruning is conservative anyway
+    val filterSql = Option(options.get("filter")).filter(_.nonEmpty)
+    for (f <- filterSql; st <- schema) {
+      try {
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(f)
+        val known = (st.fieldNames ++ genColumn).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val unknown = e.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if !known.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
+        }
+        if (unknown.nonEmpty)
+          errs += s"Option 'filter' references unknown column(s): ${unknown.distinct.mkString(", ")}"
+      } catch { case NonFatal(e) => errs += s"Invalid 'filter': ${e.getMessage}" }
+    }
+    if (strictSnapshot && (maxFiles.nonEmpty || maxBytes.nonEmpty))
+      errs += "Option 'strictSnapshot' refuses 'maxFilesPerTrigger'/'maxBytesPerTrigger': " +
+        "a chunked generation recovered after a driver restart is re-emitted from a fresh " +
+        "listing (at-least-once within the abandoned generation); run unchunked when the " +
+        "sink demands exact generation determinism"
 
     def colList(name: String): Seq[String] = Option(options.get(name))
       .filter(_.nonEmpty).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
@@ -304,7 +353,7 @@ object RefTableOptions {
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
-      maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning,
-      clusterBy, zorderBy, clusterFiles, categoricalStats)
+      maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
+      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats)
   }
 }

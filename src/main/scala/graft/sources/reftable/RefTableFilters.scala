@@ -22,6 +22,90 @@ import org.apache.spark.sql.types._
   */
 object RefTableFilters {
 
+  /** Filters DECLARED via the `filter` source option, translated to
+    * data-source filters for listing-time pruning and row-group skipping.
+    *
+    * Spark never pushes Catalyst filters into a streaming DSv2 scan
+    * (MicroBatchExecution builds the ScanBuilder directly, without running
+    * V2ScanRelationPushDown — verified against the 4.1 streaming runtime),
+    * so a streaming query's predicate cannot reach the source the way a
+    * batch query's does. The option closes that gap by declaration: the
+    * caller states the predicate the query applies, the source prunes with
+    * it, and the query's own Filter node remains the exactness residual —
+    * the same division of labor as the batch pushed-filter contract.
+    * Resolution runs against an empty relation of the output schema so the
+    * expression gets full analyzer treatment (implicit casts, literal
+    * folding) before translation; conjuncts that don't translate simply
+    * don't prune.
+    */
+  def declared(opts: RefTableOptions): Seq[Filter] = opts.filterSql.toSeq.flatMap { s =>
+    val spark = org.apache.spark.sql.SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), opts.outputSchema)
+    val cond = empty.filter(org.apache.spark.sql.functions.expr(s))
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    cond.toSeq.flatMap(conjuncts).flatMap(toSourceFilter)
+  }
+
+  /** Catalyst expression → data-source filter, for the shapes the pruning
+    * layers understand (comparisons, null tests, IN, boolean combinators
+    * over attribute/literal operands). Spark's own translator is
+    * `protected[sql]`; this mirror is deliberately narrow — anything it
+    * doesn't recognize returns None and simply doesn't prune, which is
+    * always safe.
+    */
+  private def toSourceFilter(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    def attr(x: ce.Expression): Option[String] = x match {
+      case a: ce.Attribute => Some(a.name)
+      case _ => None
+    }
+    def value(x: ce.Expression): Option[Any] = x match {
+      case l: ce.Literal => Some(convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def cmp(
+        l: ce.Expression, r: ce.Expression,
+        direct: (String, Any) => Filter, flipped: (String, Any) => Filter): Option[Filter] =
+      (attr(l), value(r), attr(r), value(l)) match {
+        case (Some(a), Some(v), _, _) => Some(direct(a, v))
+        case (_, _, Some(a), Some(v)) => Some(flipped(a, v))
+        case _ => None
+      }
+    e match {
+      case ce.EqualTo(l, r) => cmp(l, r, EqualTo(_, _), EqualTo(_, _))
+      case ce.EqualNullSafe(l, r) => cmp(l, r, EqualNullSafe(_, _), EqualNullSafe(_, _))
+      case ce.GreaterThan(l, r) => cmp(l, r, GreaterThan(_, _), LessThan(_, _))
+      case ce.GreaterThanOrEqual(l, r) =>
+        cmp(l, r, GreaterThanOrEqual(_, _), LessThanOrEqual(_, _))
+      case ce.LessThan(l, r) => cmp(l, r, LessThan(_, _), GreaterThan(_, _))
+      case ce.LessThanOrEqual(l, r) =>
+        cmp(l, r, LessThanOrEqual(_, _), GreaterThanOrEqual(_, _))
+      case ce.IsNull(c) => attr(c).map(IsNull)
+      case ce.IsNotNull(c) => attr(c).map(IsNotNull)
+      case ce.In(c, list) if list.forall(_.isInstanceOf[ce.Literal]) =>
+        attr(c).map(a => In(a, list.flatMap(value).toArray))
+      case ce.InSet(c, hset) =>
+        attr(c).map(a => In(a, hset.map(v => convertToScala(v, c.dataType)).toArray))
+      case ce.Not(c) => toSourceFilter(c).map(Not)
+      case ce.And(l, r) =>
+        for (lf <- toSourceFilter(l); rf <- toSourceFilter(r)) yield And(lf, rf)
+      case ce.Or(l, r) =>
+        for (lf <- toSourceFilter(l); rf <- toSourceFilter(r)) yield Or(lf, rf)
+      case ce.StartsWith(c, ce.Literal(v, _)) if v != null =>
+        attr(c).map(a => StringStartsWith(a, v.toString))
+      case _ => None
+    }
+  }
+
   /** Storage-side field name + type for a schema field, if pushable.
     * Partition columns are excluded — they exist only in directory names,
     * and parquet-mr rejects predicates over absent columns; their filters

@@ -167,7 +167,9 @@ object RefTableOffset {
   *    abandoned and the current state re-emitted as a fresh generation.
   *    Replaying the single uncommitted chunk batch after a restart still
   *    slices the re-listed state — at-least-once within the abandoned
-  *    generation; sinks requiring exact determinism should run unchunked.
+  *    generation; sinks requiring exact determinism should run unchunked,
+  *    and `strictSnapshot=true` turns that contract into a validation
+  *    error by refusing the admission caps outright ([[RefTableOptions]]).
   */
 class RefTableMicroBatchStream(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter] = Array.empty)

@@ -196,10 +196,17 @@ class RefTableScan(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter],
     limit: Option[Int] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+  // the `filter` option's declared predicate, resolved once per scan —
+  // the only pruning channel streaming scans have (see
+  // RefTableFilters.declared); merged everywhere Catalyst-pushed filters
+  // flow, batch included (pruning is conservative, residual evaluation is
+  // the caller's declared contract)
+  private val declared: Array[Filter] = RefTableFilters.declared(opts).toArray
   override def readSchema(): StructType = required
   override def description(): String =
     s"reftable(${opts.path}) refresh=${opts.refreshMs}ms cols=[${required.fieldNames.mkString(",")}]" +
       s" PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (declared.isEmpty) "" else s" DeclaredFilters: [${declared.mkString(", ")}]") +
       limit.fold("")(n => s" PushedLimit: $n")
 
   /** Runtime (dynamic-partition-pruning) filters: a join against a
@@ -233,17 +240,18 @@ class RefTableScan(
         catch { case _: Throwable => 1.0 }
       // post-pruning size: a partition-filtered scan of a huge table is
       // exactly the case where accurate (small) stats enable the broadcast
-      val onDisk = SnapshotFiles.pruned(opts, pushed.toSeq).map(_.length).sum
+      val onDisk = SnapshotFiles.pruned(opts, (pushed ++ declared).toSeq).map(_.length).sum
       math.max(1L, (onDisk * factor).toLong)
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  override def toBatch: Batch = new RefTableBatch(opts, required, pushed ++ runtimeFilters, limit)
+  override def toBatch: Batch =
+    new RefTableBatch(opts, required, pushed ++ declared ++ runtimeFilters, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RefTableMicroBatchStream(opts, required, pushed)
+    new RefTableMicroBatchStream(opts, required, pushed ++ declared)
 }
 
 /** One-shot batch read of the current snapshot. */

@@ -167,7 +167,42 @@ object VersionedTable {
 
   private def publishInternal(
       df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
-      marker: Option[String] = None): String = {
+      marker: Option[String] = None): String =
+    publishVia(root, keepVersions, marker) { staging =>
+      writeParquetMicros(df, staging.toString, partitionColumns)
+    }
+
+  /** Write `df` as parquet with timestamps as INT64 micros, not Spark's
+    * default INT96: micros are the modern standard (what Delta/Iceberg
+    * write), and their footer min/max are exact integers the skipping
+    * manifest can record — INT96 stats are untrustworthy and would leave
+    * timestamp filters unprunable. Session conf is the only switch parquet
+    * exposes, so set and restore around the write.
+    */
+  private[reftable] def writeParquetMicros(
+      df: DataFrame, dir: String, partitionColumns: Seq[String] = Nil): Unit = {
+    val tsConfKey = "spark.sql.parquet.outputTimestampType"
+    val spark = df.sparkSession
+    val prevTs = spark.conf.getOption(tsConfKey)
+    spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write
+      (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
+        .parquet(dir)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConfKey, v)
+      case None => spark.conf.unset(tsConfKey)
+    }
+  }
+
+  /** The publish protocol around an arbitrary staging populate step —
+    * shared by DataFrame publishes and the file-granular copy-on-write
+    * mutations ([[RefTableMutations]]), which stage a mix of rewritten and
+    * carried-over files.
+    */
+  private[reftable] def publishVia(
+      root: String, keepVersions: Int, marker: Option[String] = None)(
+      populate: Path => Unit): String = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +
         "the previous one under readers still pinned to it")
@@ -191,24 +226,7 @@ object VersionedTable {
     // versionDirs ignores, never a half-written version counted by
     // retention
     val staging = new Path(rootPath, s".staging-$name")
-    // publish timestamps as INT64 micros, not Spark's default INT96:
-    // micros are the modern standard (what Delta/Iceberg write), and their
-    // footer min/max are exact integers the skipping manifest can record —
-    // INT96 stats are untrustworthy and would leave timestamp filters
-    // unprunable. Session conf is the only switch parquet exposes, so set
-    // and restore around the write.
-    val tsConfKey = "spark.sql.parquet.outputTimestampType"
-    val spark = df.sparkSession
-    val prevTs = spark.conf.getOption(tsConfKey)
-    spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
-    try {
-      val writer = df.write
-      (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
-        .parquet(staging.toString)
-    } finally prevTs match {
-      case Some(v) => spark.conf.set(tsConfKey, v)
-      case None => spark.conf.unset(tsConfKey)
-    }
+    populate(staging)
     // the statistics manifest is written into the staging dir, so the
     // version rename publishes data and stats as one atomic unit and the
     // manifest's relative file keys stay valid after the rename

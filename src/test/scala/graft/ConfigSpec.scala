@@ -86,6 +86,36 @@ class ConfigSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("maxBytesPerTrigger"))
   }
 
+  test("filter option validates syntax and column names at analysis time") {
+    assert(RefTableOptions.from(opts("filter" -> "key >= 10 AND score < 2.5"))
+      .filterSql.contains("key >= 10 AND score < 2.5"))
+    val e1 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("filter" -> "key >= AND"))
+    }
+    assert(e1.getMessage.contains("filter"))
+    val e2 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("filter" -> "nope > 3"))
+    }
+    assert(e2.getMessage.contains("unknown column"))
+    assert(e2.getMessage.contains("nope"))
+  }
+
+  test("strictSnapshot refuses admission caps (chunked restart is at-least-once)") {
+    assert(RefTableOptions.from(opts("strictSnapshot" -> "true")).strictSnapshot)
+    assert(!RefTableOptions.from(opts()).strictSnapshot)
+    // unchunked strict reads are fine; chunking under strictSnapshot is a
+    // config error naming both the option and the reason
+    val e1 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("strictSnapshot" -> "true", "maxFilesPerTrigger" -> "2"))
+    }
+    assert(e1.getMessage.contains("strictSnapshot"))
+    assert(e1.getMessage.contains("at-least-once"))
+    val e2 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("strictSnapshot" -> "true", "maxBytesPerTrigger" -> "64MB"))
+    }
+    assert(e2.getMessage.contains("strictSnapshot"))
+  }
+
   // reference :120-131 (malformed schema JSON)
   test("malformed schema rejected") {
     val e = intercept[IllegalArgumentException] {

@@ -293,6 +293,51 @@ class RefTableStatsSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == (100L until 150L))
   }
 
+  test("admission control slices the PRUNED listing of a z-ordered stream, not the raw one") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // mirror of the q93/q100 shape: a 2-D box filter over a z-ordered
+    // version, streamed with maxFilesPerTrigger=1. Spark never pushes
+    // Catalyst filters into streaming DSv2 scans, so the predicate is
+    // DECLARED via the `filter` option; pinning then prunes first
+    // (filesOf -> SnapshotFiles.pruned), and the generation must drain in
+    // exactly `pruned` single-file batches — at 100 TB that is the
+    // difference between chunking over O(matching) and O(all) files.
+    val grid = (0 until 65536).map(i => (i % 256, i / 256, i.toLong)).toDF("x", "y", "id")
+    val root = tmpDir("zstream")
+    VersionedTable.publishZOrdered(grid, root, Seq("x", "y"), numFiles = 16)
+    val ddl = "x INT, y INT, id BIGINT"
+    val box = Seq(
+      And(GreaterThanOrEqual("x", 10), LessThan("x", 20)),
+      And(GreaterThanOrEqual("y", 10), LessThan("y", 20)))
+    val pruned = SnapshotFiles.pruned(opts("path" -> root, "schema" -> ddl), box).size
+    assert(pruned < 16, s"box filter must prune, planned $pruned of 16")
+    val ck = Files.createTempDirectory("graft_zstream_ck").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("reftable")
+      .option("path", root).option("schema", ddl)
+      .option("refreshInterval", "1h")
+      .option("filter", "x >= 10 AND x < 20 AND y >= 10 AND y < 20")
+      .option("maxFilesPerTrigger", "1").load()
+      .filter(col("x") >= 10 && col("x") < 20 && col("y") >= 10 && col("y") < 20)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        got.synchronized { got ++= batch.select("id").collect().map(_.getLong(0)) }; ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    // exact rows (pruning + residual filter), in one batch per PRUNED file
+    assert(got.sorted.toSeq ==
+      (0 until 65536).filter(i => i % 256 >= 10 && i % 256 < 20 && i / 256 >= 10 && i / 256 < 20)
+        .map(_.toLong).sorted)
+    assert(batches.get == pruned,
+      s"expected $pruned single-file batches over the pruned listing, got ${batches.get}")
+  }
+
   test("categorical value sets prune string predicates exactly") {
     import spark.implicits._
     val root = tmpDir("cat")
