@@ -656,6 +656,74 @@ object Advanced {
         |  count(*) AS cnt
         |FROM after GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // File-granular copy-on-write DELETE: orders published clustered on
+    // o_totalprice, then a selective price-band delete — the stats
+    // manifest decides which files MAY match, only those are rewritten,
+    // the rest carry over by hard link (RefTableMutationsSpec asserts the
+    // carried file names). The read-back must equal the oracle's
+    // NOT-IS-TRUE replay (rows where the predicate is NULL survive).
+    QueryDef("q102_delete_where", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q102_del")
+      graft.sources.reftable.VersionedTable.publishClustered(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        root, Seq("o_totalprice"), numFiles = 8)
+      graft.sources.reftable.RefTableMutations.deleteWhere(
+        s, root, col("o_totalprice") >= 100000.0 && col("o_totalprice") < 200000.0)
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .load()
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"),
+          min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total,
+        |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders
+        |WHERE NOT (o_totalprice >= 100000 AND o_totalprice < 200000)""".stripMargin)),
+
+    // Keyed MERGE (upsert), file-granular: customers clustered by key,
+    // then one batch of updates (low keys) + inserts (negative keys) —
+    // the source key range keeps the upper files provably untouched, so
+    // only overlapping files rewrite. The read-back must equal the
+    // oracle's (base ANTI JOIN src) UNION src replay.
+    QueryDef("q103_merge_upsert", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q103_merge")
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      VersionedTable.publishClustered(base, root, Seq("c_custkey"), numFiles = 8)
+      val src = base.filter(col("c_custkey") <= 200)
+        .withColumn("cents", col("cents") + 5000L)
+        .unionAll(base.filter(col("c_custkey") % 100 === 0)
+          .select((-col("c_custkey")).as("c_custkey"), col("c_nationkey"), col("cents")))
+      RefTableMutations.upsert(s, root, src, Seq("c_custkey"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_nationkey INT, cents BIGINT")
+        .load()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("c_custkey").as("lo_key"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |src AS (
+        |  SELECT c_custkey, c_nationkey, cents + 5000 AS cents FROM base WHERE c_custkey <= 200
+        |  UNION ALL
+        |  SELECT -c_custkey, c_nationkey, cents FROM base WHERE c_custkey % 100 = 0),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM src))
+        |SELECT c_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(c_custkey) AS lo_key
+        |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // Changefeed-maintained aggregate over the WRITE PATH end-to-end: three
     // INSERTs publish three versions of a reftable; the per-nation balance
     // aggregate is advanced version-to-version from

@@ -39,10 +39,22 @@ object RefTableFilters {
     * don't prune.
     */
   def declared(opts: RefTableOptions): Seq[Filter] = opts.filterSql.toSeq.flatMap { s =>
-    val spark = org.apache.spark.sql.SparkSession.active
+    fromPredicate(org.apache.spark.sql.SparkSession.active, opts.outputSchema,
+      org.apache.spark.sql.functions.expr(s))
+  }
+
+  /** Conjunctive data-source filters for an arbitrary Column predicate over
+    * `schema` — shared by the declared-filter option and the copy-on-write
+    * mutations ([[RefTableMutations]]), which use the result to decide
+    * which files a DELETE must rewrite.
+    */
+  def fromPredicate(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column): Seq[Filter] = {
     val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), opts.outputSchema)
-    val cond = empty.filter(org.apache.spark.sql.functions.expr(s))
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val cond = empty.filter(predicate)
       .queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }

@@ -1,0 +1,178 @@
+package graft.sources.reftable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
+
+/** File-granular copy-on-write mutations for versioned table roots: DELETE
+  * and keyed MERGE (upsert) publish a NEW version in which only the files
+  * that MAY contain affected rows are rewritten; every other file of the
+  * current version is carried over untouched — hard-linked when the
+  * filesystem supports it (same-device local paths; free), copied
+  * otherwise (an object-store deployment would use server-side copy, and
+  * the next step at that scale is manifest-referenced versions à la
+  * Delta/Iceberg, trading the copy for reference-counted retention).
+  *
+  * "May contain" comes from the publish-time statistics manifest
+  * ([[RefTableStats.prune]]) — the same machinery that skips files at read
+  * time decides which files a mutation must touch. On a table clustered or
+  * z-ordered by the mutation's dimensions, a selective DELETE or a
+  * key-local upsert rewrites O(matching) files; without stats (or with a
+  * predicate stats can't bound) every file conservatively rewrites, which
+  * is plain copy-on-write — never wrong, just not narrow.
+  *
+  * Readers are never endangered: mutations are ordinary publishes
+  * (staged version dir + atomic pointer swap + retention), so pinned
+  * generation listings keep draining the old version. The single-writer
+  * contract of [[RefTableWrites]] applies: concurrent mutations are
+  * last-writer-wins on the pointer.
+  *
+  * Restrictions: Hive-partitioned version layouts are refused (rewriting
+  * one partition directory tree COW-correctly is a different operation —
+  * compact to a flat/clustered layout first, or use INSERT OVERWRITE).
+  */
+object RefTableMutations {
+
+  /** Delete rows where `condition` is TRUE (SQL DELETE semantics: rows
+    * where it is NULL are kept) and publish the result as the next
+    * version. Returns the new version name.
+    */
+  def deleteWhere(
+      spark: SparkSession, root: String, condition: Column,
+      keepVersions: Int = 3): String = {
+    val conf = new Configuration()
+    val current = resolveFlat(root, conf)
+    val files = SnapshotFiles.list(current)
+    val schema = spark.read.parquet(current).schema
+    val filters = RefTableFilters.fromPredicate(spark, schema, condition)
+    val mayMatch = if (filters.isEmpty) files
+      else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
+    val untouched = {
+      val touched = mayMatch.map(_.path).toSet
+      files.filterNot(f => touched.contains(f.path))
+    }
+    VersionedTable.publishVia(root, keepVersions) { staging =>
+      if (mayMatch.nonEmpty) {
+        // keep ⇔ NOT(cond IS TRUE): rows where the predicate is NULL
+        // survive a SQL DELETE, and a bare !cond would drop them
+        val kept = spark.read.parquet(mayMatch.map(_.path): _*)
+          .filter(not(coalesce(condition, lit(false))))
+        VersionedTable.writeParquetMicros(kept, staging.toString)
+      }
+      carryOver(untouched, staging, conf)
+    }
+  }
+
+  /** Keyed MERGE (upsert): rows of `source` replace current rows with the
+    * same key; keys absent from the current version are inserted. The new
+    * version equals `(current ANTI JOIN source ON keys) UNION source`.
+    * Publishes and returns the new version name.
+    *
+    * File narrowing: with a single key column, files whose key range is
+    * disjoint from the source's [min, max] key bounds provably contain no
+    * matching key and are carried over untouched — on a table clustered by
+    * its key, a key-local batch rewrites O(matching) files. Multi-column
+    * keys (or keyless stats) rewrite everything, conservatively.
+    *
+    * Null-key source rows are inserted as-is (an equi-join key never
+    * matches NULL); null-key current rows are always kept.
+    */
+  def upsert(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
+      keepVersions: Int = 3): String = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val conf = new Configuration()
+    val current = resolveFlat(root, conf)
+    val files = SnapshotFiles.list(current)
+    val cur = spark.read.parquet(current)
+    val curCols = cur.columns.toSeq
+    require(keyCols.forall(curCols.contains),
+      s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
+    val missing = curCols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"upsert source is missing table column(s): ${missing.mkString(", ")}")
+    val aligned = source.select(curCols.map(col): _*)
+
+    val empty = aligned.isEmpty
+    val mayMatch: Seq[SnapshotFile] =
+      if (empty) Nil
+      else if (keyCols.size == 1) {
+        val k = keyCols.head
+        val mm = aligned.agg(min(col(k)), max(col(k))).first()
+        if (mm.isNullAt(0)) Nil // all-null keys: pure inserts, no file can match
+        else {
+          val filters = Seq(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
+          RefTableStats.prune(current, files, pruneOpts(root, cur.schema), filters, conf)
+        }
+      } else files
+    val untouched = {
+      val touched = mayMatch.map(_.path).toSet
+      files.filterNot(f => touched.contains(f.path))
+    }
+    VersionedTable.publishVia(root, keepVersions) { staging =>
+      val rewritten =
+        if (mayMatch.isEmpty) aligned
+        else spark.read.parquet(mayMatch.map(_.path): _*)
+          .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(aligned)
+      if (!empty || mayMatch.nonEmpty)
+        VersionedTable.writeParquetMicros(rewritten, staging.toString)
+      carryOver(untouched, staging, conf)
+    }
+  }
+
+  /** Resolve the current version dir; refuse non-versioned roots and
+    * Hive-partitioned layouts (partition subdirectories).
+    */
+  private def resolveFlat(root: String, conf: Configuration): String = {
+    val current = VersionedTable.resolve(root, conf).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table root"))
+    val p = new Path(current)
+    val fs = p.getFileSystem(conf)
+    val subdirs = fs.listStatus(p).filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    if (subdirs.nonEmpty)
+      throw new UnsupportedOperationException(
+        "copy-on-write mutations support flat/clustered version layouts only; " +
+          s"$current holds partition subdirectories (compact first, or INSERT OVERWRITE)")
+    current
+  }
+
+  /** Minimal read options for the pruning call: same root/schema, no
+    * partition columns (resolveFlat guarantees a flat layout).
+    */
+  private def pruneOpts(root: String, schema: org.apache.spark.sql.types.StructType) =
+    RefTableOptions(path = root, schema = schema, rowField = None, keyColumn = None,
+      refreshMs = 0L, emitPerTrigger = false, genColumn = None)
+
+  /** Carry `files` into the staging dir under their original names: hard
+    * link where the filesystem allows (local same-device — free), copy
+    * otherwise. Parquet files are immutable once published, so a link
+    * shares bytes safely; the staging rename then publishes them as part
+    * of the new version.
+    */
+  private def carryOver(files: Seq[SnapshotFile], staging: Path, conf: Configuration): Unit = {
+    val fs = staging.getFileSystem(conf)
+    fs.mkdirs(staging) // rewrite may have been skipped; staging must exist
+    files.foreach { f =>
+      val src = new Path(f.path)
+      val dst = new Path(staging, src.getName)
+      val local = src.toUri.getScheme == null || src.toUri.getScheme == "file"
+      val linked = local && {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(Option(dst.toUri.getPath).getOrElse(dst.toString)),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Exception => false }
+      }
+      if (!linked) {
+        val ok = FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
+        if (!ok) throw new java.io.IOException(s"failed to carry over $src into $staging")
+      }
+    }
+  }
+}

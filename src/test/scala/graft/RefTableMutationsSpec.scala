@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-granular copy-on-write DELETE / upsert (RefTableMutations): the
+  * stats manifest decides which files a mutation must rewrite; everything
+  * else is carried over by link/copy under its original name. The
+  * load-bearing assertions are (a) result identity with the logical
+  * recompute and (b) the carried-over file NAMES surviving into the new
+  * version — proof the rewrite was O(matching files), not O(table).
+  */
+class RefTableMutationsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft_mut_$name").toString
+
+  private def fileNames(root: String): Set[String] = {
+    val cur = VersionedTable.resolve(root, conf).get
+    SnapshotFiles.list(cur).map(f => new org.apache.hadoop.fs.Path(f.path).getName).toSet
+  }
+
+  test("deleteWhere rewrites only may-match files; null-predicate rows are kept") {
+    import spark.implicits._
+    val root = tmpDir("del")
+    // v nullable: ids % 97 == 0 carry null v — SQL DELETE must keep them
+    val df = (0 until 2000).map { i =>
+      (i.toLong, if (i % 97 == 0) None else Some(i.toDouble))
+    }.toDF("id", "v")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 8)
+    val before = fileNames(root)
+    assert(before.size == 8)
+
+    RefTableMutations.deleteWhere(spark, root, col("id") >= 100L && col("id") < 300L && col("v") > 0.0)
+
+    val after = fileNames(root)
+    // untouched files carried over under their original names
+    val carried = before.intersect(after)
+    assert(carried.size >= 6, s"expected >=6 of 8 files carried over, got ${carried.size}")
+    assert(carried.size < 8, "at least one file must have been rewritten")
+
+    val cur = VersionedTable.resolve(root, conf).get
+    val got = spark.read.parquet(cur).select("id").as[Long].collect().sorted.toSeq
+    val expect = (0 until 2000).filterNot(i =>
+      i >= 100 && i < 300 && i % 97 != 0).map(_.toLong)
+    assert(got == expect, "null-v rows inside the range must survive the delete")
+  }
+
+  test("deleteWhere without prunable stats rewrites everything, correctly") {
+    import spark.implicits._
+    val root = tmpDir("delall")
+    // unclustered publish: file bounds all overlap — full rewrite path
+    val df = (0 until 500).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    VersionedTable.publish(df.repartition(4), root)
+    RefTableMutations.deleteWhere(spark, root, col("s") === "s7")
+    val cur = VersionedTable.resolve(root, conf).get
+    assert(spark.read.parquet(cur).count() == 499)
+  }
+
+  test("upsert rewrites only files overlapping the source key range") {
+    import spark.implicits._
+    val root = tmpDir("up")
+    val df = (0 until 2000).map(i => (i.toLong, i % 7, i.toLong * 3)).toDF("id", "g", "m")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 8)
+    val before = fileNames(root)
+
+    // updates confined to ids [0, 150]; inserts at NEGATIVE ids keep the
+    // source key range away from the upper files
+    val src = (0 to 150 by 3).map(i => (i.toLong, 99, -1L))
+      .++(Seq((-5L, 42, 1000L), (-6L, 42, 2000L)))
+      .toDF("id", "g", "m")
+    RefTableMutations.upsert(spark, root, src, Seq("id"))
+
+    val after = fileNames(root)
+    val carried = before.intersect(after)
+    assert(carried.size >= 6, s"expected >=6 of 8 files carried over, got ${carried.size}")
+
+    val cur = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    assert(cur.count() == 2000 + 2)
+    assert(cur.filter(col("g") === 99).count() == 51)
+    assert(cur.filter(col("id") === 9L).select("m").first().getLong(0) == -1L)
+    assert(cur.filter(col("id") === 151L).select("m").first().getLong(0) == 453L)
+    assert(cur.filter(col("id") < 0L).count() == 2)
+  }
+
+  test("upsert equals the logical anti-join ∪ source recompute (multi-column key)") {
+    import spark.implicits._
+    val root = tmpDir("upmk")
+    val df = (0 until 300).map(i => (i.toLong % 10, s"k${i % 30}", i.toLong)).toDF("a", "b", "m")
+      .dropDuplicates("a", "b")
+    VersionedTable.publishClustered(df, root, Seq("a"), numFiles = 4)
+    val src = Seq((1L, "k1", -7L), (99L, "new", 1L)).toDF("a", "b", "m")
+    RefTableMutations.upsert(spark, root, src, Seq("a", "b"))
+    val cur = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    val expect = df.join(src.select("a", "b"), Seq("a", "b"), "left_anti").unionByName(src)
+    assert(cur.orderBy("a", "b").collect().toSeq ==
+      expect.orderBy("a", "b").collect().toSeq)
+  }
+
+  test("empty upsert source publishes an identical version") {
+    import spark.implicits._
+    val root = tmpDir("upempty")
+    val df = (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 2)
+    val before = fileNames(root)
+    RefTableMutations.upsert(spark, root, df.limit(0), Seq("id"))
+    assert(fileNames(root) == before, "all files carried over by name")
+    assert(spark.read.parquet(VersionedTable.resolve(root, conf).get).count() == 100)
+  }
+
+  test("mutations refuse partitioned layouts and non-versioned roots") {
+    import spark.implicits._
+    val root = tmpDir("refuse")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    VersionedTable.publishPartitioned(df, root, Seq("p"))
+    val e = intercept[UnsupportedOperationException] {
+      RefTableMutations.deleteWhere(spark, root, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("flat"))
+    val e2 = intercept[IllegalArgumentException] {
+      RefTableMutations.upsert(spark, tmpDir("nothere"), df, Seq("id"))
+    }
+    assert(e2.getMessage.contains("versioned"))
+  }
+
+  test("readers pinned to the pre-mutation version are unaffected") {
+    import spark.implicits._
+    val root = tmpDir("pin")
+    val df = (0 until 400).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 4)
+    val v1 = VersionedTable.versionDirs(root, conf).last
+    RefTableMutations.deleteWhere(spark, root, col("id") < 200L)
+    // time travel to v1 still sees every row
+    val pinned = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, v DOUBLE")
+      .option("version", v1).load()
+    assert(pinned.count() == 400)
+    val cur = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, v DOUBLE").load()
+    assert(cur.count() == 200)
+  }
+}
