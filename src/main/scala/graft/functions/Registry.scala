@@ -24,7 +24,8 @@ object Registry {
     "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
     "graft_minhash_sig" -> (exprs => MinHashSignature(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "graft_minhash_bands" -> (exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
-    "graft_shingle_hashes" -> (exprs => ShingleHashes(exprs(0), intArg(exprs(1)))))
+    "graft_shingle_hashes" -> (exprs => ShingleHashes(exprs(0), intArg(exprs(1)))),
+    "graft_token_stats" -> (exprs => TokenStats(exprs.head)))
 
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry

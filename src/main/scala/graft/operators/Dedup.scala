@@ -76,6 +76,35 @@ object Dedup {
     withSizes.withColumn("j", r4(j)).filter(j >= threshold).select("a_id", "b_id", "j")
   }
 
+  /** Exact n-gram CONTAINMENT join on hashed shingles: c_ab = |A∩B|/|A|,
+    * c_ba = |A∩B|/|B| — the asymmetric near-dup signal (a short document
+    * quoted inside a long one has high containment but low Jaccard, so a
+    * Jaccard-only gate misses it; containment gates are standard in
+    * published corpus-dedup recipes). Candidates come from the same
+    * shared-shingle equi-join as [[ngramJaccardPairs]]: pairs sharing zero
+    * shingles are never materialized, and the only wide exchange is
+    * bounded by shingle-bucket fan-out (cap stop-shingles upstream at
+    * open-web scale). Keeps unordered pairs where either direction clears
+    * `threshold`.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), k)).as("h"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a_id"), col("h"))
+    val b = sh.select(col(idCol).as("b_id"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val withSizes = inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), Seq("b_id"))
+    val cab = col("i").cast("double") / col("na")
+    val cba = col("i").cast("double") / col("nb")
+    withSizes.filter(greatest(cab, cba) >= threshold)
+      .select(col("a_id"), col("b_id"), r4(cab).as("c_ab"), r4(cba).as("c_ba"))
+  }
+
   /** Full corpus dedup: remove exact duplicates (keep the minimum id per
     * content hash) and then near-duplicates via MinHash-LSH (greedy: of each
     * near-dup pair, the higher id is dropped). Returns the surviving rows of

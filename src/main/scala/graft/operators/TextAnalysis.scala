@@ -63,6 +63,23 @@ object TextAnalysis {
   /** BPE-ish token count: letter runs, digit runs, single punctuation marks. */
   def bpeTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(bpeTokens(col(textCol))).as("n_bpe"))
+
+  /** Repetition metrics — duplicate-token fraction and top-token share,
+    * the classic boilerplate/low-quality markers in published corpus
+    * filtering rules — from a single fused pass per document
+    * ([[graft.functions.TokenStats]]): no explode, no shuffle, narrow map
+    * work at any corpus size. Docs with zero tokens are dropped (the
+    * ratios are undefined there).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.TextFunctions.tokenStats(tokens(col(textCol)))
+    df.select(col(idCol), st.as("st"))
+      .select(col(idCol), col("st.n_tok").as("n_tok"),
+        col("st.n_distinct").as("n_distinct"), col("st.top_cnt").as("top_cnt"))
+      .filter(col("n_tok") > 0)
+      .withColumn("dup_frac", r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tok")))
+      .withColumn("top_share", r4(col("top_cnt").cast("double") / col("n_tok")))
+  }
 }
 
 /** Dataset profiling: one row per column with the stats a pipeline health

@@ -194,6 +194,23 @@ object DedupOps {
          |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
          |SELECT doc_id, cluster_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // exact n-gram CONTAINMENT pairs: the asymmetric near-dup signal (a
+    // doc quoted inside a larger one has high containment but low Jaccard
+    // — a Jaccard-only gate misses it). Same shared-shingle equi-join as
+    // q43: zero-overlap pairs never materialize.
+    QueryDef("q106_containment", (s, dir) => {
+      graft.operators.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, k = 3)
+        .orderBy("a_id", "b_id")
+    }, Some(
+      s"""WITH $ShingleCtes,
+         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+         |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(i * 1.0 / sa.n, 4) AS c_ab, round(i * 1.0 / sb.n, 4) AS c_ba
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin)),
+
     // near-dup pairs by SimHash Hamming distance <= 10.
     QueryDef("q19_simhash_pairs", (s, dir) => {
       graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)

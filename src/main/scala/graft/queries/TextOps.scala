@@ -16,6 +16,41 @@ object TextOps {
   val ToksCte = "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents)"
 
   val defs: Seq[QueryDef] = Seq(
+    // Repetition quality metrics — duplicate-token fraction and top-token
+    // share, the published corpus-filtering repetition signals — computed
+    // in ONE fused JVM pass per document (TokenStats expression: no
+    // explode, no shuffle). The oracle recomputes via unnest + two
+    // aggregations, so a hash match proves the fused pass exact.
+    QueryDef("q104_repetition", (s, dir) => {
+      graft.operators.TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tok, CAST(count(*) AS INT) AS n_distinct,
+        |  CAST(max(c) AS INT) AS top_cnt FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tok, n_distinct, top_cnt,
+        |  round(1.0 - n_distinct / CAST(n_tok AS DOUBLE), 4) AS dup_frac,
+        |  round(top_cnt / CAST(n_tok AS DOUBLE), 4) AS top_share
+        |FROM agg WHERE n_tok > 0 ORDER BY doc_id""".stripMargin)),
+
+    // Token-length histogram in power-of-two buckets: the sequence-length
+    // planning profile a training pipeline runs before packing (-1 =
+    // tokenless doc). Pure map + one tiny aggregation.
+    QueryDef("q105_length_histogram", (s, dir) => {
+      val n = size(tokens(col("text")))
+      t(s, dir, "documents")
+        .select(when(n === 0, lit(-1))
+          .otherwise(floor(log2(n.cast("double"))).cast("int")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")
+    }, Some(
+      """SELECT CASE WHEN n = 0 THEN -1 ELSE CAST(floor(log2(n)) AS INT) END AS bucket,
+        |  count(*) AS n_docs
+        |FROM (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("q14_token_counts", (s, dir) => {
       graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"), "lang", "text")
         .orderBy("lang", "word")

@@ -120,6 +120,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(Catalog.byName("q35_approx_distinct").fn(spark, dir).first().getBoolean(0))
   }
 
+  test("token_stats fuses count/distinct/top-count into one pass") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokenStats
+    val df = Seq(
+      (1L, Some(Seq("a", "b", "a", "a"))),
+      (2L, Some(Seq.empty[String])),
+      (3L, Some(Seq("x"))),
+      (4L, None)).toDF("id", "toks")
+    val got = df.select(col("id"), tokenStats(col("toks")).as("s"))
+      .select(col("id"), col("s.n_tok"), col("s.n_distinct"), col("s.top_cnt"), col("s").isNull.as("isnull"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getBoolean(4)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(got(1L).contains((4, 2, 3)))
+    assert(got(2L).contains((0, 0, 0)))
+    assert(got(3L).contains((1, 1, 1)))
+    assert(got(4L).isEmpty, "null token array must yield a null struct")
+  }
+
   test("GraftExtensions injects the kernel functions at session build time") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -310,6 +310,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == plain && plain.size == 9500)
   }
 
+  test("containment pairs: a quoted subset scores c_ab = 1 while Jaccard stays low") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq(
+      (1L, small),
+      (2L, s"$small $filler"), // contains doc 1 verbatim as a prefix
+      (3L, "completely unrelated words appear in this one")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0, got.head._4)))
+    // every shingle of the small doc appears in the big one; the reverse
+    // direction is diluted by the filler — the Jaccard a symmetric gate
+    // would see is below 0.1
+    assert(got.head._4 < 0.15)
+  }
+
   test("incremental aggregate maintenance equals recompute under random churn") {
     import spark.implicits._
     import graft.operators.{IncrementalAgg, SnapshotDiff}
