@@ -68,6 +68,20 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must be a shuffle-free projection over the broadcast codebook:\n$p")
   }
 
+  test("q104 repetition metrics run without a Generate (fused pass, no explode)") {
+    val df = Catalog.byName("q104_repetition").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Generate"),
+      s"repetition metrics must be one fused pass per doc, not explode+groupBy:\n$p")
+  }
+
+  test("q106 containment pairs come from an equi-join, never a nested-loop join") {
+    val p = plan("q106_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment candidates must come from the shared-shingle equi-join:\n$p")
+  }
+
   test("q76 per-group cap uses WindowGroupLimit (partial top-n before the exchange)") {
     assert(plan("q76_cap_per_group").contains("WindowGroupLimit"))
   }
