@@ -656,6 +656,32 @@ object Advanced {
         |  count(*) AS cnt
         |FROM after GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
+    // with deterministic layouts, then VersionedTable.history — file
+    // counts from listings, row counts from the stats manifests, ZERO
+    // data pages read (the versioned-table sibling of q97). The oracle
+    // recomputes the expected rows from the same source table.
+    QueryDef("q107_table_history", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q107_hist")
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      // fresh root per invocation tag, but bench re-runs reuse it: reset by
+      // deleting and republishing so version count stays deterministic
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      VersionedTable.publish(nation.repartition(2), root)
+      VersionedTable.publish(nation.filter(col("n_regionkey") < 2).repartition(1), root)
+      VersionedTable.history(s, root)
+        .select("version_idx", "n_files", "n_rows", "is_current")
+        .orderBy("version_idx")
+    }, Some(
+      """SELECT 0 AS version_idx, 2 AS n_files,
+        |  (SELECT count(*) FROM nation) AS n_rows, FALSE AS is_current
+        |UNION ALL
+        |SELECT 1, 1, (SELECT count(*) FROM nation WHERE n_regionkey < 2), TRUE
+        |ORDER BY version_idx""".stripMargin)),
+
     // File-granular copy-on-write DELETE: orders published clustered on
     // o_totalprice, then a selective price-band delete — the stats
     // manifest decides which files MAY match, only those are rewritten,

@@ -103,6 +103,32 @@ object SimilarityOps {
         |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // IVF-PQ at its exactness limit: probe EVERY cell and set the ADC
+    // refine window past the corpus size, so the approximate pipeline
+    // (assign + encode + ADC scan + exact re-rank) must degenerate to the
+    // brute-force result — the same oracle as q15. This oracles the PQ
+    // PLUMBING (one-pass encode, broadcast probes, candidate join, rerank
+    // shape) exactly; the ADC approximation QUALITY is recall-spec'd in
+    // OperatorsSpec, which is the right check for a lossy scorer.
+    QueryDef("q108_ivfpq_exact_limit", (s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16)
+      val refine = (e.count() / K + 1).toInt
+      graft.operators.Pq.ivfPqTopK(e, q, cent, cb, "vec_id", "embedding",
+        k = K, nProbe = NCells, refine = refine)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT query_id, vec_id, ${duckCos("qv", "v")} AS sim FROM q, c WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
     // IVF-style ANN: fixed codebook (vec_id < NCells as centroids — a
     // deterministic stand-in for an offline k-means), nearest-cell assignment,
     // nprobe-limited probing, exact re-rank within probed cells.

@@ -294,6 +294,43 @@ object VersionedTable {
     publishInternal(compacted, root, keepVersions, partitionColumns)
   }
 
+  /** Version history of the table — the DESCRIBE HISTORY analogue,
+    * metadata-only: file counts and bytes come from the retained listings,
+    * row counts from each version's stats manifest (null for a version
+    * that predates manifests, never guessed). Zero data pages read.
+    */
+  def history(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val conf = new Configuration()
+    val current = resolve(root, conf).map(p => new Path(p).getName)
+    versionDirs(root, conf).zipWithIndex.map { case (name, i) =>
+      val dir = new Path(root, name).toString
+      val files = SnapshotFiles.list(dir)
+      val nRows: Option[Long] = RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
+      (i, name, files.size, files.map(_.length).sum, nRows, current.contains(name))
+    }.toDF("version_idx", "version", "n_files", "bytes", "n_rows", "is_current")
+  }
+
+  /** Explicit retention pass: delete versions beyond `keepVersions`
+    * without publishing anything — the vacuum for tables whose writers
+    * retain generously (publish-time pruning already runs with each
+    * publish). Oldest first; never the pointer's current target. Returns
+    * the deleted version names.
+    */
+  def vacuum(root: String, keepVersions: Int = 3): Seq[String] = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2: retaining only the current version would delete " +
+        "the previous one under readers still pinned to it")
+    val conf = new Configuration()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val pointed = resolve(root, conf).map(p => new Path(p).getName)
+    val prunable = versionDirs(root, conf).filterNot(pointed.contains)
+    val doomed = prunable.dropRight(keepVersions - 1)
+    doomed.foreach(old => fs.delete(new Path(rootPath, old), true))
+    doomed
+  }
+
   /** Key-level changes (insert/delete/update) from `fromVersion` to the
     * current version — a changefeed between retained versions, composing
     * the versioned layer with [[graft.operators.SnapshotDiff]]: one

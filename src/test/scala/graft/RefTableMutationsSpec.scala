@@ -129,6 +129,29 @@ class RefTableMutationsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("versioned"))
   }
 
+  test("history is metadata-only and vacuum never deletes the current version") {
+    import spark.implicits._
+    val root = tmpDir("hist")
+    val df1 = (0 until 100).map(i => (i.toLong, i.toString)).toDF("id", "s")
+    // generous retention so versions accumulate for the vacuum below
+    VersionedTable.publish(df1.repartition(2), root, keepVersions = 10)
+    VersionedTable.publish(df1.filter(col("id") < 40L).repartition(1), root, keepVersions = 10)
+    VersionedTable.publish(df1.filter(col("id") < 10L).repartition(1), root, keepVersions = 10)
+    val h = VersionedTable.history(spark, root)
+      .orderBy("version_idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getLong(4), r.getBoolean(5)))
+    assert(h.toSeq == Seq((0, 2, 100L, false), (1, 1, 40L, false), (2, 1, 10L, true)))
+
+    val deleted = VersionedTable.vacuum(root, keepVersions = 2)
+    assert(deleted.size == 1, s"expected exactly the oldest version deleted, got $deleted")
+    val left = VersionedTable.versionDirs(root, conf)
+    assert(left.size == 2 && !left.contains(deleted.head))
+    // current still resolves and reads the latest state
+    assert(spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, s STRING").load().count() == 10)
+  }
+
   test("readers pinned to the pre-mutation version are unaffected") {
     import spark.implicits._
     val root = tmpDir("pin")
