@@ -656,6 +656,32 @@ object Advanced {
         |  count(*) AS cnt
         |FROM after GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // The SQL-catalog surface end-to-end: CREATE TABLE in the DSv2
+    // TableCatalog, INSERT from a real table, DELETE FROM routed through
+    // the copy-on-write mutation, aggregate read back via SQL. The oracle
+    // replays insert + delete logically. Catalog name is unique per
+    // (invocation, sf) — catalog plugin instances are cached per session.
+    QueryDef("q109_sql_catalog", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q109_cat")
+      val cat = "graftcat_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nat")
+      s.sql(s"CREATE TABLE $cat.db.nat " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) USING reftable")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT INTO $cat.db.nat " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+      s.sql(s"DELETE FROM $cat.db.nat WHERE n_regionkey = 2")
+      s.sql(s"SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name " +
+        s"FROM $cat.db.nat GROUP BY n_regionkey ORDER BY n_regionkey")
+    }, Some(
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation WHERE n_regionkey <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

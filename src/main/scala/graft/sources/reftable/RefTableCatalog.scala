@@ -1,0 +1,213 @@
+package graft.sources.reftable
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `TableCatalog` over a warehouse directory of versioned reftable
+  * roots — the full SQL surface for the engine:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[RefTableCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  *   spark.sql("CREATE NAMESPACE graft.corpus")
+  *   spark.sql("CREATE TABLE graft.corpus.docs (doc_id BIGINT, text STRING) USING reftable")
+  *   spark.sql("INSERT INTO graft.corpus.docs SELECT ...")
+  *   spark.sql("DELETE FROM graft.corpus.docs WHERE doc_id % 100 = 7")
+  *   spark.sql("SELECT * FROM graft.corpus.docs VERSION AS OF 'v...'")
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>/` is a versioned table root
+  * ([[VersionedTable]]); the table descriptor `_TABLE.json` (schema DDL +
+  * reader/writer options) lives beside `_CURRENT`. Identifier path
+  * segments are restricted to `[A-Za-z0-9_]` so an identifier can never
+  * escape the warehouse or collide with version directories.
+  *
+  * DELETE FROM routes through [[SupportsDelete]] into the file-granular
+  * copy-on-write path ([[RefTableMutations.deleteWhere]]); TRUNCATE
+  * publishes an empty version. Time travel uses the version-directory
+  * names surfaced by [[VersionedTable.history]].
+  */
+class RefTableCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private val conf = new Configuration()
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires option 'warehouse' (spark.sql.catalog.$name.warehouse)"))
+  }
+
+  private def fs = new Path(warehouse).getFileSystem(conf)
+
+  private def checkSegment(s: String): String = {
+    if (!s.matches("[A-Za-z0-9_]+"))
+      throw new IllegalArgumentException(
+        s"invalid identifier segment '$s': only [A-Za-z0-9_] is allowed")
+    s
+  }
+
+  private def nsPath(ns: Seq[String]): Path =
+    ns.map(checkSegment).foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace.toIndexedSeq), checkSegment(ident.name))
+
+  private val Descriptor = "_TABLE.json"
+
+  private def descriptorPath(ident: Identifier): Path =
+    new Path(tablePath(ident), Descriptor)
+
+  // ---- tables ---------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace.toIndexedSeq)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, Descriptor)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = fs.exists(descriptorPath(ident))
+
+  private def readDescriptor(ident: Identifier): (StructType, Map[String, String]) = {
+    val dp = descriptorPath(ident)
+    if (!fs.exists(dp)) throw new NoSuchTableException(ident)
+    val in = fs.open(dp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new ObjectMapper().readTree(text)
+    val schema = StructType.fromDDL(node.path("schema").asText())
+    val opts = Option(node.get("options")).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    (schema, opts)
+  }
+
+  private def toTable(ident: Identifier, version: Option[String]): Table = {
+    val (schema, stored) = readDescriptor(ident)
+    val base = Map(
+      "path" -> tablePath(ident).toString,
+      "schema" -> schema.toDDL) ++ stored ++
+      version.map("version" -> _).toMap
+    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(base.asJava)))
+  }
+
+  override def loadTable(ident: Identifier): Table = toTable(ident, None)
+
+  /** `VERSION AS OF '<versionDirName>'` — pin to a retained version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tablePath(ident).toString
+    if (!VersionedTable.versionDirs(root, conf).contains(version))
+      throw new IllegalArgumentException(
+        s"table ${ident.toString} has no retained version '$version' " +
+          s"(see VersionedTable.history)")
+    toTable(ident, Some(version))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val ns = ident.namespace.toIndexedSeq
+    if (!fs.exists(nsPath(ns))) throw new NoSuchNamespaceException(ns.toArray)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable catalog tables do not take PARTITIONED BY transforms; declare the " +
+          "'partitionColumns' table option (Hive layout inside each version) instead")
+    // OPTION_PREFIX-prefixed properties become reader/writer options in the
+    // descriptor; Spark-reserved props (provider, location, owner...) are not
+    val opts = properties.asScala.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.substring(TableCatalog.OPTION_PREFIX.length) -> v
+    }.toMap
+    // validate now — a bad option should fail CREATE, not the first read
+    RefTableOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> tablePath(ident).toString, "schema" -> schema.toDDL) ++ opts).asJava))
+    fs.mkdirs(tablePath(ident))
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("schema", schema.toDDL)
+    val on = root.putObject("options")
+    opts.foreach { case (k, v) => on.put(k, v) }
+    val out = fs.create(descriptorPath(ident), false)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "reftable catalog: ALTER TABLE is not supported; recreate the table " +
+        "(schema evolution on read is available via the allowMissingColumns option)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(tablePath(oldIdent), tablePath(newIdent)))
+      throw new IllegalStateException(s"rename of ${oldIdent.toString} failed")
+  }
+
+  // ---- namespaces -----------------------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toIndexedSeq.filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = nsPath(namespace.toIndexedSeq)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && !fs.exists(new Path(s.getPath, Descriptor)))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace.toIndexedSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace.toIndexedSeq)
+    if (fs.exists(p)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("reftable catalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace.toIndexedSeq)
+    if (!fs.exists(p)) return false
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(p, true)
+  }
+}

@@ -118,6 +118,40 @@ object RefTableFilters {
     }
   }
 
+  /** Data-source filter → Column over the STORAGE-named files (rowField
+    * redirected to its key column) — the inverse direction of
+    * [[toSourceFilter]], used by the SQL DELETE path to hand predicates
+    * to the copy-on-write mutation. None for shapes without an exact
+    * Column equivalent: those make `canDeleteWhere` false, so Spark
+    * refuses the DELETE instead of over- or under-deleting.
+    */
+  def toColumn(opts: RefTableOptions, f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not => fnot}
+    def c(a: String): Option[org.apache.spark.sql.Column] =
+      opts.schema.fields.find(_.name == a).filter(_ => !opts.genColumn.contains(a))
+        .map(fd => col(opts.storageColumn(fd.name)))
+    f match {
+      case EqualTo(a, v) => c(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case LessThan(a, v) => c(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case IsNull(a) => c(a).map(_.isNull)
+      case IsNotNull(a) => c(a).map(_.isNotNull)
+      case In(a, vs) => c(a).map(_.isin(vs.toIndexedSeq: _*))
+      case StringStartsWith(a, p) => c(a).map(_.startsWith(p))
+      case StringEndsWith(a, p) => c(a).map(_.endsWith(p))
+      case StringContains(a, p) => c(a).map(_.contains(p))
+      case Not(ch) => toColumn(opts, ch).map(fnot)
+      case And(l, r) => for (lc <- toColumn(opts, l); rc <- toColumn(opts, r)) yield lc && rc
+      case Or(l, r) => for (lc <- toColumn(opts, l); rc <- toColumn(opts, r)) yield lc || rc
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Storage-side field name + type for a schema field, if pushable.
     * Partition columns are excluded — they exist only in directory names,
     * and parquet-mr rejects predicates over absent columns; their filters

@@ -100,9 +100,47 @@ class RefTableProvider extends TableProvider with DataSourceRegister
 }
 
 class RefTable(opts: RefTableOptions) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"reftable(${opts.path})"
   override def schema(): StructType = opts.outputSchema
+
+  /** SQL `DELETE FROM` / `TRUNCATE TABLE`, routed into the file-granular
+    * copy-on-write mutation ([[RefTableMutations.deleteWhere]]). Only
+    * predicates with an exact Column equivalent are accepted — Spark
+    * refuses the DELETE otherwise, never over- or under-deletes. Hive-
+    * partitioned layouts and read-only projections (pinned `version`,
+    * `genColumn`) refuse at planning time via canDeleteWhere.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    opts.version.isEmpty && opts.genColumn.isEmpty && opts.partitionColumns.isEmpty &&
+      filters.forall(f =>
+        f == org.apache.spark.sql.sources.AlwaysTrue() ||
+          RefTableFilters.toColumn(opts, f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // nothing published yet: DELETE/TRUNCATE of an empty table is a no-op
+    if (VersionedTable.resolve(opts.path).isEmpty) return
+    val truncate =
+      filters.isEmpty || filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue())
+    if (truncate) {
+      // TRUNCATE: publish an empty version under the STORAGE schema —
+      // one empty parquet file keeps the version dir listable
+      val storage = StructType(opts.schema.fields.map(f =>
+        f.copy(name = opts.storageColumn(f.name))))
+      VersionedTable.publish(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), storage)
+          .repartition(1),
+        opts.path)
+    } else {
+      val cond = filters.map(f => RefTableFilters.toColumn(opts, f).getOrElse(
+        throw new UnsupportedOperationException(s"cannot push delete predicate $f")))
+        .reduce(_ && _)
+      RefTableMutations.deleteWhere(spark, opts.path, cond)
+    }
+    ()
+  }
   // BATCH_WRITE is required by the DataFrameWriter.save() capability gate
   // even though the produced Write is a V1Write fallback; V1_BATCH_WRITE is
   // what routes the physical plan through the InsertableRelation.

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.{RefTableCatalog, VersionedTable}
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface through the DSv2 TableCatalog: namespaces, CREATE/DROP/
+  * RENAME, INSERT, SELECT, VERSION AS OF time travel, DELETE FROM routed
+  * into the copy-on-write mutation path, TRUNCATE as an empty publish.
+  */
+class RefTableCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  // catalog plugin instances are cached per session after first use, so a
+  // shared name would pin every test to the first test's warehouse — each
+  // test gets its own catalog name
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def withCatalog[T](f: (String, String) => T): T = {
+    val cat = s"gcat${n.incrementAndGet()}"
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    f(cat, wh)
+  }
+
+  test("SQL surface end-to-end: create, insert, select, delete, time travel, truncate, drop") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, s STRING) USING reftable")
+      assert(spark.sql(s"SHOW TABLES IN $cat.db").collect().map(_.getString(1)).contains("t"))
+
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (1,'a'),(2,'b'),(3,'c')")
+      val v1 = VersionedTable.versionDirs(s"$wh/db/t", conf).last
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (4,'d')")
+      assert(spark.table(s"$cat.db.t").count() == 4)
+
+      // DELETE routes through SupportsDelete into the COW mutation
+      spark.sql(s"DELETE FROM $cat.db.t WHERE id >= 3")
+      assert(spark.table(s"$cat.db.t").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+      // the pre-delete version is still queryable by name
+      assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF '$v1'").count() == 3)
+
+      spark.sql(s"TRUNCATE TABLE $cat.db.t")
+      assert(spark.table(s"$cat.db.t").count() == 0)
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (9,'z')")
+      assert(spark.table(s"$cat.db.t").select("s").as[String].collect().toSeq == Seq("z"))
+
+      spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2")
+      assert(spark.table(s"$cat.db.t2").count() == 1)
+      spark.sql(s"DROP TABLE $cat.db.t2")
+      assert(!spark.catalog.tableExists(s"$cat.db.t2"))
+    }
+  }
+
+  test("DELETE with an untranslatable predicate is refused, never mis-applied") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db2")
+      spark.sql(s"CREATE TABLE $cat.db2.u (id BIGINT, s STRING) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db2.u VALUES (1,'ab'),(2,'c')")
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.db2.u WHERE length(s) > 1")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      assert(spark.table(s"$cat.db2.u").count() == 2, "refused delete must not change data")
+    }
+  }
+
+  test("catalog validates identifiers, options and namespaces") {
+    withCatalog { (cat, _) =>
+      // table in a missing namespace
+      val e1 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.nope.t (id BIGINT) USING reftable")
+      }
+      assert(e1.getMessage.toLowerCase.contains("nope"), e1.getMessage)
+      // bad option fails CREATE, not the first read
+      spark.sql(s"CREATE NAMESPACE $cat.db3")
+      val e2 = intercept[Exception] {
+        spark.sql(
+          s"CREATE TABLE $cat.db3.t (id BIGINT) USING reftable OPTIONS (refreshInterval 'bogus')")
+      }
+      assert(e2.getMessage.contains("refreshInterval"), e2.getMessage)
+      // identifier escape attempt
+      val e3 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db3.`..` (id BIGINT) USING reftable")
+      }
+      assert(e3.getMessage.contains("identifier"), e3.getMessage)
+    }
+  }
+
+  test("catalog tables read through the full source stack (options honored)") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db4")
+      spark.sql(
+        s"""CREATE TABLE $cat.db4.k (row_key BIGINT NOT NULL, v STRING) USING reftable
+          |OPTIONS (rowField 'row_key', keyColumn 'id')""".stripMargin)
+      // writes store the key under its storage name; reads surface rowField
+      spark.sql(s"INSERT INTO $cat.db4.k VALUES (10,'x'),(11,'y')")
+      val rows = spark.table(s"$cat.db4.k").orderBy("row_key").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+      // the parquet files really carry the storage column name
+      val cur = VersionedTable.resolve(s"$wh/db4/k", conf).get
+      assert(spark.read.parquet(cur).columns.toSeq.contains("id"))
+    }
+  }
+}
