@@ -118,6 +118,21 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     toTable(ident, Some(version))
   }
 
+  /** `TIMESTAMP AS OF <ts>`: pin to the newest version published at or
+    * before the timestamp. Version directory names embed their publish
+    * millis, so resolution is a name comparison — no file reads. Spark
+    * hands micros since epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = tablePath(ident).toString
+    val ms = timestamp / 1000L
+    val pick = VersionedTable.versionDirs(root, conf)
+      .filter(d => VersionedTable.versionTimestampMs(d) <= ms)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"table ${ident.toString} has no version at or before timestamp ${ms}ms"))
+    toTable(ident, Some(pick))
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -451,6 +451,12 @@ object VersionedTable {
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 
+  /** Publish time (epoch millis) embedded in a version directory name —
+    * monotonic across publishes (a clock tie bumps past the max), which is
+    * what makes TIMESTAMP AS OF resolution a pure name comparison.
+    */
+  def versionTimestampMs(name: String): Long = versionNum(name)
+
   /** Version directory names under `root`, oldest first. */
   def versionDirs(root: String, conf: Configuration = new Configuration()): Seq[String] = {
     val rootPath = new Path(root)

@@ -92,6 +92,27 @@ class RefTableCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves the newest version at or before the time") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db5")
+      spark.sql(s"CREATE TABLE $cat.db5.t (id BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db5.t VALUES (1)")
+      Thread.sleep(5)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(5)
+      spark.sql(s"INSERT INTO $cat.db5.t VALUES (2)")
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(mid))
+      assert(spark.sql(s"SELECT * FROM $cat.db5.t TIMESTAMP AS OF '$ts'").count() == 1)
+      assert(spark.table(s"$cat.db5.t").count() == 2)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.db5.t TIMESTAMP AS OF '1999-01-01 00:00:00'").count()
+      }
+      assert(e.getMessage.contains("no version"), e.getMessage)
+    }
+  }
+
   test("catalog tables read through the full source stack (options honored)") {
     withCatalog { (cat, wh) =>
       spark.sql(s"CREATE NAMESPACE $cat.db4")
