@@ -113,6 +113,47 @@ class RefTableCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterBy in CREATE TABLE OPTIONS drives file skipping through plain SQL") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db6")
+      spark.sql(s"CREATE TABLE $cat.db6.c (id BIGINT, v DOUBLE) USING reftable " +
+        "OPTIONS (clusterBy 'id', clusterFiles '8')")
+      import spark.implicits._
+      (0 until 2000).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+        .createOrReplaceTempView("src_c")
+      spark.sql(s"INSERT INTO $cat.db6.c SELECT * FROM src_c")
+      val df = spark.sql(s"SELECT * FROM $cat.db6.c WHERE id >= 100 AND id < 200")
+      assert(df.count() == 100)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }
+      assert(scans.nonEmpty && scans.head.partitions.size <= 2,
+        s"a selective range over the clustered key must plan O(matching) files, " +
+          s"got ${scans.map(_.partitions.size)}")
+    }
+  }
+
+  test("streaming read of a catalog table emits the current snapshot") {
+    withCatalog { (cat, _) =>
+      import org.apache.spark.sql.streaming.Trigger
+      spark.sql(s"CREATE NAMESPACE $cat.db7")
+      spark.sql(s"CREATE TABLE $cat.db7.s (id BIGINT, v STRING) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db7.s VALUES (1,'a'),(2,'b')")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.table(s"$cat.db7.s")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.select("id").collect().map(_.getLong(0)) }; ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_cat_stream_ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+      assert(got.sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+
   test("catalog tables read through the full source stack (options honored)") {
     withCatalog { (cat, wh) =>
       spark.sql(s"CREATE NAMESPACE $cat.db4")
