@@ -44,7 +44,10 @@ object RefTableMutations {
     val conf = new Configuration()
     val current = resolveFlat(root, conf)
     val files = SnapshotFiles.list(current)
-    val schema = spark.read.parquet(current).schema
+    // mergeSchema: an adopted version (or one assembled by earlier
+    // mutations) can hold files predating a column; the sampled-schema
+    // default would silently DROP those columns from rewritten rows
+    val schema = spark.read.option("mergeSchema", "true").parquet(current).schema
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
     val mayMatch = if (filters.isEmpty) files
       else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
@@ -56,7 +59,8 @@ object RefTableMutations {
       if (mayMatch.nonEmpty) {
         // keep ⇔ NOT(cond IS TRUE): rows where the predicate is NULL
         // survive a SQL DELETE, and a bare !cond would drop them
-        val kept = spark.read.parquet(mayMatch.map(_.path): _*)
+        val kept = spark.read.option("mergeSchema", "true")
+          .parquet(mayMatch.map(_.path): _*)
           .filter(not(coalesce(condition, lit(false))))
         VersionedTable.writeParquetMicros(kept, staging.toString)
       }
@@ -85,7 +89,9 @@ object RefTableMutations {
     val conf = new Configuration()
     val current = resolveFlat(root, conf)
     val files = SnapshotFiles.list(current)
-    val cur = spark.read.parquet(current)
+    // mergeSchema: see deleteWhere — never let a sampled schema narrow
+    // the rewrite of a mixed-schema version
+    val cur = spark.read.option("mergeSchema", "true").parquet(current)
     val curCols = cur.columns.toSeq
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
@@ -115,9 +121,11 @@ object RefTableMutations {
     VersionedTable.publishVia(root, keepVersions) { staging =>
       val rewritten =
         if (mayMatch.isEmpty) aligned
-        else spark.read.parquet(mayMatch.map(_.path): _*)
+        else spark.read.option("mergeSchema", "true").parquet(mayMatch.map(_.path): _*)
           .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(aligned)
+          // the may-match subset can lack columns other files carry —
+          // null-fill instead of failing (readers null-fill them too)
+          .unionByName(aligned, allowMissingColumns = true)
       if (!empty || mayMatch.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString)
       carryOver(untouched, staging, conf)

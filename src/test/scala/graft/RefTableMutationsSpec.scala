@@ -129,6 +129,39 @@ class RefTableMutationsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("versioned"))
   }
 
+  test("mutations on a mixed-schema version never narrow the schema") {
+    import spark.implicits._
+    // adopt() can produce a version whose files predate a column; the
+    // sampled-schema default of spark.read.parquet would then silently
+    // drop that column from rewritten rows — this is the regression gate
+    val root = tmpDir("mixed")
+    val dir = new org.apache.hadoop.fs.Path(root)
+    dir.getFileSystem(conf).mkdirs(dir)
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "extra")
+      .coalesce(1).write.mode("append").parquet(root)
+    (50 until 100).map(i => Tuple1(i.toLong)).toDF("id")
+      .coalesce(1).write.mode("append").parquet(root)
+    VersionedTable.adopt(root)
+
+    RefTableMutations.deleteWhere(spark, root, col("id") % 10L === 0L)
+    val cur = spark.read.option("mergeSchema", "true")
+      .parquet(VersionedTable.resolve(root, conf).get)
+    assert(cur.columns.sorted.toSeq == Seq("extra", "id"))
+    assert(cur.count() == 90)
+    // wide-file rows keep their extra values through the rewrite
+    assert(cur.filter(col("id") === 7L).select("extra").first().getString(0) == "v7")
+
+    RefTableMutations.upsert(spark, root,
+      Seq((7L, "SEVEN"), (200L, "new")).toDF("id", "extra"), Seq("id"))
+    val cur2 = spark.read.option("mergeSchema", "true")
+      .parquet(VersionedTable.resolve(root, conf).get)
+    assert(cur2.columns.sorted.toSeq == Seq("extra", "id"))
+    assert(cur2.filter(col("id") === 7L).select("extra").first().getString(0) == "SEVEN")
+    assert(cur2.filter(col("id") === 55L).select("extra").first().isNullAt(0),
+      "narrow-file rows read as null extra, never dropped")
+    assert(cur2.count() == 91)
+  }
+
   test("history is metadata-only and vacuum never deletes the current version") {
     import spark.implicits._
     val root = tmpDir("hist")
