@@ -158,8 +158,16 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     root.put("schema", schema.toDDL)
     val on = root.putObject("options")
     opts.foreach { case (k, v) => on.put(k, v) }
-    val out = fs.create(descriptorPath(ident), false)
+    // tmp + rename(no-overwrite): a crashed CREATE leaves only an ignored
+    // tmp file, never a half-written descriptor that poisons loadTable;
+    // two racing CREATEs resolve at the rename (loser's rename fails)
+    val tmp = new Path(tablePath(ident), s"._TABLE.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, false)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
+    if (!fs.rename(tmp, descriptorPath(ident))) {
+      fs.delete(tmp, false)
+      throw new TableAlreadyExistsException(ident)
+    }
     loadTable(ident)
   }
 

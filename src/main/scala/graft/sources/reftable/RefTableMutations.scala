@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
   * Restrictions: Hive-partitioned version layouts are refused (rewriting
   * one partition directory tree COW-correctly is a different operation —
   * compact to a flat/clustered layout first, or use INSERT OVERWRITE).
+  *
+  * Layout drift: carried-over files keep their clustering; REWRITTEN
+  * files are written unclustered (their manifest bounds are still exact,
+  * just wider), so heavy mutation traffic gradually widens skipping
+  * bounds — the same drift Delta/Iceberg accept between OPTIMIZE passes.
+  * [[VersionedTable.compact]] or a clustered re-publish restores the
+  * layout.
   */
 object RefTableMutations {
 
@@ -161,6 +168,13 @@ object RefTableMutations {
     * otherwise. Parquet files are immutable once published, so a link
     * shares bytes safely; the staging rename then publishes them as part
     * of the new version.
+    *
+    * Driver-side, one FS op per carried file — the same O(files) class as
+    * the listing the mutation already holds. At the file counts where
+    * that is the bottleneck (10^6+), the manifest-referenced-version
+    * design replaces carry-over entirely (files named by reference, not
+    * presence, with reference-counted retention) — the documented next
+    * step, not this layer.
     */
   private def carryOver(files: Seq[SnapshotFile], staging: Path, conf: Configuration): Unit = {
     val fs = staging.getFileSystem(conf)
