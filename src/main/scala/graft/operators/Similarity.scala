@@ -93,6 +93,25 @@ object Similarity {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Embedding-level corpus dedup end-to-end: SRP-LSH near-dup pairs →
+    * connected components over the pair graph → minimum-id survivor per
+    * cluster. Returns the SURVIVING rows of `corpus`. The embedding
+    * sibling of [[Dedup.dedupCorpus]], transitive-closure-correct (A≈B,
+    * B≈C dedups all three even when A~C alone misses the threshold).
+    * Scale shape: bucket equi-join for candidates (never all-pairs),
+    * pointer-jumping components (O(log diameter) rounds), two semi-joins.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Option[Int] = None): DataFrame = {
+    val pairs = nearDupPairsLsh(corpus, idCol, vecCol, threshold, dim = dim)
+    val comp = Dedup.connectedComponents(
+      corpus.select(col(idCol).as("id")),
+      pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+    val survivors = comp.filter(col("id") === col("cluster_id")).select("id")
+    corpus.join(survivors.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
   /** The per-row argmax over a codebook, as a single narrow projection: the
     * centroids (inherently small — a codebook is k vectors by design) are
     * folded into a literal array of (cid, cv) structs ordered by cid, and

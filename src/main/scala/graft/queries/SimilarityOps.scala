@@ -91,6 +91,31 @@ object SimilarityOps {
          |WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim
          |ORDER BY a_id, b_id""".stripMargin)),
 
+    // embedding-level corpus dedup end-to-end: LSH pairs -> connected
+    // components -> min-id survivor, on the planted near-dup corpus. The
+    // oracle recomputes survivors from the EXACT all-pairs graph with a
+    // recursive-CTE closure, so a hash match proves both recall (every
+    // planted dup found) and closure-correct survivor selection.
+    QueryDef("q111_semantic_dedup", (s, dir) => {
+      graft.operators.Similarity
+        .semanticDedup(plantedNearDupCorpus(s, dir), "vec_id", "v", NearDupSim, dim = Some(Dim))
+        .select("vec_id").orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v FROM base),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |pairs AS (SELECT a.vec_id a_id, b.vec_id b_id
+         |  FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim),
+         |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(u, label) AS (
+         |  SELECT vec_id, vec_id FROM c
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+         |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
+         |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q44_vector_stats", (s, dir) => {
       val ad = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
