@@ -169,7 +169,10 @@ object SchemaJson {
   *  - `clusterFiles`    (default 16) target file count for either layout;
   *  - `categoricalStats` comma-separated STRING columns — after publish,
   *                      the manifest is augmented with exact per-file
-  *                      value sets for them.
+  *                      value sets for them;
+  *  - `keepVersions`    (default 3, minimum 2) versions retained after
+  *                      each publish — raise it on roots with many
+  *                      concurrent writers or long-pinned readers.
   */
 final case class RefTableOptions(
     path: String,
@@ -190,7 +193,8 @@ final case class RefTableOptions(
     clusterBy: Seq[String] = Nil,
     zorderBy: Seq[String] = Nil,
     clusterFiles: Int = 16,
-    categoricalStats: Seq[String] = Nil) {
+    categoricalStats: Seq[String] = Nil,
+    keepVersions: Int = 3) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -349,11 +353,23 @@ object RefTableOptions {
         try { val n = s.trim.toInt; if (n <= 0) { errs += s"Invalid 'clusterFiles' '$s': must be positive"; 16 } else n }
         catch { case _: NumberFormatException => errs += s"Invalid 'clusterFiles' '$s': must be a positive integer"; 16 }
     }
+    val keepVersions = Option(options.get("keepVersions")).filter(_.nonEmpty) match {
+      case None => 3
+      case Some(s) =>
+        try {
+          val n = s.trim.toInt
+          if (n < 2) {
+            errs += s"Invalid 'keepVersions' '$s': must be >= 2 (retaining only the current " +
+              "version would delete the previous one under pinned readers)"; 3
+          } else n
+        }
+        catch { case _: NumberFormatException => errs += s"Invalid 'keepVersions' '$s': must be a positive integer"; 3 }
+    }
 
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
-      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats)
+      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions)
   }
 }

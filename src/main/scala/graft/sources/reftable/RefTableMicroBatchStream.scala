@@ -33,12 +33,14 @@ object SnapshotFiles {
     * unlike an in-place overwrite which deletes files under a running
     * scan). An explicit `version` pins the read to that version instead
     * (time travel). Resolving an already-resolved dir is a no-op (version
-    * dirs contain no pointer file).
+    * dirs contain no pointer file). Robust resolution: a reader racing a
+    * local-FS pointer swap must wait out the transient missing-pointer
+    * window, not fall back to the bare root and see an empty table.
     */
   def resolveDir(dir: String, version: Option[String], conf: Configuration): String =
     version match {
       case Some(v) => new Path(dir, v).toString
-      case None => VersionedTable.resolve(dir, conf).getOrElse(dir)
+      case None => VersionedTable.resolveRobust(dir, conf).getOrElse(dir)
     }
 
   def list(dir: String, partitionColumns: Seq[String], version: Option[String]): Seq[SnapshotFile] = {

@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
   *
   * Readers are never endangered: mutations are ordinary publishes
   * (staged version dir + atomic pointer swap + retention), so pinned
-  * generation listings keep draining the old version. The single-writer
-  * contract of [[RefTableWrites]] applies: concurrent mutations are
-  * last-writer-wins on the pointer.
+  * generation listings keep draining the old version. Mutations are
+  * read-modify-write, so like appends they arm the commit CAS
+  * (`requireBase`) and run under [[VersionedTable.withConflictRetry]]:
+  * each attempt derives from the resolved current and commits only if it
+  * is still the latest; a lost claim re-runs from the new current —
+  * concurrent mutations serialize in some order instead of silently
+  * losing one.
   *
   * Restrictions: Hive-partitioned version layouts are refused (rewriting
   * one partition directory tree COW-correctly is a different operation —
@@ -47,7 +51,7 @@ object RefTableMutations {
     */
   def deleteWhere(
       spark: SparkSession, root: String, condition: Column,
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
     val conf = new Configuration()
     val current = resolveFlat(root, conf)
     val files = SnapshotFiles.list(current)
@@ -62,7 +66,8 @@ object RefTableMutations {
       val touched = mayMatch.map(_.path).toSet
       files.filterNot(f => touched.contains(f.path))
     }
-    VersionedTable.publishVia(root, keepVersions) { staging =>
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
         // keep ⇔ NOT(cond IS TRUE): rows where the predicate is NULL
         // survive a SQL DELETE, and a bare !cond would drop them
@@ -91,7 +96,7 @@ object RefTableMutations {
     */
   def upsert(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val conf = new Configuration()
     val current = resolveFlat(root, conf)
@@ -125,7 +130,8 @@ object RefTableMutations {
       val touched = mayMatch.map(_.path).toSet
       files.filterNot(f => touched.contains(f.path))
     }
-    VersionedTable.publishVia(root, keepVersions) { staging =>
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val rewritten =
         if (mayMatch.isEmpty) aligned
         else spark.read.option("mergeSchema", "true").parquet(mayMatch.map(_.path): _*)
@@ -143,7 +149,9 @@ object RefTableMutations {
     * Hive-partitioned layouts (partition subdirectories).
     */
   private def resolveFlat(root: String, conf: Configuration): String = {
-    val current = VersionedTable.resolve(root, conf).getOrElse(
+    // robust: a pointer transiently missing mid-swap must not read as
+    // "not a versioned root" under concurrent mutations
+    val current = VersionedTable.resolveRobust(root, conf).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
     val p = new Path(current)
     val fs = p.getFileSystem(conf)

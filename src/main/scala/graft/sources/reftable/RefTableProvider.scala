@@ -62,15 +62,7 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     if (opts.genColumn.nonEmpty)
       throw new IllegalArgumentException(
         "reftable sink: 'genColumn' is a read-side projection of refresh generations")
-    val keep = parameters.get("keepVersions").map { s =>
-      val n = try s.trim.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"Invalid 'keepVersions' '$s': must be a positive integer")
-      }
-      if (n < 1) throw new IllegalArgumentException(
-        s"Invalid 'keepVersions' '$s': must be a positive integer")
-      n
-    }.getOrElse(3)
+    val keep = opts.keepVersions // validated with every other option
     val partCols =
       if (opts.partitionColumns.nonEmpty) opts.partitionColumns else partitionColumns
     // writer-side partitionBy bypasses the option validation path

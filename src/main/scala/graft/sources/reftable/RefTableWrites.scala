@@ -28,20 +28,23 @@ import org.apache.spark.sql.sources.InsertableRelation
   *  - `version`-pinned (time travel) relations and `genColumn` projections
   *    are read-only by construction.
   *
-  * CONCURRENCY CONTRACT — single writer per table. The pointer swap is
-  * last-writer-wins: two concurrent OVERWRITEs leave whichever finished
-  * last (the natural overwrite semantics), but two concurrent APPENDs each
-  * read the same base snapshot and publish base ∪ own-rows, so the loser's
-  * rows are silently absent from the surviving version — a lost update,
-  * which users expect from INSERT INTO far less than from overwrite. There
-  * is no compare-and-swap primitive on plain file storage to close this
-  * (HDFS rename cannot express "rename iff _CURRENT still names X");
-  * engines with the same storage model (Delta on HDFS without a
-  * coordination service, Hive on plain dirs) document the same
-  * restriction. Serialize appends through one writer — e.g. the streaming
-  * sink, or an external lock — when more than one process may INSERT INTO
-  * the same root. Readers are never endangered: every version is complete
-  * and immutable, the anomaly is only which version the pointer names.
+  * CONCURRENCY CONTRACT. Commits totally order publishes through the
+  * commit log ([[VersionedTable.CommitsDir]]). Two concurrent OVERWRITEs
+  * leave whichever committed last (the natural overwrite semantics).
+  * APPEND is the dangerous case — two concurrent appends each read the
+  * same base and publish base ∪ own-rows, so the loser's rows would be
+  * silently absent from the surviving version (a lost update users expect
+  * from INSERT INTO far less than from overwrite). Appends therefore run
+  * OPTIMISTICALLY: the base read is pinned to the resolved version and
+  * the publish commits ONLY IF that base is still the latest commit (the
+  * log claim is an atomic create, so this is a real compare-and-swap, not
+  * check-then-act); a lost claim re-derives from the new current and
+  * retries ([[VersionedTable.withConflictRetry]]). Concurrent appends
+  * thus all land, serialized in some order, at the cost of retried
+  * publishes under contention — and a lost attempt commits NOTHING, so
+  * there is no window in which its rows appear and then vanish. Readers
+  * are never endangered either way: every committed version is complete
+  * and immutable.
   *
   * Implemented as a V1Write fallback: the insertable relation receives the
   * analyzed DataFrame (columns already aligned to the table schema) and
@@ -87,29 +90,43 @@ object RefTableWrites {
 
     val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))
     val aligned = stored.select(storageNames.map(col).toIndexedSeq: _*)
-    val payload =
-      if (overwrite || !versioned) aligned
-      else {
-        // current snapshot through our own read path (storage-named schema)
-        val ddl = org.apache.spark.sql.types.StructType(opts.schema.fields.map(f =>
-          f.copy(name = opts.storageColumn(f.name)))).toDDL
-        val reader = data.sparkSession.read.format("reftable")
-          .option("path", opts.path).option("schema", ddl)
-          .option("allowMissingColumns", opts.allowMissingColumns.toString)
-        val cur = (if (opts.partitionColumns.nonEmpty)
-          reader.option("partitionColumns", opts.partitionColumns.mkString(","))
-        else reader).load()
-        cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
-      }
     // layout options name OUTPUT fields; the payload carries storage names
     def storage(cols: Seq[String]): Seq[String] = cols.map(opts.storageColumn)
-    if (opts.zorderBy.nonEmpty)
-      VersionedTable.publishZOrdered(payload, opts.path, storage(opts.zorderBy), opts.clusterFiles)
-    else if (opts.clusterBy.nonEmpty)
-      VersionedTable.publishClustered(payload, opts.path, storage(opts.clusterBy), opts.clusterFiles)
-    else if (opts.partitionColumns.nonEmpty)
-      VersionedTable.publishPartitioned(payload, opts.path, opts.partitionColumns)
-    else VersionedTable.publish(payload, opts.path)
+    def doPublish(payload: DataFrame, parent: Option[String], cas: Boolean): String =
+      if (opts.zorderBy.nonEmpty)
+        VersionedTable.publishZOrdered(payload, opts.path, storage(opts.zorderBy),
+          opts.clusterFiles, opts.keepVersions, parent = parent, requireBase = cas)
+      else if (opts.clusterBy.nonEmpty)
+        VersionedTable.publishClustered(payload, opts.path, storage(opts.clusterBy),
+          opts.clusterFiles, opts.keepVersions, parent = parent, requireBase = cas)
+      else if (opts.partitionColumns.nonEmpty)
+        VersionedTable.publishPartitioned(payload, opts.path, opts.partitionColumns,
+          opts.keepVersions, parent = parent, requireBase = cas)
+      else VersionedTable.publish(payload, opts.path, opts.keepVersions,
+        parent = parent, requireBase = cas)
+
+    if (overwrite) doPublish(aligned, None, cas = false) // derives from nothing
+    else VersionedTable.withConflictRetry(opts.path) { () =>
+      // re-resolved per attempt; the read is PINNED to the resolved base so
+      // the commit CAS guards exactly the version the union derived from
+      val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
+      val payload = base match {
+        case None => aligned // first version of a fresh root
+        case Some(b) =>
+          // current snapshot through our own read path (storage-named schema)
+          val ddl = org.apache.spark.sql.types.StructType(opts.schema.fields.map(f =>
+            f.copy(name = opts.storageColumn(f.name)))).toDDL
+          val reader = data.sparkSession.read.format("reftable")
+            .option("path", opts.path).option("schema", ddl)
+            .option("version", b)
+            .option("allowMissingColumns", opts.allowMissingColumns.toString)
+          val cur = (if (opts.partitionColumns.nonEmpty)
+            reader.option("partitionColumns", opts.partitionColumns.mkString(","))
+          else reader).load()
+          cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
+      }
+      doPublish(payload, base, cas = true)
+    }
     if (opts.categoricalStats.nonEmpty) {
       val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
       RefTableStats.augmentCategorical(

@@ -13,17 +13,23 @@ import org.apache.spark.sql.DataFrame
   *
   * {{{
   *   root/
-  *     _CURRENT           <- pointer file, atomically replaced (rename)
+  *     _COMMITS/          <- commit log: one atomically-claimed file per
+  *       00000000000000000001      committed version (see [[CommitsDir]])
+  *       00000000000000000002
+  *     _CURRENT           <- best-effort cache of the latest commit
   *     v00000000000000001/ ... parquet files of version 1
   *     v00000000000000002/ ... parquet files of version 2
   * }}}
   *
-  * Writers publish a complete new version directory and then swap the
-  * pointer with an atomic rename — readers resolve the pointer once per
-  * listing and see either the old or the new version, never a mix.
-  * Old versions are retained (`keepVersions`) so generations pinned by
-  * running streams stay readable until their snapshot is committed;
-  * pruning deletes oldest-first and never the current version.
+  * Writers publish a complete new version directory and then claim the
+  * next commit-log sequence — readers resolve the max commit once per
+  * listing and see either the old or the new version, never a mix, and
+  * derived publishes (append/delete/upsert/compact) use the claim as a
+  * compare-and-swap so concurrent writers serialize instead of silently
+  * losing updates. Old versions are retained (`keepVersions`) so
+  * generations pinned by running streams stay readable until their
+  * snapshot is committed; pruning deletes oldest-first and never the
+  * current version.
   *
   * [[SnapshotFiles.list]] resolves the pointer transparently, so a
   * versioned root works everywhere a plain directory does (batch scans,
@@ -37,22 +43,204 @@ object VersionedTable {
     */
   val Pointer = "_CURRENT"
 
+  /** Commit log directory: `root/_COMMITS/<020d-seq>` files, each naming
+    * one committed version (+ optional publish marker and lineage parent).
+    * The MAX sequence file is the current version; commit files appear
+    * atomically (tmp + rename-no-overwrite on HDFS-class stores, tmp +
+    * hard-link on local POSIX — both fail if the sequence was already
+    * taken), which is what gives plain file storage a real
+    * compare-and-swap: a derived publish (append, delete, upsert,
+    * compact) claims sequence N+1 ONLY IF the base it derived from still
+    * holds sequence N — a concurrent commit makes the claim fail instead
+    * of silently replacing the base (the lost update a last-writer-wins
+    * pointer cannot prevent; post-hoc verification cannot either, because
+    * the earlier writer may verify before the later one commits). The
+    * same protocol Delta Lake uses on HDFS. Object stores whose rename is
+    * copy+delete (S3-class) need a conditional-PUT committer or external
+    * coordination for multi-writer safety — the same caveat those engines
+    * document.
+    *
+    * `_CURRENT` remains as a best-effort CACHE for external tooling and
+    * as the read path for legacy roots that predate the log; when
+    * `_COMMITS` exists it is authoritative and the cache is never trusted.
+    */
+  val CommitsDir = "_COMMITS"
+
+  /** One committed table state: the version directory name, the optional
+    * streaming publish marker, and the optional lineage parent (the
+    * version this one derived its content from; None for overwrites,
+    * first versions and complete-mode stream batches, which derive from
+    * nothing).
+    */
+  final case class Commit(seq: Long, version: String, marker: Option[String], parent: Option[String])
+
+  /** A derived publish lost its compare-and-swap: the base it read is no
+    * longer the latest commit. Re-derive from the new current and retry
+    * ([[withConflictRetry]]); nothing was committed.
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   private def fc(conf: Configuration): FileContext = FileContext.getFileContext(conf)
 
-  /** The version directory the pointer currently names, if `root` is a
-    * versioned table root. One filesystem call: open the pointer directly
-    * and treat file-not-found as "not a versioned root" (an exists-probe
-    * first would double the RPCs on every listing of every table).
+  /** The current version directory of `root`, if it is a versioned table
+    * root: the max committed sequence when the commit log exists (one
+    * listing + one read — the same shape as a Delta log read), else the
+    * legacy pointer file (one read), else None. Commit files appear
+    * atomically with their full content, so there is no partial-read
+    * window on this path.
     */
   def resolve(root: String, conf: Configuration = new Configuration()): Option[String] =
-    pointerLines(root, conf).flatMap(_.headOption.filter(_.nonEmpty))
-      .map(name => new Path(root, name).toString)
+    lastCommit(root, conf).map(c => new Path(root, c.version).toString)
 
-  /** The publish marker recorded with the current pointer, if any — used
-    * by [[completeModePublisher]] for replay idempotency.
+  /** Latest commit of the table: max sequence in the commit log, or a
+    * synthetic sequence-0 commit from the legacy pointer file (so roots
+    * written before the log — and [[adopt]]-migrated bare dirs — read and
+    * CAS correctly; their first logged commit claims sequence 1).
+    */
+  def lastCommit(root: String, conf: Configuration = new Configuration()): Option[Commit] = {
+    commitFiles(root, conf).lastOption match {
+      case Some((seq, path)) => Some(readCommit(seq, path, conf))
+      case None => pointerLines(root, conf).flatMap { lines =>
+        lines.headOption.filter(_.nonEmpty).map(v =>
+          Commit(0L, v, lines.lift(1).filter(_.nonEmpty), None))
+      }
+    }
+  }
+
+  /** Retained commit records, ascending sequence. Empty for legacy roots
+    * (their state is the synthetic seq-0 of [[lastCommit]]).
+    */
+  def commitLog(root: String, conf: Configuration = new Configuration()): Seq[Commit] =
+    commitFiles(root, conf).map { case (seq, p) => readCommit(seq, p, conf) }
+
+  private def commitFiles(root: String, conf: Configuration): Seq[(Long, Path)] = {
+    val dir = new Path(root, CommitsDir)
+    val fs = dir.getFileSystem(conf)
+    val entries = try fs.listStatus(dir)
+    catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    entries.toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}"))
+      .map(s => (s.getPath.getName.toLong, s.getPath))
+      .sortBy(_._1)
+  }
+
+  private def readCommit(seq: Long, path: Path, conf: Configuration): Commit = {
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split('\n').toIndexedSeq.map(_.trim)
+    Commit(seq, lines.headOption.getOrElse(""),
+      lines.lift(1).filter(_.nonEmpty), lines.lift(2).filter(_.nonEmpty))
+  }
+
+  /** Atomically claim `dst` with the content at `tmp`: hard link on local
+    * POSIX (link(2) is atomic and fails EEXIST — the local FileContext
+    * rename(NONE) and create(overwrite=false) are both check-then-act and
+    * can silently replace a concurrent winner), rename-no-overwrite
+    * elsewhere (atomic in the HDFS-class namespace). True iff this caller
+    * won the sequence. `tmp` is consumed or deleted either way.
+    */
+  private def atomicClaim(tmp: Path, dst: Path, conf: Configuration): Boolean = {
+    val local = tmp.toUri.getScheme == null || tmp.toUri.getScheme == "file"
+    if (local) {
+      val won = try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(Option(dst.toUri.getPath).getOrElse(dst.toString)),
+          java.nio.file.Paths.get(Option(tmp.toUri.getPath).getOrElse(tmp.toString)))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      tmp.getFileSystem(conf).delete(tmp, false)
+      won
+    } else {
+      try { fc(conf).rename(tmp, dst); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          tmp.getFileSystem(conf).delete(tmp, false); false
+      }
+    }
+  }
+
+  /** Append a commit claiming the next sequence. `requireBase` is the
+    * compare-and-swap: when Some, the commit succeeds only if the latest
+    * committed version still equals that base (None inside = expect a
+    * fresh root), and a lost claim throws [[CommitConflictException]];
+    * when None, the publish derives from nothing and simply re-claims
+    * until it wins a sequence. Returns the winning commit.
+    */
+  private def commitVersion(
+      root: String, version: String, marker: Option[String], parent: Option[String],
+      requireBase: Option[Option[String]], conf: Configuration): Commit = {
+    val dir = new Path(root, CommitsDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val content = version + "\n" + marker.getOrElse("") + "\n" + parent.getOrElse("")
+    var attempts = 0
+    while (true) {
+      val last = lastCommit(root, conf)
+      requireBase.foreach { base =>
+        if (last.map(_.version) != base)
+          throw new CommitConflictException(
+            s"commit of $version expected base ${base.getOrElse("<fresh root>")} but the " +
+              s"latest commit is ${last.map(_.version).getOrElse("<none>")}: a concurrent " +
+              "writer published first — re-derive and retry")
+      }
+      val seq = last.map(_.seq + 1).getOrElse(1L)
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (atomicClaim(tmp, new Path(dir, f"$seq%020d"), conf))
+        return Commit(seq, version, marker, parent)
+      // sequence taken: with a CAS the race is by definition a conflict;
+      // without one, re-read and claim the next slot
+      if (requireBase.nonEmpty)
+        throw new CommitConflictException(
+          s"commit of $version lost the claim on sequence $seq to a concurrent writer")
+      attempts += 1
+      if (attempts >= 1000)
+        throw new IllegalStateException(
+          s"could not claim a commit sequence for $version after $attempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** As [[resolve]], but immune to the LOCAL-filesystem pointer-swap
+    * window: ChecksumFs implements the OVERWRITE rename as
+    * delete-then-rename, so a reader racing a swap can transiently find no
+    * pointer at a root that IS versioned — and treating that as "not a
+    * versioned root" is how a racing append invents a parentless first
+    * version (losing every other writer's rows) or a racing reader sees an
+    * empty table. When the pointer is absent but version directories
+    * exist, this retries briefly and then fails loudly instead of
+    * guessing. A genuinely plain directory (no pointer, no version dirs)
+    * still resolves to None at the cost of one extra listing — only on
+    * that already-cold path; pointer-present resolution is unchanged.
+    * HDFS/object-store renames don't have the window; the retry simply
+    * never fires there.
+    */
+  def resolveRobust(root: String, conf: Configuration = new Configuration()): Option[String] = {
+    var attempts = 0
+    while (true) {
+      resolve(root, conf) match {
+        case some @ Some(_) => return some
+        case None =>
+          if (versionDirs(root, conf).isEmpty) return None
+          attempts += 1
+          if (attempts >= 20)
+            throw new IllegalStateException(
+              s"$root has version directories but no readable $Pointer pointer " +
+                "(persisted mid-swap crash, or the pointer was deleted externally)")
+          Thread.sleep(5L * attempts)
+      }
+    }
+    None // unreachable
+  }
+
+  /** The publish marker recorded with the latest commit (legacy: pointer
+    * line 2), if any — used by [[completeModePublisher]] for replay
+    * idempotency.
     */
   def publishedMarker(root: String, conf: Configuration = new Configuration()): Option[String] =
-    pointerLines(root, conf).flatMap(_.lift(1)).filter(_.nonEmpty)
+    lastCommit(root, conf).flatMap(_.marker)
 
   /** Pointer file content as lines: line 1 = version name, optional
     * line 2 = publish marker. Both written in ONE atomic rename, so the
@@ -98,20 +286,25 @@ object VersionedTable {
     *
     * Concurrent publishers are safe from corruption — version names carry
     * a unique suffix, so no two writers ever share a directory, and a
-    * failed write leaves only an ignored staging dir — but the pointer is
-    * last-writer-wins: coordinate writers if "latest" must be a total
-    * order.
+    * failed write leaves only an ignored staging dir — and the commit log
+    * totally orders them. A plain publish (this method) derives from
+    * nothing and never conflicts; set `requireBase` (with `parent` = the
+    * version the content derived from) to arm the commit CAS for derived
+    * publishes.
     */
-  def publish(df: DataFrame, root: String, keepVersions: Int = 3): String =
-    publishInternal(df, root, keepVersions, Nil)
+  def publish(df: DataFrame, root: String, keepVersions: Int = 3,
+      parent: Option[String] = None, requireBase: Boolean = false): String =
+    publishInternal(df, root, keepVersions, Nil, parent = parent, requireBase = requireBase)
 
   /** As [[publish]], writing a Hive-partitioned layout inside the version
     * directory (readers declare the matching `partitionColumns` option).
     */
   def publishPartitioned(
       df: DataFrame, root: String, partitionColumns: Seq[String],
-      keepVersions: Int = 3): String =
-    publishInternal(df, root, keepVersions, partitionColumns)
+      keepVersions: Int = 3, parent: Option[String] = None,
+      requireBase: Boolean = false): String =
+    publishInternal(df, root, keepVersions, partitionColumns, parent = parent,
+      requireBase = requireBase)
 
   /** Publish with a range-clustered layout: rows range-partitioned and
     * sorted on `clusterCols` across `numFiles` files. Each file then covers
@@ -125,13 +318,14 @@ object VersionedTable {
     */
   def publishClustered(
       df: DataFrame, root: String, clusterCols: Seq[String], numFiles: Int,
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3, parent: Option[String] = None,
+      requireBase: Boolean = false): String = {
     require(clusterCols.nonEmpty, "publishClustered needs at least one cluster column")
     require(numFiles > 0, "numFiles must be positive")
     val cols = clusterCols.map(df.col)
     publishInternal(
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
-      root, keepVersions, Nil)
+      root, keepVersions, Nil, parent = parent, requireBase = requireBase)
   }
 
   /** Publish clustered on the z-order (Morton) curve over `zCols` instead
@@ -142,13 +336,14 @@ object VersionedTable {
     */
   def publishZOrdered(
       df: DataFrame, root: String, zCols: Seq[String], numFiles: Int,
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3, parent: Option[String] = None,
+      requireBase: Boolean = false): String = {
     require(numFiles > 0, "numFiles must be positive")
     val zc = "__graft_z"
     val staged = df.withColumn(zc, ZOrder.zColumn(df, zCols))
     publishInternal(
       staged.repartitionByRange(numFiles, staged(zc)).sortWithinPartitions(zc).drop(zc),
-      root, keepVersions, Nil)
+      root, keepVersions, Nil, parent = parent, requireBase = requireBase)
   }
 
   /** Bare snapshot data directly under a would-be root: loose parquet
@@ -167,10 +362,44 @@ object VersionedTable {
 
   private def publishInternal(
       df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
-      marker: Option[String] = None): String =
-    publishVia(root, keepVersions, marker) { staging =>
+      marker: Option[String] = None, parent: Option[String] = None,
+      requireBase: Boolean = false): String =
+    publishVia(root, keepVersions, marker, parent, requireBase) { staging =>
       writeParquetMicros(df, staging.toString, partitionColumns)
     }
+
+  /** The version `version` derived its content from, per its commit
+    * record; None for derive-from-nothing publishes or uncommitted
+    * (orphan) directories.
+    */
+  def parentOf(root: String, version: String,
+      conf: Configuration = new Configuration()): Option[String] =
+    commitLog(root, conf).find(_.version == version).flatMap(_.parent)
+
+  /** Optimistic-concurrency wrapper for read-modify-write publishes
+    * (append, delete, upsert, compact): `attempt` must re-read the
+    * CURRENT version, derive from it, and publish with the commit CAS
+    * armed (`requireBase`). A [[CommitConflictException]] — a concurrent
+    * writer committed first; nothing of ours landed — re-runs the attempt
+    * against the new current, bounded by `maxAttempts`. Concurrent
+    * writers thus serialize in some order instead of silently losing all
+    * but the last.
+    */
+  def withConflictRetry[T](root: String, maxAttempts: Int = 10)(attempt: () => T): T = {
+    var attempts = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts >= maxAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"publish to $root lost its commit CAS $maxAttempts times under " +
+                s"concurrent writers; giving up (no partial state was committed): ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Write `df` as parquet with timestamps as INT64 micros, not Spark's
     * default INT96: micros are the modern standard (what Delta/Iceberg
@@ -201,7 +430,8 @@ object VersionedTable {
     * carried-over files.
     */
   private[reftable] def publishVia(
-      root: String, keepVersions: Int, marker: Option[String] = None)(
+      root: String, keepVersions: Int, marker: Option[String] = None,
+      parent: Option[String] = None, requireBase: Boolean = false)(
       populate: Path => Unit): String = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +
@@ -214,6 +444,15 @@ object VersionedTable {
         s"$root holds bare snapshot data without a $Pointer pointer; publishing would " +
           "shadow it for every reader of the root. Run VersionedTable.adopt(root) once " +
           "(with readers quiesced) to migrate it into version form, or target a fresh dir.")
+    // CAS armed: fail fast before staging any data when the base is
+    // already stale (the authoritative check is the commit claim itself)
+    if (requireBase) {
+      val last = lastCommit(root, conf).map(_.version)
+      if (last != parent)
+        throw new CommitConflictException(
+          s"base ${parent.getOrElse("<fresh root>")} of this publish is no longer the " +
+            s"latest commit of $root (now ${last.getOrElse("<none>")})")
+    }
     fs.mkdirs(rootPath)
     // monotonic version names even under clock ties: bump past the max;
     // the random suffix keeps concurrent publishers out of each other's
@@ -232,17 +471,29 @@ object VersionedTable {
     // manifest's relative file keys stay valid after the rename
     RefTableStats.writeManifest(staging.toString, conf)
     fc(conf).rename(staging, new Path(rootPath, name))
-    // atomic pointer swap: write a temp file, rename over _CURRENT
-    // (the optional marker rides the same rename — see pointerLines)
-    swapPointer(rootPath, fs, conf, name + marker.fold("")("\n" + _))
-    // prune: oldest first, never the just-published current, and never the
-    // version _CURRENT names right now — a slow concurrent publisher may
-    // have swapped the pointer to an older name after our swap, and
-    // deleting its target would break readers until the next publish
-    val pointed = resolve(root, conf).map(p => new Path(p).getName)
-    val prunable = versionDirs(root, conf).filterNot(v => v == name || pointed.contains(v))
-    prunable.dropRight(keepVersions - 1).foreach { old =>
-      fs.delete(new Path(rootPath, old), true)
+    // the commit claim makes the version visible (and is the CAS for
+    // derived publishes); a lost claim deletes our never-committed dir —
+    // no reader can have resolved to it
+    val commit =
+      try commitVersion(root, name, marker, parent,
+        if (requireBase) Some(parent) else None, conf)
+      catch {
+        case e: CommitConflictException =>
+          fs.delete(new Path(rootPath, name), true)
+          throw e
+      }
+    // best-effort cache for external tooling and legacy readers; the
+    // commit log is authoritative, so cache failures are swallowed
+    swapPointerCache(rootPath, fs, conf, name + marker.fold("")("\n" + _))
+    // retention: drop committed states beyond keepVersions (ours counts),
+    // oldest first; never anything at or after our own sequence
+    val doomed = commitFiles(root, conf).dropRight(keepVersions).filter(_._1 < commit.seq)
+    doomed.foreach { case (seq, p) =>
+      val victim =
+        try Some(readCommit(seq, p, conf).version)
+        catch { case _: java.io.FileNotFoundException => None } // a racing pruner got it
+      victim.filterNot(_ == name).foreach(v => fs.delete(new Path(rootPath, v), true))
+      fs.delete(p, false)
     }
     name
   }
@@ -258,7 +509,7 @@ object VersionedTable {
   def compact(
       spark: org.apache.spark.sql.SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024, keepVersions: Int = 3,
-      partitionColumns: Seq[String] = Nil): String = {
+      partitionColumns: Seq[String] = Nil): String = withConflictRetry(root) { () =>
     val conf = new Configuration()
     val current = resolve(root, conf).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
@@ -291,7 +542,10 @@ object VersionedTable {
       if (partitionColumns.isEmpty) df.repartition(parts)
       else df.repartition(parts,
         partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-    publishInternal(compacted, root, keepVersions, partitionColumns)
+    // CAS on the compacted base: losing an interleaved append's rows to a
+    // compaction would be the same lost update as any other stale derive
+    publishInternal(compacted, root, keepVersions, partitionColumns,
+      parent = Some(new Path(current).getName), requireBase = true)
   }
 
   /** Version history of the table — the DESCRIBE HISTORY analogue,
@@ -324,11 +578,32 @@ object VersionedTable {
     val conf = new Configuration()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
-    val pointed = resolve(root, conf).map(p => new Path(p).getName)
-    val prunable = versionDirs(root, conf).filterNot(pointed.contains)
-    val doomed = prunable.dropRight(keepVersions - 1)
-    doomed.foreach(old => fs.delete(new Path(rootPath, old), true))
-    doomed
+    val all = commitFiles(root, conf)
+    if (all.nonEmpty) {
+      val doomed = all.dropRight(keepVersions)
+      val doomedNames = doomed.map { case (s, p) => readCommit(s, p, conf).version }
+      doomedNames.foreach(v => fs.delete(new Path(rootPath, v), true))
+      doomed.foreach { case (_, p) => fs.delete(p, false) }
+      // orphans: version dirs no retained commit references (lost CAS
+      // claims, crashed publishes). Only dirs strictly older than the
+      // oldest retained state can be dead — an in-flight publish always
+      // stages a name newer than every dir that existed when it started,
+      // so this is safe to run online
+      val retained = all.takeRight(keepVersions)
+        .map { case (s, p) => readCommit(s, p, conf).version }.toSet
+      val floor = retained.map(versionNum).min
+      val orphans = versionDirs(root, conf)
+        .filterNot(retained).filter(versionNum(_) < floor)
+      orphans.foreach(o => fs.delete(new Path(rootPath, o), true))
+      doomedNames ++ orphans
+    } else {
+      // legacy pointer-only root: dir-count retention, never the target
+      val pointed = resolve(root, conf).map(p => new Path(p).getName)
+      val prunable = versionDirs(root, conf).filterNot(pointed.contains)
+      val doomed = prunable.dropRight(keepVersions - 1)
+      doomed.foreach(old => fs.delete(new Path(rootPath, old), true))
+      doomed
+    }
   }
 
   /** Key-level changes (insert/delete/update) from `fromVersion` to the
@@ -416,38 +691,43 @@ object VersionedTable {
     val versionDir = new Path(rootPath, name)
     fs.mkdirs(versionDir)
     entries.foreach(e => fc(conf).rename(e, new Path(versionDir, e.getName)))
-    swapPointer(rootPath, rootPath.getFileSystem(conf), conf, name)
+    // expect-fresh CAS: two racing adopters move files twice anyway (run
+    // with readers AND writers quiesced, as documented), but at least the
+    // second cannot silently shadow the first's commit
+    commitVersion(root, name, None, None, Some(None), conf)
+    swapPointerCache(rootPath, fs, conf, name)
     name
   }
 
-  /** Replace `_CURRENT` with `content` via tmp-file + rename. HDFS and
-    * most object stores make the OVERWRITE rename atomic; the LOCAL
-    * ChecksumFs implements it as delete-then-rename, so two concurrent
-    * swappers can collide on FileAlreadyExistsException — caught and
-    * retried, which preserves the documented last-writer-wins contract
-    * (readers see one complete pointer or the other throughout; the race
-    * spec drives six concurrent publishers through this path).
+  /** Refresh the `_CURRENT` CACHE via tmp-file + OVERWRITE rename.
+    * Best-effort by design: the commit log is authoritative, so every
+    * failure mode of the local ChecksumFs delete-then-rename window
+    * (FileAlreadyExists / FileNotFound collisions between concurrent
+    * swappers) is retried briefly and then swallowed — a stale or missing
+    * cache only affects external tooling and legacy readers, never
+    * resolution through the log, and the next successful publish
+    * refreshes it.
     */
-  private def swapPointer(
+  private def swapPointerCache(
       rootPath: Path, fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
-      content: String): Unit = {
-    val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    var attempts = 0
-    var done = false
-    while (!done) {
-      try {
-        fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
-        done = true
-      } catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-          Thread.sleep(5L * attempts)
+      content: String): Unit =
+    try {
+      val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      var attempts = 0
+      while (attempts >= 0) {
+        try {
+          fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
+          return
+        } catch {
+          case _: java.io.IOException =>
+            attempts += 1
+            if (attempts >= 10) { fs.delete(tmp, false); return }
+            Thread.sleep(5L * attempts)
+        }
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 
