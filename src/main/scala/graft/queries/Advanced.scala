@@ -805,6 +805,112 @@ object Advanced {
         |  min(c_custkey) AS lo_key
         |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Full MERGE with all three clauses, CDC-shaped: one source feed
+    // carries updates, deletes and inserts distinguished by an op marker
+    // column that is NOT part of the table schema — the clause conditions
+    // evaluate over the source row, so the marker drives the merge and
+    // never lands in the table. The oracle replays the three clauses as
+    // explicit set operations.
+    QueryDef("q112_merge_clauses", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q112_merge")
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      VersionedTable.publishClustered(base, root, Seq("c_custkey"), numFiles = 8)
+      val src = base
+        .filter(col("c_custkey") <= 150 && col("c_custkey") % 7 =!= 0)
+        .withColumn("cents", col("cents") + 1000L).withColumn("op", lit("u"))
+        .unionAll(base.filter(col("c_custkey") % 7 === 0).withColumn("op", lit("d")))
+        // custkey 0 would negate to itself and collide with its 'd' row,
+        // breaking the source key-uniqueness contract
+        .unionAll(base.filter(col("c_custkey") % 50 === 0 && col("c_custkey") > 0)
+          .select((-col("c_custkey")).as("c_custkey"), col("c_nationkey"),
+            col("cents"), lit("i").as("op")))
+      RefTableMutations.merge(s, root, src, Seq("c_custkey"),
+        matchedUpdate = Some(col("op") === "u"),
+        matchedDelete = Some(col("op") === "d"),
+        notMatchedInsert = Some(col("op") =!= "d"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_nationkey INT, cents BIGINT")
+        .load()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("c_custkey").as("lo_key"), max("c_custkey").as("hi_key"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |src AS (
+        |  SELECT c_custkey, c_nationkey, cents + 1000 AS cents, 'u' AS op
+        |  FROM base WHERE c_custkey <= 150 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, cents, 'd' FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT -c_custkey, c_nationkey, cents, 'i' FROM base
+        |  WHERE c_custkey % 50 = 0 AND c_custkey > 0),
+        |merged AS (
+        |  SELECT c_custkey, c_nationkey, cents FROM base
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src WHERE op IN ('u', 'd'))
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.c_nationkey, s.cents
+        |  FROM src s JOIN base b USING (c_custkey) WHERE s.op = 'u'
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.c_nationkey, s.cents FROM src s
+        |  WHERE s.op <> 'd' AND s.c_custkey NOT IN (SELECT c_custkey FROM base))
+        |SELECT c_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(c_custkey) AS lo_key, max(c_custkey) AS hi_key
+        |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Changefeed REPLICATION end-to-end: two versions of a source table,
+    // VersionedTable.changes reads the delta off the commit history, and
+    // applyChanges replays it onto a replica seeded with the old state —
+    // the replica must equal the new state exactly. The oracle computes
+    // the new state directly; a hash match proves the
+    // diff → merge(update/delete/insert) loop loses and invents nothing.
+    QueryDef("q113_changefeed_apply", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val rootA = RelationalSupport.scratchDir(s, dir, "q113_src")
+      val rootB = RelationalSupport.scratchDir(s, dir, "q113_rep")
+      val cents = (col("s_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val state1 = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), cents.as("cents"))
+      val state2 = state1.filter(col("s_suppkey") % 10 =!= 0)
+        .withColumn("cents",
+          when(col("s_suppkey") % 3 === 0, col("cents") + 7L).otherwise(col("cents")))
+        .unionAll(state1.filter(col("s_suppkey") % 25 === 0)
+          .select((-col("s_suppkey")).as("s_suppkey"), col("s_nationkey"), col("cents")))
+      val v1 = VersionedTable.publish(state1, rootA)
+      VersionedTable.publish(state2, rootA)
+      val changes = VersionedTable.changes(s, rootA, Seq("s_suppkey"), v1)
+      VersionedTable.publish(state1, rootB) // replica starts at the old state
+      RefTableMutations.applyChanges(s, rootB, changes, Seq("s_suppkey"))
+      s.read.format("reftable")
+        .option("path", rootB)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT, cents BIGINT")
+        .load()
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("s_suppkey").as("lo_key"))
+        .orderBy("s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |state2 AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base WHERE s_suppkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT -s_suppkey, s_nationkey, cents FROM base WHERE s_suppkey % 25 = 0)
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(s_suppkey) AS lo_key
+        |FROM state2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Changefeed-maintained aggregate over the WRITE PATH end-to-end: three
     // INSERTs publish three versions of a reftable; the per-nation balance
     // aggregate is advanced version-to-version from

@@ -3,7 +3,7 @@ package graft.sources.reftable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not, when}
 
 /** File-granular copy-on-write mutations for versioned table roots: DELETE
   * and keyed MERGE (upsert) publish a NEW version in which only the files
@@ -143,6 +143,125 @@ object RefTableMutations {
         VersionedTable.writeParquetMicros(rewritten, staging.toString)
       carryOver(untouched, staging, conf)
     }
+  }
+
+  /** SQL-MERGE-shaped row-level operation with CDC ergonomics: for each
+    * current row with a key match in `source`, apply `matchedDelete`
+    * (drop) or else `matchedUpdate` (replace with the source row); source
+    * rows with no key match insert when `notMatchedInsert` holds. All
+    * three clause conditions evaluate over the SOURCE row — the
+    * change-data-capture shape, where the feed itself says what to do —
+    * so `source` may carry columns beyond the table schema (an op marker)
+    * that never land in the table. [[applyChanges]] wires the
+    * [[graft.operators.SnapshotDiff]] changefeed format straight in.
+    *
+    * File narrowing, null-key semantics, schema handling and the commit
+    * CAS are exactly [[upsert]]'s: only stats-may-match files rewrite,
+    * null source keys never match (pure inserts), the source must be
+    * key-unique (two source rows matching one current row apply in an
+    * unspecified order — the same contract SQL MERGE enforces with an
+    * error). Publishes and returns the new version name.
+    */
+  def merge(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
+      matchedUpdate: Option[Column] = Some(lit(true)),
+      matchedDelete: Option[Column] = None,
+      notMatchedInsert: Option[Column] = Some(lit(true)),
+      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val conf = new Configuration()
+    val current = resolveFlat(root, conf)
+    val files = SnapshotFiles.list(current)
+    val cur = spark.read.option("mergeSchema", "true").parquet(current)
+    val curCols = cur.columns.toSeq
+    require(keyCols.forall(curCols.contains),
+      s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
+    // a row-producing clause needs the full table row in the source; a
+    // pure-delete merge only needs the keys
+    val needsRow = matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty
+    val needed = if (needsRow) curCols else keyCols
+    val missing = needed.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge source is missing table column(s): ${missing.mkString(", ")}")
+
+    val valCols = curCols.filterNot(keyCols.contains)
+    // clause conditions are evaluated over the raw source row BEFORE its
+    // extra columns are projected away
+    val marked = source.select(
+      keyCols.map(col) ++
+        valCols.map(c =>
+          (if (source.columns.contains(c)) col(c) else lit(null)).as(s"__s_$c")) ++
+        Seq(
+          matchedUpdate.getOrElse(lit(false)).as("__upd"),
+          matchedDelete.getOrElse(lit(false)).as("__del"),
+          notMatchedInsert.getOrElse(lit(false)).as("__ins"),
+          lit(true).as("__m")): _*)
+
+    val empty = marked.isEmpty
+    val mayMatch: Seq[SnapshotFile] =
+      if (empty) Nil
+      else if (keyCols.size == 1) {
+        val k = keyCols.head
+        val mm = marked.agg(min(col(k)), max(col(k))).first()
+        if (mm.isNullAt(0)) Nil // all-null keys: pure inserts, no file can match
+        else {
+          val filters = Seq(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
+          RefTableStats.prune(current, files, pruneOpts(root, cur.schema), filters, conf)
+        }
+      } else files
+    val untouched = {
+      val touched = mayMatch.map(_.path).toSet
+      files.filterNot(f => touched.contains(f.path))
+    }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      val matchedFlag = coalesce(col("__m"), lit(false))
+      val inserts = marked.filter(col("__ins"))
+        .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .select(curCols.map(c =>
+          (if (keyCols.contains(c)) col(c) else col(s"__s_$c")).as(c)): _*)
+      val rewritten =
+        if (mayMatch.isEmpty) inserts
+        else {
+          val sub = spark.read.option("mergeSchema", "true")
+            .parquet(mayMatch.map(_.path): _*)
+          val subCols = sub.columns.toSeq // may lack columns other files carry
+          sub.join(marked, keyCols, "left_outer")
+            .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
+            .select(subCols.map(c =>
+              if (keyCols.contains(c)) col(c)
+              else when(matchedFlag && coalesce(col("__upd"), lit(false)), col(s"__s_$c"))
+                .otherwise(col(c)).as(c)): _*)
+            // the may-match subset can lack columns other files carry —
+            // null-fill instead of failing (readers null-fill them too)
+            .unionByName(inserts, allowMissingColumns = true)
+        }
+      if (!empty || mayMatch.nonEmpty)
+        VersionedTable.writeParquetMicros(rewritten, staging.toString)
+      carryOver(untouched, staging, conf)
+    }
+  }
+
+  /** Apply a [[graft.operators.SnapshotDiff]]-format changefeed (value
+    * columns as after-images plus `change_type` ∈ insert|delete|update) to
+    * the table: the replication primitive that closes the loop from
+    * [[VersionedTable.changes]] — a changefeed read off one table replays
+    * onto a copy, version by version. Insert/update ops upsert (an insert
+    * op whose key already exists updates it, making replay idempotent);
+    * delete ops delete.
+    */
+  def applyChanges(
+      spark: SparkSession, root: String, changes: DataFrame, keyCols: Seq[String],
+      keepVersions: Int = 3): String = {
+    require(changes.columns.contains("change_type"),
+      "changefeed must carry change_type (insert|delete|update) — see SnapshotDiff.diff")
+    merge(spark, root, changes, keyCols,
+      matchedUpdate = Some(col("change_type") =!= "delete"),
+      matchedDelete = Some(col("change_type") === "delete"),
+      notMatchedInsert = Some(col("change_type") =!= "delete"),
+      keepVersions = keepVersions)
   }
 
   /** Resolve the current version dir; refuse non-versioned roots and

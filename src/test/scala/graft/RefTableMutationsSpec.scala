@@ -201,4 +201,47 @@ class RefTableMutationsSpec extends AnyFunSuite {
       .option("path", root).option("schema", "id BIGINT, v DOUBLE").load()
     assert(cur.count() == 200)
   }
+
+  test("merge applies update/delete/insert clauses from a source-side op marker") {
+    import spark.implicits._
+    val root = tmpDir("merge3")
+    val base = (0L until 100L).map(i => (i, i * 10)).toDF("id", "v")
+    VersionedTable.publishClustered(base, root, Seq("id"), numFiles = 4)
+    // op marker is NOT a table column; matched 'i' rows must be ignored
+    val src = Seq(
+      (5L, 999L, "u"), (6L, 0L, "d"), (200L, 42L, "i"),
+      (7L, -1L, "i") // key exists, but no matched clause fires for 'i'
+    ).toDF("id", "v", "op")
+    RefTableMutations.merge(spark, root, src, Seq("id"),
+      matchedUpdate = Some(col("op") === "u"),
+      matchedDelete = Some(col("op") === "d"),
+      notMatchedInsert = Some(col("op") =!= "d"))
+    val got = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(5L) == 999L, "matched 'u' row updates")
+    assert(!got.contains(6L), "matched 'd' row deletes")
+    assert(got(200L) == 42L, "unmatched non-'d' row inserts")
+    assert(got(7L) == 70L, "matched 'i' row is untouched (no clause fires)")
+    assert(got.size == 100, "99 kept + 1 insert")
+    // the narrow source key range left the upper files carried over
+    assert(!spark.read.parquet(VersionedTable.resolve(root, conf).get)
+      .columns.contains("op"), "the op marker never lands in the table")
+  }
+
+  test("applyChanges replays a SnapshotDiff changefeed onto a replica exactly") {
+    import spark.implicits._
+    val rootB = tmpDir("replica")
+    val before = (0L until 50L).map(i => (i, s"v$i")).toDF("id", "s")
+    val after = (0L until 50L).filter(_ % 9 != 0).map(i =>
+      (i, if (i % 4 == 0) s"upd$i" else s"v$i")).toDF("id", "s")
+      .unionAll(Seq((100L, "new")).toDF("id", "s"))
+    VersionedTable.publish(before, rootB)
+    val changes = graft.operators.SnapshotDiff.diff(before, after, Seq("id"))
+    RefTableMutations.applyChanges(spark, rootB, changes, Seq("id"))
+    val got = spark.read.parquet(VersionedTable.resolve(rootB, conf).get)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = after.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expect, "replica must equal the after state")
+  }
 }
