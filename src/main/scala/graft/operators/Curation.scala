@@ -70,4 +70,41 @@ object Curation {
       col(idCol),
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("n_matches"),
       regexp_replace(col(textCol), pattern, replacement).as("scrubbed"))
+
+  /** Pack rows into training shards by a token budget: rows are laid out
+    * in `idCol` order and `shard` = floor(tokens-before-this-row / budget)
+    * — the sequential greedy packing every training-data pipeline runs
+    * before writing shard files, exactly equal to a global running sum.
+    *
+    * A global-order window would execute in ONE task (Spark gives an
+    * unpartitioned `Window.orderBy` a single partition — dead at corpus
+    * scale), so the prefix sum is two-level: range-partition by id, sum
+    * each partition's weights (one tiny aggregation — O(partitions) rows
+    * to the driver, same bounded class as a centroid codebook), fold the
+    * exclusive per-partition offsets into a broadcast map, and run the
+    * running sum as a PARALLEL per-partition window plus its partition's
+    * offset. Deterministic for a given partition count; `numParts` is
+    * explicit so results are reproducible across cluster sizes.
+    */
+  def packShards(
+      df: DataFrame, idCol: String, weightCol: String, budget: Long,
+      numParts: Int = 32): DataFrame = {
+    require(budget > 0, "packShards needs a positive token budget")
+    val parts = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(numParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parts.groupBy("__pid").agg(sum("__w").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val exclusive = offsets.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .init.map(_._2) // offset for partition i = sum of partitions < i
+    val offsetOf = map(offsets.map(_._1).zip(exclusive).flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off))
+    }: _*)
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+    parts
+      .withColumn("__before",
+        offsetOf(col("__pid")) + sum("__w").over(w) - col("__w"))
+      .select(col(idCol), col("__w").as("n_tok"),
+        floor(col("__before") / budget).cast("int").as("shard"))
+  }
 }

@@ -80,6 +80,40 @@ object TextAnalysis {
       .withColumn("dup_frac", r4(lit(1.0) - col("n_distinct").cast("double") / col("n_tok")))
       .withColumn("top_share", r4(col("top_cnt").cast("double") / col("n_tok")))
   }
+
+  /** Statistical-quality scoring against the corpus itself: an add-one-
+    * smoothed bigram language model is TRAINED on the whole corpus (bigram
+    * and context counts via two aggregations over exploded bigrams, vocab
+    * size via one distinct count — all distributed, no driver state) and
+    * every document is scored by its perplexity under that model,
+    * `exp(-mean log P(w_i | w_{i-1}))`. High perplexity = improbable token
+    * sequences = the gibberish/boilerplate signal published corpus filters
+    * use. Documents with fewer than two tokens are dropped (undefined).
+    *
+    * Per-bigram log-probs are r6-rounded before the mean so the
+    * cross-engine float drift stays below the r4 rounding of the final
+    * score. Scale shape: the joins shuffle on bigram/context keys —
+    * Zipf-heavy keys are exactly what AQE skew handling exists for.
+    */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctxCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = toks.select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
+    val lp = round(log((col("cb") + 1).cast("double") / (col("cu") + col("v"))), 6)
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), lp.as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), r4(exp(-avg("lp"))).as("ppl"))
+  }
 }
 
 /** Dataset profiling: one row per column with the stats a pipeline health

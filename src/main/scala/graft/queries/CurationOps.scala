@@ -33,6 +33,31 @@ object CurationOps {
          |WHERE ${duckHash60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
          |ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget shard packing: documents laid out in id order, shard =
+    // floor(tokens-before / budget) — the greedy sequential packing before
+    // writing training shards, computed as a TWO-LEVEL prefix sum (per-
+    // partition windows + broadcast offsets; a global-order window would
+    // run in one task). The oracle is the single global running sum the
+    // two-level construction must equal exactly.
+    QueryDef("q115_shard_packing", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.GraftFunctions.tokens(col("text"))).as("nt"))
+      graft.operators.Curation.packShards(docs, "doc_id", "nt", budget = 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .orderBy("shard")
+    }, Some(
+      """WITH t AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS pre FROM t),
+        |s AS (SELECT doc_id, n, CAST(floor(pre / 2000.0) AS INT) AS shard FROM c)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
+        |  min(doc_id) AS lo, max(doc_id) AS hi
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // cap each language at 20 documents, chosen by stable hash (an unbiased
     // reproducible subset, not head-of-scan); WindowGroupLimit keeps the
     // shuffle at O(cap) rows per group.

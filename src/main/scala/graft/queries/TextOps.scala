@@ -51,6 +51,27 @@ object TextOps {
         |FROM (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Corpus-trained bigram-LM perplexity: the model (add-one-smoothed
+    // bigram counts + vocab) is trained ON the corpus with two
+    // aggregations, then every document is scored under it — the
+    // statistical gibberish/boilerplate signal. The oracle re-trains and
+    // re-scores the same model in SQL; per-bigram log-probs r6-round on
+    // both sides before the mean so the r4 score is engine-stable.
+    QueryDef("q114_lm_perplexity", (s, dir) => {
+      graft.operators.TextAnalysis.lmPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        |cb AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) c FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) n FROM (SELECT unnest(t) AS w FROM toks)),
+        |sc AS (SELECT b.doc_id, round(ln((cb.c + 1) / CAST(cu.c + v.n AS DOUBLE)), 6) AS lp
+        |       FROM bg b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(exp(-avg(lp)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q14_token_counts", (s, dir) => {
       graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"), "lang", "text")
         .orderBy("lang", "word")

@@ -370,4 +370,36 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.isNullAt(1), r.getLong(3))).toSeq
     assert(m2 == Seq((1, true, 1L)), s"got $m2")
   }
+
+  test("packShards two-level prefix sum equals the global running sum exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 2000L).map(i => (i, 1L + rnd.nextInt(400).toLong))
+    val df = rows.toDF("id", "w").repartition(16) // arbitrary incoming layout
+    val got = graft.operators.Curation.packShards(df, "id", "w", budget = 1000L, numParts = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    var acc = 0L
+    rows.foreach { case (id, w) =>
+      assert(got(id) == (acc / 1000L).toInt, s"doc $id: got ${got(id)}, want ${acc / 1000}")
+      acc += w
+    }
+    // shards are contiguous id ranges by construction
+    val byShard = rows.map { case (id, _) => (got(id), id) }.groupBy(_._1)
+    byShard.foreach { case (sh, ids) =>
+      val sorted = ids.map(_._2).sorted
+      assert(sorted.last - sorted.head + 1 == sorted.size, s"shard $sh not contiguous")
+    }
+  }
+
+  test("lmPerplexity: in-distribution text scores lower perplexity than gibberish") {
+    import spark.implicits._
+    val common = (1 to 40).map(i => (i.toLong, "the cat sat on the mat and the dog ran"))
+    val probe = Seq((100L, "the cat sat on the mat"), (101L, "zq xv qqj wpk zzv nnq"))
+    val df = (common ++ probe).toDF("doc_id", "text")
+    val ppl = graft.operators.TextAnalysis.lmPerplexity(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(ppl(100L) < ppl(101L),
+      s"common-bigram doc must beat gibberish: ${ppl(100L)} vs ${ppl(101L)}")
+    assert(ppl(100L) > 1.0, "perplexity is bounded below by 1")
+  }
 }

@@ -86,6 +86,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q76_cap_per_group").contains("WindowGroupLimit"))
   }
 
+  test("q115 shard packing runs its prefix-sum window partitioned, never global") {
+    val p = plan("q115_shard_packing")
+    // the running sum must be a per-partition window (partitionBy __pid) —
+    // an unpartitioned Window.orderBy would collapse to a single task
+    assert(p.contains("Window"), s"expected a window in:\n$p")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[windowsort.*"),
+      "window spec must not be empty-partitioned")
+    assert(p.contains("__pid"), s"window must partition by __pid:\n$p")
+  }
+
   test("bucketed join needs no exchange on either side") {
     import org.apache.spark.sql.functions.col
     // write both sides bucketed+sorted on the join key, then force the
