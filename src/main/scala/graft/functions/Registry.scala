@@ -44,17 +44,24 @@ object Registry {
   }
 }
 
-/** `spark.sql.extensions` entry point: injects the kernel functions at
-  * session build time, the idiomatic cluster-wide deployment
+/** `spark.sql.extensions` entry point: injects the kernel functions AND
+  * the reftable DML rewrite (SQL `UPDATE` / `MERGE INTO` →
+  * [[graft.sources.reftable.RefTableDmlRewrite]]) at session build time,
+  * the idiomatic cluster-wide deployment
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`); session
-  * code can still call [[Registry.registerAll]] for ad-hoc use.
+  * code can still call [[Registry.registerAll]] for ad-hoc use of the
+  * functions (the DML rewrite needs the extension point — analyzer rules
+  * cannot be added to a live session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         b))
     }
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.reftable.RefTableDmlRewrite(session))
+  }
 }

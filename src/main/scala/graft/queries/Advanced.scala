@@ -711,6 +711,75 @@ object Advanced {
         |FROM nation WHERE n_regionkey <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SQL UPDATE end-to-end: the analyzer rewrite (RefTableDmlRewrite)
+    // turns the resolved UpdateTable plan into the file-granular COW
+    // update. RHS expressions see the OLD row, per SQL; the oracle replays
+    // the SET as a CASE.
+    QueryDef("q116_sql_update", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q116_upd")
+      val tbl = "graft_q116_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 'c_custkey BIGINT, c_nationkey INT, cents BIGINT')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT c_custkey, c_nationkey, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) FROM customer")
+      s.sql(s"UPDATE $tbl SET cents = cents + 100 WHERE c_custkey % 10 = 3")
+      s.sql(s"SELECT c_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        s"FROM $tbl GROUP BY c_nationkey ORDER BY c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN c_custkey % 10 = 3 THEN cents + 100 ELSE cents END) AS BIGINT)
+        |    AS sum_cents
+        |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // SQL MERGE INTO end-to-end: three clauses with conditions, a subquery
+    // source with fresh keys, through the same analyzer rewrite into
+    // mergeClauses. The oracle replays the clause logic as set operations.
+    QueryDef("q117_sql_merge", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q117_mrg")
+      val tbl = "graft_q117_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT s_suppkey AS k, s_nationkey AS nk,
+           |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+           |  FROM supplier
+           |  UNION ALL
+           |  SELECT -s_suppkey - 1000, s_nationkey, CAST(777 AS BIGINT)
+           |  FROM supplier WHERE s_suppkey % 20 = 0
+           |) s ON t.s_suppkey = s.k
+           |WHEN MATCHED AND s.k % 7 = 0 THEN DELETE
+           |WHEN MATCHED AND s.k % 7 <> 0 AND s.k <= 50 THEN UPDATE SET cents = s.c + 5
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_nationkey, cents)
+           |  VALUES (s.k, s.nk, s.c)""".stripMargin)
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        s"min(s_suppkey) AS lo FROM $tbl GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |merged AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 7 <> 0 AND s_suppkey <= 50 THEN cents + 5
+        |      ELSE cents END AS cents
+        |  FROM base WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -s_suppkey - 1000, s_nationkey, 777 FROM base WHERE s_suppkey % 20 = 0)
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(s_suppkey) AS lo
+        |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

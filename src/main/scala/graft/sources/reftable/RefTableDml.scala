@@ -1,0 +1,215 @@
+package graft.sources.reftable
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+
+/** SQL `UPDATE` and `MERGE INTO` for reftable relations.
+  *
+  * Spark's own row-level-operation planner (`SupportsRowLevelOperations` →
+  * `ReplaceData`) demands a full executor-side DSv2 `BatchWrite`; the
+  * reftable write path is deliberately a V1 fallback around the versioned
+  * publish, so instead these statements are rewritten AT ANALYSIS TIME
+  * into driver commands over the same file-granular copy-on-write
+  * mutations that serve `DELETE FROM` and the programmatic API — the
+  * custom-`Rule[LogicalPlan]` escape hatch Spark keeps for exactly the
+  * operators its planner cannot express for a source. Injected by
+  * [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  *
+  * Expressions are detached from the analyzed plan by rewriting resolved
+  * attribute references back to name lookups (target names additionally
+  * mapped through `rowField` aliasing to their storage names), so the
+  * mutation can re-resolve them against its own pinned read — the same
+  * re-derivation contract the commit CAS requires anyway.
+  *
+  * Supported MERGE shape (refused loudly otherwise, never silently
+  * narrowed): an equi-join ON clause (conjunction of `target.k = <source
+  * expr>`), at most one `WHEN MATCHED [AND cond] THEN UPDATE SET ...`, at
+  * most one `WHEN MATCHED [AND cond] THEN DELETE`, at most one `WHEN NOT
+  * MATCHED [AND cond] THEN INSERT ...`; clause conditions and values may
+  * reference only the source side (the CDC shape [[RefTableMutations
+  * .mergeClauses]] executes). `WHEN NOT MATCHED BY SOURCE` and schema
+  * evolution are not supported.
+  */
+case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
+      refTableOf(target) match {
+        case Some((rel, table)) =>
+          val opts = mutableOpts(table, "UPDATE")
+          val targetAttrs = rel.outputSet
+          val set = assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => throw new UnsupportedOperationException(
+                s"reftable UPDATE supports top-level column assignments only, got ${other.sql}")
+            }
+            opts.storageColumn(name) -> detach(a.value, targetAttrs, opts)
+          }.toMap
+          val condition = cond.map(detach(_, targetAttrs, opts)).getOrElse(lit(true))
+          UpdateRefTableCommand(opts, set, condition)
+        case None => u
+      }
+
+    case m: MergeIntoTable if m.resolved =>
+      refTableOf(m.targetTable) match {
+        case Some((rel, table)) => rewriteMerge(m, rel, table)
+        case None => m
+      }
+
+    case other => other
+  }
+
+  private def rewriteMerge(
+      m: MergeIntoTable, rel: DataSourceV2Relation, table: RefTable): LogicalPlan = {
+    val opts = mutableOpts(table, "MERGE INTO")
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(s"reftable MERGE INTO: $what")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.schemaEvolutionEnabled) unsupported("schema evolution is not supported")
+
+    val targetAttrs = rel.outputSet
+    val sourceAttrs = m.sourceTable.outputSet
+
+    // ON clause: a conjunction of target.col = <source-only expr>
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys: Seq[(String, Column)] = conjuncts(m.mergeCondition).map {
+      case EqualTo(t: AttributeReference, s) if targetAttrs.contains(t) &&
+          s.references.subsetOf(sourceAttrs) =>
+        opts.storageColumn(t.name) -> detach(s, sourceAttrs, opts)
+      case EqualTo(s, t: AttributeReference) if targetAttrs.contains(t) &&
+          s.references.subsetOf(sourceAttrs) =>
+        opts.storageColumn(t.name) -> detach(s, sourceAttrs, opts)
+      case other => unsupported(
+        s"ON clause must be a conjunction of target.col = <source expr>, got ${other.sql}")
+    }
+
+    def sourceOnly(e: Expression, where: String): Column = {
+      if (!e.references.subsetOf(sourceAttrs))
+        unsupported(s"$where may reference only the MERGE source, got ${e.sql}")
+      detach(e, sourceAttrs, opts)
+    }
+    def assignmentsOf(as: Seq[Assignment], where: String): Map[String, Column] =
+      as.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
+          case other => unsupported(s"$where assigns a non-column ${other.sql}")
+        }
+        opts.storageColumn(name) -> sourceOnly(a.value, s"$where value")
+      }.toMap
+
+    var update: Option[(Column, Map[String, Column])] = None
+    var delete: Option[Column] = None
+    m.matchedActions.foreach {
+      case UpdateAction(cond, as, _) =>
+        if (update.nonEmpty) unsupported("at most one WHEN MATCHED UPDATE clause")
+        update = Some((cond.map(sourceOnly(_, "WHEN MATCHED UPDATE condition"))
+          .getOrElse(lit(true)), assignmentsOf(as, "UPDATE SET")))
+      case DeleteAction(cond) =>
+        if (delete.nonEmpty) unsupported("at most one WHEN MATCHED DELETE clause")
+        delete = Some(cond.map(sourceOnly(_, "WHEN MATCHED DELETE condition"))
+          .getOrElse(lit(true)))
+      case other => unsupported(s"unsupported WHEN MATCHED action $other")
+    }
+    var insert: Option[(Column, Map[String, Column])] = None
+    m.notMatchedActions.foreach {
+      case InsertAction(cond, as) =>
+        if (insert.nonEmpty) unsupported("at most one WHEN NOT MATCHED INSERT clause")
+        insert = Some((cond.map(sourceOnly(_, "WHEN NOT MATCHED condition"))
+          .getOrElse(lit(true)), assignmentsOf(as, "INSERT")))
+      case other => unsupported(s"unsupported WHEN NOT MATCHED action $other")
+    }
+    MergeRefTableCommand(opts, m.sourceTable, keys, update, delete, insert)
+  }
+
+  /** The reftable relation under optional aliasing, if this plan is one. */
+  private def refTableOf(plan: LogicalPlan): Option[(DataSourceV2Relation, RefTable)] =
+    plan match {
+      case r @ DataSourceV2Relation(t: RefTable, _, _, _, _, _) => Some((r, t))
+      case SubqueryAlias(_, child) => refTableOf(child)
+      case _ => None
+    }
+
+  private def mutableOpts(table: RefTable, stmt: String): RefTableOptions = {
+    val opts = table.opts
+    if (opts.version.nonEmpty) throw new UnsupportedOperationException(
+      s"reftable $stmt: a version-pinned (time travel) relation is read-only")
+    if (opts.genColumn.nonEmpty) throw new UnsupportedOperationException(
+      s"reftable $stmt: tables declaring genColumn are read-only projections")
+    if (opts.partitionColumns.nonEmpty) throw new UnsupportedOperationException(
+      s"reftable $stmt: Hive-partitioned layouts are not mutable in place — " +
+        "compact to a flat/clustered layout first, or use INSERT OVERWRITE")
+    opts
+  }
+
+  /** Rebind a resolved expression to plain name lookups so it re-resolves
+    * against the mutation's own pinned read. Attributes of `attrs`
+    * (target-side) additionally map through `rowField` aliasing to their
+    * storage names.
+    */
+  private def detach(e: Expression, attrs: AttributeSet, opts: RefTableOptions): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference if attrs.contains(a) =>
+        UnresolvedAttribute.quoted(opts.storageColumn(a.name))
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+}
+
+/** Driver command for the rewritten `UPDATE`: a no-op on a never-published
+  * root (nothing to update), else the COW [[RefTableMutations.updateWhere]].
+  */
+case class UpdateRefTableCommand(
+    opts: RefTableOptions, set: Map[String, Column], condition: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (VersionedTable.resolve(opts.path).nonEmpty)
+      RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions)
+    Seq.empty
+  }
+}
+
+/** Driver command for the rewritten `MERGE INTO`. A never-published target
+  * bootstraps as an empty version first (so a pure-insert merge into a
+  * fresh table works), then runs [[RefTableMutations.mergeClauses]].
+  */
+case class MergeRefTableCommand(
+    opts: RefTableOptions, sourcePlan: LogicalPlan, keys: Seq[(String, Column)],
+    update: Option[(Column, Map[String, Column])], delete: Option[Column],
+    insert: Option[(Column, Map[String, Column])])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (VersionedTable.resolve(opts.path).isEmpty) {
+      val storage = org.apache.spark.sql.types.StructType(opts.schema.fields.map(f =>
+        f.copy(name = opts.storageColumn(f.name))))
+      VersionedTable.publish(
+        spark.createDataFrame(new java.util.ArrayList[Row](), storage).repartition(1),
+        opts.path, opts.keepVersions)
+    }
+    // the join keys become same-named source columns, so mergeClauses'
+    // equi-join matches the ON clause exactly
+    val source = DatasetBridge.ofRows(spark, sourcePlan)
+      .select(keys.map { case (k, e) => e.as(k) } ++
+        source0Cols(sourcePlan).map(org.apache.spark.sql.functions.col): _*)
+    RefTableMutations.mergeClauses(spark, opts.path, source, keys.map(_._1),
+      update, delete, insert, opts.keepVersions)
+    Seq.empty
+  }
+
+  /** Source columns that do not collide with a key alias. */
+  private def source0Cols(p: LogicalPlan): Seq[String] = {
+    val keyNames = keys.map(_._1).toSet
+    p.output.map(_.name).distinct.filterNot(keyNames.contains)
+  }
+}

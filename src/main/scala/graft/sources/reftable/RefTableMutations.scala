@@ -167,6 +167,36 @@ object RefTableMutations {
       matchedUpdate: Option[Column] = Some(lit(true)),
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = Some(lit(true)),
+      keepVersions: Int = 3): String = {
+    // full-row sugar over mergeClauses: update/insert take the source's
+    // same-named columns (source extras like an op marker are ignored; a
+    // row-producing clause still demands the full table row)
+    val tableCols = spark.read.option("mergeSchema", "true")
+      .parquet(resolveFlat(root, new Configuration())).schema.fieldNames.toSeq
+    if (matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty) {
+      val missing = tableCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"merge source is missing table column(s): ${missing.mkString(", ")}")
+    }
+    def fullRow(c: Option[Column]): Option[(Column, Map[String, Column])] =
+      c.map(cond => (cond,
+        tableCols.filter(source.columns.contains).filterNot(keyCols.contains)
+          .map(n => n -> col(n)).toMap)) // keys ride the join, not the map
+    mergeClauses(spark, root, source, keyCols,
+      fullRow(matchedUpdate), matchedDelete, fullRow(notMatchedInsert), keepVersions)
+  }
+
+  /** The general MERGE engine behind [[merge]] and the SQL `MERGE INTO`
+    * rewrite: update and insert clauses carry explicit per-column value
+    * maps (expressions over the SOURCE row). A column absent from the
+    * update map keeps its target value (partial `SET`); one absent from
+    * the insert map inserts NULL. Key columns cannot be updated.
+    */
+  def mergeClauses(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
+      matchedUpdate: Option[(Column, Map[String, Column])],
+      matchedDelete: Option[Column],
+      notMatchedInsert: Option[(Column, Map[String, Column])],
       keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -174,27 +204,28 @@ object RefTableMutations {
     val files = SnapshotFiles.list(current)
     val cur = spark.read.option("mergeSchema", "true").parquet(current)
     val curCols = cur.columns.toSeq
+    val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
-    // a row-producing clause needs the full table row in the source; a
-    // pure-delete merge only needs the keys
-    val needsRow = matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty
-    val needed = if (needsRow) curCols else keyCols
-    val missing = needed.filterNot(source.columns.contains)
-    require(missing.isEmpty,
-      s"merge source is missing table column(s): ${missing.mkString(", ")}")
+    val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
+    val insSet = notMatchedInsert.map(_._2).getOrElse(Map.empty)
+    val badKeys = keyCols.filter(updSet.contains)
+    require(badKeys.isEmpty, s"merge cannot update key column(s) ${badKeys.mkString(", ")}")
+    (updSet.keys ++ insSet.keys).find(!curCols.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(s"merge assigns unknown table column '$c'"))
 
+    // clause conditions and value expressions are evaluated over the raw
+    // source row BEFORE its extra columns are projected away; values cast
+    // to the target column types so the rewrite never drifts the schema
     val valCols = curCols.filterNot(keyCols.contains)
-    // clause conditions are evaluated over the raw source row BEFORE its
-    // extra columns are projected away
     val marked = source.select(
       keyCols.map(col) ++
-        valCols.map(c =>
-          (if (source.columns.contains(c)) col(c) else lit(null)).as(s"__s_$c")) ++
+        valCols.filter(updSet.contains).map(c => updSet(c).cast(types(c)).as(s"__u_$c")) ++
+        curCols.filter(insSet.contains).map(c => insSet(c).cast(types(c)).as(s"__i_$c")) ++
         Seq(
-          matchedUpdate.getOrElse(lit(false)).as("__upd"),
+          matchedUpdate.map(_._1).getOrElse(lit(false)).as("__upd"),
           matchedDelete.getOrElse(lit(false)).as("__del"),
-          notMatchedInsert.getOrElse(lit(false)).as("__ins"),
+          notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
           lit(true).as("__m")): _*)
 
     val empty = marked.isEmpty
@@ -221,7 +252,9 @@ object RefTableMutations {
       val inserts = marked.filter(col("__ins"))
         .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
         .select(curCols.map(c =>
-          (if (keyCols.contains(c)) col(c) else col(s"__s_$c")).as(c)): _*)
+          if (insSet.contains(c)) col(s"__i_$c").as(c)
+          else if (keyCols.contains(c)) col(c) // join key doubles as the insert key
+          else lit(null).cast(types(c)).as(c)): _*)
       val rewritten =
         if (mayMatch.isEmpty) inserts
         else {
@@ -231,8 +264,8 @@ object RefTableMutations {
           sub.join(marked, keyCols, "left_outer")
             .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
             .select(subCols.map(c =>
-              if (keyCols.contains(c)) col(c)
-              else when(matchedFlag && coalesce(col("__upd"), lit(false)), col(s"__s_$c"))
+              if (keyCols.contains(c) || !updSet.contains(c)) col(c)
+              else when(matchedFlag && coalesce(col("__upd"), lit(false)), col(s"__u_$c"))
                 .otherwise(col(c)).as(c)): _*)
             // the may-match subset can lack columns other files carry —
             // null-fill instead of failing (readers null-fill them too)
@@ -240,6 +273,45 @@ object RefTableMutations {
         }
       if (!empty || mayMatch.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString)
+      carryOver(untouched, staging, conf)
+    }
+  }
+
+  /** SQL-UPDATE semantics as a file-granular COW rewrite: rows where
+    * `condition` IS TRUE get the `set` expressions applied (all right-hand
+    * sides see the OLD row, per SQL); every other row — and every file the
+    * stats manifest proves unaffected — is untouched. Values cast to the
+    * column's type. Publishes and returns the new version name.
+    */
+  def updateWhere(
+      spark: SparkSession, root: String, set: Map[String, Column], condition: Column,
+      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val conf = new Configuration()
+    val current = resolveFlat(root, conf)
+    val files = SnapshotFiles.list(current)
+    val schema = spark.read.option("mergeSchema", "true").parquet(current).schema
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    set.keys.find(!types.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(s"UPDATE assigns unknown table column '$c'"))
+    val filters = RefTableFilters.fromPredicate(spark, schema, condition)
+    val mayMatch = if (filters.isEmpty) files
+      else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
+    val untouched = {
+      val touched = mayMatch.map(_.path).toSet
+      files.filterNot(f => touched.contains(f.path))
+    }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      if (mayMatch.nonEmpty) {
+        val sub = spark.read.option("mergeSchema", "true")
+          .parquet(mayMatch.map(_.path): _*)
+        val hit = coalesce(condition, lit(false))
+        val updated = sub.select(sub.columns.toSeq.map(c =>
+          if (set.contains(c)) when(hit, set(c).cast(types(c))).otherwise(col(c)).as(c)
+          else col(c)): _*)
+        VersionedTable.writeParquetMicros(updated, staging.toString)
+      }
       carryOver(untouched, staging, conf)
     }
   }

@@ -91,7 +91,7 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(properties)))
 }
 
-class RefTable(opts: RefTableOptions) extends Table
+class RefTable(val opts: RefTableOptions) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"reftable(${opts.path})"

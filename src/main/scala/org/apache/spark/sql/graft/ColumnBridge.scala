@@ -22,6 +22,16 @@ object ColumnBridge {
   * bridge.
   */
 object DatasetBridge {
+  /** Wrap an analyzed logical plan as a DataFrame (`Dataset.ofRows` is
+    * private[sql]) — how the DML rewrite re-materializes a MERGE source.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def rebatch(data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
       : org.apache.spark.sql.DataFrame = {
     val classic = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.VersionedTable
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL `UPDATE` / `MERGE INTO` through the analyzer rewrite
+  * (RefTableDmlRewrite, injected by GraftExtensions): resolved plans over
+  * reftable relations become driver commands over the COW mutations.
+  */
+class RefTableDmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+  private val ddl = "id BIGINT, v BIGINT, s STRING"
+
+  private def freshTable(name: String): (String, String) = {
+    import spark.implicits._
+    val root = Files.createTempDirectory(s"graft_dml_$name").toString + "/t"
+    val tbl = s"graft_dml_$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', schema '$ddl')")
+    (0L until 100L).map(i => (i, i * 10, s"s$i")).toDF("id", "v", "s")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("overwrite").save()
+    (tbl, root)
+  }
+
+  test("SQL UPDATE applies SET expressions where the condition holds") {
+    val (tbl, _) = freshTable("upd")
+    try {
+      spark.sql(s"UPDATE $tbl SET v = v + 1, s = concat(s, '!') WHERE id < 10")
+      val got = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got(5) == ((5L, 51L, "s5!")), s"updated row wrong: ${got(5)}")
+      assert(got(50) == ((50L, 500L, "s50")), "rows outside the condition untouched")
+      assert(got.length == 100)
+      // RHS sees the OLD row: v = v + 1 used pre-update v
+      assert(got(0) == ((0L, 1L, "s0!")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("SQL UPDATE without WHERE updates every row; unknown columns refuse") {
+    val (tbl, _) = freshTable("updall")
+    try {
+      spark.sql(s"UPDATE $tbl SET v = 0")
+      assert(spark.table(tbl).agg(sum("v")).first().getLong(0) == 0L)
+      val e = intercept[Exception](spark.sql(s"UPDATE $tbl SET nope = 1"))
+      assert(e.getMessage.toLowerCase.contains("nope"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("SQL MERGE INTO: UPDATE SET, DELETE and INSERT clauses with conditions") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("merge")
+    try {
+      Seq((5L, 999L, "u", "upd"), (6L, 0L, "x", "del"), (200L, 42L, "n", "ins"))
+        .toDF("id", "nv", "ns", "op").createOrReplaceTempView("dml_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_src s ON t.id = s.id
+           |WHEN MATCHED AND s.op = 'del' THEN DELETE
+           |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET v = s.nv, s = s.ns
+           |WHEN NOT MATCHED AND s.op = 'ins' THEN INSERT (id, v, s) VALUES (s.id, s.nv, s.ns)
+           |""".stripMargin)
+      val got = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got.exists(_ == ((5L, 999L, "u"))), "matched upd row updated")
+      assert(!got.exists(_._1 == 6L), "matched del row deleted")
+      assert(got.exists(_ == ((200L, 42L, "n"))), "unmatched ins row inserted")
+      assert(got.size == 100, "99 kept + 1 insert")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("SQL MERGE INTO a fresh (never-published) table bootstraps and inserts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dml_fresh").toString + "/t"
+    val tbl = "graft_dml_fresh_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', schema '$ddl')")
+    try {
+      Seq((1L, 11L, "a"), (2L, 22L, "b")).toDF("id", "nv", "ns")
+        .createOrReplaceTempView("dml_fresh_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_fresh_src s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (s.id, s.nv, s.ns)""".stripMargin)
+      assert(spark.table(tbl).count() == 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("unsupported MERGE shapes refuse loudly") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("refuse")
+    try {
+      Seq((1L, 1L)).toDF("id", "nv").createOrReplaceTempView("dml_bad_src")
+      // target-referencing SET value
+      val e1 = intercept[Exception](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_bad_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = t.v + s.nv""".stripMargin))
+      assert(e1.getMessage.contains("only the MERGE source"), e1.getMessage)
+      // non-equi ON clause
+      val e2 = intercept[Exception](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_bad_src s ON t.id > s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(e2.getMessage.contains("conjunction"), e2.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("UPDATE through the graft TableCatalog works and is CAS-committed") {
+    val wh = Files.createTempDirectory("graft_dml_cat").toString
+    val cat = "graftdmlcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"UPDATE $cat.db.t SET v = v * 2 WHERE id = 2")
+    val got = spark.table(s"$cat.db.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 40L)))
+    // two commits: the INSERT and the UPDATE (CREATE publishes nothing)
+    val root = wh + "/db/t"
+    assert(VersionedTable.commitLog(root, conf).size == 2)
+  }
+}
