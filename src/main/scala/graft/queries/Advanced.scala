@@ -711,6 +711,32 @@ object Advanced {
         |FROM nation WHERE n_regionkey <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Schema evolution through SQL DDL: ADD COLUMN evolves the catalog
+    // descriptor (old files null-fill via allowMissingColumns), the next
+    // INSERT carries the new column, and one SELECT reads both
+    // generations. The oracle replays the column's late arrival as a CASE.
+    QueryDef("q118_sql_evolution", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q118_cat")
+      val cat = "graftevo_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.ev")
+      s.sql(s"CREATE TABLE $cat.db.ev (n_nationkey INT, n_name STRING) USING reftable")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT INTO $cat.db.ev " +
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2")
+      s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN region INT")
+      s.sql(s"INSERT INTO $cat.db.ev " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 2")
+      s.sql(s"SELECT coalesce(region, -1) AS region, count(*) AS n, " +
+        s"min(n_name) AS first_name FROM $cat.db.ev GROUP BY 1 ORDER BY 1")
+    }, Some(
+      """SELECT coalesce(CASE WHEN n_regionkey >= 2 THEN n_regionkey END, -1) AS region,
+        |  count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL UPDATE end-to-end: the analyzer rewrite (RefTableDmlRewrite)
     // turns the resolved UpdateTable plan into the file-granular COW
     // update. RHS expressions see the OLD row, per SQL; the oracle replays

@@ -171,10 +171,71 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "reftable catalog: ALTER TABLE is not supported; recreate the table " +
-        "(schema evolution on read is available via the allowMissingColumns option)")
+  /** `ALTER TABLE`: ADD COLUMN (nullable, top-level, appended — existing
+    * files lack it, so the altered descriptor also turns on
+    * `allowMissingColumns` and readers null-fill), DROP COLUMN (files keep
+    * the bytes; the projection stops reading them), and
+    * SET/UNSET TBLPROPERTIES on `option.`-prefixed keys. Renames and type
+    * changes are refused — the files are typed and named, and silently
+    * rewriting either on read is how engines corrupt tables. The rewritten
+    * descriptor is validated exactly like CREATE and lands via tmp +
+    * atomic overwrite rename (concurrent ALTERs are last-writer-wins DDL).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (schema, opts0) = readDescriptor(ident)
+    var fields = schema.fields.toIndexedSeq
+    var opts = opts0
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(s"reftable ALTER TABLE: $what")
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1) unsupported("nested ADD COLUMN")
+        if (!add.isNullable)
+          throw new IllegalArgumentException(
+            "added columns must be nullable: rows in existing files have no value for them")
+        if (add.position != null) unsupported("ADD COLUMN FIRST/AFTER (columns append)")
+        val nm = add.fieldNames.head
+        if (fields.exists(_.name == nm))
+          throw new IllegalArgumentException(s"column '$nm' already exists")
+        fields = fields :+ org.apache.spark.sql.types.StructField(nm, add.dataType)
+        opts += "allowMissingColumns" -> "true" // older files null-fill it
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames.length != 1) unsupported("nested DROP COLUMN")
+        val nm = del.fieldNames.head
+        if (!fields.exists(_.name == nm) && !del.ifExists)
+          throw new IllegalArgumentException(s"column '$nm' does not exist")
+        fields = fields.filterNot(_.name == nm)
+        if (fields.isEmpty)
+          throw new IllegalArgumentException("cannot drop the last column")
+      case sp: TableChange.SetProperty =>
+        if (!sp.property.startsWith(TableCatalog.OPTION_PREFIX))
+          unsupported(s"property '${sp.property}' (only '${TableCatalog.OPTION_PREFIX}*' " +
+            "reader/writer options are stored)")
+        opts += sp.property.substring(TableCatalog.OPTION_PREFIX.length) -> sp.value
+      case rp: TableChange.RemoveProperty =>
+        if (!rp.property.startsWith(TableCatalog.OPTION_PREFIX))
+          unsupported(s"property '${rp.property}'")
+        opts -= rp.property.substring(TableCatalog.OPTION_PREFIX.length)
+      case other => unsupported(
+        s"${other.getClass.getSimpleName} (renames and type changes would silently " +
+          "mis-read the typed, named columns in existing files)")
+    }
+    val newSchema = StructType(fields)
+    // validate like CREATE — a bad alteration fails here, not at first read
+    RefTableOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> tablePath(ident).toString, "schema" -> newSchema.toDDL) ++ opts).asJava))
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("schema", newSchema.toDDL)
+    val on = root.putObject("options")
+    opts.foreach { case (k, v) => on.put(k, v) }
+    val tmp = new Path(tablePath(ident), s"._TABLE.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
+      tmp, descriptorPath(ident), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tablePath(ident), true)

@@ -169,4 +169,40 @@ class RefTableCatalogSpec extends AnyFunSuite {
       assert(spark.read.parquet(cur).columns.toSeq.contains("id"))
     }
   }
+
+  test("ALTER TABLE: add/drop columns evolve the descriptor; unsafe changes refuse") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db5")
+      spark.sql(s"CREATE TABLE $cat.db5.t (id BIGINT, v BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db5.t VALUES (1, 10), (2, 20)")
+
+      spark.sql(s"ALTER TABLE $cat.db5.t ADD COLUMN note STRING")
+      // old files null-fill the new column
+      val got = spark.table(s"$cat.db5.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+      assert(got == Seq((1L, true), (2L, true)))
+      // new writes carry it; old rows still read
+      spark.sql(s"INSERT INTO $cat.db5.t VALUES (3, 30, 'n3')")
+      val all = spark.table(s"$cat.db5.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) "" else r.getString(2))).toSeq
+      assert(all == Seq((1L, ""), (2L, ""), (3L, "n3")))
+
+      spark.sql(s"ALTER TABLE $cat.db5.t DROP COLUMN v")
+      assert(spark.table(s"$cat.db5.t").columns.toSeq == Seq("id", "note"),
+        "dropped column disappears from the projection")
+      assert(spark.table(s"$cat.db5.t").count() == 3)
+
+      val e1 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db5.t RENAME COLUMN note TO memo"))
+      assert(e1.getMessage.contains("mis-read"), e1.getMessage)
+      // type changes: Spark's own analysis refuses narrowing before the
+      // catalog is even consulted — either refusal is the safe outcome
+      val e2 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db5.t ALTER COLUMN id TYPE INT"))
+      assert(e2.getMessage.toLowerCase.contains("not supported"), e2.getMessage)
+      val e3 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db5.t ADD COLUMN bad STRING NOT NULL"))
+      assert(e3.getMessage.contains("nullable"), e3.getMessage)
+    }
+  }
 }
