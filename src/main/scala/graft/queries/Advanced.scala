@@ -737,6 +737,37 @@ object Advanced {
         |  count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SQL metadata tables (Iceberg-style $commits / $history): the commit
+    // log and version history join through plain SQL, rows counted from
+    // the stats manifests — zero data pages, driver-local scan. The oracle
+    // replays the two INSERTs' lineage and row counts from `nation`.
+    QueryDef("q119_sql_metadata", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q119_cat")
+      val cat = "graftmeta_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.m")
+      s.sql(s"CREATE TABLE $cat.db.m (n_nationkey INT, n_name STRING) USING reftable")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT INTO $cat.db.m SELECT n_nationkey, n_name FROM nation")
+      s.sql(s"INSERT INTO $cat.db.m " +
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0")
+      s.sql(
+        s"""SELECT c.seq, c.parent IS NULL AS is_root, h.n_rows, h.is_current
+           |FROM $cat.db.`m$$commits` c
+           |JOIN $cat.db.`m$$history` h ON h.version = c.version
+           |ORDER BY c.seq""".stripMargin)
+    }, Some(
+      """SELECT CAST(1 AS BIGINT) AS seq, TRUE AS is_root,
+        |  (SELECT count(*) FROM nation) AS n_rows, FALSE AS is_current
+        |UNION ALL
+        |SELECT 2, FALSE,
+        |  (SELECT count(*) FROM nation) +
+        |    (SELECT count(*) FROM nation WHERE n_regionkey = 0), TRUE
+        |ORDER BY seq""".stripMargin)),
+
     // SQL UPDATE end-to-end: the analyzer rewrite (RefTableDmlRewrite)
     // turns the resolved UpdateTable plan into the file-granular COW
     // update. RHS expressions see the OLD row, per SQL; the oracle replays

@@ -106,7 +106,29 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(base.asJava)))
   }
 
-  override def loadTable(ident: Identifier): Table = toTable(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    metadataSuffix(ident) match {
+      case Some((base, kind)) => RefTableMetaTables.load(tablePath(base).toString,
+        s"${base.name}$$$kind", kind, conf, exists = tableExists(base), base)
+      case None => toTable(ident, None)
+    }
+
+  /** `t$history` / `t$commits` / `t$files` resolve to driver-computed
+    * metadata tables (Iceberg-style) — `$` is refused in plain identifier
+    * segments, so the suffix can never collide with a real table.
+    */
+  private def metadataSuffix(ident: Identifier): Option[(Identifier, String)] = {
+    val i = ident.name.indexOf('$')
+    if (i <= 0) None
+    else {
+      val (base, kind) = (ident.name.substring(0, i), ident.name.substring(i + 1))
+      if (!RefTableMetaTables.Kinds.contains(kind))
+        throw new IllegalArgumentException(
+          s"unknown metadata table '$$${kind}' (supported: " +
+            RefTableMetaTables.Kinds.mkString(", ") + ")")
+      Some((Identifier.of(ident.namespace, checkSegment(base)), kind))
+    }
+  }
 
   /** `VERSION AS OF '<versionDirName>'` — pin to a retained version. */
   override def loadTable(ident: Identifier, version: String): Table = {

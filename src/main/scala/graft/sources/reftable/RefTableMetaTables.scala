@@ -1,0 +1,117 @@
+package graft.sources.reftable
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Iceberg-style SQL metadata tables for versioned roots, resolved by the
+  * catalog from a `$`-suffixed identifier:
+  *
+  * {{{
+  *   SELECT * FROM graft.db.`t$history`   -- retained versions: files/bytes/rows
+  *   SELECT * FROM graft.db.`t$commits`   -- the commit log: seq, version, parent
+  *   SELECT * FROM graft.db.`t$files`     -- current version's files with stats rows
+  * }}}
+  *
+  * All three are metadata-only — listings, commit records and the stats
+  * manifest; zero data pages — and tiny by construction (bounded by
+  * retained versions / current file count), so they plan as a driver-side
+  * [[LocalScan]]: no jobs, no partitions, rows materialize at planning.
+  */
+object RefTableMetaTables {
+
+  val Kinds: Set[String] = Set("history", "commits", "files")
+
+  private val historySchema = StructType(Seq(
+    StructField("version_idx", IntegerType, nullable = false),
+    StructField("version", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  private val commitsSchema = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("version", StringType, nullable = false),
+    StructField("marker", StringType, nullable = true),
+    StructField("parent", StringType, nullable = true)))
+
+  private val filesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+
+  def load(root: String, displayName: String, kind: String, conf: Configuration,
+      exists: Boolean, ident: Identifier): Table = {
+    if (!exists) throw new NoSuchTableException(ident)
+    kind match {
+      case "history" => new MetaTable(displayName, historySchema, () => historyRows(root, conf))
+      case "commits" => new MetaTable(displayName, commitsSchema, () => commitRows(root, conf))
+      case "files" => new MetaTable(displayName, filesSchema, () => fileRows(root, conf))
+    }
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def historyRows(root: String, conf: Configuration): Array[InternalRow] = {
+    val current = VersionedTable.resolve(root, conf).map(p => new Path(p).getName)
+    VersionedTable.versionDirs(root, conf).zipWithIndex.map { case (name, i) =>
+      val dir = new Path(root, name).toString
+      val files = SnapshotFiles.list(dir)
+      val nRows = RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
+      new GenericInternalRow(Array[Any](
+        i, utf8(name), files.size, files.map(_.length).sum,
+        nRows.map(Long.box).orNull, current.contains(name))): InternalRow
+    }.toArray
+  }
+
+  private def commitRows(root: String, conf: Configuration): Array[InternalRow] =
+    VersionedTable.commitLog(root, conf).map { c =>
+      new GenericInternalRow(Array[Any](
+        c.seq, utf8(c.version),
+        c.marker.map(utf8).orNull, c.parent.map(utf8).orNull)): InternalRow
+    }.toArray
+
+  private def fileRows(root: String, conf: Configuration): Array[InternalRow] = {
+    val current = VersionedTable.resolve(root, conf)
+    current match {
+      case None => Array.empty
+      case Some(dir) =>
+        val stats = RefTableStats.load(dir, conf).getOrElse(Map.empty)
+        SnapshotFiles.list(dir).map { f =>
+          val name = new Path(f.path).getName
+          new GenericInternalRow(Array[Any](
+            utf8(name), f.length,
+            stats.get(name).map(s => Long.box(s.rows)).orNull)): InternalRow
+        }.toArray
+    }
+  }
+
+  private class MetaTable(
+      tname: String, tschema: StructType, data: () => Array[InternalRow])
+      extends Table with SupportsRead {
+    override def name(): String = tname
+    override def schema(): StructType = tschema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = tschema
+          override def rows(): Array[InternalRow] = data()
+          override def description(): String = tname
+        }
+      }
+  }
+}

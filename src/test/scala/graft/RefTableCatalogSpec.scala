@@ -205,4 +205,39 @@ class RefTableCatalogSpec extends AnyFunSuite {
       assert(e3.getMessage.contains("nullable"), e3.getMessage)
     }
   }
+
+  test("metadata tables: $history, $commits and $files answer through plain SQL") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db6")
+      spark.sql(s"CREATE TABLE $cat.db6.t (id BIGINT, s STRING) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db6.t VALUES (1,'a'),(2,'b')")
+      spark.sql(s"INSERT INTO $cat.db6.t VALUES (3,'c')")
+
+      val hist = spark.sql(
+        s"SELECT version_idx, n_rows, is_current FROM $cat.db6.`t$$history` ORDER BY version_idx")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(hist == Seq((0, 2L, false), (1, 3L, true)), s"got $hist")
+
+      val commits = spark.sql(
+        s"SELECT seq, parent IS NULL AS root FROM $cat.db6.`t$$commits` ORDER BY seq")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      // first INSERT INTO an empty root derives from nothing; the second
+      // records the first as its parent
+      assert(commits == Seq((1L, true), (2L, false)), s"got $commits")
+
+      val files = spark.sql(
+        s"SELECT count(*) AS n, sum(n_rows) AS rows FROM $cat.db6.`t$$files`")
+        .collect().head
+      assert(files.getLong(1) == 3L, "current version's stats rows sum to the table count")
+      assert(files.getLong(0) >= 1L)
+
+      // the scan is driver-local: no exchanges, no file sources
+      val plan = spark.sql(s"SELECT * FROM $cat.db6.`t$$history`")
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+
+      val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.db6.`t$$nope`"))
+      assert(e.getMessage.contains("unknown metadata table"), e.getMessage)
+    }
+  }
 }
