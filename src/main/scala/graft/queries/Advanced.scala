@@ -711,6 +711,34 @@ object Advanced {
         |FROM nation WHERE n_regionkey <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bloom-filter file skipping end-to-end through the writer option: a
+    // high-cardinality string key (min/max untrusted for strings, value
+    // sets refuse unbounded domains) gets per-file Bloom filters at
+    // publish; the point-lookup IN prunes to the one file that might hold
+    // the present key and proves the absent one away. The oracle replays
+    // the lookup over the raw table; the spec asserts the file counts.
+    QueryDef("q120_bloom_skip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q120_bloom")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), concat(lit("ord_"), col("o_orderkey")).as("okey"),
+          col("o_totalprice"))
+        .write.format("reftable").option("path", root)
+        .option("schema", "o_orderkey BIGINT, okey STRING, o_totalprice DOUBLE")
+        .option("clusterBy", "o_orderkey").option("clusterFiles", "8")
+        .option("bloomStats", "okey")
+        .mode("overwrite").save()
+      s.read.format("reftable").option("path", root)
+        .option("schema", "o_orderkey BIGINT, okey STRING, o_totalprice DOUBLE").load()
+        .filter(col("okey").isin("ord_7", "ord_1284", "ord_does_not_exist"))
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"),
+          min("o_orderkey").as("lo"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total,
+        |  min(o_orderkey) AS lo
+        |FROM orders
+        |WHERE 'ord_' || CAST(o_orderkey AS VARCHAR) IN
+        |  ('ord_7', 'ord_1284', 'ord_does_not_exist')""".stripMargin)),
+
     // Schema evolution through SQL DDL: ADD COLUMN evolves the catalog
     // descriptor (old files null-fill via allowMissingColumns), the next
     // INSERT carries the new column, and one SELECT reads both

@@ -170,6 +170,12 @@ object SchemaJson {
   *  - `categoricalStats` comma-separated STRING columns — after publish,
   *                      the manifest is augmented with exact per-file
   *                      value sets for them;
+  *  - `bloomStats`      comma-separated integral/string columns — after
+  *                      publish, the manifest gains per-file Bloom
+  *                      filters so point lookups (`=`, `IN`) skip files
+  *                      that provably lack the value (the
+  *                      high-cardinality complement of
+  *                      `categoricalStats`);
   *  - `keepVersions`    (default 3, minimum 2) versions retained after
   *                      each publish — raise it on roots with many
   *                      concurrent writers or long-pinned readers.
@@ -194,7 +200,8 @@ final case class RefTableOptions(
     zorderBy: Seq[String] = Nil,
     clusterFiles: Int = 16,
     categoricalStats: Seq[String] = Nil,
-    keepVersions: Int = 3) {
+    keepVersions: Int = 3,
+    bloomStats: Seq[String] = Nil) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -325,6 +332,7 @@ object RefTableOptions {
     val clusterBy = colList("clusterBy")
     val zorderBy = colList("zorderBy")
     val categoricalStats = colList("categoricalStats")
+    val bloomStats = colList("bloomStats")
     if (clusterBy.nonEmpty && zorderBy.nonEmpty)
       errs += "Options 'clusterBy' and 'zorderBy' are mutually exclusive"
     if ((clusterBy.nonEmpty || zorderBy.nonEmpty) && partitionColumns.nonEmpty)
@@ -345,6 +353,14 @@ object RefTableOptions {
           errs += s"categoricalStats column '$c' must be STRING (value sets are exact " +
             s"only for strings), got ${f.dataType.simpleString}"
         case _ => ()
+      })
+      bloomStats.foreach(c => st.fields.find(_.name == c) match {
+        case None => errs += s"bloomStats column '$c' must be a field in the schema"
+        case Some(f) => f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType => ()
+          case other => errs += s"bloomStats column '$c' must be integral or string " +
+            s"(point-lookup types), got ${other.simpleString}"
+        }
       })
     }
     val clusterFiles = Option(options.get("clusterFiles")).filter(_.nonEmpty) match {
@@ -370,6 +386,6 @@ object RefTableOptions {
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
-      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions)
+      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats)
   }
 }

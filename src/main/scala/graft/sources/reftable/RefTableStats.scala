@@ -78,11 +78,19 @@ object RefTableStats {
     * the exact distinct non-null value set of a categorical STRING column
     * (added by [[augmentCategorical]]) — when present, predicates evaluate
     * over the finite set instead of a range, which is exact where string
-    * min/max bounds cannot be trusted (writers truncate them).
+    * min/max bounds cannot be trusted (writers truncate them). `bloom` is
+    * a per-file Bloom filter over the column's non-null values (added by
+    * [[augmentBloom]]): point lookups (`=`, `IN`, null-safe `=`) skip
+    * files whose filter proves the value absent — the skipping story for
+    * HIGH-cardinality columns, where a value set would be unbounded and
+    * min/max are either untrusted (strings) or useless (uniformly spread
+    * keys). One-sided by construction: `mightContain=false` is proof,
+    * `true` proves nothing, so a false positive only costs a kept file.
     */
   final case class ColStats(
       min: Option[JsonNode], max: Option[JsonNode], nulls: Long,
-      vals: Option[Seq[String]] = None)
+      vals: Option[Seq[String]] = None,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
   final case class FileStats(length: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- manifest write ------------------------------------------------------
@@ -363,45 +371,71 @@ object RefTableStats {
           (r.getAs[scala.collection.Seq[String]]("__vals").toSeq.sorted, r.getAs[Long]("__nulls")))
     }.toMap
 
-    if (fs.exists(new Path(base, ManifestName)))
-      spliceJson(fs, base, cols, updates)
-    else if (fs.exists(new Path(base, ShardDirName)))
-      spliceSharded(spark, fs, base, updates)
-    else throw new IllegalStateException(
-      s"augmentCategorical: no $ManifestName or $ShardDirName in $dir — " +
-        "regenerate the manifest first")
-    manifestCache.clear() // the manifest changed under any cached key's mtime granularity
+    splice(spark, fs, base, updates.map { case (k, (vals, nulls)) =>
+      k -> (((cn: com.fasterxml.jackson.databind.node.ObjectNode) =>
+        attach(cn, k._2, vals, nulls)): ColPatch)
+    })
   }
+
+  /** A serializable patch applied to one file's `cols` object node —
+    * the shared splice currency of [[augmentCategorical]] and
+    * [[augmentBloom]] (the sharded rewrite ships patches to executors).
+    */
+  private type ColPatch = com.fasterxml.jackson.databind.node.ObjectNode => Unit
 
   /** Attach `vals`/`nulls` updates to one file's `cols` object node. */
   private def attach(
       colsNode: com.fasterxml.jackson.databind.node.ObjectNode,
       c: String, vals: Seq[String], nulls: Long): Unit = {
-    val cn = Option(colsNode.get(c)).collect {
-      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
-    }.getOrElse(colsNode.putObject(c))
+    val cn = colChild(colsNode, c)
     val arr = cn.putArray("vals")
     vals.foreach(arr.add)
     cn.put("nulls", nulls)
     ()
   }
 
+  private def colChild(
+      colsNode: com.fasterxml.jackson.databind.node.ObjectNode,
+      c: String): com.fasterxml.jackson.databind.node.ObjectNode =
+    Option(colsNode.get(c)).collect {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+    }.getOrElse(colsNode.putObject(c))
+
+  /** Apply per-(file, column) patches to whichever manifest format the
+    * version carries, atomically (tmp + OVERWRITE rename for JSON; staged
+    * dir swap for shards, with the fail-open blink documented on
+    * [[augmentCategorical]]).
+    */
+  private def splice(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: Path,
+      updates: Map[(String, String), ColPatch]): Unit = {
+    if (fs.exists(new Path(base, ManifestName)))
+      spliceJson(fs, base, updates)
+    else if (fs.exists(new Path(base, ShardDirName)))
+      spliceSharded(spark, fs, base, updates)
+    else throw new IllegalStateException(
+      s"manifest augmentation: no $ManifestName or $ShardDirName in $base — " +
+        "regenerate the manifest first")
+    manifestCache.clear() // the manifest changed under any cached key's mtime granularity
+  }
+
   private def spliceJson(
-      fs: org.apache.hadoop.fs.FileSystem, base: Path, cols: Seq[String],
-      updates: Map[(String, String), (Seq[String], Long)]): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, base: Path,
+      updates: Map[(String, String), ColPatch]): Unit = {
     val mf = new Path(base, ManifestName)
     val in = fs.open(mf)
     val root = try new ObjectMapper().readTree(in)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     finally in.close()
     val filesNode = root.path("files").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    updates.foreach { case ((rel, c), (vals, nulls)) =>
+    updates.foreach { case ((rel, _), patch) =>
       val fileNode = Option(filesNode.get(rel)).collect {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
       }.getOrElse(throw new IllegalStateException(
-        s"augmentCategorical: $rel not in $ManifestName — regenerate the manifest first"))
-      attach(fileNode.path("cols")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode], c, vals, nulls)
+        s"manifest augmentation: $rel not in $ManifestName — regenerate the manifest first"))
+      patch(fileNode.path("cols")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
     }
     // tmp + OVERWRITE rename: a version dir is published (readers may hold
     // it), so the manifest must never be observable half-written
@@ -415,14 +449,12 @@ object RefTableStats {
   private def spliceSharded(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, base: Path,
-      updates: Map[(String, String), (Seq[String], Long)]): Unit = {
+      updates: Map[(String, String), ColPatch]): Unit = {
     import spark.implicits._
     val sd = new Path(base, ShardDirName)
-    // rel -> (col -> (vals, nulls)); bounded by the qualifying files
-    val byFile: Map[String, Map[String, (Seq[String], Long)]] =
-      updates.toSeq.groupBy(_._1._1).map { case (rel, kvs) =>
-        rel -> kvs.map { case ((_, c), v) => c -> v }.toMap
-      }
+    // rel -> patches; bounded by the qualifying files
+    val byFile: Map[String, Seq[ColPatch]] =
+      updates.toSeq.groupBy(_._1._1).map { case (rel, kvs) => rel -> kvs.map(_._2) }
     val byFileB = spark.sparkContext.broadcast(byFile)
     val merged = spark.read.parquet(shardFiles(sd, fs): _*)
       .select("path", "len", "rows", "cols").as[(String, Long, Long, String)]
@@ -432,10 +464,10 @@ object RefTableStats {
         it.map { case (rel, len, rows, colsJson) =>
           ups.get(rel) match {
             case None => (rel, len, rows, colsJson)
-            case Some(colUpdates) =>
+            case Some(patches) =>
               val cn = mapper.readTree(colsJson)
                 .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              colUpdates.foreach { case (c, (vals, nulls)) => attach(cn, c, vals, nulls) }
+              patches.foreach(_(cn))
               (rel, len, rows, mapper.writeValueAsString(cn))
           }
         }
@@ -445,13 +477,98 @@ object RefTableStats {
     // two renames; the reader fails open during the gap
     val trash = new Path(base, s".${ShardDirName}.old${System.nanoTime()}")
     if (!fs.rename(sd, trash))
-      throw new java.io.IOException(s"augmentCategorical: could not stage out $sd")
+      throw new java.io.IOException(s"manifest augmentation: could not stage out $sd")
     if (!fs.rename(tmp, sd)) {
       fs.rename(trash, sd) // restore the original manifest
-      throw new java.io.IOException(s"augmentCategorical: could not publish $tmp as $sd")
+      throw new java.io.IOException(s"manifest augmentation: could not publish $tmp as $sd")
     }
     fs.delete(trash, true)
     ()
+  }
+
+  /** Augment a snapshot's manifest with per-file Bloom filters over
+    * `cols` — point-lookup skipping for HIGH-cardinality columns, the
+    * regime value sets refuse (`maxDistinct` caps them) and min/max can't
+    * serve (strings are untrusted; uniformly-spread keys give useless
+    * bounds). Integral and string columns only — the types point lookups
+    * actually target; the filter hashes longs for integrals and UTF-8
+    * bytes for strings, and the evaluator branches identically by the
+    * declared type, so writer and reader can never disagree.
+    *
+    * One distributed pass: values group by file (the same single shuffle
+    * the categorical pass pays), each group folds into a
+    * `BloomFilter.create(expectedItems, fpp)` sized by the caller to the
+    * layout's rows-per-file; exact null counts ride along. The driver
+    * materializes one filter per (file, column) — the manifest payload
+    * itself (~`1.2 * expectedItems * ln(1/fpp)` bits each; the 100k/3%
+    * default is ~90 KB). Atomic rewrite, either manifest format, same as
+    * [[augmentCategorical]].
+    */
+  def augmentBloom(
+      spark: org.apache.spark.sql.SparkSession, dir: String, cols: Seq[String],
+      expectedItems: Long = 100000L, fpp: Double = 0.03,
+      conf: Configuration = new Configuration()): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    require(cols.nonEmpty, "augmentBloom needs at least one column")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val qualified = fs.makeQualified(base).toString
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach { c =>
+      val dt = types.getOrElse(c,
+        throw new IllegalArgumentException(s"bloom column '$c' not present in $dir"))
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"bloom column '$c' must be integral or string (point-lookup types), " +
+            s"got ${other.simpleString}")
+      }
+    }
+    def relOf0(abs: String): String = {
+      val norm = new Path(abs).toString
+      if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
+    }
+    val n = expectedItems
+    val p = fpp
+    def encode(bf: org.apache.spark.util.sketch.BloomFilter): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val updates: Map[(String, String), ColPatch] = cols.flatMap { c =>
+      val perFile: Array[(String, String, Long)] =
+        if (types(c) == StringType)
+          df.select(input_file_name().as("_1"), col(c).cast("string").as("_2"))
+            .as[(String, String)].groupByKey(_._1).mapGroups { (file, it) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.create(n, p)
+              var nulls = 0L
+              it.foreach { case (_, v) => if (v == null) nulls += 1 else bf.putString(v) }
+              (file, encode(bf), nulls)
+            }.collect()
+        else
+          df.select(input_file_name().as("_1"), col(c).cast("long").as("_2"))
+            .as[(String, Option[Long])].groupByKey(_._1).mapGroups { (file, it) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.create(n, p)
+              var nulls = 0L
+              it.foreach {
+                case (_, None) => nulls += 1
+                case (_, Some(v)) => bf.putLong(v)
+              }
+              (file, encode(bf), nulls)
+            }.collect()
+      perFile.map { case (f, b64, nulls) =>
+        val colName = c
+        (relOf0(f), c) -> (((cn: com.fasterxml.jackson.databind.node.ObjectNode) => {
+          val child = colChild(cn, colName)
+          child.put("bloom", b64)
+          child.put("nulls", nulls)
+          ()
+        }): ColPatch)
+      }
+    }.toMap
+    splice(spark, fs, base, updates)
   }
 
   // ---- manifest read -------------------------------------------------------
@@ -462,17 +579,26 @@ object RefTableStats {
     */
   private val manifestCache = new ConcurrentHashMap[String, Map[String, FileStats]]()
 
-  /** Per-file `cols` object (either manifest format) → typed stats. */
+  /** Per-file `cols` object (either manifest format) → typed stats. A
+    * bloom payload that fails to decode is dropped for that column (fail
+    * open, like every other malformed stat).
+    */
   private[reftable] def parseCols(colsNode: JsonNode): Map[String, ColStats] =
     colsNode.properties().asScala.map { c =>
       val v = c.getValue
       val vals = Option(v.get("vals")).filter(_.isArray).map(a =>
         (0 until a.size()).map(a.get(_).asText()))
+      val bloom = Option(v.get("bloom")).filter(_.isTextual).flatMap { b =>
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b.asText()))))
+        catch { case NonFatal(_) => None }
+      }
       c.getKey -> ColStats(
         Option(v.get("min")).filterNot(_.isNull),
         Option(v.get("max")).filterNot(_.isNull),
         if (v.has("nulls")) v.get("nulls").asLong() else -1L,
-        vals)
+        vals, bloom)
     }.toMap
 
   /** The manifest for a snapshot dir, or None when absent/unreadable. Fail
@@ -673,6 +799,16 @@ object RefTableStats {
       // to renderings — fall through to the (exact) range path instead
       case _ if cs.exists(_.vals.isDefined) && field.dataType == StringType =>
         valueSetLeaf(f, cs.get.vals.get, cs.get.nulls != 0L)
+      // Bloom rejection is PROOF of absence (one-sided): a point lookup on
+      // a provably-absent value can only be FALSE (non-null rows) or NULL
+      // (null rows); a mightContain=true falls through to the range path
+      case EqualTo(_, v) if v != null && bloomRejects(cs, field.dataType, v) =>
+        Tri(t = false, f = mayNonNull, n = mayNull)
+      case EqualNullSafe(_, v) if v != null && bloomRejects(cs, field.dataType, v) =>
+        Tri(t = false, f = true, n = false) // null-safe compare is never NULL
+      case In(_, vs) if vs.nonEmpty &&
+          vs.forall(v => v != null && bloomRejects(cs, field.dataType, v)) =>
+        Tri(t = false, f = mayNonNull, n = mayNull)
       case _ if cs.isEmpty => Unknown
       case EqualTo(_, v)            => rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
         (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) }
@@ -697,6 +833,27 @@ object RefTableStats {
       case _ => Unknown // string predicates and anything unrecognized
     }
   }
+
+  /** True iff the column carries a Bloom filter AND it proves `v` absent
+    * from the file. Branches by the DECLARED type exactly as the writer
+    * did (longs for integrals, UTF-8 strings for strings); a literal of an
+    * unexpected runtime type never rejects (fail open).
+    */
+  private def bloomRejects(cs: Option[ColStats], dt: DataType, v: Any): Boolean =
+    cs.exists(_.bloom.exists { bf =>
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => v match {
+          case n: Number => !bf.mightContainLong(n.longValue())
+          case _ => false
+        }
+        case StringType => v match {
+          case s: String => !bf.mightContainString(s)
+          case u: org.apache.spark.unsafe.types.UTF8String => !bf.mightContainString(u.toString)
+          case _ => false
+        }
+        case _ => false // the writer never blooms other types
+      }
+    })
 
   /** Exact possible outcomes over a finite value set: the predicate is
     * simply evaluated on every distinct value — TRUE possible iff some

@@ -132,6 +132,11 @@ object RefTableWrites {
       RefTableStats.augmentCategorical(
         data.sparkSession, resolved, storage(opts.categoricalStats))
     }
+    if (opts.bloomStats.nonEmpty) {
+      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
+      RefTableStats.augmentBloom(
+        data.sparkSession, resolved, storage(opts.bloomStats))
+    }
     ()
   }
 }

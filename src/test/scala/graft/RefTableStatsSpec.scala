@@ -372,6 +372,77 @@ class RefTableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom filters prune point lookups on high-cardinality columns, never falsely") {
+    import spark.implicits._
+    val root = tmpDir("bloom")
+    // high-cardinality string token + long key, clustered by id so each
+    // file holds a contiguous, distinct slice of both
+    val df = (0 until 4000).map { i =>
+      val tok = if (i % 131 == 0) null else s"tok_${i}_x"
+      (i.toLong, tok)
+    }.toDF("id", "tok")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 8)
+    val resolved = SnapshotFiles.resolveDir(root, None, conf)
+    RefTableStats.augmentBloom(spark, resolved, Seq("id", "tok"), expectedItems = 1000)
+    val o = opts("path" -> root, "schema" -> "id BIGINT, tok STRING")
+    val all = SnapshotFiles.pruned(o, Nil).size
+    assert(all == 8)
+    def planned(fs: Filter*) = SnapshotFiles.pruned(o, fs.toSeq).size
+
+    // an absent string value: every file's filter proves absence
+    assert(planned(EqualTo("tok", "never_written")) == 0)
+    // a present string value: exactly its file survives (± fpp on 7 others)
+    assert(planned(EqualTo("tok", "tok_1234_x")) <= 2)
+    // IN over absent values only
+    assert(planned(In("tok", Array[Any]("nope1", "nope2"))) == 0)
+    // long key point lookups prune too (bloom agrees with the range here)
+    assert(planned(EqualTo("id", 123456L)) == 0)
+    assert(planned(EqualNullSafe("tok", "never_written")) == 0)
+    // a null literal never consults the bloom — the range algebra already
+    // proves `= NULL` can never be TRUE, so every file is (correctly) skipped
+    assert(planned(EqualTo("tok", null)) == 0)
+
+    // never a false skip: every present value's file is always planned
+    val rnd = new scala.util.Random(11)
+    (0 until 50).foreach { _ =>
+      val i = rnd.nextInt(4000)
+      if (i % 131 != 0) {
+        val kept = SnapshotFiles.pruned(o, Seq(EqualTo("tok", s"tok_${i}_x")))
+        val hit = spark.read.parquet(kept.map(_.path): _*)
+          .filter(col("tok") === s"tok_${i}_x").count()
+        assert(hit == 1L, s"value tok_${i}_x lost by pruning")
+      }
+    }
+    // results identical with skipping on and off, null semantics included
+    def rows(skip: Boolean, cond: org.apache.spark.sql.Column) = spark.read
+      .format("reftable").option("path", root)
+      .option("schema", "id BIGINT, tok STRING")
+      .option("statsPruning", skip.toString).load()
+      .filter(cond).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    for (cond <- Seq(col("tok") === "tok_777_x", col("tok") === "never",
+        !(col("tok") === "tok_777_x"), col("tok").isNull, col("id") === 399L)) {
+      assert(rows(skip = true, cond) == rows(skip = false, cond), s"cond $cond")
+    }
+  }
+
+  test("bloom filters work through the sharded manifest, distributed") {
+    import spark.implicits._
+    val root = tmpDir("bloomshard")
+    val df = (0 until 2000).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 6)
+    val resolved = SnapshotFiles.resolveDir(root, None, conf)
+    // force the sharded format, then bloom through the distributed splice
+    RefTableStats.writeManifest(resolved, conf, shardThreshold = 0)
+    RefTableStats.augmentBloom(spark, resolved, Seq("k"), expectedItems = 500)
+    val o = opts("path" -> root, "schema" -> "id BIGINT, k STRING")
+    assert(SnapshotFiles.pruned(o, Seq(EqualTo("k", "absent"))).isEmpty,
+      "sharded bloom pruning must prove absence")
+    val kept = SnapshotFiles.pruned(o, Seq(EqualTo("k", "k500")))
+    assert(kept.size <= 2, s"present value keeps ~1 file, got ${kept.size}")
+    assert(spark.read.parquet(kept.map(_.path): _*)
+      .filter(col("k") === "k500").count() == 1L)
+  }
+
   test("random trees over categorical + date columns: skipping never changes results") {
     import spark.implicits._
     val root = tmpDir("catequiv")
