@@ -56,6 +56,37 @@ object Dedup {
     cands.withColumn("j", r4(j)).filter(j >= threshold).select("a_id", "b_id", "j")
   }
 
+  /** Incremental admission: near-duplicate pairs BETWEEN a candidate
+    * `batch` and an existing `corpus` — "dedup today's crawl against the
+    * lake". Same LSH band equi-join + exact shingle-Jaccard verification
+    * as [[minHashLsh]], but strictly cross-set: the corpus is never
+    * self-joined, so the candidate and verify work scales with the BATCH
+    * side (the corpus contributes its band index and the shingle sets of
+    * matched candidates only). Returns (batch_id, corpus_id, j).
+    * Compose with [[graft.sources.reftable.VersionedTable.changes]] to
+    * admit only a version delta instead of re-deduplicating the table.
+    */
+  def nearDupAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64): DataFrame = {
+    def bandsOf(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        posexplode(minhashBands(tokens(col(textCol)), k, numBands)).as(Seq("p", "bk")))
+      .select(col(as), col("bk"))
+    val cand = bandsOf(batch, "batch_id")
+      .join(bandsOf(corpus, "corpus_id"), Seq("bk"))
+      .select("batch_id", "corpus_id").dropDuplicates("batch_id", "corpus_id")
+    val withSets = cand
+      .join(shingleSets(batch, idCol, textCol, k)
+        .select(col(idCol).as("batch_id"), col("hs").as("hb")), Seq("batch_id"))
+      .join(shingleSets(corpus, idCol, textCol, k)
+        .select(col(idCol).as("corpus_id"), col("hs").as("hc")), Seq("corpus_id"))
+    val inter = size(array_intersect(col("hb"), col("hc"))).cast("double")
+    val j = inter / (size(col("hb")) + size(col("hc")) - inter)
+    withSets.withColumn("j", r4(j)).filter(j >= threshold)
+      .select("batch_id", "corpus_id", "j")
+  }
+
   /** Exact n-gram Jaccard similarity join on hashed shingles (no pruning —
     * the correctness baseline for [[minHashLsh]]; pair count grows with
     * shingle collision rates, prefer LSH at scale).

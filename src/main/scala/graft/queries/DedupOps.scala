@@ -92,6 +92,41 @@ object DedupOps {
         .orderBy("a_id", "b_id")
     }, Some(exactJaccardSql(0.7))),
 
+    // Incremental dedup admission: a candidate batch (held-out docs plus
+    // planted perturbed copies of corpus docs) is near-dup checked AGAINST
+    // the existing corpus — strictly cross-set, never a corpus self-join.
+    // The oracle recomputes the exact cross-set Jaccard pairs, so a hash
+    // match proves the LSH admission found every planted copy.
+    QueryDef("q121_incremental_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionAll(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" the end")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.operators.Dedup.nearDupAgainst(base, batch, "doc_id", "text",
+        threshold = 0.7, k = 3, numBands = NumBands)
+        .orderBy("batch_id", "corpus_id")
+    }, Some(
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' the end' FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+         |uni AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM cand),
+         |${shingleCtes("uni")},
+         |inter AS (SELECT b.doc_id b_id, a.doc_id a_id, count(*) i
+         |  FROM hsh b JOIN hsh a ON b.h = a.h
+         |  WHERE b.doc_id IN (SELECT doc_id FROM cand)
+         |    AND a.doc_id IN (SELECT doc_id FROM base)
+         |  GROUP BY 1, 2)
+         |SELECT b_id AS batch_id, a_id AS corpus_id,
+         |  round(i * 1.0 / (sb.n + sa.n - i), 4) AS j
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE i * 1.0 / (sb.n + sa.n - i) >= 0.7
+         |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     // exact n-gram Jaccard similarity join (lower threshold, no LSH pruning).
     // Joins on the hashed shingle, not the string — narrow exchange payload.
     QueryDef("q43_ngram_jaccard", (s, dir) => {
