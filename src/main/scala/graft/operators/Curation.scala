@@ -90,9 +90,20 @@ object Curation {
       df: DataFrame, idCol: String, weightCol: String, budget: Long,
       numParts: Int = 32): DataFrame = {
     require(budget > 0, "packShards needs a positive token budget")
+    // persist() before the two downstream jobs (offset collect + windowed
+    // sum): the range partitioner samples with a plan-instance-dependent
+    // seed, so WITHOUT a shared materialization the two jobs could draw
+    // different partition boundaries once the corpus outgrows the
+    // sampler's full-coverage size — job-1 offsets would then be applied
+    // to job-2's different partition membership, silently corrupting
+    // every shard assignment. The cache pins ONE physical plan (one
+    // RangePartitioner instance), so even recomputed blocks keep the same
+    // boundaries. Blocks release via the ContextCleaner when the plan is
+    // unreachable.
     val parts = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
       .repartitionByRange(numParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = parts.groupBy("__pid").agg(sum("__w").as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val exclusive = offsets.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }

@@ -84,7 +84,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = fs.exists(descriptorPath(ident))
 
-  private def readDescriptor(ident: Identifier): (StructType, Map[String, String]) = {
+  private def readDescriptor(
+      ident: Identifier): (StructType, Map[String, String], Set[String]) = {
     val dp = descriptorPath(ident)
     if (!fs.exists(dp)) throw new NoSuchTableException(ident)
     val in = fs.open(dp)
@@ -94,11 +95,14 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     val opts = Option(node.get("options")).map { o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    (schema, opts)
+    val dropped = Option(node.get("droppedColumns")).map { d =>
+      d.elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty[String])
+    (schema, opts, dropped)
   }
 
   private def toTable(ident: Identifier, version: Option[String]): Table = {
-    val (schema, stored) = readDescriptor(ident)
+    val (schema, stored, _) = readDescriptor(ident)
     val base = Map(
       "path" -> tablePath(ident).toString,
       "schema" -> schema.toDDL) ++ stored ++
@@ -130,25 +134,30 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  /** `VERSION AS OF '<versionDirName>'` — pin to a retained version. */
+  /** `VERSION AS OF '<versionDirName>'` — pin to a retained COMMITTED
+    * version: resolution intersects version directories with the commit
+    * log, so an orphan dir from a crashed publish (staged and renamed but
+    * never committed) can never be pinned — no reader could ever have
+    * seen it as current.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tablePath(ident).toString
-    if (!VersionedTable.versionDirs(root, conf).contains(version))
+    if (!VersionedTable.committedVersionDirs(root, conf).contains(version))
       throw new IllegalArgumentException(
-        s"table ${ident.toString} has no retained version '$version' " +
+        s"table ${ident.toString} has no retained committed version '$version' " +
           s"(see VersionedTable.history)")
     toTable(ident, Some(version))
   }
 
-  /** `TIMESTAMP AS OF <ts>`: pin to the newest version published at or
-    * before the timestamp. Version directory names embed their publish
-    * millis, so resolution is a name comparison — no file reads. Spark
-    * hands micros since epoch.
+  /** `TIMESTAMP AS OF <ts>`: pin to the newest COMMITTED version published
+    * at or before the timestamp. Version directory names embed their
+    * publish millis, so resolution is a name comparison — no file reads.
+    * Spark hands micros since epoch.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = tablePath(ident).toString
     val ms = timestamp / 1000L
-    val pick = VersionedTable.versionDirs(root, conf)
+    val pick = VersionedTable.committedVersionDirs(root, conf)
       .filter(d => VersionedTable.versionTimestampMs(d) <= ms)
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"table ${ident.toString} has no version at or before timestamp ${ms}ms"))
@@ -204,9 +213,10 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     * atomic overwrite rename (concurrent ALTERs are last-writer-wins DDL).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (schema, opts0) = readDescriptor(ident)
+    val (schema, opts0, dropped0) = readDescriptor(ident)
     var fields = schema.fields.toIndexedSeq
     var opts = opts0
+    var dropped = dropped0
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"reftable ALTER TABLE: $what")
     changes.foreach {
@@ -219,6 +229,18 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
         val nm = add.fieldNames.head
         if (fields.exists(_.name == nm))
           throw new IllegalArgumentException(s"column '$nm' already exists")
+        // DROP COLUMN only removes the field from the descriptor — files
+        // written before the drop still carry the bytes, so re-adding the
+        // name would silently RESURRECT stale values for exactly the rows
+        // that predate the drop (new rows would read null). The field-ID
+        // indirection Delta/Iceberg use is what solves this properly;
+        // until versions carry field IDs, refuse the collision.
+        if (dropped.contains(nm))
+          throw new IllegalArgumentException(
+            s"column '$nm' was previously dropped and retained files may still carry its " +
+              "old values — re-adding the name would resurrect them for pre-drop rows. " +
+              "Dropped names stay retired (the descriptor has no field IDs to tell old " +
+              "bytes from new); pick a new column name.")
         fields = fields :+ org.apache.spark.sql.types.StructField(nm, add.dataType)
         opts += "allowMissingColumns" -> "true" // older files null-fill it
       case del: TableChange.DeleteColumn =>
@@ -229,6 +251,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
         fields = fields.filterNot(_.name == nm)
         if (fields.isEmpty)
           throw new IllegalArgumentException("cannot drop the last column")
+        dropped += nm // remembered: see the ADD COLUMN resurrection guard
       case sp: TableChange.SetProperty =>
         if (!sp.property.startsWith(TableCatalog.OPTION_PREFIX))
           unsupported(s"property '${sp.property}' (only '${TableCatalog.OPTION_PREFIX}*' " +
@@ -251,6 +274,10 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     root.put("schema", newSchema.toDDL)
     val on = root.putObject("options")
     opts.foreach { case (k, v) => on.put(k, v) }
+    if (dropped.nonEmpty) {
+      val dn = root.putArray("droppedColumns")
+      dropped.toSeq.sorted.foreach(dn.add)
+    }
     val tmp = new Path(tablePath(ident), s"._TABLE.tmp${System.nanoTime()}")
     val out = fs.create(tmp, false)
     try out.write(om.writeValueAsBytes(root)) finally out.close()

@@ -85,16 +85,36 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val keys: Seq[(String, Column)] = conjuncts(m.mergeCondition).map {
+    val rawKeys: Seq[(String, Expression)] = conjuncts(m.mergeCondition).map {
       case EqualTo(t: AttributeReference, s) if targetAttrs.contains(t) &&
           s.references.subsetOf(sourceAttrs) =>
-        opts.storageColumn(t.name) -> detach(s, sourceAttrs, opts)
+        opts.storageColumn(t.name) -> s
       case EqualTo(s, t: AttributeReference) if targetAttrs.contains(t) &&
           s.references.subsetOf(sourceAttrs) =>
-        opts.storageColumn(t.name) -> detach(s, sourceAttrs, opts)
+        opts.storageColumn(t.name) -> s
       case other => unsupported(
         s"ON clause must be a conjunction of target.col = <source expr>, got ${other.sql}")
     }
+    // The command re-projects the source as key aliases + remaining source
+    // columns; a source column NAMED like a key alias whose join key came
+    // from a DIFFERENT expression would be silently dropped by that
+    // projection, and every clause condition/value referencing it would
+    // re-resolve to the aliased join-key values — wrong results with no
+    // error. Refuse the collision loudly (the contract everywhere else).
+    rawKeys.foreach { case (k, raw) =>
+      val sameAttr = raw match {
+        case ar: AttributeReference => ar.name.equalsIgnoreCase(k)
+        case _ => false
+      }
+      if (!sameAttr && m.sourceTable.output.exists(_.name.equalsIgnoreCase(k)))
+        unsupported(
+          s"the MERGE source has its own column '$k' but the ON clause joins target '$k' " +
+            s"to a different expression (${raw.sql}); the source column would be shadowed " +
+            "by the join-key alias and silently mis-resolve in clause conditions/values. " +
+            "Rename the source column (SELECT ... AS ...) so names are unambiguous.")
+    }
+    val keys: Seq[(String, Column)] =
+      rawKeys.map { case (k, raw) => k -> detach(raw, sourceAttrs, opts) }
 
     def sourceOnly(e: Expression, where: String): Column = {
       if (!e.references.subsetOf(sourceAttrs))

@@ -54,6 +54,20 @@ import org.apache.spark.sql.sources.InsertableRelation
   */
 object RefTableWrites {
 
+  /** True iff `e` has a FileNotFoundException anywhere in its cause chain —
+    * Spark wraps executor-side read failures in SparkException layers.
+    */
+  private[graft] def causedByMissingFile(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 20) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
+
   def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean): Unit = {
     if (opts.version.nonEmpty)
       throw new UnsupportedOperationException(
@@ -125,7 +139,23 @@ object RefTableWrites {
           else reader).load()
           cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
       }
-      doPublish(payload, base, cas = true)
+      try doPublish(payload, base, cas = true)
+      catch {
+        // the pinned base can be deleted mid-read by a CONCURRENT
+        // committer's publish-time retention (keepVersions) — that
+        // surfaces as FileNotFoundException from the union's scan, not as
+        // a CommitConflictException, yet it is the same stale-base
+        // condition: re-derive from the new current and retry. Only
+        // reclassified when the base genuinely stopped being current;
+        // a FileNotFound while the base IS still current is real
+        // corruption and must propagate.
+        case e: Exception if base.nonEmpty && RefTableWrites.causedByMissingFile(e) &&
+            VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName) != base =>
+          throw new VersionedTable.CommitConflictException(
+            s"append base ${base.get} of ${opts.path} was retention-pruned by a concurrent " +
+              s"committer mid-read (${e.getClass.getSimpleName}); re-deriving from the new " +
+              "current")
+      }
     }
     if (opts.categoricalStats.nonEmpty) {
       val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)

@@ -557,7 +557,7 @@ object VersionedTable {
     import spark.implicits._
     val conf = new Configuration()
     val current = resolve(root, conf).map(p => new Path(p).getName)
-    versionDirs(root, conf).zipWithIndex.map { case (name, i) =>
+    committedVersionDirs(root, conf).zipWithIndex.map { case (name, i) =>
       val dir = new Path(root, name).toString
       val files = SnapshotFiles.list(dir)
       val nRows: Option[Long] = RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
@@ -736,6 +736,22 @@ object VersionedTable {
     * what makes TIMESTAMP AS OF resolution a pure name comparison.
     */
   def versionTimestampMs(name: String): Long = versionNum(name)
+
+  /** Version directory names that are safe to EXPOSE (time travel,
+    * history): when the commit log exists, only directories a retained
+    * commit references — a publish that crashed after its staging rename
+    * but before its commit claim leaves an orphan dir that was never
+    * visible to any reader, and pinning a query to it would expose data
+    * no snapshot ever contained. Legacy (pointer-only) roots have no log
+    * to intersect with, so all version dirs stand, as before.
+    */
+  def committedVersionDirs(
+      root: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val log = commitLog(root, conf)
+    val dirs = versionDirs(root, conf)
+    if (log.isEmpty) dirs
+    else { val committed = log.map(_.version).toSet; dirs.filter(committed) }
+  }
 
   /** Version directory names under `root`, oldest first. */
   def versionDirs(root: String, conf: Configuration = new Configuration()): Seq[String] = {

@@ -206,6 +206,54 @@ class RefTableCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE refuses re-adding a dropped column name (stale-byte resurrection)") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db8")
+      spark.sql(s"CREATE TABLE $cat.db8.t (id BIGINT, v BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db8.t VALUES (1, 10)")
+      spark.sql(s"ALTER TABLE $cat.db8.t DROP COLUMN v")
+      // the file written before the drop still carries v=10; re-adding the
+      // name would read that stale 10 back instead of null
+      val e = intercept[Exception](spark.sql(s"ALTER TABLE $cat.db8.t ADD COLUMN v BIGINT"))
+      assert(e.getMessage.contains("resurrect"), e.getMessage)
+      // the tombstone survives descriptor rewrites by OTHER alterations
+      spark.sql(s"ALTER TABLE $cat.db8.t ADD COLUMN w BIGINT")
+      val e2 = intercept[Exception](spark.sql(s"ALTER TABLE $cat.db8.t ADD COLUMN v BIGINT"))
+      assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+      // a fresh name is fine, and the table still reads
+      assert(spark.table(s"$cat.db8.t").columns.toSeq == Seq("id", "w"))
+      assert(spark.table(s"$cat.db8.t").count() == 1)
+    }
+  }
+
+  test("time travel never resolves an uncommitted orphan version directory") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db9")
+      spark.sql(s"CREATE TABLE $cat.db9.t (id BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db9.t VALUES (1)")
+      val root = s"$wh/db9/t"
+      val committed = VersionedTable.versionDirs(root, conf).last
+      // simulate a publish that crashed after the staging rename but
+      // before its commit claim: a version-shaped dir with data in it,
+      // NEWER than the committed one, that no commit references
+      val orphan = f"v${VersionedTable.versionTimestampMs(committed) + 1}%019d" + "_deadbeef"
+      spark.range(99).toDF("id").write.parquet(s"$root/$orphan")
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.db9.t VERSION AS OF '$orphan'").count())
+      assert(e.getMessage.contains("no retained committed version"), e.getMessage)
+      // TIMESTAMP AS OF after the orphan's embedded time picks the
+      // committed version, not the orphan (99 rows would betray it)
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 5000))
+      assert(spark.sql(s"SELECT * FROM $cat.db9.t TIMESTAMP AS OF '$ts'").count() == 1)
+      // history lists only committed states
+      assert(VersionedTable.history(spark, root).count() == 1)
+      // the committed version itself still time-travels by name
+      assert(spark.sql(s"SELECT * FROM $cat.db9.t VERSION AS OF '$committed'").count() == 1)
+    }
+  }
+
   test("metadata tables: $history, $commits and $files answer through plain SQL") {
     withCatalog { (cat, _) =>
       spark.sql(s"CREATE NAMESPACE $cat.db6")

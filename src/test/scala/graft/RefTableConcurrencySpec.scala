@@ -122,6 +122,42 @@ class RefTableConcurrencySpec extends AnyFunSuite {
     assert(log.map(_.seq) == (1L to 7L), "seven dense commits, totally ordered")
   }
 
+  test("concurrent appends under TIGHT retention: a pruned base re-derives, not an opaque error") {
+    // with keepVersions at the minimum, a concurrent committer's
+    // publish-time retention can delete the version dir an in-flight
+    // append pinned as its base — the union's scan then dies with
+    // FileNotFoundException, which is NOT a CommitConflictException, so
+    // before the reclassification the append failed with an opaque read
+    // error instead of re-deriving. All writers must land regardless of
+    // whether the race fires on a given run.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val root = tmpDir("tightkeep")
+    Seq((0L, "base")).toDF("id", "name").write.format("reftable")
+      .option("path", root).option("schema", ddl)
+      .option("keepVersions", "2").mode("overwrite").save()
+    val writers = (1 to 4).map { i =>
+      Future(append(root, Seq((i.toLong, s"w$i")), keep = 2))
+    }
+    Await.result(Future.sequence(writers), 180.seconds)
+    assert(readIds(root) == (0L to 4L),
+      "every append's rows must survive even when retention prunes pinned bases")
+  }
+
+  test("causedByMissingFile walks wrapped cause chains, depth-bounded") {
+    import graft.sources.reftable.RefTableWrites.causedByMissingFile
+    val fnf = new java.io.FileNotFoundException("gone.parquet")
+    assert(causedByMissingFile(fnf))
+    assert(causedByMissingFile(new RuntimeException("job aborted",
+      new RuntimeException("task failed", fnf))), "nested causes are walked")
+    assert(!causedByMissingFile(new RuntimeException("unrelated")))
+    val self = new RuntimeException("self-caused")
+    self.initCause(new RuntimeException("inner")) // cycle-free but ends
+    assert(!causedByMissingFile(self))
+  }
+
   test("concurrent keyed upserts all land") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

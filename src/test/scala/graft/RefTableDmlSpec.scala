@@ -107,6 +107,29 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("MERGE refuses a source column shadowed by a differently-derived key alias") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("shadow")
+    try {
+      // the source has its OWN column named 'id', but the ON clause joins
+      // target.id to a DIFFERENT source expression (other_id). The key
+      // alias would shadow source.id in the re-projection, so the UPDATE
+      // value s.id would silently re-resolve to other_id's values
+      Seq((9999L, 5L, 123L)).toDF("id", "other_id", "nv")
+        .createOrReplaceTempView("dml_shadow_src")
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_shadow_src s ON t.id = s.other_id
+           |WHEN MATCHED THEN UPDATE SET v = s.id""".stripMargin))
+      assert(e.getMessage.contains("shadow"), e.getMessage)
+      // the benign same-name case still works: ON t.id = s.id
+      Seq((5L, 777L)).toDF("id", "nv").createOrReplaceTempView("dml_same_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_same_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+      assert(spark.table(tbl).where("id = 5").first().getLong(1) == 777L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("UPDATE through the graft TableCatalog works and is CAS-committed") {
     val wh = Files.createTempDirectory("graft_dml_cat").toString
     val cat = "graftdmlcat"
