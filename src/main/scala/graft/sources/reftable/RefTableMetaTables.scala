@@ -66,10 +66,15 @@ object RefTableMetaTables {
 
   private def historyRows(root: String, conf: Configuration): Array[InternalRow] = {
     val current = VersionedTable.resolve(root, conf).map(p => new Path(p).getName)
-    VersionedTable.versionDirs(root, conf).zipWithIndex.map { case (name, i) =>
+    VersionedTable.committedVersionDirs(root, conf).zipWithIndex.map { case (name, i) =>
       val dir = new Path(root, name).toString
       val files = SnapshotFiles.list(dir)
-      val nRows = RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
+      val stats = RefTableStats.statsForListing(dir, files, conf)
+      val nRows: Option[Long] =
+        if (files.nonEmpty && files.forall(f => stats.contains(f.path)))
+          Some(files.map(f => stats(f.path).rows).sum)
+        else if (files.isEmpty) RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
+        else None
       new GenericInternalRow(Array[Any](
         i, utf8(name), files.size, files.map(_.length).sum,
         nRows.map(Long.box).orNull, current.contains(name))): InternalRow
@@ -88,12 +93,15 @@ object RefTableMetaTables {
     current match {
       case None => Array.empty
       case Some(dir) =>
-        val stats = RefTableStats.load(dir, conf).getOrElse(Map.empty)
-        SnapshotFiles.list(dir).map { f =>
+        val files = SnapshotFiles.list(dir)
+        // per-hosting-version lookup: inherited files of a
+        // manifest-referenced version report the stats their host wrote
+        val stats = RefTableStats.statsForListing(dir, files, conf)
+        files.map { f =>
           val name = new Path(f.path).getName
           new GenericInternalRow(Array[Any](
             utf8(name), f.length,
-            stats.get(name).map(s => Long.box(s.rows)).orNull)): InternalRow
+            stats.get(f.path).map(s => Long.box(s.rows)).orNull)): InternalRow
         }.toArray
     }
   }

@@ -46,6 +46,27 @@ object SnapshotFiles {
   def list(dir: String, partitionColumns: Seq[String], version: Option[String]): Seq[SnapshotFile] = {
     val conf = new Configuration()
     val resolved = resolveDir(dir, version, conf)
+    // a manifest-referenced version (mutation output) NAMES its files —
+    // possibly hosted in other version dirs — instead of containing them
+    val rp = new Path(resolved)
+    if (rp.getName.matches("v\\d{19}_[0-9a-f]{8}")) {
+      val root = rp.getParent
+      RefTableFileManifest.resolve(root.toString, rp.getName, partitionColumns, conf)
+        .foreach { entries =>
+          val qualifiedRoot = root.getFileSystem(conf).makeQualified(root).toString
+          return entries.map(e =>
+            SnapshotFile(s"$qualifiedRoot/${e.rel}", e.len, e.pv)).sortBy(_.path)
+        }
+    }
+    listPhysical(resolved, partitionColumns)
+  }
+
+  /** Physical directory listing (flat or Hive-partitioned walk) — the
+    * chain-base path of manifest resolution, and every pre-manifest
+    * version.
+    */
+  def listPhysical(resolved: String, partitionColumns: Seq[String]): Seq[SnapshotFile] = {
+    val conf = new Configuration()
     val p = new Path(resolved)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) throw new IllegalArgumentException(s"reftable path does not exist: $resolved")

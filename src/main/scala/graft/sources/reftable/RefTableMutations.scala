@@ -1,18 +1,23 @@
 package graft.sources.reftable
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not, when}
 
 /** File-granular copy-on-write mutations for versioned table roots: DELETE
   * and keyed MERGE (upsert) publish a NEW version in which only the files
   * that MAY contain affected rows are rewritten; every other file of the
-  * current version is carried over untouched — hard-linked when the
-  * filesystem supports it (same-device local paths; free), copied
-  * otherwise (an object-store deployment would use server-side copy, and
-  * the next step at that scale is manifest-referenced versions à la
-  * Delta/Iceberg, trading the copy for reference-counted retention).
+  * current version is carried by REFERENCE — the new version directory
+  * holds the rewritten files plus a `_FILES.json` manifest naming the
+  * inherited ones in their original version dirs
+  * ([[RefTableFileManifest]]). A 1-file delete on a 10k-file table commits
+  * O(1) data files and O(1) manifest entries; before manifests every
+  * mutation hard-linked/copied all carried files — O(total files)
+  * filesystem metadata per commit, and real byte copies on object stores.
+  * Retention is reference-counted: a version dir whose files newer
+  * versions still name survives its own commit's expiry
+  * ([[RefTableFileManifest.protectedDirs]]).
   *
   * "May contain" comes from the publish-time statistics manifest
   * ([[RefTableStats.prune]]) — the same machinery that skips files at read
@@ -58,14 +63,10 @@ object RefTableMutations {
     // mergeSchema: an adopted version (or one assembled by earlier
     // mutations) can hold files predating a column; the sampled-schema
     // default would silently DROP those columns from rewritten rows
-    val schema = spark.read.option("mergeSchema", "true").parquet(current).schema
+    val schema = readAll(spark, current, files).schema
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
     val mayMatch = if (filters.isEmpty) files
       else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
-    val untouched = {
-      val touched = mayMatch.map(_.path).toSet
-      files.filterNot(f => touched.contains(f.path))
-    }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
@@ -76,7 +77,7 @@ object RefTableMutations {
           .filter(not(coalesce(condition, lit(false))))
         VersionedTable.writeParquetMicros(kept, staging.toString)
       }
-      carryOver(untouched, staging, conf)
+      referenceRest(root, staging, current, mayMatch, conf)
     }
   }
 
@@ -103,7 +104,7 @@ object RefTableMutations {
     val files = SnapshotFiles.list(current)
     // mergeSchema: see deleteWhere — never let a sampled schema narrow
     // the rewrite of a mixed-schema version
-    val cur = spark.read.option("mergeSchema", "true").parquet(current)
+    val cur = readAll(spark, current, files)
     val curCols = cur.columns.toSeq
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
@@ -126,10 +127,6 @@ object RefTableMutations {
           RefTableStats.prune(current, files, pruneOpts(root, cur.schema), filters, conf)
         }
       } else files
-    val untouched = {
-      val touched = mayMatch.map(_.path).toSet
-      files.filterNot(f => touched.contains(f.path))
-    }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val rewritten =
@@ -141,7 +138,7 @@ object RefTableMutations {
           .unionByName(aligned, allowMissingColumns = true)
       if (!empty || mayMatch.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString)
-      carryOver(untouched, staging, conf)
+      referenceRest(root, staging, current, mayMatch, conf)
     }
   }
 
@@ -171,8 +168,8 @@ object RefTableMutations {
     // full-row sugar over mergeClauses: update/insert take the source's
     // same-named columns (source extras like an op marker are ignored; a
     // row-producing clause still demands the full table row)
-    val tableCols = spark.read.option("mergeSchema", "true")
-      .parquet(resolveFlat(root, new Configuration())).schema.fieldNames.toSeq
+    val cur0 = resolveFlat(root, new Configuration())
+    val tableCols = readAll(spark, cur0, SnapshotFiles.list(cur0)).schema.fieldNames.toSeq
     if (matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty) {
       val missing = tableCols.filterNot(source.columns.contains)
       require(missing.isEmpty,
@@ -202,7 +199,7 @@ object RefTableMutations {
     val conf = new Configuration()
     val current = resolveFlat(root, conf)
     val files = SnapshotFiles.list(current)
-    val cur = spark.read.option("mergeSchema", "true").parquet(current)
+    val cur = readAll(spark, current, files)
     val curCols = cur.columns.toSeq
     val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
     require(keyCols.forall(curCols.contains),
@@ -242,10 +239,6 @@ object RefTableMutations {
           RefTableStats.prune(current, files, pruneOpts(root, cur.schema), filters, conf)
         }
       } else files
-    val untouched = {
-      val touched = mayMatch.map(_.path).toSet
-      files.filterNot(f => touched.contains(f.path))
-    }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val matchedFlag = coalesce(col("__m"), lit(false))
@@ -273,7 +266,7 @@ object RefTableMutations {
         }
       if (!empty || mayMatch.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString)
-      carryOver(untouched, staging, conf)
+      referenceRest(root, staging, current, mayMatch, conf)
     }
   }
 
@@ -290,17 +283,13 @@ object RefTableMutations {
     val conf = new Configuration()
     val current = resolveFlat(root, conf)
     val files = SnapshotFiles.list(current)
-    val schema = spark.read.option("mergeSchema", "true").parquet(current).schema
+    val schema = readAll(spark, current, files).schema
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     set.keys.find(!types.contains(_)).foreach(c =>
       throw new IllegalArgumentException(s"UPDATE assigns unknown table column '$c'"))
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
     val mayMatch = if (filters.isEmpty) files
       else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
-    val untouched = {
-      val touched = mayMatch.map(_.path).toSet
-      files.filterNot(f => touched.contains(f.path))
-    }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
@@ -312,7 +301,7 @@ object RefTableMutations {
           else col(c)): _*)
         VersionedTable.writeParquetMicros(updated, staging.toString)
       }
-      carryOver(untouched, staging, conf)
+      referenceRest(root, staging, current, mayMatch, conf)
     }
   }
 
@@ -362,38 +351,31 @@ object RefTableMutations {
     RefTableOptions(path = root, schema = schema, rowField = None, keyColumn = None,
       refreshMs = 0L, emitPerTrigger = false, genColumn = None)
 
-  /** Carry `files` into the staging dir under their original names: hard
-    * link where the filesystem allows (local same-device — free), copy
-    * otherwise. Parquet files are immutable once published, so a link
-    * shares bytes safely; the staging rename then publishes them as part
-    * of the new version.
-    *
-    * Driver-side, one FS op per carried file — the same O(files) class as
-    * the listing the mutation already holds. At the file counts where
-    * that is the bottleneck (10^6+), the manifest-referenced-version
-    * design replaces carry-over entirely (files named by reference, not
-    * presence, with reference-counted retention) — the documented next
-    * step, not this layer.
+  /** Read the full logical content of a (possibly manifest-referenced)
+    * version from its resolved listing, mergeSchema on. An empty listing
+    * falls back to the directory read so error behavior matches the
+    * pre-manifest code exactly.
     */
-  private def carryOver(files: Seq[SnapshotFile], staging: Path, conf: Configuration): Unit = {
-    val fs = staging.getFileSystem(conf)
-    fs.mkdirs(staging) // rewrite may have been skipped; staging must exist
-    files.foreach { f =>
-      val src = new Path(f.path)
-      val dst = new Path(staging, src.getName)
-      val local = src.toUri.getScheme == null || src.toUri.getScheme == "file"
-      val linked = local && {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(Option(dst.toUri.getPath).getOrElse(dst.toString)),
-            java.nio.file.Paths.get(src.toUri.getPath))
-          true
-        } catch { case _: Exception => false }
-      }
-      if (!linked) {
-        val ok = FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
-        if (!ok) throw new java.io.IOException(s"failed to carry over $src into $staging")
-      }
-    }
+  private def readAll(
+      spark: SparkSession, current: String, files: Seq[SnapshotFile]): DataFrame =
+    if (files.isEmpty) spark.read.option("mergeSchema", "true").parquet(current)
+    else spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+
+  /** Write the staging dir's `_FILES.json`: the new version inherits the
+    * parent's files minus the rewritten (`touched`) ones, plus whatever
+    * parquet the mutation staged — O(touched) manifest entries, zero
+    * filesystem operations on carried files (they are named, not moved).
+    */
+  private def referenceRest(
+      root: String, staging: Path, current: String, touched: Seq[SnapshotFile],
+      conf: Configuration): Unit = {
+    val rootPath = new Path(root)
+    val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
+    def rel(p: String): String =
+      if (p.startsWith(qualifiedRoot + "/")) p.substring(qualifiedRoot.length + 1) else p
+    RefTableFileManifest.writeDelta(
+      root, staging, parentVersion = new Path(current).getName,
+      removedRel = touched.map(f => rel(f.path)).toSet,
+      partitionColumns = Nil, conf = conf)
   }
 }

@@ -694,6 +694,30 @@ object RefTableStats {
     if (filters.isEmpty || !opts.statsPruning || files.isEmpty) return files
     val fs = new Path(resolvedDir).getFileSystem(conf)
     val qualified = fs.makeQualified(new Path(resolvedDir)).toString
+    // a manifest-referenced version lists files HOSTED in other version
+    // dirs; each hosting dir's own stats manifest (written at its publish,
+    // keyed relative to it) covers its files — group and recurse, so
+    // inherited files keep the skipping stats (and categorical/Bloom
+    // augmentations) of the version that wrote them
+    val (inside, outside) = files.partition(f => f.path.startsWith(qualified + "/"))
+    if (outside.nonEmpty) {
+      val rootPath = new Path(resolvedDir).getParent
+      val qualifiedRoot = fs.makeQualified(rootPath).toString
+      val grouped = outside.groupBy { f =>
+        val rel = relOf(f.path, qualifiedRoot)
+        val seg = rel.indexOf('/')
+        if (seg > 0 && rel.substring(0, seg).matches("v\\d{19}_[0-9a-f]{8}"))
+          Some(rel.substring(0, seg))
+        else None
+      }
+      val prunedOutside = grouped.toSeq.flatMap {
+        case (Some(host), group) =>
+          prune(s"$qualifiedRoot/$host", group, opts, filters, conf)
+        case (None, group) => group // unknown host: never skip on it
+      }
+      return (prune(resolvedDir, inside, opts, filters, conf) ++ prunedOutside)
+        .sortBy(_.path)
+    }
     if (!fs.exists(new Path(resolvedDir, ManifestName)) &&
         fs.exists(new Path(resolvedDir, ShardDirName))) {
       org.apache.spark.sql.SparkSession.getActiveSession match {
@@ -714,6 +738,42 @@ object RefTableStats {
 
   private def relOf(path: String, qualified: String): String =
     if (path.startsWith(qualified + "/")) path.substring(qualified.length + 1) else path
+
+  /** Per-file stats for a (possibly manifest-referenced) version's listing:
+    * files hosted inside `resolvedDir` look up its own manifest; files
+    * hosted in other version dirs look up THEIR manifests. Returns absolute
+    * path → stats for every file a fresh manifest entry covers (length
+    * mismatches and manifest-less hosts are simply absent — callers treat
+    * missing as unknown, never guessed). Used by history and the `$files`
+    * metadata table; the pruning path has its own grouped recursion.
+    */
+  def statsForListing(
+      resolvedDir: String, files: Seq[SnapshotFile],
+      conf: Configuration): Map[String, FileStats] = {
+    val fs = new Path(resolvedDir).getFileSystem(conf)
+    val qualified = fs.makeQualified(new Path(resolvedDir)).toString
+    val rootPath = new Path(resolvedDir).getParent
+    val qualifiedRoot = if (rootPath == null) qualified
+      else fs.makeQualified(rootPath).toString
+    val byHost: Map[String, Seq[SnapshotFile]] = files.groupBy { f =>
+      if (f.path.startsWith(qualified + "/")) qualified
+      else {
+        val rel = relOf(f.path, qualifiedRoot)
+        val seg = rel.indexOf('/')
+        if (seg > 0 && rel.substring(0, seg).matches("v\\d{19}_[0-9a-f]{8}"))
+          s"$qualifiedRoot/${rel.substring(0, seg)}"
+        else qualified // unknown host: will miss the lookup, stays unknown
+      }
+    }
+    byHost.flatMap { case (host, group) =>
+      load(host, conf) match {
+        case Some(m) => group.flatMap { f =>
+          m.get(relOf(f.path, host)).filter(_.length == f.length).map(f.path -> _)
+        }
+        case None => Nil
+      }
+    }
+  }
 
   /** Distributed file skipping over the sharded manifest: the listing
     * (which the driver must hold anyway to plan splits) joins the parquet

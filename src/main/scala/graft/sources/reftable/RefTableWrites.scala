@@ -124,37 +124,59 @@ object RefTableWrites {
       // re-resolved per attempt; the read is PINNED to the resolved base so
       // the commit CAS guards exactly the version the union derived from
       val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
-      val payload = base match {
-        case None => aligned // first version of a fresh root
-        case Some(b) =>
-          // current snapshot through our own read path (storage-named schema)
-          val ddl = org.apache.spark.sql.types.StructType(opts.schema.fields.map(f =>
-            f.copy(name = opts.storageColumn(f.name)))).toDDL
-          val reader = data.sparkSession.read.format("reftable")
-            .option("path", opts.path).option("schema", ddl)
-            .option("version", b)
-            .option("allowMissingColumns", opts.allowMissingColumns.toString)
-          val cur = (if (opts.partitionColumns.nonEmpty)
-            reader.option("partitionColumns", opts.partitionColumns.mkString(","))
-          else reader).load()
-          cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
-      }
-      try doPublish(payload, base, cas = true)
-      catch {
-        // the pinned base can be deleted mid-read by a CONCURRENT
-        // committer's publish-time retention (keepVersions) — that
-        // surfaces as FileNotFoundException from the union's scan, not as
-        // a CommitConflictException, yet it is the same stale-base
-        // condition: re-derive from the new current and retry. Only
-        // reclassified when the base genuinely stopped being current;
-        // a FileNotFound while the base IS still current is real
-        // corruption and must propagate.
-        case e: Exception if base.nonEmpty && RefTableWrites.causedByMissingFile(e) &&
-            VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName) != base =>
-          throw new VersionedTable.CommitConflictException(
-            s"append base ${base.get} of ${opts.path} was retention-pruned by a concurrent " +
-              s"committer mid-read (${e.getClass.getSimpleName}); re-deriving from the new " +
-              "current")
+      // plain appends (no global re-clustering declared) commit O(new
+      // data): the new version writes ONLY the appended rows and its
+      // `_FILES.json` inherits every base file by reference
+      // (RefTableFileManifest) — the base snapshot is never read, let
+      // alone rewritten. clusterBy/zorderBy tables keep the full rewrite:
+      // their layout is a GLOBAL ordering, which is the point of the
+      // option (compaction restores layout drift elsewhere too).
+      val manifestAppend =
+        base.nonEmpty && opts.zorderBy.isEmpty && opts.clusterBy.isEmpty
+      if (manifestAppend) {
+        val b = base.get
+        VersionedTable.publishVia(opts.path, opts.keepVersions,
+          parent = base, requireBase = true) { staging =>
+          if (!aligned.isEmpty)
+            VersionedTable.writeParquetMicros(
+              aligned, staging.toString, opts.partitionColumns)
+          RefTableFileManifest.writeDelta(opts.path, staging, b, Set.empty,
+            opts.partitionColumns, conf)
+        }
+        ()
+      } else {
+        val payload = base match {
+          case None => aligned // first version of a fresh root
+          case Some(b) =>
+            // current snapshot through our own read path (storage-named schema)
+            val ddl = org.apache.spark.sql.types.StructType(opts.schema.fields.map(f =>
+              f.copy(name = opts.storageColumn(f.name)))).toDDL
+            val reader = data.sparkSession.read.format("reftable")
+              .option("path", opts.path).option("schema", ddl)
+              .option("version", b)
+              .option("allowMissingColumns", opts.allowMissingColumns.toString)
+            val cur = (if (opts.partitionColumns.nonEmpty)
+              reader.option("partitionColumns", opts.partitionColumns.mkString(","))
+            else reader).load()
+            cur.select(storageNames.map(col).toIndexedSeq: _*).unionAll(aligned)
+        }
+        try { doPublish(payload, base, cas = true); () }
+        catch {
+          // the pinned base can be deleted mid-read by a CONCURRENT
+          // committer's publish-time retention (keepVersions) — that
+          // surfaces as FileNotFoundException from the union's scan, not as
+          // a CommitConflictException, yet it is the same stale-base
+          // condition: re-derive from the new current and retry. Only
+          // reclassified when the base genuinely stopped being current;
+          // a FileNotFound while the base IS still current is real
+          // corruption and must propagate.
+          case e: Exception if base.nonEmpty && RefTableWrites.causedByMissingFile(e) &&
+              VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName) != base =>
+            throw new VersionedTable.CommitConflictException(
+              s"append base ${base.get} of ${opts.path} was retention-pruned by a concurrent " +
+                s"committer mid-read (${e.getClass.getSimpleName}); re-deriving from the new " +
+                "current")
+        }
       }
     }
     if (opts.categoricalStats.nonEmpty) {

@@ -486,14 +486,27 @@ object VersionedTable {
     // commit log is authoritative, so cache failures are swallowed
     swapPointerCache(rootPath, fs, conf, name + marker.fold("")("\n" + _))
     // retention: drop committed states beyond keepVersions (ours counts),
-    // oldest first; never anything at or after our own sequence
-    val doomed = commitFiles(root, conf).dropRight(keepVersions).filter(_._1 < commit.seq)
-    doomed.foreach { case (seq, p) =>
-      val victim =
-        try Some(readCommit(seq, p, conf).version)
-        catch { case _: java.io.FileNotFoundException => None } // a racing pruner got it
-      victim.filterNot(_ == name).foreach(v => fs.delete(new Path(rootPath, v), true))
-      fs.delete(p, false)
+    // oldest first; never anything at or after our own sequence. A
+    // directory that RETAINED versions still depend on (their manifest
+    // chain walks it, or it hosts files they reference) loses its commit
+    // but keeps its bytes — reference-counted GC with the commit log as
+    // the root set; a later vacuum collects it once nothing references it.
+    val all = commitFiles(root, conf)
+    val doomed = all.dropRight(keepVersions).filter(_._1 < commit.seq)
+    if (doomed.nonEmpty) {
+      val retained = all.takeRight(keepVersions).flatMap { case (s, p) =>
+        try Some(readCommit(s, p, conf).version)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      val protectd = RefTableFileManifest.protectedDirs(root, retained, conf)
+      doomed.foreach { case (seq, p) =>
+        val victim =
+          try Some(readCommit(seq, p, conf).version)
+          catch { case _: java.io.FileNotFoundException => None } // a racing pruner got it
+        victim.filterNot(_ == name).filterNot(protectd)
+          .foreach(v => fs.delete(new Path(rootPath, v), true))
+        fs.delete(p, false)
+      }
     }
     name
   }
@@ -523,7 +536,7 @@ object VersionedTable {
     // conf is scoped to a child session (own SQLConf, shared context) so
     // concurrent queries on the caller's session are untouched.
     val df =
-      if (partitionColumns.isEmpty) spark.read.parquet(current)
+      if (partitionColumns.isEmpty) readVersion(spark, current)
       else {
         // newSession() starts from SparkConf defaults, NOT the caller's
         // runtime SQL confs — copy them over (timezone, parquet write
@@ -560,7 +573,14 @@ object VersionedTable {
     committedVersionDirs(root, conf).zipWithIndex.map { case (name, i) =>
       val dir = new Path(root, name).toString
       val files = SnapshotFiles.list(dir)
-      val nRows: Option[Long] = RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
+      // per-hosting-version stats lookup: manifest-referenced versions get
+      // exact rows as long as every host has a manifest, else null
+      val stats = RefTableStats.statsForListing(dir, files, conf)
+      val nRows: Option[Long] =
+        if (files.nonEmpty && files.forall(f => stats.contains(f.path)))
+          Some(files.map(f => stats(f.path).rows).sum)
+        else if (files.isEmpty) RefTableStats.load(dir, conf).map(_.values.map(_.rows).sum)
+        else None
       (i, name, files.size, files.map(_.length).sum, nRows, current.contains(name))
     }.toDF("version_idx", "version", "n_files", "bytes", "n_rows", "is_current")
   }
@@ -580,22 +600,29 @@ object VersionedTable {
     val fs = rootPath.getFileSystem(conf)
     val all = commitFiles(root, conf)
     if (all.nonEmpty) {
-      val doomed = all.dropRight(keepVersions)
-      val doomedNames = doomed.map { case (s, p) => readCommit(s, p, conf).version }
-      doomedNames.foreach(v => fs.delete(new Path(rootPath, v), true))
-      doomed.foreach { case (_, p) => fs.delete(p, false) }
-      // orphans: version dirs no retained commit references (lost CAS
-      // claims, crashed publishes). Only dirs strictly older than the
-      // oldest retained state can be dead — an in-flight publish always
-      // stages a name newer than every dir that existed when it started,
-      // so this is safe to run online
       val retained = all.takeRight(keepVersions)
         .map { case (s, p) => readCommit(s, p, conf).version }.toSet
+      // the live closure: retained versions' manifest chains + hosting
+      // dirs. A doomed or orphan dir in this set keeps its bytes (newer
+      // versions reference them); it is collected by a LATER vacuum once
+      // the last referencing commit has itself expired
+      val protectd = RefTableFileManifest.protectedDirs(root, retained.toSeq, conf)
+      val doomed = all.dropRight(keepVersions)
+      val doomedNames = doomed.map { case (s, p) => readCommit(s, p, conf).version }
+      val collectable = doomedNames.filterNot(protectd)
+      collectable.foreach(v => fs.delete(new Path(rootPath, v), true))
+      doomed.foreach { case (_, p) => fs.delete(p, false) }
+      // orphans: version dirs no retained commit references (lost CAS
+      // claims, crashed publishes, or hosts whose last referencing commit
+      // has expired). Only dirs strictly older than the oldest retained
+      // state can be dead — an in-flight publish always stages a name
+      // newer than every dir that existed when it started, so this is
+      // safe to run online
       val floor = retained.map(versionNum).min
       val orphans = versionDirs(root, conf)
-        .filterNot(retained).filter(versionNum(_) < floor)
+        .filterNot(retained).filterNot(protectd).filter(versionNum(_) < floor)
       orphans.foreach(o => fs.delete(new Path(rootPath, o), true))
-      doomedNames ++ orphans
+      (collectable ++ orphans).distinct
     } else {
       // legacy pointer-only root: dir-count retention, never the target
       val pointed = resolve(root, conf).map(p => new Path(p).getName)
@@ -619,7 +646,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
     val from = new Path(root, fromVersion).toString
     graft.operators.SnapshotDiff.diff(
-      spark.read.parquet(from), spark.read.parquet(current), keyCols)
+      readVersion(spark, from), readVersion(spark, current), keyCols)
   }
 
   /** As [[changes]], with both row images per value column
@@ -636,7 +663,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
     val from = new Path(root, fromVersion).toString
     graft.operators.SnapshotDiff.diffImages(
-      spark.read.parquet(from), spark.read.parquet(current), keyCols)
+      readVersion(spark, from), readVersion(spark, current), keyCols)
   }
 
   /** foreachBatch sink that publishes each micro-batch as a new version —
@@ -728,6 +755,24 @@ object VersionedTable {
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Read a version's full logical content as plain parquet: through its
+    * `_FILES.json` listing when manifest-referenced, directly from the
+    * directory otherwise (so partition-dir inference and empty-version
+    * error behavior stay exactly as before for physical versions).
+    */
+  private[reftable] def readVersion(
+      spark: org.apache.spark.sql.SparkSession, versionDir: String): DataFrame = {
+    val conf = new Configuration()
+    val p = new Path(versionDir)
+    val manifested = p.getName.matches("v\\d{19}_[0-9a-f]{8}") && p.getParent != null &&
+      RefTableFileManifest.exists(p.getParent.toString, p.getName, conf)
+    if (manifested) {
+      val files = SnapshotFiles.list(versionDir)
+      if (files.nonEmpty) return spark.read.parquet(files.map(_.path): _*)
+    }
+    spark.read.parquet(versionDir)
+  }
 
   private def versionNum(name: String): Long = name.drop(1).take(19).toLong
 

@@ -172,7 +172,10 @@ class RefTableConcurrencySpec extends AnyFunSuite {
         keepVersions = 16))
     }
     Await.result(Future.sequence(writers), 180.seconds)
-    val got = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    val got = {
+      val c = VersionedTable.resolve(root, conf).get
+      spark.read.parquet(graft.sources.reftable.SnapshotFiles.list(c).map(_.path): _*)
+    }
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == (0L to 3L).map(i => (i, s"new$i")),
       "every concurrent upsert's update must survive serialization")

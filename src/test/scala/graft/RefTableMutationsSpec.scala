@@ -9,10 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** File-granular copy-on-write DELETE / upsert (RefTableMutations): the
   * stats manifest decides which files a mutation must rewrite; everything
-  * else is carried over by link/copy under its original name. The
-  * load-bearing assertions are (a) result identity with the logical
-  * recompute and (b) the carried-over file NAMES surviving into the new
-  * version — proof the rewrite was O(matching files), not O(table).
+  * else is carried by REFERENCE in the new version's `_FILES.json`
+  * ([[graft.sources.reftable.RefTableFileManifest]]). The load-bearing
+  * assertions are (a) result identity with the logical recompute, (b) the
+  * carried file NAMES surviving into the new version's listing, and (c)
+  * the new version directory physically holding ONLY the rewritten files —
+  * proof the commit was O(changed files), not O(table).
   */
 class RefTableMutationsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -24,6 +26,14 @@ class RefTableMutationsSpec extends AnyFunSuite {
   private def fileNames(root: String): Set[String] = {
     val cur = VersionedTable.resolve(root, conf).get
     SnapshotFiles.list(cur).map(f => new org.apache.hadoop.fs.Path(f.path).getName).toSet
+  }
+
+  /** The current version's logical content — through its (manifest-aware)
+    * listing, the way every real reader resolves it.
+    */
+  private def readCurrent(root: String): org.apache.spark.sql.DataFrame = {
+    val cur = VersionedTable.resolve(root, conf).get
+    spark.read.parquet(SnapshotFiles.list(cur).map(_.path): _*)
   }
 
   test("deleteWhere rewrites only may-match files; null-predicate rows are kept") {
@@ -45,8 +55,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     assert(carried.size >= 6, s"expected >=6 of 8 files carried over, got ${carried.size}")
     assert(carried.size < 8, "at least one file must have been rewritten")
 
-    val cur = VersionedTable.resolve(root, conf).get
-    val got = spark.read.parquet(cur).select("id").as[Long].collect().sorted.toSeq
+    val got = readCurrent(root).select("id").as[Long].collect().sorted.toSeq
     val expect = (0 until 2000).filterNot(i =>
       i >= 100 && i < 300 && i % 97 != 0).map(_.toLong)
     assert(got == expect, "null-v rows inside the range must survive the delete")
@@ -59,8 +68,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     val df = (0 until 500).map(i => (i.toLong, s"s$i")).toDF("id", "s")
     VersionedTable.publish(df.repartition(4), root)
     RefTableMutations.deleteWhere(spark, root, col("s") === "s7")
-    val cur = VersionedTable.resolve(root, conf).get
-    assert(spark.read.parquet(cur).count() == 499)
+    assert(readCurrent(root).count() == 499)
   }
 
   test("upsert rewrites only files overlapping the source key range") {
@@ -81,7 +89,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     val carried = before.intersect(after)
     assert(carried.size >= 6, s"expected >=6 of 8 files carried over, got ${carried.size}")
 
-    val cur = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    val cur = readCurrent(root)
     assert(cur.count() == 2000 + 2)
     assert(cur.filter(col("g") === 99).count() == 51)
     assert(cur.filter(col("id") === 9L).select("m").first().getLong(0) == -1L)
@@ -97,7 +105,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     VersionedTable.publishClustered(df, root, Seq("a"), numFiles = 4)
     val src = Seq((1L, "k1", -7L), (99L, "new", 1L)).toDF("a", "b", "m")
     RefTableMutations.upsert(spark, root, src, Seq("a", "b"))
-    val cur = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    val cur = readCurrent(root)
     val expect = df.join(src.select("a", "b"), Seq("a", "b"), "left_anti").unionByName(src)
     assert(cur.orderBy("a", "b").collect().toSeq ==
       expect.orderBy("a", "b").collect().toSeq)
@@ -111,7 +119,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     val before = fileNames(root)
     RefTableMutations.upsert(spark, root, df.limit(0), Seq("id"))
     assert(fileNames(root) == before, "all files carried over by name")
-    assert(spark.read.parquet(VersionedTable.resolve(root, conf).get).count() == 100)
+    assert(readCurrent(root).count() == 100)
   }
 
   test("mutations refuse partitioned layouts and non-versioned roots") {
@@ -144,8 +152,11 @@ class RefTableMutationsSpec extends AnyFunSuite {
     VersionedTable.adopt(root)
 
     RefTableMutations.deleteWhere(spark, root, col("id") % 10L === 0L)
-    val cur = spark.read.option("mergeSchema", "true")
-      .parquet(VersionedTable.resolve(root, conf).get)
+    val cur = {
+      val c = VersionedTable.resolve(root, conf).get
+      spark.read.option("mergeSchema", "true")
+        .parquet(SnapshotFiles.list(c).map(_.path): _*)
+    }
     assert(cur.columns.sorted.toSeq == Seq("extra", "id"))
     assert(cur.count() == 90)
     // wide-file rows keep their extra values through the rewrite
@@ -153,8 +164,11 @@ class RefTableMutationsSpec extends AnyFunSuite {
 
     RefTableMutations.upsert(spark, root,
       Seq((7L, "SEVEN"), (200L, "new")).toDF("id", "extra"), Seq("id"))
-    val cur2 = spark.read.option("mergeSchema", "true")
-      .parquet(VersionedTable.resolve(root, conf).get)
+    val cur2 = {
+      val c = VersionedTable.resolve(root, conf).get
+      spark.read.option("mergeSchema", "true")
+        .parquet(SnapshotFiles.list(c).map(_.path): _*)
+    }
     assert(cur2.columns.sorted.toSeq == Seq("extra", "id"))
     assert(cur2.filter(col("id") === 7L).select("extra").first().getString(0) == "SEVEN")
     assert(cur2.filter(col("id") === 55L).select("extra").first().isNullAt(0),
@@ -216,7 +230,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
       matchedUpdate = Some(col("op") === "u"),
       matchedDelete = Some(col("op") === "d"),
       notMatchedInsert = Some(col("op") =!= "d"))
-    val got = spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    val got = readCurrent(root)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got(5L) == 999L, "matched 'u' row updates")
     assert(!got.contains(6L), "matched 'd' row deletes")
@@ -224,7 +238,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     assert(got(7L) == 70L, "matched 'i' row is untouched (no clause fires)")
     assert(got.size == 100, "99 kept + 1 insert")
     // the narrow source key range left the upper files carried over
-    assert(!spark.read.parquet(VersionedTable.resolve(root, conf).get)
+    assert(!readCurrent(root)
       .columns.contains("op"), "the op marker never lands in the table")
   }
 
@@ -238,7 +252,7 @@ class RefTableMutationsSpec extends AnyFunSuite {
     VersionedTable.publish(before, rootB)
     val changes = graft.operators.SnapshotDiff.diff(before, after, Seq("id"))
     RefTableMutations.applyChanges(spark, rootB, changes, Seq("id"))
-    val got = spark.read.parquet(VersionedTable.resolve(rootB, conf).get)
+    val got = readCurrent(rootB)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val expect = after.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
