@@ -56,28 +56,31 @@ object RefTableMutations {
     */
   def deleteWhere(
       spark: SparkSession, root: String, condition: Column,
-      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
     val conf = new Configuration()
-    val current = resolveFlat(root, conf)
-    val files = SnapshotFiles.list(current)
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
     // mergeSchema: an adopted version (or one assembled by earlier
     // mutations) can hold files predating a column; the sampled-schema
     // default would silently DROP those columns from rewritten rows
-    val schema = readAll(spark, current, files).schema
+    val schema = readAll(spark, root, current, files, partitionColumns, partitionTypes).schema
+    val popts = pruneOpts(root, schema, partitionColumns, partitionTypes)
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
     val mayMatch = if (filters.isEmpty) files
-      else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
+      else RefTableStats.prune(current,
+        RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
         // keep ⇔ NOT(cond IS TRUE): rows where the predicate is NULL
         // survive a SQL DELETE, and a bare !cond would drop them
-        val kept = spark.read.option("mergeSchema", "true")
-          .parquet(mayMatch.map(_.path): _*)
+        val kept = readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
           .filter(not(coalesce(condition, lit(false))))
-        VersionedTable.writeParquetMicros(kept, staging.toString)
+        VersionedTable.writeParquetMicros(kept, staging.toString, partitionColumns)
       }
-      referenceRest(root, staging, current, mayMatch, conf)
+      referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
     }
   }
 
@@ -97,14 +100,16 @@ object RefTableMutations {
     */
   def upsert(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
-      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val conf = new Configuration()
-    val current = resolveFlat(root, conf)
-    val files = SnapshotFiles.list(current)
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
     // mergeSchema: see deleteWhere — never let a sampled schema narrow
     // the rewrite of a mixed-schema version
-    val cur = readAll(spark, current, files)
+    val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
     val curCols = cur.columns.toSeq
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
@@ -124,21 +129,23 @@ object RefTableMutations {
           val filters = Seq(
             org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
             org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
-          RefTableStats.prune(current, files, pruneOpts(root, cur.schema), filters, conf)
+          val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
+          RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
         }
       } else files
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val rewritten =
         if (mayMatch.isEmpty) aligned
-        else spark.read.option("mergeSchema", "true").parquet(mayMatch.map(_.path): _*)
+        else readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
           .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
           // the may-match subset can lack columns other files carry —
           // null-fill instead of failing (readers null-fill them too)
           .unionByName(aligned, allowMissingColumns = true)
       if (!empty || mayMatch.nonEmpty)
-        VersionedTable.writeParquetMicros(rewritten, staging.toString)
-      referenceRest(root, staging, current, mayMatch, conf)
+        VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
+      referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
     }
   }
 
@@ -164,12 +171,15 @@ object RefTableMutations {
       matchedUpdate: Option[Column] = Some(lit(true)),
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = Some(lit(true)),
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String = {
     // full-row sugar over mergeClauses: update/insert take the source's
     // same-named columns (source extras like an op marker are ignored; a
     // row-producing clause still demands the full table row)
-    val cur0 = resolveFlat(root, new Configuration())
-    val tableCols = readAll(spark, cur0, SnapshotFiles.list(cur0)).schema.fieldNames.toSeq
+    val conf0 = new Configuration()
+    val cur0 = resolveLayout(root, conf0, partitionColumns)
+    val tableCols = readAll(spark, root, cur0, listLayout(cur0, partitionColumns),
+      partitionColumns, partitionTypes).schema.fieldNames.toSeq
     if (matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty) {
       val missing = tableCols.filterNot(source.columns.contains)
       require(missing.isEmpty,
@@ -180,7 +190,8 @@ object RefTableMutations {
         tableCols.filter(source.columns.contains).filterNot(keyCols.contains)
           .map(n => n -> col(n)).toMap)) // keys ride the join, not the map
     mergeClauses(spark, root, source, keyCols,
-      fullRow(matchedUpdate), matchedDelete, fullRow(notMatchedInsert), keepVersions)
+      fullRow(matchedUpdate), matchedDelete, fullRow(notMatchedInsert), keepVersions,
+      partitionColumns, partitionTypes)
   }
 
   /** The general MERGE engine behind [[merge]] and the SQL `MERGE INTO`
@@ -194,12 +205,14 @@ object RefTableMutations {
       matchedUpdate: Option[(Column, Map[String, Column])],
       matchedDelete: Option[Column],
       notMatchedInsert: Option[(Column, Map[String, Column])],
-      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
-    val current = resolveFlat(root, conf)
-    val files = SnapshotFiles.list(current)
-    val cur = readAll(spark, current, files)
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
     val curCols = cur.columns.toSeq
     val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
     require(keyCols.forall(curCols.contains),
@@ -236,7 +249,9 @@ object RefTableMutations {
           val filters = Seq(
             org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
             org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
-          RefTableStats.prune(current, files, pruneOpts(root, cur.schema), filters, conf)
+          val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
+          RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
         }
       } else files
     VersionedTable.publishVia(root, keepVersions,
@@ -251,8 +266,7 @@ object RefTableMutations {
       val rewritten =
         if (mayMatch.isEmpty) inserts
         else {
-          val sub = spark.read.option("mergeSchema", "true")
-            .parquet(mayMatch.map(_.path): _*)
+          val sub = readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
           val subCols = sub.columns.toSeq // may lack columns other files carry
           sub.join(marked, keyCols, "left_outer")
             .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
@@ -265,8 +279,8 @@ object RefTableMutations {
             .unionByName(inserts, allowMissingColumns = true)
         }
       if (!empty || mayMatch.nonEmpty)
-        VersionedTable.writeParquetMicros(rewritten, staging.toString)
-      referenceRest(root, staging, current, mayMatch, conf)
+        VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
+      referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
     }
   }
 
@@ -278,30 +292,33 @@ object RefTableMutations {
     */
   def updateWhere(
       spark: SparkSession, root: String, set: Map[String, Column], condition: Column,
-      keepVersions: Int = 3): String = VersionedTable.withConflictRetry(root) { () =>
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val conf = new Configuration()
-    val current = resolveFlat(root, conf)
-    val files = SnapshotFiles.list(current)
-    val schema = readAll(spark, current, files).schema
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val schema = readAll(spark, root, current, files, partitionColumns, partitionTypes).schema
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     set.keys.find(!types.contains(_)).foreach(c =>
       throw new IllegalArgumentException(s"UPDATE assigns unknown table column '$c'"))
+    val popts = pruneOpts(root, schema, partitionColumns, partitionTypes)
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
     val mayMatch = if (filters.isEmpty) files
-      else RefTableStats.prune(current, files, pruneOpts(root, schema), filters, conf)
+      else RefTableStats.prune(current,
+        RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
-        val sub = spark.read.option("mergeSchema", "true")
-          .parquet(mayMatch.map(_.path): _*)
+        val sub = readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
         val hit = coalesce(condition, lit(false))
         val updated = sub.select(sub.columns.toSeq.map(c =>
           if (set.contains(c)) when(hit, set(c).cast(types(c))).otherwise(col(c)).as(c)
           else col(c)): _*)
-        VersionedTable.writeParquetMicros(updated, staging.toString)
+        VersionedTable.writeParquetMicros(updated, staging.toString, partitionColumns)
       }
-      referenceRest(root, staging, current, mayMatch, conf)
+      referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
     }
   }
 
@@ -315,41 +332,110 @@ object RefTableMutations {
     */
   def applyChanges(
       spark: SparkSession, root: String, changes: DataFrame, keyCols: Seq[String],
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String = {
     require(changes.columns.contains("change_type"),
       "changefeed must carry change_type (insert|delete|update) — see SnapshotDiff.diff")
     merge(spark, root, changes, keyCols,
       matchedUpdate = Some(col("change_type") =!= "delete"),
       matchedDelete = Some(col("change_type") === "delete"),
       notMatchedInsert = Some(col("change_type") =!= "delete"),
-      keepVersions = keepVersions)
+      keepVersions = keepVersions, partitionColumns = partitionColumns,
+      partitionTypes = partitionTypes)
   }
 
-  /** Resolve the current version dir; refuse non-versioned roots and
-    * Hive-partitioned layouts (partition subdirectories).
+  /** Resolve the current version dir. With no `partitionColumns` declared,
+    * refuse Hive-partitioned layouts (physical partition subdirectories OR
+    * manifest entries carrying partition values) — mutating one while
+    * ignoring its partition columns would silently DROP them from
+    * rewritten rows. With `partitionColumns` declared, partitioned layouts
+    * are first-class (see the partitioned read/write paths below).
     */
-  private def resolveFlat(root: String, conf: Configuration): String = {
+  private def resolveLayout(
+      root: String, conf: Configuration, partitionColumns: Seq[String]): String = {
     // robust: a pointer transiently missing mid-swap must not read as
     // "not a versioned root" under concurrent mutations
     val current = VersionedTable.resolveRobust(root, conf).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
-    val p = new Path(current)
-    val fs = p.getFileSystem(conf)
-    val subdirs = fs.listStatus(p).filter(s =>
-      s.isDirectory && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    if (subdirs.nonEmpty)
-      throw new UnsupportedOperationException(
-        "copy-on-write mutations support flat/clustered version layouts only; " +
-          s"$current holds partition subdirectories (compact first, or INSERT OVERWRITE)")
+    if (partitionColumns.isEmpty) {
+      val p = new Path(current)
+      val fs = p.getFileSystem(conf)
+      val subdirs = fs.listStatus(p).filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (subdirs.nonEmpty)
+        throw new UnsupportedOperationException(
+          "this version holds partition subdirectories: pass the layout's partitionColumns " +
+            s"to mutate $current (or compact to a flat layout first)")
+    }
     current
   }
 
-  /** Minimal read options for the pruning call: same root/schema, no
-    * partition columns (resolveFlat guarantees a flat layout).
+  /** Read options for the pruning calls: data schema extended with the
+    * (typed) partition columns so partition-leaf predicates evaluate
+    * exactly against directory values and data leaves against file stats.
     */
-  private def pruneOpts(root: String, schema: org.apache.spark.sql.types.StructType) =
-    RefTableOptions(path = root, schema = schema, rowField = None, keyColumn = None,
-      refreshMs = 0L, emitPerTrigger = false, genColumn = None)
+  private def pruneOpts(
+      root: String, schema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty) = {
+    val withPv = org.apache.spark.sql.types.StructType(
+      schema.fields ++ partitionColumns.filterNot(schema.fieldNames.contains).map(c =>
+        org.apache.spark.sql.types.StructField(c, pType(c, partitionTypes))))
+    RefTableOptions(path = root, schema = withPv, rowField = None, keyColumn = None,
+      refreshMs = 0L, emitPerTrigger = false, genColumn = None,
+      partitionColumns = partitionColumns)
+  }
+
+  private def pType(
+      c: String, partitionTypes: Map[String, org.apache.spark.sql.types.DataType]) =
+    partitionTypes.getOrElse(c, org.apache.spark.sql.types.StringType)
+
+  /** Read a set of listed files with their partition columns attached as
+    * TYPED columns. Flat layouts read directly. Partitioned reads group by
+    * HOSTING version dir (bounded by the manifest-chain length, never by
+    * partition count) and use Spark's `basePath` discovery with partition
+    * type inference OFF — raw directory strings, cast to the declared
+    * partition types, exactly how the DSv2 reader decodes them. A
+    * mutation's rewrite therefore canonicalizes partition directory NAMES
+    * (`bucket=007` → `bucket=7` when the column is typed numeric) while
+    * preserving partition VALUES under the declared type — same contract
+    * as compaction.
+    */
+  private def readFiles(
+      spark: SparkSession, root: String, files: Seq[SnapshotFile],
+      partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType]): DataFrame = {
+    if (partitionColumns.isEmpty)
+      return spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+    val conf = new Configuration()
+    val rootPath = new Path(root)
+    val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
+    def hostOf(p: String): String = {
+      val rel = if (p.startsWith(qualifiedRoot + "/")) p.substring(qualifiedRoot.length + 1) else p
+      val seg = rel.indexOf('/')
+      require(seg > 0, s"partitioned file not under a version dir: $p")
+      s"$qualifiedRoot/${rel.substring(0, seg)}"
+    }
+    // scoped child session: inference off so 007 stays "007" until the
+    // declared-type cast (compact scopes the same conf the same way)
+    val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs
+    }
+    scoped.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val byHost = files.groupBy(f => hostOf(f.path))
+    val combined = byHost.toSeq.map { case (host, group) =>
+      scoped.read.option("mergeSchema", "true").option("basePath", host)
+        .parquet(group.map(_.path): _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .withColumns(partitionColumns.map(c =>
+        c -> col(c).cast(pType(c, partitionTypes))).toMap)
+    // rebind to the caller's session so downstream joins against caller
+    // DataFrames resolve under one set of confs
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(
+      spark, combined.queryExecution.analyzed)
+  }
 
   /** Read the full logical content of a (possibly manifest-referenced)
     * version from its resolved listing, mergeSchema on. An empty listing
