@@ -78,41 +78,54 @@ object Curation {
     *
     * A global-order window would execute in ONE task (Spark gives an
     * unpartitioned `Window.orderBy` a single partition — dead at corpus
-    * scale), so the prefix sum is two-level: range-partition by id, sum
-    * each partition's weights (one tiny aggregation — O(partitions) rows
-    * to the driver, same bounded class as a centroid codebook), fold the
-    * exclusive per-partition offsets into a broadcast map, and run the
-    * running sum as a PARALLEL per-partition window plus its partition's
-    * offset. Deterministic for a given partition count; `numParts` is
-    * explicit so results are reproducible across cluster sizes.
+    * scale), so the prefix sum is two-level: a range-partitioning pass
+    * collects each partition's weight sum AND max id (one tiny aggregation
+    * — O(partitions) rows to the driver, same bounded class as a centroid
+    * codebook); the per-partition exclusive offsets and the id boundaries
+    * then bake into the final plan as LITERALS — `__pid` is recomputed
+    * from the boundary literals, not taken from a partitioner instance —
+    * and the running sum runs as a PARALLEL per-partition window plus its
+    * partition's offset.
+    *
+    * Baking boundaries as literals (rather than persisting the
+    * range-partitioned frame and reusing its partitioner) makes the result
+    * deterministic under ANY recompute — there is no sampled partitioner
+    * state the two jobs must share, so nothing needs pinning and no cached
+    * blocks outlive the call. Deterministic for a given partition count;
+    * `numParts` is explicit so results are reproducible across cluster
+    * sizes.
     */
   def packShards(
       df: DataFrame, idCol: String, weightCol: String, budget: Long,
       numParts: Int = 32): DataFrame = {
     require(budget > 0, "packShards needs a positive token budget")
-    // persist() before the two downstream jobs (offset collect + windowed
-    // sum): the range partitioner samples with a plan-instance-dependent
-    // seed, so WITHOUT a shared materialization the two jobs could draw
-    // different partition boundaries once the corpus outgrows the
-    // sampler's full-coverage size — job-1 offsets would then be applied
-    // to job-2's different partition membership, silently corrupting
-    // every shard assignment. The cache pins ONE physical plan (one
-    // RangePartitioner instance), so even recomputed blocks keep the same
-    // boundaries. Blocks release via the ContextCleaner when the plan is
-    // unreachable.
-    val parts = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+    val weighted = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+    // one pass: per-range-partition weight sum + max id. Only this job
+    // sees the sampled RangePartitioner; its boundaries are captured as
+    // data (max id per partition) and everything downstream derives from
+    // those values, so partitioner nondeterminism cannot leak.
+    val stats = weighted
       .repartitionByRange(numParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = parts.groupBy("__pid").agg(sum("__w").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val exclusive = offsets.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .groupBy("__pid").agg(sum("__w").as("s"), max(col(idCol)).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.get(2))).sortBy(_._1)
+    val exclusive = stats.scanLeft((0, 0L)) { case ((_, acc), (pid, s, _)) => (pid, acc + s) }
       .init.map(_._2) // offset for partition i = sum of partitions < i
-    val offsetOf = map(offsets.map(_._1).zip(exclusive).flatMap {
+    val offsetOf = map(stats.map(_._1).zip(exclusive).flatMap {
       case (pid, off) => Seq(lit(pid), lit(off))
     }: _*)
+    // range partitions are contiguous in id order, so partition i is
+    // exactly (hi_{i-1}, hi_i]: the FIRST non-empty partition whose max id
+    // is >= this row's id. Nulls sort first under the partitioner's
+    // ascending order → the first non-empty partition.
+    val firstPid = stats.headOption.map(_._1).getOrElse(0)
+    val pidExpr = stats.init.foldRight(
+      lit(stats.lastOption.map(_._1).getOrElse(0)): Column) { case ((pid, _, hi), rest) =>
+      when(col(idCol) <= lit(hi), lit(pid)).otherwise(rest)
+    }
     val w = Window.partitionBy("__pid").orderBy(idCol)
-    parts
+    weighted
+      .withColumn("__pid", when(col(idCol).isNull, lit(firstPid)).otherwise(pidExpr))
       .withColumn("__before",
         offsetOf(col("__pid")) + sum("__w").over(w) - col("__w"))
       .select(col(idCol), col("__w").as("n_tok"),

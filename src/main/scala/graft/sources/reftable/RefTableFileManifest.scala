@@ -65,7 +65,16 @@ object RefTableFileManifest {
   /** One manifest-resolved file: `rel` is root-relative. */
   final case class Entry(rel: String, len: Long, pv: Map[String, String])
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
+  /** Resolution cache: committed manifests are immutable, so entries never
+    * invalidate — only bound memory. Access-ordered LRU evicting one entry
+    * at capacity (a driver serving many tables/versions keeps its hot set;
+    * a full clear() would force whole-chain re-reads on every miss burst).
+    */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[Entry]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[Entry]]): Boolean =
+        size() > 256
+    })
 
   private def manifestPath(root: String, version: String): Path =
     new Path(new Path(root, version), ManifestName)
@@ -127,7 +136,6 @@ object RefTableFileManifest {
       case None => Nil
     }
     val all = (inherited ++ added).sortBy(_.rel)
-    if (cache.size > 256) cache.clear()
     cache.put(key, all)
     all
   }

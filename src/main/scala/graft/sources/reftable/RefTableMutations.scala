@@ -437,24 +437,39 @@ object RefTableMutations {
       spark, combined.queryExecution.analyzed)
   }
 
+  /** The manifest-aware file listing of the resolved `current` version:
+    * manifest-referenced versions resolve their `_FILES.json` chain
+    * ([[RefTableFileManifest.resolve]] via [[SnapshotFiles.list]]); physical
+    * versions list flat files or walk the Hive partition tree per the
+    * declared `partitionColumns`.
+    */
+  private def listLayout(current: String, partitionColumns: Seq[String]): Seq[SnapshotFile] =
+    SnapshotFiles.list(current, partitionColumns)
+
   /** Read the full logical content of a (possibly manifest-referenced)
-    * version from its resolved listing, mergeSchema on. An empty listing
+    * version from its resolved listing, mergeSchema on, with partition
+    * columns attached as typed columns ([[readFiles]]). An empty listing
     * falls back to the directory read so error behavior matches the
     * pre-manifest code exactly.
     */
   private def readAll(
-      spark: SparkSession, current: String, files: Seq[SnapshotFile]): DataFrame =
+      spark: SparkSession, root: String, current: String, files: Seq[SnapshotFile],
+      partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
     if (files.isEmpty) spark.read.option("mergeSchema", "true").parquet(current)
-    else spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+    else readFiles(spark, root, files, partitionColumns, partitionTypes)
 
   /** Write the staging dir's `_FILES.json`: the new version inherits the
     * parent's files minus the rewritten (`touched`) ones, plus whatever
     * parquet the mutation staged — O(touched) manifest entries, zero
     * filesystem operations on carried files (they are named, not moved).
+    * `partitionColumns` direct the staged-file listing: a partitioned
+    * rewrite stages files under `col=value` subdirectories, and listing
+    * them flat would silently drop the rewritten rows from the manifest.
     */
   private def referenceRest(
       root: String, staging: Path, current: String, touched: Seq[SnapshotFile],
-      conf: Configuration): Unit = {
+      conf: Configuration, partitionColumns: Seq[String]): Unit = {
     val rootPath = new Path(root)
     val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
     def rel(p: String): String =
@@ -462,6 +477,6 @@ object RefTableMutations {
     RefTableFileManifest.writeDelta(
       root, staging, parentVersion = new Path(current).getName,
       removedRel = touched.map(f => rel(f.path)).toSet,
-      partitionColumns = Nil, conf = conf)
+      partitionColumns = partitionColumns, conf = conf)
   }
 }
