@@ -1065,6 +1065,148 @@ object Advanced {
         |  min(s_suppkey) AS lo_key
         |FROM state2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // COW mutations on a Hive-PARTITIONED versioned layout: DELETE narrowed
+    // by the partition predicate (only the matching partition's files
+    // rewrite; every other partition rides the manifest by reference), then
+    // a keyed upsert that moves rows into a brand-new partition directory.
+    // The partitioned read path must see the post-mutation state exactly.
+    QueryDef("q122_partitioned_mutations", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q122_pmut")
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
+      VersionedTable.publishPartitioned(base, root, Seq("c_mktsegment"))
+      RefTableMutations.deleteWhere(s, root,
+        col("c_mktsegment") === "BUILDING" && col("cents") < 0L,
+        partitionColumns = Seq("c_mktsegment"))
+      val src = base.filter(col("c_custkey") % 500 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+          (col("cents") + 1L).as("cents"))
+      RefTableMutations.upsert(s, root, src, Seq("c_custkey"),
+        partitionColumns = Seq("c_mktsegment"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_mktsegment STRING, cents BIGINT")
+        .option("partitionColumns", "c_mktsegment").load()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("c_custkey").as("lo_key"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |afterdel AS (
+        |  SELECT * FROM base WHERE NOT (c_mktsegment = 'BUILDING' AND cents < 0)),
+        |src AS (
+        |  SELECT c_custkey, 'MOVED' AS c_mktsegment, cents + 1 AS cents
+        |  FROM base WHERE c_custkey % 500 = 0),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM afterdel WHERE c_custkey NOT IN (SELECT c_custkey FROM src))
+        |SELECT c_mktsegment, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(c_custkey) AS lo_key
+        |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // SQL DML over a PARTITIONED catalog table end-to-end: the analyzer
+    // rewrite and SupportsDelete thread the declared partitionColumns into
+    // the COW mutations — DELETE pruned by partition value, UPDATE that
+    // migrates rows across partition directories, MERGE inserting into a
+    // partition that did not exist before the statement.
+    QueryDef("q123_sql_dml_partitioned", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q123_pdml")
+      val tbl = "graft_q123_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT', " +
+        "partitionColumns 's_nationkey')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(s"DELETE FROM $tbl WHERE s_nationkey = 3 AND cents < 0")
+      s.sql(s"UPDATE $tbl SET s_nationkey = 77 WHERE s_nationkey = 7 AND s_suppkey % 2 = 0")
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT s_suppkey AS k, CAST(99 AS INT) AS nk, CAST(555 AS BIGINT) AS c
+           |  FROM supplier WHERE s_suppkey % 100 = 0
+           |) s ON t.s_suppkey = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.c
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_nationkey, cents)
+           |  VALUES (s.k, s.nk, s.c)""".stripMargin)
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        s"FROM $tbl GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |afterdel AS (
+        |  SELECT * FROM base WHERE NOT (s_nationkey = 3 AND cents < 0)),
+        |afterupd AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_nationkey = 7 AND s_suppkey % 2 = 0 THEN 77
+        |      ELSE s_nationkey END AS s_nationkey,
+        |    cents
+        |  FROM afterdel),
+        |merged AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 100 = 0 THEN 555 ELSE cents END AS cents
+        |  FROM afterupd
+        |  UNION ALL
+        |  SELECT s_suppkey, 99, 555 FROM base
+        |  WHERE s_suppkey % 100 = 0
+        |    AND s_suppkey NOT IN (SELECT s_suppkey FROM afterupd))
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // Manifest-chain endurance end-to-end: 40 successive single-key
+    // upserts build a 40-deep mutation chain that CROSSES the
+    // MaxChainDepth=32 materialization boundary (the writer re-lists
+    // everything once, bounding every later resolution), then the final
+    // state AND a VERSION AS OF pinned mid-chain read back through the
+    // manifest-resolving listing. keepVersions retains the whole chain so
+    // the pinned version's hop path stays intact.
+    QueryDef("q124_manifest_chain", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q124_chain")
+      val ddl = "n_nationkey BIGINT, v BIGINT"
+      val base = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("long").as("v"))
+      VersionedTable.publish(base, root, keepVersions = 50)
+      var vMid: String = null
+      (1 to 40).foreach { i =>
+        val src = s.range(1).select(
+          lit((i % 25).toLong).as("n_nationkey"), lit(1000L * i).as("v"))
+        val v = RefTableMutations.upsert(s, root, src, Seq("n_nationkey"),
+          keepVersions = 50)
+        if (i == 20) vMid = v
+      }
+      def read(version: Option[String], state: String) = {
+        val r = s.read.format("reftable").option("path", root).option("schema", ddl)
+        version.foreach(v => r.option("version", v))
+        r.load().select(lit(state).as("state"), col("n_nationkey"), col("v"))
+      }
+      read(Some(vMid), "mid").unionAll(read(None, "final"))
+        .orderBy("state", "n_nationkey")
+    }, Some(
+      """WITH states AS (
+        |  SELECT 'mid' AS state, n_nationkey,
+        |    CASE WHEN n_nationkey BETWEEN 1 AND 20 THEN 1000 * n_nationkey
+        |      ELSE n_regionkey END AS v
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'final', n_nationkey,
+        |    CASE WHEN n_nationkey BETWEEN 1 AND 15 THEN 1000 * (n_nationkey + 25)
+        |      WHEN n_nationkey BETWEEN 16 AND 24 THEN 1000 * n_nationkey
+        |      ELSE 25000 END
+        |  FROM nation)
+        |SELECT state, CAST(n_nationkey AS BIGINT) AS n_nationkey, CAST(v AS BIGINT) AS v
+        |FROM states ORDER BY state, n_nationkey""".stripMargin)),
+
     // Changefeed-maintained aggregate over the WRITE PATH end-to-end: three
     // INSERTs publish three versions of a reftable; the per-nation balance
     // aggregate is advanced version-to-version from

@@ -168,9 +168,6 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       s"reftable $stmt: a version-pinned (time travel) relation is read-only")
     if (opts.genColumn.nonEmpty) throw new UnsupportedOperationException(
       s"reftable $stmt: tables declaring genColumn are read-only projections")
-    if (opts.partitionColumns.nonEmpty) throw new UnsupportedOperationException(
-      s"reftable $stmt: Hive-partitioned layouts are not mutable in place — " +
-        "compact to a flat/clustered layout first, or use INSERT OVERWRITE")
     opts
   }
 
@@ -195,7 +192,8 @@ case class UpdateRefTableCommand(
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (VersionedTable.resolve(opts.path).nonEmpty)
-      RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions)
+      RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions,
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
     Seq.empty
   }
 }
@@ -223,7 +221,8 @@ case class MergeRefTableCommand(
       .select(keys.map { case (k, e) => e.as(k) } ++
         source0Cols(sourcePlan).map(org.apache.spark.sql.functions.col): _*)
     RefTableMutations.mergeClauses(spark, opts.path, source, keys.map(_._1),
-      update, delete, insert, opts.keepVersions)
+      update, delete, insert, opts.keepVersions,
+      opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
     Seq.empty
   }
 

@@ -437,6 +437,15 @@ object RefTableMutations {
       spark, combined.queryExecution.analyzed)
   }
 
+  /** The declared types of a relation's partition columns — the map the
+    * mutation paths need to cast Hive directory values back to typed
+    * columns. Partition columns are validated against the storage schema
+    * at option-parse time, so the lookup is total for a valid relation.
+    */
+  def partitionTypesOf(opts: RefTableOptions): Map[String, org.apache.spark.sql.types.DataType] =
+    opts.partitionColumns.flatMap(c =>
+      opts.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
+
   /** The manifest-aware file listing of the resolved `current` version:
     * manifest-referenced versions resolve their `_FILES.json` chain
     * ([[RefTableFileManifest.resolve]] via [[SnapshotFiles.list]]); physical

@@ -98,14 +98,16 @@ class RefTable(val opts: RefTableOptions) extends Table
   override def schema(): StructType = opts.outputSchema
 
   /** SQL `DELETE FROM` / `TRUNCATE TABLE`, routed into the file-granular
-    * copy-on-write mutation ([[RefTableMutations.deleteWhere]]). Only
-    * predicates with an exact Column equivalent are accepted — Spark
-    * refuses the DELETE otherwise, never over- or under-deletes. Hive-
-    * partitioned layouts and read-only projections (pinned `version`,
+    * copy-on-write mutation ([[RefTableMutations.deleteWhere]]) — the
+    * declared `partitionColumns` thread through so Hive-partitioned
+    * layouts mutate first-class (partition pruning narrows the rewrite
+    * before file stats do). Only predicates with an exact Column
+    * equivalent are accepted — Spark refuses the DELETE otherwise, never
+    * over- or under-deletes. Read-only projections (pinned `version`,
     * `genColumn`) refuse at planning time via canDeleteWhere.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    opts.version.isEmpty && opts.genColumn.isEmpty && opts.partitionColumns.isEmpty &&
+    opts.version.isEmpty && opts.genColumn.isEmpty &&
       filters.forall(f =>
         f == org.apache.spark.sql.sources.AlwaysTrue() ||
           RefTableFilters.toColumn(opts, f).isDefined)
@@ -129,7 +131,8 @@ class RefTable(val opts: RefTableOptions) extends Table
       val cond = filters.map(f => RefTableFilters.toColumn(opts, f).getOrElse(
         throw new UnsupportedOperationException(s"cannot push delete predicate $f")))
         .reduce(_ && _)
-      RefTableMutations.deleteWhere(spark, opts.path, cond)
+      RefTableMutations.deleteWhere(spark, opts.path, cond, opts.keepVersions,
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
     }
     ()
   }

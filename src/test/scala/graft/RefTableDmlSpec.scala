@@ -28,6 +28,49 @@ class RefTableDmlSpec extends AnyFunSuite {
     (tbl, root)
   }
 
+  test("SQL DML over a Hive-partitioned table: DELETE, UPDATE and MERGE thread the layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dml_part").toString + "/t"
+    val tbl = "graft_dml_part"
+    val pddl = "id BIGINT, v BIGINT, dt STRING"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS " +
+      s"(path '$root', schema '$pddl', partitionColumns 'dt')")
+    try {
+      (0L until 300L).map(i => (i, i * 10, s"d${i % 3}")).toDF("id", "v", "dt")
+        .write.format("reftable").option("path", root).option("schema", pddl)
+        .option("partitionColumns", "dt").mode("overwrite").save()
+
+      // DELETE narrowed by the partition predicate: only d1 files rewrite
+      spark.sql(s"DELETE FROM $tbl WHERE dt = 'd1' AND id < 150")
+      assert(spark.table(tbl).count() == 300 - 50)
+      assert(spark.table(tbl).where("dt = 'd1'").count() == 50)
+      // untouched partitions are carried by reference, not rewritten
+      val cur = VersionedTable.resolve(root, conf).get
+      val staged = graft.sources.reftable.SnapshotFiles.listPhysical(cur, Seq("dt"))
+      assert(staged.forall(_.partitionValues("dt") == "d1"),
+        s"only d1 may be physically rewritten, got ${staged.map(_.partitionValues)}")
+
+      // UPDATE moving rows across partitions (dt is a data column in the rewrite)
+      spark.sql(s"UPDATE $tbl SET dt = 'd9' WHERE dt = 'd0' AND id < 30")
+      assert(spark.table(tbl).where("dt = 'd9'").count() == 10)
+      assert(spark.table(tbl).where("dt = 'd0' AND id < 30").count() == 0)
+
+      // MERGE: update one partition's row, insert into a brand-new partition
+      Seq((3L, -1L, "d0"), (9999L, 1L, "dNEW")).toDF("id", "nv", "ndt")
+        .createOrReplaceTempView("dml_part_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_part_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (id, v, dt) VALUES (s.id, s.nv, s.ndt)
+           |""".stripMargin)
+      val got = spark.table(tbl).where("id IN (3, 9999)").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      // row 3 was moved to d9 by the UPDATE above; MERGE updates v in place
+      assert(got == Seq((3L, -1L, "d9"), (9999L, 1L, "dNEW")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("SQL UPDATE applies SET expressions where the condition holds") {
     val (tbl, _) = freshTable("upd")
     try {

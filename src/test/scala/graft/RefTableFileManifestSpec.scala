@@ -183,4 +183,67 @@ class RefTableFileManifestSpec extends AnyFunSuite {
     assert(prot.contains(vname(0)), "the physical base hosts live files")
     assert(prot.contains(vname(hops)))
   }
+
+  test("10k inherited files: resolution and protection are metadata-only and exact") {
+    // Scale proof for the vacuum/retention closure: a materialized manifest
+    // names 10,000 inherited files spread over 40 hosting version dirs that
+    // DO NOT EXIST on disk — resolution and protectedDirs must still give
+    // exact answers, proving the walk reads manifests only (per-file or
+    // per-host-dir filesystem access would throw on the missing dirs).
+    // Cost stays O(chain manifests + entries), independent of host layout.
+    val root = tmpDir("stress")
+    val fs = new Path(root).getFileSystem(conf)
+    def vname(i: Int): String = f"v${1000000000000000L + i}%019d" + "_0000000b"
+    val hosts = (0 until 40).map(vname)
+    val baseName = vname(100)
+    fs.mkdirs(new Path(root, baseName))
+    // hand-written materialized manifest: depth 1, no parent, 10k entries
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("version", 1); node.put("depth", 1); node.putNull("parent")
+    node.putArray("removed")
+    val added = node.putArray("added")
+    for (h <- 0 until 40; i <- 0 until 250) {
+      val e = added.addObject()
+      e.put("path", s"${hosts(h)}/part-$i.parquet")
+      e.put("len", 10L)
+    }
+    val out = fs.create(
+      new Path(new Path(root, baseName), RefTableFileManifest.ManifestName), true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+
+    // a mutation chain on top: each hop stages one file and retracts the
+    // previous hop's, exactly like sustained single-file churn
+    var parent = baseName
+    val hops = 30
+    (1 to hops).foreach { k =>
+      val staging = new Path(root, s".staging-${vname(200 + k)}")
+      fs.mkdirs(staging)
+      val f = fs.create(new Path(staging, s"rw-$k.parquet"), true)
+      try f.write(new Array[Byte](8)) finally f.close()
+      RefTableFileManifest.writeDelta(root, staging, parent,
+        removedRel =
+          if (k == 1) Set(s"${hosts(0)}/part-0.parquet")
+          else Set(s"${vname(200 + k - 1)}/rw-${k - 1}.parquet"),
+        partitionColumns = Nil, conf = conf)
+      fs.rename(staging, new Path(root, vname(200 + k)))
+      parent = vname(200 + k)
+    }
+
+    val t0 = System.nanoTime()
+    val resolved = RefTableFileManifest.resolve(root, parent, Nil, conf).get
+    val prot = RefTableFileManifest.protectedDirs(root, Seq(parent), conf)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(resolved.size == 10000, s"10k - 1 removed + 1 live rewrite, got ${resolved.size}")
+    assert(!resolved.exists(_.rel == s"${hosts(0)}/part-0.parquet"))
+    assert(resolved.count(_.rel.endsWith(s"rw-$hops.parquet")) == 1)
+    // protection = every chain hop + every hosting dir still referenced
+    assert(hosts.forall(prot.contains), "all 40 hosting dirs are load-bearing")
+    assert(prot.contains(baseName) && prot.contains(parent))
+    assert((1 to hops).forall(k => prot.contains(vname(200 + k))),
+      "every chain hop is needed to resolve")
+    // metadata-only budget: ~31 small JSON manifests; seconds would mean a
+    // per-file walk snuck in
+    assert(elapsedMs < 5000, s"resolution+protection took ${elapsedMs}ms")
+  }
 }

@@ -258,4 +258,116 @@ class RefTableMutationsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == expect, "replica must equal the after state")
   }
+
+  // ---- Hive-partitioned layouts: mutations with declared partitionColumns --
+
+  private def readCurrentPartitioned(
+      root: String, pcols: Seq[String],
+      ptypes: Map[String, org.apache.spark.sql.types.DataType]): org.apache.spark.sql.DataFrame = {
+    val cur = VersionedTable.resolve(root, conf).get
+    val files = SnapshotFiles.list(cur, pcols)
+    if (files.isEmpty) return spark.emptyDataFrame
+    // group by hosting version dir exactly like the mutation reader: a
+    // manifest version's files live in several dirs, each its own basePath
+    val byHost = files.groupBy(f =>
+      new org.apache.hadoop.fs.Path(f.path).getParent.getParent.toString)
+    byHost.toSeq.map { case (host, group) =>
+      spark.read.option("basePath", host).parquet(group.map(_.path): _*)
+    }.reduce(_ unionByName _)
+      .withColumns(pcols.map(c => c -> col(c).cast(ptypes(c))).toMap)
+  }
+
+  test("partitioned deleteWhere rewrites only matching partitions; the rest ride the manifest") {
+    import spark.implicits._
+    val root = tmpDir("pdel")
+    val df = (0 until 900).map(i => (i.toLong, i.toDouble, s"p${i % 3}")).toDF("id", "v", "p")
+    VersionedTable.publishPartitioned(df.repartition(2), root, Seq("p"))
+    val before = SnapshotFiles.list(VersionedTable.resolve(root, conf).get, Seq("p"))
+    assert(before.size >= 3, "at least one file per partition")
+
+    RefTableMutations.deleteWhere(spark, root, col("p") === "p1" && col("v") < 300.0,
+      partitionColumns = Seq("p"))
+
+    val cur = VersionedTable.resolve(root, conf).get
+    val curP = new org.apache.hadoop.fs.Path(cur)
+    val curQ = curP.getFileSystem(conf).makeQualified(curP).toString
+    val after = SnapshotFiles.list(cur, Seq("p"))
+    // p0/p2 files carried over by reference under their original paths
+    // (listings are fs-qualified; qualify the version dir before comparing)
+    val carriedPartitions = after.filterNot(_.path.startsWith(curQ)).map(_.partitionValues("p")).toSet
+    assert(carriedPartitions == Set("p0", "p2"),
+      s"only untouched partitions may be carried, got $carriedPartitions")
+    // the new version dir physically holds ONLY rewritten p1 files
+    val staged = SnapshotFiles.listPhysical(cur, Seq("p"))
+    assert(staged.nonEmpty && staged.forall(_.partitionValues("p") == "p1"),
+      s"new version must physically hold only partition p1, got ${staged.map(_.path)}")
+
+    val got = readCurrentPartitioned(root, Seq("p"),
+      Map("p" -> org.apache.spark.sql.types.StringType))
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = (0 until 900).filterNot(i => i % 3 == 1 && i < 300).map(_.toLong)
+    assert(got == expect)
+  }
+
+  test("partitioned upsert round-trips typed partition values and carries disjoint partitions") {
+    import spark.implicits._
+    val root = tmpDir("pups")
+    val df = (0 until 400).map(i => (i.toLong, s"s$i", i % 4)).toDF("id", "s", "b")
+    VersionedTable.publishPartitioned(df, root, Seq("b"))
+    val ptypes = Map[String, org.apache.spark.sql.types.DataType](
+      "b" -> org.apache.spark.sql.types.IntegerType)
+
+    val src = Seq((2L, "UP2", 2), (1000L, "NEW", 9)).toDF("id", "s", "b")
+    RefTableMutations.upsert(spark, root, src, Seq("id"),
+      partitionColumns = Seq("b"), partitionTypes = ptypes)
+
+    val got = readCurrentPartitioned(root, Seq("b"), ptypes)
+    assert(got.schema("b").dataType == org.apache.spark.sql.types.IntegerType)
+    val byId = got.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(byId(2L) == ("UP2", 2), "matched key updates in place")
+    assert(byId(1000L) == ("NEW", 9), "new key inserts, creating partition b=9")
+    assert(byId.size == 401)
+    val cur = VersionedTable.resolve(root, conf).get
+    assert(SnapshotFiles.list(cur, Seq("b")).exists(_.partitionValues("b") == "9"),
+      "the new partition directory must surface in the listing")
+  }
+
+  test("partitioned updateWhere moves rows across partition directories") {
+    import spark.implicits._
+    val root = tmpDir("pmove")
+    val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "p")
+    VersionedTable.publishPartitioned(df, root, Seq("p"))
+
+    // p is a DATA column during the rewrite, so SET p = 'p9' re-buckets the
+    // rewritten rows under their new directory — partition migration for free
+    RefTableMutations.updateWhere(spark, root, Map("p" -> lit("p9")),
+      col("p") === "p0" && col("id") < 150L, partitionColumns = Seq("p"))
+
+    val got = readCurrentPartitioned(root, Seq("p"),
+      Map("p" -> org.apache.spark.sql.types.StringType))
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val movedFromP0 = (0 until 300).count(i => i % 3 == 0 && i < 150)
+    assert(got("p9") == movedFromP0)
+    assert(got("p0") == 100 - movedFromP0)
+    assert(got("p1") == 100 && got("p2") == 100)
+  }
+
+  test("two successive partitioned mutations chain manifests over partitioned hosts") {
+    import spark.implicits._
+    val root = tmpDir("pchain")
+    val df = (0 until 600).map(i => (i.toLong, i.toDouble, s"d${i % 2}")).toDF("id", "v", "d")
+    VersionedTable.publishPartitioned(df, root, Seq("d"))
+    RefTableMutations.deleteWhere(spark, root, col("d") === "d0" && col("id") < 100L,
+      partitionColumns = Seq("d"))
+    RefTableMutations.upsert(spark, root,
+      Seq((50L, 5.5, "d0"), (2000L, 9.9, "d1")).toDF("id", "v", "d"), Seq("id"),
+      partitionColumns = Seq("d"))
+    val got = readCurrentPartitioned(root, Seq("d"),
+      Map("d" -> org.apache.spark.sql.types.StringType))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(!got.contains(48L), "deleted even id below 100 stays deleted through the chain")
+    assert(got(50L) == (5.5, "d0"), "upsert re-inserts a previously deleted key")
+    assert(got(2000L) == (9.9, "d1"))
+    assert(got.size == 600 - 50 + 2, "600 - 50 deleted evens + re-insert + new insert")
+  }
 }

@@ -1109,4 +1109,70 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq,
       "within a generation the pinned file list must not change")
   }
+
+  test("a generation pinned mid-drain survives concurrent mutations + vacuum of its hosts") {
+    // The retention contract on the STREAMING path: a reader that pinned its
+    // generation listing keeps draining the exact pre-mutation snapshot even
+    // after (a) COW mutations retract files from newer listings, (b) the
+    // pinned version's own commit expires under minimum retention, and
+    // (c) vacuum runs — reference-counted protection keeps the hosting dirs
+    // alive because newer manifests still name their files. Rows deleted by
+    // the mutations MUST still be emitted (snapshot isolation), and only
+    // commit() releases the pin.
+    import graft.sources.reftable.{RefTableInputPartition, RefTableMutations,
+      RefTablePartitionReader, VersionedTable}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("reftable_pinvac_").toString + "/tbl"
+    val df = (0L until 500L).map(i => (i, s"n$i")).toDF("id", "name")
+    VersionedTable.publishClustered(df, root, Seq("id"), numFiles = 5)
+
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> root, "schema" -> ddl, "refreshInterval" -> "1h",
+        "maxFilesPerTrigger" -> "2").asJava))
+    val s = new RefTableMicroBatchStream(o, o.outputSchema)
+    val start = s.initialOffset()
+    val o1 = s.latestOffset(start, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    val chunk1 = s.planInputPartitions(start, o1)
+    assert(chunk1.length == 2, "gen pinned, first 2 of 5 files admitted")
+
+    // two COW deletes under minimum retention expire the base commit, then
+    // vacuum — the pinned dirs must survive via manifest references
+    RefTableMutations.deleteWhere(spark, root, col("id") === 5L, keepVersions = 2)
+    RefTableMutations.deleteWhere(spark, root, col("id") === 205L, keepVersions = 2)
+    VersionedTable.vacuum(root, keepVersions = 2)
+
+    val o2 = s.latestOffset(o1, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    assert(o2.gen == o1.gen, "mid-drain: the generation must stay pinned")
+    val o3 = s.latestOffset(o2, s.getDefaultReadLimit).asInstanceOf[RefTableOffset]
+    val parts = chunk1 ++ s.planInputPartitions(o1, o2) ++ s.planInputPartitions(o2, o3)
+    assert(parts.length == 5, "the full pinned listing must still be drainable")
+    val ids = parts.flatMap { p =>
+      val rdr = new RefTablePartitionReader(o, o.outputSchema, Array.empty,
+        p.asInstanceOf[RefTableInputPartition])
+      try Iterator.continually(rdr).takeWhile(_.next()).map(_.get().getLong(0)).toList
+      finally rdr.close()
+    }.sorted.toSeq
+    assert(ids == (0L until 500L),
+      "the pinned snapshot must emit rows the mutations deleted (snapshot isolation)")
+    s.commit(o3) // release the pin
+
+    // a fresh generation sees the post-mutation state (drain all chunks)
+    val s2 = new RefTableMicroBatchStream(o, o.outputSchema)
+    var prev = s2.initialOffset()
+    var cur = s2.latestOffset(prev, s2.getDefaultReadLimit)
+    val ids2 = scala.collection.mutable.Set[Long]()
+    while (cur != prev) {
+      s2.planInputPartitions(prev, cur).foreach { p =>
+        val rdr = new RefTablePartitionReader(o, o.outputSchema, Array.empty,
+          p.asInstanceOf[RefTableInputPartition])
+        try Iterator.continually(rdr).takeWhile(_.next())
+          .foreach(r => ids2 += r.get().getLong(0))
+        finally rdr.close()
+      }
+      prev = cur
+      cur = s2.latestOffset(prev, s2.getDefaultReadLimit)
+    }
+    assert(!ids2.contains(5L) && !ids2.contains(205L) && ids2.size == 498)
+  }
 }
