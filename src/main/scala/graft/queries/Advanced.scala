@@ -1162,6 +1162,54 @@ object Advanced {
         |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // Dynamic partition overwrite end-to-end (the daily-backfill shape):
+    // INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces
+    // exactly the partitions present in the written data — one segment
+    // re-derived with a transform, plus a brand-new segment — carrying
+    // every other partition by manifest reference, O(touched partitions).
+    QueryDef("q125_dynamic_overwrite", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q125_dynov")
+      val pddl = "c_custkey BIGINT, c_mktsegment STRING, cents BIGINT"
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
+      def w(df: org.apache.spark.sql.DataFrame, dynamic: Boolean) = {
+        val wr = df.write.format("reftable")
+          .option("path", root).option("schema", pddl)
+          .option("partitionColumns", "c_mktsegment").mode("overwrite")
+        (if (dynamic) wr.option("partitionOverwriteMode", "dynamic") else wr).save()
+      }
+      w(base, dynamic = false)
+      // backfill: BUILDING re-derived (negated balances, odd keys only) and
+      // a fresh AUDIT segment from the hot keys
+      w(base.filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"), (-col("cents")).as("cents"))
+        .unionAll(base.filter(col("c_custkey") % 1000 === 0)
+          .select(col("c_custkey"), lit("AUDIT").as("c_mktsegment"), col("cents"))),
+        dynamic = true)
+      s.read.format("reftable")
+        .option("path", root).option("schema", pddl)
+        .option("partitionColumns", "c_mktsegment").load()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("c_custkey").as("lo_key"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |final AS (
+        |  SELECT * FROM base WHERE c_mktsegment NOT IN ('BUILDING', 'AUDIT')
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, -cents FROM base
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, 'AUDIT', cents FROM base WHERE c_custkey % 1000 = 0)
+        |SELECT c_mktsegment, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(c_custkey) AS lo_key
+        |FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Manifest-chain endurance end-to-end: 40 successive single-key
     // upserts build a 40-deep mutation chain that CROSSES the
     // MaxChainDepth=32 materialization boundary (the writer re-lists

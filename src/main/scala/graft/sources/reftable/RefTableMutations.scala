@@ -118,22 +118,28 @@ object RefTableMutations {
       s"upsert source is missing table column(s): ${missing.mkString(", ")}")
     val aligned = source.select(curCols.map(col): _*)
 
-    val empty = aligned.isEmpty
-    val mayMatch: Seq[SnapshotFile] =
-      if (empty) Nil
-      else if (keyCols.size == 1) {
+    // ONE aggregation job answers emptiness AND the key bounds (a separate
+    // isEmpty was a whole extra Spark job per commit — sustained
+    // single-row mutation chains pay it 1:1 per upsert)
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) =
+      if (keyCols.size == 1) {
         val k = keyCols.head
-        val mm = aligned.agg(min(col(k)), max(col(k))).first()
-        if (mm.isNullAt(0)) Nil // all-null keys: pure inserts, no file can match
+        val mm = aligned.agg(
+          org.apache.spark.sql.functions.count(lit(1)), min(col(k)), max(col(k))).first()
+        if (mm.getLong(0) == 0L) (true, Nil)
+        else if (mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts, no file can match
         else {
           val filters = Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
-            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(1)),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(2)))
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
-          RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
+          (false, RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
         }
-      } else files
+      } else {
+        val e = aligned.isEmpty
+        (e, if (e) Nil else files)
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val rewritten =
@@ -238,22 +244,26 @@ object RefTableMutations {
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
           lit(true).as("__m")): _*)
 
-    val empty = marked.isEmpty
-    val mayMatch: Seq[SnapshotFile] =
-      if (empty) Nil
-      else if (keyCols.size == 1) {
+    // one aggregation job for emptiness + key bounds, as in [[upsert]]
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) =
+      if (keyCols.size == 1) {
         val k = keyCols.head
-        val mm = marked.agg(min(col(k)), max(col(k))).first()
-        if (mm.isNullAt(0)) Nil // all-null keys: pure inserts, no file can match
+        val mm = marked.agg(
+          org.apache.spark.sql.functions.count(lit(1)), min(col(k)), max(col(k))).first()
+        if (mm.getLong(0) == 0L) (true, Nil)
+        else if (mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts, no file can match
         else {
           val filters = Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(0)),
-            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(1)))
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(1)),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(2)))
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
-          RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
+          (false, RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
         }
-      } else files
+      } else {
+        val e = marked.isEmpty
+        (e, if (e) Nil else files)
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val matchedFlag = coalesce(col("__m"), lit(false))
@@ -319,6 +329,78 @@ object RefTableMutations {
         VersionedTable.writeParquetMicros(updated, staging.toString, partitionColumns)
       }
       referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
+    }
+  }
+
+  /** Dynamic partition overwrite (the Delta `replaceWhere`-on-partitions /
+    * Spark `partitionOverwriteMode=dynamic` semantic): replace EXACTLY the
+    * partitions that appear in `source` with `source`'s rows; every other
+    * partition is carried by reference in the new version's manifest.
+    * Commits O(touched partitions) — the daily-backfill shape, where a
+    * re-run replaces one `dt=` directory of a 100 TB table without
+    * touching, or even listing, the rest.
+    *
+    * Partition identity is value-level under the DECLARED types: a file
+    * under `bucket=007` and a source row with bucket 7 name the same
+    * partition when the column is numeric (same canonicalization contract
+    * as [[readFiles]]/compaction). Null partition values match the Hive
+    * default-partition directory. The distinct-partition collect is
+    * bounded by the number of touched partitions — the same bounded
+    * driver-side class as shard offsets and codebooks.
+    */
+  def overwritePartitions(
+      spark: SparkSession, root: String, source: DataFrame,
+      partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      keepVersions: Int = 3): String =
+    VersionedTable.withConflictRetry(root) { () =>
+    require(partitionColumns.nonEmpty,
+      "overwritePartitions needs the layout's partitionColumns")
+    val missing = partitionColumns.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"overwrite source is missing partition column(s): ${missing.mkString(", ")}")
+    val conf = new Configuration()
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    // canonical rendering shared by both sides: source values through the
+    // declared-type cast, directory strings through the same parse
+    def canonTyped(v: Any): Option[String] = Option(v).map {
+      case d: java.sql.Date => d.toString // yyyy-MM-dd, = LocalDate.toString
+      case bd: java.math.BigDecimal => bd.toPlainString
+      case other => other.toString
+    }
+    def canonRaw(raw: String, dt: org.apache.spark.sql.types.DataType): Option[String] = {
+      import org.apache.spark.sql.types._
+      if (raw == RefTablePartitioning.HiveDefaultPartition) None
+      else Some(dt match {
+        case IntegerType => raw.trim.toInt.toString
+        case LongType => raw.trim.toLong.toString
+        case DoubleType => raw.trim.toDouble.toString
+        case FloatType => raw.trim.toFloat.toString
+        case BooleanType => raw.trim.toBoolean.toString
+        case DateType => java.time.LocalDate.parse(raw.trim).toString
+        case _: DecimalType => new java.math.BigDecimal(raw.trim).toPlainString
+        case _ => raw
+      })
+    }
+    val touched: Set[Seq[Option[String]]] = source
+      .select(partitionColumns.map(c => col(c).cast(pType(c, partitionTypes))): _*)
+      .distinct().collect()
+      .map(r => partitionColumns.indices.map(i => canonTyped(r.get(i))).toSeq)
+      .toSet
+    val replaced = files.filter { f =>
+      // a flat-hosted file (no directory values at all — adopted/mixed
+      // layouts) is never partition-matched; the Hive null-partition dir
+      // canonicalizes to None and CAN match an all-null source tuple
+      partitionColumns.forall(f.partitionValues.contains) &&
+        touched.contains(partitionColumns.map(c =>
+          canonRaw(f.partitionValues(c), pType(c, partitionTypes))))
+    }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      if (touched.nonEmpty)
+        VersionedTable.writeParquetMicros(source, staging.toString, partitionColumns)
+      referenceRest(root, staging, current, replaced, conf, partitionColumns)
     }
   }
 

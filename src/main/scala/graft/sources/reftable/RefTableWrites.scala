@@ -68,7 +68,8 @@ object RefTableWrites {
     false
   }
 
-  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean): Unit = {
+  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean,
+      overwriteMode: Option[String] = None): Unit = {
     if (opts.version.nonEmpty)
       throw new UnsupportedOperationException(
         "reftable: a version-pinned (time travel) relation is read-only")
@@ -119,7 +120,23 @@ object RefTableWrites {
       else VersionedTable.publish(payload, opts.path, opts.keepVersions,
         parent = parent, requireBase = cas)
 
-    if (overwrite) doPublish(aligned, None, cas = false) // derives from nothing
+    // Spark's partitioned-overwrite contract: static (the default)
+    // replaces the whole table; dynamic replaces ONLY the partitions
+    // present in the written data — the per-write option wins over the
+    // session conf, exactly like Spark's own file sources. Dynamic mode
+    // routes through the COW mutation (O(touched partitions) commit); on
+    // a never-published root there is nothing to carry, so it degrades to
+    // the plain first publish.
+    val dynamicOverwrite = overwrite && opts.partitionColumns.nonEmpty &&
+      overwriteMode.orElse(
+        data.sparkSession.conf.getOption("spark.sql.sources.partitionOverwriteMode"))
+        .exists(_.equalsIgnoreCase("dynamic")) &&
+      VersionedTable.resolve(opts.path, conf).isDefined
+    if (dynamicOverwrite)
+      RefTableMutations.overwritePartitions(data.sparkSession, opts.path, aligned,
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
+        opts.keepVersions)
+    else if (overwrite) doPublish(aligned, None, cas = false) // derives from nothing
     else VersionedTable.withConflictRetry(opts.path) { () =>
       // re-resolved per attempt; the read is PINNED to the resolved base so
       // the commit CAS guards exactly the version the union derived from
@@ -232,7 +249,8 @@ class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
-        RefTableWrites.insert(opts, data, truncateAll || overwrite)
+        RefTableWrites.insert(opts, data, truncateAll || overwrite,
+          overwriteMode = Option(info.options.get("partitionOverwriteMode")))
     }
   }
 }

@@ -343,4 +343,66 @@ class RefTableWriteSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
     assert(canon(maintained) == canon(recomputed))
   }
+
+  test("dynamic partition overwrite replaces exactly the written partitions") {
+    import spark.implicits._
+    import graft.sources.reftable.{SnapshotFiles, VersionedTable}
+    val root = Files.createTempDirectory("graft_dynovw").toString + "/t"
+    val pddl = "id BIGINT, bucket INT"
+    def w(df: org.apache.spark.sql.DataFrame, mode: String, dynamic: Boolean) = {
+      val wr = df.write.format("reftable")
+        .option("path", root).option("schema", pddl)
+        .option("partitionColumns", "bucket").mode(mode)
+      (if (dynamic) wr.option("partitionOverwriteMode", "dynamic") else wr).save()
+    }
+    w((0L until 300L).map(i => (i, (i % 3).toInt)).toDF("id", "bucket"), "overwrite",
+      dynamic = false)
+    val v1 = VersionedTable.resolve(root).get
+
+    // dynamic overwrite of bucket 1 only (plus a brand-new bucket 9)
+    w(Seq((9000L, 1), (9001L, 1), (7000L, 9)).toDF("id", "bucket"), "overwrite",
+      dynamic = true)
+    val back = spark.read.format("reftable")
+      .option("path", root).option("schema", pddl)
+      .option("partitionColumns", "bucket").load()
+    val byBucket = back.collect().groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).sorted.toSeq).toMap
+    assert(byBucket(0) == (0L until 300L by 3).toSeq, "bucket 0 untouched")
+    assert(byBucket(2) == (2L until 300L by 3).toSeq, "bucket 2 untouched")
+    assert(byBucket(1) == Seq(9000L, 9001L), "bucket 1 replaced wholesale")
+    assert(byBucket(9) == Seq(7000L), "new partition created")
+    // O(touched): the new version physically stages only buckets 1 and 9;
+    // buckets 0/2 are carried by reference from v1
+    val cur = VersionedTable.resolve(root).get
+    assert(cur != v1)
+    val staged = SnapshotFiles.listPhysical(cur, Seq("bucket"))
+      .map(_.partitionValues("bucket")).toSet
+    assert(staged == Set("1", "9"), s"staged partitions: $staged")
+
+    // the per-write option beats the session conf; static default replaces all
+    w(Seq((1L, 5)).toDF("id", "bucket"), "overwrite", dynamic = false)
+    val after = spark.read.format("reftable")
+      .option("path", root).option("schema", pddl)
+      .option("partitionColumns", "bucket").load().collect()
+    assert(after.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 5)),
+      "static overwrite (the default) still replaces the whole table")
+  }
+
+  test("dynamic partition overwrite canonicalizes partition identity under declared types") {
+    import spark.implicits._
+    import graft.sources.reftable.{RefTableMutations, VersionedTable}
+    val root = Files.createTempDirectory("graft_dynovw2").toString + "/t"
+    // seed with zero-padded directory names by staging them verbatim
+    val df = Seq((1L, "007"), (2L, "8")).toDF("id", "bucket")
+    VersionedTable.publishPartitioned(df, root, Seq("bucket"))
+    // declared type INT: source bucket 7 must replace the bucket=007 dir
+    RefTableMutations.overwritePartitions(spark,
+      root, Seq((100L, 7)).toDF("id", "bucket"), Seq("bucket"),
+      Map("bucket" -> org.apache.spark.sql.types.IntegerType))
+    val got = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, bucket INT")
+      .option("partitionColumns", "bucket").load()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(got == Seq((2L, 8), (100L, 7)),
+      s"bucket=007 and bucket 7 are the same partition under INT, got $got")
+  }
 }
