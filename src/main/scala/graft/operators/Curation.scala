@@ -59,6 +59,46 @@ object Curation {
       .select(col(idCol), col("rk"), col("word"), col("tfidf"))
   }
 
+  /** Domain-mixture sampling: re-weight a corpus to target domain
+    * proportions under a total token budget — the mixture step every
+    * pre-training pipeline runs ("web 60%, books 30%, code 10%"). One tiny
+    * aggregation computes each domain's available token mass (O(domains)
+    * rows to the driver, the bounded codebook class); each domain then
+    * keeps rows by the deterministic engine-portable hash at rate
+    * min(1, want/have) — an under-supplied domain contributes everything
+    * it has (the standard clamp), and the output is byte-stable across
+    * runs, engines and partitionings. Domains absent from `targets` drop.
+    * Rates quantize to ppm via floor under one fixed evaluation order,
+    * `((budget * (w/Σw)) / have) * 1e6`, so an oracle replaying the same
+    * expression gets the identical threshold. The kept rows carry their
+    * domain's `rate_ppm` for downstream accounting.
+    */
+  def mixCorpus(
+      df: DataFrame, idCol: String, domainCol: String, weightCol: String,
+      targets: Map[String, Double], budgetTokens: Long,
+      salt: String = "mix"): DataFrame = {
+    require(budgetTokens > 0, "mixCorpus needs a positive token budget")
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "mixCorpus targets must be non-negative weights")
+    val wsum = targets.values.toSeq.sorted.sum // fixed fold order
+    require(wsum > 0.0, "mixCorpus target weights must not all be zero")
+    val inTargets = df.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+    val have: Map[String, Long] = inTargets
+      .groupBy(domainCol).agg(sum(col(weightCol).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratePpm: Map[String, Long] = targets.collect {
+      case (d, w) if have.getOrElse(d, 0L) > 0 =>
+        d -> math.min(1000000L, math.floor(
+          budgetTokens.toDouble * (w / wsum) / have(d).toDouble * 1000000.0).toLong)
+    }
+    val rateCol = ratePpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (d, p)) => when(col(domainCol) === d, lit(p)).otherwise(acc)
+    }
+    inTargets.withColumn("rate_ppm", rateCol)
+      .filter(pmod(hash60Col(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+  }
+
   /** Scrub text matching `pattern` (e.g. emails) with `replacement`,
     * reporting the match count per row. Pure narrow map work; patterns must
     * stay in the RE2-compatible subset so results are engine-portable.

@@ -113,6 +113,41 @@ object CurationOps {
          |FROM (SELECT doc_id,
          |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com said: ' || text AS t
          |  FROM documents)
-         |ORDER BY doc_id""".stripMargin))
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Domain-mixture sampling under a token budget: per-language targets
+    // (en 50%, de 25%, fr 25% of 2000 tokens; es/zh dropped), per-domain
+    // availability from ONE tiny aggregation, then a deterministic
+    // hash-threshold sample at rate min(1, want/have) — rates quantized to
+    // ppm via floor under one fixed double evaluation order, so the oracle
+    // replaying the identical expression computes the identical threshold.
+    // At small SFs the de/fr targets exceed availability and clamp to keep
+    // everything (rate_ppm = 1e6) while en genuinely samples.
+    QueryDef("q126_domain_mixing", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.GraftFunctions.tokens(col("text"))).as("nt"))
+      Curation.mixCorpus(docs, "doc_id", "lang", "nt",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), budgetTokens = 2000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("tok"),
+          max("rate_ppm").as("rate_ppm"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+         |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+         |have AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS h FROM d GROUP BY lang),
+         |rates AS (
+         |  SELECT lang, CAST(LEAST(1000000, FLOOR(
+         |    CAST(2000 AS DOUBLE) * (CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END)
+         |      / h * 1000000.0)) AS BIGINT) AS ppm
+         |  FROM have WHERE h > 0),
+         |kept AS (
+         |  SELECT d.lang, d.nt, r.ppm FROM d JOIN rates r ON d.lang = r.lang
+         |  WHERE ${duckHash60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.ppm)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok,
+         |  max(ppm) AS rate_ppm
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -391,6 +391,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixCorpus hits domain targets, clamps under-supplied domains, stays byte-stable") {
+    import spark.implicits._
+    // domain a: 10k docs × 10 tokens = 100k available; domain b: 30 docs
+    // × 10 = 300 available; domain c present in the corpus but untargeted
+    val rows = (0L until 10000L).map(i => (i, "a", 10L)) ++
+      (10000L until 10030L).map(i => (i, "b", 10L)) ++
+      (20000L until 20010L).map(i => (i, "c", 10L))
+    val df = rows.toDF("id", "dom", "nt")
+    // budget 20k, half each: a wants 10k of 100k (10% sample), b wants
+    // 10k of 300 (clamp: keep everything)
+    val got = graft.operators.Curation.mixCorpus(
+      df, "id", "dom", "nt", Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 20000L)
+    val byDom = got.collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!byDom.contains("c"), "untargeted domains drop")
+    assert(byDom("b").length == 30, "under-supplied domain keeps everything")
+    assert(byDom("b").forall(_._3 == 1000000L), "clamped rate is exactly 1")
+    val aTok = byDom("a").length * 10L
+    assert(aTok > 8000 && aTok < 12000,
+      s"domain a should sample ~10% of its 100k tokens, kept $aTok")
+    // byte-stable: a different incoming partitioning yields the same rows
+    val again = graft.operators.Curation.mixCorpus(
+      df.repartition(13), "id", "dom", "nt",
+      Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 20000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == got.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("lmPerplexity: in-distribution text scores lower perplexity than gibberish") {
     import spark.implicits._
     val common = (1 to 40).map(i => (i.toLong, "the cat sat on the mat and the dog ran"))

@@ -259,6 +259,23 @@ class RefTableMutationsSpec extends AnyFunSuite {
     assert(got == expect, "replica must equal the after state")
   }
 
+  test("delete-everything leaves a mutable empty table; upsert repopulates it") {
+    import spark.implicits._
+    val root = tmpDir("delall2")
+    val df = (0 until 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    VersionedTable.publish(df.repartition(2), root)
+    RefTableMutations.deleteWhere(spark, root, lit(true))
+    val cur = VersionedTable.resolve(root, conf).get
+    val files = SnapshotFiles.list(cur)
+    // the empty state must still read as 0 rows through the normal path
+    if (files.nonEmpty)
+      assert(spark.read.parquet(files.map(_.path): _*).count() == 0)
+    // and the empty version must accept further mutations
+    RefTableMutations.upsert(spark, root, Seq((1L, "x")).toDF("id", "s"), Seq("id"))
+    assert(readCurrent(root).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "x")))
+  }
+
   // ---- Hive-partitioned layouts: mutations with declared partitionColumns --
 
   private def readCurrentPartitioned(
