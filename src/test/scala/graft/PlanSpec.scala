@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__pid"), s"window must partition by __pid:\n$p")
   }
 
+  test("mixCorpus output is a narrow filter: no Exchange, no Window") {
+    // the per-domain availability aggregation runs eagerly inside the
+    // operator (O(domains) to the driver); the RETURNED plan must be a
+    // pure scan+filter — at corpus scale the sample decision is a narrow
+    // map over the data, never a shuffle
+    val df = spark.range(1000).selectExpr(
+      "id", "CAST(id % 3 AS STRING) AS dom", "CAST(10 AS BIGINT) AS nt")
+    val out = graft.operators.Curation.mixCorpus(
+      df, "id", "dom", "nt", Map("0" -> 0.5, "1" -> 0.5), budgetTokens = 500L)
+    val p = out.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"mixCorpus must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"mixCorpus must not window:\n$p")
+  }
+
   test("bucketed join needs no exchange on either side") {
     import org.apache.spark.sql.functions.col
     // write both sides bucketed+sorted on the join key, then force the

@@ -181,6 +181,35 @@ class RefTableConcurrencySpec extends AnyFunSuite {
       "every concurrent upsert's update must survive serialization")
   }
 
+  test("concurrent dynamic partition overwrites of disjoint partitions both land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val root = tmpDir("dynovw")
+    VersionedTable.publishPartitioned(
+      (0L until 90L).map(i => (i, (i % 3).toInt)).toDF("id", "bucket"),
+      root, Seq("bucket"), keepVersions = 16)
+    val itype = Map[String, org.apache.spark.sql.types.DataType](
+      "bucket" -> org.apache.spark.sql.types.IntegerType)
+    // two writers replace DIFFERENT partitions concurrently; the CAS +
+    // retry must serialize them so both replacements survive
+    val writers = Seq(0, 1).map { b =>
+      Future(RefTableMutations.overwritePartitions(
+        spark, root, Seq((1000L + b, b)).toDF("id", "bucket"),
+        Seq("bucket"), itype, keepVersions = 16))
+    }
+    Await.result(Future.sequence(writers), 180.seconds)
+    val got = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, bucket INT")
+      .option("partitionColumns", "bucket").load()
+      .collect().map(r => (r.getInt(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(0) == Seq(1000L), "writer 0's replacement survives")
+    assert(got(1) == Seq(1001L), "writer 1's replacement survives")
+    assert(got(2) == (2L until 90L by 3).toSeq, "untouched partition intact")
+  }
+
   test("legacy pointer-only roots read and upgrade: first commit claims sequence 1") {
     import spark.implicits._
     val root = tmpDir("legacy")

@@ -1110,6 +1110,44 @@ class RefTableSourceSpec extends AnyFunSuite {
       "within a generation the pinned file list must not change")
   }
 
+  test("partitioned stream reads a manifest-referenced (mutated) version with pruning") {
+    // after a partitioned COW mutation the current version NAMES files
+    // hosted across version dirs, each carrying partition values from the
+    // manifest — the streaming listing must surface them and the declared
+    // filter must still prune partitions before admission
+    import graft.sources.reftable.{RefTableInputPartition, RefTableMutations,
+      RefTablePartitionReader, VersionedTable}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("reftable_pmstream_").toString + "/tbl"
+    (0L until 300L).map(i => (i, s"n$i", (i % 3).toInt)).toDF("id", "name", "b")
+      .write.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, name STRING, b INT")
+      .option("partitionColumns", "b").mode("overwrite").save()
+    RefTableMutations.deleteWhere(spark, root, col("b") === 1 && col("id") < 150L,
+      partitionColumns = Seq("b"),
+      partitionTypes = Map("b" -> org.apache.spark.sql.types.IntegerType))
+
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "schema" -> "id BIGINT, name STRING, b INT",
+      "partitionColumns" -> "b", "refreshInterval" -> "1h",
+      "filter" -> "b = 1").asJava))
+    // the scan builder adds the declared filters to the pushed set; driving
+    // the stream directly, we pass them the same way
+    val s = new RefTableMicroBatchStream(o, o.outputSchema,
+      graft.sources.reftable.RefTableFilters.declared(o).toArray)
+    val end = s.latestOffset(s.initialOffset(), s.getDefaultReadLimit)
+    val ids = s.planInputPartitions(s.initialOffset(), end).flatMap { p =>
+      val rdr = new RefTablePartitionReader(o, o.outputSchema, Array.empty,
+        p.asInstanceOf[RefTableInputPartition])
+      try Iterator.continually(rdr).takeWhile(_.next()).map(_.get().getLong(0)).toList
+      finally rdr.close()
+    }.sorted.toSeq
+    assert(ids == (150L until 300L).filter(_ % 3 == 1).toSeq,
+      "the stream must see the post-mutation b=1 partition exactly")
+    assert(VersionedTable.resolve(root).isDefined)
+  }
+
   test("a generation pinned mid-drain survives concurrent mutations + vacuum of its hosts") {
     // The retention contract on the STREAMING path: a reader that pinned its
     // generation listing keeps draining the exact pre-mutation snapshot even
