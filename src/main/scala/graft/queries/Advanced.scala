@@ -1162,6 +1162,42 @@ object Advanced {
         |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // Hash-bucketed layout + scattered-key upsert: keys spread across the
+    // whole range defeat [min,max] narrowing (every file's range overlaps)
+    // but bucket narrowing rewrites only pmod(hash(key), n) buckets — the
+    // CDC point-update shape. The oracle replays (base ANTI src) ∪ src.
+    QueryDef("q127_bucketed_upsert", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q127_bkt")
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      VersionedTable.publishBucketed(base, root, Seq("c_custkey"), nBuckets = 16)
+      // every 97th key: scattered across the whole key range by design
+      val src = base.filter(col("c_custkey") % 97 === 0)
+        .withColumn("cents", col("cents") + 11L)
+      RefTableMutations.upsert(s, root, src, Seq("c_custkey"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_nationkey INT, cents BIGINT")
+        .load()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("c_custkey").as("lo_key"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |merged AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 97 = 0 THEN cents + 11 ELSE cents END AS cents
+        |  FROM base)
+        |SELECT c_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(c_custkey) AS lo_key
+        |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // Dynamic partition overwrite end-to-end (the daily-backfill shape):
     // INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces
     // exactly the partitions present in the written data — one segment

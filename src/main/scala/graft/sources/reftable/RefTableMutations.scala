@@ -3,7 +3,7 @@ package graft.sources.reftable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, hash, lit, max, min, not, pmod, when}
 
 /** File-granular copy-on-write mutations for versioned table roots: DELETE
   * and keyed MERGE (upsert) publish a NEW version in which only the files
@@ -140,18 +140,26 @@ object RefTableMutations {
         val e = aligned.isEmpty
         (e, if (e) Nil else files)
       }
+    // hash-bucketed layouts narrow by the source's bucket ids, intersected
+    // with the stats narrowing above — scattered point keys stay O(batch)
+    val narrowed =
+      if (empty || mayMatch.isEmpty) mayMatch
+      else bucketNarrow(current, files, aligned, keyCols, conf) match {
+        case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
+        case None => mayMatch
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val rewritten =
-        if (mayMatch.isEmpty) aligned
-        else readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
+        if (narrowed.isEmpty) aligned
+        else readFiles(spark, root, narrowed, partitionColumns, partitionTypes)
           .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
           // the may-match subset can lack columns other files carry —
           // null-fill instead of failing (readers null-fill them too)
           .unionByName(aligned, allowMissingColumns = true)
-      if (!empty || mayMatch.nonEmpty)
+      if (!empty || narrowed.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
-      referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
+      referenceRest(root, staging, current, narrowed, conf, partitionColumns)
     }
   }
 
@@ -264,6 +272,13 @@ object RefTableMutations {
         val e = marked.isEmpty
         (e, if (e) Nil else files)
       }
+    // hash-bucketed layouts narrow to the source's bucket ids (see upsert)
+    val narrowed =
+      if (empty || mayMatch.isEmpty) mayMatch
+      else bucketNarrow(current, files, marked, keyCols, conf) match {
+        case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
+        case None => mayMatch
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val matchedFlag = coalesce(col("__m"), lit(false))
@@ -274,9 +289,9 @@ object RefTableMutations {
           else if (keyCols.contains(c)) col(c) // join key doubles as the insert key
           else lit(null).cast(types(c)).as(c)): _*)
       val rewritten =
-        if (mayMatch.isEmpty) inserts
+        if (narrowed.isEmpty) inserts
         else {
-          val sub = readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
+          val sub = readFiles(spark, root, narrowed, partitionColumns, partitionTypes)
           val subCols = sub.columns.toSeq // may lack columns other files carry
           sub.join(marked, keyCols, "left_outer")
             .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
@@ -288,9 +303,9 @@ object RefTableMutations {
             // null-fill instead of failing (readers null-fill them too)
             .unionByName(inserts, allowMissingColumns = true)
         }
-      if (!empty || mayMatch.nonEmpty)
+      if (!empty || narrowed.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
-      referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
+      referenceRest(root, staging, current, narrowed, conf, partitionColumns)
     }
   }
 
@@ -518,6 +533,48 @@ object RefTableMutations {
     org.apache.spark.sql.graft.DatasetBridge.ofRows(
       spark, combined.queryExecution.analyzed)
   }
+
+  /** Hash-bucket narrowing: when the CURRENT version is a physical
+    * bucketed layout ([[VersionedTable.publishBucketed]]) whose bucket
+    * columns equal the mutation's key columns, the files that may contain
+    * a source key are exactly the files of the source's bucket ids —
+    * `pmod(hash(keys), n)`, the same `HashPartitioning` expression the
+    * writer's `repartition(n, cols)` used, read back from the staged
+    * `part-NNNNN` task indices. The distinct-bucket collect is bounded by
+    * the batch's bucket count. Returns None when the layout doesn't apply
+    * (no marker — e.g. any post-mutation manifest version — or different
+    * columns), in which case callers keep their stats-based narrowing; a
+    * Some intersects with it. This is what keeps a k-key upsert on an
+    * n-bucket table at ≤ k rewritten files even when the keys are
+    * scattered across the whole key range (where [min,max] narrowing
+    * keeps everything).
+    */
+  private def bucketNarrow(
+      current: String, files: Seq[SnapshotFile], source: DataFrame,
+      keyCols: Seq[String], conf: Configuration): Option[Set[String]] = {
+    val bp = new Path(current, VersionedTable.BucketsMarker)
+    val fs = bp.getFileSystem(conf)
+    if (!fs.exists(bp)) return None
+    val in = fs.open(bp)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val cols = {
+      import scala.jdk.CollectionConverters._
+      Option(node.get("cols")).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    }
+    val n = node.path("n").asInt(0)
+    if (cols != keyCols || n <= 0) return None // hash is order-sensitive: exact match only
+    val touched = source
+      .select(pmod(hash(keyCols.map(col): _*), lit(n)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val keep = files.filter(f => bucketIdOf(f.path).exists(touched.contains))
+    Some(keep.map(_.path).toSet)
+  }
+
+  private val BucketFilePattern = "part-(\\d+)".r
+
+  private def bucketIdOf(path: String): Option[Int] =
+    BucketFilePattern.findFirstMatchIn(new Path(path).getName).map(_.group(1).toInt)
 
   /** The declared types of a relation's partition columns — the map the
     * mutation paths need to cast Hive directory values back to typed

@@ -328,6 +328,49 @@ object VersionedTable {
       root, keepVersions, Nil, parent = parent, requireBase = requireBase)
   }
 
+  /** Marker file a bucketed publish writes into its version dir: the
+    * bucket columns and count the file layout was hashed by.
+    */
+  val BucketsMarker = "_BUCKETS.json"
+
+  /** Publish with a HASH-bucketed layout: rows land in `nBuckets` files by
+    * `pmod(hash(bucketCols), n)` — Spark's own `HashPartitioning` id
+    * expression, so `repartition(n, cols)` task indices ARE the bucket
+    * ids and the staged `part-NNNNN` file names record them. A
+    * `_BUCKETS.json` marker makes the layout self-describing.
+    *
+    * This is the point-mutation complement of [[publishClustered]]: range
+    * clustering narrows mutations whose keys are LOCAL (a [min,max] band
+    * maps to few files) but degrades to a full rewrite when the batch's
+    * keys are scattered — the CDC shape. Hash bucketing touches exactly
+    * the batch's buckets regardless of key distribution or order, so a
+    * k-key upsert on an n-bucket table rewrites ≤ k files
+    * ([[RefTableMutations.upsert]] composes this with stats narrowing).
+    * The trade: bucketed files span the full key range, so range
+    * predicates get no file skipping — pick the layout for the workload.
+    * Like clustering, the property degrades under mutation (rewritten
+    * files are not re-bucketed) until a re-publish restores it.
+    */
+  def publishBucketed(
+      df: DataFrame, root: String, bucketCols: Seq[String], nBuckets: Int,
+      keepVersions: Int = 3, parent: Option[String] = None,
+      requireBase: Boolean = false): String = {
+    require(bucketCols.nonEmpty, "publishBucketed needs at least one bucket column")
+    require(nBuckets > 0, "nBuckets must be positive")
+    publishVia(root, keepVersions, parent = parent, requireBase = requireBase) { staging =>
+      writeParquetMicros(
+        df.repartition(nBuckets, bucketCols.map(df.col): _*), staging.toString)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      val cols = node.putArray("cols")
+      bucketCols.foreach(cols.add)
+      node.put("n", nBuckets)
+      val out = staging.getFileSystem(new Configuration())
+        .create(new Path(staging, BucketsMarker), true)
+      try out.write(om.writeValueAsBytes(node)) finally out.close()
+    }
+  }
+
   /** Publish clustered on the z-order (Morton) curve over `zCols` instead
     * of lexicographically: every file then covers a bounded window in EACH
     * clustered dimension, so the stats manifest prunes selective filters
