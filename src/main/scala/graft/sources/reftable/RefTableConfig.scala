@@ -167,6 +167,15 @@ object SchemaJson {
   *                      `clusterBy`, and neither combines with
   *                      `partitionColumns`;
   *  - `clusterFiles`    (default 16) target file count for either layout;
+  *  - `bucketBy`        comma-separated columns — published versions are
+  *                      HASH-bucketed on them into `bucketCount` files
+  *                      ([[VersionedTable.publishBucketed]]): keyed
+  *                      upsert/MERGE rewrite only the source's buckets
+  *                      even for scattered point keys. Exclusive with
+  *                      `clusterBy`/`zorderBy`/`partitionColumns`.
+  *                      Appends re-publish the union to keep the layout
+  *                      (same O(table) trade as `clusterBy`);
+  *  - `bucketCount`     (default 16) bucket/file count for `bucketBy`;
   *  - `categoricalStats` comma-separated STRING columns — after publish,
   *                      the manifest is augmented with exact per-file
   *                      value sets for them;
@@ -201,7 +210,9 @@ final case class RefTableOptions(
     clusterFiles: Int = 16,
     categoricalStats: Seq[String] = Nil,
     keepVersions: Int = 3,
-    bloomStats: Seq[String] = Nil) {
+    bloomStats: Seq[String] = Nil,
+    bucketBy: Seq[String] = Nil,
+    bucketCount: Int = 16) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -331,14 +342,25 @@ object RefTableOptions {
       .filter(_.nonEmpty).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val clusterBy = colList("clusterBy")
     val zorderBy = colList("zorderBy")
+    val bucketBy = colList("bucketBy")
     val categoricalStats = colList("categoricalStats")
     val bloomStats = colList("bloomStats")
-    if (clusterBy.nonEmpty && zorderBy.nonEmpty)
-      errs += "Options 'clusterBy' and 'zorderBy' are mutually exclusive"
-    if ((clusterBy.nonEmpty || zorderBy.nonEmpty) && partitionColumns.nonEmpty)
-      errs += "Layout options ('clusterBy'/'zorderBy') do not combine with 'partitionColumns'"
+    if (Seq(clusterBy, zorderBy, bucketBy).count(_.nonEmpty) > 1)
+      errs += "Options 'clusterBy', 'zorderBy' and 'bucketBy' are mutually exclusive"
+    if ((clusterBy.nonEmpty || zorderBy.nonEmpty || bucketBy.nonEmpty) && partitionColumns.nonEmpty)
+      errs += "Layout options ('clusterBy'/'zorderBy'/'bucketBy') do not combine with 'partitionColumns'"
+    val bucketCount = Option(options.get("bucketCount")).filter(_.nonEmpty) match {
+      case None => 16
+      case Some(s) =>
+        try {
+          val n = s.trim.toInt
+          if (n <= 0) { errs += s"Invalid 'bucketCount' '$s': must be a positive integer"; 16 }
+          else n
+        } catch { case _: NumberFormatException =>
+          errs += s"Invalid 'bucketCount' '$s': must be a positive integer"; 16 }
+    }
     for (st <- schema) {
-      (clusterBy ++ zorderBy).foreach(c => if (!st.fieldNames.contains(c))
+      (clusterBy ++ zorderBy ++ bucketBy).foreach(c => if (!st.fieldNames.contains(c))
         errs += s"layout column '$c' must be a field in the schema")
       zorderBy.foreach(c => st.fields.find(_.name == c).foreach { f =>
         f.dataType match {
@@ -386,6 +408,7 @@ object RefTableOptions {
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
-      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats)
+      filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
+      bucketBy, bucketCount)
   }
 }

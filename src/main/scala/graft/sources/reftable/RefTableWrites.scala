@@ -114,6 +114,9 @@ object RefTableWrites {
       else if (opts.clusterBy.nonEmpty)
         VersionedTable.publishClustered(payload, opts.path, storage(opts.clusterBy),
           opts.clusterFiles, opts.keepVersions, parent = parent, requireBase = cas)
+      else if (opts.bucketBy.nonEmpty)
+        VersionedTable.publishBucketed(payload, opts.path, storage(opts.bucketBy),
+          opts.bucketCount, opts.keepVersions, parent = parent, requireBase = cas)
       else if (opts.partitionColumns.nonEmpty)
         VersionedTable.publishPartitioned(payload, opts.path, opts.partitionColumns,
           opts.keepVersions, parent = parent, requireBase = cas)
@@ -145,11 +148,12 @@ object RefTableWrites {
       // data): the new version writes ONLY the appended rows and its
       // `_FILES.json` inherits every base file by reference
       // (RefTableFileManifest) — the base snapshot is never read, let
-      // alone rewritten. clusterBy/zorderBy tables keep the full rewrite:
-      // their layout is a GLOBAL ordering, which is the point of the
-      // option (compaction restores layout drift elsewhere too).
-      val manifestAppend =
-        base.nonEmpty && opts.zorderBy.isEmpty && opts.clusterBy.isEmpty
+      // alone rewritten. clusterBy/zorderBy/bucketBy tables keep the full
+      // rewrite: their layout is a GLOBAL property, which is the point of
+      // the option (for bucketBy it keeps every version physically
+      // bucketed so keyed-mutation narrowing never lapses).
+      val manifestAppend = base.nonEmpty &&
+        opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty
       if (manifestAppend) {
         val b = base.get
         VersionedTable.publishVia(opts.path, opts.keepVersions,

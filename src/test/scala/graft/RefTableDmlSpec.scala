@@ -71,6 +71,42 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("SQL MERGE on a bucketBy table rewrites only the source keys' buckets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dml_bkt").toString + "/t"
+    val tbl = "graft_dml_bkt"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+      "schema 'id BIGINT, v BIGINT', bucketBy 'id', bucketCount '16')")
+    try {
+      (0L until 8000L).map(i => (i, i)).toDF("id", "v")
+        .write.format("reftable").option("path", root)
+        .option("schema", "id BIGINT, v BIGINT")
+        .option("bucketBy", "id").option("bucketCount", "16")
+        .mode("overwrite").save()
+      val cur1 = VersionedTable.resolve(root, conf).get
+      val before = graft.sources.reftable.SnapshotFiles.list(cur1)
+        .map(f => new org.apache.hadoop.fs.Path(f.path).getName).toSet
+      assert(before.size == 16, s"bucketed publish: ${before.size} files")
+
+      // two scattered keys: range narrowing would rewrite everything
+      Seq((3L, -3L), (7777L, -7L)).toDF("k", "nv").createOrReplaceTempView("bkt_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING bkt_src s ON t.id = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.k, s.nv)""".stripMargin)
+      val cur2 = VersionedTable.resolve(root, conf).get
+      val after = graft.sources.reftable.SnapshotFiles.list(cur2)
+        .map(f => new org.apache.hadoop.fs.Path(f.path).getName).toSet
+      assert(after.intersect(before).size >= 14,
+        s"at least 14 of 16 buckets must carry by reference, carried ${after.intersect(before).size}")
+      val got = spark.table(tbl).where("id IN (3, 7777)").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((3L, -3L), (7777L, -7L)))
+      assert(spark.table(tbl).count() == 8000)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("SQL UPDATE applies SET expressions where the condition holds") {
     val (tbl, _) = freshTable("upd")
     try {

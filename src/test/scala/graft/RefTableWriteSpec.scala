@@ -203,6 +203,15 @@ class RefTableWriteSpec extends AnyFunSuite {
     val bad3 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
       "categoricalStats" -> "v"))
     assert(bad3.getMessage.contains("STRING"))
+    val bad4 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
+      "bucketBy" -> "id", "clusterBy" -> "id"))
+    assert(bad4.getMessage.contains("mutually exclusive"))
+    val bad5 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
+      "bucketBy" -> "id", "bucketCount" -> "0"))
+    assert(bad5.getMessage.contains("bucketCount"))
+    val bad6 = intercept[Exception](ro("path" -> root, "schema" -> lddl,
+      "bucketBy" -> "nope"))
+    assert(bad6.getMessage.contains("layout column"))
   }
 
   test("concurrent publishers never corrupt the root: one wins, all versions land") {
