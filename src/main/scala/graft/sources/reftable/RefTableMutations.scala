@@ -68,9 +68,16 @@ object RefTableMutations {
     val schema = readAll(spark, root, current, files, partitionColumns, partitionTypes).schema
     val popts = pruneOpts(root, schema, partitionColumns, partitionTypes)
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
-    val mayMatch = if (filters.isEmpty) files
+    val mayMatch0 = if (filters.isEmpty) files
       else RefTableStats.prune(current,
         RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
+    // bucketed layouts: a key-equality delete narrows to the keys' buckets
+    val mayMatch = if (mayMatch0.isEmpty) mayMatch0
+      else bucketNarrowByFilters(spark, current, files, filters,
+        schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
+        case Some(keep) => mayMatch0.filter(f => keep.contains(f.path))
+        case None => mayMatch0
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
@@ -330,9 +337,15 @@ object RefTableMutations {
       throw new IllegalArgumentException(s"UPDATE assigns unknown table column '$c'"))
     val popts = pruneOpts(root, schema, partitionColumns, partitionTypes)
     val filters = RefTableFilters.fromPredicate(spark, schema, condition)
-    val mayMatch = if (filters.isEmpty) files
+    val mayMatch0 = if (filters.isEmpty) files
       else RefTableStats.prune(current,
         RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
+    // bucketed layouts: a key-equality update narrows to the keys' buckets
+    val mayMatch = if (mayMatch0.isEmpty) mayMatch0
+      else bucketNarrowByFilters(spark, current, files, filters, types, conf) match {
+        case Some(keep) => mayMatch0.filter(f => keep.contains(f.path))
+        case None => mayMatch0
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (mayMatch.nonEmpty) {
@@ -575,6 +588,52 @@ object RefTableMutations {
 
   private def bucketIdOf(path: String): Option[Int] =
     BucketFilePattern.findFirstMatchIn(new Path(path).getName).map(_.group(1).toInt)
+
+  /** Bucket narrowing for PREDICATE mutations (DELETE/UPDATE): when every
+    * bucket column carries an equality (`=`, `<=>`, `IN`) conjunct, a
+    * matching row can only live in the value tuples' buckets — a point
+    * delete on a bucketed table rewrites one file. Values cast to the
+    * table column types before hashing (the hash is type-sensitive; the
+    * writer hashed the typed columns). Disjunctions and ranges return
+    * None — callers keep their stats narrowing. The bucket ids come from
+    * ONE one-row Spark job so literal hashing can never drift from the
+    * writer's `HashPartitioning`.
+    */
+  private def bucketNarrowByFilters(
+      spark: SparkSession, current: String, files: Seq[SnapshotFile],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      conf: Configuration): Option[Set[String]] = {
+    val bp = new Path(current, VersionedTable.BucketsMarker)
+    if (!bp.getFileSystem(conf).exists(bp)) return None
+    val in = bp.getFileSystem(conf).open(bp)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val cols = {
+      import scala.jdk.CollectionConverters._
+      Option(node.get("cols")).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    }
+    val n = node.path("n").asInt(0)
+    if (cols.isEmpty || n <= 0 || !cols.forall(types.contains)) return None
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+    val valuesPerCol: Seq[Seq[Any]] = cols.map { c =>
+      filters.collectFirst {
+        case EqualTo(a, v) if a == c => Seq(v)
+        case EqualNullSafe(a, v) if a == c => Seq(v)
+        case In(a, vs) if a == c => vs.toSeq
+      }.getOrElse(return None)
+    }
+    val tuples = valuesPerCol.foldLeft(Seq(Seq.empty[Any])) { (acc, vs) =>
+      acc.flatMap(t => vs.map(t :+ _))
+    }
+    if (tuples.isEmpty || tuples.size > 256) return None // cross-product cap
+    val exprs = tuples.zipWithIndex.map { case (t, i) =>
+      pmod(hash(cols.zip(t).map { case (c, v) => lit(v).cast(types(c)) }: _*), lit(n)).as(s"b$i")
+    }
+    val row = spark.range(1).select(exprs: _*).first()
+    val touched = tuples.indices.map(row.getInt).toSet
+    Some(files.filter(f => bucketIdOf(f.path).exists(touched.contains)).map(_.path).toSet)
+  }
 
   /** The declared types of a relation's partition columns — the map the
     * mutation paths need to cast Hive directory values back to typed

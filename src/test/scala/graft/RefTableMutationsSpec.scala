@@ -299,6 +299,23 @@ class RefTableMutationsSpec extends AnyFunSuite {
       Seq((7L, "upd")).toDF("id", "s"), Seq("id"))
     val carried2 = fileNames(root).intersect(before)
     assert(carried2.size >= 15, s"merge must keep >= 15 of 16 buckets: ${carried2.size}")
+
+    // predicate mutations narrow too: point DELETE (IN) and point UPDATE
+    // touch only the named keys' buckets — unclustered bucket files span
+    // the whole id range, so stats narrowing alone keeps everything
+    VersionedTable.publishBucketed(df, root, Seq("id"), nBuckets = 16)
+    val b3 = fileNames(root)
+    RefTableMutations.deleteWhere(spark, root, col("id").isin(11L, 6002L))
+    val carried3 = fileNames(root).intersect(b3)
+    assert(carried3.size >= 14, s"point delete must keep >= 14 buckets: ${carried3.size}")
+    assert(readCurrent(root).count() == 7998)
+
+    VersionedTable.publishBucketed(df, root, Seq("id"), nBuckets = 16)
+    val b4 = fileNames(root)
+    RefTableMutations.updateWhere(spark, root, Map("s" -> lit("X")), col("id") === 13L)
+    val carried4 = fileNames(root).intersect(b4)
+    assert(carried4.size >= 15, s"point update must keep >= 15 buckets: ${carried4.size}")
+    assert(readCurrent(root).filter(col("id") === 13L).head().getString(1) == "X")
   }
 
   test("delete-everything leaves a mutable empty table; upsert repopulates it") {
