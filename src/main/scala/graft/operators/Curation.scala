@@ -59,6 +59,30 @@ object Curation {
       .select(col(idCol), col("rk"), col("word"), col("tfidf"))
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * label of the hash-range bucket its id falls in (`splits` are
+    * (label, percent) pairs summing to ≤ 100; rows beyond the total get
+    * the LAST label, so (train 98)(val 1)(test 1) is exhaustive). Pure
+    * narrow map — no shuffle, no RNG state; membership is a function of
+    * the id alone, so the split is byte-stable across engines, runs,
+    * partitionings AND corpus versions: a document keeps its split when
+    * the corpus grows, the property eval-set hygiene actually needs
+    * (a re-rolled `randomSplit` leaks yesterday's train docs into
+    * today's test set).
+    */
+  def assignSplits(
+      df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive percents")
+    require(splits.map(_._2).sum <= 100, "split percents must sum to <= 100")
+    val h = pmod(hash60Col(concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(100))
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val expr = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
+      case (((label, _), bound), rest) => when(h < bound, lit(label)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Domain-mixture sampling: re-weight a corpus to target domain
     * proportions under a total token budget — the mixture step every
     * pre-training pipeline runs ("web 60%, books 30%, code 10%"). One tiny

@@ -148,6 +148,27 @@ object CurationOps {
          |  WHERE ${duckHash60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.ppm)
          |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok,
          |  max(ppm) AS rate_ppm
-         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin))
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Deterministic split assignment (train 90 / val 5 / test 5): the
+    // label is a pure function of the document id, so membership is
+    // byte-stable across engines AND corpus versions — a document keeps
+    // its split when the corpus grows, the leakage-hygiene property a
+    // re-rolled randomSplit cannot give.
+    QueryDef("q128_split_assignment", (s, dir) => {
+      Curation.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .orderBy("split")
+    }, Some(
+      s"""WITH labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ${duckHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |    FROM documents))
+         |SELECT split, count(*) AS n_docs, min(doc_id) AS lo, max(doc_id) AS hi
+         |FROM labeled GROUP BY split ORDER BY split""".stripMargin))
   )
 }

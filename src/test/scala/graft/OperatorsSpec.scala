@@ -391,6 +391,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("assignSplits is exhaustive, proportional, and stable under corpus growth") {
+    import spark.implicits._
+    val small = (0L until 2000L).map(i => (i, s"d$i")).toDF("id", "s")
+    val splits = Seq(("train", 90), ("val", 5), ("test", 5))
+    val a = graft.operators.Curation.assignSplits(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.size == 2000, "every row gets a label")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03 && frac("val") > 0.02 && frac("test") > 0.02,
+      s"proportions off: $frac")
+    // growth stability: the same ids keep their labels in a larger corpus
+    val grown = (0L until 4000L).map(i => (i, s"d$i")).toDF("id", "s")
+    val b = graft.operators.Curation.assignSplits(grown, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0L until 2000L).forall(i => a(i) == b(i)),
+      "membership must be a pure function of the id")
+  }
+
   test("mixCorpus hits domain targets, clamps under-supplied domains, stays byte-stable") {
     import spark.implicits._
     // domain a: 10k docs × 10 tokens = 100k available; domain b: 30 docs
