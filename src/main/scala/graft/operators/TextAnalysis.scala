@@ -10,6 +10,46 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Cross-document paragraph dedup — the C4/RefinedWeb boilerplate
+    * removal step: newline-separated paragraphs appearing in MORE than
+    * `maxDocs` distinct documents ("subscribe to our newsletter", cookie
+    * banners, navigation) are removed from every document; everything
+    * else, including blank separator lines, is kept and the document
+    * reassembles in exact original order. Returns (id, textCol cleaned,
+    * n_removed).
+    *
+    * Scale shape: the global paragraph census aggregates on the 60-bit
+    * paragraph hash (never shuffling paragraph text as a key); only the
+    * HOT set — paragraphs over the threshold, a tiny boilerplate
+    * dictionary by construction — flows into the membership join, so AQE
+    * broadcasts it and the corpus is never shuffled for the join.
+    * Reassembly is one per-document aggregation (collect kept paragraphs,
+    * sort by position). A 60-bit hash collision can only over-remove a
+    * rare paragraph that collides with boilerplate — conservative in the
+    * direction boilerplate removal already points.
+    */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__para")))
+      .withColumn("__h", graftHash(col("__para")))
+    val hot = paras.filter(trim(col("__para")) =!= "")
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__pc"))
+      .filter(col("__pc") > maxDocs)
+      .select(col("__h"), lit(true).as("__hot"))
+    val marked = paras.join(hot, Seq("__h"), "left_outer")
+      .withColumn("__keep", col("__hot").isNull || trim(col("__para")) === "")
+    marked.groupBy(idCol).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__para"))))),
+          x => x.getField("__para")),
+        "\n").as(textCol),
+      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Corpus token frequencies grouped by a dimension column. */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     df.select(col(groupCol), explode(tokens(col(textCol))).as("word"))

@@ -144,6 +144,46 @@ object TextOps {
     }, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document paragraph dedup (C4/RefinedWeb boilerplate removal):
+    // the corpus has no natural multi-paragraph structure, so — like
+    // q78's planted PII — every document gets a planted boilerplate
+    // header (appears in ALL docs) plus a footer that is boilerplate on
+    // doc_id%5 (appears in N/5 docs, also over the threshold at every SF)
+    // and unique otherwise. The op must strip exactly the over-threshold
+    // paragraphs and reassemble in order; md5 of the cleaned text proves
+    // byte-exact reassembly against the oracle's ordered string_agg.
+    QueryDef("q129_paragraph_dedup", (s, dir) => {
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Subscribe to our newsletter.\n"), col("text"), lit("\n"),
+          when(col("doc_id") % 5 === 0, lit("Follow us."))
+            .otherwise(concat(lit("Unique footer "), col("doc_id").cast("string"))))
+          .as("text"))
+      graft.operators.TextAnalysis.dedupParagraphs(built, "doc_id", "text", maxDocs = 10)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"), col("n_removed"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH built AS (
+        |  SELECT doc_id, 'Subscribe to our newsletter.' || chr(10) || text || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Follow us.'
+        |      ELSE 'Unique footer ' || CAST(doc_id AS VARCHAR) END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS para,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        |  FROM built),
+        |c AS (
+        |  SELECT para FROM p WHERE trim(para) <> ''
+        |  GROUP BY para HAVING count(DISTINCT doc_id) > 10),
+        |k AS (
+        |  SELECT p.doc_id, p.pos, p.para, (c.para IS NULL OR trim(p.para) = '') AS keep
+        |  FROM p LEFT JOIN c ON p.para = c.para)
+        |SELECT doc_id,
+        |  md5(COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), ''))
+        |    AS clean_md5,
+        |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

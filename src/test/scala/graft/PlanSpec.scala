@@ -96,6 +96,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__pid"), s"window must partition by __pid:\n$p")
   }
 
+  test("q129 paragraph dedup broadcasts the boilerplate set, never the corpus") {
+    val p = plan("q129_paragraph_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the hot-paragraph membership join must broadcast:\n$p")
+  }
+
   test("mixCorpus output is a narrow filter: no Exchange, no Window") {
     // the per-domain availability aggregation runs eagerly inside the
     // operator (O(domains) to the driver); the RETURNED plan must be a
