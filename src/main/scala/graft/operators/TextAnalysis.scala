@@ -50,6 +50,41 @@ object TextAnalysis {
       sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Duplicated n-gram window fraction — the exact-substring dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"; the duplicate-n-gram filters in Dolma/FineWeb): for each
+    * document, the fraction of its n-token windows that also appear in
+    * MORE than `maxDocs` other documents. Documents shorter than n tokens
+    * report 0 windows, fraction 0.
+    *
+    * Scale shape: windows shuffle as 60-bit hashes (never as text); the
+    * census is one hash-aggregate with distinct-doc counts; the
+    * membership join keys on the hash. Work is O(total tokens), the same
+    * asymptotics as tokenization itself.
+    */
+  def duplicatedNgramFraction(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxDocs: Int = 1): DataFrame = {
+    require(n >= 1 && maxDocs >= 1, "n and maxDocs must be >= 1")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val winsArr = when(size(col("__t")) >= n,
+      transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+        i => graftHash(array_join(slice(col("__t"), i, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val w = toks.select(col(idCol), explode(winsArr).as("__w"))
+    val hot = w.groupBy("__w").agg(countDistinct(col(idCol)).as("__dc"))
+      .filter(col("__dc") > maxDocs).select(col("__w"), lit(true).as("__hot"))
+    val agg = w.join(hot, Seq("__w"), "left_outer")
+      .groupBy(idCol).agg(count(lit(1)).as("__nw"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("__nd"))
+    toks.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", r6(when(col("n_windows") > 0,
+        col("n_dup").cast("double") / col("n_windows")).otherwise(lit(0.0))))
+  }
+
   /** Corpus token frequencies grouped by a dimension column. */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     df.select(col(groupCol), explode(tokens(col(textCol))).as("word"))

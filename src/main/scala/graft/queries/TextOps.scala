@@ -146,6 +146,37 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Duplicated 5-gram window fraction — the exact-substring dedup
+    // signal: per document, the share of its 5-token windows that also
+    // occur in other documents. The corpus has natural cross-document
+    // phrase repetition, so the metric is non-trivial as-is; windows
+    // travel as the portable 60-bit hash on the Spark side while the
+    // oracle replays the identical hash construction in SQL.
+    QueryDef("q130_dup_ngram_fraction", (s, dir) => {
+      graft.operators.TextAnalysis.duplicatedNgramFraction(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, maxDocs = 1)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest([CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS BIGINT)
+        |            FOR i IN generate_series(1, len(t) - 4)]) AS win
+        |  FROM toks WHERE len(t) >= 5),
+        |c AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        |agg AS (
+        |  SELECT w.doc_id, count(*) AS nw,
+        |    sum(CASE WHEN c.win IS NOT NULL THEN 1 ELSE 0 END) AS nd
+        |  FROM w LEFT JOIN c ON w.win = c.win GROUP BY w.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(agg.nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN COALESCE(agg.nw, 0) > 0
+        |    THEN round(agg.nd * 1.0 / agg.nw, 6) ELSE 0.0 END AS DOUBLE) AS dup_frac
+        |FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
     // Cross-document paragraph dedup (C4/RefinedWeb boilerplate removal):
     // the corpus has no natural multi-paragraph structure, so — like
     // q78's planted PII — every document gets a planted boilerplate
