@@ -22,16 +22,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM graft.db.`t$history`   -- retained versions: files/bytes/rows
   *   SELECT * FROM graft.db.`t$commits`   -- the commit log: seq, version, parent
   *   SELECT * FROM graft.db.`t$files`     -- current version's files with stats rows
+  *   SELECT * FROM graft.db.`t$layout`    -- current version's physical layout
   * }}}
   *
-  * All three are metadata-only — listings, commit records and the stats
+  * All are metadata-only — listings, commit records and the stats
   * manifest; zero data pages — and tiny by construction (bounded by
   * retained versions / current file count), so they plan as a driver-side
   * [[LocalScan]]: no jobs, no partitions, rows materialize at planning.
+  *
+  * `$layout` reports what is OBSERVABLE from storage about the current
+  * version — manifest-referenced or physical, hash-bucket marker
+  * (columns + count), Hive partition columns, file count and bytes — the
+  * "what layout is this table in right now" question that decides
+  * whether mutations narrow and whether a re-clustering is due (layouts
+  * degrade under mutation until a re-publish; see
+  * [[RefTableMutations]]).
   */
 object RefTableMetaTables {
 
-  val Kinds: Set[String] = Set("history", "commits", "files")
+  val Kinds: Set[String] = Set("history", "commits", "files", "layout")
 
   private val historySchema = StructType(Seq(
     StructField("version_idx", IntegerType, nullable = false),
@@ -52,6 +61,10 @@ object RefTableMetaTables {
     StructField("bytes", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true)))
 
+  private val layoutSchema = StructType(Seq(
+    StructField("property", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
   def load(root: String, displayName: String, kind: String, conf: Configuration,
       exists: Boolean, ident: Identifier): Table = {
     if (!exists) throw new NoSuchTableException(ident)
@@ -59,6 +72,7 @@ object RefTableMetaTables {
       case "history" => new MetaTable(displayName, historySchema, () => historyRows(root, conf))
       case "commits" => new MetaTable(displayName, commitsSchema, () => commitRows(root, conf))
       case "files" => new MetaTable(displayName, filesSchema, () => fileRows(root, conf))
+      case "layout" => new MetaTable(displayName, layoutSchema, () => layoutRows(root, conf))
     }
   }
 
@@ -103,6 +117,60 @@ object RefTableMetaTables {
             utf8(name), f.length,
             stats.get(f.path).map(s => Long.box(s.rows)).orNull)): InternalRow
         }.toArray
+    }
+  }
+
+  private def layoutRows(root: String, conf: Configuration): Array[InternalRow] = {
+    def row(p: String, v: String): InternalRow =
+      new GenericInternalRow(Array[Any](utf8(p), Option(v).map(utf8).orNull))
+    VersionedTable.resolve(root, conf) match {
+      case None => Array(row("status", "unpublished"))
+      case Some(dir) =>
+        val name = new Path(dir).getName
+        val fs = new Path(dir).getFileSystem(conf)
+        val manifest = RefTableFileManifest.exists(root, name, conf)
+        // partition columns: from the manifest's recorded values when
+        // referenced, else the observed `col=value` directory chain
+        val pvCols: Seq[String] =
+          if (manifest)
+            RefTableFileManifest.resolve(root, name, Nil, conf)
+              .map(_.flatMap(_.pv.keys).distinct.sorted).getOrElse(Nil)
+          else {
+            val out = scala.collection.mutable.ListBuffer[String]()
+            var cur = new Path(dir)
+            var go = true
+            while (go) {
+              val sub = fs.listStatus(cur).filter(s =>
+                s.isDirectory && s.getPath.getName.contains("="))
+              if (sub.isEmpty) go = false
+              else {
+                out += RefTablePartitioning.unescape(
+                  sub.head.getPath.getName.takeWhile(_ != '='))
+                cur = sub.head.getPath
+              }
+            }
+            out.toSeq
+          }
+        val files = SnapshotFiles.list(dir, pvCols)
+        val base = Seq(
+          row("version", name),
+          row("manifest_referenced", manifest.toString),
+          row("n_files", files.size.toString),
+          row("bytes", files.map(_.length).sum.toString))
+        val partitioned =
+          if (pvCols.nonEmpty) Seq(row("partition_columns", pvCols.mkString(","))) else Nil
+        val bp = new Path(dir, VersionedTable.BucketsMarker)
+        val bucketed = if (!fs.exists(bp)) Nil else {
+          val in = fs.open(bp)
+          val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+            finally in.close()
+          import scala.jdk.CollectionConverters._
+          Seq(
+            row("bucket_columns", Option(node.get("cols"))
+              .map(_.elements().asScala.map(_.asText()).mkString(",")).getOrElse("")),
+            row("bucket_count", node.path("n").asInt(0).toString))
+        }
+        (base ++ partitioned ++ bucketed).toArray
     }
   }
 

@@ -288,4 +288,30 @@ class RefTableCatalogSpec extends AnyFunSuite {
       assert(e.getMessage.contains("unknown metadata table"), e.getMessage)
     }
   }
+
+  test("$layout reports bucketing, partitioning and manifest state of the current version") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db7")
+      spark.sql(s"CREATE TABLE $cat.db7.b (id BIGINT, v BIGINT) USING reftable " +
+        "OPTIONS (bucketBy 'id', bucketCount '8')")
+      spark.sql(s"INSERT OVERWRITE $cat.db7.b SELECT id, id FROM range(100)")
+      def layout(tbl: String): Map[String, String] =
+        spark.sql(s"SELECT property, value FROM $cat.db7.`$tbl$$layout`")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val lb = layout("b")
+      assert(lb("bucket_columns") == "id" && lb("bucket_count") == "8")
+      assert(lb("n_files") == "8" && lb("manifest_referenced") == "false")
+
+      spark.sql(s"CREATE TABLE $cat.db7.p (id BIGINT, dt STRING) USING reftable " +
+        "OPTIONS (partitionColumns 'dt')")
+      spark.sql(s"INSERT OVERWRITE $cat.db7.p SELECT id, CAST(id % 3 AS STRING) FROM range(30)")
+      val lp = layout("p")
+      assert(lp("partition_columns") == "dt", s"got $lp")
+      // a mutation flips the version to manifest-referenced; the recorded
+      // partition values still surface the layout
+      spark.sql(s"DELETE FROM $cat.db7.p WHERE dt = '1' AND id < 10")
+      val lp2 = layout("p")
+      assert(lp2("manifest_referenced") == "true" && lp2("partition_columns") == "dt", s"got $lp2")
+    }
+  }
 }
