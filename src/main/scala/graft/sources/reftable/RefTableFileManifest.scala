@@ -203,6 +203,40 @@ object RefTableFileManifest {
     try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
   }
 
+  /** Write a MATERIALIZED `_FILES.json` for a plain publish's staging dir
+    * (depth 1, no parent): every self-hosted file listed with its
+    * partition values. With this, EVERY committed version resolves its
+    * listing from one manifest read — a freshly published 100k-partition
+    * table lists in O(1) filesystem calls instead of a recursive
+    * directory walk, and the walk code remains only as the legacy
+    * fallback for pre-manifest/adopted versions. No-op when the populate
+    * step already wrote a manifest (mutations and appends write deltas).
+    */
+  def writeFull(staging: Path, partitionColumns: Seq[String], conf: Configuration): Unit = {
+    val fs = staging.getFileSystem(conf)
+    if (fs.exists(new Path(staging, ManifestName))) return
+    val qualifiedStaging = fs.makeQualified(staging).toString
+    val staged = SnapshotFiles.listPhysical(staging.toString, partitionColumns)
+    val om = new ObjectMapper()
+    val rootNode = om.createObjectNode()
+    rootNode.put("version", 1)
+    rootNode.put("depth", 1)
+    rootNode.putNull("parent")
+    rootNode.putArray("removed")
+    val added = rootNode.putArray("added")
+    staged.foreach { f =>
+      val e = added.addObject()
+      e.put("path", s"./${relOf(f.path, qualifiedStaging)}")
+      e.put("len", f.length)
+      if (f.partitionValues.nonEmpty) {
+        val pn = e.putObject("pv")
+        f.partitionValues.foreach { case (k, v) => pn.put(k, v) }
+      }
+    }
+    val out = fs.create(new Path(staging, ManifestName), true)
+    try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
+  }
+
   /** Directories that retained `versions` depend on: every hop of each
     * version's manifest chain (the manifests themselves are needed to
     * resolve) and every directory hosting one of its resolved files.

@@ -407,7 +407,8 @@ object VersionedTable {
       df: DataFrame, root: String, keepVersions: Int, partitionColumns: Seq[String],
       marker: Option[String] = None, parent: Option[String] = None,
       requireBase: Boolean = false): String =
-    publishVia(root, keepVersions, marker, parent, requireBase) { staging =>
+    publishVia(root, keepVersions, marker, parent, requireBase,
+      manifestPartitionCols = partitionColumns) { staging =>
       writeParquetMicros(df, staging.toString, partitionColumns)
     }
 
@@ -474,7 +475,8 @@ object VersionedTable {
     */
   private[reftable] def publishVia(
       root: String, keepVersions: Int, marker: Option[String] = None,
-      parent: Option[String] = None, requireBase: Boolean = false)(
+      parent: Option[String] = None, requireBase: Boolean = false,
+      manifestPartitionCols: Seq[String] = Nil)(
       populate: Path => Unit): String = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +
@@ -509,6 +511,11 @@ object VersionedTable {
     // retention
     val staging = new Path(rootPath, s".staging-$name")
     populate(staging)
+    // every version carries a FILE manifest: plain publishes get a
+    // materialized listing (one-read resolution, no directory walks at
+    // read time); populate steps that already wrote one (mutation deltas,
+    // append references) are left untouched
+    RefTableFileManifest.writeFull(staging, manifestPartitionCols, conf)
     // the statistics manifest is written into the staging dir, so the
     // version rename publishes data and stats as one atomic unit and the
     // manifest's relative file keys stay valid after the rename

@@ -300,7 +300,8 @@ class RefTableCatalogSpec extends AnyFunSuite {
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       val lb = layout("b")
       assert(lb("bucket_columns") == "id" && lb("bucket_count") == "8")
-      assert(lb("n_files") == "8" && lb("manifest_referenced") == "false")
+      // every publish now carries a materialized file manifest
+      assert(lb("n_files") == "8" && lb("manifest_referenced") == "true")
 
       spark.sql(s"CREATE TABLE $cat.db7.p (id BIGINT, dt STRING) USING reftable " +
         "OPTIONS (partitionColumns 'dt')")
