@@ -107,8 +107,11 @@ object Curation {
     val wsum = targets.values.toSeq.sorted.sum // fixed fold order
     require(wsum > 0.0, "mixCorpus target weights must not all be zero")
     val inTargets = df.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+    // coalesce: a domain whose every weight is NULL sums to NULL, not 0 —
+    // getLong would NPE; treat it as having nothing to contribute
     val have: Map[String, Long] = inTargets
-      .groupBy(domainCol).agg(sum(col(weightCol).cast("long")).as("t"))
+      .groupBy(domainCol)
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ratePpm: Map[String, Long] = targets.collect {
       case (d, w) if have.getOrElse(d, 0L) > 0 =>

@@ -37,9 +37,13 @@ import org.apache.spark.sql.functions.{coalesce, col, hash, lit, max, min, not, 
   * concurrent mutations serialize in some order instead of silently
   * losing one.
   *
-  * Restrictions: Hive-partitioned version layouts are refused (rewriting
-  * one partition directory tree COW-correctly is a different operation —
-  * compact to a flat/clustered layout first, or use INSERT OVERWRITE).
+  * Partitioned layouts: mutations accept the layout's declared
+  * `partitionColumns` (and optional `partitionTypes`); rewritten rows
+  * restage under their `col=value` directories, carried files keep
+  * theirs, and partition pruning joins stats pruning in the may-match
+  * narrowing. Callers that omit the declared partition columns for a
+  * partitioned root get a flat rewrite of the touched files — correct
+  * but layout-degrading, so [[RefTableDml]] always threads them.
   *
   * Layout drift: carried-over files keep their clustering; REWRITTEN
   * files are written unclustered (their manifest bounds are still exact,
@@ -151,7 +155,8 @@ object RefTableMutations {
     // with the stats narrowing above — scattered point keys stay O(batch)
     val narrowed =
       if (empty || mayMatch.isEmpty) mayMatch
-      else bucketNarrow(current, files, aligned, keyCols, conf) match {
+      else bucketNarrow(current, files, aligned, keyCols,
+        cur.schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
         case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
         case None => mayMatch
       }
@@ -282,7 +287,7 @@ object RefTableMutations {
     // hash-bucketed layouts narrow to the source's bucket ids (see upsert)
     val narrowed =
       if (empty || mayMatch.isEmpty) mayMatch
-      else bucketNarrow(current, files, marked, keyCols, conf) match {
+      else bucketNarrow(current, files, marked, keyCols, types, conf) match {
         case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
         case None => mayMatch
       }
@@ -394,7 +399,15 @@ object RefTableMutations {
     // declared-type cast, directory strings through the same parse
     def canonTyped(v: Any): Option[String] = Option(v).map {
       case d: java.sql.Date => d.toString // yyyy-MM-dd, = LocalDate.toString
+      case d: java.time.LocalDate => d.toString // java8 datetime API on
       case bd: java.math.BigDecimal => bd.toPlainString
+      // timestamps canonicalize through LocalDateTime.toString on BOTH
+      // sides — java.sql.Timestamp.toString ("... 00:00:00.0") and the
+      // directory rendering ("... 00:00:00") would otherwise never match
+      case t: java.sql.Timestamp => t.toLocalDateTime.toString
+      case i: java.time.Instant => // session tz = JVM default unless overridden
+        java.time.LocalDateTime.ofInstant(i, java.time.ZoneId.systemDefault()).toString
+      case ldt: java.time.LocalDateTime => ldt.toString // TIMESTAMP_NTZ
       case other => other.toString
     }
     def canonRaw(raw: String, dt: org.apache.spark.sql.types.DataType): Option[String] = {
@@ -408,6 +421,10 @@ object RefTableMutations {
         case BooleanType => raw.trim.toBoolean.toString
         case DateType => java.time.LocalDate.parse(raw.trim).toString
         case _: DecimalType => new java.math.BigDecimal(raw.trim).toPlainString
+        case TimestampType | TimestampNTZType =>
+          // dir form is "yyyy-MM-dd HH:mm:ss[.f...]" (un-escaped by the
+          // lister); normalize via the same LocalDateTime.toString
+          java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T')).toString
         case _ => raw
       })
     }
@@ -564,7 +581,9 @@ object RefTableMutations {
     */
   private def bucketNarrow(
       current: String, files: Seq[SnapshotFile], source: DataFrame,
-      keyCols: Seq[String], conf: Configuration): Option[Set[String]] = {
+      keyCols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      conf: Configuration): Option[Set[String]] = {
     val bp = new Path(current, VersionedTable.BucketsMarker)
     val fs = bp.getFileSystem(conf)
     if (!fs.exists(bp)) return None
@@ -577,8 +596,13 @@ object RefTableMutations {
     }
     val n = node.path("n").asInt(0)
     if (cols != keyCols || n <= 0) return None // hash is order-sensitive: exact match only
+    if (!keyCols.forall(types.contains)) return None
+    // hash under the TABLE's key types, not the source's: Murmur3 is
+    // type-sensitive (hash(3:int) != hash(3L:bigint)), and the writer
+    // hashed the table-typed columns — same contract bucketNarrowByFilters
+    // enforces with lit(v).cast(types(c))
     val touched = source
-      .select(pmod(hash(keyCols.map(col): _*), lit(n)).as("__b"))
+      .select(pmod(hash(keyCols.map(c => col(c).cast(types(c))): _*), lit(n)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val keep = files.filter(f => bucketIdOf(f.path).exists(touched.contains))
     Some(keep.map(_.path).toSet)

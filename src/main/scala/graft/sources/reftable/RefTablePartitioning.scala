@@ -59,8 +59,24 @@ object RefTablePartitioning {
   /** Types a partition column may declare (directory names parse cleanly). */
   def supportedType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | DoubleType | FloatType | BooleanType | DateType => true
+    case TimestampType | TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** Directory rendering of a timestamp ("yyyy-MM-dd HH:mm:ss[.f…]",
+    * `%xx`-unescaped) → epoch micros. TIMESTAMP (instant) interprets the
+    * wall-clock in the JVM default zone — the session timezone unless the
+    * deployment overrides `spark.sql.session.timeZone`, which is also the
+    * zone Spark rendered the directory name in at write time; NTZ is
+    * zone-free by definition.
+    */
+  private def timestampMicros(raw: String, ntz: Boolean): Long = {
+    val ldt = java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+    val i =
+      if (ntz) ldt.toInstant(java.time.ZoneOffset.UTC)
+      else ldt.atZone(java.time.ZoneId.systemDefault()).toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
   /** Directory value → Catalyst internal value for the readers. */
@@ -74,6 +90,8 @@ object RefTablePartitioning {
       case FloatType   => java.lang.Float.valueOf(raw.trim.toFloat)
       case BooleanType => java.lang.Boolean.valueOf(raw.trim.toBoolean)
       case DateType    => java.lang.Integer.valueOf(java.time.LocalDate.parse(raw.trim).toEpochDay.toInt)
+      case TimestampType    => java.lang.Long.valueOf(timestampMicros(raw, ntz = false))
+      case TimestampNTZType => java.lang.Long.valueOf(timestampMicros(raw, ntz = true))
       case d: DecimalType => Decimal(new java.math.BigDecimal(raw.trim), d.precision, d.scale)
       case other => throw new IllegalArgumentException(s"reftable: unsupported partition type $other")
     }
@@ -198,6 +216,24 @@ object RefTablePartitioning {
         case d: java.math.BigDecimal => Some(fileDec.compareTo(d))
         case d: BigDecimal => Some(fileDec.compareTo(d.bigDecimal))
         case d: Decimal => Some(fileDec.compareTo(d.toJavaBigDecimal))
+        case _ => None
+      }
+    case TimestampType =>
+      val fileMicros = timestampMicros(raw, ntz = false)
+      v match {
+        case t: java.sql.Timestamp =>
+          val i = t.toInstant
+          Some(java.lang.Long.compare(fileMicros, i.getEpochSecond * 1000000L + i.getNano / 1000L))
+        case i: java.time.Instant =>
+          Some(java.lang.Long.compare(fileMicros, i.getEpochSecond * 1000000L + i.getNano / 1000L))
+        case _ => None
+      }
+    case TimestampNTZType =>
+      val fileMicros = timestampMicros(raw, ntz = true)
+      v match {
+        case ldt: java.time.LocalDateTime =>
+          val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+          Some(java.lang.Long.compare(fileMicros, i.getEpochSecond * 1000000L + i.getNano / 1000L))
         case _ => None
       }
     case _ => None

@@ -318,6 +318,30 @@ class RefTableMutationsSpec extends AnyFunSuite {
     assert(readCurrent(root).filter(col("id") === 13L).head().getString(1) == "X")
   }
 
+  test("bucket narrowing hashes under the TABLE's key types, not the source's") {
+    import spark.implicits._
+    val root = tmpDir("buckettype")
+    val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "s") // id BIGINT
+    VersionedTable.publishBucketed(df, root, Seq("id"), nBuckets = 16)
+    // source key typed INT: Murmur3 hash(3:int) != hash(3L:bigint), so
+    // hashing the source's types picks the WRONG buckets — the files
+    // holding the matched keys get carried unrewritten and the anti-join
+    // never removes the old rows (silent duplicate keys)
+    val src = Seq((3, "A"), (1234, "B")).toDF("id", "s")
+    RefTableMutations.upsert(spark, root, src, Seq("id"))
+    val rows = readCurrent(root).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 4000, s"no duplicate/stale keys expected, got ${rows.length} rows")
+    val m = rows.toMap
+    assert(m(3L) == "A" && m(1234L) == "B" && m(5L) == "v5")
+
+    // merge path narrows through the same cast
+    VersionedTable.publishBucketed(df, root, Seq("id"), nBuckets = 16)
+    RefTableMutations.merge(spark, root, Seq((7, "upd")).toDF("id", "s"), Seq("id"))
+    val rows2 = readCurrent(root).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows2.length == 4000, s"merge must not duplicate keys, got ${rows2.length}")
+    assert(rows2.toMap.apply(7L) == "upd")
+  }
+
   test("delete-everything leaves a mutable empty table; upsert repopulates it") {
     import spark.implicits._
     val root = tmpDir("delall2")

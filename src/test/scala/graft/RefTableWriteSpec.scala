@@ -414,4 +414,25 @@ class RefTableWriteSpec extends AnyFunSuite {
     assert(got == Seq((2L, 8), (100L, 7)),
       s"bucket=007 and bucket 7 are the same partition under INT, got $got")
   }
+
+  test("dynamic partition overwrite matches timestamp-partitioned directories") {
+    import spark.implicits._
+    import graft.sources.reftable.{RefTableMutations, VersionedTable}
+    val root = Files.createTempDirectory("graft_dynovw_ts").toString + "/t"
+    val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2021-01-02 00:00:00")
+    VersionedTable.publishPartitioned(Seq((1L, t1), (2L, t2)).toDF("id", "ts"), root, Seq("ts"))
+    // Timestamp.toString renders "... 00:00:00.0" while the directory
+    // renders "... 00:00:00" — without a shared canonical form the touched
+    // set never matches and the old partition files survive (duplicates)
+    RefTableMutations.overwritePartitions(spark,
+      root, Seq((100L, t1)).toDF("id", "ts"), Seq("ts"),
+      Map("ts" -> org.apache.spark.sql.types.TimestampType))
+    val got = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, ts TIMESTAMP")
+      .option("partitionColumns", "ts").load()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq
+    assert(got == Seq((2L, t2), (100L, t1)),
+      s"ts partition must be REPLACED, not duplicated: $got")
+  }
 }
