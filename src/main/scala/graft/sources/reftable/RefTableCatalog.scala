@@ -189,16 +189,12 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
     root.put("schema", schema.toDDL)
     val on = root.putObject("options")
     opts.foreach { case (k, v) => on.put(k, v) }
-    // tmp + rename(no-overwrite): a crashed CREATE leaves only an ignored
-    // tmp file, never a half-written descriptor that poisons loadTable;
-    // two racing CREATEs resolve at the rename (loser's rename fails)
-    val tmp = new Path(tablePath(ident), s"._TABLE.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, false)
-    try out.write(om.writeValueAsBytes(root)) finally out.close()
-    if (!fs.rename(tmp, descriptorPath(ident))) {
-      fs.delete(tmp, false)
+    // atomic descriptor claim (put-if-absent through the store's commit
+    // primitive): a crashed CREATE leaves no half-written descriptor that
+    // poisons loadTable; two racing CREATEs resolve at the claim
+    if (!CommitPrimitive.forPath(descriptorPath(ident), conf)
+        .putIfAbsent(descriptorPath(ident), om.writeValueAsBytes(root), conf))
       throw new TableAlreadyExistsException(ident)
-    }
     loadTable(ident)
   }
 

@@ -437,13 +437,11 @@ object RefTableStats {
       patch(fileNode.path("cols")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
     }
-    // tmp + OVERWRITE rename: a version dir is published (readers may hold
-    // it), so the manifest must never be observable half-written
-    val tmp = new Path(base, s".${ManifestName}.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(new ObjectMapper().writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getConf)
-      .rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // atomic replace via the store's commit primitive (tmp + OVERWRITE
+    // rename, or whole-object PUT): a version dir is published (readers
+    // may hold it), so the manifest must never be observable half-written
+    CommitPrimitive.forPath(mf, fs.getConf)
+      .overwrite(mf, new ObjectMapper().writeValueAsBytes(root), fs.getConf)
   }
 
   private def spliceSharded(

@@ -56,9 +56,10 @@ object VersionedTable {
     * pointer cannot prevent; post-hoc verification cannot either, because
     * the earlier writer may verify before the later one commits). The
     * same protocol Delta Lake uses on HDFS. Object stores whose rename is
-    * copy+delete (S3-class) need a conditional-PUT committer or external
-    * coordination for multi-writer safety — the same caveat those engines
-    * document.
+    * copy+delete (S3-class) claim through their conditional write
+    * (`If-None-Match` PUT) instead — [[CommitPrimitive]] selects the
+    * right mechanism per store, and [[publishVia]] stages in place there
+    * (no atomic dir rename exists; the claim alone governs visibility).
     *
     * `_CURRENT` remains as a best-effort CACHE for external tooling and
     * as the read path for legacy roots that predate the log; when
@@ -113,6 +114,11 @@ object VersionedTable {
   def commitLog(root: String, conf: Configuration = new Configuration()): Seq[Commit] =
     commitFiles(root, conf).map { case (seq, p) => readCommit(seq, p, conf) }
 
+  private def commitsDirExists(root: String, conf: Configuration): Boolean = {
+    val dir = new Path(root, CommitsDir)
+    dir.getFileSystem(conf).exists(dir)
+  }
+
   private def commitFiles(root: String, conf: Configuration): Seq[(Long, Path)] = {
     val dir = new Path(root, CommitsDir)
     val fs = dir.getFileSystem(conf)
@@ -133,33 +139,6 @@ object VersionedTable {
       lines.lift(1).filter(_.nonEmpty), lines.lift(2).filter(_.nonEmpty))
   }
 
-  /** Atomically claim `dst` with the content at `tmp`: hard link on local
-    * POSIX (link(2) is atomic and fails EEXIST — the local FileContext
-    * rename(NONE) and create(overwrite=false) are both check-then-act and
-    * can silently replace a concurrent winner), rename-no-overwrite
-    * elsewhere (atomic in the HDFS-class namespace). True iff this caller
-    * won the sequence. `tmp` is consumed or deleted either way.
-    */
-  private def atomicClaim(tmp: Path, dst: Path, conf: Configuration): Boolean = {
-    val local = tmp.toUri.getScheme == null || tmp.toUri.getScheme == "file"
-    if (local) {
-      val won = try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(Option(dst.toUri.getPath).getOrElse(dst.toString)),
-          java.nio.file.Paths.get(Option(tmp.toUri.getPath).getOrElse(tmp.toString)))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      tmp.getFileSystem(conf).delete(tmp, false)
-      won
-    } else {
-      try { fc(conf).rename(tmp, dst); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          tmp.getFileSystem(conf).delete(tmp, false); false
-      }
-    }
-  }
-
   /** Append a commit claiming the next sequence. `requireBase` is the
     * compare-and-swap: when Some, the commit succeeds only if the latest
     * committed version still equals that base (None inside = expect a
@@ -173,6 +152,7 @@ object VersionedTable {
     val dir = new Path(root, CommitsDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    val prim = CommitPrimitive.forPath(dir, conf)
     val content = version + "\n" + marker.getOrElse("") + "\n" + parent.getOrElse("")
     var attempts = 0
     while (true) {
@@ -185,10 +165,7 @@ object VersionedTable {
               "writer published first — re-derive and retry")
       }
       val seq = last.map(_.seq + 1).getOrElse(1L)
-      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      if (atomicClaim(tmp, new Path(dir, f"$seq%020d"), conf))
+      if (prim.putIfAbsent(new Path(dir, f"$seq%020d"), content.getBytes("UTF-8"), conf))
         return Commit(seq, version, marker, parent)
       // sequence taken: with a CAS the race is by definition a conflict;
       // without one, re-read and claim the next slot
@@ -223,6 +200,11 @@ object VersionedTable {
       resolve(root, conf) match {
         case some @ Some(_) => return some
         case None =>
+          // a root WITH a commit-log directory is authoritative: commit
+          // files appear atomically, so None means "no commit yet" — a
+          // version dir without one is an orphan or a conditional-mode
+          // in-place staging still being populated, not a swap window
+          if (commitsDirExists(root, conf)) return None
           if (versionDirs(root, conf).isEmpty) return None
           attempts += 1
           if (attempts >= 20)
@@ -506,10 +488,22 @@ object VersionedTable {
     val next = math.max(System.currentTimeMillis(),
       existing.lastOption.map(versionNum(_) + 1).getOrElse(0L))
     val name = f"v$next%019d" + "_" + java.util.UUID.randomUUID().toString.take(8)
-    // stage, then rename: a crashed write leaves a .staging dir that
-    // versionDirs ignores, never a half-written version counted by
-    // retention
-    val staging = new Path(rootPath, s".staging-$name")
+    val prim = CommitPrimitive.forPath(rootPath, conf)
+    // rename-capable stores stage under an ignored `.staging-` name and
+    // rename into place; conditional stores (no atomic dir rename) stage
+    // IN PLACE under the final name — visibility comes from the commit
+    // claim either way, so an uncommitted in-place dir is exactly the
+    // orphan state a rename-mode publish leaves when it crashes between
+    // its rename and its claim (ignored by resolve/retention/vacuum)
+    val staging =
+      if (prim.atomicDirRename) new Path(rootPath, s".staging-$name")
+      else {
+        // the commit-log dir must exist BEFORE the in-place dir appears,
+        // so readers treat the log as authoritative (resolveRobust) and
+        // never mistake a mid-populate first publish for a broken root
+        fs.mkdirs(new Path(rootPath, CommitsDir))
+        new Path(rootPath, name)
+      }
     populate(staging)
     // every version carries a FILE manifest: plain publishes get a
     // materialized listing (one-read resolution, no directory walks at
@@ -517,10 +511,11 @@ object VersionedTable {
     // append references) are left untouched
     RefTableFileManifest.writeFull(staging, manifestPartitionCols, conf)
     // the statistics manifest is written into the staging dir, so the
-    // version rename publishes data and stats as one atomic unit and the
-    // manifest's relative file keys stay valid after the rename
+    // version becomes visible with data and stats as one unit and the
+    // manifest's relative file keys stay valid under the final name
     RefTableStats.writeManifest(staging.toString, conf)
-    fc(conf).rename(staging, new Path(rootPath, name))
+    if (prim.atomicDirRename)
+      fc(conf).rename(staging, new Path(rootPath, name))
     // the commit claim makes the version visible (and is the CAS for
     // derived publishes); a lost claim deletes our never-committed dir —
     // no reader can have resolved to it
@@ -788,23 +783,9 @@ object VersionedTable {
   private def swapPointerCache(
       rootPath: Path, fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
       content: String): Unit =
-    try {
-      val tmp = new Path(rootPath, s"._CURRENT.tmp${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      var attempts = 0
-      while (attempts >= 0) {
-        try {
-          fc(conf).rename(tmp, new Path(rootPath, Pointer), Options.Rename.OVERWRITE)
-          return
-        } catch {
-          case _: java.io.IOException =>
-            attempts += 1
-            if (attempts >= 10) { fs.delete(tmp, false); return }
-            Thread.sleep(5L * attempts)
-        }
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    try CommitPrimitive.forPath(rootPath, conf)
+      .overwrite(new Path(rootPath, Pointer), content.getBytes("UTF-8"), conf)
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Read a version's full logical content as plain parquet: through its
     * `_FILES.json` listing when manifest-referenced, directly from the
