@@ -30,24 +30,101 @@ object Dedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     df.select(col(idCol), shingleHashes(tokens(col(textCol)), k).as("hs"))
 
+  /** All distinct unordered candidate pairs `(a_id, b_id)`, `a_id < b_id`,
+    * of ids sharing a bucket key — the LSH self-join, with per-task fanout
+    * BOUNDED on hot buckets. `buckets` must have columns `(id, bk)`.
+    *
+    * The naive `a.join(b, "bk")` forms O(c²) pairs inside one join key for
+    * a bucket of c members; templated web boilerplate (shared headers,
+    * licence pages, mirrored docs) routinely puts thousands of near-but-
+    * not-byte-identical documents in one band bucket, and that c² lands on
+    * a single task. Here a band-key census finds buckets with more than
+    * `cap` members (one cheap partial-aggregated count, broadcast back —
+    * the hot set is at most |bucket rows|/cap entries), and hot buckets
+    * are block-split: members hash into `G = ceil(c/cap)` groups, the join
+    * key becomes `(bk, gl, gh)`, a row in group g joins as the LEFT of
+    * group-pairs `(g, g..G-1)` and as the RIGHT of `(0..g, g)` — every
+    * unordered pair meets in exactly one oriented group-pair (same-group
+    * pairs order by id, cross-group pairs by group), so the OUTPUT IS
+    * IDENTICAL to the naive join while no join key carries more than
+    * ~cap² candidate combinations and a hot bucket spreads over
+    * G(G+1)/2 keys instead of one straggler task. Cold buckets ride
+    * group 0 unreplicated — the plan degenerates to the plain equi-join.
+    */
+  def boundedSelfPairs(buckets: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, "bucketCap must be >= 2")
+    val hot = buckets.groupBy("bk").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > cap)
+      .withColumn("__ng", ceil(col("__c") / cap).cast("int")).drop("__c")
+    // __ng = group count, __g = this row's group (names must differ under
+    // the default case-INsensitive resolution — "__G" would alias "__g")
+    val flagged = buckets.join(broadcast(hot), Seq("bk"), "left")
+      .withColumn("__ng", coalesce(col("__ng"), lit(1)))
+      .withColumn("__g", pmod(hash(col("id")), col("__ng")))
+    val aSide = flagged.select(col("id").as("a_id"), col("bk"),
+      col("__g").as("__gl"),
+      explode(sequence(col("__g"), col("__ng") - lit(1))).as("__gh"))
+    val bSide = flagged.select(col("id").as("b_id"), col("bk"),
+      explode(sequence(lit(0), col("__g"))).as("__gl"),
+      col("__g").as("__gh"))
+    aSide.join(bSide, Seq("bk", "__gl", "__gh"))
+      // same-group pairs meet in both orientations: keep the ordered one;
+      // cross-group pairs meet once with arbitrary id order
+      .filter(col("__gl") =!= col("__gh") || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Cross-set analogue of [[boundedSelfPairs]]: all distinct `(lid, rid)`
+    * pairs sharing a bucket key between two bucket tables, block-split on
+    * buckets hot on EITHER side (left rows replicate over the right side's
+    * groups and vice versa, so each cross pair meets exactly once and
+    * per-key fanout stays ~cap²).
+    */
+  def boundedCrossPairs(
+      left: DataFrame, lidCol: String, right: DataFrame, ridCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 2, "bucketCap must be >= 2")
+    def census(df: DataFrame, gName: String) =
+      df.groupBy("bk").agg(count(lit(1)).as("__c")).filter(col("__c") > cap)
+        .withColumn(gName, ceil(col("__c") / cap).cast("int")).drop("__c")
+    val lc = census(left, "__ngl")
+    val rc = census(right, "__ngr")
+    def flag(df: DataFrame) = df
+      .join(broadcast(lc), Seq("bk"), "left")
+      .join(broadcast(rc), Seq("bk"), "left")
+      .withColumn("__ngl", coalesce(col("__ngl"), lit(1)))
+      .withColumn("__ngr", coalesce(col("__ngr"), lit(1)))
+    val lSide = flag(left).select(col(lidCol), col("bk"),
+      pmod(hash(col(lidCol)), col("__ngl")).as("__gl"),
+      explode(sequence(lit(0), col("__ngr") - lit(1))).as("__gr"))
+    val rSide = flag(right).select(col(ridCol), col("bk"),
+      explode(sequence(lit(0), col("__ngl") - lit(1))).as("__gl"),
+      pmod(hash(col(ridCol)), col("__ngr")).as("__gr"))
+    lSide.join(rSide, Seq("bk", "__gl", "__gr"))
+      .select(lidCol, ridCol).dropDuplicates(lidCol, ridCol)
+  }
+
   /** MinHash-LSH near-duplicate pairs, exact-Jaccard-verified.
     * Returns (a_id, b_id, j) with a_id < b_id and j >= threshold.
     *
     * numBands bands of 2 signature rows: P(candidate | J) = 1-(1-J^2)^numBands
     * — at the default 64 bands, recall at J>=0.7 is 1-2e-19, so the output
     * equals the exact-Jaccard similarity join at a fraction of the pairs.
+    *
+    * `bucketCap` bounds per-task candidate fanout on hot band buckets
+    * ([[boundedSelfPairs]]) without changing the result.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64): DataFrame = {
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64,
+      bucketCap: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, k)
     val bands = df
       .select(col(idCol), posexplode(minhashBands(tokens(col(textCol)), k, numBands)).as(Seq("p", "bk")))
-      .select(col(idCol), col("bk"))
-    val a = bands.select(col(idCol).as("a_id"), col("bk"))
-    val b = bands.select(col(idCol).as("b_id"), col("bk"))
-    val candPairs = a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      .select(col(idCol).as("id"), col("bk"))
+    val candPairs = boundedSelfPairs(bands, bucketCap)
     val cands = candPairs
       .join(sets.select(col(idCol).as("a_id"), col("hs").as("ha")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("hs").as("hb")), Seq("b_id"))
@@ -68,14 +145,15 @@ object Dedup {
     */
   def nearDupAgainst(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64): DataFrame = {
+      threshold: Double = 0.7, k: Int = 3, numBands: Int = 64,
+      bucketCap: Int = 1000): DataFrame = {
     def bandsOf(df: DataFrame, as: String) = df
       .select(col(idCol).as(as),
         posexplode(minhashBands(tokens(col(textCol)), k, numBands)).as(Seq("p", "bk")))
       .select(col(as), col("bk"))
-    val cand = bandsOf(batch, "batch_id")
-      .join(bandsOf(corpus, "corpus_id"), Seq("bk"))
-      .select("batch_id", "corpus_id").dropDuplicates("batch_id", "corpus_id")
+    val cand = boundedCrossPairs(
+      bandsOf(batch, "batch_id"), "batch_id",
+      bandsOf(corpus, "corpus_id"), "corpus_id", bucketCap)
     val withSets = cand
       .join(shingleSets(batch, idCol, textCol, k)
         .select(col(idCol).as("batch_id"), col("hs").as("hb")), Seq("batch_id"))

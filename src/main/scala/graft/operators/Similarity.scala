@@ -76,15 +76,14 @@ object Similarity {
     */
   def nearDupPairsLsh(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bitsPerTable: Int = 12, nTables: Int = 24, dim: Option[Int] = None): DataFrame = {
+      bitsPerTable: Int = 12, nTables: Int = 24, dim: Option[Int] = None,
+      bucketCap: Int = 1000): DataFrame = {
     val sig = srpSignatureUdf(corpus, vecCol, bitsPerTable, nTables, dim)
     val buckets = corpus
-      .select(col(idCol).as("id"), explode(sig(col(vecCol).cast("array<double>"))).as("bucket"))
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .select(col(idCol).as("id"), explode(sig(col(vecCol).cast("array<double>"))).as("bk"))
+    // hot-bucket-bounded self-join: embedding corpora cluster — a dense
+    // region can drop thousands of vectors into one SRP bucket
+    val cands = Dedup.boundedSelfPairs(buckets, bucketCap)
     val va = corpus.select(col(idCol).as("a_id"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
     cands.join(va, Seq("a_id")).join(vb, Seq("b_id"))

@@ -164,6 +164,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded bucket pairs equal the naive bucket join under forced blocking") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // random multi-bucket membership with deliberate hot keys; cap=3
+    // forces block-splitting on most buckets
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).flatMap { id =>
+      (0 until (1 + rnd.nextInt(3))).map(_ => (id.toLong, rnd.nextInt(12).toLong))
+    }.distinct
+    val buckets = rows.toDF("id", "bk")
+    val naive = {
+      val a = buckets.select(col("id").as("a_id"), col("bk"))
+      val b = buckets.select(col("id").as("b_id"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val bounded = Dedup.boundedSelfPairs(buckets, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == naive,
+      s"missing ${(naive -- bounded).take(5)} / extra ${(bounded -- naive).take(5)}")
+
+    // cross-set: batch x corpus pairs, hot on both sides
+    val left = rows.map { case (id, bk) => (id, bk % 6) }.distinct.toDF("lid", "bk")
+    val right = rows.map { case (id, bk) => (id + 1000L, bk % 6) }.distinct.toDF("rid", "bk")
+    val naiveX = left.join(right, Seq("bk")).select("lid", "rid").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boundedX = Dedup.boundedCrossPairs(left, "lid", right, "rid", cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundedX == naiveX)
+  }
+
+  test("a 10k-member hot bucket completes with fanout spread over many join keys") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the templated-boilerplate shape: every doc lands in the SAME band
+    // bucket — the naive join forms all ~50M pairs under ONE join key (one
+    // straggler task); blocking must spread them across G(G+1)/2 keys
+    val n = 10000
+    val buckets = (0 until n).map(i => (i.toLong, 42L)).toDF("id", "bk")
+    val pairs = Dedup.boundedSelfPairs(buckets, cap = 500)
+    // distribution proof is structural: the candidate join must key on
+    // (bk, __gl, __gh), so the G(G+1)/2 = 210 group-pairs of this bucket
+    // hash across the shuffle partitions instead of one key -> one task
+    val p = pairs.queryExecution.executedPlan.toString()
+    assert(p.contains("__gl") && p.contains("__gh"),
+      s"expected group-blocked join keys in plan:\n$p")
+    assert(pairs.count() == n.toLong * (n - 1) / 2, "exact pair set preserved")
+  }
+
   test("LSH near-dup pairs equal the exact all-pairs join on the planted corpus") {
     // the q16 shape: recall of the bucketed SRP-LSH join must be exactly 1
     // against the O(n^2) baseline it replaces (which stays quarantined here)
