@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column operators: opaque binary payloads + typed metadata.
-  * The decode kernel is the clearly-marked deterministic [[DecodeStub]]
-  * (this container has no codecs); everything around it — binary columns,
+  * IMAGE payloads decode for real through [[ImageDecode]] (JDK-native
+  * `javax.imageio`, header-only — no pixel decode); audio/video fall back
+  * to the clearly-marked deterministic [[DecodeStub]] (this container has
+  * no av codecs). Everything around the kernel — binary columns,
   * partition-wise batch iteration, stable schemas, frame-index explosion —
-  * is the real Spark plumbing a codec would drop into.
+  * is the real Spark plumbing any codec drops into.
   */
 object Multimodal {
 
@@ -20,12 +22,22 @@ object Multimodal {
     StructField("height", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
 
-  /** Partition-wise batch decode of (id, payload binary) rows. */
+  /** Partition-wise batch decode of (id, payload binary) rows: real
+    * header-only image decode where the payload IS an image (strict magic
+    * sniff + `javax.imageio`), deterministic stub for everything else.
+    * Corrupt image bytes (valid magic, broken header) fall through to the
+    * stub instead of failing the task — at 100 TB some payloads WILL be
+    * truncated, and a poison row must not kill the pipeline.
+    */
   def decodeAssets(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long"), col(payloadCol))
     src.mapPartitions { rows =>
       rows.map { r =>
-        val (m, w, h, f) = DecodeStub.decode(r.getAs[Array[Byte]](1))
+        val payload = r.getAs[Array[Byte]](1)
+        val (m, w, h, f) = ImageDecode.dimensions(payload) match {
+          case Some((_, iw, ih)) => ("image", iw.toLong, ih.toLong, 1L)
+          case None => DecodeStub.decode(payload)
+        }
         Row(r.getLong(0), m, w, h, f)
       }
     }(Encoders.row(decodeSchema))
@@ -68,5 +80,61 @@ object Multimodal {
     decoded.select(col("id"), col("mime"),
       (col("width") * scaleNum / longest).cast("long").as("out_w"),
       (col("height") * scaleNum / longest).cast("long").as("out_h"))
+  }
+}
+
+/** Real image decode, JDK-native (`javax.imageio`) and header-only: the
+  * registered reader for the payload's format reads width/height from the
+  * container header without decoding pixels — O(bytes-sniffed), not
+  * O(pixels), which is what a 100 TB metadata pass needs. Restricted by a
+  * STRICT magic-number sniff to PNG/JPEG/GIF: ImageIO's own reader probing
+  * is permissive (WBMP accepts many byte strings, BMP keys on ASCII "BM"),
+  * and a text payload mis-sniffed as an image would silently change every
+  * non-image decode result.
+  */
+object ImageDecode {
+  javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte) ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) || // JPEG SOI
+      (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == '8'.toByte))
+
+  /** `(format, width, height)` for real image payloads; None for
+    * non-images AND for corrupt image bytes (robustness contract).
+    */
+  def dimensions(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    if (!looksLikeImage(payload)) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        Some((reader.getFormatName.toLowerCase, reader.getWidth(0), reader.getHeight(0)))
+      } catch {
+        case scala.util.control.NonFatal(_) => None // truncated/corrupt header
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Deterministic PNG/JPEG fixture bytes (for specs and the oracle
+    * entry): a real encoded image of the given size.
+    */
+  def fixtureBytes(width: Int, height: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
   }
 }

@@ -146,6 +146,30 @@ object MultimodalOps {
         |  (w * least(256, greatest(w, ht, 1))) // greatest(w, ht, 1) AS out_w,
         |  (ht * least(256, greatest(w, ht, 1))) // greatest(w, ht, 1) AS out_h FROM d)
         |SELECT mime, count(*) AS n, round(avg(out_w), 4) AS avg_w, round(avg(out_h), 4) AS avg_h
-        |FROM r GROUP BY mime ORDER BY mime""".stripMargin))
+        |FROM r GROUP BY mime ORDER BY mime""".stripMargin)),
+
+    // REAL image decode: deterministic PNG/JPEG fixture bytes (known
+    // dimensions, generated driver-side) decoded distributed through
+    // javax.imageio header reads — the oracle is the fixture spec itself.
+    // Corrupt/non-image payload handling is spec-covered (OperatorsSpec);
+    // here every payload is a genuine encoded image.
+    QueryDef("q131_mm_real_decode", (s, dir) => {
+      import s.implicits._
+      val rows = (0 until 24).map { i =>
+        val fmt = if (i % 2 == 0) "png" else "jpeg"
+        (i.toLong, graft.operators.ImageDecode.fixtureBytes(16 + i, 8 + i, fmt))
+      }
+      val df = rows.toDF("doc_id", "payload").repartition(4)
+      graft.operators.Multimodal.decodeAssets(df, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some {
+      val vals = (0 until 24).map(i => s"($i, 'image', ${16 + i}, ${8 + i}, 1)").mkString(", ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, mime,
+         |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         |  CAST(n_frames AS BIGINT) AS n_frames
+         |FROM (VALUES $vals) AS t(doc_id, mime, width, height, n_frames)
+         |ORDER BY doc_id""".stripMargin
+    })
   )
 }

@@ -214,6 +214,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.count() == n.toLong * (n - 1) / 2, "exact pair set preserved")
   }
 
+  test("real image decode: PNG/JPEG header dims; corrupt bytes fall back to the stub") {
+    import graft.operators.{ImageDecode, Multimodal}
+    import graft.queries.MultimodalOps.DecodeStub
+    import spark.implicits._
+    assert(ImageDecode.dimensions(ImageDecode.fixtureBytes(33, 21, "png"))
+      .contains(("png", 33, 21)))
+    assert(ImageDecode.dimensions(ImageDecode.fixtureBytes(64, 2, "jpeg"))
+      .map(t => (t._2, t._3)).contains((64, 2)))
+    assert(ImageDecode.dimensions("not an image".getBytes("UTF-8")).isEmpty)
+    // valid PNG magic, truncated header: must return None, never throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0)
+    assert(ImageDecode.dimensions(corrupt).isEmpty)
+    // through the operator: real images decode for real, everything else
+    // (including corrupt image bytes) takes the deterministic stub path
+    val rows = Seq(
+      (1L, ImageDecode.fixtureBytes(40, 30, "png")),
+      (2L, corrupt),
+      (3L, "hello world".getBytes("UTF-8")))
+    val out = Multimodal.decodeAssets(rows.toDF("id", "payload"), "id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == (("image", 40L, 30L, 1L)))
+    assert(out(2L) == DecodeStub.decode(corrupt), "corrupt image bytes -> stub, not failure")
+    assert(out(3L) == DecodeStub.decode("hello world".getBytes("UTF-8")))
+  }
+
   test("LSH near-dup pairs equal the exact all-pairs join on the planted corpus") {
     // the q16 shape: recall of the bucketed SRP-LSH join must be exactly 1
     // against the O(n^2) baseline it replaces (which stays quarantined here)
