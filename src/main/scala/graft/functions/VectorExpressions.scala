@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -88,8 +90,210 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared eval kernels for [[PackVector]]/[[UnpackVector]] — one static
+  * implementation serves both the interpreted `nullSafeEval` and the
+  * generated code (the codegen emits a call to these, the standard Spark
+  * pattern for expressions whose body is too branchy to inline: the call
+  * stays inside whole-stage codegen, no stage break).
+  *
+  * Wire format: element count implied by length; IEEE-754 doubles,
+  * little-endian, 8 bytes each. Packing a float array widens each element
+  * to double first (lossless), so pack∘unpack is value-identity for both
+  * input element types.
+  */
+object VectorCodec {
+  def pack(a: ArrayData, fromFloat: Boolean): Array[Byte] = {
+    val n = a.numElements()
+    val buf = java.nio.ByteBuffer.allocate(n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      buf.putDouble(if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      i += 1
+    }
+    buf.array()
+  }
+
+  def unpack(b: Array[Byte]): ArrayData = {
+    require(b.length % 8 == 0, s"packed vector length ${b.length} not a multiple of 8")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](b.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = buf.getDouble(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `array<float|double>` → `binary`: 8-byte little-endian doubles. Exists so
+  * embedding columns can live in layouts whose readers speak scalar+binary
+  * parquet only (the reftable source) — and it is the compact at-rest shape
+  * anyway: no parquet LIST nesting, one contiguous buffer per vector.
+  */
+case class PackVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  private def fromFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pack_vector expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorCodec.pack(v.asInstanceOf[ArrayData], fromFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorCodec.pack($c, $fromFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `binary` (8-byte little-endian doubles) → `array<double>`; inverse of
+  * [[PackVector]].
+  */
+case class UnpackVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"unpack_vector expects binary, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorCodec.unpack(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorCodec.unpack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The per-row nearest-centroid argmax for LARGE codebooks: the centroids
+  * ride the expression as plain runtime arrays, referenced from generated
+  * code via `addReferenceObj` — they ship to executors once inside the
+  * (torrent-broadcast) task binary, NOT as plan literals, so plan size,
+  * codegen source, and driver memory stay O(1) in k·dim where the literal
+  * `aggregate()` fold grows O(k·dim). The fold stays the right shape for
+  * small codebooks (no collect-to-expression at plan time); Similarity
+  * switches on k·dim.
+  *
+  * Semantics are BIT-IDENTICAL to the fold it replaces (q45/q108 oracles
+  * hold on either path): similarity = round(cosine, 6) with
+  * `BigDecimal.valueOf` HALF_UP (Spark's `round`); comparison = Spark SQL
+  * double ordering (NaN greatest, so a zero-norm vector's NaN cosine wins
+  * at the first centroid exactly like the fold); strict `>` in ascending
+  * cid order (ties → lowest cid); length-mismatched centroids yield null
+  * similarity and never win; a row where NO centroid wins (null/empty
+  * vector, all-mismatched lengths) gets the lowest cid with null
+  * similarity.
+  *
+  * `cids`/`cents` must be parallel arrays sorted ascending by cid.
+  */
+case class NearestCentroid(child: Expression, cids: Array[Long], cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cids.nonEmpty && cids.length == cents.length, "empty or misaligned codebook")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroid expects array<float|double>, got $t")
+  }
+
+  private lazy val fromFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val norms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  // Spark SQL double ordering: NaN == NaN, NaN > any non-NaN
+  private def sparkGt(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b
+
+  // Spark's round(x, 6) for DoubleType: BigDecimal.valueOf semantics
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The kernel, shared by interpreted eval and generated code. */
+  def nearest(input: ArrayData): InternalRow = {
+    if (input == null) return InternalRow(cids(0), null)
+    val n = input.numElements()
+    val v = new Array[Double](n)
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fromFloat) input.getFloat(i).toDouble else input.getDouble(i)
+      v(i) = x; nv += x * x; i += 1
+    }
+    val vnorm = math.sqrt(nv)
+    var bestCid = -1L
+    var bestSim = -2.0
+    var found = false
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv.length == n) { // mismatched length -> null cosine -> never wins
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += v(d) * cv(d); d += 1 }
+        val s = round6(dot / (vnorm * norms(c)))
+        if (sparkGt(s, bestSim)) { bestSim = s; bestCid = cids(c); found = true }
+      }
+      c += 1
+    }
+    if (found) InternalRow(bestCid, bestSim) else InternalRow(cids(0), null)
+  }
+
+  override def eval(input: InternalRow): Any =
+    nearest(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = $ref.nearest(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[NearestCentroid]]; `codebook` sorted ascending by cid. */
+  def nearestCentroid(v: Column, codebook: Seq[(Long, Array[Double])]): Column = {
+    val sorted = codebook.sortBy(_._1)
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  /** Column API for [[PackVector]]. */
+  def packVector(v: Column): Column =
+    ColumnBridge.column(PackVector(ColumnBridge.expression(v)))
+
+  /** Column API for [[UnpackVector]]. */
+  def unpackVector(b: Column): Column =
+    ColumnBridge.column(UnpackVector(ColumnBridge.expression(b)))
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.functions.VectorFunctions.{cosineSim, packVector, unpackVector}
+import graft.sources.reftable.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF index **as a table layout**: the cell assignment [[Similarity.ivfTopK]]
+  * recomputes per run is instead persisted once, as the partition column of a
+  * versioned reftable — `cell=<cid>/part-*.parquet` — so every later probe is
+  * served by the existing listing-pruning machinery with ZERO new read-path
+  * code: an `isin` filter over the probed cells plans only those cells'
+  * files. At 100 TB that is the difference between "ANN query = one narrow
+  * pass over the whole corpus, then probe" and "ANN query = read
+  * nprobe/ncells of the corpus, full stop".
+  *
+  * Vectors are stored packed ([[graft.functions.PackVector]]: 8-byte LE
+  * doubles in one `binary` cell) — the reftable readers speak scalar+binary
+  * parquet, and the flat buffer is the compact at-rest shape anyway (no
+  * parquet LIST nesting). pack∘unpack is value-identity, so probing the
+  * index returns bit-identical similarities to the unindexed
+  * [[Similarity.ivfTopK]] — q132 oracles exactly that equality.
+  *
+  * The index is an ordinary versioned table: publishes are atomic pointer
+  * swaps, readers pin generations, retention applies, and a stale index is
+  * rebuilt by publishing again — index maintenance IS table maintenance.
+  */
+object IvfIndex {
+
+  /** The centroid codebook lives in a sibling versioned table — the index
+    * is self-contained: (data root, codebook root) both derive from `root`.
+    */
+  def centroidsRoot(root: String): String = root.stripSuffix("/") + "_centroids"
+
+  private val IndexSchema = "id BIGINT, cell BIGINT, vec BINARY"
+  private val CentroidSchema = "cid BIGINT, cv BINARY"
+
+  /** Assign every corpus row to its nearest centroid and publish the result
+    * partitioned by `cell`, plus the codebook. One narrow assignment pass
+    * (no Exchange before the partitioned write), one bounded codebook
+    * publish. Returns the published data version.
+    */
+  def build(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, root: String,
+      keepVersions: Int = 3): String = {
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("cell"),
+        packVector(col(vecCol)).as("vec"))
+    val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
+    VersionedTable.publish(
+      centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
+      centroidsRoot(root), keepVersions)
+    v
+  }
+
+  /** The published codebook, unpacked back to (cid, cv array<double>). */
+  def readCentroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("reftable")
+      .option("path", centroidsRoot(root)).option("schema", CentroidSchema).load()
+      .select(col("cid"), unpackVector(col("cv")).as("cv"))
+
+  /** The probed slice of the index for `cells`: reads through the reftable
+    * source with the partition filter, so listing pruning plans only those
+    * cells' files. Exposed for the pruning spec.
+    */
+  def readCells(spark: SparkSession, root: String, cells: Seq[Long]): DataFrame =
+    spark.read.format("reftable")
+      .option("path", root).option("schema", IndexSchema)
+      .option("partitionColumns", "cell").load()
+      .filter(col("cell").isin(cells: _*))
+
+  /** IVF top-k served from the published layout: probe the `nProbe` nearest
+    * cells per query against the stored codebook, read ONLY those cells'
+    * partitions, exact re-rank inside them. Result-identical to
+    * [[Similarity.ivfTopK]] over the same corpus + centroids.
+    *
+    * The one driver round-trip collects the probed cell ids — bounded by
+    * the codebook size (≤ ncells longs), metadata not data — because
+    * listing pruning needs literal partition predicates; a join could not
+    * prune the listing.
+    */
+  def topK(
+      spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val probes = Similarity.probeCells(queries, readCentroids(spark, root), nProbe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idx = readCells(spark, root, cells)
+      .select(col("id"), col("cell"), unpackVector(col("vec")).as("vec"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", r6(cosineSim(col("qv"), col("vec"))))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("id").as("neighbor_id"), col("sim"))
+  }
+}

@@ -122,13 +122,30 @@ object Similarity {
     *
     * Returns a struct column with fields `cid` and `sim`.
     */
-  private def bestCentroid(centroids: DataFrame, vecCol: String): Column = {
+  /** Codebooks whose k·dim exceeds this leave the literal-fold plan for the
+    * [[graft.functions.NearestCentroid]] reference-object expression: the
+    * fold's plan/codegen size grows O(k·dim) (fine for real codebooks, k in
+    * the hundreds; pathological past tens of thousands), the expression's
+    * stays O(1) — same narrow no-Exchange shape, bit-identical results.
+    */
+  private val LiteralCodebookMaxElems = 1 << 16
+
+  private def bestCentroid(centroids: DataFrame, vecCol: String): Column =
+    bestCentroidVia(centroids, vecCol, literal = None)
+
+  private[graft] def bestCentroidVia(
+      centroids: DataFrame, vecCol: String, literal: Option[Boolean]): Column = {
     val rows = centroids
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(rows.nonEmpty, "bestCentroid: empty codebook")
+    val dim = math.max(rows.head._2.length, 1)
+    val useLiteral = literal.getOrElse(rows.length.toLong * dim <= LiteralCodebookMaxElems)
+    if (!useLiteral)
+      return graft.functions.VectorFunctions.nearestCentroid(
+        col(vecCol), rows.toSeq.map { case (cid, cv) => (cid, cv.toArray) })
     val cents = array(rows.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), typedlit(cv).as("cv"))
     }: _*)
@@ -151,6 +168,15 @@ object Similarity {
   /** Nearest-centroid cell per corpus row — one narrow pass, no shuffle. */
   def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol), bestCentroid(centroids, vecCol)("cid").as("cell"), col(vecCol))
+
+  /** Test hook: [[assignCells]] with the codebook path forced, for the
+    * literal-vs-reference equivalence spec.
+    */
+  private[graft] def assignCellsVia(
+      corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      literal: Boolean): DataFrame =
+    corpus.select(col(idCol),
+      bestCentroidVia(centroids, vecCol, Some(literal))("cid").as("cell"), col(vecCol))
 
   /** Deterministic spherical k-means codebook for [[ivfTopK]]: Lloyd
     * iterations expressed as DataFrame ops. Init = the k lowest-id vectors;

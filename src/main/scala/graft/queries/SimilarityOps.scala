@@ -184,6 +184,42 @@ object SimilarityOps {
          |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.vec_id
          |  WHERE c.vec_id != c.query_id)
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM scored WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
+    // IVF index AS A TABLE LAYOUT: q45's pipeline with the cell assignment
+    // persisted once as the partition column of a versioned reftable, then
+    // probed through the source so listing pruning plans only the probed
+    // cells' files (IvfIndexSpec asserts the pruning; this oracle proves
+    // probe-through-layout == compute-per-run — it is q45's oracle verbatim).
+    QueryDef("q132_ivf_indexed", (s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val root = RelationalSupport.scratchDir(s, dir, "q132_ivfidx")
+      graft.operators.IvfIndex.build(e, cent, "vec_id", "embedding", root)
+      graft.operators.IvfIndex.topK(s, root, q, K, NProbe)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCells),
+         |asgn AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.cid) arn
+         |  FROM e CROSS JOIN cent) WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+         |probes AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${duckCos("q.qv", "cent.cv")} DESC, cent.cid) prn
+         |  FROM q CROSS JOIN cent) WHERE prn <= $NProbe),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN asgn a ON a.cell = p.cell),
+         |scored AS (SELECT c.query_id, c.vec_id,
+         |    ${duckCos("q.qv", "e.v")} AS sim,
+         |    row_number() OVER (PARTITION BY c.query_id ORDER BY ${duckCos("q.qv", "e.v")} DESC, c.vec_id) rn
+         |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.vec_id
+         |  WHERE c.vec_id != c.query_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
          |FROM scored WHERE rn <= $K ORDER BY query_id, rk""".stripMargin))
   )
 }

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.functions.VectorFunctions.{packVector, unpackVector}
+import graft.sources.reftable.{RefTableOptions, SnapshotFiles}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** The IVF index as a table layout: probing the published cell-partitioned
+  * reftable must (a) return exactly what the per-run [[Similarity.ivfTopK]]
+  * computes, and (b) PLAN only the probed cells' files — the point of
+  * persisting the assignment is that listing pruning serves the probe.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft_ivfidx_$name").toString
+
+  // deterministic unit-ish vectors, 8 dims, clustered around 4 axes so
+  // k-means-free fixed centroids (the 4 axis vectors) separate them
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis * 2) 1.0 else 0.0) + (i % 7) * 0.01 * ((d + i) % 3))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def centroids = {
+    import spark.implicits._
+    (0 until 4).map { a =>
+      (a.toLong, Array.tabulate(8)(d => if (d == a * 2) 1.0 else 0.0))
+    }.toDF("cid", "cv")
+  }
+
+  test("pack/unpack vector is value-identity for double and float arrays") {
+    import spark.implicits._
+    val d = Seq((1L, Array(1.5, -2.25, 0.0, Double.MinPositiveValue))).toDF("id", "v")
+    val back = d.select(unpackVector(packVector(col("v"))).as("v"))
+      .as[Array[Double]].head()
+    assert(back.toSeq == Seq(1.5, -2.25, 0.0, Double.MinPositiveValue))
+    val f = Seq((1L, Array(1.5f, -2.25f, 3.0f))).toDF("id", "v")
+    val backF = f.select(unpackVector(packVector(col("v"))).as("v"))
+      .as[Array[Double]].head()
+    assert(backF.toSeq == Seq(1.5, -2.25, 3.0), "float widens losslessly")
+    // empty vector round-trips; null stays null
+    val e = Seq((1L, Array.empty[Double])).toDF("id", "v")
+    assert(e.select(unpackVector(packVector(col("v"))).as("v"))
+      .as[Array[Double]].head().isEmpty)
+  }
+
+  test("indexed probe == per-run ivfTopK, bit-identically") {
+    val c = corpus(400)
+    val q = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val root = tmpDir("eq")
+    IvfIndex.build(c, centroids, "vec_id", "embedding", root)
+    val indexed = IvfIndex.topK(spark, root, q, k = 5, nProbe = 2)
+      .orderBy("query_id", "rk").collect().toSeq
+    val direct = Similarity.ivfTopK(c, q, centroids, "vec_id", "embedding", k = 5, nProbe = 2)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
+  test("probe plans only the probed cells' files (listing pruning serves the index)") {
+    val root = tmpDir("prune")
+    IvfIndex.build(corpus(400), centroids, "vec_id", "embedding", root)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "schema" -> "id BIGINT, cell BIGINT, vec BINARY",
+      "partitionColumns" -> "cell").asJava))
+    val all = SnapshotFiles.pruned(o, Nil)
+    val cells = all.map(_.partitionValues("cell")).toSet
+    assert(cells == Set("0", "1", "2", "3"), s"expected 4 cell partitions, got $cells")
+    // the internal pruning API keeps exactly the probed cells' files
+    val probed = SnapshotFiles.pruned(o,
+      Seq(org.apache.spark.sql.sources.In("cell", Array[Any](1L, 3L))))
+    assert(probed.nonEmpty &&
+      probed.map(_.partitionValues("cell")).toSet == Set("1", "3"))
+    // and the DataFrame path really plans the pruned listing
+    val df = IvfIndex.readCells(spark, root, Seq(1L, 3L))
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.partitions.size == probed.size,
+      s"probe must plan only probed cells' files: ${scans.map(_.partitions.size)} vs ${probed.size}")
+    // value check: only cells 1 and 3 rows come back
+    val got = df.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("codebook reference path == literal fold, edge rows included") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false), nullable = true)))
+    val rows = (0 until 200).map { i =>
+      Row(i.toLong, Array.tabulate(8)(d => math.cos(i * 0.53 + d)).toSeq)
+    } ++ Seq(
+      Row(900L, null),                              // null vector
+      Row(901L, Seq.empty[Double]),                 // empty vector
+      Row(902L, Array.fill(8)(0.0).toSeq),          // zero norm -> NaN cosine
+      Row(903L, Seq(1.0, 2.0, 3.0)))                // length mismatch vs dim-8 codebook
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val cents = {
+      import spark.implicits._
+      (0 until 16).map(i =>
+        (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d)))).toDF("cid", "cv")
+    }
+    def cells(literal: Boolean) =
+      Similarity.assignCellsVia(df, cents, "vec_id", "embedding", literal)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit = cells(literal = true)
+    val ref = cells(literal = false)
+    assert(lit.size == 204 && lit == ref)
+    // the no-winner rows take the lowest cid on both paths
+    assert(Seq(900L, 901L, 903L).forall(id => ref(id) == 0L))
+  }
+
+  test("k=16384 codebook: plan stays O(1), argmax correct") {
+    import spark.implicits._
+    val k = 16384
+    val dim = 8
+    val cb = (0 until k).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 0.37 + d))))
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => math.cos(i * 0.53 + d))))
+    val assigned = Similarity.assignCells(
+      corpus.toDF("vec_id", "embedding"), cb.toDF("cid", "cv"), "vec_id", "embedding")
+    // the literal fold at this k would put ~k*dim literals in the plan; the
+    // reference-object path must keep the plan text effectively constant
+    val planStr = assigned.queryExecution.executedPlan.toString
+    assert(planStr.length < 20000, s"plan grew with k: ${planStr.length} chars")
+    val got = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side argmax under the exact expression rules (round6 HALF_UP,
+    // strict > in cid order)
+    def r6d(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      r6d(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val expected = corpus.map { case (id, v) =>
+      id -> cb.foldLeft((-1L, -2.0)) { case ((bc, bs), (cid, cv)) =>
+        val s = cos(v, cv)
+        if (s > bs) (cid, s) else (bc, bs)
+      }._1
+    }.toMap
+    assert(got == expected)
+  }
+}
