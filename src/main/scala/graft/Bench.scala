@@ -29,12 +29,17 @@ object Bench {
     catch { case _: Throwable => () }
     // deterministic order for round-over-round comparability; run r+1 of a
     // query follows run r immediately so both see the same cache state
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // per run: (wall seconds, drain seconds) — drain is the operator-only
+    // time streaming helpers report through BenchProbe (0 for batch
+    // entries); wall minus drain is StreamingQuery lifecycle overhead,
+    // the component the host environment band dominates
+    val results: Seq[(String, Seq[(Double, Double)])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (1 to runs).map { _ =>
+          BenchProbe.takeDrainSeconds()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, BenchProbe.takeDrainSeconds())
         }
     }
     def p50(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
@@ -52,11 +57,16 @@ object Bench {
       m.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }.mkString("{", ",", "}")
     // warm population excludes the cold first run (with runs=2, p50 over
     // both would silently report min(cold, warm))
-    val warm = results.map { case (k, rs) => k -> (if (rs.size > 1) p50(rs.tail) else rs.head) }
+    def warmOf(rs: Seq[Double]): Double = if (rs.size > 1) p50(rs.tail) else rs.head
+    val warm = results.map { case (k, rs) => k -> warmOf(rs.map(_._1)) }
+    // operator-only drain time for entries that ran a StreamingQuery
+    val drain = results
+      .map { case (k, rs) => k -> warmOf(rs.map(_._2)) }
+      .filter(_._2 > 0.005)
     val total = warm.map(_._2).sum
-    val coldTotal = results.map(_._2.head).sum
+    val coldTotal = results.map(_._2.head._1).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(warm)},""" +
-      s""""cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfDir"}"""
+      s""""drain":${jsonMap(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfDir"}"""
     // belt-and-braces for the machine parse: (a) the raw line on stdout (the
     // forked run inherits sbt's stdout via run/outputStrategy=StdoutOutput, so
     // no "[info] " prefix), (b) the same JSON as BENCH.json in the repo root

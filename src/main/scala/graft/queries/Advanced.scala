@@ -1198,6 +1198,43 @@ object Advanced {
         |  min(c_custkey) AS lo_key
         |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // The layout-maintenance loop end-to-end: a clustered publish declares
+    // its layout, append churn degrades it (full-range files), maintain()
+    // detects the degradation from storage signals and re-clusters. The
+    // oracle pins BOTH value identity across the restoring publish AND
+    // the decision itself ('recluster' as a literal column).
+    QueryDef("q133_maintenance", (s, dir) => {
+      import graft.sources.reftable.{RefTableMaintenance, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q133_maint")
+      val ddl = "c_custkey BIGINT, c_nationkey INT, cents BIGINT"
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      VersionedTable.publishClustered(base, root, Seq("c_custkey"), numFiles = 8)
+      // churn: each appended batch is ONE file spanning ~the whole key range
+      for (m <- Seq(1, 2))
+        base.filter(col("c_custkey") % 100 === m).withColumn("cents", lit(0L))
+          .coalesce(1).write.format("reftable")
+          .option("path", root).option("schema", ddl).mode("append").save()
+      val d = RefTableMaintenance.maintain(s, root, targetFileBytes = 64 * 1024)
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+        .withColumn("action", lit(d.action))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |unioned AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT c_custkey, c_nationkey, CAST(0 AS BIGINT) FROM base
+        |  WHERE c_custkey % 100 IN (1, 2))
+        |SELECT c_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  'recluster' AS action
+        |FROM unioned GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     // Dynamic partition overwrite end-to-end (the daily-backfill shape):
     // INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces
     // exactly the partitions present in the written data — one segment

@@ -36,7 +36,9 @@ object StreamingOps {
       .outputMode(outputMode)
       .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
       .start()
+    val t0 = System.nanoTime()
     q.processAllAvailable()
+    graft.BenchProbe.addDrain(System.nanoTime() - t0)
     q.stop()
     s.table(name)
   }
@@ -353,7 +355,9 @@ object StreamingOps {
           }
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
+        val t0 = System.nanoTime()
         q.awaitTermination(120000)
+        graft.BenchProbe.addDrain(System.nanoTime() - t0)
         q.stop()
       }
 

@@ -9,6 +9,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * publishes an empty version. Time travel uses the version-directory
   * names surfaced by [[VersionedTable.history]].
   */
-class RefTableCatalog extends TableCatalog with SupportsNamespaces {
+class RefTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private val conf = new Configuration()
@@ -339,4 +340,34 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(p, true)
   }
+
+  // ---- procedures (SQL CALL) ------------------------------------------------
+
+  /** Resolve a procedure's `table` argument ('ns.tbl' inside this catalog)
+    * to its versioned root + declared partition columns.
+    */
+  private def maintenanceTarget(tableRef: String): (String, Seq[String]) = {
+    val parts = tableRef.split('.').toIndexedSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table reference '$tableRef'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val (_, opts, _) = readDescriptor(ident)
+    val partitionCols = opts.get("partitionColumns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    (tablePath(ident).toString, partitionCols)
+  }
+
+  /** Procedures live under the reserved `system` namespace (the Iceberg
+    * `CALL cat.system.<proc>(...)` convention).
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      Array(Identifier.of(namespace, "maintain"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    if (ident.namespace.toSeq == Seq("system") && ident.name == "maintain")
+      new MaintainProcedure(maintenanceTarget)
+    else throw new IllegalArgumentException(
+      s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} " +
+        "(supported: system.maintain)")
 }

@@ -43,6 +43,15 @@ object VersionedTable {
     */
   val Pointer = "_CURRENT"
 
+  /** Root-level layout declaration: line 1 = commit sequence that declared
+    * it, line 2 = the `layout=<kind>:<cols>[:<n>]` marker. Written by every
+    * layout-establishing publish. The declaration must outlive commit-log
+    * retention (the declaring commit is pruned after `keepVersions` further
+    * publishes), so it lives beside the log, not in it; the in-log marker
+    * remains as provenance and as fallback when this cache write failed.
+    */
+  val LayoutDecl = "_LAYOUT"
+
   /** Commit log directory: `root/_COMMITS/<020d-seq>` files, each naming
     * one committed version (+ optional publish marker and lineage parent).
     * The MAX sequence file is the current version; commit files appear
@@ -307,7 +316,11 @@ object VersionedTable {
     val cols = clusterCols.map(df.col)
     publishInternal(
       df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
-      root, keepVersions, Nil, parent = parent, requireBase = requireBase)
+      root, keepVersions, Nil, parent = parent, requireBase = requireBase,
+      // self-describing layout commit: RefTableMaintenance reads the last
+      // layout=* marker as the table's DECLARED layout, and counts commits
+      // after it as mutation churn
+      marker = Some(s"layout=cluster:${clusterCols.mkString(",")}"))
   }
 
   /** Marker file a bucketed publish writes into its version dir: the
@@ -339,7 +352,8 @@ object VersionedTable {
       requireBase: Boolean = false): String = {
     require(bucketCols.nonEmpty, "publishBucketed needs at least one bucket column")
     require(nBuckets > 0, "nBuckets must be positive")
-    publishVia(root, keepVersions, parent = parent, requireBase = requireBase) { staging =>
+    publishVia(root, keepVersions, parent = parent, requireBase = requireBase,
+      marker = Some(s"layout=bucket:${bucketCols.mkString(",")}:$nBuckets")) { staging =>
       writeParquetMicros(
         df.repartition(nBuckets, bucketCols.map(df.col): _*), staging.toString)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -368,7 +382,8 @@ object VersionedTable {
     val staged = df.withColumn(zc, ZOrder.zColumn(df, zCols))
     publishInternal(
       staged.repartitionByRange(numFiles, staged(zc)).sortWithinPartitions(zc).drop(zc),
-      root, keepVersions, Nil, parent = parent, requireBase = requireBase)
+      root, keepVersions, Nil, parent = parent, requireBase = requireBase,
+      marker = Some(s"layout=zorder:${zCols.mkString(",")}"))
   }
 
   /** Bare snapshot data directly under a would-be root: loose parquet
@@ -530,6 +545,13 @@ object VersionedTable {
     // best-effort cache for external tooling and legacy readers; the
     // commit log is authoritative, so cache failures are swallowed
     swapPointerCache(rootPath, fs, conf, name + marker.fold("")("\n" + _))
+    // a layout-establishing publish re-declares the table's intended
+    // layout at the root, where retention can't prune it
+    marker.filter(_.startsWith("layout=")).foreach { m =>
+      try CommitPrimitive.forPath(rootPath, conf).overwrite(
+        new Path(rootPath, LayoutDecl), s"${commit.seq}\n$m".getBytes("UTF-8"), conf)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     // retention: drop committed states beyond keepVersions (ours counts),
     // oldest first; never anything at or after our own sequence. A
     // directory that RETAINED versions still depend on (their manifest
@@ -780,6 +802,33 @@ object VersionedTable {
     * resolution through the log, and the next successful publish
     * refreshes it.
     */
+  /** The table's declared layout, as (declaring commit seq, `layout=` marker):
+    * the root [[LayoutDecl]] file when present, else the newest in-log layout
+    * marker (covers a failed cache write until retention prunes that commit).
+    * Takes whichever is newer — a stale `_LAYOUT` left by a crashed overwrite
+    * must not shadow a later in-log re-declaration.
+    */
+  def layoutDeclaration(
+      root: String, conf: Configuration = new Configuration()): Option[(Long, String)] = {
+    val p = new Path(root, LayoutDecl)
+    val fs = p.getFileSystem(conf)
+    val fromFile =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          text.split('\n').toSeq.map(_.trim) match {
+            case seq +: m +: _ if m.startsWith("layout=") => seq.toLongOption.map((_, m))
+            case _ => None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val fromLog = commitLog(root, conf).reverse
+      .collectFirst { case c if c.marker.exists(_.startsWith("layout=")) => (c.seq, c.marker.get) }
+    (fromFile ++ fromLog).maxByOption(_._1)
+  }
+
   private def swapPointerCache(
       rootPath: Path, fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
       content: String): Unit =
