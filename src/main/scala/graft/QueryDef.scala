@@ -15,7 +15,11 @@ final case class QueryDef(
 object Catalog {
   lazy val all: Seq[QueryDef] =
     queries.Relational.defs ++
-      queries.Advanced.defs ++
+      queries.SqlExt.defs ++
+      queries.OperatorsExt.defs ++
+      queries.TableRead.defs ++
+      queries.TableMutations.defs ++
+      queries.TableCatalogSql.defs ++
       queries.TextOps.defs ++
       queries.DedupOps.defs ++
       queries.SimilarityOps.defs ++

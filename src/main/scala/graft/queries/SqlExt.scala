@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wider SQL-surface coverage: exact percentiles, ordered array aggregation,
+  * grouping sets, JSON extraction, as-of joins, string/date function
+  * breadth, window shapes, SQL-registered kernel functions, and session
+  * windows. */
+object SqlExt {
+  import RelationalSupport.t
+
+  val defs: Seq[QueryDef] = Seq(
+    // exact interpolated percentiles (Spark `percentile` == DuckDB quantile_cont)
+    QueryDef("q50_percentiles", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          r6(expr("percentile(value, 0.5)")).as("p50"),
+          r6(expr("percentile(value, 0.9)")).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ordered array aggregation (sort_array fixes collect_list's order).
+    // The array is canonicalized to its compact JSON text on BOTH sides:
+    // the driver's comparator sorts/hashes cell values, which is undefined
+    // for native array cells, and `[1,2,3]` renders identically from Spark
+    // to_json and DuckDB to_json.
+    QueryDef("q51_array_agg", (s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(to_json(sort_array(collect_list(col("c_custkey")))).as("custkeys"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """SELECT c_nationkey, CAST(to_json(list_sort(list(c_custkey))) AS VARCHAR) AS custkeys
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // GROUPING SETS beyond rollup
+    QueryDef("q52_grouping_sets", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nk,
+          |   count(*) AS n, round(sum(c_acctbal), 4) AS bal
+          | FROM customer
+          | GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          | ORDER BY seg, nk""".stripMargin)
+    }, Some(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nk,
+        |   count(*) AS n, round(sum(c_acctbal), 4) AS bal
+        | FROM customer
+        | GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        | ORDER BY seg, nk""".stripMargin)),
+
+    // JSON property extraction from the events payload
+    QueryDef("q53_json_extract", (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(min("k").as("min_k"), max("k").as("max_k"), r6(avg("k")).as("avg_k"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // as-of join: for each purchase, the latest prior click by the same user
+    // (composed from an inequality join + window top-1 — SURVEY §7.3
+    // preference (a): built-ins before custom operators).
+    QueryDef("q54_asof_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+      p.join(c, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("c_id"))
+        .orderBy("p_id")
+    }, Some(
+      """SELECT p_id, c_id FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // wider string functions: levenshtein, lpad, replace, split_part
+    QueryDef("q55_string_funcs", (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        regexp_replace(col("p_type"), " ", "-").as("dashed"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("first_word"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev,
+        |  lpad(p_brand, 12, '_') AS padded,
+        |  replace(p_type, ' ', '-') AS dashed,
+        |  split_part(p_type, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ISO weekday + ISO week bucketing (epoch seconds to avoid ts typing)
+    QueryDef("q56_date_funcs", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          (weekday(col("ts")) + 1).as("isodow"),
+          unix_timestamp(date_trunc("week", col("ts"))).as("week_s"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("v"))
+        .orderBy("week_s", "isodow")
+    }, Some(
+      """SELECT CAST(isodow(ts) AS INTEGER) AS isodow,
+        |  CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s,
+        |  count(*) AS n, round(sum(value), 4) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY week_s, isodow""".stripMargin)),
+
+    // sliding event-time windows (30-minute window, 10-minute slide: every
+    // event lands in exactly 3 windows). The oracle fans each row out to
+    // its 3 window starts explicitly.
+    QueryDef("q83_sliding_window", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("v"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("n"), col("v"))
+        .orderBy("ws")
+    }, Some(
+      """SELECT ws, count(*) AS n, round(sum(value), 4) AS v FROM (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 - 600*k AS BIGINT) AS ws, value
+        |  FROM events, UNNEST([0, 1, 2]) AS t(k))
+        |GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // window-function breadth: lag/lead/first_value + running sum in one pass
+    QueryDef("q65_window_breadth", (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_orderkey").over(running).as("first_order"),
+        r4(sum("o_totalprice").over(running)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // SQL-registered kernel functions: the same simhash through spark.sql
+    QueryDef("q63_sql_functions", (s, dir) => {
+      graft.functions.Registry.registerAll(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id, graft_simhash60(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS simhash
+          |FROM documents WHERE size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) > 0
+          |ORDER BY doc_id""".stripMargin)
+    }, Some(s"WITH ${DedupOps.SimhashSql} SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id")),
+
+    // session windows: per-user sessions with a 30-minute inactivity gap
+    // (Spark session_window vs a gaps-and-islands oracle; microsecond
+    // precision on both sides).
+    QueryDef("q58_session_window", (s, dir) => {
+      graft.operators.Sessionize.batch(t(s, dir, "events"), "user_id", "ts", "value", "30 minutes")
+        .orderBy("user_id", "start_us")
+    }, Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS v
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
+  )
+}
