@@ -359,15 +359,22 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   /** Procedures live under the reserved `system` namespace (the Iceberg
     * `CALL cat.system.<proc>(...)` convention).
     */
+  private val procedures = Seq("maintain", "compact", "vacuum")
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array(Identifier.of(namespace, "maintain"))
+      procedures.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
-    if (ident.namespace.toSeq == Seq("system") && ident.name == "maintain")
-      new MaintainProcedure(maintenanceTarget)
-    else throw new IllegalArgumentException(
+    if (ident.namespace.toSeq == Seq("system")) ident.name match {
+      case "maintain" => new MaintainProcedure(maintenanceTarget)
+      case "compact" => new CompactProcedure(maintenanceTarget)
+      case "vacuum" => new VacuumProcedure(maintenanceTarget)
+      case _ => throw new IllegalArgumentException(
+        s"unknown procedure system.${ident.name} " +
+          s"(supported: ${procedures.map("system." + _).mkString(", ")})")
+    } else throw new IllegalArgumentException(
       s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} " +
-        "(supported: system.maintain)")
+        s"(supported: ${procedures.map("system." + _).mkString(", ")})")
 }

@@ -24,19 +24,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * scheduler can census a warehouse cheaply and only spend cluster time on
   * tables that need work.
   */
+/** Shared shape of the single-row maintenance procedures: bind to self,
+  * non-deterministic (they mutate table state), one `LocalScan` result row.
+  */
+sealed abstract class RefTableProcedure extends UnboundProcedure with BoundProcedure {
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  protected def outputSchema: StructType
+  protected def result(values: Any*): JIterator[Scan] = {
+    val row = InternalRow(values: _*)
+    val desc = name
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outputSchema
+      override def description(): String = desc
+    }).iterator()
+  }
+}
+
 final class MaintainProcedure(resolveTarget: String => (String, Seq[String]))
-    extends UnboundProcedure with BoundProcedure {
+    extends RefTableProcedure {
 
   override def name: String = "maintain"
 
   override def description: String =
     "Reads a versioned table's layout signals and, when degraded past thresholds, " +
       "runs the restoring publish (compact / recluster / rebucket)"
-
-  override def bind(inputType: StructType): BoundProcedure = this
-
-  // mutates table state; never cache or reorder its invocation
-  override def isDeterministic: Boolean = false
 
   override def parameters: Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", DataTypes.StringType)
@@ -49,7 +62,7 @@ final class MaintainProcedure(resolveTarget: String => (String, Seq[String]))
     ProcedureParameter.in("max_read_amp", DataTypes.DoubleType).defaultValue("1.5").build(),
     ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
 
-  private val outputSchema =
+  protected val outputSchema =
     StructType.fromDDL("action STRING, reason STRING, version STRING")
 
   override def call(input: InternalRow): JIterator[Scan] = {
@@ -67,14 +80,58 @@ final class MaintainProcedure(resolveTarget: String => (String, Seq[String]))
       else
         RefTableMaintenance.maintain(SparkSession.active, root,
           targetFileBytes, maxSmallFiles, maxReadAmp, keepVersions, partitionColumns)
-    val row = InternalRow(
+    result(
       UTF8String.fromString(decision.action),
       UTF8String.fromString(decision.reason),
       decision.version.map(UTF8String.fromString).orNull)
-    Collections.singletonList[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outputSchema
-      override def description(): String = s"maintain($tableRef)"
-    }).iterator()
+  }
+}
+
+/** `CALL cat.system.compact(table => 'ns.t')` — the unconditional
+  * small-file compaction publish ([[VersionedTable.compact]]); use
+  * `maintain` for the signal-driven variant.
+  */
+final class CompactProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "compact"
+  override def description: String =
+    "Compacts the current version into ~target_file_bytes files as a new version"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("target_file_bytes", DataTypes.LongType)
+      .defaultValue((128L * 1024 * 1024).toString).build(),
+    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, partitionColumns) = resolveTarget(input.getString(0))
+    val v = VersionedTable.compact(SparkSession.active, root,
+      input.getLong(1), input.getInt(2), partitionColumns)
+    result(UTF8String.fromString(v))
+  }
+}
+
+/** `CALL cat.system.vacuum(table => 'ns.t', keep_versions => 3)` — explicit
+  * retention pass dropping versions beyond `keep_versions` (never the
+  * current pointer's target); returns what was removed.
+  */
+final class VacuumProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "vacuum"
+  override def description: String =
+    "Removes retained versions beyond keep_versions; returns the removed directories"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
+
+  protected val outputSchema = StructType.fromDDL("removed INT, versions STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, _) = resolveTarget(input.getString(0))
+    val removed = VersionedTable.vacuum(root, input.getInt(1))
+    result(Int.box(removed.size), UTF8String.fromString(removed.mkString(",")))
   }
 }

@@ -147,6 +147,32 @@ class RefTableMaintenanceSpec extends AnyFunSuite {
       .collect().head.getString(0) == "none")
   }
 
+  test("SQL CALL system.compact and system.vacuum: explicit maintenance verbs") {
+    val cat = "gcompcat"
+    val wh = Files.createTempDirectory("graft_comp_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, grp INT, payload STRING) USING reftable")
+    VersionedTable.publish(corpus(500).repartition(40), s"$wh/db/t")
+    val before = spark.table(s"$cat.db.t").count()
+
+    val c = spark.sql(s"CALL $cat.system.compact(table => 'db.t')").collect().head
+    assert(c.getString(0).startsWith("v"), c.toString)
+    assert(spark.table(s"$cat.db.t").count() == before)
+    assert(graft.sources.reftable.SnapshotFiles.list(
+      VersionedTable.resolve(s"$wh/db/t", conf).get).size < 40)
+
+    // publish churn so versions exceed retention, then vacuum to 2
+    for (_ <- 1 to 3) VersionedTable.publish(corpus(500).repartition(2), s"$wh/db/t",
+      keepVersions = 10)
+    val v = spark.sql(s"CALL $cat.system.vacuum(table => 'db.t', keep_versions => 2)")
+      .collect().head
+    assert(v.getInt(0) >= 1, v.toString)
+    assert(spark.table(s"$cat.db.t").count() == before)
+  }
+
   test("layout marker grammar round-trips; junk is rejected") {
     import RefTableMaintenance._
     assert(parseLayoutMarker("layout=cluster:a,b") ==
