@@ -85,6 +85,63 @@ object TextAnalysis {
         col("n_dup").cast("double") / col("n_windows")).otherwise(lit(0.0))))
   }
 
+  /** Exact-substring span REMOVAL — the acting half of the Lee-et-al
+    * dedup whose signal [[duplicatedNgramFraction]] computes: every token
+    * covered by an n-token window that occurs in more than `maxDocs`
+    * distinct documents is cut from EVERY document (the symmetric policy:
+    * boilerplate is noise wherever it appears), and the survivors are
+    * reassembled in order, single-space joined (token-level ops reassemble
+    * canonically; byte-exact reassembly is the paragraph op's contract).
+    *
+    * Returns (id, clean_text, n_tokens, n_removed). A document made
+    * entirely of boilerplate comes back as the empty string, not a
+    * dropped row — downstream filters decide its fate.
+    *
+    * Scale shape: windows and coverage travel as (60-bit hash, int
+    * position) — text never shuffles as a key; the census is the same
+    * hash-aggregate as the signal op; coverage explodes only HOT windows
+    * (bounded by n × duplicated windows, and per (doc, index) dedup caps
+    * it at total tokens); the keep-join and reassembly shuffle O(total
+    * tokens). Same asymptotics as tokenization.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxDocs: Int = 1): DataFrame = {
+    require(n >= 1 && maxDocs >= 1, "n and maxDocs must be >= 1")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // (start position, window hash) pairs, 1-based — identical hash
+    // construction to duplicatedNgramFraction so oracles replay it
+    val winsArr = when(size(col("__t")) >= n,
+      transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+        i => struct(i.as("__p"),
+          graftHash(array_join(slice(col("__t"), i, lit(n)), " ")).as("__h"))))
+      .otherwise(array().cast("array<struct<__p:int,__h:bigint>>"))
+    val w = toks.select(col(idCol), explode(winsArr).as("__w"))
+      .select(col(idCol), col("__w.__p").as("__p"), col("__w.__h").as("__h"))
+    val hot = w.groupBy("__h").agg(countDistinct(col(idCol)).as("__dc"))
+      .filter(col("__dc") > maxDocs).select(col("__h"), lit(true).as("__hot"))
+    // covered token indices: union of [p, p+n) over this doc's hot windows
+    val covered = w.join(hot, Seq("__h"))
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + (n - 1))).as("__i"))
+      .distinct()
+    val tokIdx = toks
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__pos0", "__tok")))
+      .select(col(idCol), (col("__pos0") + 1).as("__i"), col("__tok"))
+    val kept = tokIdx.join(covered, Seq(idCol, "__i"), "left_anti")
+    val agg = kept.groupBy(idCol).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("__tok")))),
+          x => x.getField("__tok")),
+        " ").as("clean_text"),
+      count(lit(1)).as("__nk"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+  }
+
   /** Corpus token frequencies grouped by a dimension column. */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     df.select(col(groupCol), explode(tokens(col(textCol))).as("word"))

@@ -177,6 +177,47 @@ object TextOps {
         |FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
 
+    // exact-substring span removal: the acting half of q130's signal —
+    // every token covered by a window occurring in >1 documents is cut
+    // from every document, survivors reassembled in order. The oracle
+    // replays the identical hash construction, coverage union, anti-join
+    // and ordered reassembly in SQL.
+    QueryDef("q134_remove_dup_spans", (s, dir) => {
+      graft.operators.TextAnalysis.removeDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, maxDocs = 1)
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest([{'p': i,
+        |      'h': CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS BIGINT)}
+        |      FOR i IN generate_series(1, len(t) - 4)]) AS win
+        |  FROM toks WHERE len(t) >= 5),
+        |w2 AS (SELECT doc_id, win.p AS p, win.h AS h FROM w),
+        |hot AS (SELECT h FROM w2 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(p, p + 4)) AS i
+        |  FROM w2 JOIN hot USING (h)),
+        |ti AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    unnest(generate_series(1, len(t))) AS i
+        |  FROM toks),
+        |kept AS (
+        |  SELECT ti.doc_id, ti.i, ti.tok FROM ti
+        |  LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - COALESCE(agg.nk, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
     // Cross-document paragraph dedup (C4/RefinedWeb boilerplate removal):
     // the corpus has no natural multi-paragraph structure, so — like
     // q78's planted PII — every document gets a planted boilerplate

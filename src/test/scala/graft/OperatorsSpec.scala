@@ -11,6 +11,28 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("removeDuplicatedSpans cuts planted boilerplate, keeps unique text in order") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact the site administrator"  // 7 tokens
+    val docs = (0 until 20).map { i =>
+      val unique = s"doc$i alpha$i bravo$i charlie$i delta$i echo$i"
+      (i.toLong, if (i == 19) boiler else s"$unique $boiler tail$i omega$i")
+    }.toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .removeDuplicatedSpans(docs, "doc_id", "text", n = 5, maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+
+    // boilerplate-only doc empties but stays a row
+    assert(out(19L) == (("", 7L, 7L)))
+    for (i <- 0 until 19) {
+      val (clean, nTok, nRem) = out(i.toLong)
+      assert(nTok == 15L && nRem == 7L, s"doc $i: $nTok/$nRem")
+      assert(clean == s"doc$i alpha$i bravo$i charlie$i delta$i echo$i tail$i omega$i",
+        s"doc $i kept: $clean")
+      assert(!clean.contains("rights"), s"doc $i still has boilerplate")
+    }
+  }
+
   test("salted join equals plain join") {
     val ev = Tables.load(spark, dir, "events").select("event_id", "user_id")
     val cust = Tables.load(spark, dir, "customer")
