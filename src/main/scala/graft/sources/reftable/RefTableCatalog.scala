@@ -359,7 +359,19 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   /** Procedures live under the reserved `system` namespace (the Iceberg
     * `CALL cat.system.<proc>(...)` convention).
     */
-  private val procedures = Seq("maintain", "compact", "vacuum")
+  /** Every table reference in the warehouse ('ns.tbl'), via the namespace
+    * tree — O(directories), used by the maintain_all census.
+    */
+  private def allTableRefs(): Seq[String] = {
+    def walk(ns: Array[String]): Seq[Array[String]] =
+      ns +: listNamespaces(ns).flatMap(walk).toSeq
+    walk(Array.empty).flatMap { ns =>
+      try listTables(ns).toSeq.map(i => (i.namespace :+ i.name).mkString("."))
+      catch { case _: NoSuchNamespaceException => Seq.empty }
+    }
+  }
+
+  private val procedures = Seq("maintain", "maintain_all", "compact", "vacuum")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -369,6 +381,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace.toSeq == Seq("system")) ident.name match {
       case "maintain" => new MaintainProcedure(maintenanceTarget)
+      case "maintain_all" => new MaintainAllProcedure(allTableRefs, maintenanceTarget)
       case "compact" => new CompactProcedure(maintenanceTarget)
       case "vacuum" => new VacuumProcedure(maintenanceTarget)
       case _ => throw new IllegalArgumentException(

@@ -87,6 +87,70 @@ final class MaintainProcedure(resolveTarget: String => (String, Seq[String]))
   }
 }
 
+/** `CALL cat.system.maintain_all()` — the warehouse-wide maintenance
+  * census: every table's signals read (metadata only — commit log, stats
+  * manifest, markers; no data pages), one row per table with the decision.
+  * `dry_run` defaults to TRUE here (the census is the point; a scheduler
+  * reads it and spends cluster time only where action != 'none'), pass
+  * `dry_run => false` to also execute each restoring publish.
+  */
+final class MaintainAllProcedure(
+    listAll: () => Seq[String],
+    resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "maintain_all"
+  override def description: String =
+    "Reads every table's layout signals; reports (and with dry_run => false, executes) " +
+      "the maintenance decision per table"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("dry_run", DataTypes.BooleanType).defaultValue("true").build(),
+    ProcedureParameter.in("target_file_bytes", DataTypes.LongType)
+      .defaultValue((128L * 1024 * 1024).toString).build(),
+    ProcedureParameter.in("max_small_files", DataTypes.IntegerType).defaultValue("64").build(),
+    ProcedureParameter.in("max_read_amp", DataTypes.DoubleType).defaultValue("1.5").build(),
+    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
+
+  protected val outputSchema =
+    StructType.fromDDL("table STRING, action STRING, reason STRING, version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dryRun = input.getBoolean(0)
+    val targetFileBytes = input.getLong(1)
+    val maxSmallFiles = input.getInt(2)
+    val maxReadAmp = input.getDouble(3)
+    val keepVersions = input.getInt(4)
+    val resultRows = listAll().sorted.map { ref =>
+      val (root, partitionColumns) = resolveTarget(ref)
+      val decision =
+        try {
+          if (dryRun)
+            RefTableMaintenance.decide(
+              RefTableMaintenance.signals(root), targetFileBytes, maxSmallFiles, maxReadAmp)
+          else
+            RefTableMaintenance.maintain(SparkSession.active, root,
+              targetFileBytes, maxSmallFiles, maxReadAmp, keepVersions, partitionColumns)
+        } catch {
+          // a table created but never written has no version to read;
+          // the census reports it instead of aborting the sweep
+          case e: IllegalArgumentException =>
+            RefTableMaintenance.Decision("none", s"skipped: ${e.getMessage}")
+        }
+      InternalRow(
+        UTF8String.fromString(ref),
+        UTF8String.fromString(decision.action),
+        UTF8String.fromString(decision.reason),
+        decision.version.map(UTF8String.fromString).orNull)
+    }.toArray
+    val schema = outputSchema
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = resultRows
+      override def readSchema(): StructType = schema
+      override def description(): String = "maintain_all"
+    }).iterator()
+  }
+}
+
 /** `CALL cat.system.compact(table => 'ns.t')` — the unconditional
   * small-file compaction publish ([[VersionedTable.compact]]); use
   * `maintain` for the signal-driven variant.

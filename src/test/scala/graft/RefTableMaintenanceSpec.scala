@@ -173,6 +173,33 @@ class RefTableMaintenanceSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").count() == before)
   }
 
+  test("SQL CALL system.maintain_all: warehouse census, then targeted execution") {
+    val cat = "gallcat"
+    val wh = Files.createTempDirectory("graft_all_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.frag (id BIGINT, grp INT, payload STRING) USING reftable")
+    spark.sql(s"CREATE TABLE $cat.db.fine (id BIGINT, grp INT, payload STRING) USING reftable")
+    spark.sql(s"CREATE TABLE $cat.db.empty (id BIGINT, grp INT, payload STRING) USING reftable")
+    VersionedTable.publish(corpus(500).repartition(80), s"$wh/db/frag")
+    VersionedTable.publish(corpus(500).repartition(2), s"$wh/db/fine")
+
+    // census (dry_run defaults TRUE): one row per table, nothing executed
+    val census = spark.sql(s"CALL $cat.system.maintain_all()").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.isNullAt(3))).toMap
+    assert(census.keySet == Set("db.frag", "db.fine", "db.empty"), census.toString)
+    assert(census("db.frag") == (("compact", true)))
+    assert(census("db.fine") == (("none", true)))
+    assert(census("db.empty")._1 == "none")
+
+    val ran = spark.sql(s"CALL $cat.system.maintain_all(dry_run => false)").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.isNullAt(3))).toMap
+    assert(ran("db.frag") == (("compact", false)), ran.toString)
+    assert(spark.table(s"$cat.db.frag").count() == 500)
+  }
+
   test("layout marker grammar round-trips; junk is rejected") {
     import RefTableMaintenance._
     assert(parseLayoutMarker("layout=cluster:a,b") ==
