@@ -185,6 +185,38 @@ object TextAnalysis {
       r6(punct.cast("double") / length(col(textCol))).as("punct_ratio"))
   }
 
+  /** Hashing-trick linear quality scorer — the fasttext/CCNet-classifier
+    * INFERENCE shape used for model-based quality filtering: each token
+    * maps to a bucket `pmod(hash(token), dim)`, the document score is the
+    * mean bucket weight (length-invariant logit). Weights here are a
+    * deterministic stand-in derived from `hash(seed:bucket)` on an exact
+    * 1e-6 grid, so the oracle replays them bit-for-bit; a TRAINED model
+    * plugs into the identical plan as a broadcast weight array (same
+    * broadcast-expression path as the large-k IVF codebook) — the scan,
+    * hash chain and partial aggregation don't change.
+    *
+    * Scale shape: one narrow pass (token explode → hash → weight) feeding
+    * a partial-aggregated mean per document — O(total tokens), whole-stage
+    * codegen, no text shuffled (only (id, weight) pairs reach the
+    * exchange, and map-side combine collapses them per document first).
+    */
+  def hashedLinearScore(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 4096, seed: String = "graft"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val bucket = pmod(graftHash(col("__tok")), lit(dim.toLong))
+    val weight = (graftHash(concat(lit(seed + ":"), bucket)) % 2000001L)
+      .cast("double") / 1000000.0 - 1.0
+    val agg = tok.select(col(idCol), weight.as("__w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), r4(avg(col("__w"))).as("quality"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("quality"), lit(0.0)).as("quality"))
+  }
+
   /** Document fingerprint: minimum hashed k-shingle (MinHash permutation 0 of
     * the identity permutation — a stable 60-bit content fingerprint robust to
     * local edits away from the minimum shingle).

@@ -177,6 +177,32 @@ object TextOps {
         |FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
 
+    // hashing-trick linear scorer (the fasttext/CCNet quality-classifier
+    // inference shape): token → bucket → weight → per-doc mean logit. The
+    // deterministic stand-in weights replay exactly in SQL; a trained
+    // model swaps in as a broadcast array over the same plan.
+    QueryDef("q135_hashed_quality", (s, dir) => {
+      graft.operators.TextAnalysis.hashedLinearScore(
+        t(s, dir, "documents"), "doc_id", "text", dim = 4096, seed = "graft")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |wts AS (
+        |  SELECT doc_id,
+        |    (CAST(('0x' || substr(md5('graft:' ||
+        |       (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096)), 1, 15))
+        |      AS BIGINT) % 2000001) / 1000000.0 - 1.0 AS w
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tok, round(avg(w), 4) AS quality
+        |  FROM wts GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(agg.n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(COALESCE(agg.quality, 0.0) AS DOUBLE) AS quality
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // exact-substring span removal: the acting half of q130's signal —
     // every token covered by a window occurring in >1 documents is cut
     // from every document, survivors reassembled in order. The oracle
