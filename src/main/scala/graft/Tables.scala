@@ -20,22 +20,31 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Timestamp columns stored as parquet TIMESTAMP(NANOS) — unsupported by
-    * Spark's reader, so they are read as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and converted to TimestampType
-    * here (integral `div` — a double division would lose precision above
-    * 2^53 ns).
+  /** Event-time columns whose on-disk encoding has drifted across driver
+    * testdata regenerations: parquet TIMESTAMP(NANOS) (reads as LongType
+    * under spark.sql.legacy.parquet.nanosAsLong) through round 8, then
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ) from
+    * round 9. Both are normalized to TimestampType micros here — the
+    * NTZ→LTZ cast under the pinned UTC session keeps the stored micros
+    * value identical — so every downstream consumer (windows, watermarks,
+    * unix_micros, session_window) sees ONE type regardless of which
+    * generation of testdata is on disk. Integral `div` for the nanos case —
+    * a double division would lose precision above 2^53 ns.
     */
-  private val nanoTsCols = Set("ts", "o_orderdate", "l_shipdate")
+  private val driftTsCols = Set("ts", "o_orderdate", "l_shipdate")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val raw = spark.read.parquet(path(dir, name))
     raw.schema.fields.foldLeft(raw) { (df, f) =>
-      if (nanoTsCols.contains(f.name) && f.dataType == LongType)
-        df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
-      else df
+      if (driftTsCols.contains(f.name)) f.dataType match {
+        case LongType =>
+          df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      } else df
     }
   }
 

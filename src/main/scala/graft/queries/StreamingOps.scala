@@ -65,6 +65,30 @@ object StreamingOps {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The driver regenerates /root/testdata between rounds and has already
+    * changed the on-disk `ts` encoding once (parquet TIMESTAMP(NANOS) through
+    * round 8 → TIMESTAMP(MICROS, isAdjustedToUTC=false) from round 9).
+    * File-stream reads need an explicit schema, so detect the encoding with a
+    * footer-only batch schema inference and return (read type for `ts`, SQL
+    * expression converting `ts` to TIMESTAMP_LTZ micros). The queries below
+    * then track whatever generation of testdata is on disk instead of
+    * hard-coding one encoding.
+    */
+  private def tsEncoding(s: SparkSession, dir: String): (DataType, String) = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    s.read.parquet(Tables.path(dir, "events")).schema("ts").dataType match {
+      case LongType         => (LongType, "timestamp_micros(ts div 1000)") // nanos → micros
+      case TimestampNTZType => (TimestampNTZType, "cast(ts as timestamp)") // UTC session: same instant
+      case other            => (other, "ts")
+    }
+  }
+
+  private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   val defs: Seq[QueryDef] = Seq(
     // full-snapshot emission through the source, key-as-field included:
     // streaming output must equal the batch table contents (reference
@@ -143,21 +167,15 @@ object StreamingOps {
     // event-time tumbling window through Spark's file streaming source with a
     // watermark — the batch q12 oracle must reproduce it exactly.
     QueryDef("q47_stream_tumbling", (s, dir) => withShufflePartitions(s, 8) {
-      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
+      val (tsType, tsExpr) = tsEncoding(s, dir)
       // the file streaming source wants a directory; expose the single
       // events file through a temp dir via symlink
       val evDir = Files.createTempDirectory("graft_events_")
       Files.createSymbolicLink(evDir.resolve("events.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))
-      val raw = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-        .parquet(evDir.toString)
+      val raw = s.readStream.schema(eventsSchema(tsType)).parquet(evDir.toString)
       val agg = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", expr(tsExpr))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
@@ -173,19 +191,13 @@ object StreamingOps {
     // source — the streaming form of q83, same explicit-fan-out oracle:
     // every event belongs to exactly 3 overlapping windows.
     QueryDef("q87_stream_sliding", (s, dir) => withShufflePartitions(s, 8) {
-      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
+      val (tsType, tsExpr) = tsEncoding(s, dir)
       val evDir = Files.createTempDirectory("graft_slide_")
       Files.createSymbolicLink(evDir.resolve("events.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))
-      val raw = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-        .parquet(evDir.toString)
+      val raw = s.readStream.schema(eventsSchema(tsType)).parquet(evDir.toString)
       val agg = raw
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", expr(tsExpr))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("v"))
@@ -203,17 +215,12 @@ object StreamingOps {
     // preceding hour. Inner joins emit eagerly as matches arrive, so one
     // drain suffices; the batch oracle is the same inequality join.
     QueryDef("q72_stream_stream_join", (s, dir) => withShufflePartitions(s, 8) {
-      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
-      val evSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val (tsType, tsExpr) = tsEncoding(s, dir)
       val evDir = Files.createTempDirectory("graft_ssj_")
       Files.createSymbolicLink(evDir.resolve("events.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))
-      def side(tpe: String, prefix: String) = s.readStream.schema(evSchema).parquet(evDir.toString)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      def side(tpe: String, prefix: String) = s.readStream.schema(eventsSchema(tsType)).parquet(evDir.toString)
+        .withColumn("tsm", expr(tsExpr))
         .withWatermark("tsm", "1 hour")
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
@@ -237,21 +244,15 @@ object StreamingOps {
     // event arrives in duplicate); watermarked dropDuplicates must restore
     // exactly-once semantics — aggregates equal the plain batch oracle.
     QueryDef("q70_stream_dedup", (s, dir) => withShufflePartitions(s, 8) {
-      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
+      val (tsType, tsExpr) = tsEncoding(s, dir)
       val evDir = Files.createTempDirectory("graft_dedupstream_")
       Files.createSymbolicLink(evDir.resolve("a.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))
       Files.createSymbolicLink(evDir.resolve("b.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))
-      val raw = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-        .parquet(evDir.toString)
+      val raw = s.readStream.schema(eventsSchema(tsType)).parquet(evDir.toString)
       val deduped = raw
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withColumn("tsm", expr(tsExpr))
         .withWatermark("tsm", "1 hour")
         .dropDuplicates("event_id")
         .groupBy("event_type")
@@ -269,21 +270,16 @@ object StreamingOps {
     // oracle (q58) exactly.
     QueryDef("q59_stateful_sessions", (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
+      val (tsType, tsExpr) = tsEncoding(s, dir)
       val gapUs = 30L * 60 * 1000000
-      val evSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
 
       val streamDir = Files.createTempDirectory("graft_sess_")
       Files.createSymbolicLink(streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))
 
-      val raw = s.readStream.schema(evSchema).parquet(streamDir.toString)
+      val raw = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
       val events = raw
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withColumn("tsm", expr(tsExpr))
         .withWatermark("tsm", "0 seconds")
         // NOTE: do NOT filter the sentinel rows here — a filter gets pushed
         // below the watermark operator into the scan, so the sentinels would
@@ -361,9 +357,21 @@ object StreamingOps {
         q.stop()
       }
 
+      // the sentinel's ts must be written in the SAME encoding the stream
+      // schema declares, or the file source fails the batch (or reads junk):
+      // raw long for the nanos generation, a typed NTZ/LTZ literal otherwise.
       def writeSentinel(name: String, tsNanos: Long): Unit = {
-        Seq((-(1L), tsNanos, -(1L), "sentinel", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val secs = tsNanos / 1000000000L
+        val base = Seq((-(1L), -(1L), "sentinel", 0.0, "{}"))
+          .toDF("event_id", "user_id", "event_type", "value", "props")
+        val tsCol = tsType match {
+          case LongType         => lit(tsNanos)
+          case TimestampNTZType =>
+            lit(java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC))
+          case _                => lit(java.time.Instant.ofEpochSecond(secs))
+        }
+        base.withColumn("ts", tsCol)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .repartition(1).write.mode("append").parquet(streamDir.toString + "_stage")
         // move the staged file in atomically so the file source sees one new file
         val stage = new java.io.File(streamDir.toString + "_stage")
