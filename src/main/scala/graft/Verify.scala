@@ -16,17 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
+    // — a tab or CR in builder-authored SQL (or an exception message) would
+    // otherwise make the driver's json.load fail and silently zero the
+    // round's correctness.
+    def jsonStr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -35,8 +29,32 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Local-only dry-run filter (the driver never sets this): run a subset,
+    // e.g. SPARK_GRAFT_ONLY=q01_scan_project,q07_agg_pricing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        // Lossless gate: a thrown query must surface as an explicit error
+        // marker, never as a silently-missing key in the driver's report.
+        // (Mirrors the reference's collect-never-drop FailureCollector
+        // discipline, TableStreamingSourceConfig.java:113-144.)
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        Files.writeString(dir.resolve("_ERROR.json"),
+          s"""{"query": ${jsonStr(name)}, "error": ${jsonStr(msg)}}""")
+      }
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
