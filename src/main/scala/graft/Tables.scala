@@ -33,17 +33,39 @@ object Tables {
     */
   private val driftTsCols = Set("ts", "o_orderdate", "l_shipdate")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Enable reading parquet TIMESTAMP(NANOS) columns as LongType nanos.
+    * Safe no-op if the legacy flag ever disappears.
+    */
+  def enableNanosAsLong(spark: SparkSession): Unit =
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
+
+  /** THE drift matrix — the single place mapping an on-disk event-time
+    * encoding (as seen by Spark's reader) to the engine-wide normalization
+    * to TimestampType micros. Returns a SQL expression over `name`:
+    *   - LongType (TIMESTAMP(NANOS) under nanosAsLong): integral `div`
+    *     nanos→micros — double division would lose precision above 2^53 ns;
+    *   - TIMESTAMP_NTZ (MICROS, isAdjustedToUTC=false): cast — under the
+    *     pinned UTC session the stored micros value is unchanged;
+    *   - TimestampType already: identity.
+    * Both the batch loader ([[load]]) and the file-stream schema builder
+    * (StreamingOps.tsEncoding) go through here, so a future encoding drift
+    * is fixed in exactly one place.
+    */
+  def tsNormalizeSql(name: String, readType: org.apache.spark.sql.types.DataType): String =
+    readType match {
+      case LongType                                        => s"timestamp_micros($name div 1000)"
+      case org.apache.spark.sql.types.TimestampNTZType     => s"cast($name as timestamp)"
+      case _                                               => name
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    enableNanosAsLong(spark)
     val raw = spark.read.parquet(path(dir, name))
     raw.schema.fields.foldLeft(raw) { (df, f) =>
-      if (driftTsCols.contains(f.name)) f.dataType match {
-        case LongType =>
-          df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
+      if (driftTsCols.contains(f.name)) {
+        val sql = tsNormalizeSql(f.name, f.dataType)
+        if (sql == f.name) df else df.withColumn(f.name, expr(sql))
       } else df
     }
   }

@@ -70,18 +70,14 @@ object StreamingOps {
     * round 8 → TIMESTAMP(MICROS, isAdjustedToUTC=false) from round 9).
     * File-stream reads need an explicit schema, so detect the encoding with a
     * footer-only batch schema inference and return (read type for `ts`, SQL
-    * expression converting `ts` to TIMESTAMP_LTZ micros). The queries below
-    * then track whatever generation of testdata is on disk instead of
-    * hard-coding one encoding.
+    * expression converting `ts` to TIMESTAMP_LTZ micros). The drift matrix
+    * itself lives once, in [[Tables.tsNormalizeSql]] — shared with the batch
+    * loader so the two paths cannot skew.
     */
   private def tsEncoding(s: SparkSession, dir: String): (DataType, String) = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    s.read.parquet(Tables.path(dir, "events")).schema("ts").dataType match {
-      case LongType         => (LongType, "timestamp_micros(ts div 1000)") // nanos → micros
-      case TimestampNTZType => (TimestampNTZType, "cast(ts as timestamp)") // UTC session: same instant
-      case other            => (other, "ts")
-    }
+    Tables.enableNanosAsLong(s)
+    val t = s.read.parquet(Tables.path(dir, "events")).schema("ts").dataType
+    (t, Tables.tsNormalizeSql("ts", t))
   }
 
   private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
@@ -361,14 +357,18 @@ object StreamingOps {
       // schema declares, or the file source fails the batch (or reads junk):
       // raw long for the nanos generation, a typed NTZ/LTZ literal otherwise.
       def writeSentinel(name: String, tsNanos: Long): Unit = {
+        // carry micros-granularity sub-second precision into the typed
+        // literals — a truncated sentinel would under-advance the watermark
+        // and silently leave final sessions unflushed
         val secs = tsNanos / 1000000000L
+        val microNanos = (tsNanos % 1000000000L) / 1000L * 1000L
         val base = Seq((-(1L), -(1L), "sentinel", 0.0, "{}"))
           .toDF("event_id", "user_id", "event_type", "value", "props")
         val tsCol = tsType match {
           case LongType         => lit(tsNanos)
           case TimestampNTZType =>
-            lit(java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC))
-          case _                => lit(java.time.Instant.ofEpochSecond(secs))
+            lit(java.time.LocalDateTime.ofEpochSecond(secs, microNanos.toInt, java.time.ZoneOffset.UTC))
+          case _                => lit(java.time.Instant.ofEpochSecond(secs, microNanos))
         }
         base.withColumn("ts", tsCol)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
