@@ -7,9 +7,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column operators: opaque binary payloads + typed metadata.
   * IMAGE payloads decode for real through [[ImageDecode]] (JDK-native
-  * `javax.imageio`, header-only — no pixel decode); audio/video fall back
-  * to the clearly-marked deterministic [[DecodeStub]] (this container has
-  * no av codecs). Everything around the kernel — binary columns,
+  * `javax.imageio`, header-only — no pixel decode); WAV audio and MP4
+  * video decode for real through the dependency-free container-header
+  * parsers in [[AvDecode]]. Payloads that are none of these fall back to
+  * the clearly-marked deterministic [[DecodeStub]] (sample/pixel DATA is
+  * never decoded — this container has no av codecs, and a metadata pass
+  * doesn't need them). Everything around the kernels — binary columns,
   * partition-wise batch iteration, stable schemas, frame-index explosion —
   * is the real Spark plumbing any codec drops into.
   */
@@ -23,11 +26,13 @@ object Multimodal {
     StructField("n_frames", LongType, nullable = false)))
 
   /** Partition-wise batch decode of (id, payload binary) rows: real
-    * header-only image decode where the payload IS an image (strict magic
-    * sniff + `javax.imageio`), deterministic stub for everything else.
-    * Corrupt image bytes (valid magic, broken header) fall through to the
-    * stub instead of failing the task — at 100 TB some payloads WILL be
-    * truncated, and a poison row must not kill the pipeline.
+    * header-only decode where the payload IS a recognized container —
+    * images via strict magic sniff + `javax.imageio` ([[ImageDecode]]),
+    * WAV audio and MP4 video via the dependency-free header parsers in
+    * [[AvDecode]] — deterministic stub for everything else. Corrupt bytes
+    * with a valid magic (truncated header) fall through to the stub instead
+    * of failing the task — at 100 TB some payloads WILL be truncated, and a
+    * poison row must not kill the pipeline.
     */
   def decodeAssets(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val src = df.select(col(idCol).cast("long"), col(payloadCol))
@@ -36,11 +41,53 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         val (m, w, h, f) = ImageDecode.dimensions(payload) match {
           case Some((_, iw, ih)) => ("image", iw.toLong, ih.toLong, 1L)
-          case None => DecodeStub.decode(payload)
+          case None => AvDecode.wavInfo(payload) match {
+            case Some(_) => ("audio", 0L, 0L, 0L)
+            case None => AvDecode.mp4Info(payload) match {
+              case Some(v) => ("video", v.width.toLong, v.height.toLong, v.nSamples)
+              case None    => DecodeStub.decode(payload)
+            }
+          }
         }
         Row(r.getLong(0), m, w, h, f)
       }
     }(Encoders.row(decodeSchema))
+  }
+
+  private val avMetaSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** Full audio/video metadata decode (header-only, corrupt-safe): WAV →
+    * duration/channels/sample-rate, MP4 → duration/dimensions/frame-count,
+    * image → dimensions, anything unrecognized (including corrupt
+    * magic-matching bytes) → mime `unknown` with zeroed fields. Narrow
+    * per-partition work, no shuffle — the 100 TB metadata-pass shape.
+    */
+  def decodeAvMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(payloadCol))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](1)
+        val out = AvDecode.wavInfo(p) match {
+          case Some(a) => ("audio", a.durationMs, a.channels.toLong, a.sampleRate.toLong, 0L, 0L, 0L)
+          case None => AvDecode.mp4Info(p) match {
+            case Some(v) => ("video", v.durationMs, 0L, 0L, v.width.toLong, v.height.toLong, v.nSamples)
+            case None => ImageDecode.dimensions(p) match {
+              case Some((_, iw, ih)) => ("image", 0L, 0L, 0L, iw.toLong, ih.toLong, 1L)
+              case None              => ("unknown", 0L, 0L, 0L, 0L, 0L, 0L)
+            }
+          }
+        }
+        Row(r.getLong(0), out._1, out._2, out._3, out._4, out._5, out._6, out._7)
+      }
+    }(Encoders.row(avMetaSchema))
   }
 
   /** Sample up to `maxFrames` evenly spaced frame indices per video asset:

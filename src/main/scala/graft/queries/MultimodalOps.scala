@@ -170,6 +170,54 @@ object MultimodalOps {
          |  CAST(n_frames AS BIGINT) AS n_frames
          |FROM (VALUES $vals) AS t(doc_id, mime, width, height, n_frames)
          |ORDER BY doc_id""".stripMargin
+    }),
+
+    // REAL audio/video header decode: genuine WAV (RIFF/fmt/data) and MP4
+    // (ftyp/moov/mvhd/tkhd/stsz) container bytes with known parameters,
+    // decoded distributed through the dependency-free header parsers
+    // (operators.AvDecode) — plus deliberately-corrupt variants (truncated
+    // after the magic) asserting the corrupt-safe fallback INSIDE the
+    // oracle, not just in a spec. Oracle is the fixture spec itself.
+    QueryDef("q135_mm_av_decode", (s, dir) => {
+      import s.implicits._
+      import graft.operators.AvDecode
+      val rows: Seq[(Long, Array[Byte])] = (0 until 8).map { i =>
+        (i.toLong, AvDecode.wavFixture(1 + i % 2, 8000 * (1 + i % 3), 4000 * (i + 1)))
+      } ++ (8 until 16).map { i =>
+        (i.toLong, AvDecode.mp4Fixture(1000L * (i - 7), 600, 320 + 16 * i, 240 + 8 * i, 24L * (i - 7)))
+      } ++ Seq(
+        (16L, graft.operators.ImageDecode.fixtureBytes(64, 32, "png")),
+        // corrupt: valid magics, truncated bodies — must decode as unknown
+        (17L, AvDecode.wavFixture(2, 44100, 1000).take(20)),
+        (18L, AvDecode.mp4Fixture(5000, 600, 640, 480, 120).take(24)),
+        (19L, "not media at all".getBytes("UTF-8")))
+      val df = rows.toDF("doc_id", "payload").repartition(4)
+      graft.operators.Multimodal.decodeAvMeta(df, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some {
+      val wavVals = (0 until 8).map { i =>
+        val ch = 1 + i % 2; val sr = 8000 * (1 + i % 3); val n = 4000 * (i + 1)
+        val durMs = n.toLong * 1000 / sr // dataSize*1000/byteRate = nSamples*1000/sampleRate
+        s"($i, 'audio', $durMs, $ch, $sr, 0, 0, 0)"
+      }
+      val mp4Vals = (8 until 16).map { i =>
+        s"($i, 'video', ${1000L * (i - 7)}, 0, 0, ${320 + 16 * i}, ${240 + 8 * i}, ${24L * (i - 7)})"
+      }
+      val rest = Seq(
+        "(16, 'image', 0, 0, 0, 64, 32, 1)",
+        "(17, 'unknown', 0, 0, 0, 0, 0, 0)",
+        "(18, 'unknown', 0, 0, 0, 0, 0, 0)",
+        "(19, 'unknown', 0, 0, 0, 0, 0, 0)")
+      val vals = (wavVals ++ mp4Vals ++ rest).mkString(", ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, mime,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         |  CAST(n_frames AS BIGINT) AS n_frames
+         |FROM (VALUES $vals) AS t(doc_id, mime, duration_ms, channels, sample_rate, width, height, n_frames)
+         |ORDER BY doc_id""".stripMargin
     })
   )
 }

@@ -263,6 +263,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == DecodeStub.decode("hello world".getBytes("UTF-8")))
   }
 
+  test("real WAV/MP4 header decode: fixture params round-trip; corrupt bytes -> None") {
+    import graft.operators.AvDecode
+    // WAV: channels/sample-rate/bits read from fmt, duration from data size
+    val wav = AvDecode.wavFixture(channels = 2, sampleRate = 44100, nSamples = 44100)
+    val wi = AvDecode.wavInfo(wav)
+    assert(wi.map(w => (w.channels, w.sampleRate, w.bitsPerSample, w.durationMs))
+      .contains((2, 44100, 16, 1000L)))
+    // MP4: duration from mvhd, display dims from tkhd 16.16, frames from stsz
+    val mp4 = AvDecode.mp4Fixture(durationMs = 2500, timescale = 1000, width = 640, height = 360, nFrames = 75)
+    val vi = AvDecode.mp4Info(mp4)
+    assert(vi.map(v => (v.durationMs, v.width, v.height, v.nSamples))
+      .contains((2500L, 640, 360, 75L)))
+    // corrupt-safe contract: valid magic + truncated body returns None
+    assert(AvDecode.wavInfo(wav.take(20)).isEmpty)
+    assert(AvDecode.mp4Info(mp4.take(24)).isEmpty)
+    assert(AvDecode.wavInfo("RIFFxxxx".getBytes("UTF-8")).isEmpty)
+    assert(AvDecode.wavInfo(null).isEmpty && AvDecode.mp4Info(null).isEmpty)
+    // non-matching magic never reaches the parsers
+    assert(AvDecode.wavInfo(mp4).isEmpty && AvDecode.mp4Info(wav).isEmpty)
+    // through the operator: real containers decode for real, text -> unknown
+    import spark.implicits._
+    val rows = Seq((1L, wav), (2L, mp4), (3L, "plain text".getBytes("UTF-8")))
+    val out = graft.operators.Multimodal
+      .decodeAvMeta(rows.toDF("id", "payload"), "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "audio", 2L -> "video", 3L -> "unknown"))
+  }
+
   test("LSH near-dup pairs equal the exact all-pairs join on the planted corpus") {
     // the q16 shape: recall of the bucketed SRP-LSH join must be exactly 1
     // against the O(n^2) baseline it replaces (which stays quarantined here)
