@@ -80,6 +80,39 @@ object StreamingOps {
     (t, Tables.tsNormalizeSql("ts", t))
   }
 
+  /** Append a watermark-advancing sentinel event (user_id = -1) to a
+    * file-stream directory. The sentinel's ts must be written in the SAME
+    * encoding the stream schema declares, or the file source fails the
+    * batch (or reads junk): raw long for the nanos generation, a typed
+    * NTZ/LTZ literal otherwise — with micros-granularity sub-second
+    * precision carried into the literal (a truncated sentinel would
+    * under-advance the watermark and silently leave final sessions
+    * unflushed).
+    */
+  private def writeSentinelFile(
+      s: SparkSession, streamDir: java.nio.file.Path, tsType: DataType,
+      name: String, tsNanos: Long): Unit = {
+    import s.implicits._
+    val secs = tsNanos / 1000000000L
+    val microNanos = (tsNanos % 1000000000L) / 1000L * 1000L
+    val base = Seq((-(1L), -(1L), "sentinel", 0.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val tsCol = tsType match {
+      case LongType         => lit(tsNanos)
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(secs, microNanos.toInt, java.time.ZoneOffset.UTC))
+      case _                => lit(java.time.Instant.ofEpochSecond(secs, microNanos))
+    }
+    base.withColumn("ts", tsCol)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("append").parquet(streamDir.toString + "_stage")
+    // move the staged file in atomically so the file source sees one new file
+    val stage = new java.io.File(streamDir.toString + "_stage")
+    stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+      case (f, i) => Files.move(f.toPath, streamDir.resolve(s"$name$i.parquet"))
+    }
+  }
+
   private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -353,32 +386,8 @@ object StreamingOps {
         q.stop()
       }
 
-      // the sentinel's ts must be written in the SAME encoding the stream
-      // schema declares, or the file source fails the batch (or reads junk):
-      // raw long for the nanos generation, a typed NTZ/LTZ literal otherwise.
-      def writeSentinel(name: String, tsNanos: Long): Unit = {
-        // carry micros-granularity sub-second precision into the typed
-        // literals — a truncated sentinel would under-advance the watermark
-        // and silently leave final sessions unflushed
-        val secs = tsNanos / 1000000000L
-        val microNanos = (tsNanos % 1000000000L) / 1000L * 1000L
-        val base = Seq((-(1L), -(1L), "sentinel", 0.0, "{}"))
-          .toDF("event_id", "user_id", "event_type", "value", "props")
-        val tsCol = tsType match {
-          case LongType         => lit(tsNanos)
-          case TimestampNTZType =>
-            lit(java.time.LocalDateTime.ofEpochSecond(secs, microNanos.toInt, java.time.ZoneOffset.UTC))
-          case _                => lit(java.time.Instant.ofEpochSecond(secs, microNanos))
-        }
-        base.withColumn("ts", tsCol)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .repartition(1).write.mode("append").parquet(streamDir.toString + "_stage")
-        // move the staged file in atomically so the file source sees one new file
-        val stage = new java.io.File(streamDir.toString + "_stage")
-        stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
-          case (f, i) => Files.move(f.toPath, streamDir.resolve(s"$name$i.parquet"))
-        }
-      }
+      def writeSentinel(name: String, tsNanos: Long): Unit =
+        writeSentinelFile(s, streamDir, tsType, name, tsNanos)
 
       // drain 1: ingest events, build state. drain 2: the sentinel advances
       // the watermark in its batch, and AvailableNow runs one follow-up
@@ -403,6 +412,102 @@ object StreamingOps {
         |  FROM marked)
         |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
         |  count(*) AS n_events, round(sum(value), 4) AS v
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
+    // COMPOSITION of the engine's two signature layers: a stateful
+    // sessionization stream (session_window + watermark, the q58/q59
+    // semantics) maintains a versioned reftable — each micro-batch's newly
+    // finalized sessions are merged with the table's current version and
+    // published as a NEW version via completeModePublisher (snapshot
+    // isolation, replay-idempotent markers, retention) — and a SECOND
+    // streaming query then consumes that table THROUGH the reftable source
+    // as the reference's documented use case: a stream-static lookup join
+    // (sessions x customer). The oracle recomputes everything from raw
+    // events with the same gaps-and-islands SQL as q58/q59 plus the join —
+    // end to end, no intermediate is trusted.
+    // At scale: the published table is O(sessions) — the union-with-current
+    // rewrite is the reference's own refresh shape (full snapshot per
+    // generation), bounded by the session count, not the event count.
+    QueryDef("q136_stream_sessions_published", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, tsExpr) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_sesspub_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val root = RelationalSupport.scratchDir(s, dir, "q136_sessions")
+      val ddl = "user_id BIGINT, start_us BIGINT, n_events BIGINT, v DOUBLE"
+
+      // layer 1: sessionize the event stream; append mode emits each
+      // session exactly once, when the watermark passes its close
+      val sess = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+        .withColumn("tsm", expr(tsExpr))
+        .withWatermark("tsm", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("v"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          col("n_events"), col("v"))
+
+      val pub = graft.sources.reftable.VersionedTable
+        .completeModePublisher(root, keepVersions = 3)
+      val ck = Files.createTempDirectory("graft_sesspub_ck_").toString
+      def drainPublish(): Unit = {
+        val q = sess.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // newly finalized sessions (sentinel user dropped) merged with
+            // the table's current snapshot -> the batch IS the full result,
+            // which is what completeModePublisher's contract requires
+            val closed = b.filter(col("user_id") >= 0)
+            val hasPrev = graft.sources.reftable.VersionedTable.resolve(root).isDefined
+            val full =
+              if (hasPrev)
+                s.read.format("reftable").option("path", root).option("schema", ddl)
+                  .load().unionByName(closed)
+              else closed
+            if (!closed.isEmpty || !hasPrev) pub(full, id)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        val t0 = System.nanoTime()
+        q.awaitTermination(120000)
+        graft.BenchProbe.addDrain(System.nanoTime() - t0)
+        q.stop()
+      }
+      drainPublish()
+      writeSentinelFile(s, streamDir, tsType, "sentinel1_", 2_000_000_000_000_000_000L) // ~2033
+      drainPublish()
+
+      // layer 2: consume the streaming-maintained table THROUGH the source,
+      // enriched by a stream-static broadcast lookup join (the reference's
+      // documented purpose, docs/Table-streamingsource.md:10-14)
+      val sessStream = s.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", ddl)
+        .option("refreshInterval", "1h")
+        .option("genColumn", "_gen")
+        .load()
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = sessStream
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("start_us"), col("n_events"),
+          r4(col("v")).as("v"), col("c_mktsegment"), col("_gen"))
+      latestGen(s, drain(s, joined, "append")).orderBy("user_id", "start_us")
+    }, Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |    count(*) AS n_events, round(sum(value), 4) AS v
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT a.user_id, a.start_us, a.n_events, a.v, c.c_mktsegment
+        |FROM agg a JOIN customer c ON a.user_id = c.c_custkey
+        |ORDER BY user_id, start_us""".stripMargin))
   )
 }
