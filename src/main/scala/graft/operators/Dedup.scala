@@ -171,7 +171,16 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+      threshold: Double = 0.5, k: Int = 3, maxRows: Long = 100000): DataFrame = {
+    // explicit wedge guard: with no LSH pruning the shared-shingle join's
+    // output grows with shingle collision rates — refuse to start past the
+    // cap so a larger-SF bench fails fast instead of wedging; minHashLsh is
+    // the scale path
+    val n = df.count()
+    require(n <= maxRows,
+      s"ngramJaccardPairs is the quarantined exact baseline (no LSH pruning): " +
+        s"corpus has $n rows > cap $maxRows. Use minHashLsh at scale " +
+        s"(or raise maxRows deliberately for an offline recall study).")
     val sh = df.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), k)).as("h"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("a_id"), col("h"))

@@ -51,8 +51,19 @@ object Similarity {
     * below ~0.8, where no sublinear method can prune (a weak-threshold dense
     * similarity join has Ω(n²) output in the worst case).
     */
-  def nearDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  def nearDupPairsExact(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Long = 100000): DataFrame = {
     val spark = corpus.sparkSession
+    // explicit wedge guard: this baseline is quadratic BY CONSTRUCTION, so
+    // refuse to start on a corpus where that shape would run for hours —
+    // a larger-SF bench must fail fast with a pointer to the scale path,
+    // not silently occupy the cluster
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"nearDupPairsExact is the quarantined O(n^2) recall baseline: corpus has " +
+        s"$n rows > cap $maxRows. Use nearDupPairsLsh at scale " +
+        s"(or raise maxRows deliberately for an offline recall study).")
     val a = corpus.repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("a_id"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
