@@ -142,6 +142,35 @@ object TextAnalysis {
         (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
   }
 
+  /** Token-window document chunking — the pretraining / RAG ingestion prep
+    * step: split each document into windows of `maxTokens` whitespace tokens
+    * with `overlap` tokens carried between consecutive chunks (so no
+    * boundary-spanning context is lost). Output: (id, chunk_idx, chunk_text,
+    * n_tokens), one row per chunk, chunk text reassembled from the original
+    * tokens in order.
+    *
+    * Pure narrow codegen work (split / sequence / transform / slice /
+    * array_join — no UDF, no shuffle, no state): chunk fan-out is bounded by
+    * ~n_tokens/(maxTokens-overlap) per document, so the operator scales
+    * linearly with corpus bytes and parallelizes per input split at 100 TB.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, s"need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    val toks = split(col(textCol), "\\s+")
+    val n = size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlap)).cast("double") / step).cast("int"))
+    df.select(col(idCol),
+        explode(transform(sequence(lit(0), nChunks - 1), i => struct(
+          i.cast("long").as("chunk_idx"),
+          array_join(slice(toks, i * step + 1, lit(maxTokens)), " ").as("chunk_text"),
+          least(lit(maxTokens), n - i * step).cast("long").as("n_tokens")))).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
+  }
+
   /** Corpus token frequencies grouped by a dimension column. */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     df.select(col(groupCol), explode(tokens(col(textCol))).as("word"))

@@ -282,6 +282,31 @@ object TextOps {
         |  md5(COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), ''))
         |    AS clean_md5,
         |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // token-window chunking (pretraining / RAG ingestion prep): 64-token
+    // windows, 16-token overlap, chunk text reassembled from the original
+    // whitespace tokens. Narrow codegen fan-out, no shuffle before the
+    // ordering; the md5 over each chunk's text makes the hash compare prove
+    // the exact token windows, not just counts.
+    QueryDef("q137_chunk_documents", (s, dir) => {
+      graft.operators.TextAnalysis
+        .chunkDocuments(t(s, dir, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_md5"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS nc FROM t),
+        |x AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text,
+        |    CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
+        |  FROM c, unnest(generate_series(0, nc - 1)) AS u(i))
+        |SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5, n_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

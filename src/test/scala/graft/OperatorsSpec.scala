@@ -575,4 +575,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"common-bigram doc must beat gibberish: ${ppl(100L)} vs ${ppl(101L)}")
     assert(ppl(100L) > 1.0, "perplexity is bounded below by 1")
   }
+
+  test("chunkDocuments: overlap continuity, exact token windows, short-doc identity") {
+    import spark.implicits._
+    val words = (1 to 100).map(i => s"w$i")
+    val df = Seq(
+      (1L, words.mkString(" ")),       // 100 tokens -> 2 chunks at 64/16
+      (2L, "one two three"),           // short doc -> single chunk, identity
+      (3L, words.take(64).mkString(" "))) // exactly maxTokens -> single chunk
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkDocuments(df, "doc_id", "text", maxTokens = 64, overlap = 16)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getLong(3))).toSeq)
+      .toMap
+    // doc 1: chunk 0 = tokens 1..64, chunk 1 = tokens 49..100 (16 overlap)
+    assert(out(1L).map(_._2) == Seq(64L, 52L))
+    assert(out(1L)(0)._1 == words.take(64).mkString(" "))
+    assert(out(1L)(1)._1 == words.slice(48, 100).mkString(" "))
+    // consecutive chunks share exactly `overlap` tokens
+    val tail0 = out(1L)(0)._1.split(" ").takeRight(16).toSeq
+    val head1 = out(1L)(1)._1.split(" ").take(16).toSeq
+    assert(tail0 == head1, "overlap tokens must carry between chunks")
+    // short docs come back whole, once
+    assert(out(2L) == Seq(("one two three", 3L)))
+    assert(out(3L) == Seq((words.take(64).mkString(" "), 64L)))
+  }
 }
