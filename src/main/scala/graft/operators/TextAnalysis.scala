@@ -171,6 +171,36 @@ object TextAnalysis {
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"), col("c.n_tokens"))
   }
 
+  /** PII redaction pass — the standard corpus-curation scrub before
+    * training: emails, phone numbers and IPv4 literals replaced by typed
+    * placeholder tokens, with per-category match counts (on the ORIGINAL
+    * text) for audit metrics. Patterns are deliberately restricted to
+    * syntax with identical semantics in Java regex and RE2-class engines
+    * (no lookaround, no backreferences) so the oracle can replay them
+    * verbatim. Pure narrow codegen work (regexp_replace / regexp_count):
+    * no UDF, no shuffle — linear in corpus bytes at 100 TB.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val email = PiiEmail
+    val phone = PiiPhone
+    val ip = PiiIp
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, email, "[EMAIL]"),
+          phone, "[PHONE]"),
+        ip, "[IP]").as("clean_text"),
+      regexp_count(t, lit(email)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(t, lit(ip)).cast("long").as("n_ips"))
+  }
+
+  /** The redaction patterns, shared with specs/oracles. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "(\\+?\\d{1,3}[- ])?\\(?\\d{3}\\)?[- ]?\\d{3}[- ]?\\d{4}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   /** Corpus token frequencies grouped by a dimension column. */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
     df.select(col(groupCol), explode(tokens(col(textCol))).as("word"))

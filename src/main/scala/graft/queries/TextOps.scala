@@ -307,6 +307,46 @@ object TextOps {
         |    CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
         |  FROM c, unnest(generate_series(0, nc - 1)) AS u(i))
         |SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5, n_tokens
-        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin))
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // PII redaction: deterministic email/phone/IP injections (by doc_id
+    // residue, like q129's boilerplate build) scrubbed to typed placeholder
+    // tokens; the oracle replays the identical injection + replacement
+    // chain in DuckDB (regexp_replace 'g', RE2-compatible patterns), so the
+    // md5 hash match proves byte-identical redacted text AND counts.
+    QueryDef("q138_pii_redaction", (s, dir) => {
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" Call +1 555-123-4567 or (415) 555-0199"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" from 10.0.42.7")).otherwise(lit("")))
+          .as("text"))
+      graft.operators.TextAnalysis.redactPii(built, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_emails"), col("n_phones"), col("n_ips"))
+        .orderBy("doc_id")
+    }, Some {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "(\\+?\\d{1,3}[- ])?\\(?\\d{3}\\)?[- ]?\\d{3}[- ]?\\d{4}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH built AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' Call +1 555-123-4567 or (415) 555-0199' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.42.7' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$phone', '[PHONE]', 'g'),
+         |    '$ip', '[IP]', 'g')) AS clean_md5,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips
+         |FROM built ORDER BY doc_id""".stripMargin
+    })
   )
 }

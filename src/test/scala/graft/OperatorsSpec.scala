@@ -602,4 +602,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == Seq(("one two three", 3L)))
     assert(out(3L) == Seq((words.take(64).mkString(" "), 64L)))
   }
+
+  test("redactPii scrubs emails/phones/IPs to typed tokens and counts on the original") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org and b@x.io, call +1 555-123-4567, ip 10.0.0.255 ok"),
+      (2L, "(415) 555-0199 twice (415) 555-0199"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "mail [EMAIL] and [EMAIL], call [PHONE], ip [IP] ok")
+    assert((out(1L)._2, out(1L)._3, out(1L)._4) == ((2L, 1L, 1L)))
+    assert(out(2L)._1 == "[PHONE] twice [PHONE]" && out(2L)._3 == 2L)
+    assert(out(3L) == (("nothing sensitive here", 0L, 0L, 0L)))
+  }
 }
