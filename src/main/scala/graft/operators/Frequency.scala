@@ -5,6 +5,45 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+/** Mergeable Misra-Gries sketch as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+  * — one summary usable in BATCH and STRUCTURED STREAMING aggregations
+  * alike: partial aggregation runs map-side, so the shuffle (or the
+  * streaming state update) carries at most `capacity` entries per
+  * partition per trigger, independent of the distinct count. Merge follows
+  * the mergeable-summaries construction (Agarwal et al., TODS 2013):
+  * pointwise sum, then subtract the (size − capacity)-th smallest count
+  * and drop non-positives — the union sketch keeps the ε = 1/capacity
+  * frequency guarantee, so survivors remain a superset of every item with
+  * global count > N/capacity. Deterministic output (sorted keys).
+  */
+class MisraGriesAggregator(capacity: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Array[String]] {
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(m: Map[String, Long], x: String): Map[String, Long] = {
+    val c = m.getOrElse(x, 0L)
+    if (c > 0L) m.updated(x, c + 1L)
+    else if (m.size < capacity) m.updated(x, 1L)
+    else m.collect { case (k, v) if v > 1L => k -> (v - 1L) } // decrement-all (x's vote included)
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+    if (sum.size <= capacity) sum
+    else {
+      val delta = sum.values.toArray.sorted.apply(sum.size - capacity - 1)
+      sum.collect { case (k, v) if v > delta => k -> (v - delta) }
+    }
+  }
+
+  override def finish(m: Map[String, Long]): Array[String] = m.keys.toArray.sorted
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** Heavy hitters (exact top-k by frequency) with bounded shuffle.
   *
   * The naive `groupBy(item).count().orderBy(desc).limit(k)` shuffles one

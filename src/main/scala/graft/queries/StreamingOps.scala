@@ -508,6 +508,43 @@ object StreamingOps {
         |  FROM sess GROUP BY user_id, sid)
         |SELECT a.user_id, a.start_us, a.n_events, a.v, c.c_mktsegment
         |FROM agg a JOIN customer c ON a.user_id = c.c_custkey
-        |ORDER BY user_id, start_us""".stripMargin))
+        |ORDER BY user_id, start_us""".stripMargin)),
+
+    // streaming heavy hitters: the mergeable Misra-Gries sketch maintained
+    // AS STREAMING STATE — a complete-mode global aggregation over the
+    // token stream where partial aggregation runs map-side, so each
+    // trigger's state update carries at most `capacity` entries per
+    // partition regardless of the distinct count (the property that makes
+    // this viable over an unbounded 100 TB token stream). The drained
+    // sketch's survivors (a guaranteed superset of every item with count
+    // > N/capacity) then get the same exact-recount verify pass as batch
+    // q92 — and must match q92's exact-top-k oracle, proving the
+    // stream-maintained sketch lost no heavy hitter.
+    QueryDef("q139_stream_heavy_hitters", (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val docsSchema = s.read.parquet(Tables.path(dir, "documents")).schema
+      val streamDir = Files.createTempDirectory("graft_hhstream_")
+      Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "documents")))
+      val toks = s.readStream.schema(docsSchema).parquet(streamDir.toString)
+        .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+        .as[String]
+      val sketch = new graft.operators.MisraGriesAggregator(8192)
+        .toColumn.name("survivors")
+      val surv = toks.select(sketch).toDF("survivors")
+      val candidates = drain(s, surv, "complete")
+        .select(explode(col("survivors")).as("token"))
+      // exact verify pass over the batch table: candidates only reach the
+      // aggregation (broadcast semi-join below it), identical to q92
+      val toksBatch = Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      toksBatch.join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(20)
+        .select(col("token").as("item"), col("cnt"))
+    }, Some(
+      """SELECT w AS item, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, item LIMIT 20""".stripMargin))
   )
 }

@@ -617,4 +617,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L)._1 == "[PHONE] twice [PHONE]" && out(2L)._3 == 2L)
     assert(out(3L) == (("nothing sensitive here", 0L, 0L, 0L)))
   }
+
+  test("MisraGriesAggregator: sketch survivors cover true heavy hitters across partitions") {
+    import spark.implicits._
+    // Zipf-ish stream: item i appears 1000/i times, plus 5000 singletons,
+    // scattered across 16 partitions — the merge path is exercised hard
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"hot$i")) ++
+      (1 to 5000).map(i => s"rare$i")
+    val ds = spark.createDataset(scala.util.Random.shuffle(rows)).repartition(16).as[String]
+    val agg = new graft.operators.MisraGriesAggregator(256).toColumn.name("survivors")
+    val survivors = ds.select(agg).collect().head.toSet
+    // capacity 256 on ~13.5k items -> every item with count > N/256 (~53)
+    // must survive; hot1..hot18 have counts 1000..55
+    (1 to 18).foreach(i => assert(survivors.contains(s"hot$i"), s"lost hot$i"))
+    assert(survivors.size <= 256, "sketch must respect its capacity bound")
+    // deterministic direct-merge trim check: the union sketch subtracts the
+    // overflow order statistic, never evicting a dominant key
+    val m = new graft.operators.MisraGriesAggregator(2)
+    // sum = {a:150, b:2, c:1}, overflow 1 -> delta = smallest count (1):
+    // c drops out, the others keep count - 1
+    val merged = m.merge(Map("a" -> 100L, "b" -> 2L), Map("c" -> 1L, "a" -> 50L))
+    assert(merged == Map("a" -> 149L, "b" -> 1L), s"got $merged")
+  }
 }
