@@ -220,6 +220,51 @@ object SimilarityOps {
          |  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.vec_id
          |  WHERE c.vec_id != c.query_id)
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
-         |FROM scored WHERE rn <= $K ORDER BY query_id, rk""".stripMargin))
+         |FROM scored WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
+    // RAG ingestion composition end to end: token-window chunking (q137's
+    // operator) -> deterministic hashed chunk embedding (q69's feature
+    // construction over chunk text) -> exact top-5 chunk retrieval for the
+    // chunks of the two query documents against the rest of the chunked
+    // corpus. The oracle replays chunking, embedding and ranking in SQL, so
+    // a hash match proves the whole pipeline — chunk boundaries, vectors,
+    // ranking — not just the final join. Every stage is the scale path:
+    // narrow chunk/embed fan-out, broadcast queries, bounded top-k heap.
+    QueryDef("q140_rag_chunk_search", (s, dir) => {
+      import graft.functions.GraftFunctions.graftHash
+      val chunks = graft.operators.TextAnalysis
+        .chunkDocuments(t(s, dir, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_idx"))
+      val vec = transform(sequence(lit(0), lit(7)),
+        d => (graftHash(concat(col("chunk_text"), lit(":"), d.cast("string"))) % 1000)
+          .cast("double") / 1000.0)
+      val embC = chunks.select(col("cid"), col("doc_id"), vec.as("features"))
+      val queries = embC.filter(col("doc_id") < 2)
+        .select(col("cid").as("query_id"), col("features").as("qv"))
+      val corpus = embC.filter(col("doc_id") >= 2).select(col("cid"), col("features"))
+      graft.operators.Similarity.cosineTopK(corpus, queries, "cid", "features", k = 5)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS nc FROM t),
+         |x AS (
+         |  SELECT doc_id, doc_id * 1000 + i AS cid,
+         |    array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+         |  FROM c, unnest(generate_series(0, nc - 1)) AS u(i)),
+         |f AS (
+         |  SELECT cid, doc_id, CAST(list_transform(generate_series(0, 7), d ->
+         |    (CAST(('0x' || substr(md5(chunk_text || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 1000.0)
+         |    AS DOUBLE[]) AS v
+         |  FROM x),
+         |q AS (SELECT cid AS query_id, v AS qv FROM f WHERE doc_id < 2),
+         |co AS (SELECT cid, v FROM f WHERE doc_id >= 2),
+         |sc AS (SELECT query_id, cid, ${duckCos("qv", "v")} AS sim FROM q, co),
+         |r AS (SELECT query_id, cid, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) rn FROM sc)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, cid AS neighbor_id, sim
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin))
   )
 }
