@@ -540,6 +540,56 @@ object TableMutations {
         |  FROM customer)
         |SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  count(cents) AS nn_cents, count(*) AS cnt
-        |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+        |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // O(changes) INDEX MAINTENANCE: a SimHash fingerprint table maintained
+    // from the document table's version changefeed. The corpus mutates
+    // (deletes, text updates, new docs) as a new version; the changefeed
+    // between the two versions is transformed into a signature changefeed —
+    // the fingerprint kernel runs ONLY over changed documents — and applied
+    // to the index table with the same COW merge as any replica. At 100 TB
+    // this is the difference between re-fingerprinting the corpus per
+    // refresh and work proportional to the day's churn. The oracle
+    // recomputes every fingerprint from the FINAL corpus state from
+    // scratch, so the hash match proves the incrementally-maintained index
+    // is byte-identical to a full rebuild.
+    QueryDef("q141_incremental_fingerprints", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val rootDocs = RelationalSupport.scratchDir(s, dir, "q141_docs")
+      val rootSig = RelationalSupport.scratchDir(s, dir, "q141_sig")
+      val docs1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs2 = docs1.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" updated marker"))).otherwise(col("text")))
+        .unionAll(docs1.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text")))
+      val v1 = VersionedTable.publish(docs1, rootDocs)
+      VersionedTable.publish(docs2, rootDocs)
+      // index at v1: one fingerprint row per doc (full build happens once)
+      VersionedTable.publish(
+        docs1.select(col("doc_id"), simhash60(tokens(col("text"))).as("simhash")), rootSig)
+      // the O(changes) step: fingerprint kernel over changed docs only
+      val changes = VersionedTable.changes(s, rootDocs, Seq("doc_id"), v1)
+      val sigChanges = changes.select(col("change_type"), col("doc_id"),
+        simhash60(tokens(col("text"))).as("simhash"))
+      RefTableMutations.applyChanges(s, rootSig, sigChanges, Seq("doc_id"))
+      s.read.format("reftable")
+        .option("path", rootSig)
+        .option("schema", "doc_id BIGINT, simhash BIGINT")
+        .load()
+        .orderBy("doc_id")
+    }, Some {
+      val simhashOverDocs2 = graft.queries.DedupOps.SimhashSql
+        .replace("FROM documents", "FROM docs2")
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' updated marker' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000, 'fresh ' || text FROM documents WHERE doc_id % 31 = 0),
+         |$simhashOverDocs2
+         |SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id""".stripMargin
+    })
   )
 }
