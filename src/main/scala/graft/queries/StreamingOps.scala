@@ -545,6 +545,32 @@ object StreamingOps {
     }, Some(
       """SELECT w AS item, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w FROM documents)
-        |GROUP BY w ORDER BY cnt DESC, item LIMIT 20""".stripMargin))
+        |GROUP BY w ORDER BY cnt DESC, item LIMIT 20""".stripMargin)),
+
+    // streaming percentiles: complete-mode approx_percentile over the event
+    // stream (KLL-class mergeable sketch maintained as streaming state, the
+    // same map-side-partials shape as q139). Verified with a RANK-tolerance
+    // gate, q35-style: each streamed p-quantile must land between the exact
+    // batch (p−0.01) and (p+0.01) quantiles — approx_percentile's rank
+    // error at accuracy 10000 is 1e-4, two orders inside the band, so a
+    // true sketch failure (not noise) flips the booleans.
+    QueryDef("q142_stream_percentiles", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, _) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_pctstream_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val approx = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      val drained = drain(s, approx, "complete")
+      val bands = Tables.load(s, dir, "events").agg(
+        expr("percentile(value, array(0.49, 0.51))").as("b50"),
+        expr("percentile(value, array(0.89, 0.91))").as("b90"),
+        expr("percentile(value, array(0.98, 1.0))").as("b99"))
+      drained.crossJoin(bands).select(
+        (col("qs")(0) >= col("b50")(0) && col("qs")(0) <= col("b50")(1)).as("ok50"),
+        (col("qs")(1) >= col("b90")(0) && col("qs")(1) <= col("b90")(1)).as("ok90"),
+        (col("qs")(2) >= col("b99")(0) && col("qs")(2) <= col("b99")(1)).as("ok99"))
+    }, Some("SELECT TRUE AS ok50, TRUE AS ok90, TRUE AS ok99"))
   )
 }
