@@ -291,6 +291,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "audio", 2L -> "video", 3L -> "unknown"))
   }
 
+  test("mp4Info parses version-1 (64-bit) mvhd/tkhd boxes") {
+    import graft.operators.AvDecode
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(8)
+      bb.put("isom".getBytes("US-ASCII")).putInt(512); bb.array()
+    })
+    // v1 mvhd: ver+flags(4), ctime(8), mtime(8), timescale(4), duration(8)
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000) // version 1
+        .putLong(0L).putLong(0L).putInt(90000).putLong(90000L * 7)
+      bb.array()
+    })
+    // v1 tkhd: ver+flags(4), ctime(8), mtime(8), track(4), res(4), dur(8),
+    // then res(8), layer/alt/vol/res(8), matrix(36), width/height (16.16)
+    val tkhd = box("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0x01000000)
+        .putLong(0L).putLong(0L).putInt(1).putInt(0).putLong(90000L * 7)
+        .put(new Array[Byte](8 + 8 + 36))
+        .putInt(1920 << 16).putInt(1080 << 16)
+      bb.array()
+    })
+    val mp4v1 = ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    val vi = AvDecode.mp4Info(mp4v1)
+    assert(vi.map(v => (v.durationMs, v.width, v.height, v.nSamples))
+      .contains((7000L, 1920, 1080, 0L)), s"got $vi")
+  }
+
   test("LSH near-dup pairs equal the exact all-pairs join on the planted corpus") {
     // the q16 shape: recall of the bucketed SRP-LSH join must be exactly 1
     // against the O(n^2) baseline it replaces (which stays quarantined here)
