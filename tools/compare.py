@@ -104,6 +104,15 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # Verify writes <name>/_ERROR.json when the query itself threw —
+        # surface that message (pyarrow would otherwise read the marker-only
+        # dir as an EMPTY frame and report a misleading schema mismatch)
+        import os
+        if os.path.exists(f"{out_dir}/{name}/_ERROR.json"):
+            marker = json.load(open(f"{out_dir}/{name}/_ERROR.json"))
+            print(f"FAIL {name}: query error {marker.get('error', '')[:200]}")
+            n_fail += 1
+            continue
         try:
             # got: pyarrow/pandas (the driver's read of the Spark dump);
             # pyarrow datasets skip _SUCCESS and other _-prefixed files
