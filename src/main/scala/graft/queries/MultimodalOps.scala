@@ -178,7 +178,7 @@ object MultimodalOps {
     // (operators.AvDecode) — plus deliberately-corrupt variants (truncated
     // after the magic) asserting the corrupt-safe fallback INSIDE the
     // oracle, not just in a spec. Oracle is the fixture spec itself.
-    QueryDef("q135_mm_av_decode", (s, dir) => {
+    QueryDef("q143_mm_av_decode", (s, dir) => {
       import s.implicits._
       import graft.operators.AvDecode
       val rows: Seq[(Long, Array[Byte])] = (0 until 8).map { i =>
