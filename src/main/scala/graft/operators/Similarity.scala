@@ -31,6 +31,24 @@ object Similarity {
       idCol: String, vecCol: String, k: Int = 10): DataFrame =
     TopK.perQuery(scoreAll(corpus, queries, idCol, vecCol), k)
 
+  /** Pre-FILTERED exact top-k: neighbors restricted to the query's metadata
+    * group (lang, license, shard, tenant …) — the filtered-ANN shape RAG
+    * serving needs. queries: (query_id, qv, qg). The group predicate
+    * composes INTO the broadcast join, so non-matching candidates are
+    * discarded at the probe instead of post-ranked — at 100 TB that is one
+    * corpus scan with a fused predicate versus over-fetching k' >> k
+    * neighbors and hoping enough survive a post-filter.
+    */
+  def cosineTopKFiltered(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, k: Int = 10): DataFrame = {
+    val scored = corpus.join(broadcast(queries),
+        col(groupCol) === col("qg") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        r6(cosineSim(col("qv"), col(vecCol))).as("sim"))
+    TopK.perQuery(scored, k)
+  }
+
   /** The window-rank formulation of [[cosineTopK]] — shuffles every score;
     * kept as the equivalence baseline for the aggregator (see OperatorsSpec).
     */

@@ -265,6 +265,30 @@ object SimilarityOps {
          |r AS (SELECT query_id, cid, sim,
          |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) rn FROM sc)
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, cid AS neighbor_id, sim
-         |FROM r WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin))
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    // filtered ANN: exact top-k restricted to the query's metadata group
+    // (label stands in for lang/license/tenant) — the pre-filter composes
+    // into the broadcast join, so non-matching candidates never reach
+    // ranking (one corpus scan with a fused predicate; no k' >> k
+    // over-fetch). Oracle = q15 with the group-equality join condition.
+    QueryDef("q144_filtered_ann", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qg"))
+      graft.operators.Similarity
+        .cosineTopKFiltered(e, q, "vec_id", "embedding", "label", K)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv, label AS qg
+         |  FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT query_id, vec_id, ${duckCos("qv", "v")} AS sim
+         |  FROM q JOIN c ON c.label = q.qg AND c.vec_id != q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin))
   )
 }
