@@ -571,6 +571,81 @@ object StreamingOps {
         (col("qs")(0) >= col("b50")(0) && col("qs")(0) <= col("b50")(1)).as("ok50"),
         (col("qs")(1) >= col("b90")(0) && col("qs")(1) <= col("b90")(1)).as("ok90"),
         (col("qs")(2) >= col("b99")(0) && col("qs")(2) <= col("b99")(1)).as("ok99"))
-    }, Some("SELECT TRUE AS ok50, TRUE AS ok90, TRUE AS ok99"))
+    }, Some("SELECT TRUE AS ok50, TRUE AS ok90, TRUE AS ok99")),
+
+    // STREAMING CHANGEFEED over the source: the reftable stream emits one
+    // full snapshot per refresh generation (the reference's cadence);
+    // SnapshotDiff.ChangeFeed turns that into a key-level changefeed inside
+    // foreachBatch — diffing each arriving generation against the previous
+    // one (checkpoint-and-release, so memory holds two generations, never
+    // the history). The table mutates underneath a live 1s-refresh stream;
+    // the accumulated post-baseline changes must equal the oracle's direct
+    // diff of the two states: insert/update rows carry after-images,
+    // deletes carry before-images. Unchanged-snapshot generations diff to
+    // zero rows by construction.
+    QueryDef("q145_stream_changefeed", (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.reftable.VersionedTable
+      import graft.operators.SnapshotDiff
+      val root = RelationalSupport.scratchDir(s, dir, "q145_cf")
+      val base = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val state2 = base.filter(col("s_suppkey") % 7 =!= 0)
+        .withColumn("s_nationkey", when(col("s_suppkey") % 5 === 0,
+          col("s_nationkey") + 100).otherwise(col("s_nationkey")))
+        .unionAll(base.filter(col("s_suppkey") % 11 === 0)
+          .select((col("s_suppkey") + 90000L).as("s_suppkey"), col("s_nationkey")))
+      VersionedTable.publish(base, root)
+
+      val feed = new SnapshotDiff.ChangeFeed(Seq("s_suppkey"))
+      // HARNESS BOUNDARY: the collect gathers DIFF rows (bounded by the
+      // change set) so this oracle query can hand one DataFrame to the
+      // comparator; a production consumer writes d out distributed.
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      var batches = 0
+      val df = s.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT")
+        .option("refreshInterval", "1s")
+        .load()
+      val q = df.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val d = feed.next(b)
+          val rows = d.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          acc.synchronized {
+            // batch 0 is the all-insert baseline, not a change
+            if (batches > 0) acc ++= rows
+            batches += 1
+          }
+          ()
+        }
+        .option("checkpointLocation", Files.createTempDirectory("graft_cf_ck_").toString)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable() // baseline generation consumed
+      VersionedTable.publish(state2, root)
+      Thread.sleep(1300) // cross the 1s refresh boundary
+      q.processAllAvailable() // the mutated generation's diff arrives
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      feed.close()
+      import s.implicits._
+      acc.synchronized { acc.toSeq }.toDF("s_suppkey", "s_nationkey", "change_type")
+        .orderBy("s_suppkey", "change_type")
+    }, Some(
+      """WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier),
+        |s2 AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_nationkey + 100 ELSE s_nationkey END AS s_nationkey
+        |  FROM base WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 90000, s_nationkey FROM base WHERE s_suppkey % 11 = 0),
+        |ins AS (SELECT a.s_suppkey, a.s_nationkey, 'insert' AS change_type
+        |  FROM s2 a LEFT JOIN base b USING (s_suppkey) WHERE b.s_suppkey IS NULL),
+        |del AS (SELECT b.s_suppkey, b.s_nationkey, 'delete' AS change_type
+        |  FROM base b LEFT JOIN s2 a USING (s_suppkey) WHERE a.s_suppkey IS NULL),
+        |upd AS (SELECT a.s_suppkey, a.s_nationkey, 'update' AS change_type
+        |  FROM base b JOIN s2 a USING (s_suppkey) WHERE b.s_nationkey <> a.s_nationkey)
+        |SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM upd)
+        |ORDER BY s_suppkey, change_type""".stripMargin))
   )
 }
