@@ -123,7 +123,7 @@ object SnapshotDiff {
     * For truly huge snapshots, keep the diff (a single key-shuffle join)
     * but source the `before` side from storage instead of executor memory.
     */
-  final class ChangeFeed(keyCols: Seq[String]) {
+  final class ChangeFeed(keyCols: Seq[String], bothImages: Boolean = false) {
     private var prev: Option[DataFrame] = None
     private var prevDiff: Option[DataFrame] = None
 
@@ -132,6 +132,11 @@ object SnapshotDiff {
       * the NEXT call — consume it within the current micro-batch (the
       * natural foreachBatch usage), because the following call releases
       * its blocks along with the retired snapshot.
+      *
+      * With `bothImages=true` every batch has the [[diffImages]] shape
+      * (`<c>_before`/`<c>_after` per value column) — the input
+      * [[IncrementalAgg.maintain]] needs; the first (all-insert) batch
+      * carries typed-null before-images.
       */
     def next(cur: DataFrame): DataFrame = synchronized {
       val snap = cur.localCheckpoint(true)
@@ -141,10 +146,16 @@ object SnapshotDiff {
       val valCols = snap.columns.toSeq.filterNot(keyCols.contains)
       val out = prev match {
         case None =>
-          snap.select((keyCols ++ valCols).map(col): _*)
+          val vals =
+            if (bothImages) valCols.flatMap(c => Seq(
+              lit(null).cast(snap.schema(c).dataType).as(s"${c}_before"),
+              col(c).as(s"${c}_after")))
+            else valCols.map(col)
+          snap.select(keyCols.map(col) ++ vals: _*)
             .withColumn("change_type", lit("insert"))
         case Some(p) =>
-          val d = diff(p, snap, keyCols).localCheckpoint(true)
+          val raw = if (bothImages) diffImages(p, snap, keyCols) else diff(p, snap, keyCols)
+          val d = raw.localCheckpoint(true)
           release(p)
           prevDiff.foreach(release) // the diff handed out last batch
           prevDiff = Some(d)

@@ -646,6 +646,85 @@ object StreamingOps {
         |upd AS (SELECT a.s_suppkey, a.s_nationkey, 'update' AS change_type
         |  FROM base b JOIN s2 a USING (s_suppkey) WHERE b.s_nationkey <> a.s_nationkey)
         |SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM upd)
-        |ORDER BY s_suppkey, change_type""".stripMargin))
+        |ORDER BY s_suppkey, change_type""".stripMargin)),
+
+    // STREAMING-MAINTAINED AGGREGATE: the materialized-view loop closed
+    // over a LIVE stream — the reftable source re-emits the full snapshot
+    // per generation (the reference's model, where any aggregate is an
+    // O(table) recompute per refresh); here the both-image ChangeFeed turns
+    // each arriving generation into a changefeed and IncrementalAgg
+    // advances the per-nation aggregate by O(changes) per batch, including
+    // group-MOVING updates (nation reassignment). The table mutates under
+    // a 1s-refresh stream; the final maintained state must equal the
+    // oracle's direct aggregate of the final table — proving the running
+    // view never diverged.
+    QueryDef("q146_stream_maintained_agg", (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.reftable.VersionedTable
+      import graft.operators.{IncrementalAgg, SnapshotDiff}
+      val root = RelationalSupport.scratchDir(s, dir, "q146_magg")
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      val state2 = base.filter(col("c_custkey") % 9 =!= 0)
+        .withColumn("cents", when(col("c_custkey") % 4 === 0, col("cents") + 500L)
+          .otherwise(col("cents")))
+        .withColumn("c_nationkey", when(col("c_custkey") % 6 === 0,
+          col("c_nationkey") + 50).otherwise(col("c_nationkey")))
+        .unionAll(base.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 700000L).as("c_custkey"),
+            col("c_nationkey"), col("cents")))
+      VersionedTable.publish(base, root)
+
+      val feed = new SnapshotDiff.ChangeFeed(Seq("c_custkey"), bothImages = true)
+      val lock = new Object
+      var agg: DataFrame = null
+      val df = s.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_nationkey INT, cents BIGINT")
+        .option("refreshInterval", "1s")
+        .load()
+      val q = df.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val d = feed.next(b)
+          lock.synchronized {
+            val prev = if (agg == null)
+              IncrementalAgg.aggregate(b.limit(0), Seq("c_nationkey"), Seq("cents"))
+            else agg
+            // materialize the advanced state eagerly: `d` is only valid
+            // until the next feed call, and the plan must not grow with
+            // the number of generations
+            agg = IncrementalAgg.maintain(prev, d, Seq("c_nationkey"), Seq("cents"))
+              .localCheckpoint(true)
+          }
+          ()
+        }
+        .option("checkpointLocation", Files.createTempDirectory("graft_magg_ck_").toString)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable() // baseline generation -> all-insert maintenance
+      VersionedTable.publish(state2, root)
+      Thread.sleep(1300) // cross the 1s refresh boundary
+      q.processAllAvailable() // mutated generation -> O(changes) maintenance
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      feed.close()
+      lock.synchronized { agg }
+        .select(col("c_nationkey"), col("sum_cents"), col("nn_cents"), col("cnt"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |s2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 6 = 0 THEN c_nationkey + 50 ELSE c_nationkey END AS c_nationkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN cents + 500 ELSE cents END AS cents
+        |  FROM base WHERE c_custkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 700000, c_nationkey, cents FROM base WHERE c_custkey % 10 = 3)
+        |SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(cents) AS nn_cents, count(*) AS cnt
+        |FROM s2 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }
