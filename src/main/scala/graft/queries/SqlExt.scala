@@ -191,6 +191,116 @@ object SqlExt {
         |  FROM marked)
         |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
         |  count(*) AS n_events, round(sum(value), 4) AS v
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
+    // static-list PIVOT: revenue by nation × order-year. Declaring the
+    // pivot value list keeps the plan a SINGLE hash aggregate whose row
+    // is one column per listed year — no collect-distinct driver job, no
+    // second pass, and the width is O(listed values) no matter the data
+    // size. The dims broadcast; the only shuffle is the final per-nation
+    // aggregate. DuckDB oracle: conditional aggregation, the relational
+    // rendering of the same contract (NULL where a nation has no orders
+    // in a year, on both sides).
+    QueryDef("q147_pivot", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val yrs = (1995 to 2001).toSeq
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+        .groupBy("n_name")
+        .pivot("yr", yrs)
+        .agg(r4(sum("o_totalprice")))
+        .select(col("n_name") +: yrs.map(y => col(s"`$y`").as(s"y$y")): _*)
+        .orderBy("n_name")
+    }, Some {
+      val conds = (1995 to 2001).map(y =>
+        s"round(sum(CASE WHEN year(o_orderdate) = $y THEN o_totalprice END), 4) AS y$y")
+      s"""SELECT n_name, ${conds.mkString(",\n  ")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    }),
+
+    // UNPIVOT (melt): per-priority metrics wide → long via the native
+    // Dataset.unpivot — an Expand (row generator) node, zero shuffles
+    // beyond the feeding aggregate, output 3× the (tiny) wide row count.
+    QueryDef("q148_unpivot", (s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          r4(sum("o_totalprice")).as("revenue"),
+          r4(avg("o_totalprice")).as("avg_price"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("revenue"), col("avg_price")),
+          "metric", "val")
+        .orderBy("o_orderpriority", "metric")
+    }, Some(
+      """WITH w AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    round(sum(o_totalprice), 4) AS revenue,
+        |    round(avg(o_totalprice), 4) AS avg_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, val FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM w
+        |  UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM w
+        |  UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM w)
+        |ORDER BY o_orderpriority, metric""".stripMargin)),
+
+    // Mergeable sketch columns — the pre-aggregated-sketch-table pattern:
+    // one Datasketches HLL per (year, quarter) stored as a binary column,
+    // then quarters MERGED per year with hll_union_agg and estimated.
+    // This is how a 100 TB warehouse serves distinct counts: sketches are
+    // built once at ingest partition granularity (a narrow pass), and any
+    // coarser rollup is a union of O(groups) few-KB sketches — the raw
+    // keys are never re-shuffled. Gate: the lgK=12 estimate must land
+    // within 5% of the exact per-year distinct (rel. std. error ≈1.6%),
+    // q35-style boolean oracle.
+    QueryDef("q149_hll_union", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).as("qtr"), col("o_custkey"))
+      val sketches = o.groupBy("yr", "qtr")
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+      val merged = sketches.groupBy("yr")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+      val exact = o.groupBy("yr").agg(countDistinct(col("o_custkey")).as("exact"))
+      merged.join(exact, "yr")
+        .select(col("yr"),
+          (abs(col("est") - col("exact")) / col("exact") <= 0.05).as("ok"))
+        .orderBy("yr")
+    }, Some(
+      "SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, TRUE AS ok FROM orders ORDER BY yr")),
+
+    // Range (interval) join: orders against a tiny price-band table on
+    // lo <= price < hi. The band side broadcasts, so the non-equi join is
+    // ONE pass over the fact with 5 candidate rows per probe
+    // (BroadcastNestedLoopJoin) — no shuffle, no cross-executor
+    // cartesian. For a LARGE interval table the same query would pre-bin
+    // both sides on floor(price/binWidth) and equi-join the bin (turning
+    // it into a shuffle join on O(1) bins per row).
+    QueryDef("q151_range_band_join", (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b0_lt50k", 0.0, 50000.0),
+        ("b1_50k", 50000.0, 100000.0),
+        ("b2_100k", 100000.0, 150000.0),
+        ("b3_150k", 150000.0, 200000.0),
+        ("b4_ge200k", 200000.0, 1e15))
+        .toDF("band", "lo", "hi")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(bands), o("o_totalprice") >= col("lo") && o("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("revenue"))
+        .orderBy("band")
+    }, Some(
+      """SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders JOIN (VALUES
+        |  ('b0_lt50k', 0.0, 50000.0), ('b1_50k', 50000.0, 100000.0),
+        |  ('b2_100k', 100000.0, 150000.0), ('b3_150k', 150000.0, 200000.0),
+        |  ('b4_ge200k', 200000.0, 1e15)) AS b(band, lo, hi)
+        |ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin))
   )
 }

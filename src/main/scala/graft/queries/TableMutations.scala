@@ -590,6 +590,41 @@ object TableMutations {
          |  SELECT doc_id + 500000, 'fresh ' || text FROM documents WHERE doc_id % 31 = 0),
          |$simhashOverDocs2
          |SELECT doc_id, simhash FROM simhash_t ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // Zero-copy shallow clone: snapshot orders as a versioned root, CLONE
+    // it (hard-linked files — O(files) metadata, 0 data bytes;
+    // RefTableCloneSpec asserts shared inodes), then DELETE on the clone.
+    // The source must still read the full pre-clone snapshot (the two
+    // roots are fully isolated: independent commit logs, manifests,
+    // stats), the clone the mutated one. The oracle replays both sides
+    // from the raw table.
+    QueryDef("q150_shallow_clone", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val srcRoot = RelationalSupport.scratchDir(s, dir, "q150_src")
+      val cloneRoot = RelationalSupport.scratchDir(s, dir, "q150_clone")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      VersionedTable.publishClustered(base, srcRoot, Seq("o_totalprice"), numFiles = 8)
+      VersionedTable.cloneTo(srcRoot, cloneRoot)
+      RefTableMutations.deleteWhere(s, cloneRoot, col("o_totalprice") < 150000.0)
+      def read(root: String) = s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .load()
+      val srcAgg = read(srcRoot)
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .select(lit("source").as("side"), col("n"), col("total"))
+      val cloneAgg = read(cloneRoot)
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .select(lit("clone").as("side"), col("n"), col("total"))
+      srcAgg.unionAll(cloneAgg).orderBy("side")
+    }, Some(
+      """SELECT side, n, total FROM (
+        |  SELECT 'clone' AS side, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |  FROM orders WHERE NOT (o_totalprice < 150000)
+        |  UNION ALL
+        |  SELECT 'source', count(*), round(sum(o_totalprice), 4) FROM orders)
+        |ORDER BY side""".stripMargin))
   )
 }

@@ -386,6 +386,66 @@ object VersionedTable {
       marker = Some(s"layout=zorder:${zCols.mkString(",")}"))
   }
 
+  /** Zero-copy shallow CLONE: publish into `dstRoot` a version holding the
+    * same data files as `srcRoot`'s current (or explicitly pinned)
+    * version, without copying bytes where the filesystem supports hard
+    * links (local POSIX; stores without link(2) fall back to a real copy).
+    * The clone is a fully independent table — its own commit log, file
+    * manifest and stats — so mutations, retention and vacuum on either
+    * side never affect the other: links share bytes, and deletion only
+    * unlinks, so vacuuming the SOURCE cannot invalidate the clone (and
+    * vice versa). This is Delta/Iceberg "shallow clone" with stronger
+    * isolation: their clones reference the source's files in place and
+    * break when the source vacuums; a link-clone survives it. Cost:
+    * O(files) metadata operations + one footer read per file for the
+    * clone's own `_STATS.json`; 0 data bytes on link-capable stores.
+    * `partitionColumns` must name the source's Hive layout when it has
+    * one (same contract as readers); the layout is reproduced in the
+    * clone.
+    */
+  def cloneTo(srcRoot: String, dstRoot: String, version: Option[String] = None,
+      partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
+    val conf = new Configuration()
+    val files = SnapshotFiles.list(srcRoot, partitionColumns, version)
+    require(files.nonEmpty, s"cloneTo: source $srcRoot resolves to an empty listing")
+    publishVia(dstRoot, keepVersions, marker = Some(s"clone=$srcRoot"),
+        manifestPartitionCols = partitionColumns) { staging =>
+      val fs = staging.getFileSystem(conf)
+      fs.mkdirs(staging)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val src = new Path(f.path)
+        // reproduce the partition layout from the source file's physical
+        // path: its last partitionColumns.size parent segments are the
+        // already-escaped `col=value` dirs (true for physical versions and
+        // for manifest-hosted files alike — mutation staging preserves
+        // partition subdirs)
+        val partSegs = f.path.split('/').dropRight(1).takeRight(partitionColumns.size)
+        require(partSegs.forall(_.contains('=')),
+          s"cloneTo: expected ${partitionColumns.size} 'col=value' parents of ${f.path}")
+        val dir = partSegs.foldLeft(staging)((d, seg) => new Path(d, seg))
+        if (partitionColumns.nonEmpty) fs.mkdirs(dir)
+        // index-prefixed names: files inherited from different source
+        // version dirs may collide on their basenames
+        val dst = new Path(dir, f"c$i%05d-${src.getName}")
+        val srcScheme = src.toUri.getScheme
+        val local = srcScheme == null || srcScheme == "file"
+        val linked = local && {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(src.toUri.getPath))
+            true
+          } catch {
+            case _: UnsupportedOperationException | _: SecurityException => false
+          }
+        }
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, fs, dst, false, conf)
+      }
+    }
+  }
+
   /** Bare snapshot data directly under a would-be root: loose parquet
     * files or non-version, non-hidden subdirectories (a Hive layout).
     * Creating a pointer next to such data would not corrupt it — but every

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.reftable._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zero-copy shallow clone ([[VersionedTable.cloneTo]]): the clone must
+  * (a) read identically to the source snapshot, (b) share BYTES with it —
+  * every clone data file is a hard link to a source file (same inode), so
+  * the commit is O(files) metadata and 0 data bytes, (c) be fully
+  * isolated — mutations on either side never show on the other, and
+  * (d) survive the source's retention/vacuum deleting the cloned-from
+  * version directory (links keep bytes alive until the last name drops —
+  * the property Delta/Iceberg shallow clones famously do NOT have).
+  */
+class RefTableCloneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft_clone_$name").toString
+
+  private def readCurrent(root: String, partCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val files = SnapshotFiles.list(root, partCols, None)
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  private def inode(path: String): Long =
+    Files.getAttribute(Paths.get(new java.net.URI(path).getPath match {
+      case "" => path
+      case p  => p
+    }), "unix:ino").asInstanceOf[Long]
+
+  private def inodesOf(root: String, partCols: Seq[String] = Nil): Set[Long] =
+    SnapshotFiles.list(root, partCols, None).map(f => inode(f.path)).toSet
+
+  test("clone reads identically and shares every data file's inode (0 bytes copied)") {
+    import spark.implicits._
+    val src = tmpDir("src")
+    val dst = tmpDir("dst")
+    val df = (0 until 5000).map(i => (i.toLong, i * 1.5, s"r$i")).toDF("id", "v", "tag")
+    VersionedTable.publishClustered(df, src, Seq("id"), numFiles = 8)
+    VersionedTable.cloneTo(src, dst)
+
+    val a = readCurrent(src).orderBy("id").collect()
+    val b = readCurrent(dst).orderBy("id").collect()
+    assert(a.sameElements(b))
+
+    val srcInodes = inodesOf(src)
+    val cloneInodes = inodesOf(dst)
+    assert(cloneInodes.size == 8)
+    assert(cloneInodes.subsetOf(srcInodes),
+      "every clone file must be a hard link to a source file")
+    // the clone is a first-class table: own commit log, manifest, stats
+    assert(VersionedTable.resolve(dst, conf).isDefined)
+    val cur = VersionedTable.resolve(dst, conf).get
+    val verName = new org.apache.hadoop.fs.Path(cur).getName
+    assert(RefTableFileManifest.exists(dst, verName, conf))
+  }
+
+  test("mutations on the clone never touch the source, and vice versa") {
+    import spark.implicits._
+    val src = tmpDir("iso_src")
+    val dst = tmpDir("iso_dst")
+    val df = (0 until 2000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    VersionedTable.publishClustered(df, src, Seq("id"), numFiles = 4)
+    VersionedTable.cloneTo(src, dst)
+
+    RefTableMutations.deleteWhere(spark, dst, col("id") < 1000L)
+    assert(readCurrent(dst).count() == 1000L)
+    assert(readCurrent(src).count() == 2000L, "source must not see the clone's delete")
+
+    RefTableMutations.deleteWhere(spark, src, col("id") >= 1500L)
+    assert(readCurrent(src).count() == 1500L)
+    assert(readCurrent(dst).count() == 1000L, "clone must not see the source's delete")
+  }
+
+  test("clone survives source retention deleting the cloned-from version") {
+    import spark.implicits._
+    val src = tmpDir("ret_src")
+    val dst = tmpDir("ret_dst")
+    val df = (0 until 1000).map(i => (i.toLong, s"x$i")).toDF("id", "s")
+    VersionedTable.publish(df, src, keepVersions = 2)
+    val clonedFrom = VersionedTable.resolve(src, conf).get
+    VersionedTable.cloneTo(src, dst)
+
+    // roll the source forward past retention: the cloned-from version's
+    // commit expires and its directory is collected
+    (1 to 3).foreach { g =>
+      VersionedTable.publish(df.withColumn("s", concat(lit(s"g$g-"), col("s"))),
+        src, keepVersions = 2)
+    }
+    VersionedTable.vacuum(src, keepVersions = 2)
+    assert(!Files.exists(Paths.get(new java.net.URI(clonedFrom).getPath)) ||
+      !VersionedTable.committedVersionDirs(src, conf)
+        .contains(new org.apache.hadoop.fs.Path(clonedFrom).getName),
+      "precondition: the cloned-from version should be gone (or at least uncommitted)")
+
+    // the clone still reads the ORIGINAL snapshot — links kept the bytes
+    val rows = readCurrent(dst).orderBy("id").collect()
+    assert(rows.length == 1000)
+    assert(rows.head.getString(1) == "x0", "clone content must be the pre-roll snapshot")
+  }
+
+  test("partitioned source clones with its Hive layout intact") {
+    import spark.implicits._
+    val src = tmpDir("part_src")
+    val dst = tmpDir("part_dst")
+    val df = (0 until 600).map(i => (i.toLong, s"p${i % 3}", i * 2.0)).toDF("id", "bucket", "v")
+    VersionedTable.publishPartitioned(df, src, Seq("bucket"))
+    VersionedTable.cloneTo(src, dst, partitionColumns = Seq("bucket"))
+
+    val files = SnapshotFiles.list(dst, Seq("bucket"), None)
+    assert(files.nonEmpty)
+    assert(files.forall(_.partitionValues.keySet == Set("bucket")),
+      "clone files must carry decoded partition values from col=value dirs")
+    assert(files.map(_.partitionValues("bucket")).toSet == Set("p0", "p1", "p2"))
+    assert(inodesOf(dst, Seq("bucket")).subsetOf(inodesOf(src, Seq("bucket"))))
+    val a = readCurrent(src, Seq("bucket")).select("id", "v").orderBy("id").collect()
+    val b = readCurrent(dst, Seq("bucket")).select("id", "v").orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("cloning a manifest-referenced (mutated) version captures the resolved listing") {
+    import spark.implicits._
+    val src = tmpDir("man_src")
+    val dst = tmpDir("man_dst")
+    val df = (0 until 4000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    VersionedTable.publishClustered(df, src, Seq("id"), numFiles = 8)
+    // mutate: the current source version now NAMES most files by reference
+    RefTableMutations.deleteWhere(spark, src, col("id") >= 3500L)
+    VersionedTable.cloneTo(src, dst)
+    assert(readCurrent(dst).count() == 3500L)
+    val a = readCurrent(src).orderBy("id").collect()
+    val b = readCurrent(dst).orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+}
