@@ -371,7 +371,41 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     }
   }
 
-  private val procedures = Seq("maintain", "maintain_all", "compact", "vacuum")
+  /** `CALL system.clone` backing: copy the SOURCE's descriptor verbatim to
+    * TARGET (a CREATE-like atomic claim — schema, options and dropped-name
+    * history all carry over), then zero-copy clone the current (or pinned)
+    * version's files into the target's root
+    * ([[VersionedTable.cloneTo]]). Returns the target's first version.
+    */
+  private def cloneTarget(
+      sourceRef: String, targetRef: String, version: Option[String]): String = {
+    def identOf(ref: String): Identifier = {
+      val parts = ref.split('.').toIndexedSeq.filter(_.nonEmpty)
+      require(parts.nonEmpty, s"empty table reference '$ref'")
+      Identifier.of(parts.init.toArray, parts.last)
+    }
+    val src = identOf(sourceRef)
+    val dst = identOf(targetRef)
+    if (!tableExists(src)) throw new NoSuchTableException(src)
+    if (tableExists(dst)) throw new TableAlreadyExistsException(dst)
+    if (!fs.exists(nsPath(dst.namespace.toIndexedSeq)))
+      throw new NoSuchNamespaceException(dst.namespace)
+    val (_, opts, _) = readDescriptor(src)
+    val in = fs.open(descriptorPath(src))
+    val bytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    fs.mkdirs(tablePath(dst))
+    if (!CommitPrimitive.forPath(descriptorPath(dst), conf)
+        .putIfAbsent(descriptorPath(dst), bytes, conf))
+      throw new TableAlreadyExistsException(dst)
+    val partitionCols = opts.get("partitionColumns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    VersionedTable.cloneTo(
+      tablePath(src).toString, tablePath(dst).toString, version, partitionCols)
+  }
+
+  private val procedures = Seq("maintain", "maintain_all", "compact", "vacuum", "clone")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -384,6 +418,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "maintain_all" => new MaintainAllProcedure(allTableRefs, maintenanceTarget)
       case "compact" => new CompactProcedure(maintenanceTarget)
       case "vacuum" => new VacuumProcedure(maintenanceTarget)
+      case "clone" => new CloneProcedure(cloneTarget)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure system.${ident.name} " +
           s"(supported: ${procedures.map("system." + _).mkString(", ")})")

@@ -199,3 +199,34 @@ final class VacuumProcedure(resolveTarget: String => (String, Seq[String]))
     result(Int.box(removed.size), UTF8String.fromString(removed.mkString(",")))
   }
 }
+
+/** `CALL cat.system.clone(source => 'ns.t', target => 'ns.t2')` — zero-copy
+  * shallow clone: the target table is created with the source's exact
+  * descriptor and its first version hard-links the source's current (or
+  * `version`-pinned) file listing ([[VersionedTable.cloneTo]]): O(files)
+  * metadata, 0 data bytes on link-capable stores, and full isolation —
+  * either side can mutate or vacuum without affecting the other.
+  */
+final class CloneProcedure(clone: (String, String, Option[String]) => String)
+    extends RefTableProcedure {
+  override def name: String = "clone"
+  override def description: String =
+    "Creates `target` as a zero-copy clone of `source`'s current (or pinned) version: " +
+      "descriptor copied, data files hard-linked where the store supports it"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", DataTypes.StringType)
+      .comment("existing table reference inside this catalog, e.g. 'ns.t'").build(),
+    ProcedureParameter.in("target", DataTypes.StringType)
+      .comment("table to create as the clone; must not exist").build(),
+    ProcedureParameter.in("version", DataTypes.StringType).defaultValue("''")
+      .comment("source version directory to pin (default: current)").build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val version = Option(input.getString(2)).filter(_.nonEmpty)
+    val v = clone(input.getString(0), input.getString(1), version)
+    result(UTF8String.fromString(v))
+  }
+}

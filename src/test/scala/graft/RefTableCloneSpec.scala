@@ -124,6 +124,34 @@ class RefTableCloneSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("CALL system.clone creates the target table and isolates it from the source") {
+    val cat = "gclone"
+    val wh = Files.createTempDirectory("graft_clone_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.src (id BIGINT, s STRING) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.src VALUES (1,'a'),(2,'b'),(3,'c')")
+
+    val out = spark.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.copy')")
+      .collect()
+    assert(out.length == 1 && out.head.getString(0).startsWith("v"))
+
+    assert(spark.table(s"$cat.db.copy").count() == 3)
+    // clone shares bytes with the source snapshot
+    assert(inodesOf(s"$wh/db/copy").subsetOf(inodesOf(s"$wh/db/src")))
+    // independent evolution: insert on source, delete on clone
+    spark.sql(s"INSERT INTO $cat.db.src VALUES (4,'d')")
+    spark.sql(s"DELETE FROM $cat.db.copy WHERE id = 1")
+    assert(spark.table(s"$cat.db.src").count() == 4)
+    assert(spark.table(s"$cat.db.copy").count() == 2)
+    // cloning onto an existing table refuses
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.copy')").collect())
+    assert(e.getMessage.toLowerCase.contains("exists") ||
+      e.getCause != null && e.getCause.getMessage.toLowerCase.contains("exists"))
+  }
+
   test("cloning a manifest-referenced (mutated) version captures the resolved listing") {
     import spark.implicits._
     val src = tmpDir("man_src")
