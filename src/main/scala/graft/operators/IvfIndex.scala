@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.GraftFunctions._
 import graft.functions.VectorFunctions.{cosineSim, packVector, unpackVector}
 import graft.sources.reftable.VersionedTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,5 +97,49 @@ object IvfIndex {
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  /** O(changes) index maintenance: given a corpus BOTH-IMAGES changefeed
+    * (`id`, `vec_before`, `vec_after` packed binary, `change_type` — the
+    * [[VersionedTable.changesImages]] shape over a packed-vector corpus),
+    * assign the changed vectors to cells against the PUBLISHED codebook
+    * and merge into the partitioned index. The before-image gives each
+    * delete/update its OLD cell without reading the index, so the merge
+    * key is (cell, id) — cell moves become delete-at-old + insert-at-new —
+    * and the mutation layer's partition-keyed pruning rewrites ONLY the
+    * touched cells' may-match files. Work scales with the batch: one
+    * narrow assignment pass over O(changes) rows + a COW merge over
+    * O(affected cells' files); the corpus, the index's other cells, and
+    * the unchanged rows are never read. This is how the ANN index follows
+    * a daily-ingest corpus at 100 TB without rebuilds; re-training the
+    * codebook itself (centroid drift) remains a [[build]]-shaped publish.
+    */
+  def updateFromChanges(
+      spark: SparkSession, root: String, changes: DataFrame,
+      keepVersions: Int = 3): String = {
+    val cent = readCentroids(spark, root)
+    def cellOf(packed: String, tmp: String): Column =
+      when(col(packed).isNull, lit(null).cast("long"))
+        .otherwise(Similarity.bestCentroidVia(cent, tmp, literal = None)("cid"))
+    val withCells = changes
+      .withColumn("__ov", unpackVector(col("vec_before")))
+      .withColumn("__nv", unpackVector(col("vec_after")))
+      .withColumn("__oldcell", cellOf("vec_before", "__ov"))
+      .withColumn("__newcell", cellOf("vec_after", "__nv"))
+    // composite-key change rows: a row whose vector moved cells leaves the
+    // old partition and enters the new one
+    val removals = withCells
+      .filter(col("change_type") === "delete" ||
+        (col("change_type") === "update" && col("__oldcell") =!= col("__newcell")))
+      .select(lit("delete").as("change_type"),
+        col("__oldcell").as("cell"), col("id"), col("vec_before").as("vec"))
+    val upserts = withCells
+      .filter(col("change_type") =!= "delete")
+      .select(lit("update").as("change_type"),
+        col("__newcell").as("cell"), col("id"), col("vec_after").as("vec"))
+    graft.sources.reftable.RefTableMutations.applyChanges(
+      spark, root, removals.unionAll(upserts), Seq("cell", "id"), keepVersions,
+      partitionColumns = Seq("cell"),
+      partitionTypes = Map("cell" -> org.apache.spark.sql.types.LongType))
   }
 }

@@ -289,6 +289,51 @@ object SimilarityOps {
          |r AS (SELECT query_id, vec_id, sim,
          |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
-         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin))
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
+    // O(changes) ANN-index maintenance: the IVF index (q132's cell-
+    // partitioned layout) FOLLOWS its corpus through a version changefeed
+    // instead of rebuilding. Corpus v2 deletes ids ≡0 (mod 17) and inserts
+    // fresh copies of ids ≡0 (mod 31); only those O(changes) rows are
+    // assigned to cells (against the published codebook) and COW-merged
+    // into the partitioned index — unaffected cells are never read. The
+    // oracle recomputes the FULL assignment over corpus v2 in DuckDB, so a
+    // hash match proves incremental maintenance ≡ full rebuild.
+    QueryDef("q152_incremental_ivf", (s, dir) => {
+      import graft.functions.VectorFunctions.packVector
+      import graft.sources.reftable.VersionedTable
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val corpusRoot = RelationalSupport.scratchDir(s, dir, "q152_corpus")
+      val idxRoot = RelationalSupport.scratchDir(s, dir, "q152_ivfidx")
+      val e2 = e.filter(col("vec_id") % 17 =!= 0)
+        .unionAll(e.filter(col("vec_id") % 31 === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("v")))
+      val v1 = VersionedTable.publish(
+        e.select(col("vec_id").as("id"), packVector(col("v")).as("vec")), corpusRoot)
+      VersionedTable.publish(
+        e2.select(col("vec_id").as("id"), packVector(col("v")).as("vec")), corpusRoot)
+      graft.operators.IvfIndex.build(e, cent, "vec_id", "v", idxRoot)
+      val changes = VersionedTable.changesImages(s, corpusRoot, Seq("id"), v1)
+      graft.operators.IvfIndex.updateFromChanges(s, idxRoot, changes)
+      s.read.format("reftable")
+        .option("path", idxRoot)
+        .option("schema", "id BIGINT, cell BIGINT, vec BINARY")
+        .option("partitionColumns", "cell")
+        .load()
+        .select(col("id"), col("cell"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCells),
+         |e2 AS (SELECT vec_id, v FROM e WHERE vec_id % 17 <> 0
+         |  UNION ALL SELECT vec_id + 500000, v FROM e WHERE vec_id % 31 = 0),
+         |asgn AS (SELECT vec_id, cell FROM (
+         |  SELECT e2.vec_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY ${duckCos("e2.v", "cent.cv")} DESC, cent.cid) arn
+         |  FROM e2 CROSS JOIN cent) WHERE arn = 1)
+         |SELECT vec_id AS id, cell FROM asgn ORDER BY id""".stripMargin))
   )
 }

@@ -264,26 +264,55 @@ object RefTableMutations {
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
           lit(true).as("__m")): _*)
 
-    // one aggregation job for emptiness + key bounds, as in [[upsert]]
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) =
-      if (keyCols.size == 1) {
-        val k = keyCols.head
-        val mm = marked.agg(
-          org.apache.spark.sql.functions.count(lit(1)), min(col(k)), max(col(k))).first()
-        if (mm.getLong(0) == 0L) (true, Nil)
-        else if (mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts, no file can match
+    // one aggregation job for emptiness + every pruning signal the source
+    // offers: single-key min/max bounds (as in [[upsert]]), and — when
+    // EVERY partition column is part of the merge key — the source's
+    // partition values. The latter is sound ONLY under that condition: a
+    // file in partition p holds rows with p alone, and key-matching then
+    // implies partition equality, so files outside the source's partition
+    // values can neither match nor be matched. ≤64 distinct values become
+    // an In filter (exact cells, e.g. an index maintenance batch touching
+    // 2 of 4096 cells); more fall back to [min,max] range bounds.
+    val partKeyed = partitionColumns.nonEmpty && partitionColumns.forall(keyCols.contains)
+    val singleKey = keyCols.size == 1
+    val aggExprs: Seq[Column] =
+      Seq(org.apache.spark.sql.functions.count(lit(1))) ++
+        (if (singleKey) Seq(min(col(keyCols.head)), max(col(keyCols.head))) else Nil) ++
+        (if (partKeyed) partitionColumns.flatMap(c => Seq(min(col(c)), max(col(c)),
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.sort_array(
+              org.apache.spark.sql.functions.collect_set(col(c))), 1, 65))) else Nil)
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+      val mm = marked.agg(aggExprs.head, aggExprs.tail: _*).first()
+      if (mm.getLong(0) == 0L) (true, Nil)
+      else if (singleKey && mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts
+      else {
+        val keyFilters: Seq[org.apache.spark.sql.sources.Filter] =
+          if (singleKey) Seq(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(keyCols.head, mm.get(1)),
+            org.apache.spark.sql.sources.LessThanOrEqual(keyCols.head, mm.get(2)))
+          else Nil
+        val base = if (singleKey) 3 else 1
+        val partFilters: Seq[org.apache.spark.sql.sources.Filter] =
+          if (!partKeyed) Nil
+          else partitionColumns.zipWithIndex.flatMap { case (c, i) =>
+            val (lo, hi, set) = (mm.get(base + 3 * i), mm.get(base + 3 * i + 1),
+              mm.getSeq[Any](base + 3 * i + 2))
+            if (lo == null) Nil // no non-null partition key in the source
+            else if (set.size <= 64) Seq(org.apache.spark.sql.sources.In(c, set.toArray))
+            else Seq(
+              org.apache.spark.sql.sources.GreaterThanOrEqual(c, lo),
+              org.apache.spark.sql.sources.LessThanOrEqual(c, hi))
+          }
+        val filters = keyFilters ++ partFilters
+        if (filters.isEmpty) (false, files)
         else {
-          val filters = Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(1)),
-            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(2)))
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
             RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
         }
-      } else {
-        val e = marked.isEmpty
-        (e, if (e) Nil else files)
       }
+    }
     // hash-bucketed layouts narrow to the source's bucket ids (see upsert)
     val narrowed =
       if (empty || mayMatch.isEmpty) mayMatch

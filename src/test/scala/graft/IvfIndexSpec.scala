@@ -96,6 +96,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("changefeed maintenance equals rebuild and stages only affected cells") {
+    import spark.implicits._
+    val c = corpus(400)
+    val root = tmpDir("maint")
+    IvfIndex.build(c, centroids, "vec_id", "embedding", root)
+
+    // inserts: 10 fresh axis-0 vectors (all land in cell 0);
+    // deletes: three existing cell-1 members (ids ≡1 mod 4). Both-images
+    // shape (VersionedTable.changesImages): before NULL for inserts,
+    // after NULL for deletes.
+    val insVec = (i: Int) => Array.tabulate(8)(d => if (d == 0) 1.0 else 0.001 * d)
+    val ins = (1000 until 1010).map(i =>
+      (i.toLong, None: Option[Array[Double]], Some(insVec(i)), "insert"))
+    val delIds = Seq(1L, 5L, 9L)
+    val oldVecs = c.filter(col("vec_id").isin(delIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val del = delIds.map(id => (id, Some(oldVecs(id)), None: Option[Array[Double]], "delete"))
+    val changes = (ins ++ del).toDF("id", "vb", "va", "change_type")
+      .select(col("id"), packVector(col("vb")).as("vec_before"),
+        packVector(col("va")).as("vec_after"), col("change_type"))
+    IvfIndex.updateFromChanges(spark, root, changes)
+
+    // result == full reassignment of the post-change corpus
+    val expected = Similarity.assignCells(
+        c.filter(!col("vec_id").isin(delIds: _*))
+          .unionAll((1000 until 1010).map(i => (i.toLong, insVec(i))).toDF("vec_id", "embedding")),
+        centroids, "vec_id", "embedding")
+      .select(col("vec_id").as("id"), col("cell"))
+      .orderBy("id").collect().toSeq
+    val got = IvfIndex.readCells(spark, root, Seq(0L, 1L, 2L, 3L))
+      .select("id", "cell").orderBy("id").collect().toSeq
+    assert(got == expected)
+
+    // O(affected files): the maintenance version physically stages data
+    // only under the touched cells (0: inserts, 1: deletes) — cells 2/3
+    // ride the manifest by reference
+    val cur = graft.sources.reftable.VersionedTable
+      .resolve(root, new org.apache.hadoop.conf.Configuration()).get
+    val staged = SnapshotFiles.listPhysical(cur, Seq("cell"))
+    val stagedCells = staged.map(_.partitionValues("cell")).toSet
+    assert(stagedCells.subsetOf(Set("0", "1")),
+      s"maintenance must not rewrite unaffected cells; staged: $stagedCells")
+  }
+
   test("codebook reference path == literal fold, edge rows included") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
