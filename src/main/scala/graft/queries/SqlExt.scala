@@ -273,6 +273,45 @@ object SqlExt {
     }, Some(
       "SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, TRUE AS ok FROM orders ORDER BY yr")),
 
+    // Sketches as incrementally-maintained aggregate state: a per-year HLL
+    // sketch TABLE (binary column in a versioned root) advanced by an
+    // insert batch — the batch is sketched per group (one narrow pass over
+    // O(batch) rows) and UNIONED into the stored sketches (O(groups)
+    // few-KB merges); the base table's raw keys are never re-read or
+    // re-shuffled. Inserts-only by construction (HLL cannot retract);
+    // retractable distinct-count maintenance is q94/q101's exact path.
+    // Gate: the maintained estimate lands within 5% of the exact distinct
+    // over the full data, per year.
+    QueryDef("q153_incremental_hll", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q153_hll")
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderkey"), col("o_custkey"))
+      val base = o.filter(col("o_orderkey") % 5 =!= 0)
+      val batch = o.filter(col("o_orderkey") % 5 === 0)
+      VersionedTable.publish(
+        base.groupBy("yr").agg(hll_sketch_agg(col("o_custkey"), 12).as("sk")), root)
+      val stored = s.read.format("reftable")
+        .option("path", root).option("schema", "yr BIGINT, sk BINARY").load()
+      val delta = batch.groupBy("yr").agg(hll_sketch_agg(col("o_custkey"), 12).as("bsk"))
+      val advanced = stored.join(delta, Seq("yr"), "full_outer")
+        .select(col("yr"),
+          when(col("sk").isNull, col("bsk"))
+            .when(col("bsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("bsk"))).as("sk"))
+      VersionedTable.publish(advanced, root)
+      val est = s.read.format("reftable")
+        .option("path", root).option("schema", "yr BIGINT, sk BINARY").load()
+        .select(col("yr"), hll_sketch_estimate(col("sk")).as("est"))
+      val exact = o.groupBy("yr").agg(countDistinct(col("o_custkey")).as("exact"))
+      est.join(exact, "yr")
+        .select(col("yr"),
+          (abs(col("est") - col("exact")) / col("exact") <= 0.05).as("ok"))
+        .orderBy("yr")
+    }, Some(
+      "SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, TRUE AS ok FROM orders ORDER BY yr")),
+
     // Range (interval) join: orders against a tiny price-band table on
     // lo <= price < hi. The band side broadcasts, so the non-equi join is
     // ONE pass over the fact with 5 candidate rows per probe

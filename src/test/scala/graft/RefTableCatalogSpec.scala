@@ -26,6 +26,21 @@ class RefTableCatalogSpec extends AnyFunSuite {
     f(cat, wh)
   }
 
+  test("CREATE TABLE AS SELECT creates, writes and reads back through the catalog") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.range(10).createOrReplaceTempView("ctas_src")
+      spark.sql(s"CREATE TABLE $cat.db.ct USING reftable AS " +
+        "SELECT id, id * 2 AS v FROM ctas_src")
+      val got = spark.table(s"$cat.db.ct").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == (0L until 10L).map(i => (i, i * 2)))
+      // the created table is a first-class versioned table: INSERT appends
+      spark.sql(s"INSERT INTO $cat.db.ct VALUES (100, 200)")
+      assert(spark.table(s"$cat.db.ct").count() == 11)
+    }
+  }
+
   test("SQL surface end-to-end: create, insert, select, delete, time travel, truncate, drop") {
     withCatalog { (cat, wh) =>
       import spark.implicits._

@@ -71,6 +71,39 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("SQL MERGE with the partition column in ON rewrites only its partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dml_pk").toString + "/t"
+    val tbl = "graft_dml_pk"
+    val pddl = "id BIGINT, v BIGINT, dt STRING"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS " +
+      s"(path '$root', schema '$pddl', partitionColumns 'dt')")
+    try {
+      (0L until 300L).map(i => (i, i * 10, s"d${i % 3}")).toDF("id", "v", "dt")
+        .write.format("reftable").option("path", root).option("schema", pddl)
+        .option("partitionColumns", "dt").mode("overwrite").save()
+      // the source touches ONLY partition d2, but its ids (2, 299) span the
+      // whole table's id range — key bounds alone cannot prune a single
+      // file; partition-keyed pruning (dt is part of the ON key) must
+      Seq((2L, -2L, "d2"), (299L, -299L, "d2")).toDF("id", "nv", "dt")
+        .createOrReplaceTempView("dml_pk_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_pk_src s ON t.dt = s.dt AND t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (id, v, dt) VALUES (s.id, s.nv, s.dt)
+           |""".stripMargin)
+      assert(spark.table(tbl).where("id IN (2, 299)").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((2L, -2L), (299L, -299L)))
+      assert(spark.table(tbl).count() == 300)
+      val cur = VersionedTable.resolve(root, conf).get
+      val staged = graft.sources.reftable.SnapshotFiles.listPhysical(cur, Seq("dt"))
+      assert(staged.nonEmpty && staged.forall(_.partitionValues("dt") == "d2"),
+        s"only d2 may stage, got ${staged.map(_.partitionValues)}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("SQL MERGE on a bucketBy table rewrites only the source keys' buckets") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_dml_bkt").toString + "/t"
