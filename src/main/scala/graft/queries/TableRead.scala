@@ -357,6 +357,56 @@ object TableRead {
       """SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total,
         |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
         |FROM orders
-        |WHERE o_custkey < 300 AND o_totalprice >= 50000 AND o_totalprice < 150000""".stripMargin))
+        |WHERE o_custkey < 300 AND o_totalprice >= 50000 AND o_totalprice < 150000""".stripMargin)),
+
+    // Storage-partitioned join: two reftables Hive-partitioned on the same
+    // key (orders + a per-order status table, both on bkt = o_orderkey % 8)
+    // read with `groupByPartition` — the scans report KeyGroupedPartitioning
+    // and Spark's v2-bucketing machinery joins them with NO Exchange on
+    // either side (RefTableSpjSpec asserts the plan; this entry oracles the
+    // values). At 100 TB this is joining two co-partitioned facts in place
+    // instead of re-shuffling both.
+    QueryDef("q154_spj_join", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val r1 = RelationalSupport.scratchDir(s, dir, "q154_a")
+      val r2 = RelationalSupport.scratchDir(s, dir, "q154_b")
+      val o = t(s, dir, "orders")
+      VersionedTable.publishPartitioned(
+        o.select((col("o_orderkey") % 8).as("bkt"), col("o_orderkey"), col("o_totalprice")),
+        r1, Seq("bkt"))
+      VersionedTable.publishPartitioned(
+        o.filter(col("o_custkey") % 3 === 0)
+          .select((col("o_orderkey") % 8).as("bkt"), col("o_orderkey"), col("o_orderpriority")),
+        r2, Seq("bkt"))
+      def rd(root: String, ddl: String) = s.read.format("reftable")
+        .option("path", root).option("schema", ddl)
+        .option("partitionColumns", "bkt").option("groupByPartition", "true").load()
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      // the join must EXECUTE while the SPJ confs are set (restoring them
+      // before the caller's action would silently fall back to a shuffled
+      // plan), so the few aggregate rows materialize inside the scope —
+      // bounded by the priority cardinality, not data
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val out = rd(r1, "bkt BIGINT, o_orderkey BIGINT, o_totalprice DOUBLE")
+          .join(rd(r2, "bkt BIGINT, o_orderkey BIGINT, o_orderpriority STRING"),
+            Seq("bkt", "o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE o_custkey % 3 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

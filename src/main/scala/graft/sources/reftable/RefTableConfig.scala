@@ -212,7 +212,8 @@ final case class RefTableOptions(
     keepVersions: Int = 3,
     bloomStats: Seq[String] = Nil,
     bucketBy: Seq[String] = Nil,
-    bucketCount: Int = 16) {
+    bucketCount: Int = 16,
+    groupByPartition: Boolean = false) {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -315,6 +316,10 @@ object RefTableOptions {
     val allowMissing = boolOpt("allowMissingColumns", default = false)
     val statsPruning = boolOpt("statsPruning", default = true)
     val strictSnapshot = boolOpt("strictSnapshot", default = false)
+    val groupByPartition = boolOpt("groupByPartition", default = false)
+    if (groupByPartition && partitionColumns.isEmpty)
+      errs += "'groupByPartition' requires 'partitionColumns' (it groups the scan " +
+        "into one input partition per partition value for storage-partitioned joins)"
 
     // syntax + attribute validation only (no SparkSession needed here);
     // the full resolve/translate happens at scan construction
@@ -409,6 +414,6 @@ object RefTableOptions {
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
-      bucketBy, bucketCount)
+      bucketBy, bucketCount, groupByPartition)
   }
 }

@@ -228,7 +228,8 @@ class RefTableScanBuilder(opts: RefTableOptions)
 class RefTableScan(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter],
     limit: Option[Int] = None)
-    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // the `filter` option's declared predicate, resolved once per scan —
   // the only pruning channel streaming scans have (see
   // RefTableFilters.declared); merged everywhere Catalyst-pushed filters
@@ -280,6 +281,28 @@ class RefTableScan(
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
+  /** Storage-partitioned joins: with `groupByPartition` the scan reports
+    * KeyGroupedPartitioning over its partition columns — one planned
+    * partition per distinct value, key exposed on each
+    * ([[RefTableGroupedInputPartition]]) — and under
+    * `spark.sql.sources.v2.bucketing.enabled` Spark matches two
+    * co-partitioned scans and plans their equi-join with no Exchange on
+    * either side. Computed over the statically-pruned listing (runtime
+    * filters arrive later; they can only remove whole key groups, which
+    * Spark's partition matching handles).
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (opts.groupByPartition && opts.partitionColumns.nonEmpty) {
+      val n = SnapshotFiles.pruned(opts, (pushed ++ declared).toSeq)
+        .map(f => opts.partitionColumns.map(f.partitionValues.getOrElse(_, null)))
+        .distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        opts.partitionColumns.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        math.max(n, 1))
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
   override def toBatch: Batch =
     new RefTableBatch(opts, required, pushed ++ declared ++ runtimeFilters, limit)
 
@@ -293,7 +316,10 @@ class RefTableBatch(
     limit: Option[Int] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
-    RefTablePartitions.plan(SnapshotFiles.pruned(opts, pushed.toSeq), gen)
+    val pruned = SnapshotFiles.pruned(opts, pushed.toSeq)
+    if (opts.groupByPartition && opts.partitionColumns.nonEmpty)
+      RefTablePartitions.planGrouped(pruned, gen, opts)
+    else RefTablePartitions.plan(pruned, gen)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RefTableReaderFactory(opts, required, pushed, limit)

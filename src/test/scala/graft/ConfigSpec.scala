@@ -116,6 +116,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("strictSnapshot"))
   }
 
+  test("groupByPartition without partitionColumns rejected at analysis") {
+    val e = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("groupByPartition" -> "true"))
+    }
+    assert(e.getMessage.contains("groupByPartition"))
+    assert(e.getMessage.contains("partitionColumns"))
+  }
+
   // reference :120-131 (malformed schema JSON)
   test("malformed schema rejected") {
     val e = intercept[IllegalArgumentException] {
