@@ -25,7 +25,10 @@ object Registry {
     "graft_minhash_sig" -> (exprs => MinHashSignature(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "graft_minhash_bands" -> (exprs => MinHashBands(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "graft_shingle_hashes" -> (exprs => ShingleHashes(exprs(0), intArg(exprs(1)))),
-    "graft_token_stats" -> (exprs => TokenStats(exprs.head)))
+    "graft_token_stats" -> (exprs => TokenStats(exprs.head)),
+    "graft_kll_sketch_agg" -> (exprs => KllSketchAgg(exprs(0), intArg(exprs(1)))),
+    "graft_kll_merge_agg" -> (exprs => KllMergeAgg(exprs(0), intArg(exprs(1)))),
+    "graft_kll_quantile" -> (exprs => KllQuantile(exprs(0), exprs(1))))
 
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry

@@ -273,6 +273,41 @@ object SqlExt {
     }, Some(
       "SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, TRUE AS ok FROM orders ORDER BY yr")),
 
+    // Mergeable QUANTILE sketch columns — the q149 pattern for percentiles:
+    // one KLL sketch of o_totalprice per (year, quarter) stored as BINARY
+    // (graft's KllSketchAgg TypedImperativeAggregate — Spark 4 ships the
+    // HLL family but no mergeable quantile sketch column), then quarters
+    // MERGED per year with kll_merge_agg and the median / p95 extracted
+    // from the merged sketch. At 100 TB: sketches built once at ingest
+    // granularity, any coarser percentile rollup is a union of O(groups)
+    // few-KB blobs — raw values never re-shuffled. Gate, q142-style rank
+    // band: each estimate must land between the exact (p−0.03) and
+    // (p+0.03) quantiles (KLL k=200 rank error ≈1.65% at 99% conf., well
+    // inside), per year.
+    QueryDef("q156_kll_rollup", (s, dir) => {
+      import graft.functions.KllFunctions._
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).as("qtr"), col("o_totalprice"))
+      val sketches = o.groupBy("yr", "qtr")
+        .agg(kllSketchAgg(col("o_totalprice")).as("sk"))
+      val merged = sketches.groupBy("yr")
+        .agg(kllMergeAgg(col("sk")).as("sk"))
+        .select(col("yr"),
+          kllQuantile(col("sk"), 0.5).as("est50"),
+          kllQuantile(col("sk"), 0.95).as("est95"))
+      val bands = o.groupBy("yr").agg(
+        expr("percentile(o_totalprice, array(0.47, 0.53))").as("b50"),
+        expr("percentile(o_totalprice, array(0.92, 0.98))").as("b95"))
+      merged.join(bands, "yr")
+        .select(col("yr"),
+          (col("est50") >= col("b50")(0) && col("est50") <= col("b50")(1)).as("ok50"),
+          (col("est95") >= col("b95")(0) && col("est95") <= col("b95")(1)).as("ok95"))
+        .orderBy("yr")
+    }, Some(
+      """SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  TRUE AS ok50, TRUE AS ok95 FROM orders ORDER BY yr""".stripMargin)),
+
     // Sketches as incrementally-maintained aggregate state: a per-year HLL
     // sketch TABLE (binary column in a versioned root) advanced by an
     // insert batch — the batch is sketched per group (one narrow pass over

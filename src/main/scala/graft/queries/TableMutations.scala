@@ -625,6 +625,35 @@ object TableMutations {
         |  FROM orders WHERE NOT (o_totalprice < 150000)
         |  UNION ALL
         |  SELECT 'source', count(*), round(sum(o_totalprice), 4) FROM orders)
-        |ORDER BY side""".stripMargin))
+        |ORDER BY side""".stripMargin)),
+
+    // RESTORE (version rollback): publish v1, COW-DELETE most rows (v2),
+    // then restore to v1 — a metadata-only commit whose _FILES.json
+    // references v1 wholesale (0 data bytes staged, any table size). The
+    // current read must equal v1 exactly (deleted rows back) and the
+    // commit log must show all three commits — rollback is a new commit,
+    // not an erase. The oracle replays v1 from the raw table; if the
+    // restore had not landed, the deleted rows' groups would hash-mismatch.
+    QueryDef("q155_restore", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q155_restore")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v1 = VersionedTable.publish(base, root)
+      RefTableMutations.deleteWhere(s, root, col("o_totalprice") >= 100000.0)
+      VersionedTable.restore(root, v1)
+      val commits = VersionedTable.commitLog(root).size
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .load()
+        .groupBy((col("o_orderkey") % 7).as("g"))
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .select(col("g"), col("n"), col("total"), lit(commits).as("commits"))
+        .orderBy("g")
+    }, Some(
+      """SELECT o_orderkey % 7 AS g, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total, 3 AS commits
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin))
   )
 }

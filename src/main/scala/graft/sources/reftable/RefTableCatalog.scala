@@ -405,7 +405,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       tablePath(src).toString, tablePath(dst).toString, version, partitionCols)
   }
 
-  private val procedures = Seq("maintain", "maintain_all", "compact", "vacuum", "clone")
+  private val procedures =
+    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -419,6 +420,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "compact" => new CompactProcedure(maintenanceTarget)
       case "vacuum" => new VacuumProcedure(maintenanceTarget)
       case "clone" => new CloneProcedure(cloneTarget)
+      case "restore" => new RestoreProcedure(maintenanceTarget)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure system.${ident.name} " +
           s"(supported: ${procedures.map("system." + _).mkString(", ")})")

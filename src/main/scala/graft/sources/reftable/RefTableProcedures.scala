@@ -200,6 +200,36 @@ final class VacuumProcedure(resolveTarget: String => (String, Seq[String]))
   }
 }
 
+/** `CALL cat.system.restore(table => 'ns.t', version => 'v...')` — rollback:
+  * the named earlier version's exact content becomes the new current
+  * version via a metadata-only commit (a `_FILES.json` referencing that
+  * version wholesale — O(1) manifest entries, 0 data bytes, any table
+  * size). History keeps the superseded versions; pinned readers are
+  * untouched ([[VersionedTable.restore]]).
+  */
+final class RestoreProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "restore"
+  override def description: String =
+    "Re-publishes an earlier committed version's content as the new current version " +
+      "(metadata-only rollback; history preserved)"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("version", DataTypes.StringType)
+      .comment("committed version directory to restore to (see $history)").build(),
+    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, partitionColumns) = resolveTarget(input.getString(0))
+    val v = VersionedTable.restore(
+      root, input.getString(1), input.getInt(2), partitionColumns)
+    result(UTF8String.fromString(v))
+  }
+}
+
 /** `CALL cat.system.clone(source => 'ns.t', target => 'ns.t2')` — zero-copy
   * shallow clone: the target table is created with the source's exact
   * descriptor and its first version hard-links the source's current (or

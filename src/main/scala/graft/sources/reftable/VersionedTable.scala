@@ -638,6 +638,45 @@ object VersionedTable {
     name
   }
 
+  /** RESTORE (rollback): make an earlier committed version's exact content
+    * the NEW current version — the Delta `RESTORE TABLE … TO VERSION AS OF`
+    * shape. Metadata-only regardless of table size: the new version
+    * directory holds just a `_FILES.json` whose parent is `toVersion` with
+    * nothing removed and nothing added, so the commit is O(1) manifest
+    * entries and 0 data bytes. Rollback is a NEW commit, not an erase —
+    * history keeps the bad versions for audit, pinned readers of
+    * intermediate versions are untouched, and retention protects
+    * `toVersion`'s bytes for as long as the restore references them
+    * (manifest-chain protection, same as any mutation). CAS-guarded: a
+    * publish that lands between resolving the current version and the
+    * restore commit fails the base check and the restore re-derives, so
+    * the rollback decision is always made against the version it actually
+    * supersedes.
+    */
+  def restore(root: String, toVersion: String, keepVersions: Int = 3,
+      partitionColumns: Seq[String] = Nil): String = withConflictRetry(root) { () =>
+    val conf = new Configuration()
+    val current = resolve(root, conf).map(p => new Path(p).getName).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table root"))
+    val committed = committedVersionDirs(root, conf)
+    require(committed.contains(toVersion),
+      s"restore: $toVersion is not a committed version of $root " +
+        s"(committed: ${committed.mkString(", ")})")
+    if (toVersion == current) current
+    else {
+      val rootPath = new Path(root)
+      require(rootPath.getFileSystem(conf).exists(new Path(rootPath, toVersion)),
+        s"restore: version directory $toVersion of $root no longer exists on disk")
+      publishVia(root, keepVersions, marker = Some(s"restore=$toVersion"),
+          parent = Some(current), requireBase = true,
+          manifestPartitionCols = partitionColumns) { staging =>
+        RefTableFileManifest.writeDelta(
+          root, staging, parentVersion = toVersion, removedRel = Set.empty,
+          partitionColumns = partitionColumns, conf = conf)
+      }
+    }
+  }
+
   /** Compact the current version into ~`targetFileBytes` files and publish
     * the result as a new version. Small-file explosion is the classic
     * slow death of a frequently-refreshed table (every listing, footer

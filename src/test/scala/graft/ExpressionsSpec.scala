@@ -154,4 +154,44 @@ class ExpressionsSpec extends AnyFunSuite {
     val e = reg.lookupFunction(FunctionIdentifier("graft_simhash60"), Seq(lit))
     assert(e.isInstanceOf[graft.functions.SimHash60])
   }
+
+  test("KLL sketch aggregate: quantiles within rank tolerance, nulls skipped") {
+    import graft.functions.KllFunctions._
+    // 1..10000 shuffled deterministically; exact p-quantile is ~p*10000
+    val df = (1 to 10000).map(i => ((i * 7919) % 10000).toDouble)
+      .toDF("v").union(Seq.empty[Double].toDF("v"))
+    val sk = df.agg(kllSketchAgg(col("v")).as("sk"))
+      .select(
+        kllQuantile(col("sk"), 0.5).as("p50"),
+        kllQuantile(col("sk"), 0.9).as("p90"))
+      .collect().head
+    // k=200 rank error ≈1.65%; allow ±3% rank → ±300 in value on uniform data
+    assert(math.abs(sk.getDouble(0) - 5000.0) <= 300.0, s"p50=${sk.getDouble(0)}")
+    assert(math.abs(sk.getDouble(1) - 9000.0) <= 300.0, s"p90=${sk.getDouble(1)}")
+    // nulls skipped: only nulls → empty sketch → null quantile
+    val nullRow = Seq[Option[Double]](None, None).toDF("v")
+      .agg(kllSketchAgg(col("v")).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5).as("q")).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("KLL merge: union of per-group sketches estimates the full data") {
+    import graft.functions.KllFunctions._
+    val df = (1 to 8000).map(i => (i % 4, ((i * 104729) % 8000).toDouble)).toDF("g", "v")
+    val merged = df.groupBy("g").agg(kllSketchAgg(col("v")).as("sk"))
+      .agg(kllMergeAgg(col("sk")).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5).as("p50")).collect().head.getDouble(0)
+    assert(math.abs(merged - 4000.0) <= 300.0, s"merged p50=$merged")
+  }
+
+  test("KLL functions are SQL-registered (graft_kll_*)") {
+    graft.functions.Registry.registerAll(spark)
+    val got = spark.sql(
+      """SELECT graft_kll_quantile(sk, CAST(0.5 AS DOUBLE)) AS p50 FROM (
+        |  SELECT graft_kll_merge_agg(sk, 200) AS sk FROM (
+        |    SELECT graft_kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk
+        |    FROM range(1, 10001) GROUP BY id % 8))""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(got - 5000.0) <= 300.0, s"sql p50=$got")
+  }
 }
