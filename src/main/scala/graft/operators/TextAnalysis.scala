@@ -287,6 +287,27 @@ object TextAnalysis {
   def bpeTokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(bpeTokens(col(textCol))).as("n_bpe"))
 
+  /** One BPE-training iteration's pair census: frequencies of adjacent
+    * character pairs within words, weighted by word frequency — the inner
+    * loop of byte-pair-encoding vocabulary construction (the top pair is
+    * the next merge). Scale shape: the corpus first collapses to its WORD
+    * CENSUS (one shuffle on distinct words — Zipf makes this orders of
+    * magnitude smaller than the token stream), then pairs explode only
+    * over distinct words carrying their counts; corpus characters are
+    * never re-shuffled. Top-k via sort+limit (TakeOrderedAndProject — no
+    * global sort materialization). Deterministic tie-break on the pair.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    words.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("wf"))
+      .groupBy("pair").agg(sum("wf").as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(topK)
+  }
+
   /** Repetition metrics — duplicate-token fraction and top-token share,
     * the classic boilerplate/low-quality markers in published corpus
     * filtering rules — from a single fused pass per document

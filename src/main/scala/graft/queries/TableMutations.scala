@@ -654,6 +654,46 @@ object TableMutations {
     }, Some(
       """SELECT o_orderkey % 7 AS g, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS total, 3 AS commits
-        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin))
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // Merge-on-read DELETE via deletion vectors: two MoR deletes commit
+    // position sidecars only (O(deleted rows) bytes, zero rewritten data
+    // files — stats narrowing bounds the position pass to may-match
+    // files), readers subtract them at scan time, then compact
+    // MATERIALIZES the deletes and restores the columnar/split read path.
+    // Both the DV'd read and the post-compact read must equal the
+    // oracle's plain double-DELETE replay.
+    QueryDef("q157_deletion_vectors", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q157_dv")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      VersionedTable.publishClustered(base, root, Seq("o_orderkey"), numFiles = 8)
+      RefTableMutations.deleteWhereMergeOnRead(s, root, col("o_totalprice") < 50000.0)
+      val vDv = RefTableMutations.deleteWhereMergeOnRead(s, root, col("o_orderkey") % 13 === 0)
+      VersionedTable.compact(s, root)
+      // time-travel pin: the 'mor' stage reads the retained DV'd version
+      // (row reader + position subtraction) AFTER compaction landed; the
+      // 'compacted' stage reads the materialized current (columnar path)
+      def agg(stage: String, version: Option[String]) = {
+        val r = s.read.format("reftable")
+          .option("path", root)
+          .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        version.foreach(v => r.option("version", v))
+        r.load()
+          .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+          .select(lit(stage).as("stage"), col("n"), col("total"))
+      }
+      agg("mor", Some(vDv)).unionAll(agg("compacted", None)).orderBy("stage")
+    }, Some(
+      """WITH kept AS (
+        |  SELECT o_totalprice FROM orders
+        |  WHERE NOT (o_totalprice < 50000) AND NOT (o_orderkey % 13 = 0))
+        |SELECT stage, n, total FROM (
+        |  SELECT 'compacted' AS stage, count(*) AS n,
+        |    round(sum(o_totalprice), 4) AS total FROM kept
+        |  UNION ALL
+        |  SELECT 'mor', count(*), round(sum(o_totalprice), 4) FROM kept)
+        |ORDER BY stage""".stripMargin))
   )
 }

@@ -347,6 +347,25 @@ object TextOps {
          |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
          |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips
          |FROM built ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // BPE vocabulary training's inner loop: the adjacent-character-pair
+    // census over the corpus, weighted by word frequency — the top pair
+    // is the next BPE merge. The corpus collapses to its word census
+    // first (one shuffle over distinct words; Zipf shrinks this by
+    // orders of magnitude), pairs explode only over distinct words, and
+    // the top-k is a bounded sort (TakeOrderedAndProject).
+    QueryDef("q158_bpe_pairs", (s, dir) => {
+      graft.operators.TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", topK = 30)
+    }, Some(
+      """WITH words AS (
+        |  SELECT w, count(*) AS wf FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, wf
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
   )
 }

@@ -187,7 +187,12 @@ object SchemaJson {
   *                      `categoricalStats`);
   *  - `keepVersions`    (default 3, minimum 2) versions retained after
   *                      each publish — raise it on roots with many
-  *                      concurrent writers or long-pinned readers.
+  *                      concurrent writers or long-pinned readers;
+  *  - `deleteMode`      `cow` (default) rewrites may-match files on SQL
+  *                      DELETE; `mergeOnRead` commits position sidecars
+  *                      instead ([[DeletionVectors]]) — O(deleted rows)
+  *                      per delete, readers subtract, compact
+  *                      materializes.
   */
 final case class RefTableOptions(
     path: String,
@@ -213,7 +218,8 @@ final case class RefTableOptions(
     bloomStats: Seq[String] = Nil,
     bucketBy: Seq[String] = Nil,
     bucketCount: Int = 16,
-    groupByPartition: Boolean = false) {
+    groupByPartition: Boolean = false,
+    deleteMode: String = "cow") {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -409,11 +415,18 @@ object RefTableOptions {
         catch { case _: NumberFormatException => errs += s"Invalid 'keepVersions' '$s': must be a positive integer"; 3 }
     }
 
+    val deleteMode = Option(options.get("deleteMode")).filter(_.nonEmpty) match {
+      case None => "cow"
+      case Some(s) if Set("cow", "mergeOnRead").contains(s.trim) => s.trim
+      case Some(s) =>
+        errs += s"Invalid 'deleteMode' '$s': must be 'cow' or 'mergeOnRead'"; "cow"
+    }
+
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
-      bucketBy, bucketCount, groupByPartition)
+      bucketBy, bucketCount, groupByPartition, deleteMode)
   }
 }

@@ -201,6 +201,11 @@ object RefTableFileManifest {
     }
     val out = fs.create(new Path(staging, ManifestName), true)
     try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
+    // merge-on-read deletion vectors: every manifest-writing commit
+    // carries the parent's sidecars verbatim (O(sidecar files) metadata;
+    // stale entries are inert — see DeletionVectors), so the new
+    // version's own `_DV/` stays the complete applicable set
+    DeletionVectors.carry(root, parentVersion, staging, conf)
   }
 
   /** Write a MATERIALIZED `_FILES.json` for a plain publish's staging dir

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.StructType
   * directory values (raw strings as listed; empty for flat layouts).
   */
 final case class SnapshotFile(
-    path: String, length: Long, partitionValues: Map[String, String] = Map.empty)
+    path: String, length: Long, partitionValues: Map[String, String] = Map.empty,
+    dvPositions: Seq[Long] = Nil)
 
 object SnapshotFiles {
   def list(dir: String): Seq[SnapshotFile] = list(dir, Nil)
@@ -47,15 +48,21 @@ object SnapshotFiles {
     val conf = new Configuration()
     val resolved = resolveDir(dir, version, conf)
     // a manifest-referenced version (mutation output) NAMES its files —
-    // possibly hosted in other version dirs — instead of containing them
+    // possibly hosted in other version dirs — instead of containing them.
+    // Deletion-vector positions (merge-on-read deletes) pin WITH the
+    // listing: the version dir's own `_DV/` sidecars are the complete set
+    // (DeletionVectors invariant), so files and positions always come
+    // from the same snapshot.
     val rp = new Path(resolved)
     if (rp.getName.matches("v\\d{19}_[0-9a-f]{8}")) {
       val root = rp.getParent
       RefTableFileManifest.resolve(root.toString, rp.getName, partitionColumns, conf)
         .foreach { entries =>
           val qualifiedRoot = root.getFileSystem(conf).makeQualified(root).toString
-          return entries.map(e =>
-            SnapshotFile(s"$qualifiedRoot/${e.rel}", e.len, e.pv)).sortBy(_.path)
+          return DeletionVectors.attach(
+            entries.map(e =>
+              SnapshotFile(s"$qualifiedRoot/${e.rel}", e.len, e.pv)).sortBy(_.path),
+            resolved, conf)
         }
     }
     listPhysical(resolved, partitionColumns)

@@ -95,6 +95,64 @@ object RefTableMutations {
     }
   }
 
+  /** Merge-on-read DELETE: rows where `condition` is TRUE are marked in
+    * `_DV/` position sidecars instead of rewriting any data file — the
+    * commit is O(deleted rows) bytes and O(1) data files regardless of
+    * table size, the Delta-deletion-vector / Iceberg-position-delete
+    * shape ([[DeletionVectors]]). Readers subtract positions at scan
+    * time; [[VersionedTable.compact]] materializes. Same SQL NULL
+    * semantics, CAS, retry, and stats/partition/bucket narrowing as the
+    * COW [[deleteWhere]] (narrowing bounds the position-scan, not a
+    * rewrite). Returns the new version name.
+    *
+    * Choose MoR for frequent selective deletes on large files (GDPR
+    * erasure, retention sweeps) where COW write amplification dominates;
+    * choose COW when deletes are rare or wide. The read-side cost of MoR
+    * is real: DV'd files drop to the unsplit row reader until compaction.
+    */
+  def deleteWhereMergeOnRead(
+      spark: SparkSession, root: String, condition: Column,
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
+    val conf = new Configuration()
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val schema = readAll(spark, root, current, files, partitionColumns, partitionTypes).schema
+    val popts = pruneOpts(root, schema, partitionColumns, partitionTypes)
+    val filters = RefTableFilters.fromPredicate(spark, schema, condition)
+    val mayMatch0 = if (filters.isEmpty) files
+      else RefTableStats.prune(current,
+        RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
+    val mayMatch = if (mayMatch0.isEmpty) mayMatch0
+      else bucketNarrowByFilters(spark, current, files, filters,
+        schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
+        case Some(keep) => mayMatch0.filter(f => keep.contains(f.path))
+        case None => mayMatch0
+      }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      if (mayMatch.nonEmpty) {
+        // position pass over only the may-match files: rows where the
+        // predicate is TRUE become (file, pos) sidecar entries (NULL
+        // keeps, like SQL DELETE). Already-DV'd positions may re-mark —
+        // sidecar loads deduplicate, so that is inert.
+        val marked = readFilesEx(spark, root, mayMatch, partitionColumns, partitionTypes,
+            withMeta = true)
+          .filter(coalesce(condition, lit(false)))
+          .select(col("__rel").as("file"), col("__pos").as("pos"))
+        // one sidecar per commit (the position set of one delete is the
+        // small side by construction; a delete wide enough to make this
+        // file huge should have been COW)
+        marked.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, DeletionVectors.DvDir).toString)
+      }
+      // data listing unchanged: inherit every parent file; writeDelta
+      // also carries the parent's existing sidecars in beside ours
+      referenceRest(root, staging, current, Nil, conf, partitionColumns)
+    }
+  }
+
   /** Keyed MERGE (upsert): rows of `source` replace current rows with the
     * same key; keys absent from the current version are inserted. The new
     * version equals `(current ANTI JOIN source ON keys) UNION source`.
@@ -560,9 +618,31 @@ object RefTableMutations {
   private def readFiles(
       spark: SparkSession, root: String, files: Seq[SnapshotFile],
       partitionColumns: Seq[String],
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType]): DataFrame = {
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    readFilesEx(spark, root, files, partitionColumns, partitionTypes, withMeta = false)
+
+  /** As [[readFiles]]. `withMeta = false` (every rewrite path): pinned
+    * deletion vectors subtract on the raw file read — a rewrite that
+    * missed them would resurrect deleted rows into its staged files.
+    * `withMeta = true` (the MoR delete's position pass): rows keep their
+    * `__rel`/`__pos` file coordinates and DVs are NOT subtracted
+    * (re-marking an already-deleted position is inert — sidecar loads
+    * deduplicate).
+    */
+  private def readFilesEx(
+      spark: SparkSession, root: String, files: Seq[SnapshotFile],
+      partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
+      withMeta: Boolean): DataFrame = {
+    def prep(df: DataFrame, group: Seq[SnapshotFile], sess: SparkSession): DataFrame =
+      if (withMeta)
+        df.withColumn("__rel", org.apache.spark.sql.functions.regexp_extract(
+            col("_metadata.file_path"), DeletionVectors.RelRegex, 1))
+          .withColumn("__pos", col("_metadata.row_index"))
+      else DeletionVectors.applyTo(sess, df, group)
     if (partitionColumns.isEmpty)
-      return spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+      return prep(
+        spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*), files, spark)
     val conf = new Configuration()
     val rootPath = new Path(root)
     val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
@@ -582,8 +662,10 @@ object RefTableMutations {
     scoped.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val byHost = files.groupBy(f => hostOf(f.path))
     val combined = byHost.toSeq.map { case (host, group) =>
-      scoped.read.option("mergeSchema", "true").option("basePath", host)
-        .parquet(group.map(_.path): _*)
+      // DV subtraction (or __rel/__pos capture) per host group, on the
+      // fresh file-source read — the `_metadata` column resolves only there
+      prep(scoped.read.option("mergeSchema", "true").option("basePath", host)
+        .parquet(group.map(_.path): _*), group, scoped)
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       .withColumns(partitionColumns.map(c =>
         c -> col(c).cast(pType(c, partitionTypes))).toMap)
@@ -712,7 +794,7 @@ object RefTableMutations {
     * falls back to the directory read so error behavior matches the
     * pre-manifest code exactly.
     */
-  private def readAll(
+  private[reftable] def readAll(
       spark: SparkSession, root: String, current: String, files: Seq[SnapshotFile],
       partitionColumns: Seq[String],
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =

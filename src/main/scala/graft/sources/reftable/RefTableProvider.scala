@@ -131,8 +131,12 @@ class RefTable(val opts: RefTableOptions) extends Table
       val cond = filters.map(f => RefTableFilters.toColumn(opts, f).getOrElse(
         throw new UnsupportedOperationException(s"cannot push delete predicate $f")))
         .reduce(_ && _)
-      RefTableMutations.deleteWhere(spark, opts.path, cond, opts.keepVersions,
-        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+      if (opts.deleteMode == "mergeOnRead")
+        RefTableMutations.deleteWhereMergeOnRead(spark, opts.path, cond, opts.keepVersions,
+          opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+      else
+        RefTableMutations.deleteWhere(spark, opts.path, cond, opts.keepVersions,
+          opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
     }
     ()
   }
@@ -200,6 +204,11 @@ class RefTableScanBuilder(opts: RefTableOptions)
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (pushed.nonEmpty) return false
+    // merge-on-read deletion vectors invalidate footer counts (and can
+    // hide a deleted extremum): decline, the real scan subtracts them
+    if (DeletionVectors.hasDv(
+        SnapshotFiles.resolveDir(opts.path, opts.version, new org.apache.hadoop.conf.Configuration()),
+        new org.apache.hadoop.conf.Configuration())) return false
     RefTableAggregates.accept(opts, aggregation) match {
       case Some(specs) => pushedAgg = Some(specs); true
       case None => false

@@ -406,6 +406,10 @@ object VersionedTable {
   def cloneTo(srcRoot: String, dstRoot: String, version: Option[String] = None,
       partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
     val conf = new Configuration()
+    // clone renames its linked files (collision-proof c%05d- prefixes), so
+    // position sidecars keyed by the ORIGINAL relative paths cannot carry
+    DeletionVectors.requireNone(
+      SnapshotFiles.resolveDir(srcRoot, version, conf), "cloneTo", conf)
     val files = SnapshotFiles.list(srcRoot, partitionColumns, version)
     require(files.nonEmpty, s"cloneTo: source $srcRoot resolves to an empty listing")
     publishVia(dstRoot, keepVersions, marker = Some(s"clone=$srcRoot"),
@@ -703,6 +707,15 @@ object VersionedTable {
     // concurrent queries on the caller's session are untouched.
     val df =
       if (partitionColumns.isEmpty) readVersion(spark, current)
+      else if (RefTableFileManifest.exists(root, new Path(current).getName, conf) ||
+          DeletionVectors.hasDv(current, conf))
+        // manifest-referenced (or deletion-vector'd) partitioned version:
+        // its files live in other version dirs, so read through the
+        // resolved listing — which also subtracts DV positions; this IS
+        // the materialization read (inference-off + declared-string cast
+        // semantics match the direct branch below)
+        RefTableMutations.readAll(spark, root, current,
+          SnapshotFiles.list(current, partitionColumns), partitionColumns, Map.empty)
       else {
         // newSession() starts from SparkConf defaults, NOT the caller's
         // runtime SQL confs — copy them over (timezone, parquet write
@@ -948,7 +961,12 @@ object VersionedTable {
       RefTableFileManifest.exists(p.getParent.toString, p.getName, conf)
     if (manifested) {
       val files = SnapshotFiles.list(versionDir)
-      if (files.nonEmpty) return spark.read.parquet(files.map(_.path): _*)
+      // merge-on-read deletion vectors subtract here — this is the read
+      // compaction, changefeeds and maintenance rewrites consume, so a
+      // miss would materialize resurrected rows
+      if (files.nonEmpty)
+        return DeletionVectors.applyTo(
+          spark, spark.read.parquet(files.map(_.path): _*), files)
     }
     spark.read.parquet(versionDir)
   }

@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read DELETE via deletion vectors ([[DeletionVectors]],
+  * [[RefTableMutations.deleteWhereMergeOnRead]]): a delete must commit
+  * position sidecars only (zero rewritten data files), every read surface
+  * must subtract them (DSv2 batch scan incl. pushed filters, streaming
+  * snapshot, mutation rewrites, changefeeds), later commits must carry
+  * them, compaction must materialize them, and the operations that cannot
+  * honor them (clone, footer-stats aggregates) must refuse/decline rather
+  * than resurrect rows.
+  */
+class RefTableDvSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft_dv_$name").toString
+
+  private def readRef(root: String, schema: String, extra: Map[String, String] = Map.empty) = {
+    var r = spark.read.format("reftable").option("path", root).option("schema", schema)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("MoR delete stages only sidecars; DSv2 scan subtracts positions") {
+    val root = tmpDir("basic")
+    import spark.implicits._
+    VersionedTable.publish((1L to 1000L).toDF("id").repartition(4), root)
+    val v2 = RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 10 === 0)
+
+    // the new version dir holds manifest + sidecars, ZERO data files
+    val dir = new java.io.File(root, v2)
+    val entries = Option(dir.listFiles()).toSeq.flatten.map(_.getName)
+    assert(entries.contains(RefTableFileManifest.ManifestName))
+    assert(entries.contains(DeletionVectors.DvDir))
+    assert(!entries.exists(_.endsWith(".parquet")), s"data files staged: $entries")
+
+    val got = readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 1000L).filterNot(_ % 10 == 0))
+  }
+
+  test("second MoR delete accumulates; pushed filters stay correct on DV'd files") {
+    val root = tmpDir("accum")
+    import spark.implicits._
+    VersionedTable.publish((1L to 1000L).toDF("id").repartition(2), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 10 === 0)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 7 === 0)
+    val expected = (1L to 1000L).filterNot(i => i % 10 == 0 || i % 7 == 0)
+    assert(readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq == expected)
+    // a pushed range filter on a DV'd file: parquet-mr filtering is
+    // suppressed (row alignment), Spark's residual still applies — and
+    // deleted rows inside the range must NOT come back
+    val filtered = readRef(root, "id BIGINT").filter(col("id") <= 100)
+      .as[Long].collect().sorted.toSeq
+    assert(filtered == expected.filter(_ <= 100))
+  }
+
+  test("SQL NULL predicate semantics: NULL keeps the row") {
+    val root = tmpDir("nulls")
+    import spark.implicits._
+    VersionedTable.publish(
+      Seq((1L, Some(5)), (2L, None), (3L, Some(50))).toDF("id", "v"), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("v") > 10)
+    val got = readRef(root, "id BIGINT, v INT").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), "NULL-predicate row must survive a SQL DELETE")
+  }
+
+  test("COW mutations on a DV'd table do not resurrect deleted rows") {
+    val root = tmpDir("cow_after")
+    import spark.implicits._
+    VersionedTable.publish((1L to 100L).toDF("id").withColumn("v", col("id") * 10), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") <= 20)
+    // keyed upsert rewrites may-match files — the rewrite must read
+    // DV-applied, and untouched files keep their carried sidecars
+    RefTableMutations.upsert(spark, root,
+      Seq((50L, -1L), (999L, -2L)).toDF("id", "v"), Seq("id"))
+    val got = readRef(root, "id BIGINT, v BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = ((21L to 100L).map(i => (i, i * 10)) :+ (999L, -2L))
+      .map { case (i, v) => if (i == 50L) (i, -1L) else (i, v) }.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("appends carry sidecars; compact materializes them") {
+    val root = tmpDir("carry")
+    import spark.implicits._
+    VersionedTable.publish((1L to 100L).toDF("id"), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") <= 10)
+    // an append-shaped upsert of fresh keys inherits every parent file —
+    // writeDelta must carry the sidecars into the new version
+    RefTableMutations.upsert(spark, root, Seq(1001L, 1002L).toDF("id"), Seq("id"))
+    val cur1 = VersionedTable.resolve(root).get
+    assert(DeletionVectors.hasDv(cur1, conf), "sidecars not carried by the append")
+    assert(readRef(root, "id BIGINT").count() == 92)
+
+    val v = VersionedTable.compact(spark, root, targetFileBytes = 1L << 20)
+    val cur2 = new org.apache.hadoop.fs.Path(root, v).toString
+    assert(!DeletionVectors.hasDv(cur2, conf), "compact must materialize deletes")
+    assert(readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq ==
+      ((11L to 100L) ++ Seq(1001L, 1002L)))
+  }
+
+  test("stats narrowing bounds the position pass on a clustered layout") {
+    val root = tmpDir("narrow")
+    import spark.implicits._
+    VersionedTable.publishClustered(
+      (1L to 10000L).toDF("id"), root, Seq("id"), numFiles = 8)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") <= 500)
+    val cur = VersionedTable.resolve(root).get
+    // only the files whose range overlaps [*, 500] may appear in sidecars
+    val touched = DeletionVectors.positionsByFile(cur, conf).keySet
+    assert(touched.size <= 2, s"sidecars name ${touched.size} files — narrowing failed: $touched")
+    assert(readRef(root, "id BIGINT").count() == 9500)
+  }
+
+  test("DV'd file plans as one unsplit partition; clean files keep splitting") {
+    val f1 = SnapshotFile("/x/v0000000000000000001_00000000/a.parquet", 1L << 30, Map.empty, Seq(1L, 2L))
+    val f2 = SnapshotFile("/x/v0000000000000000001_00000000/b.parquet", 1L << 30)
+    val parts = RefTablePartitions.plan(Seq(f1, f2), 0L)
+      .map(_.asInstanceOf[RefTableInputPartition])
+    val (dvd, clean) = parts.partition(_.dvPositions.nonEmpty)
+    assert(dvd.length == 1 && dvd.head.start == 0L && dvd.head.length == (1L << 30))
+    assert(clean.length > 1, "clean large file should byte-range split")
+  }
+
+  test("streaming snapshot subtracts deletion vectors") {
+    val root = tmpDir("stream")
+    import spark.implicits._
+    VersionedTable.publish((1L to 200L).toDF("id"), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 2 === 0)
+    val stream = spark.readStream.format("reftable")
+      .option("path", root).option("schema", "id BIGINT").load()
+    val q = stream.writeStream.format("memory").queryName("dv_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dv_stream").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 200L).filter(_ % 2 == 1))
+  }
+
+  test("changefeed between versions sees MoR deletes as deletes") {
+    val root = tmpDir("cf")
+    import spark.implicits._
+    val v1 = VersionedTable.publish((1L to 50L).toDF("id"), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") > 45)
+    val d = VersionedTable.changes(spark, root, Seq("id"), v1)
+      .select("change_type", "id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(d.toSeq == (46L to 50L).map(i => ("delete", i)))
+  }
+
+  test("footer-stats aggregate pushdown declines on a DV'd version (count stays exact)") {
+    val root = tmpDir("aggguard")
+    import spark.implicits._
+    VersionedTable.publish((1L to 100L).toDF("id"), root)
+    assert(readRef(root, "id BIGINT").count() == 100)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") <= 30)
+    val df = readRef(root, "id BIGINT")
+    assert(df.count() == 70, "stats-served COUNT must not include deleted rows")
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates: [COUNT"), s"pushdown not declined:\n$plan")
+  }
+
+  test("clone refuses a DV'd source with the materialization remedy") {
+    val root = tmpDir("clonesrc")
+    import spark.implicits._
+    VersionedTable.publish((1L to 10L).toDF("id"), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 1L)
+    val e = intercept[UnsupportedOperationException](
+      VersionedTable.cloneTo(root, tmpDir("clonedst")))
+    assert(e.getMessage.contains("compact"))
+  }
+
+  test("restore to a DV'd version carries its sidecars") {
+    val root = tmpDir("restore")
+    import spark.implicits._
+    VersionedTable.publish((1L to 100L).toDF("id"), root)
+    val v2 = RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") <= 10)
+    VersionedTable.publish(Seq(-1L).toDF("id"), root) // replaces content
+    VersionedTable.restore(root, v2)
+    assert(readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq == (11L to 100L))
+  }
+
+  test("SQL DELETE routes merge-on-read via the deleteMode table option") {
+    val cat = "gdv"
+    val wh = Files.createTempDirectory("graft_dv_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING reftable " +
+      "OPTIONS (deleteMode 'mergeOnRead')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT explode(sequence(1, 100))")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id <= 40")
+    assert(spark.table(s"$cat.db.t").count() == 60)
+    val cur = VersionedTable.resolve(s"$wh/db/t").get
+    assert(DeletionVectors.hasDv(cur, conf),
+      "DELETE under deleteMode=mergeOnRead must stage sidecars, not rewrite")
+    // materialize through the SQL surface, then the sidecars are gone
+    spark.sql(s"CALL $cat.system.compact(table => 'db.t')")
+    assert(!DeletionVectors.hasDv(VersionedTable.resolve(s"$wh/db/t").get, conf))
+    assert(spark.table(s"$cat.db.t").count() == 60)
+  }
+
+  test("partitioned root: MoR delete + partitioned compact materialization") {
+    val root = tmpDir("part")
+    import spark.implicits._
+    val df = (1L to 300L).toDF("id")
+      .withColumn("p", (col("id") % 3).cast("string"))
+    VersionedTable.publishPartitioned(df, root, Seq("p"))
+    RefTableMutations.deleteWhereMergeOnRead(spark, root,
+      col("p") === "1" && col("id") <= 100,
+      partitionColumns = Seq("p"))
+    val expected = (1L to 300L).filterNot(i => i % 3 == 1 && i <= 100)
+    val schema = "id BIGINT, p STRING"
+    assert(readRef(root, schema, Map("partitionColumns" -> "p"))
+      .select("id").as[Long].collect().sorted.toSeq == expected)
+    // sidecars must only name files of partition p=1 (partition pruning
+    // bounded the position pass)
+    val cur = VersionedTable.resolve(root).get
+    assert(DeletionVectors.positionsByFile(cur, conf).keySet.forall(_.contains("p=1")))
+    // partitioned compact reads through the manifest listing (DV-applied)
+    VersionedTable.compact(spark, root, partitionColumns = Seq("p"))
+    val cur2 = VersionedTable.resolve(root).get
+    assert(!DeletionVectors.hasDv(cur2, conf))
+    assert(readRef(root, schema, Map("partitionColumns" -> "p"))
+      .select("id").as[Long].collect().sorted.toSeq == expected)
+  }
+}
