@@ -295,6 +295,41 @@ object TableCatalogSql {
         |      ELSE 25000 END
         |  FROM nation)
         |SELECT state, CAST(n_nationkey AS BIGINT) AS n_nationkey, CAST(v AS BIGINT) AS v
-        |FROM states ORDER BY state, n_nationkey""".stripMargin))
+        |FROM states ORDER BY state, n_nationkey""".stripMargin)),
+
+    // SQL DML under merge-on-read write modes: with deleteMode/updateMode
+    // 'mergeOnRead', DELETE commits position sidecars (O(deleted rows),
+    // no file rewritten) and UPDATE commits sidecars + the new images
+    // (O(matched rows)); every read subtracts positions. The result must
+    // equal the oracle's plain replay — MoR is a write-amplification
+    // strategy, never a semantics change.
+    QueryDef("q159_sql_mor_dml", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q159_mor")
+      val tbl = "graft_q159_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT', " +
+        "deleteMode 'mergeOnRead', updateMode 'mergeOnRead')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(s"DELETE FROM $tbl WHERE cents < 0")
+      s.sql(s"UPDATE $tbl SET cents = cents + 1000 WHERE s_nationkey < 5")
+      s.sql(s"DELETE FROM $tbl WHERE s_nationkey = 9")
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        s"FROM $tbl GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |afterdel AS (SELECT * FROM base WHERE NOT (cents < 0)),
+        |afterupd AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_nationkey < 5 THEN cents + 1000 ELSE cents END AS cents
+        |  FROM afterdel),
+        |final AS (SELECT * FROM afterupd WHERE NOT (s_nationkey = 9))
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

@@ -192,7 +192,11 @@ object SchemaJson {
   *                      DELETE; `mergeOnRead` commits position sidecars
   *                      instead ([[DeletionVectors]]) — O(deleted rows)
   *                      per delete, readers subtract, compact
-  *                      materializes.
+  *                      materializes;
+  *  - `updateMode`      same switch for SQL UPDATE (`mergeOnRead` =
+  *                      old positions to sidecars + new images staged,
+  *                      O(matched rows) per update — the Iceberg
+  *                      write.update.mode split).
   */
 final case class RefTableOptions(
     path: String,
@@ -219,7 +223,8 @@ final case class RefTableOptions(
     bucketBy: Seq[String] = Nil,
     bucketCount: Int = 16,
     groupByPartition: Boolean = false,
-    deleteMode: String = "cow") {
+    deleteMode: String = "cow",
+    updateMode: String = "cow") {
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -415,18 +420,20 @@ object RefTableOptions {
         catch { case _: NumberFormatException => errs += s"Invalid 'keepVersions' '$s': must be a positive integer"; 3 }
     }
 
-    val deleteMode = Option(options.get("deleteMode")).filter(_.nonEmpty) match {
+    def modeOpt(name: String): String = Option(options.get(name)).filter(_.nonEmpty) match {
       case None => "cow"
       case Some(s) if Set("cow", "mergeOnRead").contains(s.trim) => s.trim
       case Some(s) =>
-        errs += s"Invalid 'deleteMode' '$s': must be 'cow' or 'mergeOnRead'"; "cow"
+        errs += s"Invalid '$name' '$s': must be 'cow' or 'mergeOnRead'"; "cow"
     }
+    val deleteMode = modeOpt("deleteMode")
+    val updateMode = modeOpt("updateMode")
 
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
-      bucketBy, bucketCount, groupByPartition, deleteMode)
+      bucketBy, bucketCount, groupByPartition, deleteMode, updateMode)
   }
 }

@@ -191,9 +191,16 @@ case class UpdateRefTableCommand(
     opts: RefTableOptions, set: Map[String, Column], condition: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    if (VersionedTable.resolve(opts.path).nonEmpty)
-      RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions,
-        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+    if (VersionedTable.resolve(opts.path).nonEmpty) {
+      if (opts.updateMode == "mergeOnRead" && !set.keys.exists(opts.partitionColumns.contains))
+        RefTableMutations.updateWhereMergeOnRead(spark, opts.path, set, condition,
+          opts.keepVersions, opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+      else
+        // partition-column SET moves rows across directories — only the
+        // COW rewrite can restage them, so mergeOnRead falls back
+        RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions,
+          opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+    }
     Seq.empty
   }
 }

@@ -52,7 +52,8 @@ object RefTableMaintenance {
       declared: Option[DeclaredLayout],
       commitsSinceLayout: Int,
       readAmplification: Option[Double],
-      bucketMarkerPresent: Boolean)
+      bucketMarkerPresent: Boolean,
+      dvSidecars: Int = 0)
 
   /** kind ∈ cluster | zorder | bucket; `buckets` set for bucket only. */
   final case class DeclaredLayout(kind: String, cols: Seq[String], buckets: Option[Int])
@@ -124,7 +125,10 @@ object RefTableMaintenance {
       .flatMap(d => readAmplification(dir, files, d.cols.head, conf))
     val bucketMarker = new Path(dir, VersionedTable.BucketsMarker)
       .getFileSystem(conf).exists(new Path(dir, VersionedTable.BucketsMarker))
-    Signals(version, files.size, files.map(_.length).sum, declared, churn, readAmp, bucketMarker)
+    // merge-on-read delete pressure: sidecar count only (a directory
+    // listing — the census must stay metadata-cheap per table)
+    val dv = DeletionVectors.sidecars(dir, conf).size
+    Signals(version, files.size, files.map(_.length).sum, declared, churn, readAmp, bucketMarker, dv)
   }
 
   /** The pure policy — exposed so tests (and operators) can ask "what
@@ -137,6 +141,19 @@ object RefTableMaintenance {
       maxReadAmp: Double = 1.5): Decision = {
     val avg = if (s.nFiles == 0) Long.MaxValue else s.bytes / s.nFiles
     val smallFiles = s.nFiles > maxSmallFiles && avg < targetFileBytes / 4
+    // deletion-vector pressure: every scan pays the row-mode + position
+    // subtraction tax until a physical rewrite materializes; past a few
+    // accreted sidecars the restoring publish (which also re-establishes
+    // any declared layout) is due regardless of file-size health
+    if (s.dvSidecars >= 8) {
+      val act = s.declared.map(_.kind) match {
+        case Some("bucket") => "rebucket"
+        case Some(_) => "recluster"
+        case None => "compact"
+      }
+      return Decision(act,
+        s"${s.dvSidecars} deletion-vector sidecars pending materialization")
+    }
     s.declared match {
       case Some(d @ DeclaredLayout("bucket", _, Some(n))) =>
         if (s.commitsSinceLayout > 0 && !s.bucketMarkerPresent)

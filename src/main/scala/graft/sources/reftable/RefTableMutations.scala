@@ -452,6 +452,76 @@ object RefTableMutations {
     }
   }
 
+  /** Merge-on-read UPDATE: matched rows' old positions go into `_DV/`
+    * sidecars (they disappear from every inherited file at scan time) and
+    * the rewritten rows stage as a NEW data file — the commit is
+    * O(matched rows), never O(may-match file bytes), the Iceberg
+    * merge-on-read UPDATE shape. Same narrowing, CAS and NULL semantics
+    * (WHERE NULL leaves the row untouched) as the COW [[updateWhere]];
+    * [[VersionedTable.compact]] materializes. The two passes over the
+    * may-match files (positions, rewritten rows) read immutable inputs,
+    * so they are consistent by construction.
+    */
+  def updateWhereMergeOnRead(
+      spark: SparkSession, root: String, set: Map[String, Column], condition: Column,
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
+    require(set.nonEmpty, "updateWhereMergeOnRead needs at least one SET column")
+    val conf = new Configuration()
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val schema = readAll(spark, root, current, files, partitionColumns, partitionTypes).schema
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    set.keys.find(!types.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(s"UPDATE assigns unknown table column '$c'"))
+    require(!set.keys.exists(partitionColumns.contains),
+      "updateWhereMergeOnRead cannot move rows across partitions (SET on a partition " +
+        "column); use the copy-on-write updateWhere")
+    val popts = pruneOpts(root, schema, partitionColumns, partitionTypes)
+    val filters = RefTableFilters.fromPredicate(spark, schema, condition)
+    val mayMatch0 = if (filters.isEmpty) files
+      else RefTableStats.prune(current,
+        RefTablePartitioning.prune(files, popts, filters), popts, filters, conf)
+    val mayMatch = if (mayMatch0.isEmpty) mayMatch0
+      else bucketNarrowByFilters(spark, current, files, filters, types, conf) match {
+        case Some(keep) => mayMatch0.filter(f => keep.contains(f.path))
+        case None => mayMatch0
+      }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      if (mayMatch.nonEmpty) {
+        // matched = rows whose OLD image must vanish (DV) and whose NEW
+        // image stages. withMeta skips DV subtraction (it needs raw
+        // coordinates), so subtract the pinned positions here explicitly:
+        // without it, a row deleted or updated by an EARLIER MoR commit
+        // would match again and duplicate its new image.
+        val metaAll = readFilesEx(spark, root, mayMatch, partitionColumns, partitionTypes,
+          withMeta = true)
+        val pinned = mayMatch.flatMap(f =>
+          f.dvPositions.map(p => (DeletionVectors.relOf(f.path), p)))
+        val meta = if (pinned.isEmpty) metaAll else {
+          import spark.implicits._
+          val dv = pinned.toDF("__dv_file", "__dv_pos")
+          metaAll.join(org.apache.spark.sql.functions.broadcast(dv),
+            metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
+            "left_anti")
+        }
+        val matched = meta.filter(coalesce(condition, lit(false)))
+        // new images first (writeParquetMicros owns creating the staging
+        // dir and refuses a pre-existing one), then the position sidecar
+        // into its subdirectory
+        val rewritten = matched.select(schema.fields.map(_.name).toSeq.map(c =>
+          if (set.contains(c)) set(c).cast(types(c)).as(c) else col(c)): _*)
+        VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
+        matched.select(col("__rel").as("file"), col("__pos").as("pos"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, DeletionVectors.DvDir).toString)
+      }
+      referenceRest(root, staging, current, Nil, conf, partitionColumns)
+    }
+  }
+
   /** Dynamic partition overwrite (the Delta `replaceWhere`-on-partitions /
     * Spark `partitionOverwriteMode=dynamic` semantic): replace EXACTLY the
     * partitions that appear in `source` with `source`'s rows; every other

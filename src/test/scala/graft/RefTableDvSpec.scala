@@ -207,6 +207,71 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").count() == 60)
   }
 
+  test("MoR UPDATE: old positions to sidecars, new images staged, O(matched) commit") {
+    val root = tmpDir("upd")
+    import spark.implicits._
+    VersionedTable.publish(
+      (1L to 1000L).toDF("id").withColumn("v", col("id")).repartition(4), root)
+    val v2 = RefTableMutations.updateWhereMergeOnRead(spark, root,
+      Map("v" -> lit(-1L)), col("id") <= 10)
+    // the commit stages the 10 new images + sidecars, never a file rewrite
+    val staged = SnapshotFiles.listPhysical(s"$root/$v2", Nil)
+    assert(staged.nonEmpty && staged.map(_.length).sum < 50_000,
+      s"MoR update staged ${staged.map(_.length).sum} bytes — looks like a rewrite")
+    assert(DeletionVectors.positionsByFile(s"$root/$v2", conf).values.map(_.size).sum == 10)
+    val got = readRef(root, "id BIGINT, v BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == (1L to 1000L).map(i => (i, if (i <= 10) -1L else i)))
+  }
+
+  test("MoR UPDATE twice over an overlapping predicate never duplicates rows") {
+    val root = tmpDir("upd2")
+    import spark.implicits._
+    VersionedTable.publish((1L to 100L).toDF("id").withColumn("v", lit(0L)), root)
+    RefTableMutations.updateWhereMergeOnRead(spark, root, Map("v" -> lit(1L)), col("id") <= 20)
+    // second update matches rows the first already rewrote (v=1 → v=2) —
+    // the pinned-position subtraction must keep exactly one live image
+    RefTableMutations.updateWhereMergeOnRead(spark, root,
+      Map("v" -> (col("v") + 10L)), col("id") <= 30)
+    val got = readRef(root, "id BIGINT, v BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got.size == 100, s"row count drifted to ${got.size}")
+    assert(got == (1L to 100L).map(i =>
+      (i, if (i <= 20) 11L else if (i <= 30) 10L else 0L)))
+  }
+
+  test("SQL UPDATE routes merge-on-read via the updateMode table option") {
+    val root = tmpDir("sqlupd")
+    import spark.implicits._
+    VersionedTable.publish((1L to 50L).toDF("id").withColumn("v", lit(0L)), root)
+    val tbl = "dv_upd_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+      "schema 'id BIGINT, v BIGINT', updateMode 'mergeOnRead')")
+    spark.sql(s"UPDATE $tbl SET v = 7 WHERE id <= 5")
+    val cur = VersionedTable.resolve(root).get
+    assert(DeletionVectors.hasDv(cur, conf), "SQL UPDATE did not take the MoR path")
+    assert(spark.table(tbl).filter(col("v") === 7).count() == 5)
+    assert(spark.table(tbl).count() == 50)
+  }
+
+  test("maintenance: accreted sidecars trip the materializing decision") {
+    val root = tmpDir("maint")
+    import spark.implicits._
+    VersionedTable.publish((1L to 500L).toDF("id"), root, keepVersions = 12)
+    (1 to 8).foreach(i =>
+      RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === i.toLong,
+        keepVersions = 12))
+    val s0 = RefTableMaintenance.signals(root)
+    assert(s0.dvSidecars >= 8, s"expected >=8 sidecars, got ${s0.dvSidecars}")
+    val d = RefTableMaintenance.decide(s0)
+    assert(d.action == "compact" && d.reason.contains("deletion-vector"))
+    val executed = RefTableMaintenance.maintain(spark, root, keepVersions = 12)
+    assert(executed.version.nonEmpty)
+    assert(!DeletionVectors.hasDv(VersionedTable.resolve(root).get, conf))
+    assert(readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq == (9L to 500L))
+  }
+
   test("partitioned root: MoR delete + partitioned compact materialization") {
     val root = tmpDir("part")
     import spark.implicits._
