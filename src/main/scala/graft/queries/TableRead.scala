@@ -407,6 +407,36 @@ object TableRead {
     }, Some(
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders WHERE o_custkey % 3 = 0
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Hidden partitioning (Iceberg-style partition transforms): events
+    // published under derived `ts_day=` directories while `ts` stays in
+    // the files; the query filters on plain `ts` and the source prunes
+    // whole day directories at LISTING time — before stats manifests or
+    // footers — with the transform invisible to the query
+    // (RefTableHiddenPartitionSpec asserts the exact directory set kept).
+    // The oracle replays the band filter over raw events.
+    QueryDef("q160_hidden_partitioning", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q160_hp")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      VersionedTable.publishHiddenPartitioned(ev, root, Seq("days(ts)"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema",
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("hiddenPartitions", "days(ts)")
+        .load()
+        .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-18 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -196,7 +196,15 @@ object SchemaJson {
   *  - `updateMode`      same switch for SQL UPDATE (`mergeOnRead` =
   *                      old positions to sidecars + new images staged,
   *                      O(matched rows) per update — the Iceberg
-  *                      write.update.mode split).
+  *                      write.update.mode split);
+  *  - `hiddenPartitions` comma-separated partition TRANSFORMS
+  *                      (`days(ts)`, `bucket(16, user_id)`,
+  *                      `truncate(4, name)` — [[RefTableTransforms]]):
+  *                      the layout lives under derived directories while
+  *                      the source column stays in the files, and plain
+  *                      predicates on the source column prune the
+  *                      listing. Mutually exclusive with
+  *                      `partitionColumns`.
   */
 final case class RefTableOptions(
     path: String,
@@ -224,7 +232,24 @@ final case class RefTableOptions(
     bucketCount: Int = 16,
     groupByPartition: Boolean = false,
     deleteMode: String = "cow",
-    updateMode: String = "cow") {
+    updateMode: String = "cow",
+    hiddenPartitions: Seq[String] = Nil) {
+
+  /** Parsed hidden-partition transforms (validated at option parse). */
+  lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
+    hiddenPartitions.map(spec => RefTableTransforms.parse(schema, spec)
+      .fold(m => throw new IllegalArgumentException(m), identity))
+
+  /** Transform whose SOURCE column is `field`, if any. */
+  def transformFor(field: String): Option[RefTableTransforms.Transform] =
+    hiddenTransforms.find(_.source == field)
+
+  /** Physical directory nesting: identity partition columns plus hidden
+    * transform directories (mutually exclusive today, so at most one of
+    * the two contributes).
+    */
+  def physicalNesting: Seq[String] =
+    partitionColumns ++ hiddenTransforms.map(_.dirName)
 
   /** Output schema as seen by Spark (declared schema + optional gen column). */
   def outputSchema: StructType =
@@ -429,11 +454,36 @@ object RefTableOptions {
     val deleteMode = modeOpt("deleteMode")
     val updateMode = modeOpt("updateMode")
 
+    // split on top-level commas only: `bucket(16, user_id)` carries one
+    // inside its parentheses
+    def splitSpecs(raw: String): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      raw.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val hiddenPartitions = Option(options.get("hiddenPartitions")).filter(_.nonEmpty)
+      .map(splitSpecs).getOrElse(Nil)
+    schema.foreach { sch =>
+      hiddenPartitions.foreach(spec =>
+        RefTableTransforms.parse(sch, spec).left.foreach(errs += _))
+    }
+    if (hiddenPartitions.nonEmpty && partitionColumns.nonEmpty)
+      errs += "hiddenPartitions and partitionColumns are mutually exclusive " +
+        "(a layout is either identity-partitioned or transform-partitioned)"
+
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
-      bucketBy, bucketCount, groupByPartition, deleteMode, updateMode)
+      bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions)
   }
 }

@@ -123,9 +123,13 @@ object SnapshotFiles {
   def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] = {
     val conf = new Configuration()
     val resolved = resolveDir(opts.path, opts.version, conf)
+    // physicalNesting: hidden partition transforms nest the layout under
+    // derived dirs (ts_day=...) that are NOT schema fields — the walk and
+    // the manifest pv keys use the dir names, pruning maps source-column
+    // predicates onto them (RefTablePartitioning + RefTableTransforms)
     RefTableStats.prune(
       resolved,
-      RefTablePartitioning.prune(list(resolved, opts.partitionColumns, None), opts, filters),
+      RefTablePartitioning.prune(list(resolved, opts.physicalNesting, None), opts, filters),
       opts, filters, conf)
   }
 }

@@ -125,8 +125,10 @@ object RefTablePartitioning {
     * rest are untouched residuals for Spark.
     */
   def prune(files: Seq[SnapshotFile], opts: RefTableOptions, filters: Seq[Filter]): Seq[SnapshotFile] = {
-    val usable = filters.filter(f => f.references.nonEmpty && f.references.forall(opts.isPartitionCol))
-    if (opts.partitionColumns.isEmpty || usable.isEmpty) files
+    def prunable(ref: String): Boolean =
+      opts.isPartitionCol(ref) || opts.transformFor(ref).isDefined
+    val usable = filters.filter(f => f.references.nonEmpty && f.references.forall(prunable))
+    if ((opts.partitionColumns.isEmpty && opts.hiddenTransforms.isEmpty) || usable.isEmpty) files
     else files.filter(sf => usable.forall(fl => eval(fl, sf.partitionValues, opts).t))
   }
 
@@ -147,9 +149,11 @@ object RefTablePartitioning {
       // SQL IN: disjunction of equalities; null elements contribute NULL
       vs.foldLeft(False)((acc, v) => or(acc, cmp(a, v, vals, opts)(_ == 0)))
     case IsNull(a) =>
-      vals.get(a).map(r => if (r == HiveDefaultPartition) True else False).getOrElse(Unknown)
+      nullDirKey(a, opts).flatMap(vals.get)
+        .map(r => if (r == HiveDefaultPartition) True else False).getOrElse(Unknown)
     case IsNotNull(a) =>
-      vals.get(a).map(r => if (r == HiveDefaultPartition) False else True).getOrElse(Unknown)
+      nullDirKey(a, opts).flatMap(vals.get)
+        .map(r => if (r == HiveDefaultPartition) False else True).getOrElse(Unknown)
     case And(l, r) => and(eval(l, vals, opts), eval(r, vals, opts))
     case Or(l, r)  => or(eval(l, vals, opts), eval(r, vals, opts))
     case Not(c)    => not(eval(c, vals, opts))
@@ -168,9 +172,33 @@ object RefTablePartitioning {
       case Some(raw) => if (p(raw)) True else False
     }
 
+  /** Directory key carrying null information for field `a`: the field
+    * itself for identity partition columns, the transform dir for
+    * null-preserving transforms (days/truncate map NULL source values to
+    * the Hive default directory), None for bucket (NULL hashes into an
+    * ordinary bucket — undecidable).
+    */
+  private def nullDirKey(a: String, opts: RefTableOptions): Option[String] =
+    if (opts.isPartitionCol(a)) Some(a)
+    else opts.transformFor(a) match {
+      case Some(t: RefTableTransforms.Bucket) => None
+      case Some(t) => Some(t.dirName)
+      case None => Some(a) // not partition-related: vals.get misses -> Unknown
+    }
+
   private def cmp(a: String, v: Any, vals: Map[String, String], opts: RefTableOptions)(
       p: Int => Boolean): Tri = {
     if (v == null) return Null
+    opts.transformFor(a) match {
+      case Some(t) =>
+        return vals.get(t.dirName) match {
+          case None => Unknown
+          case Some(HiveDefaultPartition) => Null
+          case Some(raw) =>
+            try t.outcomes(raw, v, p) catch { case NonFatal(_) => Unknown }
+        }
+      case None => ()
+    }
     vals.get(a) match {
       case None => Unknown
       case Some(HiveDefaultPartition) => Null

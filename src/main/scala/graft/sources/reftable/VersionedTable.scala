@@ -642,6 +642,26 @@ object VersionedTable {
     name
   }
 
+  /** Hidden-partitioned publish — Iceberg-style partition transforms
+    * ([[RefTableTransforms]]): the data lays out under DERIVED directories
+    * (`ts_day=2024-01-07/`, `user_id_bucket=7/`) while every source
+    * column stays stored in the data files. Readers declare
+    * `hiddenPartitions` with the same specs; plain predicates on the
+    * source columns then prune whole directories at listing time — before
+    * stats manifests or footers — and the query never mentions the
+    * transform. Specs: `days(col)`, `bucket(n, col)`, `truncate(w, col)`.
+    */
+  def publishHiddenPartitioned(
+      df: DataFrame, root: String, transforms: Seq[String],
+      keepVersions: Int = 3): String = {
+    require(transforms.nonEmpty, "publishHiddenPartitioned needs at least one transform")
+    val parsed = transforms.map(spec => RefTableTransforms.parse(df.schema, spec)
+      .fold(m => throw new IllegalArgumentException(m), identity))
+    val staged = parsed.foldLeft(df)((d, t) => d.withColumn(t.dirName, t.sparkExpr))
+    publishInternal(staged, root, keepVersions, parsed.map(_.dirName),
+      marker = Some(s"layout=hidden:${transforms.mkString(";")}"))
+  }
+
   /** RESTORE (rollback): make an earlier committed version's exact content
     * the NEW current version — the Delta `RESTORE TABLE … TO VERSION AS OF`
     * shape. Metadata-only regardless of table size: the new version
