@@ -46,19 +46,21 @@ object Bench {
     // The harness that records this line keeps only the LAST ~2000 chars of
     // stdout; the full-name double-precision form was ~6 KB, so its opening
     // brace fell off the window and the line was never machine-parsed
-    // (BENCH_r01..r03 all record parsed:null). Keys are therefore the qNN
-    // prefix (unique — full names in BASELINE.md's table). At 142+ catalog
-    // entries even 3-decimal seconds overflowed the window again (the r11
-    // local line measured 2040 chars before sbt's ~70-char success
-    // trailer), so per-query and drain values are INTEGER MILLISECONDS
-    // ("q_unit"/"drain_unit" say so on the line); headline totals stay
-    // seconds. ~10 chars/entry keeps ~185 entries inside the window.
-    // Locale.ROOT: the f-interpolator honors the default locale, and a
-    // comma-decimal locale would silently break the JSON contract
+    // (BENCH_r01..r03 all record parsed:null). Keys are therefore the
+    // NUMERIC part of the unique qNN prefix ("57" = q57 — full names in
+    // BASELINE.md's table; "q_key" on the line restates the convention)
+    // and per-query/drain values are INTEGER CENTISECONDS
+    // ("q_unit"/"drain_unit" say so). History of the squeeze: full names
+    // ~6 KB (r1-r3, never parsed); qNN + 3-decimal seconds hit 2040 chars
+    // at 142 entries; qNN + integer ms hit 1946 at 156. NN + centiseconds
+    // measures ~1620 at 156 — ~8.5 chars/entry, headroom to ~200 entries.
+    // Headline totals stay 3-decimal seconds. Locale.ROOT: the
+    // f-interpolator honors the default locale, and a comma-decimal locale
+    // would silently break the JSON contract
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def short(k: String): String = k.takeWhile(_ != '_')
+    def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
     def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 1000).toString }
+      m.map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 100).toString }
         .mkString("{", ",", "}")
     // warm population excludes the cold first run (with runs=2, p50 over
     // both would silently report min(cold, warm))
@@ -70,8 +72,8 @@ object Bench {
       .filter(_._2 > 0.005)
     val total = warm.map(_._2).sum
     val coldTotal = results.map(_._2.head._1).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","q_unit":"ms","queries":${jsonMap(warm)},""" +
-      s""""drain_unit":"ms","drain":${jsonMap(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","q_key":"NN=qNN","q_unit":"cs","queries":${jsonMap(warm)},""" +
+      s""""drain_unit":"cs","drain":${jsonMap(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"sf":"${new java.io.File(sfDir).getName}"}"""
     // belt-and-braces for the machine parse: (a) the raw line on stdout (the
     // forked run inherits sbt's stdout via run/outputStrategy=StdoutOutput, so
     // no "[info] " prefix), (b) the same JSON as BENCH.json in the repo root

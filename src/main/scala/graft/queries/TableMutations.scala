@@ -694,6 +694,59 @@ object TableMutations {
         |    round(sum(o_totalprice), 4) AS total FROM kept
         |  UNION ALL
         |  SELECT 'mor', count(*), round(sum(o_totalprice), 4) FROM kept)
-        |ORDER BY stage""".stripMargin))
+        |ORDER BY stage""".stripMargin)),
+
+    // Write-audit-publish: fork the production table as a zero-copy clone,
+    // land a batch (with planted violations) on the STAGING side only,
+    // audit with the one-pass expectation census, drop the violating rows,
+    // then PROMOTE the audited state back under CAS on the fork version —
+    // the target is never exposed to unaudited rows, and a concurrent
+    // write would refuse the promote instead of being clobbered. Output:
+    // the audit census + the promoted table's aggregate; the oracle
+    // replays the batch logic directly.
+    QueryDef("q161_wap", (s, dir) => {
+      import graft.operators.Expectations
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val target = RelationalSupport.scratchDir(s, dir, "q161_target")
+      val staging = RelationalSupport.scratchDir(s, dir, "q161_staging")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      VersionedTable.publish(base, target)
+      val fork = new org.apache.hadoop.fs.Path(VersionedTable.resolve(target).get).getName
+      VersionedTable.cloneTo(target, staging)
+      // the incoming batch: re-keyed copies, every 10th planted negative
+      val batch = base.filter(col("o_orderkey") % 50 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          when(col("o_orderkey") % 500 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      RefTableMutations.upsert(s, staging, batch, Seq("o_orderkey"))
+      def readT(root: String) = s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "o_orderkey BIGINT, o_totalprice DOUBLE").load()
+      // materialize the census BEFORE the quarantine delete — the lazy
+      // read would otherwise resolve the post-delete version (1 row)
+      val censusDf = Expectations.check(readT(staging), Seq("price_pos" -> "o_totalprice > 0"))
+        .select(col("rule"), col("violations"))
+      val censusRows = censusDf.collect()
+      val census = s.createDataFrame(
+        java.util.Arrays.asList(censusRows: _*), censusDf.schema)
+      RefTableMutations.deleteWhere(s, staging, col("o_totalprice") <= 0)
+      VersionedTable.promote(staging, target, expectedBase = Some(fork))
+      val promoted = readT(target)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("promoted_rows").as("rule"), col("violations"))
+      census.unionAll(promoted).orderBy("rule")
+    }, Some(
+      """WITH batch AS (
+        |  SELECT o_orderkey + 100000000 AS k,
+        |    CASE WHEN o_orderkey % 500 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 50 = 0)
+        |SELECT rule, violations FROM (
+        |  SELECT 'price_pos' AS rule, count(*) AS violations FROM batch WHERE p <= 0
+        |  UNION ALL
+        |  SELECT 'promoted_rows',
+        |    (SELECT count(*) FROM orders) + (SELECT count(*) FROM batch WHERE p > 0))
+        |ORDER BY rule""".stripMargin))
   )
 }

@@ -406,7 +406,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   }
 
   private val procedures =
-    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore")
+    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -421,6 +421,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "vacuum" => new VacuumProcedure(maintenanceTarget)
       case "clone" => new CloneProcedure(cloneTarget)
       case "restore" => new RestoreProcedure(maintenanceTarget)
+      case "promote" => new PromoteProcedure(maintenanceTarget)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure system.${ident.name} " +
           s"(supported: ${procedures.map("system." + _).mkString(", ")})")

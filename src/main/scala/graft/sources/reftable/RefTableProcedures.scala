@@ -230,6 +230,40 @@ final class RestoreProcedure(resolveTarget: String => (String, Seq[String]))
   }
 }
 
+/** `CALL cat.system.promote(staging => 'ns.stg', target => 'ns.t')` — the
+  * publish half of write-audit-publish: the staging table's current
+  * content becomes the target's next version by hard-linked zero-copy,
+  * CAS-guarded when `expected_base` names the fork version
+  * ([[VersionedTable.promote]]).
+  */
+final class PromoteProcedure(
+    resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "promote"
+  override def description: String =
+    "Publishes the staging table's current content as the target's next version " +
+      "(write-audit-publish; zero-copy, CAS on expected_base)"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("staging", DataTypes.StringType).build(),
+    ProcedureParameter.in("target", DataTypes.StringType).build(),
+    ProcedureParameter.in("expected_base", DataTypes.StringType).defaultValue("''")
+      .comment("target version the staging was forked from; the promote refuses if the " +
+        "target advanced past it (default: last-wins)").build(),
+    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (stagingRoot, partitionColumns) = resolveTarget(input.getString(0))
+    val (targetRoot, _) = resolveTarget(input.getString(1))
+    val base = Option(input.getString(2)).filter(_.nonEmpty)
+    val v = VersionedTable.promote(
+      stagingRoot, targetRoot, base, partitionColumns, input.getInt(3))
+    result(UTF8String.fromString(v))
+  }
+}
+
 /** `CALL cat.system.clone(source => 'ns.t', target => 'ns.t2')` — zero-copy
   * shallow clone: the target table is created with the source's exact
   * descriptor and its first version hard-links the source's current (or

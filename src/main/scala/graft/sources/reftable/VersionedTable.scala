@@ -414,39 +414,76 @@ object VersionedTable {
     require(files.nonEmpty, s"cloneTo: source $srcRoot resolves to an empty listing")
     publishVia(dstRoot, keepVersions, marker = Some(s"clone=$srcRoot"),
         manifestPartitionCols = partitionColumns) { staging =>
-      val fs = staging.getFileSystem(conf)
-      fs.mkdirs(staging)
-      files.zipWithIndex.foreach { case (f, i) =>
-        val src = new Path(f.path)
-        // reproduce the partition layout from the source file's physical
-        // path: its last partitionColumns.size parent segments are the
-        // already-escaped `col=value` dirs (true for physical versions and
-        // for manifest-hosted files alike — mutation staging preserves
-        // partition subdirs)
-        val partSegs = f.path.split('/').dropRight(1).takeRight(partitionColumns.size)
-        require(partSegs.forall(_.contains('=')),
-          s"cloneTo: expected ${partitionColumns.size} 'col=value' parents of ${f.path}")
-        val dir = partSegs.foldLeft(staging)((d, seg) => new Path(d, seg))
-        if (partitionColumns.nonEmpty) fs.mkdirs(dir)
-        // index-prefixed names: files inherited from different source
-        // version dirs may collide on their basenames
-        val dst = new Path(dir, f"c$i%05d-${src.getName}")
-        val srcScheme = src.toUri.getScheme
-        val local = srcScheme == null || srcScheme == "file"
-        val linked = local && {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dst.toUri.getPath),
-              java.nio.file.Paths.get(src.toUri.getPath))
-            true
-          } catch {
-            case _: UnsupportedOperationException | _: SecurityException => false
-          }
+      linkListingInto(files, staging, partitionColumns, conf, "cloneTo")
+    }
+  }
+
+  /** Hard-link (or copy) a resolved listing into a staging directory,
+    * reproducing the Hive partition layout from each file's physical
+    * parents — the populate step shared by [[cloneTo]] and [[promote]].
+    * Index-prefixed names: files inherited from different source version
+    * dirs may collide on their basenames.
+    */
+  private def linkListingInto(
+      files: Seq[SnapshotFile], staging: Path, partitionColumns: Seq[String],
+      conf: Configuration, op: String): Unit = {
+    val fs = staging.getFileSystem(conf)
+    fs.mkdirs(staging)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val src = new Path(f.path)
+      // the file's last partitionColumns.size parent segments are the
+      // already-escaped `col=value` dirs (true for physical versions and
+      // for manifest-hosted files alike — mutation staging preserves
+      // partition subdirs)
+      val partSegs = f.path.split('/').dropRight(1).takeRight(partitionColumns.size)
+      require(partSegs.forall(_.contains('=')),
+        s"$op: expected ${partitionColumns.size} 'col=value' parents of ${f.path}")
+      val dir = partSegs.foldLeft(staging)((d, seg) => new Path(d, seg))
+      if (partitionColumns.nonEmpty) fs.mkdirs(dir)
+      val dst = new Path(dir, f"c$i%05d-${src.getName}")
+      val srcScheme = src.toUri.getScheme
+      val local = srcScheme == null || srcScheme == "file"
+      val linked = local && {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch {
+          case _: UnsupportedOperationException | _: SecurityException => false
         }
-        if (!linked)
-          org.apache.hadoop.fs.FileUtil.copy(
-            src.getFileSystem(conf), src, fs, dst, false, conf)
       }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, fs, dst, false, conf)
+    }
+  }
+
+  /** PROMOTE — the publish half of write-audit-publish (WAP): make the
+    * STAGING table's current content the TARGET's next version, by
+    * hard-linked zero-copy (same mechanics as [[cloneTo]], in reverse).
+    * The intended protocol: `cloneTo(target, staging)` forks the table for
+    * O(files) metadata; the pipeline writes/audits on the staging clone in
+    * isolation; `promote(staging, target, expectedBase = <fork version>)`
+    * lands the audited state — and the CAS refuses if the target advanced
+    * past the fork meanwhile, surfacing the concurrent write instead of
+    * silently clobbering it (pass `expectedBase = None` for last-wins
+    * promotion). Audited-but-rejected stagings are simply dropped —
+    * nothing ever touched the target.
+    */
+  def promote(
+      stagingRoot: String, targetRoot: String, expectedBase: Option[String] = None,
+      partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
+    val conf = new Configuration()
+    DeletionVectors.requireNone(
+      SnapshotFiles.resolveDir(stagingRoot, None, conf), "promote", conf)
+    val files = SnapshotFiles.list(stagingRoot, partitionColumns, None)
+    require(files.nonEmpty, s"promote: staging $stagingRoot resolves to an empty listing")
+    val base = expectedBase.orElse(resolve(targetRoot, conf).map(p => new Path(p).getName))
+    publishVia(targetRoot, keepVersions, marker = Some(s"promote=$stagingRoot"),
+        parent = base, requireBase = expectedBase.isDefined,
+        manifestPartitionCols = partitionColumns) { staging =>
+      linkListingInto(files, staging, partitionColumns, conf, "promote")
     }
   }
 

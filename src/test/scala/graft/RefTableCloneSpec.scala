@@ -152,6 +152,66 @@ class RefTableCloneSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.toLowerCase.contains("exists"))
   }
 
+  test("WAP: clone -> audit -> promote lands the staged state zero-copy under CAS") {
+    import spark.implicits._
+    val target = tmpDir("wap_target")
+    val stagingRoot = tmpDir("wap_staging")
+    VersionedTable.publish((1L to 100L).toDF("id").withColumn("v", col("id")), target)
+    val fork = new java.io.File(
+      VersionedTable.resolve(target).get).getName
+    VersionedTable.cloneTo(target, stagingRoot)
+    // pipeline writes on the staging clone: an upsert batch with one bad row
+    RefTableMutations.upsert(spark, stagingRoot,
+      Seq((200L, 5L), (201L, -1L)).toDF("id", "v"), Seq("id"))
+    // audit: the expectation census sees exactly the bad row; drop it
+    val census = graft.operators.Expectations.check(
+      readCurrent(stagingRoot), Seq("v_nonneg" -> "v >= 0"))
+    assert(census.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("v_nonneg", 1L)))
+    RefTableMutations.deleteWhere(spark, stagingRoot, col("v") < 0)
+    // publish: CAS against the fork version — target untouched, so it lands
+    VersionedTable.promote(stagingRoot, target, expectedBase = Some(fork))
+    val got = readCurrent(target).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((1L to 100L).map(i => (i, i)) :+ (200L, 5L)))
+    // zero-copy: the promoted files share inodes with the staging bytes
+    assert(inodesOf(target).subsetOf(inodesOf(stagingRoot)))
+
+    // a SECOND promote from the same fork must refuse — the target has
+    // advanced past the declared base (the concurrent-write surface)
+    val e = intercept[Exception](
+      VersionedTable.promote(stagingRoot, target, expectedBase = Some(fork)))
+    assert(e.getMessage.toLowerCase.contains("no longer the"))
+  }
+
+  test("CALL system.promote lands an audited staging through SQL") {
+    val cat = "gwap"
+    val wh = Files.createTempDirectory("graft_wap_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1), (2), (3)")
+    spark.sql(s"CALL $cat.system.clone(source => 'db.t', target => 'db.stg')")
+    spark.sql(s"INSERT INTO $cat.db.stg VALUES (4), (5)")
+    val out = spark.sql(
+      s"CALL $cat.system.promote(staging => 'db.stg', target => 'db.t')").collect()
+    assert(out.length == 1 && out.head.getString(0).startsWith("v"))
+    assert(spark.table(s"$cat.db.t").count() == 5)
+  }
+
+  test("promote refuses a deletion-vector'd staging (renamed links break positions)") {
+    import spark.implicits._
+    val target = tmpDir("wapdv_t")
+    val stagingRoot = tmpDir("wapdv_s")
+    VersionedTable.publish((1L to 10L).toDF("id"), target)
+    VersionedTable.cloneTo(target, stagingRoot)
+    RefTableMutations.deleteWhereMergeOnRead(spark, stagingRoot, col("id") === 1L)
+    val e = intercept[UnsupportedOperationException](
+      VersionedTable.promote(stagingRoot, target))
+    assert(e.getMessage.contains("compact"))
+  }
+
   test("cloning a manifest-referenced (mutated) version captures the resolved listing") {
     import spark.implicits._
     val src = tmpDir("man_src")
