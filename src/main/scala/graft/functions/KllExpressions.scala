@@ -133,6 +133,34 @@ case class KllMergeAgg(
     copy(child = newChild)
 }
 
+/** `kll_merge(a, b)`: pairwise scalar union of two serialized sketches —
+  * the KLL analog of Spark's `hll_union`, for advancing a stored sketch
+  * column by a delta sketch row-by-row (the incremental sketch-table
+  * shape). NULL if either side is NULL.
+  */
+case class KllMerge(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge requires (BINARY, BINARY), got (${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_merge"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sk = KllExpressions.heapify(a.asInstanceOf[Array[Byte]])
+    sk.merge(KllExpressions.heapify(b.asInstanceOf[Array[Byte]]))
+    sk.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllMerge =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `kll_quantile(sketch, rank)`: the estimated `rank`-quantile value of a
   * serialized sketch (INCLUSIVE search, the DataSketches default). NULL
   * for a NULL or empty sketch. Scalar extraction runs over O(groups)
@@ -172,6 +200,9 @@ object KllFunctions {
   def kllMergeAgg(sketch: Column, k: Int = 200): Column =
     ColumnBridge.column(
       KllMergeAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  def kllMerge(a: Column, b: Column): Column =
+    ColumnBridge.column(KllMerge(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def kllQuantile(sketch: Column, rank: Double): Column =
     ColumnBridge.column(

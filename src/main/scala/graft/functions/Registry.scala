@@ -28,6 +28,7 @@ object Registry {
     "graft_token_stats" -> (exprs => TokenStats(exprs.head)),
     "graft_kll_sketch_agg" -> (exprs => KllSketchAgg(exprs(0), intArg(exprs(1)))),
     "graft_kll_merge_agg" -> (exprs => KllMergeAgg(exprs(0), intArg(exprs(1)))),
+    "graft_kll_merge" -> (exprs => KllMerge(exprs(0), exprs(1))),
     "graft_kll_quantile" -> (exprs => KllQuantile(exprs(0), exprs(1))))
 
   def registerAll(spark: SparkSession): Unit = {

@@ -308,6 +308,46 @@ object SqlExt {
       """SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  TRUE AS ok50, TRUE AS ok95 FROM orders ORDER BY yr""".stripMargin)),
 
+    // Quantile sketches as incrementally-maintained aggregate state — the
+    // q153 pattern with KLL instead of HLL: a per-year KLL sketch TABLE
+    // (BINARY column in a versioned root) advanced by an insert batch; the
+    // batch is sketched in one narrow pass and kll_merge'd into the
+    // stored sketches (O(batch + groups)); the base rows are never
+    // re-read. Inserts-only by construction (KLL cannot retract). Gate:
+    // the maintained median lands in the exact ±3%-rank band per year.
+    QueryDef("q162_incremental_kll", (s, dir) => {
+      import graft.functions.KllFunctions._
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q162_kll")
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderkey"), col("o_totalprice"))
+      val base = o.filter(col("o_orderkey") % 5 =!= 0)
+      val batch = o.filter(col("o_orderkey") % 5 === 0)
+      VersionedTable.publish(
+        base.groupBy("yr").agg(kllSketchAgg(col("o_totalprice")).as("sk")), root)
+      val stored = s.read.format("reftable")
+        .option("path", root).option("schema", "yr BIGINT, sk BINARY").load()
+      val delta = batch.groupBy("yr").agg(kllSketchAgg(col("o_totalprice")).as("bsk"))
+      val advanced = stored.join(delta, Seq("yr"), "full_outer")
+        .select(col("yr"),
+          when(col("sk").isNull, col("bsk"))
+            .when(col("bsk").isNull, col("sk"))
+            .otherwise(kllMerge(col("sk"), col("bsk"))).as("sk"))
+      VersionedTable.publish(advanced, root)
+      val est = s.read.format("reftable")
+        .option("path", root).option("schema", "yr BIGINT, sk BINARY").load()
+        .select(col("yr"), kllQuantile(col("sk"), 0.5).as("est50"))
+      val bands = o.groupBy("yr").agg(
+        expr("percentile(o_totalprice, array(0.47, 0.53))").as("b50"))
+      est.join(bands, "yr")
+        .select(col("yr"),
+          (col("est50") >= col("b50")(0) && col("est50") <= col("b50")(1)).as("ok50"))
+        .orderBy("yr")
+    }, Some(
+      """SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, TRUE AS ok50
+        |FROM orders ORDER BY yr""".stripMargin)),
+
     // Sketches as incrementally-maintained aggregate state: a per-year HLL
     // sketch TABLE (binary column in a versioned root) advanced by an
     // insert batch — the batch is sketched per group (one narrow pass over

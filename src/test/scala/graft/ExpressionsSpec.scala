@@ -184,6 +184,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(merged - 4000.0) <= 300.0, s"merged p50=$merged")
   }
 
+  test("KLL pairwise merge equals sketching the union") {
+    import graft.functions.KllFunctions._
+    val a = (1 to 5000).map(_.toDouble).toDF("v").agg(kllSketchAgg(col("v")).as("sk"))
+    val b = (5001 to 10000).map(_.toDouble).toDF("v").agg(kllSketchAgg(col("v")).as("sk"))
+    val merged = a.crossJoin(b.withColumnRenamed("sk", "sk2"))
+      .select(kllQuantile(kllMerge(col("sk"), col("sk2")), 0.5).as("p50"))
+      .collect().head.getDouble(0)
+    assert(math.abs(merged - 5000.0) <= 300.0, s"pairwise-merged p50=$merged")
+  }
+
   test("KLL functions are SQL-registered (graft_kll_*)") {
     graft.functions.Registry.registerAll(spark)
     val got = spark.sql(
