@@ -747,6 +747,52 @@ object TableMutations {
         |  UNION ALL
         |  SELECT 'promoted_rows',
         |    (SELECT count(*) FROM orders) + (SELECT count(*) FROM batch WHERE p > 0))
-        |ORDER BY rule""".stripMargin))
+        |ORDER BY rule""".stripMargin)),
+
+    // Merge-on-read UPSERT as the CDC-apply fast path: three successive
+    // small batches land on a large snapshot, each committing only the
+    // batch file + a position sidecar (O(batch), no file rewritten —
+    // RefTableDvSpec pins the byte bound); later batches re-hitting
+    // earlier batches' keys exercise the pinned-position subtraction.
+    // Compact then materializes. The oracle replays the three batches as
+    // plain last-writer-wins upserts.
+    QueryDef("q163_mor_cdc_apply", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q163_cdc")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"))
+      VersionedTable.publishClustered(base, root, Seq("c_custkey"), numFiles = 8)
+      def batch(m: Long, tag: Long) = base
+        .filter(col("c_custkey") % 100 === m)
+        .select(col("c_custkey"), (col("nk") + tag).as("nk"))
+        .unionAll(base.filter(col("c_custkey") % 250 === m)
+          .select((col("c_custkey") + 1000000L * (m + 1)).as("c_custkey"),
+            lit(tag).as("nk")))
+      RefTableMutations.upsertMergeOnRead(s, root, batch(0, 100), Seq("c_custkey"))
+      RefTableMutations.upsertMergeOnRead(s, root, batch(50, 200), Seq("c_custkey"))
+      // the third batch re-hits batch 1's keys: last writer wins
+      RefTableMutations.upsertMergeOnRead(s, root, batch(0, 300), Seq("c_custkey"))
+      VersionedTable.compact(s, root)
+      s.read.format("reftable")
+        .option("path", root).option("schema", "c_custkey BIGINT, nk BIGINT").load()
+        .groupBy((col("c_custkey") % 7).as("g"))
+        .agg(count(lit(1)).as("n"), sum("nk").as("sum_nk"))
+        .orderBy("g")
+    }, Some(
+      """WITH base AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+        |b1 AS (SELECT c_custkey, nk + 100 AS nk FROM base WHERE c_custkey % 100 = 0
+        |  UNION ALL SELECT c_custkey + 1000000, 100 FROM base WHERE c_custkey % 250 = 0),
+        |b2 AS (SELECT c_custkey, nk + 200 AS nk FROM base WHERE c_custkey % 100 = 50
+        |  UNION ALL SELECT c_custkey + 51000000, 200 FROM base WHERE c_custkey % 250 = 50),
+        |b3 AS (SELECT c_custkey, nk + 300 AS nk FROM base WHERE c_custkey % 100 = 0
+        |  UNION ALL SELECT c_custkey + 1000000, 300 FROM base WHERE c_custkey % 250 = 0),
+        |s1 AS (SELECT * FROM b1
+        |  UNION ALL SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM b1)),
+        |s2 AS (SELECT * FROM b2
+        |  UNION ALL SELECT * FROM s1 WHERE c_custkey NOT IN (SELECT c_custkey FROM b2)),
+        |s3 AS (SELECT * FROM b3
+        |  UNION ALL SELECT * FROM s2 WHERE c_custkey NOT IN (SELECT c_custkey FROM b3))
+        |SELECT c_custkey % 7 AS g, count(*) AS n, CAST(sum(nk) AS BIGINT) AS sum_nk
+        |FROM s3 GROUP BY 1 ORDER BY g""".stripMargin))
   )
 }

@@ -233,6 +233,91 @@ object RefTableMutations {
     }
   }
 
+  /** Merge-on-read keyed UPSERT: the O(batch) commit shape for
+    * CDC-apply. Matched current rows' positions go into `_DV/` sidecars
+    * (one key-semi-join over only the narrowed may-match files — no file
+    * is rewritten), and the WHOLE source batch stages as the new data
+    * file (replacements and inserts alike). A sustained single-row-upsert
+    * stream commits O(1) data files and O(1) sidecar rows per batch on
+    * any table size; readers subtract, compact materializes. Unlike the
+    * COW [[upsert]], partition moves are free: the old image dies by
+    * position, the new image stages under its own partition directory.
+    * Same key semantics (null-key source rows insert, null-key current
+    * rows never match, duplicate source keys stage as duplicates), same
+    * narrowing, CAS and retry.
+    */
+  def upsertMergeOnRead(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
+    require(keyCols.nonEmpty, "upsertMergeOnRead needs at least one key column")
+    val conf = new Configuration()
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
+    val curCols = cur.columns.toSeq
+    require(keyCols.forall(curCols.contains),
+      s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
+    val missing = curCols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"upsertMergeOnRead source is missing table column(s): ${missing.mkString(", ")}")
+    val aligned = source.select(curCols.map(col): _*)
+    // same one-job emptiness + bounds narrowing as the COW upsert
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) =
+      if (keyCols.size == 1) {
+        val k = keyCols.head
+        val mm = aligned.agg(
+          org.apache.spark.sql.functions.count(lit(1)), min(col(k)), max(col(k))).first()
+        if (mm.getLong(0) == 0L) (true, Nil)
+        else if (mm.isNullAt(1)) (false, Nil)
+        else {
+          val filters = Seq(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(1)),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(2)))
+          val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
+          (false, RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+        }
+      } else {
+        val e = aligned.isEmpty
+        (e, if (e) Nil else files)
+      }
+    val narrowed =
+      if (empty || mayMatch.isEmpty) mayMatch
+      else bucketNarrow(current, files, aligned, keyCols,
+        cur.schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
+        case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
+        case None => mayMatch
+      }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      // the new images (and inserts): the whole aligned batch, staged once
+      if (!empty)
+        VersionedTable.writeParquetMicros(aligned, staging.toString, partitionColumns)
+      if (narrowed.nonEmpty) {
+        // matched OLD positions: live rows (pinned DVs subtracted) of the
+        // may-match files whose key appears in the batch
+        val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
+          withMeta = true)
+        val pinned = narrowed.flatMap(f =>
+          f.dvPositions.map(p => (DeletionVectors.relOf(f.path), p)))
+        val live = if (pinned.isEmpty) metaAll else {
+          import spark.implicits._
+          val dv = pinned.toDF("__dv_file", "__dv_pos")
+          metaAll.join(org.apache.spark.sql.functions.broadcast(dv),
+            metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
+            "left_anti")
+        }
+        live.join(aligned.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+          .select(col("__rel").as("file"), col("__pos").as("pos"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, DeletionVectors.DvDir).toString)
+      }
+      referenceRest(root, staging, current, Nil, conf, partitionColumns)
+    }
+  }
+
   /** SQL-MERGE-shaped row-level operation with CDC ergonomics: for each
     * current row with a key match in `source`, apply `matchedDelete`
     * (drop) or else `matchedUpdate` (replace with the source row); source

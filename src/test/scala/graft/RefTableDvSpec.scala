@@ -255,6 +255,53 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == 50)
   }
 
+  test("MoR upsert: O(batch) commit — matched keys die by position, batch stages once") {
+    val root = tmpDir("morup")
+    import spark.implicits._
+    VersionedTable.publish(
+      (1L to 1000L).toDF("id").withColumn("v", col("id")).repartition(4), root)
+    val v2 = RefTableMutations.upsertMergeOnRead(spark, root,
+      Seq((10L, -10L), (20L, -20L), (5000L, -50L)).toDF("id", "v"), Seq("id"))
+    // the commit stages the 3-row batch file + a sidecar, never a rewrite
+    val staged = SnapshotFiles.listPhysical(s"$root/$v2", Nil)
+    assert(staged.map(_.length).sum < 50_000,
+      s"MoR upsert staged ${staged.map(_.length).sum} bytes — looks like a rewrite")
+    assert(DeletionVectors.positionsByFile(s"$root/$v2", conf).values.map(_.size).sum == 2,
+      "exactly the two matched keys' old positions")
+    val got = readRef(root, "id BIGINT, v BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = ((1L to 1000L).map(i =>
+      (i, if (i == 10L) -10L else if (i == 20L) -20L else i)) :+ (5000L, -50L)).sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("repeated MoR upsert of the same key keeps exactly one live image") {
+    val root = tmpDir("morup2")
+    import spark.implicits._
+    VersionedTable.publish((1L to 50L).toDF("id").withColumn("v", lit(0L)), root)
+    (1 to 3).foreach(i =>
+      RefTableMutations.upsertMergeOnRead(spark, root,
+        Seq((7L, i.toLong)).toDF("id", "v"), Seq("id")))
+    val got = readRef(root, "id BIGINT, v BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got.size == 50, s"row count drifted to ${got.size}")
+    assert(got.find(_._1 == 7L).map(_._2).contains(3L))
+  }
+
+  test("MoR upsert moves rows across partitions (old dies by position)") {
+    val root = tmpDir("morup3")
+    import spark.implicits._
+    val df = (1L to 60L).toDF("id").withColumn("p", (col("id") % 3).cast("string"))
+    VersionedTable.publishPartitioned(df, root, Seq("p"))
+    // id=9 currently in p=0; move it to p=2
+    RefTableMutations.upsertMergeOnRead(spark, root,
+      Seq((9L, "2")).toDF("id", "p"), Seq("id"), partitionColumns = Seq("p"))
+    val got = readRef(root, "id BIGINT, p STRING", Map("partitionColumns" -> "p"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got.size == 60)
+    assert(got.find(_._1 == 9L).map(_._2).contains("2"))
+  }
+
   test("maintenance: accreted sidecars trip the materializing decision") {
     val root = tmpDir("maint")
     import spark.implicits._
