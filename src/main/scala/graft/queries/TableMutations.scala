@@ -793,6 +793,53 @@ object TableMutations {
         |s3 AS (SELECT * FROM b3
         |  UNION ALL SELECT * FROM s2 WHERE c_custkey NOT IN (SELECT c_custkey FROM b3))
         |SELECT c_custkey % 7 AS g, count(*) AS n, CAST(sum(nk) AS BIGINT) AS sum_nk
-        |FROM s3 GROUP BY 1 ORDER BY g""".stripMargin))
+        |FROM s3 GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // Changefeed replication in its merge-on-read shape — q113's loop with
+    // applyChangesMergeOnRead: ONE commit marks every changed key's old
+    // position in a sidecar and stages the after-images as one file, so
+    // sustained replication writes O(changefeed) bytes per generation
+    // where the COW apply rewrites O(may-match file bytes). The replica's
+    // DV'd read must equal the primary's new state exactly (deletes,
+    // updates and inserts all through the position path).
+    QueryDef("q164_mor_changefeed", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val rootA = RelationalSupport.scratchDir(s, dir, "q164_src")
+      val rootB = RelationalSupport.scratchDir(s, dir, "q164_rep")
+      val cents = (col("s_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val state1 = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), cents.as("cents"))
+      val state2 = state1.filter(col("s_suppkey") % 10 =!= 0)
+        .withColumn("cents",
+          when(col("s_suppkey") % 3 === 0, col("cents") + 7L).otherwise(col("cents")))
+        .unionAll(state1.filter(col("s_suppkey") % 25 === 0)
+          .select((-col("s_suppkey")).as("s_suppkey"), col("s_nationkey"), col("cents")))
+      val v1 = VersionedTable.publish(state1, rootA)
+      VersionedTable.publish(state2, rootA)
+      val changes = VersionedTable.changes(s, rootA, Seq("s_suppkey"), v1)
+      VersionedTable.publish(state1, rootB)
+      RefTableMutations.applyChangesMergeOnRead(s, rootB, changes, Seq("s_suppkey"))
+      s.read.format("reftable")
+        .option("path", rootB)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT, cents BIGINT")
+        .load()
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          min("s_suppkey").as("lo_key"))
+        .orderBy("s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |state2 AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base WHERE s_suppkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT -s_suppkey, s_nationkey, cents FROM base WHERE s_suppkey % 25 = 0)
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(s_suppkey) AS lo_key
+        |FROM state2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

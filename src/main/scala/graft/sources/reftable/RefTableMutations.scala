@@ -713,6 +713,97 @@ object RefTableMutations {
       partitionTypes = partitionTypes)
   }
 
+  /** Merge-on-read changefeed apply: the replication primitive in its
+    * O(changes) commit shape — ONE commit marks every changed key's old
+    * position in a `_DV/` sidecar (delete, update and replayed-insert
+    * keys alike; one key-semi-join over the narrowed may-match files) and
+    * stages the insert/update after-images as one data file. Sustained
+    * replication therefore writes O(changefeed) bytes per generation on
+    * any table size, where the COW [[applyChanges]] rewrites O(may-match
+    * file bytes). Same idempotent-replay semantics; compaction
+    * materializes.
+    */
+  def applyChangesMergeOnRead(
+      spark: SparkSession, root: String, changes: DataFrame, keyCols: Seq[String],
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
+    require(changes.columns.contains("change_type"),
+      "changefeed must carry change_type (insert|delete|update) — see SnapshotDiff.diff")
+    require(keyCols.nonEmpty, "applyChangesMergeOnRead needs at least one key column")
+    val conf = new Configuration()
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
+    val curCols = cur.columns.toSeq
+    require(keyCols.forall(curCols.contains),
+      s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
+    val missing = curCols.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changefeed is missing table column(s): ${missing.mkString(", ")}")
+    val ct = col("change_type")
+    // one job: total, upsert count, and (single-key) bounds over ALL
+    // changed keys — delete keys must narrow too
+    val (total, nUpserts, mayMatch): (Long, Long, Seq[SnapshotFile]) =
+      if (keyCols.size == 1) {
+        val k = keyCols.head
+        val mm = changes.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L)),
+          min(col(k)), max(col(k))).first()
+        val t = mm.getLong(0)
+        val u = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+        if (t == 0L) (0L, 0L, Nil)
+        else if (mm.isNullAt(2)) (t, u, Nil) // all-null keys: nothing can match
+        else {
+          val filters = Seq(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(2)),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(3)))
+          val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
+          (t, u, RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+        }
+      } else {
+        val counts = changes.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L))).first()
+        val t = counts.getLong(0)
+        (t, if (counts.isNullAt(1)) 0L else counts.getLong(1), if (t == 0L) Nil else files)
+      }
+    val narrowed =
+      if (mayMatch.isEmpty) mayMatch
+      else bucketNarrow(current, files, changes, keyCols,
+        cur.schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
+        case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
+        case None => mayMatch
+      }
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      if (nUpserts > 0L)
+        VersionedTable.writeParquetMicros(
+          changes.filter(ct =!= "delete").select(curCols.map(col): _*),
+          staging.toString, partitionColumns)
+      if (narrowed.nonEmpty) {
+        val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
+          withMeta = true)
+        val pinned = narrowed.flatMap(f =>
+          f.dvPositions.map(p => (DeletionVectors.relOf(f.path), p)))
+        val live = if (pinned.isEmpty) metaAll else {
+          import spark.implicits._
+          val dv = pinned.toDF("__dv_file", "__dv_pos")
+          metaAll.join(org.apache.spark.sql.functions.broadcast(dv),
+            metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
+            "left_anti")
+        }
+        live.join(changes.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+          .select(col("__rel").as("file"), col("__pos").as("pos"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, DeletionVectors.DvDir).toString)
+      }
+      referenceRest(root, staging, current, Nil, conf, partitionColumns)
+    }
+  }
+
   /** Resolve the current version dir. With no `partitionColumns` declared,
     * refuse Hive-partitioned layouts (physical partition subdirectories OR
     * manifest entries carrying partition values) — mutating one while

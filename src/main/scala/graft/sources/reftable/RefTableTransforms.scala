@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   * is the layout contract Hive-style identity partitioning cannot give —
   * users filter on the real column, the engine owns the directory shape.
   *
-  * Supported transforms (the Iceberg core set minus `hours`):
+  * Supported transforms (the Iceberg core set):
   *  - `days(col)`          col: TIMESTAMP/TIMESTAMP_NTZ/DATE → UTC date dirs
+  *  - `hours(col)`         col: TIMESTAMP/TIMESTAMP_NTZ → UTC hour dirs
   *  - `bucket(n, col)`     col: INT/BIGINT/STRING → `pmod(hash(col), n)` dirs
   *                         (Spark Murmur3, the same hash the bucketed
   *                         layout and bucket-narrowed mutations use)
@@ -99,6 +100,29 @@ object RefTableTransforms {
     }
   }
 
+  final case class Hours(source: String) extends Transform {
+    val dirName = s"${source}_hour"
+    def sparkExpr: Column =
+      org.apache.spark.sql.functions.date_format(col(source), "yyyy-MM-dd-HH")
+    def outcomes(raw: String, v: Any, test: Int => Boolean): Tri = {
+      // dir value "yyyy-MM-dd-HH" (UTC under the pinned session)
+      val parts = raw.trim.split("-")
+      val day = java.time.LocalDate.of(parts(0).toInt, parts(1).toInt, parts(2).toInt)
+      val loMicros = (day.toEpochDay * 86400L + parts(3).toInt * 3600L) * 1000000L
+      val hiMicros = loMicros + 3600L * 1000000L - 1L
+      val p: Long = v match {
+        case t: java.sql.Timestamp =>
+          val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case l: java.time.LocalDateTime =>
+          val i = l.toInstant(java.time.ZoneOffset.UTC)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case _ => return Unknown
+      }
+      bandOutcome(loMicros, hiMicros, p, test)
+    }
+  }
+
   final case class Bucket(n: Int, source: String, sourceType: DataType) extends Transform {
     val dirName = s"${source}_bucket"
     def sparkExpr: Column =
@@ -150,6 +174,7 @@ object RefTableTransforms {
   }
 
   private val DaysRe = """^days\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
+  private val HoursRe = """^hours\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
   private val BucketRe = """^bucket\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
   private val TruncRe = """^truncate\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
 
@@ -165,6 +190,10 @@ object RefTableTransforms {
         case TimestampType | TimestampNTZType | DateType => Right(Days(c))
         case other => Left(s"hiddenPartitions: days($c) needs a timestamp/date column, got ${other.sql}")
       }
+      case HoursRe(c) => typeOf(c).flatMap {
+        case TimestampType | TimestampNTZType => Right(Hours(c))
+        case other => Left(s"hiddenPartitions: hours($c) needs a timestamp column, got ${other.sql}")
+      }
       case BucketRe(n, c) => typeOf(c).flatMap {
         case dt @ (IntegerType | LongType | StringType) =>
           if (n.toInt > 0) Right(Bucket(n.toInt, c, dt))
@@ -179,7 +208,7 @@ object RefTableTransforms {
         case other => Left(s"hiddenPartitions: truncate(_, $c) needs string/int/bigint, got ${other.sql}")
       }
       case other => Left(
-        s"hiddenPartitions: cannot parse '$other' (expected days(col), bucket(n, col) or truncate(w, col))")
+        s"hiddenPartitions: cannot parse '$other' (expected days(col), hours(col), bucket(n, col) or truncate(w, col))")
     }
   }
 }

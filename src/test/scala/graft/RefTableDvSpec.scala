@@ -302,6 +302,27 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(got.find(_._1 == 9L).map(_._2).contains("2"))
   }
 
+  test("MoR changefeed apply: one O(changes) commit; replay is idempotent") {
+    val root = tmpDir("morcf")
+    import spark.implicits._
+    VersionedTable.publish((1L to 200L).toDF("id").withColumn("v", lit(0L)), root)
+    val changes = Seq(
+      (5L, 50L, "update"), (300L, 3L, "insert"), (7L, 0L, "delete"))
+      .toDF("id", "v", "change_type")
+    val v2 = RefTableMutations.applyChangesMergeOnRead(spark, root, changes, Seq("id"))
+    // one commit: batch-file + sidecar only
+    assert(SnapshotFiles.listPhysical(s"$root/$v2", Nil).map(_.length).sum < 50_000)
+    def state() = readRef(root, "id BIGINT, v BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expected = ((1L to 200L).filter(_ != 7L).map(i =>
+      (i, if (i == 5L) 50L else 0L)) :+ (300L, 3L)).sortBy(_._1)
+    assert(state() == expected)
+    // replay the same changefeed: insert re-applies as update, the
+    // deleted key's position is already gone — state unchanged
+    RefTableMutations.applyChangesMergeOnRead(spark, root, changes, Seq("id"))
+    assert(state() == expected)
+  }
+
   test("maintenance: accreted sidecars trip the materializing decision") {
     val root = tmpDir("maint")
     import spark.implicits._

@@ -132,6 +132,28 @@ class RefTableHiddenPartitionSpec extends AnyFunSuite {
       .load().filter(col("n") >= 35L && col("n") < 52L).count() == 17)
   }
 
+  test("hours(ts): hour-band predicates prune hour directories") {
+    val root = tmpDir("hours")
+    import spark.implicits._
+    val df = (0 until 48).map(i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T00:30:00Z").plusSeconds(i * 3600L))))
+      .toDF("id", "ts")
+    VersionedTable.publishHiddenPartitioned(df, root, Seq("hours(ts)"))
+    val opts = optsFor(root, "id BIGINT, ts TIMESTAMP", "hours(ts)")
+    val all = SnapshotFiles.list(VersionedTable.resolve(root).get, opts.physicalNesting)
+    assert(all.map(_.partitionValues("ts_hour")).distinct.size == 48)
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T05:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T07:59:00Z"))
+    val kept = SnapshotFiles.pruned(opts, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+      org.apache.spark.sql.sources.LessThanOrEqual("ts", hi)))
+    assert(kept.map(_.partitionValues("ts_hour")).distinct.sorted ==
+      Seq("2024-03-01-05", "2024-03-01-06", "2024-03-01-07"))
+    assert(readRef(root, "id BIGINT, ts TIMESTAMP", "hours(ts)")
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count() == 3)
+  }
+
   test("appended flat files (no transform dirs) survive every prune") {
     val root = tmpDir("append")
     import spark.implicits._
