@@ -725,6 +725,75 @@ object StreamingOps {
         |  SELECT c_custkey + 700000, c_nationkey, cents FROM base WHERE c_custkey % 10 = 3)
         |SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  count(cents) AS nn_cents, count(*) AS cnt
-        |FROM s2 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+        |FROM s2 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // STREAMING MoR REPLICATION: the full live loop — the primary mutates
+    // under a 1s-refresh snapshot stream, each arriving generation diffs
+    // to a changefeed (ChangeFeed, checkpoint-and-release), and the diff
+    // applies to a REPLICA table via applyChangesMergeOnRead: one
+    // O(changes) commit per generation (sidecar + one after-image file),
+    // fully distributed — no diff row ever reaches the driver, unlike
+    // q145's harness-boundary collect. The replica's DV'd read must equal
+    // the primary's final state; unchanged generations diff to zero rows
+    // and commit nothing.
+    QueryDef("q165_stream_mor_replication", (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      import graft.operators.SnapshotDiff
+      val rootA = RelationalSupport.scratchDir(s, dir, "q165_src")
+      val rootB = RelationalSupport.scratchDir(s, dir, "q165_rep")
+      val base = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val state2 = base.filter(col("s_suppkey") % 7 =!= 0)
+        .withColumn("s_nationkey", when(col("s_suppkey") % 5 === 0,
+          col("s_nationkey") + 100).otherwise(col("s_nationkey")))
+        .unionAll(base.filter(col("s_suppkey") % 11 === 0)
+          .select((col("s_suppkey") + 90000L).as("s_suppkey"), col("s_nationkey")))
+      VersionedTable.publish(base, rootA)
+      VersionedTable.publish(base, rootB) // replica pre-seeded at the baseline
+
+      val feed = new SnapshotDiff.ChangeFeed(Seq("s_suppkey"))
+      var batches = 0
+      val df = s.readStream.format("reftable")
+        .option("path", rootA)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT")
+        .option("refreshInterval", "1s")
+        .load()
+      val q = df.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val d = feed.next(b)
+          // batch 0 is the all-insert baseline the replica already holds;
+          // later unchanged generations diff to zero rows — skip both
+          if (batches > 0 && !d.isEmpty)
+            RefTableMutations.applyChangesMergeOnRead(s, rootB, d, Seq("s_suppkey"))
+          batches += 1
+          ()
+        }
+        .option("checkpointLocation", Files.createTempDirectory("graft_morrep_ck_").toString)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      VersionedTable.publish(state2, rootA)
+      Thread.sleep(1300) // cross the 1s refresh boundary
+      q.processAllAvailable()
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      feed.close()
+      s.read.format("reftable")
+        .option("path", rootB)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT")
+        .load()
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), min("s_suppkey").as("lo_key"))
+        .orderBy("s_nationkey")
+    }, Some(
+      """WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier),
+        |s2 AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_nationkey + 100 ELSE s_nationkey END AS s_nationkey
+        |  FROM base WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 90000, s_nationkey FROM base WHERE s_suppkey % 11 = 0)
+        |SELECT s_nationkey, count(*) AS cnt, min(s_suppkey) AS lo_key
+        |FROM s2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object RefTableMetaTables {
 
-  val Kinds: Set[String] = Set("history", "commits", "files", "layout")
+  val Kinds: Set[String] = Set("history", "commits", "files", "layout", "dv")
 
   private val historySchema = StructType(Seq(
     StructField("version_idx", IntegerType, nullable = false),
@@ -65,6 +65,10 @@ object RefTableMetaTables {
     StructField("property", StringType, nullable = false),
     StructField("value", StringType, nullable = true)))
 
+  private val dvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("deleted_positions", LongType, nullable = false)))
+
   def load(root: String, displayName: String, kind: String, conf: Configuration,
       exists: Boolean, ident: Identifier): Table = {
     if (!exists) throw new NoSuchTableException(ident)
@@ -73,6 +77,7 @@ object RefTableMetaTables {
       case "commits" => new MetaTable(displayName, commitsSchema, () => commitRows(root, conf))
       case "files" => new MetaTable(displayName, filesSchema, () => fileRows(root, conf))
       case "layout" => new MetaTable(displayName, layoutSchema, () => layoutRows(root, conf))
+      case "dv" => new MetaTable(displayName, dvSchema, () => dvRows(root, conf))
     }
   }
 
@@ -101,6 +106,22 @@ object RefTableMetaTables {
         c.seq, utf8(c.version),
         c.marker.map(utf8).orNull, c.parent.map(utf8).orNull)): InternalRow
     }.toArray
+
+  /** `t$dv`: the current version's merge-on-read deletion-vector census —
+    * per referenced file, how many positions its sidecars mark. Empty for
+    * a clean table; a scheduler reads it to decide materialization (the
+    * same signal RefTableMaintenance trips on). Driver-local sidecar
+    * read, no data pages.
+    */
+  private def dvRows(root: String, conf: Configuration): Array[InternalRow] =
+    VersionedTable.resolve(root, conf) match {
+      case None => Array.empty
+      case Some(dir) =>
+        DeletionVectors.positionsByFile(dir, conf).toSeq.sortBy(_._1).map {
+          case (file, ps) =>
+            new GenericInternalRow(Array[Any](utf8(file), ps.size.toLong)): InternalRow
+        }.toArray
+    }
 
   private def fileRows(root: String, conf: Configuration): Array[InternalRow] = {
     val current = VersionedTable.resolve(root, conf)

@@ -340,6 +340,24 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq == (9L to 500L))
   }
 
+  test("$dv metadata table reports the sidecar census through SQL") {
+    val cat = "gdvmeta"
+    val wh = Files.createTempDirectory("graft_dvmeta_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING reftable " +
+      "OPTIONS (deleteMode 'mergeOnRead')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT explode(sequence(1, 100))")
+    assert(spark.sql(s"SELECT * FROM $cat.db.`t$$dv`").count() == 0)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id <= 25")
+    val census = spark.sql(
+      s"SELECT sum(deleted_positions) FROM $cat.db.`t$$dv`").collect().head.getLong(0)
+    assert(census == 25)
+    spark.sql(s"CALL $cat.system.compact(table => 'db.t')")
+    assert(spark.sql(s"SELECT * FROM $cat.db.`t$$dv`").count() == 0)
+  }
+
   test("partitioned root: MoR delete + partitioned compact materialization") {
     val root = tmpDir("part")
     import spark.implicits._
