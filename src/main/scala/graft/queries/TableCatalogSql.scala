@@ -330,6 +330,51 @@ object TableCatalogSql {
         |  FROM afterdel),
         |final AS (SELECT * FROM afterupd WHERE NOT (s_nationkey = 9))
         |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+        |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // SQL MERGE INTO under mergeMode=mergeOnRead: q117's three-clause
+    // merge, but clause-hit rows die by POSITION and the update images +
+    // inserts stage as one file — no target file rewritten (the Iceberg
+    // write.merge.mode split on the SQL surface). Same oracle replay: MoR
+    // is a write-amplification strategy, never a semantics change.
+    QueryDef("q166_sql_mor_merge", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q166_mrg")
+      val tbl = "graft_q166_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT', " +
+        "mergeMode 'mergeOnRead')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT s_suppkey AS k, s_nationkey AS nk,
+           |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+           |  FROM supplier
+           |  UNION ALL
+           |  SELECT -s_suppkey - 1000, s_nationkey, CAST(777 AS BIGINT)
+           |  FROM supplier WHERE s_suppkey % 20 = 0
+           |) s ON t.s_suppkey = s.k
+           |WHEN MATCHED AND s.k % 15 = 0 THEN DELETE
+           |WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET cents = s.c + 5
+           |WHEN NOT MATCHED AND s.nk < 20 THEN INSERT (s_suppkey, s_nationkey, cents)
+           |  VALUES (s.k, s.nk, s.c)""".stripMargin)
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        s"FROM $tbl GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |merged AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM base WHERE NOT (s_suppkey % 15 = 0)
+        |  UNION ALL
+        |  SELECT -s_suppkey - 1000, s_nationkey, 777 FROM base
+        |  WHERE s_suppkey % 20 = 0 AND s_nationkey < 20)
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

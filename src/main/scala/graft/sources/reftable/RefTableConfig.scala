@@ -197,6 +197,11 @@ object SchemaJson {
   *                      old positions to sidecars + new images staged,
   *                      O(matched rows) per update — the Iceberg
   *                      write.update.mode split);
+  *  - `mergeMode`       same switch for SQL MERGE INTO (clause-hit rows
+  *                      die by position, update images + inserts stage
+  *                      as one file — the Iceberg write.merge.mode
+  *                      split; falls back to COW when an UPDATE SET
+  *                      names a partition column);
   *  - `hiddenPartitions` comma-separated partition TRANSFORMS
   *                      (`days(ts)`, `bucket(16, user_id)`,
   *                      `truncate(4, name)` — [[RefTableTransforms]]):
@@ -233,7 +238,8 @@ final case class RefTableOptions(
     groupByPartition: Boolean = false,
     deleteMode: String = "cow",
     updateMode: String = "cow",
-    hiddenPartitions: Seq[String] = Nil) {
+    hiddenPartitions: Seq[String] = Nil,
+    mergeMode: String = "cow") {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -453,6 +459,7 @@ object RefTableOptions {
     }
     val deleteMode = modeOpt("deleteMode")
     val updateMode = modeOpt("updateMode")
+    val mergeMode = modeOpt("mergeMode")
 
     // split on top-level commas only: `bucket(16, user_id)` carries one
     // inside its parentheses
@@ -484,6 +491,7 @@ object RefTableOptions {
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
-      bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions)
+      bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
+      mergeMode)
   }
 }

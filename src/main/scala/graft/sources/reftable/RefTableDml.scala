@@ -227,9 +227,18 @@ case class MergeRefTableCommand(
     val source = DatasetBridge.ofRows(spark, sourcePlan)
       .select(keys.map { case (k, e) => e.as(k) } ++
         source0Cols(sourcePlan).map(org.apache.spark.sql.functions.col): _*)
-    RefTableMutations.mergeClauses(spark, opts.path, source, keys.map(_._1),
-      update, delete, insert, opts.keepVersions,
-      opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+    val updSetsPartitionCol =
+      update.exists(_._2.keys.exists(opts.partitionColumns.contains))
+    if (opts.mergeMode == "mergeOnRead" && !updSetsPartitionCol)
+      RefTableMutations.mergeClausesMergeOnRead(spark, opts.path, source, keys.map(_._1),
+        update, delete, insert, opts.keepVersions,
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+    else
+      // partition-column SET moves rows across directories — only the COW
+      // rewrite can restage them, so mergeOnRead falls back
+      RefTableMutations.mergeClauses(spark, opts.path, source, keys.map(_._1),
+        update, delete, insert, opts.keepVersions,
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
     Seq.empty
   }
 

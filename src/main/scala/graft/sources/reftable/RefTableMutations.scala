@@ -363,6 +363,73 @@ object RefTableMutations {
       partitionColumns, partitionTypes)
   }
 
+  /** The merge family's shared file narrowing — ONE aggregation job for
+    * emptiness + every pruning signal the source offers: single-key
+    * min/max bounds (as in [[upsert]]), and — when EVERY partition column
+    * is part of the merge key — the source's partition values. The latter
+    * is sound ONLY under that condition: a file in partition p holds rows
+    * with p alone, and key-matching then implies partition equality, so
+    * files outside the source's partition values can neither match nor be
+    * matched. ≤64 distinct values become an In filter (exact cells); more
+    * fall back to [min,max] range bounds. Bucketed layouts narrow to the
+    * source's bucket ids on top. Returns (sourceIsEmpty, narrowedFiles).
+    */
+  private def mergeNarrow(
+      root: String, current: String, files: Seq[SnapshotFile],
+      cur: DataFrame, marked: DataFrame, keyCols: Seq[String],
+      partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
+      conf: Configuration): (Boolean, Seq[SnapshotFile]) = {
+    val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    val partKeyed = partitionColumns.nonEmpty && partitionColumns.forall(keyCols.contains)
+    val singleKey = keyCols.size == 1
+    val aggExprs: Seq[Column] =
+      Seq(org.apache.spark.sql.functions.count(lit(1))) ++
+        (if (singleKey) Seq(min(col(keyCols.head)), max(col(keyCols.head))) else Nil) ++
+        (if (partKeyed) partitionColumns.flatMap(c => Seq(min(col(c)), max(col(c)),
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.sort_array(
+              org.apache.spark.sql.functions.collect_set(col(c))), 1, 65))) else Nil)
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+      val mm = marked.agg(aggExprs.head, aggExprs.tail: _*).first()
+      if (mm.getLong(0) == 0L) (true, Nil)
+      else if (singleKey && mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts
+      else {
+        val keyFilters: Seq[org.apache.spark.sql.sources.Filter] =
+          if (singleKey) Seq(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(keyCols.head, mm.get(1)),
+            org.apache.spark.sql.sources.LessThanOrEqual(keyCols.head, mm.get(2)))
+          else Nil
+        val base = if (singleKey) 3 else 1
+        val partFilters: Seq[org.apache.spark.sql.sources.Filter] =
+          if (!partKeyed) Nil
+          else partitionColumns.zipWithIndex.flatMap { case (c, i) =>
+            val (lo, hi, set) = (mm.get(base + 3 * i), mm.get(base + 3 * i + 1),
+              mm.getSeq[Any](base + 3 * i + 2))
+            if (lo == null) Nil // no non-null partition key in the source
+            else if (set.size <= 64) Seq(org.apache.spark.sql.sources.In(c, set.toArray))
+            else Seq(
+              org.apache.spark.sql.sources.GreaterThanOrEqual(c, lo),
+              org.apache.spark.sql.sources.LessThanOrEqual(c, hi))
+          }
+        val filters = keyFilters ++ partFilters
+        if (filters.isEmpty) (false, files)
+        else {
+          val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
+          (false, RefTableStats.prune(current,
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+        }
+      }
+    }
+    val narrowed =
+      if (empty || mayMatch.isEmpty) mayMatch
+      else bucketNarrow(current, files, marked, keyCols, types, conf) match {
+        case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
+        case None => mayMatch
+      }
+    (empty, narrowed)
+  }
+
   /** The general MERGE engine behind [[merge]] and the SQL `MERGE INTO`
     * rewrite: update and insert clauses carry explicit per-column value
     * maps (expressions over the SOURCE row). A column absent from the
@@ -407,62 +474,8 @@ object RefTableMutations {
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
           lit(true).as("__m")): _*)
 
-    // one aggregation job for emptiness + every pruning signal the source
-    // offers: single-key min/max bounds (as in [[upsert]]), and — when
-    // EVERY partition column is part of the merge key — the source's
-    // partition values. The latter is sound ONLY under that condition: a
-    // file in partition p holds rows with p alone, and key-matching then
-    // implies partition equality, so files outside the source's partition
-    // values can neither match nor be matched. ≤64 distinct values become
-    // an In filter (exact cells, e.g. an index maintenance batch touching
-    // 2 of 4096 cells); more fall back to [min,max] range bounds.
-    val partKeyed = partitionColumns.nonEmpty && partitionColumns.forall(keyCols.contains)
-    val singleKey = keyCols.size == 1
-    val aggExprs: Seq[Column] =
-      Seq(org.apache.spark.sql.functions.count(lit(1))) ++
-        (if (singleKey) Seq(min(col(keyCols.head)), max(col(keyCols.head))) else Nil) ++
-        (if (partKeyed) partitionColumns.flatMap(c => Seq(min(col(c)), max(col(c)),
-          org.apache.spark.sql.functions.slice(
-            org.apache.spark.sql.functions.sort_array(
-              org.apache.spark.sql.functions.collect_set(col(c))), 1, 65))) else Nil)
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
-      val mm = marked.agg(aggExprs.head, aggExprs.tail: _*).first()
-      if (mm.getLong(0) == 0L) (true, Nil)
-      else if (singleKey && mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts
-      else {
-        val keyFilters: Seq[org.apache.spark.sql.sources.Filter] =
-          if (singleKey) Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(keyCols.head, mm.get(1)),
-            org.apache.spark.sql.sources.LessThanOrEqual(keyCols.head, mm.get(2)))
-          else Nil
-        val base = if (singleKey) 3 else 1
-        val partFilters: Seq[org.apache.spark.sql.sources.Filter] =
-          if (!partKeyed) Nil
-          else partitionColumns.zipWithIndex.flatMap { case (c, i) =>
-            val (lo, hi, set) = (mm.get(base + 3 * i), mm.get(base + 3 * i + 1),
-              mm.getSeq[Any](base + 3 * i + 2))
-            if (lo == null) Nil // no non-null partition key in the source
-            else if (set.size <= 64) Seq(org.apache.spark.sql.sources.In(c, set.toArray))
-            else Seq(
-              org.apache.spark.sql.sources.GreaterThanOrEqual(c, lo),
-              org.apache.spark.sql.sources.LessThanOrEqual(c, hi))
-          }
-        val filters = keyFilters ++ partFilters
-        if (filters.isEmpty) (false, files)
-        else {
-          val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
-          (false, RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
-        }
-      }
-    }
-    // hash-bucketed layouts narrow to the source's bucket ids (see upsert)
-    val narrowed =
-      if (empty || mayMatch.isEmpty) mayMatch
-      else bucketNarrow(current, files, marked, keyCols, types, conf) match {
-        case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
-        case None => mayMatch
-      }
+    val (empty, narrowed) = mergeNarrow(
+      root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       val matchedFlag = coalesce(col("__m"), lit(false))
@@ -490,6 +503,99 @@ object RefTableMutations {
       if (!empty || narrowed.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
       referenceRest(root, staging, current, narrowed, conf, partitionColumns)
+    }
+  }
+
+  /** Merge-on-read MERGE: the [[mergeClauses]] semantics in the O(changes)
+    * commit shape — matched rows hit by an update or delete clause die by
+    * POSITION (`_DV/` sidecar), the update clauses' new images (old row +
+    * clause SETs, so partial SET keeps target values) and the insert
+    * clauses' rows stage as one data file. No target file is rewritten;
+    * clause conditions and values evaluate over the SOURCE row, delete
+    * takes precedence over update on the same key, matched rows no clause
+    * hits survive untouched — exactly the COW contract, verified by the
+    * shared spec shapes. Compaction materializes.
+    */
+  def mergeClausesMergeOnRead(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
+      matchedUpdate: Option[(Column, Map[String, Column])],
+      matchedDelete: Option[Column],
+      notMatchedInsert: Option[(Column, Map[String, Column])],
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+    VersionedTable.withConflictRetry(root) { () =>
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val conf = new Configuration()
+    val current = resolveLayout(root, conf, partitionColumns)
+    val files = listLayout(current, partitionColumns)
+    val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
+    val curCols = cur.columns.toSeq
+    val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(keyCols.forall(curCols.contains),
+      s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
+    val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
+    val insSet = notMatchedInsert.map(_._2).getOrElse(Map.empty)
+    val badKeys = keyCols.filter(updSet.contains)
+    require(badKeys.isEmpty, s"merge cannot update key column(s) ${badKeys.mkString(", ")}")
+    (updSet.keys ++ insSet.keys).find(!curCols.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(s"merge assigns unknown table column '$c'"))
+    require(!updSet.keys.exists(partitionColumns.contains),
+      "mergeClausesMergeOnRead cannot move rows across partitions (SET on a partition " +
+        "column); use the copy-on-write mergeClauses")
+    val valCols = curCols.filterNot(keyCols.contains)
+    val marked = source.select(
+      keyCols.map(col) ++
+        valCols.filter(updSet.contains).map(c => updSet(c).cast(types(c)).as(s"__u_$c")) ++
+        curCols.filter(insSet.contains).map(c => insSet(c).cast(types(c)).as(s"__i_$c")) ++
+        Seq(
+          matchedUpdate.map(_._1).getOrElse(lit(false)).as("__upd"),
+          matchedDelete.getOrElse(lit(false)).as("__del"),
+          notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins")): _*)
+    val (empty, narrowed) = mergeNarrow(
+      root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
+    VersionedTable.publishVia(root, keepVersions,
+      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      val inserts = marked.filter(col("__ins"))
+        .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .select(curCols.map(c =>
+          if (insSet.contains(c)) col(s"__i_$c").as(c)
+          else if (keyCols.contains(c)) col(c)
+          else lit(null).cast(types(c)).as(c)): _*)
+      if (narrowed.isEmpty) {
+        if (!empty)
+          VersionedTable.writeParquetMicros(inserts, staging.toString, partitionColumns)
+      } else {
+        // live rows of the may-match files, with file coordinates
+        val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
+          withMeta = true)
+        val pinned = narrowed.flatMap(f =>
+          f.dvPositions.map(p => (DeletionVectors.relOf(f.path), p)))
+        val live = if (pinned.isEmpty) metaAll else {
+          import spark.implicits._
+          val dv = pinned.toDF("__dv_file", "__dv_pos")
+          metaAll.join(org.apache.spark.sql.functions.broadcast(dv),
+            metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
+            "left_anti")
+        }
+        // matched rows a clause HITS (update or delete): positions die;
+        // update survivors (not deleted) contribute new images built from
+        // the OLD row + the clause SETs
+        val hit = live.join(
+          marked.filter(coalesce(col("__upd"), lit(false)) ||
+            coalesce(col("__del"), lit(false))), keyCols, "inner")
+        val newImages = hit
+          .filter(!coalesce(col("__del"), lit(false)) && coalesce(col("__upd"), lit(false)))
+          .select(curCols.map(c =>
+            if (!keyCols.contains(c) && updSet.contains(c)) col(s"__u_$c").as(c)
+            else col(c)): _*)
+        VersionedTable.writeParquetMicros(
+          newImages.unionByName(inserts, allowMissingColumns = true),
+          staging.toString, partitionColumns)
+        hit.select(col("__rel").as("file"), col("__pos").as("pos"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, DeletionVectors.DvDir).toString)
+      }
+      referenceRest(root, staging, current, Nil, conf, partitionColumns)
     }
   }
 

@@ -323,6 +323,54 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(state() == expected)
   }
 
+  test("MoR MERGE clauses: delete precedence, partial SET keeps target values, inserts") {
+    val root = tmpDir("mormerge")
+    import spark.implicits._
+    VersionedTable.publish(
+      (1L to 100L).toDF("id")
+        .withColumn("a", col("id") * 10).withColumn("b", lit(0L)), root)
+    // source: id=5 delete; id=7 update (partial SET a only); id=7 also has
+    // delete-cond false; id=500 insert; id=9 matched but NO clause hits
+    val src = Seq(
+      (5L, 0L, "del"), (7L, 777L, "upd"), (500L, 5L, "ins"), (9L, 0L, "none"))
+      .toDF("id", "na", "op")
+    RefTableMutations.mergeClausesMergeOnRead(spark, root, src, Seq("id"),
+      matchedUpdate = Some((col("op") === "upd", Map("a" -> col("na")))),
+      matchedDelete = Some(col("op") === "del"),
+      notMatchedInsert = Some((col("op") === "ins", Map("a" -> col("na"), "b" -> lit(1L)))))
+    val got = readRef(root, "id BIGINT, a BIGINT, b BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val expected = ((1L to 100L).filter(_ != 5L).map(i =>
+      (i, if (i == 7L) 777L else i * 10, 0L)) :+ (500L, 5L, 1L)).sortBy(_._1)
+    assert(got == expected,
+      s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+    // only the clause-HIT keys' positions died (5 and 7, not 9)
+    val cur = VersionedTable.resolve(root).get
+    assert(DeletionVectors.positionsByFile(cur, conf).values.map(_.size).sum == 2)
+  }
+
+  test("SQL MERGE INTO routes merge-on-read via the mergeMode table option") {
+    val root = tmpDir("sqlmerge")
+    import spark.implicits._
+    VersionedTable.publish((1L to 50L).toDF("id").withColumn("v", lit(0L)), root)
+    val tbl = "dv_mrg_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+      "schema 'id BIGINT, v BIGINT', mergeMode 'mergeOnRead')")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING (
+         |  SELECT 3 AS k, 33 AS nv UNION ALL SELECT 99, 99
+         |) s ON t.id = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.k, s.nv)""".stripMargin)
+    val cur = VersionedTable.resolve(root).get
+    assert(DeletionVectors.hasDv(cur, conf), "SQL MERGE did not take the MoR path")
+    val got = spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.length == 51)
+    assert(got.find(_._1 == 3L).map(_._2).contains(33L))
+    assert(got.find(_._1 == 99L).map(_._2).contains(99L))
+  }
+
   test("maintenance: accreted sidecars trip the materializing decision") {
     val root = tmpDir("maint")
     import spark.implicits._
