@@ -406,7 +406,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   }
 
   private val procedures =
-    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote")
+    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote", "expect")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -422,6 +422,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "clone" => new CloneProcedure(cloneTarget)
       case "restore" => new RestoreProcedure(maintenanceTarget)
       case "promote" => new PromoteProcedure(maintenanceTarget)
+      case "expect" => new ExpectProcedure(maintenanceTarget)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure system.${ident.name} " +
           s"(supported: ${procedures.map("system." + _).mkString(", ")})")

@@ -264,6 +264,55 @@ final class PromoteProcedure(
   }
 }
 
+/** `CALL cat.system.expect(table => 'ns.t', rules => 'nonneg:v >= 0; haskey:id IS NOT NULL')`
+  * — the AUDIT half of write-audit-publish on the SQL surface: one row
+  * per declared rule with its violation count over the table's current
+  * content (ONE scan for any number of rules —
+  * [[graft.operators.Expectations.check]]; deletion vectors subtracted).
+  * Rules are `name:predicate` pairs separated by `;` — the first `:`
+  * splits, so predicates may contain colons.
+  */
+final class ExpectProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "expect"
+  override def description: String =
+    "Audits the table's current content against declared row-level expectations; " +
+      "one row per rule with its violation count (one scan total)"
+  override def isDeterministic: Boolean = false // reads live table state
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("rules", DataTypes.StringType)
+      .comment("semicolon-separated name:predicate pairs, e.g. 'nonneg:v >= 0'").build())
+
+  protected val outputSchema =
+    StructType.fromDDL("rule STRING, violations BIGINT, total BIGINT")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, _) = resolveTarget(input.getString(0))
+    val rules = input.getString(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { r =>
+        val i = r.indexOf(':')
+        require(i > 0, s"expect: rule '$r' must be name:predicate")
+        (r.substring(0, i).trim, r.substring(i + 1).trim)
+      }
+    val spark = SparkSession.active
+    val dir = VersionedTable.resolve(root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no published version to audit"))
+    val df = VersionedTable.readVersion(spark, dir)
+    val resultRows = graft.operators.Expectations.check(df, rules)
+      .collect() // bounded: one row per declared rule
+      .map(r => InternalRow(
+        UTF8String.fromString(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val schema = outputSchema
+    Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = resultRows
+      override def readSchema(): StructType = schema
+      override def description(): String = "expect"
+    }).iterator()
+  }
+}
+
 /** `CALL cat.system.clone(source => 'ns.t', target => 'ns.t2')` — zero-copy
   * shallow clone: the target table is created with the source's exact
   * descriptor and its first version hard-links the source's current (or

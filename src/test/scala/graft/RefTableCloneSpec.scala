@@ -200,6 +200,22 @@ class RefTableCloneSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").count() == 5)
   }
 
+  test("CALL system.expect audits a table through SQL (one row per rule)") {
+    val cat = "gexpect"
+    val wh = Files.createTempDirectory("graft_expect_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 5), (2, -1), (3, NULL), (NULL, 7)")
+    val out = spark.sql(
+      s"CALL $cat.system.expect(table => 'db.t', " +
+        "rules => 'v_nonneg:v >= 0; has_id:id IS NOT NULL')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // v >= 0 violated by -1 AND by NULL (unevaluable = violation); id NULL once
+    assert(out.toSeq == Seq(("has_id", 1L, 4L), ("v_nonneg", 2L, 4L)))
+  }
+
   test("promote refuses a deletion-vector'd staging (renamed links break positions)") {
     import spark.implicits._
     val target = tmpDir("wapdv_t")
