@@ -189,13 +189,19 @@ final class VacuumProcedure(resolveTarget: String => (String, Seq[String]))
 
   override def parameters: Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", DataTypes.StringType).build(),
-    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build())
+    ProcedureParameter.in("keep_versions", DataTypes.IntegerType).defaultValue("3").build(),
+    ProcedureParameter.in("older_than_ms", DataTypes.LongType).defaultValue("0")
+      .comment("when > 0: time-based retention — drop committed states older than this " +
+        "epoch-millis cutoff (keep_versions then acts as the minimum kept)").build())
 
   protected val outputSchema = StructType.fromDDL("removed INT, versions STRING")
 
   override def call(input: InternalRow): JIterator[Scan] = {
     val (root, _) = resolveTarget(input.getString(0))
-    val removed = VersionedTable.vacuum(root, input.getInt(1))
+    val cutoff = input.getLong(2)
+    val removed =
+      if (cutoff > 0L) VersionedTable.vacuumOlderThan(root, cutoff, input.getInt(1))
+      else VersionedTable.vacuum(root, input.getInt(1))
     result(Int.box(removed.size), UTF8String.fromString(removed.mkString(",")))
   }
 }

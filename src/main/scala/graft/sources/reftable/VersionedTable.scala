@@ -827,6 +827,27 @@ object VersionedTable {
     * publish). Oldest first; never the pointer's current target. Returns
     * the deleted version names.
     */
+  /** Time-based retention — the Delta `VACUUM … RETAIN n HOURS` shape:
+    * drop committed states older than `olderThanMs` (by the publish
+    * millis embedded in the version name — no file reads), ALWAYS
+    * keeping at least the newest `minKeep` states regardless of age (a
+    * quiet table's entire history is old; deleting down to one version
+    * would strand pinned readers). Manifest-chain/hosting protection and
+    * orphan collection are [[vacuum]]'s, via delegation: the cutoff
+    * translates to a keep-count, so both policies share one deletion
+    * path.
+    */
+  def vacuumOlderThan(
+      root: String, olderThanMs: Long, minKeep: Int = 2): Seq[String] = {
+    require(minKeep >= 2,
+      "minKeep must be >= 2: retaining only the current version would delete " +
+        "the previous one under readers still pinned to it")
+    val conf = new Configuration()
+    val committed = committedVersionDirs(root, conf)
+    val youngEnough = committed.count(v => versionTimestampMs(v) >= olderThanMs)
+    vacuum(root, math.max(minKeep, youngEnough))
+  }
+
   def vacuum(root: String, keepVersions: Int = 3): Seq[String] = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +

@@ -110,6 +110,24 @@ class RefTableRestoreSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (1L to 50L))
   }
 
+  test("time-based retention: vacuumOlderThan drops old states, keeps a minimum") {
+    val root = tmpDir("timedvac")
+    import spark.implicits._
+    (1 to 5).foreach(i =>
+      VersionedTable.publish(Seq(i.toLong).toDF("id"), root, keepVersions = 10))
+    val committed = VersionedTable.committedVersionDirs(root)
+    assert(committed.size == 5)
+    // cutoff younger than everything: ALL states are old, but minKeep
+    // floors the deletion — a quiet table never vacuums to one version
+    val removedAll = VersionedTable.vacuumOlderThan(root, Long.MaxValue, minKeep = 2)
+    assert(VersionedTable.committedVersionDirs(root).size == 2)
+    assert(removedAll.nonEmpty)
+    assert(readCurrent(root).as[Long].collect().toSeq == Seq(5L))
+    // cutoff older than everything: nothing else removed
+    assert(VersionedTable.vacuumOlderThan(root, 0L).isEmpty)
+    assert(VersionedTable.committedVersionDirs(root).size == 2)
+  }
+
   test("CALL system.restore rolls a catalog table back by version name") {
     val cat = "grestore"
     val wh = Files.createTempDirectory("graft_restore_wh").toString
