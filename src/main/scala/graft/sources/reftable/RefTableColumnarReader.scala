@@ -46,27 +46,50 @@ object RefTableColumnarReader {
     case _ => false
   }
 
-  /** Per-executor footer-metadata cache: byte-range splits of the same file
-    * (and re-reads across generations) share one footer parse instead of
-    * one metadata round-trip per split. Keyed on (path, fileLength) — the
-    * length comes from the generation's pinned listing, so a file swapped
-    * in place under a stable name (the delete+rename pattern) stops hitting
-    * the old entry the moment its size changes; same-length swaps of
-    * *parquet* files are vanishingly rare (footer offsets/stats differ).
-    * The cache is cleared if it ever grows past a bound so long-lived
-    * executors don't accumulate entries.
+  /** Per-executor footer cache: byte-range splits of the same file (and
+    * re-reads across generations) share one footer parse instead of one
+    * metadata round-trip per split. Holds the FULL footer (schema +
+    * row-group metadata) — the row groups feed [[rowsBefore]]. Keyed on
+    * (path, fileLength) — the length comes from the generation's pinned
+    * listing, so a file swapped in place under a stable name (the
+    * delete+rename pattern) stops hitting the old entry the moment its
+    * size changes; same-length swaps of *parquet* files are vanishingly
+    * rare (footer offsets/stats differ). The cache is cleared if it ever
+    * grows past a bound so long-lived executors don't accumulate entries.
     */
   private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.hadoop.metadata.FileMetaData]()
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
 
-  private[reftable] def fileMetaOf(
-      path: Path, fileLength: Long, conf: Configuration): org.apache.parquet.hadoop.metadata.FileMetaData = {
+  private[reftable] def footerOf(
+      path: Path, fileLength: Long, conf: Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
     if (footerCache.size > 4096) footerCache.clear()
     footerCache.computeIfAbsent(s"$path#$fileLength", { _ =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-      try r.getFooter.getFileMetaData
+      try r.getFooter
       finally r.close()
     })
+  }
+
+  private[reftable] def fileMetaOf(
+      path: Path, fileLength: Long, conf: Configuration): org.apache.parquet.hadoop.metadata.FileMetaData =
+    footerOf(path, fileLength, conf).getFileMetaData
+
+  /** File-global row index of the first row a byte-range split starting at
+    * `start` will decode: the summed row counts of the row groups BEFORE
+    * the split under parquet's standard midpoint assignment (a range read
+    * takes the row groups whose start + compressedSize/2 falls inside it —
+    * the same rule every range reader here uses via withRange /
+    * withFileRange). This is what lets deletion-vector'd files keep their
+    * byte-range splits: each split re-derives where its sequential row
+    * index begins, and position subtraction stays aligned.
+    */
+  private[reftable] def rowsBefore(
+      path: Path, fileLength: Long, start: Long, conf: Configuration): Long = {
+    if (start <= 0L) return 0L
+    import scala.jdk.CollectionConverters._
+    footerOf(path, fileLength, conf).getBlocks.asScala.iterator
+      .filter(b => b.getStartingPos + b.getCompressedSize / 2 < start)
+      .map(_.getRowCount).sum
   }
 
   /** Forward schema evolution, shared by both read paths: a declared
@@ -176,6 +199,20 @@ class RefTableColumnarReader(
           "set allowMissingColumns=true to null-fill evolved columns")
   }
 
+  // merge-on-read deletion vectors: ascending file-global row indexes,
+  // applied per batch through a selection view (DvSelectedVector) so DV'd
+  // files keep BOTH the vectorized decoder and their byte-range splits —
+  // the split's starting row index is re-derived from the footer's
+  // row-group row counts (rowsBefore), and positions are walked in
+  // lockstep with the batches
+  private val dvPos: Array[Long] = partition.dvPositions.toArray
+  private var dvIdx = 0
+  private var physRow: Long =
+    if (dvPos.isEmpty) 0L
+    else RefTableColumnarReader.rowsBefore(hadoopPath, partition.fileLength, partition.start, conf)
+  locally { while (dvIdx < dvPos.length && dvPos(dvIdx) < physRow) dvIdx += 1 }
+  private val selection: DvSelection = if (dvPos.isEmpty) null else new DvSelection
+
   // distinct storage columns, each requested once; nanos timestamps as longs
   private val storageCols: Array[String] = fieldSources.flatten.distinct
   private val requestedSpark: StructType = StructType(storageCols.map { c =>
@@ -195,8 +232,14 @@ class RefTableColumnarReader(
     conf.setBoolean("spark.sql.caseSensitive", false)
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
-    val preds = RefTableColumnarReader.pushableForFile(opts, fileSchema, pushed)
-      .flatMap(f => RefTableFilters.translate(opts, f))
+    // deletion vectors: parquet row-group/page skipping would desynchronize
+    // the sequential row index the positions address, so a DV'd file reads
+    // unfiltered — Spark re-evaluates every pushed filter as a residual
+    // (the file-source contract), so the result is identical
+    val preds =
+      if (dvPos.nonEmpty) Array.empty[org.apache.parquet.filter2.predicate.FilterPredicate]
+      else RefTableColumnarReader.pushableForFile(opts, fileSchema, pushed)
+        .flatMap(f => RefTableFilters.translate(opts, f))
     if (preds.nonEmpty) ParquetInputFormat.setFilterPredicate(conf, preds.reduce(FilterApi.and))
     val (dtMode, dtTz, i96Mode, i96Tz) = RefTableColumnarReader.rebaseSpec(fileMeta)
     val r = new VectorizedParquetRecordReader(
@@ -235,9 +278,37 @@ class RefTableColumnarReader(
             new NanosToMicrosVector(v)
           else v
       }
-      out = new ColumnarBatch(vectors)
+      out =
+        if (selection == null) new ColumnarBatch(vectors)
+        else new ColumnarBatch(
+          vectors.map(v => new DvSelectedVector(v, selection): ColumnVector))
     }
-    val n = math.min(inner.numRows(), remaining)
+    val decoded = inner.numRows()
+    val survivors =
+      if (selection == null) decoded
+      else {
+        // deleted positions falling inside this batch's row range; batches
+        // without any (the common case — MoR deletes are sparse) pass
+        // through as an identity view, zero copy and zero remap cost
+        var j = dvIdx
+        val hi = physRow + decoded
+        while (j < dvPos.length && dvPos(j) < hi) j += 1
+        if (j == dvIdx) { selection.identity = true; decoded }
+        else {
+          val map = selection.ensure(decoded)
+          var k = 0; var r = 0; var d = dvIdx
+          while (r < decoded) {
+            if (d < j && dvPos(d) == physRow + r) d += 1
+            else { map(k) = r; k += 1 }
+            r += 1
+          }
+          selection.identity = false
+          dvIdx = j
+          k
+        }
+      }
+    physRow += decoded
+    val n = math.min(survivors, remaining)
     remaining -= n
     out.setNumRows(n)
     out
@@ -269,6 +340,51 @@ private[reftable] class NanosToMicrosVector(child: ColumnVector)
     child.getDecimal(rowId, precision, scale)
   override def getUTF8String(rowId: Int): UTF8String = child.getUTF8String(rowId)
   override def getBinary(rowId: Int): Array[Byte] = child.getBinary(rowId)
+  override def getChild(ordinal: Int): ColumnVector = child.getChild(ordinal)
+  override def close(): Unit = () // the child belongs to the inner reader
+}
+
+/** Mutable per-batch selection shared by every column of one output batch:
+  * `identity` passes row ids through untouched (the delete-free-batch fast
+  * path); otherwise `map(i)` is the physical row of the i-th surviving row.
+  * One int buffer, reused across batches.
+  */
+private[reftable] final class DvSelection {
+  var identity: Boolean = true
+  var map: Array[Int] = new Array[Int](4096)
+  def ensure(n: Int): Array[Int] = {
+    if (map.length < n) map = new Array[Int](n)
+    map
+  }
+}
+
+/** A deletion-vector view over a decoded column: logical row ids remap
+  * through the shared [[DvSelection]] to the physical rows that survived
+  * this batch's deleted positions. Keeps DV'd files on the vectorized
+  * decoder — downstream operators see an ordinary ColumnarBatch, one array
+  * indirection per access on batches that actually contain deletes.
+  */
+private[reftable] final class DvSelectedVector(child: ColumnVector, sel: DvSelection)
+    extends ColumnVector(child.dataType) {
+  @inline private def p(rowId: Int): Int = if (sel.identity) rowId else sel.map(rowId)
+  // hasNull/numNulls may overcount (they see deleted rows too) — safe:
+  // consumers only use them to skip per-row null checks when false/zero
+  override def hasNull: Boolean = child.hasNull
+  override def numNulls(): Int = child.numNulls()
+  override def isNullAt(rowId: Int): Boolean = child.isNullAt(p(rowId))
+  override def getBoolean(rowId: Int): Boolean = child.getBoolean(p(rowId))
+  override def getByte(rowId: Int): Byte = child.getByte(p(rowId))
+  override def getShort(rowId: Int): Short = child.getShort(p(rowId))
+  override def getInt(rowId: Int): Int = child.getInt(p(rowId))
+  override def getLong(rowId: Int): Long = child.getLong(p(rowId))
+  override def getFloat(rowId: Int): Float = child.getFloat(p(rowId))
+  override def getDouble(rowId: Int): Double = child.getDouble(p(rowId))
+  override def getArray(rowId: Int): ColumnarArray = child.getArray(p(rowId))
+  override def getMap(ordinal: Int): ColumnarMap = child.getMap(p(ordinal))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =
+    child.getDecimal(p(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String = child.getUTF8String(p(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = child.getBinary(p(rowId))
   override def getChild(ordinal: Int): ColumnVector = child.getChild(ordinal)
   override def close(): Unit = () // the child belongs to the inner reader
 }

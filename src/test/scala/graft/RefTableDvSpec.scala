@@ -121,14 +121,65 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(readRef(root, "id BIGINT").count() == 9500)
   }
 
-  test("DV'd file plans as one unsplit partition; clean files keep splitting") {
+  test("DV'd large file byte-range splits like a clean one, positions attached to every split") {
     val f1 = SnapshotFile("/x/v0000000000000000001_00000000/a.parquet", 1L << 30, Map.empty, Seq(1L, 2L))
     val f2 = SnapshotFile("/x/v0000000000000000001_00000000/b.parquet", 1L << 30)
     val parts = RefTablePartitions.plan(Seq(f1, f2), 0L)
       .map(_.asInstanceOf[RefTableInputPartition])
     val (dvd, clean) = parts.partition(_.dvPositions.nonEmpty)
-    assert(dvd.length == 1 && dvd.head.start == 0L && dvd.head.length == (1L << 30))
+    assert(dvd.length > 1, "a MoR delete must not cost the file its splits")
+    assert(dvd.forall(_.dvPositions == Seq(1L, 2L)))
     assert(clean.length > 1, "clean large file should byte-range split")
+  }
+
+  test("DV'd scan stays vectorized: ColumnarToRow plan with sidecars present") {
+    val root = tmpDir("vec")
+    import spark.implicits._
+    VersionedTable.publish((1L to 1000L).toDF("id").repartition(2), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 3 === 0)
+    assert(DeletionVectors.hasDv(VersionedTable.resolve(root).get, conf))
+    val df = readRef(root, "id BIGINT")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"deletion vectors de-vectorized the scan:\n$plan")
+    assert(df.as[Long].collect().sorted.toSeq == (1L to 1000L).filterNot(_ % 3 == 0))
+  }
+
+  test("byte-range splits of a multi-row-group DV'd file stay position-aligned") {
+    val root = tmpDir("splits")
+    import spark.implicits._
+    // tiny row groups so the single data file has many, then tiny split
+    // target so the scan byte-range-splits it — each split must re-derive
+    // its starting row index (rowsBefore) or deletes land on wrong rows
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    val oldPage = hconf.get("parquet.page.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    hconf.setInt("parquet.page.size", 4 * 1024)
+    try VersionedTable.publish((1L to 200000L).toDF("id").repartition(1), root)
+    finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size") else hconf.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hconf.unset("parquet.page.size") else hconf.set("parquet.page.size", oldPage)
+    }
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 97 === 0)
+    val files = SnapshotFiles.list(root)
+    assert(files.exists(_.dvPositions.nonEmpty))
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val parts = RefTablePartitions.plan(files, 0L).map(_.asInstanceOf[RefTableInputPartition])
+      assert(parts.count(_.dvPositions.nonEmpty) > 4,
+        s"expected many DV'd splits, got ${parts.length}")
+      val df = readRef(root, "id BIGINT")
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(df.as[Long].collect().sorted.toSeq ==
+        (1L to 200000L).filterNot(_ % 97 == 0))
+      // a pushed filter on the split DV'd file: parquet-level skipping is
+      // suppressed (row alignment), the residual still applies exactly
+      assert(readRef(root, "id BIGINT").filter(col("id") <= 1000)
+        .as[Long].collect().sorted.toSeq ==
+        (1L to 1000L).filterNot(_ % 97 == 0))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
   }
 
   test("streaming snapshot subtracts deletion vectors") {
