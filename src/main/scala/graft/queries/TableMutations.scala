@@ -749,6 +749,54 @@ object TableMutations {
         |    (SELECT count(*) FROM orders) + (SELECT count(*) FROM batch WHERE p > 0))
         |ORDER BY rule""".stripMargin)),
 
+    // Write-audit-publish OVER merge-on-read: the staging fork takes its
+    // audit-phase mutations as MoR commits (CDC-shaped upsert + quarantine
+    // delete — each O(batch) sidecar bytes, no staging rewrite), and
+    // PROMOTE lands the DV'd staging zero-copy: the promoted version's
+    // sidecars are re-keyed onto its fresh file names
+    // (DeletionVectors.writeRemapped), so the audited deletes survive the
+    // re-host without a materializing compact. The oracle replays the
+    // update+insert+quarantine pipeline directly.
+    QueryDef("q167_wap_mor", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val target = RelationalSupport.scratchDir(s, dir, "q167_target")
+      val staging = RelationalSupport.scratchDir(s, dir, "q167_staging")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      VersionedTable.publish(base, target)
+      val fork = new org.apache.hadoop.fs.Path(VersionedTable.resolve(target).get).getName
+      VersionedTable.cloneTo(target, staging)
+      // audit batch: matched keys update in place (positions die by
+      // sidecar), re-keyed inserts land, every 10th insert planted negative
+      val batch = base.filter(col("o_orderkey") % 70 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.5).as("o_totalprice"))
+        .unionAll(base.filter(col("o_orderkey") % 40 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            when(col("o_orderkey") % 400 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")).as("o_totalprice")))
+      RefTableMutations.upsertMergeOnRead(s, staging, batch, Seq("o_orderkey"))
+      RefTableMutations.deleteWhereMergeOnRead(s, staging, col("o_totalprice") <= 0)
+      VersionedTable.promote(staging, target, expectedBase = Some(fork))
+      s.read.format("reftable")
+        .option("path", target)
+        .option("schema", "o_orderkey BIGINT, o_totalprice DOUBLE").load()
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+        .select(col("n"), col("total"))
+    }, Some(
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 70 = 0 THEN o_totalprice + 1.5
+        |      ELSE o_totalprice END AS p
+        |  FROM orders),
+        |ins AS (
+        |  SELECT o_orderkey + 200000000 AS o_orderkey,
+        |    CASE WHEN o_orderkey % 400 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 40 = 0),
+        |final AS (SELECT p FROM upd UNION ALL SELECT p FROM ins)
+        |SELECT count(*) AS n, round(sum(p), 4) AS total
+        |FROM final WHERE p > 0""".stripMargin)),
+
     // Merge-on-read UPSERT as the CDC-apply fast path: three successive
     // small batches land on a large snapshot, each committing only the
     // batch file + a position sidecar (O(batch), no file rewritten —

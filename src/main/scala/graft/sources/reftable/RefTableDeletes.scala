@@ -162,15 +162,47 @@ object DeletionVectors {
   }
 
   /** Guard for operations that have not been taught deletion vectors and
-    * would silently resurrect deleted rows (clone's renamed links,
-    * footer-stats aggregates): refuse loudly with the materialization
-    * remedy.
+    * would silently resurrect deleted rows (footer-stats aggregates):
+    * refuse loudly with the materialization remedy.
     */
   def requireNone(versionDir: String, op: String, conf: Configuration): Unit =
     if (hasDv(versionDir, conf))
       throw new UnsupportedOperationException(
         s"$op does not support a version with merge-on-read deletion vectors " +
           s"($versionDir/$DvDir); run VersionedTable.compact first to materialize the deletes")
+
+  /** Sidecar for a re-hosted listing (clone/promote): the linked files get
+    * fresh names inside the new version dir, so the source's position keys
+    * cannot carry verbatim — this writes ONE sidecar whose keys are the
+    * staged files' final root-relative paths (`finalVersion/rel`, valid the
+    * moment the staging dir renames into place, and safe to `carry` into
+    * later versions verbatim like any other sidecar). Driver-side
+    * parquet-mr write, O(deleted rows) — the same pin-time budget the
+    * listing already paid to load them.
+    */
+  def writeRemapped(
+      staged: Seq[(SnapshotFile, String)], staging: Path, finalVersion: String,
+      conf: Configuration): Unit = {
+    val pairs = staged.iterator.flatMap { case (f, rel) =>
+      f.dvPositions.iterator.map(p => (s"$finalVersion/$rel", p))
+    }
+    if (!pairs.hasNext) return
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message dv { required binary file (UTF8); required int64 pos; }")
+    val fs = staging.getFileSystem(conf)
+    fs.mkdirs(new Path(staging, DvDir))
+    val dst = new Path(staging, s"$DvDir/dv-remap-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(dst, conf))
+      .withConf(conf).withType(schema).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try pairs.foreach { case (file, pos) =>
+      val g = gf.newGroup()
+      g.append("file", file)
+      g.append("pos", pos)
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** SQL DELETE keep-filter, shared with the COW path: SQL semantics keep
     * rows where the predicate is NULL.

@@ -107,8 +107,10 @@ object RefTableMutations {
     *
     * Choose MoR for frequent selective deletes on large files (GDPR
     * erasure, retention sweeps) where COW write amplification dominates;
-    * choose COW when deletes are rare or wide. The read-side cost of MoR
-    * is real: DV'd files drop to the unsplit row reader until compaction.
+    * choose COW when deletes are rare or wide. Read-side cost: DV'd files
+    * stay vectorized and split (positions apply as a per-batch selection
+    * view), but parquet predicate pushdown is suppressed on them until
+    * compaction materializes.
     */
   def deleteWhereMergeOnRead(
       spark: SparkSession, root: String, condition: Column,

@@ -406,15 +406,15 @@ object VersionedTable {
   def cloneTo(srcRoot: String, dstRoot: String, version: Option[String] = None,
       partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
     val conf = new Configuration()
-    // clone renames its linked files (collision-proof c%05d- prefixes), so
-    // position sidecars keyed by the ORIGINAL relative paths cannot carry
-    DeletionVectors.requireNone(
-      SnapshotFiles.resolveDir(srcRoot, version, conf), "cloneTo", conf)
+    // merge-on-read sources clone too: the listing arrives with its pinned
+    // DV positions attached, and a remapped sidecar re-keys them onto the
+    // clone's fresh (c%05d-prefixed) file names — see writeRemapped
     val files = SnapshotFiles.list(srcRoot, partitionColumns, version)
     require(files.nonEmpty, s"cloneTo: source $srcRoot resolves to an empty listing")
     publishVia(dstRoot, keepVersions, marker = Some(s"clone=$srcRoot"),
         manifestPartitionCols = partitionColumns) { staging =>
-      linkListingInto(files, staging, partitionColumns, conf, "cloneTo")
+      val staged = linkListingInto(files, staging, partitionColumns, conf, "cloneTo")
+      DeletionVectors.writeRemapped(staged, staging, stagedVersionName(staging), conf)
     }
   }
 
@@ -424,12 +424,20 @@ object VersionedTable {
     * Index-prefixed names: files inherited from different source version
     * dirs may collide on their basenames.
     */
+  /** The version name a staging dir will carry once committed: rename-mode
+    * stages under `.staging-<name>`, conditional stores stage in place.
+    */
+  private def stagedVersionName(staging: Path): String = {
+    val n = staging.getName
+    if (n.startsWith(".staging-")) n.substring(".staging-".length) else n
+  }
+
   private def linkListingInto(
       files: Seq[SnapshotFile], staging: Path, partitionColumns: Seq[String],
-      conf: Configuration, op: String): Unit = {
+      conf: Configuration, op: String): Seq[(SnapshotFile, String)] = {
     val fs = staging.getFileSystem(conf)
     fs.mkdirs(staging)
-    files.zipWithIndex.foreach { case (f, i) =>
+    files.zipWithIndex.map { case (f, i) =>
       val src = new Path(f.path)
       // the file's last partitionColumns.size parent segments are the
       // already-escaped `col=value` dirs (true for physical versions and
@@ -440,7 +448,8 @@ object VersionedTable {
         s"$op: expected ${partitionColumns.size} 'col=value' parents of ${f.path}")
       val dir = partSegs.foldLeft(staging)((d, seg) => new Path(d, seg))
       if (partitionColumns.nonEmpty) fs.mkdirs(dir)
-      val dst = new Path(dir, f"c$i%05d-${src.getName}")
+      val name = f"c$i%05d-${src.getName}"
+      val dst = new Path(dir, name)
       val srcScheme = src.toUri.getScheme
       val local = srcScheme == null || srcScheme == "file"
       val linked = local && {
@@ -456,6 +465,7 @@ object VersionedTable {
       if (!linked)
         org.apache.hadoop.fs.FileUtil.copy(
           src.getFileSystem(conf), src, fs, dst, false, conf)
+      (f, (partSegs :+ name).mkString("/"))
     }
   }
 
@@ -475,15 +485,16 @@ object VersionedTable {
       stagingRoot: String, targetRoot: String, expectedBase: Option[String] = None,
       partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
     val conf = new Configuration()
-    DeletionVectors.requireNone(
-      SnapshotFiles.resolveDir(stagingRoot, None, conf), "promote", conf)
+    // a MoR'd staging table promotes too: its pinned DV positions re-key
+    // onto the promoted version's fresh file names (see cloneTo)
     val files = SnapshotFiles.list(stagingRoot, partitionColumns, None)
     require(files.nonEmpty, s"promote: staging $stagingRoot resolves to an empty listing")
     val base = expectedBase.orElse(resolve(targetRoot, conf).map(p => new Path(p).getName))
     publishVia(targetRoot, keepVersions, marker = Some(s"promote=$stagingRoot"),
         parent = base, requireBase = expectedBase.isDefined,
         manifestPartitionCols = partitionColumns) { staging =>
-      linkListingInto(files, staging, partitionColumns, conf, "promote")
+      val staged = linkListingInto(files, staging, partitionColumns, conf, "promote")
+      DeletionVectors.writeRemapped(staged, staging, stagedVersionName(staging), conf)
     }
   }
 

@@ -216,16 +216,24 @@ class RefTableCloneSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("has_id", 1L, 4L), ("v_nonneg", 2L, 4L)))
   }
 
-  test("promote refuses a deletion-vector'd staging (renamed links break positions)") {
+  test("promote lands a deletion-vector'd staging, sidecars re-keyed to the promoted version") {
     import spark.implicits._
     val target = tmpDir("wapdv_t")
     val stagingRoot = tmpDir("wapdv_s")
     VersionedTable.publish((1L to 10L).toDF("id"), target)
     VersionedTable.cloneTo(target, stagingRoot)
     RefTableMutations.deleteWhereMergeOnRead(spark, stagingRoot, col("id") === 1L)
-    val e = intercept[UnsupportedOperationException](
-      VersionedTable.promote(stagingRoot, target))
-    assert(e.getMessage.contains("compact"))
+    VersionedTable.promote(stagingRoot, target)
+    // read through the source (readCurrent is a raw-parquet harness read
+    // that deliberately bypasses DV subtraction)
+    assert(spark.read.format("reftable").option("path", target)
+      .option("schema", "id BIGINT").load()
+      .as[Long].collect().sorted.toSeq == (2L to 10L))
+    // and the promoted version's sidecars name ITS files, not staging's
+    val cur = VersionedTable.resolve(target).get
+    val vname = new org.apache.hadoop.fs.Path(cur).getName
+    val keys = graft.sources.reftable.DeletionVectors.positionsByFile(cur).keySet
+    assert(keys.nonEmpty && keys.forall(_.startsWith(vname + "/")), s"keys: $keys")
   }
 
   test("cloning a manifest-referenced (mutated) version captures the resolved listing") {

@@ -218,14 +218,64 @@ class RefTableDvSpec extends AnyFunSuite {
     assert(!plan.contains("PushedAggregates: [COUNT"), s"pushdown not declined:\n$plan")
   }
 
-  test("clone refuses a DV'd source with the materialization remedy") {
+  test("clone of a DV'd source re-keys sidecars; both sides stay isolated") {
     val root = tmpDir("clonesrc")
+    val dst = tmpDir("clonedst")
     import spark.implicits._
-    VersionedTable.publish((1L to 10L).toDF("id"), root)
-    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 1L)
-    val e = intercept[UnsupportedOperationException](
-      VersionedTable.cloneTo(root, tmpDir("clonedst")))
-    assert(e.getMessage.contains("compact"))
+    VersionedTable.publish((1L to 100L).toDF("id"), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") <= 10)
+    VersionedTable.cloneTo(root, dst)
+    // the clone reads exactly what the source reads, deletes subtracted
+    val expected = (11L to 100L)
+    assert(readRef(dst, "id BIGINT").as[Long].collect().sorted.toSeq == expected)
+    // the clone's sidecars are its OWN, keyed by its own version-relative
+    // names — deleting more on either side never leaks to the other
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 50L)
+    assert(readRef(dst, "id BIGINT").as[Long].collect().sorted.toSeq == expected)
+    RefTableMutations.deleteWhereMergeOnRead(spark, dst, col("id") === 60L)
+    assert(readRef(root, "id BIGINT").as[Long].collect().sorted.toSeq ==
+      expected.filterNot(_ == 50L))
+    assert(readRef(dst, "id BIGINT").as[Long].collect().sorted.toSeq ==
+      expected.filterNot(_ == 60L))
+    // an append on the clone carries the remapped sidecars forward
+    RefTableMutations.upsert(spark, dst, Seq(1001L).toDF("id"), Seq("id"))
+    assert(readRef(dst, "id BIGINT").as[Long].collect().sorted.toSeq ==
+      (expected.filterNot(_ == 60L) :+ 1001L).sorted)
+    // compaction on the clone materializes them
+    VersionedTable.compact(spark, dst)
+    assert(!DeletionVectors.hasDv(VersionedTable.resolve(dst).get, conf))
+    assert(readRef(dst, "id BIGINT").as[Long].collect().sorted.toSeq ==
+      (expected.filterNot(_ == 60L) :+ 1001L).sorted)
+  }
+
+  test("WAP over MoR: promote a DV'd staging table under CAS") {
+    val target = tmpDir("wap_t")
+    val staging = tmpDir("wap_s")
+    import spark.implicits._
+    VersionedTable.publish((1L to 100L).toDF("id"), target)
+    val fork = new org.apache.hadoop.fs.Path(VersionedTable.resolve(target).get).getName
+    VersionedTable.cloneTo(target, staging)
+    // audit phase mutates the STAGING side merge-on-read
+    RefTableMutations.upsertMergeOnRead(spark, staging,
+      Seq(5L, 500L).toDF("id"), Seq("id"))
+    RefTableMutations.deleteWhereMergeOnRead(spark, staging, col("id") % 10 === 0)
+    VersionedTable.promote(staging, target, expectedBase = Some(fork))
+    val expected = ((1L to 100L) :+ 500L).filterNot(_ % 10 == 0).sorted
+    assert(readRef(target, "id BIGINT").as[Long].collect().sorted.toSeq == expected)
+  }
+
+  test("clone of a partitioned DV'd source keeps partition layout and deletes") {
+    val root = tmpDir("clonepart")
+    val dst = tmpDir("clonepart_dst")
+    import spark.implicits._
+    val df = (1L to 90L).toDF("id").withColumn("p", (col("id") % 3).cast("string"))
+    VersionedTable.publishPartitioned(df, root, Seq("p"))
+    RefTableMutations.deleteWhereMergeOnRead(spark, root,
+      col("p") === "1" && col("id") <= 40, partitionColumns = Seq("p"))
+    VersionedTable.cloneTo(root, dst, partitionColumns = Seq("p"))
+    val expected = (1L to 90L).filterNot(i => i % 3 == 1 && i <= 40)
+    assert(readRef(dst, "id BIGINT, p STRING", Map("partitionColumns" -> "p"))
+      .select("id").as[Long].collect().sorted.toSeq == expected)
   }
 
   test("restore to a DV'd version carries its sidecars") {
