@@ -797,6 +797,57 @@ object TableMutations {
         |SELECT count(*) AS n, round(sum(p), 4) AS total
         |FROM final WHERE p > 0""".stripMargin)),
 
+    // Composite-key CDC chain, merge-on-read: lineitem keyed by its REAL
+    // primary key (l_orderkey, l_linenumber), clustered on it, then an MoR
+    // upsert and an MoR changefeed apply land as O(batch) sidecar commits.
+    // The per-key-COLUMN bounds conjunction narrows both passes to
+    // may-match files (RefTableMutationsSpec pins the carried-file /
+    // sidecar bounds) — the case the engine previously rewrote
+    // conservatively. The oracle replays the chain as plain SQL.
+    QueryDef("q168_composite_key_cdc", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q168_ck")
+      val base = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      VersionedTable.publishClustered(
+        base, root, Seq("l_orderkey", "l_linenumber"), numFiles = 8)
+      // batch 1: update quantities on a key-sparse order subset
+      val b1 = base.filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + 100.0).as("l_quantity"))
+      RefTableMutations.upsertMergeOnRead(s, root, b1,
+        Seq("l_orderkey", "l_linenumber"))
+      // batch 2: a changefeed with deletes + re-keyed inserts
+      val changes = base.filter(col("l_orderkey") % 101 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          lit("delete").as("change_type"))
+        .unionAll(base.filter(col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1)
+          .select((col("l_orderkey") + 10000000L).as("l_orderkey"),
+            col("l_linenumber"), lit(1.0).as("l_quantity"),
+            lit("insert").as("change_type")))
+      RefTableMutations.applyChangesMergeOnRead(s, root, changes,
+        Seq("l_orderkey", "l_linenumber"))
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE")
+        .load()
+        .groupBy("l_linenumber")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("total"))
+        .orderBy("l_linenumber")
+    }, Some(
+      """WITH st1 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN l_quantity + 100
+        |      ELSE l_quantity END AS q
+        |  FROM lineitem),
+        |st2 AS (
+        |  SELECT l_linenumber, q FROM st1 WHERE l_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT l_linenumber, 1.0 FROM lineitem
+        |  WHERE l_orderkey % 103 = 0 AND l_linenumber = 1)
+        |SELECT l_linenumber, count(*) AS n, round(sum(q), 4) AS total
+        |FROM st2 GROUP BY 1 ORDER BY l_linenumber""".stripMargin)),
+
     // Merge-on-read UPSERT as the CDC-apply fast path: three successive
     // small batches land on a large snapshot, each committing only the
     // batch file + a position sidecar (O(batch), no file rewritten —

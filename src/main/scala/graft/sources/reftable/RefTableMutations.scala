@@ -160,11 +160,12 @@ object RefTableMutations {
     * version equals `(current ANTI JOIN source ON keys) UNION source`.
     * Publishes and returns the new version name.
     *
-    * File narrowing: with a single key column, files whose key range is
-    * disjoint from the source's [min, max] key bounds provably contain no
-    * matching key and are carried over untouched — on a table clustered by
-    * its key, a key-local batch rewrites O(matching) files. Multi-column
-    * keys (or keyless stats) rewrite everything, conservatively.
+    * File narrowing: files whose stats range is disjoint from the source's
+    * [min, max] bounds on ANY key column provably contain no matching key
+    * and are carried over untouched (a match agrees on every key column,
+    * so each column's bounds prune independently and the conjunction
+    * compounds) — on a table clustered by (part of) its key, a key-local
+    * batch rewrites O(matching) files at any key arity.
     *
     * Null-key source rows are inserted as-is (an equi-join key never
     * matches NULL); null-key current rows are always kept.
@@ -189,28 +190,21 @@ object RefTableMutations {
       s"upsert source is missing table column(s): ${missing.mkString(", ")}")
     val aligned = source.select(curCols.map(col): _*)
 
-    // ONE aggregation job answers emptiness AND the key bounds (a separate
-    // isEmpty was a whole extra Spark job per commit — sustained
-    // single-row mutation chains pay it 1:1 per upsert)
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) =
-      if (keyCols.size == 1) {
-        val k = keyCols.head
-        val mm = aligned.agg(
-          org.apache.spark.sql.functions.count(lit(1)), min(col(k)), max(col(k))).first()
-        if (mm.getLong(0) == 0L) (true, Nil)
-        else if (mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts, no file can match
-        else {
-          val filters = Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(1)),
-            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(2)))
+    // ONE aggregation job answers emptiness AND the per-key-column bounds
+    // (a separate isEmpty was a whole extra Spark job per commit —
+    // sustained single-row mutation chains pay it 1:1 per upsert)
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+      val aggs = Seq(org.apache.spark.sql.functions.count(lit(1))) ++ keyBoundAggs(keyCols)
+      val mm = aligned.agg(aggs.head, aggs.tail: _*).first()
+      if (mm.getLong(0) == 0L) (true, Nil)
+      else keyBoundFilters(keyCols, mm, 1) match {
+        case None => (false, Nil) // a key column is all-null: pure inserts
+        case Some(filters) =>
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
             RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
-        }
-      } else {
-        val e = aligned.isEmpty
-        (e, if (e) Nil else files)
       }
+    }
     // hash-bucketed layouts narrow by the source's bucket ids, intersected
     // with the stats narrowing above — scattered point keys stay O(batch)
     val narrowed =
@@ -265,26 +259,20 @@ object RefTableMutations {
     require(missing.isEmpty,
       s"upsertMergeOnRead source is missing table column(s): ${missing.mkString(", ")}")
     val aligned = source.select(curCols.map(col): _*)
-    // same one-job emptiness + bounds narrowing as the COW upsert
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) =
-      if (keyCols.size == 1) {
-        val k = keyCols.head
-        val mm = aligned.agg(
-          org.apache.spark.sql.functions.count(lit(1)), min(col(k)), max(col(k))).first()
-        if (mm.getLong(0) == 0L) (true, Nil)
-        else if (mm.isNullAt(1)) (false, Nil)
-        else {
-          val filters = Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(1)),
-            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(2)))
+    // same one-job emptiness + per-key-column bounds narrowing as the COW
+    // upsert (any key arity)
+    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+      val aggs = Seq(org.apache.spark.sql.functions.count(lit(1))) ++ keyBoundAggs(keyCols)
+      val mm = aligned.agg(aggs.head, aggs.tail: _*).first()
+      if (mm.getLong(0) == 0L) (true, Nil)
+      else keyBoundFilters(keyCols, mm, 1) match {
+        case None => (false, Nil) // a key column is all-null: pure inserts
+        case Some(filters) =>
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
             RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
-        }
-      } else {
-        val e = aligned.isEmpty
-        (e, if (e) Nil else files)
       }
+    }
     val narrowed =
       if (empty || mayMatch.isEmpty) mayMatch
       else bucketNarrow(current, files, aligned, keyCols,
@@ -365,10 +353,39 @@ object RefTableMutations {
       partitionColumns, partitionTypes)
   }
 
+  /** Per-key-column bounds aggregates — (min, max) per key column,
+    * appended after a caller's leading aggregates in one job.
+    */
+  private def keyBoundAggs(keyCols: Seq[String]): Seq[Column] =
+    keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+
+  /** Decode [[keyBoundAggs]] from an aggregation `row` starting at column
+    * `base`: the conjunction of per-column [min, max] range filters, sound
+    * for ANY key arity — a row matching on ALL key columns falls inside
+    * every column's source bounds, so a file whose stats are disjoint on
+    * ANY single key column provably hosts no match. This is what keeps a
+    * (tenant, id)-keyed CDC batch O(may-match files) instead of "rewrite
+    * everything, conservatively". None = some key column is entirely NULL
+    * in the source, i.e. no source row can match any current row (an
+    * equi-join key never matches NULL) — callers skip the match pass.
+    */
+  private def keyBoundFilters(
+      keyCols: Seq[String], row: org.apache.spark.sql.Row, base: Int)
+      : Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+    val per = keyCols.zipWithIndex.map { case (k, i) =>
+      if (row.isNullAt(base + 2 * i)) None
+      else Some(Seq[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual(k, row.get(base + 2 * i)),
+        org.apache.spark.sql.sources.LessThanOrEqual(k, row.get(base + 2 * i + 1))))
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
+  }
+
   /** The merge family's shared file narrowing — ONE aggregation job for
-    * emptiness + every pruning signal the source offers: single-key
-    * min/max bounds (as in [[upsert]]), and — when EVERY partition column
-    * is part of the merge key — the source's partition values. The latter
+    * emptiness + every pruning signal the source offers: per-key-column
+    * min/max bounds (any key arity, as in [[upsert]]), and — when EVERY
+    * partition column is part of the merge key — the source's partition
+    * values. The latter
     * is sound ONLY under that condition: a file in partition p holds rows
     * with p alone, and key-matching then implies partition equality, so
     * files outside the source's partition values can neither match nor be
@@ -384,10 +401,9 @@ object RefTableMutations {
       conf: Configuration): (Boolean, Seq[SnapshotFile]) = {
     val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
     val partKeyed = partitionColumns.nonEmpty && partitionColumns.forall(keyCols.contains)
-    val singleKey = keyCols.size == 1
     val aggExprs: Seq[Column] =
       Seq(org.apache.spark.sql.functions.count(lit(1))) ++
-        (if (singleKey) Seq(min(col(keyCols.head)), max(col(keyCols.head))) else Nil) ++
+        keyBoundAggs(keyCols) ++
         (if (partKeyed) partitionColumns.flatMap(c => Seq(min(col(c)), max(col(c)),
           org.apache.spark.sql.functions.slice(
             org.apache.spark.sql.functions.sort_array(
@@ -395,32 +411,25 @@ object RefTableMutations {
     val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
       val mm = marked.agg(aggExprs.head, aggExprs.tail: _*).first()
       if (mm.getLong(0) == 0L) (true, Nil)
-      else if (singleKey && mm.isNullAt(1)) (false, Nil) // all-null keys: pure inserts
-      else {
-        val keyFilters: Seq[org.apache.spark.sql.sources.Filter] =
-          if (singleKey) Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(keyCols.head, mm.get(1)),
-            org.apache.spark.sql.sources.LessThanOrEqual(keyCols.head, mm.get(2)))
-          else Nil
-        val base = if (singleKey) 3 else 1
-        val partFilters: Seq[org.apache.spark.sql.sources.Filter] =
-          if (!partKeyed) Nil
-          else partitionColumns.zipWithIndex.flatMap { case (c, i) =>
-            val (lo, hi, set) = (mm.get(base + 3 * i), mm.get(base + 3 * i + 1),
-              mm.getSeq[Any](base + 3 * i + 2))
-            if (lo == null) Nil // no non-null partition key in the source
-            else if (set.size <= 64) Seq(org.apache.spark.sql.sources.In(c, set.toArray))
-            else Seq(
-              org.apache.spark.sql.sources.GreaterThanOrEqual(c, lo),
-              org.apache.spark.sql.sources.LessThanOrEqual(c, hi))
-          }
-        val filters = keyFilters ++ partFilters
-        if (filters.isEmpty) (false, files)
-        else {
+      else keyBoundFilters(keyCols, mm, 1) match {
+        case None => (false, Nil) // a key column is all-null: pure inserts
+        case Some(keyFilters) =>
+          val base = 1 + 2 * keyCols.size
+          val partFilters: Seq[org.apache.spark.sql.sources.Filter] =
+            if (!partKeyed) Nil
+            else partitionColumns.zipWithIndex.flatMap { case (c, i) =>
+              val (lo, hi, set) = (mm.get(base + 3 * i), mm.get(base + 3 * i + 1),
+                mm.getSeq[Any](base + 3 * i + 2))
+              if (lo == null) Nil // no non-null partition key in the source
+              else if (set.size <= 64) Seq(org.apache.spark.sql.sources.In(c, set.toArray))
+              else Seq(
+                org.apache.spark.sql.sources.GreaterThanOrEqual(c, lo),
+                org.apache.spark.sql.sources.LessThanOrEqual(c, hi))
+            }
+          val filters = keyFilters ++ partFilters
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
             RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
-        }
       }
     }
     val narrowed =
@@ -850,34 +859,25 @@ object RefTableMutations {
     require(missing.isEmpty,
       s"changefeed is missing table column(s): ${missing.mkString(", ")}")
     val ct = col("change_type")
-    // one job: total, upsert count, and (single-key) bounds over ALL
-    // changed keys — delete keys must narrow too
-    val (total, nUpserts, mayMatch): (Long, Long, Seq[SnapshotFile]) =
-      if (keyCols.size == 1) {
-        val k = keyCols.head
-        val mm = changes.agg(
-          org.apache.spark.sql.functions.count(lit(1)),
-          org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L)),
-          min(col(k)), max(col(k))).first()
-        val t = mm.getLong(0)
-        val u = if (mm.isNullAt(1)) 0L else mm.getLong(1)
-        if (t == 0L) (0L, 0L, Nil)
-        else if (mm.isNullAt(2)) (t, u, Nil) // all-null keys: nothing can match
-        else {
-          val filters = Seq(
-            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mm.get(2)),
-            org.apache.spark.sql.sources.LessThanOrEqual(k, mm.get(3)))
+    // one job: total, upsert count, and per-key-column bounds over ALL
+    // changed keys (any key arity) — delete keys must narrow too
+    val (total, nUpserts, mayMatch): (Long, Long, Seq[SnapshotFile]) = {
+      val aggs = Seq(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L))) ++
+        keyBoundAggs(keyCols)
+      val mm = changes.agg(aggs.head, aggs.tail: _*).first()
+      val t = mm.getLong(0)
+      val u = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+      if (t == 0L) (0L, 0L, Nil)
+      else keyBoundFilters(keyCols, mm, 2) match {
+        case None => (t, u, Nil) // a key column is all-null: nothing can match
+        case Some(filters) =>
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (t, u, RefTableStats.prune(current,
             RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
-        }
-      } else {
-        val counts = changes.agg(
-          org.apache.spark.sql.functions.count(lit(1)),
-          org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L))).first()
-        val t = counts.getLong(0)
-        (t, if (counts.isNullAt(1)) 0L else counts.getLong(1), if (t == 0L) Nil else files)
       }
+    }
     val narrowed =
       if (mayMatch.isEmpty) mayMatch
       else bucketNarrow(current, files, changes, keyCols,

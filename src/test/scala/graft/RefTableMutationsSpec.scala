@@ -359,6 +359,66 @@ class RefTableMutationsSpec extends AnyFunSuite {
       == Seq((1L, "x")))
   }
 
+  test("composite-key upsert narrows to may-match files (per-column bounds conjunction)") {
+    import spark.implicits._
+    val root = tmpDir("ck_narrow")
+    // clustered by (t, id): the files tile the two-column key space
+    val df = (0 until 4000).map(i => (i / 500L, (i % 500).toLong, s"v$i")).toDF("t", "id", "s")
+    VersionedTable.publishClustered(df, root, Seq("t", "id"), numFiles = 8)
+    val before = fileNames(root)
+    assert(before.size == 8)
+
+    // a batch local to tenant 3: the t-bounds alone must prune most files
+    val src = Seq((3L, 100L, "A"), (3L, 110L, "B")).toDF("t", "id", "s")
+    RefTableMutations.upsert(spark, root, src, Seq("t", "id"))
+
+    val carried = before.intersect(fileNames(root))
+    assert(carried.size >= 6,
+      s"composite-key narrowing failed: only ${carried.size} of 8 files carried")
+    assert(carried.size < 8, "the matching file must have been rewritten")
+    val rows = readCurrent(root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(rows.size == 4000 && rows((3L, 100L)) == "A" && rows((3L, 110L)) == "B")
+  }
+
+  test("composite-key MoR apply: sidecars name only may-match files") {
+    import spark.implicits._
+    val root = tmpDir("ck_mor")
+    val df = (0 until 4000).map(i => (i / 500L, (i % 500).toLong, i.toDouble)).toDF("t", "id", "v")
+    VersionedTable.publishClustered(df, root, Seq("t", "id"), numFiles = 8)
+    val changes = Seq(
+      (5L, 10L, -1.0, "update"), (5L, 20L, 0.0, "delete"), (99L, 1L, 7.0, "insert"))
+      .toDF("t", "id", "v", "change_type")
+    RefTableMutations.applyChangesMergeOnRead(spark, root, changes, Seq("t", "id"))
+    val cur = VersionedTable.resolve(root, conf).get
+    // the position pass was bounded by the (t, id) bounds conjunction:
+    // only tenant-5-range files may appear in the sidecars
+    val touched = DeletionVectors.positionsByFile(cur, conf).keySet
+    assert(touched.size <= 2, s"narrowing failed, sidecars name: $touched")
+    val got = spark.read.format("reftable").option("path", root)
+      .option("schema", "t BIGINT, id BIGINT, v DOUBLE").load()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 4000, s"expected 4000 rows, got ${got.size}")
+    assert(got((5L, 10L)) == -1.0 && !got.contains((5L, 20L)) && got((99L, 1L)) == 7.0)
+  }
+
+  test("composite-key upsert with a partially-null key batch stays correct") {
+    import spark.implicits._
+    val root = tmpDir("ck_null")
+    val df = (0 until 100).map(i => (Some(i / 10L), (i % 10).toLong, s"v$i")).toDF("t", "id", "s")
+    VersionedTable.publish(df, root)
+    // one row null on t, one real match, one fresh key: null-key rows are
+    // pure inserts (equi-join keys never match NULL), the real match updates
+    val src = Seq((Option.empty[Long], 3L, "N"), (Some(4L), 4L, "U"), (Some(50L), 0L, "F"))
+      .toDF("t", "id", "s")
+    RefTableMutations.upsert(spark, root, src, Seq("t", "id"))
+    val rows = readCurrent(root).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 102)
+    assert(rows.contains((-1L, 3L, "N")) && rows.contains((4L, 4L, "U")) &&
+      rows.contains((50L, 0L, "F")))
+  }
+
   // ---- Hive-partitioned layouts: mutations with declared partitionColumns --
 
   private def readCurrentPartitioned(
