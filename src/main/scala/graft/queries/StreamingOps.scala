@@ -648,6 +648,76 @@ object StreamingOps {
         |SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM upd)
         |ORDER BY s_suppkey, change_type""".stripMargin)),
 
+    // CHANGEFEED AS A SOURCE MODE: q145's composition (snapshot stream +
+    // SnapshotDiff.ChangeFeed in foreachBatch) collapsed onto the
+    // one-option surface — `.option("changefeed", "true")` makes each
+    // generation's micro-batch the key-level delta itself
+    // ([[graft.sources.reftable.RefTableChangefeedStream]]): batch 0 is
+    // the snapshot-as-inserts bootstrap, later batches carry exactly the
+    // insert/update/delete rows (computed from the FILE delta of the two
+    // pinned versions — O(changed files), not a full-table join, on
+    // manifest-delta commit chains). Same oracle as q145: the direct
+    // two-state diff.
+    QueryDef("q169_changefeed_source", (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q169_cfsrc")
+      val base = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val state2 = base.filter(col("s_suppkey") % 7 =!= 0)
+        .withColumn("s_nationkey", when(col("s_suppkey") % 5 === 0,
+          col("s_nationkey") + 100).otherwise(col("s_nationkey")))
+        .unionAll(base.filter(col("s_suppkey") % 11 === 0)
+          .select((col("s_suppkey") + 90000L).as("s_suppkey"), col("s_nationkey")))
+      VersionedTable.publish(base, root)
+
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      var sawBootstrap = false
+      val df = s.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT")
+        .option("changefeed", "true").option("keyColumns", "s_suppkey")
+        .option("refreshInterval", "1s")
+        .load()
+      val q = df.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          acc.synchronized {
+            // the first non-empty batch is the all-insert bootstrap; the
+            // post-publish delta is every non-empty batch after it
+            if (sawBootstrap) acc ++= rows
+            else if (rows.nonEmpty) sawBootstrap = true
+          }
+          ()
+        }
+        .option("checkpointLocation", Files.createTempDirectory("graft_cfsrc_ck_").toString)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable() // bootstrap generation consumed
+      VersionedTable.publish(state2, root)
+      Thread.sleep(1300) // cross the 1s refresh boundary
+      q.processAllAvailable() // the delta generation arrives
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      import s.implicits._
+      acc.synchronized { acc.toSeq }.toDF("s_suppkey", "s_nationkey", "change_type")
+        .orderBy("s_suppkey", "change_type")
+    }, Some(
+      """WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier),
+        |s2 AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_nationkey + 100 ELSE s_nationkey END AS s_nationkey
+        |  FROM base WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 90000, s_nationkey FROM base WHERE s_suppkey % 11 = 0),
+        |ins AS (SELECT a.s_suppkey, a.s_nationkey, 'insert' AS change_type
+        |  FROM s2 a LEFT JOIN base b USING (s_suppkey) WHERE b.s_suppkey IS NULL),
+        |del AS (SELECT b.s_suppkey, b.s_nationkey, 'delete' AS change_type
+        |  FROM base b LEFT JOIN s2 a USING (s_suppkey) WHERE a.s_suppkey IS NULL),
+        |upd AS (SELECT a.s_suppkey, a.s_nationkey, 'update' AS change_type
+        |  FROM base b JOIN s2 a USING (s_suppkey) WHERE b.s_nationkey <> a.s_nationkey)
+        |SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM upd)
+        |ORDER BY s_suppkey, change_type""".stripMargin)),
+
     // STREAMING-MAINTAINED AGGREGATE: the materialized-view loop closed
     // over a LIVE stream — the reftable source re-emits the full snapshot
     // per generation (the reference's model, where any aggregate is an

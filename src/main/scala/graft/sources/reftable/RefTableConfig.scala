@@ -239,7 +239,9 @@ final case class RefTableOptions(
     deleteMode: String = "cow",
     updateMode: String = "cow",
     hiddenPartitions: Seq[String] = Nil,
-    mergeMode: String = "cow") {
+    mergeMode: String = "cow",
+    changefeed: Boolean = false,
+    keyColumns: Seq[String] = Nil) {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -257,9 +259,15 @@ final case class RefTableOptions(
   def physicalNesting: Seq[String] =
     partitionColumns ++ hiddenTransforms.map(_.dirName)
 
-  /** Output schema as seen by Spark (declared schema + optional gen column). */
-  def outputSchema: StructType =
-    genColumn.fold(schema)(g => StructType(schema.fields :+ StructField(g, LongType, nullable = false)))
+  /** Output schema as seen by Spark: declared schema, plus `change_type`
+    * under the changefeed read mode, plus the optional gen column.
+    */
+  def outputSchema: StructType = {
+    val base =
+      if (changefeed) StructType(schema.fields :+ StructField("change_type", StringType, nullable = false))
+      else schema
+    genColumn.fold(base)(g => StructType(base.fields :+ StructField(g, LongType, nullable = false)))
+  }
 
   /** Underlying storage column for an output field. */
   def storageColumn(field: String): String =
@@ -486,12 +494,38 @@ object RefTableOptions {
       errs += "hiddenPartitions and partitionColumns are mutually exclusive " +
         "(a layout is either identity-partitioned or transform-partitioned)"
 
+    // changefeed read mode: each micro-batch is the key-level change set
+    // between generations instead of the snapshot
+    val changefeed = boolOpt("changefeed", default = false)
+    val keyColumns = colList("keyColumns")
+    if (changefeed) {
+      if (keyColumns.isEmpty)
+        errs += "'changefeed' requires 'keyColumns' (comma-separated key columns " +
+          "for insert/update/delete classification)"
+      for (k <- keyColumns; st <- schema; if !st.fieldNames.contains(k))
+        errs += s"keyColumns column '$k' must be a field in the schema"
+      for (st <- schema; if st.fieldNames.contains("change_type"))
+        errs += "'changefeed' reserves the output column name 'change_type'; " +
+          "rename the schema field"
+      if (genColumn.contains("change_type"))
+        errs += "'changefeed' reserves the column name 'change_type' (genColumn collides)"
+      if (emitPerTrigger)
+        errs += "'changefeed' requires emitMode=refresh: re-emitting a delta every " +
+          "trigger would duplicate changes"
+      if (maxFiles.nonEmpty || maxBytes.nonEmpty)
+        errs += "'changefeed' does not combine with maxFilesPerTrigger/maxBytesPerTrigger: " +
+          "a generation's delta is one unit"
+      if (version.nonEmpty)
+        errs += "'changefeed' cannot read a pinned 'version': a pinned snapshot never changes"
+    } else if (keyColumns.nonEmpty)
+      errs += "'keyColumns' only applies with changefeed=true"
+
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
-      mergeMode)
+      mergeMode, changefeed, keyColumns)
   }
 }

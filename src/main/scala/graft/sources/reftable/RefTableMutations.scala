@@ -983,6 +983,16 @@ object RefTableMutations {
     * (re-marking an already-deleted position is inert — sidecar loads
     * deduplicate).
     */
+  /** Listing-based raw read for the changefeed stream's file-delta diff —
+    * same mechanics as the mutation reads ([[readFilesEx]]).
+    */
+  private[reftable] def readFilesForDiff(
+      spark: SparkSession, root: String, files: Seq[SnapshotFile],
+      partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
+      withMeta: Boolean): DataFrame =
+    readFilesEx(spark, root, files, partitionColumns, partitionTypes, withMeta)
+
   private def readFilesEx(
       spark: SparkSession, root: String, files: Seq[SnapshotFile],
       partitionColumns: Seq[String],

@@ -204,6 +204,7 @@ class RefTableScanBuilder(opts: RefTableOptions)
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (pushed.nonEmpty) return false
+    if (opts.changefeed) return false // batch reads are refused under changefeed
     // merge-on-read deletion vectors invalidate footer counts (and can
     // hide a deleted extremum): decline, the real scan subtracts them
     if (DeletionVectors.hasDv(
@@ -312,11 +313,18 @@ class RefTableScan(
         math.max(n, 1))
     } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
-  override def toBatch: Batch =
+  override def toBatch: Batch = {
+    if (opts.changefeed)
+      throw new UnsupportedOperationException(
+        "changefeed is a streaming read mode (readStream); batch reads return snapshots — " +
+          "drop the option, or use VersionedTable.changes for a one-shot version diff")
     new RefTableBatch(opts, required, pushed ++ declared ++ runtimeFilters, limit)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RefTableMicroBatchStream(opts, required, pushed ++ declared)
+    if (opts.changefeed)
+      new RefTableChangefeedStream(opts, required, pushed ++ declared, checkpointLocation)
+    else new RefTableMicroBatchStream(opts, required, pushed ++ declared)
 }
 
 /** One-shot batch read of the current snapshot. */

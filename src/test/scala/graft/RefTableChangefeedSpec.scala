@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `changefeed` read mode ([[RefTableChangefeedStream]]): each generation's
+  * micro-batch is the key-level delta between the previous pinned version
+  * and the current one — insert/update/delete + row image — with the
+  * previous generation recoverable across restarts from the checkpoint's
+  * version pins, MoR deletion-vector growth surfacing as deletes, and
+  * no-op rewrites (compaction) cancelling to an empty delta.
+  */
+class RefTableChangefeedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft_cf_$name").toString
+
+  /** One AvailableNow drain of the changefeed (foreachBatch — the memory
+    * sink cannot recover from a checkpoint); returns the rows THIS run
+    * emitted. Sleeps past the 1s refresh boundary first so a restarted
+    * stream always sees a new generation.
+    */
+  private def drain(root: String, schema: String, keyCols: String, ckpt: String,
+      name: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    Thread.sleep(1200)
+    var r = spark.readStream.format("reftable")
+      .option("path", root).option("schema", schema)
+      .option("changefeed", "true").option("keyColumns", keyCols)
+      .option("refreshInterval", "1s")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val src = r.load()
+    val rows = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val q = src.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows.addAll(java.util.Arrays.asList(df.collect(): _*)); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.createDataFrame(rows, src.schema)
+  }
+
+  test("bootstrap emits the snapshot as inserts; next run emits the exact delta") {
+    import spark.implicits._
+    val root = tmpDir("basic")
+    val ckpt = tmpDir("basic_ck")
+    VersionedTable.publish(
+      (1L to 100L).toDF("id").withColumn("v", col("id") * 10), root)
+
+    val first = drain(root, "id BIGINT, v BIGINT", "id", ckpt, "cf_first")
+    assert(first.count() == 100)
+    assert(first.select("change_type").distinct().collect().map(_.getString(0)).toSeq == Seq("insert"))
+
+    // mutate: one update, one delete, one insert — then restart the stream
+    RefTableMutations.upsert(spark, root, Seq((5L, -50L), (500L, 1L)).toDF("id", "v"), Seq("id"))
+    RefTableMutations.deleteWhere(spark, root, col("id") === 7L)
+    val second = drain(root, "id BIGINT, v BIGINT", "id", ckpt, "cf_second")
+    val got = second.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((5L, -50L, "update"), (7L, 70L, "delete"), (500L, 1L, "insert")),
+      s"got: $got")
+  }
+
+  test("MoR deletes surface as deletes (deletion-vector growth path)") {
+    import spark.implicits._
+    val root = tmpDir("mor")
+    val ckpt = tmpDir("mor_ck")
+    VersionedTable.publish((1L to 50L).toDF("id"), root)
+    drain(root, "id BIGINT", "id", ckpt, "cf_mor_boot")
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") > 45L)
+    val delta = drain(root, "id BIGINT", "id", ckpt, "cf_mor_delta")
+    val got = delta.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == (46L to 50L).map(i => (i, "delete")), s"got: $got")
+  }
+
+  test("MoR upsert emits update for the matched key and insert for the fresh one") {
+    import spark.implicits._
+    val root = tmpDir("morup")
+    val ckpt = tmpDir("morup_ck")
+    VersionedTable.publish((1L to 30L).toDF("id").withColumn("v", lit(0L)), root)
+    drain(root, "id BIGINT, v BIGINT", "id", ckpt, "cf_up_boot")
+    RefTableMutations.upsertMergeOnRead(spark, root,
+      Seq((3L, 33L), (1000L, 1L)).toDF("id", "v"), Seq("id"))
+    val delta = drain(root, "id BIGINT, v BIGINT", "id", ckpt, "cf_up_delta")
+    val got = delta.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((3L, 33L, "update"), (1000L, 1L, "insert")), s"got: $got")
+  }
+
+  test("compaction between generations cancels to an empty delta") {
+    import spark.implicits._
+    val root = tmpDir("compact")
+    val ckpt = tmpDir("compact_ck")
+    VersionedTable.publish((1L to 40L).toDF("id").repartition(4), root)
+    drain(root, "id BIGINT", "id", ckpt, "cf_c_boot")
+    VersionedTable.compact(spark, root) // rewrites every file, changes no row
+    val delta = drain(root, "id BIGINT", "id", ckpt, "cf_c_delta")
+    assert(delta.count() == 0, "a no-op rewrite must cancel out of the changefeed")
+  }
+
+  test("three-generation chain: each restart diffs against ITS pinned predecessor") {
+    import spark.implicits._
+    val root = tmpDir("chain")
+    val ckpt = tmpDir("chain_ck")
+    VersionedTable.publish((1L to 20L).toDF("id"), root)
+    drain(root, "id BIGINT", "id", ckpt, "cf_g1")
+    RefTableMutations.upsert(spark, root, Seq(100L).toDF("id"), Seq("id"))
+    val d2 = drain(root, "id BIGINT", "id", ckpt, "cf_g2")
+    assert(d2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((100L, "insert")))
+    RefTableMutations.deleteWhere(spark, root, col("id") === 100L)
+    val d3 = drain(root, "id BIGINT", "id", ckpt, "cf_g3")
+    assert(d3.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((100L, "delete")),
+      "the third generation must diff against gen 2, not re-bootstrap")
+  }
+
+  test("genColumn rides the changefeed; key-as-field mapping applies") {
+    import spark.implicits._
+    val root = tmpDir("gen")
+    val ckpt = tmpDir("gen_ck")
+    VersionedTable.publish((1L to 10L).toDF("k").withColumn("v", lit(1L)), root)
+    val first = drain(root, "rk BIGINT NOT NULL, v BIGINT", "rk", ckpt, "cf_gen",
+      Map("rowField" -> "rk", "keyColumn" -> "k", "genColumn" -> "g"))
+    assert(first.columns.toSeq == Seq("rk", "v", "change_type", "g"))
+    assert(first.count() == 10)
+    assert(first.select("g").distinct().count() == 1)
+  }
+
+  test("validation: changefeed option misuse fails at analysis time") {
+    def load(opts: Map[String, String]) = {
+      var r = spark.readStream.format("reftable")
+        .option("path", "/tmp/nope").option("schema", "id BIGINT")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    val e1 = intercept[IllegalArgumentException](load(Map("changefeed" -> "true")))
+    assert(e1.getMessage.contains("keyColumns"))
+    val e2 = intercept[IllegalArgumentException](load(Map(
+      "changefeed" -> "true", "keyColumns" -> "id", "maxFilesPerTrigger" -> "2")))
+    assert(e2.getMessage.contains("maxFilesPerTrigger"))
+    val e3 = intercept[IllegalArgumentException](load(Map(
+      "changefeed" -> "true", "keyColumns" -> "id", "emitMode" -> "trigger")))
+    assert(e3.getMessage.contains("emitMode"))
+    val e4 = intercept[IllegalArgumentException](load(Map("keyColumns" -> "id")))
+    assert(e4.getMessage.contains("changefeed"))
+    val e5 = intercept[IllegalArgumentException](load(Map(
+      "changefeed" -> "true", "keyColumns" -> "nope")))
+    assert(e5.getMessage.contains("nope"))
+  }
+
+  test("batch read under changefeed refuses with the snapshot remedy") {
+    import spark.implicits._
+    val root = tmpDir("batch")
+    VersionedTable.publish(Seq(1L).toDF("id"), root)
+    val df = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT")
+      .option("changefeed", "true").option("keyColumns", "id").load()
+    val e = intercept[Exception](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("streaming read mode")), s"got: ${msgs(e)}")
+  }
+}
