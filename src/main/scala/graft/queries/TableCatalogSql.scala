@@ -375,6 +375,37 @@ object TableCatalogSql {
         |  SELECT -s_suppkey - 1000, s_nationkey, 777 FROM base
         |  WHERE s_suppkey % 20 = 0 AND s_nationkey < 20)
         |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+        |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // RENAME COLUMN through the column-mapping indirection: a
+    // descriptor-only commit (zero data rewritten) renames `amount` to
+    // `price`; files written BEFORE the rename keep their physical column
+    // name and resolve through the mapping, files written AFTER carry the
+    // same physical name, and one SELECT reads both generations under the
+    // new logical name — filters on it narrow, DELETE FROM addresses it.
+    // The oracle replays the two inserts and the delete over `orders`.
+    QueryDef("q170_rename_column", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q170_cat")
+      val cat = "graftren_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.r")
+      s.sql(s"CREATE TABLE $cat.db.r (o_orderkey BIGINT, amount DOUBLE) USING reftable")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT INTO $cat.db.r " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.db.r RENAME COLUMN amount TO price")
+      s.sql(s"INSERT INTO $cat.db.r " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM $cat.db.r WHERE price < 50000")
+      s.sql(s"SELECT o_orderkey % 5 AS g, count(*) AS n, " +
+        s"round(sum(price), 4) AS total FROM $cat.db.r GROUP BY 1 ORDER BY g")
+    }, Some(
+      """SELECT o_orderkey % 5 AS g, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE NOT (o_totalprice < 50000)
+        |GROUP BY 1 ORDER BY g""".stripMargin))
   )
 }

@@ -202,12 +202,19 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   /** `ALTER TABLE`: ADD COLUMN (nullable, top-level, appended — existing
     * files lack it, so the altered descriptor also turns on
     * `allowMissingColumns` and readers null-fill), DROP COLUMN (files keep
-    * the bytes; the projection stops reading them), and
-    * SET/UNSET TBLPROPERTIES on `option.`-prefixed keys. Renames and type
-    * changes are refused — the files are typed and named, and silently
-    * rewriting either on read is how engines corrupt tables. The rewritten
-    * descriptor is validated exactly like CREATE and lands via tmp +
-    * atomic overwrite rename (concurrent ALTERs are last-writer-wins DDL).
+    * the bytes; the projection stops reading them), RENAME COLUMN (a
+    * DESCRIPTOR-ONLY commit: the schema field renames and a
+    * `columnMapping` entry keeps the new logical name resolving to the
+    * old files' PHYSICAL column — zero data rewritten, old and new
+    * versions alike stay readable; see [[RefTableOptions.storageColumn]]),
+    * and SET/UNSET TBLPROPERTIES on `option.`-prefixed keys. Type changes
+    * are refused — the files are typed, and silently rewriting types on
+    * read is how engines corrupt tables. Renaming a column that a layout
+    * option references (partitionColumns, clusterBy, rowField, ...) is
+    * refused by the CREATE-grade revalidation below, with the option's
+    * own error. The rewritten descriptor is validated exactly like CREATE
+    * and lands via tmp + atomic overwrite rename (concurrent ALTERs are
+    * last-writer-wins DDL).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (schema, opts0, dropped0) = readDescriptor(ident)
@@ -216,6 +223,14 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     var dropped = dropped0
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"reftable ALTER TABLE: $what")
+    def mapping: Map[String, String] = opts.get("columnMapping").filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':'); e.substring(0, i) -> e.substring(i + 1)
+      }.toMap).getOrElse(Map.empty)
+    def setMapping(m: Map[String, String]): Unit =
+      opts = if (m.isEmpty) opts - "columnMapping"
+        else opts + ("columnMapping" ->
+          m.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(","))
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames.length != 1) unsupported("nested ADD COLUMN")
@@ -232,12 +247,20 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
         // that predate the drop (new rows would read null). The field-ID
         // indirection Delta/Iceberg use is what solves this properly;
         // until versions carry field IDs, refuse the collision.
+        // (`dropped` records PHYSICAL names; a fresh column's physical
+        // name is its own.)
         if (dropped.contains(nm))
           throw new IllegalArgumentException(
             s"column '$nm' was previously dropped and retained files may still carry its " +
               "old values — re-adding the name would resurrect them for pre-drop rows. " +
               "Dropped names stay retired (the descriptor has no field IDs to tell old " +
               "bytes from new); pick a new column name.")
+        // a RENAMED column still reads the physical bytes named `nm`:
+        // adding a fresh logical `nm` would alias the same storage column
+        if (mapping.values.exists(_ == nm))
+          throw new IllegalArgumentException(
+            s"physical column '$nm' is claimed by renamed column " +
+              s"'${mapping.find(_._2 == nm).get._1}' — pick a different name")
         fields = fields :+ org.apache.spark.sql.types.StructField(nm, add.dataType)
         opts += "allowMissingColumns" -> "true" // older files null-fill it
       case del: TableChange.DeleteColumn =>
@@ -248,7 +271,22 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
         fields = fields.filterNot(_.name == nm)
         if (fields.isEmpty)
           throw new IllegalArgumentException("cannot drop the last column")
-        dropped += nm // remembered: see the ADD COLUMN resurrection guard
+        dropped += mapping.getOrElse(nm, nm) // retire the PHYSICAL name
+        setMapping(mapping - nm)
+      case rn: TableChange.RenameColumn =>
+        if (rn.fieldNames.length != 1) unsupported("nested RENAME COLUMN")
+        val nm = rn.fieldNames.head
+        val nw = rn.newName
+        if (!fields.exists(_.name == nm))
+          throw new IllegalArgumentException(s"column '$nm' does not exist")
+        if (fields.exists(_.name == nw))
+          throw new IllegalArgumentException(s"column '$nw' already exists")
+        // descriptor-only: the physical name rides along under the new
+        // logical name; renaming back to the physical drops the entry
+        val physical = mapping.getOrElse(nm, nm)
+        val m2 = mapping - nm
+        setMapping(if (physical == nw) m2 else m2 + (nw -> physical))
+        fields = fields.map(f => if (f.name == nm) f.copy(name = nw) else f)
       case sp: TableChange.SetProperty =>
         if (!sp.property.startsWith(TableCatalog.OPTION_PREFIX))
           unsupported(s"property '${sp.property}' (only '${TableCatalog.OPTION_PREFIX}*' " +
@@ -259,8 +297,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
           unsupported(s"property '${rp.property}'")
         opts -= rp.property.substring(TableCatalog.OPTION_PREFIX.length)
       case other => unsupported(
-        s"${other.getClass.getSimpleName} (renames and type changes would silently " +
-          "mis-read the typed, named columns in existing files)")
+        s"${other.getClass.getSimpleName} (type changes would silently mis-read " +
+          "the typed columns in existing files)")
     }
     val newSchema = StructType(fields)
     // validate like CREATE — a bad alteration fails here, not at first read

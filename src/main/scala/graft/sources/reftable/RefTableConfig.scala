@@ -241,7 +241,8 @@ final case class RefTableOptions(
     hiddenPartitions: Seq[String] = Nil,
     mergeMode: String = "cow",
     changefeed: Boolean = false,
-    keyColumns: Seq[String] = Nil) {
+    keyColumns: Seq[String] = Nil,
+    columnMapping: Map[String, String] = Map.empty) {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -269,9 +270,16 @@ final case class RefTableOptions(
     genColumn.fold(base)(g => StructType(base.fields :+ StructField(g, LongType, nullable = false)))
   }
 
-  /** Underlying storage column for an output field. */
+  /** Underlying storage column for an output field: the rowField alias
+    * resolves to the key column; renamed columns resolve through the
+    * descriptor's `columnMapping` (logical name → stable physical name, so
+    * ALTER TABLE RENAME COLUMN is a descriptor-only commit and files keep
+    * their original column names — the Delta/Iceberg column-mapping
+    * answer); everything else is identity.
+    */
   def storageColumn(field: String): String =
-    if (rowField.contains(field)) keyColumn.get else field
+    if (rowField.contains(field)) keyColumn.get
+    else columnMapping.getOrElse(field, field)
 
   /** True for a field decoded from the directory path, not file content. */
   def isPartitionCol(field: String): Boolean = partitionColumns.contains(field)
@@ -520,12 +528,41 @@ object RefTableOptions {
     } else if (keyColumns.nonEmpty)
       errs += "'keyColumns' only applies with changefeed=true"
 
+    // column mapping (logical -> physical storage name), the descriptor-only
+    // RENAME COLUMN indirection; format "logical:physical,logical2:physical2"
+    val columnMapping: Map[String, String] =
+      Option(options.get("columnMapping")).filter(_.nonEmpty).map {
+        _.split(',').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { e =>
+          val i = e.indexOf(':')
+          if (i <= 0 || i == e.length - 1) {
+            errs += s"Invalid 'columnMapping' entry '$e': expected 'logical:physical'"
+            None
+          } else Some(e.substring(0, i).trim -> e.substring(i + 1).trim)
+        }.toMap
+      }.getOrElse(Map.empty)
+    for ((l, _) <- columnMapping; st <- schema) {
+      if (!st.fieldNames.contains(l))
+        errs += s"columnMapping key '$l' must be a field in the schema"
+      if (rowField.contains(l))
+        errs += s"columnMapping cannot remap rowField '$l' (keyColumn already names its storage)"
+    }
+    for (pc <- partitionColumns; if columnMapping.contains(pc))
+      errs += s"columnMapping cannot remap partition column '$pc': directory names carry " +
+        "the physical name, so renaming a partition column requires a rewrite"
+    for (st <- schema) {
+      val storages = st.fieldNames.map(n =>
+        if (rowField.contains(n)) keyColumn.getOrElse(n) else columnMapping.getOrElse(n, n))
+      if (storages.distinct.length != storages.length)
+        errs += "columnMapping produces duplicate storage columns " +
+          s"(${storages.mkString(", ")})"
+    }
+
     if (errs.nonEmpty)
       throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
-      mergeMode, changefeed, keyColumns)
+      mergeMode, changefeed, keyColumns, columnMapping)
   }
 }

@@ -77,10 +77,13 @@ object RefTableWrites {
       throw new UnsupportedOperationException(
         "reftable: tables declaring genColumn are read-only projections of refresh generations")
 
-    // files store the key under its storage name, not the rowField alias
-    val stored: DataFrame = opts.rowField match {
-      case Some(rf) => data.withColumnRenamed(rf, opts.keyColumn.get)
-      case None => data.toDF()
+    // files store every column under its STORAGE name: the rowField alias
+    // reverts to the key column, renamed columns (columnMapping) to their
+    // stable physical names — validation guarantees storage names are
+    // collision-free, so the rename chain is order-independent
+    val stored: DataFrame = opts.schema.fields.foldLeft(data.toDF()) { (df, f) =>
+      val s = opts.storageColumn(f.name)
+      if (s == f.name) df else df.withColumnRenamed(f.name, s)
     }
 
     val conf = new Configuration()
@@ -235,9 +238,9 @@ class RefTableSink(
         s"reftable sink: batch columns ${data.columns.toSeq} do not match the " +
           s"declared schema $declared")
     val batch = org.apache.spark.sql.graft.DatasetBridge.rebatch(data)
-    val stored = opts.rowField match {
-      case Some(rf) => batch.withColumnRenamed(rf, opts.keyColumn.get)
-      case None => batch
+    val stored = opts.schema.fields.foldLeft(batch) { (df, f) =>
+      val s = opts.storageColumn(f.name)
+      if (s == f.name) df else df.withColumnRenamed(f.name, s)
     }
     publish(stored, batchId)
   }

@@ -207,9 +207,6 @@ class RefTableCatalogSpec extends AnyFunSuite {
         "dropped column disappears from the projection")
       assert(spark.table(s"$cat.db5.t").count() == 3)
 
-      val e1 = intercept[Exception](
-        spark.sql(s"ALTER TABLE $cat.db5.t RENAME COLUMN note TO memo"))
-      assert(e1.getMessage.contains("mis-read"), e1.getMessage)
       // type changes: Spark's own analysis refuses narrowing before the
       // catalog is even consulted — either refusal is the safe outcome
       val e2 = intercept[Exception](
@@ -218,6 +215,84 @@ class RefTableCatalogSpec extends AnyFunSuite {
       val e3 = intercept[Exception](
         spark.sql(s"ALTER TABLE $cat.db5.t ADD COLUMN bad STRING NOT NULL"))
       assert(e3.getMessage.contains("nullable"), e3.getMessage)
+    }
+  }
+
+  test("RENAME COLUMN is descriptor-only: old files resolve through the column mapping") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db9")
+      spark.sql(s"CREATE TABLE $cat.db9.t (id BIGINT, amount BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db9.t VALUES (1, 10), (2, 20)")
+      val filesBefore = graft.sources.reftable.SnapshotFiles.list(VersionedTable.resolve(s"$wh/db9/t", conf).get)
+        .map(_.path).toSet
+
+      spark.sql(s"ALTER TABLE $cat.db9.t RENAME COLUMN amount TO price")
+      // zero data rewritten: same version, same files
+      assert(graft.sources.reftable.SnapshotFiles.list(VersionedTable.resolve(s"$wh/db9/t", conf).get)
+        .map(_.path).toSet == filesBefore)
+      assert(spark.table(s"$cat.db9.t").columns.toSeq == Seq("id", "price"))
+      // pre-rename rows read through the mapping
+      assert(spark.sql(s"SELECT sum(price) FROM $cat.db9.t").collect().head.getLong(0) == 30L)
+
+      // post-rename INSERT writes the PHYSICAL name, so one generation
+      // holds old and new files and both resolve
+      spark.sql(s"INSERT INTO $cat.db9.t VALUES (3, 30)")
+      val all = spark.table(s"$cat.db9.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(all == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+      val cur = VersionedTable.resolve(s"$wh/db9/t", conf).get
+      val physCols = graft.sources.reftable.SnapshotFiles.list(cur).flatMap(f =>
+        spark.read.parquet(f.path).columns).toSet
+      assert(physCols == Set("id", "amount"), s"files must keep the physical name: $physCols")
+
+      // filters and DML address the new name, narrowing included
+      assert(spark.sql(s"SELECT id FROM $cat.db9.t WHERE price = 20").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      spark.sql(s"UPDATE $cat.db9.t SET price = 99 WHERE id = 1")
+      spark.sql(s"DELETE FROM $cat.db9.t WHERE price = 30")
+      val after = spark.table(s"$cat.db9.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(after == Seq((1L, 99L), (2L, 20L)))
+
+      // rename back to the original name drops the mapping entry
+      spark.sql(s"ALTER TABLE $cat.db9.t RENAME COLUMN price TO amount")
+      assert(spark.sql(s"SELECT sum(amount) FROM $cat.db9.t").collect().head.getLong(0) == 119L)
+
+      // chained rename keeps resolving the ORIGINAL physical bytes
+      spark.sql(s"ALTER TABLE $cat.db9.t RENAME COLUMN amount TO cost")
+      spark.sql(s"ALTER TABLE $cat.db9.t RENAME COLUMN cost TO total")
+      assert(spark.sql(s"SELECT sum(total) FROM $cat.db9.t").collect().head.getLong(0) == 119L)
+
+      // adding a column named like the claimed physical name is refused
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db9.t ADD COLUMN amount BIGINT"))
+      assert(e.getMessage.contains("claimed"), e.getMessage)
+      // renaming onto an existing column is refused
+      val e2 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db9.t RENAME COLUMN total TO id"))
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    }
+  }
+
+  test("RENAME COLUMN of a layout-referenced column refuses via revalidation") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db10")
+      spark.sql(s"CREATE TABLE $cat.db10.p (id BIGINT, seg STRING) USING reftable " +
+        "OPTIONS (partitionColumns 'seg')")
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db10.p RENAME COLUMN seg TO region"))
+      assert(e.getMessage.contains("seg"), e.getMessage)
+      // dropping a RENAMED column retires its PHYSICAL name
+      spark.sql(s"CREATE TABLE $cat.db10.q (id BIGINT, v BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db10.q VALUES (1, 7)")
+      spark.sql(s"ALTER TABLE $cat.db10.q RENAME COLUMN v TO w")
+      spark.sql(s"ALTER TABLE $cat.db10.q DROP COLUMN w")
+      val e2 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db10.q ADD COLUMN v BIGINT"))
+      assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+      // the renamed-away logical name is reusable (its physical was v)
+      spark.sql(s"ALTER TABLE $cat.db10.q ADD COLUMN w BIGINT")
+      assert(spark.table(s"$cat.db10.q").columns.toSeq == Seq("id", "w"))
     }
   }
 
