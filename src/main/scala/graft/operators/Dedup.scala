@@ -198,28 +198,49 @@ object Dedup {
     * c_ba = |A∩B|/|B| — the asymmetric near-dup signal (a short document
     * quoted inside a long one has high containment but low Jaccard, so a
     * Jaccard-only gate misses it; containment gates are standard in
-    * published corpus-dedup recipes). Candidates come from the same
-    * shared-shingle equi-join as [[ngramJaccardPairs]]: pairs sharing zero
-    * shingles are never materialized, and the only wide exchange is
-    * bounded by shingle-bucket fan-out (cap stop-shingles upstream at
-    * open-web scale). Keeps unordered pairs where either direction clears
-    * `threshold`.
+    * published corpus-dedup recipes). Keeps unordered pairs where either
+    * direction clears `threshold`.
+    *
+    * EXACT at scale via prefix filtering (the PPJoin/set-similarity-join
+    * technique): a naive shared-shingle self-join is quadratic in every hot
+    * shingle's document frequency (a 10× corpus spot-check measured it at
+    * exponent ~2). Instead, max-containment ≥ t implies i ≥ t·min(|A|,|B|),
+    * so the SMALLER set of a qualifying pair shares at least one of its
+    * ⌊(1−t)·n⌋+1 globally-RAREST shingles (pigeonhole over the global
+    * document-frequency order). Candidates therefore come from joining
+    * each document's rarity PREFIX against the full shingle table — hot
+    * stop-shingles almost never appear in any prefix, so their buckets
+    * contribute |prefix_h|·|full_h| ≈ 0 instead of |full_h|² — and each
+    * candidate pair is verified exactly with one array intersection.
+    * Recall is exact by construction; only the candidate count changed.
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.9, k: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), k)).as("h"))
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(idCol).as("a_id"), col("h"))
-    val b = sh.select(col(idCol).as("b_id"), col("h"))
-    val inter = a.join(b, Seq("h")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-    val withSizes = inter
-      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), Seq("b_id"))
-    val cab = col("i").cast("double") / col("na")
-    val cba = col("i").cast("double") / col("nb")
-    withSizes.filter(greatest(cab, cba) >= threshold)
+    val sets = shingleSets(df, idCol, textCol, k)
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), col("hs"), size(col("hs")).as("n"))
+    val sh = sets.select(col(idCol), col("n"), explode(col("hs")).as("h"))
+    // global document frequency per shingle = the rarity order
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .select(col(idCol).as("p_id"), col("h"))
+    val cand = prefix.join(sh.select(col(idCol).as("s_id"), col("h")), Seq("h"))
+      .filter(col("p_id") =!= col("s_id"))
+      .select(least(col("p_id"), col("s_id")).as("a_id"),
+        greatest(col("p_id"), col("s_id")).as("b_id"))
+      .distinct()
+    val withSets = cand
+      .join(sets.select(col(idCol).as("a_id"), col("hs").as("ha")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("hs").as("hb")), Seq("b_id"))
+    val i = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    val cab = i / size(col("ha"))
+    val cba = i / size(col("hb"))
+    withSets.filter(greatest(cab, cba) >= threshold)
       .select(col("a_id"), col("b_id"), r4(cab).as("c_ab"), r4(cba).as("c_ba"))
   }
 
