@@ -406,6 +406,43 @@ object TableCatalogSql {
       """SELECT o_orderkey % 5 AS g, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS total
         |FROM orders WHERE NOT (o_totalprice < 50000)
-        |GROUP BY 1 ORDER BY g""".stripMargin))
+        |GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // Type widening through the descriptor: an INT column widens to BIGINT
+    // with ZERO data rewritten — files written before the ALTER keep their
+    // INT32 physical type and the readers widen per file (columnar path
+    // through a widening vector view), files written after land as INT64,
+    // and one SELECT with a filter + aggregate reads both widths
+    // uniformly. The oracle replays the two inserts with casts.
+    QueryDef("q171_type_widening", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q171_cat")
+      val cat = "graftwide_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.w")
+      s.sql(s"CREATE TABLE $cat.db.w (k INT, qty INT) USING reftable")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT INTO $cat.db.w " +
+        "SELECT CAST(l_orderkey % 1000000 AS INT), CAST(l_quantity AS INT) " +
+        "FROM lineitem WHERE l_linenumber = 1")
+      s.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN k TYPE BIGINT")
+      // post-widen rows land at INT64, with values past INT range
+      s.sql(s"INSERT INTO $cat.db.w " +
+        "SELECT l_orderkey + 5000000000, CAST(l_quantity AS INT) " +
+        "FROM lineitem WHERE l_linenumber = 2")
+      s.sql(s"SELECT k % 7 AS g, count(*) AS n, sum(qty) AS total, max(k) AS hi " +
+        s"FROM $cat.db.w WHERE k >= 100 GROUP BY 1 ORDER BY g")
+    }, Some(
+      """WITH w AS (
+        |  SELECT CAST(l_orderkey % 1000000 AS BIGINT) AS k, CAST(l_quantity AS INT) AS qty
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey + 5000000000, CAST(l_quantity AS INT)
+        |  FROM lineitem WHERE l_linenumber = 2)
+        |SELECT k % 7 AS g, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total,
+        |  max(k) AS hi
+        |FROM w WHERE k >= 100 GROUP BY 1 ORDER BY g""".stripMargin))
   )
 }

@@ -170,11 +170,20 @@ class RefTableAggFooterReader(
         else Some(parts.reduce((a, b) =>
           if ((a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) == pickMin) a else b))
       }
-      // footer stats for SMALLINT/TINYINT (physical INT32) come back as
-      // Integer; narrow to the declared type for the partial row
+      // footer stats come back at the FILE's physical width (Integer for
+      // INT32 even when the column was widened to BIGINT, Float for
+      // pre-widening FLOAT files); coerce to the DECLARED type for the
+      // partial row — all the accepted widenings are lossless
       def narrow(v: Any, dt: DataType): Any = dt match {
-        case ShortType => v.asInstanceOf[Number].shortValue()
-        case ByteType  => v.asInstanceOf[Number].byteValue()
+        case ShortType   => v.asInstanceOf[Number].shortValue()
+        case ByteType    => v.asInstanceOf[Number].byteValue()
+        case IntegerType => v.asInstanceOf[Number].intValue()
+        case LongType    => v.asInstanceOf[Number].longValue()
+        case DoubleType  => v match {
+          case f: java.lang.Float => f.toDouble // exact float->double
+          case n: Number => n.doubleValue()
+        }
+        case FloatType   => v.asInstanceOf[Number].floatValue()
         case _ => v
       }
       val out = new GenericInternalRow(specs.length)

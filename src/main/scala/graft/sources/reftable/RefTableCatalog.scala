@@ -273,6 +273,30 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
           throw new IllegalArgumentException("cannot drop the last column")
         dropped += mapping.getOrElse(nm, nm) // retire the PHYSICAL name
         setMapping(mapping - nm)
+      case ut: TableChange.UpdateColumnType =>
+        if (ut.fieldNames.length != 1) unsupported("nested ALTER COLUMN TYPE")
+        val nm = ut.fieldNames.head
+        val f = fields.find(_.name == nm).getOrElse(
+          throw new IllegalArgumentException(s"column '$nm' does not exist"))
+        // descriptor-only type WIDENING: existing files keep their narrower
+        // physical type and both readers widen per file (the columnar path
+        // through a widening vector view, the row path at decode); new
+        // writes land at the declared width. Only conversions that are
+        // lossless for every representable value are accepted — anything
+        // else would silently mis-read typed bytes
+        import org.apache.spark.sql.types._
+        val ok = (f.dataType, ut.newDataType) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        if (!ok) unsupported(
+          s"ALTER COLUMN TYPE ${f.dataType.simpleString} -> ${ut.newDataType.simpleString}: " +
+            "only lossless widenings (byte/short/int -> a wider integer, float -> double) " +
+            "can re-read existing files safely")
+        fields = fields.map(x => if (x.name == nm) x.copy(dataType = ut.newDataType) else x)
       case rn: TableChange.RenameColumn =>
         if (rn.fieldNames.length != 1) unsupported("nested RENAME COLUMN")
         val nm = rn.fieldNames.head

@@ -8,6 +8,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetInputFormat}
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 import org.apache.parquet.schema.{MessageType, Type}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -105,12 +106,74 @@ object RefTableColumnarReader {
     * parquet rejects predicates over columns it doesn't have, so filters
     * referencing a column this file lacks are withheld here — the residual
     * above the scan evaluates them over the null-filled rows with SQL
-    * semantics.
+    * semantics. Filters on type-WIDENED columns are withheld per file too:
+    * the predicate translates at the declared (wider) type and parquet
+    * refuses e.g. a long predicate over an INT32 column — the residual
+    * keeps exactness, the file just isn't pre-skipped.
     */
   private[reftable] def pushableForFile(
       opts: RefTableOptions, fileSchema: MessageType, pushed: Array[Filter]): Array[Filter] =
-    pushed.filter(_.references.forall(n => opts.genColumn.contains(n) ||
-      opts.isPartitionCol(n) || fileSchema.containsField(opts.storageColumn(n))))
+    pushed.filter(_.references.forall { n =>
+      opts.genColumn.contains(n) || opts.isPartitionCol(n) || {
+        val sc = opts.storageColumn(n)
+        fileSchema.containsField(sc) && !physicalNarrowerThanDeclared(opts, fileSchema, n, sc)
+      }
+    })
+
+  private def physicalNarrowerThanDeclared(
+      opts: RefTableOptions, fileSchema: MessageType, field: String, storageCol: String): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val t = fileSchema.getType(Seq(storageCol): _*)
+    if (!t.isPrimitive) return false
+    val p = t.asPrimitiveType().getPrimitiveTypeName
+    opts.schema.fields.find(_.name == field).map(_.dataType) match {
+      case Some(LongType)   => p == INT32
+      case Some(DoubleType) => p == FLOAT
+      case _ => false
+    }
+  }
+
+  /** The Spark type this file NATURALLY decodes a storage column at
+    * (primitive + annotation); None when unstatable/absent. Used by the
+    * widening read: when the declared type is wider than the file's, the
+    * vectorized reader requests the natural type and a widening vector
+    * view converts — per file, so mixed-generation listings read each file
+    * at its own width.
+    */
+  private[reftable] def naturalType(fileSchema: MessageType, c: String): Option[DataType] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!fileSchema.containsField(c)) return None
+    val t = fileSchema.getType(Seq(c): _*)
+    if (!t.isPrimitive) return None
+    val pt = t.asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case INT32 => pt.getLogicalTypeAnnotation match {
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.getBitWidth == 8 => Some(ByteType)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.getBitWidth == 16 => Some(ShortType)
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(DateType)
+        case null => Some(IntegerType)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some(IntegerType)
+        case _ => None
+      }
+      case INT64 => pt.getLogicalTypeAnnotation match {
+        case null => Some(LongType)
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned && i.getBitWidth == 64 => Some(LongType)
+        case _ => None
+      }
+      case FLOAT => Some(FloatType)
+      case DOUBLE => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** Lossless widening pairs the read path serves per file. */
+  private[reftable] def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
 
   /** Per-file datetime rebase modes, mirroring the decision Spark's built-in
     * parquet path makes in DataSourceUtils: LEGACY (hybrid
@@ -213,11 +276,20 @@ class RefTableColumnarReader(
   locally { while (dvIdx < dvPos.length && dvPos(dvIdx) < physRow) dvIdx += 1 }
   private val selection: DvSelection = if (dvPos.isEmpty) null else new DvSelection
 
-  // distinct storage columns, each requested once; nanos timestamps as longs
+  // distinct storage columns, each requested once; nanos timestamps as
+  // longs; type-WIDENED columns (declared wider than this file's physical)
+  // requested at the file's NATURAL type and served through a widening
+  // vector view — per file, so mixed-generation listings decode each file
+  // at its own width
   private val storageCols: Array[String] = fieldSources.flatten.distinct
+  private def widenedFrom(c: String, declared: DataType): Option[DataType] =
+    RefTableColumnarReader.naturalType(fileSchema, c)
+      .filter(nat => nat != declared && RefTableColumnarReader.widens(nat, declared))
   private val requestedSpark: StructType = StructType(storageCols.map { c =>
     val outType = required.fields(fieldSources.indexOf(Some(c))).dataType
-    val readType = if (outType == TimestampType && isNanos(c)) LongType else outType
+    val readType =
+      if (outType == TimestampType && isNanos(c)) LongType
+      else widenedFrom(c, outType).getOrElse(outType)
     StructField(c, readType, nullable = true)
   })
 
@@ -274,8 +346,11 @@ class RefTableColumnarReader(
           inner.column(storageCols.length + constIndex(required.fields(i).name))
         case (Some(c), i) =>
           val v = inner.column(storageCols.indexOf(c))
-          if (required.fields(i).dataType == TimestampType && isNanos(c))
+          val declared = required.fields(i).dataType
+          if (declared == TimestampType && isNanos(c))
             new NanosToMicrosVector(v)
+          else if (widenedFrom(c, declared).isDefined)
+            new WidenedVector(v, declared)
           else v
       }
       out =
@@ -334,6 +409,50 @@ private[reftable] class NanosToMicrosVector(child: ColumnVector)
   override def getInt(rowId: Int): Int = child.getInt(rowId)
   override def getFloat(rowId: Int): Float = child.getFloat(rowId)
   override def getDouble(rowId: Int): Double = child.getDouble(rowId)
+  override def getArray(rowId: Int): ColumnarArray = child.getArray(rowId)
+  override def getMap(ordinal: Int): ColumnarMap = child.getMap(ordinal)
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =
+    child.getDecimal(rowId, precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String = child.getUTF8String(rowId)
+  override def getBinary(rowId: Int): Array[Byte] = child.getBinary(rowId)
+  override def getChild(ordinal: Int): ColumnVector = child.getChild(ordinal)
+  override def close(): Unit = () // the child belongs to the inner reader
+}
+
+/** A lossless type-widening view over a column decoded at this FILE's
+  * narrower natural type: declared-long over int/short/byte files,
+  * declared-double over float files — the per-file read side of
+  * `ALTER TABLE … ALTER COLUMN TYPE` descriptor-only widening. Keeps old
+  * files on the vectorized decoder at their own width; conversions happen
+  * on access and are exact for every representable value.
+  */
+private[reftable] final class WidenedVector(child: ColumnVector, to: DataType)
+    extends ColumnVector(to) {
+  override def hasNull: Boolean = child.hasNull
+  override def numNulls(): Int = child.numNulls()
+  override def isNullAt(rowId: Int): Boolean = child.isNullAt(rowId)
+  override def getBoolean(rowId: Int): Boolean = child.getBoolean(rowId)
+  override def getByte(rowId: Int): Byte = child.getByte(rowId)
+  override def getShort(rowId: Int): Short = child.dataType() match {
+    case ByteType => child.getByte(rowId).toShort
+    case _ => child.getShort(rowId)
+  }
+  override def getInt(rowId: Int): Int = child.dataType() match {
+    case ByteType  => child.getByte(rowId).toInt
+    case ShortType => child.getShort(rowId).toInt
+    case _ => child.getInt(rowId)
+  }
+  override def getLong(rowId: Int): Long = child.dataType() match {
+    case ByteType    => child.getByte(rowId).toLong
+    case ShortType   => child.getShort(rowId).toLong
+    case IntegerType => child.getInt(rowId).toLong
+    case _ => child.getLong(rowId)
+  }
+  override def getFloat(rowId: Int): Float = child.getFloat(rowId)
+  override def getDouble(rowId: Int): Double = child.dataType() match {
+    case FloatType => child.getFloat(rowId).toDouble
+    case _ => child.getDouble(rowId)
+  }
   override def getArray(rowId: Int): ColumnarArray = child.getArray(rowId)
   override def getMap(ordinal: Int): ColumnarMap = child.getMap(ordinal)
   override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =

@@ -274,6 +274,62 @@ class RefTableCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER COLUMN TYPE widening is descriptor-only: old INT32/FLOAT files read widened") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db11")
+      spark.sql(s"CREATE TABLE $cat.db11.t (id INT, v FLOAT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db11.t VALUES (1, CAST(1.5 AS FLOAT)), (2, CAST(0.1 AS FLOAT))")
+      val filesBefore = graft.sources.reftable.SnapshotFiles
+        .list(VersionedTable.resolve(s"$wh/db11/t", conf).get).map(_.path).toSet
+
+      spark.sql(s"ALTER TABLE $cat.db11.t ALTER COLUMN id TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $cat.db11.t ALTER COLUMN v TYPE DOUBLE")
+      // zero data rewritten
+      assert(graft.sources.reftable.SnapshotFiles
+        .list(VersionedTable.resolve(s"$wh/db11/t", conf).get).map(_.path).toSet == filesBefore)
+      assert(spark.table(s"$cat.db11.t").schema.map(_.dataType.simpleString) ==
+        Seq("bigint", "double"))
+      // old INT32/FLOAT files decode widened — float->double exact
+      val rows = spark.table(s"$cat.db11.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 1.5d), (2L, 0.1f.toDouble)))
+
+      // post-widen INSERT writes the wider physical type; one generation
+      // holds both widths and reads uniformly
+      spark.sql(s"INSERT INTO $cat.db11.t VALUES (${Long.MaxValue}, 2.5)")
+      val all = spark.table(s"$cat.db11.t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all == Seq((1L, 1.5d), (2L, 0.1f.toDouble), (Long.MaxValue, 2.5d)))
+
+      // filters on the widened column stay exact across both file widths
+      // (parquet pushdown is withheld on the narrow files; residuals apply)
+      assert(spark.sql(s"SELECT id FROM $cat.db11.t WHERE id >= 2").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(2L, Long.MaxValue))
+      assert(spark.sql(s"SELECT id FROM $cat.db11.t WHERE v = CAST(CAST(0.1 AS FLOAT) AS DOUBLE)")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+      // footer-stats aggregates coerce per-file widths to the declared type
+      val agg = spark.sql(s"SELECT count(*), min(id), max(id) FROM $cat.db11.t").collect().head
+      assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == (3L, 1L, Long.MaxValue))
+
+      // narrowing refuses (Spark's analysis or our catalog — either way)
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db11.t ALTER COLUMN id TYPE INT"))
+      assert(e.getMessage.toLowerCase.contains("not supported") ||
+        e.getMessage.contains("widening"), e.getMessage)
+      // non-numeric widening refuses
+      val e2 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db11.t ALTER COLUMN id TYPE STRING"))
+      assert(e2.getMessage.toLowerCase.contains("not supported") ||
+        e2.getMessage.contains("widening"), e2.getMessage)
+
+      // widening composes with RENAME (both descriptor-only indirections)
+      spark.sql(s"ALTER TABLE $cat.db11.t RENAME COLUMN v TO w")
+      assert(spark.sql(s"SELECT round(sum(w), 4) FROM $cat.db11.t").collect().head.getDouble(0) ==
+        BigDecimal(1.5d + 0.1f.toDouble + 2.5d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("RENAME COLUMN of a layout-referenced column refuses via revalidation") {
     withCatalog { (cat, _) =>
       spark.sql(s"CREATE NAMESPACE $cat.db10")
