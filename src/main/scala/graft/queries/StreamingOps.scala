@@ -718,6 +718,68 @@ object StreamingOps {
         |SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM upd)
         |ORDER BY s_suppkey, change_type""".stripMargin)),
 
+    // CHANGEFEED THROUGH THE SQL CATALOG: the `t$changefeed` metadata
+    // suffix — the merge key declared ONCE in DDL (OPTIONS keyColumns),
+    // deltas streamed with `readStream.table`, mutations arriving through
+    // plain SQL DML (MoR UPDATE/DELETE + INSERT). Same two-state-diff
+    // oracle discipline as q169; the full loop (DDL -> DML -> delta) never
+    // leaves the SQL surface.
+    QueryDef("q172_sql_changefeed", (s, dir) => withShufflePartitions(s, 8) {
+      val wh = RelationalSupport.scratchDir(s, dir, "q172_cat")
+      val cat = "graftcf_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.s")
+      s.sql(s"CREATE TABLE $cat.db.s (s_suppkey BIGINT, s_nationkey INT) USING reftable " +
+        "OPTIONS (keyColumns 's_suppkey', refreshInterval '1s', " +
+        "updateMode 'mergeOnRead', deleteMode 'mergeOnRead')")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT INTO $cat.db.s SELECT s_suppkey, s_nationkey FROM supplier")
+
+      // two AvailableNow runs over one checkpoint: bootstrap, then the SQL
+      // DML wave lands (TWO MoR commits — both fold into ONE delta because
+      // the stream is down between runs, and delete images come from the
+      // PINNED predecessor, i.e. the pre-update state), then the restarted
+      // stream emits exactly that two-state diff
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      val ckpt = Files.createTempDirectory("graft_sqlcf_ck_").toString
+      def drain(collect: Boolean): Unit = {
+        val q = s.readStream.table(s"$cat.db.`s$$changefeed`")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val rows = b.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+            acc.synchronized { if (collect) acc ++= rows }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      val t0 = System.nanoTime()
+      drain(collect = false) // bootstrap generation consumed
+      // UPDATE takes the analyzer-rewrite path (any predicate); DELETE
+      // rides SupportsDelete, whose predicate must translate to a source
+      // filter — equality does. It matches CURRENT nationkeys, so rows the
+      // update moved to 103 are not deleted (the oracle encodes that)
+      s.sql(s"UPDATE $cat.db.s SET s_nationkey = s_nationkey + 100 WHERE s_suppkey % 5 = 0")
+      s.sql(s"DELETE FROM $cat.db.s WHERE s_nationkey = 3")
+      Thread.sleep(1300) // cross the 1s refresh boundary
+      drain(collect = true)
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      import s.implicits._
+      acc.synchronized { acc.toSeq }.toDF("s_suppkey", "s_nationkey", "change_type")
+        .orderBy("s_suppkey", "change_type")
+    }, Some(
+      """SELECT s_suppkey,
+        |  CASE WHEN s_suppkey % 5 = 0 THEN s_nationkey + 100
+        |    ELSE s_nationkey END AS s_nationkey,
+        |  CASE WHEN s_suppkey % 5 = 0 THEN 'update' ELSE 'delete' END AS change_type
+        |FROM supplier
+        |WHERE s_suppkey % 5 = 0 OR s_nationkey = 3
+        |ORDER BY s_suppkey, change_type""".stripMargin)),
+
     // STREAMING-MAINTAINED AGGREGATE: the materialized-view loop closed
     // over a LIVE stream — the reftable source re-emits the full snapshot
     // per generation (the reference's model, where any aggregate is an

@@ -108,29 +108,54 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       "path" -> tablePath(ident).toString,
       "schema" -> schema.toDDL) ++ stored ++
       version.map("version" -> _).toMap
-    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(base.asJava)))
+    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(base.asJava)), base)
   }
 
   override def loadTable(ident: Identifier): Table =
     metadataSuffix(ident) match {
+      case Some((base, "changefeed")) => changefeedTable(base)
       case Some((base, kind)) => RefTableMetaTables.load(tablePath(base).toString,
         s"${base.name}$$$kind", kind, conf, exists = tableExists(base), base)
       case None => toTable(ident, None)
     }
 
+  /** `t$changefeed`: the table under the changefeed READ MODE
+    * ([[RefTableChangefeedStream]] — schema + `change_type`, streamed
+    * deltas per generation). A metadata-SUFFIX rather than a read option
+    * because the mode EXTENDS the schema, and Spark fixes a catalog
+    * relation's schema at table resolution, before scan options exist.
+    * The merge key comes from the descriptor's `keyColumns` option
+    * (declare at CREATE, or ALTER TABLE SET TBLPROPERTIES
+    * ('option.keyColumns'='id')).
+    */
+  private def changefeedTable(ident: Identifier): Table = {
+    val (schema, stored, _) = readDescriptor(ident)
+    if (!stored.keys.exists(_.equalsIgnoreCase("keyColumns")))
+      throw new IllegalArgumentException(
+        s"table ${ident.toString} declares no 'keyColumns' option — `$$changefeed` needs " +
+          "the merge key for insert/update/delete classification; declare it at CREATE " +
+          "(OPTIONS (keyColumns 'id')) or via ALTER TABLE SET TBLPROPERTIES " +
+          "('option.keyColumns'='id')")
+    val base = Map(
+      "path" -> tablePath(ident).toString,
+      "schema" -> schema.toDDL) ++ stored + ("changefeed" -> "true")
+    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(base.asJava)), base)
+  }
+
   /** `t$history` / `t$commits` / `t$files` resolve to driver-computed
-    * metadata tables (Iceberg-style) — `$` is refused in plain identifier
-    * segments, so the suffix can never collide with a real table.
+    * metadata tables (Iceberg-style), `t$changefeed` to the delta read
+    * mode — `$` is refused in plain identifier segments, so the suffix
+    * can never collide with a real table.
     */
   private def metadataSuffix(ident: Identifier): Option[(Identifier, String)] = {
     val i = ident.name.indexOf('$')
     if (i <= 0) None
     else {
       val (base, kind) = (ident.name.substring(0, i), ident.name.substring(i + 1))
-      if (!RefTableMetaTables.Kinds.contains(kind))
+      if (!RefTableMetaTables.Kinds.contains(kind) && kind != "changefeed")
         throw new IllegalArgumentException(
           s"unknown metadata table '$$${kind}' (supported: " +
-            RefTableMetaTables.Kinds.mkString(", ") + ")")
+            (RefTableMetaTables.Kinds.toSeq.sorted :+ "changefeed").mkString(", ") + ")")
       Some((Identifier.of(ident.namespace, checkSegment(base)), kind))
     }
   }

@@ -525,8 +525,12 @@ object RefTableOptions {
           "a generation's delta is one unit"
       if (version.nonEmpty)
         errs += "'changefeed' cannot read a pinned 'version': a pinned snapshot never changes"
-    } else if (keyColumns.nonEmpty)
-      errs += "'keyColumns' only applies with changefeed=true"
+    } else if (keyColumns.nonEmpty) {
+      // standalone keyColumns = the table's DECLARED merge key (consumed by
+      // the catalog's `t$changefeed` suffix); validate membership up front
+      for (k <- keyColumns; st <- schema; if !st.fieldNames.contains(k))
+        errs += s"keyColumns column '$k' must be a field in the schema"
+    }
 
     // column mapping (logical -> physical storage name), the descriptor-only
     // RENAME COLUMN indirection; format "logical:physical,logical2:physical2"

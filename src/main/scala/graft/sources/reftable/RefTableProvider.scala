@@ -87,11 +87,16 @@ class RefTableProvider extends TableProvider with DataSourceRegister
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val raw = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap
+    }
+    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(properties)), raw)
+  }
 }
 
-class RefTable(val opts: RefTableOptions) extends Table
+class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"reftable(${opts.path})"
@@ -148,8 +153,40 @@ class RefTable(val opts: RefTableOptions) extends Table
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RefTableScanBuilder(opts)
+  /** Read-side option keys a `spark.read/readStream.option(...).table(t)`
+    * call may override PER SCAN: everything that shapes a read WITHOUT
+    * changing the relation's schema (`version` time travel, a declared
+    * `filter`, refresh cadence, admission caps, pruning toggles). Schema-
+    * EXTENDING options (`changefeed`, `genColumn`) cannot ride a per-scan
+    * override — Spark fixes a catalog relation's schema at table
+    * resolution, before scan options exist — so they refuse with the
+    * working surfaces named. Unknown/other keys are ignored here —
+    * `path`/`schema`/layout options stay descriptor-owned.
+    */
+  private val PerScanKeys = Set(
+    "version", "filter", "refreshinterval", "emitmode", "maxfilespertrigger",
+    "maxbytespertrigger", "groupbypartition", "statspruning",
+    "allowmissingcolumns", "strictsnapshot")
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    import scala.jdk.CollectionConverters._
+    val given = options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    for (k <- Seq("changefeed", "gencolumn"); if given.contains(k) && raw.nonEmpty &&
+        !raw.keys.exists(_.equalsIgnoreCase(k)))
+      throw new UnsupportedOperationException(
+        s"reftable: '$k' extends the relation's schema and cannot be a per-scan read " +
+          "option on a catalog table (Spark fixes the schema at table resolution); " +
+          "read the `t$changefeed` metadata table, or use " +
+          "spark.read/readStream.format(\"reftable\") with explicit path/schema options")
+    val overrides = given.filter { case (k, _) => PerScanKeys.contains(k) }
+    if (overrides.isEmpty || raw.isEmpty) new RefTableScanBuilder(opts)
+    else
+      // re-validated like any option set; a bad per-scan option fails the
+      // read at analysis time with the standard validation message
+      new RefTableScanBuilder(RefTableOptions.from(
+        new CaseInsensitiveStringMap((raw ++ overrides).asJava)))
+  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

@@ -147,11 +147,54 @@ class RefTableChangefeedSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](load(Map(
       "changefeed" -> "true", "keyColumns" -> "id", "emitMode" -> "trigger")))
     assert(e3.getMessage.contains("emitMode"))
-    val e4 = intercept[IllegalArgumentException](load(Map("keyColumns" -> "id")))
-    assert(e4.getMessage.contains("changefeed"))
+    // standalone keyColumns is legal (the declared merge key for the
+    // catalog's $changefeed suffix) but membership still validates
+    val e4 = intercept[IllegalArgumentException](load(Map("keyColumns" -> "nope")))
+    assert(e4.getMessage.contains("nope"))
     val e5 = intercept[IllegalArgumentException](load(Map(
       "changefeed" -> "true", "keyColumns" -> "nope")))
     assert(e5.getMessage.contains("nope"))
+  }
+
+  test("catalog surface: t$changefeed streams deltas; per-scan version pins batch reads") {
+    val cat = "gcfcat"
+    val wh = Files.createTempDirectory("graft_cfcat_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // the merge key declared once, in DDL — $changefeed consumes it
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT) USING reftable " +
+      "OPTIONS (keyColumns 'id', refreshInterval '1s')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT explode(sequence(1, 20))")
+    val rows = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val q = spark.readStream.table(s"$cat.db.`t$$changefeed`")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows.addAll(java.util.Arrays.asList(b.collect(): _*)); ()
+      }
+      .option("checkpointLocation", tmpDir("cfcat_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == (1L to 20L).map(i => (i, "insert")), s"got: $got")
+
+    // per-scan schema-preserving override: version time travel by .option
+    val v1 = new org.apache.hadoop.fs.Path(VersionedTable.resolve(s"$wh/db/t").get).getName
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id <= 15")
+    assert(spark.read.option("version", v1).table(s"$cat.db.t").count() == 20)
+    assert(spark.table(s"$cat.db.t").count() == 5)
+
+    // schema-EXTENDING options refuse as per-scan reads, naming the remedy
+    val e = intercept[UnsupportedOperationException](
+      spark.read.option("changefeed", "true").table(s"$cat.db.t").collect())
+    assert(e.getMessage.contains("changefeed"), e.getMessage)
+    // $changefeed without a declared key names the missing option
+    spark.sql(s"CREATE TABLE $cat.db.nokey (id BIGINT) USING reftable")
+    val e2 = intercept[IllegalArgumentException](
+      spark.readStream.table(s"$cat.db.`nokey$$changefeed`"))
+    assert(e2.getMessage.contains("keyColumns"), e2.getMessage)
   }
 
   test("batch read under changefeed refuses with the snapshot remedy") {
