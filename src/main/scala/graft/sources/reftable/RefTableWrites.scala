@@ -68,32 +68,32 @@ object RefTableWrites {
     false
   }
 
-  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean,
-      overwriteMode: Option[String] = None): Unit = {
-    if (opts.version.nonEmpty)
-      throw new UnsupportedOperationException(
-        "reftable: a version-pinned (time travel) relation is read-only")
-    if (opts.genColumn.nonEmpty)
-      throw new UnsupportedOperationException(
-        "reftable: tables declaring genColumn are read-only projections of refresh generations")
-
-    // files store every column under its STORAGE name: the rowField alias
-    // reverts to the key column, renamed columns (columnMapping) to their
-    // stable physical names — validation guarantees storage names are
-    // collision-free, so the rename chain is order-independent
-    val stored: DataFrame = opts.schema.fields.foldLeft(data.toDF()) { (df, f) =>
+  /** `data` re-keyed to STORAGE names and column-ordered to the declared
+    * schema: the rowField alias reverts to the key column, renamed columns
+    * (columnMapping) to their stable physical names — validation guarantees
+    * storage names are collision-free, so the rename chain is
+    * order-independent.
+    */
+  private def alignedStorage(opts: RefTableOptions, data: Dataset[Row]): DataFrame = {
+    val stored = opts.schema.fields.foldLeft(data.toDF()) { (df, f) =>
       val s = opts.storageColumn(f.name)
       if (s == f.name) df else df.withColumnRenamed(f.name, s)
     }
+    val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))
+    stored.select(storageNames.map(col).toIndexedSeq: _*)
+  }
 
-    val conf = new Configuration()
+  /** Refuse writes into a directory holding bare (un-versioned) snapshot
+    * data. Bare data = loose parquet files OR partition-style
+    * subdirectories without a pointer. The latter matters: creating a
+    * pointer next to a bare Hive layout would not corrupt it, but every
+    * reader of the root would silently stop seeing it — shadowing is as
+    * wrong as deleting.
+    */
+  private def guardBareRoot(opts: RefTableOptions, conf: Configuration): Unit = {
     val root = new Path(opts.path)
     val fs = root.getFileSystem(conf)
     val versioned = VersionedTable.resolve(opts.path, conf).isDefined
-    // bare data = loose parquet files OR partition-style subdirectories
-    // without a pointer. The latter matters: creating a pointer next to a
-    // bare Hive layout would not corrupt it, but every reader of the root
-    // would silently stop seeing it — shadowing is as wrong as deleting.
     def bareData(s: org.apache.hadoop.fs.FileStatus): Boolean = {
       val n = s.getPath.getName
       (s.isFile && n.endsWith(".parquet")) ||
@@ -105,9 +105,113 @@ object RefTableWrites {
         s"reftable: ${opts.path} holds bare snapshot data without a ${VersionedTable.Pointer} " +
           "pointer; writing would mutate or shadow files under concurrent snapshot readers. " +
           "Publish it as a versioned root (VersionedTable.publish) or target a fresh directory.")
+  }
 
+  /** Post-commit skipping-stats augmentation declared by the options. */
+  private def augmentStats(opts: RefTableOptions, spark: org.apache.spark.sql.SparkSession,
+      conf: Configuration): Unit = {
+    def storage(cols: Seq[String]): Seq[String] = cols.map(opts.storageColumn)
+    if (opts.categoricalStats.nonEmpty) {
+      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
+      RefTableStats.augmentCategorical(spark, resolved, storage(opts.categoricalStats))
+    }
+    if (opts.bloomStats.nonEmpty) {
+      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
+      RefTableStats.augmentBloom(spark, resolved, storage(opts.bloomStats))
+    }
+  }
+
+  /** Highest micro-batch id transaction `appId` has committed to `root`,
+    * read from `txn:<appId>:<batchId>` markers in the RETAINED commit log
+    * (markers ride each commit's atomic claim, so they can never disagree
+    * with the committed state). Retention bounds the lookback to
+    * `keepVersions` commits — the replay a restart produces is of the
+    * LAST batch this query committed, so its marker is among the newest
+    * commits unless more than keepVersions external writers interleaved
+    * mid-replay, the same practical bound Delta's SetTransaction
+    * retention accepts.
+    */
+  def lastCommittedBatch(root: String, appId: String,
+      conf: Configuration = new Configuration()): Option[Long] = {
+    val prefix = s"txn:$appId:"
+    val log = VersionedTable.commitLog(root, conf)
+    val markers =
+      if (log.nonEmpty) log.flatMap(_.marker)
+      else VersionedTable.lastCommit(root, conf).flatMap(_.marker).toSeq // legacy pointer roots
+    val ids = markers.filter(_.startsWith(prefix))
+      .flatMap(m => m.stripPrefix(prefix).toLongOption)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Append `data` to the versioned root as ONE new version — the shared
+    * non-layout append path of batch INSERT INTO and the streaming append
+    * sink. The commit is O(new data): the new version writes ONLY the
+    * appended rows and its `_FILES.json` inherits every base file by
+    * reference (RefTableFileManifest); the base snapshot is never read.
+    * Runs optimistically under the commit CAS (see [[insert]]'s
+    * concurrency contract).
+    *
+    * `txn = Some((appId, batchId))` arms EXACTLY-ONCE for streaming
+    * replays: the attempt re-checks [[lastCommittedBatch]] INSIDE the
+    * CAS-retry loop and skips batches the transaction already committed —
+    * a zombie attempt racing the same batch loses the commit CAS, retries,
+    * sees the winner's marker and lands nothing. The marker rides the
+    * commit's atomic claim, so check-then-commit cannot split.
+    */
+  def appendVersion(opts: RefTableOptions, data: Dataset[Row],
+      txn: Option[(String, Long)] = None): Unit = {
+    require(opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty,
+      "appendVersion: clusterBy/zorderBy/bucketBy layouts are GLOBAL properties that " +
+        "re-cluster on append; use insert() (batch) which rewrites the layout per commit")
+    val conf = new Configuration()
+    guardBareRoot(opts, conf)
+    val aligned = alignedStorage(opts, data)
+    val marker = txn.map { case (a, b) => s"txn:$a:$b" }
+    VersionedTable.withConflictRetry(opts.path) { () =>
+      if (txn.exists { case (a, b) =>
+          lastCommittedBatch(opts.path, a, conf).exists(_ >= b) }) {
+        () // replayed batch: the transaction already committed it (or a later one)
+      } else {
+        // re-resolved per attempt; the publish CAS guards exactly this base
+        val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
+        base match {
+          case Some(b) =>
+            VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
+              parent = base, requireBase = true) { staging =>
+              if (!aligned.isEmpty)
+                VersionedTable.writeParquetMicros(
+                  aligned, staging.toString, opts.partitionColumns)
+              RefTableFileManifest.writeDelta(opts.path, staging, b, Set.empty,
+                opts.partitionColumns, conf)
+            }
+          case None => // first version of a fresh root; CAS still armed so a
+            // concurrent first publish conflicts instead of being shadowed
+            VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
+              parent = None, requireBase = true,
+              manifestPartitionCols = opts.partitionColumns) { staging =>
+              VersionedTable.writeParquetMicros(
+                aligned, staging.toString, opts.partitionColumns)
+            }
+        }
+        augmentStats(opts, data.sparkSession, conf)
+      }
+    }
+    ()
+  }
+
+  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean,
+      overwriteMode: Option[String] = None): Unit = {
+    if (opts.version.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable: a version-pinned (time travel) relation is read-only")
+    if (opts.genColumn.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable: tables declaring genColumn are read-only projections of refresh generations")
+
+    val conf = new Configuration()
+    guardBareRoot(opts, conf)
+    val aligned = alignedStorage(opts, data)
     val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))
-    val aligned = stored.select(storageNames.map(col).toIndexedSeq: _*)
     // layout options name OUTPUT fields; the payload carries storage names
     def storage(cols: Seq[String]): Seq[String] = cols.map(opts.storageColumn)
     def doPublish(payload: DataFrame, parent: Option[String], cas: Boolean): String =
@@ -143,32 +247,21 @@ object RefTableWrites {
         opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
         opts.keepVersions)
     else if (overwrite) doPublish(aligned, None, cas = false) // derives from nothing
+    else if (opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty) {
+      // plain appends (no global re-clustering declared) commit O(new
+      // data) via the shared manifest-append path (also the streaming
+      // append sink's path). clusterBy/zorderBy/bucketBy tables keep the
+      // full rewrite below: their layout is a GLOBAL property, which is
+      // the point of the option (for bucketBy it keeps every version
+      // physically bucketed so keyed-mutation narrowing never lapses).
+      appendVersion(opts, data)
+      return
+    }
     else VersionedTable.withConflictRetry(opts.path) { () =>
       // re-resolved per attempt; the read is PINNED to the resolved base so
       // the commit CAS guards exactly the version the union derived from
       val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
-      // plain appends (no global re-clustering declared) commit O(new
-      // data): the new version writes ONLY the appended rows and its
-      // `_FILES.json` inherits every base file by reference
-      // (RefTableFileManifest) — the base snapshot is never read, let
-      // alone rewritten. clusterBy/zorderBy/bucketBy tables keep the full
-      // rewrite: their layout is a GLOBAL property, which is the point of
-      // the option (for bucketBy it keeps every version physically
-      // bucketed so keyed-mutation narrowing never lapses).
-      val manifestAppend = base.nonEmpty &&
-        opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty
-      if (manifestAppend) {
-        val b = base.get
-        VersionedTable.publishVia(opts.path, opts.keepVersions,
-          parent = base, requireBase = true) { staging =>
-          if (!aligned.isEmpty)
-            VersionedTable.writeParquetMicros(
-              aligned, staging.toString, opts.partitionColumns)
-          RefTableFileManifest.writeDelta(opts.path, staging, b, Set.empty,
-            opts.partitionColumns, conf)
-        }
-        ()
-      } else {
+      {
         val payload = base match {
           case None => aligned // first version of a fresh root
           case Some(b) =>
@@ -203,16 +296,7 @@ object RefTableWrites {
         }
       }
     }
-    if (opts.categoricalStats.nonEmpty) {
-      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
-      RefTableStats.augmentCategorical(
-        data.sparkSession, resolved, storage(opts.categoricalStats))
-    }
-    if (opts.bloomStats.nonEmpty) {
-      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
-      RefTableStats.augmentBloom(
-        data.sparkSession, resolved, storage(opts.bloomStats))
-    }
+    augmentStats(opts, data.sparkSession, conf)
     ()
   }
 }
