@@ -926,6 +926,55 @@ object StreamingOps {
         |  UNION ALL
         |  SELECT s_suppkey + 90000, s_nationkey FROM base WHERE s_suppkey % 11 = 0)
         |SELECT s_nationkey, count(*) AS cnt, min(s_suppkey) AS lo_key
-        |FROM s2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+        |FROM s2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // EXACTLY-ONCE STREAMING APPEND SINK: events stream into a reftable
+    // via outputMode=append — each batch commits O(new data) under a
+    // txn:<appId>:<batchId> marker riding the commit CAS (the reference's
+    // restart contract, PipelineTest.java:151-177). The harness FORCES a
+    // replay: after the first drain it deletes the checkpoint's last
+    // commit record, so the restarted query re-runs the final batch
+    // against the sink — the marker must land nothing. The read-back
+    // aggregate equals the plain batch oracle over events: every row
+    // exactly once despite the replay.
+    // At scale: the commit is O(batch) — appended files + a by-reference
+    // manifest delta; the base snapshot is never read or rewritten.
+    QueryDef("q173_stream_append_sink", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, _) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_asink_in_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val root = RelationalSupport.scratchDir(s, dir, "q173_append")
+      val ck = Files.createTempDirectory("graft_asink_ck_").toString
+      val ddl = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+      def drain(): Unit = {
+        val q = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .writeStream.format("reftable")
+          .option("path", root).option("schema", ddl)
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        val t0 = System.nanoTime()
+        q.awaitTermination(120000)
+        graft.BenchProbe.addDrain(System.nanoTime() - t0)
+        q.stop()
+      }
+      drain()
+      // forced replay: drop the last commit record (and its local-FS .crc
+      // sibling) so the restart re-runs that batch against the sink
+      val commits = new java.io.File(s"$ck/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      commits.lastOption.foreach { c =>
+        c.delete()
+        new java.io.File(c.getParentFile, "." + c.getName + ".crc").delete()
+      }
+      drain()
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("total"),
+          min("event_id").as("lo"), max("event_id").as("hi"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(value), 4) AS total,
+        |  min(event_id) AS lo, max(event_id) AS hi FROM events""".stripMargin))
   )
 }

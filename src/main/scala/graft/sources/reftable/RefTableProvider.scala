@@ -35,26 +35,44 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "reftable"
 
-  /** `writeStream.format("reftable")`: publish each complete-mode batch as
-    * a version of the table at `path` (see [[RefTableSink]]). The same
-    * explicit-schema contract as reads: `path` and `schema` are required
-    * and validated up front (DataStreamWriter routes TableProviders
-    * through inferSchema before the V1-sink fallback, so schema-less sink
-    * options could never reach here anyway), and each arriving batch is
-    * checked against the declaration. Extra options: `keepVersions`
-    * (default 3); `partitionColumns` produce a Hive layout inside each
-    * version, with the DataStreamWriter's `partitionBy` honored when the
-    * option is absent.
+  /** `writeStream.format("reftable")`: publish each batch as a version of
+    * the table at `path` (see [[RefTableSink]]).
+    *
+    *  - `outputMode=complete`: every batch is the full table state →
+    *    published whole ([[VersionedTable.completeModePublisher]]);
+    *  - `outputMode=append`: every batch is a delta → committed O(new data)
+    *    via [[RefTableWrites.appendVersion]] with a `txn:<appId>:<batchId>`
+    *    marker riding the commit CAS, so restart/zombie replays of a batch
+    *    land EXACTLY ONCE (the reference's restart contract,
+    *    PipelineTest.java:151-177: rows written across a restart all
+    *    visible, none duplicated). `appId` is the streaming query id
+    *    (stable across restarts from the checkpoint) unless overridden by
+    *    the `txnAppId` option — override it when two different queries
+    *    must append to the same table from shared checkpoint lineages;
+    *  - `outputMode=update` stays refused: an update batch carries changed
+    *    rows whose merge semantics need a key (use the keyed mutation API).
+    *
+    * The same explicit-schema contract as reads: `path` and `schema` are
+    * required and validated up front (DataStreamWriter routes
+    * TableProviders through inferSchema before the V1-sink fallback, so
+    * schema-less sink options could never reach here anyway), and each
+    * arriving batch is checked against the declaration. Extra options:
+    * `keepVersions` (default 3); `partitionColumns` produce a Hive layout
+    * inside each version, with the DataStreamWriter's `partitionBy`
+    * honored when the option is absent.
     */
   override def createSink(
       sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    if (outputMode != org.apache.spark.sql.streaming.OutputMode.Complete())
+    val append = outputMode == org.apache.spark.sql.streaming.OutputMode.Append()
+    if (!append && outputMode != org.apache.spark.sql.streaming.OutputMode.Complete())
       throw new IllegalArgumentException(
-        "reftable sink requires outputMode=complete: every batch must be the full " +
-          "table state (append/update batches are deltas, not snapshots)")
+        "reftable sink supports outputMode=complete (each batch is the full table " +
+          "state) or outputMode=append (each batch is committed as an O(new data) " +
+          "version with exactly-once replay markers); update batches carry keyed " +
+          "changes the versioned append cannot merge")
     val opts = RefTableOptions.from(
       new CaseInsensitiveStringMap(parameters.asJava))
     if (opts.version.nonEmpty)
@@ -69,7 +87,12 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     partCols.foreach(c => if (!opts.schema.fieldNames.contains(c))
       throw new IllegalArgumentException(
         s"reftable sink: partition column '$c' is not a field of the declared schema"))
-    new RefTableSink(opts, keep, partCols)
+    if (append && (opts.clusterBy.nonEmpty || opts.zorderBy.nonEmpty || opts.bucketBy.nonEmpty))
+      throw new IllegalArgumentException(
+        "reftable append sink: clusterBy/zorderBy/bucketBy layouts are GLOBAL properties " +
+          "that re-cluster on every commit; use outputMode=complete (or batch INSERT)")
+    new RefTableSink(opts, keep, partCols, append = append,
+      txnAppId = parameters.get("txnAppId").filter(_.nonEmpty))
   }
 
   // Deploy-time vs run-time validation split (reference:

@@ -152,14 +152,21 @@ object RefTableWrites {
     * concurrency contract).
     *
     * `txn = Some((appId, batchId))` arms EXACTLY-ONCE for streaming
-    * replays: the attempt re-checks [[lastCommittedBatch]] INSIDE the
-    * CAS-retry loop and skips batches the transaction already committed —
-    * a zombie attempt racing the same batch loses the commit CAS, retries,
-    * sees the winner's marker and lands nothing. The marker rides the
-    * commit's atomic claim, so check-then-commit cannot split.
+    * replays. ORDER MATTERS inside each CAS attempt: the base version is
+    * resolved (pinned) FIRST, the [[lastCommittedBatch]] marker is checked
+    * SECOND, and the publish CAS guards exactly that pinned base. Any
+    * commit landing after the marker check — including a zombie attempt
+    * committing this very batch — necessarily moves the head past the
+    * pinned base, so our CAS fails; the retry re-resolves, re-checks the
+    * marker, sees the winner's `txn:` entry and lands nothing. (Checking
+    * the marker BEFORE pinning the base would leave a window where the
+    * zombie's commit is absorbed into a freshly-resolved base and the
+    * batch lands twice — the same reason Delta checks SetTransaction
+    * against the pinned snapshot.)
     */
   def appendVersion(opts: RefTableOptions, data: Dataset[Row],
       txn: Option[(String, Long)] = None): Unit = {
+    guardReadOnly(opts)
     require(opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty,
       "appendVersion: clusterBy/zorderBy/bucketBy layouts are GLOBAL properties that " +
         "re-cluster on append; use insert() (batch) which rewrites the layout per commit")
@@ -167,13 +174,15 @@ object RefTableWrites {
     guardBareRoot(opts, conf)
     val aligned = alignedStorage(opts, data)
     val marker = txn.map { case (a, b) => s"txn:$a:$b" }
-    VersionedTable.withConflictRetry(opts.path) { () =>
+    val committed = VersionedTable.withConflictRetry(opts.path) { () =>
+      // pin the base FIRST: the marker check below is made against this
+      // pinned head, and the publish CAS requires it unchanged — so the
+      // check-then-commit pair cannot split (see Scaladoc)
+      val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
       if (txn.exists { case (a, b) =>
           lastCommittedBatch(opts.path, a, conf).exists(_ >= b) }) {
-        () // replayed batch: the transaction already committed it (or a later one)
+        false // replayed batch: the transaction already committed it (or a later one)
       } else {
-        // re-resolved per attempt; the publish CAS guards exactly this base
-        val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
         base match {
           case Some(b) =>
             VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
@@ -193,21 +202,30 @@ object RefTableWrites {
                 aligned, staging.toString, opts.partitionColumns)
             }
         }
-        augmentStats(opts, data.sparkSession, conf)
+        true
       }
     }
+    // outside the retry loop: a stats failure after a successful commit must
+    // not re-run the (already-committed) append; replayed no-ops skip it
+    if (committed) augmentStats(opts, data.sparkSession, conf)
     ()
   }
 
-  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean,
-      overwriteMode: Option[String] = None): Unit = {
+  /** Version-pinned (time travel) relations and genColumn projections are
+    * read-only through EVERY write entry point.
+    */
+  private def guardReadOnly(opts: RefTableOptions): Unit = {
     if (opts.version.nonEmpty)
       throw new UnsupportedOperationException(
         "reftable: a version-pinned (time travel) relation is read-only")
     if (opts.genColumn.nonEmpty)
       throw new UnsupportedOperationException(
         "reftable: tables declaring genColumn are read-only projections of refresh generations")
+  }
 
+  def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean,
+      overwriteMode: Option[String] = None): Unit = {
+    guardReadOnly(opts)
     val conf = new Configuration()
     guardBareRoot(opts, conf)
     val aligned = alignedStorage(opts, data)
@@ -261,7 +279,7 @@ object RefTableWrites {
       // re-resolved per attempt; the read is PINNED to the resolved base so
       // the commit CAS guards exactly the version the union derived from
       val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
-      {
+      locally {
         val payload = base match {
           case None => aligned // first version of a fresh root
           case Some(b) =>
@@ -301,17 +319,31 @@ object RefTableWrites {
   }
 }
 
-/** V1 streaming sink: each complete-mode batch is published as a version —
-  * `writeStream.format("reftable")` is now the sink-side of the loop the
-  * source reads (a stream MAINTAINS a refreshable snapshot table, with the
-  * same replay idempotency as [[VersionedTable.completeModePublisher]]).
-  * Complete mode is required: append/update batches are deltas, and
-  * publishing a delta as a table state would be silently wrong.
+/** V1 streaming sink — `writeStream.format("reftable")` is the sink-side of
+  * the loop the source reads (a stream MAINTAINS a refreshable snapshot
+  * table). Two modes:
+  *
+  *  - COMPLETE: each batch is the full table state, published as a version
+  *    with the replay idempotency of [[VersionedTable.completeModePublisher]]
+  *    (re-publishing an already-published batch id is a no-op);
+  *  - APPEND: each batch is a delta, committed O(new data) through
+  *    [[RefTableWrites.appendVersion]] under a `txn:<appId>:<batchId>`
+  *    marker — the EXACTLY-ONCE guarantee holds across driver restarts and
+  *    zombie attempts because the marker check is made against the pinned
+  *    base the commit CAS guards (see [[RefTableWrites.appendVersion]]).
+  *    Empty batches against an existing table are skipped entirely: no
+  *    version churn from no-data triggers (replaying a skipped batch is a
+  *    no-op either way).
+  *
+  * `appId` for the append marker: the `txnAppId` option when set, else the
+  * streaming query id (stable across checkpoint restarts — it is restored
+  * from the checkpoint's metadata file, unlike the per-run runId).
   */
 class RefTableSink(
-    opts: RefTableOptions, keepVersions: Int, partitionColumns: Seq[String])
+    opts: RefTableOptions, keepVersions: Int, partitionColumns: Seq[String],
+    append: Boolean = false, txnAppId: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
-  private val publish =
+  private lazy val publish =
     VersionedTable.completeModePublisher(opts.path, keepVersions, partitionColumns)
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // the declared schema is the write contract, same as it is for reads;
@@ -322,11 +354,28 @@ class RefTableSink(
         s"reftable sink: batch columns ${data.columns.toSeq} do not match the " +
           s"declared schema $declared")
     val batch = org.apache.spark.sql.graft.DatasetBridge.rebatch(data)
-    val stored = opts.schema.fields.foldLeft(batch) { (df, f) =>
-      val s = opts.storageColumn(f.name)
-      if (s == f.name) df else df.withColumnRenamed(f.name, s)
+    if (append) {
+      val appId = txnAppId.orElse(Option(data.sparkSession.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY)))
+        .getOrElse(throw new IllegalStateException(
+          "reftable append sink: no streaming query id on this thread and no 'txnAppId' " +
+            "option — the exactly-once marker needs a restart-stable transaction id"))
+      val conf = new Configuration()
+      // no-data triggers: nothing to commit, nothing to mark (an existing
+      // table stays at its version; a FRESH root still publishes so readers
+      // find an empty table rather than no table)
+      if (batch.isEmpty && VersionedTable.resolve(opts.path, conf).isDefined) return
+      val writeOpts =
+        if (opts.partitionColumns == partitionColumns) opts
+        else opts.copy(partitionColumns = partitionColumns)
+      RefTableWrites.appendVersion(writeOpts, batch, txn = Some((appId, batchId)))
+    } else {
+      val stored = opts.schema.fields.foldLeft(batch) { (df, f) =>
+        val s = opts.storageColumn(f.name)
+        if (s == f.name) df else df.withColumnRenamed(f.name, s)
+      }
+      publish(stored, batchId)
     }
-    publish(stored, batchId)
   }
   override def toString: String = s"RefTableSink(${opts.path})"
 }

@@ -294,16 +294,18 @@ class RefTableWriteSpec extends AnyFunSuite {
     assert(readBack() == Seq(("blue", 2L), ("green", 1L), ("red", 2L)))
     assert(VersionedTable.versionDirs(root, conf).size >= 2)
 
-    // append mode is a delta, not a snapshot: refused at start
+    // update batches carry keyed changes the versioned append cannot merge:
+    // refused at start (append mode has its own sink path, tested below)
     val e = intercept[Exception] {
       spark.readStream.schema("id LONG, color STRING")
         .option("recursiveFileLookup", "true").parquet(in)
+        .groupBy("color").agg(count(lit(1)).as("n"))
         .writeStream.format("reftable").option("path", s"$base/tbl2")
-        .option("schema", "id LONG, color STRING")
+        .option("schema", "color STRING, n BIGINT")
         .option("checkpointLocation", s"$base/ck2")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
     }
-    assert(e.getMessage.contains("complete"), e.getMessage)
+    assert(e.getMessage.contains("update"), e.getMessage)
 
     // a batch that drifts from the declared schema fails loudly
     val e2 = intercept[Exception] {
