@@ -285,19 +285,39 @@ final case class RefTableOptions(
   def isPartitionCol(field: String): Boolean = partitionColumns.contains(field)
 }
 
+/** Batched validation failure with STRUCTURED attribution: `failures` pairs
+  * each message with the offending option name, so an integrating tool (a
+  * pipeline UI, a catalog form) can surface every failure on the field that
+  * caused it — the contract the reference exposes through
+  * `FailureCollector.withConfigProperty`
+  * (TableStreamingSourceConfig.java:116-143). The exception text stays the
+  * batched human-readable form, and the class remains an
+  * IllegalArgumentException so existing handlers keep working.
+  */
+final class RefTableValidationException(val failures: Seq[(String, String)])
+  extends IllegalArgumentException(
+    "Invalid reftable options:\n  " + failures.map(_._2).mkString("\n  "))
+
 object RefTableOptions {
   def from(options: CaseInsensitiveStringMap): RefTableOptions = {
-    val errs = scala.collection.mutable.ListBuffer.empty[String]
+    // every failure carries the OFFENDING OPTION as a structured tag —
+    // the Spark-side analogue of the reference FailureCollector's
+    // `.withConfigProperty(...)` attribution
+    // (TableStreamingSourceConfig.java:116-143): an integrating tool can
+    // route each message to the field that caused it, while the thrown
+    // text stays the batched human-readable form
+    val errs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def err(property: String, message: String): Unit = errs += ((property, message))
 
     val path = Option(options.get("path")).filter(_.nonEmpty)
-    if (path.isEmpty) errs += "Required option 'path' is missing"
+    if (path.isEmpty) err("path", "Required option 'path' is missing")
 
     val schemaStr = Option(options.get("schema")).filter(_.nonEmpty)
     val schema: Option[StructType] = schemaStr match {
-      case None => errs += "Required option 'schema' is missing (the source does not infer schemas)"; None
+      case None => err("schema", "Required option 'schema' is missing (the source does not infer schemas)"); None
       case Some(s) =>
         try Some(SchemaJson.parse(s))
-        catch { case NonFatal(e) => errs += s"Invalid 'schema': ${e.getMessage}"; None }
+        catch { case NonFatal(e) => err("schema", s"Invalid 'schema': ${e.getMessage}"); None }
     }
 
     val rowField = Option(options.get("rowField")).filter(_.nonEmpty)
@@ -306,60 +326,60 @@ object RefTableOptions {
       case (Some(rf), Some(st)) =>
         st.fields.find(_.name == rf) match {
           case None =>
-            errs += s"rowField '$rf' must be a field in the schema"
+            err("rowField", s"rowField '$rf' must be a field in the schema")
           case Some(f) if f.nullable =>
             // reference: TableStreamingSourceConfig.java:138-142
-            errs += s"rowField '$rf' must not be nullable"
+            err("rowField", s"rowField '$rf' must not be nullable")
           case _ => ()
         }
-        if (keyColumn.isEmpty) errs += "Option 'keyColumn' is required when 'rowField' is set"
+        if (keyColumn.isEmpty) err("keyColumn", "Option 'keyColumn' is required when 'rowField' is set")
       case _ => ()
     }
 
     val refreshMs =
       try Durations.parse(Option(options.get("refreshInterval")).getOrElse("1h"))
-      catch { case NonFatal(e) => errs += s"Invalid 'refreshInterval': ${e.getMessage}"; 0L }
+      catch { case NonFatal(e) => err("refreshInterval", s"Invalid 'refreshInterval': ${e.getMessage}"); 0L }
 
     val emitPerTrigger = Option(options.get("emitMode")).getOrElse("refresh") match {
       case "refresh" => false
       case "trigger" => true
-      case other => errs += s"Invalid 'emitMode' '$other': must be 'refresh' or 'trigger'"; false
+      case other => err("emitMode", s"Invalid 'emitMode' '$other': must be 'refresh' or 'trigger'"); false
     }
 
     val genColumn = Option(options.get("genColumn")).filter(_.nonEmpty)
     for (g <- genColumn; st <- schema; if st.fieldNames.contains(g))
-      errs += s"genColumn '$g' collides with a schema field"
+      err("genColumn", s"genColumn '$g' collides with a schema field")
 
     val partitionColumns: Seq[String] = Option(options.get("partitionColumns"))
       .filter(_.nonEmpty).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     if (partitionColumns.distinct.size != partitionColumns.size)
-      errs += "Option 'partitionColumns' lists a column twice"
+      err("partitionColumns", "Option 'partitionColumns' lists a column twice")
     for (pc <- partitionColumns; st <- schema) {
       st.fields.find(_.name == pc) match {
-        case None => errs += s"partition column '$pc' must be a field in the schema"
+        case None => err("partitionColumns", s"partition column '$pc' must be a field in the schema")
         case Some(f) if !RefTablePartitioning.supportedType(f.dataType) =>
-          errs += s"partition column '$pc' has unsupported type ${f.dataType.simpleString}"
+          err("partitionColumns", s"partition column '$pc' has unsupported type ${f.dataType.simpleString}")
         case _ => ()
       }
       if (rowField.contains(pc))
-        errs += s"rowField '$pc' cannot also be a partition column (the key lives in file content)"
+        err("rowField", s"rowField '$pc' cannot also be a partition column (the key lives in file content)")
     }
 
     val maxFiles = Option(options.get("maxFilesPerTrigger")).filter(_.nonEmpty).flatMap { s =>
       try {
         val n = s.trim.toInt
-        if (n <= 0) { errs += s"Invalid 'maxFilesPerTrigger' '$s': must be a positive integer"; None }
+        if (n <= 0) { err("maxFilesPerTrigger", s"Invalid 'maxFilesPerTrigger' '$s': must be a positive integer"); None }
         else Some(n)
       } catch { case _: NumberFormatException =>
-        errs += s"Invalid 'maxFilesPerTrigger' '$s': must be a positive integer"; None }
+        err("maxFilesPerTrigger", s"Invalid 'maxFilesPerTrigger' '$s': must be a positive integer"); None }
     }
     val maxBytes = Option(options.get("maxBytesPerTrigger")).filter(_.nonEmpty).flatMap { s =>
       try {
         val n = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.trim)
-        if (n <= 0) { errs += s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count"; None }
+        if (n <= 0) { err("maxBytesPerTrigger", s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count"); None }
         else Some(n)
       } catch { case NonFatal(_) =>
-        errs += s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count (e.g. '64MB')"; None }
+        err("maxBytesPerTrigger", s"Invalid 'maxBytesPerTrigger' '$s': must be a positive byte count (e.g. '64MB')"); None }
     }
 
     val version = Option(options.get("version")).filter(_.nonEmpty)
@@ -369,15 +389,15 @@ object RefTableOptions {
         case None => default
         case Some(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => s.toBoolean
         case Some(other) =>
-          errs += s"Invalid '$name' '$other': must be true or false"; default
+          err(name, s"Invalid '$name' '$other': must be true or false"); default
       }
     val allowMissing = boolOpt("allowMissingColumns", default = false)
     val statsPruning = boolOpt("statsPruning", default = true)
     val strictSnapshot = boolOpt("strictSnapshot", default = false)
     val groupByPartition = boolOpt("groupByPartition", default = false)
     if (groupByPartition && partitionColumns.isEmpty)
-      errs += "'groupByPartition' requires 'partitionColumns' (it groups the scan " +
-        "into one input partition per partition value for storage-partitioned joins)"
+      err("groupByPartition", "'groupByPartition' requires 'partitionColumns' (it groups the scan " +
+        "into one input partition per partition value for storage-partitioned joins)")
 
     // syntax + attribute validation only (no SparkSession needed here);
     // the full resolve/translate happens at scan construction
@@ -392,14 +412,14 @@ object RefTableOptions {
               if !known.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
         }
         if (unknown.nonEmpty)
-          errs += s"Option 'filter' references unknown column(s): ${unknown.distinct.mkString(", ")}"
-      } catch { case NonFatal(e) => errs += s"Invalid 'filter': ${e.getMessage}" }
+          err("filter", s"Option 'filter' references unknown column(s): ${unknown.distinct.mkString(", ")}")
+      } catch { case NonFatal(e) => err("filter", s"Invalid 'filter': ${e.getMessage}") }
     }
     if (strictSnapshot && (maxFiles.nonEmpty || maxBytes.nonEmpty))
-      errs += "Option 'strictSnapshot' refuses 'maxFilesPerTrigger'/'maxBytesPerTrigger': " +
+      err("strictSnapshot", "Option 'strictSnapshot' refuses 'maxFilesPerTrigger'/'maxBytesPerTrigger': " +
         "a chunked generation recovered after a driver restart is re-emitted from a fresh " +
         "listing (at-least-once within the abandoned generation); run unchunked when the " +
-        "sink demands exact generation determinism"
+        "sink demands exact generation determinism")
 
     def colList(name: String): Seq[String] = Option(options.get(name))
       .filter(_.nonEmpty).toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
@@ -409,50 +429,52 @@ object RefTableOptions {
     val categoricalStats = colList("categoricalStats")
     val bloomStats = colList("bloomStats")
     if (Seq(clusterBy, zorderBy, bucketBy).count(_.nonEmpty) > 1)
-      errs += "Options 'clusterBy', 'zorderBy' and 'bucketBy' are mutually exclusive"
+      err("clusterBy", "Options 'clusterBy', 'zorderBy' and 'bucketBy' are mutually exclusive")
     if ((clusterBy.nonEmpty || zorderBy.nonEmpty || bucketBy.nonEmpty) && partitionColumns.nonEmpty)
-      errs += "Layout options ('clusterBy'/'zorderBy'/'bucketBy') do not combine with 'partitionColumns'"
+      err("clusterBy", "Layout options ('clusterBy'/'zorderBy'/'bucketBy') do not combine with 'partitionColumns'")
     val bucketCount = Option(options.get("bucketCount")).filter(_.nonEmpty) match {
       case None => 16
       case Some(s) =>
         try {
           val n = s.trim.toInt
-          if (n <= 0) { errs += s"Invalid 'bucketCount' '$s': must be a positive integer"; 16 }
+          if (n <= 0) { err("bucketCount", s"Invalid 'bucketCount' '$s': must be a positive integer"); 16 }
           else n
         } catch { case _: NumberFormatException =>
-          errs += s"Invalid 'bucketCount' '$s': must be a positive integer"; 16 }
+          err("bucketCount", s"Invalid 'bucketCount' '$s': must be a positive integer"); 16 }
     }
     for (st <- schema) {
-      (clusterBy ++ zorderBy ++ bucketBy).foreach(c => if (!st.fieldNames.contains(c))
-        errs += s"layout column '$c' must be a field in the schema")
+      Seq("clusterBy" -> clusterBy, "zorderBy" -> zorderBy, "bucketBy" -> bucketBy).foreach {
+        case (opt, cols) => cols.foreach(c => if (!st.fieldNames.contains(c))
+          err(opt, s"layout column '$c' must be a field in the schema"))
+      }
       zorderBy.foreach(c => st.fields.find(_.name == c).foreach { f =>
         f.dataType match {
           case _: org.apache.spark.sql.types.NumericType | DateType | TimestampType => ()
-          case other => errs += s"zorderBy column '$c' must be numeric/date/timestamp, " +
-            s"got ${other.simpleString}"
+          case other => err("zorderBy", s"zorderBy column '$c' must be numeric/date/timestamp, " +
+            s"got ${other.simpleString}")
         }
       })
       categoricalStats.foreach(c => st.fields.find(_.name == c) match {
-        case None => errs += s"categoricalStats column '$c' must be a field in the schema"
+        case None => err("categoricalStats", s"categoricalStats column '$c' must be a field in the schema")
         case Some(f) if f.dataType != StringType =>
-          errs += s"categoricalStats column '$c' must be STRING (value sets are exact " +
-            s"only for strings), got ${f.dataType.simpleString}"
+          err("categoricalStats", s"categoricalStats column '$c' must be STRING (value sets are exact " +
+            s"only for strings), got ${f.dataType.simpleString}")
         case _ => ()
       })
       bloomStats.foreach(c => st.fields.find(_.name == c) match {
-        case None => errs += s"bloomStats column '$c' must be a field in the schema"
+        case None => err("bloomStats", s"bloomStats column '$c' must be a field in the schema")
         case Some(f) => f.dataType match {
           case ByteType | ShortType | IntegerType | LongType | StringType => ()
-          case other => errs += s"bloomStats column '$c' must be integral or string " +
-            s"(point-lookup types), got ${other.simpleString}"
+          case other => err("bloomStats", s"bloomStats column '$c' must be integral or string " +
+            s"(point-lookup types), got ${other.simpleString}")
         }
       })
     }
     val clusterFiles = Option(options.get("clusterFiles")).filter(_.nonEmpty) match {
       case None => 16
       case Some(s) =>
-        try { val n = s.trim.toInt; if (n <= 0) { errs += s"Invalid 'clusterFiles' '$s': must be positive"; 16 } else n }
-        catch { case _: NumberFormatException => errs += s"Invalid 'clusterFiles' '$s': must be a positive integer"; 16 }
+        try { val n = s.trim.toInt; if (n <= 0) { err("clusterFiles", s"Invalid 'clusterFiles' '$s': must be positive"); 16 } else n }
+        catch { case _: NumberFormatException => err("clusterFiles", s"Invalid 'clusterFiles' '$s': must be a positive integer"); 16 }
     }
     val keepVersions = Option(options.get("keepVersions")).filter(_.nonEmpty) match {
       case None => 3
@@ -460,18 +482,18 @@ object RefTableOptions {
         try {
           val n = s.trim.toInt
           if (n < 2) {
-            errs += s"Invalid 'keepVersions' '$s': must be >= 2 (retaining only the current " +
-              "version would delete the previous one under pinned readers)"; 3
+            err("keepVersions", s"Invalid 'keepVersions' '$s': must be >= 2 (retaining only the current " +
+              "version would delete the previous one under pinned readers)"); 3
           } else n
         }
-        catch { case _: NumberFormatException => errs += s"Invalid 'keepVersions' '$s': must be a positive integer"; 3 }
+        catch { case _: NumberFormatException => err("keepVersions", s"Invalid 'keepVersions' '$s': must be a positive integer"); 3 }
     }
 
     def modeOpt(name: String): String = Option(options.get(name)).filter(_.nonEmpty) match {
       case None => "cow"
       case Some(s) if Set("cow", "mergeOnRead").contains(s.trim) => s.trim
       case Some(s) =>
-        errs += s"Invalid '$name' '$s': must be 'cow' or 'mergeOnRead'"; "cow"
+        err(name, s"Invalid '$name' '$s': must be 'cow' or 'mergeOnRead'"); "cow"
     }
     val deleteMode = modeOpt("deleteMode")
     val updateMode = modeOpt("updateMode")
@@ -496,11 +518,11 @@ object RefTableOptions {
       .map(splitSpecs).getOrElse(Nil)
     schema.foreach { sch =>
       hiddenPartitions.foreach(spec =>
-        RefTableTransforms.parse(sch, spec).left.foreach(errs += _))
+        RefTableTransforms.parse(sch, spec).left.foreach(err("hiddenPartitions", _)))
     }
     if (hiddenPartitions.nonEmpty && partitionColumns.nonEmpty)
-      errs += "hiddenPartitions and partitionColumns are mutually exclusive " +
-        "(a layout is either identity-partitioned or transform-partitioned)"
+      err("hiddenPartitions", "hiddenPartitions and partitionColumns are mutually exclusive " +
+        "(a layout is either identity-partitioned or transform-partitioned)")
 
     // changefeed read mode: each micro-batch is the key-level change set
     // between generations instead of the snapshot
@@ -508,28 +530,28 @@ object RefTableOptions {
     val keyColumns = colList("keyColumns")
     if (changefeed) {
       if (keyColumns.isEmpty)
-        errs += "'changefeed' requires 'keyColumns' (comma-separated key columns " +
-          "for insert/update/delete classification)"
+        err("changefeed", "'changefeed' requires 'keyColumns' (comma-separated key columns " +
+          "for insert/update/delete classification)")
       for (k <- keyColumns; st <- schema; if !st.fieldNames.contains(k))
-        errs += s"keyColumns column '$k' must be a field in the schema"
+        err("keyColumns", s"keyColumns column '$k' must be a field in the schema")
       for (st <- schema; if st.fieldNames.contains("change_type"))
-        errs += "'changefeed' reserves the output column name 'change_type'; " +
-          "rename the schema field"
+        err("changefeed", "'changefeed' reserves the output column name 'change_type'; " +
+          "rename the schema field")
       if (genColumn.contains("change_type"))
-        errs += "'changefeed' reserves the column name 'change_type' (genColumn collides)"
+        err("changefeed", "'changefeed' reserves the column name 'change_type' (genColumn collides)")
       if (emitPerTrigger)
-        errs += "'changefeed' requires emitMode=refresh: re-emitting a delta every " +
-          "trigger would duplicate changes"
+        err("changefeed", "'changefeed' requires emitMode=refresh: re-emitting a delta every " +
+          "trigger would duplicate changes")
       if (maxFiles.nonEmpty || maxBytes.nonEmpty)
-        errs += "'changefeed' does not combine with maxFilesPerTrigger/maxBytesPerTrigger: " +
-          "a generation's delta is one unit"
+        err("changefeed", "'changefeed' does not combine with maxFilesPerTrigger/maxBytesPerTrigger: " +
+          "a generation's delta is one unit")
       if (version.nonEmpty)
-        errs += "'changefeed' cannot read a pinned 'version': a pinned snapshot never changes"
+        err("changefeed", "'changefeed' cannot read a pinned 'version': a pinned snapshot never changes")
     } else if (keyColumns.nonEmpty) {
       // standalone keyColumns = the table's DECLARED merge key (consumed by
       // the catalog's `t$changefeed` suffix); validate membership up front
       for (k <- keyColumns; st <- schema; if !st.fieldNames.contains(k))
-        errs += s"keyColumns column '$k' must be a field in the schema"
+        err("keyColumns", s"keyColumns column '$k' must be a field in the schema")
     }
 
     // column mapping (logical -> physical storage name), the descriptor-only
@@ -539,30 +561,29 @@ object RefTableOptions {
         _.split(',').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { e =>
           val i = e.indexOf(':')
           if (i <= 0 || i == e.length - 1) {
-            errs += s"Invalid 'columnMapping' entry '$e': expected 'logical:physical'"
+            err("columnMapping", s"Invalid 'columnMapping' entry '$e': expected 'logical:physical'")
             None
           } else Some(e.substring(0, i).trim -> e.substring(i + 1).trim)
         }.toMap
       }.getOrElse(Map.empty)
     for ((l, _) <- columnMapping; st <- schema) {
       if (!st.fieldNames.contains(l))
-        errs += s"columnMapping key '$l' must be a field in the schema"
+        err("columnMapping", s"columnMapping key '$l' must be a field in the schema")
       if (rowField.contains(l))
-        errs += s"columnMapping cannot remap rowField '$l' (keyColumn already names its storage)"
+        err("columnMapping", s"columnMapping cannot remap rowField '$l' (keyColumn already names its storage)")
     }
     for (pc <- partitionColumns; if columnMapping.contains(pc))
-      errs += s"columnMapping cannot remap partition column '$pc': directory names carry " +
-        "the physical name, so renaming a partition column requires a rewrite"
+      err("columnMapping", s"columnMapping cannot remap partition column '$pc': directory names carry " +
+        "the physical name, so renaming a partition column requires a rewrite")
     for (st <- schema) {
       val storages = st.fieldNames.map(n =>
         if (rowField.contains(n)) keyColumn.getOrElse(n) else columnMapping.getOrElse(n, n))
       if (storages.distinct.length != storages.length)
-        errs += "columnMapping produces duplicate storage columns " +
-          s"(${storages.mkString(", ")})"
+        err("columnMapping", "columnMapping produces duplicate storage columns " +
+          s"(${storages.mkString(", ")})")
     }
 
-    if (errs.nonEmpty)
-      throw new IllegalArgumentException("Invalid reftable options:\n  " + errs.mkString("\n  "))
+    if (errs.nonEmpty) throw new RefTableValidationException(errs.toList)
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,

@@ -193,4 +193,38 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SchemaJson.parse("""{"type":"record","name":"r","fields":[{"name":"x","type":"matrix"}]}"""))
   }
+
+  // reference: FailureCollector attribution — every failure is tagged with
+  // the offending config property (TableStreamingSourceConfig.java:116-143
+  // `.withConfigProperty(...)`), so an integrating tool can route messages
+  // to fields. The batched human-readable text is unchanged.
+  test("validation failures carry structured (option -> message) attribution") {
+    import graft.sources.reftable.RefTableValidationException
+    def failuresOf(kv: (String, String)*): Seq[(String, String)] =
+      intercept[RefTableValidationException](RefTableOptions.from(opts(kv: _*))).failures
+
+    // the reference's own negative cases, one property each
+    assert(failuresOf("rowField" -> "nope", "keyColumn" -> "id")
+      .map(_._1) == Seq("rowField"))
+    assert(failuresOf("refreshInterval" -> "five minutes")
+      .map(_._1) == Seq("refreshInterval"))
+    val m = new CaseInsensitiveStringMap(Map("schema" -> baseSchema).asJava)
+    assert(intercept[RefTableValidationException](RefTableOptions.from(m))
+      .failures.map(_._1) == Seq("path"))
+
+    // several failures batch, each tagged with ITS property, order preserved
+    val many = failuresOf(
+      "rowField" -> "nope", "keyColumn" -> "id",
+      "refreshInterval" -> "1 hr", "keepVersions" -> "0")
+    assert(many.map(_._1) == Seq("rowField", "refreshInterval", "keepVersions"))
+    assert(many.forall { case (p, msg) => msg.toLowerCase.contains(p.toLowerCase) })
+
+    // the thrown text remains the batched form existing handlers parse
+    val e = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("rowField" -> "nope", "keyColumn" -> "id",
+        "refreshInterval" -> "1 hr"))
+    }
+    assert(e.getMessage.startsWith("Invalid reftable options:"))
+    assert(e.getMessage.contains("rowField") && e.getMessage.contains("refreshInterval"))
+  }
 }
