@@ -64,15 +64,33 @@ object SnapshotFiles {
               SnapshotFile(s"$qualifiedRoot/${e.rel}", e.len, e.pv)).sortBy(_.path),
             resolved, conf)
         }
+      // a version dir (manifest-less legacy version): walk unbounded — the
+      // dir is immutable, so the cost is per-version, not per-refresh
+      return listPhysical(resolved, partitionColumns)
     }
-    listPhysical(resolved, partitionColumns)
+    // BARE root: every streaming refresh re-walks the whole layout on the
+    // driver, so a many-partition bare dir is a standing per-refresh stall
+    // — refuse past the limit and name the remedy (adopt migrates the
+    // layout into a versioned root whose manifest lists in one read)
+    listPhysical(resolved, partitionColumns, bareDirLimit = Some(bareHiveDirLimit))
   }
+
+  /** Max partition directories a BARE (un-adopted) Hive layout may hold
+    * before listings refuse and point at [[VersionedTable.adopt]].
+    * Overridable for tests and unusual deployments via the system property
+    * `graft.reftable.bareHiveDirLimit`.
+    */
+  private def bareHiveDirLimit: Int =
+    Option(System.getProperty("graft.reftable.bareHiveDirLimit"))
+      .flatMap(_.toIntOption).getOrElse(4096)
 
   /** Physical directory listing (flat or Hive-partitioned walk) — the
     * chain-base path of manifest resolution, and every pre-manifest
-    * version.
+    * version. `bareDirLimit` bounds the partition-directory walk for BARE
+    * roots (see [[list]]): exceeded → refuse with the adopt remedy.
     */
-  def listPhysical(resolved: String, partitionColumns: Seq[String]): Seq[SnapshotFile] = {
+  def listPhysical(resolved: String, partitionColumns: Seq[String],
+      bareDirLimit: Option[Int] = None): Seq[SnapshotFile] = {
     val conf = new Configuration()
     val p = new Path(resolved)
     val fs = p.getFileSystem(conf)
@@ -89,8 +107,10 @@ object SnapshotFiles {
     } else {
       // Hive layout: one directory level per partition column, in option
       // order; values decoded from `col=value` names. One recursive listing
-      // per refresh on the driver — at many-partition scale swap for a
-      // manifest/catalog listing, the contract downstream stays the same.
+      // per refresh on the driver — bounded for BARE roots by bareDirLimit,
+      // because a bare layout re-walks EVERY refresh (a versioned root
+      // reads one manifest instead; see VersionedTable.adopt).
+      var dirsSeen = 0
       def walk(d: Path, depth: Int, acc: Map[String, String]): Seq[SnapshotFile] =
         if (depth == partitionColumns.size) {
           fs.listStatus(d).toIndexedSeq
@@ -101,6 +121,15 @@ object SnapshotFiles {
             .filter(s => s.isDirectory &&
               !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
             .flatMap { s =>
+              dirsSeen += 1
+              for (limit <- bareDirLimit; if dirsSeen > limit)
+                throw new IllegalStateException(
+                  s"reftable: bare Hive layout at $resolved exceeds $limit partition " +
+                    "directories — every streaming refresh re-walks the whole layout on " +
+                    "the driver. Run VersionedTable.adopt(root, partitionColumns) once " +
+                    "(readers and writers quiesced) to migrate it into a versioned root " +
+                    "whose file manifest lists in one read; " +
+                    "graft.reftable.bareHiveDirLimit overrides the threshold.")
               val name = s.getPath.getName
               val eq = name.indexOf('=')
               if (eq < 0 || RefTablePartitioning.unescape(name.substring(0, eq)) != partitionColumns(depth))

@@ -974,7 +974,7 @@ object VersionedTable {
     * which is why it is an explicit operation and not an implicit side
     * effect of publishing). Returns the created version name.
     */
-  def adopt(root: String): String = {
+  def adopt(root: String, partitionColumns: Seq[String] = Nil): String = {
     val conf = new Configuration()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -986,6 +986,14 @@ object VersionedTable {
     val versionDir = new Path(rootPath, name)
     fs.mkdirs(versionDir)
     entries.foreach(e => fc(conf).rename(e, new Path(versionDir, e.getName)))
+    // ONE final physical walk, materialized: the adopted version carries a
+    // file manifest (and skipping stats), so every later resolution —
+    // batch scans and each streaming refresh — is a single manifest read,
+    // never a directory walk. This is the remedy the bare-layout listing
+    // limit points at (SnapshotFiles.list); pass partitionColumns for
+    // Hive layouts so the manifest records the nesting.
+    RefTableFileManifest.writeFull(versionDir, partitionColumns, conf)
+    RefTableStats.writeManifest(versionDir.toString, conf)
     // expect-fresh CAS: two racing adopters move files twice anyway (run
     // with readers AND writers quiesced, as documented), but at least the
     // second cannot silently shadow the first's commit

@@ -212,4 +212,47 @@ class RefTableMaintenanceSpec extends AnyFunSuite {
     assert(parseLayoutMarker("layout=bucket:id:NaNbuckets").isEmpty)
     assert(parseLayoutMarker("layout=wat:a").isEmpty)
   }
+
+  test("bare Hive layout past the dir limit refuses with the adopt remedy; adopt fixes it") {
+    import spark.implicits._
+    val root = tmpDir("barelimit")
+    (0 until 12).map(i => (i.toLong, i % 12)).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    val prev = System.getProperty("graft.reftable.bareHiveDirLimit")
+    System.setProperty("graft.reftable.bareHiveDirLimit", "8")
+    try {
+      // bare root above the limit: every streaming refresh would re-walk
+      // the layout on the driver — refused, remedy named
+      val e = intercept[IllegalStateException] {
+        SnapshotFiles.list(root, Seq("p"))
+      }
+      assert(e.getMessage.contains("adopt"), e.getMessage)
+
+      // adopt migrates it into a versioned root WITH a materialized file
+      // manifest: later listings are one manifest read, no walk — so the
+      // limit no longer applies and partition values survive
+      val v = VersionedTable.adopt(root, Seq("p"))
+      assert(new java.io.File(new java.io.File(root, v), "_FILES.json").exists(),
+        "adopt must materialize the file manifest")
+      val files = SnapshotFiles.list(root, Seq("p"))
+      assert(files.size == 12)
+      assert(files.flatMap(_.partitionValues.get("p")).map(_.toInt).sorted == (0 until 12))
+
+      // and the adopted root streams: one generation, all rows
+      val df = spark.readStream.format("reftable")
+        .option("path", root)
+        .option("schema", "id BIGINT, p INT")
+        .option("partitionColumns", "p")
+        .option("refreshInterval", "1h")
+        .load()
+      val name = "mem_adopt_" + System.nanoTime()
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir("barelimit_ck")).start()
+      q.processAllAvailable(); q.stop()
+      assert(spark.table(name).count() == 12)
+    } finally {
+      if (prev == null) System.clearProperty("graft.reftable.bareHiveDirLimit")
+      else System.setProperty("graft.reftable.bareHiveDirLimit", prev)
+    }
+  }
 }
