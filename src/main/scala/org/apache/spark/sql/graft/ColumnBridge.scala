@@ -32,6 +32,15 @@ object DatasetBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The last micro-batch's executed physical plan of a running streaming
+    * query (`StreamingQueryWrapper.lastExecution` is private[sql]) — how
+    * the Plans audit dumps the per-batch plan of streaming sources.
+    */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+
   def rebatch(data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
       : org.apache.spark.sql.DataFrame = {
     val classic = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
