@@ -975,6 +975,80 @@ object StreamingOps {
           min("event_id").as("lo"), max("event_id").as("hi"))
     }, Some(
       """SELECT count(*) AS n, round(sum(value), 4) AS total,
-        |  min(event_id) AS lo, max(event_id) AS hi FROM events""".stripMargin))
+        |  min(event_id) AS lo, max(event_id) AS hi FROM events""".stripMargin)),
+
+    // THE FULL INCREMENTAL ETL LOOP, table to table: the changefeed SOURCE
+    // (q169's one-option delta mode) piped into the exactly-once APPEND
+    // sink (q173) materializes a CDC LOG table — each generation's
+    // insert/update/delete rows land as one O(changes) commit under the
+    // sink's txn marker, no foreachBatch, no driver-side rows. This is
+    // the 100 TB shape for derived-table maintenance: per refresh, work
+    // and commit are O(day's churn), never O(corpus), and a restart
+    // replays nothing (source generations are checkpointed offsets; sink
+    // batches are marker-deduped). The oracle recomputes bootstrap +
+    // delta from the two states directly.
+    QueryDef("q174_cdc_log_pipeline", (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.reftable.VersionedTable
+      val rootA = RelationalSupport.scratchDir(s, dir, "q174_src")
+      val rootB = RelationalSupport.scratchDir(s, dir, "q174_log")
+      val base = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val state2 = base.filter(col("s_suppkey") % 7 =!= 0)
+        .withColumn("s_nationkey", when(col("s_suppkey") % 5 === 0,
+          col("s_nationkey") + 100).otherwise(col("s_nationkey")))
+        .unionAll(base.filter(col("s_suppkey") % 11 === 0)
+          .select((col("s_suppkey") + 90000L).as("s_suppkey"), col("s_nationkey")))
+      VersionedTable.publish(base, rootA)
+      val df = s.readStream.format("reftable")
+        .option("path", rootA)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT")
+        .option("changefeed", "true").option("keyColumns", "s_suppkey")
+        .option("refreshInterval", "1s")
+        .load()
+      val q = df.writeStream.format("reftable")
+        .option("path", rootB)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT, change_type STRING")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_cdclog_ck_").toString)
+        .outputMode("append")
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable() // bootstrap generation lands as inserts
+      VersionedTable.publish(state2, rootA)
+      Thread.sleep(1300) // cross the 1s refresh boundary
+      q.processAllAvailable() // the delta generation appends
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      s.read.format("reftable")
+        .option("path", rootB)
+        .option("schema", "s_suppkey BIGINT, s_nationkey INT, change_type STRING")
+        .load()
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), sum("s_suppkey").as("key_sum"),
+          sum("s_nationkey").as("nat_sum"))
+        .orderBy("change_type")
+    }, Some(
+      """WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier),
+        |s2 AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_nationkey + 100 ELSE s_nationkey END AS s_nationkey
+        |  FROM base WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 90000, s_nationkey FROM base WHERE s_suppkey % 11 = 0),
+        |log AS (
+        |  SELECT s_suppkey, s_nationkey, 'insert' AS change_type FROM base
+        |  UNION ALL
+        |  SELECT a.s_suppkey, a.s_nationkey, 'insert'
+        |  FROM s2 a LEFT JOIN base b USING (s_suppkey) WHERE b.s_suppkey IS NULL
+        |  UNION ALL
+        |  SELECT b.s_suppkey, b.s_nationkey, 'delete'
+        |  FROM base b LEFT JOIN s2 a USING (s_suppkey) WHERE a.s_suppkey IS NULL
+        |  UNION ALL
+        |  SELECT a.s_suppkey, a.s_nationkey, 'update'
+        |  FROM base b JOIN s2 a USING (s_suppkey) WHERE b.s_nationkey <> a.s_nationkey)
+        |SELECT change_type, count(*) AS n,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(s_nationkey) AS BIGINT) AS nat_sum
+        |FROM log GROUP BY change_type ORDER BY change_type""".stripMargin))
   )
 }
