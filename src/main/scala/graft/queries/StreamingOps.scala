@@ -59,7 +59,7 @@ object StreamingOps {
     * overhead — size to the data and restore afterwards. A production job
     * sizes this once to its own key cardinality before the first run.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+  private[queries] def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -74,7 +74,7 @@ object StreamingOps {
     * itself lives once, in [[Tables.tsNormalizeSql]] — shared with the batch
     * loader so the two paths cannot skew.
     */
-  private def tsEncoding(s: SparkSession, dir: String): (DataType, String) = {
+  private[queries] def tsEncoding(s: SparkSession, dir: String): (DataType, String) = {
     Tables.enableNanosAsLong(s)
     val t = s.read.parquet(Tables.path(dir, "events")).schema("ts").dataType
     (t, Tables.tsNormalizeSql("ts", t))
@@ -113,7 +113,7 @@ object StreamingOps {
     }
   }
 
-  private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+  private[queries] def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))

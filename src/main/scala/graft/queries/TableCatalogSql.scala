@@ -443,6 +443,59 @@ object TableCatalogSql {
         |  FROM lineitem WHERE l_linenumber = 2)
         |SELECT k % 7 AS g, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total,
         |  max(k) AS hi
-        |FROM w WHERE k >= 100 GROUP BY 1 ORDER BY g""".stripMargin))
+        |FROM w WHERE k >= 100 GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // STREAMING WRITE INTO A CATALOG TABLE — `writeStream.toTable` through
+    // the DSv2 STREAMING_WRITE path (RefTableStreamingWrite): executors
+    // write their partitions of each epoch straight to parquet in epoch
+    // staging, the driver publishes from commit MESSAGES (paths + lengths
+    // only — no row crosses the driver), and the txn:<queryId>:<epoch>
+    // marker makes replays exactly-once. The harness forces one: the
+    // checkpoint's last commit record is deleted, the restarted engine
+    // re-runs that epoch, and the marker lands nothing. Oracle = the
+    // batch projection of events.
+    QueryDef("q175_stream_to_table", (s, dir) => StreamingOps.withShufflePartitions(s, 8) {
+      import java.nio.file.Files
+      val wh = RelationalSupport.scratchDir(s, dir, "q175_cat")
+      val cat = "graftsw_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.evlog")
+      s.sql(s"CREATE TABLE $cat.db.evlog " +
+        "(event_id BIGINT, user_id BIGINT, value DOUBLE) USING reftable")
+      val streamDir = Files.createTempDirectory("graft_swtab_in_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val (tsType, _) = StreamingOps.tsEncoding(s, dir)
+      val ck = Files.createTempDirectory("graft_swtab_ck_").toString
+      def drain(): Unit = {
+        val q = s.readStream.schema(StreamingOps.eventsSchema(tsType))
+          .parquet(streamDir.toString)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.db.evlog")
+        val t0 = System.nanoTime()
+        q.awaitTermination(120000)
+        graft.BenchProbe.addDrain(System.nanoTime() - t0)
+        q.stop()
+      }
+      drain()
+      val commits = new java.io.File(s"$ck/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      commits.lastOption.foreach { c =>
+        c.delete()
+        new java.io.File(c.getParentFile, "." + c.getName + ".crc").delete()
+      }
+      drain() // replays the epoch; the marker must swallow it
+      s.sql(s"SELECT count(*) AS n, round(sum(value), 4) AS total, " +
+        s"min(event_id) AS lo, max(event_id) AS hi FROM $cat.db.evlog")
+    }, Some(
+      """SELECT count(*) AS n, round(sum(value), 4) AS total,
+        |  min(event_id) AS lo, max(event_id) AS hi FROM events""".stripMargin))
   )
 }

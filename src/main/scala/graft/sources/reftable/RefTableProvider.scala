@@ -171,9 +171,12 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
   // BATCH_WRITE is required by the DataFrameWriter.save() capability gate
   // even though the produced Write is a V1Write fallback; V1_BATCH_WRITE is
   // what routes the physical plan through the InsertableRelation.
+  // STREAMING_WRITE serves `writeStream.toTable(...)` through the DSv2
+  // path (RefTableStreamingWrite) — catalog tables have no V1 fallback.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
   /** Read-side option keys a `spark.read/readStream.option(...).table(t)`

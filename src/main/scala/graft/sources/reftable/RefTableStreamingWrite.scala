@@ -1,0 +1,260 @@
+package graft.sources.reftable
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types._
+
+/** DSv2 STREAMING write for reftable catalog tables —
+  * `df.writeStream.toTable("graft.db.t")`.
+  *
+  * The V1 sink ([[RefTableSink]]) covers the format-based surface
+  * (`writeStream.format("reftable")` + explicit path/schema); catalog
+  * tables resolve through the DSv2 write path, which has no V1 fallback,
+  * so this is the properly DISTRIBUTED implementation of the same two
+  * modes:
+  *
+  *  - executors write their partitions of each micro-batch straight to
+  *    parquet under an ignored `.streaming-<queryId>/<epochId>/` staging
+  *    dir inside the table root (one [[EpochWriter]] per task; Hive
+  *    `col=value` sub-dirs for partitioned tables, partition columns
+  *    projected OUT of file content exactly like the batch writer);
+  *  - each writer's commit message carries ONLY (relative path, length,
+  *    partition values) — no row ever reaches the driver;
+  *  - the driver's `commit(epochId, messages)` MOVES the staged files into
+  *    a version (rename, no copy — staging lives inside the root for this
+  *    reason) and publishes:
+  *    append mode → an O(new data) version via the by-reference manifest
+  *    delta under the `txn:<appId>:<epochId>` marker, the same
+  *    pinned-base CAS discipline as [[RefTableWrites.appendVersion]]
+  *    (pin base → check [[RefTableWrites.lastCommittedBatch]] → publish
+  *    requiring that base), so restart/zombie replays land EXACTLY ONCE;
+  *    complete mode (engine calls `truncate()` on the builder) → the
+  *    epoch's files become the FULL next version, same marker dedup.
+  *
+  * `appId` is the streaming query id (stable across checkpoint restarts;
+  * `LogicalWriteInfo.queryId`), overridable via the `txnAppId` write
+  * option. Empty epochs against an existing table commit nothing.
+  */
+class RefTableStreamingWrite(
+    opts: RefTableOptions, truncate: Boolean, appId: String)
+    extends StreamingWrite {
+
+  require(opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty,
+    "reftable streaming write: clusterBy/zorderBy/bucketBy layouts are GLOBAL " +
+      "properties that re-cluster per commit; maintain them with batch INSERT " +
+      "or RefTableMaintenance")
+
+  private val stagingRoot = s"${opts.path}/.streaming-$appId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // file content carries STORAGE names minus partition columns; rows
+    // arrive in declared-schema order
+    val storageFields = opts.schema.fields.map(f =>
+      f.copy(name = opts.storageColumn(f.name)))
+    RefTableWriterFactory(
+      stagingRoot, StructType(storageFields), opts.partitionColumns.toList)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val staged = messages.toSeq.collect { case m: StagedEpochFiles => m.files }.flatten
+    val epochDir = new Path(s"$stagingRoot/$epochId")
+    val fs = epochDir.getFileSystem(conf)
+    def cleanup(): Unit = { fs.delete(epochDir, true); () }
+    // COPY, not rename: a lost commit CAS deletes the attempt's version
+    // staging dir — with renamed files the epoch's data would be gone and
+    // the retry would have nothing to publish. The epoch dir stays the
+    // durable source until the commit lands; cleanup() removes it after.
+    def move(staging: Path): Unit = staged.foreach { f =>
+      val dst = new Path(staging, f.rel)
+      fs.mkdirs(dst.getParent)
+      if (!org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(epochDir, f.rel), fs, dst, false, conf))
+        throw new java.io.IOException(s"failed to stage ${f.rel} into $staging")
+    }
+    if (staged.isEmpty && VersionedTable.resolve(opts.path, conf).isDefined) {
+      cleanup(); return // no-data trigger: no commit, no version churn
+    }
+    val marker = Some(s"txn:$appId:$epochId")
+    VersionedTable.withConflictRetry(opts.path) { () =>
+      // pin base FIRST, then the marker check, then CAS on that base —
+      // the ordering that makes check-then-commit unsplittable (see
+      // RefTableWrites.appendVersion)
+      val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
+      if (RefTableWrites.lastCommittedBatch(opts.path, appId, conf).exists(_ >= epochId)) {
+        () // replayed epoch: already committed
+      } else if (truncate || base.isEmpty) {
+        // complete mode (or the first version): the epoch IS the table
+        VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
+          parent = base, requireBase = true,
+          manifestPartitionCols = opts.partitionColumns) { staging => move(staging) }
+        ()
+      } else {
+        VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
+          parent = base, requireBase = true) { staging =>
+          move(staging)
+          RefTableFileManifest.writeDelta(opts.path, staging, base.get, Set.empty,
+            opts.partitionColumns, conf)
+        }
+        ()
+      }
+    }
+    cleanup()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val epochDir = new Path(s"$stagingRoot/$epochId")
+    epochDir.getFileSystem(conf).delete(epochDir, true)
+    ()
+  }
+
+  override def toString: String = s"RefTableStreamingWrite(${opts.path})"
+}
+
+/** One staged file: version-relative path, byte length, partition values
+  * (raw directory strings, the same form the listing decodes).
+  */
+final case class StagedFile(rel: String, len: Long, pv: Map[String, String])
+
+final case class StagedEpochFiles(files: Seq[StagedFile]) extends WriterCommitMessage
+
+/** Serializable per-task writer factory. `schema` carries STORAGE names
+  * in declared order (partition columns included — they are projected out
+  * of file content but read from the row for directory routing).
+  */
+final case class RefTableWriterFactory(
+    stagingRoot: String, schema: StructType, partitionColumns: List[String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new EpochWriter(s"$stagingRoot/$epochId", schema, partitionColumns,
+      f"part-$partitionId%05d-$taskId")
+}
+
+/** Executor-side parquet writer for one task of one epoch. Rows split by
+  * partition value into `col=value` sub-dirs (one open parquet writer per
+  * value seen — the standard dynamic-partition memory caveat applies);
+  * file content excludes partition columns. Timestamps are written as
+  * INT64 micros with CORRECTED rebase, matching every other reftable
+  * write path ([[VersionedTable.writeParquetMicros]]).
+  */
+final class EpochWriter(
+    epochDir: String, schema: StructType, partitionColumns: List[String],
+    filePrefix: String)
+    extends DataWriter[InternalRow] {
+
+  private val conf = {
+    val c = new Configuration()
+    // ParquetWriteSupport.init / SparkToParquetSchemaConverter read these
+    // from the hadoop conf with no defaults (Spark's own writer sets them
+    // in prepareWrite) — TIMESTAMP_MICROS + CORRECTED to match every
+    // other reftable write path
+    c.set("spark.sql.parquet.writeLegacyFormat", "false")
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    c
+  }
+  private val partIdx = partitionColumns.map(schema.fieldIndex)
+  private val dataIdx = schema.fields.indices.filterNot(partIdx.contains)
+  private val dataSchema = StructType(dataIdx.map(schema.fields))
+  private val project = UnsafeProjection.create(
+    dataIdx.map(i => BoundReference(i, schema(i).dataType, schema(i).nullable)
+      : org.apache.spark.sql.catalyst.expressions.Expression))
+  ParquetWriteSupport.setSchema(dataSchema, conf)
+
+  private val writers =
+    mutable.Map.empty[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  private val written = mutable.ListBuffer.empty[(String, Map[String, String])]
+
+  private class RowBuilder(file: org.apache.parquet.io.OutputFile)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, RowBuilder](file) {
+    override def self(): RowBuilder = this
+    override def getWriteSupport(c: Configuration) = new ParquetWriteSupport
+  }
+
+  /** Spark's escapePathName rendering of one partition value, so the
+    * reader's `unescape` (its exact inverse) and Spark's own partitioned
+    * reads both decode the directories this writer lays down.
+    */
+  private def render(i: Int, row: InternalRow): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (row.isNullAt(i)) return RefTablePartitioning.HiveDefaultPartition
+    schema(i).dataType match {
+      case StringType => ExternalCatalogUtils.escapePathName(row.getUTF8String(i).toString)
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case TimestampType | TimestampNTZType =>
+        // inverse of RefTablePartitioning.timestampMicros: wall-clock in
+        // the JVM default zone (instant) / UTC (ntz), space separator
+        val micros = row.getLong(i)
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        val ldt =
+          if (schema(i).dataType == TimestampNTZType)
+            java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+          else java.time.LocalDateTime.ofInstant(inst, java.time.ZoneId.systemDefault())
+        val s = ldt.toString.replace('T', ' ')
+        ExternalCatalogUtils.escapePathName(if (s.length == 16) s + ":00" else s)
+      case other => throw new UnsupportedOperationException(
+        s"streaming write: unsupported partition type ${other.simpleString}")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val dir = partitionColumns.indices
+      .map(j => s"${partitionColumns(j)}=${render(partIdx(j), row)}")
+      .mkString("/")
+    val w = writers.getOrElseUpdate(dir, {
+      val rel = (if (dir.isEmpty) "" else dir + "/") +
+        s"$filePrefix-${writers.size}.parquet"
+      val pv = partitionColumns.indices
+        .map(j => partitionColumns(j) ->
+          RefTablePartitioning.unescape(render(partIdx(j), row))).toMap
+      written += ((rel, pv))
+      val p = new Path(s"$epochDir/$rel")
+      new RowBuilder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(p, conf))
+        .withConf(conf)
+        .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+    })
+    w.write(project(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    val fs = new Path(epochDir).getFileSystem(conf)
+    StagedEpochFiles(written.toSeq.map { case (rel, pv) =>
+      StagedFile(rel, fs.getFileStatus(new Path(s"$epochDir/$rel")).getLen, pv)
+    })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    val fs = new Path(epochDir).getFileSystem(conf)
+    written.foreach { case (rel, _) =>
+      try fs.delete(new Path(s"$epochDir/$rel"), false)
+      catch { case _: Throwable => () }
+    }
+    ()
+  }
+
+  override def close(): Unit = ()
+}

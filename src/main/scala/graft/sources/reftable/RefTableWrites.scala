@@ -383,7 +383,8 @@ class RefTableSink(
 class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   // SaveMode.Overwrite / INSERT OVERWRITE arrive as truncate() on the
-  // builder; the InsertableRelation flag covers older fallback call sites
+  // builder — and so does streaming COMPLETE mode (the engine truncates
+  // per epoch); the InsertableRelation flag covers older fallback sites
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
   override def build(): Write = new V1Write {
@@ -391,6 +392,27 @@ class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
       override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
         RefTableWrites.insert(opts, data, truncateAll || overwrite,
           overwriteMode = Option(info.options.get("partitionOverwriteMode")))
+    }
+    // `writeStream.toTable(...)` AND `writeStream.format("reftable")` (the
+    // engine prefers DSv2 once STREAMING_WRITE is declared): appId = the
+    // checkpoint-stable streaming query id, overridable per write
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (opts.version.nonEmpty || opts.genColumn.nonEmpty)
+        throw new UnsupportedOperationException(
+          "reftable: a version-pinned or genColumn relation is read-only")
+      // the declared schema is the write contract, same as for reads — a
+      // drifted stream must fail loudly here, not write a positional
+      // "fix" (the engine passes the QUERY's schema; catalog tables are
+      // name-checked at analysis, format-path writes are not)
+      val declared = opts.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val incoming = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+      if (incoming != declared)
+        throw new IllegalStateException(
+          s"reftable sink: stream columns ${incoming.map(_._1).mkString("[", ", ", "]")} " +
+            s"do not match the declared schema ${declared.map(_._1).mkString("[", ", ", "]")}")
+      val appId = Option(info.options.get("txnAppId")).filter(_.nonEmpty)
+        .getOrElse(info.queryId())
+      new RefTableStreamingWrite(opts, truncateAll, appId)
     }
   }
 }

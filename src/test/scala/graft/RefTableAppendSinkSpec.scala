@@ -125,6 +125,35 @@ class RefTableAppendSinkSpec extends AnyFunSuite {
     assert(RefTableWrites.lastCommittedBatch(root, "app") == Some(5L))
   }
 
+  test("concurrent UNMARKED appends all land exactly once (serialized by the CAS)") {
+    import spark.implicits._
+    val root = tmpDir("mixed")
+    RefTableWrites.appendVersion(opts(root), Seq((0L, "seed")).toDF("id", "name"))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => RefTableWrites.appendVersion(
+        opts(root), Seq((i.toLong, s"t$i")).toDF("id", "name")))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(readBack(root) == Seq((0L, "seed"), (1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4")),
+      "every concurrent append lands, none lost, none duplicated")
+  }
+
+  test("vacuum over an append-manifest chain keeps every referenced file readable") {
+    import spark.implicits._
+    val root = tmpDir("vac")
+    val o = opts(root, "keepVersions" -> "2")
+    (0 to 4).foreach { b =>
+      RefTableWrites.appendVersion(o, Seq((b.toLong, s"n$b")).toDF("id", "name"),
+        txn = Some(("app", b.toLong)))
+    }
+    // each version's manifest references earlier versions' files by name;
+    // vacuum must treat the retained manifests' closure as the root set
+    VersionedTable.vacuum(root, keepVersions = 2)
+    assert(readBack(root) == (0 to 4).map(b => (b.toLong, s"n$b")),
+      "vacuum after an append chain must not collect referenced host dirs")
+    assert(RefTableWrites.lastCommittedBatch(root, "app") == Some(4L))
+  }
+
   test("append sink end-to-end: batches across drains, forced replay lands nothing") {
     val base = Files.createTempDirectory("graft_asink_e2e_")
     val in = s"$base/in"
@@ -176,18 +205,21 @@ class RefTableAppendSinkSpec extends AnyFunSuite {
     assert(nVersions(root) == nBefore)
   }
 
-  test("append sink honors partitionBy and layout options are refused") {
+  test("append sink honors partitionColumns and layout options are refused") {
     val base = Files.createTempDirectory("graft_asink_part_")
     val in = s"$base/in"
     val root = s"$base/tbl"
     import spark.implicits._
     Seq((1L, "red"), (2L, "blue")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f0")
+    // the partitionColumns OPTION is the layout surface (reads declare it
+    // the same way); writer-side partitionBy is a V1-sink concept the
+    // DSv2 streaming path never sees
     val q = spark.readStream.schema("id LONG, name STRING")
       .option("recursiveFileLookup", "true").parquet(in)
       .writeStream.format("reftable")
       .option("path", root).option("schema", ddl)
+      .option("partitionColumns", "name")
       .option("checkpointLocation", s"$base/ck")
-      .partitionBy("name")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -202,14 +234,16 @@ class RefTableAppendSinkSpec extends AnyFunSuite {
     assert(new java.io.File(v).listFiles().exists(_.getName.startsWith("name=")))
 
     val e = intercept[Exception] {
-      spark.readStream.schema("id LONG, name STRING")
+      val q2 = spark.readStream.schema("id LONG, name STRING")
         .option("recursiveFileLookup", "true").parquet(in)
         .writeStream.format("reftable")
         .option("path", s"$base/tbl2").option("schema", ddl)
         .option("checkpointLocation", s"$base/ck2")
         .option("bucketBy", "id")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000)
     }
-    assert(e.getMessage.contains("GLOBAL"), e.getMessage)
+    assert(e.getMessage.contains("GLOBAL") ||
+      Option(e.getCause).exists(_.getMessage.contains("GLOBAL")), e.getMessage)
   }
 }

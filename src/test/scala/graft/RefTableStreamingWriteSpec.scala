@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.{RefTableCatalog, RefTableWrites, VersionedTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 STREAMING write path — `writeStream.toTable("cat.db.t")` —
+  * executors write parquet straight into epoch staging, the driver
+  * publishes from commit messages, and the `txn:` marker makes replays
+  * exactly-once (same contract as the V1 append sink, RefTableAppendSinkSpec).
+  */
+class RefTableStreamingWriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def withCatalog[T](f: (String, String) => T): T = {
+    val cat = s"gswcat${n.incrementAndGet()}"
+    val wh = Files.createTempDirectory("graft_swwh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    f(cat, wh)
+  }
+
+  test("writeStream.toTable append mode: distributed epochs, restart, forced replay") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.ev (id BIGINT, name STRING) USING reftable")
+      val base = Files.createTempDirectory("graft_sw_in_")
+      val in = s"$base/in"
+      val ck = s"$base/ck"
+      def drain(): Unit = {
+        val q = spark.readStream.schema("id LONG, name STRING")
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.ev")
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      def readBack() = spark.table(s"$cat.db.ev").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f0")
+      Seq((2L, "b")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f1")
+      drain()
+      assert(readBack() == Seq((1L, "a"), (2L, "b")))
+
+      // restart appends without duplicating
+      Seq((3L, "c")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f2")
+      drain()
+      assert(readBack() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // forced replay of the last epoch: the txn marker must land nothing
+      val root = s"$wh/db/ev"
+      val commits = new java.io.File(s"$ck/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      val nBefore = VersionedTable.versionDirs(root, conf).size
+      assert(commits.last.delete())
+      new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc").delete()
+      drain()
+      assert(readBack() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "replayed epoch must not duplicate rows")
+      assert(VersionedTable.versionDirs(root, conf).size == nBefore)
+
+      // staging cleaned up; marker advanced under the query's stable id
+      assert(!new java.io.File(root).listFiles()
+        .exists(f => f.getName.startsWith(".streaming-") &&
+          Option(new java.io.File(root, f.getName).listFiles()).exists(_.nonEmpty)),
+        "epoch staging must be cleaned after commit")
+    }
+  }
+
+  test("writeStream.toTable complete mode: each epoch is the full table state") {
+    withCatalog { (cat, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.agg (name STRING, cnt BIGINT) USING reftable")
+      val base = Files.createTempDirectory("graft_swc_in_")
+      val in = s"$base/in"
+      val ck = s"$base/ck"
+      def drain(): Unit = {
+        val q = spark.readStream.schema("id LONG, name STRING")
+          .option("recursiveFileLookup", "true").parquet(in)
+          .groupBy("name").agg(count(lit(1)).as("cnt"))
+          .writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.agg")
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      Seq((1L, "red"), (2L, "red"), (3L, "blue")).toDF("id", "name")
+        .coalesce(1).write.parquet(s"$in/f0")
+      drain()
+      def readBack() = spark.table(s"$cat.db.agg").orderBy("name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(readBack() == Seq(("blue", 1L), ("red", 2L)))
+      Seq((4L, "blue"), (5L, "green")).toDF("id", "name")
+        .coalesce(1).write.parquet(s"$in/f1")
+      drain()
+      assert(readBack() == Seq(("blue", 2L), ("green", 1L), ("red", 2L)))
+    }
+  }
+
+  test("toTable append into a PARTITIONED table lays down prunable Hive dirs") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.pt (id BIGINT, p STRING) USING reftable " +
+        "OPTIONS (partitionColumns 'p')")
+      val base = Files.createTempDirectory("graft_swp_in_")
+      val in = s"$base/in"
+      Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "has space")).toDF("id", "p")
+        .coalesce(1).write.parquet(s"$in/f0")
+      val q = spark.readStream.schema("id LONG, p STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.pt")
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.table(s"$cat.db.pt").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "has space")))
+      // physical layout: col=value dirs inside the version (Spark's
+      // escapePathName leaves plain spaces; the reader decodes verbatim)
+      val root = s"$wh/db/pt"
+      val v = VersionedTable.resolve(root, conf).get
+      val dirs = new java.io.File(v).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+      assert(dirs == Seq("p=has space", "p=x", "p=y"), dirs.toString)
+      // partition filters prune to the matching directory's rows
+      assert(spark.table(s"$cat.db.pt").filter(col("p") === "x").count() == 2)
+      assert(spark.table(s"$cat.db.pt").filter(col("p") === "has space").count() == 1)
+    }
+  }
+
+  test("timestamps stream through the DSv2 writer as INT64 micros") {
+    withCatalog { (cat, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.ts (id BIGINT, t TIMESTAMP) USING reftable")
+      val base = Files.createTempDirectory("graft_swt_in_")
+      val in = s"$base/in"
+      Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456")))
+        .toDF("id", "t").coalesce(1).write.parquet(s"$in/f0")
+      val q = spark.readStream.schema("id LONG, t TIMESTAMP")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.ts")
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.table(s"$cat.db.ts").collect()
+      assert(got.length == 1 &&
+        got(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456"))
+    }
+  }
+}

@@ -294,18 +294,20 @@ class RefTableWriteSpec extends AnyFunSuite {
     assert(readBack() == Seq(("blue", 2L), ("green", 1L), ("red", 2L)))
     assert(VersionedTable.versionDirs(root, conf).size >= 2)
 
-    // update batches carry keyed changes the versioned append cannot merge:
-    // refused at start (append mode has its own sink path, tested below)
+    // update batches carry keyed changes the versioned append cannot
+    // merge: refused by the engine's capability check (the table declares
+    // no streaming-update support), surfacing when the query runs
     val e = intercept[Exception] {
-      spark.readStream.schema("id LONG, color STRING")
+      val qu = spark.readStream.schema("id LONG, color STRING")
         .option("recursiveFileLookup", "true").parquet(in)
         .groupBy("color").agg(count(lit(1)).as("n"))
         .writeStream.format("reftable").option("path", s"$base/tbl2")
         .option("schema", "color STRING, n BIGINT")
         .option("checkpointLocation", s"$base/ck2")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      qu.awaitTermination(60000)
     }
-    assert(e.getMessage.contains("update"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("update"), e.getMessage)
 
     // a batch that drifts from the declared schema fails loudly
     val e2 = intercept[Exception] {
