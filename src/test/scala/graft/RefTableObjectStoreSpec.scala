@@ -145,4 +145,46 @@ class RefTableObjectStoreSpec extends AnyFunSuite {
     assert(VersionedTable.resolveRobust(fresh, conf).isEmpty,
       "an uncommitted in-place staging on a fresh root resolves to None")
   }
+
+  test("DSv2 streaming append on a no-rename store: epochs, restart, forced replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpRoot("stream")
+    val base = Files.createTempDirectory("graft_objstream_")
+    val in = s"$base/in"
+    val ck = s"$base/ck" // checkpoint stays on local fs (engine-side state)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("id LONG, name STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .writeStream.format("reftable")
+        .option("path", root).option("schema", ddl)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f0")
+    Seq((2L, "b")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f1")
+    drain()
+    assert(readIds(root) == Seq(1L, 2L))
+    // executors wrote epoch parquet straight to the store; the publish
+    // copied (never renamed) into an in-place staged version, claim-gated
+    Seq((3L, "c")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f2")
+    drain()
+    assert(readIds(root) == Seq(1L, 2L, 3L))
+    // forced replay: delete the checkpoint's last commit record — the
+    // restarted engine re-runs that epoch, the txn marker lands nothing
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val logBefore = VersionedTable.commitLog(root, conf).size
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParentFile,
+      "." + commits.last.getName + ".crc").delete()
+    drain()
+    assert(readIds(root) == Seq(1L, 2L, 3L), "replayed epoch must not duplicate")
+    assert(VersionedTable.commitLog(root, conf).size == logBefore)
+  }
 }
