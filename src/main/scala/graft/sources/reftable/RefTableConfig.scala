@@ -210,6 +210,14 @@ object SchemaJson {
   *                      predicates on the source column prune the
   *                      listing. Mutually exclusive with
   *                      `partitionColumns`.
+  *  - `autoCompact`     (default false) streaming writes only: after a
+  *                      committed epoch, compact the table when the
+  *                      current version exceeds `autoCompactFiles`
+  *                      (default 64) small files — streaming appends
+  *                      accrete one file per task per epoch, and this
+  *                      caps the debt without an external maintenance
+  *                      job. Best-effort: a maintenance conflict defers
+  *                      to the next epoch, never fails the stream.
   */
 final case class RefTableOptions(
     path: String,
@@ -242,7 +250,9 @@ final case class RefTableOptions(
     mergeMode: String = "cow",
     changefeed: Boolean = false,
     keyColumns: Seq[String] = Nil,
-    columnMapping: Map[String, String] = Map.empty) {
+    columnMapping: Map[String, String] = Map.empty,
+    autoCompact: Boolean = false,
+    autoCompactFiles: Int = 64) {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -583,11 +593,26 @@ object RefTableOptions {
           s"(${storages.mkString(", ")})")
     }
 
+    // streaming-write maintenance: opt-in post-commit compaction once the
+    // current version's file count exceeds the threshold (streaming
+    // appends accrete one file per task per epoch)
+    val autoCompact = boolOpt("autoCompact", default = false)
+    val autoCompactFiles = Option(options.get("autoCompactFiles")).filter(_.nonEmpty) match {
+      case None => 64
+      case Some(v) =>
+        try {
+          val n = v.trim.toInt
+          if (n <= 0) { err("autoCompactFiles", s"Invalid 'autoCompactFiles' '$v': must be a positive integer"); 64 }
+          else n
+        } catch { case _: NumberFormatException =>
+          err("autoCompactFiles", s"Invalid 'autoCompactFiles' '$v': must be a positive integer"); 64 }
+    }
+
     if (errs.nonEmpty) throw new RefTableValidationException(errs.toList)
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
-      mergeMode, changefeed, keyColumns, columnMapping)
+      mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles)
   }
 }

@@ -85,19 +85,19 @@ class RefTableStreamingWrite(
       cleanup(); return // no-data trigger: no commit, no version churn
     }
     val marker = Some(s"txn:$appId:$epochId")
-    VersionedTable.withConflictRetry(opts.path) { () =>
+    val committed = VersionedTable.withConflictRetry(opts.path) { () =>
       // pin base FIRST, then the marker check, then CAS on that base —
       // the ordering that makes check-then-commit unsplittable (see
       // RefTableWrites.appendVersion)
       val base = VersionedTable.resolve(opts.path, conf).map(p => new Path(p).getName)
       if (RefTableWrites.lastCommittedBatch(opts.path, appId, conf).exists(_ >= epochId)) {
-        () // replayed epoch: already committed
+        false // replayed epoch: already committed
       } else if (truncate || base.isEmpty) {
         // complete mode (or the first version): the epoch IS the table
         VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
           parent = base, requireBase = true,
           manifestPartitionCols = opts.partitionColumns) { staging => move(staging) }
-        ()
+        true
       } else {
         VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
           parent = base, requireBase = true) { staging =>
@@ -105,10 +105,25 @@ class RefTableStreamingWrite(
           RefTableFileManifest.writeDelta(opts.path, staging, base.get, Set.empty,
             opts.partitionColumns, conf)
         }
-        ()
+        true
       }
     }
     cleanup()
+    // opt-in maintenance: streaming appends accrete one file per task per
+    // epoch; once the file count crosses the threshold, compact as a
+    // normal CAS'd publish. Best-effort — maintenance must never fail the
+    // stream (a concurrent writer's conflict or a transient listing error
+    // just defers compaction to the next epoch).
+    if (committed && opts.autoCompact && !truncate) {
+      try {
+        RefTableMaintenance.maintain(
+          org.apache.spark.sql.SparkSession.active, opts.path,
+          maxSmallFiles = opts.autoCompactFiles,
+          keepVersions = opts.keepVersions,
+          partitionColumns = opts.partitionColumns)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

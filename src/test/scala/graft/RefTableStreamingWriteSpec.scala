@@ -146,6 +146,38 @@ class RefTableStreamingWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("autoCompact: streaming file debt collapses once past the threshold") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.ac (id BIGINT, name STRING) USING reftable " +
+        "OPTIONS (autoCompact 'true', autoCompactFiles '3', keepVersions '8')")
+      val base = Files.createTempDirectory("graft_swac_in_")
+      val in = s"$base/in"
+      (0 until 5).foreach { i =>
+        Seq((i.toLong, s"r$i")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f$i")
+      }
+      val q = spark.readStream.schema("id LONG, name STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1") // 5 epochs → 5 accreted files
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.ac")
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.table(s"$cat.db.ac").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == (0 until 5).map(i => (i.toLong, s"r$i")))
+      // maintenance fired mid-stream: the CURRENT version holds few files,
+      // not one per epoch
+      val root = s"$wh/db/ac"
+      val nFiles = graft.sources.reftable.SnapshotFiles.list(root).size
+      assert(nFiles <= 2, s"expected compacted current version, got $nFiles files")
+    }
+  }
+
   test("timestamps stream through the DSv2 writer as INT64 micros") {
     withCatalog { (cat, _) =>
       import spark.implicits._
