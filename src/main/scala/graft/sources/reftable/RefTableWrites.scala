@@ -387,7 +387,27 @@ class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
   // per epoch); the InsertableRelation flag covers older fallback sites
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
-  override def build(): Write = new V1Write {
+  override def build(): Write = new V1Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    // Partitioned writes CLUSTER the incoming rows by the partition
+    // columns (non-strict: the planner may skip the exchange when the
+    // data is already co-partitioned or AQE coalesces): without it every
+    // task holds every partition value and a P-value epoch across T tasks
+    // writes P×T files; with it, files-per-epoch is O(P). Flat tables
+    // declare no requirement — no exchange is added. The V1 batch path
+    // ignores this interface (InsertableRelation plans its own write);
+    // it steers the DSv2 streaming write.
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      if (opts.partitionColumns.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          opts.partitionColumns.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    override def distributionStrictlyRequired(): Boolean = false
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
         RefTableWrites.insert(opts, data, truncateAll || overwrite,

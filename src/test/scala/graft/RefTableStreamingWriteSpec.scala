@@ -146,6 +146,40 @@ class RefTableStreamingWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned epochs cluster by partition columns: one file per value, not per task") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.cl (id BIGINT, p STRING) USING reftable " +
+        "OPTIONS (partitionColumns 'p')")
+      val base = Files.createTempDirectory("graft_swcl_in_")
+      val in = s"$base/in"
+      // 6 input files, EVERY one carrying both partition values — without
+      // the write's clustered distribution each task would write each
+      // value (12 files); with it each value lands in one task's file
+      (0 until 6).foreach { i =>
+        Seq((i * 2L, "x"), (i * 2L + 1, "y")).toDF("id", "p")
+          .coalesce(1).write.parquet(s"$in/f$i")
+      }
+      val q = spark.readStream.schema("id LONG, p STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.cl")
+      q.awaitTermination(120000)
+      q.stop()
+      assert(spark.table(s"$cat.db.cl").count() == 12)
+      val v = VersionedTable.resolve(s"$wh/db/cl", conf).get
+      Seq("p=x", "p=y").foreach { d =>
+        val files = new java.io.File(v, d).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"$d: expected the clustered epoch to write ONE file, got ${files.length}")
+      }
+    }
+  }
+
   test("autoCompact: streaming file debt collapses once past the threshold") {
     withCatalog { (cat, wh) =>
       import spark.implicits._
