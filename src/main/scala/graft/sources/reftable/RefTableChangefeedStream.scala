@@ -48,10 +48,19 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * size; a full physical re-publish degrades to a whole-snapshot diff,
   * which is the true change-set bound anyway.
   *
-  * BOOTSTRAP AND FALLBACK. The first batch (no previous generation) emits
-  * the whole snapshot as inserts — the standard CDF initial-load shape.
-  * If the previous pinned version has been vacuumed away, the stream
-  * falls back to the same snapshot-as-inserts batch (at-least-once;
+  * BOOTSTRAP AND FALLBACK. Where the stream STARTS is declared by
+  * `changefeedFrom`:
+  *  - `earliest` (default): the first batch emits the whole snapshot as
+  *    inserts — the standard CDF initial-load shape;
+  *  - `latest`: the first batch is EMPTY and pins the current version, so
+  *    deltas begin with the next change (consumers that only want what
+  *    changes from now on);
+  *  - a version dir name: the first batch is the delta FROM that retained
+  *    version to current (Delta CDF's startingVersion); if it has been
+  *    vacuumed the stream fails loudly — a silent bootstrap would replay
+  *    the corpus into a consumer that asked for a delta.
+  * If a previous pinned version has been vacuumed away mid-stream, the
+  * stream falls back to the snapshot-as-inserts batch (at-least-once;
   * pair with the idempotent [[RefTableMutations.applyChangesMergeOnRead]]
   * replay semantics downstream).
   */
@@ -171,7 +180,25 @@ class RefTableChangefeedStream(
             // previous version vacuumed (or unreadable): snapshot-as-inserts
             bootstrap(spark, curFiles)
         }
-      case None => bootstrap(spark, curFiles)
+      case None => opts.changefeedFrom match {
+        // first batch — where the stream STARTS is the declared position:
+        case "earliest" => bootstrap(spark, curFiles) // CDF initial load
+        case "latest" =>
+          // consumers that only want what changes from now on: empty first
+          // delta; end.gen is pinned to the current version, so the next
+          // generation diffs from HERE
+          emptyOutput(spark).withColumn("change_type", lit("insert").cast(StringType))
+        case from =>
+          // a NAMED retained version: the first delta is from→current.
+          // Loud failure if it is gone — a silent bootstrap would replay
+          // the whole corpus into a consumer that asked for a delta
+          val fromFiles =
+            try listingOf(from)
+            catch { case NonFatal(e) => throw new IllegalArgumentException(
+              s"changefeedFrom version '$from' of ${opts.path} is not readable " +
+                s"(vacuumed or never committed): ${e.getMessage}", e) }
+          fileDeltaDiff(spark, fromFiles, curFiles)
+      }
     }
     VersionedTable.writeParquetMicros(out, scratch.toString, Nil)
   }

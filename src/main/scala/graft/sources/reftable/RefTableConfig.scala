@@ -252,7 +252,8 @@ final case class RefTableOptions(
     keyColumns: Seq[String] = Nil,
     columnMapping: Map[String, String] = Map.empty,
     autoCompact: Boolean = false,
-    autoCompactFiles: Int = 64) {
+    autoCompactFiles: Int = 64,
+    changefeedFrom: String = "earliest") {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -593,6 +594,22 @@ object RefTableOptions {
           s"(${storages.mkString(", ")})")
     }
 
+    // changefeed starting position: 'earliest' (default) bootstraps the
+    // current snapshot as inserts; 'latest' starts with an empty delta and
+    // streams changes from the NEXT generation; a version dir name streams
+    // the delta FROM that retained version (Delta CDF's startingVersion)
+    val changefeedFrom = Option(options.get("changefeedFrom")).filter(_.nonEmpty) match {
+      case None => "earliest"
+      case Some(v) =>
+        val t = v.trim
+        if (!changefeed)
+          err("changefeedFrom", "'changefeedFrom' requires 'changefeed' (it positions the delta stream)")
+        if (t != "earliest" && t != "latest" && !t.matches("v\\d{19}_[0-9a-f]{8}"))
+          err("changefeedFrom", s"Invalid 'changefeedFrom' '$t': must be 'earliest', 'latest' " +
+            "or a version directory name")
+        t
+    }
+
     // streaming-write maintenance: opt-in post-commit compaction once the
     // current version's file count exceeds the threshold (streaming
     // appends accrete one file per task per epoch)
@@ -613,6 +630,7 @@ object RefTableOptions {
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
-      mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles)
+      mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles,
+      changefeedFrom)
   }
 }

@@ -209,4 +209,61 @@ class RefTableChangefeedSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("streaming read mode")), s"got: ${msgs(e)}")
   }
+
+  test("changefeedFrom=latest skips the bootstrap; deltas start at the next change") {
+    import spark.implicits._
+    val root = tmpDir("fromlatest")
+    val ckpt = tmpDir("fromlatest_ck")
+    VersionedTable.publish((1L to 50L).toDF("id").withColumn("v", col("id")), root)
+    val first = drain(root, "id BIGINT, v BIGINT", "id", ckpt, "cfl_first",
+      Map("changefeedFrom" -> "latest"))
+    assert(first.count() == 0, "latest: no initial-load batch")
+    RefTableMutations.upsert(spark, root, Seq((3L, -3L), (99L, 99L)).toDF("id", "v"), Seq("id"))
+    val second = drain(root, "id BIGINT, v BIGINT", "id", ckpt, "cfl_second",
+      Map("changefeedFrom" -> "latest"))
+    val got = second.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((3L, -3L, "update"), (99L, 99L, "insert")), s"got: $got")
+  }
+
+  test("changefeedFrom=<version> streams the delta FROM that retained version") {
+    import spark.implicits._
+    val root = tmpDir("fromver")
+    VersionedTable.publish((1L to 20L).toDF("id").withColumn("v", col("id")), root)
+    val v1 = VersionedTable.resolve(root, new org.apache.hadoop.conf.Configuration())
+      .map(p => new java.io.File(p).getName).get
+    RefTableMutations.upsert(spark, root, Seq((2L, -2L)).toDF("id", "v"), Seq("id"))
+    RefTableMutations.deleteWhere(spark, root, col("id") === 9L)
+    // first batch = exactly the v1→current delta, not a bootstrap
+    val first = drain(root, "id BIGINT, v BIGINT", "id", tmpDir("fromver_ck"), "cfv",
+      Map("changefeedFrom" -> v1))
+    val got = first.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((2L, -2L, "update"), (9L, 9L, "delete")), s"got: $got")
+
+    // a gone version fails LOUDLY (a silent bootstrap would replay the
+    // corpus into a consumer that asked for a delta)
+    val e = intercept[Exception] {
+      drain(root, "id BIGINT, v BIGINT", "id", tmpDir("fromver_ck2"), "cfv2",
+        Map("changefeedFrom" -> "v0000000000000000001_deadbeef"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("changefeedFrom")), s"got: ${msgs(e)}")
+
+    // option validation: changefeedFrom without changefeed, junk values
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("reftable")
+        .option("path", root).option("schema", "id BIGINT, v BIGINT")
+        .option("changefeedFrom", "latest").load()
+    }
+    assert(e2.getMessage.contains("requires 'changefeed'"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.readStream.format("reftable")
+        .option("path", root).option("schema", "id BIGINT, v BIGINT")
+        .option("changefeed", "true").option("keyColumns", "id")
+        .option("changefeedFrom", "yesterday").load()
+    }
+    assert(e3.getMessage.contains("changefeedFrom"), e3.getMessage)
+  }
 }
