@@ -1049,6 +1049,33 @@ object StreamingOps {
         |SELECT change_type, count(*) AS n,
         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
         |  CAST(sum(s_nationkey) AS BIGINT) AS nat_sum
-        |FROM log GROUP BY change_type ORDER BY change_type""".stripMargin))
+        |FROM log GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
+    // STREAMING EXACT DEDUP — the ingestion-dedup operator: the event
+    // stream arrives with every row duplicated (two sources of the same
+    // feed), and dropDuplicatesWithinWatermark keys state by event_id with
+    // event-time-bounded retention — the property that makes streaming
+    // dedup viable over an unbounded 100 TB feed (plain dropDuplicates
+    // state never expires; watermarked state is O(events within the
+    // lateness window)). Output must equal the batch distinct, i.e. the
+    // plain events oracle.
+    QueryDef("q176_stream_dedup", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, tsExpr) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_sdedup_")
+      // the SAME feed twice: every event_id arrives exactly two times
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      Files.createSymbolicLink(streamDir.resolve("events_dup.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val deduped = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+        .withColumn("tsm", expr(tsExpr))
+        .withWatermark("tsm", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      drain(s, deduped, "append")
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"),
+          r4(sum("value")).as("total"))
+    }, Some(
+      """SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+        |  round(sum(value), 4) AS total FROM events""".stripMargin))
   )
 }
