@@ -18,6 +18,35 @@ case class SessionAgg(startUs: Long, lastUs: Long, n: Long, v: Double)
 case class SessionOut(user_id: Long, start_us: Long, n_events: Long, v: Double)
 case class EventIn(user_id: Long, tsm: java.sql.Timestamp, ts_us: Long, value: Double)
 
+case class TwsEvent(user_id: Long, value: Double)
+case class TwsTotal(user_id: Long, cnt: Long, total: Double)
+
+/** Per-user running totals through Spark 4's transformWithState — the
+  * successor arbitrary-state API (typed ValueState handles, TTL-capable,
+  * RocksDB-backed multi-column-family state). Each batch emits the key's
+  * UPDATED running total; state persists across micro-batches through the
+  * checkpoint.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsTotal] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[TwsTotal] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[TwsTotal]("totals",
+      org.apache.spark.sql.Encoders.product[TwsTotal],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsTotal] = {
+    val prev = if (state.exists()) state.get() else TwsTotal(key, 0L, 0.0)
+    var c = prev.cnt
+    var t = prev.total
+    rows.foreach { r => c += 1; t += r.value }
+    val out = TwsTotal(key, c, t)
+    state.update(out)
+    Iterator.single(out)
+  }
+}
+
 /** Streaming queries driven through the `reftable` DSv2 source and Spark's
   * file streaming source. Each runs a real StreamingQuery to a memory sink,
   * drains it with processAllAvailable, and returns the result — which must
@@ -1076,6 +1105,48 @@ object StreamingOps {
           r4(sum("value")).as("total"))
     }, Some(
       """SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
-        |  round(sum(value), 4) AS total FROM events""".stripMargin))
+        |  round(sum(value), 4) AS total FROM events""".stripMargin)),
+
+    // TRANSFORMWITHSTATE — Spark 4's successor arbitrary-state API (typed
+    // state handles, TTL, RocksDB multi-column-family store): per-user
+    // running totals maintained across TWO micro-batches of the same feed
+    // (maxFilesPerTrigger=1 over two copies), each batch emitting the
+    // key's updated total. The final state per user is therefore exactly
+    // 2x the batch aggregate — the oracle. State crosses the batch
+    // boundary through the checkpoint, which is the property under test.
+    QueryDef("q177_stream_tws_running", (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      val (tsType, _) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_tws_")
+      Files.createSymbolicLink(streamDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      Files.createSymbolicLink(streamDir.resolve("b_events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(eventsSchema(tsType))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .select(col("user_id"), col("value")).as[TwsEvent]
+        val out = src.groupByKey(_.user_id)
+          .transformWithState(new RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        val mem = drain(s, out.toDF(), "append")
+        // two emissions per user (one per batch); the final state is the
+        // struct-max by cnt — cnt is strictly increasing
+        mem.groupBy("user_id")
+          .agg(max(struct(col("cnt"), col("total"))).as("m"))
+          .select(col("user_id"), col("m.cnt").as("cnt"),
+            r4(col("m.total")).as("total"))
+          .orderBy("user_id")
+      } finally prevProv match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }, Some(
+      """SELECT user_id, 2 * count(*) AS cnt, round(2 * sum(value), 4) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
