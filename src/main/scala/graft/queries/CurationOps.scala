@@ -169,6 +169,61 @@ object CurationOps {
          |      ${duckHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
          |    FROM documents))
          |SELECT split, count(*) AS n_docs, min(doc_id) AS lo, max(doc_id) AS hi
-         |FROM labeled GROUP BY split ORDER BY split""".stripMargin))
+         |FROM labeled GROUP BY split ORDER BY split""".stripMargin)),
+
+    // THE COMPOSED CURATION PIPELINE — quality gate → exact dedup → chunk
+    // → leakage-free split assignment, the full preprocessing chain in ONE
+    // declarative plan. Every stage is individually oracled elsewhere
+    // (q61, q13, q137, q128); this entry proves they COMPOSE — column
+    // contracts align, no stage materializes, and Catalyst plans the
+    // whole chain as one job tree. Split assignment keys on doc_id (all
+    // of a document's chunks land in one split — the anti-leakage
+    // property a per-chunk split would violate). The oracle replays the
+    // identical four stages in SQL; min/max chunk md5 per split pins the
+    // exact chunk text, not just counts.
+    QueryDef("q178_curation_pipeline", (s, dir) => {
+      import graft.operators.{Curation, Dedup, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val kept = docs.join(q, Seq("doc_id"))
+        .filter(col("n_tok") >= 30 && col("punct_ratio") <= 0.1)
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+      val keepers = Dedup.exactByContent(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = kept.join(keepers, Seq("doc_id"))
+      val chunks = TextAnalysis.chunkDocuments(deduped, "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      Curation.assignSplits(chunks, "doc_id",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("tot_tokens"),
+          min(md5(col("chunk_text"))).as("chunk_md5_lo"),
+          max(md5(col("chunk_text"))).as("chunk_md5_hi"))
+        .orderBy("split")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
+         |q AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+         |  round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / len(text), 6) AS punct_ratio
+         |  FROM toks JOIN documents USING (doc_id)),
+         |kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)
+         |  WHERE n_tok >= 30 AND punct_ratio <= 0.1),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |dd AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+         |ct AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM dd),
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |  greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS nc FROM ct),
+         |x AS (SELECT doc_id, array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text,
+         |    CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens
+         |  FROM c, unnest(generate_series(0, nc - 1)) AS u(i)),
+         |lab AS (SELECT *,
+         |  CASE WHEN ${duckHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${duckHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM x)
+         |SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |  min(md5(chunk_text)) AS chunk_md5_lo, max(md5(chunk_text)) AS chunk_md5_hi
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin))
   )
 }
