@@ -890,7 +890,38 @@ object VersionedTable {
       val orphans = versionDirs(root, conf)
         .filterNot(retained).filterNot(protectd).filter(versionNum(_) < floor)
       orphans.foreach(o => fs.delete(new Path(rootPath, o), true))
-      (collectable ++ orphans).distinct
+      // stale STREAMING epoch staging (`.streaming-<appId>/<epochId>`):
+      // the DSv2 streaming write cleans its epoch dir after commit, but a
+      // crashed driver leaves it behind. An epoch at or below the appId's
+      // committed txn marker is durable in a version (or permanently
+      // superseded) — its staging is garbage. Epochs ABOVE the marker may
+      // belong to a live attempt and are left alone.
+      val staleEpochs = scala.collection.mutable.ListBuffer.empty[String]
+      val streamDirs =
+        try fs.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(".streaming-"))
+        catch { case _: java.io.FileNotFoundException => Nil }
+      streamDirs.foreach { d =>
+        val appId = d.getPath.getName.stripPrefix(".streaming-")
+        val committedEpoch = RefTableWrites.lastCommittedBatch(root, appId, conf)
+        val epochs =
+          try fs.listStatus(d.getPath).toSeq.filter(_.isDirectory)
+          catch { case _: java.io.FileNotFoundException => Nil }
+        epochs.foreach { e =>
+          val keep = e.getPath.getName.toLongOption match {
+            case Some(ep) => committedEpoch.forall(_ < ep) // above marker: maybe live
+            case None => false // junk name: collect
+          }
+          if (!keep) {
+            fs.delete(e.getPath, true)
+            staleEpochs += s"${d.getPath.getName}/${e.getPath.getName}"
+          }
+        }
+        // remove the (now possibly empty) appId dir opportunistically
+        try if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+      (collectable ++ orphans ++ staleEpochs).distinct
     } else {
       // legacy pointer-only root: dir-count retention, never the target
       val pointed = resolve(root, conf).map(p => new Path(p).getName)

@@ -212,6 +212,40 @@ class RefTableStreamingWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum collects stale crashed-epoch staging, spares maybe-live epochs") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.vs (id BIGINT, name STRING) USING reftable")
+      val base = Files.createTempDirectory("graft_swvac_in_")
+      val in = s"$base/in"
+      Seq((1L, "a")).toDF("id", "name").coalesce(1).write.parquet(s"$in/f0")
+      val q = spark.readStream.schema("id LONG, name STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .option("txnAppId", "vacapp")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.vs")
+      q.awaitTermination(120000)
+      q.stop()
+      val root = s"$wh/db/vs"
+      // simulate a crashed driver: staged epochs left behind — one AT the
+      // committed marker (stale) and one ABOVE it (maybe live)
+      val staleDir = new java.io.File(s"$root/.streaming-vacapp/0")
+      val liveDir = new java.io.File(s"$root/.streaming-vacapp/7")
+      staleDir.mkdirs(); liveDir.mkdirs()
+      java.nio.file.Files.writeString(staleDir.toPath.resolve("part-x.parquet"), "junk")
+      java.nio.file.Files.writeString(liveDir.toPath.resolve("part-y.parquet"), "junk")
+      assert(RefTableWrites.lastCommittedBatch(root, "vacapp").contains(0L))
+      VersionedTable.vacuum(root, keepVersions = 2)
+      assert(!staleDir.exists(), "epoch at/below the committed marker is garbage")
+      assert(liveDir.exists(), "epoch above the marker may belong to a live attempt")
+      // the table still reads
+      assert(spark.table(s"$cat.db.vs").count() == 1)
+    }
+  }
+
   test("timestamps stream through the DSv2 writer as INT64 micros") {
     withCatalog { (cat, _) =>
       import spark.implicits._
