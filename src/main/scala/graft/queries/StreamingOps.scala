@@ -1147,6 +1147,43 @@ object StreamingOps {
       }
     }, Some(
       """SELECT user_id, 2 * count(*) AS cnt, round(2 * sum(value), 4) AS total
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // EXPECTATIONS AT THE SINK — DLT-style row-level quality gates
+    // declared as table options and enforced IN the executor's write loop
+    // (codegen'd predicates; onViolation=drop skips-and-counts, fail
+    // aborts the epoch so nothing lands). The ingest stream carries the
+    // raw feed; only rows passing the declared gates reach the table, and
+    // the oracle is the batch filter.
+    QueryDef("q179_expectations_gate", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, _) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_exgate_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val root = RelationalSupport.scratchDir(s, dir, "q179_gate")
+      val q = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("reftable")
+        .option("path", root)
+        .option("schema", "event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .option("expect.min_value", "value >= 1.0")
+        .option("expect.valid_user", "user_id >= 0")
+        .option("onViolation", "drop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_exgate_ck_").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      q.awaitTermination(120000)
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      s.read.format("reftable").option("path", root)
+        .option("schema", "event_id BIGINT, user_id BIGINT, value DOUBLE").load()
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("total"),
+          min("event_id").as("lo"), max("event_id").as("hi"))
+    }, Some(
+      """SELECT count(*) AS n, round(sum(value), 4) AS total,
+        |  min(event_id) AS lo, max(event_id) AS hi
+        |FROM events WHERE value >= 1.0 AND user_id >= 0""".stripMargin))
   )
 }

@@ -210,6 +210,17 @@ object SchemaJson {
   *                      predicates on the source column prune the
   *                      listing. Mutually exclusive with
   *                      `partitionColumns`.
+  *  - `expect.<name>`   row-level expectation: a SQL predicate every
+  *                      written row must satisfy (NULL outcomes violate),
+  *                      enforced by EVERY write surface — batch INSERT,
+  *                      the V1 sink, and in the DSv2 streaming write's
+  *                      executor loop (codegen'd predicate). With
+  *                      `onViolation` = `fail` (default) a violating
+  *                      write/epoch is refused whole, naming the rule
+  *                      (write-audit-publish: nothing lands); `drop`
+  *                      skips-and-counts violating rows (the DLT
+  *                      expect_or_drop shape; counts are reported per
+  *                      epoch). Validated at analysis time like `filter`.
   *  - `autoCompact`     (default false) streaming writes only: after a
   *                      committed epoch, compact the table when the
   *                      current version exceeds `autoCompactFiles`
@@ -253,7 +264,9 @@ final case class RefTableOptions(
     columnMapping: Map[String, String] = Map.empty,
     autoCompact: Boolean = false,
     autoCompactFiles: Int = 64,
-    changefeedFrom: String = "earliest") {
+    changefeedFrom: String = "earliest",
+    expectations: Seq[(String, String)] = Nil,
+    onViolation: String = "fail") {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -625,12 +638,51 @@ object RefTableOptions {
           err("autoCompactFiles", s"Invalid 'autoCompactFiles' '$v': must be a positive integer"); 64 }
     }
 
+    // row-level expectations (`expect.<name>` = SQL predicate): every
+    // write surface enforces them — the DLT expect / CHECK-constraint
+    // shape. Predicates are validated here like `filter`: syntax + known
+    // columns, analysis time
+    val expectations: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      options.asCaseSensitiveMap().asScala.toSeq
+        .filter(_._1.toLowerCase(java.util.Locale.ROOT).startsWith("expect."))
+        .map { case (k, v) => k.substring("expect.".length) -> v }
+        .sortBy(_._1)
+    }
+    for ((rname, pred) <- expectations) {
+      if (rname.isEmpty) err("expect", "Empty expectation name: use expect.<name>")
+      if (pred == null || pred.trim.isEmpty)
+        err(s"expect.$rname", s"Expectation '$rname' has an empty predicate")
+      else try {
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(pred)
+        for (st <- schema) {
+          val known = st.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          val unknown = e.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if !known.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
+          }
+          if (unknown.nonEmpty)
+            err(s"expect.$rname",
+              s"Expectation '$rname' references unknown column(s): ${unknown.distinct.mkString(", ")}")
+        }
+      } catch { case NonFatal(e) =>
+        err(s"expect.$rname", s"Invalid expectation '$rname': ${e.getMessage}") }
+    }
+    val onViolation = Option(options.get("onViolation")).filter(_.nonEmpty) match {
+      case None => "fail"
+      case Some(v) if Set("fail", "drop").contains(v.trim) => v.trim
+      case Some(v) =>
+        err("onViolation", s"Invalid 'onViolation' '$v': must be 'fail' or 'drop'"); "fail"
+    }
+    if (onViolation == "drop" && expectations.isEmpty)
+      err("onViolation", "'onViolation' without any 'expect.<name>' rule has no effect")
+
     if (errs.nonEmpty) throw new RefTableValidationException(errs.toList)
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
       mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles,
-      changefeedFrom)
+      changefeedFrom, expectations, onViolation)
   }
 }

@@ -61,12 +61,48 @@ class RefTableStreamingWrite(
     val storageFields = opts.schema.fields.map(f =>
       f.copy(name = opts.storageColumn(f.name)))
     RefTableWriterFactory(
-      stagingRoot, StructType(storageFields), opts.partitionColumns.toList)
+      stagingRoot, StructType(storageFields), opts.partitionColumns.toList,
+      boundExpectations(), opts.onViolation)
+  }
+
+  /** Declared expectations analyzed against the write schema and bound to
+    * row ordinals — executor-evaluable expressions (function calls resolve
+    * through the session analyzer; attributes become BoundReferences in
+    * declared order, which IS the row layout).
+    */
+  private def boundExpectations()
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    if (opts.expectations.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(opts.schema)
+    val byId = attrs.map(_.exprId).zipWithIndex.toMap
+    opts.expectations.map { case (name, pred) =>
+      val parsed =
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(pred)
+      val analyzed = spark.sessionState.analyzer
+        .execute(Filter(parsed, LocalRelation(attrs)))
+      val cond = analyzed.collectFirst { case f: Filter => f.condition }.getOrElse(
+        throw new IllegalStateException(s"expectation '$name' did not analyze to a filter"))
+      name -> cond.transform {
+        case a: AttributeReference => BoundReference(byId(a.exprId),
+          a.dataType, a.nullable)
+      }
+    }
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
-    val staged = messages.toSeq.collect { case m: StagedEpochFiles => m.files }.flatten
+    val epochMsgs = messages.toSeq.collect { case m: StagedEpochFiles => m }
+    val staged = epochMsgs.flatMap(_.files)
+    // expectation drop census (onViolation=drop): aggregate across tasks
+    // and report — dropped rows are an operational signal, never silent
+    val dropped = epochMsgs.flatMap(_.droppedByRule.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    if (dropped.nonEmpty)
+      System.err.println(s"[reftable] epoch $epochId dropped rows by expectation: " +
+        dropped.toSeq.sortBy(_._1).map { case (r, n) => s"$r=$n" }.mkString(", "))
     val epochDir = new Path(s"$stagingRoot/$epochId")
     val fs = epochDir.getFileSystem(conf)
     def cleanup(): Unit = { fs.delete(epochDir, true); () }
@@ -141,19 +177,23 @@ class RefTableStreamingWrite(
   */
 final case class StagedFile(rel: String, len: Long, pv: Map[String, String])
 
-final case class StagedEpochFiles(files: Seq[StagedFile]) extends WriterCommitMessage
+final case class StagedEpochFiles(
+    files: Seq[StagedFile],
+    droppedByRule: Map[String, Long] = Map.empty) extends WriterCommitMessage
 
 /** Serializable per-task writer factory. `schema` carries STORAGE names
   * in declared order (partition columns included — they are projected out
   * of file content but read from the row for directory routing).
   */
 final case class RefTableWriterFactory(
-    stagingRoot: String, schema: StructType, partitionColumns: List[String])
+    stagingRoot: String, schema: StructType, partitionColumns: List[String],
+    expectations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    onViolation: String = "fail")
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new EpochWriter(s"$stagingRoot/$epochId", schema, partitionColumns,
-      f"part-$partitionId%05d-$taskId")
+      f"part-$partitionId%05d-$taskId", expectations, onViolation)
 }
 
 /** Executor-side parquet writer for one task of one epoch. Rows split by
@@ -165,8 +205,19 @@ final case class RefTableWriterFactory(
   */
 final class EpochWriter(
     epochDir: String, schema: StructType, partitionColumns: List[String],
-    filePrefix: String)
+    filePrefix: String,
+    expectations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    onViolation: String = "fail")
     extends DataWriter[InternalRow] {
+
+  // row-level quality gates, evaluated IN the write path (codegen'd
+  // predicates with interpreted fallback): fail → the task (and so the
+  // epoch) aborts naming the rule, nothing lands; drop → the row is
+  // skipped and counted (counts ride the commit message)
+  private lazy val gatePreds = expectations.map { case (n, e) =>
+    n -> org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+  }
+  private val dropCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
 
   private val conf = {
     val c = new Configuration()
@@ -233,6 +284,18 @@ final class EpochWriter(
   }
 
   override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < gatePreds.size) {
+      val (rname, p) = gatePreds(i)
+      if (!p.eval(row)) { // null evaluates false: unmet is unmet
+        if (onViolation == "fail")
+          throw new IllegalStateException(
+            s"reftable: epoch refused — expectation '$rname' violated (onViolation=fail)")
+        dropCounts(rname) += 1
+        return
+      }
+      i += 1
+    }
     val dir = partitionColumns.indices
       .map(j => s"${partitionColumns(j)}=${render(partIdx(j), row)}")
       .mkString("/")
@@ -258,7 +321,7 @@ final class EpochWriter(
     val fs = new Path(epochDir).getFileSystem(conf)
     StagedEpochFiles(written.toSeq.map { case (rel, pv) =>
       StagedFile(rel, fs.getFileStatus(new Path(s"$epochDir/$rel")).getLen, pv)
-    })
+    }, dropCounts.toMap)
   }
 
   override def abort(): Unit = {

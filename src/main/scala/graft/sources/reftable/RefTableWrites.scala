@@ -172,7 +172,7 @@ object RefTableWrites {
         "re-cluster on append; use insert() (batch) which rewrites the layout per commit")
     val conf = new Configuration()
     guardBareRoot(opts, conf)
-    val aligned = alignedStorage(opts, data)
+    val aligned = alignedStorage(opts, enforceExpectations(opts, data))
     val marker = txn.map { case (a, b) => s"txn:$a:$b" }
     val committed = VersionedTable.withConflictRetry(opts.path) { () =>
       // pin the base FIRST: the marker check below is made against this
@@ -211,6 +211,30 @@ object RefTableWrites {
     ()
   }
 
+  /** Declared row-level expectations applied to a DECLARED-name batch —
+    * the Delta-Live-Tables expect / CHECK-constraint shape, enforced by
+    * every write surface. `onViolation=fail` audits with ONE narrow
+    * aggregation pass and refuses the whole write naming the broken rules
+    * (write-audit-publish: nothing lands); `drop` removes violating rows
+    * in the write's own plan (no extra pass). NULL outcomes violate.
+    */
+  private[reftable] def enforceExpectations(
+      opts: RefTableOptions, data: Dataset[Row]): DataFrame = {
+    if (opts.expectations.isEmpty) return data.toDF()
+    if (opts.onViolation == "drop")
+      graft.operators.Expectations.dropViolations(data.toDF(), opts.expectations)
+    else {
+      val census = graft.operators.Expectations.check(data.toDF(), opts.expectations)
+        .collect().filter(_.getLong(1) > 0L)
+      if (census.nonEmpty)
+        throw new IllegalStateException(
+          "reftable: write refused — expectation(s) violated (onViolation=fail): " +
+            census.map(r => s"${r.getString(0)} (${r.getLong(1)}/${r.getLong(2)} rows)")
+              .mkString(", "))
+      data.toDF()
+    }
+  }
+
   /** Version-pinned (time travel) relations and genColumn projections are
     * read-only through EVERY write entry point.
     */
@@ -228,7 +252,7 @@ object RefTableWrites {
     guardReadOnly(opts)
     val conf = new Configuration()
     guardBareRoot(opts, conf)
-    val aligned = alignedStorage(opts, data)
+    val aligned = alignedStorage(opts, enforceExpectations(opts, data))
     val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))
     // layout options name OUTPUT fields; the payload carries storage names
     def storage(cols: Seq[String]): Seq[String] = cols.map(opts.storageColumn)

@@ -227,4 +227,29 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.startsWith("Invalid reftable options:"))
     assert(e.getMessage.contains("rowField") && e.getMessage.contains("refreshInterval"))
   }
+
+  test("expectations validate at analysis: predicates, columns, onViolation") {
+    val o = RefTableOptions.from(opts(
+      "expect.pos" -> "key > 0", "expect.named" -> "length(name) >= 2",
+      "onViolation" -> "drop"))
+    assert(o.expectations == Seq("named" -> "length(name) >= 2", "pos" -> "key > 0"))
+    assert(o.onViolation == "drop")
+
+    val e1 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("expect.bad" -> "nope_col > 0"))
+    }
+    assert(e1.getMessage.contains("unknown column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("expect.bad" -> "key >"))
+    }
+    assert(e2.getMessage.contains("Invalid expectation"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("expect.pos" -> "key > 0", "onViolation" -> "quarantine"))
+    }
+    assert(e3.getMessage.contains("onViolation"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      RefTableOptions.from(opts("onViolation" -> "drop"))
+    }
+    assert(e4.getMessage.contains("no effect"), e4.getMessage)
+  }
 }

@@ -212,6 +212,61 @@ class RefTableStreamingWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("expectations gate the write surfaces: drop counts, fail refuses, batch too") {
+    withCatalog { (cat, _) =>
+      import spark.implicits._
+      // DROP mode through the DSv2 streaming path: violating rows skipped
+      // in the executor's write loop, counted, never landed
+      spark.sql(s"CREATE TABLE $cat.db.ex (id BIGINT, name STRING) USING reftable " +
+        "OPTIONS ('expect.pos_id' 'id > 0', 'expect.named' 'length(name) >= 2', " +
+        "onViolation 'drop')")
+      val base = Files.createTempDirectory("graft_swex_in_")
+      val in = s"$base/in"
+      Seq((1L, "ok"), (-2L, "neg"), (3L, "x"), (4L, "fine"))
+        .toDF("id", "name").coalesce(1).write.parquet(s"$in/f0")
+      val q = spark.readStream.schema("id LONG, name STRING")
+        .option("recursiveFileLookup", "true").parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.ex")
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.table(s"$cat.db.ex").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "ok"), (4L, "fine")),
+        s"violating rows (-2 neg id, 'x' short name) must be dropped: $got")
+
+      // FAIL mode: the epoch aborts naming the rule; nothing lands
+      spark.sql(s"CREATE TABLE $cat.db.exf (id BIGINT, name STRING) USING reftable " +
+        "OPTIONS ('expect.pos_id' 'id > 0')")
+      val e = intercept[Exception] {
+        val qf = spark.readStream.schema("id LONG, name STRING")
+          .option("recursiveFileLookup", "true").parquet(in)
+          .writeStream
+          .option("checkpointLocation", s"$base/ckf")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.exf")
+        qf.awaitTermination(120000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("pos_id")), s"got: ${msgs(e)}")
+      assert(spark.table(s"$cat.db.exf").count() == 0, "failed epoch must land nothing")
+
+      // the BATCH surface enforces the same declared rules
+      val e2 = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.exf VALUES (-1, 'bad'), (2, 'ok')")
+      }
+      assert(msgs(e2).exists(m => m.contains("pos_id") && m.contains("1/2")), s"got: ${msgs(e2)}")
+      assert(spark.table(s"$cat.db.exf").count() == 0)
+      spark.sql(s"INSERT INTO $cat.db.ex VALUES (-1, 'bad'), (9, 'ok')") // drop mode
+      assert(spark.table(s"$cat.db.ex").count() == 3)
+    }
+  }
+
   test("vacuum collects stale crashed-epoch staging, spares maybe-live epochs") {
     withCatalog { (cat, wh) =>
       import spark.implicits._
