@@ -115,7 +115,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     metadataSuffix(ident) match {
       case Some((base, "changefeed")) => changefeedTable(base)
       case Some((base, kind)) => RefTableMetaTables.load(tablePath(base).toString,
-        s"${base.name}$$$kind", kind, conf, exists = tableExists(base), base)
+        s"${base.name}$$$kind", kind, conf, exists = tableExists(base), base,
+        descriptorOptions = readDescriptor(base)._2)
       case None => toTable(ident, None)
     }
 

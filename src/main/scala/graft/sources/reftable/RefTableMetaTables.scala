@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object RefTableMetaTables {
 
-  val Kinds: Set[String] = Set("history", "commits", "files", "layout", "dv")
+  val Kinds: Set[String] = Set("history", "commits", "files", "layout", "dv", "options")
 
   private val historySchema = StructType(Seq(
     StructField("version_idx", IntegerType, nullable = false),
@@ -70,7 +70,8 @@ object RefTableMetaTables {
     StructField("deleted_positions", LongType, nullable = false)))
 
   def load(root: String, displayName: String, kind: String, conf: Configuration,
-      exists: Boolean, ident: Identifier): Table = {
+      exists: Boolean, ident: Identifier,
+      descriptorOptions: => Map[String, String] = Map.empty): Table = {
     if (!exists) throw new NoSuchTableException(ident)
     kind match {
       case "history" => new MetaTable(displayName, historySchema, () => historyRows(root, conf))
@@ -78,8 +79,25 @@ object RefTableMetaTables {
       case "files" => new MetaTable(displayName, filesSchema, () => fileRows(root, conf))
       case "layout" => new MetaTable(displayName, layoutSchema, () => layoutRows(root, conf))
       case "dv" => new MetaTable(displayName, dvSchema, () => dvRows(root, conf))
+      case "options" =>
+        val opts = descriptorOptions
+        new MetaTable(displayName, optionsSchema, () => optionsRows(opts))
     }
   }
+
+  /** `t$options`: the DESCRIPTOR's declared options — the observability
+    * surface for everything a table carries (layout, keyColumns,
+    * expectations, autoCompact, retention, ...). One row per option, in
+    * name order; expectation rules are thus first-class inspectable.
+    */
+  private val optionsSchema = StructType(Seq(
+    StructField("option", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  private def optionsRows(opts: Map[String, String]): Array[InternalRow] =
+    opts.toSeq.sortBy(_._1).map { case (k, v) =>
+      InternalRow(utf8(k), utf8(v))
+    }.toArray
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 

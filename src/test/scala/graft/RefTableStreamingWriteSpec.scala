@@ -264,6 +264,15 @@ class RefTableStreamingWriteSpec extends AnyFunSuite {
       assert(spark.table(s"$cat.db.exf").count() == 0)
       spark.sql(s"INSERT INTO $cat.db.ex VALUES (-1, 'bad'), (9, 'ok')") // drop mode
       assert(spark.table(s"$cat.db.ex").count() == 3)
+
+      // the declared gates are first-class inspectable through t$options
+      val declared = spark.sql(s"SELECT option, value FROM $cat.db.`ex$$options` " +
+        "WHERE option LIKE 'expect.%' OR option = 'onViolation' ORDER BY option")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(declared == Seq(
+        "expect.named" -> "length(name) >= 2",
+        "expect.pos_id" -> "id > 0",
+        "onViolation" -> "drop"), declared.toString)
     }
   }
 
