@@ -220,7 +220,13 @@ object SchemaJson {
   *                      (write-audit-publish: nothing lands); `drop`
   *                      skips-and-counts violating rows (the DLT
   *                      expect_or_drop shape; counts are reported per
-  *                      epoch). Validated at analysis time like `filter`.
+  *                      epoch); `quarantine` routes them to the sibling
+  *                      versioned table `<path>__quarantine` (declared
+  *                      schema + `_violated` rule names, its own
+  *                      replay-deduped txn markers — quarantine commits
+  *                      BEFORE the main epoch, so a crash can replay but
+  *                      never silently lose a reject). Validated at
+  *                      analysis time like `filter`.
   *  - `autoCompact`     (default false) streaming writes only: after a
   *                      committed epoch, compact the table when the
   *                      current version exceeds `autoCompactFiles`
@@ -670,10 +676,14 @@ object RefTableOptions {
     }
     val onViolation = Option(options.get("onViolation")).filter(_.nonEmpty) match {
       case None => "fail"
-      case Some(v) if Set("fail", "drop").contains(v.trim) => v.trim
+      case Some(v) if Set("fail", "drop", "quarantine").contains(v.trim) => v.trim
       case Some(v) =>
-        err("onViolation", s"Invalid 'onViolation' '$v': must be 'fail' or 'drop'"); "fail"
+        err("onViolation",
+          s"Invalid 'onViolation' '$v': must be 'fail', 'drop' or 'quarantine'"); "fail"
     }
+    if (onViolation == "quarantine" && schema.exists(_.fieldNames.contains("_violated")))
+      err("onViolation", "'quarantine' reserves the column name '_violated' for the " +
+        "quarantine table's rule attribution; rename the schema field")
     if (onViolation == "drop" && expectations.isEmpty)
       err("onViolation", "'onViolation' without any 'expect.<name>' rule has no effect")
 

@@ -62,7 +62,28 @@ class RefTableStreamingWrite(
       f.copy(name = opts.storageColumn(f.name)))
     RefTableWriterFactory(
       stagingRoot, StructType(storageFields), opts.partitionColumns.toList,
-      boundExpectations(), opts.onViolation)
+      boundExpectations(), opts.onViolation, quarantineProjection())
+  }
+
+  /** onViolation=quarantine: the quarantine row's schema (declared names +
+    * `_violated`) and its bound projection — every declared field plus the
+    * comma-joined names of the rules the row broke.
+    */
+  private def quarantineProjection(): Option[(StructType,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = {
+    if (opts.onViolation != "quarantine" || opts.expectations.isEmpty) return None
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    val fields = opts.schema.indices.map(i =>
+      BoundReference(i, opts.schema(i).dataType, opts.schema(i).nullable): Expression)
+    val ruleExprs = boundExpectations().map { case (n, e) =>
+      If(Coalesce(Seq(e, Literal(false))), Literal.create(null, StringType), Literal(n))
+        : Expression
+    }
+    val violated = ConcatWs(Literal(",") +: ruleExprs)
+    Some((StructType(opts.schema.fields :+
+      org.apache.spark.sql.types.StructField("_violated", StringType, nullable = true)),
+      fields :+ violated))
   }
 
   /** Declared expectations analyzed against the write schema and bound to
@@ -116,6 +137,41 @@ class RefTableStreamingWrite(
       if (!org.apache.hadoop.fs.FileUtil.copy(
           fs, new Path(epochDir, f.rel), fs, dst, false, conf))
         throw new java.io.IOException(s"failed to stage ${f.rel} into $staging")
+    }
+    // QUARANTINE FIRST (onViolation=quarantine): the rejects log commits
+    // before the main epoch, so a crash between the two leaves a
+    // quarantined-but-also-unpublished epoch (replayed whole on restart),
+    // never a silently vanished reject. Its own txn marker space
+    // (`<appId>#q`) makes the quarantine commit replay-deduped too.
+    val stagedQ = epochMsgs.flatMap(_.quarantineFiles)
+    if (stagedQ.nonEmpty) {
+      val qOpts = RefTableWrites.quarantineOpts(opts)
+      val qRows = epochMsgs.map(_.quarantineRows).sum
+      System.err.println(
+        s"[reftable] epoch $epochId quarantined $qRows row(s) to ${qOpts.path}")
+      val qMarker = Some(s"txn:$appId#q:$epochId")
+      VersionedTable.withConflictRetry(qOpts.path) { () =>
+        val qBase = VersionedTable.resolve(qOpts.path, conf).map(p => new Path(p).getName)
+        if (RefTableWrites.lastCommittedBatch(qOpts.path, s"$appId#q", conf)
+            .exists(_ >= epochId)) {
+          () // replayed epoch: quarantine already durable
+        } else {
+          VersionedTable.publishVia(qOpts.path, qOpts.keepVersions, marker = qMarker,
+            parent = qBase, requireBase = true,
+            manifestPartitionCols = Nil) { staging =>
+            stagedQ.foreach { f =>
+              val dst = new Path(staging, f.rel)
+              fs.mkdirs(dst.getParent)
+              if (!org.apache.hadoop.fs.FileUtil.copy(
+                  fs, new Path(new Path(epochDir, "_q"), f.rel), fs, dst, false, conf))
+                throw new java.io.IOException(s"failed to stage quarantine ${f.rel}")
+            }
+            qBase.foreach(b => RefTableFileManifest.writeDelta(
+              qOpts.path, staging, b, Set.empty, Nil, conf))
+          }
+          ()
+        }
+      }
     }
     if (staged.isEmpty && VersionedTable.resolve(opts.path, conf).isDefined) {
       cleanup(); return // no-data trigger: no commit, no version churn
@@ -179,7 +235,9 @@ final case class StagedFile(rel: String, len: Long, pv: Map[String, String])
 
 final case class StagedEpochFiles(
     files: Seq[StagedFile],
-    droppedByRule: Map[String, Long] = Map.empty) extends WriterCommitMessage
+    droppedByRule: Map[String, Long] = Map.empty,
+    quarantineFiles: Seq[StagedFile] = Nil,
+    quarantineRows: Long = 0L) extends WriterCommitMessage
 
 /** Serializable per-task writer factory. `schema` carries STORAGE names
   * in declared order (partition columns included — they are projected out
@@ -188,12 +246,14 @@ final case class StagedEpochFiles(
 final case class RefTableWriterFactory(
     stagingRoot: String, schema: StructType, partitionColumns: List[String],
     expectations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-    onViolation: String = "fail")
+    onViolation: String = "fail",
+    quarantine: Option[(StructType,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new EpochWriter(s"$stagingRoot/$epochId", schema, partitionColumns,
-      f"part-$partitionId%05d-$taskId", expectations, onViolation)
+      f"part-$partitionId%05d-$taskId", expectations, onViolation, quarantine)
 }
 
 /** Executor-side parquet writer for one task of one epoch. Rows split by
@@ -207,7 +267,9 @@ final class EpochWriter(
     epochDir: String, schema: StructType, partitionColumns: List[String],
     filePrefix: String,
     expectations: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-    onViolation: String = "fail")
+    onViolation: String = "fail",
+    quarantine: Option[(StructType,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = None)
     extends DataWriter[InternalRow] {
 
   // row-level quality gates, evaluated IN the write path (codegen'd
@@ -218,6 +280,21 @@ final class EpochWriter(
     n -> org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
   }
   private val dropCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+
+  // quarantine routing: violating rows are projected to (declared fields +
+  // _violated rule names) and written under the epoch's `_q/` staging;
+  // the driver publishes them to the sibling quarantine table at commit
+  private lazy val qProject = quarantine.map { case (_, exprs) =>
+    UnsafeProjection.create(exprs)
+  }
+  private lazy val qConf = quarantine.map { case (qSchema, _) =>
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(qSchema, c)
+    c
+  }
+  private var qWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var qFile: String = _
+  private var qRows = 0L
 
   private val conf = {
     val c = new Configuration()
@@ -288,10 +365,25 @@ final class EpochWriter(
     while (i < gatePreds.size) {
       val (rname, p) = gatePreds(i)
       if (!p.eval(row)) { // null evaluates false: unmet is unmet
-        if (onViolation == "fail")
-          throw new IllegalStateException(
-            s"reftable: epoch refused — expectation '$rname' violated (onViolation=fail)")
-        dropCounts(rname) += 1
+        onViolation match {
+          case "fail" =>
+            throw new IllegalStateException(
+              s"reftable: epoch refused — expectation '$rname' violated (onViolation=fail)")
+          case "quarantine" =>
+            if (qWriter == null) {
+              qFile = s"$filePrefix-q.parquet"
+              qWriter = new RowBuilder(
+                org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+                  new Path(s"$epochDir/_q/$qFile"), qConf.get))
+                .withConf(qConf.get)
+                .withCompressionCodec(
+                  org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+                .build()
+            }
+            qWriter.write(qProject.get(row))
+            qRows += 1
+          case _ => dropCounts(rname) += 1
+        }
         return
       }
       i += 1
@@ -318,17 +410,27 @@ final class EpochWriter(
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
+    if (qWriter != null) qWriter.close()
     val fs = new Path(epochDir).getFileSystem(conf)
+    val qStaged =
+      if (qWriter == null) Nil
+      else Seq(StagedFile(qFile,
+        fs.getFileStatus(new Path(s"$epochDir/_q/$qFile")).getLen, Map.empty))
     StagedEpochFiles(written.toSeq.map { case (rel, pv) =>
       StagedFile(rel, fs.getFileStatus(new Path(s"$epochDir/$rel")).getLen, pv)
-    }, dropCounts.toMap)
+    }, dropCounts.toMap, qStaged, qRows)
   }
 
   override def abort(): Unit = {
     writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    if (qWriter != null) { try qWriter.close() catch { case _: Throwable => () } }
     val fs = new Path(epochDir).getFileSystem(conf)
     written.foreach { case (rel, _) =>
       try fs.delete(new Path(s"$epochDir/$rel"), false)
+      catch { case _: Throwable => () }
+    }
+    if (qFile != null) {
+      try fs.delete(new Path(s"$epochDir/_q/$qFile"), false)
       catch { case _: Throwable => () }
     }
     ()

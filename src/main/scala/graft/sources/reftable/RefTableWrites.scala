@@ -165,14 +165,19 @@ object RefTableWrites {
     * against the pinned snapshot.)
     */
   def appendVersion(opts: RefTableOptions, data: Dataset[Row],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None): Unit =
+    appendVersionInternal(opts, data, txn, preEnforced = false)
+
+  private[reftable] def appendVersionInternal(opts: RefTableOptions, data: Dataset[Row],
+      txn: Option[(String, Long)], preEnforced: Boolean): Unit = {
     guardReadOnly(opts)
     require(opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty,
       "appendVersion: clusterBy/zorderBy/bucketBy layouts are GLOBAL properties that " +
         "re-cluster on append; use insert() (batch) which rewrites the layout per commit")
     val conf = new Configuration()
     guardBareRoot(opts, conf)
-    val aligned = alignedStorage(opts, enforceExpectations(opts, data))
+    val aligned = alignedStorage(opts,
+      if (preEnforced) data.toDF() else enforceExpectations(opts, data))
     val marker = txn.map { case (a, b) => s"txn:$a:$b" }
     val committed = VersionedTable.withConflictRetry(opts.path) { () =>
       // pin the base FIRST: the marker check below is made against this
@@ -220,20 +225,53 @@ object RefTableWrites {
     */
   private[reftable] def enforceExpectations(
       opts: RefTableOptions, data: Dataset[Row]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, expr, lit, not, when}
     if (opts.expectations.isEmpty) return data.toDF()
-    if (opts.onViolation == "drop")
-      graft.operators.Expectations.dropViolations(data.toDF(), opts.expectations)
-    else {
-      val census = graft.operators.Expectations.check(data.toDF(), opts.expectations)
-        .collect().filter(_.getLong(1) > 0L)
-      if (census.nonEmpty)
-        throw new IllegalStateException(
-          "reftable: write refused — expectation(s) violated (onViolation=fail): " +
-            census.map(r => s"${r.getString(0)} (${r.getLong(1)}/${r.getLong(2)} rows)")
-              .mkString(", "))
-      data.toDF()
+    opts.onViolation match {
+      case "drop" =>
+        graft.operators.Expectations.dropViolations(data.toDF(), opts.expectations)
+      case "quarantine" =>
+        // violating rows land in the sibling quarantine table (declared
+        // schema + `_violated` rule names) as an append-only rejects log;
+        // passing rows continue into the write. The quarantine commit
+        // happens FIRST, so a crash between the two can only leave a
+        // quarantined-but-also-absent row, never a silently dropped one.
+        val passes = opts.expectations
+          .map { case (_, p) => coalesce(expr(p), lit(false)) }.reduce(_ && _)
+        val violated = data.toDF().filter(not(passes))
+          .withColumn("_violated", concat_ws(",",
+            opts.expectations.map { case (n, p) =>
+              when(!coalesce(expr(p), lit(false)), lit(n)) }: _*))
+        if (!violated.isEmpty)
+          appendVersion(quarantineOpts(opts), violated)
+        data.toDF().filter(passes)
+      case _ =>
+        val census = graft.operators.Expectations.check(data.toDF(), opts.expectations)
+          .collect().filter(_.getLong(1) > 0L)
+        if (census.nonEmpty)
+          throw new IllegalStateException(
+            "reftable: write refused — expectation(s) violated (onViolation=fail): " +
+              census.map(r => s"${r.getString(0)} (${r.getLong(1)}/${r.getLong(2)} rows)")
+                .mkString(", "))
+        data.toDF()
     }
   }
+
+  /** The quarantine sibling's options: `<path>__quarantine`, declared
+    * schema + `_violated STRING`, flat layout (a rejects log), no
+    * expectations of its own (no recursion), same retention.
+    */
+  private[reftable] def quarantineOpts(opts: RefTableOptions): RefTableOptions =
+    opts.copy(
+      path = opts.path.stripSuffix("/") + "__quarantine",
+      schema = org.apache.spark.sql.types.StructType(opts.schema.fields :+
+        org.apache.spark.sql.types.StructField("_violated",
+          org.apache.spark.sql.types.StringType, nullable = true)),
+      expectations = Nil, onViolation = "fail",
+      partitionColumns = Nil, hiddenPartitions = Nil,
+      zorderBy = Nil, clusterBy = Nil, bucketBy = Nil,
+      rowField = None, keyColumn = None, columnMapping = Map.empty,
+      categoricalStats = Nil, bloomStats = Nil)
 
   /** Version-pinned (time travel) relations and genColumn projections are
     * read-only through EVERY write entry point.
@@ -252,7 +290,8 @@ object RefTableWrites {
     guardReadOnly(opts)
     val conf = new Configuration()
     guardBareRoot(opts, conf)
-    val aligned = alignedStorage(opts, enforceExpectations(opts, data))
+    val gated = enforceExpectations(opts, data)
+    val aligned = alignedStorage(opts, gated)
     val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))
     // layout options name OUTPUT fields; the payload carries storage names
     def storage(cols: Seq[String]): Seq[String] = cols.map(opts.storageColumn)
@@ -296,7 +335,7 @@ object RefTableWrites {
       // full rewrite below: their layout is a GLOBAL property, which is
       // the point of the option (for bucketBy it keeps every version
       // physically bucketed so keyed-mutation narrowing never lapses).
-      appendVersion(opts, data)
+      appendVersionInternal(opts, gated, txn = None, preEnforced = true)
       return
     }
     else VersionedTable.withConflictRetry(opts.path) { () =>

@@ -276,6 +276,58 @@ class RefTableStreamingWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("onViolation=quarantine: rejects land in the sibling table with rule names") {
+    withCatalog { (cat, wh) =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.db.qr (id BIGINT, name STRING) USING reftable " +
+        "OPTIONS ('expect.pos_id' 'id > 0', 'expect.named' 'length(name) >= 2', " +
+        "onViolation 'quarantine')")
+      val base = Files.createTempDirectory("graft_swqr_in_")
+      val in = s"$base/in"
+      val ck = s"$base/ck"
+      Seq((1L, "ok"), (-2L, "x"), (3L, "y"), (4L, "fine"))
+        .toDF("id", "name").coalesce(1).write.parquet(s"$in/f0")
+      def drain(): Unit = {
+        val q = spark.readStream.schema("id LONG, name STRING")
+          .option("recursiveFileLookup", "true").parquet(in)
+          .writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.qr")
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      drain()
+      assert(spark.table(s"$cat.db.qr").orderBy("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+      val qddl = "id BIGINT, name STRING, _violated STRING"
+      def quarantineRows() = spark.read.format("reftable")
+        .option("path", s"$wh/db/qr__quarantine").option("schema", qddl).load()
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // rule names in option-name order (expectations are name-sorted)
+      assert(quarantineRows() == Seq(
+        (-2L, "x", "named,pos_id"), (3L, "y", "named")), quarantineRows().toString)
+
+      // forced replay: neither the main table nor the quarantine doubles
+      val commits = new java.io.File(s"$ck/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      assert(commits.last.delete())
+      new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc").delete()
+      drain()
+      assert(spark.table(s"$cat.db.qr").count() == 2)
+      assert(quarantineRows().size == 2, "quarantine must be replay-deduped too")
+
+      // the BATCH surface quarantines through the same sibling
+      spark.sql(s"INSERT INTO $cat.db.qr VALUES (-9, 'bad'), (10, 'good')")
+      assert(spark.table(s"$cat.db.qr").orderBy("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L, 10L))
+      assert(quarantineRows().map(_._1) == Seq(-9L, -2L, 3L))
+    }
+  }
+
   test("vacuum collects stale crashed-epoch staging, spares maybe-live epochs") {
     withCatalog { (cat, wh) =>
       import spark.implicits._
