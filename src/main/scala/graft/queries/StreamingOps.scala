@@ -1184,6 +1184,52 @@ object StreamingOps {
     }, Some(
       """SELECT count(*) AS n, round(sum(value), 4) AS total,
         |  min(event_id) AS lo, max(event_id) AS hi
-        |FROM events WHERE value >= 1.0 AND user_id >= 0""".stripMargin))
+        |FROM events WHERE value >= 1.0 AND user_id >= 0""".stripMargin)),
+
+    // QUARANTINE AT THE SINK — onViolation=quarantine splits the feed:
+    // gate-passing rows land in the table, rejects land in the sibling
+    // `__quarantine` table WITH the names of the rules they broke — an
+    // auditable rejects log instead of silent loss. Both sides verified
+    // against one oracle that replays the split (total row conservation
+    // included: kept + quarantined = feed).
+    QueryDef("q180_quarantine_split", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, _) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_quar_")
+      Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val root = RelationalSupport.scratchDir(s, dir, "q180_quar")
+      val ddl = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+      val q = s.readStream.schema(eventsSchema(tsType)).parquet(streamDir.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("reftable")
+        .option("path", root).option("schema", ddl)
+        .option("expect.min_value", "value >= 1.0")
+        .option("onViolation", "quarantine")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_quar_ck_").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      q.awaitTermination(120000)
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      val kept = s.read.format("reftable")
+        .option("path", root).option("schema", ddl).load()
+        .select(lit("kept").as("side"), col("event_id"), col("value"),
+          lit("").as("violated"))
+      val rejects = s.read.format("reftable")
+        .option("path", root + "__quarantine")
+        .option("schema", ddl + ", _violated STRING").load()
+        .select(lit("quarantined").as("side"), col("event_id"), col("value"),
+          col("_violated").as("violated"))
+      kept.unionAll(rejects)
+        .groupBy("side", "violated")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("total"))
+        .orderBy("side", "violated")
+    }, Some(
+      """SELECT CASE WHEN value >= 1.0 THEN 'kept' ELSE 'quarantined' END AS side,
+        |  CASE WHEN value >= 1.0 THEN '' ELSE 'min_value' END AS violated,
+        |  count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY side, violated""".stripMargin))
   )
 }
