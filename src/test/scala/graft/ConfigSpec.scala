@@ -243,8 +243,11 @@ class ConfigSpec extends AnyFunSuite {
       RefTableOptions.from(opts("expect.bad" -> "key >"))
     }
     assert(e2.getMessage.contains("Invalid expectation"), e2.getMessage)
+    // quarantine is a VALID mode (reserving _violated); junk is not
+    assert(RefTableOptions.from(opts("expect.pos" -> "key > 0",
+      "onViolation" -> "quarantine")).onViolation == "quarantine")
     val e3 = intercept[IllegalArgumentException] {
-      RefTableOptions.from(opts("expect.pos" -> "key > 0", "onViolation" -> "quarantine"))
+      RefTableOptions.from(opts("expect.pos" -> "key > 0", "onViolation" -> "sidechannel"))
     }
     assert(e3.getMessage.contains("onViolation"), e3.getMessage)
     val e4 = intercept[IllegalArgumentException] {
