@@ -67,7 +67,25 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 class RefTableChangefeedStream(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter],
     checkpointLocation: String)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
+
+  /** Per-trigger source metrics (`StreamingQueryProgress.sources[].metrics`):
+    * the pinned table version the last consumed delta ended at, keyed by its
+    * refresh generation — the operator-visible proof the feed is advancing
+    * version-by-version rather than re-reading the corpus.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[
+      org.apache.spark.sql.connector.read.streaming.Offset]): java.util.Map[String, String] =
+    synchronized {
+      val m = new java.util.HashMap[String, String]()
+      Option(latestConsumedOffset.orElse(null)).foreach { o =>
+        val off = RefTableOffset.fromJson(o.json())
+        m.put("generation", off.gen.toString)
+        pinnedVersion(off.gen).foreach(v => m.put("pinnedVersion", v))
+      }
+      m
+    }
 
   private val conf = new Configuration()
   private var last: RefTableOffset = _

@@ -379,6 +379,7 @@ class RefTableColumnarReader(
           }
           selection.identity = false
           dvIdx = j
+          dvSkipped += decoded - k
           k
         }
       }
@@ -392,6 +393,14 @@ class RefTableColumnarReader(
   override def next(): Boolean = remaining > 0 && reader.nextBatch()
   override def get(): ColumnarBatch = project(reader.resultBatch())
   override def close(): Unit = reader.close()
+
+  // cumulative per-reader read-volume metrics (RefTableMetrics)
+  private var dvSkipped = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    RefTableMetrics.TaskValue(RefTableMetrics.FilesRead, 1L),
+    RefTableMetrics.TaskValue(RefTableMetrics.SplitBytes, partition.length),
+    RefTableMetrics.TaskValue(RefTableMetrics.DvRowsSkipped, dvSkipped))
 }
 
 /** A TimestampType view over an INT64(NANOS) column decoded as longs:

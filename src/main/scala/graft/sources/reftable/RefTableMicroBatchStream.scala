@@ -149,17 +149,26 @@ object SnapshotFiles {
     * ([[RefTableStats]]). The version dir is resolved ONCE so the files and
     * the manifest are guaranteed to come from the same snapshot.
     */
-  def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] = {
+  def pruned(opts: RefTableOptions, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[SnapshotFile] =
+    prunedCounted(opts, filters)._2
+
+  /** [[pruned]] plus the PRE-pruning listing size, for the scan's
+    * filesListed/filesPruned metrics — one resolve and one listing, shared.
+    */
+  def prunedCounted(opts: RefTableOptions,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Seq[SnapshotFile]) = {
     val conf = new Configuration()
     val resolved = resolveDir(opts.path, opts.version, conf)
     // physicalNesting: hidden partition transforms nest the layout under
     // derived dirs (ts_day=...) that are NOT schema fields — the walk and
     // the manifest pv keys use the dir names, pruning maps source-column
     // predicates onto them (RefTablePartitioning + RefTableTransforms)
-    RefTableStats.prune(
+    val listed = list(resolved, opts.physicalNesting, None)
+    val kept = RefTableStats.prune(
       resolved,
-      RefTablePartitioning.prune(list(resolved, opts.physicalNesting, None), opts, filters),
+      RefTablePartitioning.prune(listed, opts, filters),
       opts, filters, conf)
+    (listed.size.toLong, kept)
   }
 }
 
@@ -236,7 +245,32 @@ object RefTableOffset {
   */
 class RefTableMicroBatchStream(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter] = Array.empty)
-    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
+
+  /** Per-trigger source metrics, surfaced in `StreamingQueryProgress
+    * .sources[].metrics` — the streaming analogue of the batch scan's
+    * custom SQL metrics: which refresh generation the last batch consumed,
+    * and the pinned (already partition-pruned) snapshot's size. At scale
+    * this is the signal that tells an operator whether a slow stream is
+    * re-reading a huge snapshot every generation or draining it in chunks.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[
+      org.apache.spark.sql.connector.read.streaming.Offset]): java.util.Map[String, String] =
+    synchronized {
+      val m = new java.util.HashMap[String, String]()
+      Option(latestConsumedOffset.orElse(null)).foreach { o =>
+        val off = RefTableOffset.fromJson(o.json())
+        m.put("generation", off.gen.toString)
+        snapshots.get(off.gen).foreach { fs =>
+          m.put("snapshotFiles", fs.size.toString)
+          m.put("snapshotBytes", fs.map(_.length).sum.toString)
+          m.put("filesEmitted",
+            (if (off.upTo >= 0) off.upTo else fs.size.toLong).toString)
+        }
+      }
+      m
+    }
 
   private var last: RefTableOffset = _
   private var availableNowGen: Option[Long] = None

@@ -333,6 +333,17 @@ class RefTableScan(
 
   override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
+  // scan observability: pruning effectiveness + read volume as SQL metrics
+  // on the scan node (see RefTableMetrics); the Batch fills the driver-side
+  // counts during planInputPartitions, Spark posts them right after
+  private val driverMetrics = new RefTableMetrics.DriverScanMetrics
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    RefTableMetrics.scanMetrics
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    driverMetrics.report
+
   /** Size the snapshot for the optimizer: without statistics a DSv2 relation
     * defaults to Long.MaxValue and is NEVER auto-broadcast — which would
     * defeat the source's documented purpose (a small lookup table feeding a
@@ -381,7 +392,8 @@ class RefTableScan(
       throw new UnsupportedOperationException(
         "changefeed is a streaming read mode (readStream); batch reads return snapshots — " +
           "drop the option, or use VersionedTable.changes for a one-shot version diff")
-    new RefTableBatch(opts, required, pushed ++ declared ++ runtimeFilters, limit)
+    new RefTableBatch(opts, required, pushed ++ declared ++ runtimeFilters, limit,
+      Some(driverMetrics))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -393,10 +405,12 @@ class RefTableScan(
 /** One-shot batch read of the current snapshot. */
 class RefTableBatch(
     opts: RefTableOptions, required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None,
+    metrics: Option[RefTableMetrics.DriverScanMetrics] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
-    val pruned = SnapshotFiles.pruned(opts, pushed.toSeq)
+    val (listedCount, pruned) = SnapshotFiles.prunedCounted(opts, pushed.toSeq)
+    metrics.foreach { m => m.listed = listedCount; m.kept = pruned.size }
     if (opts.groupByPartition && opts.partitionColumns.nonEmpty)
       RefTablePartitions.planGrouped(pruned, gen, opts)
     else RefTablePartitions.plan(pruned, gen)
