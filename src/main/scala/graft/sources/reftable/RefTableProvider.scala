@@ -351,6 +351,7 @@ class RefTableScan(
     * session compression factor, like Spark's own file sources.
     */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val prunedFiles = SnapshotFiles.pruned(opts, (pushed ++ declared).toSeq)
     private val bytes: Long = {
       val factor =
         try org.apache.spark.sql.SparkSession.active.conf
@@ -358,11 +359,24 @@ class RefTableScan(
         catch { case _: Throwable => 1.0 }
       // post-pruning size: a partition-filtered scan of a huge table is
       // exactly the case where accurate (small) stats enable the broadcast
-      val onDisk = SnapshotFiles.pruned(opts, (pushed ++ declared).toSeq).map(_.length).sum
-      math.max(1L, (onDisk * factor).toLong)
+      math.max(1L, (prunedFiles.map(_.length).sum * factor).toLong)
     }
+    // exact post-pruning row count from the stats manifest (DV-masked rows
+    // subtracted) — present only when EVERY surviving file has a fresh
+    // stats entry; an upper bound under residual filters, like Spark's own
+    // file-source estimates. Feeds the CBO's join-order/build-side choices.
+    private val rows: java.util.OptionalLong =
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val resolved = SnapshotFiles.resolveDir(opts.path, opts.version, conf)
+        val stats = RefTableStats.statsForListing(resolved, prunedFiles, conf)
+        val counts = prunedFiles.map(f => stats.get(f.path).map(_.rows - f.dvPositions.size))
+        if (counts.forall(_.isDefined))
+          java.util.OptionalLong.of(math.max(0L, counts.flatMap(x => x).sum))
+        else java.util.OptionalLong.empty()
+      } catch { case _: Throwable => java.util.OptionalLong.empty() }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   /** Storage-partitioned joins: with `groupByPartition` the scan reports

@@ -85,6 +85,15 @@ class RefTableMetricsSpec extends AnyFunSuite {
     assert(m(RefTableMetrics.DvRowsSkipped) == 100L, m.toString)
   }
 
+  test("optimizer row-count estimate comes from the stats manifest, DV-adjusted") {
+    val root = tmpDir("rows")
+    import spark.implicits._
+    VersionedTable.publish((1L to 1000L).toDF("id").repartition(2), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 10 === 0)
+    val rc = readRef(root, "id BIGINT").queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.contains(BigInt(900)), s"rowCount=$rc")
+  }
+
   test("streaming progress carries generation/snapshotFiles/snapshotBytes") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmpDir("stream")
