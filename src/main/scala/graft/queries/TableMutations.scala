@@ -939,6 +939,42 @@ object TableMutations {
         |  SELECT -s_suppkey, s_nationkey, cents FROM base WHERE s_suppkey % 25 = 0)
         |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(s_suppkey) AS lo_key
-        |FROM state2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+        |FROM state2 GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // Version TAGS (named immutable references): tag v1, then publish two
+    // more versions at the MINIMUM retention (keepVersions=2) — publish-
+    // time pruning collects every untagged old version, but the tagged v1
+    // must survive with its bytes, and `version=tag:audit` must read it
+    // EXACTLY (the full base state). If retention had collected the tagged
+    // version, the read would fail; if the tag resolved to the wrong
+    // version, the 'tagged' group would hash-mismatch the oracle's replay.
+    QueryDef("q181_version_tags", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q181_tags")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      VersionedTable.publish(base, root, keepVersions = 2)
+      VersionedTable.tag(root, "audit")
+      VersionedTable.publish(base.filter(col("o_totalprice") < 50000.0), root, keepVersions = 2)
+      VersionedTable.publish(base.filter(col("o_totalprice") < 25000.0), root, keepVersions = 2)
+      val nTags = VersionedTable.tags(root).size
+      def agg(stage: String, version: Option[String]) = {
+        val r = s.read.format("reftable")
+          .option("path", root)
+          .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        version.foreach(v => r.option("version", v))
+        r.load()
+          .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+          .select(lit(stage).as("stage"), col("n"), col("total"))
+      }
+      agg("tagged", Some("tag:audit")).unionAll(agg("current", None))
+        .withColumn("n_tags", lit(nTags)).orderBy("stage")
+    }, Some(
+      """SELECT stage, n, total, 1 AS n_tags FROM (
+        |  SELECT 'current' AS stage, count(*) AS n,
+        |    round(sum(o_totalprice), 4) AS total FROM orders WHERE o_totalprice < 25000
+        |  UNION ALL
+        |  SELECT 'tagged', count(*), round(sum(o_totalprice), 4) FROM orders)
+        |ORDER BY stage""".stripMargin))
   )
 }

@@ -206,10 +206,18 @@ class RefTableChangefeedStream(
           // delta; end.gen is pinned to the current version, so the next
           // generation diffs from HERE
           emptyOutput(spark).withColumn("change_type", lit("insert").cast(StringType))
-        case from =>
-          // a NAMED retained version: the first delta is from→current.
-          // Loud failure if it is gone — a silent bootstrap would replay
-          // the whole corpus into a consumer that asked for a delta
+        case fromSpec =>
+          // a NAMED retained version (or a tag naming one): the first
+          // delta is from→current. Loud failure if it is gone — a silent
+          // bootstrap would replay the whole corpus into a consumer that
+          // asked for a delta
+          val from =
+            if (fromSpec.startsWith("tag:")) {
+              val t = fromSpec.stripPrefix("tag:")
+              VersionedTable.resolveTag(opts.path, t, conf).getOrElse(
+                throw new IllegalArgumentException(
+                  s"changefeedFrom tag '$t' does not exist at ${opts.path}"))
+            } else fromSpec
           val fromFiles =
             try listingOf(from)
             catch { case NonFatal(e) => throw new IllegalArgumentException(

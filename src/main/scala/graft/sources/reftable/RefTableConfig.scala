@@ -623,9 +623,10 @@ object RefTableOptions {
         val t = v.trim
         if (!changefeed)
           err("changefeedFrom", "'changefeedFrom' requires 'changefeed' (it positions the delta stream)")
-        if (t != "earliest" && t != "latest" && !t.matches("v\\d{19}_[0-9a-f]{8}"))
-          err("changefeedFrom", s"Invalid 'changefeedFrom' '$t': must be 'earliest', 'latest' " +
-            "or a version directory name")
+        if (t != "earliest" && t != "latest" && !t.matches("v\\d{19}_[0-9a-f]{8}") &&
+            !t.matches("tag:[A-Za-z0-9][A-Za-z0-9._-]*"))
+          err("changefeedFrom", s"Invalid 'changefeedFrom' '$t': must be 'earliest', 'latest', " +
+            "a version directory name, or 'tag:<name>'")
         t
     }
 

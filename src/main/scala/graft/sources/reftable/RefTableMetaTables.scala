@@ -40,7 +40,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object RefTableMetaTables {
 
-  val Kinds: Set[String] = Set("history", "commits", "files", "layout", "dv", "options")
+  val Kinds: Set[String] = Set("history", "commits", "files", "layout", "dv", "options", "tags")
+
+  /** `t$tags`: named immutable version references ([[VersionedTable.tag]]),
+    * with the version each protects from retention and its creation time.
+    */
+  private val tagsSchema = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", StringType, nullable = false),
+    StructField("created_ts", TimestampType, nullable = false)))
+
+  private def tagRows(root: String, conf: Configuration): Array[InternalRow] =
+    VersionedTable.tags(root, conf).map { case (name, version, createdMs) =>
+      InternalRow(utf8(name), utf8(version), createdMs * 1000L)
+    }.toArray
 
   private val historySchema = StructType(Seq(
     StructField("version_idx", IntegerType, nullable = false),
@@ -79,6 +92,7 @@ object RefTableMetaTables {
       case "files" => new MetaTable(displayName, filesSchema, () => fileRows(root, conf))
       case "layout" => new MetaTable(displayName, layoutSchema, () => layoutRows(root, conf))
       case "dv" => new MetaTable(displayName, dvSchema, () => dvRows(root, conf))
+      case "tags" => new MetaTable(displayName, tagsSchema, () => tagRows(root, conf))
       case "options" =>
         val opts = descriptorOptions
         new MetaTable(displayName, optionsSchema, () => optionsRows(opts))

@@ -31,18 +31,35 @@ object RefTableMetrics {
   val SplitBytes = "splitBytes"
   val DvRowsSkipped = "dvRowsSkipped"
 
-  private final class Sum(metricName: String, desc: String) extends CustomSumMetric {
-    override def name(): String = metricName
-    override def description(): String = desc
+  // one top-level zero-arg class per metric: Spark's metrics layer
+  // RE-INSTANTIATES CustomMetric implementations reflectively by class
+  // name (SQLAppStatusListener aggregation), so parameterized or nested
+  // classes fail with "did not have a zero-argument constructor"
+  final class FilesListedMetric extends CustomSumMetric {
+    override def name(): String = FilesListed
+    override def description(): String = "snapshot files listed (pre-pruning)"
+  }
+  final class FilesPrunedMetric extends CustomSumMetric {
+    override def name(): String = FilesPruned
+    override def description(): String = "files pruned (partition/stats/runtime filters)"
+  }
+  final class FilesReadMetric extends CustomSumMetric {
+    override def name(): String = FilesRead
+    override def description(): String = "file splits read"
+  }
+  final class SplitBytesMetric extends CustomSumMetric {
+    override def name(): String = SplitBytes
+    override def description(): String = "split bytes read"
+  }
+  final class DvRowsSkippedMetric extends CustomSumMetric {
+    override def name(): String = DvRowsSkipped
+    override def description(): String = "rows masked by deletion vectors"
   }
 
   /** Fresh metric instances for one scan (Spark keys SQL metrics by name). */
   def scanMetrics: Array[CustomMetric] = Array(
-    new Sum(FilesListed, "snapshot files listed (pre-pruning)"),
-    new Sum(FilesPruned, "files pruned (partition/stats/runtime filters)"),
-    new Sum(FilesRead, "file splits read"),
-    new Sum(SplitBytes, "split bytes read"),
-    new Sum(DvRowsSkipped, "rows masked by deletion vectors"))
+    new FilesListedMetric, new FilesPrunedMetric, new FilesReadMetric,
+    new SplitBytesMetric, new DvRowsSkippedMetric)
 
   final case class TaskValue(metricName: String, v: Long) extends CustomTaskMetric {
     override def name(): String = metricName

@@ -40,6 +40,15 @@ object SnapshotFiles {
     */
   def resolveDir(dir: String, version: Option[String], conf: Configuration): String =
     version match {
+      case Some(v) if v.startsWith("tag:") =>
+        // named immutable reference (VersionedTable.tag): resolves through
+        // `_TAGS/<name>.json`; retention keeps the tagged version alive,
+        // so a loud failure here means the tag never existed or was dropped
+        val t = v.stripPrefix("tag:")
+        val ver = VersionedTable.resolveTag(dir, t, conf).getOrElse(
+          throw new IllegalArgumentException(
+            s"reftable: no tag '$t' at $dir (the `t$$tags` metadata table lists tags)"))
+        new Path(dir, ver).toString
       case Some(v) => new Path(dir, v).toString
       case None => VersionedTable.resolveRobust(dir, conf).getOrElse(dir)
     }

@@ -673,18 +673,23 @@ object VersionedTable {
     val all = commitFiles(root, conf)
     val doomed = all.dropRight(keepVersions).filter(_._1 < commit.seq)
     if (doomed.nonEmpty) {
+      // tagged versions keep their commit AND their bytes (plus their
+      // manifest-chain closure, via the protectedDirs root set below)
+      val tagged = taggedVersions(root, conf)
       val retained = all.takeRight(keepVersions).flatMap { case (s, p) =>
         try Some(readCommit(s, p, conf).version)
         catch { case _: java.io.FileNotFoundException => None }
-      }
+      } ++ tagged
       val protectd = RefTableFileManifest.protectedDirs(root, retained, conf)
       doomed.foreach { case (seq, p) =>
         val victim =
           try Some(readCommit(seq, p, conf).version)
           catch { case _: java.io.FileNotFoundException => None } // a racing pruner got it
-        victim.filterNot(_ == name).filterNot(protectd)
-          .foreach(v => fs.delete(new Path(rootPath, v), true))
-        fs.delete(p, false)
+        if (!victim.exists(tagged)) {
+          victim.filterNot(_ == name).filterNot(protectd)
+            .foreach(v => fs.delete(new Path(rootPath, v), true))
+          fs.delete(p, false)
+        }
       }
     }
     name
@@ -725,9 +730,17 @@ object VersionedTable {
     * the rollback decision is always made against the version it actually
     * supersedes.
     */
-  def restore(root: String, toVersion: String, keepVersions: Int = 3,
+  def restore(root: String, toVersionOrTag: String, keepVersions: Int = 3,
       partitionColumns: Seq[String] = Nil): String = withConflictRetry(root) { () =>
     val conf = new Configuration()
+    // `tag:<name>` restores the tagged version (tags protect their target
+    // from retention, so this is always a retained state)
+    val toVersion =
+      if (toVersionOrTag.startsWith("tag:")) {
+        val t = toVersionOrTag.stripPrefix("tag:")
+        resolveTag(root, t, conf).getOrElse(
+          throw new IllegalArgumentException(s"restore: no tag '$t' at $root"))
+      } else toVersionOrTag
     val current = resolve(root, conf).map(p => new Path(p).getName).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
     val committed = committedVersionDirs(root, conf)
@@ -748,6 +761,104 @@ object VersionedTable {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Tags: named immutable version references (the Iceberg tag shape).
+  // A tag pins a committed version by NAME — `version=tag:<name>` reads
+  // it on every read surface, and BOTH retention paths (publish-time
+  // pruning and vacuum) keep the tagged version's commit, directory, and
+  // manifest-chain closure alive for as long as the tag exists. Drop the
+  // tag and the next vacuum collects normally. Tag files live under
+  // `_TAGS/<name>.json` and are created through the root's commit
+  // primitive, so create-once works on object stores too.
+  // ------------------------------------------------------------------
+
+  val TagsDir = "_TAGS"
+  private val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$"
+
+  private def tagPath(rootPath: Path, name: String): Path =
+    new Path(new Path(rootPath, TagsDir), s"$name.json")
+
+  /** Tag the current (or an explicitly named, still-committed) version.
+    * Create-once: an existing tag refuses unless `replace` — a tag that
+    * silently moved would change what every pinned reader sees. Returns
+    * the tagged version name.
+    */
+  def tag(root: String, name: String, version: Option[String] = None,
+      replace: Boolean = false): String = {
+    require(name.matches(TagNameRe),
+      s"tag: invalid tag name '$name' (allowed: letters, digits, '.', '_', '-'; " +
+        "must start alphanumeric; max 128 chars)")
+    val conf = new Configuration()
+    val target = version.getOrElse(
+      resolve(root, conf).map(p => new Path(p).getName).getOrElse(
+        throw new IllegalArgumentException(s"$root is not a versioned table root")))
+    val committed = committedVersionDirs(root, conf)
+    require(committed.contains(target),
+      s"tag: $target is not a committed version of $root " +
+        s"(committed: ${committed.mkString(", ")})")
+    val rootPath = new Path(root)
+    val content =
+      s"""{"version":"$target","created":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8")
+    val prim = CommitPrimitive.forPath(rootPath, conf)
+    val p = tagPath(rootPath, name)
+    if (replace) prim.overwrite(p, content, conf)
+    else if (!prim.putIfAbsent(p, content, conf))
+      throw new IllegalArgumentException(
+        s"tag: '$name' already exists at $root (replace=true moves it)")
+    target
+  }
+
+  /** Remove a tag; the next retention/vacuum pass may collect the version
+    * it protected. Returns whether the tag existed.
+    */
+  def dropTag(root: String, name: String): Boolean = {
+    val conf = new Configuration()
+    val rootPath = new Path(root)
+    val p = tagPath(rootPath, name)
+    val fs = rootPath.getFileSystem(conf)
+    try fs.delete(p, false)
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** All tags as (name, version, createdMs), name-ordered. */
+  def tags(root: String,
+      conf: Configuration = new Configuration()): Seq[(String, String, Long)] = {
+    val dir = new Path(new Path(root), TagsDir)
+    val fs = dir.getFileSystem(conf)
+    val entries =
+      try fs.listStatus(dir).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    entries.flatMap { s =>
+      val in = fs.open(s.getPath)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val v = node.path("version").asText()
+      if (v.isEmpty) None
+      else Some((s.getPath.getName.stripSuffix(".json"), v, node.path("created").asLong()))
+    }.sortBy(_._1)
+  }
+
+  /** The version a tag names, if the tag exists. */
+  def resolveTag(root: String, name: String,
+      conf: Configuration = new Configuration()): Option[String] = {
+    val p = tagPath(new Path(root), name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val v = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in).path("version").asText()
+      finally in.close()
+      Some(v).filter(_.nonEmpty)
+    }
+  }
+
+  /** Versions any tag protects (the retention keep-set addition). */
+  private[reftable] def taggedVersions(root: String, conf: Configuration): Set[String] =
+    tags(root, conf).map(_._2).toSet
 
   /** Compact the current version into ~`targetFileBytes` files and publish
     * the result as a new version. Small-file explosion is the classic
@@ -868,14 +979,22 @@ object VersionedTable {
     val fs = rootPath.getFileSystem(conf)
     val all = commitFiles(root, conf)
     if (all.nonEmpty) {
+      // tagged versions join the keep-set: their commit, directory, and
+      // manifest-chain closure survive any retention for as long as the
+      // tag exists
+      val tagged = taggedVersions(root, conf)
       val retained = all.takeRight(keepVersions)
-        .map { case (s, p) => readCommit(s, p, conf).version }.toSet
+        .map { case (s, p) => readCommit(s, p, conf).version }.toSet ++ tagged
       // the live closure: retained versions' manifest chains + hosting
       // dirs. A doomed or orphan dir in this set keeps its bytes (newer
       // versions reference them); it is collected by a LATER vacuum once
       // the last referencing commit has itself expired
       val protectd = RefTableFileManifest.protectedDirs(root, retained.toSeq, conf)
       val doomed = all.dropRight(keepVersions)
+        .filterNot { case (s, p) =>
+          try tagged(readCommit(s, p, conf).version)
+          catch { case _: java.io.FileNotFoundException => false }
+        }
       val doomedNames = doomed.map { case (s, p) => readCommit(s, p, conf).version }
       val collectable = doomedNames.filterNot(protectd)
       collectable.foreach(v => fs.delete(new Path(rootPath, v), true))
