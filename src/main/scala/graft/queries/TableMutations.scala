@@ -975,6 +975,48 @@ object TableMutations {
         |    round(sum(o_totalprice), 4) AS total FROM orders WHERE o_totalprice < 25000
         |  UNION ALL
         |  SELECT 'tagged', count(*), round(sum(o_totalprice), 4) FROM orders)
+        |ORDER BY stage""".stripMargin)),
+
+    // TIMESTAMP AS OF on the reader-option surface (`version=ts:<millis>`):
+    // publish the base, capture its embedded publish time, publish a
+    // filtered second version — the as-of read at the FIRST publish's time
+    // must equal the full base (resolution is a pure name comparison over
+    // the commit log), the as-of read far in the future and the un-pinned
+    // read must both equal the latest state. A wrong resolution direction
+    // (newest-before vs oldest-after) or an off-by-one on the boundary
+    // hash-mismatches the oracle's replay.
+    QueryDef("q182_timestamp_travel", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q182_tt")
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      VersionedTable.publish(base, root)
+      val t1 = VersionedTable.versionTimestampMs(
+        VersionedTable.committedVersionDirs(root).head)
+      VersionedTable.publish(base.filter(col("o_totalprice") < 50000.0), root)
+      def agg(stage: String, version: Option[String]) = {
+        val r = s.read.format("reftable")
+          .option("path", root)
+          .option("schema", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        version.foreach(v => r.option("version", v))
+        r.load()
+          .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("total"))
+          .select(lit(stage).as("stage"), col("n"), col("total"))
+      }
+      agg("asof_t1", Some(s"ts:$t1"))
+        .unionAll(agg("asof_future", Some(s"ts:${t1 + 86400000L}")))
+        .unionAll(agg("current", None))
+        .orderBy("stage")
+    }, Some(
+      """SELECT stage, n, total FROM (
+        |  SELECT 'asof_t1' AS stage, count(*) AS n,
+        |    round(sum(o_totalprice), 4) AS total FROM orders
+        |  UNION ALL
+        |  SELECT 'asof_future', count(*), round(sum(o_totalprice), 4)
+        |  FROM orders WHERE o_totalprice < 50000
+        |  UNION ALL
+        |  SELECT 'current', count(*), round(sum(o_totalprice), 4)
+        |  FROM orders WHERE o_totalprice < 50000)
         |ORDER BY stage""".stripMargin))
   )
 }

@@ -165,15 +165,18 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     * version: resolution intersects version directories with the commit
     * log, so an orphan dir from a crashed publish (staged and renamed but
     * never committed) can never be pinned — no reader could ever have
-    * seen it as current.
+    * seen it as current. `VERSION AS OF 'tag:<name>'` pins the tagged
+    * version ([[VersionedTable.tag]]) — tags protect their target from
+    * retention, so a resolved tag is always a retained committed version.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tablePath(ident).toString
-    if (!VersionedTable.committedVersionDirs(root, conf).contains(version))
+    val resolved = VersionedTable.resolveSpec(root, version, conf)
+    if (!VersionedTable.committedVersionDirs(root, conf).contains(resolved))
       throw new IllegalArgumentException(
-        s"table ${ident.toString} has no retained committed version '$version' " +
+        s"table ${ident.toString} has no retained committed version '$resolved' " +
           s"(see VersionedTable.history)")
-    toTable(ident, Some(version))
+    toTable(ident, Some(resolved))
   }
 
   /** `TIMESTAMP AS OF <ts>`: pin to the newest COMMITTED version published
@@ -184,9 +187,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = tablePath(ident).toString
     val ms = timestamp / 1000L
-    val pick = VersionedTable.committedVersionDirs(root, conf)
-      .filter(d => VersionedTable.versionTimestampMs(d) <= ms)
-      .lastOption.getOrElse(throw new IllegalArgumentException(
+    val pick = VersionedTable.resolveAsOf(root, ms, conf)
+      .getOrElse(throw new IllegalArgumentException(
         s"table ${ident.toString} has no version at or before timestamp ${ms}ms"))
     toTable(ident, Some(pick))
   }

@@ -207,17 +207,11 @@ class RefTableChangefeedStream(
           // generation diffs from HERE
           emptyOutput(spark).withColumn("change_type", lit("insert").cast(StringType))
         case fromSpec =>
-          // a NAMED retained version (or a tag naming one): the first
-          // delta is from→current. Loud failure if it is gone — a silent
-          // bootstrap would replay the whole corpus into a consumer that
-          // asked for a delta
-          val from =
-            if (fromSpec.startsWith("tag:")) {
-              val t = fromSpec.stripPrefix("tag:")
-              VersionedTable.resolveTag(opts.path, t, conf).getOrElse(
-                throw new IllegalArgumentException(
-                  s"changefeedFrom tag '$t' does not exist at ${opts.path}"))
-            } else fromSpec
+          // a NAMED retained version (or a tag / TIMESTAMP AS OF spec
+          // naming one): the first delta is from→current. Loud failure if
+          // it is gone — a silent bootstrap would replay the whole corpus
+          // into a consumer that asked for a delta
+          val from = VersionedTable.resolveSpec(opts.path, fromSpec, conf)
           val fromFiles =
             try listingOf(from)
             catch { case NonFatal(e) => throw new IllegalArgumentException(

@@ -624,9 +624,9 @@ object RefTableOptions {
         if (!changefeed)
           err("changefeedFrom", "'changefeedFrom' requires 'changefeed' (it positions the delta stream)")
         if (t != "earliest" && t != "latest" && !t.matches("v\\d{19}_[0-9a-f]{8}") &&
-            !t.matches("tag:[A-Za-z0-9][A-Za-z0-9._-]*"))
+            !t.matches("tag:[A-Za-z0-9][A-Za-z0-9._-]*") && !t.startsWith("ts:"))
           err("changefeedFrom", s"Invalid 'changefeedFrom' '$t': must be 'earliest', 'latest', " +
-            "a version directory name, or 'tag:<name>'")
+            "a version directory name, 'tag:<name>', or 'ts:<timestamp>'")
         t
     }
 

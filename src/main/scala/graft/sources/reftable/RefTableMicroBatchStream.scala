@@ -40,15 +40,13 @@ object SnapshotFiles {
     */
   def resolveDir(dir: String, version: Option[String], conf: Configuration): String =
     version match {
-      case Some(v) if v.startsWith("tag:") =>
-        // named immutable reference (VersionedTable.tag): resolves through
-        // `_TAGS/<name>.json`; retention keeps the tagged version alive,
-        // so a loud failure here means the tag never existed or was dropped
-        val t = v.stripPrefix("tag:")
-        val ver = VersionedTable.resolveTag(dir, t, conf).getOrElse(
-          throw new IllegalArgumentException(
-            s"reftable: no tag '$t' at $dir (the `t$$tags` metadata table lists tags)"))
-        new Path(dir, ver).toString
+      case Some(v) if v.startsWith("tag:") || v.startsWith("ts:") =>
+        // `tag:<name>` — named immutable reference (VersionedTable.tag),
+        // resolved through `_TAGS/<name>.json` (retention keeps tagged
+        // versions alive, so a loud failure means the tag never existed or
+        // was dropped); `ts:<timestamp>` — TIMESTAMP AS OF over the
+        // commit log (publish times embedded in version names, monotonic)
+        new Path(dir, VersionedTable.resolveSpec(dir, v, conf)).toString
       case Some(v) => new Path(dir, v).toString
       case None => VersionedTable.resolveRobust(dir, conf).getOrElse(dir)
     }

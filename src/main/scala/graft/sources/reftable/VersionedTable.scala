@@ -734,13 +734,9 @@ object VersionedTable {
       partitionColumns: Seq[String] = Nil): String = withConflictRetry(root) { () =>
     val conf = new Configuration()
     // `tag:<name>` restores the tagged version (tags protect their target
-    // from retention, so this is always a retained state)
-    val toVersion =
-      if (toVersionOrTag.startsWith("tag:")) {
-        val t = toVersionOrTag.stripPrefix("tag:")
-        resolveTag(root, t, conf).getOrElse(
-          throw new IllegalArgumentException(s"restore: no tag '$t' at $root"))
-      } else toVersionOrTag
+    // from retention, so this is always a retained state); `ts:<timestamp>`
+    // restores TIMESTAMP AS OF
+    val toVersion = resolveSpec(root, toVersionOrTag, conf)
     val current = resolve(root, conf).map(p => new Path(p).getName).getOrElse(
       throw new IllegalArgumentException(s"$root is not a versioned table root"))
     val committed = committedVersionDirs(root, conf)
@@ -859,6 +855,66 @@ object VersionedTable {
   /** Versions any tag protects (the retention keep-set addition). */
   private[reftable] def taggedVersions(root: String, conf: Configuration): Set[String] =
     tags(root, conf).map(_._2).toSet
+
+  /** Parse a `ts:` timestamp spec into epoch millis: bare digits are
+    * epoch millis; otherwise an ISO-8601 instant (`2026-08-14T12:00:00Z`),
+    * a UTC date-time (`yyyy-MM-dd HH:mm:ss[.SSS]`, 'T' separator accepted),
+    * or a UTC date (`yyyy-MM-dd`, start of day).
+    */
+  def parseTimestampSpec(spec: String): Long = {
+    val s = spec.trim
+    if (s.matches("\\d{1,19}")) s.toLong
+    else {
+      def attempt(f: => Long): Option[Long] =
+        try Some(f) catch { case _: java.time.format.DateTimeParseException => None }
+      attempt(java.time.Instant.parse(s).toEpochMilli)
+        .orElse(attempt(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+        .orElse(attempt(java.time.LocalDate.parse(s)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"invalid timestamp spec '$spec': expected epoch millis, an ISO-8601 " +
+            "instant, 'yyyy-MM-dd HH:mm:ss' (UTC), or 'yyyy-MM-dd' (UTC)"))
+    }
+  }
+
+  /** TIMESTAMP AS OF: the newest COMMITTED version whose publish time
+    * (embedded in the version name — monotonic even under clock ties, see
+    * [[versionTimestampMs]]) is at or before `tsMillis`. None when every
+    * retained version is newer — the asked time predates the table or
+    * fell off retention.
+    */
+  def resolveAsOf(root: String, tsMillis: Long,
+      conf: Configuration = new Configuration()): Option[String] =
+    committedVersionDirs(root, conf).takeWhile(versionTimestampMs(_) <= tsMillis).lastOption
+
+  /** Resolve a version SPEC to a version directory name: a plain version
+    * dir name passes through untouched; `tag:<name>` resolves through the
+    * tag store ([[resolveTag]]); `ts:<timestamp>` resolves TIMESTAMP AS OF
+    * ([[resolveAsOf]], spec grammar in [[parseTimestampSpec]]). Failures
+    * are loud and name the remedy — a silent fallback to "current" would
+    * hand a pinned reader the wrong snapshot.
+    */
+  def resolveSpec(root: String, spec: String,
+      conf: Configuration = new Configuration()): String =
+    if (spec.startsWith("tag:")) {
+      val t = spec.stripPrefix("tag:")
+      resolveTag(root, t, conf).getOrElse(
+        throw new IllegalArgumentException(
+          s"reftable: no tag '$t' at $root (the `t$$tags` metadata table lists tags)"))
+    } else if (spec.startsWith("ts:")) {
+      val raw = spec.stripPrefix("ts:")
+      val ms = parseTimestampSpec(raw)
+      resolveAsOf(root, ms, conf).getOrElse {
+        val earliest = committedVersionDirs(root, conf).headOption
+          .map(v => s"the earliest retained version was published at epoch ms " +
+            s"${versionTimestampMs(v)} ($v)")
+          .getOrElse("the table has no committed versions")
+        throw new IllegalArgumentException(
+          s"reftable: no committed version at or before '$raw' (epoch ms $ms) at $root — " +
+            s"$earliest; the asked time predates the table or fell off retention")
+      }
+    } else spec
 
   /** Compact the current version into ~`targetFileBytes` files and publish
     * the result as a new version. Small-file explosion is the classic
