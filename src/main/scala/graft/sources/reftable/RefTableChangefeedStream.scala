@@ -192,20 +192,21 @@ class RefTableChangefeedStream(
       .flatMap(s => pinnedVersion(s.gen))
     val out = prevVer match {
       case Some(pv) =>
-        try fileDeltaDiff(spark, listingOf(pv), curFiles)
+        try ChangefeedDiff.fileDeltaDiff(spark, opts, listingOf(pv), curFiles)
         catch {
           case NonFatal(_) =>
             // previous version vacuumed (or unreadable): snapshot-as-inserts
-            bootstrap(spark, curFiles)
+            ChangefeedDiff.bootstrap(spark, opts, curFiles)
         }
       case None => opts.changefeedFrom match {
         // first batch — where the stream STARTS is the declared position:
-        case "earliest" => bootstrap(spark, curFiles) // CDF initial load
+        case "earliest" => ChangefeedDiff.bootstrap(spark, opts, curFiles) // CDF initial load
         case "latest" =>
           // consumers that only want what changes from now on: empty first
           // delta; end.gen is pinned to the current version, so the next
           // generation diffs from HERE
-          emptyOutput(spark).withColumn("change_type", lit("insert").cast(StringType))
+          ChangefeedDiff.emptyOutput(spark, opts)
+            .withColumn("change_type", lit("insert").cast(StringType))
         case fromSpec =>
           // a NAMED retained version (or a tag / TIMESTAMP AS OF spec
           // naming one): the first delta is from→current. Loud failure if
@@ -217,74 +218,10 @@ class RefTableChangefeedStream(
             catch { case NonFatal(e) => throw new IllegalArgumentException(
               s"changefeedFrom version '$from' of ${opts.path} is not readable " +
                 s"(vacuumed or never committed): ${e.getMessage}", e) }
-          fileDeltaDiff(spark, fromFiles, curFiles)
+          ChangefeedDiff.fileDeltaDiff(spark, opts, fromFiles, curFiles)
       }
     }
     VersionedTable.writeParquetMicros(out, scratch.toString, Nil)
-  }
-
-  /** Project a raw listing read onto the declared OUTPUT names/types
-    * (rowField mapping + declared casts; partition columns already ride
-    * the partitioned read).
-    */
-  private def toOutput(df: DataFrame): DataFrame =
-    df.select(opts.schema.fields.map(f =>
-      col(opts.storageColumn(f.name)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-
-  private def emptyOutput(spark: SparkSession): DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), opts.schema)
-
-  private def readListing(spark: SparkSession, files: Seq[SnapshotFile], withMeta: Boolean): DataFrame =
-    RefTableMutations.readFilesForDiff(
-      spark, opts.path, files, opts.physicalNesting,
-      RefTableMutations.partitionTypesOf(opts), withMeta)
-
-  private def bootstrap(spark: SparkSession, curFiles: Seq[SnapshotFile]): DataFrame = {
-    val body = if (curFiles.isEmpty) emptyOutput(spark)
-      else toOutput(readListing(spark, curFiles, withMeta = false))
-    body.withColumn("change_type", lit("insert"))
-  }
-
-  /** The O(changed files) two-sided diff described in the class doc. */
-  private def fileDeltaDiff(
-      spark: SparkSession, prevFiles: Seq[SnapshotFile],
-      curFiles: Seq[SnapshotFile]): DataFrame = {
-    val prevBy = prevFiles.map(f => DeletionVectors.relOf(f.path) -> f).toMap
-    val curBy = curFiles.map(f => DeletionVectors.relOf(f.path) -> f).toMap
-    val removed = prevFiles.filterNot(f => curBy.contains(DeletionVectors.relOf(f.path)))
-    val added = curFiles.filterNot(f => prevBy.contains(DeletionVectors.relOf(f.path)))
-    // carried files whose deletion vector grew: the delta positions are
-    // rows that left between the generations
-    val dvDelta: Seq[(String, Seq[Long], SnapshotFile)] = prevFiles.flatMap { f =>
-      val rel = DeletionVectors.relOf(f.path)
-      curBy.get(rel).flatMap { cf =>
-        val delta = cf.dvPositions.toSet -- f.dvPositions.toSet
-        if (delta.isEmpty) None else Some((rel, delta.toSeq.sorted, f))
-      }
-    }
-    val oldFromRemoved =
-      if (removed.isEmpty) None
-      // the removed files' records carry the PREVIOUS generation's DVs —
-      // rows already dead then must not resurface as deletes now
-      else Some(toOutput(readListing(spark, removed, withMeta = false)))
-    val oldFromDv =
-      if (dvDelta.isEmpty) None
-      else {
-        import spark.implicits._
-        val pairs = dvDelta.flatMap { case (rel, ps, _) => ps.map(p => (rel, p)) }
-          .toDF("__dv_file", "__dv_pos")
-        val withPos = readListing(spark, dvDelta.map(_._3), withMeta = true)
-        Some(toOutput(withPos.join(broadcast(pairs),
-          withPos("__rel") === pairs("__dv_file") && withPos("__pos") === pairs("__dv_pos"),
-          "left_semi")))
-      }
-    val oldSide = (oldFromRemoved.toSeq ++ oldFromDv.toSeq)
-      .reduceOption(_ unionByName _).getOrElse(emptyOutput(spark))
-    val newSide =
-      if (added.isEmpty) emptyOutput(spark)
-      else toOutput(readListing(spark, added, withMeta = false))
-    graft.operators.SnapshotDiff.diff(oldSide, newSide, opts.keyColumns)
-      .select((opts.schema.fieldNames :+ "change_type").map(col).toIndexedSeq: _*)
   }
 
   /** The scratch files hold OUTPUT-named columns plus change_type; read
