@@ -1230,6 +1230,57 @@ object StreamingOps {
       """SELECT CASE WHEN value >= 1.0 THEN 'kept' ELSE 'quarantined' END AS side,
         |  CASE WHEN value >= 1.0 THEN '' ELSE 'min_value' END AS violated,
         |  count(*) AS n, round(sum(value), 4) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY side, violated""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY side, violated""".stripMargin)),
+
+    // STREAMING UPDATE MODE INTO A KEYED TABLE — the watermarked windowed
+    // aggregate, the most common streaming shape after plain append,
+    // MAINTAINING a reftable in update mode: each epoch emits only the
+    // CHANGED (window, type) rows, and the sink applies them as an
+    // O(epoch) merge-on-read upsert on the declared keyColumns (DV on the
+    // old images, epoch files adopted as the new ones — no table rewrite,
+    // unlike complete mode's O(state) republish). The feed is split into
+    // two half-feeds over the SAME time range, so epoch 2 genuinely
+    // UPDATES epoch-1 keys in place; the final table must equal the batch
+    // aggregate of the whole feed — the oracle.
+    QueryDef("q183_stream_update_sink", (s, dir) => withShufflePartitions(s, 8) {
+      val (tsType, tsExpr) = tsEncoding(s, dir)
+      val streamDir = Files.createTempDirectory("graft_updsink_")
+      val raw = s.read.schema(eventsSchema(tsType)).parquet(Tables.path(dir, "events"))
+      // two epochs with overlapping window keys (both halves span the full
+      // 30-day range; watermark delay exceeds the span, so nothing drops)
+      raw.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$streamDir/half0")
+      raw.filter(col("event_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$streamDir/half1")
+      val root = RelationalSupport.scratchDir(s, dir, "q183_upd")
+      val ddl = "bucket_s BIGINT, event_type STRING, n BIGINT, total DOUBLE"
+      val q = s.readStream.schema(eventsSchema(tsType))
+        .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withColumn("tsm", expr(tsExpr))
+        .withWatermark("tsm", "90 days")
+        .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .select(unix_timestamp(col("window.start")).as("bucket_s"),
+          col("event_type"), col("n"), col("total"))
+        .writeStream.format("reftable")
+        .option("path", root).option("schema", ddl)
+        .option("keyColumns", "bucket_s,event_type")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_updsink_ck_").toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      q.awaitTermination(120000)
+      graft.BenchProbe.addDrain(System.nanoTime() - t0)
+      q.stop()
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .select(col("bucket_s"), col("event_type"), col("n"),
+          r4(col("total")).as("total"))
+        .orderBy("bucket_s", "event_type")
+    }, Some(
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -245,25 +245,65 @@ object RefTableMutations {
   def upsertMergeOnRead(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      txn: Option[(String, Long)] = None): String =
+    upsertMoR(spark, root, Left(source), keyCols, keepVersions,
+      partitionColumns, partitionTypes, txn)
+
+  /** Merge-on-read upsert whose new images are ALREADY parquet files (the
+    * DSv2 streaming write's staged epoch): `stageImages` copies them into
+    * the version staging dir, `keySource` is a key-projected read of the
+    * same files used only for file narrowing and the old-position DV
+    * semi-join. Same commit/marker semantics as [[upsertMergeOnRead]].
+    */
+  private[reftable] def upsertMergeOnReadStaged(
+      spark: SparkSession, root: String,
+      stageImages: Path => Unit, keySource: DataFrame, keyCols: Seq[String],
+      keepVersions: Int, partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
+      txn: Option[(String, Long)]): String =
+    upsertMoR(spark, root, Right((stageImages, keySource)), keyCols, keepVersions,
+      partitionColumns, partitionTypes, txn)
+
+  private def upsertMoR(
+      spark: SparkSession, root: String,
+      images: Either[DataFrame, (Path => Unit, DataFrame)], keyCols: Seq[String],
+      keepVersions: Int, partitionColumns: Seq[String],
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
+      txn: Option[(String, Long)]): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "upsertMergeOnRead needs at least one key column")
     val conf = new Configuration()
     val current = resolveLayout(root, conf, partitionColumns)
+    // streaming exactly-once: base pinned (resolveLayout) BEFORE the marker
+    // check, publish CAS requires that base — the same unsplittable
+    // check-then-commit as RefTableWrites.appendVersion. A replayed epoch
+    // (restart or zombie attempt) sees its own txn marker and lands nothing.
+    if (txn.exists { case (a, b) =>
+        RefTableWrites.lastCommittedBatch(root, a, conf).exists(_ >= b) })
+      return new Path(current).getName
+    val marker = txn.map { case (a, b) => s"txn:$a:$b" }
     val files = listLayout(current, partitionColumns)
     val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
     val curCols = cur.columns.toSeq
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
-    val missing = curCols.filterNot(source.columns.contains)
-    require(missing.isEmpty,
-      s"upsertMergeOnRead source is missing table column(s): ${missing.mkString(", ")}")
-    val aligned = source.select(curCols.map(col): _*)
+    val aligned: Option[DataFrame] = images.left.toOption.map { source =>
+      val missing = curCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"upsertMergeOnRead source is missing table column(s): ${missing.mkString(", ")}")
+      source.select(curCols.map(col): _*)
+    }
+    // the key projection drives narrowing and the DV semi-join; for the
+    // staged path it reads ONLY the key columns of the epoch files
+    val keysFrame = images.fold(
+      source => source.select(keyCols.map(col): _*),
+      { case (_, ks) => ks.select(keyCols.map(col): _*) })
     // same one-job emptiness + per-key-column bounds narrowing as the COW
     // upsert (any key arity)
     val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
       val aggs = Seq(org.apache.spark.sql.functions.count(lit(1))) ++ keyBoundAggs(keyCols)
-      val mm = aligned.agg(aggs.head, aggs.tail: _*).first()
+      val mm = keysFrame.agg(aggs.head, aggs.tail: _*).first()
       if (mm.getLong(0) == 0L) (true, Nil)
       else keyBoundFilters(keyCols, mm, 1) match {
         case None => (false, Nil) // a key column is all-null: pure inserts
@@ -275,16 +315,18 @@ object RefTableMutations {
     }
     val narrowed =
       if (empty || mayMatch.isEmpty) mayMatch
-      else bucketNarrow(current, files, aligned, keyCols,
+      else bucketNarrow(current, files, keysFrame, keyCols,
         cur.schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
         case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
         case None => mayMatch
       }
-    VersionedTable.publishVia(root, keepVersions,
+    VersionedTable.publishVia(root, keepVersions, marker = marker,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       // the new images (and inserts): the whole aligned batch, staged once
-      if (!empty)
-        VersionedTable.writeParquetMicros(aligned, staging.toString, partitionColumns)
+      images.fold(
+        _ => if (!empty) VersionedTable.writeParquetMicros(
+          aligned.get, staging.toString, partitionColumns),
+        { case (stage, _) => stage(staging) })
       if (narrowed.nonEmpty) {
         // matched OLD positions: live rows (pinned DVs subtracted) of the
         // may-match files whose key appears in the batch
@@ -299,7 +341,7 @@ object RefTableMutations {
             metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
             "left_anti")
         }
-        live.join(aligned.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        live.join(keysFrame.distinct(), keyCols, "left_semi")
           .select(col("__rel").as("file"), col("__pos").as("pos"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, DeletionVectors.DvDir).toString)

@@ -49,8 +49,12 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     *    (stable across restarts from the checkpoint) unless overridden by
     *    the `txnAppId` option — override it when two different queries
     *    must append to the same table from shared checkpoint lineages;
-    *  - `outputMode=update` stays refused: an update batch carries changed
-    *    rows whose merge semantics need a key (use the keyed mutation API).
+    *  - `outputMode=update`: requires declared `keyColumns` — each batch is
+    *    the CHANGED rows of a keyed result (the watermarked-aggregation
+    *    shape), applied as an O(batch) merge-on-read upsert on those keys
+    *    under the same `txn:` marker discipline. Without `keyColumns`
+    *    update mode stays refused: changed rows have no merge semantics
+    *    without a key.
     *
     * The same explicit-schema contract as reads: `path` and `schema` are
     * required and validated up front (DataStreamWriter routes
@@ -67,14 +71,20 @@ class RefTableProvider extends TableProvider with DataSourceRegister
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
     val append = outputMode == org.apache.spark.sql.streaming.OutputMode.Append()
-    if (!append && outputMode != org.apache.spark.sql.streaming.OutputMode.Complete())
+    val update = outputMode == org.apache.spark.sql.streaming.OutputMode.Update()
+    if (!append && !update && outputMode != org.apache.spark.sql.streaming.OutputMode.Complete())
       throw new IllegalArgumentException(
         "reftable sink supports outputMode=complete (each batch is the full table " +
-          "state) or outputMode=append (each batch is committed as an O(new data) " +
-          "version with exactly-once replay markers); update batches carry keyed " +
-          "changes the versioned append cannot merge")
+          "state), outputMode=append (each batch committed as an O(new data) version " +
+          "with exactly-once replay markers), and outputMode=update on tables that " +
+          "declare 'keyColumns' (each batch applied as a keyed upsert)")
     val opts = RefTableOptions.from(
       new CaseInsensitiveStringMap(parameters.asJava))
+    if (update && opts.keyColumns.isEmpty)
+      throw new IllegalArgumentException(
+        "reftable sink: outputMode=update needs the table's merge key — declare " +
+          "'keyColumns' (comma-separated schema fields); each update batch then " +
+          "applies as an O(batch) merge-on-read upsert on those keys")
     if (opts.version.nonEmpty)
       throw new IllegalArgumentException("reftable sink: a pinned 'version' is read-only")
     if (opts.genColumn.nonEmpty)
@@ -87,11 +97,12 @@ class RefTableProvider extends TableProvider with DataSourceRegister
     partCols.foreach(c => if (!opts.schema.fieldNames.contains(c))
       throw new IllegalArgumentException(
         s"reftable sink: partition column '$c' is not a field of the declared schema"))
-    if (append && (opts.clusterBy.nonEmpty || opts.zorderBy.nonEmpty || opts.bucketBy.nonEmpty))
+    if ((append || update) &&
+        (opts.clusterBy.nonEmpty || opts.zorderBy.nonEmpty || opts.bucketBy.nonEmpty))
       throw new IllegalArgumentException(
-        "reftable append sink: clusterBy/zorderBy/bucketBy layouts are GLOBAL properties " +
-          "that re-cluster on every commit; use outputMode=complete (or batch INSERT)")
-    new RefTableSink(opts, keep, partCols, append = append,
+        "reftable append/update sink: clusterBy/zorderBy/bucketBy layouts are GLOBAL " +
+          "properties that re-cluster on every commit; use outputMode=complete (or batch INSERT)")
+    new RefTableSink(opts, keep, partCols, append = append, update = update,
       txnAppId = parameters.get("txnAppId").filter(_.nonEmpty))
   }
 
@@ -216,7 +227,11 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new RefTableWriteBuilder(opts, info)
+    // tables with a declared merge key accept streaming UPDATE mode —
+    // signaled to Spark purely through the builder's marker interface
+    // (see RefTableKeyedWriteBuilder)
+    if (opts.keyColumns.nonEmpty) new RefTableKeyedWriteBuilder(opts, info)
+    else new RefTableWriteBuilder(opts, info)
 }
 
 /** Column pruning reaches the parquet readers (the reference's analogue:

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   *    projected OUT of file content exactly like the batch writer);
   *  - each writer's commit message carries ONLY (relative path, length,
   *    partition values) — no row ever reaches the driver;
-  *  - the driver's `commit(epochId, messages)` MOVES the staged files into
-  *    a version (rename, no copy — staging lives inside the root for this
-  *    reason) and publishes:
+  *  - the driver's `commit(epochId, messages)` COPIES the staged files into
+  *    the version's staging dir and publishes (copy-then-cleanup, NOT
+  *    rename: the epoch dir stays the durable source of the data until the
+  *    commit CAS lands — a lost CAS deletes the attempt's version staging,
+  *    and with renamed files the retry would have nothing left to publish;
+  *    the epoch dir is deleted only after a successful commit):
   *    append mode → an O(new data) version via the by-reference manifest
   *    delta under the `txn:<appId>:<epochId>` marker, the same
   *    pinned-base CAS discipline as [[RefTableWrites.appendVersion]]
@@ -41,10 +44,19 @@ import org.apache.spark.sql.types._
   *
   * `appId` is the streaming query id (stable across checkpoint restarts;
   * `LogicalWriteInfo.queryId`), overridable via the `txnAppId` write
-  * option. Empty epochs against an existing table commit nothing.
+  * option. Empty non-complete epochs against an existing table commit
+  * nothing; complete-mode empty epochs publish an empty version.
+  *
+  * Tables with declared `keyColumns` (`keyedUpsert`): every non-complete
+  * epoch applies as a merge-on-read UPSERT on the keys — this is how
+  * streaming UPDATE mode lands (Spark signals it only through the
+  * builder's `SupportsStreamingUpdateAsAppend` marker, so the semantics
+  * must be mode-independent; an append epoch of all-new keys degrades to
+  * a plain file adoption after the key-bounds probe prunes everything).
   */
 class RefTableStreamingWrite(
-    opts: RefTableOptions, truncate: Boolean, appId: String)
+    opts: RefTableOptions, truncate: Boolean, appId: String,
+    keyedUpsert: Boolean = false)
     extends StreamingWrite {
 
   require(opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty,
@@ -131,12 +143,17 @@ class RefTableStreamingWrite(
     // staging dir — with renamed files the epoch's data would be gone and
     // the retry would have nothing to publish. The epoch dir stays the
     // durable source until the commit lands; cleanup() removes it after.
-    def move(staging: Path): Unit = staged.foreach { f =>
-      val dst = new Path(staging, f.rel)
-      fs.mkdirs(dst.getParent)
-      if (!org.apache.hadoop.fs.FileUtil.copy(
-          fs, new Path(epochDir, f.rel), fs, dst, false, conf))
-        throw new java.io.IOException(s"failed to stage ${f.rel} into $staging")
+    def move(staging: Path): Unit = {
+      // an EMPTY truncate epoch still publishes (an empty version); the
+      // staging dir must exist even when no file lands in it
+      fs.mkdirs(staging)
+      staged.foreach { f =>
+        val dst = new Path(staging, f.rel)
+        fs.mkdirs(dst.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(
+            fs, new Path(epochDir, f.rel), fs, dst, false, conf))
+          throw new java.io.IOException(s"failed to stage ${f.rel} into $staging")
+      }
     }
     // QUARANTINE FIRST (onViolation=quarantine): the rejects log commits
     // before the main epoch, so a crash between the two leaves a
@@ -173,8 +190,39 @@ class RefTableStreamingWrite(
         }
       }
     }
-    if (staged.isEmpty && VersionedTable.resolve(opts.path, conf).isDefined) {
-      cleanup(); return // no-data trigger: no commit, no version churn
+    // append mode: a no-data trigger against an existing table commits
+    // nothing (no version churn). COMPLETE mode must NOT skip: the epoch IS
+    // the table state, so an empty epoch publishes an empty version — the
+    // aggregate legitimately became empty and readers must see that.
+    if (staged.isEmpty && !truncate && VersionedTable.resolve(opts.path, conf).isDefined) {
+      cleanup(); return
+    }
+    // keyed tables (declared keyColumns): every non-complete epoch applies
+    // as an O(epoch) merge-on-read UPSERT — update-mode rows replace their
+    // key's current image via a DV on the old positions, and epochs whose
+    // keys are all new degrade to a plain append (the key-bounds probe
+    // prunes every file). The staged epoch files are adopted as the new
+    // images directly (no rewrite); only their key columns are re-read,
+    // for file narrowing and the old-position semi-join. Same
+    // txn:<appId>:<epochId> marker discipline — replays land exactly once.
+    if (keyedUpsert && VersionedTable.resolve(opts.path, conf).isDefined) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val storageSchema = StructType(opts.schema.fields.map(f =>
+        f.copy(name = opts.storageColumn(f.name))))
+      val keyCols = opts.keyColumns.map(opts.storageColumn)
+      val paths = staged.map(f => new Path(epochDir, f.rel).toString)
+      val keySource = spark.read.schema(storageSchema)
+        .option("basePath", epochDir.toString).parquet(paths: _*)
+      RefTableMutations.upsertMergeOnReadStaged(
+        spark, opts.path, move, keySource, keyCols,
+        opts.keepVersions, opts.partitionColumns,
+        RefTableMutations.partitionTypesOf(opts),
+        txn = Some((appId, epochId)))
+      cleanup()
+      try {
+        RefTableWrites.augmentStatsAfterCommit(opts, spark, conf)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      return
     }
     val marker = Some(s"txn:$appId:$epochId")
     val committed = VersionedTable.withConflictRetry(opts.path) { () =>
@@ -201,6 +249,17 @@ class RefTableStreamingWrite(
       }
     }
     cleanup()
+    // best-effort per-file stats for the committed epoch (batch writes get
+    // them inline via augmentStats): without this, versions produced ONLY
+    // by the streaming write would answer estimateStatistics with nothing
+    // and stats-based pruning would silently degrade until a batch write
+    // or maintenance pass ran. Never fails the stream.
+    if (committed) {
+      try {
+        RefTableWrites.augmentStatsAfterCommit(
+          opts, org.apache.spark.sql.SparkSession.active, conf)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     // opt-in maintenance: streaming appends accrete one file per task per
     // epoch; once the file count crosses the threshold, compact as a
     // normal CAS'd publish. Best-effort — maintenance must never fail the

@@ -107,6 +107,14 @@ object RefTableWrites {
           "Publish it as a versioned root (VersionedTable.publish) or target a fresh directory.")
   }
 
+  /** Post-commit skipping-stats augmentation for non-batch write surfaces
+    * (the DSv2 streaming commit) — same work as the batch writers'
+    * inline [[augmentStats]] call.
+    */
+  private[reftable] def augmentStatsAfterCommit(opts: RefTableOptions,
+      spark: org.apache.spark.sql.SparkSession, conf: Configuration): Unit =
+    augmentStats(opts, spark, conf)
+
   /** Post-commit skipping-stats augmentation declared by the options. */
   private def augmentStats(opts: RefTableOptions, spark: org.apache.spark.sql.SparkSession,
       conf: Configuration): Unit = {
@@ -168,8 +176,24 @@ object RefTableWrites {
       txn: Option[(String, Long)] = None): Unit =
     appendVersionInternal(opts, data, txn, preEnforced = false)
 
+  /** The quarantine gate's one-materialized-pass cache (see
+    * [[enforceExpectations]]): set when the gate persists the input,
+    * dropped by [[withQuarantineCache]] once the enclosing write finishes.
+    */
+  private val quarantineCached =
+    new ThreadLocal[org.apache.spark.sql.DataFrame]
+
+  private[reftable] def withQuarantineCache[T](f: => T): T =
+    try f finally {
+      Option(quarantineCached.get()).foreach { df =>
+        quarantineCached.remove()
+        try { df.unpersist(); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
   private[reftable] def appendVersionInternal(opts: RefTableOptions, data: Dataset[Row],
-      txn: Option[(String, Long)], preEnforced: Boolean): Unit = {
+      txn: Option[(String, Long)], preEnforced: Boolean): Unit = withQuarantineCache {
     guardReadOnly(opts)
     require(opts.zorderBy.isEmpty && opts.clusterBy.isEmpty && opts.bucketBy.isEmpty,
       "appendVersion: clusterBy/zorderBy/bucketBy layouts are GLOBAL properties that " +
@@ -236,15 +260,26 @@ object RefTableWrites {
         // passing rows continue into the write. The quarantine commit
         // happens FIRST, so a crash between the two can only leave a
         // quarantined-but-also-absent row, never a silently dropped one.
+        // The input is MATERIALIZED once (persist) before the split: the
+        // quarantine append and the gated main write both read the cached
+        // blocks, so a non-deterministic or concurrently-changing source
+        // cannot land a row in both tables or in neither, and the two
+        // extra full passes of the re-evaluate-per-branch shape are gone.
+        // The cache is dropped by the caller's write completing — callers
+        // run inside [[withQuarantineCache]]; if one forgets, Spark's
+        // ContextCleaner unpersists when the plan is garbage collected.
         val passes = opts.expectations
           .map { case (_, p) => coalesce(expr(p), lit(false)) }.reduce(_ && _)
-        val violated = data.toDF().filter(not(passes))
+        val cached = data.toDF().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        quarantineCached.set(cached)
+        val violated = cached.filter(not(passes))
           .withColumn("_violated", concat_ws(",",
             opts.expectations.map { case (n, p) =>
               when(!coalesce(expr(p), lit(false)), lit(n)) }: _*))
         if (!violated.isEmpty)
           appendVersion(quarantineOpts(opts), violated)
-        data.toDF().filter(passes)
+        cached.filter(passes)
       case _ =>
         val census = graft.operators.Expectations.check(data.toDF(), opts.expectations)
           .collect().filter(_.getLong(1) > 0L)
@@ -286,7 +321,7 @@ object RefTableWrites {
   }
 
   def insert(opts: RefTableOptions, data: Dataset[Row], overwrite: Boolean,
-      overwriteMode: Option[String] = None): Unit = {
+      overwriteMode: Option[String] = None): Unit = withQuarantineCache {
     guardReadOnly(opts)
     val conf = new Configuration()
     guardBareRoot(opts, conf)
@@ -384,7 +419,10 @@ object RefTableWrites {
 
 /** V1 streaming sink — `writeStream.format("reftable")` is the sink-side of
   * the loop the source reads (a stream MAINTAINS a refreshable snapshot
-  * table). Two modes:
+  * table). Three modes (UPDATE requires declared `keyColumns`: each batch
+  * is the changed rows of a keyed result, applied as an O(batch)
+  * merge-on-read upsert under the same `txn:` marker discipline as
+  * append). The other two:
   *
   *  - COMPLETE: each batch is the full table state, published as a version
   *    with the replay idempotency of [[VersionedTable.completeModePublisher]]
@@ -404,10 +442,20 @@ object RefTableWrites {
   */
 class RefTableSink(
     opts: RefTableOptions, keepVersions: Int, partitionColumns: Seq[String],
-    append: Boolean = false, txnAppId: Option[String] = None)
+    append: Boolean = false, update: Boolean = false, txnAppId: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   private lazy val publish =
     VersionedTable.completeModePublisher(opts.path, keepVersions, partitionColumns)
+  /** Restart-stable transaction id for the exactly-once marker: the
+    * `txnAppId` option when set, else the streaming query id (restored
+    * from the checkpoint across restarts, unlike the per-run runId).
+    */
+  private def sinkAppId(data: Dataset[Row]): String =
+    txnAppId.orElse(Option(data.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY)))
+      .getOrElse(throw new IllegalStateException(
+        "reftable sink: no streaming query id on this thread and no 'txnAppId' " +
+          "option — the exactly-once marker needs a restart-stable transaction id"))
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // the declared schema is the write contract, same as it is for reads;
     // a drifted stream must fail loudly, not publish a surprise layout
@@ -417,12 +465,45 @@ class RefTableSink(
         s"reftable sink: batch columns ${data.columns.toSeq} do not match the " +
           s"declared schema $declared")
     val batch = org.apache.spark.sql.graft.DatasetBridge.rebatch(data)
-    if (append) {
-      val appId = txnAppId.orElse(Option(data.sparkSession.sparkContext.getLocalProperty(
-        org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY)))
-        .getOrElse(throw new IllegalStateException(
-          "reftable append sink: no streaming query id on this thread and no 'txnAppId' " +
-            "option — the exactly-once marker needs a restart-stable transaction id"))
+    if (update) {
+      // update mode: the batch is the CHANGED rows of a keyed result (the
+      // watermarked-aggregation shape) — applied as an O(batch)
+      // merge-on-read upsert on the declared keyColumns, under the same
+      // txn:<appId>:<batchId> marker discipline as the append path, so a
+      // replayed epoch lands exactly once. Declared expectations gate the
+      // batch exactly like an append (fail/drop/quarantine).
+      val appId = sinkAppId(batch)
+      val conf = new Configuration()
+      RefTableWrites.withQuarantineCache {
+        val gated = RefTableWrites.enforceExpectations(opts, batch)
+        val fresh = VersionedTable.resolve(opts.path, conf).isEmpty
+        if (!fresh && gated.isEmpty) () // no changes, no version churn
+        else {
+          if (fresh) {
+            // first epoch of a fresh root: nothing to merge into — the
+            // batch IS version 1 (marker rides the commit for replay dedup;
+            // appendVersion renames declared→storage itself)
+            RefTableWrites.appendVersionInternal(
+              opts, gated, txn = Some((appId, batchId)), preEnforced = true)
+          } else {
+            // the mutation API reads the table's files, so it speaks
+            // STORAGE names — rename the batch to match
+            val stored = opts.schema.fields.foldLeft(gated) { (df, f) =>
+              val s = opts.storageColumn(f.name)
+              if (s == f.name) df else df.withColumnRenamed(f.name, s)
+            }
+            RefTableMutations.upsertMergeOnRead(
+              data.sparkSession, opts.path, stored,
+              opts.keyColumns.map(opts.storageColumn),
+              keepVersions, opts.partitionColumns,
+              RefTableMutations.partitionTypesOf(opts),
+              txn = Some((appId, batchId)))
+            ()
+          }
+        }
+      }
+    } else if (append) {
+      val appId = sinkAppId(batch)
       val conf = new Configuration()
       // no-data triggers: nothing to commit, nothing to mark (an existing
       // table stays at its version; a FRESH root still publishes so readers
@@ -495,7 +576,24 @@ class RefTableWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
             s"do not match the declared schema ${declared.map(_._1).mkString("[", ", ", "]")}")
       val appId = Option(info.options.get("txnAppId")).filter(_.nonEmpty)
         .getOrElse(info.queryId())
-      new RefTableStreamingWrite(opts, truncateAll, appId)
+      new RefTableStreamingWrite(opts, truncateAll, appId,
+        keyedUpsert = opts.keyColumns.nonEmpty && !truncateAll)
     }
   }
 }
+
+/** The write builder for tables that declare `keyColumns`: Spark's DSv2
+  * contract signals streaming UPDATE mode purely through this marker
+  * interface (`SupportsStreamingUpdateAsAppend` — the engine type-checks
+  * the builder, then calls the same `build()` as append mode), so the
+  * keyed table's streaming-write semantics must be mode-independent:
+  * EVERY non-complete epoch applies as a merge-on-read upsert on the
+  * declared keys. For append-mode streams whose keys are genuinely new
+  * per epoch that is exactly an append (the key-bounds probe prunes all
+  * files and no DV is written); for update-mode streams it is the keyed
+  * apply update mode means. Tables without keyColumns keep the plain
+  * append builder and Spark itself refuses update mode against them.
+  */
+class RefTableKeyedWriteBuilder(opts: RefTableOptions, info: LogicalWriteInfo)
+    extends RefTableWriteBuilder(opts, info)
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend

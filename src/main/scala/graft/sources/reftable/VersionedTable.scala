@@ -803,6 +803,19 @@ object VersionedTable {
     else if (!prim.putIfAbsent(p, content, conf))
       throw new IllegalArgumentException(
         s"tag: '$name' already exists at $root (replace=true moves it)")
+    // TOCTOU close: a concurrent publish-time prune or vacuum that listed
+    // tags BEFORE our file landed can still have deleted the target
+    // version. Re-verify after the tag is durable; a dangling tag must
+    // fail loudly here, not at some future reader.
+    val fs = rootPath.getFileSystem(conf)
+    val stillRetained = committedVersionDirs(root, conf).contains(target) &&
+      fs.exists(new Path(rootPath, target))
+    if (!stillRetained) {
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"tag: version $target of $root was retention-pruned while tagging; " +
+          "tag dropped — re-tag a retained version")
+    }
     target
   }
 
