@@ -165,6 +165,56 @@ object TableCatalogSql {
         |  min(s_suppkey) AS lo
         |FROM merged GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // EXPECTATIONS ON THE MUTATION PATH — the q179 declared quality gates
+    // enforced by MERGE (merge-on-read here), not just INSERT and the
+    // sinks: a WHEN MATCHED update whose after-image violates is SKIPPED
+    // (the old image survives — a failed gate must never delete a row),
+    // a violating WHEN NOT MATCHED insert never lands, passing rows apply
+    // normally. The oracle replays the drop semantics row by row.
+    QueryDef("q184_merge_expectations", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q184_gate")
+      val tbl = "graft_q184_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT', " +
+        "expect.non_negative 'cents >= 0', onViolation 'drop', " +
+        "mergeMode 'mergeOnRead')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT s_suppkey AS k, s_nationkey AS nk,
+           |    CASE WHEN s_suppkey % 3 = 0 THEN CAST(-1 AS BIGINT)
+           |      ELSE CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) + 7
+           |    END AS c
+           |  FROM supplier
+           |  UNION ALL
+           |  SELECT s_suppkey + 100000, s_nationkey,
+           |    CASE WHEN s_suppkey % 5 = 0 THEN CAST(-5 AS BIGINT)
+           |      ELSE CAST(123 AS BIGINT) END
+           |  FROM supplier
+           |) s ON t.s_suppkey = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.c
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_nationkey, cents)
+           |  VALUES (s.k, s.nk, s.c)""".stripMargin)
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        s"max(s_suppkey) AS hi FROM $tbl GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |final AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN cents ELSE cents + 7 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_nationkey, 123 FROM base WHERE s_suppkey % 5 <> 0)
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  max(s_suppkey) AS hi
+        |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

@@ -194,12 +194,14 @@ case class UpdateRefTableCommand(
     if (VersionedTable.resolve(opts.path).nonEmpty) {
       if (opts.updateMode == "mergeOnRead" && !set.keys.exists(opts.partitionColumns.contains))
         RefTableMutations.updateWhereMergeOnRead(spark, opts.path, set, condition,
-          opts.keepVersions, opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+          opts.keepVersions, opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
+          gate = Some(opts))
       else
         // partition-column SET moves rows across directories — only the
         // COW rewrite can restage them, so mergeOnRead falls back
         RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions,
-          opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+          opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
+          gate = Some(opts))
     }
     Seq.empty
   }
@@ -232,13 +234,15 @@ case class MergeRefTableCommand(
     if (opts.mergeMode == "mergeOnRead" && !updSetsPartitionCol)
       RefTableMutations.mergeClausesMergeOnRead(spark, opts.path, source, keys.map(_._1),
         update, delete, insert, opts.keepVersions,
-        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
+        gate = Some(opts))
     else
       // partition-column SET moves rows across directories — only the COW
       // rewrite can restage them, so mergeOnRead falls back
       RefTableMutations.mergeClauses(spark, opts.path, source, keys.map(_._1),
         update, delete, insert, opts.keepVersions,
-        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
+        opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
+        gate = Some(opts))
     Seq.empty
   }
 

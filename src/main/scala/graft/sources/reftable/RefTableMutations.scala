@@ -54,6 +54,91 @@ import org.apache.spark.sql.functions.{coalesce, col, hash, lit, max, min, not, 
   */
 object RefTableMutations {
 
+  // ===== declared-expectation gate over mutation after-images =========
+  //
+  // `expect.<name>` rules are enforced by every surface that LANDS rows:
+  // batch INSERT, the streaming sinks — and, through gateApply below,
+  // every mutation (UPDATE / MERGE / upsert / applyChanges, COW and MoR).
+  // The gate runs over the AFTER-IMAGES a mutation would land:
+  //  - onViolation=fail     → one census aggregation; the whole commit is
+  //                           refused naming the broken rules, nothing
+  //                           lands (write-audit-publish);
+  //  - onViolation=drop     → the violating row's mutation is SKIPPED (an
+  //                           update keeps the old image, an insert never
+  //                           lands) — a mutation must never delete a row
+  //                           as a side effect of a failed quality gate;
+  //  - onViolation=quarantine → the violating after-image is appended to
+  //                           the sibling `<path>__quarantine` table with
+  //                           the broken rule names BEFORE the mutation
+  //                           commits, then drop semantics apply.
+  // Delete paths never consult the gate: they land no rows.
+
+  /** Declared predicates compiled against the mutation plane: attribute
+    * references (declared names) resolve through the column mapping to
+    * STORAGE names and then through `image`, which supplies each storage
+    * column's after-image expression. NULL outcomes violate, exactly like
+    * the write surfaces ([[RefTableWrites.enforceExpectations]]).
+    */
+  private def gatePreds(spark: SparkSession, o: RefTableOptions,
+      image: String => Column): Seq[(String, Column)] =
+    o.expectations.map { case (name, pred) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(pred)
+      val replaced = parsed.transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            image(o.storageColumn(a.name)))
+      }
+      name -> coalesce(org.apache.spark.sql.graft.ColumnBridge.column(replaced),
+        lit(false))
+    }
+
+  /** One gate application point inside a mutation. `frame` holds the
+    * candidate rows (possibly a join carrying `__`-marker columns), `cand`
+    * marks the rows whose after-image would land, `image` maps each
+    * storage column to its after-image expression over `frame`.
+    *
+    * Returns the predicate "this candidate's image passes" for the caller
+    * to AND into its apply condition. fail mode returns `lit(true)` after
+    * the census proves no candidate violates (or throws); quarantine
+    * appends the violating images first, then behaves like drop. All
+    * frames read pinned immutable version files plus the caller's source,
+    * so the two passes quarantine makes are consistent by construction.
+    */
+  private def gateApply(spark: SparkSession, gate: Option[RefTableOptions],
+      frame: => DataFrame, cand: Column, image: String => Column,
+      what: String): Column =
+    gate.filter(_.expectations.nonEmpty) match {
+      case None => lit(true)
+      case Some(o) =>
+        import org.apache.spark.sql.functions.{concat_ws, sum}
+        val preds = gatePreds(spark, o, image)
+        val passAll = preds.map(_._2).reduce(_ && _)
+        o.onViolation match {
+          case "drop" => passAll
+          case "quarantine" =>
+            val violated = frame.filter(cand && !passAll).select(
+              o.schema.fields.toSeq.map(f =>
+                image(o.storageColumn(f.name)).cast(f.dataType).as(f.name)) :+
+                concat_ws(",",
+                  preds.map { case (n, p) => when(!p, lit(n)) }: _*).as("_violated"): _*)
+            if (!violated.isEmpty)
+              RefTableWrites.appendVersion(RefTableWrites.quarantineOpts(o), violated)
+            passAll
+          case _ =>
+            val cs = preds.map { case (n, p) =>
+              sum(when(cand && !p, 1L).otherwise(0L)).as(n) }
+            val row = frame.agg(cs.head, cs.tail: _*).first()
+            val broken = preds.map(_._1).zipWithIndex.collect {
+              case (n, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+                s"$n (${row.getLong(i)} rows)" }
+            if (broken.nonEmpty)
+              throw new IllegalStateException(
+                s"reftable: $what refused — expectation(s) violated (onViolation=fail): " +
+                  broken.mkString(", "))
+            lit(true)
+        }
+    }
+
   /** Delete rows where `condition` is TRUE (SQL DELETE semantics: rows
     * where it is NULL are kept) and publish the result as the next
     * version. Returns the new version name.
@@ -173,7 +258,8 @@ object RefTableMutations {
   def upsert(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val conf = new Configuration()
@@ -188,7 +274,11 @@ object RefTableMutations {
     val missing = curCols.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"upsert source is missing table column(s): ${missing.mkString(", ")}")
-    val aligned = source.select(curCols.map(col): _*)
+    val aligned0 = source.select(curCols.map(col): _*)
+    // every source row is a full after-image; a dropped (violating) row's
+    // mutation is skipped entirely — its key neither updates nor inserts
+    val aligned = aligned0.filter(
+      gateApply(spark, gate, aligned0, lit(true), col, "upsert"))
 
     // ONE aggregation job answers emptiness AND the per-key-column bounds
     // (a separate isEmpty was a whole extra Spark job per commit —
@@ -246,9 +336,10 @@ object RefTableMutations {
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
-      txn: Option[(String, Long)] = None): String =
+      txn: Option[(String, Long)] = None,
+      gate: Option[RefTableOptions] = None): String =
     upsertMoR(spark, root, Left(source), keyCols, keepVersions,
-      partitionColumns, partitionTypes, txn)
+      partitionColumns, partitionTypes, txn, gate)
 
   /** Merge-on-read upsert whose new images are ALREADY parquet files (the
     * DSv2 streaming write's staged epoch): `stageImages` copies them into
@@ -263,14 +354,15 @@ object RefTableMutations {
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
       txn: Option[(String, Long)]): String =
     upsertMoR(spark, root, Right((stageImages, keySource)), keyCols, keepVersions,
-      partitionColumns, partitionTypes, txn)
+      partitionColumns, partitionTypes, txn, gate = None)
 
   private def upsertMoR(
       spark: SparkSession, root: String,
       images: Either[DataFrame, (Path => Unit, DataFrame)], keyCols: Seq[String],
       keepVersions: Int, partitionColumns: Seq[String],
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
-      txn: Option[(String, Long)]): String =
+      txn: Option[(String, Long)],
+      gate: Option[RefTableOptions]): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "upsertMergeOnRead needs at least one key column")
     val conf = new Configuration()
@@ -292,12 +384,15 @@ object RefTableMutations {
       val missing = curCols.filterNot(source.columns.contains)
       require(missing.isEmpty,
         s"upsertMergeOnRead source is missing table column(s): ${missing.mkString(", ")}")
-      source.select(curCols.map(col): _*)
+      val a0 = source.select(curCols.map(col): _*)
+      // full after-images: a dropped (violating) row's mutation is
+      // skipped entirely (staged path pre-gates in the epoch writer)
+      a0.filter(gateApply(spark, gate, a0, lit(true), col, "upsert"))
     }
     // the key projection drives narrowing and the DV semi-join; for the
     // staged path it reads ONLY the key columns of the epoch files
     val keysFrame = images.fold(
-      source => source.select(keyCols.map(col): _*),
+      _ => aligned.get.select(keyCols.map(col): _*),
       { case (_, ks) => ks.select(keyCols.map(col): _*) })
     // same one-job emptiness + per-key-column bounds narrowing as the COW
     // upsert (any key arity)
@@ -373,7 +468,8 @@ object RefTableMutations {
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = Some(lit(true)),
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String = {
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String = {
     // full-row sugar over mergeClauses: update/insert take the source's
     // same-named columns (source extras like an op marker are ignored; a
     // row-producing clause still demands the full table row)
@@ -392,7 +488,7 @@ object RefTableMutations {
           .map(n => n -> col(n)).toMap)) // keys ride the join, not the map
     mergeClauses(spark, root, source, keyCols,
       fullRow(matchedUpdate), matchedDelete, fullRow(notMatchedInsert), keepVersions,
-      partitionColumns, partitionTypes)
+      partitionColumns, partitionTypes, gate)
   }
 
   /** Per-key-column bounds aggregates — (min, max) per key column,
@@ -495,7 +591,8 @@ object RefTableMutations {
       matchedDelete: Option[Column],
       notMatchedInsert: Option[(Column, Map[String, Column])],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -529,30 +626,42 @@ object RefTableMutations {
 
     val (empty, narrowed) = mergeNarrow(
       root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
+    // gate the after-images BEFORE staging (fail refuses the whole commit
+    // with nothing written; quarantine appends the rejects first):
+    // inserts are full final rows, update images are the OLD row with the
+    // clause SETs applied — both exactly what would land
+    val matchedFlag = coalesce(col("__m"), lit(false))
+    val inserts0 = marked.filter(col("__ins"))
+      .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(curCols.map(c =>
+        if (insSet.contains(c)) col(s"__i_$c").as(c)
+        else if (keyCols.contains(c)) col(c) // join key doubles as the insert key
+        else lit(null).cast(types(c)).as(c)): _*)
+    val inserts = inserts0.filter(
+      gateApply(spark, gate, inserts0, lit(true), col, "MERGE insert"))
+    val rewritten =
+      if (narrowed.isEmpty) inserts
+      else {
+        val sub = readFiles(spark, root, narrowed, partitionColumns, partitionTypes)
+        val subCols = sub.columns.toSeq // may lack columns other files carry
+        val joined = sub.join(marked, keyCols, "left_outer")
+          .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
+        val updCand = matchedFlag && coalesce(col("__upd"), lit(false))
+        val uImg: String => Column = c =>
+          if (updSet.contains(c) && !keyCols.contains(c)) col(s"__u_$c") else col(c)
+        // a violating update is SKIPPED (old image survives), never a
+        // silent delete; fail mode censuses and throws before any staging
+        val applies = updCand &&
+          gateApply(spark, gate, joined, updCand, uImg, "MERGE update")
+        joined.select(subCols.map(c =>
+            if (keyCols.contains(c) || !updSet.contains(c)) col(c)
+            else when(applies, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+          // the may-match subset can lack columns other files carry —
+          // null-fill instead of failing (readers null-fill them too)
+          .unionByName(inserts, allowMissingColumns = true)
+      }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
-      val matchedFlag = coalesce(col("__m"), lit(false))
-      val inserts = marked.filter(col("__ins"))
-        .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .select(curCols.map(c =>
-          if (insSet.contains(c)) col(s"__i_$c").as(c)
-          else if (keyCols.contains(c)) col(c) // join key doubles as the insert key
-          else lit(null).cast(types(c)).as(c)): _*)
-      val rewritten =
-        if (narrowed.isEmpty) inserts
-        else {
-          val sub = readFiles(spark, root, narrowed, partitionColumns, partitionTypes)
-          val subCols = sub.columns.toSeq // may lack columns other files carry
-          sub.join(marked, keyCols, "left_outer")
-            .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
-            .select(subCols.map(c =>
-              if (keyCols.contains(c) || !updSet.contains(c)) col(c)
-              else when(matchedFlag && coalesce(col("__upd"), lit(false)), col(s"__u_$c"))
-                .otherwise(col(c)).as(c)): _*)
-            // the may-match subset can lack columns other files carry —
-            // null-fill instead of failing (readers null-fill them too)
-            .unionByName(inserts, allowMissingColumns = true)
-        }
       if (!empty || narrowed.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
       referenceRest(root, staging, current, narrowed, conf, partitionColumns)
@@ -575,7 +684,8 @@ object RefTableMutations {
       matchedDelete: Option[Column],
       notMatchedInsert: Option[(Column, Map[String, Column])],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -606,49 +716,64 @@ object RefTableMutations {
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins")): _*)
     val (empty, narrowed) = mergeNarrow(
       root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
-    VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
-      val inserts = marked.filter(col("__ins"))
-        .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .select(curCols.map(c =>
-          if (insSet.contains(c)) col(s"__i_$c").as(c)
-          else if (keyCols.contains(c)) col(c)
-          else lit(null).cast(types(c)).as(c)): _*)
-      if (narrowed.isEmpty) {
+    // after-image gate (see gateApply): fail censuses BEFORE staging,
+    // quarantine appends the rejects first, drop skips the row's mutation
+    // (its old POSITION must then survive too — see `dies` below)
+    val inserts0 = marked.filter(col("__ins"))
+      .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(curCols.map(c =>
+        if (insSet.contains(c)) col(s"__i_$c").as(c)
+        else if (keyCols.contains(c)) col(c)
+        else lit(null).cast(types(c)).as(c)): _*)
+    val inserts = inserts0.filter(
+      gateApply(spark, gate, inserts0, lit(true), col, "MERGE insert"))
+    if (narrowed.isEmpty) {
+      VersionedTable.publishVia(root, keepVersions,
+        parent = Some(new Path(current).getName), requireBase = true) { staging =>
         if (!empty)
           VersionedTable.writeParquetMicros(inserts, staging.toString, partitionColumns)
-      } else {
-        // live rows of the may-match files, with file coordinates
-        val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
-          withMeta = true)
-        val pinned = narrowed.flatMap(f =>
-          f.dvPositions.map(p => (DeletionVectors.relOf(f.path), p)))
-        val live = if (pinned.isEmpty) metaAll else {
-          import spark.implicits._
-          val dv = pinned.toDF("__dv_file", "__dv_pos")
-          metaAll.join(org.apache.spark.sql.functions.broadcast(dv),
-            metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
-            "left_anti")
-        }
-        // matched rows a clause HITS (update or delete): positions die;
-        // update survivors (not deleted) contribute new images built from
-        // the OLD row + the clause SETs
-        val hit = live.join(
-          marked.filter(coalesce(col("__upd"), lit(false)) ||
-            coalesce(col("__del"), lit(false))), keyCols, "inner")
-        val newImages = hit
-          .filter(!coalesce(col("__del"), lit(false)) && coalesce(col("__upd"), lit(false)))
-          .select(curCols.map(c =>
-            if (!keyCols.contains(c) && updSet.contains(c)) col(s"__u_$c").as(c)
-            else col(c)): _*)
+        referenceRest(root, staging, current, Nil, conf, partitionColumns)
+      }
+    } else {
+      // live rows of the may-match files, with file coordinates
+      val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
+        withMeta = true)
+      val pinned = narrowed.flatMap(f =>
+        f.dvPositions.map(p => (DeletionVectors.relOf(f.path), p)))
+      val live = if (pinned.isEmpty) metaAll else {
+        import spark.implicits._
+        val dv = pinned.toDF("__dv_file", "__dv_pos")
+        metaAll.join(org.apache.spark.sql.functions.broadcast(dv),
+          metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
+          "left_anti")
+      }
+      // matched rows a clause HITS (update or delete): positions die;
+      // update survivors (not deleted) contribute new images built from
+      // the OLD row + the clause SETs
+      val hit = live.join(
+        marked.filter(coalesce(col("__upd"), lit(false)) ||
+          coalesce(col("__del"), lit(false))), keyCols, "inner")
+      val delHit = coalesce(col("__del"), lit(false))
+      val updCand = !delHit && coalesce(col("__upd"), lit(false))
+      val uImg: String => Column = c =>
+        if (!keyCols.contains(c) && updSet.contains(c)) col(s"__u_$c") else col(c)
+      val updApplies = updCand &&
+        gateApply(spark, gate, hit, updCand, uImg, "MERGE update")
+      val newImages = hit.filter(updApplies)
+        .select(curCols.map(c => uImg(c).as(c)): _*)
+      // a skipped (violating) update neither stages a new image nor kills
+      // its old position — the row survives untouched
+      val dies = hit.filter(delHit || updApplies)
+      VersionedTable.publishVia(root, keepVersions,
+        parent = Some(new Path(current).getName), requireBase = true) { staging =>
         VersionedTable.writeParquetMicros(
           newImages.unionByName(inserts, allowMissingColumns = true),
           staging.toString, partitionColumns)
-        hit.select(col("__rel").as("file"), col("__pos").as("pos"))
+        dies.select(col("__rel").as("file"), col("__pos").as("pos"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, DeletionVectors.DvDir).toString)
+        referenceRest(root, staging, current, Nil, conf, partitionColumns)
       }
-      referenceRest(root, staging, current, Nil, conf, partitionColumns)
     }
   }
 
@@ -661,7 +786,8 @@ object RefTableMutations {
   def updateWhere(
       spark: SparkSession, root: String, set: Map[String, Column], condition: Column,
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val conf = new Configuration()
@@ -682,16 +808,23 @@ object RefTableMutations {
         case Some(keep) => mayMatch0.filter(f => keep.contains(f.path))
         case None => mayMatch0
       }
+    // after-image gate: the image of a hit row is the row with the SETs
+    // applied; a violating hit is SKIPPED (old image survives — `hit`
+    // narrows), fail censuses before any staging, quarantine appends first
+    val updated: Option[DataFrame] = if (mayMatch.isEmpty) None else {
+      val sub = readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
+      val cand = coalesce(condition, lit(false))
+      val aImg: String => Column = c =>
+        if (set.contains(c)) set(c).cast(types(c)) else col(c)
+      val hit = cand && gateApply(spark, gate, sub, cand, aImg, "UPDATE")
+      Some(sub.select(sub.columns.toSeq.map(c =>
+        if (set.contains(c)) when(hit, set(c).cast(types(c))).otherwise(col(c)).as(c)
+        else col(c)): _*))
+    }
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
-      if (mayMatch.nonEmpty) {
-        val sub = readFiles(spark, root, mayMatch, partitionColumns, partitionTypes)
-        val hit = coalesce(condition, lit(false))
-        val updated = sub.select(sub.columns.toSeq.map(c =>
-          if (set.contains(c)) when(hit, set(c).cast(types(c))).otherwise(col(c)).as(c)
-          else col(c)): _*)
-        VersionedTable.writeParquetMicros(updated, staging.toString, partitionColumns)
-      }
+      updated.foreach(u =>
+        VersionedTable.writeParquetMicros(u, staging.toString, partitionColumns))
       referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
     }
   }
@@ -709,7 +842,8 @@ object RefTableMutations {
   def updateWhereMergeOnRead(
       spark: SparkSession, root: String, set: Map[String, Column], condition: Column,
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(set.nonEmpty, "updateWhereMergeOnRead needs at least one SET column")
     val conf = new Configuration()
@@ -751,7 +885,13 @@ object RefTableMutations {
             metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
             "left_anti")
         }
-        val matched = meta.filter(coalesce(condition, lit(false)))
+        // after-image gate: a violating hit is SKIPPED — it neither stages
+        // a new image nor loses its old position (fail censuses first)
+        val cand = coalesce(condition, lit(false))
+        val aImg: String => Column = c =>
+          if (set.contains(c)) set(c).cast(types(c)) else col(c)
+        val matched = meta.filter(
+          cand && gateApply(spark, gate, meta, cand, aImg, "UPDATE"))
         // new images first (writeParquetMicros owns creating the staging
         // dir and refuses a pre-existing one), then the position sidecar
         // into its subdirectory
@@ -861,7 +1001,8 @@ object RefTableMutations {
   def applyChanges(
       spark: SparkSession, root: String, changes: DataFrame, keyCols: Seq[String],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String = {
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String = {
     require(changes.columns.contains("change_type"),
       "changefeed must carry change_type (insert|delete|update) — see SnapshotDiff.diff")
     merge(spark, root, changes, keyCols,
@@ -869,7 +1010,7 @@ object RefTableMutations {
       matchedDelete = Some(col("change_type") === "delete"),
       notMatchedInsert = Some(col("change_type") =!= "delete"),
       keepVersions = keepVersions, partitionColumns = partitionColumns,
-      partitionTypes = partitionTypes)
+      partitionTypes = partitionTypes, gate = gate)
   }
 
   /** Merge-on-read changefeed apply: the replication primitive in its
@@ -885,7 +1026,8 @@ object RefTableMutations {
   def applyChangesMergeOnRead(
       spark: SparkSession, root: String, changes: DataFrame, keyCols: Seq[String],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
-      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): String =
+      partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      gate: Option[RefTableOptions] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(changes.columns.contains("change_type"),
       "changefeed must carry change_type (insert|delete|update) — see SnapshotDiff.diff")
@@ -927,11 +1069,16 @@ object RefTableMutations {
         case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
         case None => mayMatch
       }
+    // after-image gate over the upsert images (deletes land nothing and
+    // always apply): a violating upsert is SKIPPED — its key's old
+    // position survives and no new image stages
+    val upsPass = gateApply(spark, gate, changes, ct =!= "delete", col,
+      "applyChanges upsert")
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true) { staging =>
       if (nUpserts > 0L)
         VersionedTable.writeParquetMicros(
-          changes.filter(ct =!= "delete").select(curCols.map(col): _*),
+          changes.filter(ct =!= "delete" && upsPass).select(curCols.map(col): _*),
           staging.toString, partitionColumns)
       if (narrowed.nonEmpty) {
         val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
@@ -945,7 +1092,10 @@ object RefTableMutations {
             metaAll("__rel") === dv("__dv_file") && metaAll("__pos") === dv("__dv_pos"),
             "left_anti")
         }
-        live.join(changes.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        live.join(
+            changes.filter(ct === "delete" || upsPass)
+              .select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_semi")
           .select(col("__rel").as("file"), col("__pos").as("pos"))
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, DeletionVectors.DvDir).toString)
