@@ -67,5 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPostHocResolutionRule(session =>
       graft.sources.reftable.RefTableDmlRewrite(session))
+    // batch SQL changefeed: SELECT * FROM table_changes('t', from[, to]).
+    // A delegating parser, NOT a resolution rule — the analyzer fails
+    // eagerly on unknown TVF names before injected rules run.
+    ext.injectParser((session, delegate) =>
+      new graft.sources.reftable.GraftSqlParser(session, delegate))
   }
 }

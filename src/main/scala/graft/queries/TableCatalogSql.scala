@@ -215,6 +215,51 @@ object TableCatalogSql {
         |  max(s_suppkey) AS hi
         |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // BATCH SQL CHANGEFEED — table_changes('t', from[, to]), the
+    // Delta-CDF shape: the key-level change set between two retained
+    // versions as one lazy relation over the O(changed files) file delta
+    // (never a scan of carried files), composable with GROUP BY like any
+    // table. from/to accept version names, tag:<name>, ts:<timestamp>;
+    // the oracle replays the three mutations' endpoint diff.
+    QueryDef("q185_sql_table_changes", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q185_tc")
+      val tbl = "graft_q185_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT', " +
+        "keyColumns 's_suppkey')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      VersionedTable.tag(root, "q185base", replace = true)
+      s.sql(s"UPDATE $tbl SET cents = cents + 11 WHERE s_suppkey % 7 = 0")
+      s.sql(s"DELETE FROM $tbl WHERE s_suppkey <= 5")
+      s.sql(s"INSERT INTO $tbl SELECT s_suppkey + 50000, s_nationkey, " +
+        "CAST(555 AS BIGINT) FROM supplier")
+      s.sql(
+        s"""SELECT change_type, count(*) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+           |FROM table_changes('$tbl', 'tag:q185base')
+           |GROUP BY change_type ORDER BY change_type""".stripMargin)
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |log AS (
+        |  SELECT 'delete' AS change_type, s_suppkey, cents
+        |  FROM base WHERE s_suppkey <= 5
+        |  UNION ALL
+        |  SELECT 'update', s_suppkey, cents + 11
+        |  FROM base WHERE s_suppkey % 7 = 0 AND s_suppkey > 5
+        |  UNION ALL
+        |  SELECT 'insert', s_suppkey + 50000, CAST(555 AS BIGINT) FROM base)
+        |SELECT change_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        |FROM log GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

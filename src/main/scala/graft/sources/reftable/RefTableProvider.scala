@@ -136,6 +136,12 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
   override def name(): String = s"reftable(${opts.path})"
   override def schema(): StructType = opts.outputSchema
 
+  /** The descriptor's raw option map — what a re-read of this table needs
+    * to reconstruct the exact same options (consumed by the
+    * `table_changes` TVF rewrite).
+    */
+  private[graft] def descriptorOptions: Map[String, String] = raw
+
   /** SQL `DELETE FROM` / `TRUNCATE TABLE`, routed into the file-granular
     * copy-on-write mutation ([[RefTableMutations.deleteWhere]]) — the
     * declared `partitionColumns` thread through so Hive-partitioned
