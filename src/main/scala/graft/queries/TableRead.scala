@@ -14,6 +14,34 @@ object TableRead {
   import RelationalSupport.t
 
   val defs: Seq[QueryDef] = Seq(
+    // FIRST-CLASS VECTOR COLUMNS through the source: the embeddings table
+    // (array<float>) publishes into a versioned root and reads back
+    // through the reftable scan with the array decoded by the source
+    // itself — no BINARY packing. Projections that touch the vector ride
+    // the row path; everything else stays vectorized (RefTableVectorSpec
+    // pins the plan). The oracle aggregates the same parquet in DuckDB:
+    // per-label counts, dimensions and the first-element sum.
+    QueryDef("q186_vector_scan", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q186_vec")
+      VersionedTable.publish(
+        s.read.parquet(Tables.path(dir, "embeddings")), root)
+      s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .load()
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum("vec_id").as("id_sum"),
+          sum(size(col("embedding"))).as("dims"),
+          r4(sum(element_at(col("embedding"), 1).cast("double"))).as("e0_sum"))
+        .orderBy("label")
+    }, Some(
+      """SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS dims,
+        |  round(sum(CAST(embedding[1] AS DOUBLE)), 4) AS e0_sum
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
     // DECIMAL decode through the reftable source: the query derives a
     // decimal table from `customer`, reads it back through the source's
     // vectorized path, and aggregates; the oracle computes the same result

@@ -350,6 +350,32 @@ object RefTableOptions {
         catch { case NonFatal(e) => err("schema", s"Invalid 'schema': ${e.getMessage}"); None }
     }
 
+    // FAIL-FAST TYPE SURFACE (the same contract as every other option):
+    // a declared type the readers cannot decode must refuse at analysis
+    // time, not throw from an executor mid-scan. Decodable: the flat
+    // primitives, plus single-level arrays of
+    // float/double/int/long/string/boolean/binary — the VECTOR /
+    // token-list column classes (row-path decode; projections touching
+    // them fall back from the vectorized reader). Deeper nesting: pack
+    // to BINARY (graft.functions PackVector) or flatten.
+    def decodable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | DoubleType | FloatType | BooleanType |
+           StringType | BinaryType | TimestampType | DateType |
+           ShortType | ByteType => true
+      case _: DecimalType => true
+      case ArrayType(et, _) => et match {
+        case FloatType | DoubleType | IntegerType | LongType |
+             StringType | BooleanType | BinaryType => true
+        case _ => false
+      }
+      case _ => false
+    }
+    for (st <- schema; f <- st.fields; if !decodable(f.dataType))
+      err("schema", s"Field '${f.name}' declares type ${f.dataType.simpleString}, which the " +
+        "source cannot decode: supported are flat primitives and single-level " +
+        "array<float|double|int|long|string|boolean|binary> (vector/token columns); " +
+        "pack deeper structures to BINARY (PackVector) or flatten them")
+
     val rowField = Option(options.get("rowField")).filter(_.nonEmpty)
     val keyColumn = Option(options.get("keyColumn")).filter(_.nonEmpty)
     (rowField, schema) match {

@@ -393,8 +393,57 @@ class RefTablePartitionReader(
         // zero, off by one micro vs SQL floor semantics
         case d => Math.floorDiv(v, d)
       }
+    // first-class VECTOR columns (and token lists): single-level
+    // array<float|double|long|int|string|boolean|binary>, decoded from the
+    // standard 3-level parquet LIST (and the 2-level legacy repeated
+    // encoding). Declared double over FLOAT files widens losslessly, like
+    // the scalar paths. Analysis-time validation (RefTableConfig) refuses
+    // anything deeper, so `other` below is unreachable for declared
+    // schemas — kept as a hard stop for internal misuse.
+    case ArrayType(et, _) => decodeArray(col, et)
     case other =>
       throw new UnsupportedOperationException(s"reftable: unsupported type $other for column $col")
+  }
+
+  private def decodeArray(col: String, et: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT, INT32}
+    val listType = fileSchema.getType(Seq(col): _*).asGroupType()
+    val repeated = listType.getType(0)
+    val outer = current.getGroup(col, 0)
+    val n = outer.getFieldRepetitionCount(0)
+    val arr = new Array[Any](n)
+    def prim(g: org.apache.parquet.example.data.Group, idx: Int, i: Int,
+        pt: org.apache.parquet.schema.PrimitiveType): Any = et match {
+      case FloatType   => g.getFloat(idx, i)
+      case DoubleType  =>
+        if (pt.getPrimitiveTypeName == FLOAT) g.getFloat(idx, i).toDouble
+        else g.getDouble(idx, i)
+      case IntegerType => g.getInteger(idx, i)
+      case LongType    =>
+        if (pt.getPrimitiveTypeName == INT32) g.getInteger(idx, i).toLong
+        else g.getLong(idx, i)
+      case BooleanType => g.getBoolean(idx, i)
+      case StringType  => UTF8String.fromBytes(g.getBinary(idx, i).getBytes)
+      case BinaryType  => g.getBinary(idx, i).getBytes
+      case other => throw new UnsupportedOperationException(
+        s"reftable: unsupported array element type $other for column $col")
+    }
+    if (repeated.isPrimitive) {
+      // 2-level legacy: repeated primitive holds the elements directly
+      var i = 0
+      while (i < n) { arr(i) = prim(outer, 0, i, repeated.asPrimitiveType()); i += 1 }
+    } else {
+      // standard 3-level: repeated group 'list' { optional element }
+      val elemType = repeated.asGroupType().getType(0).asPrimitiveType()
+      var i = 0
+      while (i < n) {
+        val eg = outer.getGroup(0, i)
+        arr(i) = if (eg.getFieldRepetitionCount(0) == 0) null
+          else prim(eg, 0, 0, elemType)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
   override def close(): Unit = reader.close()
