@@ -260,6 +260,58 @@ object TableCatalogSql {
         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
         |FROM log GROUP BY change_type ORDER BY change_type""".stripMargin)),
 
+    // FULL-SYNC MERGE — WHEN NOT MATCHED BY SOURCE (SQL:2023 / the Delta
+    // snapshot-replication shape): the source IS the desired state, so
+    // target rows absent from it are updated or deleted by TARGET-side
+    // conditions, alongside the usual matched-update and insert clauses.
+    // All five clause kinds in one statement through the analyzer rewrite
+    // into mergeClauses; the oracle replays each disjoint key class.
+    QueryDef("q187_merge_full_sync", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q187_fsync")
+      val tbl = "graft_q187_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 's_suppkey BIGINT, s_nationkey INT, cents BIGINT')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT s_suppkey AS k, s_nationkey AS nk,
+           |    CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) + 7 AS c
+           |  FROM supplier WHERE s_suppkey % 3 <> 0
+           |  UNION ALL
+           |  SELECT s_suppkey + 50000, s_nationkey, CAST(321 AS BIGINT)
+           |  FROM supplier WHERE s_suppkey % 10 = 0
+           |) s ON t.s_suppkey = s.k
+           |WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET cents = s.c
+           |WHEN NOT MATCHED THEN INSERT (s_suppkey, s_nationkey, cents)
+           |  VALUES (s.k, s.nk, s.c)
+           |WHEN NOT MATCHED BY SOURCE AND t.s_suppkey % 5 = 0
+           |  THEN UPDATE SET cents = -111
+           |WHEN NOT MATCHED BY SOURCE AND t.s_suppkey % 5 <> 0 THEN DELETE""".stripMargin)
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        s"CAST(sum(s_suppkey) AS BIGINT) AS key_sum FROM $tbl " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |final AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN cents + 7 ELSE cents END AS cents
+        |  FROM base WHERE s_suppkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey, CAST(-111 AS BIGINT)
+        |  FROM base WHERE s_suppkey % 15 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 50000, s_nationkey, CAST(321 AS BIGINT)
+        |  FROM base WHERE s_suppkey % 10 = 0)
+        |SELECT s_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

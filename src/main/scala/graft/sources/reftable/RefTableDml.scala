@@ -33,10 +33,13 @@ import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
   * narrowed): an equi-join ON clause (conjunction of `target.k = <source
   * expr>`), at most one `WHEN MATCHED [AND cond] THEN UPDATE SET ...`, at
   * most one `WHEN MATCHED [AND cond] THEN DELETE`, at most one `WHEN NOT
-  * MATCHED [AND cond] THEN INSERT ...`; clause conditions and values may
-  * reference only the source side (the CDC shape [[RefTableMutations
-  * .mergeClauses]] executes). `WHEN NOT MATCHED BY SOURCE` and schema
-  * evolution are not supported.
+  * MATCHED [AND cond] THEN INSERT ...`, at most one `WHEN NOT MATCHED BY
+  * SOURCE [AND cond] THEN UPDATE SET ...` and one `... THEN DELETE`.
+  * Matched/not-matched clause conditions and values may reference only
+  * the source side (the CDC shape [[RefTableMutations.mergeClauses]]
+  * executes); NOT MATCHED BY SOURCE conditions and values only the
+  * TARGET side (there is no source row). Schema evolution is not
+  * supported.
   */
 case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -73,8 +76,6 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val opts = mutableOpts(table, "MERGE INTO")
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"reftable MERGE INTO: $what")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
     if (m.schemaEvolutionEnabled) unsupported("schema evolution is not supported")
 
     val targetAttrs = rel.outputSet
@@ -151,7 +152,42 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse(lit(true)), assignmentsOf(as, "INSERT")))
       case other => unsupported(s"unsupported WHEN NOT MATCHED action $other")
     }
-    MergeRefTableCommand(opts, m.sourceTable, keys, update, delete, insert)
+    // NOT MATCHED BY SOURCE acts on target rows with no source match —
+    // conditions and SET values reference the TARGET row only (mapped
+    // through rowField aliasing to storage names, like UPDATE)
+    def targetOnly(e: Expression, where: String): Column = {
+      if (!e.references.subsetOf(targetAttrs))
+        unsupported(s"$where may reference only the MERGE target, got ${e.sql}")
+      detach(e, targetAttrs, opts)
+    }
+    var nmbsUpdate: Option[(Column, Map[String, Column])] = None
+    var nmbsDelete: Option[Column] = None
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(cond, as, _) =>
+        if (nmbsUpdate.nonEmpty)
+          unsupported("at most one WHEN NOT MATCHED BY SOURCE UPDATE clause")
+        val set = as.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
+            case other => unsupported(
+              s"WHEN NOT MATCHED BY SOURCE UPDATE assigns a non-column ${other.sql}")
+          }
+          opts.storageColumn(name) ->
+            targetOnly(a.value, "WHEN NOT MATCHED BY SOURCE UPDATE value")
+        }.toMap
+        nmbsUpdate = Some((cond.map(
+          targetOnly(_, "WHEN NOT MATCHED BY SOURCE UPDATE condition"))
+          .getOrElse(lit(true)), set))
+      case DeleteAction(cond) =>
+        if (nmbsDelete.nonEmpty)
+          unsupported("at most one WHEN NOT MATCHED BY SOURCE DELETE clause")
+        nmbsDelete = Some(cond.map(
+          targetOnly(_, "WHEN NOT MATCHED BY SOURCE DELETE condition"))
+          .getOrElse(lit(true)))
+      case other => unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
+    MergeRefTableCommand(opts, m.sourceTable, keys, update, delete, insert,
+      nmbsUpdate, nmbsDelete)
   }
 
   /** The reftable relation under optional aliasing, if this plan is one. */
@@ -214,7 +250,9 @@ case class UpdateRefTableCommand(
 case class MergeRefTableCommand(
     opts: RefTableOptions, sourcePlan: LogicalPlan, keys: Seq[(String, Column)],
     update: Option[(Column, Map[String, Column])], delete: Option[Column],
-    insert: Option[(Column, Map[String, Column])])
+    insert: Option[(Column, Map[String, Column])],
+    nmbsUpdate: Option[(Column, Map[String, Column])] = None,
+    nmbsDelete: Option[Column] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (VersionedTable.resolve(opts.path).isEmpty) {
@@ -230,19 +268,22 @@ case class MergeRefTableCommand(
       .select(keys.map { case (k, e) => e.as(k) } ++
         source0Cols(sourcePlan).map(org.apache.spark.sql.functions.col): _*)
     val updSetsPartitionCol =
-      update.exists(_._2.keys.exists(opts.partitionColumns.contains))
+      (update.toSeq ++ nmbsUpdate.toSeq)
+        .exists(_._2.keys.exists(opts.partitionColumns.contains))
     if (opts.mergeMode == "mergeOnRead" && !updSetsPartitionCol)
       RefTableMutations.mergeClausesMergeOnRead(spark, opts.path, source, keys.map(_._1),
         update, delete, insert, opts.keepVersions,
         opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
-        gate = Some(opts))
+        gate = Some(opts),
+        notMatchedBySourceUpdate = nmbsUpdate, notMatchedBySourceDelete = nmbsDelete)
     else
       // partition-column SET moves rows across directories — only the COW
       // rewrite can restage them, so mergeOnRead falls back
       RefTableMutations.mergeClauses(spark, opts.path, source, keys.map(_._1),
         update, delete, insert, opts.keepVersions,
         opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
-        gate = Some(opts))
+        gate = Some(opts),
+        notMatchedBySourceUpdate = nmbsUpdate, notMatchedBySourceDelete = nmbsDelete)
     Seq.empty
   }
 

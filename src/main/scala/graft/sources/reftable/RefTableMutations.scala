@@ -584,6 +584,15 @@ object RefTableMutations {
     * maps (expressions over the SOURCE row). A column absent from the
     * update map keeps its target value (partial `SET`); one absent from
     * the insert map inserts NULL. Key columns cannot be updated.
+    *
+    * `notMatchedBySource*` (the Delta/SQL:2023 full-sync clauses) act on
+    * TARGET rows no source key matches: their conditions and SET values
+    * are expressions over the TARGET row (there is no source row to
+    * reference). Delete takes precedence over update when both conditions
+    * hold, mirroring the matched side. Either clause present forces the
+    * full target into the match pass — "not matched by source" is a
+    * property every file can witness, so key-bounds/partition/bucket
+    * narrowing is unsound and skipped (Delta documents the same cost).
     */
   def mergeClauses(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
@@ -592,7 +601,9 @@ object RefTableMutations {
       notMatchedInsert: Option[(Column, Map[String, Column])],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
-      gate: Option[RefTableOptions] = None): String =
+      gate: Option[RefTableOptions] = None,
+      notMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
+      notMatchedBySourceDelete: Option[Column] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -605,10 +616,13 @@ object RefTableMutations {
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
     val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
     val insSet = notMatchedInsert.map(_._2).getOrElse(Map.empty)
-    val badKeys = keyCols.filter(updSet.contains)
+    val nmbsSet = notMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty)
+    val badKeys = keyCols.filter(k => updSet.contains(k) || nmbsSet.contains(k))
     require(badKeys.isEmpty, s"merge cannot update key column(s) ${badKeys.mkString(", ")}")
-    (updSet.keys ++ insSet.keys).find(!curCols.contains(_)).foreach(c =>
+    (updSet.keys ++ insSet.keys ++ nmbsSet.keys).find(!curCols.contains(_)).foreach(c =>
       throw new IllegalArgumentException(s"merge assigns unknown table column '$c'"))
+    val nmbsActive =
+      notMatchedBySourceUpdate.nonEmpty || notMatchedBySourceDelete.nonEmpty
 
     // clause conditions and value expressions are evaluated over the raw
     // source row BEFORE its extra columns are projected away; values cast
@@ -624,8 +638,10 @@ object RefTableMutations {
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
           lit(true).as("__m")): _*)
 
-    val (empty, narrowed) = mergeNarrow(
-      root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
+    val (empty, narrowed) =
+      if (nmbsActive) (false, files) // every file can hold unmatched rows
+      else mergeNarrow(
+        root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
     // gate the after-images BEFORE staging (fail refuses the whole commit
     // with nothing written; quarantine appends the rejects first):
     // inserts are full final rows, update images are the OLD row with the
@@ -644,8 +660,13 @@ object RefTableMutations {
       else {
         val sub = readFiles(spark, root, narrowed, partitionColumns, partitionTypes)
         val subCols = sub.columns.toSeq // may lack columns other files carry
+        // NMBS conditions/values evaluate over the TARGET side of the
+        // join; marked's non-key columns are all __-prefixed, so target
+        // names resolve unambiguously
+        val nmbsDel = !matchedFlag &&
+          coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
         val joined = sub.join(marked, keyCols, "left_outer")
-          .filter(not(matchedFlag && coalesce(col("__del"), lit(false))))
+          .filter(not(matchedFlag && coalesce(col("__del"), lit(false))) && not(nmbsDel))
         val updCand = matchedFlag && coalesce(col("__upd"), lit(false))
         val uImg: String => Column = c =>
           if (updSet.contains(c) && !keyCols.contains(c)) col(s"__u_$c") else col(c)
@@ -653,9 +674,23 @@ object RefTableMutations {
         // silent delete; fail mode censuses and throws before any staging
         val applies = updCand &&
           gateApply(spark, gate, joined, updCand, uImg, "MERGE update")
-        joined.select(subCols.map(c =>
-            if (keyCols.contains(c) || !updSet.contains(c)) col(c)
-            else when(applies, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+        val nmbsSetCast = nmbsSet.map { case (c, v) => c -> v.cast(types(c)) }
+        val nmbsCand = !matchedFlag && coalesce(
+          notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
+        val nImg: String => Column = c =>
+          if (nmbsSetCast.contains(c) && !keyCols.contains(c)) nmbsSetCast(c) else col(c)
+        val nmbsApplies = nmbsCand && gateApply(
+          spark, gate, joined, nmbsCand, nImg, "MERGE not-matched-by-source update")
+        joined.select(subCols.map { c =>
+            val hasU = updSet.contains(c) && !keyCols.contains(c)
+            val hasN = nmbsSetCast.contains(c) && !keyCols.contains(c)
+            if (!hasU && !hasN) col(c)
+            else {
+              var e = when(if (hasU) applies else lit(false), uImg(c))
+              e = e.when(if (hasN) nmbsApplies else lit(false), nImg(c))
+              e.otherwise(col(c)).as(c)
+            }
+          }: _*)
           // the may-match subset can lack columns other files carry —
           // null-fill instead of failing (readers null-fill them too)
           .unionByName(inserts, allowMissingColumns = true)
@@ -685,7 +720,9 @@ object RefTableMutations {
       notMatchedInsert: Option[(Column, Map[String, Column])],
       keepVersions: Int = 3, partitionColumns: Seq[String] = Nil,
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
-      gate: Option[RefTableOptions] = None): String =
+      gate: Option[RefTableOptions] = None,
+      notMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
+      notMatchedBySourceDelete: Option[Column] = None): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -698,13 +735,16 @@ object RefTableMutations {
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
     val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
     val insSet = notMatchedInsert.map(_._2).getOrElse(Map.empty)
-    val badKeys = keyCols.filter(updSet.contains)
+    val nmbsSet = notMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty)
+    val badKeys = keyCols.filter(k => updSet.contains(k) || nmbsSet.contains(k))
     require(badKeys.isEmpty, s"merge cannot update key column(s) ${badKeys.mkString(", ")}")
-    (updSet.keys ++ insSet.keys).find(!curCols.contains(_)).foreach(c =>
+    (updSet.keys ++ insSet.keys ++ nmbsSet.keys).find(!curCols.contains(_)).foreach(c =>
       throw new IllegalArgumentException(s"merge assigns unknown table column '$c'"))
-    require(!updSet.keys.exists(partitionColumns.contains),
+    require(!(updSet.keys ++ nmbsSet.keys).exists(partitionColumns.contains),
       "mergeClausesMergeOnRead cannot move rows across partitions (SET on a partition " +
         "column); use the copy-on-write mergeClauses")
+    val nmbsActive =
+      notMatchedBySourceUpdate.nonEmpty || notMatchedBySourceDelete.nonEmpty
     val valCols = curCols.filterNot(keyCols.contains)
     val marked = source.select(
       keyCols.map(col) ++
@@ -714,8 +754,10 @@ object RefTableMutations {
           matchedUpdate.map(_._1).getOrElse(lit(false)).as("__upd"),
           matchedDelete.getOrElse(lit(false)).as("__del"),
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins")): _*)
-    val (empty, narrowed) = mergeNarrow(
-      root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
+    val (empty, narrowed) =
+      if (nmbsActive) (false, files) // every file can hold unmatched rows
+      else mergeNarrow(
+        root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
     // after-image gate (see gateApply): fail censuses BEFORE staging,
     // quarantine appends the rejects first, drop skips the row's mutation
     // (its old POSITION must then survive too — see `dies` below)
@@ -764,12 +806,31 @@ object RefTableMutations {
       // a skipped (violating) update neither stages a new image nor kills
       // its old position — the row survives untouched
       val dies = hit.filter(delHit || updApplies)
+      // NMBS pass: live target rows with NO source key — delete kills the
+      // position; update kills it AND stages the old row + target-side
+      // SETs as the new image (delete precedence, like the matched side)
+      val (nmbsImages, nmbsDies) = if (!nmbsActive) (None, None) else {
+        val miss = live.join(marked.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val nDel = coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+        val nmbsSetCast = nmbsSet.map { case (c, v) => c -> v.cast(types(c)) }
+        val nCand = !nDel && coalesce(
+          notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
+        val nImg: String => Column = c =>
+          if (!keyCols.contains(c) && nmbsSetCast.contains(c)) nmbsSetCast(c) else col(c)
+        val nApplies = nCand && gateApply(
+          spark, gate, miss, nCand, nImg, "MERGE not-matched-by-source update")
+        (Some(miss.filter(nApplies).select(curCols.map(c => nImg(c).as(c)): _*)),
+          Some(miss.filter(nDel || nApplies)))
+      }
       VersionedTable.publishVia(root, keepVersions,
         parent = Some(new Path(current).getName), requireBase = true) { staging =>
         VersionedTable.writeParquetMicros(
-          newImages.unionByName(inserts, allowMissingColumns = true),
+          nmbsImages.foldLeft(newImages.unionByName(inserts, allowMissingColumns = true))(
+            (a, b) => a.unionByName(b, allowMissingColumns = true)),
           staging.toString, partitionColumns)
-        dies.select(col("__rel").as("file"), col("__pos").as("pos"))
+        nmbsDies.map(_.select(col("__rel").as("file"), col("__pos").as("pos")))
+          .foldLeft(dies.select(col("__rel").as("file"), col("__pos").as("pos")))(
+            _ unionByName _)
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, DeletionVectors.DvDir).toString)
         referenceRest(root, staging, current, Nil, conf, partitionColumns)

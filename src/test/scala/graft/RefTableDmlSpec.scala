@@ -242,6 +242,102 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync with all five clauses (COW)") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("nmbs")
+    try {
+      // desired state: ids 0..49 (evens updated), plus fresh id 500
+      (0L until 50L).map(i => (i, i * 100)).toDF("id", "nv")
+        .union(Seq((500L, 1L)).toDF("id", "nv"))
+        .createOrReplaceTempView("dml_nmbs_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_nmbs_src s ON t.id = s.id
+           |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (s.id, s.nv, 'new')
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 90 THEN UPDATE SET s = 'stale'
+           |WHEN NOT MATCHED BY SOURCE AND t.id < 90 THEN DELETE""".stripMargin)
+      val got = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      // 0..49 survive (evens v=i*100, odds v=i*10), 50..89 deleted,
+      // 90..99 kept with s='stale', 500 inserted
+      assert(got.size == 50 + 10 + 1, s"got ${got.size}")
+      assert(got.filter(_._1 < 50).forall { case (i, v, _) =>
+        v == (if (i % 2 == 0) i * 100 else i * 10) })
+      assert(!got.exists(g => g._1 >= 50 && g._1 < 90))
+      assert(got.filter(g => g._1 >= 90 && g._1 < 100)
+        .forall { case (i, v, s) => v == i * 10 && s == "stale" })
+      assert(got.exists(_ == ((500L, 1L, "new"))))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE on mergeOnRead: positions die by DV, no rewrite") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dml_nmbs_mor").toString + "/t"
+    val tbl = "graft_dml_nmbs_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+      s"schema '$ddl', mergeMode 'mergeOnRead')")
+    try {
+      (0L until 100L).map(i => (i, i * 10, s"s$i")).toDF("id", "v", "s")
+        .write.format("reftable").option("path", root).option("schema", ddl)
+        .mode("overwrite").save()
+      val before = VersionedTable.resolve(root, conf).get
+      (0L until 40L).map(i => (i, -1L)).toDF("id", "nv")
+        .createOrReplaceTempView("dml_nmbs_mor_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_nmbs_mor_src s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE AND t.id < 70 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 70 THEN UPDATE SET v = -7""".stripMargin)
+      // 0..39 untouched (matched, no matched clause), 40..69 deleted,
+      // 70..99 new images with v=-7
+      val got = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == 70, s"got ${got.size}")
+      assert(got.filter(_._1 < 40).forall { case (i, v) => v == i * 10 })
+      assert(got.filter(_._1 >= 70).forall(_._2 == -7L))
+      // merge-on-read: the base files are carried by reference, a DV
+      // sidecar marks the dead positions — nothing is rewritten
+      val cur = VersionedTable.resolve(root, conf).get
+      assert(cur != before)
+      val fs = new org.apache.hadoop.fs.Path(cur).getFileSystem(conf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(cur, "_DV")),
+        "NMBS on mergeOnRead must stage a deletion-vector sidecar")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE with an EMPTY source applies to every row") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("nmbs_empty")
+    try {
+      Seq.empty[(Long, Long)].toDF("id", "nv").createOrReplaceTempView("dml_nmbs_mt")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_nmbs_mt s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 10 THEN DELETE""".stripMargin)
+      assert(spark.table(tbl).count() == 10, "empty source: all ids >= 10 deleted")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("NOT MATCHED BY SOURCE clauses refuse source references and key SETs") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("nmbs_bad")
+    try {
+      Seq((1L, 1L)).toDF("id", "nv").createOrReplaceTempView("dml_nmbs_bad")
+      val e1 = intercept[Exception](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_nmbs_bad s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE AND s.nv > 0 THEN DELETE""".stripMargin))
+      // Spark's analyzer itself rejects source references in NMBS
+      // conditions (it resolves them against the target side only);
+      // our rewrite's targetOnly guard is the second line of defense
+      assert(e1.getMessage.contains("only the MERGE target") ||
+        e1.getMessage.contains("cannot be resolved"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_nmbs_bad s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = -1""".stripMargin))
+      assert(e2.getMessage.contains("key column"), e2.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("UPDATE through the graft TableCatalog works and is CAS-committed") {
     val wh = Files.createTempDirectory("graft_dml_cat").toString
     val cat = "graftdmlcat"

@@ -124,6 +124,26 @@ class RefTableMutationGateSpec extends AnyFunSuite {
         s"violating hits keep old images, got ${got.take(5)}")
       assert(got.slice(5, 7) == Seq((5L, 0L), (6L, 1L)), "passing hits update")
     }
+
+    test(s"$label NOT MATCHED BY SOURCE UPDATE: drop skips violating images, " +
+        "delete is never gated") {
+      val (tbl, _) = freshTable("drop", mode)
+      import spark.implicits._
+      // source matches ids 0..2 only; NMBS after-image v-5 violates for
+      // target ids 3..7 (v<5 goes negative... v-5<0 for v<5 → ids 3,4),
+      // passes for 5..7; ids 8..9 are deleted (deletes bypass the gate)
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("id", "nv")
+        .createOrReplaceTempView(s"src_nmbs_$tbl")
+      spark.sql(s"""MERGE INTO $tbl t USING src_nmbs_$tbl s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND t.id < 8 THEN UPDATE SET v = v - 5
+        WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE""")
+      val got = rows(tbl)
+      assert(got.take(3) == Seq((0L, 0L), (1L, 1L), (2L, 2L)), "matched rows untouched")
+      assert(got.slice(3, 5) == Seq((3L, 3L), (4L, 4L)),
+        s"violating NMBS images skipped (old rows survive), got ${got.slice(3, 5)}")
+      assert(got.slice(5, 8) == Seq((5L, 0L), (6L, 1L), (7L, 2L)), "passing NMBS update")
+      assert(!got.exists(_._1 >= 8L), "NMBS delete applies regardless of the gate")
+    }
   }
 
   test("API upsert (COW) honors the gate; applyChangesMergeOnRead skips violating upserts") {
