@@ -312,6 +312,31 @@ object TableCatalogSql {
         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
         |FROM final GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // `t$partitions` metadata table (the Iceberg partitions-table shape):
+    // per-partition file/byte/row census of the current version from
+    // listings + stats manifests — zero data pages, planned as a driver
+    // LocalScan. Partition values surface as the directory strings; the
+    // oracle recomputes per-partition row counts from the source table.
+    QueryDef("q188_partitions_meta", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q188_cat")
+      val cat = "graftparts_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.p")
+      s.sql(s"CREATE TABLE $cat.db.p " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) USING reftable " +
+        "OPTIONS (partitionColumns 'n_regionkey')")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT OVERWRITE $cat.db.p " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+      s.sql(s"SELECT n_regionkey, n_rows FROM $cat.db.`p$$partitions` " +
+        "ORDER BY n_regionkey")
+    }, Some(
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n_rows
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object RefTableMetaTables {
 
-  val Kinds: Set[String] = Set("history", "commits", "files", "layout", "dv", "options", "tags")
+  val Kinds: Set[String] =
+    Set("history", "commits", "files", "layout", "dv", "options", "tags", "partitions")
 
   /** `t$tags`: named immutable version references ([[VersionedTable.tag]]),
     * with the version each protects from retention and its creation time.
@@ -93,6 +94,12 @@ object RefTableMetaTables {
       case "layout" => new MetaTable(displayName, layoutSchema, () => layoutRows(root, conf))
       case "dv" => new MetaTable(displayName, dvSchema, () => dvRows(root, conf))
       case "tags" => new MetaTable(displayName, tagsSchema, () => tagRows(root, conf))
+      case "partitions" =>
+        // schema is dynamic (one STRING column per partition column of the
+        // CURRENT version) — computed once at resolution, like the layout
+        val pvCols = partitionColsOf(root, conf)
+        new MetaTable(displayName, partitionsSchema(pvCols),
+          () => partitionRows(root, pvCols, conf))
       case "options" =>
         val opts = descriptorOptions
         new MetaTable(displayName, optionsSchema, () => optionsRows(opts))
@@ -173,6 +180,71 @@ object RefTableMetaTables {
     }
   }
 
+  /** Partition columns of the CURRENT version, as observable from storage:
+    * the manifest's recorded values when referenced, else the first
+    * `col=value` directory chain. Empty for unpartitioned/unpublished.
+    */
+  private def partitionColsOf(root: String, conf: Configuration): Seq[String] =
+    VersionedTable.resolve(root, conf) match {
+      case None => Nil
+      case Some(dir) =>
+        val name = new Path(dir).getName
+        val fs = new Path(dir).getFileSystem(conf)
+        if (RefTableFileManifest.exists(root, name, conf))
+          RefTableFileManifest.resolve(root, name, Nil, conf)
+            .map(_.flatMap(_.pv.keys).distinct.sorted).getOrElse(Nil)
+        else {
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var cur = new Path(dir)
+          var go = true
+          while (go) {
+            val sub = fs.listStatus(cur).filter(s =>
+              s.isDirectory && s.getPath.getName.contains("="))
+            if (sub.isEmpty) go = false
+            else {
+              out += RefTablePartitioning.unescape(
+                sub.head.getPath.getName.takeWhile(_ != '='))
+              cur = sub.head.getPath
+            }
+          }
+          out.toSeq
+        }
+    }
+
+  /** `t$partitions`: the Iceberg-partitions-table shape — one row per
+    * distinct partition of the current version with its file count, bytes
+    * and stats-manifest row count (physical rows, pre-DV, consistent with
+    * `t$files`; `t$dv` censuses the subtraction). Unpartitioned tables
+    * report one row with no partition columns. Driver-local (listings +
+    * stats manifests), zero data pages.
+    */
+  private def partitionsSchema(pvCols: Seq[String]): StructType = StructType(
+    pvCols.map(c => StructField(c, StringType, nullable = true)) ++ Seq(
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true)))
+
+  private def partitionRows(root: String, pvCols: Seq[String],
+      conf: Configuration): Array[InternalRow] =
+    VersionedTable.resolve(root, conf) match {
+      case None => Array.empty
+      case Some(dir) =>
+        val files = SnapshotFiles.list(dir, pvCols)
+        val stats = RefTableStats.statsForListing(dir, files, conf)
+        files.groupBy(f => pvCols.map(f.partitionValues.get)).toSeq
+          .sortBy(_._1.map(_.getOrElse("")).mkString(""))
+          .map { case (pv, group) =>
+            val nRows: Option[Long] =
+              if (group.forall(f => stats.contains(f.path)))
+                Some(group.map(f => stats(f.path).rows).sum)
+              else None
+            new GenericInternalRow(
+              (pv.map(_.map(utf8).orNull) ++ Seq[Any](
+                group.size, group.map(_.length).sum,
+                nRows.map(Long.box).orNull)).toArray[Any]): InternalRow
+          }.toArray
+    }
+
   private def layoutRows(root: String, conf: Configuration): Array[InternalRow] = {
     def row(p: String, v: String): InternalRow =
       new GenericInternalRow(Array[Any](utf8(p), Option(v).map(utf8).orNull))
@@ -182,28 +254,7 @@ object RefTableMetaTables {
         val name = new Path(dir).getName
         val fs = new Path(dir).getFileSystem(conf)
         val manifest = RefTableFileManifest.exists(root, name, conf)
-        // partition columns: from the manifest's recorded values when
-        // referenced, else the observed `col=value` directory chain
-        val pvCols: Seq[String] =
-          if (manifest)
-            RefTableFileManifest.resolve(root, name, Nil, conf)
-              .map(_.flatMap(_.pv.keys).distinct.sorted).getOrElse(Nil)
-          else {
-            val out = scala.collection.mutable.ListBuffer[String]()
-            var cur = new Path(dir)
-            var go = true
-            while (go) {
-              val sub = fs.listStatus(cur).filter(s =>
-                s.isDirectory && s.getPath.getName.contains("="))
-              if (sub.isEmpty) go = false
-              else {
-                out += RefTablePartitioning.unescape(
-                  sub.head.getPath.getName.takeWhile(_ != '='))
-                cur = sub.head.getPath
-              }
-            }
-            out.toSeq
-          }
+        val pvCols: Seq[String] = partitionColsOf(root, conf)
         val files = SnapshotFiles.list(dir, pvCols)
         val base = Seq(
           row("version", name),

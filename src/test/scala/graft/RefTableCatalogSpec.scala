@@ -435,6 +435,40 @@ class RefTableCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("$partitions censuses per-partition files/bytes/rows; unpartitioned = one row") {
+    withCatalog { (cat, _) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db12")
+      spark.sql(s"CREATE TABLE $cat.db12.p (id BIGINT, dt STRING) USING reftable " +
+        "OPTIONS (partitionColumns 'dt')")
+      spark.sql(s"INSERT INTO $cat.db12.p SELECT id, " +
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END " +
+        "FROM range(90)")
+      val parts = spark.sql(
+        s"SELECT dt, n_files, bytes, n_rows FROM $cat.db12.`p$$partitions` ORDER BY dt")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(parts.map(_._1) == Seq("a", "b", "c"), s"got $parts")
+      assert(parts.forall(_._4 == 30L), s"30 rows per partition, got $parts")
+      assert(parts.forall(p => p._2 >= 1 && p._3 > 0L))
+      // driver-local plan, like the other metadata tables
+      val plan = spark.sql(s"SELECT * FROM $cat.db12.`p$$partitions`")
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+
+      // unpartitioned: a single census row with no partition columns
+      spark.sql(s"CREATE TABLE $cat.db12.u (id BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db12.u SELECT id FROM range(10)")
+      val u = spark.sql(s"SELECT * FROM $cat.db12.`u$$partitions`").collect()
+      assert(u.length == 1 && u.head.getLong(2) == 10L, u.mkString(","))
+
+      // COW delete keeps the census consistent with the rewritten version
+      spark.sql(s"DELETE FROM $cat.db12.p WHERE dt = 'b'")
+      val after = spark.sql(
+        s"SELECT dt, n_rows FROM $cat.db12.`p$$partitions` ORDER BY dt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(after == Seq(("a", 30L), ("c", 30L)), s"got $after")
+    }
+  }
+
   test("$layout reports bucketing, partitioning and manifest state of the current version") {
     withCatalog { (cat, _) =>
       spark.sql(s"CREATE NAMESPACE $cat.db7")
