@@ -337,6 +337,89 @@ object TableCatalogSql {
       """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, count(*) AS n_rows
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    // MERGE WITH SCHEMA EVOLUTION (Delta automatic-schema-evolution
+    // parity): the table declares AUTOMATIC_SCHEMA_EVOLUTION, so Spark's
+    // own ResolveMergeIntoSchemaEvolution ALTERs the catalog table with
+    // the source-only columns (riding the q118 ADD COLUMN path) and
+    // re-resolves; UPDATE SET * / INSERT * then assign the new column,
+    // old rows null-fill. The oracle replays the evolved end state.
+    QueryDef("q189_merge_schema_evolution", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q189_cat")
+      val cat = "graftevo_q189_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.ev")
+      s.sql(s"CREATE TABLE $cat.db.ev (s_suppkey BIGINT, cents BIGINT) USING reftable")
+      Tables.registerAll(s, dir)
+      s.sql(s"INSERT OVERWRITE $cat.db.ev SELECT s_suppkey, " +
+        "CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) FROM supplier")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.ev t USING (
+           |  SELECT s_suppkey,
+           |    CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) + 7 AS cents,
+           |    s_nationkey
+           |  FROM supplier WHERE s_suppkey % 2 = 0
+           |  UNION ALL
+           |  SELECT s_suppkey + 50000, CAST(321 AS BIGINT), s_nationkey
+           |  FROM supplier WHERE s_suppkey % 10 = 0
+           |) s ON t.s_suppkey = s.s_suppkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"SELECT coalesce(s_nationkey, -1) AS nk, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.ev " +
+        "GROUP BY 1 ORDER BY 1")
+    }, Some(
+      """WITH base AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM supplier),
+        |final AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN cents + 7 ELSE cents END AS cents,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN s_nationkey END AS nk
+        |  FROM base
+        |  UNION ALL
+        |  SELECT s_suppkey + 50000, CAST(321 AS BIGINT), s_nationkey
+        |  FROM base WHERE s_suppkey % 10 = 0)
+        |SELECT coalesce(nk, -1) AS nk, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ATOMIC CTAS + RTAS (StagingTableCatalog): CREATE ... AS SELECT and
+    // CREATE OR REPLACE ... AS SELECT stage the SELECT into an ignored
+    // dir inside the root and adopt it as a full version under the CAS —
+    // no drop-then-create window, the replace is one more commit on the
+    // same root (the pre-replace version stays time-travelable). The
+    // oracle replays the replacing SELECT.
+    QueryDef("q190_atomic_rtas", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q190_cat")
+      val cat = "graftrtas_q190_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.r")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.r USING reftable AS " +
+        "SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents " +
+        "FROM supplier")
+      s.sql(s"CREATE OR REPLACE TABLE $cat.db.r USING reftable AS " +
+        "SELECT s_suppkey, s_nationkey, " +
+        "CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) + 5 AS cents " +
+        "FROM supplier WHERE s_suppkey % 2 = 0")
+      s.sql(s"SELECT s_nationkey, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.r " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
+    }, Some(
+      """SELECT s_nationkey, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(abs(s_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) + 5)
+        |    AS BIGINT) AS sum_cents
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

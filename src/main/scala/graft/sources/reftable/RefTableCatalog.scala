@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * publishes an empty version. Time travel uses the version-directory
   * names surfaced by [[VersionedTable.history]].
   */
-class RefTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class RefTableCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private val conf = new Configuration()
@@ -375,6 +376,152 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------------
+  //
+  // CREATE [OR REPLACE] TABLE ... AS SELECT without the drop-then-create
+  // window: the SELECT writes into an ignored `.rtas-<uuid>/` staging dir
+  // inside the table root; commitStagedChanges adopts those files as a
+  // FULL version under the CAS and only then claims/overwrites the
+  // descriptor. A crash or failed query leaves the previous table fully
+  // intact (abort deletes the staging dir); concurrent readers never see
+  // a missing table. Ordering: CREATE claims the descriptor FIRST (the
+  // existence gate — a racing CREATE loses the put-if-absent), REPLACE
+  // publishes the data version FIRST and swaps the descriptor last, so
+  // the old descriptor stays valid over a consistent table throughout
+  // (a schema-changing REPLACE has a brief old-schema-over-new-data
+  // window; readers null-fill, and the swap is one rename).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replace = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String], replace: Boolean, orCreate: Boolean)
+      : StagedTable = {
+    val ns = ident.namespace.toIndexedSeq
+    if (!fs.exists(nsPath(ns))) throw new NoSuchNamespaceException(ns.toArray)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable catalog tables do not take PARTITIONED BY transforms; declare the " +
+          "'partitionColumns' table option (Hive layout inside each version) instead")
+    val stagedOpts = properties.asScala.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.substring(TableCatalog.OPTION_PREFIX.length) -> v
+    }.toMap
+    // validate now — a bad option must fail the statement before the
+    // SELECT runs, exactly like createTable
+    val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> tablePath(ident).toString, "schema" -> schema.toDDL)
+        ++ stagedOpts).asJava))
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("schema", schema.toDDL)
+    val on = root.putObject("options")
+    stagedOpts.foreach { case (k, v) => on.put(k, v) }
+    new StagedRefTable(ident, opts, om.writeValueAsBytes(root), replace, orCreate)
+  }
+
+  /** The staged side of an atomic CTAS/RTAS. Spark writes the SELECT
+    * through the V1 fallback into `.rtas-<uuid>/` under the table root
+    * (descriptor untouched), then calls [[commitStagedChanges]].
+    */
+  private class StagedRefTable(ident: Identifier, opts: RefTableOptions,
+      descriptor: Array[Byte], replace: Boolean, orCreate: Boolean)
+      extends StagedTable with SupportsWrite {
+    private val rootPath = tablePath(ident)
+    private val rtasDir = new Path(rootPath, ".rtas-" + java.util.UUID.randomUUID())
+
+    override def name(): String = ident.toString
+    override def schema(): StructType = opts.schema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
+
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // the staged version IS the full table content either way
+        override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              new org.apache.spark.sql.sources.InsertableRelation {
+                override def insert(data: org.apache.spark.sql.Dataset[
+                    org.apache.spark.sql.Row], overwrite: Boolean): Unit =
+                  RefTableWrites.withQuarantineCache {
+                    val gated = RefTableWrites.alignedStorage(opts,
+                      RefTableWrites.enforceExpectations(opts, data.toDF()))
+                    // an empty SELECT still stages one (empty) file so the
+                    // adopted version dir is listable, like TRUNCATE
+                    val out = if (gated.isEmpty) gated.repartition(1) else gated
+                    VersionedTable.writeParquetMicros(
+                      out, rtasDir.toString, opts.partitionColumns)
+                  }
+              }
+          }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      val prim = CommitPrimitive.forPath(rootPath, conf)
+      val dp = descriptorPath(ident)
+      // survives a publish-CAS retry: our own first-attempt claim must
+      // not read as "somebody else's table" on the second pass
+      var claimed = false
+      VersionedTable.withConflictRetry(rootPath.toString) { () =>
+        val creating = !fs.exists(dp)
+        if (!creating && !claimed && !replace && !orCreate)
+          throw new TableAlreadyExistsException(ident)
+        if (creating) {
+          // existence gate first: a racing CREATE loses the claim and no
+          // data version ever appears under the loser's descriptor
+          if (!prim.putIfAbsent(dp, descriptor, conf))
+            throw new TableAlreadyExistsException(ident)
+          claimed = true
+        }
+        val base = VersionedTable.resolve(rootPath.toString, conf)
+          .map(p => new Path(p).getName)
+        VersionedTable.publishVia(rootPath.toString, opts.keepVersions,
+          parent = base, requireBase = true,
+          manifestPartitionCols = opts.partitionColumns) { staging =>
+          if (fs.exists(rtasDir)) fs.listStatus(rtasDir).foreach { s =>
+            val n = s.getPath.getName
+            // data files and Hive partition dirs; skip _SUCCESS and crumbs
+            if (!n.startsWith("_") && !n.startsWith("."))
+              if (!org.apache.hadoop.fs.FileUtil.copy(
+                  fs, s.getPath, fs, new Path(staging, n), false, conf))
+                throw new java.io.IOException(s"failed to stage $n into $staging")
+          }
+        }
+        // REPLACE: data is live and consistent under the OLD descriptor;
+        // the schema swap is the last, single-rename step
+        if (!creating) prim.overwrite(dp, descriptor, conf)
+      }
+      try fs.delete(rtasDir, true) catch { case _: java.io.IOException => () }
+      try RefTableWrites.augmentStatsAfterCommit(
+        opts, org.apache.spark.sql.SparkSession.active, conf)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    override def abortStagedChanges(): Unit = {
+      try fs.delete(rtasDir, true) catch { case _: java.io.IOException => () }
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

@@ -38,8 +38,11 @@ import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
   * Matched/not-matched clause conditions and values may reference only
   * the source side (the CDC shape [[RefTableMutations.mergeClauses]]
   * executes); NOT MATCHED BY SOURCE conditions and values only the
-  * TARGET side (there is no source row). Schema evolution is not
-  * supported.
+  * TARGET side (there is no source row). `UPDATE SET *` / `INSERT *`
+  * work (the star-expanded no-op key self-assignment is dropped), and
+  * `MERGE WITH SCHEMA EVOLUTION` evolves CATALOG tables via Spark's own
+  * resolution rule + our ALTER ADD COLUMN (path tables refuse loudly —
+  * their OPTIONS-declared descriptor cannot evolve).
   */
 case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -76,7 +79,14 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val opts = mutableOpts(table, "MERGE INTO")
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"reftable MERGE INTO: $what")
-    if (m.schemaEvolutionEnabled) unsupported("schema evolution is not supported")
+    // WITH SCHEMA EVOLUTION needs no handling here: Spark's own
+    // ResolveMergeIntoSchemaEvolution already ALTERed the catalog table
+    // (TableCatalog.alterTable + loadTable — riding our ADD COLUMN
+    // support) and re-resolved the plan against the evolved schema by the
+    // time this rule sees it. For non-catalog (path/session) tables the
+    // evolution cannot reach the descriptor, and resolution fails loudly
+    // upstream (UNRESOLVED_COLUMN) or the engine's unknown-column check
+    // refuses — never a silent narrow.
 
     val targetAttrs = rel.outputSet
     val sourceAttrs = m.sourceTable.outputSet
@@ -131,13 +141,30 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         opts.storageColumn(name) -> sourceOnly(a.value, s"$where value")
       }.toMap
 
+    // `UPDATE SET *` expands to EVERY target column, including the join
+    // keys assigned their own ON-clause source expression — a no-op for
+    // matched rows by definition of the equi-join. Drop exactly those
+    // (value semantically equal to the key's ON expression); any OTHER
+    // key assignment still reaches the engine's loud refusal.
+    def dropNoOpKeyAssignments(as: Seq[Assignment]): Seq[Assignment] = {
+      val keyExprs = rawKeys.toMap
+      as.filterNot { a =>
+        a.key match {
+          case ar: AttributeReference if targetAttrs.contains(ar) =>
+            keyExprs.get(opts.storageColumn(ar.name))
+              .exists(_.semanticEquals(a.value))
+          case _ => false
+        }
+      }
+    }
     var update: Option[(Column, Map[String, Column])] = None
     var delete: Option[Column] = None
     m.matchedActions.foreach {
       case UpdateAction(cond, as, _) =>
         if (update.nonEmpty) unsupported("at most one WHEN MATCHED UPDATE clause")
         update = Some((cond.map(sourceOnly(_, "WHEN MATCHED UPDATE condition"))
-          .getOrElse(lit(true)), assignmentsOf(as, "UPDATE SET")))
+          .getOrElse(lit(true)),
+          assignmentsOf(dropNoOpKeyAssignments(as), "UPDATE SET")))
       case DeleteAction(cond) =>
         if (delete.nonEmpty) unsupported("at most one WHEN MATCHED DELETE clause")
         delete = Some(cond.map(sourceOnly(_, "WHEN MATCHED DELETE condition"))

@@ -610,8 +610,17 @@ object RefTableMutations {
     val current = resolveLayout(root, conf, partitionColumns)
     val files = listLayout(current, partitionColumns)
     val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
-    val curCols = cur.columns.toSeq
-    val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    // table columns = file columns ++ DECLARED-but-unmaterialized columns
+    // (schema evolution: a just-ALTERed column no committed file carries
+    // yet — assignable; old files null-fill on read, new files carry it)
+    val fileCols = cur.columns.toSeq
+    val declaredExtra: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      gate.toSeq.flatMap(o => o.schema.fields.toSeq.map(f =>
+        o.storageColumn(f.name) -> f.dataType))
+        .filterNot { case (n, _) => fileCols.contains(n) }
+    val curCols = fileCols ++ declaredExtra.map(_._1)
+    val types =
+      cur.schema.fields.map(f => f.name -> f.dataType).toMap ++ declaredExtra.toMap
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
     val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
@@ -668,8 +677,12 @@ object RefTableMutations {
         val joined = sub.join(marked, keyCols, "left_outer")
           .filter(not(matchedFlag && coalesce(col("__del"), lit(false))) && not(nmbsDel))
         val updCand = matchedFlag && coalesce(col("__upd"), lit(false))
+        // base value for a column the narrowed files do not carry (other
+        // files' columns, or a declared just-evolved one): null, like read
+        def base(c: String): Column =
+          if (subCols.contains(c)) col(c) else lit(null).cast(types(c))
         val uImg: String => Column = c =>
-          if (updSet.contains(c) && !keyCols.contains(c)) col(s"__u_$c") else col(c)
+          if (updSet.contains(c) && !keyCols.contains(c)) col(s"__u_$c") else base(c)
         // a violating update is SKIPPED (old image survives), never a
         // silent delete; fail mode censuses and throws before any staging
         val applies = updCand &&
@@ -678,17 +691,21 @@ object RefTableMutations {
         val nmbsCand = !matchedFlag && coalesce(
           notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
         val nImg: String => Column = c =>
-          if (nmbsSetCast.contains(c) && !keyCols.contains(c)) nmbsSetCast(c) else col(c)
+          if (nmbsSetCast.contains(c) && !keyCols.contains(c)) nmbsSetCast(c) else base(c)
         val nmbsApplies = nmbsCand && gateApply(
           spark, gate, joined, nmbsCand, nImg, "MERGE not-matched-by-source update")
-        joined.select(subCols.map { c =>
+        // assigned columns absent from these files' schema must still be
+        // emitted (null base, clause value where a clause applies)
+        val extraOut = curCols.filterNot(subCols.contains)
+          .filter(c => !keyCols.contains(c) && (updSet.contains(c) || nmbsSetCast.contains(c)))
+        joined.select((subCols ++ extraOut).map { c =>
             val hasU = updSet.contains(c) && !keyCols.contains(c)
             val hasN = nmbsSetCast.contains(c) && !keyCols.contains(c)
             if (!hasU && !hasN) col(c)
             else {
               var e = when(if (hasU) applies else lit(false), uImg(c))
               e = e.when(if (hasN) nmbsApplies else lit(false), nImg(c))
-              e.otherwise(col(c)).as(c)
+              e.otherwise(base(c)).as(c)
             }
           }: _*)
           // the may-match subset can lack columns other files carry —
@@ -729,8 +746,15 @@ object RefTableMutations {
     val current = resolveLayout(root, conf, partitionColumns)
     val files = listLayout(current, partitionColumns)
     val cur = readAll(spark, root, current, files, partitionColumns, partitionTypes)
-    val curCols = cur.columns.toSeq
-    val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    // see mergeClauses: declared-but-unmaterialized columns are assignable
+    val fileCols = cur.columns.toSeq
+    val declaredExtra: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      gate.toSeq.flatMap(o => o.schema.fields.toSeq.map(f =>
+        o.storageColumn(f.name) -> f.dataType))
+        .filterNot { case (n, _) => fileCols.contains(n) }
+    val curCols = fileCols ++ declaredExtra.map(_._1)
+    val types =
+      cur.schema.fields.map(f => f.name -> f.dataType).toMap ++ declaredExtra.toMap
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
     val updSet = matchedUpdate.map(_._2).getOrElse(Map.empty)
@@ -797,8 +821,12 @@ object RefTableMutations {
           coalesce(col("__del"), lit(false))), keyCols, "inner")
       val delHit = coalesce(col("__del"), lit(false))
       val updCand = !delHit && coalesce(col("__upd"), lit(false))
+      // a declared just-evolved column no live file carries: null base
+      val liveCols = live.columns.toSet
+      def base(c: String): Column =
+        if (liveCols.contains(c)) col(c) else lit(null).cast(types(c))
       val uImg: String => Column = c =>
-        if (!keyCols.contains(c) && updSet.contains(c)) col(s"__u_$c") else col(c)
+        if (!keyCols.contains(c) && updSet.contains(c)) col(s"__u_$c") else base(c)
       val updApplies = updCand &&
         gateApply(spark, gate, hit, updCand, uImg, "MERGE update")
       val newImages = hit.filter(updApplies)
@@ -816,7 +844,7 @@ object RefTableMutations {
         val nCand = !nDel && coalesce(
           notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
         val nImg: String => Column = c =>
-          if (!keyCols.contains(c) && nmbsSetCast.contains(c)) nmbsSetCast(c) else col(c)
+          if (!keyCols.contains(c) && nmbsSetCast.contains(c)) nmbsSetCast(c) else base(c)
         val nApplies = nCand && gateApply(
           spark, gate, miss, nCand, nImg, "MERGE not-matched-by-source update")
         (Some(miss.filter(nApplies).select(curCols.map(c => nImg(c).as(c)): _*)),

@@ -190,11 +190,16 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
   // what routes the physical plan through the InsertableRelation.
   // STREAMING_WRITE serves `writeStream.toTable(...)` through the DSv2
   // path (RefTableStreamingWrite) — catalog tables have no V1 fallback.
+  // AUTOMATIC_SCHEMA_EVOLUTION arms `MERGE WITH SCHEMA EVOLUTION`:
+  // Spark's ResolveMergeIntoSchemaEvolution ALTERs the catalog table
+  // (riding our ADD COLUMN support) and re-resolves before the DML
+  // rewrite ever sees the plan; non-catalog relations fail loudly there.
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** Read-side option keys a `spark.read/readStream.option(...).table(t)`
     * call may override PER SCAN: everything that shapes a read WITHOUT

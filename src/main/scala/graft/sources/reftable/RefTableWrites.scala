@@ -74,7 +74,7 @@ object RefTableWrites {
     * storage names are collision-free, so the rename chain is
     * order-independent.
     */
-  private def alignedStorage(opts: RefTableOptions, data: Dataset[Row]): DataFrame = {
+  private[reftable] def alignedStorage(opts: RefTableOptions, data: Dataset[Row]): DataFrame = {
     val stored = opts.schema.fields.foldLeft(data.toDF()) { (df, f) =>
       val s = opts.storageColumn(f.name)
       if (s == f.name) df else df.withColumnRenamed(f.name, s)

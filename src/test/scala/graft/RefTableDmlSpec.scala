@@ -338,6 +338,78 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("MERGE UPDATE SET * / INSERT *: the no-op key self-assignment is dropped") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("star")
+    try {
+      // SET * expands to id = s.id, v = s.v, s = s.s; the id assignment
+      // is the ON expression itself — a no-op for matched rows — and must
+      // not trip the key-update refusal
+      Seq((5L, 555L, "five"), (200L, 2L, "two")).toDF("id", "v", "s")
+        .createOrReplaceTempView("dml_star_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_star_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table(tbl).where("id IN (5, 200)").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == Seq((5L, 555L, "five"), (200L, 2L, "two")), s"got $got")
+      // a key assignment that is NOT the ON expression still refuses
+      Seq((1L, 2L)).toDF("id", "other").createOrReplaceTempView("dml_star_bad")
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO $tbl t USING dml_star_bad s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET id = s.other""".stripMargin))
+      assert(e.getMessage.contains("key column"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns on catalog tables") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_dml_evo").toString
+    val cat = "graftdmlevo"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    for ((mode, t) <- Seq("" -> "cow", ", mergeMode 'mergeOnRead'" -> "mor")) {
+      spark.sql(s"CREATE TABLE $cat.db.$t (id BIGINT, v BIGINT) USING reftable " +
+        s"OPTIONS (path '$wh/db/$t'$mode)")
+      spark.sql(s"INSERT INTO $cat.db.$t VALUES (1, 10), (2, 20)")
+      Seq((2L, 99L, "x"), (3L, 30L, "y")).toDF("id", "v", "extra")
+        .createOrReplaceTempView(s"dml_evo_src_$t")
+      // Spark's ResolveMergeIntoSchemaEvolution sees our
+      // AUTOMATIC_SCHEMA_EVOLUTION capability, ALTERs the table (ADD
+      // COLUMN), and re-resolves; the engines then assign the declared
+      // column no committed file carries yet (old rows null-fill)
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.$t t
+           |USING dml_evo_src_$t s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table(s"$cat.db.$t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+      assert(got == Seq((1L, 10L, None), (2L, 99L, Some("x")), (3L, 30L, Some("y"))),
+        s"[$t] got $got")
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION on a path (non-catalog) table refuses loudly") {
+    import spark.implicits._
+    val (tbl, _) = freshTable("evopath")
+    try {
+      Seq((1L, 99L, 7L)).toDF("id", "v", "extra")
+        .createOrReplaceTempView("dml_evopath_src")
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING dml_evopath_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+      // the session-catalog relation cannot evolve its OPTIONS-declared
+      // descriptor; Spark refuses during analysis — never a silent narrow
+      assert(e.getMessage.contains("SCHEMA_EVOLUTION") ||
+        e.getMessage.contains("cannot be resolved"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("UPDATE through the graft TableCatalog works and is CAS-committed") {
     val wh = Files.createTempDirectory("graft_dml_cat").toString
     val cat = "graftdmlcat"
