@@ -420,6 +420,74 @@ object TableCatalogSql {
         |FROM supplier WHERE s_suppkey % 2 = 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    // DELETE with an uncorrelated IN-subquery condition: refused by
+    // Spark's SupportsDelete path, routed by the analyzer rewrite into
+    // the COW mutation where the subquery evaluates over the pinned
+    // read (its subquery-free conjuncts still narrow by stats). The
+    // oracle replays the anti-join.
+    QueryDef("q191_delete_subquery", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q191_dsub")
+      val tbl = "graft_q191_" + RelationalSupport.scratchTag(s, dir)
+      Tables.registerAll(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING reftable OPTIONS (path '$root', " +
+        "schema 'o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) FROM orders")
+      s.sql(s"DELETE FROM $tbl WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $tbl " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // IDEMPOTENT LANDING-ZONE INGESTION (COPY INTO / Auto-Loader batch
+    // shape): two waves of files land; each CALL system.ingest loads
+    // exactly the not-yet-loaded files through the table's write gates
+    // (log-first crash-safe protocol, RefTableIngest). The second CALL
+    // skips wave 1 entirely; the oracle is the full source — exactly-once
+    // ingestion means landing everything exactly once.
+    QueryDef("q192_copy_into", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q192_cat")
+      val cat = "graftcopy_q192_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      // deterministic under bench re-runs: fresh landing zone + table
+      val landing = s"$wh/landing"
+      val fs = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(landing), true)
+      s.sql(s"CREATE TABLE $cat.db.o " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT) USING reftable")
+      def wave(pred: String): Unit =
+        s.sql(s"SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents " +
+          s"FROM orders WHERE $pred")
+          .coalesce(2).write.mode("append").parquet(landing)
+      wave("o_orderkey % 2 = 0")
+      s.sql(s"CALL $cat.system.ingest(table => 'db.o', source => '$landing')")
+      wave("o_orderkey % 2 = 1")
+      s.sql(s"CALL $cat.system.ingest(table => 'db.o', source => '$landing')")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.o " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

@@ -375,7 +375,18 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && fs.delete(tablePath(ident), true)
+    tableExists(ident) && {
+      val dropped = fs.delete(tablePath(ident), true)
+      // sibling logs the table accumulated (quarantine rejects, ingest
+      // log) die with it — unless the sibling name is a REAL table of its
+      // own (it has a descriptor), which is never touched
+      if (dropped) Seq("__quarantine", "__ingest").foreach { suffix =>
+        val sib = Identifier.of(ident.namespace, ident.name + suffix)
+        val p = new Path(tablePath(ident).toString + suffix)
+        if (!tableExists(sib) && fs.exists(p)) fs.delete(p, true)
+      }
+      dropped
+    }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------------
   //
@@ -642,8 +653,21 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       tablePath(src).toString, tablePath(dst).toString, version, partitionCols)
   }
 
+  /** Full declared options of a table reference — the resolver for
+    * procedures that write through the table's own gates (ingest).
+    */
+  private def optsTarget(tableRef: String): RefTableOptions = {
+    val parts = tableRef.split('.').toIndexedSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table reference '$tableRef'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val (schema, opts, _) = readDescriptor(ident)
+    RefTableOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> tablePath(ident).toString, "schema" -> schema.toDDL) ++ opts).asJava))
+  }
+
   private val procedures =
-    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote", "expect")
+    Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote",
+      "expect", "ingest")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -660,6 +684,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "restore" => new RestoreProcedure(maintenanceTarget)
       case "promote" => new PromoteProcedure(maintenanceTarget)
       case "expect" => new ExpectProcedure(maintenanceTarget)
+      case "ingest" => new IngestProcedure(optsTarget)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure system.${ident.name} " +
           s"(supported: ${procedures.map("system." + _).mkString(", ")})")

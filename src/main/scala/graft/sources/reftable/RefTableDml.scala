@@ -51,6 +51,8 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       refTableOf(target) match {
         case Some((rel, table)) =>
           val opts = mutableOpts(table, "UPDATE")
+          (cond.toSeq ++ assignments.map(_.value))
+            .foreach(refuseCorrelated(_, "UPDATE"))
           val targetAttrs = rel.outputSet
           val set = assignments.map { a =>
             val name = a.key match {
@@ -69,6 +71,26 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       refTableOf(m.targetTable) match {
         case Some((rel, table)) => rewriteMerge(m, rel, table)
         case None => m
+      }
+
+    // DELETE with an UNCORRELATED subquery condition (`IN (SELECT ...)`):
+    // Spark's SupportsDelete path refuses it at planning ("Delete by
+    // condition with subquery is not supported"), but the COW/MoR
+    // mutations evaluate an arbitrary Column over the pinned read —
+    // route it there, exactly like UPDATE. Subquery-free deletes keep
+    // the pushed-filter SupportsDelete path. CORRELATED subqueries
+    // cannot survive the detach/re-resolve contract (their outer
+    // references stay bound to the original relation) — refuse loudly
+    // instead of an executor binding error.
+    case d @ DeleteFromTable(target, condition) if d.resolved &&
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          .hasSubquery(condition) =>
+      refTableOf(target) match {
+        case Some((rel, table)) =>
+          val opts = mutableOpts(table, "DELETE")
+          refuseCorrelated(condition, "DELETE")
+          DeleteRefTableCommand(opts, detach(condition, rel.outputSet, opts))
+        case None => d
       }
 
     case other => other
@@ -217,6 +239,17 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       nmbsUpdate, nmbsDelete)
   }
 
+  /** Correlated subqueries cannot be detached (their outer references
+    * stay bound to the original relation and would fail binding against
+    * the mutation's own pinned read) — refuse at analysis, loudly.
+    */
+  private def refuseCorrelated(e: Expression, stmt: String): Unit =
+    if (org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        .hasCorrelatedSubquery(e))
+      throw new UnsupportedOperationException(
+        s"reftable $stmt: correlated subqueries are not supported; rewrite as an " +
+          "uncorrelated IN (SELECT ...) or a MERGE INTO against the subquery source")
+
   /** The reftable relation under optional aliasing, if this plan is one. */
   private def refTableOf(plan: LogicalPlan): Option[(DataSourceV2Relation, RefTable)] =
     plan match {
@@ -265,6 +298,27 @@ case class UpdateRefTableCommand(
         RefTableMutations.updateWhere(spark, opts.path, set, condition, opts.keepVersions,
           opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
           gate = Some(opts))
+    }
+    Seq.empty
+  }
+}
+
+/** Driver command for a DELETE whose condition carries a subquery: the
+  * same deleteMode routing as the SupportsDelete path, evaluated as a
+  * Column over the mutation's own pinned read (the subquery re-resolves
+  * there; stats narrowing still applies to its subquery-free conjuncts).
+  */
+case class DeleteRefTableCommand(opts: RefTableOptions, condition: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (VersionedTable.resolve(opts.path).nonEmpty) {
+      if (opts.deleteMode == "mergeOnRead")
+        RefTableMutations.deleteWhereMergeOnRead(spark, opts.path, condition,
+          opts.keepVersions, opts.partitionColumns,
+          RefTableMutations.partitionTypesOf(opts))
+      else
+        RefTableMutations.deleteWhere(spark, opts.path, condition, opts.keepVersions,
+          opts.partitionColumns, RefTableMutations.partitionTypesOf(opts))
     }
     Seq.empty
   }

@@ -349,3 +349,35 @@ final class CloneProcedure(clone: (String, String, Option[String]) => String)
     result(UTF8String.fromString(v))
   }
 }
+
+/** `CALL cat.system.ingest(table => 'ns.t', source => '/landing/dir')` —
+  * idempotent landing-zone batch ingestion (the `COPY INTO` shape): every
+  * not-yet-loaded data file in the source directory loads exactly once
+  * through the table's declared write gates; re-runs ingest only the
+  * delta. Crash-safe via the log-first protocol ([[RefTableIngest]]):
+  * a batch whose data append crashed is completed, never duplicated.
+  */
+final class IngestProcedure(resolveOpts: String => RefTableOptions)
+    extends RefTableProcedure {
+  override def name: String = "ingest"
+  override def description: String =
+    "Loads every not-yet-ingested data file from the source directory into the table, " +
+      "exactly once (idempotent re-runs, crash-safe log-first protocol)"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("source", DataTypes.StringType)
+      .comment("landing directory; top-level non-hidden files are the ingest unit").build(),
+    ProcedureParameter.in("format", DataTypes.StringType).defaultValue("'parquet'")
+      .comment("parquet (default), orc, json, or csv (with header)").build())
+
+  protected val outputSchema =
+    StructType.fromDDL("ingested INT, recovered INT, skipped INT, seq BIGINT")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val r = RefTableIngest.ingest(SparkSession.active,
+      resolveOpts(input.getString(0)), input.getString(1), input.getString(2))
+    result(Int.box(r.ingested), Int.box(r.recovered), Int.box(r.skipped),
+      Long.box(r.seq))
+  }
+}

@@ -410,6 +410,47 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("DELETE with subquery conditions routes through the mutations (COW + MoR)") {
+    import spark.implicits._
+    // COW: IN-subquery and correlated EXISTS
+    val (tbl, _) = freshTable("subq")
+    try {
+      Seq(1L, 3L, 5L).toDF("k").createOrReplaceTempView("dml_subq_keys")
+      spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT k FROM dml_subq_keys)")
+      assert(spark.table(tbl).count() == 97)
+      assert(spark.table(tbl).where("id IN (1, 3, 5)").count() == 0)
+      // correlated subqueries cannot be detached — loud analysis refusal,
+      // never an executor binding error
+      val e = intercept[Exception](spark.sql(s"DELETE FROM $tbl WHERE EXISTS " +
+        s"(SELECT 1 FROM dml_subq_keys WHERE k + 10 = $tbl.id)"))
+      assert(e.getMessage.contains("correlated"), e.getMessage)
+      val e2 = intercept[Exception](spark.sql(s"UPDATE $tbl SET v = -1 WHERE EXISTS " +
+        s"(SELECT 1 FROM dml_subq_keys WHERE k = $tbl.id)"))
+      assert(e2.getMessage.contains("correlated"), e2.getMessage)
+      // uncorrelated UPDATE subqueries stay supported
+      spark.sql(s"UPDATE $tbl SET v = -1 WHERE id IN (SELECT k + 1 FROM dml_subq_keys)")
+      assert(spark.table(tbl).where("v = -1").count() == 3)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // MoR: the same shape dies by DV positions, no rewrite
+    val root = Files.createTempDirectory("graft_dml_subq_mor").toString + "/t"
+    val mtbl = "graft_dml_subq_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $mtbl")
+    spark.sql(s"CREATE TABLE $mtbl USING reftable OPTIONS (path '$root', " +
+      s"schema '$ddl', deleteMode 'mergeOnRead')")
+    try {
+      (0L until 50L).map(i => (i, i, s"s$i")).toDF("id", "v", "s")
+        .write.format("reftable").option("path", root).option("schema", ddl)
+        .mode("overwrite").save()
+      spark.sql(s"DELETE FROM $mtbl WHERE id IN (SELECT k * 2 FROM dml_subq_keys)")
+      assert(spark.table(mtbl).count() == 47)
+      val cur = VersionedTable.resolve(root, conf).get
+      val fs = new org.apache.hadoop.fs.Path(cur).getFileSystem(conf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(cur, "_DV")),
+        "subquery DELETE on deleteMode=mergeOnRead stages a DV sidecar")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $mtbl")
+  }
+
   test("UPDATE through the graft TableCatalog works and is CAS-committed") {
     val wh = Files.createTempDirectory("graft_dml_cat").toString
     val cat = "graftdmlcat"

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.{RefTableIngest, RefTableOptions, RefTableWrites, VersionedTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Idempotent landing-zone ingestion (`CALL system.ingest`): every file
+  * loads exactly once, re-runs ingest only the delta, crashes between the
+  * log and data appends heal on the next call, declared gates apply.
+  */
+class RefTableIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def optsFor(root: String, extra: Map[String, String] = Map.empty): RefTableOptions = {
+    import scala.jdk.CollectionConverters._
+    RefTableOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> root, "schema" -> "id BIGINT, v BIGINT") ++ extra).asJava))
+  }
+
+  private def land(dir: String, name: String, rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_ingest_w").toString
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    val dest = new org.apache.hadoop.fs.Path(dir, name)
+    fs.delete(dest, false) // rename silently no-ops onto an existing dest
+    assert(fs.rename(part, dest), s"landing $name failed")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private def tableCount(root: String): Long =
+    spark.read.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, v BIGINT").load().count()
+
+  test("ingests each file exactly once; re-runs load only the delta") {
+    val base = Files.createTempDirectory("graft_ingest1").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 10L).map(i => (i, i)))
+    land(landing, "b.parquet", (10L until 20L).map(i => (i, i)))
+
+    val r1 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r1 == RefTableIngest.Result(2, 0, 0, 1L), r1.toString)
+    assert(tableCount(root) == 20)
+
+    // no-op re-run
+    val r2 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r2 == RefTableIngest.Result(0, 0, 2, 1L), r2.toString)
+    assert(tableCount(root) == 20)
+
+    // delta
+    land(landing, "c.parquet", (20L until 25L).map(i => (i, i)))
+    val r3 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r3 == RefTableIngest.Result(1, 0, 2, 2L), r3.toString)
+    assert(tableCount(root) == 25)
+  }
+
+  test("a crash between log and data appends heals on the next call") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ingest2").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 10L).map(i => (i, i)))
+    val r1 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r1.ingested == 1, r1.toString)
+
+    // simulate the crash: batch 2 reaches the LOG but its data never lands
+    land(landing, "b.parquet", (10L until 15L).map(i => (i, i)))
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    val bStat = fs.getFileStatus(new org.apache.hadoop.fs.Path(landing, "b.parquet"))
+    val logOpts = optsFor(s"$base/t__ingest",
+      Map("schema" -> "seq BIGINT, file STRING, bytes BIGINT"))
+      .copy(schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "seq BIGINT, file STRING, bytes BIGINT"))
+    RefTableWrites.appendVersion(logOpts,
+      Seq((2L, bStat.getPath.toString, bStat.getLen)).toDF("seq", "file", "bytes"),
+      txn = Some(("ingest-log", 2L)))
+
+    val r2 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r2.recovered == 1, s"pending batch completed: $r2")
+    assert(tableCount(root) == 15)
+    // and it completed exactly once — a further run changes nothing
+    val r3 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r3 == RefTableIngest.Result(0, 0, 2, 2L), r3.toString)
+    assert(tableCount(root) == 15)
+  }
+
+  test("declared expectations gate ingested rows; CALL surface end to end") {
+    val wh = Files.createTempDirectory("graft_ingest3").toString
+    val cat = "graftingest_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING reftable " +
+      "OPTIONS (\"expect.nonneg\" 'v >= 0', onViolation 'drop')")
+    val landing = s"$wh/landing"
+    land(landing, "a.parquet", Seq((1L, 10L), (2L, -5L), (3L, 30L)))
+    val row = spark.sql(
+      s"CALL $cat.system.ingest(table => 'db.t', source => '$landing')").collect().head
+    assert(row.getInt(0) == 1 && row.getLong(3) == 1L, row.toString)
+    // the violating row was dropped by the declared gate
+    val got = spark.table(s"$cat.db.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (3L, 30L)), got.toString)
+    // idempotent through SQL too
+    val again = spark.sql(
+      s"CALL $cat.system.ingest(table => 'db.t', source => '$landing')").collect().head
+    assert(again.getInt(0) == 0 && again.getInt(2) == 1, again.toString)
+  }
+
+  test("a re-uploaded file with a NEW length re-ingests; hidden files skipped") {
+    val base = Files.createTempDirectory("graft_ingest4").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 5L).map(i => (i, i)))
+    land(landing, "_meta.parquet", Seq((999L, 999L))) // hidden: never ingested
+    val r1 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r1.ingested == 1 && tableCount(root) == 5)
+    // replace a.parquet with different content (different length)
+    land(landing, "a.parquet", (100L until 110L).map(i => (i, i)))
+    val r2 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r2.ingested == 1, r2.toString)
+    assert(tableCount(root) == 15, "old 5 rows + re-uploaded 10 rows")
+  }
+}
