@@ -488,6 +488,44 @@ object TableCatalogSql {
         |    AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // PARTITION EVOLUTION (the Iceberg flagship, metadata-only): the table
+    // starts partitioned by o_orderstatus, is ALTERed to partition by the
+    // priority digit, and both eras keep serving every column — old files
+    // from their own directory values, new files from data pages; filters
+    // and a cross-era DELETE stay exact with zero rewrites at ALTER time.
+    QueryDef("q193_partition_evolution", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q193_cat")
+      val cat = "graftpevo_q193_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, prio STRING, cents BIGINT) " +
+        "USING reftable OPTIONS (partitionColumns 'o_orderstatus')")
+      def feed(pred: String): String =
+        s"SELECT o_orderkey, o_orderstatus, substring(o_orderpriority, 1, 1) AS prio, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents " +
+          s"FROM orders WHERE $pred"
+      s.sql(s"INSERT INTO $cat.db.o ${feed("o_orderkey % 2 = 0")}")
+      s.sql(s"ALTER TABLE $cat.db.o SET TBLPROPERTIES('option.partitionColumns'='prio')")
+      s.sql(s"INSERT INTO $cat.db.o ${feed("o_orderkey % 2 = 1")}")
+      // cross-era mutation: hits old (status-partitioned) and new files
+      s.sql(s"DELETE FROM $cat.db.o WHERE prio = '1' AND o_orderkey % 4 = 0")
+      s.sql(s"SELECT o_orderstatus, prio, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.o " +
+        "GROUP BY o_orderstatus, prio ORDER BY o_orderstatus, prio")
+    }, Some(
+      """SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE NOT (substring(o_orderpriority, 1, 1) = '1' AND o_orderkey % 4 = 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

@@ -142,6 +142,14 @@ class RefTableAggFooterReader(
       // by definition — count contributes 0, min/max contribute nothing
       def absent(col: String): Boolean =
         opts.allowMissingColumns && !footerSchema.containsField(col)
+      // partition evolution: a column since REMOVED from the partition
+      // spec exists in this (older) file only as ITS directory value —
+      // exact and constant, so the aggregate is served from the pv itself
+      // (min = max = the value; count is every row, or 0 for the null dir)
+      def pvRaw(storageCol: String): Option[String] =
+        opts.schema.fields.find(f => opts.storageColumn(f.name) == storageCol)
+          .filter(f => RefTableColumnarReader.pvConst(opts, partition.partitionValues, f))
+          .map(f => partition.partitionValues(f.name))
       def chunk(block: org.apache.parquet.hadoop.metadata.BlockMetaData, col: String) =
         block.getColumns.asScala.find(_.getPath.toDotString == col).getOrElse(
           throw new IllegalStateException(s"reftable: column $col missing from ${partition.path}"))
@@ -192,13 +200,25 @@ class RefTableAggFooterReader(
           case CountStarSpec =>
             out.update(i, blocks.map(_.getRowCount).sum)
           case CountSpec(c) =>
-            out.update(i, if (absent(c)) 0L else stats(c).map { case (rows, s) =>
-              if (!s.isNumNullsSet) throw new IllegalStateException(
-                s"reftable: null counts unset for $c in ${partition.path}")
-              rows - s.getNumNulls
-            }.sum)
-          case MinSpec(c, dt) => out.update(i, minMax(c, pickMin = true).map(narrow(_, dt)).orNull)
-          case MaxSpec(c, dt) => out.update(i, minMax(c, pickMin = false).map(narrow(_, dt)).orNull)
+            out.update(i, pvRaw(c) match {
+              case Some(raw) =>
+                if (raw == RefTablePartitioning.HiveDefaultPartition) 0L
+                else blocks.map(_.getRowCount).sum
+              case None =>
+                if (absent(c)) 0L else stats(c).map { case (rows, s) =>
+                  if (!s.isNumNullsSet) throw new IllegalStateException(
+                    s"reftable: null counts unset for $c in ${partition.path}")
+                  rows - s.getNumNulls
+                }.sum
+            })
+          case MinSpec(c, dt) => out.update(i, pvRaw(c)
+            .filter(_ => blocks.exists(_.getRowCount > 0L)) // 0-row file: no min
+            .map(RefTablePartitioning.catalystValue(_, dt))
+            .getOrElse(minMax(c, pickMin = true).map(narrow(_, dt)).orNull))
+          case MaxSpec(c, dt) => out.update(i, pvRaw(c)
+            .filter(_ => blocks.exists(_.getRowCount > 0L))
+            .map(RefTablePartitioning.catalystValue(_, dt))
+            .getOrElse(minMax(c, pickMin = false).map(narrow(_, dt)).orNull))
         }
       }
       out

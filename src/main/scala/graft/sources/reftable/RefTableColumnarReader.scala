@@ -93,13 +93,27 @@ object RefTableColumnarReader {
       .map(_.getRowCount).sum
   }
 
+  /** Whether THIS file serves a declared field as a directory constant:
+    * its own partition values carry the field. Partition evolution makes
+    * this per-file — a file written under an earlier partition spec keeps
+    * the column in its data pages (or in ITS pv, for a column since
+    * removed from the spec), so neither side of the decision can come
+    * from the current descriptor alone. A hidden-transform dir value
+    * (`<col>_day` etc.) never masquerades as a schema field.
+    */
+  private[reftable] def pvConst(
+      opts: RefTableOptions, pv: Map[String, String], f: StructField): Boolean =
+    pv.contains(f.name) && !opts.hiddenTransforms.exists(_.dirName == f.name)
+
   /** Forward schema evolution, shared by both read paths: a declared
-    * column absent from this (older) file reads as a null constant when
+    * column absent from this (older) file — neither a directory constant
+    * of the file nor in its data pages — reads as a null constant when
     * allowMissingColumns is set.
     */
   private[reftable] def missingFromFile(
-      opts: RefTableOptions, fileSchema: MessageType, f: StructField): Boolean =
-    !opts.genColumn.contains(f.name) && !opts.isPartitionCol(f.name) &&
+      opts: RefTableOptions, fileSchema: MessageType, pv: Map[String, String],
+      f: StructField): Boolean =
+    !opts.genColumn.contains(f.name) && !pvConst(opts, pv, f) &&
       opts.allowMissingColumns && !fileSchema.containsField(opts.storageColumn(f.name))
 
   /** Pushed filters usable against THIS file, shared by both read paths:
@@ -236,13 +250,16 @@ class RefTableColumnarReader(
       })
 
   private def missingFromFile(f: StructField): Boolean =
-    RefTableColumnarReader.missingFromFile(opts, fileSchema, f)
+    RefTableColumnarReader.missingFromFile(opts, fileSchema, partition.partitionValues, f)
+  private def pvConst(f: StructField): Boolean =
+    RefTableColumnarReader.pvConst(opts, partition.partitionValues, f)
 
   // output field i -> storage column (None = constant column: the
-  // synthesized generation column, a directory partition value, or a
-  // null-filled evolved column this file predates)
+  // synthesized generation column, a directory partition value OF THIS
+  // FILE (per-file under partition evolution), or a null-filled evolved
+  // column this file predates)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
-    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f)) None
+    if (opts.genColumn.contains(f.name) || pvConst(f) || missingFromFile(f)) None
     else Some(opts.storageColumn(f.name))
   }
 
@@ -250,7 +267,7 @@ class RefTableColumnarReader(
   // one ConstantColumnVector each, zero per-row decode cost
   private val constFields: Array[StructField] =
     required.fields.filter(f =>
-      opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f))
+      opts.genColumn.contains(f.name) || pvConst(f) || missingFromFile(f))
   private val constIndex: Map[String, Int] = constFields.map(_.name).zipWithIndex.toMap
 
   {
@@ -324,7 +341,7 @@ class RefTableColumnarReader(
       constFields.zipWithIndex.foreach { case (f, i) =>
         val v: Any =
           if (opts.genColumn.contains(f.name)) java.lang.Long.valueOf(partition.gen)
-          else if (opts.isPartitionCol(f.name))
+          else if (pvConst(f))
             RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType)
           else null // evolved column this file predates
         row.update(i, v)

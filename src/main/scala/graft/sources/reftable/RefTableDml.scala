@@ -73,18 +73,29 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => m
       }
 
-    // DELETE with an UNCORRELATED subquery condition (`IN (SELECT ...)`):
-    // Spark's SupportsDelete path refuses it at planning ("Delete by
-    // condition with subquery is not supported"), but the COW/MoR
-    // mutations evaluate an arbitrary Column over the pinned read —
-    // route it there, exactly like UPDATE. Subquery-free deletes keep
-    // the pushed-filter SupportsDelete path. CORRELATED subqueries
-    // cannot survive the detach/re-resolve contract (their outer
-    // references stay bound to the original relation) — refuse loudly
-    // instead of an executor binding error.
-    case d @ DeleteFromTable(target, condition) if d.resolved &&
-        org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-          .hasSubquery(condition) =>
+    // DELETE with a condition Spark's SupportsDelete path cannot take: an
+    // UNCORRELATED subquery (`IN (SELECT ...)` — "Delete by condition with
+    // subquery is not supported"), or ANY predicate that doesn't translate
+    // to v1 Filters (arithmetic like `k % 4 = 0`, function calls, …, which
+    // otherwise die with "Cannot delete from table"). The COW/MoR
+    // mutations evaluate an arbitrary Column over the pinned read — route
+    // those there, exactly like UPDATE; fully-translatable subquery-free
+    // deletes keep the pushed-filter SupportsDelete path (file-exact
+    // drops, stats narrowing). CORRELATED subqueries cannot survive the
+    // detach/re-resolve contract (their outer references stay bound to
+    // the original relation) — refuse loudly instead of an executor
+    // binding error.
+    case d @ DeleteFromTable(target, condition) if d.resolved && {
+        import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        SubqueryExpression.hasSubquery(condition) ||
+          conjuncts(condition).exists(e =>
+            !org.apache.spark.sql.graft.ColumnBridge.translatesToV1Filter(e))
+      } =>
       refTableOf(target) match {
         case Some((rel, table)) =>
           val opts = mutableOpts(table, "DELETE")

@@ -124,7 +124,18 @@ object SnapshotFiles {
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .map(s => SnapshotFile(s.getPath.toString, s.getLen, acc))
         } else {
-          fs.listStatus(d).toIndexedSeq
+          val entries = fs.listStatus(d).toIndexedSeq
+          // a parquet file ABOVE the expected partition depth means this
+          // physical dir predates the current partition spec (partition
+          // evolution over a manifest-less legacy version) — listing it
+          // with the current spec would silently return empty, so refuse
+          if (entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+            throw new IllegalStateException(
+              s"reftable: $d holds data files at partition depth $depth but the current " +
+                s"spec expects ${partitionColumns.size} level(s) [${partitionColumns.mkString(", ")}] " +
+                "— a manifest-less version written under an earlier partition spec; run " +
+                "VersionedTable.adopt (or compact) to migrate it before evolving the spec")
+          entries
             .filter(s => s.isDirectory &&
               !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
             .flatMap { s =>

@@ -1285,7 +1285,13 @@ object RefTableMutations {
             col("_metadata.file_path"), DeletionVectors.RelRegex, 1))
           .withColumn("__pos", col("_metadata.row_index"))
       else DeletionVectors.applyTo(sess, df, group)
-    if (partitionColumns.isEmpty)
+    // flat fast path ONLY when no file carries directory values: after
+    // partition evolution REMOVES the spec, old files still hold the
+    // column solely in their `col=value` directories — a flat read would
+    // silently drop it from the rewrite (the staged files would lose the
+    // column for every old row). Those files go through the basePath
+    // discovery branch below, whose final cast restores declared types.
+    if (partitionColumns.isEmpty && files.forall(_.partitionValues.isEmpty))
       return prep(
         spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*), files, spark)
     val conf = new Configuration()
@@ -1309,15 +1315,26 @@ object RefTableMutations {
     val combined = byHost.toSeq.map { case (host, group) =>
       // DV subtraction (or __rel/__pos capture) per host group, on the
       // fresh file-source read — the `_metadata` column resolves only there
-      prep(scoped.read.option("mergeSchema", "true").option("basePath", host)
+      val df = prep(scoped.read.option("mergeSchema", "true").option("basePath", host)
         .parquet(group.map(_.path): _*), group, scoped)
+      // directory columns of THIS group's own layout that are not declared
+      // table columns are derived values (hidden-transform `col_day` dirs):
+      // discovery surfaces them, but they must never enter the rewrite
+      val undeclaredDir = group.flatMap(_.partitionValues.keys).distinct
+        .filter(c => !partitionColumns.contains(c) && !partitionTypes.contains(c))
+      if (undeclaredDir.isEmpty) df else df.drop(undeclaredDir: _*)
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .withColumns(partitionColumns.map(c =>
-        c -> col(c).cast(pType(c, partitionTypes))).toMap)
+    // cast every DECLARED column the read discovered (current partition
+    // columns, plus any since-removed one surfacing from an old file's
+    // directories as a raw string — partition evolution) back to its
+    // declared type; a cast to a column's own type is a no-op
+    val typed = combined.withColumns(
+      combined.columns.filter(c => partitionColumns.contains(c) || partitionTypes.contains(c))
+        .map(c => c -> col(c).cast(pType(c, partitionTypes))).toMap)
     // rebind to the caller's session so downstream joins against caller
     // DataFrames resolve under one set of confs
     org.apache.spark.sql.graft.DatasetBridge.ofRows(
-      spark, combined.queryExecution.analyzed)
+      spark, typed.queryExecution.analyzed)
   }
 
   /** Hash-bucket narrowing: when the CURRENT version is a physical
@@ -1420,9 +1437,15 @@ object RefTableMutations {
     * columns. Partition columns are validated against the storage schema
     * at option-parse time, so the lookup is total for a valid relation.
     */
+  /** Declared name→type for EVERY schema field, not just the current
+    * partition columns: under partition evolution a mutation read can
+    * discover a since-removed partition column from an old file's
+    * `col=value` directories, and it must cast back to the DECLARED type
+    * (inference is off, so the raw directory string would otherwise union
+    * as string against the typed data pages of newer files).
+    */
   def partitionTypesOf(opts: RefTableOptions): Map[String, org.apache.spark.sql.types.DataType] =
-    opts.partitionColumns.flatMap(c =>
-      opts.schema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
+    opts.schema.fields.map(f => f.name -> f.dataType).toMap
 
   /** The manifest-aware file listing of the resolved `current` version:
     * manifest-referenced versions resolve their `_FILES.json` chain

@@ -79,6 +79,16 @@ object RefTablePartitions {
       files: Seq[SnapshotFile], gen: Long, opts: RefTableOptions): Array[InputPartition] = {
     val types = opts.partitionColumns.map(c =>
       c -> opts.schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)).toMap
+    // grouped scans promise ONE partition value per group (HasPartitionKey);
+    // a file written under an earlier partition spec doesn't carry the
+    // current values as directory constants, so the promise cannot be kept —
+    // refuse loudly rather than group it under a wrong key
+    val foreign = files.filterNot(f => opts.partitionColumns.forall(f.partitionValues.contains))
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"reftable: groupByPartition requires every snapshot file to carry the current " +
+        s"partition value(s) [${opts.partitionColumns.mkString(", ")}], but ${foreign.size} " +
+        s"file(s) (e.g. ${foreign.head.path}) were written under a different partition " +
+        "spec; rewrite them under the current spec (CALL system.compact) or scan ungrouped")
     files.groupBy(f => opts.partitionColumns.map(f.partitionValues)).toSeq
       .sortBy(_._1.mkString("\u0000"))
       .map { case (raws, fs) =>
@@ -218,12 +228,15 @@ class RefTablePartitionReader(
 
   // forward schema evolution: declared column absent from this older file
   private def missingFromFile(f: StructField): Boolean =
-    RefTableColumnarReader.missingFromFile(opts, fileSchema, f)
+    RefTableColumnarReader.missingFromFile(opts, fileSchema, partition.partitionValues, f)
+  private def pvConst(f: StructField): Boolean =
+    RefTableColumnarReader.pvConst(opts, partition.partitionValues, f)
 
   // storage column needed for each output field (None → constant: the gen
-  // col, a directory partition value, or a null-filled evolved column)
+  // col, a directory partition value OF THIS FILE (per-file under
+  // partition evolution), or a null-filled evolved column)
   private val fieldSources: Array[Option[String]] = required.fields.map { f =>
-    if (opts.genColumn.contains(f.name) || opts.isPartitionCol(f.name) || missingFromFile(f)) None
+    if (opts.genColumn.contains(f.name) || pvConst(f) || missingFromFile(f)) None
     else Some(opts.storageColumn(f.name))
   }
 
@@ -248,7 +261,7 @@ class RefTablePartitionReader(
   // per-partition constant values for the None fields (null elsewhere)
   private val constVals: Array[Any] = required.fields.map { f =>
     if (opts.genColumn.contains(f.name)) partition.gen
-    else if (opts.isPartitionCol(f.name))
+    else if (pvConst(f))
       RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType)
     else null
   }

@@ -832,10 +832,21 @@ object RefTableStats {
     case Not(c)    => not(evalFile(c, sf, fstats, opts))
     case leaf =>
       val refs = leaf.references.toSeq
-      if (refs.nonEmpty && refs.forall(opts.isPartitionCol))
-        RefTablePartitioning.eval(leaf, sf.partitionValues, opts)
+      // Partition evolution makes directory values PER-FILE: evaluate
+      // against this file's own pv when it can answer (current partition
+      // columns, hidden transforms, or a column THIS file was partitioned
+      // by under an earlier spec); where the pv can't decide, fall back to
+      // footer stats — a column this file keeps in its data pages has
+      // ordinary stats even if the CURRENT spec calls it a partition column
+      val viaPv =
+        if (refs.nonEmpty && refs.forall(r => opts.isPartitionCol(r) ||
+            opts.transformFor(r).isDefined || sf.partitionValues.contains(r)))
+          RefTablePartitioning.eval(leaf, sf.partitionValues, opts)
+        else Unknown
+      if (viaPv != Unknown) viaPv
       else refs match {
-        case Seq(one) if !opts.isPartitionCol(one) => statsLeaf(leaf, one, fstats, opts)
+        case Seq(one) if !sf.partitionValues.contains(one) =>
+          statsLeaf(leaf, one, fstats, opts)
         case _ => Unknown
       }
   }

@@ -12,6 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Whether a catalyst predicate translates to a v1 `Filter`
+    * (`DataSourceStrategy.translateFilter` is protected within sql) — how
+    * the DML rewrite decides if a DELETE condition can ride the
+    * SupportsDelete pushed-filter path or must route through the COW/MoR
+    * mutations.
+    */
+  def translatesToV1Filter(e: Expression): Boolean =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true).isDefined
 }
 
 /** Bridge for V1 streaming sinks: the Dataset handed to `Sink.addBatch` is

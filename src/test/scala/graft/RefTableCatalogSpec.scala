@@ -72,16 +72,17 @@ class RefTableCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("DELETE with an untranslatable predicate is refused, never mis-applied") {
+  test("DELETE with an untranslatable predicate routes through the mutation, exactly") {
+    // length(s) > 1 has no v1 Filter form: the SupportsDelete path refuses
+    // it ("Cannot delete from table") — the DML rewrite routes it into the
+    // COW mutation instead, which evaluates the arbitrary Column exactly
     withCatalog { (cat, _) =>
       spark.sql(s"CREATE NAMESPACE $cat.db2")
       spark.sql(s"CREATE TABLE $cat.db2.u (id BIGINT, s STRING) USING reftable")
       spark.sql(s"INSERT INTO $cat.db2.u VALUES (1,'ab'),(2,'c')")
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.db2.u WHERE length(s) > 1")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-      assert(spark.table(s"$cat.db2.u").count() == 2, "refused delete must not change data")
+      spark.sql(s"DELETE FROM $cat.db2.u WHERE length(s) > 1")
+      val left = spark.table(s"$cat.db2.u").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(left.toSeq == Seq((2L, "c")), left.mkString(","))
     }
   }
 

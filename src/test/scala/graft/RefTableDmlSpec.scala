@@ -451,6 +451,22 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $mtbl")
   }
 
+  test("DELETE with a non-Filter-translatable condition routes through the mutations") {
+    // `id % 3 = 0` has no v1 Filter form: the SupportsDelete path would die
+    // with "Cannot delete from table"; the rewrite sends it to the COW
+    // mutation, which evaluates the arbitrary Column over the pinned read
+    val (tbl, _) = freshTable("expr")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE id % 3 = 0 AND v < 50")
+      assert(spark.table(tbl).where("id % 3 = 0 AND v < 50").count() == 0)
+      val gone = (i: Long) => i % 3 == 0 && i * 10 < 50
+      assert(spark.table(tbl).count() == (0L until 100L).count(i => !gone(i)))
+      // a still-translatable conjunct set keeps the SupportsDelete path
+      spark.sql(s"DELETE FROM $tbl WHERE id >= 90")
+      assert(spark.table(tbl).count() == (0L until 90L).count(i => !gone(i)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("UPDATE through the graft TableCatalog works and is CAS-committed") {
     val wh = Files.createTempDirectory("graft_dml_cat").toString
     val cat = "graftdmlcat"
