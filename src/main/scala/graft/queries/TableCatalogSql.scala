@@ -526,6 +526,106 @@ object TableCatalogSql {
         |WHERE NOT (substring(o_orderpriority, 1, 1) = '1' AND o_orderkey % 4 = 0)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // DEFAULT column values (ANSI / Delta parity): declared at CREATE,
+    // filled by INSERTs that omit the column or write the DEFAULT keyword
+    // (Spark materializes the literal at WRITE time — rows land complete,
+    // so every read path is ordinary); ALTER COLUMN SET DEFAULT re-points
+    // future INSERTs. The oracle replays the fills as literals.
+    QueryDef("q194_column_defaults", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q194_cat")
+      val cat = "graftdef_q194_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, src STRING DEFAULT 'feed', " +
+        "score BIGINT DEFAULT 100) USING reftable")
+      // wave 1 omits the defaulted columns entirely
+      s.sql(s"INSERT INTO $cat.db.o (o_orderkey, o_orderstatus) " +
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0")
+      // re-point the default for the second wave
+      s.sql(s"ALTER TABLE $cat.db.o ALTER COLUMN src SET DEFAULT 'backfill'")
+      s.sql(s"INSERT INTO $cat.db.o SELECT o_orderkey, o_orderstatus, DEFAULT, " +
+        "o_orderkey % 7 FROM orders WHERE o_orderkey % 2 = 1")
+      s.sql(s"SELECT src, o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(score) AS BIGINT) AS sum_score " +
+        s"FROM $cat.db.o GROUP BY src, o_orderstatus ORDER BY src, o_orderstatus")
+    }, Some(
+      """SELECT src, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM (
+        |  SELECT o_orderstatus, 'feed' AS src, 100 AS score
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'backfill' AS src, o_orderkey % 7 AS score
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |GROUP BY src, o_orderstatus ORDER BY src, o_orderstatus""".stripMargin)),
+
+    // TIME-based retention (`retainFor`, the reference's duration
+    // grammar): keepVersions=2 alone would prune the first commit after
+    // three inserts; the declared 1h window keeps it, so time travel to
+    // the wave-1 version still answers — the oracle replays wave 1.
+    QueryDef("q195_time_retention", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q195_cat")
+      val cat = "graftret_q195_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "cents BIGINT) USING reftable OPTIONS (retainFor '1h', keepVersions '2')")
+      def wave(m: Int): Unit =
+        s.sql(s"INSERT INTO $cat.db.o SELECT o_orderkey, o_orderstatus, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) " +
+          s"FROM orders WHERE o_orderkey % 3 = $m")
+      wave(0)
+      val v1 = graft.sources.reftable.VersionedTable
+        .commitLog(s"$wh/db/o").head.version
+      wave(1); wave(2)
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        s"FROM $cat.db.o VERSION AS OF '$v1' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ANSI CHECK constraints over the expectations machinery: the
+    // CONSTRAINT declaration persists as `expect.ck_open`, the declared
+    // onViolation=drop routes violating rows out at the gate (never
+    // landing), and the oracle replays the filter.
+    QueryDef("q196_check_constraint", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q196_cat")
+      val cat = "graftck_q196_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "cents BIGINT, CONSTRAINT ck_open CHECK (o_orderstatus <> 'F')) " +
+        "USING reftable OPTIONS (onViolation 'drop')")
+      s.sql(s"INSERT INTO $cat.db.o SELECT o_orderkey, o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) FROM orders")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.o " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

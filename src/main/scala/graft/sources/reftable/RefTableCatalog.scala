@@ -46,6 +46,41 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
 
   override def name(): String = catalogName
 
+  /** DEFAULT column values are supported at CREATE and via ALTER COLUMN
+    * SET/DROP DEFAULT — they fill at WRITE time (Spark's INSERT resolution
+    * materializes the literal into the written rows), so read paths never
+    * consult them. ADD COLUMN with a DEFAULT is refused (existing rows
+    * cannot backfill; same contract as Delta).
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** ANSI CHECK constraints ride the declared-expectations machinery:
+    * `CONSTRAINT c CHECK (pred)` persists as the `expect.c` option, so the
+    * SAME gates that enforce `expect.*` on every write surface (batch
+    * INSERT, streaming epochs, UPDATE/MERGE/upsert after-images) enforce
+    * the SQL-declared constraint — one mechanism, two declaration
+    * syntaxes. Keys/uniqueness are declared via the `keyColumns` option
+    * (upsert semantics), not PRIMARY KEY/UNIQUE constraints.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val props = new util.HashMap[String, String](info.properties)
+    info.constraints.foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        props.put(TableCatalog.OPTION_PREFIX + "expect." + c.name, c.predicateSql)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"reftable: only CHECK constraints are supported (got ${other.toDDL}); " +
+            "declare row identity via the 'keyColumns' table option instead")
+    }
+    createTable(ident, info.columns, info.partitions, props)
+  }
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).filter(_.nonEmpty).getOrElse(
@@ -206,17 +241,29 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
           "'partitionColumns' table option (Hive layout inside each version) instead")
     // OPTION_PREFIX-prefixed properties become reader/writer options in the
     // descriptor; Spark-reserved props (provider, location, owner...) are not
-    val opts = properties.asScala.collect {
+    val declared = properties.asScala.collect {
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.substring(TableCatalog.OPTION_PREFIX.length) -> v
     }.toMap
+    // DEFAULT declarations arrive as field metadata (CURRENT_DEFAULT /
+    // EXISTS_DEFAULT, validated by Spark's analysis) — persist them as the
+    // `columnDefaults` option, since the descriptor's schema DDL drops
+    // metadata; RefTableOptions re-attaches them at every load
+    val opts = RefTableCatalog.defaultsJson(schema) match {
+      case Some(json) => declared + ("columnDefaults" -> json)
+      case None => declared
+    }
     // validate now — a bad option should fail CREATE, not the first read
-    RefTableOptions.from(new CaseInsensitiveStringMap(
-      (Map("path" -> tablePath(ident).toString, "schema" -> schema.toDDL) ++ opts).asJava))
+    val validated = RefTableOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> tablePath(ident).toString,
+        "schema" -> RefTableCatalog.plainDdl(schema)) ++ opts).asJava))
     fs.mkdirs(tablePath(ident))
+    // time-retention policy binds from the first commit: root marker now
+    validated.retainForMs.foreach(
+      VersionedTable.declareRetention(tablePath(ident).toString, _, conf))
     val om = new ObjectMapper()
     val root = om.createObjectNode()
-    root.put("schema", schema.toDDL)
+    root.put("schema", RefTableCatalog.plainDdl(schema))
     val on = root.putObject("options")
     opts.foreach { case (k, v) => on.put(k, v) }
     // atomic descriptor claim (put-if-absent through the store's commit
@@ -260,6 +307,11 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       opts = if (m.isEmpty) opts - "columnMapping"
         else opts + ("columnMapping" ->
           m.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(","))
+    def setDefaultsOpt(j: Option[String]): Unit =
+      opts = j match {
+        case Some(json) => opts + ("columnDefaults" -> json)
+        case None => opts - "columnDefaults"
+      }
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames.length != 1) unsupported("nested ADD COLUMN")
@@ -267,6 +319,12 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
           throw new IllegalArgumentException(
             "added columns must be nullable: rows in existing files have no value for them")
         if (add.position != null) unsupported("ADD COLUMN FIRST/AFTER (columns append)")
+        if (add.defaultValue != null)
+          throw new IllegalArgumentException(
+            "ADD COLUMN with a DEFAULT is not supported: rows in existing files cannot " +
+              "backfill the default (they read NULL), which would silently diverge from " +
+              "rows inserted afterwards. Add the column, then ALTER TABLE ... ALTER COLUMN " +
+              "... SET DEFAULT for future INSERTs.")
         val nm = add.fieldNames.head
         if (fields.exists(_.name == nm))
           throw new IllegalArgumentException(s"column '$nm' already exists")
@@ -302,6 +360,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
           throw new IllegalArgumentException("cannot drop the last column")
         dropped += mapping.getOrElse(nm, nm) // retire the PHYSICAL name
         setMapping(mapping - nm)
+        setDefaultsOpt(RefTableCatalog.removeDefaultsCol(opts.get("columnDefaults"), nm))
       case ut: TableChange.UpdateColumnType =>
         if (ut.fieldNames.length != 1) unsupported("nested ALTER COLUMN TYPE")
         val nm = ut.fieldNames.head
@@ -340,6 +399,36 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
         val m2 = mapping - nm
         setMapping(if (physical == nw) m2 else m2 + (nw -> physical))
         fields = fields.map(f => if (f.name == nm) f.copy(name = nw) else f)
+        setDefaultsOpt(RefTableCatalog.renameDefaultsCol(opts.get("columnDefaults"), nm, nw))
+      // ALTER TABLE ADD/DROP CONSTRAINT: CHECK constraints are declared
+      // expectations (`expect.<name>`), enforced by every write surface
+      // from the moment they land; Spark itself audits EXISTING rows
+      // before sending the change (AddCheckConstraintExec scans through
+      // this source and refuses a violated ADD)
+      case ac: TableChange.AddConstraint =>
+        ac.constraint match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            if (opts.contains("expect." + c.name))
+              throw new IllegalArgumentException(s"constraint '${c.name}' already exists")
+            opts += ("expect." + c.name) -> c.predicateSql
+          case other => unsupported(
+            s"constraint ${other.toDDL} (only CHECK constraints are supported; " +
+              "declare row identity via the 'keyColumns' table option)")
+        }
+      case dc: TableChange.DropConstraint =>
+        if (!opts.contains("expect." + dc.name) && !dc.ifExists)
+          throw new IllegalArgumentException(s"constraint '${dc.name}' does not exist")
+        opts -= ("expect." + dc.name)
+      // ALTER COLUMN SET/DROP DEFAULT: future INSERTs only — existing
+      // rows are already materialized, so nothing re-reads
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        if (ud.fieldNames.length != 1) unsupported("nested ALTER COLUMN DEFAULT")
+        val nm = ud.fieldNames.head
+        if (!fields.exists(_.name == nm))
+          throw new IllegalArgumentException(s"column '$nm' does not exist")
+        val sql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .filter(s => s != null && s.nonEmpty)
+        setDefaultsOpt(RefTableCatalog.updateDefaultsJson(opts.get("columnDefaults"), nm, sql))
       case sp: TableChange.SetProperty =>
         if (!sp.property.startsWith(TableCatalog.OPTION_PREFIX))
           unsupported(s"property '${sp.property}' (only '${TableCatalog.OPTION_PREFIX}*' " +
@@ -355,8 +444,16 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     }
     val newSchema = StructType(fields)
     // validate like CREATE — a bad alteration fails here, not at first read
-    RefTableOptions.from(new CaseInsensitiveStringMap(
+    val validated = RefTableOptions.from(new CaseInsensitiveStringMap(
       (Map("path" -> tablePath(ident).toString, "schema" -> newSchema.toDDL) ++ opts).asJava))
+    // sync the root time-retention marker with the (possibly ALTERed)
+    // declaration — removal deletes it, so pruning reverts to count-only
+    validated.retainForMs match {
+      case Some(ms) => VersionedTable.declareRetention(tablePath(ident).toString, ms, conf)
+      case None =>
+        val rp = new Path(tablePath(ident), VersionedTable.RetentionDecl)
+        if (fs.exists(rp)) fs.delete(rp, false)
+    }
     val om = new ObjectMapper()
     val root = om.createObjectNode()
     root.put("schema", newSchema.toDDL)
@@ -428,18 +525,24 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       throw new UnsupportedOperationException(
         "reftable catalog tables do not take PARTITIONED BY transforms; declare the " +
           "'partitionColumns' table option (Hive layout inside each version) instead")
-    val stagedOpts = properties.asScala.collect {
+    val declared = properties.asScala.collect {
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.substring(TableCatalog.OPTION_PREFIX.length) -> v
     }.toMap
+    // CTAS/RTAS column DEFAULTs persist like createTable's
+    val stagedOpts = RefTableCatalog.defaultsJson(schema) match {
+      case Some(json) => declared + ("columnDefaults" -> json)
+      case None => declared
+    }
     // validate now — a bad option must fail the statement before the
     // SELECT runs, exactly like createTable
     val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
-      (Map("path" -> tablePath(ident).toString, "schema" -> schema.toDDL)
+      (Map("path" -> tablePath(ident).toString,
+        "schema" -> RefTableCatalog.plainDdl(schema))
         ++ stagedOpts).asJava))
     val om = new ObjectMapper()
     val root = om.createObjectNode()
-    root.put("schema", schema.toDDL)
+    root.put("schema", RefTableCatalog.plainDdl(schema))
     val on = root.putObject("options")
     stagedOpts.foreach { case (k, v) => on.put(k, v) }
     new StagedRefTable(ident, opts, om.writeValueAsBytes(root), replace, orCreate)
@@ -691,4 +794,118 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     } else throw new IllegalArgumentException(
       s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} " +
         s"(supported: ${procedures.map("system." + _).mkString(", ")})")
+}
+
+object RefTableCatalog {
+  /** Attach the `columnDefaults` option's DEFAULT declarations back onto a
+    * schema as the CURRENT_DEFAULT / EXISTS_DEFAULT field metadata Spark's
+    * INSERT resolution reads — applied ONLY on the Spark-facing
+    * [[RefTable.schema]] surface; the engine's internal schemas stay plain
+    * (metadata participates in StructType equality and DDL round-trips).
+    */
+  private[reftable] def attachDefaultsMetadata(
+      schema: StructType, options: Map[String, String]): StructType =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("columnDefaults") && v.nonEmpty => v
+    } match {
+      case None => schema
+      case Some(json) =>
+        val node = new ObjectMapper().readTree(json)
+        StructType(schema.fields.map { f =>
+          Option(node.get(f.name)) match {
+            case None => f
+            case Some(n) =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              Option(n.get("current")).foreach(c => mb.putString("CURRENT_DEFAULT", c.asText()))
+              Option(n.get("exists")).foreach(c => mb.putString("EXISTS_DEFAULT", c.asText()))
+              f.copy(metadata = mb.build())
+          }
+        })
+    }
+
+  /** Schema DDL with DEFAULT metadata stripped: `StructType.toDDL` renders
+    * CURRENT_DEFAULT as `DEFAULT <sql>`, which the descriptor's DDL parser
+    * does not take — defaults persist in the `columnDefaults` option
+    * instead.
+    */
+  private[reftable] def plainDdl(schema: StructType): String =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT")) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        mb.remove("CURRENT_DEFAULT")
+        mb.remove("EXISTS_DEFAULT")
+        f.copy(metadata = mb.build())
+      }
+    }).toDDL
+
+  /** The `columnDefaults` option JSON for a schema whose fields carry
+    * DEFAULT metadata (CURRENT_DEFAULT / EXISTS_DEFAULT), or None when no
+    * field does. Jackson-serialized — default SQL text can contain any
+    * character.
+    */
+  private[reftable] def defaultsJson(schema: StructType): Option[String] = {
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    schema.fields.foreach { f =>
+      val cur = if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.metadata.getString("CURRENT_DEFAULT")) else None
+      val ex = if (f.metadata.contains("EXISTS_DEFAULT"))
+        Some(f.metadata.getString("EXISTS_DEFAULT")) else None
+      if (cur.nonEmpty || ex.nonEmpty) {
+        val n = root.putObject(f.name)
+        cur.foreach(n.put("current", _))
+        ex.foreach(n.put("exists", _))
+      }
+    }
+    if (root.isEmpty) None else Some(om.writeValueAsString(root))
+  }
+
+  /** Re-serialize after an ALTER COLUMN SET/DROP DEFAULT: `current`
+    * updates (or clears) the column's entry in the existing JSON; an
+    * entry left with neither key is dropped.
+    */
+  private[reftable] def updateDefaultsJson(
+      existing: Option[String], col: String, current: Option[String]): Option[String] = {
+    val om = new ObjectMapper()
+    val root = existing match {
+      case Some(j) => om.readTree(j).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      case None => om.createObjectNode()
+    }
+    current match {
+      case Some(sql) =>
+        val n = Option(root.get(col))
+          .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          .getOrElse(root.putObject(col))
+        n.put("current", sql)
+      case None =>
+        Option(root.get(col)).foreach { n =>
+          val on = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          on.remove("current")
+          if (on.isEmpty) root.remove(col)
+        }
+    }
+    if (root.isEmpty) None else Some(om.writeValueAsString(root))
+  }
+
+  /** Drop a column's entry entirely (DROP COLUMN retires its defaults). */
+  private[reftable] def removeDefaultsCol(
+      existing: Option[String], col: String): Option[String] = existing.flatMap { j =>
+    val om = new ObjectMapper()
+    val root = om.readTree(j).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove(col)
+    if (root.isEmpty) None else Some(om.writeValueAsString(root))
+  }
+
+  /** Re-key a column's entry (RENAME COLUMN carries its defaults along). */
+  private[reftable] def renameDefaultsCol(
+      existing: Option[String], from: String, to: String): Option[String] =
+    existing.map { j =>
+      val om = new ObjectMapper()
+      val root = om.readTree(j).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      Option(root.remove(from)).foreach(n =>
+        root.set[com.fasterxml.jackson.databind.JsonNode](to, n))
+      om.writeValueAsString(root)
+    }.filter(j => !new ObjectMapper().readTree(j).isEmpty)
 }

@@ -272,7 +272,8 @@ final case class RefTableOptions(
     autoCompactFiles: Int = 64,
     changefeedFrom: String = "earliest",
     expectations: Seq[(String, String)] = Nil,
-    onViolation: String = "fail") {
+    onViolation: String = "fail",
+    retainForMs: Option[Long] = None) {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -714,12 +715,43 @@ object RefTableOptions {
     if (onViolation == "drop" && expectations.isEmpty)
       err("onViolation", "'onViolation' without any 'expect.<name>' rule has no effect")
 
+    // `columnDefaults`: JSON {"col": {"current": "<sql>", "exists": "<sql>"}}
+    // — the catalog persists DEFAULT declarations here (StructType DDL
+    // drops field metadata); [[RefTable.columns]] re-attaches them on the
+    // Spark-facing column surface, which is where INSERT resolution reads
+    // them. Defaults fill at WRITE time (rows materialize with real
+    // values), so the engine's own read/write paths never consult them —
+    // validated here so a bad descriptor fails analysis, not resolution.
+    Option(options.get("columnDefaults")).filter(_.nonEmpty).foreach { json =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        for (e <- node.properties().asScala; st <- schema;
+             if !st.fieldNames.contains(e.getKey))
+          err("columnDefaults", s"columnDefaults names unknown column '${e.getKey}'")
+      } catch {
+        case NonFatal(e) =>
+          err("columnDefaults", s"Invalid 'columnDefaults' JSON: ${e.getMessage}")
+      }
+    }
+
+    // `retainFor '<duration>'` — TIME-based retention on top of the
+    // keepVersions count floor, in the reference's duration grammar
+    // (`\d+[dhms]`, TableStreamingSourceConfig's refresh-interval literal):
+    // every retention pass keeps versions younger than the window.
+    val retainForMs: Option[Long] =
+      Option(options.get("retainFor")).filter(_.nonEmpty).flatMap { v =>
+        try Some(Durations.parse(v))
+        catch { case NonFatal(e) =>
+          err("retainFor", s"Invalid 'retainFor': ${e.getMessage}"); None }
+      }
+
     if (errs.nonEmpty) throw new RefTableValidationException(errs.toList)
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
       mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles,
-      changefeedFrom, expectations, onViolation)
+      changefeedFrom, expectations, onViolation, retainForMs)
   }
 }

@@ -134,7 +134,21 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"reftable(${opts.path})"
-  override def schema(): StructType = opts.outputSchema
+  // the Spark-facing schema carries DEFAULT declarations (CURRENT_DEFAULT /
+  // EXISTS_DEFAULT field metadata, from the `columnDefaults` descriptor
+  // option) so INSERT resolution fills omitted columns; the engine's own
+  // paths keep using the plain opts.schema/outputSchema
+  override def schema(): StructType =
+    RefTableCatalog.attachDefaultsMetadata(opts.outputSchema, raw)
+
+  // Declared expectations are NOT reported back through Table.constraints():
+  // Spark pre-enforces any reported CHECK in the write plan (even
+  // enforced=false), which would refuse rows the gate's declared
+  // onViolation=drop/quarantine semantics must ROUTE, and would replace the
+  // gate's per-rule census errors under fail. The SQL constraint surface is
+  // one-way by design: CONSTRAINT ... CHECK declarations map onto
+  // `expect.<name>` options (RefTableCatalog), and the gates enforce them
+  // on every write surface.
 
   /** The descriptor's raw option map — what a re-read of this table needs
     * to reconstruct the exact same options (consumed by the

@@ -200,6 +200,7 @@ object RefTableWrites {
         "re-cluster on append; use insert() (batch) which rewrites the layout per commit")
     val conf = new Configuration()
     guardBareRoot(opts, conf)
+    opts.retainForMs.foreach(VersionedTable.declareRetention(opts.path, _, conf))
     val aligned = alignedStorage(opts,
       if (preEnforced) data.toDF() else enforceExpectations(opts, data))
     val marker = txn.map { case (a, b) => s"txn:$a:$b" }
@@ -325,6 +326,7 @@ object RefTableWrites {
     guardReadOnly(opts)
     val conf = new Configuration()
     guardBareRoot(opts, conf)
+    opts.retainForMs.foreach(VersionedTable.declareRetention(opts.path, _, conf))
     val gated = enforceExpectations(opts, data)
     val aligned = alignedStorage(opts, gated)
     val storageNames = opts.schema.fields.map(f => opts.storageColumn(f.name))

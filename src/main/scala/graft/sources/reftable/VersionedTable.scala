@@ -52,6 +52,40 @@ object VersionedTable {
     */
   val LayoutDecl = "_LAYOUT"
 
+  /** Declared TIME-based retention — the root-level policy file written
+    * when a table declares `retainFor '<duration>'` (the reference's
+    * duration grammar, `\d+[dhms]`). Every retention pass — publish-time
+    * pruning AND vacuum — keeps any version younger than the window, on
+    * top of the `keepVersions` count floor. Root-level (like [[LayoutDecl]])
+    * so the policy binds every writer and pruner regardless of which
+    * surface declared it.
+    */
+  val RetentionDecl = "_RETENTION"
+
+  /** Declare (or update) the root's time-retention window. Reads first:
+    * per-epoch writers call this on every commit, and an unchanged policy
+    * must not cost a write. */
+  def declareRetention(root: String, ms: Long,
+      conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(new Path(root), RetentionDecl)
+    if (!declaredRetentionMs(root, conf).contains(ms))
+      try CommitPrimitive.forPath(p, conf).overwrite(p, ms.toString.getBytes("UTF-8"), conf)
+      catch { case scala.util.control.NonFatal(_) => () } // best-effort cache
+  }
+
+  /** The declared time-retention window, if any. */
+  def declaredRetentionMs(root: String, conf: Configuration): Option[Long] = {
+    val p = new Path(new Path(root), RetentionDecl)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(text.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Commit log directory: `root/_COMMITS/<020d-seq>` files, each naming
     * one committed version (+ optional publish marker and lineage parent).
     * The MAX sequence file is the current version; commit files appear
@@ -674,18 +708,30 @@ object VersionedTable {
     val doomed = all.dropRight(keepVersions).filter(_._1 < commit.seq)
     if (doomed.nonEmpty) {
       // tagged versions keep their commit AND their bytes (plus their
-      // manifest-chain closure, via the protectedDirs root set below)
+      // manifest-chain closure, via the protectedDirs root set below);
+      // a declared time window ([[RetentionDecl]]) keeps every version
+      // younger than it, on top of the count floor
       val tagged = taggedVersions(root, conf)
+      val retainCutoff = declaredRetentionMs(root, conf)
+        .map(ms => System.currentTimeMillis() - ms)
+      // kept-by-age versions join the protected root set: an expired
+      // version's directory may HOST files a younger (kept) one references
       val retained = all.takeRight(keepVersions).flatMap { case (s, p) =>
         try Some(readCommit(s, p, conf).version)
         catch { case _: java.io.FileNotFoundException => None }
-      } ++ tagged
+      } ++ tagged ++ all.dropRight(keepVersions).flatMap { case (s, p) =>
+        try Some(readCommit(s, p, conf).version)
+          .filter(v => retainCutoff.exists(versionTimestampMs(v) >= _))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       val protectd = RefTableFileManifest.protectedDirs(root, retained, conf)
       doomed.foreach { case (seq, p) =>
         val victim =
           try Some(readCommit(seq, p, conf).version)
           catch { case _: java.io.FileNotFoundException => None } // a racing pruner got it
-        if (!victim.exists(tagged)) {
+        val young = retainCutoff.exists(cut =>
+          victim.exists(v => versionTimestampMs(v) >= cut))
+        if (!victim.exists(tagged) && !young) {
           victim.filterNot(_ == name).filterNot(protectd)
             .foreach(v => fs.delete(new Path(rootPath, v), true))
           fs.delete(p, false)
@@ -1050,10 +1096,19 @@ object VersionedTable {
     if (all.nonEmpty) {
       // tagged versions join the keep-set: their commit, directory, and
       // manifest-chain closure survive any retention for as long as the
-      // tag exists
+      // tag exists; a declared time window ([[RetentionDecl]]) keeps every
+      // version younger than it the same way
       val tagged = taggedVersions(root, conf)
+      val retainCutoff = declaredRetentionMs(root, conf)
+        .map(ms => System.currentTimeMillis() - ms)
+      def young(v: String): Boolean =
+        retainCutoff.exists(cut => versionTimestampMs(v) >= cut)
       val retained = all.takeRight(keepVersions)
-        .map { case (s, p) => readCommit(s, p, conf).version }.toSet ++ tagged
+        .map { case (s, p) => readCommit(s, p, conf).version }.toSet ++ tagged ++
+        all.dropRight(keepVersions).flatMap { case (s, p) =>
+          try Some(readCommit(s, p, conf).version).filter(young)
+          catch { case _: java.io.FileNotFoundException => None }
+        }
       // the live closure: retained versions' manifest chains + hosting
       // dirs. A doomed or orphan dir in this set keeps its bytes (newer
       // versions reference them); it is collected by a LATER vacuum once
@@ -1061,7 +1116,10 @@ object VersionedTable {
       val protectd = RefTableFileManifest.protectedDirs(root, retained.toSeq, conf)
       val doomed = all.dropRight(keepVersions)
         .filterNot { case (s, p) =>
-          try tagged(readCommit(s, p, conf).version)
+          try {
+            val v = readCommit(s, p, conf).version
+            tagged(v) || young(v)
+          }
           catch { case _: java.io.FileNotFoundException => false }
         }
       val doomedNames = doomed.map { case (s, p) => readCommit(s, p, conf).version }

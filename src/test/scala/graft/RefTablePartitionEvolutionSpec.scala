@@ -128,6 +128,26 @@ class RefTablePartitionEvolutionSpec extends AnyFunSuite {
     assert(grouped().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("streaming reads a mixed-layout table: both eras arrive with exact values") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, wh) = freshCatalog()
+    val t = s"$cat.db.strm"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, grp STRING) USING reftable")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('option.partitionColumns'='grp')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'a'), (4, 'c')")
+    val root = s"$wh/db/strm"
+    val q = spark.readStream.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, grp STRING")
+      .option("partitionColumns", "grp")
+      .load().writeStream.format("memory").queryName("pevo_strm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("pevo_strm").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")), got.toString)
+  }
+
   test("evolution validates like CREATE: a non-field partition column is refused") {
     val (cat, _) = freshCatalog()
     val t = s"$cat.db.badp"
