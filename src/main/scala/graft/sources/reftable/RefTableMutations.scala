@@ -1025,6 +1025,19 @@ object RefTableMutations {
     val conf = new Configuration()
     val current = resolveLayout(root, conf, partitionColumns)
     val files = listLayout(current, partitionColumns)
+    // dynamic overwrite REPLACES every row of the touched partitions — a
+    // file written under an earlier partition spec (partition evolution)
+    // isn't partition-matched by directory values, so its rows of a
+    // touched partition would silently SURVIVE the overwrite. Refuse the
+    // mixed layout loudly; one compact migrates it.
+    val foreign = files.filterNot(f => partitionColumns.forall(f.partitionValues.contains))
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"reftable: dynamic partition overwrite needs every snapshot file to carry the " +
+        s"current partition value(s) [${partitionColumns.mkString(", ")}], but " +
+        s"${foreign.size} file(s) (e.g. ${foreign.head.path}) were written under a " +
+        "different partition spec — their rows in a touched partition would silently " +
+        "survive the overwrite. Rewrite them under the current spec (CALL " +
+        "system.compact) first, or use INSERT OVERWRITE without dynamic mode.")
     // canonical rendering shared by both sides: source values through the
     // declared-type cast, directory strings through the same parse
     def canonTyped(v: Any): Option[String] = Option(v).map {

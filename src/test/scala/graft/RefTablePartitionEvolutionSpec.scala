@@ -148,6 +148,33 @@ class RefTablePartitionEvolutionSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")), got.toString)
   }
 
+  test("dynamic partition overwrite refuses a mixed layout (old-era rows would survive)") {
+    val (cat, wh) = freshCatalog()
+    val t = s"$cat.db.dyno"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, grp STRING) USING reftable")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('option.partitionColumns'='grp')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'a')")
+    val root = s"$wh/db/dyno"
+    import spark.implicits._
+    val e = intercept[Exception] {
+      graft.sources.reftable.RefTableMutations.overwritePartitions(
+        spark, root, Seq((9L, "a")).toDF("id", "grp"), Seq("grp"),
+        Map("grp" -> org.apache.spark.sql.types.StringType))
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("different partition spec")), e.toString)
+    // compact migrates; the overwrite then replaces exactly partition 'a'
+    graft.sources.reftable.VersionedTable.compact(spark, root, partitionColumns = Seq("grp"))
+    graft.sources.reftable.RefTableMutations.overwritePartitions(
+      spark, root, Seq((9L, "a")).toDF("id", "grp"), Seq("grp"),
+      Map("grp" -> org.apache.spark.sql.types.StringType))
+    val got = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b"), (9L, "a")), got.toString)
+  }
+
   test("evolution validates like CREATE: a non-field partition column is refused") {
     val (cat, _) = freshCatalog()
     val t = s"$cat.db.badp"
