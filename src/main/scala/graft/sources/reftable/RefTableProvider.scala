@@ -156,6 +156,20 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
     */
   private[graft] def descriptorOptions: Map[String, String] = raw
 
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the descriptor's
+    * declared options under the same `option.` prefix `ALTER TABLE SET
+    * TBLPROPERTIES` takes, so the two surfaces round-trip. Structural
+    * keys (path/schema/version pins) stay internal.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    raw.foreach { case (k, v) =>
+      if (!Set("path", "schema", "version", "changefeed").contains(k))
+        m.put(org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX + k, v)
+    }
+    m
+  }
+
   /** SQL `DELETE FROM` / `TRUNCATE TABLE`, routed into the file-granular
     * copy-on-write mutation ([[RefTableMutations.deleteWhere]]) — the
     * declared `partitionColumns` thread through so Hive-partitioned
