@@ -626,6 +626,38 @@ object TableCatalogSql {
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // GENERATED ALWAYS AS columns: the engine computes the expression on
+    // every write (here a derived partition bucket + a priority digit),
+    // refusing provided values that differ. The oracle replays the
+    // expressions as plain SELECT columns.
+    QueryDef("q197_generated_columns", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q197_cat")
+      val cat = "graftgen_q197_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o (o_orderkey BIGINT, o_orderpriority STRING, " +
+        "cents BIGINT, " +
+        "prio STRING GENERATED ALWAYS AS (substring(o_orderpriority, 1, 1)), " +
+        "bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 8)) " +
+        "USING reftable OPTIONS (partitionColumns 'bucket')")
+      s.sql(s"INSERT INTO $cat.db.o (o_orderkey, o_orderpriority, cents) " +
+        "SELECT o_orderkey, o_orderpriority, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) FROM orders")
+      s.sql(s"SELECT prio, bucket, count(*) AS cnt, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM $cat.db.o " +
+        "WHERE bucket IN (2, 5) GROUP BY prio, bucket ORDER BY prio, bucket")
+    }, Some(
+      """SELECT substring(o_orderpriority, 1, 1) AS prio,
+        |  o_orderkey % 8 AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 8 IN (2, 5)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Table maintenance surface: DESCRIBE HISTORY analogue. Two publishes
     // with deterministic layouts, then VersionedTable.history — file
     // counts from listings, row counts from the stats manifests, ZERO

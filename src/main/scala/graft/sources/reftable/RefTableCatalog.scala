@@ -58,6 +58,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** ANSI CHECK constraints ride the declared-expectations machinery:
@@ -77,6 +79,21 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
         throw new UnsupportedOperationException(
           s"reftable: only CHECK constraints are supported (got ${other.toDDL}); " +
             "declare row identity via the 'keyColumns' table option instead")
+    }
+    // GENERATED ALWAYS AS rides the v2 Column (NOT field metadata — the
+    // default Column[]→StructType conversion drops it), so harvest here;
+    // identity columns (stateful monotonic allocation) are refused
+    info.columns.foreach { c =>
+      if (c.identityColumnSpec != null) throw new UnsupportedOperationException(
+        s"reftable: identity columns are not supported ('${c.name}'); generate ids in " +
+          "the feed (monotonically_increasing_id, uuid) or use a GENERATED ALWAYS AS hash")
+    }
+    val gen = info.columns.filter(_.generationExpression != null)
+    if (gen.nonEmpty) {
+      val om = new ObjectMapper()
+      val root = om.createObjectNode()
+      gen.foreach(c => root.put(c.name, c.generationExpression))
+      props.put(TableCatalog.OPTION_PREFIX + "columnGenerated", om.writeValueAsString(root))
     }
     createTable(ident, info.columns, info.partitions, props)
   }
@@ -245,14 +262,14 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.substring(TableCatalog.OPTION_PREFIX.length) -> v
     }.toMap
-    // DEFAULT declarations arrive as field metadata (CURRENT_DEFAULT /
-    // EXISTS_DEFAULT, validated by Spark's analysis) — persist them as the
-    // `columnDefaults` option, since the descriptor's schema DDL drops
+    // DEFAULT / GENERATED ALWAYS AS declarations arrive as field metadata
+    // (CURRENT_DEFAULT / EXISTS_DEFAULT / GENERATION_EXPRESSION, validated
+    // by Spark's analysis) — persist them as the `columnDefaults` /
+    // `columnGenerated` options, since the descriptor's schema DDL drops
     // metadata; RefTableOptions re-attaches them at every load
-    val opts = RefTableCatalog.defaultsJson(schema) match {
-      case Some(json) => declared + ("columnDefaults" -> json)
-      case None => declared
-    }
+    val opts = declared ++
+      RefTableCatalog.defaultsJson(schema).map("columnDefaults" -> _) ++
+      RefTableCatalog.generatedJson(schema).map("columnGenerated" -> _)
     // validate now — a bad option should fail CREATE, not the first read
     val validated = RefTableOptions.from(new CaseInsensitiveStringMap(
       (Map("path" -> tablePath(ident).toString,
@@ -529,11 +546,10 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.substring(TableCatalog.OPTION_PREFIX.length) -> v
     }.toMap
-    // CTAS/RTAS column DEFAULTs persist like createTable's
-    val stagedOpts = RefTableCatalog.defaultsJson(schema) match {
-      case Some(json) => declared + ("columnDefaults" -> json)
-      case None => declared
-    }
+    // CTAS/RTAS column DEFAULTs / GENERATED columns persist like createTable's
+    val stagedOpts = declared ++
+      RefTableCatalog.defaultsJson(schema).map("columnDefaults" -> _) ++
+      RefTableCatalog.generatedJson(schema).map("columnGenerated" -> _)
     // validate now — a bad option must fail the statement before the
     // SELECT runs, exactly like createTable
     val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
@@ -804,25 +820,30 @@ object RefTableCatalog {
     * (metadata participates in StructType equality and DDL round-trips).
     */
   private[reftable] def attachDefaultsMetadata(
-      schema: StructType, options: Map[String, String]): StructType =
-    options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("columnDefaults") && v.nonEmpty => v
-    } match {
-      case None => schema
-      case Some(json) =>
-        val node = new ObjectMapper().readTree(json)
-        StructType(schema.fields.map { f =>
-          Option(node.get(f.name)) match {
-            case None => f
-            case Some(n) =>
-              val mb = new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata)
-              Option(n.get("current")).foreach(c => mb.putString("CURRENT_DEFAULT", c.asText()))
-              Option(n.get("exists")).foreach(c => mb.putString("EXISTS_DEFAULT", c.asText()))
-              f.copy(metadata = mb.build())
-          }
-        })
-    }
+      schema: StructType, options: Map[String, String]): StructType = {
+    def opt(key: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+      options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) && v.nonEmpty => v
+      }.map(new ObjectMapper().readTree)
+    val defaults = opt("columnDefaults")
+    val generated = opt("columnGenerated")
+    if (defaults.isEmpty && generated.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      val dn = defaults.flatMap(n => Option(n.get(f.name)))
+      val gn = generated.flatMap(n => Option(n.get(f.name)))
+      if (dn.isEmpty && gn.isEmpty) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        dn.foreach { n =>
+          Option(n.get("current")).foreach(c => mb.putString("CURRENT_DEFAULT", c.asText()))
+          Option(n.get("exists")).foreach(c => mb.putString("EXISTS_DEFAULT", c.asText()))
+        }
+        gn.foreach(g => mb.putString("GENERATION_EXPRESSION", g.asText()))
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
 
   /** Schema DDL with DEFAULT metadata stripped: `StructType.toDDL` renders
     * CURRENT_DEFAULT as `DEFAULT <sql>`, which the descriptor's DDL parser
@@ -831,14 +852,27 @@ object RefTableCatalog {
     */
   private[reftable] def plainDdl(schema: StructType): String =
     StructType(schema.fields.map { f =>
-      if (!f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT")) f
+      val keys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT", "GENERATION_EXPRESSION")
+      if (!keys.exists(f.metadata.contains)) f
       else {
         val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
-        mb.remove("CURRENT_DEFAULT")
-        mb.remove("EXISTS_DEFAULT")
+        keys.foreach(mb.remove)
         f.copy(metadata = mb.build())
       }
     }).toDDL
+
+  /** The `columnGenerated` option JSON for a schema whose fields carry
+    * GENERATED ALWAYS AS metadata, or None when no field does.
+    */
+  private[reftable] def generatedJson(schema: StructType): Option[String] = {
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    schema.fields.foreach { f =>
+      if (f.metadata.contains("GENERATION_EXPRESSION"))
+        root.put(f.name, f.metadata.getString("GENERATION_EXPRESSION"))
+    }
+    if (root.isEmpty) None else Some(om.writeValueAsString(root))
+  }
 
   /** The `columnDefaults` option JSON for a schema whose fields carry
     * DEFAULT metadata (CURRENT_DEFAULT / EXISTS_DEFAULT), or None when no

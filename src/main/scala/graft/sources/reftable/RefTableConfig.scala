@@ -273,7 +273,8 @@ final case class RefTableOptions(
     changefeedFrom: String = "earliest",
     expectations: Seq[(String, String)] = Nil,
     onViolation: String = "fail",
-    retainForMs: Option[Long] = None) {
+    retainForMs: Option[Long] = None,
+    generatedColumns: Seq[(String, String)] = Nil) {
 
   /** Parsed hidden-partition transforms (validated at option parse). */
   lazy val hiddenTransforms: Seq[RefTableTransforms.Transform] =
@@ -746,12 +747,38 @@ object RefTableOptions {
           err("retainFor", s"Invalid 'retainFor': ${e.getMessage}"); None }
       }
 
+    // `columnGenerated`: JSON {"col": "<sql>"} — GENERATED ALWAYS AS
+    // columns, computed by every write surface (ANSI ALWAYS semantics:
+    // a provided non-null value must equal the computed one). Declared at
+    // CREATE; persisted like columnDefaults since DDL drops metadata.
+    val generatedColumns: Seq[(String, String)] =
+      Option(options.get("columnGenerated")).filter(_.nonEmpty).map { json =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+          node.properties().asScala.map { e =>
+            val c = e.getKey
+            if (schema.exists(st => !st.fieldNames.contains(c)))
+              err("columnGenerated", s"columnGenerated names unknown column '$c'")
+            c -> e.getValue.asText()
+          }.toSeq.sortBy(_._1)
+        } catch {
+          case e: RefTableValidationException => throw e
+          case NonFatal(e) =>
+            err("columnGenerated", s"Invalid 'columnGenerated' JSON: ${e.getMessage}"); Nil
+        }
+      }.getOrElse(Nil)
+    if (generatedColumns.nonEmpty && keyColumns.nonEmpty)
+      err("columnGenerated", "generated columns do not combine with 'keyColumns': the " +
+        "keyed upsert/CDC surfaces apply caller-provided after-images directly and " +
+        "would land stale generated values; compute the column in the feed instead")
+
     if (errs.nonEmpty) throw new RefTableValidationException(errs.toList)
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,
       maxFiles, maxBytes, partitionColumns, version, allowMissing, statsPruning, strictSnapshot,
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
       mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles,
-      changefeedFrom, expectations, onViolation, retainForMs)
+      changefeedFrom, expectations, onViolation, retainForMs, generatedColumns)
   }
 }

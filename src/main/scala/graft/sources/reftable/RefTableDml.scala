@@ -62,6 +62,9 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             opts.storageColumn(name) -> detach(a.value, targetAttrs, opts)
           }.toMap
+          refuseGeneratedTouch(opts, assignments.flatMap(_.key match {
+            case ar: AttributeReference => Some(ar.name); case _ => None
+          }), "UPDATE")
           val condition = cond.map(detach(_, targetAttrs, opts)).getOrElse(lit(true))
           UpdateRefTableCommand(opts, set, condition)
         case None => u
@@ -110,6 +113,15 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteMerge(
       m: MergeIntoTable, rel: DataSourceV2Relation, table: RefTable): LogicalPlan = {
     val opts = mutableOpts(table, "MERGE INTO")
+    // MERGE writes whole after-images (UPDATE SET * / INSERT *) — a
+    // generated column would land from the SOURCE, stale or wrong; the
+    // mutation engines apply images directly, so refuse up front
+    if (opts.generatedColumns.nonEmpty)
+      throw new UnsupportedOperationException(
+        "reftable MERGE INTO: the target declares GENERATED ALWAYS AS column(s) " +
+          opts.generatedColumns.map(_._1).mkString("[", ", ", "]") +
+          " — MERGE applies caller-built after-images and cannot recompute them; " +
+          "compute the column in the source and INSERT, or drop the generation")
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"reftable MERGE INTO: $what")
     // WITH SCHEMA EVOLUTION needs no handling here: Spark's own
@@ -248,6 +260,28 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     MergeRefTableCommand(opts, m.sourceTable, keys, update, delete, insert,
       nmbsUpdate, nmbsDelete)
+  }
+
+  /** GENERATED ALWAYS AS columns cannot be SET, and neither can a column a
+    * generation expression references — the mutation engines apply
+    * after-images directly, so the stored generated value would silently
+    * go stale against its re-derivable definition.
+    */
+  private def refuseGeneratedTouch(
+      opts: RefTableOptions, assigned: Seq[String], stmt: String): Unit = {
+    if (opts.generatedColumns.isEmpty) return
+    val gen = opts.generatedColumns.map(_._1).toSet
+    val referenced = opts.generatedColumns.flatMap { case (_, sql) =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+    }.toSet
+    val bad = assigned.filter(a => gen(a) || referenced(a))
+    if (bad.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"reftable $stmt: column(s) ${bad.mkString("[", ", ", "]")} are GENERATED " +
+          "ALWAYS AS (or referenced by a generation expression) — updating them would " +
+          "leave the stored generated value stale; recompute via DELETE + INSERT")
   }
 
   /** Correlated subqueries cannot be detached (their outer references

@@ -248,13 +248,40 @@ object RefTableWrites {
     * (write-audit-publish: nothing lands); `drop` removes violating rows
     * in the write's own plan (no extra pass). NULL outcomes violate.
     */
+  /** GENERATED ALWAYS AS computation, applied by every write surface
+    * before the expectation gate (declared predicates may reference the
+    * generated columns). ANSI ALWAYS semantics: an omitted or NULL value
+    * computes; a provided non-null value that differs from the computed
+    * one refuses the write loudly — never silently overwritten, never
+    * silently kept.
+    */
+  private[reftable] def applyGenerated(opts: RefTableOptions, data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (opts.generatedColumns.isEmpty) return data
+    var out = data
+    opts.generatedColumns.foreach { case (c, sql) =>
+      val dt = opts.schema.fields.find(_.name == c).map(_.dataType)
+      val computed = dt.fold(expr(sql))(t => expr(sql).cast(t))
+      if (out.columns.contains(c)) {
+        val mismatched = out.filter(col(c).isNotNull && !col(c).eqNullSafe(computed))
+        if (!mismatched.isEmpty) throw new IllegalStateException(
+          s"reftable: column '$c' is GENERATED ALWAYS AS ($sql) — a provided value " +
+            "differs from the computed one; omit the column (or write NULL) and let " +
+            "the engine compute it")
+      }
+      out = out.withColumn(c, computed)
+    }
+    out
+  }
+
   private[reftable] def enforceExpectations(
       opts: RefTableOptions, data: Dataset[Row]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, concat_ws, expr, lit, not, when}
-    if (opts.expectations.isEmpty) return data.toDF()
+    val computed = applyGenerated(opts, data.toDF())
+    if (opts.expectations.isEmpty) return computed
     opts.onViolation match {
       case "drop" =>
-        graft.operators.Expectations.dropViolations(data.toDF(), opts.expectations)
+        graft.operators.Expectations.dropViolations(computed, opts.expectations)
       case "quarantine" =>
         // violating rows land in the sibling quarantine table (declared
         // schema + `_violated` rule names) as an append-only rejects log;
@@ -271,7 +298,7 @@ object RefTableWrites {
         // ContextCleaner unpersists when the plan is garbage collected.
         val passes = opts.expectations
           .map { case (_, p) => coalesce(expr(p), lit(false)) }.reduce(_ && _)
-        val cached = data.toDF().persist(
+        val cached = computed.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         quarantineCached.set(cached)
         val violated = cached.filter(not(passes))
@@ -282,14 +309,14 @@ object RefTableWrites {
           appendVersion(quarantineOpts(opts), violated)
         cached.filter(passes)
       case _ =>
-        val census = graft.operators.Expectations.check(data.toDF(), opts.expectations)
+        val census = graft.operators.Expectations.check(computed, opts.expectations)
           .collect().filter(_.getLong(1) > 0L)
         if (census.nonEmpty)
           throw new IllegalStateException(
             "reftable: write refused — expectation(s) violated (onViolation=fail): " +
               census.map(r => s"${r.getString(0)} (${r.getLong(1)}/${r.getLong(2)} rows)")
                 .mkString(", "))
-        data.toDF()
+        computed
     }
   }
 
