@@ -116,6 +116,33 @@ class RefTableIngestSpec extends AnyFunSuite {
     assert(again.getInt(0) == 0 && again.getInt(2) == 1, again.toString)
   }
 
+  test("csv and json landing zones ingest through the declared schema") {
+    val base = Files.createTempDirectory("graft_ingest5").toString
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    def landText(dir: String, name: String, text: String): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    landText(s"$base/csv", "a.csv", "id,v\n1,10\n2,20\n")
+    landText(s"$base/json", "a.json", """{"id":3,"v":30}""" + "\n" + """{"id":4,"v":40}""" + "\n")
+
+    val rCsv = RefTableIngest.ingest(spark, optsFor(s"$base/t1"), s"$base/csv", format = "csv")
+    assert(rCsv.ingested == 1, rCsv.toString)
+    assert(tableCount(s"$base/t1") == 2)
+    val rJson = RefTableIngest.ingest(spark, optsFor(s"$base/t2"), s"$base/json", format = "json")
+    assert(rJson.ingested == 1, rJson.toString)
+    assert(spark.read.format("reftable").option("path", s"$base/t2")
+      .option("schema", "id BIGINT, v BIGINT").load()
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((3L, 30L), (4L, 40L)))
+
+    val e = intercept[Exception] {
+      RefTableIngest.ingest(spark, optsFor(s"$base/t3"), s"$base/csv", format = "avro")
+    }
+    assert(e.getMessage.contains("unsupported format"), e.getMessage)
+  }
+
   test("a re-uploaded file with a NEW length re-ingests; hidden files skipped") {
     val base = Files.createTempDirectory("graft_ingest4").toString
     val root = s"$base/t"
