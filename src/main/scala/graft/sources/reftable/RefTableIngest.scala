@@ -57,7 +57,10 @@ object RefTableIngest {
       partitionColumns = Nil, hiddenPartitions = Nil,
       zorderBy = Nil, clusterBy = Nil, bucketBy = Nil,
       rowField = None, keyColumn = None, columnMapping = Map.empty,
-      categoricalStats = Nil, bloomStats = Nil)
+      categoricalStats = Nil, bloomStats = Nil,
+      // the log's (seq, file, bytes) rows never carry the table's
+      // generated columns — inheriting them would fail expr resolution
+      generatedColumns = Nil)
 
   def ingest(spark: SparkSession, opts: RefTableOptions, source: String,
       format: String = "parquet"): Result = {

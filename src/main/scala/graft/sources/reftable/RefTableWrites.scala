@@ -334,7 +334,9 @@ object RefTableWrites {
       partitionColumns = Nil, hiddenPartitions = Nil,
       zorderBy = Nil, clusterBy = Nil, bucketBy = Nil,
       rowField = None, keyColumn = None, columnMapping = Map.empty,
-      categoricalStats = Nil, bloomStats = Nil)
+      categoricalStats = Nil, bloomStats = Nil,
+      // the rejects log stores the images as quarantined — no recompute
+      generatedColumns = Nil)
 
   /** Version-pinned (time travel) relations and genColumn projections are
     * read-only through EVERY write entry point.

@@ -86,6 +86,31 @@ class RefTableGeneratedSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 1)
   }
 
+  test("landing-zone ingest computes generated columns; the ingest LOG never inherits them") {
+    val cat = freshCatalog()
+    val t = s"$cat.db.g5"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (id * 2)) USING reftable")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val landing = s"$wh/landing_g5"
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_gen_land").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(landing, "a.parquet"))
+    val row = spark.sql(
+      s"CALL $cat.system.ingest(table => 'db.g5', source => '$landing')").collect().head
+    assert(row.getInt(0) == 1, row.toString)
+    val got = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 2L), (2L, 20L, 4L)), got.toString)
+  }
+
   test("generated columns refuse to combine with keyColumns (stale-image hazard)") {
     val cat = freshCatalog()
     val e = intercept[Exception] {
