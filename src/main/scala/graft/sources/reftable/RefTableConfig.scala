@@ -772,6 +772,34 @@ object RefTableOptions {
       err("columnGenerated", "generated columns do not combine with 'keyColumns': the " +
         "keyed upsert/CDC surfaces apply caller-provided after-images directly and " +
         "would land stale generated values; compute the column in the feed instead")
+    // a generation expression may reference only NON-generated columns
+    // (the Delta rule): applyGenerated computes the columns in name order,
+    // so a cross-generated reference evaluated before its dependency would
+    // read the caller-provided (typically null) value and land silently
+    // wrong — and the ALWAYS-mismatch check cannot catch a null input.
+    // Refused here rather than topologically ordered: a chain is always
+    // expressible by inlining the referenced expression.
+    if (generatedColumns.nonEmpty) {
+      val genNames = generatedColumns.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+      for ((c, sql) <- generatedColumns) {
+        try {
+          val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+          val genRefs = e.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if genNames.contains(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
+          }
+          if (genRefs.nonEmpty)
+            err("columnGenerated", s"generated column '$c' references generated " +
+              s"column(s) ${genRefs.distinct.mkString(", ")}: generation expressions " +
+              "may reference only non-generated columns — inline the referenced " +
+              "expression instead")
+        } catch {
+          case e: RefTableValidationException => throw e
+          case NonFatal(e) =>
+            err("columnGenerated", s"Invalid generation expression for '$c': ${e.getMessage}")
+        }
+      }
+    }
 
     if (errs.nonEmpty) throw new RefTableValidationException(errs.toList)
     RefTableOptions(path.get, schema.get, rowField, keyColumn, refreshMs, emitPerTrigger, genColumn,

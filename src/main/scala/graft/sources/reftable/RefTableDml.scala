@@ -234,10 +234,15 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     var nmbsUpdate: Option[(Column, Map[String, Column])] = None
     var nmbsDelete: Option[Column] = None
+    // SQL merge applies the FIRST matching clause in declaration order —
+    // a statement declaring UPDATE before DELETE must update a row both
+    // conditions hit, not delete it; the declared order threads through
+    var nmbsUpdateFirst = false
     m.notMatchedBySourceActions.foreach {
       case UpdateAction(cond, as, _) =>
         if (nmbsUpdate.nonEmpty)
           unsupported("at most one WHEN NOT MATCHED BY SOURCE UPDATE clause")
+        if (nmbsDelete.isEmpty) nmbsUpdateFirst = true
         val set = as.map { a =>
           val name = a.key match {
             case ar: AttributeReference if targetAttrs.contains(ar) => ar.name
@@ -259,7 +264,7 @@ case class RefTableDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
     }
     MergeRefTableCommand(opts, m.sourceTable, keys, update, delete, insert,
-      nmbsUpdate, nmbsDelete)
+      nmbsUpdate, nmbsDelete, nmbsUpdateFirst)
   }
 
   /** GENERATED ALWAYS AS columns cannot be SET, and neither can a column a
@@ -378,7 +383,8 @@ case class MergeRefTableCommand(
     update: Option[(Column, Map[String, Column])], delete: Option[Column],
     insert: Option[(Column, Map[String, Column])],
     nmbsUpdate: Option[(Column, Map[String, Column])] = None,
-    nmbsDelete: Option[Column] = None)
+    nmbsDelete: Option[Column] = None,
+    nmbsUpdateFirst: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (VersionedTable.resolve(opts.path).isEmpty) {
@@ -401,7 +407,8 @@ case class MergeRefTableCommand(
         update, delete, insert, opts.keepVersions,
         opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
         gate = Some(opts),
-        notMatchedBySourceUpdate = nmbsUpdate, notMatchedBySourceDelete = nmbsDelete)
+        notMatchedBySourceUpdate = nmbsUpdate, notMatchedBySourceDelete = nmbsDelete,
+        nmbsUpdateFirst = nmbsUpdateFirst)
     else
       // partition-column SET moves rows across directories — only the COW
       // rewrite can restage them, so mergeOnRead falls back
@@ -409,7 +416,8 @@ case class MergeRefTableCommand(
         update, delete, insert, opts.keepVersions,
         opts.partitionColumns, RefTableMutations.partitionTypesOf(opts),
         gate = Some(opts),
-        notMatchedBySourceUpdate = nmbsUpdate, notMatchedBySourceDelete = nmbsDelete)
+        notMatchedBySourceUpdate = nmbsUpdate, notMatchedBySourceDelete = nmbsDelete,
+        nmbsUpdateFirst = nmbsUpdateFirst)
     Seq.empty
   }
 

@@ -46,6 +46,42 @@ object RefTableIngest {
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false)))
 
+  /** Durable data-side high-water seq, independent of commit-log
+    * retention: `txn:ingest:<seq>` markers prune with ordinary table
+    * commits after `keepVersions` writes, and a pruned marker must never
+    * make a LOADED batch look unloaded — the recovery path would re-append
+    * it, a silent duplicate. Every successful data append claims a
+    * create-once `_INGEST_SEQ/<seq>` file at the table root (object-store
+    * safe via the root's [[CommitPrimitive]]; retention/vacuum never touch
+    * non-version root entries), and every call heals the mark forward to
+    * whatever the retained markers still prove. The mark can lag only for
+    * a crash that dies between the data commit and the claim AND sees no
+    * further ingest call before the marker prunes — the per-crash residual
+    * of Delta's SetTransaction retention, instead of a standing hazard on
+    * every ordinarily-written table.
+    */
+  private def seqDir(root: String) = new Path(root.stripSuffix("/"), "_INGEST_SEQ")
+
+  private def claimedSeq(root: String, conf: Configuration): Long = {
+    val dir = seqDir(root)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toIndexedSeq
+      .flatMap(s => s.getPath.getName.toLongOption).foldLeft(0L)(math.max)
+  }
+
+  private def claimSeq(root: String, seq: Long, conf: Configuration): Unit =
+    if (seq > 0L) {
+      val dst = new Path(seqDir(root), seq.toString)
+      val fs = dst.getFileSystem(conf)
+      if (!fs.exists(dst)) {
+        fs.mkdirs(seqDir(root))
+        CommitPrimitive.forPath(dst, conf)
+          .putIfAbsent(dst, Array.emptyByteArray, conf) // lost race = claimed
+        ()
+      }
+    }
+
   /** The ingest-log sibling's options: append-only metadata rows, no
     * gates of its own, same retention as the table.
     */
@@ -98,8 +134,11 @@ object RefTableIngest {
       attempt += 1
       val logged = readLog()
       val sLog = if (logged.isEmpty) 0L else logged.values.map(_._1).max
-      val sData = RefTableWrites.lastCommittedBatch(opts.path, "ingest", conf)
+      val sMark = RefTableWrites.lastCommittedBatch(opts.path, "ingest", conf)
         .getOrElse(0L)
+      val sFile = claimedSeq(opts.path, conf)
+      if (sMark > sFile) claimSeq(opts.path, sMark, conf) // heal the durable mark
+      val sData = math.max(sMark, sFile)
       // crash recovery: a logged batch whose data never landed — complete
       // it before anything new (the marker makes a replay a no-op)
       var recovered = 0
@@ -112,6 +151,7 @@ object RefTableIngest {
             "unrecoverable; restore the files or remove the log rows")
         RefTableWrites.appendVersion(opts, readFiles(pending),
           txn = Some(("ingest", sLog)))
+        claimSeq(opts.path, sLog, conf)
         recovered = pending.size
       }
       val fresh = listed.filterNot { case (id, _, _) => logged.contains(id) }
@@ -124,13 +164,22 @@ object RefTableIngest {
         .toDF("seq", "file", "bytes")
       RefTableWrites.appendVersion(lo, logRows, txn = Some(("ingest-log", seq)))
       // a concurrent caller may have won this seq's marker with a
-      // DIFFERENT batch — confirm our files are the logged ones before
-      // loading, else loop and take the next seq
+      // DIFFERENT batch — the logged batch at `seq` must EXACTLY equal our
+      // fresh set before we load. A subset check is not enough: a caller
+      // whose listing is a strict subset of the winner's logged batch
+      // would pass it, load only the subset under txn:ingest:<seq>, and
+      // the winner's fuller append would then dedupe away as a marker
+      // replay — the extra files logged but never loaded, invisible to the
+      // recovery path (seq(log) == seq(data)). On mismatch we loop: the
+      // re-read log drops the winner's files from `fresh`, and if the
+      // winner crashed before loading, the pending-batch recovery path
+      // completes its FULL logged set.
       val after = readLog()
-      val ours = fresh.forall { case (id, _, _) => after.get(id).exists(_._1 == seq) }
-      if (ours) {
+      val loggedAtSeq = after.collect { case (id, (s, _)) if s == seq => id }.toSet
+      if (loggedAtSeq == fresh.map(_._1).toSet) {
         RefTableWrites.appendVersion(opts, readFiles(fresh.map(_._2)),
           txn = Some(("ingest", seq)))
+        claimSeq(opts.path, seq, conf)
         return Result(fresh.size, recovered, listed.size - fresh.size, seq)
       }
       if (attempt >= 5) throw new IllegalStateException(

@@ -588,11 +588,14 @@ object RefTableMutations {
     * `notMatchedBySource*` (the Delta/SQL:2023 full-sync clauses) act on
     * TARGET rows no source key matches: their conditions and SET values
     * are expressions over the TARGET row (there is no source row to
-    * reference). Delete takes precedence over update when both conditions
-    * hold, mirroring the matched side. Either clause present forces the
-    * full target into the match pass — "not matched by source" is a
-    * property every file can witness, so key-bounds/partition/bucket
-    * narrowing is unsound and skipped (Delta documents the same cost).
+    * reference). When BOTH clause conditions hold on a row, the clause
+    * DECLARED FIRST in the statement wins — SQL/Delta merge applies the
+    * first matching clause in declaration order (`nmbsUpdateFirst` threads
+    * the declared order; the default matches the programmatic API's
+    * historical delete precedence). Either clause present forces the full
+    * target into the match pass — "not matched by source" is a property
+    * every file can witness, so key-bounds/partition/bucket narrowing is
+    * unsound and skipped (Delta documents the same cost).
     */
   def mergeClauses(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
@@ -603,7 +606,8 @@ object RefTableMutations {
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
       gate: Option[RefTableOptions] = None,
       notMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
-      notMatchedBySourceDelete: Option[Column] = None): String =
+      notMatchedBySourceDelete: Option[Column] = None,
+      nmbsUpdateFirst: Boolean = false): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -671,9 +675,14 @@ object RefTableMutations {
         val subCols = sub.columns.toSeq // may lack columns other files carry
         // NMBS conditions/values evaluate over the TARGET side of the
         // join; marked's non-key columns are all __-prefixed, so target
-        // names resolve unambiguously
+        // names resolve unambiguously. Declared order decides a row BOTH
+        // clause conditions hit: update-first statements exempt
+        // update-condition rows from the delete
+        val rawNDel = coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+        val rawNUpd = coalesce(
+          notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
         val nmbsDel = !matchedFlag &&
-          coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+          (if (nmbsUpdateFirst) rawNDel && !rawNUpd else rawNDel)
         val joined = sub.join(marked, keyCols, "left_outer")
           .filter(not(matchedFlag && coalesce(col("__del"), lit(false))) && not(nmbsDel))
         val updCand = matchedFlag && coalesce(col("__upd"), lit(false))
@@ -688,8 +697,9 @@ object RefTableMutations {
         val applies = updCand &&
           gateApply(spark, gate, joined, updCand, uImg, "MERGE update")
         val nmbsSetCast = nmbsSet.map { case (c, v) => c -> v.cast(types(c)) }
-        val nmbsCand = !matchedFlag && coalesce(
-          notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
+        // delete-first rows were already filtered out above; update-first
+        // keeps both-condition rows here, where the update claims them
+        val nmbsCand = !matchedFlag && rawNUpd
         val nImg: String => Column = c =>
           if (nmbsSetCast.contains(c) && !keyCols.contains(c)) nmbsSetCast(c) else base(c)
         val nmbsApplies = nmbsCand && gateApply(
@@ -739,7 +749,8 @@ object RefTableMutations {
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
       gate: Option[RefTableOptions] = None,
       notMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None,
-      notMatchedBySourceDelete: Option[Column] = None): String =
+      notMatchedBySourceDelete: Option[Column] = None,
+      nmbsUpdateFirst: Boolean = false): String =
     VersionedTable.withConflictRetry(root) { () =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val conf = new Configuration()
@@ -839,10 +850,14 @@ object RefTableMutations {
       // SETs as the new image (delete precedence, like the matched side)
       val (nmbsImages, nmbsDies) = if (!nmbsActive) (None, None) else {
         val miss = live.join(marked.select(keyCols.map(col): _*), keyCols, "left_anti")
-        val nDel = coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
-        val nmbsSetCast = nmbsSet.map { case (c, v) => c -> v.cast(types(c)) }
-        val nCand = !nDel && coalesce(
+        // declared order decides a row BOTH clause conditions hit (the
+        // first declared clause wins, per SQL/Delta merge semantics)
+        val rawNDel = coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+        val rawNUpd = coalesce(
           notMatchedBySourceUpdate.map(_._1).getOrElse(lit(false)), lit(false))
+        val nDel = if (nmbsUpdateFirst) rawNDel && !rawNUpd else rawNDel
+        val nmbsSetCast = nmbsSet.map { case (c, v) => c -> v.cast(types(c)) }
+        val nCand = !nDel && rawNUpd
         val nImg: String => Column = c =>
           if (!keyCols.contains(c) && nmbsSetCast.contains(c)) nmbsSetCast(c) else base(c)
         val nApplies = nCand && gateApply(

@@ -256,22 +256,35 @@ object RefTableWrites {
     * silently kept.
     */
   private[reftable] def applyGenerated(opts: RefTableOptions, data: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, count, expr, when}
     if (opts.generatedColumns.isEmpty) return data
-    var out = data
-    opts.generatedColumns.foreach { case (c, sql) =>
+    def computedOf(c: String, sql: String) = {
       val dt = opts.schema.fields.find(_.name == c).map(_.dataType)
-      val computed = dt.fold(expr(sql))(t => expr(sql).cast(t))
-      if (out.columns.contains(c)) {
-        val mismatched = out.filter(col(c).isNotNull && !col(c).eqNullSafe(computed))
-        if (!mismatched.isEmpty) throw new IllegalStateException(
+      dt.fold(expr(sql))(t => expr(sql).cast(t))
+    }
+    // generation expressions reference only NON-generated columns (refused
+    // otherwise at option parse), so the ALWAYS-mismatch census of every
+    // provided column folds into ONE narrow aggregation pass over the
+    // input — the per-column isEmpty probe re-scanned the input once per
+    // generated column (doubling or worse the scan cost of large inserts),
+    // and split per-column probes could even disagree with each other on a
+    // non-deterministic source. The common insert OMITS generated columns
+    // entirely: then no extra pass runs at all.
+    val provided = opts.generatedColumns.filter { case (c, _) => data.columns.contains(c) }
+    if (provided.nonEmpty) {
+      val counts = data.select(provided.map { case (c, sql) =>
+        count(when(col(c).isNotNull && !col(c).eqNullSafe(computedOf(c, sql)), 1)).as(c)
+      }: _*).head()
+      provided.zipWithIndex.foreach { case ((c, sql), i) =>
+        if (counts.getLong(i) > 0L) throw new IllegalStateException(
           s"reftable: column '$c' is GENERATED ALWAYS AS ($sql) — a provided value " +
             "differs from the computed one; omit the column (or write NULL) and let " +
             "the engine compute it")
       }
-      out = out.withColumn(c, computed)
     }
-    out
+    opts.generatedColumns.foldLeft(data) { case (out, (c, sql)) =>
+      out.withColumn(c, computedOf(c, sql))
+    }
   }
 
   private[reftable] def enforceExpectations(

@@ -305,6 +305,49 @@ class RefTableDmlSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("NMBS clauses apply in DECLARED order when both conditions overlap") {
+    import spark.implicits._
+    // SQL merge applies the FIRST matching clause in declaration order:
+    // a statement declaring UPDATE before DELETE must UPDATE a row both
+    // conditions hit, never silently delete it
+    val (tbl, _) = freshTable("nmbs_order")
+    try {
+      Seq((0L, 0L)).toDF("id", "nv").createOrReplaceTempView("dml_nmbs_ord_src")
+      // unmatched rows 1..99: UPDATE condition hits id >= 50, DELETE
+      // condition hits id >= 90 — overlap on 90..99
+      spark.sql(
+        s"""MERGE INTO $tbl t USING dml_nmbs_ord_src s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 50 THEN UPDATE SET s = 'upd'
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 90 THEN DELETE""".stripMargin)
+      val got = spark.table(tbl).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(got.size == 100, s"update-first must not delete: got ${got.size}")
+      assert(got.filter(_._1 >= 50).forall(_._2 == "upd"))
+      assert(got.filter(_._1 < 50).forall { case (i, s) => s == s"s$i" })
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // delete declared first: the overlap dies (and on mergeOnRead too)
+    val root = Files.createTempDirectory("graft_dml_nmbs_ord2").toString + "/t"
+    val tbl2 = "graft_dml_nmbs_order2"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+    spark.sql(s"CREATE TABLE $tbl2 USING reftable OPTIONS (path '$root', " +
+      s"schema '$ddl', mergeMode 'mergeOnRead')")
+    try {
+      (0L until 100L).map(i => (i, i * 10, s"s$i")).toDF("id", "v", "s")
+        .write.format("reftable").option("path", root).option("schema", ddl)
+        .mode("overwrite").save()
+      Seq((0L, 0L)).toDF("id", "nv").createOrReplaceTempView("dml_nmbs_ord_src2")
+      spark.sql(
+        s"""MERGE INTO $tbl2 t USING dml_nmbs_ord_src2 s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 90 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 50 THEN UPDATE SET s = 'upd'""".stripMargin)
+      val got = spark.table(tbl2).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(got.size == 90, s"delete-first kills the overlap: got ${got.size}")
+      assert(got.filter(g => g._1 >= 50 && g._1 < 90).forall(_._2 == "upd"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+  }
+
   test("MERGE NOT MATCHED BY SOURCE with an EMPTY source applies to every row") {
     import spark.implicits._
     val (tbl, _) = freshTable("nmbs_empty")

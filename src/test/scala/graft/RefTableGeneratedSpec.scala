@@ -45,6 +45,41 @@ class RefTableGeneratedSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 3)
   }
 
+  test("a generation expression referencing another generated column refuses at CREATE") {
+    val cat = freshCatalog()
+    // alphabetical compute order is not dependency order: `a` computes
+    // before `b` only by name accident — a cross-generated reference would
+    // read the caller-provided (typically null) input and land silently
+    // wrong. Spark's own analyzer refuses the SQL declaration surface
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.gx (id BIGINT, " +
+        "b BIGINT GENERATED ALWAYS AS (id * 2), " +
+        "a BIGINT GENERATED ALWAYS AS (b + 1)) USING reftable")
+    }
+    assert(msgs(e).exists(m => m.contains("references generated") ||
+      m.contains("cannot reference another generated column")), e.toString)
+    // ...and the raw OPTIONS descriptor path (path tables, hand-written
+    // columnGenerated JSON) refuses at option parse — it bypasses the
+    // analyzer's check entirely, so without the parse-time rule the value
+    // would land silently wrong
+    import scala.jdk.CollectionConverters._
+    val e2 = intercept[Exception] {
+      graft.sources.reftable.RefTableOptions.from(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map(
+          "path" -> "/tmp/never", "schema" -> "id BIGINT, a BIGINT, b BIGINT",
+          "columnGenerated" -> """{"b": "id * 2", "a": "b + 1"}""").asJava))
+    }
+    assert(msgs(e2).exists(_.contains("references generated")), e2.toString)
+    // self-reference is the degenerate case of the same rule
+    val e3 = intercept[Exception] {
+      graft.sources.reftable.RefTableOptions.from(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(Map(
+          "path" -> "/tmp/never", "schema" -> "id BIGINT, a BIGINT",
+          "columnGenerated" -> """{"a": "a + 1"}""").asJava))
+    }
+    assert(msgs(e3).exists(_.contains("references generated")), e3.toString)
+  }
+
   test("generated columns compose with expectations and partitioning") {
     val cat = freshCatalog()
     val t = s"$cat.db.g2"

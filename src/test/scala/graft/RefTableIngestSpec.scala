@@ -157,4 +157,67 @@ class RefTableIngestSpec extends AnyFunSuite {
     assert(r2.ingested == 1, r2.toString)
     assert(tableCount(root) == 15, "old 5 rows + re-uploaded 10 rows")
   }
+
+  test("commit-log marker pruning never resurrects a loaded batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ingest5").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 10L).map(i => (i, i)))
+    val r1 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r1.ingested == 1 && tableCount(root) == 10)
+    // the data-side seq is durably claimed, independent of the commit log
+    val seqFile = new org.apache.hadoop.fs.Path(root, "_INGEST_SEQ/1")
+    assert(seqFile.getFileSystem(conf).exists(seqFile),
+      "_INGEST_SEQ/1 claimed at ingest time")
+
+    // ordinary table writes push the txn:ingest:1 marker past keepVersions
+    // (default 3): before the durable seq file, lastCommittedBatch then
+    // returned 0 while the log still showed seq 1 — the recovery path
+    // re-appended batch 1 (silent duplicate rows)
+    (0 until 4).foreach { i =>
+      RefTableWrites.appendVersion(optsFor(root),
+        Seq((1000L + i, 1000L + i)).toDF("id", "v"))
+    }
+    assert(RefTableWrites.lastCommittedBatch(root, "ingest", conf).isEmpty,
+      "precondition: the ingest marker has pruned out of the retained log")
+
+    val r2 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r2 == RefTableIngest.Result(0, 0, 1, 1L), r2.toString)
+    assert(tableCount(root) == 14, "no duplicate of batch 1 after marker pruning")
+  }
+
+  test("a crashed winner's FULL logged batch completes, never a subset") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ingest6").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 10L).map(i => (i, i)))
+    val r1 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r1.ingested == 1)
+
+    // a winner logged a TWO-file batch at seq 2 and crashed before loading
+    // — a racing caller with a one-file listing must never load just its
+    // subset under the seq (the winner's fuller append would then dedupe
+    // away as a marker replay, files logged but never loaded); the
+    // recovery path completes the winner's exact logged set
+    land(landing, "b.parquet", (10L until 15L).map(i => (i, i)))
+    land(landing, "c.parquet", (15L until 22L).map(i => (i, i)))
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(conf)
+    def stat(n: String) = fs.getFileStatus(new org.apache.hadoop.fs.Path(landing, n))
+    val logOpts = optsFor(s"$base/t__ingest")
+      .copy(schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "seq BIGINT, file STRING, bytes BIGINT"))
+    RefTableWrites.appendVersion(logOpts,
+      Seq("b.parquet", "c.parquet")
+        .map(n => (2L, stat(n).getPath.toString, stat(n).getLen))
+        .toDF("seq", "file", "bytes"),
+      txn = Some(("ingest-log", 2L)))
+
+    val r2 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r2.recovered == 2, s"both logged files completed: $r2")
+    assert(tableCount(root) == 22)
+    val r3 = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r3.ingested == 0 && r3.recovered == 0 && tableCount(root) == 22)
+  }
 }
