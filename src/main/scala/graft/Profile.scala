@@ -29,6 +29,25 @@ object Profile {
     time("minhashBands posexplode")(
       docs.select(posexplode(minhashBands(tokens(col("text")), 3, 64))).count())
     time("simhash agg")(docs.select(simhash60(tokens(col("text"))).as("sh")).agg(sum("sh")).count())
+
+    // embedding-scan path A/B: the same reftable array<float> scan on the
+    // vectorized (nested-column decode) vs row (Group reader) path —
+    // toggled via -Dgraft.reftable.vectorized.arrays; pass "emb" as arg 2
+    if (args.length > 1 && args(1) == "emb") {
+      import graft.sources.reftable.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_prof_emb").toString + "/t"
+      VersionedTable.publish(spark.read.parquet(Tables.path(dir, "embeddings")), root)
+      def scan() = spark.read.format("reftable").option("path", root)
+        .option("schema", "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT").load()
+      scan().count() // warm footer caches
+      for (i <- 1 to 3) {
+        time(s"emb scan sum(e0) #$i")(
+          scan().agg(sum(element_at(col("embedding"), 1).cast("double"))).count())
+        time(s"emb scan sum(size) #$i")(scan().agg(sum(size(col("embedding")))).count())
+      }
+      println("plan: " + (if (scan().select("embedding").queryExecution.executedPlan
+        .toString.contains("ColumnarToRow")) "COLUMNAR" else "ROW"))
+    }
     spark.stop()
   }
 }

@@ -17,10 +17,11 @@ object TableRead {
     // FIRST-CLASS VECTOR COLUMNS through the source: the embeddings table
     // (array<float>) publishes into a versioned root and reads back
     // through the reftable scan with the array decoded by the source
-    // itself — no BINARY packing. Projections that touch the vector ride
-    // the row path; everything else stays vectorized (RefTableVectorSpec
-    // pins the plan). The oracle aggregates the same parquet in DuckDB:
-    // per-label counts, dimensions and the first-element sum.
+    // itself — no BINARY packing, and VECTORIZED: arrays ride Spark's
+    // nested-column decode (parquet LIST → offsets + child vector), so the
+    // embedding scan runs at the same batched ceiling as scalar columns
+    // (RefTableVectorSpec pins the plan). The oracle aggregates the same
+    // parquet in DuckDB: per-label counts, dimensions, first-element sum.
     QueryDef("q186_vector_scan", (s, dir) => {
       import graft.sources.reftable.VersionedTable
       val root = RelationalSupport.scratchDir(s, dir, "q186_vec")

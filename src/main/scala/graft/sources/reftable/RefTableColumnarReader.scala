@@ -39,11 +39,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * a residual (see RefTableScanBuilder.pushFilters).
   */
 object RefTableColumnarReader {
-  /** Types the vectorized decoder handles for this source's flat schemas. */
+  /** Types the vectorized decoder handles for this source's schemas.
+    * Single-level arrays of the declarable vector element types ride
+    * Spark's own nested-column vectorized decode (parquet LIST → offsets +
+    * child vector, SPARK-34863) — embedding corpora are the north star's
+    * dominant scans, so an `array<float>` column must NOT demote the whole
+    * file to the row-oriented Group reader. Deeper nesting never reaches
+    * here (refused at option validation).
+    */
   def supports(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | FloatType | BooleanType |
          StringType | BinaryType | TimestampType | DateType | ShortType | ByteType => true
     case _: DecimalType => true
+    case ArrayType(et, _) => et match {
+      case IntegerType | LongType | DoubleType | FloatType | BooleanType |
+           StringType | BinaryType =>
+        // escape hatch mirroring Spark's own
+        // spark.sql.parquet.enableNestedColumnVectorizedReader: row-path
+        // arrays on demand (A/B adjudication, emergency fallback)
+        !"false".equalsIgnoreCase(
+          System.getProperty("graft.reftable.vectorized.arrays", "true"))
+      case _ => false
+    }
     case _ => false
   }
 

@@ -357,9 +357,10 @@ object RefTableOptions {
     // time, not throw from an executor mid-scan. Decodable: the flat
     // primitives, plus single-level arrays of
     // float/double/int/long/string/boolean/binary — the VECTOR /
-    // token-list column classes (row-path decode; projections touching
-    // them fall back from the vectorized reader). Deeper nesting: pack
-    // to BINARY (graft.functions PackVector) or flatten.
+    // token-list column classes (served VECTORIZED through Spark's
+    // nested-column decode, with the Group reader as the row fallback).
+    // Deeper nesting: pack to BINARY (graft.functions PackVector) or
+    // flatten.
     def decodable(dt: DataType): Boolean = dt match {
       case IntegerType | LongType | DoubleType | FloatType | BooleanType |
            StringType | BinaryType | TimestampType | DateType |

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** First-class vector columns through the source: single-level
-  * array<float|double|int|long|string|boolean|binary> decode on the row
-  * read path (projections touching an array column fall back from the
-  * vectorized reader; everything else stays columnar). Deeper nesting is
-  * refused at ANALYSIS time with the PackVector/BINARY workaround named.
+  * array<float|double|int|long|string|boolean|binary> decode on BOTH read
+  * paths — the vectorized reader serves arrays through Spark's own
+  * nested-column decode (parquet LIST → offsets + child vector), so an
+  * embedding column no longer demotes the file to the row-oriented Group
+  * reader. Deeper nesting is refused at ANALYSIS time with the
+  * PackVector/BINARY workaround named.
   */
 class RefTableVectorSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -60,6 +62,59 @@ class RefTableVectorSpec extends AnyFunSuite {
       .load().collect().head
     assert(got.getSeq[Double](1) == Seq(1.5d, 2.5d))
     assert(got.getSeq[String](2) == Seq("a", "b"))
+  }
+
+  test("vector projections plan COLUMNAR (ColumnarToRow over the scan)") {
+    import spark.implicits._
+    val root = tmp("colvec")
+    VersionedTable.publish(
+      (1L to 50L).map(i => (i, Array(i.toFloat, i * 2.0f))).toDF("id", "emb"), root)
+    val df = spark.read.format("reftable")
+      .option("path", root)
+      .option("schema", "id BIGINT, emb ARRAY<FLOAT>")
+      .load().select("id", "emb")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"a projection TOUCHING the vector must stay on the vectorized reader, got:\n$plan")
+    assert(df.count() == 50)
+  }
+
+  test("mixed vector + DECIMAL + DV read stays columnar and exact") {
+    import spark.implicits._
+    val root = tmp("mixed")
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, Array(i.toFloat, -i.toFloat),
+        new java.math.BigDecimal(s"$i.25"))).toDF("id", "emb", "d")
+        .select(col("id"), col("emb"), col("d").cast("decimal(10,2)").as("d")), root)
+    RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") % 4L === 0L)
+    val df = spark.read.format("reftable")
+      .option("path", root)
+      .option("schema", "id BIGINT, emb ARRAY<FLOAT>, d DECIMAL(10,2)")
+      .load()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"DV'd vector+decimal files must keep the vectorized decoder, got:\n$plan")
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getDecimal(2).toPlainString))
+    assert(got.length == 15, "the DV masked 5 of 20 rows")
+    assert(!got.exists(_._1 % 4 == 0))
+    assert(got.head == ((1L, Seq(1.0f, -1.0f), "1.25")), got.head.toString)
+  }
+
+  test("legacy 2-level LIST files decode on the vectorized path") {
+    import spark.implicits._
+    val root = tmp("legacy")
+    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+    try VersionedTable.publish(
+      (1L to 5L).map(i => (i, Array(i.toFloat, i + 0.5f))).toDF("id", "emb"), root)
+    finally spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    val df = spark.read.format("reftable")
+      .option("path", root)
+      .option("schema", "id BIGINT, emb ARRAY<FLOAT>")
+      .load()
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val got = df.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    assert(got.toSeq == (1L to 5L).map(i => (i, Seq(i.toFloat, i + 0.5f))))
   }
 
   test("vector columns survive merge-on-read deletes (DV-masked row path)") {
