@@ -488,6 +488,61 @@ object TableCatalogSql {
         |    AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // STREAMING LANDING-ZONE INGEST (the Auto-Loader shape): a streaming
+    // query discovers and lands new files per trigger under the SAME
+    // log-first exactly-once protocol as the batch CALL — waves landing
+    // while the stream runs load exactly once, admission-capped, and the
+    // oracle is the full source (identical to q192's batch COPY INTO:
+    // stream ≡ batch over the same files).
+    QueryDef("q198_stream_ingest", (s, dir) => {
+      import graft.sources.reftable.{RefTableIngest, RefTableOptions, VersionedTable}
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      import scala.jdk.CollectionConverters._
+      val base = RelationalSupport.scratchDir(s, dir, "q198_ing")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh zone + table
+      val root = s"$base/t"
+      val landing = s"$base/landing"
+      val ddl = "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+      val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
+        Map("path" -> root, "schema" -> ddl).asJava))
+      Tables.registerAll(s, dir)
+      def wave(pred: String): Unit =
+        s.sql(s"SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents " +
+          s"FROM orders WHERE $pred")
+          .coalesce(2).write.mode("append").parquet(landing)
+      def tcount(): Long =
+        if (VersionedTable.resolve(root, conf).isEmpty) 0L
+        else s.read.format("reftable").option("path", root)
+          .option("schema", ddl).load().count()
+      def await(target: Long): Unit = {
+        val end = System.currentTimeMillis() + 60000L
+        while (tcount() != target && System.currentTimeMillis() < end) Thread.sleep(100)
+        require(tcount() == target, s"stream ingest stalled: ${tcount()} of $target")
+      }
+      val total = s.sql("SELECT count(*) FROM orders").head().getLong(0)
+      val even = s.sql("SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0")
+        .head().getLong(0)
+      wave("o_orderkey % 2 = 0")
+      val q = RefTableIngest.ingestStream(s, opts, landing,
+        triggerMs = 250L, maxFilesPerTrigger = Some(1))
+      try {
+        await(even)
+        wave("o_orderkey % 2 = 1") // lands while the stream runs
+        await(total)
+      } finally q.stop()
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("bigint").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // PARTITION EVOLUTION (the Iceberg flagship, metadata-only): the table
     // starts partitioned by o_orderstatus, is ALTERed to partition by the
     // priority digit, and both eras keep serving every column — old files

@@ -98,10 +98,16 @@ object RefTableIngest {
       // generated columns — inheriting them would fail expr resolution
       generatedColumns = Nil)
 
+  /** `maxFilesPerCall` is the admission cap of the streaming variant
+    * ([[ingestStream]]): at most that many NEW files load per call, oldest
+    * path-order first; the rest stay unclaimed for the next call. Capped
+    * or not, every loaded batch rides the same log-first protocol.
+    */
   def ingest(spark: SparkSession, opts: RefTableOptions, source: String,
-      format: String = "parquet"): Result = {
+      format: String = "parquet", maxFilesPerCall: Option[Int] = None): Result = {
     require(Set("parquet", "orc", "json", "csv").contains(format),
       s"ingest: unsupported format '$format' (parquet, orc, json, csv)")
+    require(maxFilesPerCall.forall(_ > 0), "ingest: maxFilesPerCall must be positive")
     val conf = new Configuration()
     val srcPath = new Path(source)
     val fs = srcPath.getFileSystem(conf)
@@ -154,7 +160,12 @@ object RefTableIngest {
         claimSeq(opts.path, sLog, conf)
         recovered = pending.size
       }
-      val fresh = listed.filterNot { case (id, _, _) => logged.contains(id) }
+      // admission cap: oldest path-order first, the rest stay unclaimed
+      // (deferred files count as skipped in the Result; the next call —
+      // or the stream's next trigger — picks them up)
+      val freshAll = listed.filterNot { case (id, _, _) => logged.contains(id) }
+        .sortBy(_._2)
+      val fresh = maxFilesPerCall.fold(freshAll)(freshAll.take)
       if (fresh.isEmpty)
         return Result(0, recovered, listed.size, math.max(sLog, sData))
       val seq = sLog + 1
@@ -186,5 +197,56 @@ object RefTableIngest {
         "ingest: lost the log-append race 5 times; retry the call")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Streaming landing-zone ingestion — the Auto-Loader shape on the SAME
+    * exactly-once protocol as the batch CALL: every trigger discovers and
+    * lands only files the ingest log has not claimed, honoring the
+    * `maxFilesPerTrigger` admission cap (deferred files load on later
+    * triggers). The micro-batch engine here is purely a SCHEDULER:
+    * idempotence lives in the table protocol — log-first seq claim, txn
+    * markers, the durable `_INGEST_SEQ` high-water — so a replayed or
+    * zombie trigger, a concurrent second stream, and a concurrent batch
+    * `CALL system.ingest` over the same landing zone all serialize through
+    * the log and land nothing twice. Restarts need no offset recovery (the
+    * reference's restart contract, PipelineTest.java:151-177, extended to
+    * ingest: rows across a restart all visible, none duplicated); the
+    * checkpoint only paces the ticker. Stop with `query.stop()`.
+    */
+  def ingestStream(spark: SparkSession, opts: RefTableOptions, source: String,
+      format: String = "parquet", triggerMs: Long = 1000L,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cp = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest_stream").toString)
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", cp)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        ingest(spark, opts, source, format, maxFilesPerTrigger); ()
+      }
+      // unique suffix: concurrent streams over one zone are legal (they
+      // serialize through the log) and session query names must not clash
+      .queryName(s"reftable-ingest:${opts.path}#" +
+        java.util.UUID.randomUUID().toString.take(8))
+      .start()
+  }
+
+  /** Drain the landing zone NOW (the Trigger.AvailableNow analogue):
+    * repeated capped calls until a call lands nothing new.
+    */
+  def drain(spark: SparkSession, opts: RefTableOptions, source: String,
+      format: String = "parquet", maxFilesPerCall: Option[Int] = None): Result = {
+    var total = Result(0, 0, 0, 0L)
+    var r = ingest(spark, opts, source, format, maxFilesPerCall)
+    total = Result(r.ingested, r.recovered, r.skipped, r.seq)
+    while (r.ingested > 0 || r.recovered > 0) {
+      r = ingest(spark, opts, source, format, maxFilesPerCall)
+      total = Result(total.ingested + r.ingested, total.recovered + r.recovered,
+        r.skipped, r.seq)
+    }
+    total
   }
 }

@@ -220,4 +220,79 @@ class RefTableIngestSpec extends AnyFunSuite {
     val r3 = RefTableIngest.ingest(spark, optsFor(root), landing)
     assert(r3.ingested == 0 && r3.recovered == 0 && tableCount(root) == 22)
   }
+
+  private def await(deadlineMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    while (!cond && System.currentTimeMillis() < end) Thread.sleep(100)
+    assert(cond, s"condition not met within ${deadlineMs}ms")
+  }
+
+  test("streaming ingest: waves land exactly once; restart replays nothing") {
+    val base = Files.createTempDirectory("graft_ingest7").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 10L).map(i => (i, i)))
+    land(landing, "b.parquet", (10L until 15L).map(i => (i, i)))
+
+    // admission cap 1: the two wave-1 files load on separate triggers
+    val q1 = RefTableIngest.ingestStream(spark, optsFor(root), landing,
+      triggerMs = 200L, maxFilesPerTrigger = Some(1))
+    try {
+      await()(VersionedTable.resolve(root, conf).nonEmpty && tableCount(root) == 15)
+      // wave 2 lands while the stream runs — discovered on a later trigger
+      land(landing, "c.parquet", (15L until 22L).map(i => (i, i)))
+      await()(tableCount(root) == 22)
+    } finally q1.stop()
+    // cap 1 ⇒ one file per seq ⇒ three log batches
+    assert(spark.read.format("reftable").option("path", s"${root}__ingest")
+      .option("schema", "seq BIGINT, file STRING, bytes BIGINT").load()
+      .select("seq").distinct().count() == 3)
+
+    // restart: a NEW stream (fresh checkpoint — idempotence is in the
+    // table protocol, not the checkpoint) replays nothing, then ingests
+    // only the post-restart wave
+    val q2 = RefTableIngest.ingestStream(spark, optsFor(root), landing,
+      triggerMs = 200L)
+    try {
+      Thread.sleep(800) // a few triggers over the already-loaded zone
+      assert(tableCount(root) == 22, "restart must not duplicate loaded waves")
+      land(landing, "d.parquet", (22L until 25L).map(i => (i, i)))
+      await()(tableCount(root) == 25)
+    } finally q2.stop()
+    // distinct ids prove exactly-once end to end
+    assert(spark.read.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, v BIGINT").load()
+      .select("id").distinct().count() == 25)
+  }
+
+  test("streaming ingest: a concurrent zombie stream lands nothing twice") {
+    val base = Files.createTempDirectory("graft_ingest8").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    land(landing, "a.parquet", (0L until 10L).map(i => (i, i)))
+    val q1 = RefTableIngest.ingestStream(spark, optsFor(root), landing, triggerMs = 200L)
+    val q2 = RefTableIngest.ingestStream(spark, optsFor(root), landing, triggerMs = 200L)
+    try {
+      await()(VersionedTable.resolve(root, conf).nonEmpty && tableCount(root) == 10)
+      land(landing, "b.parquet", (10L until 18L).map(i => (i, i)))
+      await()(tableCount(root) == 18)
+      Thread.sleep(800) // let both streams keep triggering over the same zone
+      assert(tableCount(root) == 18, "two streams over one zone must serialize")
+    } finally { q1.stop(); q2.stop() }
+    assert(spark.read.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, v BIGINT").load()
+      .select("id").distinct().count() == 18)
+  }
+
+  test("drain (AvailableNow analogue) loads everything under the cap, then stops") {
+    val base = Files.createTempDirectory("graft_ingest9").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    (0 until 5).foreach(i =>
+      land(landing, s"f$i.parquet", (i * 10L until i * 10L + 10L).map(j => (j, j))))
+    val r = RefTableIngest.drain(spark, optsFor(root), landing, maxFilesPerCall = Some(2))
+    assert(r.ingested == 5, r.toString)
+    assert(tableCount(root) == 50)
+    assert(r.seq == 3, "cap 2 over 5 files = 3 log batches")
+  }
 }
