@@ -543,6 +543,44 @@ object TableCatalogSql {
         |    AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // WRITABLE BRANCHES (the Iceberg branch shape on the commit-log
+    // machinery): main holds the even orderkeys; a zero-copy branch takes
+    // an append of the odd keys and a COW delete, all invisible to main;
+    // fast-forward publishes the branch head back CAS-guarded on the fork.
+    // The oracle is the LINEAR history: the same writes applied in order
+    // with no branch at all — branch+ff must be observationally identical.
+    QueryDef("q199_branch_ff", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val base = RelationalSupport.scratchDir(s, dir, "q199_br")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val root = s"$base/t"
+      val ddl = "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+      Tables.registerAll(s, dir)
+      def feed(pred: String) =
+        s.sql(s"SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents " +
+          s"FROM orders WHERE $pred")
+      VersionedTable.publish(feed("o_orderkey % 2 = 0"), root)
+      VersionedTable.createBranch(root, "dev")
+      feed("o_orderkey % 2 = 1").write.format("reftable")
+        .option("path", root).option("schema", ddl).option("branch", "dev")
+        .mode("append").save()
+      RefTableMutations.deleteWhere(s, VersionedTable.branchRoot(root, "dev"),
+        col("o_orderkey") % 10 === 0)
+      VersionedTable.fastForward(root, "dev")
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("bigint").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // PARTITION EVOLUTION (the Iceberg flagship, metadata-only): the table
     // starts partitioned by o_orderstatus, is ALTERed to partition by the
     // priority digit, and both eras keep serving every column — old files

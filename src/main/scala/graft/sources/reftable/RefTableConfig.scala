@@ -341,8 +341,24 @@ object RefTableOptions {
     val errs = scala.collection.mutable.ListBuffer.empty[(String, String)]
     def err(property: String, message: String): Unit = errs += ((property, message))
 
-    val path = Option(options.get("path")).filter(_.nonEmpty)
-    if (path.isEmpty) err("path", "Required option 'path' is missing")
+    val path0 = Option(options.get("path")).filter(_.nonEmpty)
+    if (path0.isEmpty) err("path", "Required option 'path' is missing")
+    // `branch '<name>'`: every read, write and streaming surface targets
+    // the named writable branch (an independent nested versioned root,
+    // [[VersionedTable.createBranch]]) instead of main — the Iceberg
+    // branch-write shape as one option. Resolution is a pure path rewrite;
+    // a never-created branch fails at table resolution, naming the remedy.
+    val branch = Option(options.get("branch")).filter(_.nonEmpty)
+    branch.foreach { b =>
+      if (!b.matches("^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$"))
+        err("branch", s"Invalid branch name '$b' (allowed: letters, digits, " +
+          "'.', '_', '-'; must start alphanumeric; max 128 chars)")
+    }
+    val path = (path0, branch) match {
+      case (Some(p), Some(b)) if b.matches("^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$") =>
+        Some(VersionedTable.branchRoot(p, b))
+      case _ => path0
+    }
 
     val schemaStr = Option(options.get("schema")).filter(_.nonEmpty)
     val schema: Option[StructType] = schemaStr match {

@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object RefTableMetaTables {
 
   val Kinds: Set[String] =
-    Set("history", "commits", "files", "layout", "dv", "options", "tags", "partitions")
+    Set("history", "commits", "files", "layout", "dv", "options", "tags",
+      "partitions", "branches")
 
   /** `t$tags`: named immutable version references ([[VersionedTable.tag]]),
     * with the version each protects from retention and its creation time.
@@ -54,6 +55,20 @@ object RefTableMetaTables {
   private def tagRows(root: String, conf: Configuration): Array[InternalRow] =
     VersionedTable.tags(root, conf).map { case (name, version, createdMs) =>
       InternalRow(utf8(name), utf8(version), createdMs * 1000L)
+    }.toArray
+
+  /** `t$branches`: writable branches ([[VersionedTable.createBranch]]) —
+    * the fork version the next fast-forward CASes against and the branch's
+    * own head.
+    */
+  private val branchesSchema = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("fork_version", StringType, nullable = false),
+    StructField("head_version", StringType, nullable = true)))
+
+  private def branchRows(root: String, conf: Configuration): Array[InternalRow] =
+    VersionedTable.branches(root, conf).map { case (name, fork, head) =>
+      InternalRow(utf8(name), utf8(fork), head.map(utf8).orNull)
     }.toArray
 
   private val historySchema = StructType(Seq(
@@ -94,6 +109,8 @@ object RefTableMetaTables {
       case "layout" => new MetaTable(displayName, layoutSchema, () => layoutRows(root, conf))
       case "dv" => new MetaTable(displayName, dvSchema, () => dvRows(root, conf))
       case "tags" => new MetaTable(displayName, tagsSchema, () => tagRows(root, conf))
+      case "branches" =>
+        new MetaTable(displayName, branchesSchema, () => branchRows(root, conf))
       case "partitions" =>
         // schema is dynamic (one STRING column per partition column of the
         // CURRENT version) — computed once at resolution, like the layout

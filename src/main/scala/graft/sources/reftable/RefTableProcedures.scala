@@ -350,6 +350,78 @@ final class CloneProcedure(clone: (String, String, Option[String]) => String)
   }
 }
 
+/** `CALL cat.system.create_branch(table => 'ns.t', name => 'dev')` — fork
+  * a writable branch off the current (or pinned) version: zero data
+  * copied, independent lineage, fast-forward publish back
+  * ([[VersionedTable.createBranch]]).
+  */
+final class CreateBranchProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "create_branch"
+  override def description: String =
+    "Forks a writable branch off the table's current (or pinned) version — " +
+      "zero-copy, independently writable, fast-forwardable back to main"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("name", DataTypes.StringType).build(),
+    ProcedureParameter.in("version", DataTypes.StringType).defaultValue("''")
+      .comment("version to fork from: a name, 'tag:<t>' or 'ts:<spec>' (default: current)")
+      .build())
+
+  protected val outputSchema = StructType.fromDDL("fork_version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, pcols) = resolveTarget(input.getString(0))
+    val version = Option(input.getString(2)).filter(_.nonEmpty)
+    result(UTF8String.fromString(
+      VersionedTable.createBranch(root, input.getString(1), version, pcols)))
+  }
+}
+
+/** `CALL cat.system.fast_forward(table => 'ns.t', name => 'dev')` — the
+  * branch head's exact content becomes main's next version, CAS-guarded on
+  * the fork version: main moved since the fork ⇒ loud refusal.
+  */
+final class FastForwardProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "fast_forward"
+  override def description: String =
+    "Publishes the branch head as main's next version (zero-copy), refusing " +
+      "loudly when main has moved since the branch forked"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("name", DataTypes.StringType).build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, pcols) = resolveTarget(input.getString(0))
+    result(UTF8String.fromString(
+      VersionedTable.fastForward(root, input.getString(1), pcols)))
+  }
+}
+
+/** `CALL cat.system.drop_branch(table => 'ns.t', name => 'dev')`. */
+final class DropBranchProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "drop_branch"
+  override def description: String =
+    "Deletes a branch's lineage, links and fork marker; main is untouched"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("name", DataTypes.StringType).build())
+
+  protected val outputSchema = StructType.fromDDL("dropped BOOLEAN")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, _) = resolveTarget(input.getString(0))
+    result(Boolean.box(VersionedTable.dropBranch(root, input.getString(1))))
+  }
+}
+
 /** `CALL cat.system.ingest(table => 'ns.t', source => '/landing/dir')` —
   * idempotent landing-zone batch ingestion (the `COPY INTO` shape): every
   * not-yet-loaded data file in the source directory loads exactly once

@@ -915,6 +915,129 @@ object VersionedTable {
   private[reftable] def taggedVersions(root: String, conf: Configuration): Set[String] =
     tags(root, conf).map(_._2).toSet
 
+  // ---- Writable branches ---------------------------------------------
+  // A branch is the MUTABLE counterpart of a tag: a named, independently
+  // writable lineage forked from a committed version — the Iceberg branch
+  // shape for dev/test-on-prod-data, rebuilt on machinery this table
+  // protocol already has. A branch is a zero-copy clone ([[cloneTo]]:
+  // hard-linked listing, own commit log/manifests/stats/DV sidecars)
+  // nested under `_BRANCHES/<name>`, so EVERY read, write, mutation and
+  // streaming surface works against it unchanged (readers/writers target
+  // it via the `branch` option — a pure path rewrite — or the branch root
+  // path); and fast-forward is [[promote]] CAS-guarded on the recorded
+  // fork version — main moved since the fork ⇒ loud CommitConflict
+  // refusal, exactly the WAP publish contract. Branch existence is the
+  // create-once `_FORK` marker claim (racing creates lose); vacuum and
+  // retention never touch `_BRANCHES` (non-version root entries), and a
+  // branch SURVIVES main's vacuum of its fork version — hard links keep
+  // the bytes, stronger isolation than Iceberg/Delta branches.
+
+  val BranchesDir = "_BRANCHES"
+
+  def branchRoot(root: String, name: String): String =
+    s"${root.stripSuffix("/")}/$BranchesDir/$name"
+
+  private def forkPath(root: String, name: String): Path =
+    new Path(new Path(branchRoot(root, name)), "_FORK")
+
+  /** Fork a writable branch off the current (or `version`-pinned: a name,
+    * `tag:<t>`, `ts:<spec>`) state. Returns the fork version name.
+    */
+  def createBranch(root: String, name: String, version: Option[String] = None,
+      partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
+    require(name.matches(TagNameRe),
+      s"branch: invalid branch name '$name' (allowed: letters, digits, '.', '_', " +
+        "'-'; must start alphanumeric; max 128 chars)")
+    val conf = new Configuration()
+    val fork = version match {
+      case Some(v) =>
+        new Path(SnapshotFiles.resolveDir(root, Some(v), conf)).getName
+      case None => resolve(root, conf).map(p => new Path(p).getName).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch: $root is not a versioned table root"))
+    }
+    val p = forkPath(root, name)
+    val content =
+      s"""{"version":"$fork","created":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8")
+    // existence IS the marker claim: racing creates lose loudly, and the
+    // clone below publishes into a root only this caller owns
+    if (!CommitPrimitive.forPath(p, conf).putIfAbsent(p, content, conf))
+      throw new IllegalArgumentException(
+        s"branch: '$name' already exists at $root (dropBranch releases it)")
+    try cloneTo(root, branchRoot(root, name), Some(fork), partitionColumns, keepVersions)
+    catch { case e: Throwable =>
+      // a failed clone must not leave an unusable claimed name
+      try p.getFileSystem(conf).delete(new Path(branchRoot(root, name)), true)
+      catch { case _: java.io.IOException => () }
+      throw e
+    }
+    fork
+  }
+
+  /** The fork version a branch's next fast-forward CASes against. */
+  def branchFork(root: String, name: String,
+      conf: Configuration = new Configuration()): Option[String] = {
+    val p = forkPath(root, name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val v = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in).path("version").asText()
+      finally in.close()
+      Some(v).filter(_.nonEmpty)
+    }
+  }
+
+  /** All branches: (name, fork version, branch head version if published). */
+  def branches(root: String, conf: Configuration = new Configuration())
+      : Seq[(String, String, Option[String])] = {
+    val dir = new Path(new Path(root), BranchesDir)
+    val fs = dir.getFileSystem(conf)
+    val entries =
+      try fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    entries.flatMap { s =>
+      val n = s.getPath.getName
+      branchFork(root, n, conf).map(f =>
+        (n, f, resolve(branchRoot(root, n), conf).map(p => new Path(p).getName)))
+    }.sortBy(_._1)
+  }
+
+  /** Fast-forward: the branch head's exact content becomes main's next
+    * version — zero data copied (hard-linked listing), CAS-guarded on the
+    * fork version, so a main that moved since the fork REFUSES loudly
+    * (CommitConflictException) instead of silently clobbering concurrent
+    * work; rebase by re-branching. On success the branch re-points its
+    * fork at the promoted version, so further branch work can fast-forward
+    * again — the branch cycles, it does not burn.
+    */
+  def fastForward(root: String, name: String,
+      partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
+    val conf = new Configuration()
+    val fork = branchFork(root, name, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch: '$name' does not exist at $root (createBranch forks one)"))
+    val promoted = promote(branchRoot(root, name), root,
+      expectedBase = Some(fork), partitionColumns, keepVersions)
+    CommitPrimitive.forPath(forkPath(root, name), conf).overwrite(
+      forkPath(root, name),
+      s"""{"version":"$promoted","created":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"), conf)
+    promoted
+  }
+
+  /** Delete a branch (its lineage, links and fork marker). Main is
+    * untouched — branch versions were never in main's commit log.
+    */
+  def dropBranch(root: String, name: String): Boolean = {
+    val conf = new Configuration()
+    val p = new Path(branchRoot(root, name))
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
   /** Parse a `ts:` timestamp spec into epoch millis: bare digits are
     * epoch millis; otherwise an ISO-8601 instant (`2026-08-14T12:00:00Z`),
     * a UTC date-time (`yyyy-MM-dd HH:mm:ss[.SSS]`, 'T' separator accepted),

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.{RefTableMutations, VersionedTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Writable branches: a named, independently writable lineage forked
+  * zero-copy off a committed version; every read/write surface targets it
+  * via the `branch` option; fast-forward publishes the branch head back to
+  * main CAS-guarded on the fork version (main moved ⇒ loud refusal).
+  */
+class RefTableBranchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_branch_$name").toString + "/t"
+
+  private val ddl = "id BIGINT, v BIGINT"
+
+  private def readMain(root: String) =
+    spark.read.format("reftable").option("path", root).option("schema", ddl).load()
+  private def readBranch(root: String, b: String) =
+    spark.read.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", b).load()
+
+  test("write to branch + fast-forward equals the linear history; main isolated") {
+    import spark.implicits._
+    val root = tmp("ff")
+    VersionedTable.publish((1L to 10L).map(i => (i, i)).toDF("id", "v"), root)
+    val fork = VersionedTable.createBranch(root, "dev")
+    assert(VersionedTable.branches(root).map(_._1) == Seq("dev"))
+
+    // branch work: an append THROUGH THE OPTION surface + a COW delete on
+    // the branch root — main must see none of it
+    Seq((11L, 11L), (12L, 12L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    RefTableMutations.deleteWhere(spark,
+      VersionedTable.branchRoot(root, "dev"), col("id") <= 2L)
+    assert(readMain(root).count() == 10, "main untouched by branch writes")
+    assert(readBranch(root, "dev").count() == 10, "10 - 2 + 2")
+
+    // fast-forward: branch head content becomes main's next version
+    val promoted = VersionedTable.fastForward(root, "dev")
+    val got = readMain(root).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == ((3L to 12L)), s"linear-history equivalent, got $got")
+    // history preserved: the pre-FF main version is still time-travelable
+    val before = readMain(root).count()
+    assert(before == 10)
+    assert(spark.read.format("reftable").option("path", root)
+      .option("schema", ddl).option("version", fork).load().count() == 10)
+    assert(VersionedTable.resolve(root, conf).exists(_.endsWith(promoted)))
+  }
+
+  test("main moving after the fork makes fast-forward refuse loudly") {
+    import spark.implicits._
+    val root = tmp("cas")
+    VersionedTable.publish((1L to 5L).map(i => (i, i)).toDF("id", "v"), root)
+    VersionedTable.createBranch(root, "dev")
+    Seq((100L, 100L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    // concurrent main write AFTER the fork
+    Seq((200L, 200L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("append").save()
+    val e = intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.fastForward(root, "dev")
+    }
+    assert(e.getMessage.contains("lost the claim") || e.getMessage.nonEmpty)
+    // nothing landed: main keeps its own lineage, branch keeps its work
+    assert(readMain(root).count() == 6)
+    assert(readBranch(root, "dev").count() == 6)
+  }
+
+  test("a branch cycles: fast-forward, more branch work, fast-forward again") {
+    import spark.implicits._
+    val root = tmp("cycle")
+    VersionedTable.publish(Seq((1L, 1L)).toDF("id", "v"), root)
+    VersionedTable.createBranch(root, "dev")
+    def appendBranch(i: Long): Unit =
+      Seq((i, i)).toDF("id", "v").write.format("reftable")
+        .option("path", root).option("schema", ddl).option("branch", "dev")
+        .mode("append").save()
+    appendBranch(2L)
+    VersionedTable.fastForward(root, "dev")
+    assert(readMain(root).count() == 2)
+    // the fork re-pointed at the promoted version: another round works
+    appendBranch(3L)
+    VersionedTable.fastForward(root, "dev")
+    assert(readMain(root).orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("racing createBranch claims exactly one; drop releases the name") {
+    import spark.implicits._
+    val root = tmp("race")
+    VersionedTable.publish(Seq((1L, 1L)).toDF("id", "v"), root)
+    VersionedTable.createBranch(root, "dev")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(root, "dev")
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(VersionedTable.dropBranch(root, "dev"))
+    assert(VersionedTable.branches(root).isEmpty)
+    VersionedTable.createBranch(root, "dev") // the name is reusable
+    intercept[IllegalArgumentException] {
+      VersionedTable.createBranch(root, "no/slash")
+    }
+  }
+
+  test("SQL surface: CALL create_branch / fast_forward / drop_branch + t$branches") {
+    val wh = Files.createTempDirectory("graft_branch_wh").toString
+    val cat = "graftbr_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 1), (2, 2)")
+    spark.sql(s"CALL $cat.system.create_branch(table => 'db.t', name => 'dev')")
+    val root = s"$wh/db/t"
+    // branch write through the option surface, visible in t$branches
+    import spark.implicits._
+    Seq((3L, 3L)).toDF("id", "v").write.format("reftable")
+      .option("path", root).option("schema", ddl).option("branch", "dev")
+      .mode("append").save()
+    val rows = spark.sql(s"SELECT * FROM $cat.db.`t$$branches`").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "dev")
+    assert(rows(0).getString(1) != rows(0).getString(2),
+      "branch head moved past the fork")
+    spark.sql(s"CALL $cat.system.fast_forward(table => 'db.t', name => 'dev')")
+    assert(spark.table(s"$cat.db.t").count() == 3)
+    spark.sql(s"CALL $cat.system.drop_branch(table => 'db.t', name => 'dev')")
+    assert(spark.sql(s"SELECT * FROM $cat.db.`t$$branches`").collect().isEmpty)
+  }
+}
