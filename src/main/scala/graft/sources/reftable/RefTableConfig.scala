@@ -273,6 +273,7 @@ final case class RefTableOptions(
     changefeedFrom: String = "earliest",
     expectations: Seq[(String, String)] = Nil,
     onViolation: String = "fail",
+    ndvStats: Seq[String] = Nil,
     retainForMs: Option[Long] = None,
     generatedColumns: Seq[(String, String)] = Nil) {
 
@@ -503,6 +504,7 @@ object RefTableOptions {
     val bucketBy = colList("bucketBy")
     val categoricalStats = colList("categoricalStats")
     val bloomStats = colList("bloomStats")
+    val ndvStats = colList("ndvStats")
     if (Seq(clusterBy, zorderBy, bucketBy).count(_.nonEmpty) > 1)
       err("clusterBy", "Options 'clusterBy', 'zorderBy' and 'bucketBy' are mutually exclusive")
     if ((clusterBy.nonEmpty || zorderBy.nonEmpty || bucketBy.nonEmpty) && partitionColumns.nonEmpty)
@@ -542,6 +544,18 @@ object RefTableOptions {
           case ByteType | ShortType | IntegerType | LongType | StringType => ()
           case other => err("bloomStats", s"bloomStats column '$c' must be integral or string " +
             s"(point-lookup types), got ${other.simpleString}")
+        }
+      })
+      // `ndvStats`: per-file mergeable HLL distinct-count sketches in the
+      // stats manifest — the CBO's per-column NDV source (join cardinality
+      // and equality-filter selectivity). Any atomic type sketches.
+      ndvStats.foreach(c => st.fields.find(_.name == c) match {
+        case None => err("ndvStats", s"ndvStats column '$c' must be a field in the schema")
+        case Some(f) => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            err("ndvStats", s"ndvStats column '$c' must be an atomic type, " +
+              "got an array (distinct counts over vectors are not a CBO signal)")
+          case _ => ()
         }
       })
     }
@@ -824,6 +838,6 @@ object RefTableOptions {
       filterSql, clusterBy, zorderBy, clusterFiles, categoricalStats, keepVersions, bloomStats,
       bucketBy, bucketCount, groupByPartition, deleteMode, updateMode, hiddenPartitions,
       mergeMode, changefeed, keyColumns, columnMapping, autoCompact, autoCompactFiles,
-      changefeedFrom, expectations, onViolation, retainForMs, generatedColumns)
+      changefeedFrom, expectations, onViolation, ndvStats, retainForMs, generatedColumns)
   }
 }

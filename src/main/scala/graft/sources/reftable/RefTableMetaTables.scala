@@ -88,7 +88,8 @@ object RefTableMetaTables {
   private val filesSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = true)))
+    StructField("n_rows", LongType, nullable = true),
+    StructField("ndv", StringType, nullable = true)))
 
   private val layoutSchema = StructType(Seq(
     StructField("property", StringType, nullable = false),
@@ -190,9 +191,16 @@ object RefTableMetaTables {
         val stats = RefTableStats.statsForListing(dir, files, conf)
         files.map { f =>
           val name = new Path(f.path).getName
+          // per-file NDV estimates (the `ndvStats` sketches), rendered as
+          // "col=est" pairs — the audit surface for what the CBO will see
+          val ndv = stats.get(f.path).map(_.cols.toSeq
+            .flatMap { case (c, cs) =>
+              cs.hll.flatMap(h => RefTableStats.ndvEstimate(Seq(h))).map(e => s"$c=$e")
+            }.sorted.mkString(",")).filter(_.nonEmpty)
           new GenericInternalRow(Array[Any](
             utf8(name), f.length,
-            stats.get(f.path).map(s => Long.box(s.rows)).orNull)): InternalRow
+            stats.get(f.path).map(s => Long.box(s.rows)).orNull,
+            ndv.map(utf8).orNull)): InternalRow
         }.toArray
     }
   }

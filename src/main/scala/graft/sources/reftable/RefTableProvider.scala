@@ -419,18 +419,62 @@ class RefTableScan(
     // subtracted) — present only when EVERY surviving file has a fresh
     // stats entry; an upper bound under residual filters, like Spark's own
     // file-source estimates. Feeds the CBO's join-order/build-side choices.
-    private val rows: java.util.OptionalLong =
+    private val fileStats: Option[Seq[RefTableStats.FileStats]] =
       try {
         val conf = new org.apache.hadoop.conf.Configuration()
         val resolved = SnapshotFiles.resolveDir(opts.path, opts.version, conf)
         val stats = RefTableStats.statsForListing(resolved, prunedFiles, conf)
-        val counts = prunedFiles.map(f => stats.get(f.path).map(_.rows - f.dvPositions.size))
-        if (counts.forall(_.isDefined))
-          java.util.OptionalLong.of(math.max(0L, counts.flatMap(x => x).sum))
-        else java.util.OptionalLong.empty()
-      } catch { case _: Throwable => java.util.OptionalLong.empty() }
+        val perFile = prunedFiles.map(f => stats.get(f.path))
+        if (perFile.forall(_.isDefined)) Some(perFile.flatten) else None
+      } catch { case _: Throwable => None }
+    private val rows: java.util.OptionalLong = fileStats match {
+      case Some(fss) => java.util.OptionalLong.of(math.max(0L,
+        fss.map(_.rows).sum - prunedFiles.map(_.dvPositions.size.toLong).sum))
+      case None => java.util.OptionalLong.empty()
+    }
+    // per-column CBO statistics over the SURVIVING files: NDV from the
+    // unioned per-file HLL sketches the `ndvStats` writer option lands in
+    // the manifest (union only when every surviving file carries a sketch
+    // — a partial union would silently understate), null counts summed
+    // from the same entries. Spark's transformV2Stats turns these into
+    // catalyst ColumnStat, so equality-filter selectivity and join
+    // cardinality estimate from real NDVs at PLAN time — the broadcast
+    // build side is picked before a single task runs, no AQE re-plan.
+    private val colStats
+        : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      // keyed on what the MANIFEST carries, not on a read option: ndvStats
+      // is a writer declaration, and readers of an ndv-sketched table get
+      // the column stats with a bare path+schema
+      for (fss <- fileStats; f <- required.fields) {
+        val sc = opts.storageColumn(f.name)
+        val entries = fss.map(_.cols.get(sc))
+        if (entries.nonEmpty && entries.forall(_.exists(_.hll.isDefined))) {
+          val ndvOpt = RefTableStats.ndvEstimate(entries.map(_.get.hll.get))
+          val nullsKnown = entries.forall(_.get.nulls >= 0L)
+          val nulls = entries.map(_.get.nulls).sum
+          ndvOpt.foreach { ndv =>
+            m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(ndv)
+                override def nullCount(): java.util.OptionalLong =
+                  if (nullsKnown) java.util.OptionalLong.of(nulls)
+                  else java.util.OptionalLong.empty()
+              })
+          }
+        }
+      }
+      m
+    }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
   }
 
   /** Storage-partitioned joins: with `groupByPartition` the scan reports

@@ -90,7 +90,8 @@ object RefTableStats {
   final case class ColStats(
       min: Option[JsonNode], max: Option[JsonNode], nulls: Long,
       vals: Option[Seq[String]] = None,
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      hll: Option[Array[Byte]] = None)
   final case class FileStats(length: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- manifest write ------------------------------------------------------
@@ -569,6 +570,66 @@ object RefTableStats {
     splice(spark, fs, base, updates)
   }
 
+  /** Attach per-file NDV (distinct-count) HLL sketches for `cols` to the
+    * stats manifest — the CBO's per-column NDV source. Sketches are
+    * MERGEABLE (DataSketches HLL, lgK=12, ~1.6% RSE): the scan unions the
+    * SURVIVING files' sketches at estimate time, so the reported NDV is
+    * the pruned listing's, not a stale whole-table figure, and mutation
+    * deltas only re-sketch the files they stage. One aggregation pass over
+    * the named columns; the splice is shared with the categorical/bloom
+    * passes (either manifest format, atomic rewrite).
+    */
+  def augmentNdv(
+      spark: org.apache.spark.sql.SparkSession, dir: String, cols: Seq[String],
+      conf: Configuration = new Configuration()): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "augmentNdv needs at least one column")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val qualified = fs.makeQualified(base).toString
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"ndv column '$c' not present in $dir"))
+    def relOf0(abs: String): String = {
+      val norm = new Path(abs).toString
+      if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
+    }
+    val sketched = df
+      .select(input_file_name().as("__f") +: cols.map(col): _*)
+      .groupBy("__f")
+      .agg(hll_sketch_agg(col(cols.head), lit(12)).as(cols.head),
+        cols.tail.map(c => hll_sketch_agg(col(c), lit(12)).as(c)): _*)
+      .collect()
+    val updates: Map[(String, String), ColPatch] = sketched.flatMap { r =>
+      val rel = relOf0(r.getString(0))
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(i + 1)).map { v =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+          val colName = c
+          (rel, c) -> (((cn: com.fasterxml.jackson.databind.node.ObjectNode) => {
+            colChild(cn, colName).put("hll", b64)
+            ()
+          }): ColPatch)
+        }
+      }
+    }.toMap
+    if (updates.nonEmpty) splice(spark, fs, base, updates)
+  }
+
+  /** Union per-file HLL sketches into one distinct-count estimate; None
+    * when `sketches` is empty or any payload fails to heapify (fail open —
+    * a partial union would silently understate the NDV).
+    */
+  private[reftable] def ndvEstimate(sketches: Seq[Array[Byte]]): Option[Long] = {
+    if (sketches.isEmpty) return None
+    try {
+      val u = new org.apache.datasketches.hll.Union(12)
+      sketches.foreach(b => u.update(org.apache.datasketches.hll.HllSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))))
+      Some(math.max(1L, math.round(u.getResult.getEstimate)))
+    } catch { case NonFatal(_) => None }
+  }
+
   // ---- manifest read -------------------------------------------------------
 
   /** Parsed manifests keyed by (path, length, mtime) — versioned snapshot
@@ -592,11 +653,15 @@ object RefTableStats {
             java.util.Base64.getDecoder.decode(b.asText()))))
         catch { case NonFatal(_) => None }
       }
+      val hll = Option(v.get("hll")).filter(_.isTextual).flatMap { h =>
+        try Some(java.util.Base64.getDecoder.decode(h.asText()))
+        catch { case NonFatal(_) => None }
+      }
       c.getKey -> ColStats(
         Option(v.get("min")).filterNot(_.isNull),
         Option(v.get("max")).filterNot(_.isNull),
         if (v.has("nulls")) v.get("nulls").asLong() else -1L,
-        vals, bloom)
+        vals, bloom, hll)
     }.toMap
 
   /** The manifest for a snapshot dir, or None when absent/unreadable. Fail

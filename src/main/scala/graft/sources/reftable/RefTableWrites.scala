@@ -127,6 +127,10 @@ object RefTableWrites {
       val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
       RefTableStats.augmentBloom(spark, resolved, storage(opts.bloomStats))
     }
+    if (opts.ndvStats.nonEmpty) {
+      val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
+      RefTableStats.augmentNdv(spark, resolved, storage(opts.ndvStats))
+    }
   }
 
   /** Highest micro-batch id transaction `appId` has committed to `root`,

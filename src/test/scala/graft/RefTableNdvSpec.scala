@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.VersionedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column NDV statistics for the CBO: the `ndvStats` writer option lands
+  * per-file mergeable HLL sketches in the stats manifest; the scan unions
+  * the surviving files' sketches and reports per-column distinct counts
+  * through DSv2 column statistics, so equality-filter selectivity and the
+  * broadcast build side are decided at PLAN time from real NDVs — no AQE
+  * re-plan needed.
+  */
+class RefTableNdvSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_ndv_$name").toString + "/t"
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("ndvStats sketches surface as catalyst column stats (scan relation)") {
+    import spark.implicits._
+    val root = tmp("stats")
+    // 50k rows, k has exactly 1000 distinct values, spread over 4 files
+    (0L until 50000L).map(i => (i, i % 1000L, i * 7L)).toDF("id", "k", "v")
+      .repartition(4)
+      .write.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, k BIGINT, v BIGINT")
+      .option("ndvStats", "k").mode("overwrite").save()
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("reftable").option("path", root)
+        .option("schema", "id BIGINT, k BIGINT, v BIGINT").load()
+      val leafStats = df.queryExecution.optimizedPlan.collectLeaves().head.stats
+      assert(leafStats.rowCount.exists(_.toLong == 50000L), leafStats.toString)
+      val kStat = leafStats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.distinctCount.isDefined),
+        s"NDV for k must reach catalyst stats, got $leafStats")
+      val ndv = kStat.get.distinctCount.get.toLong
+      assert(ndv > 900 && ndv < 1100, s"HLL union estimate off: $ndv vs 1000")
+      assert(kStat.get.nullCount.exists(_.toLong == 0L))
+    }
+    // t$files-style audit surface: every file carries a sketch
+    val cur = VersionedTable.resolve(root).get
+    val listing = graft.sources.reftable.SnapshotFiles.list(root, Nil, None)
+    val stats = graft.sources.reftable.RefTableStats.statsForListing(
+      cur, listing, new org.apache.hadoop.conf.Configuration())
+    assert(listing.forall(f => stats(f.path).cols.get("k").exists(_.hll.isDefined)))
+  }
+
+  test("3-way join picks the broadcast build side from reported NDVs, AQE off") {
+    import spark.implicits._
+    val dimRoot = tmp("dim")
+    // dim: 200k rows x 3 longs — raw bytes far above the broadcast
+    // threshold; k has NDV 1000, so `k = 7` selects ~200 rows under CBO
+    (0L until 200000L).map(i => (i, i % 1000L, i)).toDF("j", "k", "w")
+      .repartition(2)
+      .write.format("reftable").option("path", dimRoot)
+      .option("schema", "j BIGINT, k BIGINT, w BIGINT")
+      .option("ndvStats", "k").mode("overwrite").save()
+    val factRoot = tmp("fact")
+    (0L until 100000L).map(i => (i % 50000L, i)).toDF("j", "x")
+      .repartition(2)
+      .write.format("reftable").option("path", factRoot)
+      .option("schema", "j BIGINT, x BIGINT").mode("overwrite").save()
+    val dim2 = (0L until 100L).map(i => (i, s"n$i")).toDF("g", "nm")
+
+    def plan(cbo: Boolean): String = withConfsR(
+      "spark.sql.cbo.enabled" -> cbo.toString,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString) {
+      val dim = spark.read.format("reftable").option("path", dimRoot)
+        .option("schema", "j BIGINT, k BIGINT, w BIGINT").load()
+        .filter(col("k") === 7L)
+      val fact = spark.read.format("reftable").option("path", factRoot)
+        .option("schema", "j BIGINT, x BIGINT").load()
+      fact.join(dim, "j").withColumn("g", col("x") % 100L)
+        .join(broadcast(dim2), "g")
+        .queryExecution.executedPlan.toString
+    }
+    val withNdv = plan(cbo = true)
+    // the filtered dim's estimated output (rows/NDV) sits far below the
+    // threshold — the planner picks BroadcastHashJoin for fact ⋈ dim at
+    // plan time, from the reported NDV alone (AQE is off)
+    assert(withNdv.split("BroadcastHashJoin").length - 1 >= 2,
+      s"fact-dim join must broadcast the NDV-filtered dim:\n$withNdv")
+    // without CBO the same join cannot prove the filter shrinks the dim:
+    // raw scan bytes stay above the threshold, so it sort-merges
+    val withoutCbo = plan(cbo = false)
+    assert(withoutCbo.contains("SortMergeJoin"),
+      s"without column stats the dim join must NOT broadcast:\n$withoutCbo")
+  }
+
+  // like withConfs but returning the body's value
+  private def withConfsR[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("NDV unions only the SURVIVING files after pruning") {
+    import spark.implicits._
+    val root = tmp("pruned")
+    // two partitions with DISJOINT key ranges: pruning to one partition
+    // must report that partition's NDV, not the whole table's
+    (0L until 10000L).map(i => (i % 500L, "a")).toDF("k", "p")
+      .union((0L until 10000L).map(i => (1000L + i % 2000L, "b")).toDF("k", "p"))
+      .write.format("reftable").option("path", root)
+      .option("schema", "k BIGINT, p STRING")
+      .option("partitionColumns", "p").option("ndvStats", "k")
+      .mode("overwrite").save()
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val one = spark.read.format("reftable").option("path", root)
+        .option("schema", "k BIGINT, p STRING")
+        .option("partitionColumns", "p").load()
+        .filter(col("p") === "a")
+      val leaf = one.queryExecution.optimizedPlan.collectLeaves().head.stats
+      val ndv = leaf.attributeStats.find(_._1.name == "k")
+        .flatMap(_._2.distinctCount).map(_.toLong)
+      assert(ndv.exists(n => n > 450 && n < 550),
+        s"pruned-scan NDV must be partition-local (~500), got $ndv")
+    }
+  }
+}
