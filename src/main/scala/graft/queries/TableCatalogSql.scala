@@ -581,6 +581,41 @@ object TableCatalogSql {
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // COLUMN NDV STATISTICS → CBO (round 15): the table declares
+    // `ndvStats` so every INSERT lands per-file mergeable HLL sketches in
+    // the stats manifest; the read side unions the surviving files'
+    // sketches into DSv2 column statistics (RefTableNdvSpec pins the
+    // plan-time broadcast they enable). The oracle replays the same
+    // filtered join in DuckDB — correctness is stats-independent by
+    // construction, which is exactly what the entry proves.
+    QueryDef("q200_ndv_cbo_join", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q200_cat")
+      val cat = "graftndv_q200_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "USING reftable OPTIONS (ndvStats 'o_custkey,o_orderstatus')")
+      s.sql(s"INSERT INTO $cat.db.o SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) FROM orders")
+      s.sql(
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+           |  CAST(sum(o.cents) AS BIGINT) AS sum_cents
+           |FROM $cat.db.o o JOIN customer c ON o.o_custkey = c.c_custkey
+           |WHERE o.o_orderstatus = 'F'
+           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    }, Some(
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
     // PARTITION EVOLUTION (the Iceberg flagship, metadata-only): the table
     // starts partitioned by o_orderstatus, is ALTERed to partition by the
     // priority digit, and both eras keep serving every column — old files
