@@ -93,7 +93,7 @@ object RefTableIngest {
       partitionColumns = Nil, hiddenPartitions = Nil,
       zorderBy = Nil, clusterBy = Nil, bucketBy = Nil,
       rowField = None, keyColumn = None, columnMapping = Map.empty,
-      categoricalStats = Nil, bloomStats = Nil,
+      categoricalStats = Nil, bloomStats = Nil, ndvStats = Nil,
       // the log's (seq, file, bytes) rows never carry the table's
       // generated columns — inheriting them would fail expr resolution
       generatedColumns = Nil)

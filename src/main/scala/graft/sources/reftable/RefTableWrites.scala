@@ -351,7 +351,7 @@ object RefTableWrites {
       partitionColumns = Nil, hiddenPartitions = Nil,
       zorderBy = Nil, clusterBy = Nil, bucketBy = Nil,
       rowField = None, keyColumn = None, columnMapping = Map.empty,
-      categoricalStats = Nil, bloomStats = Nil,
+      categoricalStats = Nil, bloomStats = Nil, ndvStats = Nil,
       // the rejects log stores the images as quarantined — no recompute
       generatedColumns = Nil)
 
