@@ -786,7 +786,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
 
   private val procedures =
     Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote",
-      "expect", "ingest", "create_branch", "fast_forward", "drop_branch")
+      "expect", "ingest", "create_branch", "fast_forward", "drop_branch", "analyze")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -804,6 +804,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "promote" => new PromoteProcedure(maintenanceTarget)
       case "expect" => new ExpectProcedure(maintenanceTarget)
       case "ingest" => new IngestProcedure(optsTarget)
+      case "analyze" => new AnalyzeProcedure(optsTarget)
       case "create_branch" => new CreateBranchProcedure(maintenanceTarget)
       case "fast_forward" => new FastForwardProcedure(maintenanceTarget)
       case "drop_branch" => new DropBranchProcedure(maintenanceTarget)

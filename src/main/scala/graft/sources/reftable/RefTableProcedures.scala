@@ -350,6 +350,46 @@ final class CloneProcedure(clone: (String, String, Option[String]) => String)
   }
 }
 
+/** `CALL cat.system.analyze(table => 'ns.t', columns => 'a,b')` — compute
+  * per-file NDV (HLL) sketches for the named columns into the CURRENT
+  * version's stats manifest, the ANALYZE TABLE analogue: tables written
+  * before `ndvStats` was declared get CBO column statistics without a
+  * rewrite. One aggregation pass over the named columns.
+  */
+final class AnalyzeProcedure(resolveOpts: String => RefTableOptions)
+    extends RefTableProcedure {
+  override def name: String = "analyze"
+  override def description: String =
+    "Computes per-file NDV (HLL) sketches for the named columns into the current " +
+      "version's stats manifest — CBO column statistics without a rewrite"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("columns", DataTypes.StringType)
+      .comment("comma-separated column names (declared, atomic types)").build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING, columns STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val opts = resolveOpts(input.getString(0))
+    val cols = input.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, "analyze: 'columns' names at least one column")
+    cols.foreach { c =>
+      require(opts.schema.fieldNames.contains(c),
+        s"analyze: unknown column '$c' (declared: ${opts.schema.fieldNames.mkString(", ")})")
+      require(!opts.schema.fields.find(_.name == c).get.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"analyze: column '$c' is an array — NDV sketches cover atomic types")
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val resolved = SnapshotFiles.resolveDir(opts.path, None, conf)
+    RefTableStats.augmentNdv(SparkSession.active, resolved,
+      cols.map(opts.storageColumn), conf)
+    result(UTF8String.fromString(new org.apache.hadoop.fs.Path(resolved).getName),
+      UTF8String.fromString(cols.mkString(",")))
+  }
+}
+
 /** `CALL cat.system.create_branch(table => 'ns.t', name => 'dev')` — fork
   * a writable branch off the current (or pinned) version: zero data
   * copied, independent lineage, fast-forward publish back

@@ -112,6 +112,31 @@ class RefTableNdvSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.analyze backfills NDV sketches on an existing table") {
+    val wh = Files.createTempDirectory("graft_ndv_wh").toString
+    val cat = "graftndv_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, k BIGINT) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id % 300 FROM range(20000)")
+    def kNdv(): Option[Long] = withConfsR("spark.sql.cbo.enabled" -> "true") {
+      spark.table(s"$cat.db.t").queryExecution.optimizedPlan
+        .collectLeaves().head.stats
+        .attributeStats.find(_._1.name == "k").flatMap(_._2.distinctCount)
+        .map(_.toLong)
+    }
+    assert(kNdv().isEmpty, "no sketches before ANALYZE")
+    spark.sql(s"CALL $cat.system.analyze(table => 'db.t', columns => 'k')")
+    val ndv = kNdv()
+    assert(ndv.exists(n => n > 270 && n < 330), s"post-analyze NDV ~300, got $ndv")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.analyze(table => 'db.t', columns => 'nope')")
+    }
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+  }
+
   test("NDV unions only the SURVIVING files after pruning") {
     import spark.implicits._
     val root = tmp("pruned")
