@@ -242,7 +242,10 @@ class RefTable(val opts: RefTableOptions, raw: Map[String, String] = Map.empty) 
   private val PerScanKeys = Set(
     "version", "filter", "refreshinterval", "emitmode", "maxfilespertrigger",
     "maxbytespertrigger", "groupbypartition", "statspruning",
-    "allowmissingcolumns", "strictsnapshot")
+    "allowmissingcolumns", "strictsnapshot",
+    // schema-preserving by construction (a branch shares main's declared
+    // schema); resolves through the path rewrite in RefTableOptions.from
+    "branch")
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     import scala.jdk.CollectionConverters._

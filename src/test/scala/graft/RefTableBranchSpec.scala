@@ -133,6 +133,9 @@ class RefTableBranchSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(0) == "dev")
     assert(rows(0).getString(1) != rows(0).getString(2),
       "branch head moved past the fork")
+    // catalog reads take `branch` as a schema-preserving PER-SCAN option
+    assert(spark.read.option("branch", "dev").table(s"$cat.db.t").count() == 3)
+    assert(spark.table(s"$cat.db.t").count() == 2, "main still unforked")
     spark.sql(s"CALL $cat.system.fast_forward(table => 'db.t', name => 'dev')")
     assert(spark.table(s"$cat.db.t").count() == 3)
     spark.sql(s"CALL $cat.system.drop_branch(table => 'db.t', name => 'dev')")
