@@ -77,9 +77,16 @@ object Bench {
     // lives in BENCH.json — at 176 entries the full form measured 1906 of
     // the ~2000-char stdout window, so the drain map moved off the line
     // (headroom back to ~40 more entries)
+    // stdout keeps ONLY contract fields + the per-query map: at 193
+    // entries the line measured 1934 of the EXACTLY-2000-char recorder
+    // window, so cold_total/runs moved off the stdout line too (both
+    // still in BENCH.json). Next squeeze if the catalog nears ~205
+    // entries: pack `queries` as one "NN:cs,NN:cs" string (~2.5
+    // chars/entry saved), declared by a q_fmt field.
     def tail(withDrain: Boolean): String =
-      (if (withDrain) s""""drain_unit":"cs","drain":${jsonMap(drain)},""" else "") +
-        s""""cold_total":${r3(coldTotal)},"runs":$runs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      (if (withDrain) s""""drain_unit":"cs","drain":${jsonMap(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"""
+       else "") +
+        s""""sf":"${new java.io.File(sfDir).getName}"}"""
     def head: String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","q_key":"NN=qNN","q_unit":"cs","queries":${jsonMap(warm)},"""
     // belt-and-braces for the machine parse: (a) the raw line on stdout (the

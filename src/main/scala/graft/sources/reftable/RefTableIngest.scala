@@ -220,7 +220,13 @@ object RefTableIngest {
     import org.apache.spark.sql.streaming.Trigger
     val cp = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_ingest_stream").toString)
-    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    // the ticker must produce ≥1 row per trigger: a no-new-offsets trigger
+    // never fires foreachBatch, which would silently stretch the cadence
+    // past the asked-for triggerMs
+    spark.readStream.format("rate")
+      .option("rowsPerSecond",
+        math.max(1L, 1000L / math.max(1L, triggerMs)).toString)
+      .load()
       .writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", cp)
