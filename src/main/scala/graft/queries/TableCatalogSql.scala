@@ -518,8 +518,12 @@ object TableCatalogSql {
         else s.read.format("reftable").option("path", root)
           .option("schema", ddl).load().count()
       def await(target: Long): Unit = {
+        // trigger-wait time is StreamingQuery lifecycle, not operator cost
+        // — report it as drain so the bench's wall/drain split attributes it
+        val t0 = System.nanoTime()
         val end = System.currentTimeMillis() + 60000L
         while (tcount() != target && System.currentTimeMillis() < end) Thread.sleep(100)
+        graft.BenchProbe.addDrain(System.nanoTime() - t0)
         require(tcount() == target, s"stream ingest stalled: ${tcount()} of $target")
       }
       val total = s.sql("SELECT count(*) FROM orders").head().getLong(0)
