@@ -167,6 +167,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
   override def loadTable(ident: Identifier): Table =
     metadataSuffix(ident) match {
       case Some((base, "changefeed")) => changefeedTable(base)
+      case Some((base, kind)) if kind.startsWith("branch$") =>
+        branchTable(base, kind.substring("branch$".length))
       case Some((base, kind)) => RefTableMetaTables.load(tablePath(base).toString,
         s"${base.name}$$$kind", kind, conf, exists = tableExists(base), base,
         descriptorOptions = readDescriptor(base)._2)
@@ -182,6 +184,27 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     * (declare at CREATE, or ALTER TABLE SET TBLPROPERTIES
     * ('option.keyColumns'='id')).
     */
+  /** `t$branch$<name>`: the named writable branch as a FULL table relation
+    * (not a LocalScan metadata view) — SELECT, INSERT, UPDATE, DELETE and
+    * MERGE all run against the branch through plain SQL, under the same
+    * descriptor contract as main (schema, expectations, generated
+    * columns). An identifier SUFFIX because branches share main's declared
+    * schema but not its data root, and SQL has no per-statement option
+    * channel; reads can equivalently use the `branch` per-scan option.
+    */
+  private def branchTable(ident: Identifier, name: String): Table = {
+    val (schema, stored, _) = readDescriptor(ident)
+    val root = tablePath(ident).toString
+    if (VersionedTable.branchFork(root, name, conf).isEmpty)
+      throw new IllegalArgumentException(
+        s"table ${ident.toString} has no branch '$name' — " +
+          s"CALL system.create_branch(table => '...', name => '$name') forks one")
+    val base = Map(
+      "path" -> root,
+      "schema" -> schema.toDDL) ++ stored + ("branch" -> name)
+    new RefTable(RefTableOptions.from(new CaseInsensitiveStringMap(base.asJava)), base)
+  }
+
   private def changefeedTable(ident: Identifier): Table = {
     val (schema, stored, _) = readDescriptor(ident)
     if (!stored.keys.exists(_.equalsIgnoreCase("keyColumns")))
@@ -206,10 +229,12 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     if (i <= 0) None
     else {
       val (base, kind) = (ident.name.substring(0, i), ident.name.substring(i + 1))
-      if (!RefTableMetaTables.Kinds.contains(kind) && kind != "changefeed")
+      if (!RefTableMetaTables.Kinds.contains(kind) && kind != "changefeed" &&
+          !kind.startsWith("branch$"))
         throw new IllegalArgumentException(
           s"unknown metadata table '$$${kind}' (supported: " +
-            (RefTableMetaTables.Kinds.toSeq.sorted :+ "changefeed").mkString(", ") + ")")
+            (RefTableMetaTables.Kinds.toSeq.sorted ++
+              Seq("changefeed", "branch$<name>")).mkString(", ") + ")")
       Some((Identifier.of(ident.namespace, checkSegment(base)), kind))
     }
   }

@@ -113,6 +113,40 @@ class RefTableBranchSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML on a branch through the t$branch$<name> identifier") {
+    val wh = Files.createTempDirectory("graft_branch_wh2").toString
+    val cat = "graftbr2_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING reftable")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"CALL $cat.system.create_branch(table => 'db.t', name => 'dev')")
+
+    // the branch is a FULL relation: INSERT / UPDATE / DELETE in plain SQL
+    spark.sql(s"INSERT INTO $cat.db.`t$$branch$$dev` VALUES (3, 3)")
+    spark.sql(s"UPDATE $cat.db.`t$$branch$$dev` SET v = 30 WHERE id = 3")
+    spark.sql(s"DELETE FROM $cat.db.`t$$branch$$dev` WHERE id = 1")
+    val br = spark.sql(s"SELECT id, v FROM $cat.db.`t$$branch$$dev` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(br == Seq((2L, 20L), (3L, 30L)), br.toString)
+    // main untouched until the fast-forward publishes the branch head
+    assert(spark.table(s"$cat.db.t").count() == 2)
+    spark.sql(s"CALL $cat.system.fast_forward(table => 'db.t', name => 'dev')")
+    val main = spark.sql(s"SELECT id, v FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(main == br)
+    // a never-created branch refuses loudly, naming the remedy
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.`t$$branch$$nope`").collect()
+    }
+    assert(msgsOf(e).exists(_.contains("create_branch")), e.toString)
+  }
+
+  private def msgsOf(x: Throwable): Seq[String] =
+    if (x == null) Nil else Option(x.getMessage).toSeq ++ msgsOf(x.getCause)
+
   test("SQL surface: CALL create_branch / fast_forward / drop_branch + t$branches") {
     val wh = Files.createTempDirectory("graft_branch_wh").toString
     val cat = "graftbr_" + java.util.UUID.randomUUID().toString.take(8)
