@@ -443,7 +443,12 @@ class RefTableScan(
     // catalyst ColumnStat, so equality-filter selectivity and join
     // cardinality estimate from real NDVs at PLAN time — the broadcast
     // build side is picked before a single task runs, no AQE re-plan.
-    private val colStats
+    // LAZY and file-count-bounded: the union heapifies one ~KB sketch per
+    // surviving file per sketched column, so it runs only when Spark
+    // actually asks for columnStats (CBO on), and a listing past the bound
+    // reports no column stats rather than megabytes of driver sketch work
+    // per plan — row/size stats keep the broadcast decision usable there
+    private lazy val colStats
         : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val m = new java.util.HashMap[
@@ -452,7 +457,7 @@ class RefTableScan(
       // keyed on what the MANIFEST carries, not on a read option: ndvStats
       // is a writer declaration, and readers of an ndv-sketched table get
       // the column stats with a bare path+schema
-      for (fss <- fileStats; f <- required.fields) {
+      for (fss <- fileStats; if prunedFiles.size <= 4096; f <- required.fields) {
         val sc = opts.storageColumn(f.name)
         val entries = fss.map(_.cols.get(sc))
         if (entries.nonEmpty && entries.forall(_.exists(_.hll.isDefined))) {
