@@ -193,6 +193,10 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
     * channel; reads can equivalently use the `branch` per-scan option.
     */
   private def branchTable(ident: Identifier, name: String): Table = {
+    if (!name.matches("^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$"))
+      throw new IllegalArgumentException(
+        s"invalid branch name '$name' in `${ident.name}` (allowed: letters, digits, " +
+          "'.', '_', '-'; must start alphanumeric; max 128 chars)")
     val (schema, stored, _) = readDescriptor(ident)
     val root = tablePath(ident).toString
     if (VersionedTable.branchFork(root, name, conf).isEmpty)
