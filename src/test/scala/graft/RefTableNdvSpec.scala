@@ -137,6 +137,38 @@ class RefTableNdvSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown column"), e.getMessage)
   }
 
+  test("appends sketch only their NEW files; coverage spans hosting versions") {
+    import spark.implicits._
+    val root = tmp("append")
+    def write(lo: Long, hi: Long, mode: String): Unit =
+      (lo until hi).map(i => (i, i % 100L)).toDF("id", "k")
+        .coalesce(1)
+        .write.format("reftable").option("path", root)
+        .option("schema", "id BIGINT, k BIGINT")
+        .option("ndvStats", "k").mode(mode).save()
+    write(0L, 5000L, "overwrite")
+    write(5000L, 10000L, "append") // append version hosts ONLY the new file
+    // the append's own version dir carries one physical file; the base
+    // file's sketch lives in ITS host manifest — coverage must span both
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val ndv = spark.read.format("reftable").option("path", root)
+        .option("schema", "id BIGINT, k BIGINT").load()
+        .queryExecution.optimizedPlan.collectLeaves().head.stats
+        .attributeStats.find(_._1.name == "k").flatMap(_._2.distinctCount)
+        .map(_.toLong)
+      assert(ndv.exists(n => n > 90 && n < 110),
+        s"unioned NDV across hosting versions ~100, got $ndv")
+    }
+    // and the append version's OWN dir holds exactly its one new file —
+    // the sketch pass was O(new files), not a table re-read
+    val cur = graft.sources.reftable.VersionedTable.resolve(root).get
+    val fs = new org.apache.hadoop.fs.Path(cur)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val physical = fs.listStatus(new org.apache.hadoop.fs.Path(cur))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(physical == 1, s"append version hosts only the appended file, got $physical")
+  }
+
   test("NDV unions only the SURVIVING files after pruning") {
     import spark.implicits._
     val root = tmp("pruned")
