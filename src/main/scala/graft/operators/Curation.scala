@@ -126,6 +126,33 @@ object Curation {
         lit(1000000L)) < col("rate_ppm"))
   }
 
+  /** Temperature-based domain mixing — the multilingual-T5 / LLM-recipe
+    * shape: sampling mass follows `p_d^alpha` over the natural domain
+    * proportions, so `alpha = 1` keeps them and `alpha → 0` flattens
+    * toward uniform, under the same token budget and deterministic ppm
+    * hash-threshold admission as [[mixCorpus]]. Derived weights quantize
+    * to INTEGERS (`floor(h^alpha)`, with the correctly-rounded `sqrt` at
+    * `alpha = 0.5`), so the targets — and therefore the ppm thresholds —
+    * are exactly reproducible across engines: integer-valued doubles sum
+    * order-free, and the rate arithmetic is deterministic IEEE from there.
+    * One extra O(domains) aggregation on top of mixCorpus's own.
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, domainCol: String, weightCol: String,
+      alpha: Double, budgetTokens: Long, salt: String = "tmix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "temperatureMix: alpha must be in (0, 1]")
+    val have: Map[String, Long] = df
+      .groupBy(domainCol)
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pw: Long => Double =
+      if (alpha == 0.5) h => math.sqrt(h.toDouble)
+      else h => math.pow(h.toDouble, alpha)
+    val targets = have.collect { case (d, h) if h > 0 => d -> math.floor(pw(h)) }
+    require(targets.nonEmpty, "temperatureMix: no domain carries positive weight")
+    mixCorpus(df, idCol, domainCol, weightCol, targets, budgetTokens, salt)
+  }
+
   /** Scrub text matching `pattern` (e.g. emails) with `replacement`,
     * reporting the match count per row. Pure narrow map work; patterns must
     * stay in the RE2-compatible subset so results are engine-portable.

@@ -230,6 +230,52 @@ object TextAnalysis {
   /** Quality metrics: token count, mean token length, stopword ratio,
     * punctuation ratio.
     */
+  /** The Gopher document-quality rules (Rae et al. 2021, A1.1 — the
+    * filter set Dolma/FineWeb derive from), evaluated per document as
+    * INTEGER-EXACT comparisons (cross-multiplied thresholds, never a
+    * double boundary), so the decisions reproduce bit-identically across
+    * engines. Pure narrow column work — one codegen'd projection, no
+    * shuffle:
+    *
+    *  - `r_wordcount`: 50 ≤ tokens ≤ 100000
+    *  - `r_meanlen`:   3 ≤ mean token length ≤ 10  (3n ≤ Σlen ≤ 10n)
+    *  - `r_alpha`:     ≥80% of tokens contain a letter (10·alpha ≥ 8·n)
+    *  - `r_stop`:      ≥2 distinct Gopher stop words present
+    *  - `r_symbol`:    (‘#’ + ‘...’) to token ratio < 0.1 (10·sym < n)
+    *  - `r_bullet`:    ≤10% of lines start with a bullet (10·b ≤ lines)
+    *  - `r_ellipsis`:  ≤30% of lines end with ‘...’ (10·e ≤ 3·lines)
+    *
+    * `pass` = every rule holds. Documents with no tokens fail r_wordcount
+    * and short-circuit the ratio rules to false via n > 0 guards.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val sumlen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val alphaN = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopN = size(array_intersect(array_distinct(toks),
+      array(stops.map(lit): _*))).cast("long")
+    val hashes = (length(col(textCol)) - length(expr(s"replace($textCol, '#', '')"))).cast("long")
+    val ell = ((length(col(textCol)) -
+      length(expr(s"replace($textCol, '...', '')"))) / 3).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nlines = size(lines).cast("long")
+    val bulletL = size(filter(lines, l => l.rlike("^\\s*[-*]"))).cast("long")
+    val ellL = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val flags = Seq(
+      "r_wordcount" -> (n >= 50L && n <= 100000L),
+      "r_meanlen" -> (n > 0L && lit(3L) * n <= sumlen && sumlen <= lit(10L) * n),
+      "r_alpha" -> (n > 0L && lit(10L) * alphaN >= lit(8L) * n),
+      "r_stop" -> (stopN >= 2L),
+      "r_symbol" -> (n > 0L && lit(10L) * (hashes + ell) < n),
+      "r_bullet" -> (lit(10L) * bulletL <= nlines),
+      "r_ellipsis" -> (lit(10L) * ellL <= lit(3L) * nlines))
+    df.select(
+      (col(idCol) +: flags.map { case (nm, c) => c.as(nm) }) :+
+        flags.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(col(textCol))
     val nTok = size(tk)

@@ -150,6 +150,41 @@ object CurationOps {
          |  max(ppm) AS rate_ppm
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // TEMPERATURE-BASED DOMAIN MIXING (round 15) — the multilingual-T5 /
+    // LLM-recipe sampler: rates follow sqrt(natural token mass) per
+    // domain (alpha = 0.5) under a token budget. Weights quantize to
+    // integers (floor of the correctly-rounded sqrt) so the oracle
+    // recomputes bit-identical ppm thresholds; admission is the same
+    // deterministic hash filter as q126.
+    QueryDef("q201_temperature_mix", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.GraftFunctions.tokens(col("text"))).as("nt"))
+      Curation.temperatureMix(docs, "doc_id", "lang", "nt",
+        alpha = 0.5, budgetTokens = 4000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("tok"),
+          max("rate_ppm").as("rate_ppm"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+         |  FROM documents),
+         |have AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS h FROM d GROUP BY lang),
+         |w AS (SELECT lang, h, FLOOR(SQRT(CAST(h AS DOUBLE))) AS wt
+         |      FROM have WHERE h > 0),
+         |tot AS (SELECT SUM(wt) AS ws FROM w),
+         |rates AS (
+         |  SELECT lang, CAST(LEAST(1000000, FLOOR(
+         |    CAST(4000 AS DOUBLE) * (wt / ws) / h * 1000000.0)) AS BIGINT) AS ppm
+         |  FROM w, tot),
+         |kept AS (
+         |  SELECT d.lang, d.nt, r.ppm FROM d JOIN rates r ON d.lang = r.lang
+         |  WHERE ${duckHash60("'tmix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.ppm)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok,
+         |  max(ppm) AS rate_ppm
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Deterministic split assignment (train 90 / val 5 / test 5): the
     // label is a pure function of the document id, so membership is
     // byte-stable across engines AND corpus versions — a document keeps

@@ -109,6 +109,63 @@ object TextOps {
          |  round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / len(text), 6) AS punct_ratio
          |FROM toks JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // THE GOPHER QUALITY RULES (Rae et al. 2021 A1.1 — the filter set
+    // Dolma/FineWeb derive from), round 15: every rule evaluated as an
+    // INTEGER-EXACT comparison (cross-multiplied thresholds, never a
+    // double boundary), so per-document decisions reproduce bit-identically
+    // in DuckDB. One codegen'd projection per doc, no shuffle before the
+    // per-language census.
+    QueryDef("q202_gopher_rules", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flags = graft.operators.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      val rules = Seq("r_wordcount", "r_meanlen", "r_alpha", "r_stop",
+        "r_symbol", "r_bullet", "r_ellipsis")
+      docs.select("doc_id", "lang").join(flags, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass") +:
+            rules.map(r => sum(when(!col(r), 1L).otherwise(0L))
+              .as("f_" + r.stripPrefix("r_")))): _*)
+        .orderBy("lang")
+    }, Some(
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, len(toks) AS n,
+        |    COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT), 0) AS sumlen,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+        |    len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS nstop,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ell,
+        |    len(ls) AS nlines,
+        |    len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*]'))) AS bl,
+        |    len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$'))) AS el
+        |  FROM d),
+        |r AS (
+        |  SELECT lang,
+        |    (n >= 50 AND n <= 100000) AS rw,
+        |    (n > 0 AND 3*n <= sumlen AND sumlen <= 10*n) AS rm,
+        |    (n > 0 AND 10*alpha >= 8*n) AS ra,
+        |    (nstop >= 2) AS rs,
+        |    (n > 0 AND 10*(hashes + ell) < n) AS ry,
+        |    (10*bl <= nlines) AS rb,
+        |    (10*el <= 3*nlines) AS re
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rw AND rm AND ra AND rs AND ry AND rb AND re THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN NOT rw THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+        |  CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+        |  CAST(sum(CASE WHEN NOT ra THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+        |  CAST(sum(CASE WHEN NOT rs THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+        |  CAST(sum(CASE WHEN NOT ry THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+        |  CAST(sum(CASE WHEN NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet,
+        |  CAST(sum(CASE WHEN NOT re THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("q22_fingerprint", (s, dir) => {
       graft.operators.TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
