@@ -598,6 +598,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == got.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("temperatureMix flattens toward uniform as alpha drops; byte-stable") {
+    import spark.implicits._
+    // big domain 100k tokens, small domain 1k: natural share 100:1.
+    // alpha=0.5 weights sqrt(100k):sqrt(1k) ≈ 10:1 — the small domain's
+    // SAMPLING RATE must come out ~10× the big one's (same budget slice
+    // spread over 100× less mass ⇒ flattening), and under alpha=1
+    // (natural) the rates are equal by construction
+    val rows = (0L until 10000L).map(i => (i, "big", 10L)) ++
+      (100000L until 100100L).map(i => (i, "small", 10L))
+    val df = rows.toDF("id", "dom", "nt")
+    val mixed = graft.operators.Curation.temperatureMix(
+      df, "id", "dom", "nt", alpha = 0.5, budgetTokens = 5000L)
+    val rates = mixed.select("dom", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.contains("big") && rates.contains("small"), rates.toString)
+    val ratio = rates("small").toDouble / rates("big")
+    assert(ratio > 8 && ratio < 12.5,
+      s"alpha=0.5 over 100:1 mass must give ~10x the rate to the small domain, got $ratio")
+    // alpha = 1 keeps natural proportions: every domain samples at the
+    // same rate (weights ∝ mass cancel against mass)
+    val nat = graft.operators.Curation.temperatureMix(
+      df, "id", "dom", "nt", alpha = 1.0, budgetTokens = 5000L)
+      .select("dom", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("small") - nat("big")) <= 1000L, // ppm quantization
+      s"alpha=1 must keep natural proportions, got $nat")
+    // byte-stable across partitionings
+    val again = graft.operators.Curation.temperatureMix(
+      df.repartition(7), "id", "dom", "nt", alpha = 0.5, budgetTokens = 5000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == mixed.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("gopherRules: each rule trips on its designed violation") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"the be to of and that have with word$i")
+      .mkString(" ") // 450 tokens, letters, stop words, no symbols
+    val docs = Seq(
+      (1L, fifty),                                     // passes everything
+      (2L, "short doc the be"),                        // fails r_wordcount
+      (3L, (1 to 60).map(_ => "1 2 3").mkString(" ")), // all digits: fails r_alpha (+meanlen)
+      (4L, fifty + "\n" + (1 to 9).map(_ => "- bullet line").mkString("\n")), // fails r_bullet (9/10 lines)
+      (5L, fifty + " " + (1 to 80).map(_ => "#").mkString(" "))               // fails r_symbol
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))).toMap
+    // (r_wordcount, r_meanlen, r_alpha, r_stop, r_symbol, r_bullet, r_ellipsis, pass)
+    assert(got(1L)._8, s"doc 1 must pass: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._8, "doc 2 fails word count")
+    assert(!got(3L)._3 && !got(3L)._8, "doc 3 fails alpha share")
+    assert(!got(4L)._6 && !got(4L)._8, "doc 4 fails bullet lines")
+    assert(!got(5L)._5 && !got(5L)._8, "doc 5 fails symbol ratio")
+  }
+
   test("lmPerplexity: in-distribution text scores lower perplexity than gibberish") {
     import spark.implicits._
     val common = (1 to 40).map(i => (i.toLong, "the cat sat on the mat and the dog ran"))
