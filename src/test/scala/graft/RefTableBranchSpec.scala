@@ -147,6 +147,29 @@ class RefTableBranchSpec extends AnyFunSuite {
   private def msgsOf(x: Throwable): Seq[String] =
     if (x == null) Nil else Option(x.getMessage).toSeq ++ msgsOf(x.getCause)
 
+  test("branches preserve a Hive-partitioned layout through fork and fast-forward") {
+    val wh = Files.createTempDirectory("graft_branch_wh3").toString
+    val cat = "graftbr3_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.reftable.RefTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, dt STRING) USING reftable " +
+      "OPTIONS (partitionColumns 'dt')")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"CALL $cat.system.create_branch(table => 'db.p', name => 'dev')")
+    spark.sql(s"INSERT INTO $cat.db.`p$$branch$$dev` VALUES (3, 'a'), (4, 'c')")
+    // the branch serves partition values (directory-encoded, not in the
+    // data pages) — a mislaid layout would read them as null
+    val br = spark.sql(s"SELECT id, dt FROM $cat.db.`p$$branch$$dev` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(br == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")), br.toString)
+    spark.sql(s"CALL $cat.system.fast_forward(table => 'db.p', name => 'dev')")
+    val main = spark.sql(s"SELECT id, dt FROM $cat.db.p WHERE dt = 'a' ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(main == Seq((1L, "a"), (3L, "a")), main.toString)
+  }
+
   test("SQL surface: CALL create_branch / fast_forward / drop_branch + t$branches") {
     val wh = Files.createTempDirectory("graft_branch_wh").toString
     val cat = "graftbr_" + java.util.UUID.randomUUID().toString.take(8)
