@@ -10,6 +10,31 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_RUNS=2 the warm figure is the single second run.
   */
 object Bench {
+  def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
+  // packed form (round 16, "q_fmt":"NN:cs;bare=prev+1"): the per-query map
+  // is ONE JSON string of comma-separated tokens in NUMERIC id order. A
+  // token is "NN:cs" (explicit id) or a bare "cs" meaning id = previous
+  // id + 1 — catalog ids are mostly consecutive, so this drops the key on
+  // almost every entry (~4.5 chars/entry vs ~10 for the r15 object form,
+  // which measured ~1890 of the exactly-2000-char recorder window at 198
+  // entries). BenchLineSpec asserts <1500 chars at 205 simulated entries
+  // against the real catalog key population.
+  def packed(m: Seq[(String, Double)]): String = {
+    val sorted = m.map { case (k, v) => (short(k), math.round(v * 100)) }.sortBy(_._1.toInt)
+    var prev = Int.MinValue
+    sorted.map { case (id, cs) =>
+      val n = id.toInt
+      val tok = if (n == prev + 1) cs.toString else s"$id:$cs"
+      prev = n
+      tok
+    }.mkString("\"", ",", "\"")
+  }
+  /** The exact stdout line for a given warm population — factored out so the
+    * line-length budget is spec-testable without running queries. */
+  def stdoutLine(warm: Seq[(String, Double)], sfName: String): String =
+    s"""{"metric":"total","value":${r3(warm.map(_._2).sum)},"unit":"sec","q_key":"NN=qNN","q_fmt":"NN:cs;bare=prev+1","queries":${packed(warm)},"sf":"$sfName"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -57,11 +82,6 @@ object Bench {
     // Headline totals stay 3-decimal seconds. Locale.ROOT: the
     // f-interpolator honors the default locale, and a comma-decimal locale
     // would silently break the JSON contract
-    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def short(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
-    def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 100).toString }
-        .mkString("{", ",", "}")
     // warm population excludes the cold first run (with runs=2, p50 over
     // both would silently report min(cold, warm))
     def warmOf(rs: Seq[Double]): Double = if (rs.size > 1) p50(rs.tail) else rs.head
@@ -70,7 +90,6 @@ object Bench {
     val drain = results
       .map { case (k, rs) => k -> warmOf(rs.map(_._2)) }
       .filter(_._2 > 0.005)
-    val total = warm.map(_._2).sum
     val coldTotal = results.map(_._2.head._1).sum
     // the stdout line carries the CONTRACT fields + per-query map only;
     // the drain attribution (operator-only seconds for streaming entries)
@@ -78,26 +97,25 @@ object Bench {
     // the ~2000-char stdout window, so the drain map moved off the line
     // (headroom back to ~40 more entries)
     // stdout keeps ONLY contract fields + the per-query map: at 193
-    // entries the line measured 1934 of the EXACTLY-2000-char recorder
-    // window, so cold_total/runs moved off the stdout line too (both
-    // still in BENCH.json). Next squeeze if the catalog nears ~205
-    // entries: pack `queries` as one "NN:cs,NN:cs" string (~2.5
-    // chars/entry saved), declared by a q_fmt field.
-    def tail(withDrain: Boolean): String =
-      (if (withDrain) s""""drain_unit":"cs","drain":${jsonMap(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"""
-       else "") +
-        s""""sf":"${new java.io.File(sfDir).getName}"}"""
-    def head: String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","q_key":"NN=qNN","q_unit":"cs","queries":${jsonMap(warm)},"""
+    // entries the object form measured 1934 of the EXACTLY-2000-char
+    // recorder window, so cold_total/runs moved off the stdout line too
+    // (both still in BENCH.json). Round 16 packed the map into one
+    // "NN:cs,NN:cs" string (q_fmt field) — ~2 chars/entry saved,
+    // headroom to ~230 entries.
+    val sfName = new java.io.File(sfDir).getName
+    val line = stdoutLine(warm, sfName)
+    // full form (BENCH.json only): line + drain/cold/runs attribution
+    val full = line.stripSuffix(s""","sf":"$sfName"}""") +
+      s""","drain_unit":"cs","drain":${packed(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfName"}"""
     // belt-and-braces for the machine parse: (a) the raw line on stdout (the
     // forked run inherits sbt's stdout via run/outputStrategy=StdoutOutput, so
     // no "[info] " prefix), (b) the FULL JSON (incl. drain) as BENCH.json in
     // the repo root, which survives any stdout-window truncation
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH.json"), "UTF-8")
-      try w.println(head + tail(withDrain = true)) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    println(head + tail(withDrain = false))
+    println(line)
     spark.stop()
   }
 }

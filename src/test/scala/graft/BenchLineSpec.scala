@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's stdout recorder keeps only the LAST 2000 characters of the
+  * bench run's output; if the JSON line outgrows that window its opening
+  * brace falls off and the round's BENCH record goes `parsed:null`
+  * (the r1–r3 failure mode). These specs pin the packed `q_fmt` line format
+  * to a budget with real headroom.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def simulatedWarm(n: Int): Seq[(String, Double)] = {
+    // real catalog keys first (worst-case: real names, 3-digit ids), then
+    // synthetic 3-digit extras with worst-case 4-digit centisecond values
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val extra = (900 until (900 + math.max(0, n - real.size)))
+      .map(i => s"q${i}_simulated_round16_entry")
+    // pessimistic value widths: every 8th entry 4-digit cs (>10 s), the
+    // rest 3-digit cs — heavier than any recorded round's distribution
+    (real ++ extra).take(n).zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 8 == 0) 99.99 else 9.99)
+    }
+  }
+
+  test("packed bench stdout line stays under 1500 chars at 205 entries") {
+    val line = Bench.stdoutLine(simulatedWarm(205), "sf0.1")
+    assert(line.length < 1500, s"line is ${line.length} chars: grew past budget")
+  }
+
+  test("packed line keeps headroom inside the 2000-char window at 230 entries") {
+    val line = Bench.stdoutLine(simulatedWarm(230), "sf0.1")
+    assert(line.length < 2000, s"line is ${line.length} chars: would truncate")
+  }
+
+  test("packed line is valid JSON with the declared q_fmt contract fields") {
+    // ids 01,02 consecutive (02 emits bare), 106 starts a new run (explicit);
+    // numeric order regardless of input string order (q106 sorts before q10
+    // as strings — the pack must not)
+    val line = Bench.stdoutLine(
+      Seq("q106_containment" -> 3.29, "q01_scan_project" -> 0.27, "q02_key_as_field" -> 0.23),
+      "sf0.1")
+    assert(line.startsWith("{\"metric\":\"total\","))
+    assert(line.contains("\"q_fmt\":\"NN:cs;bare=prev+1\""))
+    assert(line.contains("\"queries\":\"01:27,23,106:329\""))
+    assert(line.endsWith("\"sf\":\"sf0.1\"}"))
+    // value = sum of warm seconds, 3-decimal
+    assert(line.contains("\"value\":3.790,"))
+  }
+}
