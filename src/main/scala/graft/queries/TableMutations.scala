@@ -1017,6 +1017,52 @@ object TableMutations {
         |  UNION ALL
         |  SELECT 'current', count(*), round(sum(o_totalprice), 4)
         |  FROM orders WHERE o_totalprice < 50000)
-        |ORDER BY stage""".stripMargin))
+        |ORDER BY stage""".stripMargin)),
+
+    // Conflict-aware commit resolution (logical OCC): a COW DELETE stages
+    // its rewrite, then a concurrent append lands INSIDE its CAS window
+    // (deterministically, via the pre-claim hook). The delete's file delta
+    // is disjoint from the append's, so the lost CAS REBASES the staged
+    // output onto the new head — the rewrite job runs exactly once (the
+    // entry throws if the commit re-derived instead) — and the final table
+    // equals the sequential replay the oracle computes.
+    QueryDef("q203_concurrent_disjoint", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q203_occ")
+      val ddl = "c_custkey BIGINT, c_nationkey INT, cents BIGINT"
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("cents"))
+      VersionedTable.publishClustered(base, root, Seq("c_custkey"), numFiles = 8)
+      val r0 = VersionedTable.rebasedCommits.get
+      VersionedTable.onBeforeClaim = Some { _ =>
+        VersionedTable.onBeforeClaim = None // the append's own claim re-enters
+        base.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .write.format("reftable").option("path", root).option("schema", ddl)
+          .mode("append").save()
+      }
+      try RefTableMutations.deleteWhere(s, root, col("c_custkey") % 10 === 3)
+      finally VersionedTable.onBeforeClaim = None
+      require(VersionedTable.rebasedCommits.get == r0 + 1,
+        "q203: the delete lost its CAS to a disjoint append and must REBASE, not re-derive")
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+          max("c_custkey").as("hi_key"))
+        .orderBy("c_nationkey")
+    }, Some(
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |final AS (
+        |  SELECT * FROM base WHERE c_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey, cents FROM base
+        |  WHERE c_custkey % 100 = 0)
+        |SELECT c_nationkey, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  max(c_custkey) AS hi_key
+        |FROM final GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -90,6 +90,29 @@ object DeletionVectors {
     out.iterator.map { case (f, ps) => f -> ps.toSeq }.toMap
   }
 
+  /** Root-relative file paths referenced by `versionDir`'s sidecars whose
+    * names are NOT in `excludeNames` — i.e. the files that gained deleted
+    * positions since an ancestor version carrying exactly those sidecars
+    * (sidecars carry forward verbatim by name, so name-set difference IS
+    * the commit-range delta). Used by the commit-rebase conflict check:
+    * a concurrently-DV'd file must not be rewritten from its pre-DV image.
+    */
+  def referencedFiles(versionDir: String, excludeNames: Set[String],
+      conf: Configuration = new Configuration()): Set[String] = {
+    val out = scala.collection.mutable.HashSet.empty[String]
+    sidecars(versionDir, conf).filterNot(p => excludeNames.contains(p.getName)).foreach { p =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getBinary("file", 0).toStringUsingUTF8
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.toSet
+  }
+
   /** Attach pinned DV positions to a resolved listing (no-op without
     * sidecars). Keys are matched on the version-relative tail of each
     * file's path.

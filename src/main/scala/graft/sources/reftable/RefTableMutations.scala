@@ -4,6 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, hash, lit, max, min, not, pmod, when}
+import org.apache.spark.sql.sources.Filter
 
 /** File-granular copy-on-write mutations for versioned table roots: DELETE
   * and keyed MERGE (upsert) publish a NEW version in which only the files
@@ -168,7 +169,8 @@ object RefTableMutations {
         case None => mayMatch0
       }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      rebase = Some(cowSpec(root, mayMatch, partitionColumns, filters, popts, conf))) { staging =>
       if (mayMatch.nonEmpty) {
         // keep ⇔ NOT(cond IS TRUE): rows where the predicate is NULL
         // survive a SQL DELETE, and a bare !cond would drop them
@@ -218,7 +220,14 @@ object RefTableMutations {
         case None => mayMatch0
       }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      // MoR: removes nothing (removedRel empty — concurrent position marks
+      // union against pure-DV deltas), but a concurrent REWRITE of a marked
+      // file orphans our positions, so the marked set is the read set
+      rebase = Some(VersionedTable.RebaseSpec(
+        removedRel = Set.empty, readRel = relsOf(root, mayMatch, conf),
+        addedMayMatch = statsOverlap(root, filters, popts, conf),
+        partitionColumns = partitionColumns))) { staging =>
       if (mayMatch.nonEmpty) {
         // position pass over only the may-match files: rows where the
         // predicate is TRUE become (file, pos) sidecar entries (NULL
@@ -282,17 +291,20 @@ object RefTableMutations {
 
     // ONE aggregation job answers emptiness AND the per-key-column bounds
     // (a separate isEmpty was a whole extra Spark job per commit —
-    // sustained single-row mutation chains pay it 1:1 per upsert)
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+    // sustained single-row mutation chains pay it 1:1 per upsert).
+    // keyFilters also feed the rebase conflict check (concurrently-added
+    // files overlapping the source's key bounds force a re-derive).
+    val (empty, mayMatch, keyFilters): (Boolean, Seq[SnapshotFile], Option[Seq[Filter]]) = {
       val aggs = Seq(org.apache.spark.sql.functions.count(lit(1))) ++ keyBoundAggs(keyCols)
       val mm = aligned.agg(aggs.head, aggs.tail: _*).first()
-      if (mm.getLong(0) == 0L) (true, Nil)
+      if (mm.getLong(0) == 0L) (true, Nil, None)
       else keyBoundFilters(keyCols, mm, 1) match {
-        case None => (false, Nil) // a key column is all-null: pure inserts
+        case None => (false, Nil, None) // a key column is all-null: pure inserts
         case Some(filters) =>
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf),
+            Some(filters))
       }
     }
     // hash-bucketed layouts narrow by the source's bucket ids, intersected
@@ -305,7 +317,9 @@ object RefTableMutations {
         case None => mayMatch
       }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      rebase = Some(keyedSpec(root, narrowed, partitionColumns, keyFilters,
+        pruneOpts(root, cur.schema, partitionColumns, partitionTypes), conf))) { staging =>
       val rewritten =
         if (narrowed.isEmpty) aligned
         else readFiles(spark, root, narrowed, partitionColumns, partitionTypes)
@@ -396,16 +410,17 @@ object RefTableMutations {
       { case (_, ks) => ks.select(keyCols.map(col): _*) })
     // same one-job emptiness + per-key-column bounds narrowing as the COW
     // upsert (any key arity)
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+    val (empty, mayMatch, keyFilters): (Boolean, Seq[SnapshotFile], Option[Seq[Filter]]) = {
       val aggs = Seq(org.apache.spark.sql.functions.count(lit(1))) ++ keyBoundAggs(keyCols)
       val mm = keysFrame.agg(aggs.head, aggs.tail: _*).first()
-      if (mm.getLong(0) == 0L) (true, Nil)
+      if (mm.getLong(0) == 0L) (true, Nil, None)
       else keyBoundFilters(keyCols, mm, 1) match {
-        case None => (false, Nil) // a key column is all-null: pure inserts
+        case None => (false, Nil, None) // a key column is all-null: pure inserts
         case Some(filters) =>
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf),
+            Some(filters))
       }
     }
     val narrowed =
@@ -416,7 +431,12 @@ object RefTableMutations {
         case None => mayMatch
       }
     VersionedTable.publishVia(root, keepVersions, marker = marker,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      // MoR upsert: marks old positions in the read files (removes
+      // nothing), stages the batch as new images
+      rebase = Some(keyedSpec(root, narrowed, partitionColumns, keyFilters,
+        pruneOpts(root, cur.schema, partitionColumns, partitionTypes), conf,
+        removeTouched = false))) { staging =>
       // the new images (and inserts): the whole aligned batch, staged once
       images.fold(
         _ => if (!empty) VersionedTable.writeParquetMicros(
@@ -536,7 +556,7 @@ object RefTableMutations {
       cur: DataFrame, marked: DataFrame, keyCols: Seq[String],
       partitionColumns: Seq[String],
       partitionTypes: Map[String, org.apache.spark.sql.types.DataType],
-      conf: Configuration): (Boolean, Seq[SnapshotFile]) = {
+      conf: Configuration): (Boolean, Seq[SnapshotFile], Option[Seq[Filter]]) = {
     val types = cur.schema.fields.map(f => f.name -> f.dataType).toMap
     val partKeyed = partitionColumns.nonEmpty && partitionColumns.forall(keyCols.contains)
     val aggExprs: Seq[Column] =
@@ -546,11 +566,11 @@ object RefTableMutations {
           org.apache.spark.sql.functions.slice(
             org.apache.spark.sql.functions.sort_array(
               org.apache.spark.sql.functions.collect_set(col(c))), 1, 65))) else Nil)
-    val (empty, mayMatch): (Boolean, Seq[SnapshotFile]) = {
+    val (empty, mayMatch, srcFilters): (Boolean, Seq[SnapshotFile], Option[Seq[Filter]]) = {
       val mm = marked.agg(aggExprs.head, aggExprs.tail: _*).first()
-      if (mm.getLong(0) == 0L) (true, Nil)
+      if (mm.getLong(0) == 0L) (true, Nil, None)
       else keyBoundFilters(keyCols, mm, 1) match {
-        case None => (false, Nil) // a key column is all-null: pure inserts
+        case None => (false, Nil, None) // a key column is all-null: pure inserts
         case Some(keyFilters) =>
           val base = 1 + 2 * keyCols.size
           val partFilters: Seq[org.apache.spark.sql.sources.Filter] =
@@ -567,7 +587,8 @@ object RefTableMutations {
           val filters = keyFilters ++ partFilters
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (false, RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf),
+            Some(filters))
       }
     }
     val narrowed =
@@ -576,7 +597,7 @@ object RefTableMutations {
         case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
         case None => mayMatch
       }
-    (empty, narrowed)
+    (empty, narrowed, srcFilters)
   }
 
   /** The general MERGE engine behind [[merge]] and the SQL `MERGE INTO`
@@ -651,8 +672,8 @@ object RefTableMutations {
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
           lit(true).as("__m")): _*)
 
-    val (empty, narrowed) =
-      if (nmbsActive) (false, files) // every file can hold unmatched rows
+    val (empty, narrowed, mergeFilters) =
+      if (nmbsActive) (false, files, None) // every file can hold unmatched rows
       else mergeNarrow(
         root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
     // gate the after-images BEFORE staging (fail refuses the whole commit
@@ -723,7 +744,12 @@ object RefTableMutations {
           .unionByName(inserts, allowMissingColumns = true)
       }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      // NMBS clauses read the FULL target — no delta is provably disjoint,
+      // so they keep the plain re-derive path
+      rebase = if (nmbsActive) None
+        else Some(keyedSpec(root, narrowed, partitionColumns, mergeFilters,
+          pruneOpts(root, cur.schema, partitionColumns, partitionTypes), conf))) { staging =>
       if (!empty || narrowed.nonEmpty)
         VersionedTable.writeParquetMicros(rewritten, staging.toString, partitionColumns)
       referenceRest(root, staging, current, narrowed, conf, partitionColumns)
@@ -789,10 +815,17 @@ object RefTableMutations {
           matchedUpdate.map(_._1).getOrElse(lit(false)).as("__upd"),
           matchedDelete.getOrElse(lit(false)).as("__del"),
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins")): _*)
-    val (empty, narrowed) =
-      if (nmbsActive) (false, files) // every file can hold unmatched rows
+    val (empty, narrowed, mergeFilters) =
+      if (nmbsActive) (false, files, None) // every file can hold unmatched rows
       else mergeNarrow(
         root, current, files, cur, marked, keyCols, partitionColumns, partitionTypes, conf)
+    // MoR merge rebase: marks old positions in read files (removes
+    // nothing), stages images; NMBS reads the full target → no rebase
+    val morMergeRebase =
+      if (nmbsActive) None
+      else Some(keyedSpec(root, narrowed, partitionColumns, mergeFilters,
+        pruneOpts(root, cur.schema, partitionColumns, partitionTypes), conf,
+        removeTouched = false))
     // after-image gate (see gateApply): fail censuses BEFORE staging,
     // quarantine appends the rejects first, drop skips the row's mutation
     // (its old POSITION must then survive too — see `dies` below)
@@ -806,7 +839,8 @@ object RefTableMutations {
       gateApply(spark, gate, inserts0, lit(true), col, "MERGE insert"))
     if (narrowed.isEmpty) {
       VersionedTable.publishVia(root, keepVersions,
-        parent = Some(new Path(current).getName), requireBase = true) { staging =>
+        parent = Some(new Path(current).getName), requireBase = true,
+        rebase = morMergeRebase) { staging =>
         if (!empty)
           VersionedTable.writeParquetMicros(inserts, staging.toString, partitionColumns)
         referenceRest(root, staging, current, Nil, conf, partitionColumns)
@@ -866,7 +900,8 @@ object RefTableMutations {
           Some(miss.filter(nDel || nApplies)))
       }
       VersionedTable.publishVia(root, keepVersions,
-        parent = Some(new Path(current).getName), requireBase = true) { staging =>
+        parent = Some(new Path(current).getName), requireBase = true,
+        rebase = morMergeRebase) { staging =>
         VersionedTable.writeParquetMicros(
           nmbsImages.foldLeft(newImages.unionByName(inserts, allowMissingColumns = true))(
             (a, b) => a.unionByName(b, allowMissingColumns = true)),
@@ -926,7 +961,8 @@ object RefTableMutations {
         else col(c)): _*))
     }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      rebase = Some(cowSpec(root, mayMatch, partitionColumns, filters, popts, conf))) { staging =>
       updated.foreach(u =>
         VersionedTable.writeParquetMicros(u, staging.toString, partitionColumns))
       referenceRest(root, staging, current, mayMatch, conf, partitionColumns)
@@ -971,7 +1007,15 @@ object RefTableMutations {
         case None => mayMatch0
       }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      // MoR update: marks positions + stages images for READ files — any
+      // concurrent position mark on them could duplicate a row, so
+      // stagesImages arms the strict rule-2 check
+      rebase = Some(VersionedTable.RebaseSpec(
+        removedRel = Set.empty, readRel = relsOf(root, mayMatch, conf),
+        addedMayMatch = statsOverlap(root, filters, popts, conf),
+        stagesImages = true,
+        partitionColumns = partitionColumns))) { staging =>
       if (mayMatch.nonEmpty) {
         // matched = rows whose OLD image must vanish (DV) and whose NEW
         // image stages. withMeta skips DV subtraction (it needs raw
@@ -1100,7 +1144,20 @@ object RefTableMutations {
           canonRaw(f.partitionValues(c), pType(c, partitionTypes))))
     }
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      // dynamic overwrite: replaces whole partitions — a rebase is sound
+      // unless the concurrent delta touched (rewrote, or non-blindly added
+      // files into) a replaced partition. A BLIND append into one simply
+      // serializes after the overwrite and survives, like any later append.
+      rebase = Some(VersionedTable.RebaseSpec(
+        removedRel = relsOf(root, replaced, conf),
+        readRel = relsOf(root, replaced, conf),
+        addedMayMatch = (_, added) => added.exists { e =>
+          !partitionColumns.forall(e.pv.contains) ||
+            touched.contains(partitionColumns.map(c =>
+              canonRaw(e.pv(c), pType(c, partitionTypes))))
+        },
+        partitionColumns = partitionColumns))) { staging =>
       if (touched.nonEmpty)
         VersionedTable.writeParquetMicros(source, staging.toString, partitionColumns)
       referenceRest(root, staging, current, replaced, conf, partitionColumns)
@@ -1162,7 +1219,8 @@ object RefTableMutations {
     val ct = col("change_type")
     // one job: total, upsert count, and per-key-column bounds over ALL
     // changed keys (any key arity) — delete keys must narrow too
-    val (total, nUpserts, mayMatch): (Long, Long, Seq[SnapshotFile]) = {
+    val (total, nUpserts, mayMatch, cdcFilters):
+        (Long, Long, Seq[SnapshotFile], Option[Seq[Filter]]) = {
       val aggs = Seq(
         org.apache.spark.sql.functions.count(lit(1)),
         org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L))) ++
@@ -1170,13 +1228,14 @@ object RefTableMutations {
       val mm = changes.agg(aggs.head, aggs.tail: _*).first()
       val t = mm.getLong(0)
       val u = if (mm.isNullAt(1)) 0L else mm.getLong(1)
-      if (t == 0L) (0L, 0L, Nil)
+      if (t == 0L) (0L, 0L, Nil, None)
       else keyBoundFilters(keyCols, mm, 2) match {
-        case None => (t, u, Nil) // a key column is all-null: nothing can match
+        case None => (t, u, Nil, None) // a key column is all-null: nothing can match
         case Some(filters) =>
           val popts = pruneOpts(root, cur.schema, partitionColumns, partitionTypes)
           (t, u, RefTableStats.prune(current,
-            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf))
+            RefTablePartitioning.prune(files, popts, filters), popts, filters, conf),
+            Some(filters))
       }
     }
     val narrowed =
@@ -1192,7 +1251,11 @@ object RefTableMutations {
     val upsPass = gateApply(spark, gate, changes, ct =!= "delete", col,
       "applyChanges upsert")
     VersionedTable.publishVia(root, keepVersions,
-      parent = Some(new Path(current).getName), requireBase = true) { staging =>
+      parent = Some(new Path(current).getName), requireBase = true,
+      // CDC apply: MoR position marks + staged images, key-matching
+      rebase = Some(keyedSpec(root, narrowed, partitionColumns, cdcFilters,
+        pruneOpts(root, cur.schema, partitionColumns, partitionTypes), conf,
+        removeTouched = false))) { staging =>
       if (nUpserts > 0L)
         VersionedTable.writeParquetMicros(
           changes.filter(ct =!= "delete" && upsPass).select(curCols.map(col): _*),
@@ -1507,14 +1570,81 @@ object RefTableMutations {
     */
   private def referenceRest(
       root: String, staging: Path, current: String, touched: Seq[SnapshotFile],
-      conf: Configuration, partitionColumns: Seq[String]): Unit = {
-    val rootPath = new Path(root)
-    val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
-    def rel(p: String): String =
-      if (p.startsWith(qualifiedRoot + "/")) p.substring(qualifiedRoot.length + 1) else p
+      conf: Configuration, partitionColumns: Seq[String]): Unit =
     RefTableFileManifest.writeDelta(
       root, staging, parentVersion = new Path(current).getName,
-      removedRel = touched.map(f => rel(f.path)).toSet,
+      removedRel = relsOf(root, touched, conf),
       partitionColumns = partitionColumns, conf = conf)
+
+  /** Root-relative spellings of a listing subset — the same relativization
+    * [[referenceRest]] writes into manifests, reused for
+    * [[VersionedTable.RebaseSpec]] read/write sets so the rebase conflict
+    * check compares like with like.
+    */
+  private def relsOf(root: String, files: Seq[SnapshotFile], conf: Configuration): Set[String] = {
+    val rootPath = new Path(root)
+    val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath).toString
+    files.map(f =>
+      if (f.path.startsWith(qualifiedRoot + "/")) f.path.substring(qualifiedRoot.length + 1)
+      else f.path).toSet
+  }
+
+  /** addedMayMatch hook from the mutation's own pruning filters: a
+    * concurrently-added file conflicts when its stats cannot prove it
+    * contains no row the mutation's read predicate matches. Empty filters
+    * (unpushable predicate) fail safe to "may match" — though such a
+    * mutation's read set is the whole base, so rules 1–2 refuse any
+    * non-blind delta before this hook runs.
+    */
+  private def statsOverlap(root: String, filters: Seq[Filter], popts: RefTableOptions,
+      conf: Configuration): (String, Seq[RefTableFileManifest.Entry]) => Boolean =
+    (headDir, added) => filters.isEmpty || {
+      // qualified paths: prune's host-grouping relativizes against the
+      // QUALIFIED root and fails open (= conflicts) on a mismatch
+      val rootPath = new Path(root)
+      val qualifiedRoot =
+        rootPath.getFileSystem(conf).makeQualified(rootPath).toString
+      val sfs = added.map(e =>
+        SnapshotFile(s"$qualifiedRoot/${e.rel}", e.len, e.pv))
+      RefTableStats.prune(headDir, sfs, popts, filters, conf).nonEmpty
+    }
+
+  /** RebaseSpec for a predicate-local COW mutation (DELETE/UPDATE): the
+    * pruned may-match set is both the read and the rewrite set; blind
+    * appends never conflict (the Delta write-serializable rule), other
+    * deltas conflict when they add a file the predicate may match.
+    */
+  private def cowSpec(root: String, touched: Seq[SnapshotFile],
+      partitionColumns: Seq[String], filters: Seq[Filter], popts: RefTableOptions,
+      conf: Configuration): VersionedTable.RebaseSpec = {
+    val rels = relsOf(root, touched, conf)
+    VersionedTable.RebaseSpec(removedRel = rels, readRel = rels,
+      addedMayMatch = statsOverlap(root, filters, popts, conf),
+      partitionColumns = partitionColumns)
+  }
+
+  /** RebaseSpec for a key-matching mutation (upsert/MERGE): like [[cowSpec]]
+    * but blind appends also conflict when they may carry the source's keys —
+    * two concurrent upserts of one new key must not both insert it — and
+    * concurrent position marks on read files conflict (the staged images
+    * could duplicate a concurrently-mutated row). `keyFilters` None means
+    * the source's keys are all NULL — an equi-join key never matches NULL,
+    * so no added file can conflict.
+    */
+  private def keyedSpec(root: String, touched: Seq[SnapshotFile],
+      partitionColumns: Seq[String], keyFilters: Option[Seq[Filter]],
+      popts: RefTableOptions, conf: Configuration,
+      removeTouched: Boolean = true): VersionedTable.RebaseSpec = {
+    val rels = relsOf(root, touched, conf)
+    VersionedTable.RebaseSpec(
+      removedRel = if (removeTouched) rels else Set.empty,
+      readRel = rels,
+      addedMayMatch = keyFilters match {
+        case None => (_, _) => false
+        case Some(fs) => statsOverlap(root, fs, popts, conf)
+      },
+      conflictOnBlindAppend = true,
+      stagesImages = true,
+      partitionColumns = partitionColumns)
   }
 }

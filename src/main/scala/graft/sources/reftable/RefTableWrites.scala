@@ -219,8 +219,13 @@ object RefTableWrites {
       } else {
         base match {
           case Some(b) =>
+            // pure append: empty read/write set — a lost CAS rebases onto
+            // any concurrent commit instead of re-staging the batch
             VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
-              parent = base, requireBase = true) { staging =>
+              parent = base, requireBase = true,
+              rebase = Some(VersionedTable.RebaseSpec(
+                removedRel = Set.empty, readRel = Set.empty,
+                partitionColumns = opts.partitionColumns))) { staging =>
               if (!aligned.isEmpty)
                 VersionedTable.writeParquetMicros(
                   aligned, staging.toString, opts.partitionColumns)

@@ -124,6 +124,69 @@ object VersionedTable {
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** Logical conflict description for a derived publish, enabling
+    * COMMIT REBASE: when the publish loses its CAS to a concurrent commit
+    * whose file delta is provably disjoint from this publish's read/write
+    * set, the already-staged output is re-pointed at the new head (its
+    * `_FILES.json` parent swaps, the head's deletion-vector sidecars
+    * re-carry) and the claim retries — the expensive derivation job never
+    * re-runs. This is the Delta-Lake ConflictChecker shape on the existing
+    * commit log; the fallback on overlap is today's full re-derive.
+    *
+    * VALIDATION MODEL. A rebase is admitted only when the final state
+    * (base + their delta + our delta) matches a legal SERIAL history:
+    *
+    *  - when the concurrent delta is a pure BLIND APPEND (removed nothing,
+    *    marked no positions), the order "ours first, their append after" is
+    *    valid by construction — the append reads nothing;
+    *  - otherwise the order "theirs first, ours second" must hold, which
+    *    requires OUR derivation to be provably insensitive to their delta:
+    *    they didn't remove/rewrite anything we read (rule 1), didn't mark
+    *    positions against rows we rewrote or re-imaged (rule 2), and added
+    *    no file that may contain rows our read predicate matches (rule 3).
+    *
+    *  - `removedRel`: root-relative paths the staged manifest REMOVES from
+    *    its parent (the COW rewrite set; empty for appends and MoR ops).
+    *  - `readRel`: root-relative paths whose CONTENT the derivation
+    *    depends on (⊇ removedRel for COW; the position-marked files for
+    *    MoR ops).
+    *  - `addedMayMatch(headDir, added)`: whether any concurrently-ADDED
+    *    file may contain rows this publish's read predicate matches
+    *    (stats overlap with the mutation's pruning filters, or partition
+    *    membership for partition replacement). Evaluated under the
+    *    "theirs first" order, and for blind appends only when
+    *    `conflictOnBlindAppend`.
+    *  - `conflictOnBlindAppend`: key-matching mutations (upsert/MERGE) set
+    *    true — a blind append of a key the source also carries would
+    *    otherwise duplicate it (the Delta ConcurrentAppendException rule);
+    *    predicate-local ops (DELETE/UPDATE) tolerate blind appends.
+    *  - `stagesImages`: true when the publish stages replacement images
+    *    for rows of merely-READ files (MoR update/upsert): concurrent
+    *    position marks against those files then conflict (our image could
+    *    resurrect or duplicate a concurrently-mutated row). MoR DELETE
+    *    leaves it false — position sets union against pure-DV deltas.
+    *  - `partitionColumns`: the layout columns the staged manifest was
+    *    written with (the rebase rewrites it with the same).
+    */
+  final case class RebaseSpec(
+      removedRel: Set[String],
+      readRel: Set[String],
+      addedMayMatch: (String, Seq[RefTableFileManifest.Entry]) => Boolean = (_, _) => false,
+      conflictOnBlindAppend: Boolean = false,
+      stagesImages: Boolean = false,
+      partitionColumns: Seq[String] = Nil)
+
+  /** Commits that landed through a rebase instead of a re-derive (spec and
+    * diagnostics surface; monotonic across the JVM). */
+  private[graft] val rebasedCommits = new java.util.concurrent.atomic.AtomicLong
+  /** publishVia populate-step executions (spec surface: a rebased commit
+    * must not re-run its derivation). */
+  private[graft] val populateRuns = new java.util.concurrent.atomic.AtomicLong
+  /** Test hook: runs right before a publish's first commit claim, AFTER the
+    * staging populate — lets a spec land a deterministic concurrent commit
+    * in the CAS window. Cleared by the spec that set it. */
+  @volatile private[graft] var onBeforeClaim: Option[String => Unit] = None
+
   private def fc(conf: Configuration): FileContext = FileContext.getFileContext(conf)
 
   /** The current version directory of `root`, if it is a versioned table
@@ -619,7 +682,8 @@ object VersionedTable {
   private[reftable] def publishVia(
       root: String, keepVersions: Int, marker: Option[String] = None,
       parent: Option[String] = None, requireBase: Boolean = false,
-      manifestPartitionCols: Seq[String] = Nil)(
+      manifestPartitionCols: Seq[String] = Nil,
+      rebase: Option[RebaseSpec] = None)(
       populate: Path => Unit): String = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: retaining only the current version would delete " +
@@ -665,6 +729,7 @@ object VersionedTable {
         fs.mkdirs(new Path(rootPath, CommitsDir))
         new Path(rootPath, name)
       }
+    populateRuns.incrementAndGet()
     populate(staging)
     // every version carries a FILE manifest: plain publishes get a
     // materialized listing (one-read resolution, no directory walks at
@@ -677,16 +742,33 @@ object VersionedTable {
     RefTableStats.writeManifest(staging.toString, conf)
     if (prim.atomicDirRename)
       fc(conf).rename(staging, new Path(rootPath, name))
+    onBeforeClaim.foreach(_(root))
     // the commit claim makes the version visible (and is the CAS for
     // derived publishes); a lost claim deletes our never-committed dir —
-    // no reader can have resolved to it
+    // no reader can have resolved to it. When the caller supplied a
+    // RebaseSpec, a lost claim first tries a COMMIT REBASE: if every
+    // intervening commit's delta is disjoint from this publish's
+    // read/write set, the staged dir re-points at the new head and
+    // re-claims — the derivation job is never re-run.
     val commit =
       try commitVersion(root, name, marker, parent,
         if (requireBase) Some(parent) else None, conf)
       catch {
         case e: CommitConflictException =>
-          fs.delete(new Path(rootPath, name), true)
-          throw e
+          (rebase, parent) match {
+            case (Some(spec), Some(base)) =>
+              tryRebase(root, name, base, marker, spec, conf) match {
+                case Some(c) =>
+                  rebasedCommits.incrementAndGet()
+                  c
+                case None =>
+                  fs.delete(new Path(rootPath, name), true)
+                  throw e
+              }
+            case _ =>
+              fs.delete(new Path(rootPath, name), true)
+              throw e
+          }
       }
     // best-effort cache for external tooling and legacy readers; the
     // commit log is authoritative, so cache failures are swallowed
@@ -740,6 +822,96 @@ object VersionedTable {
     }
     name
   }
+
+  /** COMMIT REBASE (see [[RebaseSpec]]): the staged version dir `name` lost
+    * its claim against `base`. Check every intervening commit's delta
+    * against the spec's read/write set; when disjoint, re-point the staged
+    * `_FILES.json` at the new head (same removed/added delta, new parent),
+    * re-carry the head's DV sidecars, and re-claim. Loops while newer heads
+    * keep landing; None (→ caller re-derives) on any overlap, on a vanished
+    * base listing, or after bounded attempts. The staged dir is never
+    * visible to readers during any of this — only the winning claim
+    * publishes it.
+    */
+  private def tryRebase(
+      root: String, name: String, base: String, marker: Option[String],
+      spec: RebaseSpec, conf: Configuration): Option[Commit] = {
+    try {
+      val baseRels = listingEntries(root, base, spec.partitionColumns, conf).map(_.rel).toSet
+      // read set ⊆ base's files by construction; verify so rule 1 is sound
+      // even if a caller passed paths in a different spelling
+      if (!spec.readRel.forall(baseRels.contains)) return None
+      val baseDvNames = DeletionVectors.sidecars(
+        new Path(root, base).toString, conf).map(_.getName).toSet
+      var attempts = 0
+      while (attempts < 10) {
+        attempts += 1
+        val head = lastCommit(root, conf).getOrElse(return None)
+        val headDir = new Path(root, head.version).toString
+        val headEntries = listingEntries(root, head.version, spec.partitionColumns, conf)
+        val headRels = headEntries.map(_.rel).toSet
+        // rule 1: every file we read (rewrote, removed, or marked positions
+        // in) must still be live — a concurrent commit that removed or
+        // rewrote one of them invalidated our derivation
+        if (!spec.readRel.forall(headRels.contains)) return None
+        val removedByThem = baseRels.diff(headRels)
+        val added = headEntries.filterNot(e => baseRels.contains(e.rel))
+        val newDvNames = DeletionVectors.sidecars(headDir, conf)
+          .map(_.getName).filterNot(baseDvNames.contains)
+        // rule 2: deletion-vector positions added since our base must not
+        // reference a file we REWROTE (our rewrite of the pre-DV image
+        // would resurrect the concurrently-deleted rows) nor — for
+        // image-staging MoR ops — a file we merely read (our staged image
+        // could resurrect or duplicate a concurrently-mutated row). A
+        // non-image MoR delete tolerates position marks on read files only
+        // against a PURE position delta: once their chain also staged data
+        // files, their images may hold rows our predicate never scanned.
+        if (newDvNames.nonEmpty && spec.readRel.nonEmpty) {
+          val newDvRefs = DeletionVectors.referencedFiles(headDir, baseDvNames, conf)
+          if (newDvRefs.exists(spec.removedRel.contains)) return None
+          if (newDvRefs.exists(spec.readRel.contains) &&
+              (spec.stagesImages || added.nonEmpty || removedByThem.nonEmpty)) return None
+        }
+        // rule 3: files added by the concurrent commits, judged by the
+        // caller's read predicate. A pure blind append (nothing removed, no
+        // positions marked) is exempt unless the caller is key-matching.
+        val blindAppend = removedByThem.isEmpty && newDvNames.isEmpty
+        if (added.nonEmpty && (!blindAppend || spec.conflictOnBlindAppend) &&
+            spec.addedMayMatch(headDir, added)) return None
+        // compatible: swap the staged manifest's parent to the head (same
+        // removed set — removedRel ⊆ head's files per rule 1 — same staged
+        // files) and re-carry the head's sidecars beside our own
+        RefTableFileManifest.writeDelta(root, new Path(new Path(root), name),
+          head.version, spec.removedRel, spec.partitionColumns, conf)
+        try return Some(commitVersion(root, name, marker, Some(head.version),
+          Some(Some(head.version)), conf))
+        catch { case _: CommitConflictException => () } // a newer head landed: loop
+      }
+      None
+    } catch {
+      // any surprise (pruned base dir, unreadable manifest) falls back to
+      // the re-derive path, which is always correct
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Complete root-relative listing of a committed version: its file
+    * manifest when present, else the physical walk (legacy/adopted
+    * versions).
+    */
+  private def listingEntries(
+      root: String, version: String, partitionColumns: Seq[String],
+      conf: Configuration): Seq[RefTableFileManifest.Entry] =
+    RefTableFileManifest.resolve(root, version, partitionColumns, conf).getOrElse {
+      val fs = new Path(root).getFileSystem(conf)
+      val qualifiedRoot = fs.makeQualified(new Path(root)).toString
+      SnapshotFiles.listPhysical(new Path(root, version).toString, partitionColumns).map { f =>
+        RefTableFileManifest.Entry(
+          if (f.path.startsWith(qualifiedRoot + "/")) f.path.substring(qualifiedRoot.length + 1)
+          else f.path,
+          f.length, f.partitionValues)
+      }
+    }
 
   /** Hidden-partitioned publish — Iceberg-style partition transforms
     * ([[RefTableTransforms]]): the data lays out under DERIVED directories

@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.reftable.{RefTableMutations, VersionedTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conflict-aware commit resolution (logical OCC): a derived publish that
+  * loses its CAS to a concurrent commit with a DISJOINT file delta rebases
+  * its already-staged output onto the new head instead of re-running the
+  * derivation job; overlapping deltas still re-derive. Each test lands the
+  * concurrent commit deterministically in the CAS window through
+  * VersionedTable.onBeforeClaim.
+  */
+class ConflictRebaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val conf = new Configuration()
+  private val ddl = "id BIGINT, name STRING"
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_rebase_$name")
+    Files.delete(d)
+    d.toString
+  }
+
+  private def readRows(root: String): Seq[(Long, String)] = spark.read.format("reftable")
+    .option("path", root).option("schema", ddl).load()
+    .orderBy("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def append(root: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("id", "name").write.format("reftable")
+      .option("path", root).option("schema", ddl).mode("append").save()
+  }
+
+  /** Two-file base: ids 1–5 in one file, 6–10 in the other (range
+    * partitioned so the stats manifests bound each file's ids exactly).
+    */
+  private def twoFileBase(root: String): Unit = {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name")
+    VersionedTable.publish(df.repartitionByRange(2, col("id")), root)
+  }
+
+  /** Arm the one-shot concurrent commit: fires inside the CAS window of the
+    * NEXT publish claim, self-clears before acting (its own publish claims
+    * too), and records the populate count right after it lands so the test
+    * can assert whether the outer mutation's derivation re-ran.
+    */
+  private def armConcurrent(action: () => Unit): () => Long = {
+    @volatile var populatesAfter = -1L
+    VersionedTable.onBeforeClaim = Some { _ =>
+      VersionedTable.onBeforeClaim = None
+      action()
+      populatesAfter = VersionedTable.populateRuns.get
+    }
+    () => populatesAfter
+  }
+
+  private def disarm(): Unit = VersionedTable.onBeforeClaim = None
+
+  test("COW delete + concurrent append: rebases, rewrite job runs exactly once") {
+    val root = tmpDir("del_app")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    val after = armConcurrent(() => append(root, Seq((20L, "t"))))
+    try RefTableMutations.deleteWhere(spark, root, col("id") === 5L)
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0 + 1, "the lost CAS must rebase")
+    assert(VersionedTable.populateRuns.get == after(),
+      "no populate after the concurrent append landed — the delete's rewrite ran once")
+    assert(readRows(root).map(_._1) == ((1L to 10L).filterNot(_ == 5L) :+ 20L),
+      "final state = sequential replay of append + delete")
+    val log = VersionedTable.commitLog(root, conf)
+    assert(log.size == 3, "base, append, rebased delete")
+    assert(log.last.parent.contains(log(1).version),
+      "the rebased delete's lineage points at the concurrent append")
+  }
+
+  test("COW deletes of disjoint files: the loser rebases") {
+    val root = tmpDir("del_del_disjoint")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    // theirs touches the 6–10 file; ours the 1–5 file — disjoint rewrites
+    val after = armConcurrent(() =>
+      RefTableMutations.deleteWhere(spark, root, col("id") === 9L))
+    try RefTableMutations.deleteWhere(spark, root, col("id") === 2L)
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0 + 1)
+    assert(VersionedTable.populateRuns.get == after())
+    assert(readRows(root).map(_._1) == (1L to 10L).filterNot(i => i == 2L || i == 9L))
+  }
+
+  test("COW deletes touching the same file: the loser re-derives (no rebase)") {
+    val root = tmpDir("del_del_overlap")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    val after = armConcurrent(() =>
+      RefTableMutations.deleteWhere(spark, root, col("id") === 4L))
+    try RefTableMutations.deleteWhere(spark, root, col("id") === 5L)
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0, "overlapping rewrite must not rebase")
+    assert(VersionedTable.populateRuns.get > after(),
+      "the delete re-derived from the new head")
+    assert(readRows(root).map(_._1) == (1L to 10L).filterNot(i => i == 4L || i == 5L),
+      "re-derive is still correct")
+  }
+
+  test("upsert + concurrent append outside the key bounds: rebases") {
+    import spark.implicits._
+    val root = tmpDir("ups_app_far")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    val after = armConcurrent(() => append(root, Seq((100L, "z"))))
+    try RefTableMutations.upsert(spark, root,
+      Seq((5L, "updated")).toDF("id", "name"), Seq("id"))
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0 + 1,
+      "added file [100,100] is provably outside the source key bounds [5,5]")
+    assert(VersionedTable.populateRuns.get == after())
+    val rows = readRows(root)
+    assert(rows.contains((5L, "updated")) && rows.contains((100L, "z")))
+    assert(rows.size == 11)
+  }
+
+  test("upsert + concurrent append INSIDE the key bounds: re-derives (no duplicate key)") {
+    import spark.implicits._
+    val root = tmpDir("ups_app_near")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    // blind append of the same key the upsert carries — a rebase would land
+    // two id=5 rows, a state no serial order produces
+    val after = armConcurrent(() => append(root, Seq((5L, "shadow"))))
+    try RefTableMutations.upsert(spark, root,
+      Seq((5L, "updated")).toDF("id", "name"), Seq("id"))
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0, "key-overlapping append must re-derive")
+    assert(VersionedTable.populateRuns.get > after())
+    val rows = readRows(root)
+    assert(rows.count(_._1 == 5L) == 1 && rows.contains((5L, "updated")),
+      "the re-derived upsert collapsed both id=5 images to the source row")
+  }
+
+  test("MoR delete + concurrent append: rebases; positions and append both land") {
+    val root = tmpDir("mor_app")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    val after = armConcurrent(() => append(root, Seq((20L, "t"))))
+    try RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 7L)
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0 + 1)
+    assert(VersionedTable.populateRuns.get == after())
+    assert(readRows(root).map(_._1) == ((1L to 10L).filterNot(_ == 7L) :+ 20L))
+  }
+
+  test("MoR delete racing a COW rewrite of the marked file: re-derives") {
+    import spark.implicits._
+    val root = tmpDir("mor_cow")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    // theirs rewrites the 6–10 file (upsert of key 8); our MoR positions
+    // were computed against that file's OLD image — stale keys would make
+    // our delete silently vanish
+    val after = armConcurrent(() => RefTableMutations.upsert(spark, root,
+      Seq((8L, "rewritten")).toDF("id", "name"), Seq("id")))
+    try RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 7L)
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0,
+      "a rewrite of a position-marked file must force a re-derive")
+    assert(VersionedTable.populateRuns.get > after())
+    val rows = readRows(root)
+    assert(!rows.exists(_._1 == 7L), "the re-derived MoR delete still applies")
+    assert(rows.contains((8L, "rewritten")))
+  }
+
+  test("COW delete racing a concurrent MoR delete on the same file: re-derives") {
+    val root = tmpDir("cow_mor")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    // theirs marks positions in the 1–5 file; our staged rewrite of that
+    // file derives from its pre-DV image — a rebase would resurrect their
+    // deleted row
+    val after = armConcurrent(() =>
+      RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 3L))
+    try RefTableMutations.deleteWhere(spark, root, col("id") === 5L)
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0,
+      "new DV positions against our rewrite set must force a re-derive")
+    assert(VersionedTable.populateRuns.get > after())
+    assert(readRows(root).map(_._1) == (1L to 10L).filterNot(i => i == 3L || i == 5L))
+  }
+
+  test("append + concurrent append: the loser rebases without re-staging its batch") {
+    val root = tmpDir("app_app")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    val after = armConcurrent(() => append(root, Seq((30L, "w1"))))
+    try append(root, Seq((40L, "w2")))
+    finally disarm()
+    assert(VersionedTable.rebasedCommits.get == r0 + 1)
+    assert(VersionedTable.populateRuns.get == after(),
+      "the losing append never re-staged its data files")
+    assert(readRows(root).map(_._1) == ((1L to 10L) ++ Seq(30L, 40L)))
+  }
+}
