@@ -256,9 +256,12 @@ object TextAnalysis {
     val alphaN = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
     val stopN = size(array_intersect(array_distinct(toks),
       array(stops.map(lit): _*))).cast("long")
-    val hashes = (length(col(textCol)) - length(expr(s"replace($textCol, '#', '')"))).cast("long")
+    // Column-form replace (not expr-interpolated SQL): column names needing
+    // backtick quoting must work like everywhere else in this API
+    val hashes = (length(col(textCol)) -
+      length(replace(col(textCol), lit("#"), lit("")))).cast("long")
     val ell = ((length(col(textCol)) -
-      length(expr(s"replace($textCol, '...', '')"))) / 3).cast("long")
+      length(replace(col(textCol), lit("..."), lit("")))) / 3).cast("long")
     val lines = split(col(textCol), "\n")
     val nlines = size(lines).cast("long")
     val bulletL = size(filter(lines, l => l.rlike("^\\s*[-*]"))).cast("long")

@@ -585,6 +585,55 @@ object TableCatalogSql {
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // BRANCH REBASE (round 16): main MOVES after the fork (an append), so
+    // fast-forward refuses — rebase replays the branch's file delta (a COW
+    // delete on even keys' files + an appended odd-key feed) onto main's
+    // new head, zero-copy, and re-syncs the branch. The oracle replays the
+    // same history sequentially: base ∪ main-append ∪ branch-append minus
+    // the branch's delete. The entry asserts fast-forward's refusal, so a
+    // rebase silently degrading to clobber-promote fails the gate.
+    QueryDef("q204_branch_rebase", (s, dir) => {
+      import graft.sources.reftable.{RefTableMutations, VersionedTable}
+      val base = RelationalSupport.scratchDir(s, dir, "q204_rb")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val root = s"$base/t"
+      val ddl = "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+      Tables.registerAll(s, dir)
+      def feed(pred: String) =
+        s.sql(s"SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents " +
+          s"FROM orders WHERE $pred")
+      VersionedTable.publish(feed("o_orderkey % 4 = 0"), root)
+      VersionedTable.createBranch(root, "dev")
+      // branch delta: delete keys ending in 0 + append the %4=1 feed
+      RefTableMutations.deleteWhere(s, VersionedTable.branchRoot(root, "dev"),
+        col("o_orderkey") % 10 === 0)
+      feed("o_orderkey % 4 = 1").write.format("reftable")
+        .option("path", root).option("schema", ddl).option("branch", "dev")
+        .mode("append").save()
+      // main moves: a concurrent append of the %4=2 feed
+      feed("o_orderkey % 4 = 2").write.format("reftable")
+        .option("path", root).option("schema", ddl).mode("append").save()
+      try {
+        VersionedTable.fastForward(root, "dev")
+        throw new IllegalStateException(
+          "q204: fast-forward must refuse after main moved")
+      } catch { case _: VersionedTable.CommitConflictException => () }
+      VersionedTable.rebaseBranch(root, "dev")
+      s.read.format("reftable").option("path", root).option("schema", ddl).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("cents").cast("bigint").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE (o_orderkey % 4 IN (1, 2) OR (o_orderkey % 4 = 0 AND o_orderkey % 10 <> 0))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // COLUMN NDV STATISTICS → CBO (round 15): the table declares
     // `ndvStats` so every INSERT lands per-file mergeable HLL sketches in
     // the stats manifest; the read side unions the surviving files'

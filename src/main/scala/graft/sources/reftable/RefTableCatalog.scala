@@ -815,7 +815,8 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
 
   private val procedures =
     Seq("maintain", "maintain_all", "compact", "vacuum", "clone", "restore", "promote",
-      "expect", "ingest", "create_branch", "fast_forward", "drop_branch", "analyze")
+      "expect", "ingest", "create_branch", "fast_forward", "rebase_branch",
+      "drop_branch", "analyze")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -836,6 +837,7 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       case "analyze" => new AnalyzeProcedure(optsTarget)
       case "create_branch" => new CreateBranchProcedure(maintenanceTarget)
       case "fast_forward" => new FastForwardProcedure(maintenanceTarget)
+      case "rebase_branch" => new RebaseBranchProcedure(maintenanceTarget)
       case "drop_branch" => new DropBranchProcedure(maintenanceTarget)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure system.${ident.name} " +

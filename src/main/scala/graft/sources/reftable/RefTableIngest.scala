@@ -78,8 +78,18 @@ object RefTableIngest {
         fs.mkdirs(seqDir(root))
         CommitPrimitive.forPath(dst, conf)
           .putIfAbsent(dst, Array.emptyByteArray, conf) // lost race = claimed
-        ()
       }
+      // only the MAX marker is ever read ([[claimedSeq]]); older ones are
+      // dead weight that the streaming variant would otherwise re-list
+      // every trigger, forever (vacuum never touches this dir). Deleting
+      // below the just-claimed seq preserves the create-once claim
+      // semantics for the newest marker; a concurrent caller claiming a
+      // HIGHER seq deletes ours the same way, which is exactly the order
+      // the high-water contract needs.
+      try fs.listStatus(seqDir(root)).toIndexedSeq
+        .filter(s => s.getPath.getName.toLongOption.exists(_ < seq))
+        .foreach(s => fs.delete(s.getPath, false))
+      catch { case scala.util.control.NonFatal(_) => () } // cleanup is best-effort
     }
 
   /** The ingest-log sibling's options: append-only metadata rows, no

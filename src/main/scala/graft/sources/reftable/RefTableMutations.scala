@@ -433,10 +433,13 @@ object RefTableMutations {
     VersionedTable.publishVia(root, keepVersions, marker = marker,
       parent = Some(new Path(current).getName), requireBase = true,
       // MoR upsert: marks old positions in the read files (removes
-      // nothing), stages the batch as new images
+      // nothing), stages the batch as new images; a txn-marked epoch
+      // re-checks its replay guard before any rebase re-claim
       rebase = Some(keyedSpec(root, narrowed, partitionColumns, keyFilters,
         pruneOpts(root, cur.schema, partitionColumns, partitionTypes), conf,
-        removeTouched = false))) { staging =>
+        removeTouched = false).copy(
+        revalidate = () => txn.forall { case (a, b) =>
+          !RefTableWrites.lastCommittedBatch(root, a, conf).exists(_ >= b) }))) { staging =>
       // the new images (and inserts): the whole aligned batch, staged once
       images.fold(
         _ => if (!empty) VersionedTable.writeParquetMicros(

@@ -443,6 +443,31 @@ final class FastForwardProcedure(resolveTarget: String => (String, Seq[String]))
   }
 }
 
+/** `CALL cat.system.rebase_branch(table => 'ns.t', name => 'dev')` — replay
+  * the branch's file delta onto a MAIN that moved since the fork, zero-copy,
+  * refusing loudly on overlapping rewrites or un-materialized deletion
+  * vectors; falls back to a plain fast-forward when main has not moved.
+  */
+final class RebaseBranchProcedure(resolveTarget: String => (String, Seq[String]))
+    extends RefTableProcedure {
+  override def name: String = "rebase_branch"
+  override def description: String =
+    "Replays the branch's file delta onto main's new head (zero-copy), refusing " +
+      "loudly when the branch and main rewrote the same files"
+
+  override def parameters: Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", DataTypes.StringType).build(),
+    ProcedureParameter.in("name", DataTypes.StringType).build())
+
+  protected val outputSchema = StructType.fromDDL("version STRING")
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val (root, pcols) = resolveTarget(input.getString(0))
+    result(UTF8String.fromString(
+      VersionedTable.rebaseBranch(root, input.getString(1), pcols)))
+  }
+}
+
 /** `CALL cat.system.drop_branch(table => 'ns.t', name => 'dev')`. */
 final class DropBranchProcedure(resolveTarget: String => (String, Seq[String]))
     extends RefTableProcedure {

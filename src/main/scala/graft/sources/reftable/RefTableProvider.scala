@@ -463,7 +463,12 @@ class RefTableScan(
         if (entries.nonEmpty && entries.forall(_.exists(_.hll.isDefined))) {
           val ndvOpt = RefTableStats.ndvEstimate(entries.map(_.get.hll.get))
           val nullsKnown = entries.forall(_.get.nulls >= 0L)
-          val nulls = entries.map(_.get.nulls).sum
+          // per-file null counts predate deletion vectors, while numRows
+          // subtracts DV'd positions — clamp so a heavily-deleted listing
+          // can never report nullCount > rowCount (a nonsense null
+          // fraction that skews CBO selectivity)
+          val nulls = math.min(entries.map(_.get.nulls).sum,
+            rows.orElse(Long.MaxValue))
           ndvOpt.foreach { ndv =>
             m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {

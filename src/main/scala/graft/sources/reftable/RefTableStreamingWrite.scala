@@ -225,6 +225,7 @@ class RefTableStreamingWrite(
       return
     }
     val marker = Some(s"txn:$appId:$epochId")
+    RefTableWrites.guardBranchExists(opts.path, conf)
     val committed = VersionedTable.withConflictRetry(opts.path) { () =>
       // pin base FIRST, then the marker check, then CAS on that base —
       // the ordering that makes check-then-commit unsplittable (see
@@ -239,8 +240,18 @@ class RefTableStreamingWrite(
           manifestPartitionCols = opts.partitionColumns) { staging => move(staging) }
         true
       } else {
+        // pure epoch append: a lost CAS (e.g. to a concurrent autoCompact
+        // or CDC-apply) rebases instead of re-copying the epoch's files;
+        // revalidate re-checks the exactly-once epoch replay guard against
+        // the moved head (a zombie attempt of the SAME query may have
+        // landed this epoch)
         VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
-          parent = base, requireBase = true) { staging =>
+          parent = base, requireBase = true,
+          rebase = Some(VersionedTable.RebaseSpec(
+            removedRel = Set.empty, readRel = Set.empty,
+            partitionColumns = opts.partitionColumns,
+            revalidate = () => !RefTableWrites
+              .lastCommittedBatch(opts.path, appId, conf).exists(_ >= epochId)))) { staging =>
           move(staging)
           RefTableFileManifest.writeDelta(opts.path, staging, base.get, Set.empty,
             opts.partitionColumns, conf)

@@ -90,7 +90,27 @@ object RefTableWrites {
     * reader of the root would silently stop seeing it — shadowing is as
     * wrong as deleting.
     */
+  /** A write targeting a branch root (`.../_BRANCHES/<name>`) requires the
+    * branch to EXIST (its `_FORK` marker claimed by createBranch): the
+    * `branch` option is a pure path rewrite, so a typo'd name would
+    * otherwise silently create an orphan lineage — invisible to
+    * `t$branches`, un-fast-forwardable (no fork marker), and shadowed by a
+    * later create_branch of the same name. Reads already fail at table
+    * resolution; this closes the write and streaming surfaces.
+    */
+  private[reftable] def guardBranchExists(path: String, conf: Configuration): Unit = {
+    val m = java.util.regex.Pattern
+      .compile("^(.*)/" + VersionedTable.BranchesDir + "/([^/]+)$")
+      .matcher(path.stripSuffix("/"))
+    if (m.matches() && VersionedTable.branchFork(m.group(1), m.group(2), conf).isEmpty)
+      throw new IllegalArgumentException(
+        s"reftable: branch '${m.group(2)}' does not exist at ${m.group(1)} — create it " +
+          "first (CALL system.create_branch(...) or VersionedTable.createBranch) before " +
+          "writing through .option(\"branch\", ...) or the branch path")
+  }
+
   private def guardBareRoot(opts: RefTableOptions, conf: Configuration): Unit = {
+    guardBranchExists(opts.path, conf)
     val root = new Path(opts.path)
     val fs = root.getFileSystem(conf)
     val versioned = VersionedTable.resolve(opts.path, conf).isDefined
@@ -220,12 +240,17 @@ object RefTableWrites {
         base match {
           case Some(b) =>
             // pure append: empty read/write set — a lost CAS rebases onto
-            // any concurrent commit instead of re-staging the batch
+            // any concurrent commit instead of re-staging the batch.
+            // revalidate: a txn-marked batch re-checks its replay guard
+            // against the moved head (a concurrent writer of the SAME
+            // transaction may have landed this very batch)
             VersionedTable.publishVia(opts.path, opts.keepVersions, marker = marker,
               parent = base, requireBase = true,
               rebase = Some(VersionedTable.RebaseSpec(
                 removedRel = Set.empty, readRel = Set.empty,
-                partitionColumns = opts.partitionColumns))) { staging =>
+                partitionColumns = opts.partitionColumns,
+                revalidate = () => txn.forall { case (a, b2) =>
+                  !lastCommittedBatch(opts.path, a, conf).exists(_ >= b2) }))) { staging =>
               if (!aligned.isEmpty)
                 VersionedTable.writeParquetMicros(
                   aligned, staging.toString, opts.partitionColumns)

@@ -167,6 +167,13 @@ object VersionedTable {
     *    leaves it false — position sets union against pure-DV deltas.
     *  - `partitionColumns`: the layout columns the staged manifest was
     *    written with (the rebase rewrites it with the same).
+    *  - `revalidate`: re-run the caller's OWN pre-publish admission check
+    *    against the new head before re-claiming (e.g. the exactly-once
+    *    `txn:<id>:<batch>` replay check — a concurrent writer of the SAME
+    *    transaction may have committed this very batch, and only the
+    *    re-derive path re-runs that check). Returning false refuses the
+    *    rebase; the publish falls back to re-derive, where the caller's
+    *    closure re-checks and no-ops.
     */
   final case class RebaseSpec(
       removedRel: Set[String],
@@ -174,7 +181,8 @@ object VersionedTable {
       addedMayMatch: (String, Seq[RefTableFileManifest.Entry]) => Boolean = (_, _) => false,
       conflictOnBlindAppend: Boolean = false,
       stagesImages: Boolean = false,
-      partitionColumns: Seq[String] = Nil)
+      partitionColumns: Seq[String] = Nil,
+      revalidate: () => Boolean = () => true)
 
   /** Commits that landed through a rebase instead of a re-derive (spec and
     * diagnostics surface; monotonic across the JVM). */
@@ -846,6 +854,9 @@ object VersionedTable {
       var attempts = 0
       while (attempts < 10) {
         attempts += 1
+        // rule 0: the caller's own admission check (txn replay, etc.) must
+        // still hold against the moved head
+        if (!spec.revalidate()) return None
         val head = lastCommit(root, conf).getOrElse(return None)
         val headDir = new Path(root, head.version).toString
         val headEntries = listingEntries(root, head.version, spec.partitionColumns, conf)
@@ -1137,29 +1148,59 @@ object VersionedTable {
     if (!CommitPrimitive.forPath(p, conf).putIfAbsent(p, content, conf))
       throw new IllegalArgumentException(
         s"branch: '$name' already exists at $root (dropBranch releases it)")
-    try cloneTo(root, branchRoot(root, name), Some(fork), partitionColumns, keepVersions)
-    catch { case e: Throwable =>
-      // a failed clone must not leave an unusable claimed name
-      try p.getFileSystem(conf).delete(new Path(branchRoot(root, name)), true)
-      catch { case _: java.io.IOException => () }
-      throw e
-    }
+    val cloned =
+      try cloneTo(root, branchRoot(root, name), Some(fork), partitionColumns, keepVersions)
+      catch { case e: Throwable =>
+        // a failed clone must not leave an unusable claimed name
+        try p.getFileSystem(conf).delete(new Path(branchRoot(root, name)), true)
+        catch { case _: java.io.IOException => () }
+        throw e
+      }
+    // record the rebase baseline: the clone version's content IS the fork
+    writeFork(root, name, fork, Some(cloned), conf)
     fork
   }
 
   /** The fork version a branch's next fast-forward CASes against. */
   def branchFork(root: String, name: String,
-      conf: Configuration = new Configuration()): Option[String] = {
+      conf: Configuration = new Configuration()): Option[String] =
+    readFork(root, name, "version", conf)
+
+  /** The BRANCH version whose content matched main at the recorded fork —
+    * the baseline a rebase diffs the branch's delta against. Recorded by
+    * createBranch / fastForward / rebaseBranch since round 16; absent on
+    * older branches (rebase then falls back to the clone commit).
+    */
+  def branchBase(root: String, name: String,
+      conf: Configuration = new Configuration()): Option[String] =
+    readFork(root, name, "base", conf)
+
+  private def readFork(root: String, name: String, field: String,
+      conf: Configuration): Option[String] = {
     val p = forkPath(root, name)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val v = try new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(in).path("version").asText()
+        .readTree(in).path(field).asText()
       finally in.close()
       Some(v).filter(_.nonEmpty)
     }
+  }
+
+  /** (Over)write a branch's fork marker: `version` is the MAIN version the
+    * next fast-forward CASes against; `base` the branch version whose
+    * content matched it (None preserves any previously recorded base).
+    */
+  private def writeFork(root: String, name: String, version: String,
+      base: Option[String], conf: Configuration): Unit = {
+    val b = base.orElse(branchBase(root, name, conf))
+      .map(v => s""","base":"$v"""").getOrElse("")
+    CommitPrimitive.forPath(forkPath(root, name), conf).overwrite(
+      forkPath(root, name),
+      s"""{"version":"$version"$b,"created":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"), conf)
   }
 
   /** All branches: (name, fork version, branch head version if published). */
@@ -1191,13 +1232,146 @@ object VersionedTable {
     val fork = branchFork(root, name, conf).getOrElse(
       throw new IllegalArgumentException(
         s"branch: '$name' does not exist at $root (createBranch forks one)"))
-    val promoted = promote(branchRoot(root, name), root,
-      expectedBase = Some(fork), partitionColumns, keepVersions)
-    CommitPrimitive.forPath(forkPath(root, name), conf).overwrite(
-      forkPath(root, name),
-      s"""{"version":"$promoted","created":${System.currentTimeMillis()}}"""
-        .getBytes("UTF-8"), conf)
+    // the branch head being promoted becomes the new rebase baseline (its
+    // content IS the new fork's content)
+    val bHead = resolve(branchRoot(root, name), conf).map(p => new Path(p).getName)
+    val promoted =
+      try promote(branchRoot(root, name), root,
+        expectedBase = Some(fork), partitionColumns, keepVersions)
+      catch {
+        case e: CommitConflictException =>
+          // SELF-HEAL for the crash window between a previous fastForward's
+          // promote and its fork re-point: the publish landed but the
+          // marker still names the old fork, so every further fastForward
+          // would conflict forever. If main's HEAD is a promote of THIS
+          // branch, the marker is simply stale — re-point it and return the
+          // already-promoted version (branch work committed after the crash
+          // fast-forwards on the next call, which now CASes cleanly). The
+          // rebase baseline is NOT updated here — the crash-time branch
+          // head is unknowable; a later rebase falls back loudly if needed.
+          lastCommit(root, conf) match {
+            case Some(c) if c.marker.contains(s"promote=${branchRoot(root, name)}") =>
+              writeFork(root, name, c.version, None, conf)
+              return c.version
+            case _ => throw e
+          }
+      }
+    writeFork(root, name, promoted, bHead, conf)
     promoted
+  }
+
+  /** The delta-identity of a linked file: clone/promote/rebase links name
+    * files `c%05d-<original>`, so stripping every such prefix recovers the
+    * original Spark part-file name (globally unique via its job UUID) —
+    * the key that matches a branch's copy of a file to main's.
+    */
+  private def contentName(rel: String): String = {
+    var n = rel.substring(rel.lastIndexOf('/') + 1)
+    while (n.length > 7 && n.startsWith("c") && n.charAt(6) == '-' &&
+        n.substring(1, 6).forall(_.isDigit))
+      n = n.substring(7)
+    n
+  }
+
+  /** REBASE a branch whose main has MOVED since the fork: replay the
+    * branch's cumulative file delta (files it removed/rewrote, files it
+    * added — identified across the clone boundary by [[contentName]]) onto
+    * main's new head, zero-copy, refusing LOUDLY when the deltas overlap
+    * (the branch rewrote a file main also rewrote, or either side has
+    * un-materialized deletion vectors). On success main's next version is
+    * `head + branch delta`, the fork re-points there, and the branch
+    * re-syncs to the rebased state — so it cycles exactly like
+    * [[fastForward]] (which this delegates to when main has not moved).
+    *
+    * The write-set disjointness check is the same shape as the commit
+    * rebase ([[RebaseSpec]] rule 1) at branch granularity: a removed
+    * content-name missing from main's head means main rewrote or removed
+    * it too → refuse. Predicate-sensitivity across sides (main added rows
+    * a branch mutation's WHERE would have matched) is not re-checked at
+    * this granularity — the branch contract is file-level isolation, as
+    * with git's merge model.
+    */
+  def rebaseBranch(root: String, name: String,
+      partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
+    val conf = new Configuration()
+    val bRoot = branchRoot(root, name)
+    branchFork(root, name, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch: '$name' does not exist at $root (createBranch forks one)"))
+    // branch delta baseline: the recorded base (the branch version whose
+    // content matched main at the fork — maintained by createBranch /
+    // fastForward / rebaseBranch), else legacy discovery: the clone commit
+    // (seq 1) when retained, else the earliest surviving version dir (the
+    // clone is the branch's first version and stays protected as its
+    // manifest-chain base); an unresolvable base refuses with the remedy
+    val cloneV = branchBase(root, name, conf)
+      .orElse(commitLog(bRoot, conf).find(_.seq == 1L).map(_.version))
+      .orElse(versionDirs(bRoot, conf).headOption)
+      .getOrElse(throw new IllegalStateException(
+        s"rebase: branch '$name' no longer retains its fork baseline — " +
+          "its delta vs the fork cannot be derived; re-branch from main and replay"))
+    val bHeadV = resolve(bRoot, conf).map(p => new Path(p).getName).getOrElse(
+      throw new IllegalStateException(s"rebase: branch '$name' resolves to no version"))
+    val (cloneEntries, bHeadEntries) =
+      try (listingEntries(bRoot, cloneV, partitionColumns, conf),
+        listingEntries(bRoot, bHeadV, partitionColumns, conf))
+      catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+          s"rebase: branch '$name' clone base is no longer listable (${e.getMessage}); " +
+            "re-branch from main and replay", e)
+      }
+    val cloneNames = cloneEntries.map(e => contentName(e.rel)).toSet
+    val bHeadNames = bHeadEntries.map(e => contentName(e.rel)).toSet
+    val removedB = cloneNames.diff(bHeadNames)
+    val addedB = bHeadEntries.filterNot(e => cloneNames.contains(contentName(e.rel)))
+    if (DeletionVectors.hasDv(new Path(bRoot, bHeadV).toString, conf))
+      throw new UnsupportedOperationException(
+        s"rebase: branch '$name' carries un-materialized deletion vectors — " +
+          "CALL system.compact on the branch first, then rebase")
+    withConflictRetry(root) { () =>
+      val fork = branchFork(root, name, conf).get
+      val mainHead = resolve(root, conf).map(p => new Path(p).getName).getOrElse(
+        throw new IllegalArgumentException(s"$root is not a versioned table root"))
+      if (mainHead == fork) fastForward(root, name, partitionColumns, keepVersions)
+      else {
+        if (DeletionVectors.hasDv(new Path(root, mainHead).toString, conf))
+          throw new UnsupportedOperationException(
+            s"rebase: main carries un-materialized deletion vectors newer than the fork " +
+              "may account for — CALL system.compact on the table first, then rebase")
+        val headEntries = listingEntries(root, mainHead, partitionColumns, conf)
+        val headByName = headEntries.map(e => contentName(e.rel) -> e.rel).toMap
+        val overlap = removedB.filterNot(headByName.contains)
+        if (overlap.nonEmpty)
+          throw new IllegalStateException(
+            s"rebase: branch '$name' rewrote file(s) main also rewrote or removed since " +
+              s"the fork (${overlap.take(3).mkString(", ")}${if (overlap.size > 3) ", …" else ""}) " +
+              "— overlapping deltas cannot rebase; re-derive the branch work on a fresh branch")
+        val collide = addedB.map(e => contentName(e.rel)).filter(headByName.contains)
+        if (collide.nonEmpty)
+          throw new IllegalStateException(
+            s"rebase: branch '$name' file(s) already present on main " +
+              s"(${collide.take(3).mkString(", ")}) — was the branch already promoted?")
+        val bRootPath = new Path(bRoot)
+        val qualifiedBRoot =
+          bRootPath.getFileSystem(conf).makeQualified(bRootPath).toString
+        val addFiles = addedB.map(e =>
+          SnapshotFile(s"$qualifiedBRoot/${e.rel}", e.len, e.pv))
+        val removedRels = headEntries
+          .filter(e => removedB.contains(contentName(e.rel))).map(_.rel).toSet
+        val promoted = publishVia(root, keepVersions,
+          marker = Some(s"rebase=$bRoot"),
+          parent = Some(mainHead), requireBase = true) { staging =>
+          linkListingInto(addFiles, staging, partitionColumns, conf, "rebase")
+          RefTableFileManifest.writeDelta(root, staging, mainHead, removedRels,
+            partitionColumns, conf)
+        }
+        // re-sync the branch to the rebased main state so it cycles: the
+        // synced branch version becomes the next rebase baseline
+        val synced = promote(root, bRoot, expectedBase = None, partitionColumns, keepVersions)
+        writeFork(root, name, promoted, Some(synced), conf)
+        promoted
+      }
+    }
   }
 
   /** Delete a branch (its lineage, links and fork marker). Main is

@@ -654,6 +654,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(5L)._5 && !got(5L)._8, "doc 5 fails symbol ratio")
   }
 
+  test("gopherRules: a column name needing backtick quoting works (no raw SQL interpolation)") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"the be to of and that have with word$i").mkString(" ")
+    val docs = Seq((1L, fifty), (2L, fifty + " " + (1 to 80).map(_ => "#").mkString(" ")))
+      .toDF("doc id", "the text") // spaces: expr(s"replace($textCol, ...)") choked here
+    val got = graft.operators.TextAnalysis.gopherRules(docs, "doc id", "the text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(got(1L) && !got(2L), s"same verdicts through the quoted-name path: $got")
+  }
+
   test("lmPerplexity: in-distribution text scores lower perplexity than gibberish") {
     import spark.implicits._
     val common = (1 to 40).map(i => (i.toLong, "the cat sat on the mat and the dog ran"))

@@ -198,4 +198,177 @@ class RefTableBranchSpec extends AnyFunSuite {
     spark.sql(s"CALL $cat.system.drop_branch(table => 'db.t', name => 'dev')")
     assert(spark.sql(s"SELECT * FROM $cat.db.`t$$branches`").collect().isEmpty)
   }
+
+  test("a write to a never-created branch refuses instead of forging an orphan lineage") {
+    import spark.implicits._
+    val root = tmp("orphan")
+    VersionedTable.publish((1L to 5L).map(i => (i, i)).toDF("id", "v"), root)
+    // the `branch` option is a pure path rewrite — without the guard this
+    // would silently publish under _BRANCHES/typo with no _FORK marker
+    val e = intercept[IllegalArgumentException] {
+      Seq((6L, 6L)).toDF("id", "v")
+        .write.format("reftable").option("path", root).option("schema", ddl)
+        .option("branch", "typo").mode("append").save()
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // the direct branch-root path is guarded the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Seq((6L, 6L)).toDF("id", "v")
+        .write.format("reftable")
+        .option("path", VersionedTable.branchRoot(root, "typo"))
+        .option("schema", ddl).mode("append").save()
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    assert(VersionedTable.branches(root).isEmpty, "no orphan lineage landed")
+    // after createBranch the same write goes through
+    VersionedTable.createBranch(root, "typo")
+    Seq((6L, 6L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "typo").mode("append").save()
+    assert(readBranch(root, "typo").count() == 6)
+  }
+
+  test("fastForward self-heals the crash window between promote and fork re-point") {
+    import spark.implicits._
+    val root = tmp("heal")
+    VersionedTable.publish((1L to 5L).map(i => (i, i)).toDF("id", "v"), root)
+    val fork = VersionedTable.createBranch(root, "dev")
+    Seq((6L, 6L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    // simulate the crash: the promote lands but the fork marker is never
+    // re-pointed (exactly what a JVM dying between the two calls leaves)
+    val promoted = VersionedTable.promote(
+      VersionedTable.branchRoot(root, "dev"), root, expectedBase = Some(fork))
+    assert(VersionedTable.branchFork(root, "dev", conf).contains(fork),
+      "precondition: marker still at the old fork")
+    // un-healed, this threw CommitConflictException forever; now it
+    // recognizes main's head as this branch's own promote, re-points, and
+    // returns the already-promoted version
+    val healed = VersionedTable.fastForward(root, "dev")
+    assert(healed == promoted)
+    assert(VersionedTable.branchFork(root, "dev", conf).contains(promoted))
+    // the branch cycles normally afterwards
+    Seq((7L, 7L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    VersionedTable.fastForward(root, "dev")
+    assert(readMain(root).count() == 7)
+  }
+
+  test("rebaseBranch replays a disjoint branch delta onto a moved main") {
+    import spark.implicits._
+    val root = tmp("rebase")
+    // two range files: ids 1–10 and 11–20
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")), root)
+    VersionedTable.createBranch(root, "dev")
+    // branch work: delete from the LOW file + append new rows
+    RefTableMutations.deleteWhere(spark,
+      VersionedTable.branchRoot(root, "dev"), col("id") <= 3L)
+    Seq((21L, 21L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    // main moves concurrently: an append (new file — disjoint by nature)
+    Seq((100L, 100L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("append").save()
+    // plain fast-forward refuses (main moved)...
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.fastForward(root, "dev")
+    }
+    // ...rebase replays the branch delta on top of main's append
+    val promoted = VersionedTable.rebaseBranch(root, "dev")
+    val got = readMain(root).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == ((4L to 21L) :+ 100L),
+      s"main = head + branch delta (delete 1-3, add 21), got $got")
+    assert(VersionedTable.resolve(root, conf).exists(_.endsWith(promoted)))
+    // the branch re-synced and cycles: its content equals main, its fork
+    // points at the promoted version, and further work fast-forwards
+    assert(VersionedTable.branchFork(root, "dev", conf).contains(promoted))
+    assert(readBranch(root, "dev").orderBy("id").collect().map(_.getLong(0)).toSeq == got)
+    Seq((22L, 22L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    VersionedTable.fastForward(root, "dev")
+    assert(readMain(root).count() == got.size + 1)
+  }
+
+  test("rebaseBranch cycles: a SECOND rebase diffs against the synced baseline") {
+    import spark.implicits._
+    val root = tmp("rebase2")
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")), root)
+    VersionedTable.createBranch(root, "dev")
+    // round 1: branch appends 21, main appends 100 → rebase
+    Seq((21L, 21L)).toDF("id", "v").write.format("reftable").option("path", root)
+      .option("schema", ddl).option("branch", "dev").mode("append").save()
+    Seq((100L, 100L)).toDF("id", "v").write.format("reftable").option("path", root)
+      .option("schema", ddl).mode("append").save()
+    VersionedTable.rebaseBranch(root, "dev")
+    // round 2: branch appends 22, main appends 200 → rebase again. Without
+    // the recorded baseline the second diff would re-apply round 1's delta
+    // and refuse with a collision.
+    Seq((22L, 22L)).toDF("id", "v").write.format("reftable").option("path", root)
+      .option("schema", ddl).option("branch", "dev").mode("append").save()
+    Seq((200L, 200L)).toDF("id", "v").write.format("reftable").option("path", root)
+      .option("schema", ddl).mode("append").save()
+    VersionedTable.rebaseBranch(root, "dev")
+    val got = readMain(root).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == ((1L to 22L) ++ Seq(100L, 200L)), s"both rounds composed: $got")
+  }
+
+  test("rebaseBranch refuses overlapping rewrites and un-materialized DVs") {
+    import spark.implicits._
+    val root = tmp("rebase_refuse")
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")), root)
+    VersionedTable.createBranch(root, "dev")
+    // both sides rewrite the LOW file → overlap
+    RefTableMutations.deleteWhere(spark,
+      VersionedTable.branchRoot(root, "dev"), col("id") === 2L)
+    RefTableMutations.deleteWhere(spark, root, col("id") === 3L)
+    val e = intercept[IllegalStateException] { VersionedTable.rebaseBranch(root, "dev") }
+    assert(e.getMessage.contains("overlapping"), e.getMessage)
+    // main untouched by the refusal
+    assert(readMain(root).count() == 19)
+
+    // a branch with un-materialized deletion vectors refuses with the remedy
+    val root2 = tmp("rebase_dv")
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")), root2)
+    VersionedTable.createBranch(root2, "dev")
+    RefTableMutations.deleteWhereMergeOnRead(spark,
+      VersionedTable.branchRoot(root2, "dev"), col("id") === 2L)
+    Seq((100L, 100L)).toDF("id", "v").write.format("reftable").option("path", root2)
+      .option("schema", ddl).mode("append").save()
+    val e2 = intercept[UnsupportedOperationException] {
+      VersionedTable.rebaseBranch(root2, "dev")
+    }
+    assert(e2.getMessage.contains("compact"), e2.getMessage)
+  }
+
+  test("SQL surface: CALL rebase_branch") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_branch_sqlrb").toString
+    val cat = "graftrb"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.reftable.RefTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING reftable")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 1), (2, 2)")
+      spark.sql(s"CALL $cat.system.create_branch(table => 'db.t', name => 'dev')")
+      spark.sql(s"INSERT INTO $cat.db.`t$$branch$$dev` VALUES (3, 3)")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (10, 10)") // main moves
+      val v = spark.sql(
+        s"CALL $cat.system.rebase_branch(table => 'db.t', name => 'dev')").collect()
+      assert(v.length == 1 && v.head.getString(0).nonEmpty)
+      assert(spark.table(s"$cat.db.t").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 3L, 10L))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }

@@ -295,4 +295,24 @@ class RefTableIngestSpec extends AnyFunSuite {
     assert(tableCount(root) == 50)
     assert(r.seq == 3, "cap 2 over 5 files = 3 log batches")
   }
+
+  test("_INGEST_SEQ keeps only the max marker: no per-batch accumulation") {
+    val base = Files.createTempDirectory("graft_ingest_seq").toString
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+    (1 to 4).foreach { i =>
+      land(landing, s"w$i.parquet", (i * 10L until i * 10L + 5L).map(j => (j, j)))
+      RefTableIngest.ingest(spark, optsFor(root), landing)
+    }
+    assert(tableCount(root) == 20)
+    // only the MAX marker is ever read; older ones are dead weight the
+    // streaming variant would re-list every trigger, forever
+    val dir = new org.apache.hadoop.fs.Path(root, "_INGEST_SEQ")
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val markers = fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted
+    assert(markers == Seq("4"), s"stale markers must be pruned, got $markers")
+    // replay safety intact: a no-op re-run still skips everything
+    val r = RefTableIngest.ingest(spark, optsFor(root), landing)
+    assert(r.ingested == 0 && r.skipped == 4, r.toString)
+  }
 }

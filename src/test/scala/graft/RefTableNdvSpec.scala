@@ -192,4 +192,33 @@ class RefTableNdvSpec extends AnyFunSuite {
         s"pruned-scan NDV must be partition-local (~500), got $ndv")
     }
   }
+
+  test("nullCount clamps to the DV-adjusted row count on heavily-deleted listings") {
+    import spark.implicits._
+    val root = tmp("nullclamp")
+    // 1000 rows, 500 NULL k's; per-file manifest null counts predate DVs
+    (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0L) Some(i % 10L) else None))
+      .toDF("id", "k")
+      .repartition(2)
+      .write.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, k BIGINT")
+      .option("ndvStats", "k").mode("overwrite").save()
+    // MoR-delete 950 rows: numRows subtracts DV positions (1000 → 50) but
+    // the summed per-file null count stays 500 — unclamped, the reported
+    // null fraction would exceed 1 and skew CBO selectivity
+    graft.sources.reftable.RefTableMutations.deleteWhereMergeOnRead(
+      spark, root, col("id") < 950L)
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("reftable").option("path", root)
+        .option("schema", "id BIGINT, k BIGINT").load()
+      val leafStats = df.queryExecution.optimizedPlan.collectLeaves().head.stats
+      val rows = leafStats.rowCount.map(_.toLong)
+      assert(rows.contains(50L), leafStats.toString)
+      val kStat = leafStats.attributeStats.find(_._1.name == "k").map(_._2)
+      for (st <- kStat; nc <- st.nullCount)
+        assert(nc.toLong <= rows.get,
+          s"nullCount ${nc} exceeds DV-adjusted row count ${rows.get}")
+    }
+  }
 }
