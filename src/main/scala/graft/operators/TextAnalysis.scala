@@ -357,6 +357,61 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("pair")).limit(topK)
   }
 
+  /** Iterative BPE VOCABULARY TRAINING — the full merge loop over
+    * [[bpePairCounts]]'s inner census. Returns the learned merge table:
+    * `(rank, lhs, rhs, merged, cnt)`, one row per merge in order.
+    *
+    * Scale shape: the corpus collapses ONCE to its word census (Zipf-small
+    * — the only corpus-sized shuffle), then each merge is ONE aggregation
+    * over the census plus a narrow map (the merge rewrite) — a driver loop
+    * of `nMerges` small jobs, never a corpus re-read. The census is
+    * locally checkpointed per round so the plan stays flat.
+    *
+    * DETERMINISM / cross-engine replay: words are represented as
+    * space-wrapped symbol strings (`" h  e  l  l  o "`), a merge of
+    * `(a, b)` is the literal replace of `" a  b "` with `" ab "` — both
+    * Spark's and DuckDB's `replace` scan left-to-right non-overlapping,
+    * which equals the reference BPE's greedy-left merge (a replaced
+    * occurrence can never re-match within the same round: the merged
+    * symbol is strictly longer). Ties break on count DESC then the
+    * tab-joined pair ASC (tab sorts below every alnum symbol byte, so
+    * string order equals `(lhs, rhs)` tuple order). The q205 oracle
+    * replays the identical loop as a 30-level chained CTE in DuckDB,
+    * byte-identical vocab.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("wf"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val best = cur
+        .select(split(trim(col("s")), "  ").as("l"), col("wf"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "j -> concat(element_at(l, j), '\t', element_at(l, j + 1)))")).as("pr"),
+          col("wf"))
+        .groupBy("pr").agg(sum("wf").as("cnt"))
+        .orderBy(desc("cnt"), asc("pr")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val parts = best.head.getString(0).split('\t')
+        val (a, b, cnt) = (parts(0), parts(1), best.head.getLong(1))
+        merges += ((r, a, b, cnt))
+        cur = cur.withColumn("s",
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b "))).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+  }
+
   /** Repetition metrics — duplicate-token fraction and top-token share,
     * the classic boilerplate/low-quality markers in published corpus
     * filtering rules — from a single fused pass per document

@@ -423,6 +423,54 @@ object TextOps {
         |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, wf
         |  FROM words WHERE length(w) >= 2)
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM pairs
-        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin)),
+
+    // Iterative BPE vocabulary TRAINING (round 16): the full merge loop,
+    // not just one census — 30 merges learned over the documents corpus,
+    // each merge one aggregation over the Zipf-small word census. The
+    // oracle replays the IDENTICAL loop as a 30-level chained CTE in
+    // DuckDB (same space-wrapped symbol strings, same left-to-right
+    // non-overlapping replace, same count-desc/pair-asc tie-break) —
+    // byte-identical vocabulary, rank by rank.
+    QueryDef("q205_bpe_train", (s, dir) => {
+      graft.operators.TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 30)
+        .orderBy("rank")
+    }, Some(TextOps.bpeTrainOracle(30)))
   )
+
+  /** The q205 oracle: `nMerges` chained CTE levels, each computing the
+    * round's pair census over the space-wrapped symbol strings, its best
+    * pair (count DESC, tab-joined pair ASC — identical tie-break to the
+    * Spark loop), and the merged word forms for the next level.
+    */
+  def bpeTrainOracle(nMerges: Int): String = {
+    val levels = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT unnest(list_transform(range(1, len(l)),
+         |    j -> l[j] || chr(9) || l[j + 1])) AS pr, wf
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, wf FROM w${i - 1})
+         |  WHERE len(l) >= 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT pr, CAST(sum(wf) AS BIGINT) AS cnt FROM p$i
+         |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    ' ' || split_part(pr, chr(9), 1) || '  ' || split_part(pr, chr(9), 2) || ' ',
+         |    ' ' || replace(pr, chr(9), '') || ' ') AS s, wf
+         |  FROM w${i - 1}, b$i),
+         |m$i AS (
+         |  SELECT $i AS rank, split_part(pr, chr(9), 1) AS lhs,
+         |    split_part(pr, chr(9), 2) AS rhs, cnt FROM b$i)""".stripMargin
+    }
+    val union = (1 to nMerges).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, wf FROM (
+       |    SELECT w, count(*) AS wf FROM (
+       |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |      FROM documents) GROUP BY w)),
+       |${levels.mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, cnt
+       |FROM (${union})
+       |ORDER BY rank""".stripMargin
+  }
 }

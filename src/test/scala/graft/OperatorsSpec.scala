@@ -654,6 +654,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(5L)._5 && !got(5L)._8, "doc 5 fails symbol ratio")
   }
 
+  test("bpeTrain learns the reference greedy-left merges with deterministic ties") {
+    import spark.implicits._
+    // corpus: "aaab" ×3, "ab" ×2 → census {aaab:3, ab:2}
+    // round 1 pairs: (a,a):6 [two per aaab], (a,b):5 → merge (a,a)→aa
+    //   (greedy-left: "a a a b" → "aa a b", NOT "a aa b")
+    // round 2: aaab="aa a b": (aa,a):3, (a,b):3+2=5 → merge (a,b)→ab
+    // round 3: aaab="aa ab", ab="ab": (aa,ab):3 → merge (aa,ab)
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab"), (3L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)), got.toString)
+  }
+
   test("gopherRules: a column name needing backtick quoting works (no raw SQL interpolation)") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"the be to of and that have with word$i").mkString(" ")
