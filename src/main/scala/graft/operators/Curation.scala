@@ -100,7 +100,7 @@ object Curation {
   def mixCorpus(
       df: DataFrame, idCol: String, domainCol: String, weightCol: String,
       targets: Map[String, Double], budgetTokens: Long,
-      salt: String = "mix"): DataFrame = {
+      salt: String = "mix", upsample: Boolean = false): DataFrame = {
     require(budgetTokens > 0, "mixCorpus needs a positive token budget")
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
       "mixCorpus targets must be non-negative weights")
@@ -115,15 +115,33 @@ object Curation {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ratePpm: Map[String, Long] = targets.collect {
       case (d, w) if have.getOrElse(d, 0L) > 0 =>
-        d -> math.min(1000000L, math.floor(
-          budgetTokens.toDouble * (w / wsum) / have(d).toDouble * 1000000.0).toLong)
+        val raw = math.floor(
+          budgetTokens.toDouble * (w / wsum) / have(d).toDouble * 1000000.0).toLong
+        d -> (if (upsample) raw else math.min(1000000L, raw))
     }
     val rateCol = ratePpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (d, p)) => when(col(domainCol) === d, lit(p)).otherwise(acc)
     }
-    inTargets.withColumn("rate_ppm", rateCol)
-      .filter(pmod(hash60Col(concat(lit(s"$salt:"), col(idCol).cast("string"))),
-        lit(1000000L)) < col("rate_ppm"))
+    val admitted = pmod(
+      hash60Col(concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(1000000L))
+    val withRate = inTargets.withColumn("rate_ppm", rateCol)
+    if (!upsample) withRate.filter(admitted < col("rate_ppm"))
+    else {
+      // REPEAT-FACTOR (upsampling) mixing: a rate of R ppm means each row
+      // lands floor(R / 1e6) full EPOCHS plus one fractional epoch its
+      // hash admits at R % 1e6 — the LLM-recipe "high-value domains see
+      // >1 epoch" shape, deterministic row replication with an epoch
+      // marker (0-based) so downstream shuffles/oracles see an exact
+      // multiset, never a sampled one. A rate below 1e6 degenerates to
+      // the downsampling path plus epoch = 0. O(1) expressions per row;
+      // the posexplode fans out only upsampled domains.
+      withRate
+        .withColumn("__full", expr("rate_ppm DIV 1000000"))
+        .withColumn("__frac", col("rate_ppm") % lit(1000000L))
+        .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+        .filter(col("epoch") < col("__full") || admitted < col("__frac"))
+        .drop("__full", "__frac")
+    }
   }
 
   /** Temperature-based domain mixing — the multilingual-T5 / LLM-recipe
@@ -139,7 +157,8 @@ object Curation {
     */
   def temperatureMix(
       df: DataFrame, idCol: String, domainCol: String, weightCol: String,
-      alpha: Double, budgetTokens: Long, salt: String = "tmix"): DataFrame = {
+      alpha: Double, budgetTokens: Long, salt: String = "tmix",
+      upsample: Boolean = false): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "temperatureMix: alpha must be in (0, 1]")
     val have: Map[String, Long] = df
       .groupBy(domainCol)
@@ -150,7 +169,7 @@ object Curation {
       else h => math.pow(h.toDouble, alpha)
     val targets = have.collect { case (d, h) if h > 0 => d -> math.floor(pw(h)) }
     require(targets.nonEmpty, "temperatureMix: no domain carries positive weight")
-    mixCorpus(df, idCol, domainCol, weightCol, targets, budgetTokens, salt)
+    mixCorpus(df, idCol, domainCol, weightCol, targets, budgetTokens, salt, upsample)
   }
 
   /** Scrub text matching `pattern` (e.g. emails) with `replacement`,

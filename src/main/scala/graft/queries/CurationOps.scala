@@ -185,6 +185,49 @@ object CurationOps {
          |  max(ppm) AS rate_ppm
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // REPEAT-FACTOR (UPSAMPLING) MIXING (round 16): with `upsample` on,
+    // a domain's rate may exceed 1e6 ppm — each row then lands
+    // floor(rate/1e6) full EPOCHS plus one hash-admitted fractional epoch,
+    // the LLM-recipe "high-value domains see >1 epoch" shape as
+    // deterministic row replication with a 0-based epoch marker. The
+    // budget (far above the corpus's own token mass) forces real
+    // upsampling; the oracle recomputes the identical integer thresholds
+    // and the identical replicated multiset via generate_series.
+    QueryDef("q206_upsample_mix", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.GraftFunctions.tokens(col("text"))).as("nt"))
+      Curation.temperatureMix(docs, "doc_id", "lang", "nt",
+        alpha = 0.5, budgetTokens = 2000000L, upsample = true)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("nt").as("tok"),
+          max("epoch").as("max_epoch"), max("rate_ppm").as("rate_ppm"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+         |  FROM documents),
+         |have AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS h FROM d GROUP BY lang),
+         |w AS (SELECT lang, h, FLOOR(SQRT(CAST(h AS DOUBLE))) AS wt
+         |      FROM have WHERE h > 0),
+         |tot AS (SELECT SUM(wt) AS ws FROM w),
+         |rates AS (
+         |  SELECT lang, CAST(FLOOR(
+         |    CAST(2000000 AS DOUBLE) * (wt / ws) / h * 1000000.0) AS BIGINT) AS ppm
+         |  FROM w, tot),
+         |kept AS (
+         |  SELECT lang, nt, ppm,
+         |    (ppm // 1000000) +
+         |      CASE WHEN adm < ppm % 1000000 THEN 1 ELSE 0 END AS reps
+         |  FROM (
+         |    SELECT d.lang, d.nt, r.ppm,
+         |      ${duckHash60("'tmix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 AS adm
+         |    FROM d JOIN rates r ON d.lang = r.lang))
+         |SELECT lang, CAST(sum(reps) AS BIGINT) AS n_rows,
+         |  CAST(sum(nt * reps) AS BIGINT) AS tok,
+         |  CAST(max(reps) - 1 AS BIGINT) AS max_epoch, max(ppm) AS rate_ppm
+         |FROM kept WHERE reps > 0 GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Deterministic split assignment (train 90 / val 5 / test 5): the
     // label is a pure function of the document id, so membership is
     // byte-stable across engines AND corpus versions — a document keeps

@@ -654,6 +654,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(5L)._5 && !got(5L)._8, "doc 5 fails symbol ratio")
   }
 
+  test("mixCorpus upsample: rates above 1e6 ppm replicate rows with epoch markers") {
+    import spark.implicits._
+    // one domain, 4 rows of weight 1 → have = 4; target weight 1, budget 10
+    // → rate = 10/4 = 2.5e6 ppm: every row lands epochs {0, 1} plus a
+    // hash-admitted half gets epoch 2
+    val df = (1L to 4L).map(i => (i, "a", 1L)).toDF("id", "dom", "w")
+    val got = graft.operators.Curation.mixCorpus(
+      df, "id", "dom", "w", Map("a" -> 1.0), budgetTokens = 10L, upsample = true)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byId = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L))
+    byId.foreach { case (id, epochs) =>
+      assert(epochs.startsWith(Seq(0L, 1L)), s"id $id must land 2 full epochs: $epochs")
+      assert(epochs.size <= 3 && epochs == (0L until epochs.size).toSeq,
+        s"id $id epochs must be dense from 0: $epochs")
+    }
+    // determinism: the exact multiset reproduces
+    val again = graft.operators.Curation.mixCorpus(
+      df, "id", "dom", "w", Map("a" -> 1.0), budgetTokens = 10L, upsample = true)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == again.sorted)
+    // without upsample the same call clamps at one epoch and no column
+    val down = graft.operators.Curation.mixCorpus(
+      df, "id", "dom", "w", Map("a" -> 1.0), budgetTokens = 10L)
+    assert(!down.columns.contains("epoch") && down.count() == 4)
+  }
+
   test("bpeTrain learns the reference greedy-left merges with deterministic ties") {
     import spark.implicits._
     // corpus: "aaab" ×3, "ab" ×2 → census {aaab:3, ab:2}
