@@ -669,6 +669,43 @@ object TableCatalogSql {
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
 
+    // KLL HISTOGRAMS → CBO RANGE SELECTIVITY (round 16): numeric ndvStats
+    // columns also land per-file KLL quantile sketches; the scan unions
+    // the surviving files' sketches into an equi-height histogram (plus
+    // exact value bounds) through DSv2 column statistics, so a RANGE
+    // filter's selectivity estimates from real value mass instead of
+    // min/max uniformity (RefTableNdvSpec pins the broadcast flip this
+    // enables). The oracle replays the same range-filtered join in DuckDB
+    // — correctness is stats-independent by construction.
+    QueryDef("q207_histogram_cbo_join", (s, dir) => {
+      val wh = RelationalSupport.scratchDir(s, dir, "q207_cat")
+      val cat = "grafthist_q207_" + RelationalSupport.scratchTag(s, dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.reftable.RefTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.o")
+      Tables.registerAll(s, dir)
+      s.sql(s"CREATE TABLE $cat.db.o " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, cents BIGINT) " +
+        "USING reftable OPTIONS (ndvStats 'cents')")
+      s.sql(s"INSERT INTO $cat.db.o SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) FROM orders")
+      s.sql(
+        s"""SELECT c.c_mktsegment, count(*) AS cnt,
+           |  CAST(sum(o.cents) AS BIGINT) AS sum_cents
+           |FROM $cat.db.o o JOIN customer c ON o.o_custkey = c.c_custkey
+           |WHERE o.cents BETWEEN 5000000 AND 10000000
+           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    }, Some(
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |  BETWEEN 5000000 AND 10000000
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)),
+
     // PARTITION EVOLUTION (the Iceberg flagship, metadata-only): the table
     // starts partitioned by o_orderstatus, is ALTERed to partition by the
     // priority digit, and both eras keep serving every column — old files

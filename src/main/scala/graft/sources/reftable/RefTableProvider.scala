@@ -470,6 +470,43 @@ class RefTableScan(
           val nulls = math.min(entries.map(_.get.nulls).sum,
             rows.orElse(Long.MaxValue))
           ndvOpt.foreach { ndv =>
+            // equi-height histogram from the surviving files' merged KLL
+            // sketches (plain-numeric ndvStats columns carry them):
+            // range-filter selectivity estimates from real value mass, not
+            // min/max uniformity — union only when EVERY surviving file
+            // carries a sketch, like the NDV rule above. The sketch's
+            // exact bounds feed min()/max() as catalyst-typed values
+            // (FilterEstimation never consults a histogram without them).
+            val histInfo: Option[RefTableStats.KllHist] =
+              if (!entries.forall(_.exists(_.kll.isDefined))) None
+              else RefTableStats.kllHistogram(entries.map(_.get.kll.get), ndv)
+            def typed(v: Double): Option[Object] = f.dataType match {
+              case org.apache.spark.sql.types.IntegerType => Some(Int.box(v.toInt))
+              case org.apache.spark.sql.types.LongType => Some(Long.box(v.toLong))
+              case org.apache.spark.sql.types.ShortType => Some(Short.box(v.toShort))
+              case org.apache.spark.sql.types.ByteType => Some(Byte.box(v.toByte))
+              case org.apache.spark.sql.types.FloatType => Some(Float.box(v.toFloat))
+              case org.apache.spark.sql.types.DoubleType => Some(Double.box(v))
+              case _ => None
+            }
+            val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+              histInfo.map { kh =>
+                val binArr = kh.bins.map { case (binLo, binHi, binNdv) =>
+                  new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                    override def lo(): Double = binLo
+                    override def hi(): Double = binHi
+                    override def ndv(): Long = binNdv
+                  }
+                }.toArray
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = kh.height
+                  override def bins()
+                      : Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    binArr
+                }
+              }
+            val minV = histInfo.flatMap(kh => typed(kh.min))
+            val maxV = histInfo.flatMap(kh => typed(kh.max))
             m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                 override def distinctCount(): java.util.OptionalLong =
@@ -477,6 +514,17 @@ class RefTableScan(
                 override def nullCount(): java.util.OptionalLong =
                   if (nullsKnown) java.util.OptionalLong.of(nulls)
                   else java.util.OptionalLong.empty()
+                override def min(): java.util.Optional[Object] =
+                  minV.map(java.util.Optional.of[Object](_))
+                    .getOrElse(java.util.Optional.empty())
+                override def max(): java.util.Optional[Object] =
+                  maxV.map(java.util.Optional.of[Object](_))
+                    .getOrElse(java.util.Optional.empty())
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  hist.map(java.util.Optional.of[
+                    org.apache.spark.sql.connector.read.colstats.Histogram](_))
+                    .getOrElse(java.util.Optional.empty())
               })
           }
         }

@@ -91,7 +91,8 @@ object RefTableStats {
       min: Option[JsonNode], max: Option[JsonNode], nulls: Long,
       vals: Option[Seq[String]] = None,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
-      hll: Option[Array[Byte]] = None)
+      hll: Option[Array[Byte]] = None,
+      kll: Option[Array[Byte]] = None)
   final case class FileStats(length: Long, rows: Long, cols: Map[String, ColStats])
 
   // ---- manifest write ------------------------------------------------------
@@ -594,15 +595,32 @@ object RefTableStats {
       val norm = new Path(abs).toString
       if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
     }
+    // plain-numeric ndv columns also land a mergeable KLL quantile sketch
+    // (k=200, ~1.65% rank error) — the scan unions the SURVIVING files'
+    // sketches into an equi-height histogram for CBO range selectivity,
+    // the same pruned-listing freshness as the NDV path. Restricted to
+    // types whose catalyst double representation round-trips exactly
+    // (timestamps estimate in micros, decimals in unscaled form — their
+    // sketch-double values would disagree with FilterEstimation's).
+    val kllCols = cols.filter { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      }
+    }
+    val aggCols =
+      cols.map(c => hll_sketch_agg(col(c), lit(12)).as(c)) ++
+        kllCols.map(c => graft.functions.KllFunctions.kllSketchAgg(col(c)).as(s"__kll_$c"))
     val sketched = df
       .select(input_file_name().as("__f") +: cols.map(col): _*)
       .groupBy("__f")
-      .agg(hll_sketch_agg(col(cols.head), lit(12)).as(cols.head),
-        cols.tail.map(c => hll_sketch_agg(col(c), lit(12)).as(c)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
       .collect()
     val updates: Map[(String, String), ColPatch] = sketched.flatMap { r =>
       val rel = relOf0(r.getString(0))
-      cols.zipWithIndex.flatMap { case (c, i) =>
+      val hllPatches = cols.zipWithIndex.flatMap { case (c, i) =>
         Option(r.get(i + 1)).map { v =>
           val b64 = java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
           val colName = c
@@ -612,8 +630,51 @@ object RefTableStats {
           }): ColPatch)
         }
       }
+      val kllPatches = kllCols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(1 + cols.size + i)).map { v =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+          val colName = c
+          (rel, s"__kll:$c") -> (((cn: com.fasterxml.jackson.databind.node.ObjectNode) => {
+            colChild(cn, colName).put("kll", b64)
+            ()
+          }): ColPatch)
+        }
+      }
+      hllPatches ++ kllPatches
     }.toMap
     if (updates.nonEmpty) splice(spark, fs, base, updates)
+  }
+
+  /** Merge per-file KLL sketches and derive an EQUI-HEIGHT histogram:
+    * `bins` buckets bounded at the merged sketch's i/bins quantiles, each
+    * holding n/bins rows, per-bin NDV approximated as ndv/bins. None when
+    * `sketches` is empty, any payload fails to heapify (fail open), or the
+    * merged sketch saw no values.
+    */
+  /** A merged-sketch equi-height histogram plus the sketch's EXACT value
+    * bounds (KLL tracks min/max exactly) — the bounds feed catalyst
+    * ColumnStat.min/max, without which FilterEstimation never consults the
+    * histogram.
+    */
+  final case class KllHist(
+      height: Double, bins: Seq[(Double, Double, Long)], min: Double, max: Double)
+
+  private[reftable] def kllHistogram(
+      sketches: Seq[Array[Byte]], ndv: Long, bins: Int = 64): Option[KllHist] = {
+    if (sketches.isEmpty) return None
+    try {
+      val u = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+      sketches.foreach(b => u.merge(
+        org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b))))
+      if (u.isEmpty) return None
+      val n = u.getN.toDouble
+      val b = math.max(1, math.min(bins, u.getN).toInt)
+      val qs = (0 to b).map(i => u.getQuantile(i.toDouble / b))
+      val binNdv = math.max(1L, math.round(ndv.toDouble / b))
+      Some(KllHist(n / b, (0 until b).map(i => (qs(i), qs(i + 1), binNdv)),
+        u.getMinItem, u.getMaxItem))
+    } catch { case NonFatal(_) => None }
   }
 
   /** Union per-file HLL sketches into one distinct-count estimate; None
@@ -657,11 +718,15 @@ object RefTableStats {
         try Some(java.util.Base64.getDecoder.decode(h.asText()))
         catch { case NonFatal(_) => None }
       }
+      val kll = Option(v.get("kll")).filter(_.isTextual).flatMap { h =>
+        try Some(java.util.Base64.getDecoder.decode(h.asText()))
+        catch { case NonFatal(_) => None }
+      }
       c.getKey -> ColStats(
         Option(v.get("min")).filterNot(_.isNull),
         Option(v.get("max")).filterNot(_.isNull),
         if (v.has("nulls")) v.get("nulls").asLong() else -1L,
-        vals, bloom, hll)
+        vals, bloom, hll, kll)
     }.toMap
 
   /** The manifest for a snapshot dir, or None when absent/unreadable. Fail

@@ -193,6 +193,74 @@ class RefTableNdvSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL histograms fix range selectivity: broadcast picked where NDV alone mispredicts") {
+    import spark.implicits._
+    val root = tmp("hist")
+    // SKEWED v over 200k rows: 99% of values in [0, 99], a 1% tail spread
+    // to 10^9 — a range filter v >= 1000 selects ~1%, but the min/max
+    // UNIFORM assumption estimates ~100% (the tail stretches max)
+    val dim = (0L until 200000L).map { j =>
+      val v = if (j % 100 == 0L) 1000L + (j * 5000L) else j % 100L
+      (j, v, j)
+    }.toDF("j", "v", "w").repartition(4)
+    dim.write.format("reftable").option("path", root)
+      .option("schema", "j BIGINT, v BIGINT, w BIGINT")
+      .option("ndvStats", "v").mode("overwrite").save()
+    // a histogram-less twin: same data, same NDV sketches, kll stripped
+    // from the stats manifest — isolates the histogram's contribution
+    val root2 = tmp("hist_stripped")
+    dim.write.format("reftable").option("path", root2)
+      .option("schema", "j BIGINT, v BIGINT, w BIGINT")
+      .option("ndvStats", "v").mode("overwrite").save()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val cur2 = graft.sources.reftable.VersionedTable.resolve(root2, conf).get
+    val mf = new org.apache.hadoop.fs.Path(cur2,
+      graft.sources.reftable.RefTableStats.ManifestName)
+    val fs = mf.getFileSystem(conf)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = { val in = fs.open(mf)
+      try om.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close() }
+    node.path("files").properties().forEach { e =>
+      val cols = e.getValue.path("cols")
+      cols.properties().forEach { c =>
+        c.getValue.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("kll"); ()
+      }
+    }
+    val out = fs.create(mf, true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+
+    val fact = (0L until 100000L).map(i => (i % 50000L, i)).toDF("j", "x")
+
+    def joinPlan(r: String): String = {
+      val olds = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // 512 KB: the 100k-row fact (~1.6 MB) must NOT broadcast; the
+      // filtered dim fits only under the histogram's ~1% estimate
+      // (~2k rows), never under the uniform ~100% one (~200k rows)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "524288")
+      try {
+        val d = spark.read.format("reftable").option("path", r)
+          .option("schema", "j BIGINT, v BIGINT, w BIGINT").load()
+        fact.join(d.filter(col("v") >= 1000L), "j")
+          .groupBy().count().queryExecution.executedPlan.toString
+      } finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val withHist = joinPlan(root)
+    val noHist = joinPlan(root2)
+    assert(withHist.contains("BroadcastHashJoin"),
+      s"histogram selectivity (~1%) must broadcast the filtered dim:\n$withHist")
+    assert(!noHist.contains("BroadcastHashJoin") && noHist.contains("SortMergeJoin"),
+      s"NDV-only stats assume uniform [min,max] (~100% kept) and must not broadcast:\n$noHist")
+  }
+
   test("nullCount clamps to the DV-adjusted row count on heavily-deleted listings") {
     import spark.implicits._
     val root = tmp("nullclamp")
