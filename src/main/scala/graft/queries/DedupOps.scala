@@ -127,6 +127,127 @@ object DedupOps {
          |WHERE i * 1.0 / (sb.n + sa.n - i) >= 0.7
          |ORDER BY batch_id, corpus_id""".stripMargin)),
 
+    // STREAMING INGEST ∘ ADMISSION DEDUP (round 16): the full composition —
+    // waves land through the exactly-once streaming ingest into a STAGING
+    // table; each wave's staged delta (version-pinned time-travel diff) is
+    // near-dup checked AGAINST the corpus-so-far before admission; dups
+    // route to a quarantine pair log, survivors append to the corpus.
+    // Planted perturbed copies of corpus docs arrive in BOTH wave 2 and
+    // wave 3 — they must never land (and the wave-3 copies must still be
+    // caught against the ORIGINALS, not the never-admitted wave-2 copies).
+    // The oracle replays the exact cross-set Jaccard admission per wave.
+    QueryDef("q208_ingest_admission", (s, dir) => {
+      import graft.sources.reftable.{RefTableIngest, RefTableOptions, VersionedTable}
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      import scala.jdk.CollectionConverters._
+      val base = RelationalSupport.scratchDir(s, dir, "q208_adm")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val hfs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (stagingRoot, corpusRoot, landing) =
+        (s"$base/staging", s"$base/corpus", s"$base/landing")
+      val ddl = "doc_id BIGINT, text STRING"
+      val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
+        Map("path" -> stagingRoot, "schema" -> ddl).asJava))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val waveA = docs.filter(col("doc_id") % 3 =!= 0)
+      val plant = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+      val waveB = docs.filter(col("doc_id") % 3 === 0)
+        .unionAll(plant.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" the end")).as("text")))
+      val waveC = plant.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" the end")).as("text"))
+      def stagedAt(v: String) = s.read.format("reftable").option("path", stagingRoot)
+        .option("schema", ddl).option("version", v).load()
+      def corpusAt(v: String) = s.read.format("reftable").option("path", corpusRoot)
+        .option("schema", ddl).option("version", v).load()
+      def appendTo(root: String, df: org.apache.spark.sql.DataFrame, schema: String): Unit =
+        df.write.format("reftable").option("path", root).option("schema", schema)
+          .mode("append").save()
+      def scount(): Long =
+        if (VersionedTable.resolve(stagingRoot, conf).isEmpty) 0L
+        else s.read.format("reftable").option("path", stagingRoot)
+          .option("schema", ddl).load().count()
+      def await(target: Long): Unit = {
+        val t0 = System.nanoTime()
+        val end = System.currentTimeMillis() + 60000L
+        while (scount() != target && System.currentTimeMillis() < end) Thread.sleep(100)
+        graft.BenchProbe.addDrain(System.nanoTime() - t0)
+        require(scount() == target, s"ingest stalled: ${scount()} of $target")
+      }
+      val (nA, nB, nC) = (waveA.count(), waveB.count(), waveC.count())
+      def ver(): String = new org.apache.hadoop.fs.Path(
+        VersionedTable.resolve(stagingRoot, conf).get).getName
+      waveA.coalesce(2).write.mode("append").parquet(landing)
+      val q = RefTableIngest.ingestStream(s, opts, landing, triggerMs = 250L)
+      val (vA, vB, vC) = try {
+        await(nA); val a = ver()
+        waveB.coalesce(2).write.mode("append").parquet(landing)
+        await(nA + nB); val b = ver()
+        waveC.coalesce(1).write.mode("append").parquet(landing)
+        await(nA + nB + nC); val c = ver()
+        (a, b, c)
+      } finally q.stop()
+      // wave A seeds the corpus unconditionally (nothing to check against)
+      appendTo(corpusRoot, stagedAt(vA), ddl)
+      // per-wave admission, corpus PINNED by version so the quarantine and
+      // the anti-join recompute against the same snapshot
+      val qddl = "batch_id BIGINT, corpus_id BIGINT, j DOUBLE"
+      val quarantineRoot = s"$base/quarantine"
+      def admit(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val pinned = corpusAt(new org.apache.hadoop.fs.Path(
+          VersionedTable.resolve(corpusRoot, conf).get).getName)
+        val pairs = graft.operators.Dedup.nearDupAgainst(
+          pinned, batch, "doc_id", "text", threshold = 0.7, k = 3, numBands = NumBands)
+        appendTo(quarantineRoot, pairs, qddl)
+        appendTo(corpusRoot, batch.join(
+          pairs.select(col("batch_id")).distinct(),
+          batch("doc_id") === col("batch_id"), "left_anti"), ddl)
+      }
+      val batchB = stagedAt(vB).join(stagedAt(vA), Seq("doc_id"), "left_anti")
+      admit(batchB)
+      val batchC = stagedAt(vC).join(stagedAt(vB), Seq("doc_id"), "left_anti")
+      admit(batchC)
+      s.read.format("reftable").option("path", quarantineRoot).option("schema", qddl)
+        .load().orderBy("batch_id", "corpus_id")
+    }, Some(
+      s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' the end' FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+         |c AS (SELECT doc_id + 2000000 AS doc_id, text || ' the end' AS text
+         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+         |uni AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c),
+         |${shingleCtes("uni")},
+         |pairs_b AS (
+         |  SELECT bb.doc_id batch_id, aa.doc_id corpus_id, count(*) i
+         |  FROM hsh bb JOIN hsh aa ON bb.h = aa.h
+         |  WHERE bb.doc_id IN (SELECT doc_id FROM b)
+         |    AND aa.doc_id IN (SELECT doc_id FROM a)
+         |  GROUP BY 1, 2),
+         |qb AS (
+         |  SELECT batch_id, corpus_id, round(i * 1.0 / (sb.n + sa.n - i), 4) AS j
+         |  FROM pairs_b JOIN sizes sa ON sa.doc_id = corpus_id
+         |    JOIN sizes sb ON sb.doc_id = batch_id
+         |  WHERE i * 1.0 / (sb.n + sa.n - i) >= 0.7),
+         |corpus2 AS (SELECT doc_id FROM a
+         |  UNION ALL SELECT doc_id FROM b
+         |  WHERE doc_id NOT IN (SELECT batch_id FROM qb)),
+         |pairs_c AS (
+         |  SELECT cc.doc_id batch_id, k.doc_id corpus_id, count(*) i
+         |  FROM hsh cc JOIN hsh k ON cc.h = k.h
+         |  WHERE cc.doc_id IN (SELECT doc_id FROM c)
+         |    AND k.doc_id IN (SELECT doc_id FROM corpus2)
+         |  GROUP BY 1, 2),
+         |qc AS (
+         |  SELECT batch_id, corpus_id, round(i * 1.0 / (sb.n + sa.n - i), 4) AS j
+         |  FROM pairs_c JOIN sizes sa ON sa.doc_id = corpus_id
+         |    JOIN sizes sb ON sb.doc_id = batch_id
+         |  WHERE i * 1.0 / (sb.n + sa.n - i) >= 0.7)
+         |SELECT * FROM (SELECT * FROM qb UNION ALL SELECT * FROM qc)
+         |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     // exact n-gram Jaccard similarity join (lower threshold, no LSH pruning).
     // Joins on the hashed shingle, not the string — narrow exchange payload.
     QueryDef("q43_ngram_jaccard", (s, dir) => {
