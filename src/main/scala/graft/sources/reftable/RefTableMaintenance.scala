@@ -200,7 +200,18 @@ object RefTableMaintenance {
         d.copy(version = Some(v))
       case "recluster" =>
         val decl = s.declared.get
-        val v = VersionedTable.withConflictRetry(root) { () =>
+        // INCREMENTAL first: rewrite only the stats-wide files and carry
+        // tight ones by reference — O(widened bytes). Not applicable when
+        // deletion vectors forced the restore (carried files would keep
+        // their sidecars pending forever), when nothing/everything is wide,
+        // or when bounds are unusable; those fall through to the full
+        // re-tile below.
+        val partial =
+          if (s.dvSidecars >= 8) None
+          else RefTableMutations.reclusterPartial(spark, root, decl.cols,
+            zorder = decl.kind == "zorder", targetFileBytes, maxReadAmp,
+            keepVersions, partitionColumns)
+        val v = partial.getOrElse(VersionedTable.withConflictRetry(root) { () =>
           val cur = VersionedTable.resolve(root, conf).get
           val df = VersionedTable.readVersion(spark, cur)
           val nFiles = math.max(1, math.ceil(
@@ -212,7 +223,7 @@ object RefTableMaintenance {
           else
             VersionedTable.publishClustered(df, root, decl.cols, nFiles, keepVersions,
               parent = parent, requireBase = true)
-        }
+        })
         d.copy(version = Some(v))
       case "rebucket" =>
         val decl = s.declared.get

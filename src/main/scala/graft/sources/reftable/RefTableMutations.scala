@@ -1571,6 +1571,93 @@ object RefTableMutations {
     * rewrite stages files under `col=value` subdirectories, and listing
     * them flat would silently drop the rewritten rows from the manifest.
     */
+  /** INCREMENTAL RECLUSTER — the Delta OPTIMIZE-incremental shape: carry a
+    * MAXIMAL pairwise-disjoint set of files by reference (classical
+    * interval scheduling over the leading cluster column's stats bands —
+    * a disjoint set tiles the range at most once, read amplification ≤ 1)
+    * and rewrite only the OVERLAPPING rest, re-clustered into fresh bands.
+    * Cost is O(overlapping file bytes), not O(table): hot-region append
+    * and mutation churn — many files piled onto a few bands — rewrites
+    * just that pile. Files with missing or non-numeric bounds always
+    * rewrite (nothing trustworthy proves them disjoint).
+    *
+    * Returns None — caller falls back to the full recluster — when the
+    * table has no usable bounds, nothing needs rewriting, everything does,
+    * or the PREDICTED post-rewrite amplification (carried ≤ 1 plus the
+    * rewrite's own once-tiled coverage) still exceeds `maxReadAmp`:
+    * full-range churn genuinely needs the full re-tile, and a partial pass
+    * that cannot restore health would loop forever. The restoring publish
+    * re-records the layout marker (churn resets) and rides the
+    * commit-rebase spec of a predicate-local COW mutation: a recluster is
+    * content-neutral, so concurrent appends rebase it.
+    */
+  def reclusterPartial(
+      spark: SparkSession, root: String, cols: Seq[String], zorder: Boolean,
+      targetFileBytes: Long = 128L * 1024 * 1024, maxReadAmp: Double = 1.5,
+      keepVersions: Int = 3, partitionColumns: Seq[String] = Nil): Option[String] =
+    VersionedTable.withConflictRetry(root) { () =>
+      val conf = new Configuration()
+      val current = resolveLayout(root, conf, partitionColumns)
+      val files = listLayout(current, partitionColumns)
+      if (files.size < 2) return None
+      val stats = RefTableStats.statsForListing(current, files, conf)
+      val lead = cols.head
+      val bounds: Map[String, (Double, Double)] = files.flatMap { f =>
+        for {
+          fs <- stats.get(f.path)
+          cs <- fs.cols.get(lead)
+          mn <- cs.min if mn.isNumber
+          mx <- cs.max if mx.isNumber
+        } yield f.path -> (mn.asDouble(), mx.asDouble())
+      }.toMap
+      if (bounds.size < 2) return None
+      val lo = bounds.values.map(_._1).min
+      val hi = bounds.values.map(_._2).max
+      if (hi <= lo) return None
+      // interval scheduling: sweep by upper bound, keep every file disjoint
+      // from the last kept — the classical maximum non-overlapping set
+      val sortedByHi = files.filter(f => bounds.contains(f.path))
+        .sortBy(f => (bounds(f.path)._2, bounds(f.path)._1))
+      val kept = scala.collection.mutable.Set[String]()
+      var lastHi = Double.NegativeInfinity
+      sortedByHi.foreach { f =>
+        val (mn, mx) = bounds(f.path)
+        if (mn > lastHi) { kept += f.path; lastHi = mx }
+      }
+      val wide = files.filterNot(f => kept.contains(f.path))
+      if (wide.isEmpty || wide.size == files.size) return None
+      // PREDICT the post-recluster amplification: carried files are
+      // pairwise disjoint (≤ 1.0 by construction — use their true sum);
+      // re-clustered rows tile their own union range once. Full-range
+      // churn predicts ~2.0 and declines (missing bounds count as full
+      // range, conservatively).
+      val keptAmp = kept.toSeq.map(p => bounds(p)._2 - bounds(p)._1).sum / (hi - lo)
+      val wideBounds = wide.flatMap(f => bounds.get(f.path))
+      val wideCoverage =
+        if (wideBounds.size < wide.size) 1.0
+        else (wideBounds.map(_._2).max - wideBounds.map(_._1).min) / (hi - lo)
+      if (keptAmp + wideCoverage > maxReadAmp) return None
+      val nOut = math.max(1, math.ceil(
+        wide.map(_.length).sum.toDouble / targetFileBytes).toInt)
+      val marker = s"layout=${if (zorder) "zorder" else "cluster"}:${cols.mkString(",")}"
+      Some(VersionedTable.publishVia(root, keepVersions, marker = Some(marker),
+        parent = Some(new Path(current).getName), requireBase = true,
+        rebase = Some(VersionedTable.RebaseSpec(
+          removedRel = relsOf(root, wide, conf), readRel = relsOf(root, wide, conf),
+          partitionColumns = partitionColumns))) { staging =>
+        val df = readFiles(spark, root, wide, partitionColumns, Map.empty)
+        val sorted =
+          if (zorder) {
+            val zc = "__graft_z"
+            val z = df.withColumn(zc, ZOrder.zColumn(df, cols))
+            z.repartitionByRange(nOut, z(zc)).sortWithinPartitions(zc).drop(zc)
+          } else df.repartitionByRange(nOut, cols.map(col): _*)
+            .sortWithinPartitions(cols.map(col): _*)
+        VersionedTable.writeParquetMicros(sorted, staging.toString, partitionColumns)
+        referenceRest(root, staging, current, wide, conf, partitionColumns)
+      })
+    }
+
   private def referenceRest(
       root: String, staging: Path, current: String, touched: Seq[SnapshotFile],
       conf: Configuration, partitionColumns: Seq[String]): Unit =

@@ -255,4 +255,64 @@ class RefTableMaintenanceSpec extends AnyFunSuite {
       else System.setProperty("graft.reftable.bareHiveDirLimit", prev)
     }
   }
+
+  test("hot-region churn reclusters INCREMENTALLY: tight files carry by name") {
+    import spark.implicits._
+    val root = tmpDir("partial")
+    VersionedTable.publishClustered(corpus(4000), root, Seq("id"), numFiles = 8)
+    val tightBefore = SnapshotFiles.list(root).map(_.path.split('/').last).toSet
+    assert(tightBefore.size == 8)
+    // HOT-REGION churn: six appended batches all inside the first band's
+    // key window pile overlapping files onto [0, 500) — amplification
+    // degrades (every point read in the hot window hits ~7 files) while
+    // the other 7 bands stay perfectly tiled
+    def appendHot(seed: Long): Unit =
+      (0L until 500L by 7L).map(i => (i, (i + seed).toInt % 50, s"h$seed-$i"))
+        .toDF("id", "grp", "payload")
+        .coalesce(1).write.format("reftable")
+        .option("path", root).option("schema", "id BIGINT, grp INT, payload STRING")
+        .mode("append").save()
+    (1L to 6L).foreach(appendHot)
+    val degraded = RefTableMaintenance.signals(root, conf)
+    assert(degraded.readAmplification.exists(_ > 1.5),
+      s"hot-region pile must degrade amplification: ${degraded.readAmplification}")
+    val before = tableValues(root)
+
+    // the full maintenance loop takes the INCREMENTAL path
+    val d = RefTableMaintenance.maintain(spark, root, targetFileBytes = 16 * 1024)
+    assert(d.action == "recluster" && d.version.isDefined, d.toString)
+    assert(tableValues(root) == before, "recluster must not change values")
+    // ≥7 of the 8 original band files carry BY NAME (identical basenames
+    // in the new listing — never rewritten, never copied)
+    val afterNames = SnapshotFiles.list(root).map(_.path.split('/').last).toSet
+    val carried = tightBefore.intersect(afterNames)
+    assert(carried.size >= 7, s"tight bands must carry by reference: " +
+      s"${carried.size} of ${tightBefore.size} carried (listing ${afterNames.size} files)")
+    // amplification restored to ~1 + hot-window coverage; maintenance idempotent
+    val restored = RefTableMaintenance.signals(root, conf)
+    assert(restored.readAmplification.exists(_ <= 1.2),
+      s"post-partial amplification: ${restored.readAmplification}")
+    assert(RefTableMaintenance.maintain(spark, root, targetFileBytes = 16 * 1024)
+      .action == "none")
+  }
+
+  test("full-range churn declines the incremental path (it cannot restore health)") {
+    import spark.implicits._
+    val root = tmpDir("partial_decline")
+    VersionedTable.publishClustered(corpus(4000), root, Seq("id"), numFiles = 8)
+    // two appended files spanning the whole keyspace: a partial rewrite of
+    // just them would still tile the full range once more (~2.0 total)
+    Seq((5L, 5, "a"), (3995L, 45, "b")).toDF("id", "grp", "payload")
+      .coalesce(1).write.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, grp INT, payload STRING")
+      .mode("append").save()
+    assert(RefTableMutations.reclusterPartial(spark, root, Seq("id"), zorder = false,
+      targetFileBytes = 16 * 1024, maxReadAmp = 1.5).isEmpty,
+      "full-range wide rows must fall back to the full re-tile")
+    // maintain still restores through the full path
+    val d = RefTableMaintenance.maintain(spark, root, targetFileBytes = 16 * 1024)
+    assert(d.action == "recluster" && d.version.isDefined)
+    assert(RefTableMaintenance.maintain(spark, root, targetFileBytes = 16 * 1024)
+      .action == "none")
+  }
 }
