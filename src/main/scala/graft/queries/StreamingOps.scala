@@ -57,6 +57,18 @@ class RunningTotalsProcessor
 object StreamingOps {
 
   /** Run a streaming DataFrame to completion against a memory sink. */
+  /** HARNESS BOUNDARY — oracle-only driver materialization. A catalog
+    * entry's foreachBatch sink gathers per-batch rows onto the driver
+    * purely so the entry can hand ONE DataFrame back to the comparator; a
+    * production pipeline keeps the sink distributed (parquet/Kafka/
+    * foreachBatch writing partitions). Every streaming entry funnels
+    * through this single named method so the boundary is auditable and
+    * never mistaken for an operator shape — do not call it from anything
+    * but a query-catalog sink.
+    */
+  private def harnessCollect[T](batch: org.apache.spark.sql.Dataset[T]): Seq[T] =
+    batch.collect().toSeq
+
   private def drain(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
@@ -392,18 +404,14 @@ object StreamingOps {
             }
         }
 
-      // the three drains share one checkpoint so state survives between them.
-      // HARNESS BOUNDARY: the b.collect() below gathers the per-batch SESSION
-      // AGGREGATES (thousands of rows) onto the driver purely so this oracle
-      // query can hand one DataFrame back to the comparator. A production
-      // pipeline must keep the sink distributed (parquet/Kafka/foreachBatch
-      // writing partitions) — never copy this collect into an operator path.
+      // the three drains share one checkpoint so state survives between them;
+      // the sink is the audited harnessCollect boundary
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       val ck = Files.createTempDirectory("graft_sess_ck_").toString
       def drainCk(): Unit = {
         val q = sessions.writeStream
           .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
-            val rows = b.collect()
+            val rows = harnessCollect(b)
             out.synchronized { out ++= rows }
             ()
           }
@@ -639,7 +647,7 @@ object StreamingOps {
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           val d = feed.next(b)
-          val rows = d.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          val rows = harnessCollect(d).map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
           acc.synchronized {
             // batch 0 is the all-insert baseline, not a change
             if (batches > 0) acc ++= rows
@@ -709,7 +717,7 @@ object StreamingOps {
         .load()
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val rows = b.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          val rows = harnessCollect(b).map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
           acc.synchronized {
             // the first non-empty batch is the all-insert bootstrap; the
             // post-publish delta is every non-empty batch after it
@@ -778,7 +786,7 @@ object StreamingOps {
         val q = s.readStream.table(s"$cat.db.`s$$changefeed`")
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val rows = b.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+            val rows = harnessCollect(b).map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
             acc.synchronized { if (collect) acc ++= rows }
             ()
           }
