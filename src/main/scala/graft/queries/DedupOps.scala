@@ -149,7 +149,10 @@ object DedupOps {
       val ddl = "doc_id BIGINT, text STRING"
       val opts = RefTableOptions.from(new CaseInsensitiveStringMap(
         Map("path" -> stagingRoot, "schema" -> ddl).asJava))
+      // even-id half of the corpus: the composition exercises every stage
+      // at half the ingest/LSH volume (the full corpus is q121's job)
       val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 2 === 0)
       val waveA = docs.filter(col("doc_id") % 3 =!= 0)
       val plant = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
       val waveB = docs.filter(col("doc_id") % 3 === 0)
@@ -211,13 +214,14 @@ object DedupOps {
       s.read.format("reftable").option("path", quarantineRoot).option("schema", qddl)
         .load().orderBy("batch_id", "corpus_id")
     }, Some(
-      s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      s"""WITH half AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |a AS (SELECT doc_id, text FROM half WHERE doc_id % 3 <> 0),
+         |b AS (SELECT doc_id, text FROM half WHERE doc_id % 3 = 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' the end' FROM documents
+         |  SELECT doc_id + 1000000, text || ' the end' FROM half
          |  WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
          |c AS (SELECT doc_id + 2000000 AS doc_id, text || ' the end' AS text
-         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
+         |  FROM half WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1),
          |uni AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c),
          |${shingleCtes("uni")},
          |pairs_b AS (
