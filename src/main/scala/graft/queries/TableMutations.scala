@@ -1019,6 +1019,58 @@ object TableMutations {
         |  FROM orders WHERE o_totalprice < 50000)
         |ORDER BY stage""".stripMargin)),
 
+    // INCREMENTAL RECLUSTER (round 16): a clustered table takes hot-region
+    // churn (three appends piled onto the lowest key band), maintenance
+    // takes the PARTIAL path — the entry asserts ≥N original band files
+    // carry BY NAME (never rewritten) and that amplification is restored —
+    // and the read-back must equal the oracle's replay of publish+appends:
+    // a recluster is content-neutral, whatever files it touches.
+    QueryDef("q209_partial_recluster", (s, dir) => {
+      import graft.sources.reftable.{RefTableMaintenance, SnapshotFiles, VersionedTable}
+      val root = RelationalSupport.scratchDir(s, dir, "q209_rcl")
+      val base = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("qc"))
+      VersionedTable.publishClustered(base, root, Seq("l_orderkey"), numFiles = 8)
+      val bands = SnapshotFiles.list(root).map(_.path.split('/').last).toSet
+      val maxK = base.agg(max("l_orderkey")).head().getLong(0)
+      (1 to 6).foreach { i =>
+        base.filter(col("l_orderkey") <= maxK / 8 && col("l_orderkey") % 3 === i % 3)
+          .coalesce(1).write.format("reftable").option("path", root)
+          .option("schema", "l_orderkey BIGINT, l_partkey BIGINT, qc BIGINT")
+          .mode("append").save()
+      }
+      val d = RefTableMaintenance.maintain(s, root)
+      require(d.action == "recluster" && d.version.isDefined,
+        s"q209: hot churn must trigger a recluster, got $d")
+      val carried = bands.intersect(
+        SnapshotFiles.list(root).map(_.path.split('/').last).toSet)
+      require(carried.size >= 7,
+        s"q209: the INCREMENTAL path must carry the tight bands by name " +
+          s"(${carried.size} of ${bands.size} carried)")
+      val restored = RefTableMaintenance.signals(root)
+      require(restored.readAmplification.exists(_ <= 1.3),
+        s"q209: amplification not restored: ${restored.readAmplification}")
+      s.read.format("reftable").option("path", root)
+        .option("schema", "l_orderkey BIGINT, l_partkey BIGINT, qc BIGINT").load()
+        .groupBy((col("l_orderkey") % 10L).as("k"))
+        .agg(count(lit(1)).as("cnt"), sum("qc").as("sum_qc"),
+          max("l_partkey").as("hi_part"))
+        .orderBy("k")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc
+        |  FROM lineitem),
+        |mx AS (SELECT max(l_orderkey) AS m FROM base),
+        |appended AS (
+        |  SELECT b.* FROM base b, mx, range(1, 7) AS t(i)
+        |  WHERE b.l_orderkey <= mx.m // 8 AND b.l_orderkey % 3 = t.i % 3),
+        |final AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+        |SELECT l_orderkey % 10 AS k, count(*) AS cnt,
+        |  CAST(sum(qc) AS BIGINT) AS sum_qc, max(l_partkey) AS hi_part
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Conflict-aware commit resolution (logical OCC): a COW DELETE stages
     // its rewrite, then a concurrent append lands INSIDE its CAS window
     // (deterministically, via the pre-claim hook). The delete's file delta

@@ -192,6 +192,42 @@ class ConflictRebaseSpec extends AnyFunSuite {
     assert(readRows(root).map(_._1) == (1L to 10L).filterNot(i => i == 3L || i == 5L))
   }
 
+  test("SOAK: genuinely racing writers all land; rebases occur; no lost update") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("soak")
+    twoFileBase(root) // ids 1..10
+    val r0 = VersionedTable.rebasedCommits.get
+    // 4 appenders × 3 batches of disjoint ids, racing 2 deleters removing
+    // fixed base ids — every interleaving must converge to the same set
+    val appenders = (1 to 4).map { t =>
+      Future {
+        (1 to 3).foreach { b =>
+          val ids = (1L to 5L).map(i => t * 1000L + b * 100L + i)
+          append(root, ids.map(i => (i, s"w$t")))
+        }
+      }
+    }
+    val deleters = Seq(3L, 8L).map { victim =>
+      Future { RefTableMutations.deleteWhere(spark, root, col("id") === victim) }
+    }
+    Await.result(Future.sequence(appenders ++ deleters), 180.seconds)
+    val expected = ((1L to 10L).filterNot(i => i == 3L || i == 8L) ++
+      (for { t <- 1 to 4; b <- 1 to 3; i <- 1L to 5L } yield t * 1000L + b * 100L + i))
+      .sorted
+    assert(readRows(root).map(_._1) == expected,
+      "every racing commit must land exactly once")
+    assert(VersionedTable.rebasedCommits.get > r0,
+      "genuine contention must exercise the rebase path")
+    // the commit log records one commit per operation (12 appends +
+    // 2 deletes + the base publish), less any retention pruning
+    val conf2 = new Configuration()
+    assert(VersionedTable.lastCommit(root, conf2).exists(_.seq == 15L),
+      s"15 commits expected, got ${VersionedTable.lastCommit(root, conf2).map(_.seq)}")
+  }
+
   test("append + concurrent append: the loser rebases without re-staging its batch") {
     val root = tmpDir("app_app")
     twoFileBase(root)
