@@ -412,6 +412,29 @@ object TextAnalysis {
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
   }
 
+  /** Apply a TRAINED BPE merge list ([[bpeTrain]]'s output) to the corpus:
+    * per-document token counts under the learned vocabulary — the encode
+    * half of the tokenizer pipeline. Scale shape: the merge chain runs
+    * ONCE over the distinct-word CENSUS (Zipf-small; all `nMerges`
+    * replaces fuse into one narrow projection), then each document sums
+    * its words' token counts through a join — corpus text is never
+    * re-scanned per merge. Documents with zero tokens are absent (their
+    * count is undefined, like [[repetitionMetrics]]).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val census = words.select("w").distinct()
+      .withColumn("s", regexp_replace(col("w"), "(.)", " $1 "))
+    val applied = merges.foldLeft(census) { case (d, (a, b)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    val tokCount = applied.select(col("w"),
+      size(split(trim(col("s")), "  ")).cast("long").as("nt"))
+    words.join(tokCount, "w")
+      .groupBy(idCol).agg(sum("nt").as("n_bpe"))
+  }
+
   /** Repetition metrics — duplicate-token fraction and top-token share,
     * the classic boilerplate/low-quality markers in published corpus
     * filtering rules — from a single fused pass per document

@@ -435,7 +435,26 @@ object TextOps {
     QueryDef("q205_bpe_train", (s, dir) => {
       graft.operators.TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 30)
         .orderBy("rank")
-    }, Some(TextOps.bpeTrainOracle(30)))
+    }, Some(TextOps.bpeTrainOracle(30))),
+
+    // BPE ENCODE (round 16): the tokenizer pipeline end-to-end — train the
+    // 30-merge vocabulary, then ENCODE the corpus under it. The merge
+    // chain applies ONCE to the distinct-word census (30 replaces fused
+    // into one projection) and each document sums its words' token counts
+    // through a join; the oracle re-derives the identical vocabulary and
+    // re-encodes the identical census in DuckDB.
+    QueryDef("q210_bpe_encode", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("tot_bpe"),
+          min("n_bpe").as("min_bpe"), max("n_bpe").as("max_bpe"))
+        .orderBy("lang")
+    }, Some(TextOps.bpeEncodeOracle(30)))
   )
 
   /** The q205 oracle: `nMerges` chained CTE levels, each computing the
@@ -443,7 +462,39 @@ object TextOps {
     * pair (count DESC, tab-joined pair ASC — identical tie-break to the
     * Spark loop), and the merged word forms for the next level.
     */
-  def bpeTrainOracle(nMerges: Int): String = {
+  def bpeTrainOracle(nMerges: Int): String =
+    s"""WITH ${bpeLevels(nMerges)}
+       |SELECT CAST(rank AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, cnt
+       |FROM (${(1 to nMerges).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")})
+       |ORDER BY rank""".stripMargin
+
+  /** The q210 oracle: derive the same vocabulary, then ENCODE — the final
+    * level's census rows carry each word's merged symbol string, so the
+    * per-word token count is one split length, joined back per document.
+    */
+  def bpeEncodeOracle(nMerges: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |wordtok AS (
+       |  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+       |  FROM w$nMerges),
+       |docw AS (
+       |  SELECT doc_id, lang,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, lang, CAST(sum(nt) AS BIGINT) AS n_bpe
+       |  FROM docw JOIN wordtok USING (w) GROUP BY 1, 2)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS tot_bpe,
+       |  min(n_bpe) AS min_bpe, max(n_bpe) AS max_bpe
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared CTE chain: the word census as space-wrapped symbol strings
+    * (`w0`, keyed by the word), then per merge level the pair census
+    * (`p$i`), the best pair (`b$i`), the merged census (`w$i`) and the
+    * vocab row (`m$i`) — MATERIALIZED so the doubly-referenced chain
+    * never inlines exponentially.
+    */
+  private def bpeLevels(nMerges: Int): String = {
     val levels = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT unnest(list_transform(range(1, len(l)),
@@ -454,7 +505,7 @@ object TextOps {
          |  SELECT pr, CAST(sum(wf) AS BIGINT) AS cnt FROM p$i
          |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT replace(s,
+         |  SELECT w, replace(s,
          |    ' ' || split_part(pr, chr(9), 1) || '  ' || split_part(pr, chr(9), 2) || ' ',
          |    ' ' || replace(pr, chr(9), '') || ' ') AS s, wf
          |  FROM w${i - 1}, b$i),
@@ -462,15 +513,11 @@ object TextOps {
          |  SELECT $i AS rank, split_part(pr, chr(9), 1) AS lhs,
          |    split_part(pr, chr(9), 2) AS rhs, cnt FROM b$i)""".stripMargin
     }
-    val union = (1 to nMerges).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, wf FROM (
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, wf FROM (
        |    SELECT w, count(*) AS wf FROM (
        |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |      FROM documents) GROUP BY w)),
-       |${levels.mkString(",\n")}
-       |SELECT CAST(rank AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, cnt
-       |FROM (${union})
-       |ORDER BY rank""".stripMargin
+       |${levels.mkString(",\n")}""".stripMargin
   }
 }
