@@ -480,6 +480,9 @@ class RefTableScan(
             val histInfo: Option[RefTableStats.KllHist] =
               if (!entries.forall(_.exists(_.kll.isDefined))) None
               else RefTableStats.kllHistogram(entries.map(_.get.kll.get), ndv)
+            // catalyst-internal min/max values from the sketch's double
+            // form (timestamps were sketched in micros, dates in days —
+            // exactly the internal Long/Int representations)
             def typed(v: Double): Option[Object] = f.dataType match {
               case org.apache.spark.sql.types.IntegerType => Some(Int.box(v.toInt))
               case org.apache.spark.sql.types.LongType => Some(Long.box(v.toLong))
@@ -487,6 +490,8 @@ class RefTableScan(
               case org.apache.spark.sql.types.ByteType => Some(Byte.box(v.toByte))
               case org.apache.spark.sql.types.FloatType => Some(Float.box(v.toFloat))
               case org.apache.spark.sql.types.DoubleType => Some(Double.box(v))
+              case org.apache.spark.sql.types.TimestampType => Some(Long.box(v.toLong))
+              case org.apache.spark.sql.types.DateType => Some(Int.box(v.toInt))
               case _ => None
             }
             val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =

@@ -595,24 +595,35 @@ object RefTableStats {
       val norm = new Path(abs).toString
       if (norm.startsWith(qualified + "/")) norm.substring(qualified.length + 1) else norm
     }
-    // plain-numeric ndv columns also land a mergeable KLL quantile sketch
-    // (k=200, ~1.65% rank error) — the scan unions the SURVIVING files'
-    // sketches into an equi-height histogram for CBO range selectivity,
-    // the same pruned-listing freshness as the NDV path. Restricted to
-    // types whose catalyst double representation round-trips exactly
-    // (timestamps estimate in micros, decimals in unscaled form — their
-    // sketch-double values would disagree with FilterEstimation's).
-    val kllCols = cols.filter { c =>
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
-        case _ => false
-      }
+    // numeric/date/timestamp ndv columns also land a mergeable KLL
+    // quantile sketch (k=200, ~1.65% rank error) — the scan unions the
+    // SURVIVING files' sketches into an equi-height histogram for CBO
+    // range selectivity, the same pruned-listing freshness as the NDV
+    // path. Sketch values use the CATALYST double representation
+    // (EstimationUtils.toDouble of the internal value: micros for
+    // timestamps, days for dates), so histogram bins compare against
+    // FilterEstimation's literals exactly. Decimals are excluded (their
+    // internal form is unscaled — a plain double cast would disagree).
+    import org.apache.spark.sql.types._
+    def kllInput(c: String): Option[org.apache.spark.sql.Column] = df.schema(c).dataType match {
+      case IntegerType | LongType | ShortType | ByteType | FloatType | DoubleType =>
+        Some(col(c))
+      case TimestampType => Some(unix_micros(col(c)))
+      case DateType => Some(unix_date(col(c)))
+      case _ => None
+    }
+    val kllCols = cols.filter(c => kllInput(c).isDefined)
+    // the HLL takes int/bigint/string/binary — feed timestamps/dates the
+    // same micros/days integers the KLL sketches (NDV is unchanged)
+    def hllInput(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case DateType => unix_date(col(c))
+      case _ => col(c)
     }
     val aggCols =
-      cols.map(c => hll_sketch_agg(col(c), lit(12)).as(c)) ++
-        kllCols.map(c => graft.functions.KllFunctions.kllSketchAgg(col(c)).as(s"__kll_$c"))
+      cols.map(c => hll_sketch_agg(hllInput(c), lit(12)).as(c)) ++
+        kllCols.map(c =>
+          graft.functions.KllFunctions.kllSketchAgg(kllInput(c).get).as(s"__kll_$c"))
     val sketched = df
       .select(input_file_name().as("__f") +: cols.map(col): _*)
       .groupBy("__f")

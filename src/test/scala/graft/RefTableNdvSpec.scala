@@ -261,6 +261,37 @@ class RefTableNdvSpec extends AnyFunSuite {
       s"NDV-only stats assume uniform [min,max] (~100% kept) and must not broadcast:\n$noHist")
   }
 
+  test("timestamp ndvStats columns carry histograms in catalyst micros") {
+    import spark.implicits._
+    val root = tmp("ts_hist")
+    // one year of hourly timestamps: internal micros span a known range
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    (0L until 8760L).map(i => (i, java.sql.Timestamp.from(t0.plusSeconds(i * 3600))))
+      .toDF("id", "ts")
+      .repartition(3)
+      .write.format("reftable").option("path", root)
+      .option("schema", "id BIGINT, ts TIMESTAMP")
+      .option("ndvStats", "ts").mode("overwrite").save()
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.read.format("reftable").option("path", root)
+        .option("schema", "id BIGINT, ts TIMESTAMP").load()
+      val leafStats = df.queryExecution.optimizedPlan.collectLeaves().head.stats
+      val tsStat = leafStats.attributeStats.find(_._1.name == "ts").map(_._2)
+      assert(tsStat.exists(_.histogram.isDefined),
+        s"timestamp column must carry a histogram: $leafStats")
+      val h = tsStat.get.histogram.get
+      val loMicros = t0.getEpochSecond * 1000000.0
+      val hiMicros = (t0.getEpochSecond + 8759L * 3600L) * 1000000.0
+      assert(math.abs(h.bins.head.lo - loMicros) < 1e6 &&
+        math.abs(h.bins.last.hi - hiMicros) < 1e6,
+        s"histogram bounds must be catalyst MICROS: ${h.bins.head.lo}..${h.bins.last.hi} " +
+          s"expected $loMicros..$hiMicros")
+      // min/max surfaced as internal Long micros too
+      assert(tsStat.get.min.exists(_.isInstanceOf[Long]) &&
+        tsStat.get.min.exists(_.asInstanceOf[Long] == loMicros.toLong))
+    }
+  }
+
   test("nullCount clamps to the DV-adjusted row count on heavily-deleted listings") {
     import spark.implicits._
     val root = tmp("nullclamp")
