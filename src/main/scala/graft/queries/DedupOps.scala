@@ -203,8 +203,13 @@ object DedupOps {
         val pairs = graft.operators.Dedup.nearDupAgainst(
           pinned, batch, "doc_id", "text", threshold = 0.7, k = 3, numBands = NumBands)
         appendTo(quarantineRoot, pairs, qddl)
-        appendTo(corpusRoot, batch.join(
-          pairs.select(col("batch_id")).distinct(),
+        // the LSH pass ran exactly ONCE (into the quarantine append); the
+        // admission anti-join reads the dup ids back from the materialized
+        // quarantine table instead of recomputing the pass. Wave id spaces
+        // are disjoint, so earlier waves' batch_ids never mask this batch.
+        val dupIds = s.read.format("reftable").option("path", quarantineRoot)
+          .option("schema", qddl).load().select(col("batch_id")).distinct()
+        appendTo(corpusRoot, batch.join(dupIds,
           batch("doc_id") === col("batch_id"), "left_anti"), ddl)
       }
       val batchB = stagedAt(vB).join(stagedAt(vA), Seq("doc_id"), "left_anti")
