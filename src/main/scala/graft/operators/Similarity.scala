@@ -140,6 +140,48 @@ object Similarity {
     corpus.join(survivors.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }
 
+  /** CLUSTER-SCOPED semantic dedup — the SemDeDup shape (Abbas et al.
+    * 2023): partition the corpus into embedding clusters, enumerate
+    * near-dup pairs ONLY within each cluster (never across — that is the
+    * scale trade the paper documents: candidate work is Σ|cell|², bounded
+    * by the cluster granularity, instead of n²), then keep the minimum-id
+    * survivor per connected component. Returns the SURVIVING rows.
+    *
+    * The cluster codebook here is the `kSeeds` lowest-id vectors — a
+    * deterministic, cross-engine-replayable stand-in for trained
+    * centroids; production pipelines pass [[trainKMeans]]'s codebook
+    * through the same [[assignCells]] machinery and only the bucketing
+    * quality changes, never the verify/survivor semantics. Size `kSeeds`
+    * with the corpus (k ≈ n / targetCellSize) to bound the per-cell
+    * quadratic. The LSH-bucketed sibling is [[semanticDedup]].
+    */
+  def clusterDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      kSeeds: Int = 16): DataFrame = {
+    require(kSeeds > 0, "clusterDedup needs at least one seed")
+    val seeds = corpus.orderBy(col(idCol)).limit(kSeeds)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+    // materialize the assignment ONCE (a narrow O(n·k) pass) and join both
+    // pair sides off it — halves the assignment work, and the truncated
+    // lineage sidesteps Spark's Union constraint-rewrite tripping on a
+    // self-joined union plan (key-not-found on the union child's attrs)
+    val assigned = assignCells(corpus, seeds, idCol, vecCol).localCheckpoint()
+    def side(prefix: String) = assigned.select(
+      col(idCol).as(s"${prefix}_id"), col("cell"), col(vecCol).as(s"__v$prefix"))
+    val pairs = side("a").join(side("b"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", r6(cosineSim(col("__va"), col("__vb"))))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id")
+    val comp = Dedup.connectedComponents(
+      corpus.select(col(idCol).as("id")),
+      pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+    corpus.join(
+      comp.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** The per-row argmax over a codebook, as a single narrow projection: the
     * centroids (inherently small — a codebook is k vectors by design) are
     * folded into a literal array of (cid, cv) structs ordered by cid, and

@@ -116,6 +116,41 @@ object SimilarityOps {
          |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
          |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
 
+    // CLUSTER-SCOPED semantic dedup (round 16) — the SemDeDup shape:
+    // partition by nearest seed centroid (the 16 lowest-id vectors — a
+    // deterministic, replayable stand-in for trained centroids), enumerate
+    // near-dup pairs only WITHIN each cell (candidate work Σ|cell|², never
+    // n²), survivors = min-id per connected component. The oracle replays
+    // the identical assignment argmax (r6 cosine, ties to the lowest seed)
+    // and the identical cell-scoped pair graph, so cross-cell misses — the
+    // approximation SemDeDup documents — reproduce exactly too.
+    QueryDef("q211_cluster_dedup", (s, dir) => {
+      graft.operators.Similarity
+        .clusterDedup(plantedNearDupCorpus(s, dir), "vec_id", "v", NearDupSim, kSeeds = 16)
+        .select("vec_id").orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v FROM base),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT c.vec_id, c.v, s.cid AS cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${duckCos("c.v", "s.cv")} DESC NULLS LAST, s.cid) AS rn
+         |    FROM c, seeds s) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id a_id, b.vec_id b_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim),
+         |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(u, label) AS (
+         |  SELECT vec_id, vec_id FROM c
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+         |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
+         |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q44_vector_stats", (s, dir) => {
       val ad = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
