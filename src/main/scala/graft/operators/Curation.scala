@@ -96,12 +96,25 @@ object Curation {
     * `((budget * (w/Σw)) / have) * 1e6`, so an oracle replaying the same
     * expression gets the identical threshold. The kept rows carry their
     * domain's `rate_ppm` for downstream accounting.
+    *
+    * OUTPUT SCHEMA is mode-dependent: input columns + `rate_ppm`, plus
+    * `epoch` (0-based replica index) when `upsample = true` — downsampled
+    * rows in upsample mode carry `epoch = 0`, so unions across modes must
+    * align the extra column explicitly. The appended names (`rate_ppm`,
+    * `epoch`, and the internal `__full`/`__frac` scratch pair) are
+    * RESERVED: an input already carrying one would be silently clobbered,
+    * so the call refuses loudly — rename the input column first.
     */
   def mixCorpus(
       df: DataFrame, idCol: String, domainCol: String, weightCol: String,
       targets: Map[String, Double], budgetTokens: Long,
       salt: String = "mix", upsample: Boolean = false): DataFrame = {
     require(budgetTokens > 0, "mixCorpus needs a positive token budget")
+    val reserved = Seq("rate_ppm", "__full", "__frac") ++ (if (upsample) Seq("epoch") else Nil)
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"mixCorpus appends column(s) ${reserved.mkString(", ")} and would clobber " +
+        s"input column(s) ${clash.mkString(", ")} — rename them before mixing")
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
       "mixCorpus targets must be non-negative weights")
     val wsum = targets.values.toSeq.sorted.sum // fixed fold order

@@ -151,15 +151,24 @@ object Similarity {
     * deterministic, cross-engine-replayable stand-in for trained
     * centroids; production pipelines pass [[trainKMeans]]'s codebook
     * through the same [[assignCells]] machinery and only the bucketing
-    * quality changes, never the verify/survivor semantics. Size `kSeeds`
-    * with the corpus (k ≈ n / targetCellSize) to bound the per-cell
-    * quadratic. The LSH-bucketed sibling is [[semanticDedup]].
+    * quality changes, never the verify/survivor semantics. `kSeeds` MUST
+    * scale with the corpus or the per-cell quadratic comes back: candidate
+    * work is Σ|cell|² ≈ n²/k, so a FIXED k at growing n is O(n²) in
+    * disguise. The default (`kSeeds = 0`) therefore sizes itself —
+    * `k = max(16, n / targetCellSize)`, one count aggregate — and an
+    * explicit `kSeeds` is for replayable oracles pinned at a known n.
+    * The LSH-bucketed sibling is [[semanticDedup]].
     */
   def clusterDedup(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      kSeeds: Int = 16): DataFrame = {
-    require(kSeeds > 0, "clusterDedup needs at least one seed")
-    val seeds = corpus.orderBy(col(idCol)).limit(kSeeds)
+      kSeeds: Int = 0, targetCellSize: Int = 1024): DataFrame = {
+    require(kSeeds >= 0, "clusterDedup: kSeeds must be positive (or 0 = auto-size)")
+    require(targetCellSize > 0, "clusterDedup: targetCellSize must be positive")
+    val k =
+      if (kSeeds > 0) kSeeds
+      else math.min(Int.MaxValue.toLong,
+        math.max(16L, corpus.count() / targetCellSize)).toInt
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cv"))
     // materialize the assignment ONCE (a narrow O(n·k) pass) and join both

@@ -435,6 +435,58 @@ object TextAnalysis {
       .groupBy(idCol).agg(sum("nt").as("n_bpe"))
   }
 
+  /** ENCODE TO TOKEN-ID SEQUENCES — the actual training-data artifact (what
+    * shard packing ultimately packs): per document, the ordered
+    * `array<int>` of vocabulary ids under a trained merge list, plus its
+    * length `n_bpe`. Vocabulary ids follow the standard BPE convention:
+    * base alphabet first (single characters, byte-sorted, ids `0..B-1`),
+    * then one id per merge in rank order (`B + rank - 1`); a merged
+    * surface string that collides with an earlier entry keeps the earlier
+    * (smaller) id, so the token→id map is a function.
+    *
+    * Scale shape: the merge chain applies ONCE to the distinct-word census
+    * (Zipf-small), each census word maps to its id array through a ~66-
+    * entry literal map (no shuffle), and documents reassemble by joining
+    * words to the census and flattening `sort_array(collect_list(struct(
+    * pos, ids)))` per document — the id-sequence sibling of [[bpeEncode]]'s
+    * count-only join, one extra shuffle on the document key, never a
+    * per-merge corpus re-scan. The only driver-side state is the base
+    * alphabet (bounded by the tokenizer class `[a-z0-9]` → ≤ 36 chars) and
+    * the merge list the caller already holds. Documents with zero tokens
+    * are absent (their sequence is empty, like [[bpeEncode]]).
+    */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__wi", "w")))
+    val census = words.select("w").distinct()
+      .withColumn("s", regexp_replace(col("w"), "(.)", " $1 "))
+    val applied = merges.foldLeft(census) { case (d, (a, b)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    // base alphabet: distinct single characters of the census, byte-sorted.
+    // Bounded by the tokens() character class — a driver collect of ≤ 36
+    // one-char strings, not corpus-scale state.
+    val baseChars = census
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) === 1).distinct().orderBy("c")
+      .collect().map(_.getString(0)).toSeq
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    baseChars.zipWithIndex.foreach { case (c, i) => vocab.getOrElseUpdate(c, i) }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      vocab.getOrElseUpdate(a + b, baseChars.size + i)
+    }
+    val vocabCol = typedLit(vocab.toMap)
+    val wordIds = applied.select(col("w"),
+      transform(split(trim(col("s")), "  "), sym => element_at(vocabCol, sym))
+        .as("__tids"))
+    words.join(wordIds, "w")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wi"), col("__tids")))),
+        e => e("__tids"))).as("token_ids"))
+      .withColumn("n_bpe", size(col("token_ids")).cast("long"))
+  }
+
   /** Repetition metrics — duplicate-token fraction and top-token share,
     * the classic boilerplate/low-quality markers in published corpus
     * filtering rules — from a single fused pass per document

@@ -454,7 +454,45 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("tot_bpe"),
           min("n_bpe").as("min_bpe"), max("n_bpe").as("max_bpe"))
         .orderBy("lang")
-    }, Some(TextOps.bpeEncodeOracle(30)))
+    }, Some(TextOps.bpeEncodeOracle(30))),
+
+    // TOKEN-ID SEQUENCES (round 17): the actual training-data artifact —
+    // each document's ordered array of vocabulary ids under the trained
+    // 30-merge vocabulary (base alphabet ids first, then one id per merge
+    // rank). The entry explodes a deterministic 2% document subset to
+    // (doc_id, pos, tid) rows so the oracle hash proves every sequence
+    // element-by-element; the oracle re-derives the identical vocabulary,
+    // segments the census, and reassembles per-document order in DuckDB.
+    QueryDef("q212_bpe_token_ids", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "tid")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tid").cast("long").as("tid"))
+        .orderBy("doc_id", "pos")
+    }, Some(TextOps.bpeTokenIdsOracle(30))),
+
+    // TOKENIZE → PACK (round 17): the tokenize-then-shard last mile — BPE
+    // token counts feed the two-level-prefix-sum shard packer, so shard
+    // boundaries fall on exact BPE sequence lengths (what a training job
+    // actually packs). Oracle = vocabulary replay + the single global
+    // running sum the distributed prefix sum must equal exactly.
+    QueryDef("q213_tokenize_pack", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+      graft.operators.Curation.packShards(enc, "doc_id", "n_bpe", budget = 4096L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .orderBy("shard")
+    }, Some(TextOps.tokenizePackOracle(30, 4096L)))
   )
 
   /** The q205 oracle: `nMerges` chained CTE levels, each computing the
@@ -487,6 +525,66 @@ object TextOps {
        |SELECT lang, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS tot_bpe,
        |  min(n_bpe) AS min_bpe, max(n_bpe) AS max_bpe
        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The q212 oracle: re-derive the vocabulary (base alphabet byte-sorted,
+    * ids 0..B-1; merged token of rank r at B + r - 1, duplicate surfaces
+    * keep the smallest id), segment the final census, and reassemble each
+    * document's id sequence by (word position, symbol position).
+    */
+  def bpeTokenIdsOracle(nMerges: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, i, 1))) AS c FROM w0),
+       |nb AS (SELECT count(*) AS b FROM chars),
+       |vocab AS MATERIALIZED (
+       |  SELECT tok, MIN(tid) AS tid FROM (
+       |    SELECT c AS tok, row_number() OVER (ORDER BY c) - 1 AS tid FROM chars
+       |    UNION ALL
+       |    SELECT lhs || rhs AS tok, b + rank - 1 AS tid
+       |    FROM (${(1 to nMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")}), nb
+       |  ) GROUP BY tok),
+       |syms AS MATERIALIZED (
+       |  SELECT w, u.j AS j, u.s AS sym FROM (
+       |    SELECT w, unnest(list_transform(range(1, len(l) + 1),
+       |      j -> {'j': j, 's': l[j]})) AS u
+       |    FROM (SELECT w, string_split(trim(s), '  ') AS l FROM w$nMerges))),
+       |wid AS MATERIALIZED (
+       |  SELECT sy.w, sy.j, v.tid FROM syms sy JOIN vocab v ON v.tok = sy.sym),
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |          FROM documents WHERE doc_id % 50 = 0))),
+       |seq AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) - 1 AS BIGINT) AS pos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM docw JOIN wid USING (w))
+       |SELECT doc_id, pos, tid FROM seq ORDER BY doc_id, pos""".stripMargin
+
+  /** The q213 oracle: per-document BPE token counts (same derivation as
+    * q210), then the single global running sum over doc_id order that the
+    * two-level distributed prefix sum must equal exactly.
+    */
+  def tokenizePackOracle(nMerges: Int, budget: Long): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |wordtok AS (
+       |  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt
+       |  FROM w$nMerges),
+       |docw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n
+       |  FROM docw JOIN wordtok USING (w) GROUP BY 1),
+       |c AS (SELECT doc_id, n,
+       |  sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS pre FROM perdoc),
+       |s2 AS (SELECT doc_id, n, CAST(floor(pre / $budget.0) AS INT) AS shard FROM c)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
+       |  min(doc_id) AS lo, max(doc_id) AS hi
+       |FROM s2 GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Shared CTE chain: the word census as space-wrapped symbol strings
     * (`w0`, keyed by the word), then per merge level the pair census

@@ -110,6 +110,13 @@ object VersionedTable {
     */
   val CommitsDir = "_COMMITS"
 
+  /** In-dir marker [[cloneTo]] stages inside every clone version: proves
+    * "this dir is the branch's clone baseline" to [[rebaseBranch]]'s
+    * last-resort fallback after the clone's commit record has expired
+    * from the log. Underscore-named, so listings never see it.
+    */
+  val CloneMarker = "_CLONE"
+
   /** One committed table state: the version directory name, the optional
     * streaming publish marker, and the optional lineage parent (the
     * version this one derived its content from; None for overwrites,
@@ -194,6 +201,12 @@ object VersionedTable {
     * staging populate — lets a spec land a deterministic concurrent commit
     * in the CAS window. Cleared by the spec that set it. */
   @volatile private[graft] var onBeforeClaim: Option[String => Unit] = None
+  /** Test hook: runs inside the rebase loop right after the staged dir's
+    * re-stamp rename, BEFORE the staged-bytes existence check and the
+    * re-claim — lets a spec simulate the orphan sweep racing a rebase.
+    * Receives the staged dir's current path. Cleared by the spec that set
+    * it. */
+  @volatile private[graft] var onBeforeRebaseCommit: Option[String => Unit] = None
 
   private def fc(conf: Configuration): FileContext = FileContext.getFileContext(conf)
 
@@ -520,6 +533,13 @@ object VersionedTable {
         manifestPartitionCols = partitionColumns) { staging =>
       val staged = linkListingInto(files, staging, partitionColumns, conf, "cloneTo")
       DeletionVectors.writeRemapped(staged, staging, stagedVersionName(staging), conf)
+      // in-dir clone marker: identifies this version as a clone even after
+      // its commit record expires from the log — the verification
+      // rebaseBranch's last-resort baseline fallback requires (underscore
+      // name: invisible to listings, travels with the dir)
+      val sfs = staging.getFileSystem(conf)
+      val out = sfs.create(new Path(staging, CloneMarker), true)
+      try out.write(s"""{"src":"$srcRoot"}""".getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -778,9 +798,13 @@ object VersionedTable {
               throw e
           }
       }
+    // a rebase re-stamps the staged dir (see tryRebase), so the COMMITTED
+    // name — not the staging-time `name` — is what everything below and
+    // the caller must reference
+    val committed = commit.version
     // best-effort cache for external tooling and legacy readers; the
     // commit log is authoritative, so cache failures are swallowed
-    swapPointerCache(rootPath, fs, conf, name + marker.fold("")("\n" + _))
+    swapPointerCache(rootPath, fs, conf, committed + marker.fold("")("\n" + _))
     // a layout-establishing publish re-declares the table's intended
     // layout at the root, where retention can't prune it
     marker.filter(_.startsWith("layout=")).foreach { m =>
@@ -822,33 +846,57 @@ object VersionedTable {
         val young = retainCutoff.exists(cut =>
           victim.exists(v => versionTimestampMs(v) >= cut))
         if (!victim.exists(tagged) && !young) {
-          victim.filterNot(_ == name).filterNot(protectd)
+          victim.filterNot(_ == committed).filterNot(protectd)
             .foreach(v => fs.delete(new Path(rootPath, v), true))
           fs.delete(p, false)
         }
       }
     }
-    name
+    committed
   }
 
-  /** COMMIT REBASE (see [[RebaseSpec]]): the staged version dir `name` lost
-    * its claim against `base`. Check every intervening commit's delta
-    * against the spec's read/write set; when disjoint, re-point the staged
-    * `_FILES.json` at the new head (same removed/added delta, new parent),
-    * re-carry the head's DV sidecars, and re-claim. Loops while newer heads
-    * keep landing; None (→ caller re-derives) on any overlap, on a vanished
-    * base listing, or after bounded attempts. The staged dir is never
-    * visible to readers during any of this — only the winning claim
-    * publishes it.
+  /** COMMIT REBASE (see [[RebaseSpec]]): the staged version dir `name0`
+    * lost its claim against `base`. Check every intervening commit's delta
+    * against the spec's read/write set; when disjoint, RE-STAMP the staged
+    * dir to a name newer than the head (manifest self-refs are ./-relative,
+    * so they survive the rename), re-point its `_FILES.json` at the new
+    * head (same removed/added delta, new parent), re-carry the head's DV
+    * sidecars, and re-claim. The re-stamp is load-bearing twice over: the
+    * orphan sweep ([[vacuum]]) collects uncommitted dirs older than the
+    * retention floor, and a staged dir that kept its pre-conflict stamp
+    * while `keepVersions` concurrent commits land would fall below that
+    * floor mid-loop — swept, then silently recreated EMPTY by the next
+    * manifest write, committing a delta that drops every surviving row of
+    * its touched files; and version-name stamps must stay monotonic with
+    * commit order or `ts:` time travel ([[resolveAsOf]]) resolves past the
+    * rebased head. A pre-claim existence check on the staged bytes backstops
+    * the sweep race anyway: a wiped dir falls back to re-derive, never to a
+    * silent empty commit. Loops while newer heads keep landing; None
+    * (→ caller re-derives) on any overlap, a vanished base listing, missing
+    * staged bytes, or after bounded attempts — the staged dir (under its
+    * current name) is deleted on every None. The dir is never visible to
+    * readers during any of this — only the winning claim publishes it.
     */
   private def tryRebase(
-      root: String, name: String, base: String, marker: Option[String],
+      root: String, name0: String, base: String, marker: Option[String],
       spec: RebaseSpec, conf: Configuration): Option[Commit] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    var name = name0
+    def dropStaged(): Unit =
+      try fs.delete(new Path(rootPath, name), true)
+      catch { case scala.util.control.NonFatal(_) => () }
     try {
+      // the staged dir's own data files, captured up front: every attempt
+      // re-verifies they survived before committing a manifest over them
+      val qualifiedStaged = fs.makeQualified(new Path(rootPath, name)).toString
+      val stagedSelf = SnapshotFiles
+        .listPhysical(qualifiedStaged, spec.partitionColumns)
+        .map(_.path.stripPrefix(qualifiedStaged + "/"))
       val baseRels = listingEntries(root, base, spec.partitionColumns, conf).map(_.rel).toSet
       // read set ⊆ base's files by construction; verify so rule 1 is sound
       // even if a caller passed paths in a different spelling
-      if (!spec.readRel.forall(baseRels.contains)) return None
+      if (!spec.readRel.forall(baseRels.contains)) { dropStaged(); return None }
       val baseDvNames = DeletionVectors.sidecars(
         new Path(root, base).toString, conf).map(_.getName).toSet
       var attempts = 0
@@ -856,15 +904,15 @@ object VersionedTable {
         attempts += 1
         // rule 0: the caller's own admission check (txn replay, etc.) must
         // still hold against the moved head
-        if (!spec.revalidate()) return None
-        val head = lastCommit(root, conf).getOrElse(return None)
+        if (!spec.revalidate()) { dropStaged(); return None }
+        val head = lastCommit(root, conf).getOrElse { dropStaged(); return None }
         val headDir = new Path(root, head.version).toString
         val headEntries = listingEntries(root, head.version, spec.partitionColumns, conf)
         val headRels = headEntries.map(_.rel).toSet
         // rule 1: every file we read (rewrote, removed, or marked positions
         // in) must still be live — a concurrent commit that removed or
         // rewrote one of them invalidated our derivation
-        if (!spec.readRel.forall(headRels.contains)) return None
+        if (!spec.readRel.forall(headRels.contains)) { dropStaged(); return None }
         val removedByThem = baseRels.diff(headRels)
         val added = headEntries.filterNot(e => baseRels.contains(e.rel))
         val newDvNames = DeletionVectors.sidecars(headDir, conf)
@@ -879,30 +927,50 @@ object VersionedTable {
         // files, their images may hold rows our predicate never scanned.
         if (newDvNames.nonEmpty && spec.readRel.nonEmpty) {
           val newDvRefs = DeletionVectors.referencedFiles(headDir, baseDvNames, conf)
-          if (newDvRefs.exists(spec.removedRel.contains)) return None
+          if (newDvRefs.exists(spec.removedRel.contains)) { dropStaged(); return None }
           if (newDvRefs.exists(spec.readRel.contains) &&
-              (spec.stagesImages || added.nonEmpty || removedByThem.nonEmpty)) return None
+              (spec.stagesImages || added.nonEmpty || removedByThem.nonEmpty)) {
+            dropStaged(); return None
+          }
         }
         // rule 3: files added by the concurrent commits, judged by the
         // caller's read predicate. A pure blind append (nothing removed, no
         // positions marked) is exempt unless the caller is key-matching.
         val blindAppend = removedByThem.isEmpty && newDvNames.isEmpty
         if (added.nonEmpty && (!blindAppend || spec.conflictOnBlindAppend) &&
-            spec.addedMayMatch(headDir, added)) return None
-        // compatible: swap the staged manifest's parent to the head (same
-        // removed set — removedRel ⊆ head's files per rule 1 — same staged
-        // files) and re-carry the head's sidecars beside our own
-        RefTableFileManifest.writeDelta(root, new Path(new Path(root), name),
+            spec.addedMayMatch(headDir, added)) { dropStaged(); return None }
+        // compatible: RE-STAMP the staged dir past the head (and past its
+        // own current stamp) so it stays above the orphan-sweep floor and
+        // the published name orders after the head it commits onto
+        val freshNum = math.max(System.currentTimeMillis(),
+          math.max(versionNum(head.version), versionNum(name)) + 1)
+        val freshName = f"v$freshNum%019d" + "_" + java.util.UUID.randomUUID().toString.take(8)
+        fc(conf).rename(new Path(rootPath, name), new Path(rootPath, freshName))
+        name = freshName
+        onBeforeRebaseCommit.foreach(_(new Path(rootPath, name).toString))
+        // backstop: a sweep that raced the pre-rename window leaves a
+        // recreated-empty dir — committing it would publish a delta that
+        // silently drops every surviving row of its touched files
+        val stagedDir = new Path(rootPath, name)
+        if (!fs.exists(stagedDir) ||
+            !stagedSelf.forall(r => fs.exists(new Path(stagedDir, r)))) {
+          dropStaged(); return None
+        }
+        // swap the staged manifest's parent to the head (same removed set —
+        // removedRel ⊆ head's files per rule 1 — same staged files) and
+        // re-carry the head's sidecars beside our own
+        RefTableFileManifest.writeDelta(root, stagedDir,
           head.version, spec.removedRel, spec.partitionColumns, conf)
         try return Some(commitVersion(root, name, marker, Some(head.version),
           Some(Some(head.version)), conf))
         catch { case _: CommitConflictException => () } // a newer head landed: loop
       }
+      dropStaged()
       None
     } catch {
       // any surprise (pruned base dir, unreadable manifest) falls back to
       // the re-derive path, which is always correct
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(_) => dropStaged(); None
     }
   }
 
@@ -1229,35 +1297,55 @@ object VersionedTable {
   def fastForward(root: String, name: String,
       partitionColumns: Seq[String] = Nil, keepVersions: Int = 3): String = {
     val conf = new Configuration()
-    val fork = branchFork(root, name, conf).getOrElse(
-      throw new IllegalArgumentException(
-        s"branch: '$name' does not exist at $root (createBranch forks one)"))
-    // the branch head being promoted becomes the new rebase baseline (its
-    // content IS the new fork's content)
-    val bHead = resolve(branchRoot(root, name), conf).map(p => new Path(p).getName)
-    val promoted =
-      try promote(branchRoot(root, name), root,
-        expectedBase = Some(fork), partitionColumns, keepVersions)
-      catch {
+    val bRoot = branchRoot(root, name)
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val fork = branchFork(root, name, conf).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch: '$name' does not exist at $root (createBranch forks one)"))
+      // the branch head being promoted becomes the new rebase baseline (its
+      // content IS the new fork's content)
+      val bHead = resolve(bRoot, conf).map(p => new Path(p).getName)
+      try {
+        val promoted = promote(bRoot, root,
+          expectedBase = Some(fork), partitionColumns, keepVersions)
+        writeFork(root, name, promoted, bHead, conf)
+        return promoted
+      } catch {
         case e: CommitConflictException =>
-          // SELF-HEAL for the crash window between a previous fastForward's
-          // promote and its fork re-point: the publish landed but the
-          // marker still names the old fork, so every further fastForward
-          // would conflict forever. If main's HEAD is a promote of THIS
-          // branch, the marker is simply stale — re-point it and return the
-          // already-promoted version (branch work committed after the crash
-          // fast-forwards on the next call, which now CASes cleanly). The
-          // rebase baseline is NOT updated here — the crash-time branch
-          // head is unknowable; a later rebase falls back loudly if needed.
+          // STALE-MARKER HEAL: a previous fastForward's promote landed but
+          // its fork re-point never ran — a crash in that window, or a
+          // CONCURRENT caller whose promote won while ours staged. Either
+          // way, if main's HEAD is a promote of THIS branch the marker is
+          // simply stale. What happens next depends on whether that landed
+          // promote already carries the branch head's exact content:
+          // content-equal → nothing is left to promote; heal the marker AND
+          // record the rebase baseline (the branch head's content IS
+          // main's head content). Content differs → branch commits landed
+          // after that promote; heal the marker only, then RETRY — the
+          // next promote CASes against the healed fork and lands them
+          // (returning here without retrying would report success while
+          // silently leaving those commits unpromoted).
           lastCommit(root, conf) match {
-            case Some(c) if c.marker.contains(s"promote=${branchRoot(root, name)}") =>
+            case Some(c) if c.marker.contains(s"promote=$bRoot") =>
+              val promotedNames = listingEntries(root, c.version, partitionColumns, conf)
+                .map(e => contentName(e.rel)).toSet
+              val branchNames = bHead.map(v =>
+                listingEntries(bRoot, v, partitionColumns, conf)
+                  .map(e => contentName(e.rel)).toSet)
+              if (branchNames.contains(promotedNames)) {
+                writeFork(root, name, c.version, bHead, conf)
+                return c.version
+              }
               writeFork(root, name, c.version, None, conf)
-              return c.version
             case _ => throw e
           }
       }
-    writeFork(root, name, promoted, bHead, conf)
-    promoted
+    }
+    throw new CommitConflictException(
+      s"fastForward: branch '$name' at $root kept conflicting after repeated " +
+        "marker heals — concurrent fastForward callers are racing; re-invoke")
   }
 
   /** The delta-identity of a linked file: clone/promote/rebase links name
@@ -1301,12 +1389,22 @@ object VersionedTable {
     // branch delta baseline: the recorded base (the branch version whose
     // content matched main at the fork — maintained by createBranch /
     // fastForward / rebaseBranch), else legacy discovery: the clone commit
-    // (seq 1) when retained, else the earliest surviving version dir (the
-    // clone is the branch's first version and stays protected as its
-    // manifest-chain base); an unresolvable base refuses with the remedy
+    // (seq 1) when retained, else the earliest surviving version dir — but
+    // ONLY when that dir is verifiably the clone (its retained commit says
+    // so, or it carries the staged [[CloneMarker]]): once the branch has
+    // rewritten every clone-hosted file, the clone dir itself can be
+    // vacuumed, and an unverified "earliest survivor" may POSTDATE the
+    // clone — diffing against it drops the branch's older removals, so
+    // branch-deleted rows would silently resurrect on the rebased main.
+    // An unresolvable base refuses with the remedy instead.
     val cloneV = branchBase(root, name, conf)
       .orElse(commitLog(bRoot, conf).find(_.seq == 1L).map(_.version))
-      .orElse(versionDirs(bRoot, conf).headOption)
+      .orElse(versionDirs(bRoot, conf).headOption.filter { d =>
+        commitLog(bRoot, conf).find(_.version == d).exists(c =>
+          c.seq == 1L || c.marker.exists(_.startsWith("clone="))) ||
+          new Path(bRoot).getFileSystem(conf)
+            .exists(new Path(new Path(bRoot, d), CloneMarker))
+      })
       .getOrElse(throw new IllegalStateException(
         s"rebase: branch '$name' no longer retains its fork baseline — " +
           "its delta vs the fork cannot be derived; re-branch from main and replay"))
@@ -1406,15 +1504,24 @@ object VersionedTable {
     }
   }
 
-  /** TIMESTAMP AS OF: the newest COMMITTED version whose publish time
-    * (embedded in the version name — monotonic even under clock ties, see
-    * [[versionTimestampMs]]) is at or before `tsMillis`. None when every
-    * retained version is newer — the asked time predates the table or
-    * fell off retention.
+  /** TIMESTAMP AS OF: the HIGHEST-SEQUENCE commit whose publish time
+    * (embedded in the version name, see [[versionTimestampMs]]) is at or
+    * before `tsMillis`. Commit-log sequence — not name order — is the
+    * authoritative history: the two agree on every normally-published
+    * chain (stamps are monotonic, and a rebase re-stamps past the head it
+    * lands on), but a log written before the rebase re-stamp may hold a
+    * commit named older than its parent, and resolving through name order
+    * there would hand "now" a non-head snapshot. None when every retained
+    * commit is newer — the asked time predates the table or fell off
+    * retention.
     */
   def resolveAsOf(root: String, tsMillis: Long,
-      conf: Configuration = new Configuration()): Option[String] =
-    committedVersionDirs(root, conf).takeWhile(versionTimestampMs(_) <= tsMillis).lastOption
+      conf: Configuration = new Configuration()): Option[String] = {
+    val log = commitLog(root, conf) // ascending seq
+    if (log.isEmpty) // legacy pointer-only root: name order is all there is
+      committedVersionDirs(root, conf).takeWhile(versionTimestampMs(_) <= tsMillis).lastOption
+    else log.filter(c => versionTimestampMs(c.version) <= tsMillis).lastOption.map(_.version)
+  }
 
   /** Resolve a version SPEC to a version directory name: a plain version
     * dir name passes through untouched; `tag:<name>` resolves through the

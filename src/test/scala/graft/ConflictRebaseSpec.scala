@@ -240,4 +240,78 @@ class ConflictRebaseSpec extends AnyFunSuite {
       "the losing append never re-staged its data files")
     assert(readRows(root).map(_._1) == ((1L to 10L) ++ Seq(30L, 40L)))
   }
+
+  test("a rebased commit re-stamps PAST the head it lands on; ts: resolves to it") {
+    val root = tmpDir("restamp")
+    twoFileBase(root)
+    val after = armConcurrent(() => append(root, Seq((20L, "t"))))
+    try RefTableMutations.deleteWhere(spark, root, col("id") === 5L)
+    finally disarm()
+    val log = VersionedTable.commitLog(root, conf)
+    assert(log.size == 3, "base, concurrent append, rebased delete")
+    val appendV = log(1).version
+    val rebasedV = log(2).version
+    // the staged delete was stamped BEFORE the concurrent append landed; a
+    // rebase that kept that name would (a) sit below the orphan-sweep
+    // retention floor once keepVersions commits land and (b) break the
+    // name-order/commit-order agreement time travel leans on
+    assert(VersionedTable.versionTimestampMs(rebasedV) >
+      VersionedTable.versionTimestampMs(appendV),
+      s"rebased commit must re-stamp past its new parent ($rebasedV !> $appendV)")
+    assert(VersionedTable.resolveAsOf(root, System.currentTimeMillis() + 1000)
+      .contains(rebasedV), "TIMESTAMP AS OF 'now' must resolve to the rebased head")
+    assert(readRows(root).map(_._1) == ((1L to 10L).filterNot(_ == 5L) :+ 20L))
+  }
+
+  test("a staged dir wiped mid-rebase (sweep race) re-derives — never commits empty") {
+    val root = tmpDir("swept")
+    twoFileBase(root)
+    val r0 = VersionedTable.rebasedCommits.get
+    val after = armConcurrent(() => append(root, Seq((20L, "t"))))
+    // simulate the orphan sweep racing the rebase loop: the staged dir is
+    // deleted and recreated EMPTY right before the existence check — the
+    // pre-fix code would commit a manifest whose delta silently dropped
+    // every surviving row of the rewritten file
+    VersionedTable.onBeforeRebaseCommit = Some { staged =>
+      VersionedTable.onBeforeRebaseCommit = None
+      val p = new org.apache.hadoop.fs.Path(staged)
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+      fs.mkdirs(p)
+    }
+    try RefTableMutations.deleteWhere(spark, root, col("id") === 5L)
+    finally { disarm(); VersionedTable.onBeforeRebaseCommit = None }
+    assert(VersionedTable.rebasedCommits.get == r0,
+      "the wiped staging must NOT land as a rebased commit")
+    assert(VersionedTable.populateRuns.get > after(),
+      "the mutation must fall back to a full re-derive")
+    assert(readRows(root).map(_._1) == ((1L to 10L).filterNot(_ == 5L) :+ 20L),
+      "no rows lost: re-derive replays the delete on the appended head")
+  }
+
+  test("resolveAsOf follows commit-log sequence, not name order (legacy logs)") {
+    // fabricate the state a pre-re-stamp rebase left behind: seq 2's
+    // version NAME is stamped OLDER than seq 1's. Name-order resolution
+    // hands 'now' the seq-1 snapshot; sequence order must win.
+    val root = tmpDir("asof_seq")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val older = f"v${1000L}%019d" + "_aaaaaaaa"
+    val newer = f"v${2000L}%019d" + "_bbbbbbbb"
+    Seq(newer, older).foreach { v =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, v))
+    }
+    def writeCommit(seq: Long, version: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, VersionedTable.CommitsDir), f"$seq%020d"), true)
+      try out.write(s"$version\n\n".getBytes("UTF-8")) finally out.close()
+    }
+    writeCommit(1L, newer) // seq 1 carries the NEWER-named dir
+    writeCommit(2L, older) // seq 2 (the real head) carries the OLDER name
+    assert(VersionedTable.resolveAsOf(root, 5000L).contains(older),
+      "ts: at 'now' must resolve to the max-seq commit, not the max-named dir")
+    assert(VersionedTable.resolveAsOf(root, 1500L).contains(older),
+      "ts: between the stamps resolves the only commit stamped at-or-before")
+    assert(VersionedTable.resolveAsOf(root, 500L).isEmpty,
+      "ts: before every stamp predates the table")
+  }
 }

@@ -598,6 +598,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == got.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("mixCorpus refuses reserved-name input columns instead of clobbering them") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L, 7L)).toDF("id", "dom", "nt", "rate_ppm")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Curation.mixCorpus(
+        df, "id", "dom", "nt", Map("a" -> 1.0), budgetTokens = 100L)
+    }
+    assert(e.getMessage.contains("rate_ppm"), s"names the clash: ${e.getMessage}")
+    // `epoch` is reserved only in upsample mode (it is not written otherwise)
+    val withEpoch = Seq((1L, "a", 10L, 3L)).toDF("id", "dom", "nt", "epoch")
+    assert(graft.operators.Curation.mixCorpus(
+      withEpoch, "id", "dom", "nt", Map("a" -> 1.0), budgetTokens = 100L)
+      .columns.count(_ == "epoch") == 1, "downsample mode leaves input epoch alone")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Curation.mixCorpus(
+        withEpoch, "id", "dom", "nt", Map("a" -> 1.0), budgetTokens = 100L,
+        upsample = true)
+    }
+    assert(e2.getMessage.contains("epoch"))
+  }
+
   test("temperatureMix flattens toward uniform as alpha drops; byte-stable") {
     import spark.implicits._
     // big domain 100k tokens, small domain 1k: natural share 100:1.
@@ -697,6 +718,35 @@ class OperatorsSpec extends AnyFunSuite {
       (1, "a", "a", "aa", 6L),
       (2, "a", "b", "ab", 5L),
       (3, "aa", "ab", "aaab", 3L)), got.toString)
+  }
+
+  test("bpeEncodeIds: sequences follow vocab convention, order, and bpeEncode counts") {
+    import spark.implicits._
+    // same corpus as the bpeTrain test; merges: aa, ab, aaab
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab"), (3L, "ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = graft.operators.TextAnalysis
+      .bpeEncodeIds(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getLong(2))).toSeq
+      .sortBy(_._1)
+    // vocab: base chars a=0, b=1; merges aa=2, ab=3, aaab=4
+    assert(got == Seq(
+      (1L, Seq(4, 4), 2L),   // "aaab aaab" -> [aaab][aaab]
+      (2L, Seq(4, 3), 2L),   // "aaab ab"   -> [aaab][ab]
+      (3L, Seq(3), 1L)),     // "ab"        -> [ab]
+      got.toString)
+    // counts agree with bpeEncode on a messier corpus (multi-word docs,
+    // unmerged leftovers, ordering via the pos-sorted reassembly)
+    val docs2 = Seq((1L, "banana bandana"), (2L, "an apple a day"), (3L, "nab ban"))
+      .toDF("doc_id", "text")
+    val m2 = graft.operators.TextAnalysis.bpeTrain(docs2, "text", nMerges = 4)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaIds = graft.operators.TextAnalysis.bpeEncodeIds(docs2, "doc_id", "text", m2)
+      .select(col("doc_id"), col("n_bpe")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCounts = graft.operators.TextAnalysis.bpeEncode(docs2, "doc_id", "text", m2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIds == viaCounts, s"id-sequence lengths must equal bpeEncode counts: $viaIds vs $viaCounts")
   }
 
   test("gopherRules: a column name needing backtick quoting works (no raw SQL interpolation)") {

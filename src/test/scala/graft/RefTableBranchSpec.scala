@@ -371,4 +371,115 @@ class RefTableBranchSpec extends AnyFunSuite {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Rewrite a branch's _FORK marker WITHOUT its "base" field — the state
+    * every pre-round-16 branch is in (legacy discovery path).
+    */
+  private def stripForkBase(root: String, b: String): Unit = {
+    val fork = VersionedTable.branchFork(root, b, conf).get
+    val p = hPath(VersionedTable.branchRoot(root, b) + "/_FORK")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(s"""{"version":"$fork","created":0}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Delete the branch's seq-1 (clone) commit record — what log retention
+    * does once keepVersions branch commits have landed.
+    */
+  private def expireCloneCommit(bRoot: String): Unit = {
+    val dir = hPath(bRoot + "/" + VersionedTable.CommitsDir)
+    val fs = dir.getFileSystem(conf)
+    val min = fs.listStatus(dir).map(_.getPath).minBy(_.getName)
+    fs.delete(min, false)
+  }
+
+  test("stale marker from a CONCURRENT promote: fastForward lands the missed commits") {
+    import spark.implicits._
+    val root = tmp("concheal")
+    VersionedTable.publish((1L to 5L).map(i => (i, i)).toDF("id", "v"), root)
+    val fork = VersionedTable.createBranch(root, "dev")
+    Seq((6L, 6L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    // the concurrent caller's promote lands without the fork re-point...
+    VersionedTable.promote(
+      VersionedTable.branchRoot(root, "dev"), root, expectedBase = Some(fork))
+    // ...and the branch advances PAST it before our fastForward runs
+    Seq((7L, 7L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    // pre-fix: the heal returned the concurrent promote as "success",
+    // silently leaving id=7 unpromoted and the rebase baseline stale
+    val promoted = VersionedTable.fastForward(root, "dev")
+    assert(readMain(root).orderBy("id").collect().map(_.getLong(0)).toSeq == (1L to 7L),
+      "fastForward must land the branch commits the concurrent promote missed")
+    assert(VersionedTable.branchFork(root, "dev", conf).contains(promoted))
+    // and when the landed promote already IS the branch head's content,
+    // the heal returns it AND records the baseline (no duplicate publish)
+    val fork2 = VersionedTable.branchFork(root, "dev", conf).get
+    Seq((8L, 8L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    val landed = VersionedTable.promote(
+      VersionedTable.branchRoot(root, "dev"), root, expectedBase = Some(fork2))
+    val healed = VersionedTable.fastForward(root, "dev")
+    assert(healed == landed, "content-equal heal returns the landed promote")
+    assert(VersionedTable.lastCommit(root, conf).exists(_.version == landed),
+      "no duplicate promote published")
+    assert(VersionedTable.branchBase(root, "dev", conf).nonEmpty,
+      "content-equal heal records the rebase baseline")
+  }
+
+  test("rebaseBranch legacy fallback accepts the clone dir via its _CLONE marker") {
+    import spark.implicits._
+    val root = tmp("cloneok")
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")), root)
+    VersionedTable.createBranch(root, "dev")
+    val bRoot = VersionedTable.branchRoot(root, "dev")
+    RefTableMutations.deleteWhere(spark, bRoot, col("id") <= 3L)
+    Seq((21L, 21L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .option("branch", "dev").mode("append").save()
+    Seq((100L, 100L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("append").save() // main moves
+    // legacy state: no recorded base, clone commit record expired — but the
+    // clone DIR survives, and its staged _CLONE marker proves what it is
+    stripForkBase(root, "dev")
+    expireCloneCommit(bRoot)
+    val promoted = VersionedTable.rebaseBranch(root, "dev")
+    assert(readMain(root).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      ((4L to 21L) :+ 100L), "verified-clone fallback rebases correctly")
+    assert(VersionedTable.resolve(root, conf).exists(_.endsWith(promoted)))
+  }
+
+  test("rebaseBranch REFUSES an unverifiable baseline instead of resurrecting rows") {
+    import spark.implicits._
+    val root = tmp("clonegone")
+    VersionedTable.publish(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")), root)
+    VersionedTable.createBranch(root, "dev")
+    val bRoot = VersionedTable.branchRoot(root, "dev")
+    val cloneDir = VersionedTable.versionDirs(bRoot, conf).head
+    // the branch rewrites EVERYTHING (no file of the clone survives), so
+    // the clone dir is vacuum-collectable once its commit record expires
+    VersionedTable.publish((50L to 60L).map(i => (i, i)).toDF("id", "v"), bRoot)
+    Seq((100L, 100L)).toDF("id", "v")
+      .write.format("reftable").option("path", root).option("schema", ddl)
+      .mode("append").save() // main moves
+    stripForkBase(root, "dev")
+    expireCloneCommit(bRoot)
+    hPath(bRoot + "/" + cloneDir).getFileSystem(conf)
+      .delete(hPath(bRoot + "/" + cloneDir), true) // vacuumed clone
+    // the earliest SURVIVING dir postdates the clone: diffing against it
+    // would drop the branch's older removals and resurrect deleted rows on
+    // main — the only safe answer is the loud re-branch remedy
+    val e = intercept[IllegalStateException] { VersionedTable.rebaseBranch(root, "dev") }
+    assert(e.getMessage.contains("re-branch from main and replay"))
+    assert(readMain(root).count() == 21, "main untouched by the refused rebase")
+  }
 }
