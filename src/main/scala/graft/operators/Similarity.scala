@@ -171,11 +171,22 @@ object Similarity {
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cv"))
+    clusterDedupWith(corpus, idCol, vecCol, threshold, seeds)
+  }
+
+  /** [[clusterDedup]] over a CALLER-SUPPLIED codebook — the production
+    * SemDeDup path: pass [[trainKMeansPortable]]'s (or [[trainKMeans]]'s)
+    * centroids and the verify/survivor semantics are identical to the
+    * seeded form; only the bucketing quality changes.
+    */
+  def clusterDedupWith(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroids: DataFrame): DataFrame = {
     // materialize the assignment ONCE (a narrow O(n·k) pass) and join both
     // pair sides off it — halves the assignment work, and the truncated
     // lineage sidesteps Spark's Union constraint-rewrite tripping on a
     // self-joined union plan (key-not-found on the union child's attrs)
-    val assigned = assignCells(corpus, seeds, idCol, vecCol).localCheckpoint()
+    val assigned = assignCells(corpus, centroids, idCol, vecCol).localCheckpoint()
     def side(prefix: String) = assigned.select(
       col(idCol).as(s"${prefix}_id"), col("cell"), col(vecCol).as(s"__v$prefix"))
     val pairs = side("a").join(side("b"), Seq("cell"))
@@ -280,6 +291,39 @@ object Similarity {
       cent = assigned
         .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+    }
+    cent
+  }
+
+  /** CROSS-ENGINE-PORTABLE k-means: [[trainKMeans]] with the centroid
+    * update made bit-reproducible, so a DuckDB oracle can replay training
+    * exactly and dedup-over-a-trained-codebook becomes hash-verifiable.
+    * Assignment is already portable (the r6-rounded cosine argmax of
+    * [[assignCells]], ties to the lower cid); the non-portable piece is
+    * the mean — float summation is order-sensitive, and Spark's combine
+    * order is not DuckDB's. Here each component quantizes to an integer
+    * (`round(x · 2^20)` as BIGINT — exact, associative, order-free sums),
+    * and the centroid component is `sum / (count · 2^20)` evaluated in
+    * exactly two correctly-rounded double ops, identical in any IEEE-754
+    * engine. The ~1e-6 quantization is far below any clustering-relevant
+    * signal; same narrow scale shape as [[trainKMeans]] (the corpus never
+    * shuffles; only k centroids reach the driver per iteration).
+    */
+  def trainKMeansPortable(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 2): DataFrame = {
+    var cent = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(corpus, cent, idCol, vecCol)
+        .select(col("cell").as("cid"), col(vecCol))
+      cent = assigned
+        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("x") * lit(1048576.0), 0).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1048576.0))).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
     }

@@ -151,6 +151,71 @@ object SimilarityOps {
          |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
          |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
 
+    // TRAINED-CODEBOOK SemDeDup (round 17): the production path — a
+    // k-means codebook at corpus-scaled k (max(16, n/64)) trained with the
+    // PORTABLE update (integer-quantized order-free sums, two correctly-
+    // rounded double ops per component), then cluster-scoped dedup over
+    // the trained cells. The oracle replays BOTH Lloyd iterations and the
+    // final assignment bit-exactly in DuckDB, so the hash proves training,
+    // bucketing and survivor selection end-to-end — the q211 seed-cell
+    // stand-in upgraded to real trained centroids.
+    QueryDef("q215_trained_semdedup", (s, dir) => {
+      val corpus = plantedNearDupCorpus(s, dir)
+      val k = math.max(16L, corpus.count() / 64).toInt
+      val cents = graft.operators.Similarity
+        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2)
+      graft.operators.Similarity
+        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents)
+        .select("vec_id").orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v FROM base),
+         |c AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |cent0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id
+         |  LIMIT (SELECT CAST(GREATEST(16, count(*) // 64) AS BIGINT) FROM c)),
+         |a1 AS MATERIALIZED (
+         |  SELECT cid, v FROM (
+         |    SELECT s.cid, c.v, row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckCos("c.v", "s.cv")} DESC NULLS LAST, s.cid) AS rn
+         |    FROM c, cent0 s) WHERE rn = 1),
+         |cent1 AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cid, u.p AS pos,
+         |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |        / (COUNT(*) * 1048576.0) AS m
+         |    FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+         |      p -> {'p': p, 'x': v[p]})) AS u FROM a1)
+         |    GROUP BY cid, u.p) GROUP BY cid),
+         |a2 AS MATERIALIZED (
+         |  SELECT cid, v FROM (
+         |    SELECT s.cid, c.v, row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckCos("c.v", "s.cv")} DESC NULLS LAST, s.cid) AS rn
+         |    FROM c, cent1 s) WHERE rn = 1),
+         |cent2 AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cid, u.p AS pos,
+         |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |        / (COUNT(*) * 1048576.0) AS m
+         |    FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+         |      p -> {'p': p, 'x': v[p]})) AS u FROM a2)
+         |    GROUP BY cid, u.p) GROUP BY cid),
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT c.vec_id, c.v, s.cid AS cell, row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckCos("c.v", "s.cv")} DESC NULLS LAST, s.cid) AS rn
+         |    FROM c, cent2 s) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id a_id, b.vec_id b_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim),
+         |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(u, label) AS (
+         |  SELECT vec_id, vec_id FROM c
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+         |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
+         |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q44_vector_stats", (s, dir) => {
       val ad = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))

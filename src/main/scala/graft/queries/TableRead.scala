@@ -364,6 +364,40 @@ object TableRead {
         |WHERE 'ord_' || CAST(o_orderkey AS VARCHAR) IN
         |  ('ord_7', 'ord_1284', 'ord_does_not_exist')""".stripMargin)),
 
+    // String range/prefix skipping via TRUNCATED bounds (round 17): a
+    // high-cardinality URL-shaped key — the commonest LLM-corpus key —
+    // clustered and then filtered by range + prefix. Categorical sets
+    // refuse unbounded domains and Blooms only answer points; the
+    // truncate-16 enclosing bounds close exactly this gap. The oracle
+    // proves values over the same derived key; RefTableStatsSpec proves
+    // the file-skip counts and the never-wrongly-skips property.
+    QueryDef("q214_string_range_skip", (s, dir) => {
+      val root = RelationalSupport.scratchDir(s, dir, "q214_str")
+      graft.sources.reftable.VersionedTable.publishClustered(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example/"), col("lang"),
+            lit("/doc-"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+          col("n_chars")),
+        root, Seq("url"), numFiles = 8)
+      s.read.format("reftable").option("path", root)
+        .option("schema", "doc_id BIGINT, url STRING, n_chars BIGINT")
+        .load()
+        .filter((col("url") >= "https://src2" && col("url") < "https://src4") ||
+          col("url").startsWith("https://src7"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+    }, Some(
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  'https://' || source || '.example/' || lang || '/doc-' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+        |  FROM documents)
+        |SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS lo, max(doc_id) AS hi
+        |FROM u
+        |WHERE (url >= 'https://src2' AND url < 'https://src4')
+        |   OR url LIKE 'https://src7%'""".stripMargin)),
+
     // Z-order layout: orders published Morton-clustered on (o_custkey,
     // o_totalprice), read back under a box filter on BOTH dimensions. The
     // oracle proves values; RefTableStatsSpec proves a lexicographic

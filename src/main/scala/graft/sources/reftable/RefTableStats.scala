@@ -38,13 +38,22 @@ import org.apache.spark.sql.types._
   * that file; a missing or unreadable manifest disables skipping entirely —
   * the layer can only ever remove provably-non-matching files.
   *
-  * Only types whose footer statistics are exact and losslessly ordered
-  * participate: int/long/short/byte, float/double, boolean, date, and
-  * timestamp stored as INT64 micros/nanos (exact integers; the rebase
-  * caveat applies only to INT96/legacy files). Strings are excluded
-  * (writers may truncate binary stats) and decimals are excluded
-  * (representation subtleties) — filters over those columns simply don't
-  * skip. Float/double bounds are sanitized
+  * Types whose footer statistics are exact and losslessly ordered
+  * participate directly: int/long/short/byte, float/double, boolean,
+  * date, and timestamp stored as INT64 micros/nanos (exact integers; the
+  * rebase caveat applies only to INT96/legacy files). UTF8 STRINGS
+  * participate with TRUNCATED bounds (round 17): the manifest stores
+  * Iceberg-style truncate-16 enclosing bounds — min's 16-code-point
+  * prefix, max's prefix with the last code point incremented — which is
+  * sound because the evaluator needs enclosure, not exactness (footer
+  * binary bounds are themselves enclosing: the format requires truncating
+  * writers to round max up, and parquet-mr drops ambiguous legacy binary
+  * stats at read time). That closes range and prefix (`LIKE 'p%'`)
+  * skipping over high-cardinality string keys (URLs, domains), which
+  * Bloom filters (point-only) and categorical sets (≤ maxDistinct) never
+  * covered. Decimals remain excluded (representation subtleties) —
+  * filters over those columns simply don't skip. Float/double bounds are
+  * sanitized
   * at write time: a NaN bound drops the column (parquet-mr's Double.compare
   * ordering lets NaN reach max, and SQL NaN-ordering would make pruning on
   * it wrong) and zero bounds are widened to [-0.0, +0.0] (SQL treats them
@@ -213,6 +222,7 @@ object RefTableStats {
       case b: java.lang.Boolean => o.put(k, b.booleanValue())
       case f: java.lang.Float   => o.put(k, f.doubleValue())
       case d: java.lang.Double  => o.put(k, d.doubleValue())
+      case s: String            => o.put(k, s)
       case n: Number            => o.put(k, n.longValue())
       case other => throw new IllegalStateException(s"reftable stats: unexpected bound $other")
     }
@@ -240,8 +250,70 @@ object RefTableStats {
             t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
         case _ => false
       }
+      // UTF8 strings participate with TRUNCATED bounds (Iceberg's
+      // truncate(16) shape, see truncatedStringBounds): footer min/max for
+      // BINARY are trustworthy ENCLOSING bounds — the format requires a
+      // truncating writer to round max_value up, parquet-mr's reader drops
+      // ambiguous legacy binary stats — and the evaluator only needs
+      // enclosure, not exactness (a widened bracket can only over-claim
+      // possibility, which keeps a file, never skips one wrongly)
+      case BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+        case _ => false
+      }
       case _ => false
     }
+  }
+
+  /** Code-point length cap for stored string bounds. 16 matches Iceberg's
+    * default `write.metadata.metrics` truncation: long URL/domain keys — the
+    * common high-cardinality LLM-corpus keys — prune on their leading
+    * characters without the manifest carrying megabyte values.
+    */
+  private[graft] val StringBoundCp = 16
+
+  /** [lo, hi] enclosing bounds from a file's exact string (min, max):
+    * `lo` = the first [[StringBoundCp]] code points of min (a prefix is
+    * ≤ the original in UTF-8 byte order), `hi` = max itself when short
+    * enough, else its truncated prefix with the last code point
+    * incremented (the next string ABOVE everything sharing the prefix —
+    * skipping the surrogate gap, which UTF-8 cannot encode). None when no
+    * code point of the prefix can increment (all U+10FFFF — practically
+    * unreachable): a one-sided bound has no manifest slot, so the column
+    * simply keeps no entry and never skips.
+    */
+  private[graft] def truncatedStringBounds(mn: String, mx: String): Option[(String, String)] = {
+    def truncCp(s: String): String = {
+      var i = 0
+      var cps = 0
+      while (i < s.length && cps < StringBoundCp) {
+        i += Character.charCount(s.codePointAt(i)); cps += 1
+      }
+      s.substring(0, i)
+    }
+    val lo = truncCp(mn)
+    val hiTrunc = truncCp(mx)
+    val hi = if (hiTrunc.length == mx.length) Some(mx) else incrementLastCp(hiTrunc)
+    hi.map(h => (lo, h))
+  }
+
+  /** The next string after every string prefixed by `s`: increment the
+    * last incrementable code point, drop everything after it. None when
+    * nothing can increment.
+    */
+  private[graft] def incrementLastCp(s: String): Option[String] = {
+    var i = s.length
+    while (i > 0) {
+      val cp = s.codePointBefore(i)
+      val start = i - Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        var next = cp + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000 // unencodable gap
+        return Some(s.substring(0, start) + new String(Character.toChars(next)))
+      }
+      i = start
+    }
+    None
   }
 
   /** (rowCount, column → (min, max, nulls)) from one file's footer. A
@@ -275,7 +347,17 @@ object RefTableStats {
             val nulls =
               if (stats.forall(_._2.isNumNullsSet)) stats.map(_._2.getNumNulls).sum else -1L
             if (bounds.isEmpty) Some(name -> (null, null, nulls)) // all-null column
-            else {
+            else if (bounds.head._1.isInstanceOf[org.apache.parquet.io.api.Binary]) {
+              // strings: pick min/max across row groups in UTF-8 byte
+              // order (JVM String order diverges on supplementary chars),
+              // then store the truncated enclosing bounds
+              def u(v: Any) = org.apache.spark.unsafe.types.UTF8String
+                .fromBytes(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+              val mn = bounds.map(_._1).minBy(u).asInstanceOf[org.apache.parquet.io.api.Binary]
+              val mx = bounds.map(_._2).maxBy(u).asInstanceOf[org.apache.parquet.io.api.Binary]
+              truncatedStringBounds(mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                .map { case (lo, hi) => name -> ((lo: Any, hi: Any, nulls)) }
+            } else {
               val mn = bounds.map(_._1).minBy(comparableKey)
               val mx = bounds.map(_._2).maxBy(comparableKey)
               sanitize(mn, mx).map { case (lo, hi) => name -> (lo, hi, nulls) }
@@ -1040,7 +1122,28 @@ object RefTableStats {
           or(acc, rangeCmp(v, field.dataType, cs.get, fstats) { (lo, hi) =>
             (lo <= 0 && hi >= 0, !(lo == 0 && hi == 0)) })
         }
-      case _ => Unknown // string predicates and anything unrecognized
+      // prefix pruning over string bounds: rows with prefix p form the
+      // interval [p, next(p)) where next(p) increments p's last code
+      // point. TRUE impossible when hi < p (every row below the prefix
+      // range) or lo >= next(p) (every row above it); FALSE impossible
+      // when lo >= p AND hi < next(p) (bounds prove every row carries the
+      // prefix — sound under truncation because lo ≤ min and hi ≥ max).
+      case StringStartsWith(_, p) if field.dataType == StringType && p != null =>
+        val csv = cs.get
+        val below = rangeCmp(p, StringType, csv, fstats) { (_, hi) => (hi >= 0, true) }
+        incrementLastCp(p) match {
+          case Some(np) =>
+            val above = rangeCmp(np, StringType, csv, fstats) { (lo, _) => (lo < 0, true) }
+            val allIn = rangeCmp(p, StringType, csv, fstats) { (lo, _) => (lo >= 0, true) }.t &&
+              rangeCmp(np, StringType, csv, fstats) { (_, hi) => (hi < 0, true) }.t
+            (below, above) match {
+              case (Unknown, _) | (_, Unknown) => Unknown
+              case _ => Tri(below.t && above.t, !allIn, csv.nulls != 0L)
+            }
+          case None => // un-incrementable prefix: only the lower side prunes
+            if (below == Unknown) Unknown else Tri(below.t, f = true, csv.nulls != 0L)
+        }
+      case _ => Unknown // anything unrecognized
     }
   }
 
@@ -1171,6 +1274,23 @@ object RefTableStats {
           instantMicros(l.toInstant(java.time.ZoneOffset.UTC))))
       case _ => None
     }
-    case _ => None // strings/decimals never statted; schema drift lands here too
+    // string bounds are TRUNCATED (enclosing, not exact — see
+    // truncatedStringBounds); every pick() consumer stays sound under
+    // widened bounds because each one-sided claim only needs enclosure:
+    // a wider bracket can only add claimed-possible outcomes (file kept),
+    // and the lone exactness claim (lo==0 && hi==0 ⇒ every row == v)
+    // still holds — lo' = v = hi' with lo' ≤ min ≤ max ≤ hi' forces
+    // min = max = v. Comparison in UTF-8 byte order (Spark's string
+    // order); JVM String.compareTo is UTF-16 and diverges on
+    // supplementary characters.
+    case StringType =>
+      val bound = org.apache.spark.unsafe.types.UTF8String.fromString(node.asText())
+      v match {
+        case s: String =>
+          Some(bound.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(bound.compareTo(u))
+        case _ => None
+      }
+    case _ => None // decimals never statted; schema drift lands here too
   }
 }

@@ -387,6 +387,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfpqRecall >= 0.5, s"IVF-PQ recall $ivfpqRecall too low")
   }
 
+  test("trainKMeansPortable: byte-stable across partitionings; codebook dedup composes") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c1 = Similarity.trainKMeansPortable(e, "vec_id", "v", k = 8, iterations = 2)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val c2 = Similarity.trainKMeansPortable(e.repartition(13), "vec_id", "v", k = 8, iterations = 2)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(c1 == c2, "integer-quantized means must be bit-identical under any partitioning")
+    assert(c1.nonEmpty && c1.size <= 8)
+    // clusterDedupWith over the SEED codebook equals plain clusterDedup at
+    // the same k (the refactor preserves the seeded form exactly)
+    val seeds = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+    val a = Similarity.clusterDedup(e, "vec_id", "v", 0.95, kSeeds = 8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Similarity.clusterDedupWith(e, "vec_id", "v", 0.95, seeds)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)

@@ -67,9 +67,90 @@ class RefTableStatsSpec extends AnyFunSuite {
     // date bounds are epoch days
     assert(fileStats.cols("d").min.get.asLong ==
       java.sql.Date.valueOf("2024-01-03").toLocalDate.toEpochDay)
-    assert(!fileStats.cols.contains("s"), "string stats are truncatable — must not be recorded")
+    // strings are recorded since round 17 (truncated enclosing bounds);
+    // short values pass through exact
+    val sCol = fileStats.cols("s")
+    assert(sCol.min.get.asText == "aa" && sCol.max.get.asText == "zz" && sCol.nulls == 0L)
     val maybe = fileStats.cols("maybe")
     assert(maybe.nulls == 2L && maybe.min.get.asLong == 7L)
+  }
+
+  test("truncatedStringBounds: prefix lower, incremented upper, code-point safe") {
+    import RefTableStats.{incrementLastCp, truncatedStringBounds}
+    // short strings pass through exact
+    assert(truncatedStringBounds("aa", "zz") == Some(("aa", "zz")))
+    // long max: 16-cp truncation, last code point incremented
+    val got = truncatedStringBounds("a" * 20, "a" * 20).get
+    assert(got._1 == "a" * 16 && got._2 == "a" * 15 + "b")
+    // surrogate gap skipped: U+D7FF + 1 → U+E000 (UTF-8 cannot encode the gap)
+    assert(incrementLastCp("x퟿") == Some("x"))
+    // supplementary characters count as ONE code point (no surrogate split)
+    val emoji = "😀" * 20
+    val b = truncatedStringBounds(emoji, emoji).get
+    assert(b._1 == "😀" * 16)
+    assert(b._2 == "😀" * 15 + new String(Character.toChars(0x1F601)))
+    // an un-incrementable tail walks left; all-U+10FFFF cannot bound at all
+    val top = new String(Character.toChars(0x10FFFF))
+    assert(incrementLastCp("a" + top) == Some("b"))
+    assert(incrementLastCp(top) == None)
+    // bound validity: lo <= original <= hi in UTF-8 byte order
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    for ((mn, mx) <- Seq(("a" * 30 + "q", "a" * 30 + "z"), (emoji + "tail", emoji + "zz"),
+        ("short", "x" * 40))) {
+      val (lo, hi) = truncatedStringBounds(mn, mx).get
+      assert(u(lo).compareTo(u(mn)) <= 0, s"lo '$lo' !<= min '$mn'")
+      assert(u(hi).compareTo(u(mx)) >= 0, s"hi '$hi' !>= max '$mx'")
+    }
+  }
+
+  test("string truncated bounds: range, prefix and point predicates skip, never wrongly") {
+    import spark.implicits._
+    val root = tmpDir("strbounds")
+    // url-like high-cardinality key sharing a long common prefix, so the
+    // 16-code-point truncation genuinely engages (discrimination at cp 8)
+    val rows = (0 until 400).map { i =>
+      val dom = ('a' + i / 50).toChar // 8 domains a..h -> 8 clustered files
+      (i.toLong, s"https://$dom-site.example/very/long/path/resource-$i")
+    }
+    VersionedTable.publishClustered(rows.toDF("id", "url"), root, Seq("url"), numFiles = 8)
+    val o = opts("path" -> root, "schema" -> "id BIGINT, url STRING")
+    val all = SnapshotFiles.pruned(o, Nil)
+    assert(all.size == 8)
+    val ranged = SnapshotFiles.pruned(o, Seq(And(
+      GreaterThanOrEqual("url", "https://c"), LessThan("url", "https://e"))))
+    assert(ranged.size <= 3, s"range over the key must plan a fraction of 8, got ${ranged.size}")
+    val prefixed = SnapshotFiles.pruned(o, Seq(StringStartsWith("url", "https://g-site")))
+    assert(prefixed.size <= 2, s"prefix predicate must prune, got ${prefixed.size}")
+    val point = SnapshotFiles.pruned(o,
+      Seq(EqualTo("url", "https://a-site.example/very/long/path/resource-3")))
+    assert(point.size <= 2, s"point lookup must prune via bounds, got ${point.size}")
+    // equivalence: skipping on/off returns identical rows through the source
+    def read(skip: Boolean) = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, url STRING")
+      .option("statsPruning", skip.toString).load()
+    val preds: Seq[Column] = Seq(
+      col("url") >= "https://c" && col("url") < "https://e",
+      col("url").startsWith("https://g-site"),
+      col("url") === "https://a-site.example/very/long/path/resource-3",
+      !col("url").startsWith("https://b"),
+      col("url") > "https://h-site.example/very/long/path/resource-399")
+    for (p <- preds) {
+      val on = read(skip = true).filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val off = read(skip = false).filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(on == off, s"skip-on differs from skip-off under $p")
+    }
+    // values equal THROUGH the truncation point must never skip their file:
+    // keys differ only after cp 16, so every file's truncated bounds look
+    // identical on the first 16 cps — equality inside must keep the file
+    val root2 = tmpDir("strbounds_deep")
+    val deep = (0 until 200).map(i => (i.toLong, f"prefix-0123456789-$i%03d"))
+    VersionedTable.publishClustered(deep.toDF("id", "url"), root2, Seq("url"), numFiles = 4)
+    val o2 = opts("path" -> root2, "schema" -> "id BIGINT, url STRING")
+    val hit = spark.read.format("reftable")
+      .option("path", root2).option("schema", "id BIGINT, url STRING").load()
+      .filter(col("url") === "prefix-0123456789-117").select("id").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(117L),
+      "truncation-blind equality must still find its row")
   }
 
   test("clustered publish skips files a range filter cannot match, result-identically") {
@@ -357,9 +438,14 @@ class RefTableStatsSpec extends AnyFunSuite {
     assert(planned(In("seg", Array[Any]("seg0", "seg4"))) < all)
     assert(planned(StringStartsWith("seg", "seg1")) < all)
     assert(planned(EqualTo("seg", "nonexistent")) == 0)
-    // a high-cardinality column never gets sets and never skips
+    // a high-cardinality column never gets a VALUE SET: an in-range probe
+    // keeps every file (no set, no bloom — only the round-17 truncated
+    // bounds, which cannot exclude a value inside [min, max])
     RefTableStats.augmentCategorical(spark, resolved, Seq("payload"), maxDistinct = 16)
-    assert(planned(EqualTo("payload", "nope")) == all)
+    assert(planned(EqualTo("payload", "payload501")) == all)
+    // ...but a probe OUTSIDE every file's range now prunes via the
+    // truncated string bounds (round 17) even without a set
+    assert(planned(EqualTo("payload", "nope")) == 0)
     // and results are identical with skipping on and off, nulls included
     def rows(skip: Boolean, cond: org.apache.spark.sql.Column) = spark.read
       .format("reftable").option("path", root)
