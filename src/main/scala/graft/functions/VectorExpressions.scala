@@ -277,6 +277,125 @@ case class NearestCentroid(child: Expression, cids: Array[Long], cents: Array[Ar
     copy(child = newChild)
 }
 
+/** TWO-LEVEL nearest-centroid: pick the best SUPER-centroid (g cosines),
+  * then the best centroid among that super's CHILDREN (k/g expected) —
+  * O(√k) work per row against a corpus-scaled codebook, where the flat
+  * [[NearestCentroid]] pays O(k). Same reference-object shape: O(1) plan
+  * size at any k, one compiled kernel, still a narrow projection.
+  *
+  * Each level reuses the flat argmax semantics exactly (round-6 cosine,
+  * Spark double ordering with NaN greatest, strict `>` in ascending-id
+  * scan order → ties to the lowest id; length-mismatched centroids never
+  * win). A row with no winning super (null/empty vector) takes the first
+  * super; no winning child takes that super's first child with null sim —
+  * the two-level analogue of the flat fallback, replayed as
+  * `DESC NULLS LAST, id` argmaxes by the q216 oracle.
+  *
+  * `sids`/`supers` sorted ascending by sid; `childCids(i)`/`childCents(i)`
+  * are super i's children sorted ascending by cid. Every super must have
+  * at least one child (the caller excludes childless supers — their cells
+  * would be empty by construction).
+  */
+case class HierarchicalNearestCentroid(
+    child: Expression,
+    sids: Array[Long], supers: Array[Array[Double]],
+    childCids: Array[Array[Long]], childCents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(sids.nonEmpty && sids.length == supers.length &&
+    sids.length == childCids.length && sids.length == childCents.length,
+    "empty or misaligned hierarchical codebook")
+  require(childCids.forall(_.nonEmpty), "every super needs at least one child")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hierarchical_nearest_centroid expects array<float|double>, got $t")
+  }
+
+  private lazy val fromFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def normsOf(cs: Array[Array[Double]]): Array[Double] = cs.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+  @transient private lazy val superNorms: Array[Double] = normsOf(supers)
+  @transient private lazy val childNorms: Array[Array[Double]] = childCents.map(normsOf)
+
+  private def sparkGt(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b
+
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The kernel, shared by interpreted eval and generated code. */
+  def nearest(input: ArrayData): InternalRow = {
+    if (input == null) return InternalRow(childCids(0)(0), null)
+    val n = input.numElements()
+    val v = new Array[Double](n)
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fromFloat) input.getFloat(i).toDouble else input.getDouble(i)
+      v(i) = x; nv += x * x; i += 1
+    }
+    val vnorm = math.sqrt(nv)
+    def argmax(ids: Array[Long], cs: Array[Array[Double]], ns: Array[Double]): (Int, Double, Boolean) = {
+      var bestIdx = -1
+      var bestSim = -2.0
+      var found = false
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        if (cv.length == n) {
+          var dot = 0.0
+          var d = 0
+          while (d < n) { dot += v(d) * cv(d); d += 1 }
+          val s = round6(dot / (vnorm * ns(c)))
+          if (sparkGt(s, bestSim)) { bestSim = s; bestIdx = c; found = true }
+        }
+        c += 1
+      }
+      (bestIdx, bestSim, found)
+    }
+    val (si0, _, sFound) = argmax(sids, supers, superNorms)
+    val si = if (sFound) si0 else 0
+    val (ci, sim, cFound) = argmax(childCids(si), childCents(si), childNorms(si))
+    if (cFound) InternalRow(childCids(si)(ci), sim)
+    else InternalRow(childCids(si)(0), null)
+  }
+
+  override def eval(input: InternalRow): Any =
+    nearest(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hierNearestCentroid", this,
+      classOf[HierarchicalNearestCentroid].getName)
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = $ref.nearest(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSim(a: Column, b: Column): Column =
@@ -287,6 +406,22 @@ object VectorFunctions {
     val sorted = codebook.sortBy(_._1)
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
       sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  /** Column API for [[HierarchicalNearestCentroid]]: `groups` maps each
+    * super (sid, super-centroid) to its non-empty children; sorted
+    * ascending at both levels here.
+    */
+  def hierarchicalNearestCentroid(
+      v: Column,
+      groups: Seq[((Long, Array[Double]), Seq[(Long, Array[Double])])]): Column = {
+    val sorted = groups.sortBy(_._1._1).map { case (s, kids) => (s, kids.sortBy(_._1)) }
+    ColumnBridge.column(HierarchicalNearestCentroid(
+      ColumnBridge.expression(v),
+      sorted.map(_._1._1).toArray,
+      sorted.map(_._1._2).toArray,
+      sorted.map(_._2.map(_._1).toArray).toArray,
+      sorted.map(_._2.map(_._2).toArray).toArray))
   }
 
   /** Column API for [[PackVector]]. */

@@ -177,16 +177,21 @@ object Similarity {
   /** [[clusterDedup]] over a CALLER-SUPPLIED codebook — the production
     * SemDeDup path: pass [[trainKMeansPortable]]'s (or [[trainKMeans]]'s)
     * centroids and the verify/survivor semantics are identical to the
-    * seeded form; only the bucketing quality changes.
+    * seeded form; only the bucketing quality changes. `hierarchical = true`
+    * routes the assignment through [[assignCellsHierarchical]] (O(√k)
+    * cosines per row instead of O(k)) — the right switch once k is
+    * corpus-scaled.
     */
   def clusterDedupWith(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, hierarchical: Boolean = false): DataFrame = {
     // materialize the assignment ONCE (a narrow O(n·k) pass) and join both
     // pair sides off it — halves the assignment work, and the truncated
     // lineage sidesteps Spark's Union constraint-rewrite tripping on a
     // self-joined union plan (key-not-found on the union child's attrs)
-    val assigned = assignCells(corpus, centroids, idCol, vecCol).localCheckpoint()
+    val assigned = (
+      if (hierarchical) assignCellsHierarchical(corpus, centroids, idCol, vecCol)
+      else assignCells(corpus, centroids, idCol, vecCol)).localCheckpoint()
     def side(prefix: String) = assigned.select(
       col(idCol).as(s"${prefix}_id"), col("cell"), col(vecCol).as(s"__v$prefix"))
     val pairs = side("a").join(side("b"), Seq("cell"))
@@ -237,16 +242,7 @@ object Similarity {
     if (!useLiteral)
       return graft.functions.VectorFunctions.nearestCentroid(
         col(vecCol), rows.toSeq.map { case (cid, cv) => (cid, cv.toArray) })
-    val cents = array(rows.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), typedlit(cv).as("cv"))
-    }: _*)
-    val folded = aggregate(
-      cents,
-      struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
-      (acc, c) => {
-        val s = r6(cosineSim(col(vecCol), c("cv")))
-        when(s > acc("sim"), struct(c("cid").as("cid"), s.as("sim"))).otherwise(acc)
-      })
+    val folded = argmaxFoldRaw(rows.toSeq, col(vecCol))
     // a null or zero-norm vector yields null cosines, which never beat the
     // init sentinel — mirror the window-argmax formulation (nulls rank
     // last): assign the lowest cid with a null similarity, instead of
@@ -268,6 +264,82 @@ object Similarity {
       literal: Boolean): DataFrame =
     corpus.select(col(idCol),
       bestCentroidVia(centroids, vecCol, Some(literal))("cid").as("cell"), col(vecCol))
+
+  /** The literal argmax fold over in-memory (cid, cv) rows — shared by the
+    * flat and hierarchical assignment paths. Raw folded struct: sentinel
+    * cid -1 when every cosine is null (null/zero-norm input vector).
+    */
+  private def argmaxFoldRaw(rows: Seq[(Long, Seq[Double])], vec: Column): Column = {
+    val sorted = rows.sortBy(_._1)
+    val cents = array(sorted.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedlit(cv).as("cv"))
+    }: _*)
+    aggregate(
+      cents,
+      struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = r6(cosineSim(vec, c("cv")))
+        when(s > acc("sim"), struct(c("cid").as("cid"), s.as("sim"))).otherwise(acc)
+      })
+  }
+
+  /** TWO-LEVEL (hierarchical) cell assignment — the corpus-scaled-k scale
+    * path. Flat [[assignCells]] costs O(k) cosines per row; with SemDeDup's
+    * k ≈ n/cellSize that is O(n²/cellSize) total — the assignment becomes
+    * the quadratic the cell-scoping removed from the pair join. Here the
+    * codebook itself is clustered into g = ⌈√k⌉ SUPER-centroids (one
+    * portable Lloyd iteration over the k centroids — bounded work, the
+    * codebook is driver-sized by design), each row picks its super (g
+    * cosines) and then argmaxes only that super's children (k/g expected):
+    * O(√k) per row, O(n·√k) total. Deterministic and oracle-replayable —
+    * both levels are the same r6-cosine lowest-id-tie argmax — but
+    * APPROXIMATE vs the flat argmax: a row whose true nearest centroid
+    * hides under a different super lands in a neighboring cell, which
+    * SemDeDup tolerates (bucketing quality, never survivor semantics).
+    * Supers that win no children in the final mapping are excluded from
+    * the row-level argmax (their cells would be empty by construction).
+    * Null/zero-norm vectors take the lowest super's lowest child, not the
+    * global lowest cid. The expression stays a narrow projection — two
+    * stacked projects, no Exchange; plan size remains O(k·dim) literals
+    * (the runtime, not the plan, is what √k shrinks).
+    */
+  def assignCellsHierarchical(
+      corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // materialize the codebook ONCE: the incoming DataFrame usually carries
+    // an expensive training lineage (k-means over the corpus), and the
+    // super-codebook construction below collects against it several times —
+    // without the checkpoint each collect re-runs the whole training
+    // (measured 2× the entry wall at 10×); after it, every re-read is k rows
+    val cb = centroids
+      .select(col("cid").cast("long").as("cid"), col("cv").cast("array<double>").as("cv"))
+      .localCheckpoint()
+    val centRows = cb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    require(centRows.nonEmpty, "assignCellsHierarchical: empty codebook")
+    val g = math.ceil(math.sqrt(centRows.size.toDouble)).toInt
+    val supers = trainKMeansPortable(cb, "cid", "cv", g, iterations = 1)
+    val cmap = assignCells(
+      cb.select(col("cid").as("__ccid"), col("cv").as("__cv")),
+      supers, "__ccid", "__cv")
+      .select(col("__ccid"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val children: Map[Long, Seq[(Long, Seq[Double])]] =
+      centRows.groupBy(c => cmap(c._1)).view.mapValues(_.sortBy(_._1)).toMap
+    val superRows = supers
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .filter(s => children.contains(s._1)).sortBy(_._1).toSeq
+    // one reference-object expression (the hierarchical sibling of
+    // NearestCentroid): O(1) plan size at any k, a compiled g + k/g
+    // kernel per row, still a single narrow projection — a literal
+    // CASE-of-folds here measured 4× SLOWER than flat (the branch forest
+    // defeats whole-stage codegen)
+    val groups = superRows.map { case (sid, sv) =>
+      ((sid, sv.toArray), children(sid).map { case (cid, cv) => (cid, cv.toArray) })
+    }
+    val pick = graft.functions.VectorFunctions.hierarchicalNearestCentroid(col(vecCol), groups)
+    corpus.select(col(idCol), pick("cid").as("cell"), col(vecCol))
+  }
 
   /** Deterministic spherical k-means codebook for [[ivfTopK]]: Lloyd
     * iterations expressed as DataFrame ops. Init = the k lowest-id vectors;

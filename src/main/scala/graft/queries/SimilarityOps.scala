@@ -216,6 +216,101 @@ object SimilarityOps {
          |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
          |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
 
+    // HIERARCHICAL-assignment SemDeDup (round 17): the corpus-scaled-k
+    // scale path end-to-end. Flat assignment is O(k) cosines/row — with
+    // k ≈ n/cellSize that's the quadratic sneaking back in through the
+    // assignment; here the codebook clusters into ⌈√k⌉ supers (one
+    // portable Lloyd iteration over the centroids) and each row pays
+    // g + k/g ≈ 2√k cosines. Deterministic two-level argmax, so the
+    // oracle replays the entire construction — training, super codebook,
+    // both argmax levels, cell-scoped pairs, closure survivors —
+    // bit-exactly; boundary-row misassignments (the documented
+    // approximation) reproduce exactly too.
+    QueryDef("q216_hierarchical_semdedup", (s, dir) => {
+      val corpus = plantedNearDupCorpus(s, dir)
+      val k = math.max(16L, corpus.count() / 64).toInt
+      val cents = graft.operators.Similarity
+        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2)
+      graft.operators.Similarity
+        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents, hierarchical = true)
+        .select("vec_id").orderBy("vec_id")
+    }, Some(
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planted AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v FROM base),
+         |c AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |cent0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id
+         |  LIMIT (SELECT CAST(GREATEST(16, count(*) // 64) AS BIGINT) FROM c)),
+         |a1 AS MATERIALIZED (
+         |  SELECT cid, v FROM (
+         |    SELECT s.cid, c.v, row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckCos("c.v", "s.cv")} DESC NULLS LAST, s.cid) AS rn
+         |    FROM c, cent0 s) WHERE rn = 1),
+         |cent1 AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cid, u.p AS pos,
+         |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |        / (COUNT(*) * 1048576.0) AS m
+         |    FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+         |      p -> {'p': p, 'x': v[p]})) AS u FROM a1)
+         |    GROUP BY cid, u.p) GROUP BY cid),
+         |a2 AS MATERIALIZED (
+         |  SELECT cid, v FROM (
+         |    SELECT s.cid, c.v, row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckCos("c.v", "s.cv")} DESC NULLS LAST, s.cid) AS rn
+         |    FROM c, cent1 s) WHERE rn = 1),
+         |cent2 AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cid, u.p AS pos,
+         |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |        / (COUNT(*) * 1048576.0) AS m
+         |    FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+         |      p -> {'p': p, 'x': v[p]})) AS u FROM a2)
+         |    GROUP BY cid, u.p) GROUP BY cid),
+         |sup0 AS MATERIALIZED (SELECT cid AS sid, cv AS sv FROM cent2 ORDER BY cid
+         |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cent2)),
+         |sa AS MATERIALIZED (
+         |  SELECT sid, cv FROM (
+         |    SELECT s.sid, t.cv, row_number() OVER (PARTITION BY t.cid
+         |      ORDER BY ${duckCos("t.cv", "s.sv")} DESC NULLS LAST, s.sid) AS rn
+         |    FROM cent2 t, sup0 s) WHERE rn = 1),
+         |sup1 AS MATERIALIZED (
+         |  SELECT sid, list(m ORDER BY pos) AS sv FROM (
+         |    SELECT sid, u.p AS pos,
+         |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |        / (COUNT(*) * 1048576.0) AS m
+         |    FROM (SELECT sid, unnest(list_transform(range(1, len(cv) + 1),
+         |      p -> {'p': p, 'x': cv[p]})) AS u FROM sa)
+         |    GROUP BY sid, u.p) GROUP BY sid),
+         |childmap AS MATERIALIZED (
+         |  SELECT cid, sid FROM (
+         |    SELECT t.cid, s.sid, row_number() OVER (PARTITION BY t.cid
+         |      ORDER BY ${duckCos("t.cv", "s.sv")} DESC NULLS LAST, s.sid) AS rn
+         |    FROM cent2 t, sup1 s) WHERE rn = 1),
+         |supl AS (SELECT sid, sv FROM sup1
+         |  WHERE sid IN (SELECT DISTINCT sid FROM childmap)),
+         |rowsup AS MATERIALIZED (
+         |  SELECT vec_id, v, sid FROM (
+         |    SELECT c.vec_id, c.v, s.sid, row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckCos("c.v", "s.sv")} DESC NULLS LAST, s.sid) AS rn
+         |    FROM c, supl s) WHERE rn = 1),
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT r.vec_id, r.v, ct.cid AS cell, row_number() OVER (PARTITION BY r.vec_id
+         |      ORDER BY ${duckCos("r.v", "ct.cv")} DESC NULLS LAST, ct.cid) AS rn
+         |    FROM rowsup r JOIN childmap m ON m.sid = r.sid
+         |      JOIN cent2 ct ON ct.cid = m.cid) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id a_id, b.vec_id b_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim),
+         |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(u, label) AS (
+         |  SELECT vec_id, vec_id FROM c
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+         |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
+         |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q44_vector_stats", (s, dir) => {
       val ad = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))

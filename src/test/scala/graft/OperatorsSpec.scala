@@ -407,6 +407,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("assignCellsHierarchical: valid cells, deterministic, mostly agrees with flat") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.trainKMeansPortable(e, "vec_id", "v", k = 25, iterations = 2)
+    val validCells = cents.select("cid").collect().map(_.getLong(0)).toSet
+    val hier = Similarity.assignCellsHierarchical(e, cents, "vec_id", "v")
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.values.forall(validCells), "every assignment lands on a real centroid")
+    assert(hier.values.forall(_ != -1L))
+    val again = Similarity.assignCellsHierarchical(e.repartition(7), cents, "vec_id", "v")
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier == again, "two-level argmax must be deterministic under any partitioning")
+    val flat = Similarity.assignCells(e, cents, "vec_id", "v")
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = hier.count { case (id, c) => flat(id) == c }.toDouble / hier.size
+    info(f"hierarchical/flat agreement = $agree%.3f")
+    assert(agree >= 0.5, s"two-level assignment should mostly match flat, got $agree")
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
