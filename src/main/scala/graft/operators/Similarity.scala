@@ -121,6 +121,37 @@ object Similarity {
       .select("a_id", "b_id", "sim")
   }
 
+  /** CROSS-SET embedding near-dup — the SEMANTIC admission gate: every
+    * (batch_id, corpus_id, sim) with r6 cosine ≥ `threshold`, candidates
+    * from an SRP bucket equi-join between the NEW BATCH and the corpus.
+    * Strictly cross-set (the embedding sibling of [[Dedup.nearDupAgainst]]):
+    * the corpus is never self-joined, so per-wave work scales with the
+    * batch side — the corpus contributes its signature index and the full
+    * vectors of matched candidates only. Hot buckets block-split on either
+    * side ([[Dedup.boundedCrossPairs]]), so a dense embedding region
+    * bounds per-task fanout instead of wedging a join key. Compose with
+    * `VersionedTable.changes` to admit a version delta against a pinned
+    * corpus read, exactly like the MinHash admission pipeline (q208).
+    */
+  def nearDupAgainstEmbed(
+      corpus: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bitsPerTable: Int = 12, nTables: Int = 24,
+      dim: Option[Int] = None, bucketCap: Int = 1000): DataFrame = {
+    val sig = srpSignatureUdf(corpus, vecCol, bitsPerTable, nTables, dim)
+    def bucketsOf(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), explode(sig(col(vecCol).cast("array<double>"))).as("bk"))
+      .select(col(as), col("bk"))
+    val cand = Dedup.boundedCrossPairs(
+      bucketsOf(batch, "batch_id"), "batch_id",
+      bucketsOf(corpus, "corpus_id"), "corpus_id", bucketCap)
+    cand
+      .join(batch.select(col(idCol).as("batch_id"), col(vecCol).as("__vb")), Seq("batch_id"))
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vc")), Seq("corpus_id"))
+      .withColumn("sim", r6(cosineSim(col("__vb"), col("__vc"))))
+      .filter(col("sim") >= threshold)
+      .select("batch_id", "corpus_id", "sim")
+  }
+
   /** Embedding-level corpus dedup end-to-end: SRP-LSH near-dup pairs →
     * connected components over the pair graph → minimum-id survivor per
     * cluster. Returns the SURVIVING rows of `corpus`. The embedding

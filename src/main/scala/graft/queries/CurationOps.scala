@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.GraftFunctions.{graftHash, tokens}
 import graft.operators.Curation
 import org.apache.spark.sql.functions._
 
@@ -57,6 +58,41 @@ object CurationOps {
         |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
         |  min(doc_id) AS lo, max(doc_id) AS hi
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // SHUFFLE → PACK (round 17): deterministic epoch shuffle before shard
+    // packing — shards must be IID samples of the corpus, not id-ordered
+    // runs (id order correlates with crawl time/source, and a shard of
+    // consecutive ids trains on one domain at a time). The shuffle key is
+    // the portable hash (salted by epoch, tie-broken by id so keys stay
+    // unique), and packShards range-partitions on IT — same two-level
+    // prefix sum, same budget semantics, byte-stable across engines,
+    // partitionings and epochs. The oracle is the single global running
+    // sum over the identical derived key.
+    QueryDef("q218_shuffle_pack", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(
+        concat(
+          lpad(graftHash(concat(lit("ep1:"), col("doc_id").cast("string")))
+            .cast("string"), 19, "0"),
+          lit("-"), lpad(col("doc_id").cast("string"), 10, "0")).as("skey"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      graft.operators.Curation.packShards(keyed, "skey", "nt", budget = 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
+          min("skey").as("lo_key"), max("skey").as("hi_key"))
+        .orderBy("shard")
+    }, Some(
+      s"""WITH t AS (SELECT
+         |  lpad(CAST(${duckHash60("'ep1:' || CAST(doc_id AS VARCHAR)")} AS VARCHAR), 19, '0')
+         |    || '-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS skey,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+         |  FROM documents),
+         |c AS (SELECT skey, n,
+         |  sum(n) OVER (ORDER BY skey ROWS UNBOUNDED PRECEDING) - n AS pre FROM t),
+         |s2 AS (SELECT skey, n, CAST(floor(pre / 2000.0) AS INT) AS shard FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
+         |  min(skey) AS lo_key, max(skey) AS hi_key
+         |FROM s2 GROUP BY shard ORDER BY shard""".stripMargin)),
 
     // cap each language at 20 documents, chosen by stable hash (an unbiased
     // reproducible subset, not head-of-scan); WindowGroupLimit keeps the

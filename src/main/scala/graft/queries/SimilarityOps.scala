@@ -311,6 +311,31 @@ object SimilarityOps {
          |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
          |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
 
+    // SEMANTIC ADMISSION (round 17): a new batch checked against the
+    // corpus at the embedding level — the SemDeDup sibling of the q121
+    // MinHash admission gate. Strictly cross-set SRP bucket join (the
+    // corpus is never self-joined; per-wave work scales with the batch),
+    // hot buckets block-split on either side. The oracle is the EXACT
+    // cross-set cosine join, so a hash match proves recall 1 here.
+    QueryDef("q217_embed_admission", (s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val batch = corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.05)),
+            slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+      graft.operators.Similarity
+        .nearDupAgainstEmbed(corpus, batch, "vec_id", "v", NearDupSim, dim = Some(Dim))
+        .orderBy("batch_id", "corpus_id")
+    }, Some(
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |batch AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v
+         |  FROM base WHERE vec_id % 5 = 0)
+         |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id, ${duckCos("b.v", "c.v")} AS sim
+         |FROM batch b, base c
+         |WHERE ${duckCos("b.v", "c.v")} >= $NearDupSim
+         |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     QueryDef("q44_vector_stats", (s, dir) => {
       val ad = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))

@@ -407,6 +407,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("nearDupAgainstEmbed: planted batch dups all found, nothing else, tiny caps safe") {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = corpus.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 5000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.05)),
+          slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+    val got = Similarity
+      .nearDupAgainstEmbed(corpus, planted, "vec_id", "v", 0.95, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 40L).map(i => (i + 5000L, i)).toSet,
+      s"each planted copy matches exactly its source: $got")
+    // a hot-bucket cap far below the bucket sizes must not lose recall
+    // (block-splitting preserves every cross pair)
+    val capped = Similarity
+      .nearDupAgainstEmbed(corpus, planted, "vec_id", "v", 0.95, dim = Some(64), bucketCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == got, "bucket block-splitting must be recall-preserving")
+  }
+
   test("assignCellsHierarchical: valid cells, deterministic, mostly agrees with flat") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
