@@ -481,6 +481,36 @@ object TextOps {
     // boundaries fall on exact BPE sequence lengths (what a training job
     // actually packs). Oracle = vocabulary replay + the single global
     // running sum the distributed prefix sum must equal exactly.
+    // SHARD WRITE (round 17): the end of the pipeline — per-document
+    // token-ID arrays packed by BPE length and WRITTEN as a Hive-
+    // partitioned table (shard=N directories of parquet holding the id
+    // arrays), then read back through the reftable source with partition
+    // pruning on the shard key. id_mass sums the ids themselves out of
+    // the shard files, so the oracle hash proves the ARRAYS landed —
+    // packShards now literally packs token-id arrays into shard files.
+    QueryDef("q219_shard_write", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+      val packed = graft.operators.Curation.packShards(enc, "doc_id", "n_bpe", budget = 4096L)
+      val out = RelationalSupport.scratchDir(s, dir, "q219_shards")
+      enc.join(packed.select("doc_id", "shard"), "doc_id")
+        .select(col("doc_id"), col("token_ids"), col("n_bpe"), col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "doc_id BIGINT, token_ids ARRAY<INT>, n_bpe BIGINT, shard INT")
+        .option("partitionColumns", "shard")
+        .load()
+        .filter(col("shard") < 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("tok"),
+          sum(aggregate(col("token_ids"), lit(0L), (a, x) => a + x)).as("id_mass"))
+        .orderBy("shard")
+    }, Some(TextOps.shardWriteOracle(30, 4096L, 4))),
+
     QueryDef("q213_tokenize_pack", (s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
@@ -531,9 +561,12 @@ object TextOps {
     * keep the smallest id), segment the final census, and reassemble each
     * document's id sequence by (word position, symbol position).
     */
-  def bpeTokenIdsOracle(nMerges: Int): String =
-    s"""WITH ${bpeLevels(nMerges)},
-       |chars AS MATERIALIZED (
+  /** Shared vocabulary/segmentation chain (appended after [[bpeLevels]]):
+    * base alphabet + vocab ids + per-word (symbol position, token id) as
+    * `wid` — the common prefix of the q212 and q219 oracles.
+    */
+  private def bpeVocabCtes(nMerges: Int): String =
+    s"""chars AS MATERIALIZED (
        |  SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
        |    i -> substr(w, i, 1))) AS c FROM w0),
        |nb AS (SELECT count(*) AS b FROM chars),
@@ -550,7 +583,11 @@ object TextOps {
        |      j -> {'j': j, 's': l[j]})) AS u
        |    FROM (SELECT w, string_split(trim(s), '  ') AS l FROM w$nMerges))),
        |wid AS MATERIALIZED (
-       |  SELECT sy.w, sy.j, v.tid FROM syms sy JOIN vocab v ON v.tok = sy.sym),
+       |  SELECT sy.w, sy.j, v.tid FROM syms sy JOIN vocab v ON v.tok = sy.sym)""".stripMargin
+
+  def bpeTokenIdsOracle(nMerges: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |${bpeVocabCtes(nMerges)},
        |docw AS (
        |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
@@ -585,6 +622,30 @@ object TextOps {
        |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
        |  min(doc_id) AS lo, max(doc_id) AS hi
        |FROM s2 GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** The q219 oracle: per-word (token count, id sum) from the shared
+    * vocabulary chain, per-document totals, the global running-sum pack,
+    * and the pruned per-shard aggregate — `id_mass` re-derives the sum of
+    * the very ids the shard files carry.
+    */
+  def shardWriteOracle(nMerges: Int, budget: Long, shardLt: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |${bpeVocabCtes(nMerges)},
+       |widsum AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS nt, CAST(sum(tid) AS BIGINT) AS ws
+       |  FROM wid GROUP BY w),
+       |docw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n, CAST(sum(ws) AS BIGINT) AS ids
+       |  FROM docw JOIN widsum USING (w) GROUP BY 1),
+       |c AS (SELECT doc_id, n, ids,
+       |  sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS pre FROM perdoc),
+       |s2 AS (SELECT doc_id, n, ids, CAST(floor(pre / $budget.0) AS INT) AS shard FROM c)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
+       |  CAST(sum(ids) AS BIGINT) AS id_mass
+       |FROM s2 WHERE shard < $shardLt GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Shared CTE chain: the word census as space-wrapped symbol strings
     * (`w0`, keyed by the word), then per merge level the pair census
