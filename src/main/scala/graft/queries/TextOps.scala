@@ -523,6 +523,10 @@ object TextOps {
       val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // deliberately NOT checkpointed: only two lineage uses here (stats
+      // pass + final aggregate), and the A/B showed recompute beats
+      // materializing the id arrays (14.8 vs 18.9 s at sf0.1); q219 with
+      // three uses plus the write is where the checkpoint wins
       val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
       graft.operators.Curation.packShards(enc, "doc_id", "n_bpe", budget = 4096L)
         .groupBy("shard")
