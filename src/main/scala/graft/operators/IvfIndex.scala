@@ -99,6 +99,40 @@ object IvfIndex {
       .select(col("query_id"), col("rk"), col("id").as("neighbor_id"), col("sim"))
   }
 
+  /** SEMANTIC ADMISSION served by the layout: check a new batch for
+    * embedding near-dups against the published index, reading ONLY the
+    * probed cells' partitions. The SRP admission gate
+    * ([[Similarity.nearDupAgainstEmbed]]) still reads the whole corpus once
+    * per wave to build its signature index; here the corpus-side work was
+    * paid at [[build]] time, so a wave costs one narrow batch→cell
+    * assignment (broadcast codebook), a listing-pruned read of
+    * O(probed cells) files, and a batch×cell-members join — at 100 TB the
+    * daily-ingest admission loop touches nprobe/ncells of the corpus, not
+    * all of it. Recall is cell-scoped by construction (the SemDeDup trade:
+    * a near-dup outside every probed cell is missed); `nProbe` and the
+    * codebook granularity set that dial. Returns
+    * (batch_id, corpus_id, sim) with r6 cosine ≥ `threshold` — pairs are
+    * unique because a corpus row lives in exactly one cell.
+    */
+  def admitAgainst(
+      spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nProbe: Int = 2): DataFrame = {
+    val q = batch.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probes = Similarity.probeCells(q, readCentroids(spark, root), nProbe)
+    // one bounded driver round-trip (≤ ncells longs) so listing pruning
+    // gets literal partition predicates — same trade as [[topK]]
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    readCells(spark, root, cells)
+      .select(col("id"), col("cell"), unpackVector(col("vec")).as("__vc"))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", r6(cosineSim(col("qv"), col("__vc"))))
+      .filter(col("sim") >= threshold)
+      .select(col("query_id").as("batch_id"), col("id").as("corpus_id"), col("sim"))
+  }
+
   /** O(changes) index maintenance: given a corpus BOTH-IMAGES changefeed
     * (`id`, `vec_before`, `vec_after` packed binary, `change_type` — the
     * [[VersionedTable.changesImages]] shape over a packed-vector corpus),

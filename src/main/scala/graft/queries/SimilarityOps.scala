@@ -336,6 +336,47 @@ object SimilarityOps {
          |WHERE ${duckCos("b.v", "c.v")} >= $NearDupSim
          |ORDER BY batch_id, corpus_id""".stripMargin)),
 
+    // SEMANTIC ADMISSION OVER THE IVF LAYOUT (round 17): q217's gate with
+    // the corpus-side work paid at index-build time — a wave probes each
+    // batch vector's nProbe nearest cells and reads ONLY those cells'
+    // partitions (IvfIndexSpec asserts the planned-file count). Recall is
+    // cell-scoped by construction (the SemDeDup trade); the oracle replays
+    // the assignment + probe + threshold exactly, so a hash match proves
+    // the layout-served path end to end: packed vectors, codebook argmax,
+    // listing pruning, cross-set scoring.
+    QueryDef("q220_ivf_admission", (s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cent = corpus.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val batch = corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.05)),
+            slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+      val root = RelationalSupport.scratchDir(s, dir, "q220_ivfadm")
+      graft.operators.IvfIndex.build(corpus, cent, "vec_id", "v", root)
+      graft.operators.IvfIndex
+        .admitAgainst(s, root, batch, "vec_id", "v", NearDupSim, nProbe = 2)
+        .orderBy("batch_id", "corpus_id")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCells),
+         |asgn AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCos("e.v", "cent.cv")} DESC, cent.cid) arn
+         |  FROM e CROSS JOIN cent) WHERE arn = 1),
+         |batch AS (SELECT vec_id + $PlantOffset AS bid, [v[1] + 0.05] || v[2:] AS bv
+         |  FROM e WHERE vec_id % 5 = 0),
+         |probes AS (SELECT bid, cell FROM (
+         |  SELECT b.bid, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY b.bid ORDER BY ${duckCos("b.bv", "cent.cv")} DESC, cent.cid) prn
+         |  FROM batch b CROSS JOIN cent) WHERE prn <= 2),
+         |cand AS (SELECT p.bid, a.vec_id FROM probes p JOIN asgn a ON a.cell = p.cell)
+         |SELECT c.bid AS batch_id, c.vec_id AS corpus_id, ${duckCos("b.bv", "e.v")} AS sim
+         |FROM cand c JOIN batch b ON b.bid = c.bid JOIN e ON e.vec_id = c.vec_id
+         |WHERE ${duckCos("b.bv", "e.v")} >= $NearDupSim
+         |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     QueryDef("q44_vector_stats", (s, dir) => {
       val ad = col("embedding").cast("array<double>")
       val norm = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))

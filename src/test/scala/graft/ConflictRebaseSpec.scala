@@ -228,6 +228,82 @@ class ConflictRebaseSpec extends AnyFunSuite {
       s"15 commits expected, got ${VersionedTable.lastCommit(root, conf2).map(_.seq)}")
   }
 
+  // Randomized-interleaving soak: a seeded shuffle of {append, COW delete,
+  // MoR upsert, changefeed-apply} ops races across 6 writers. Ops own
+  // disjoint KEY sets (so every interleaving is logically confluent — the
+  // expected final state is unique) but deliberately share FILES (upserts,
+  // changefeed updates and deletes all land in the same range files), so
+  // losers exercise the overlap rules: file-disjoint → rebase,
+  // file-overlapping → re-derive. One deliberately CONTESTED key (7) races
+  // a COW delete against a MoR upsert — its final state must match one of
+  // the two serial orders. The hand-picked races above pin each rule; this
+  // shakes rule INTERACTIONS under genuine concurrency.
+  test("SOAK: randomized {append, COW delete, MoR upsert, changefeed} mix converges") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for (seed <- Seq(11, 47)) {
+      val root = tmpDir(s"rsoak$seed")
+      val base = (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      VersionedTable.publish(base.repartitionByRange(4, col("id")), root)
+      val p0 = VersionedTable.populateRuns.get
+      val r0 = VersionedTable.rebasedCommits.get
+
+      // the op pool: every op is a () => Unit with a disjoint logical key
+      // set (except the contested pair at key 7)
+      def cf(rows: Seq[(Long, String, String)]) =
+        rows.toDF("id", "name", "change_type")
+      val ops: Seq[() => Unit] = Seq(
+        () => append(root, Seq((101L, "a1"), (102L, "a1"))),
+        () => append(root, Seq((201L, "a2"), (202L, "a2"))),
+        () => { RefTableMutations.deleteWhere(spark, root, col("id") === 2L); () },
+        () => { RefTableMutations.deleteWhereMergeOnRead(spark, root, col("id") === 4L); () },
+        () => { RefTableMutations.upsert(spark, root,
+          Seq((11L, "u11"), (301L, "u301")).toDF("id", "name"), Seq("id")); () },
+        () => { RefTableMutations.upsertMergeOnRead(spark, root,
+          Seq((13L, "u13")).toDF("id", "name"), Seq("id")); () },
+        () => { RefTableMutations.applyChanges(spark, root,
+          cf(Seq((401L, "c401", "insert"), (17L, "c17", "update"), (12L, "", "delete"))),
+          Seq("id")); () },
+        () => { RefTableMutations.applyChangesMergeOnRead(spark, root,
+          cf(Seq((19L, "c19", "update"), (14L, "", "delete"))), Seq("id")); () },
+        // the contested pair: COW delete vs MoR upsert of key 7
+        () => { RefTableMutations.deleteWhere(spark, root, col("id") === 7L); () },
+        () => { RefTableMutations.upsertMergeOnRead(spark, root,
+          Seq((7L, "u7")).toDF("id", "name"), Seq("id")); () })
+      val shuffled = new scala.util.Random(seed).shuffle(ops)
+      // 5 writers × 2 sequential ops, all racing
+      val writers = shuffled.grouped(2).toSeq.map { group =>
+        Future { group.foreach(op => op()) }
+      }
+      Await.result(Future.sequence(writers), 300.seconds)
+
+      val rows = readRows(root)
+      assert(rows.map(_._1).distinct.size == rows.size,
+        s"no key may appear twice (seed $seed): ${rows.groupBy(_._1).filter(_._2.size > 1)}")
+      val got = rows.toMap
+      val expectedStable = (
+        (1L to 20L).filterNot(Seq(2L, 4L, 12L, 14L, 7L).contains).map(i => i -> s"n$i").toMap
+          ++ Map(11L -> "u11", 13L -> "u13", 17L -> "c17", 19L -> "c19",
+            101L -> "a1", 102L -> "a1", 201L -> "a2", 202L -> "a2",
+            301L -> "u301", 401L -> "c401"))
+      assert(got - 7L == expectedStable,
+        s"non-contested keys must land every effect exactly once (seed $seed)")
+      assert(got.get(7L).forall(_ == "u7"),
+        s"contested key must match a serial order: got ${got.get(7L)} (seed $seed)")
+      // every op committed exactly once: base + 10 ops
+      assert(VersionedTable.lastCommit(root, conf).exists(_.seq == 11L),
+        s"11 commits expected, got ${VersionedTable.lastCommit(root, conf).map(_.seq)}")
+      // each op populates at least once; retries are bounded by maxAttempts
+      val pDelta = VersionedTable.populateRuns.get - p0
+      assert(pDelta >= 10, s"10 ops must each stage at least once, saw $pDelta")
+      // genuine contention resolved through SOME conflict path
+      assert(pDelta > 10 || VersionedTable.rebasedCommits.get > r0,
+        s"racing writers must exercise rebase or re-derive (seed $seed)")
+    }
+  }
+
   test("append + concurrent append: the loser rebases without re-staging its batch") {
     val root = tmpDir("app_app")
     twoFileBase(root)

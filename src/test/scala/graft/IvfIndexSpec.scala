@@ -96,6 +96,54 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("admission gate plans only probed cells' files and matches the direct join") {
+    import spark.implicits._
+    val c = corpus(400)
+    val root = tmpDir("admit")
+    IvfIndex.build(c, centroids, "vec_id", "embedding", root)
+    // a batch hugging axis 0: every probe (nProbe=1) lands in cell 0
+    val batch = (0 until 5).map { i =>
+      (10000L + i, Array.tabulate(8)(d => (if (d == 0) 1.0 else 0.0) + i * 0.001))
+    }.toDF("vec_id", "embedding")
+    val adm = IvfIndex.admitAgainst(spark, root, batch, "vec_id", "embedding",
+      threshold = 0.9, nProbe = 1)
+    // plan check: only cell 0's files are planned (descend through AQE)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    adm.collect()
+    val scans = scansOf(adm.queryExecution.executedPlan)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "schema" -> "id BIGINT, cell BIGINT, vec BINARY",
+      "partitionColumns" -> "cell").asJava))
+    val cell0Files = SnapshotFiles.pruned(o,
+      Seq(org.apache.spark.sql.sources.In("cell", Array[Any](0L)))).size
+    val allFiles = SnapshotFiles.pruned(o, Nil).size
+    assert(cell0Files < allFiles, "test needs >1 cell to prove pruning")
+    assert(scans.nonEmpty && scans.exists(_.partitions.size == cell0Files),
+      s"admission must plan only probed cells' files: ${scans.map(_.partitions.size)} " +
+        s"vs $cell0Files; plan:\n${adm.queryExecution.executedPlan.treeString}")
+    // value check: equals the direct cell-scoped cross join
+    val assigned = Similarity.assignCells(c, centroids, "vec_id", "embedding")
+      .filter(col("cell") === 0L)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val direct = batch.crossJoin(assigned)
+      .withColumn("sim", graft.functions.GraftFunctions.r6(
+        graft.functions.VectorFunctions.cosineSim(
+          col("embedding").cast("array<double>"), col("cv").cast("array<double>"))))
+      .filter(col("sim") >= 0.9)
+      .select(col("vec_id").as("batch_id"), col("corpus_id"), col("sim"))
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val got = adm.orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(got.nonEmpty && got == direct)
+  }
+
   test("changefeed maintenance equals rebuild and stages only affected cells") {
     import spark.implicits._
     val c = corpus(400)
