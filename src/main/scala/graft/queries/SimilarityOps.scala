@@ -415,6 +415,30 @@ object SimilarityOps {
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
          |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
 
+    // SQ8 at its exactness limit (round 17): int8 scalar quantization —
+    // the 4× compression leg of the ANN family (PQ is the 32× leg) — with
+    // the refine window past the corpus size, so ADC + exact re-rank must
+    // degenerate to the brute-force result (q15's oracle). This oracles
+    // the SQ PLUMBING (train ranges, byte encode, reconstruction scan,
+    // rerank shape) exactly; ADC approximation QUALITY is recall-spec'd in
+    // OperatorsSpec, the right check for a lossy scorer.
+    QueryDef("q221_sq8_exact_limit", (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val params = graft.operators.Sq.train(e, "embedding")
+      val refine = (e.count() / K + 1).toInt
+      graft.operators.Sq.adcTopK(e, q, params, "vec_id", "embedding",
+        k = K, refine = refine)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT query_id, vec_id, ${duckCos("qv", "v")} AS sim FROM q, c WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
     // IVF-style ANN: fixed codebook (vec_id < NCells as centroids — a
     // deterministic stand-in for an offline k-means), nearest-cell assignment,
     // nprobe-limited probing, exact re-rank within probed cells.

@@ -353,6 +353,41 @@ class OperatorsSpec extends AnyFunSuite {
       "every chain node must label to the minimum id 0")
   }
 
+  test("SQ8-ADC with re-ranking reaches >=90% recall@10; malformed rows drop") {
+    import graft.operators.Sq
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val params = Sq.train(e, "embedding")
+    assert(params.dim == 64 && params.lo.indices.forall(i => params.lo(i) <= params.hi(i)))
+    // int8 keeps far more per-dimension fidelity than PQ's 8 codes: the
+    // recall bar is correspondingly higher at a SMALLER refine window
+    val approx = Sq.adcTopK(e, q, params, "vec_id", "embedding", k = 10, refine = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"SQ8 recall@10 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+    // codes: one byte per dim; null / wrong-dim vectors encode to null
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Array.tabulate(64)(_.toDouble)),
+      (2L, null.asInstanceOf[Array[Double]]),
+      (3L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val enc = Sq.encode(edge, params, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(enc(1L).exists(_.asInstanceOf[Array[Byte]].length == 64))
+    assert(enc(2L).isEmpty && enc(3L).isEmpty)
+    // degenerate dimension (hi == lo) encodes to 0, never divides by zero
+    val flatP = Sq.SqParams(Array(1.0, 0.0), Array(1.0, 1.0))
+    val flat = Sq.encode(Seq((1L, Array(1.0, 0.5))).toDF("vec_id", "embedding"),
+      flatP, "vec_id", "embedding").collect().head.get(1).asInstanceOf[Array[Byte]]
+    assert(flat.toSeq == Seq(0.toByte, 128.toByte))
+  }
+
   test("PQ-ADC with re-ranking reaches >=60% recall@10 vs brute force") {
     import graft.operators.Pq
     val e = Tables.load(spark, dir, "embeddings")
