@@ -32,8 +32,19 @@ object Bench {
   }
   /** The exact stdout line for a given warm population — factored out so the
     * line-length budget is spec-testable without running queries. */
-  def stdoutLine(warm: Seq[(String, Double)], sfName: String): String =
-    s"""{"metric":"total","value":${r3(warm.map(_._2).sum)},"unit":"sec","q_key":"NN=qNN","q_fmt":"NN:cs;bare=prev+1","queries":${packed(warm)},"sf":"$sfName"}"""
+  def stdoutLine(
+      warm: Seq[(String, Double)], sfName: String,
+      drain: Seq[(String, Double)] = Nil): String = {
+    // the drain map (operator-only seconds for streaming entries — wall
+    // minus drain is lifecycle overhead, the component the host
+    // environment band dominates) rides the recorded line again since
+    // round 17: the NN:cs pack brought the 218-entry line to ~900 chars,
+    // so the ~30-streaming-entry drain map fits with room to spare, and
+    // environment-band inflation is adjudicable from BENCH_r{N}.json alone
+    val drainPart =
+      if (drain.isEmpty) "" else s""","drain_unit":"cs","drain":${packed(drain)}"""
+    s"""{"metric":"total","value":${r3(warm.map(_._2).sum)},"unit":"sec","q_key":"NN=qNN","q_fmt":"NN:cs;bare=prev+1","queries":${packed(warm)}$drainPart,"sf":"$sfName"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,22 +102,17 @@ object Bench {
       .map { case (k, rs) => k -> warmOf(rs.map(_._2)) }
       .filter(_._2 > 0.005)
     val coldTotal = results.map(_._2.head._1).sum
-    // the stdout line carries the CONTRACT fields + per-query map only;
-    // the drain attribution (operator-only seconds for streaming entries)
-    // lives in BENCH.json — at 176 entries the full form measured 1906 of
-    // the ~2000-char stdout window, so the drain map moved off the line
-    // (headroom back to ~40 more entries)
-    // stdout keeps ONLY contract fields + the per-query map: at 193
-    // entries the object form measured 1934 of the EXACTLY-2000-char
-    // recorder window, so cold_total/runs moved off the stdout line too
-    // (both still in BENCH.json). Round 16 packed the map into one
-    // "NN:cs,NN:cs" string (q_fmt field) — ~2 chars/entry saved,
-    // headroom to ~230 entries.
+    // the stdout line carries the CONTRACT fields + per-query map + the
+    // drain map (back on the line since round 17 — see stdoutLine);
+    // cold_total/runs stay BENCH.json-only. Squeeze history: full names
+    // ~6 KB (r1–r3, never parsed); object forms hit 1906–1934 chars of
+    // the EXACTLY-2000-char recorder window by 193 entries; round 16's
+    // "NN:cs" pack (q_fmt field) brought 218 entries to ~900 chars.
     val sfName = new java.io.File(sfDir).getName
-    val line = stdoutLine(warm, sfName)
-    // full form (BENCH.json only): line + drain/cold/runs attribution
+    val line = stdoutLine(warm, sfName, drain)
+    // full form (BENCH.json only): line + cold/runs attribution
     val full = line.stripSuffix(s""","sf":"$sfName"}""") +
-      s""","drain_unit":"cs","drain":${packed(drain)},"cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfName"}"""
+      s""","cold_total":${r3(coldTotal)},"runs":$runs,"sf":"$sfName"}"""
     // belt-and-braces for the machine parse: (a) the raw line on stdout (the
     // forked run inherits sbt's stdout via run/outputStrategy=StdoutOutput, so
     // no "[info] " prefix), (b) the FULL JSON (incl. drain) as BENCH.json in

@@ -23,14 +23,31 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  // the drain map rides the line again (round 17): budget with a
+  // pessimistic 60-streaming-entry drain map, scattered ids (mostly
+  // explicit NN: prefixes — the worst pack density)
+  private def simulatedDrain(n: Int): Seq[(String, Double)] =
+    simulatedWarm(230).zipWithIndex.collect {
+      case ((k, _), i) if i % 4 == 0 => k -> 99.99
+    }.take(n)
+
   test("packed bench stdout line stays under 1500 chars at 205 entries") {
-    val line = Bench.stdoutLine(simulatedWarm(205), "sf0.1")
+    val line = Bench.stdoutLine(simulatedWarm(205), "sf0.1", simulatedDrain(60))
     assert(line.length < 1500, s"line is ${line.length} chars: grew past budget")
   }
 
   test("packed line keeps headroom inside the 2000-char window at 230 entries") {
-    val line = Bench.stdoutLine(simulatedWarm(230), "sf0.1")
+    val line = Bench.stdoutLine(simulatedWarm(230), "sf0.1", simulatedDrain(60))
     assert(line.length < 2000, s"line is ${line.length} chars: would truncate")
+  }
+
+  test("drain map on the line: packed, unit-declared, omitted when empty") {
+    val line = Bench.stdoutLine(
+      Seq("q01_scan" -> 0.27, "q02_key" -> 0.23),
+      "sf0.1", Seq("q02_key" -> 1.5))
+    assert(line.contains("\"drain_unit\":\"cs\",\"drain\":\"02:150\""))
+    val bare = Bench.stdoutLine(Seq("q01_scan" -> 0.27), "sf0.1")
+    assert(!bare.contains("drain"))
   }
 
   test("packed line is valid JSON with the declared q_fmt contract fields") {
