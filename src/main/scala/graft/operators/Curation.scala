@@ -59,6 +59,46 @@ object Curation {
       .select(col(idCol), col("rk"), col("word"), col("tfidf"))
   }
 
+  /** DSIR-style importance scores toward a TARGET slice (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per-word add-one-smoothed log-probability ratio between the target
+    * census and the raw census, summed over each document's tokens —
+    * documents that look like the target domain score positive, documents
+    * that look like everything else score negative. The resampling step on
+    * top is the already-proven deterministic-hash machinery
+    * ([[deterministicSample]]'s construction with the score as the rate).
+    *
+    * Scale shape: one token explode (narrow), ONE census shuffle computing
+    * BOTH distributions (the target count is a conditional aggregate —
+    * never two corpus passes), a scalar totals round-trip (3 longs), one
+    * vocab-keyed equi-join back to the token stream, one doc-keyed
+    * aggregation. Per-word log-ratios quantize to INTEGER micro-nats
+    * (round(lr·10⁶) as a long — the mixCorpus ppm discipline), so the
+    * per-doc sum is EXACT and associative: a float mean here measurably
+    * flips its last rounded digit between engines at sf0.1 (doc 3488's
+    * r4 mean landed on the 0.00125 boundary), an integer sum cannot.
+    *
+    * Returns (idCol, n_tok, dsir_ppm = Σ micro-nats) for documents with
+    * ≥ 1 token; normalize by n_tok downstream if a rate is wanted.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"),
+      isTarget.as("__t"))
+    val census = toks.groupBy("w").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+    val totals = census.agg(
+      sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v")).head()
+    val (nr, nt, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val lr = census.select(col("w"),
+      round((log((col("ct") + 1.0) / lit((nt + v).toDouble)) -
+        log((col("cr") + 1.0) / lit((nr + v).toDouble))) * 1e6, 0)
+        .cast("long").as("lr_ppm"))
+    toks.join(lr, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), sum("lr_ppm").as("dsir_ppm"))
+  }
+
   /** Deterministic train/val/test split assignment: each row gets the
     * label of the hash-range bucket its id falls in (`splits` are
     * (label, percent) pairs summing to ≤ 100; rows beyond the total get

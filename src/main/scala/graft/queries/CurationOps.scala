@@ -34,6 +34,35 @@ object CurationOps {
          |WHERE ${duckHash60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
          |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance scores toward a target domain (round 17): add-one-
+    // smoothed per-word log-probability ratios between the target (lang =
+    // 'en') census and the raw census, averaged per document — the
+    // importance-resampling signal that tilts a web corpus toward a
+    // high-quality slice. One conditional census shuffle computes BOTH
+    // distributions; per-word ratios quantize to integer MICRO-NATS
+    // (the mixCorpus ppm discipline) so the per-doc sum is exact and
+    // associative — a float mean here flips its last rounded digit
+    // between engines at sf0.1 — and the oracle replays training AND
+    // scoring bit-identically.
+    QueryDef("q223_dsir_scores", (s, dir) => {
+      Curation.dsirScores(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+        |census AS (SELECT w, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) nr, CAST(sum(ct) AS BIGINT) nt,
+        |    count(*) v FROM census),
+        |lr AS (SELECT w,
+        |    CAST(round((ln((ct + 1) / CAST(nt + v AS DOUBLE))
+        |        - ln((cr + 1) / CAST(nr + v AS DOUBLE))) * 1e6) AS BIGINT) AS lr_ppm
+        |  FROM census CROSS JOIN tot),
+        |sc AS (SELECT t.doc_id, lr.lr_ppm FROM toks t JOIN lr USING (w))
+        |SELECT doc_id, count(*) AS n_tok, CAST(sum(lr_ppm) AS BIGINT) AS dsir_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Token-budget shard packing: documents laid out in id order, shard =
     // floor(tokens-before / budget) — the greedy sequential packing before
     // writing training shards, computed as a TWO-LEVEL prefix sum (per-

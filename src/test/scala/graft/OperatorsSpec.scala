@@ -353,6 +353,28 @@ class OperatorsSpec extends AnyFunSuite {
       "every chain node must label to the minimum id 0")
   }
 
+  test("DSIR scores separate the target domain and are partitioning-stable") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = Curation.dsirScores(docs, "doc_id", "text", col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = scored
+      .groupBy("lang").agg(avg(col("dsir_ppm") / col("n_tok")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the target slice must score strictly above every non-target slice
+    val others = byLang.filterNot(_._1 == "en")
+    assert(others.nonEmpty && others.values.forall(_ < byLang("en")),
+      s"target must outscore non-targets: $byLang")
+    // byte-stability across partition layouts (the census + the integer
+    // micro-nat sum must make the score a pure function of corpus content)
+    val re = Curation.dsirScores(docs.repartition(17), "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = Curation.dsirScores(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == base)
+  }
+
   test("SQ8-ADC with re-ranking reaches >=90% recall@10; malformed rows drop") {
     import graft.operators.Sq
     val e = Tables.load(spark, dir, "embeddings")
