@@ -63,6 +63,69 @@ object CurationOps {
         |SELECT doc_id, count(*) AS n_tok, CAST(sum(lr_ppm) AS BIGINT) AS dsir_ppm
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // QUALITY-BUCKETED CURRICULUM MIX (round 17): documents bucketed into
+    // perplexity quartiles, each quartile admitted at its own rate — the
+    // quality-curriculum sampling step between scoring and packing. The
+    // quartile assignment needs a GLOBAL rank over (ppl, doc_id); a global
+    // window would run in one task, so the rank rides packShards' two-level
+    // prefix sum over a single sortable composite key — ppl micro-units
+    // and doc_id as fixed-width zero-padded strings (order-safe for ANY id
+    // magnitude; a bit-shifted BIGINT encode broke at the 10× dataset's
+    // 10-digit ids) — weight 1, budget ceil(N/4): shard IS the quartile.
+    // Admission is the deterministic 60-bit hash at per-bucket ppm rates.
+    // The oracle replays perplexity training, the composite key, the
+    // single global running count, and the hash rule.
+    QueryDef("q224_quality_mix", (s, dir) => {
+      val ppl = graft.operators.TextAnalysis
+        .lmPerplexity(t(s, dir, "documents"), "doc_id", "text")
+      val keyed = ppl.select(
+        concat(lpad(round(col("ppl") * 10000).cast("long").cast("string"), 12, "0"),
+          lpad(col("doc_id").cast("string"), 20, "0")).as("k"),
+        lit(1L).as("one"))
+      val n = keyed.count()
+      val bucketed = Curation.packShards(keyed, "k", "one", budget = (n + 3) / 4)
+        .select(substring(col("k"), 13, 20).cast("long").as("doc_id"),
+          col("shard").as("bucket"))
+      val rate = element_at(
+        array(lit(1000000L), lit(700000L), lit(400000L), lit(100000L)),
+        col("bucket") + 1)
+      val admitted = pmod(graftHash(concat(lit("qmix:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < rate
+      bucketed.join(ppl, "doc_id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(admitted, 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(admitted, col("n_bigrams")).otherwise(0L)).as("bigrams_admitted"))
+        .orderBy("bucket")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |       FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+         |cb AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2),
+         |cu AS (SELECT w1, count(*) c FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) n FROM (SELECT unnest(t) AS w FROM toks)),
+         |sc AS (SELECT b.doc_id, round(ln((cb.c + 1) / CAST(cu.c + v.n AS DOUBLE)), 6) AS lp
+         |       FROM bg b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+         |ppl AS (SELECT doc_id, count(*) AS n_bigrams, round(exp(-avg(lp)), 4) AS ppl
+         |        FROM sc GROUP BY doc_id),
+         |keyed AS (SELECT doc_id, n_bigrams,
+         |    lpad(CAST(CAST(round(ppl * 10000) AS BIGINT) AS VARCHAR), 12, '0')
+         |      || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k FROM ppl),
+         |tot AS (SELECT count(*) AS n FROM keyed),
+         |ranked AS (SELECT doc_id, n_bigrams,
+         |    row_number() OVER (ORDER BY k) - 1 AS r FROM keyed),
+         |b AS (SELECT doc_id, n_bigrams,
+         |    CAST(r // ((tot.n + 3) // 4) AS INT) AS bucket FROM ranked CROSS JOIN tot),
+         |adm AS (SELECT bucket, n_bigrams,
+         |    ${duckHash60("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |      CASE bucket WHEN 0 THEN 1000000 WHEN 1 THEN 700000
+         |                  WHEN 2 THEN 400000 ELSE 100000 END AS keep
+         |  FROM b)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN keep THEN n_bigrams ELSE 0 END) AS BIGINT) AS bigrams_admitted
+         |FROM adm GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // Token-budget shard packing: documents laid out in id order, shard =
     // floor(tokens-before / budget) — the greedy sequential packing before
     // writing training shards, computed as a TWO-LEVEL prefix sum (per-
