@@ -171,6 +171,71 @@ case class UnpackVector(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The ONE argmax kernel behind [[NearestCentroid]] and
+  * [[HierarchicalNearestCentroid]] (each level of the latter). The
+  * flat-vs-hierarchical and Spark-vs-oracle bit-exactness contracts all
+  * reduce to "every argmax runs THIS code": round-6 cosine
+  * (`BigDecimal.valueOf` HALF_UP — Spark's `round`), Spark SQL double
+  * ordering (NaN greatest), strict `>` in ascending scan order (ties →
+  * first/lowest id), length-mismatched centroids yield null similarity
+  * and never win.
+  */
+private[functions] object ArgmaxKernel {
+  def norms(cs: Array[Array[Double]]): Array[Double] = cs.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  // Spark SQL double ordering: NaN == NaN, NaN > any non-NaN
+  def sparkGt(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b
+
+  // Spark's round(x, 6) for DoubleType: BigDecimal.valueOf semantics
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Copy the input array to primitives and compute its norm. */
+  def decode(input: ArrayData, fromFloat: Boolean): (Array[Double], Double) = {
+    val n = input.numElements()
+    val v = new Array[Double](n)
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fromFloat) input.getFloat(i).toDouble else input.getDouble(i)
+      v(i) = x; nv += x * x; i += 1
+    }
+    (v, math.sqrt(nv))
+  }
+
+  /** Returns (winning index, its round-6 similarity, any-winner flag). */
+  def argmax(
+      v: Array[Double], vnorm: Double,
+      cs: Array[Array[Double]], ns: Array[Double]): (Int, Double, Boolean) = {
+    val n = v.length
+    var bestIdx = -1
+    var bestSim = -2.0
+    var found = false
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      if (cv.length == n) { // mismatched length -> null cosine -> never wins
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += v(d) * cv(d); d += 1 }
+        val s = round6(dot / (vnorm * ns(c)))
+        if (sparkGt(s, bestSim)) { bestSim = s; bestIdx = c; found = true }
+      }
+      c += 1
+    }
+    (bestIdx, bestSim, found)
+  }
+}
+
 /** The per-row nearest-centroid argmax for LARGE codebooks: the centroids
   * ride the expression as plain runtime arrays, referenced from generated
   * code via `addReferenceObj` — they ship to executors once inside the
@@ -210,52 +275,14 @@ case class NearestCentroid(child: Expression, cids: Array[Long], cents: Array[Ar
   private lazy val fromFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  @transient private lazy val norms: Array[Double] = cents.map { c =>
-    var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i) * c(i); i += 1 }
-    math.sqrt(s)
-  }
-
-  // Spark SQL double ordering: NaN == NaN, NaN > any non-NaN
-  private def sparkGt(a: Double, b: Double): Boolean =
-    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
-    else if (java.lang.Double.isNaN(b)) false
-    else a > b
-
-  // Spark's round(x, 6) for DoubleType: BigDecimal.valueOf semantics
-  private def round6(x: Double): Double =
-    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  @transient private lazy val norms: Array[Double] = ArgmaxKernel.norms(cents)
 
   /** The kernel, shared by interpreted eval and generated code. */
   def nearest(input: ArrayData): InternalRow = {
     if (input == null) return InternalRow(cids(0), null)
-    val n = input.numElements()
-    val v = new Array[Double](n)
-    var nv = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (fromFloat) input.getFloat(i).toDouble else input.getDouble(i)
-      v(i) = x; nv += x * x; i += 1
-    }
-    val vnorm = math.sqrt(nv)
-    var bestCid = -1L
-    var bestSim = -2.0
-    var found = false
-    var c = 0
-    while (c < cents.length) {
-      val cv = cents(c)
-      if (cv.length == n) { // mismatched length -> null cosine -> never wins
-        var dot = 0.0
-        var d = 0
-        while (d < n) { dot += v(d) * cv(d); d += 1 }
-        val s = round6(dot / (vnorm * norms(c)))
-        if (sparkGt(s, bestSim)) { bestSim = s; bestCid = cids(c); found = true }
-      }
-      c += 1
-    }
-    if (found) InternalRow(bestCid, bestSim) else InternalRow(cids(0), null)
+    val (v, vnorm) = ArgmaxKernel.decode(input, fromFloat)
+    val (idx, sim, found) = ArgmaxKernel.argmax(v, vnorm, cents, norms)
+    if (found) InternalRow(cids(idx), sim) else InternalRow(cids(0), null)
   }
 
   override def eval(input: InternalRow): Any =
@@ -321,57 +348,21 @@ case class HierarchicalNearestCentroid(
   private lazy val fromFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  private def normsOf(cs: Array[Array[Double]]): Array[Double] = cs.map { c =>
-    var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i) * c(i); i += 1 }
-    math.sqrt(s)
-  }
-  @transient private lazy val superNorms: Array[Double] = normsOf(supers)
-  @transient private lazy val childNorms: Array[Array[Double]] = childCents.map(normsOf)
+  @transient private lazy val superNorms: Array[Double] = ArgmaxKernel.norms(supers)
+  @transient private lazy val childNorms: Array[Array[Double]] =
+    childCents.map(ArgmaxKernel.norms)
 
-  private def sparkGt(a: Double, b: Double): Boolean =
-    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b)
-    else if (java.lang.Double.isNaN(b)) false
-    else a > b
-
-  private def round6(x: Double): Double =
-    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-    else java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
-  /** The kernel, shared by interpreted eval and generated code. */
+  /** The kernel, shared by interpreted eval and generated code — each
+    * level is one [[ArgmaxKernel.argmax]] call, so both levels carry the
+    * flat expression's semantics by construction.
+    */
   def nearest(input: ArrayData): InternalRow = {
     if (input == null) return InternalRow(childCids(0)(0), null)
-    val n = input.numElements()
-    val v = new Array[Double](n)
-    var nv = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (fromFloat) input.getFloat(i).toDouble else input.getDouble(i)
-      v(i) = x; nv += x * x; i += 1
-    }
-    val vnorm = math.sqrt(nv)
-    def argmax(ids: Array[Long], cs: Array[Array[Double]], ns: Array[Double]): (Int, Double, Boolean) = {
-      var bestIdx = -1
-      var bestSim = -2.0
-      var found = false
-      var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        if (cv.length == n) {
-          var dot = 0.0
-          var d = 0
-          while (d < n) { dot += v(d) * cv(d); d += 1 }
-          val s = round6(dot / (vnorm * ns(c)))
-          if (sparkGt(s, bestSim)) { bestSim = s; bestIdx = c; found = true }
-        }
-        c += 1
-      }
-      (bestIdx, bestSim, found)
-    }
-    val (si0, _, sFound) = argmax(sids, supers, superNorms)
+    val (v, vnorm) = ArgmaxKernel.decode(input, fromFloat)
+    val (si0, _, sFound) = ArgmaxKernel.argmax(v, vnorm, supers, superNorms)
     val si = if (sFound) si0 else 0
-    val (ci, sim, cFound) = argmax(childCids(si), childCents(si), childNorms(si))
+    val (ci, sim, cFound) =
+      ArgmaxKernel.argmax(v, vnorm, childCents(si), childNorms(si))
     if (cFound) InternalRow(childCids(si)(ci), sim)
     else InternalRow(childCids(si)(0), null)
   }

@@ -153,8 +153,8 @@ object Curation {
     val reserved = Seq("rate_ppm", "__full", "__frac") ++ (if (upsample) Seq("epoch") else Nil)
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
-      s"mixCorpus appends column(s) ${reserved.mkString(", ")} and would clobber " +
-        s"input column(s) ${clash.mkString(", ")} — rename them before mixing")
+      s"mixCorpus reserves column name(s) ${clash.mkString(", ")} and would " +
+        "clobber the input's — rename them before mixing")
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
       "mixCorpus targets must be non-negative weights")
     val wsum = targets.values.toSeq.sorted.sum // fixed fold order

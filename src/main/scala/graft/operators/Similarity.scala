@@ -383,7 +383,18 @@ object Similarity {
     */
   def trainKMeans(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 3): DataFrame = {
+      k: Int, iterations: Int = 3): DataFrame =
+    trainKMeansVia(corpus, idCol, vecCol, k, iterations, avg("x"))
+
+  /** The shared Lloyd loop — both trainers differ ONLY in the per-component
+    * mean expression over the exploded (cid, pos, x) rows, so the loop
+    * shape (lowest-id init for sparse/offset id spaces, narrow assignment,
+    * (cid, pos) aggregation, sorted reassembly) cannot silently diverge
+    * between them.
+    */
+  private def trainKMeansVia(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, componentMean: Column): DataFrame = {
     // the k lowest ids — explicit, so sparse/offset id spaces still yield k
     // centroids (filter(id < k) only worked for dense 0-based ids)
     var cent = corpus.orderBy(col(idCol)).limit(k)
@@ -393,7 +404,7 @@ object Similarity {
         .select(col("cell").as("cid"), col(vecCol))
       cent = assigned
         .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid", "pos").agg(componentMean.as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
     }
@@ -416,22 +427,10 @@ object Similarity {
     */
   def trainKMeansPortable(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 2): DataFrame = {
-    var cent = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
-    for (_ <- 1 to iterations) {
-      val assigned = assignCells(corpus, cent, idCol, vecCol)
-        .select(col("cell").as("cid"), col(vecCol))
-      cent = assigned
-        .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg((sum(round(col("x") * lit(1048576.0), 0).cast("long")).cast("double") /
-          (count(lit(1)).cast("double") * lit(1048576.0))).as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
-    }
-    cent
-  }
+      k: Int, iterations: Int = 2): DataFrame =
+    trainKMeansVia(corpus, idCol, vecCol, k, iterations,
+      sum(round(col("x") * lit(1048576.0), 0).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * lit(1048576.0)))
 
   /** Signed-random-projection (SRP) LSH for cosine ANN: signature bit i is
     * the sign of the dot product with a deterministic pseudo-random

@@ -52,14 +52,18 @@ object Sq {
       .filter(col("d") > 0)
       .groupBy("d").count()
       .orderBy(col("count").desc, col("d").desc)
-      .head().getInt(0)
+      .head(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "SQ training corpus is empty (no non-empty vectors)"))
+      .getInt(0)
+    // d came from a non-empty group, so the per-dimension aggregate below
+    // always has rows — no second emptiness check needed
     val rows = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .filter(size(col("v")) === d)
       .select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
       .collect()
-    require(rows.nonEmpty, "SQ training corpus is empty")
     val lo = new Array[Double](d)
     val hi = new Array[Double](d)
     rows.foreach { r =>
@@ -133,7 +137,11 @@ object Sq {
       idCol: String, vecCol: String, k: Int = 10, refine: Int = 4): DataFrame = {
     val bp = corpus.sparkSession.sparkContext.broadcast(params)
     val enc = encode(corpus, params, idCol, vecCol).filter(col("codes").isNotNull)
+    // malformed QUERY vectors drop like malformed corpus rows do (the ADC
+    // kernel indexes q(i) for i < dim — an unguarded null/short vector
+    // would fail the whole corpus scan, not one row)
     val q = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull && size(col("qv")) === params.dim)
     val wAdc = Window.partitionBy("query_id").orderBy(col("ad").desc, col(idCol))
     val cands = enc.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))

@@ -76,8 +76,13 @@ object CurationOps {
     // The oracle replays perplexity training, the composite key, the
     // single global running count, and the hash rule.
     QueryDef("q224_quality_mix", (s, dir) => {
+      // four uses of the bigram-census lineage (count, packShards' stats
+      // pass, its final pass, the bucket join) — past the repo's measured
+      // recompute-vs-checkpoint threshold (q219: three uses + write), so
+      // materialize once
       val ppl = graft.operators.TextAnalysis
         .lmPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint()
       val keyed = ppl.select(
         concat(lpad(round(col("ppl") * 10000).cast("long").cast("string"), 12, "0"),
           lpad(col("doc_id").cast("string"), 20, "0")).as("k"),
