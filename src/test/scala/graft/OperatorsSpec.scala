@@ -408,6 +408,16 @@ class OperatorsSpec extends AnyFunSuite {
     val flat = Sq.encode(Seq((1L, Array(1.0, 0.5))).toDF("vec_id", "embedding"),
       flatP, "vec_id", "embedding").collect().head.get(1).asInstanceOf[Array[Byte]]
     assert(flat.toSeq == Seq(0.toByte, 128.toByte))
+    // malformed QUERY vectors drop instead of failing the corpus scan: the
+    // null and wrong-dim queries vanish, the valid one still ranks
+    val queries = Seq(
+      (0L, e.filter(col("vec_id") === 7).select("embedding")
+        .as[Array[Float]].head().map(_.toDouble)),
+      (1L, null.asInstanceOf[Array[Double]]),
+      (2L, Array(1.0, 2.0, 3.0))).toDF("query_id", "qv")
+    val got = Sq.adcTopK(e, queries, params, "vec_id", "embedding", k = 3, refine = 4)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L), s"only the well-formed query may produce rows: $got")
   }
 
   test("PQ-ADC with re-ranking reaches >=60% recall@10 vs brute force") {
