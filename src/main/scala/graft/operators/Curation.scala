@@ -82,6 +82,15 @@ object Curation {
     * ≥ 1 token; normalize by n_tok downstream if a rate is wanted.
     */
   def dsirScores(df: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
+    // same reserved-name discipline as mixCorpus: the token stream and the
+    // census introduce internal columns, and an input already carrying one
+    // would shadow or misjoin silently (idCol == "w" makes the vocab join
+    // ambiguous; "n_tok"/"dsir_ppm" collide with the output)
+    val reservedDsir = Seq("w", "__t", "cr", "ct", "lr_ppm", "n_tok", "dsir_ppm")
+    val clashDsir = df.columns.toSeq.intersect(reservedDsir)
+    require(clashDsir.isEmpty,
+      s"dsirScores reserves column name(s) ${clashDsir.mkString(", ")} and would " +
+        "clobber or misjoin them; rename before scoring")
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"),
       isTarget.as("__t"))
     val census = toks.groupBy("w").agg(

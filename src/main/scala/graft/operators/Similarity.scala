@@ -208,20 +208,31 @@ object Similarity {
   /** [[clusterDedup]] over a CALLER-SUPPLIED codebook — the production
     * SemDeDup path: pass [[trainKMeansPortable]]'s (or [[trainKMeans]]'s)
     * centroids and the verify/survivor semantics are identical to the
-    * seeded form; only the bucketing quality changes. `hierarchical = true`
-    * routes the assignment through [[assignCellsHierarchical]] (O(√k)
-    * cosines per row instead of O(k)) — the right switch once k is
-    * corpus-scaled.
+    * seeded form; only the bucketing quality changes. `hierarchical` picks
+    * the assignment path: `Some(true)` routes through
+    * [[assignCellsHierarchical]] (O(√k) cosines per row instead of O(k)),
+    * `Some(false)` pins the flat argmax (for oracles replaying the flat
+    * form at a known k), and the DEFAULT `None` auto-selects — flat up to
+    * [[HierarchicalKThreshold]] centroids, hierarchical past it. The auto
+    * default exists because k is corpus-scaled in production (k ≈ n/64):
+    * a flat default there is O(n·k) = O(n²/64) cosines — the same
+    * default-parameter scale trap as a fixed seed count — while the
+    * measured 10× record has hierarchical 1.8× faster at corpus-scaled k
+    * with a deterministic, oracle-replayable two-level argmax.
     */
   def clusterDedupWith(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      centroids: DataFrame, hierarchical: Boolean = false): DataFrame = {
+      centroids: DataFrame, hierarchical: Option[Boolean] = None): DataFrame = {
     // materialize the assignment ONCE (a narrow O(n·k) pass) and join both
     // pair sides off it — halves the assignment work, and the truncated
     // lineage sidesteps Spark's Union constraint-rewrite tripping on a
-    // self-joined union plan (key-not-found on the union child's attrs)
+    // self-joined union plan (key-not-found on the union child's attrs).
+    // The auto decision needs k; the codebook is small by design (it is
+    // collected to the driver for the argmax fold anyway), so the count
+    // is a metadata-scale job, not a corpus pass.
+    val useHier = hierarchical.getOrElse(centroids.count() > HierarchicalKThreshold)
     val assigned = (
-      if (hierarchical) assignCellsHierarchical(corpus, centroids, idCol, vecCol)
+      if (useHier) assignCellsHierarchical(corpus, centroids, idCol, vecCol)
       else assignCells(corpus, centroids, idCol, vecCol)).localCheckpoint()
     def side(prefix: String) = assigned.select(
       col(idCol).as(s"${prefix}_id"), col("cell"), col(vecCol).as(s"__v$prefix"))
@@ -249,6 +260,15 @@ object Similarity {
     *
     * Returns a struct column with fields `cid` and `sim`.
     */
+  /** Past this many centroids the flat O(k)-cosines-per-row assignment is
+    * the dominant cost at corpus-scaled k, and [[clusterDedupWith]]'s auto
+    * default switches to the two-level O(√k) assignment. 256 keeps every
+    * small pinned-k oracle on the flat path (bit-replayable in one argmax)
+    * while any corpus big enough to train a 256+-cell codebook gets the
+    * scale-safe form without the caller reading a comment.
+    */
+  val HierarchicalKThreshold = 256
+
   /** Codebooks whose k·dim exceeds this leave the literal-fold plan for the
     * [[graft.functions.NearestCentroid]] reference-object expression: the
     * fold's plan/codegen size grows O(k·dim) (fine for real codebooks, k in

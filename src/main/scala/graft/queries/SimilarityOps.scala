@@ -165,7 +165,8 @@ object SimilarityOps {
       val cents = graft.operators.Similarity
         .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2)
       graft.operators.Similarity
-        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents)
+        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents,
+          hierarchical = Some(false)) // pinned flat: this oracle replays the one-level argmax
         .select("vec_id").orderBy("vec_id")
     }, Some(
       s"""WITH RECURSIVE
@@ -232,7 +233,7 @@ object SimilarityOps {
       val cents = graft.operators.Similarity
         .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2)
       graft.operators.Similarity
-        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents, hierarchical = true)
+        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents, hierarchical = Some(true))
         .select("vec_id").orderBy("vec_id")
     }, Some(
       s"""WITH RECURSIVE
@@ -407,7 +408,7 @@ object SimilarityOps {
       // append-mode versioned tables: wipe the scratch root so a warm
       // re-run (bench runs entries twice) starts from an empty loop state
       new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(root), true)
       val (idxRoot, quarantineRoot) = (s"$root/idx", s"$root/quarantine")
       graft.operators.IvfIndex.build(waveA, cent, "vec_id", "v", idxRoot)

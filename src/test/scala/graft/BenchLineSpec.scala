@@ -26,10 +26,15 @@ class BenchLineSpec extends AnyFunSuite {
   // the drain map rides the line again (round 17): budget with a
   // pessimistic 60-streaming-entry drain map, scattered ids (mostly
   // explicit NN: prefixes — the worst pack density)
-  private def simulatedDrain(n: Int): Seq[(String, Double)] =
-    simulatedWarm(230).zipWithIndex.collect {
+  private def simulatedDrain(n: Int): Seq[(String, Double)] = {
+    // draw from a pool wide enough that every-4th sampling still yields the
+    // requested n entries (230-wide gave only 58 of a requested 60)
+    val drain = simulatedWarm(4 * n).zipWithIndex.collect {
       case ((k, _), i) if i % 4 == 0 => k -> 99.99
     }.take(n)
+    assert(drain.size == n, s"drain sim produced ${drain.size} of $n entries")
+    drain
+  }
 
   // early-warning margin, not the contract: the pessimistic sim at the
   // CURRENT catalog (every value 3–4 digit cs, 60 drain entries) must keep

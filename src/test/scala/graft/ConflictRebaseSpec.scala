@@ -229,7 +229,7 @@ class ConflictRebaseSpec extends AnyFunSuite {
   }
 
   // Randomized-interleaving soak: a seeded shuffle of {append, COW delete,
-  // MoR upsert, changefeed-apply} ops races across 6 writers. Ops own
+  // MoR upsert, changefeed-apply} ops races across 5 writers. Ops own
   // disjoint KEY sets (so every interleaving is logically confluent — the
   // expected final state is unique) but deliberately share FILES (upserts,
   // changefeed updates and deletes all land in the same range files), so

@@ -513,6 +513,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(agree >= 0.5, s"two-level assignment should mostly match flat, got $agree")
   }
 
+  test("clusterDedupWith auto default: flat at small k, hierarchical past the threshold") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // small codebook (8 ≤ threshold): auto must take the flat path
+    val small = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+    assert(
+      survivors(Similarity.clusterDedupWith(e, "vec_id", "v", 0.95, small)) ==
+      survivors(Similarity.clusterDedupWith(e, "vec_id", "v", 0.95, small, Some(false))),
+      "auto with a small codebook must equal the pinned flat form")
+    // corpus-scaled codebook (300 > HierarchicalKThreshold): auto must take
+    // the two-level path — the default is scale-safe without the caller
+    // opting in
+    assert(Similarity.HierarchicalKThreshold == 256)
+    val big = e.orderBy(col("vec_id")).limit(300)
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+    assert(
+      survivors(Similarity.clusterDedupWith(e, "vec_id", "v", 0.95, big)) ==
+      survivors(Similarity.clusterDedupWith(e, "vec_id", "v", 0.95, big, Some(true))),
+      "auto with a corpus-scaled codebook must equal the pinned hierarchical form")
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
