@@ -99,6 +99,81 @@ object IvfIndex {
       .select(col("query_id"), col("rk"), col("id").as("neighbor_id"), col("sim"))
   }
 
+  /** [[build]] plus SQ8 codes ([[Sq]]) in the layout: each row stores its
+    * byte codes NEXT TO the packed vector, so a probe's scan set is the
+    * 4×-compressed codes column (parquet column pruning — the declared
+    * codes schema simply omits `vec`) and full vectors are read only for
+    * the exact re-rank. This is the compression the corpus-wide
+    * [[Sq.adcTopK]] scan lacks a layout for: at 100 TB the ADC pass reads
+    * nprobe/ncells of a d-BYTE column instead of the whole d-double corpus.
+    */
+  def buildSq(
+      corpus: DataFrame, centroids: DataFrame, params: Sq.SqParams,
+      idCol: String, vecCol: String, root: String,
+      keepVersions: Int = 3): String = {
+    val bp = corpus.sparkSession.sparkContext.broadcast(params)
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("cell"),
+        packVector(col(vecCol)).as("vec"),
+        Sq.codesUdf(bp)(col(vecCol).cast("array<double>")).as("sq"))
+    val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
+    VersionedTable.publish(
+      centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
+      centroidsRoot(root), keepVersions)
+    v
+  }
+
+  /** The distinct cell ids `queries` would probe at `nProbe` — the bounded
+    * driver round-trip (≤ ncells longs) every layout probe makes so
+    * listing pruning gets literal partition predicates. Public so callers
+    * and specs can reason about the planned slice.
+    */
+  def probedCells(
+      spark: SparkSession, root: String, queries: DataFrame, nProbe: Int): Seq[Long] =
+    Similarity.probeCells(queries, readCentroids(spark, root), nProbe)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+
+  /** The probed cells' CODES only — the declared schema omits `vec`, so
+    * the packed vectors never leave the files for the ADC scan.
+    */
+  def readCellCodes(spark: SparkSession, root: String, cells: Seq[Long]): DataFrame =
+    spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, cell BIGINT, sq BINARY")
+      .option("partitionColumns", "cell").load()
+      .filter(col("cell").isin(cells: _*))
+
+  /** SQ8 ADC top-k served from a [[buildSq]] layout: probe the nearest
+    * cells, scan ONLY those cells' codes column (listing pruning × column
+    * pruning), take top-(k·refine) per query by reconstructed cosine, then
+    * the exact re-rank reads the probed cells' full vectors for just the
+    * survivors. With `nProbe` ≥ ncells and `refine` past the corpus size
+    * this degenerates to the brute-force result — the exact-limit oracle
+    * that proves the plumbing; at production settings the scan set is the
+    * 4×-compressed codes of nprobe/ncells of the corpus.
+    */
+  def sqTopK(
+      spark: SparkSession, root: String, queries: DataFrame, params: Sq.SqParams,
+      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    val bp = spark.sparkContext.broadcast(params)
+    val q = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull && size(col("qv")) === params.dim)
+    val probes = Similarity.probeCells(q, readCentroids(spark, root), nProbe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val wAdc = Window.partitionBy("query_id").orderBy(col("ad").desc, col("id"))
+    val cands = readCellCodes(spark, root, cells)
+      .filter(col("sq").isNotNull)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("ad", Sq.adcUdf(bp)(col("qv"), col("sq")))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k.toLong * refine)
+      .select(col("query_id"), col("qv"), col("id"))
+    val vecs = readCells(spark, root, cells)
+      .select(col("id"), unpackVector(col("vec")).as("__v"))
+    Similarity.rerank(cands, vecs, "id", "__v", k)
+  }
+
   /** SEMANTIC ADMISSION served by the layout: check a new batch for
     * embedding near-dups against the published index, reading ONLY the
     * probed cells' partitions. The SRP admission gate

@@ -84,7 +84,7 @@ object Sq {
     if (c < 0) 0 else if (c > 255) 255 else c
   }
 
-  private def codesUdf(bp: org.apache.spark.broadcast.Broadcast[SqParams]) =
+  private[operators] def codesUdf(bp: org.apache.spark.broadcast.Broadcast[SqParams]) =
     udf { (v: Seq[Double]) =>
       val p = bp.value
       if (v == null || v.length != p.dim) null
@@ -108,7 +108,7 @@ object Sq {
   /** Approximate cosine of the exact query against the RECONSTRUCTED
     * candidate (asymmetric distance computation).
     */
-  private def adcUdf(bp: org.apache.spark.broadcast.Broadcast[SqParams]) =
+  private[operators] def adcUdf(bp: org.apache.spark.broadcast.Broadcast[SqParams]) =
     udf { (q: Seq[Double], codes: Array[Byte]) =>
       val p = bp.value
       var dot = 0.0

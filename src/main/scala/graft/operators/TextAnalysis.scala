@@ -379,13 +379,22 @@ object TextAnalysis {
     * replays the identical loop as a 30-level chained CTE in DuckDB,
     * byte-identical vocab.
     */
-  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 30): DataFrame = {
-    val spark = df.sparkSession
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int = 30): DataFrame =
+    bpeMergeLoop(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("wf")),
+      nMerges)
+
+  /** The shared census-driven merge loop behind [[bpeTrain]] (character
+    * symbols) and [[bpeTrainBytes]] (UTF-8-byte symbols): `cur0` is the
+    * weighted census as space-wrapped symbol strings `(s, wf)`; each round
+    * is one pair census over it plus a narrow merge rewrite.
+    */
+  private def bpeMergeLoop(cur0: DataFrame, nMerges: Int): DataFrame = {
+    val spark = cur0.sparkSession
     import spark.implicits._
-    var cur = df.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wf"))
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("wf"))
-      .localCheckpoint()
+    var cur = cur0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -479,6 +488,82 @@ object TextAnalysis {
     val wordIds = applied.select(col("w"),
       transform(split(trim(col("s")), "  "), sym => element_at(vocabCol, sym))
         .as("__tids"))
+    words.join(wordIds, "w")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wi"), col("__tids")))),
+        e => e("__tids"))).as("token_ids"))
+      .withColumn("n_bpe", size(col("token_ids")).cast("long"))
+  }
+
+  /** GPT-2-style pre-tokenization pattern for the BYTE-level tokenizer:
+    * contraction suffixes, optional-space-prefixed letter runs, digit
+    * runs, other-symbol runs, then whitespace runs. Deliberately drops the
+    * reference pattern's `\s+(?!\S)` trailing-space lookahead — RE2 (the
+    * oracle's regex engine) has no lookahead, and the simplified split is
+    * a valid pre-tokenizer in its own right (trailing spaces fold into the
+    * whitespace run instead of attaching to the next word). Whitespace is
+    * spelled as an explicit class because Java's `\s` and RE2's differ on
+    * vertical tab.
+    */
+  val BytePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\x0B\\p{L}\\p{N}]+|[ \\t\\n\\r\\f\\x0B]+"
+
+  private def pretokens(c: Column): Column =
+    regexp_extract_all(c, lit(BytePretokenPattern), lit(0))
+
+  /** A pre-token as a space-wrapped BYTE-symbol string: each UTF-8 byte
+    * becomes its lowercase two-hex-char symbol (`"é"` → `" c3  a9 "`).
+    * Merged symbols concatenate hex pairs — every symbol is an even-length
+    * hex string, so concatenation is uniquely decodable with no joiner,
+    * and symbols stay pure ASCII: the census tie-break and the merge
+    * replaces never meet a multi-byte character, which is what makes the
+    * Spark and DuckDB replays byte-identical on non-ASCII text.
+    */
+  private def byteSyms(c: Column): Column =
+    regexp_replace(lower(hex(c)), "(..)", " $1 ")
+
+  /** BYTE-LEVEL BPE vocabulary training — [[bpeTrain]]'s production
+    * sibling (the GPT-2/tiktoken family): the corpus pre-tokenizes with
+    * [[BytePretokenPattern]] (case preserved, leading space attached —
+    * unlike [[tokens]]' lowercased `[a-z0-9]+`), each pre-token unrolls to
+    * its UTF-8 byte symbols, and the merge loop runs unchanged over the
+    * Zipf-small pre-token census. Returns `(rank, lhs, rhs, merged, cnt)`
+    * with lhs/rhs/merged as lowercase hex byte strings.
+    */
+  def bpeTrainBytes(df: DataFrame, textCol: String, nMerges: Int = 30): DataFrame =
+    bpeMergeLoop(
+      df.select(explode(pretokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .select(byteSyms(col("w")).as("s"), col("wf")),
+      nMerges)
+
+  /** ENCODE TO TOKEN-ID SEQUENCES under a BYTE-level vocabulary
+    * ([[bpeTrainBytes]]' merges): ids follow the GPT-2 convention — a base
+    * symbol's id IS its byte value (0..255, no census-derived alphabet),
+    * merge of rank r gets `255 + r`, duplicate merged surfaces keep the
+    * earlier (smaller) id. Scale shape matches [[bpeEncodeIds]]: the merge
+    * chain applies once to the distinct pre-token census, base ids come
+    * from an inline hex→int conversion (no 256-entry literal), merged ids
+    * from an O(nMerges) literal map, and documents reassemble through one
+    * doc-key shuffle.
+    */
+  def bpeEncodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol), posexplode(pretokens(col(textCol))).as(Seq("__wi", "w")))
+    val census = words.select("w").distinct().withColumn("s", byteSyms(col("w")))
+    val applied = merges.foldLeft(census) { case (d, (a, b)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    val mergedIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      mergedIds.getOrElseUpdate(a + b, 256 + i)
+    }
+    val mergedMap = typedLit(mergedIds.toMap)
+    val wordIds = applied.select(col("w"),
+      transform(split(trim(col("s")), "  "), sym =>
+        when(length(sym) === 2, conv(sym, 16, 10).cast("int"))
+          .otherwise(element_at(mergedMap, sym))).as("__tids"))
     words.join(wordIds, "w")
       .groupBy(idCol)
       .agg(flatten(transform(

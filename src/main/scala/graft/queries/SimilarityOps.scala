@@ -544,6 +544,36 @@ object SimilarityOps {
          |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
          |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
 
+    // SQ8 OVER THE IVF LAYOUT (round 18): the 4×-compressed probe path —
+    // codes stored NEXT TO the packed vectors in the cell-partitioned
+    // index, the ADC scan reads only the probed cells' codes column
+    // (listing pruning × column pruning; IvfIndexSpec asserts both), full
+    // vectors touched only for the exact re-rank. Probing every cell with
+    // the refine window past the corpus size degenerates to brute force
+    // (q15's oracle), proving the layout plumbing end-to-end; production-
+    // setting recall is spec'd in IvfIndexSpec, the right check for a
+    // lossy scorer.
+    QueryDef("q228_ivf_sq8_exact_limit", (s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val params = graft.operators.Sq.train(e, "embedding")
+      val root = RelationalSupport.scratchDir(s, dir, "q228_ivfsq")
+      graft.operators.IvfIndex.buildSq(e, cent, params, "vec_id", "embedding", root)
+      val refine = (e.count() / K + 1).toInt
+      graft.operators.IvfIndex.sqTopK(s, root, q, params,
+        k = K, nProbe = NCells, refine = refine)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT query_id, vec_id, ${duckCos("qv", "v")} AS sim FROM q, c WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin)),
+
     // IVF-style ANN: fixed codebook (vec_id < NCells as centroids — a
     // deterministic stand-in for an offline k-means), nearest-cell assignment,
     // nprobe-limited probing, exact re-rank within probed cells.

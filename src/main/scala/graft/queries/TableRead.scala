@@ -224,6 +224,37 @@ object TableRead {
         |  CAST(min(o_orderdate) AS DATE) AS min_od, CAST(max(o_orderdate) AS DATE) AS max_od
         |FROM orders""".stripMargin)),
 
+    // GROUPED metadata-only aggregation (round 18): GROUP BY over the
+    // partition columns is served from directory values + footer
+    // statistics — one partial row per file, zero data pages (the
+    // "row counts per domain" census a 100 TB table answers constantly).
+    // RefTableSourceSpec asserts the PushedGroupBy plan and the
+    // non-partition-column fallback; the oracle recomputes from the raw
+    // table.
+    QueryDef("q227_grouped_agg_pushdown", (s, dir) => {
+      val out = RelationalSupport.scratchDir(s, dir, "q227_gaggpd")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderstatus", "o_orderpriority").parquet(out)
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema",
+          "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+            "o_orderstatus STRING, o_orderpriority STRING")
+        .option("partitionColumns", "o_orderstatus,o_orderpriority")
+        .load()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("n_cust"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          r4(min("o_totalprice")).as("min_tp"), r4(max("o_totalprice")).as("max_tp"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  round(min(o_totalprice), 4) AS min_tp, round(max(o_totalprice), 4) AS max_tp
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // bloom-filter semi-join reduction: the fact side is pre-filtered by a
     // Bloom filter of the selective dim side's keys (codegen'd
     // might_contain at the scan, before the join shuffle) — result must be

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization, quality
@@ -533,8 +534,53 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
           min("doc_id").as("lo"), max("doc_id").as("hi"))
         .orderBy("shard")
-    }, Some(TextOps.tokenizePackOracle(30, 4096L)))
+    }, Some(TextOps.tokenizePackOracle(30, 4096L))),
+
+    // BYTE-LEVEL BPE TRAINING (round 18): the production tokenizer family
+    // (GPT-2/tiktoken) — regex pre-tokenization (case kept, leading space
+    // attached, contractions split) and UTF-8 BYTE symbols, so vocabulary
+    // and ids are well-defined on any text. The corpus gets deterministic
+    // non-ASCII tails (accents, №, em-dash — 2- and 3-byte UTF-8) so the
+    // hash proves the multi-byte path; symbols are lowercase hex byte
+    // pairs (merges concatenate — uniquely decodable, pure ASCII, so the
+    // census tie-break can't diverge on collation). Oracle replays the
+    // identical pre-tokenizer (the pattern is lookahead-free for RE2) and
+    // the identical merge loop.
+    QueryDef("q225_bpe_byte_train", (s, dir) => {
+      graft.operators.TextAnalysis
+        .bpeTrainBytes(TextOps.byteCorpus(t(s, dir, "documents")), "text", nMerges = 30)
+        .orderBy("rank")
+    }, Some(TextOps.bpeTrainBytesOracle(30))),
+
+    // BYTE-LEVEL TOKEN-ID SEQUENCES (round 18): encode the augmented
+    // corpus under the byte vocabulary — base ids ARE the byte values
+    // (0..255, GPT-2 convention), merge rank r at 255 + r. Sampled
+    // documents explode to (doc_id, pos, tid) so the hash proves every
+    // sequence element, multi-byte characters included.
+    QueryDef("q226_bpe_byte_ids", (s, dir) => {
+      val docs = TextOps.byteCorpus(t(s, dir, "documents"))
+      val merges = graft.operators.TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.TextAnalysis.bpeEncodeIdsBytes(docs, "doc_id", "text", merges)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "tid")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tid").cast("long").as("tid"))
+        .orderBy("doc_id", "pos")
+    }, Some(TextOps.bpeByteIdsOracle(30)))
   )
+
+  /** The Spark side of [[byteCorpusCte]]: the same deterministic non-ASCII
+    * augmentation of the documents corpus.
+    */
+  def byteCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" café №"), col("doc_id").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" naïve—déjà vu")).otherwise(lit("")))
+        .as("text"))
 
   /** The q205 oracle: `nMerges` chained CTE levels, each computing the
     * round's pair census over the space-wrapped symbol strings, its best
@@ -664,7 +710,7 @@ object TextOps {
     * vocab row (`m$i`) — MATERIALIZED so the doubly-referenced chain
     * never inlines exponentially.
     */
-  private def bpeLevels(nMerges: Int): String = {
+  private def bpeLevels(nMerges: Int, w0: String = charW0): String = {
     val levels = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT unnest(list_transform(range(1, len(l)),
@@ -683,11 +729,100 @@ object TextOps {
          |  SELECT $i AS rank, split_part(pr, chr(9), 1) AS lhs,
          |    split_part(pr, chr(9), 2) AS rhs, cnt FROM b$i)""".stripMargin
     }
-    s"""w0 AS MATERIALIZED (
-       |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, wf FROM (
-       |    SELECT w, count(*) AS wf FROM (
-       |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-       |      FROM documents) GROUP BY w)),
+    s"""$w0,
        |${levels.mkString(",\n")}""".stripMargin
   }
+
+  /** The character-level `w0` census (q205 family): lowercased `[a-z0-9]+`
+    * words, one space-wrapped character symbol per char.
+    */
+  private def charW0: String =
+    """w0 AS MATERIALIZED (
+      |  SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS s, wf FROM (
+      |    SELECT w, count(*) AS wf FROM (
+      |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |      FROM documents) GROUP BY w))""".stripMargin
+
+  /** [[graft.operators.TextAnalysis.BytePretokenPattern]] as a DuckDB
+    * string literal (the contraction apostrophe doubles; RE2 reads the
+    * same escapes Java does for this pattern — no lookahead, explicit
+    * whitespace class).
+    */
+  private def bytePretokenSql: String =
+    "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\x0B\\p{L}\\p{N}]+|[ \\t\\n\\r\\f\\x0B]+"
+
+  /** The documents corpus with deterministic NON-ASCII augmentation — the
+    * byte-level entries must prove multi-byte UTF-8 handling and the
+    * synthetic corpus is pure ASCII, so both engines append the same
+    * accented/symbol/em-dash tails to the same rows.
+    */
+  private def byteCorpusCte: String =
+    """corpus AS MATERIALIZED (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' café №' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' naïve—déjà vu' ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  /** The byte-level `w0` census: regex pre-tokens (case kept, optional
+    * leading space attached), each unrolled to space-wrapped lowercase
+    * hex UTF-8-byte symbols.
+    */
+  private def byteW0: String =
+    s"""$byteCorpusCte,
+       |w0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(lower(hex(w)), '(..)', ' \\1 ', 'g') AS s, wf FROM (
+       |    SELECT w, count(*) AS wf FROM (
+       |      SELECT unnest(regexp_extract_all(text, '$bytePretokenSql')) AS w
+       |      FROM corpus) GROUP BY w))""".stripMargin
+
+  /** The q225 oracle: the byte-level merge loop — identical level
+    * machinery to q205 over the byte census.
+    */
+  def bpeTrainBytesOracle(nMerges: Int): String =
+    s"""WITH ${bpeLevels(nMerges, byteW0)}
+       |SELECT CAST(rank AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, cnt
+       |FROM (${(1 to nMerges).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")})
+       |ORDER BY rank""".stripMargin
+
+  /** A two-hex-char symbol's byte value, in pure SQL arithmetic (DuckDB
+    * has no base-16 `conv`).
+    */
+  private def duckHexByte(sym: String): String =
+    s"(strpos('0123456789abcdef', substr($sym, 1, 1)) - 1) * 16 + " +
+      s"strpos('0123456789abcdef', substr($sym, 2, 1)) - 1"
+
+  /** The q226 oracle: re-derive the byte vocabulary (base id = the byte
+    * value, merge rank r at 255 + r, duplicate merged surfaces keep the
+    * smallest id), segment the final census, reassemble each sampled
+    * document's id sequence by (pre-token position, symbol position).
+    */
+  def bpeByteIdsOracle(nMerges: Int): String =
+    s"""WITH ${bpeLevels(nMerges, byteW0)},
+       |vocab AS MATERIALIZED (
+       |  SELECT tok, MIN(tid) AS tid FROM (
+       |    SELECT lhs || rhs AS tok, 255 + rank AS tid
+       |    FROM (${(1 to nMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+       |  ) GROUP BY tok),
+       |syms AS MATERIALIZED (
+       |  SELECT w, u.j AS j, u.s AS sym FROM (
+       |    SELECT w, unnest(list_transform(range(1, len(l) + 1),
+       |      j -> {'j': j, 's': l[j]})) AS u
+       |    FROM (SELECT w, string_split(trim(s), '  ') AS l FROM w$nMerges))),
+       |wid AS MATERIALIZED (
+       |  SELECT sy.w, sy.j,
+       |    CASE WHEN length(sy.sym) = 2 THEN ${duckHexByte("sy.sym")}
+       |         ELSE v.tid END AS tid
+       |  FROM syms sy LEFT JOIN vocab v ON v.tok = sy.sym),
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(text, '$bytePretokenSql') AS ws
+       |          FROM corpus WHERE doc_id % 50 = 0))),
+       |seq AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) - 1 AS BIGINT) AS pos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM docw JOIN wid USING (w))
+       |SELECT doc_id, pos, tid FROM seq ORDER BY doc_id, pos""".stripMargin
 }

@@ -25,12 +25,26 @@ import org.apache.spark.sql.types._
   * that is 100k footer reads fanned out across the cluster and a
   * few-kilobyte shuffle.
   *
+  * GROUP BY pushdown (round 18): a grouping is accepted iff every group
+  * column is a DIRECTORY CONSTANT of every snapshot file — a current
+  * partition column, a since-removed one still carried by the file's own
+  * pv, or a hidden-partition gen column — verified per file against the
+  * pruned listing, because partition evolution makes pv presence a
+  * per-file fact. Each file then emits ONE partial row (its pv group
+  * values + its footer partials) and Spark's final aggregation merges and
+  * groups them: the "daily row counts per domain" census on a 100 TB
+  * table becomes a footer sweep plus a kilobyte-scale shuffle, zero data
+  * pages. Partial (not complete) pushdown is deliberate — multiple files
+  * share a group, and merging them source-side would centralize on the
+  * driver exactly the combine Spark already distributes.
+  *
   * Pushed only when exact-from-metadata is guaranteed: no filters (our
   * residual-filter contract means Spark blocks aggregate pushdown itself
-  * whenever a filter exists), no grouping, and only count / count(col) /
-  * min / max over numeric, boolean or date columns (string/binary stats
-  * can be truncated by writers; decimals and timestamps carry
-  * representation subtleties — those fall back to the normal scan).
+  * whenever a filter exists), grouping only on per-file directory
+  * constants as above, and only count / count(col) / min / max over
+  * numeric, boolean or date columns (string/binary stats can be truncated
+  * by writers; decimals and timestamps carry representation subtleties —
+  * those fall back to the normal scan).
   */
 object RefTableAggregates {
 
@@ -63,11 +77,30 @@ object RefTableAggregates {
       .filter(_ => !opts.genColumn.contains(field) && !opts.isPartitionCol(field))
       .map(f => (opts.storageColumn(field), f.dataType))
 
-  /** Validate a candidate aggregation; Some(specs) iff every aggregate is
-    * answerable exactly from footer statistics.
+  /** An accepted pushdown: the group columns (empty for the ungrouped
+    * form) and the aggregate specs, both positional.
     */
-  def accept(opts: RefTableOptions, agg: Aggregation): Option[Seq[AggSpec]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+  final case class PushedAgg(groupFields: Seq[StructField], specs: Seq[AggSpec])
+
+  /** Validate a candidate aggregation; Some iff every aggregate is
+    * answerable exactly from footer statistics and every group column is a
+    * directory constant of EVERY file in the pruned listing (checked
+    * against the listing because partition evolution makes pv presence
+    * per-file; the listing is metadata-scale and plan-time repeats it
+    * anyway).
+    */
+  def accept(opts: RefTableOptions, agg: Aggregation): Option[PushedAgg] = {
+    val groupFields = agg.groupByExpressions().toSeq.map { e =>
+      simpleCol(e).flatMap(n => opts.schema.fields.find(_.name == n))
+    }
+    if (groupFields.exists(_.isEmpty)) return None
+    if (groupFields.nonEmpty) {
+      val fields = groupFields.flatten
+      val files = SnapshotFiles.pruned(opts, Nil)
+      val servable = fields.forall(f =>
+        files.forall(file => RefTableColumnarReader.pvConst(opts, file.partitionValues, f)))
+      if (!servable) return None
+    }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarSpec)
       case c: Count if !c.isDistinct =>
@@ -80,26 +113,33 @@ object RefTableAggregates {
           .collect { case (col, dt) if statsExact(dt) => MaxSpec(col, dt) }
       case _ => None
     }
-    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+    if (specs.exists(_.isEmpty)) None
+    else Some(PushedAgg(groupFields.flatten, specs.flatten))
   }
 
-  /** Output schema of the partial rows, positionally matching the pushed
-    * aggregate list (Spark maps by position; min/max carry the declared
-    * field type, counts are longs).
+  /** Output schema of the partial rows: group columns FIRST (Spark's
+    * pushdown rewrite binds the first `groupBy.length` attributes as the
+    * group output), then the aggregate columns positionally (min/max carry
+    * the declared field type, counts are longs).
     */
-  def schemaOf(specs: Seq[AggSpec]): StructType = StructType(specs.map {
-    case CountStarSpec   => StructField("count(*)", LongType, nullable = false)
-    case CountSpec(c)    => StructField(s"count($c)", LongType, nullable = false)
-    case MinSpec(c, dt)  => StructField(s"min($c)", dt, nullable = true)
-    case MaxSpec(c, dt)  => StructField(s"max($c)", dt, nullable = true)
-  })
+  def schemaOf(pushed: PushedAgg): StructType = StructType(
+    pushed.groupFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+      pushed.specs.map {
+        case CountStarSpec   => StructField("count(*)", LongType, nullable = false)
+        case CountSpec(c)    => StructField(s"count($c)", LongType, nullable = false)
+        case MinSpec(c, dt)  => StructField(s"min($c)", dt, nullable = true)
+        case MaxSpec(c, dt)  => StructField(s"max($c)", dt, nullable = true)
+      })
 }
 
-class RefTableAggScan(opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSpec])
+class RefTableAggScan(opts: RefTableOptions, pushed: RefTableAggregates.PushedAgg)
     extends Scan {
-  override def readSchema(): StructType = RefTableAggregates.schemaOf(specs)
-  override def description(): String =
-    s"reftable(${opts.path}) PushedAggregates: [${specs.mkString(", ")}] (footer statistics only)"
+  override def readSchema(): StructType = RefTableAggregates.schemaOf(pushed)
+  override def description(): String = {
+    val grp = if (pushed.groupFields.isEmpty) ""
+      else s" PushedGroupBy: [${pushed.groupFields.map(_.name).mkString(", ")}]"
+    s"reftable(${opts.path}) PushedAggregates: [${pushed.specs.mkString(", ")}]$grp (footer statistics only)"
+  }
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val gen = if (opts.refreshMs <= 0) 0L else System.currentTimeMillis() / opts.refreshMs
@@ -113,22 +153,26 @@ class RefTableAggScan(opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSp
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new RefTableAggReaderFactory(opts, specs)
+      new RefTableAggReaderFactory(opts, pushed)
   }
 }
 
-class RefTableAggReaderFactory(opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSpec])
+class RefTableAggReaderFactory(opts: RefTableOptions, pushed: RefTableAggregates.PushedAgg)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RefTableAggFooterReader(opts, specs, partition.asInstanceOf[RefTableInputPartition])
+    new RefTableAggFooterReader(opts, pushed, partition.asInstanceOf[RefTableInputPartition])
 }
 
-/** Reads ONLY the footer of its file and emits one partial-aggregate row. */
+/** Reads ONLY the footer of its file and emits one partial-aggregate row
+  * (group columns from the file's directory values, then the partials).
+  */
 class RefTableAggFooterReader(
-    opts: RefTableOptions, specs: Seq[RefTableAggregates.AggSpec],
+    opts: RefTableOptions, pushed: RefTableAggregates.PushedAgg,
     partition: RefTableInputPartition)
     extends PartitionReader[InternalRow] {
   import RefTableAggregates._
+
+  private val specs = pushed.specs
 
   private var emitted = false
 
@@ -194,8 +238,16 @@ class RefTableAggFooterReader(
         case FloatType   => v.asInstanceOf[Number].floatValue()
         case _ => v
       }
-      val out = new GenericInternalRow(specs.length)
-      specs.zipWithIndex.foreach { case (spec, i) =>
+      val nGroup = pushed.groupFields.length
+      val out = new GenericInternalRow(nGroup + specs.length)
+      // group columns: this file's directory values at the declared type
+      // (accept() verified pv presence for every file; null directory =
+      // SQL NULL group, exactly what the real scan would feed the agg)
+      pushed.groupFields.zipWithIndex.foreach { case (f, i) =>
+        out.update(i,
+          RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType))
+      }
+      specs.zipWithIndex.map { case (s, i) => (s, nGroup + i) }.foreach { case (spec, i) =>
         spec match {
           case CountStarSpec =>
             out.update(i, blocks.map(_.getRowCount).sum)

@@ -285,7 +285,7 @@ class RefTableScanBuilder(opts: RefTableOptions)
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = opts.outputSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedAgg: Option[Seq[RefTableAggregates.AggSpec]] = None
+  private var pushedAgg: Option[RefTableAggregates.PushedAgg] = None
   private var pushedLimit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -331,7 +331,7 @@ class RefTableScanBuilder(opts: RefTableOptions)
         SnapshotFiles.resolveDir(opts.path, opts.version, new org.apache.hadoop.conf.Configuration()),
         new org.apache.hadoop.conf.Configuration())) return false
     RefTableAggregates.accept(opts, aggregation) match {
-      case Some(specs) => pushedAgg = Some(specs); true
+      case Some(p) => pushedAgg = Some(p); true
       case None => false
     }
   }
@@ -350,7 +350,7 @@ class RefTableScanBuilder(opts: RefTableOptions)
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(specs) => new RefTableAggScan(opts, specs)
+    case Some(p) => new RefTableAggScan(opts, p)
     case None => new RefTableScan(opts, required, pushed, pushedLimit)
   }
 }

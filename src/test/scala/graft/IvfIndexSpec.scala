@@ -96,6 +96,52 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("SQ8 over the layout: codes-only probe scan, pruned files, exact limit, recall") {
+    import graft.operators.Sq
+    val c = corpus(400)
+    val q = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val params = Sq.train(c, "embedding")
+    val root = tmpDir("sq")
+    IvfIndex.buildSq(c, centroids, params, "vec_id", "embedding", root)
+    // exact limit: every cell probed, refine past the corpus — must equal
+    // the brute-force top-k (plumbing: encode, pruned ADC scan, re-rank)
+    val exact = Similarity.cosineTopK(c, q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    val limit = IvfIndex.sqTopK(spark, root, q, params, k = 5, nProbe = 4, refine = 100)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(limit.nonEmpty && limit == exact,
+      "all-cells + unbounded refine must degenerate to brute force")
+    // production settings: recall@5 within the probed scope stays high at
+    // fixed refine (SQ8 fidelity), and both scans (codes + re-rank
+    // vectors) plan only the probed cells' files
+    val res = IvfIndex.sqTopK(spark, root, q, params, k = 5, nProbe = 2, refine = 4)
+    val got = res.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfExact = Similarity.ivfTopK(c, q, centroids, "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & ivfExact).size.toDouble / ivfExact.size
+    info(s"SQ8-over-IVF recall@5 (same probe scope) = $recall")
+    assert(recall >= 0.9, s"SQ8 ADC recall $recall too low at refine=4")
+    // plan: the probed subset's file count for each scan; the codes scan's
+    // schema must not contain the packed vector column
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "schema" -> "id BIGINT, cell BIGINT, vec BINARY, sq BINARY",
+      "partitionColumns" -> "cell").asJava))
+    val cells = IvfIndex.probedCells(spark, root, q, nProbe = 2)
+    val prunedFiles = SnapshotFiles.pruned(o,
+      Seq(org.apache.spark.sql.sources.In("cell", cells.map(_.asInstanceOf[Any]).toArray))).size
+    val codesDf = IvfIndex.readCellCodes(spark, root, cells)
+    val codeScans = codesDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitions.size == prunedFiles),
+      s"codes scan must plan only probed cells' files")
+    assert(codeScans.forall(!_.scan.readSchema().fieldNames.contains("vec")),
+      "the ADC scan must not read the packed vector column")
+  }
+
   test("admission gate plans only probed cells' files and matches the direct join") {
     import spark.implicits._
     val c = corpus(400)

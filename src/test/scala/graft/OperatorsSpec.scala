@@ -899,6 +899,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaIds == viaCounts, s"id-sequence lengths must equal bpeEncode counts: $viaIds vs $viaCounts")
   }
 
+  test("bpeTrainBytes/bpeEncodeIdsBytes: UTF-8 byte symbols, GPT-2 id convention, non-ASCII") {
+    import spark.implicits._
+    // pre-tokens keep case and the leading space; é is the two UTF-8 bytes
+    // c3 a9, space is 20, a is 61.
+    //   doc1 "aaa aaa" -> ["aaa", " aaa"]; doc2 "aaa é" -> ["aaa", " é"];
+    //   doc3 "é é"     -> ["é", " é"]
+    // round 1: (61,61) cnt 6 -> "6161"; round 2: tie (6161,61)=3 vs
+    // (c3,a9)=3 breaks on pair ASC -> "616161" cnt 3; round 3: (c3,a9)
+    // cnt 3 -> "c3a9"
+    val docs = Seq((1L, "aaa aaa"), (2L, "aaa é"), (3L, "é é")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "61", "61", "6161", 6L),
+      (2, "6161", "61", "616161", 3L),
+      (3, "c3", "a9", "c3a9", 3L)), got.toString)
+    // ids: base = the byte value (space=32), merges at 256/257/258
+    val merges = got.map(m => (m._2, m._3))
+    val ids = graft.operators.TextAnalysis
+      .bpeEncodeIdsBytes(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(ids == Seq(
+      (1L, Seq(257, 32, 257), 3L),
+      (2L, Seq(257, 32, 258), 3L),
+      (3L, Seq(258, 32, 258), 3L)), ids.toString)
+  }
+
   test("gopherRules: a column name needing backtick quoting works (no raw SQL interpolation)") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"the be to of and that have with word$i").mkString(" ")

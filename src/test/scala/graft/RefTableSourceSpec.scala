@@ -867,6 +867,36 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(filtered.collect().head.getLong(0) == 3L)
   }
 
+  test("grouped aggregate pushdown: GROUP BY partition columns served from pv + footer stats") {
+    val dir = Files.createTempDirectory("reftable_gaggpd_").toString
+    import spark.implicits._
+    // multiple files per partition (repartition 2 inside each color dir)
+    // and a NULL partition value (the __HIVE_DEFAULT_PARTITION__ dir)
+    Seq((1L, 10.0, "red"), (2L, 20.0, "red"), (3L, 5.0, "blue"),
+      (4L, 7.0, "blue"), (5L, -1.0, "red"), (6L, 3.0, null))
+      .toDF("id", "v", "color")
+      .repartition(2).write.mode("overwrite").partitionBy("color").parquet(dir)
+    def read() = spark.read.format("reftable")
+      .option("path", dir).option("schema", "id BIGINT, v DOUBLE, color STRING")
+      .option("partitionColumns", "color").load()
+    val df = read().groupBy("color")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("v").as("max_v"))
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PushedAggregates") && planStr.contains("PushedGroupBy"),
+      s"expected the grouped footer-statistics scan, got:\n$planStr")
+    val got = df.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (Some("red"), 3L, 1L, 20.0),
+      (Some("blue"), 2L, 3L, 7.0),
+      (None, 1L, 6L, 3.0)), got.toString)
+    // grouping by a non-partition column has no per-file constant: fall
+    // back to the real scan and still answer correctly
+    val nonPart = read().groupBy("id").agg(count(lit(1)).as("n"))
+    assert(!nonPart.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    assert(nonPart.collect().map(_.getLong(1)).sum == 6L)
+  }
+
   test("dynamic partition pruning: a join prunes the partitioned scan at runtime") {
     val dir = Files.createTempDirectory("reftable_dpp_").toString
     import spark.implicits._
