@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Targeted A/B runner: runs only the named queries, N times each, prints
-  * one JSON line {"name":[secs,...]}. Harness-only; never shipped.
+  * one JSON line {"name":[[secs,rows],...]}. Harness-only; never shipped.
+  *
+  * Rows ride along because a failing entry is FAST — an early round's A/B
+  * silently compared successful runs against runs that threw at
+  * `format("reftable")` resolution (a classes dir missing the
+  * DataSourceRegister service file, which `sbt compile` alone does not
+  * copy) and read the failure as a 2× regression. A timing whose run
+  * errored prints rows=-1 and must be discarded, never compared.
   */
 object BenchAB {
   def main(args: Array[String]): Unit = {
@@ -24,10 +31,12 @@ object BenchAB {
     val out = names.map { n =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val rows = try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[benchab] $n failed: ${e.getMessage}"); -1L }
+        ((System.nanoTime() - t0) / 1e9, rows)
       }
-      "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]"
+      "\"" + n + "\":[" + ts.map { case (t, r) => s"[${r3(t)},$r]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     println("ABLINE " + out)
     spark.stop()

@@ -42,7 +42,10 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
       case "gen" :: src :: out :: rest =>
-        gen(spark, src, out, rest.headOption.map(_.toInt).getOrElse(10))
+        val only = rest.collectFirst { case s if s.startsWith("only=") =>
+          s.stripPrefix("only=").split(',').toSet }
+        gen(spark, src, out,
+          rest.filterNot(_.startsWith("only=")).headOption.map(_.toInt).getOrElse(10), only)
       case "run" :: dir :: names :: Nil =>
         run(spark, dir, names.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       case other =>
@@ -51,7 +54,13 @@ object ScaleCheck {
     spark.stop()
   }
 
-  private def gen(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  /** `only`: replicate just these tables at `copies`×, copying the rest at
+    * base scale — the 100× spot check targets a handful of entries whose
+    * inputs are documents/embeddings, and writing 100× of every fact table
+    * would dominate the check's wall for tables no targeted entry reads.
+    */
+  private def gen(spark: SparkSession, src: String, out: String, copies: Int,
+      only: Option[Set[String]] = None): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // streaming entries symlink `events.parquet`/`documents.parquet` as
     // single FILES (the driver testdata shape) — keep those one-file
@@ -75,6 +84,7 @@ object ScaleCheck {
       keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(Off * i)))
     def replicate(t: String, keyCols: Seq[String],
         mutate: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (only.exists(!_.contains(t))) { write(t, read(t)); return }
       val base = read(t)
       val all = (0 until copies).map(i =>
         shifted(mutate(base, i), keyCols, i).select(base.columns.map(col).toIndexedSeq: _*))
@@ -103,8 +113,11 @@ object ScaleCheck {
         .withColumn("n_chars", length(col("text")).cast("long")))
     replicate("embeddings", Seq("vec_id"), (df, i) =>
       if (i == 0) df
+      // rotate by i mod d (element_at is 1-based) — valid for ANY copy
+      // count, unlike a slice by i which breaks past the dimension
       else df.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))")))
+        s"transform(sequence(0, size(embedding) - 1), " +
+          s"j -> element_at(embedding, ((j + $i) % size(embedding)) + 1))")))
     println(s"[scalecheck] generated ${copies}x of $src at $out")
   }
 
