@@ -72,7 +72,12 @@ object Plans {
     "q213_tokenize_pack", "q214_string_range_skip",
     "q215_trained_semdedup", "q216_hierarchical_semdedup",
     "q217_embed_admission", "q218_shuffle_pack", "q219_shard_write",
-    "q220_ivf_admission", "q222_ivf_admission_loop")
+    "q220_ivf_admission", "q222_ivf_admission_loop",
+    // round-18: the grouped metadata-only census (PushedGroupBy — zero
+    // data pages), the SQ8-over-IVF probe (codes-column scan over pruned
+    // cell listings), and the byte-level tokenizer's census train
+    "q227_grouped_agg_pushdown", "q228_ivf_sq8_exact_limit",
+    "q225_bpe_byte_train")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

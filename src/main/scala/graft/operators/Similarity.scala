@@ -368,7 +368,12 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     require(centRows.nonEmpty, "assignCellsHierarchical: empty codebook")
     val g = math.ceil(math.sqrt(centRows.size.toDouble)).toInt
-    val supers = trainKMeansPortable(cb, "cid", "cv", g, iterations = 1)
+    // the SUPER codebook always trains flat: the input is k centroid rows
+    // (driver-bounded), a flat pass is O(k·√k), and the oracle replay of
+    // every hierarchical entry pins the super construction to the flat
+    // one-iteration Lloyd form (auto-selecting here would also recurse)
+    val supers = trainKMeansPortable(cb, "cid", "cv", g, iterations = 1,
+      hierarchicalAssign = Some(false))
     val cmap = assignCells(
       cb.select(col("cid").as("__ccid"), col("cv").as("__cv")),
       supers, "__ccid", "__cv")
@@ -411,16 +416,29 @@ object Similarity {
     * shape (lowest-id init for sparse/offset id spaces, narrow assignment,
     * (cid, pos) aggregation, sorted reassembly) cannot silently diverge
     * between them.
+    *
+    * `hierarchicalAssign` routes each iteration's assignment through
+    * [[assignCellsHierarchical]]: at corpus-scaled k the TRAINING
+    * assignment is the same O(n·k) quadratic the two-level argmax removed
+    * from the final assignment — the round-18 100× spot check measured the
+    * flat-trained q216 at a second-decade exponent of 0.90 with the Lloyd
+    * passes dominating. Hierarchical training changes the learned
+    * centroids (deterministically — both levels are the r6 lowest-id-tie
+    * argmax, oracle-replayable), so entries whose oracles replay flat
+    * training pin `Some(false)`.
     */
   private def trainKMeansVia(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int, componentMean: Column): DataFrame = {
+      k: Int, iterations: Int, componentMean: Column,
+      hierarchicalAssign: Boolean = false): DataFrame = {
     // the k lowest ids — explicit, so sparse/offset id spaces still yield k
     // centroids (filter(id < k) only worked for dense 0-based ids)
     var cent = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
     for (_ <- 1 to iterations) {
-      val assigned = assignCells(corpus, cent, idCol, vecCol)
+      val assigned = (
+        if (hierarchicalAssign) assignCellsHierarchical(corpus, cent, idCol, vecCol)
+        else assignCells(corpus, cent, idCol, vecCol))
         .select(col("cell").as("cid"), col(vecCol))
       cent = assigned
         .select(col("cid"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
@@ -447,10 +465,12 @@ object Similarity {
     */
   def trainKMeansPortable(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 2): DataFrame =
+      k: Int, iterations: Int = 2,
+      hierarchicalAssign: Option[Boolean] = None): DataFrame =
     trainKMeansVia(corpus, idCol, vecCol, k, iterations,
       sum(round(col("x") * lit(1048576.0), 0).cast("long")).cast("double") /
-        (count(lit(1)).cast("double") * lit(1048576.0)))
+        (count(lit(1)).cast("double") * lit(1048576.0)),
+      hierarchicalAssign.getOrElse(k > HierarchicalKThreshold))
 
   /** Signed-random-projection (SRP) LSH for cosine ANN: signature bit i is
     * the sign of the dot product with a deterministic pseudo-random

@@ -163,7 +163,8 @@ object SimilarityOps {
       val corpus = plantedNearDupCorpus(s, dir)
       val k = math.max(16L, corpus.count() / 64).toInt
       val cents = graft.operators.Similarity
-        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2)
+        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2,
+          hierarchicalAssign = Some(false)) // pinned: the oracle replays flat Lloyd passes
       graft.operators.Similarity
         .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents,
           hierarchical = Some(false)) // pinned flat: this oracle replays the one-level argmax
@@ -231,7 +232,8 @@ object SimilarityOps {
       val corpus = plantedNearDupCorpus(s, dir)
       val k = math.max(16L, corpus.count() / 64).toInt
       val cents = graft.operators.Similarity
-        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2)
+        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2,
+          hierarchicalAssign = Some(false)) // pinned: this oracle replays flat Lloyd passes
       graft.operators.Similarity
         .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents, hierarchical = Some(true))
         .select("vec_id").orderBy("vec_id")
@@ -311,6 +313,28 @@ object SimilarityOps {
          |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
          |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
          |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin)),
+
+    // FULLY SCALE-SAFE SemDeDup (round 18): hierarchical assignment in
+    // BOTH the Lloyd training passes AND the final assignment — the
+    // round-18 100× spot check measured the flat-trained q216 at a
+    // second-decade exponent of 0.90 with the O(n·k)-per-iteration
+    // training dominating; this is the production path where every
+    // corpus-sized pass costs O(n·√k). Deterministic end to end (both
+    // argmax levels are the r6 lowest-id-tie rule, the super codebooks
+    // train flat over the driver-bounded centroid rows), so the oracle
+    // replays the ENTIRE construction: seeds, two hierarchical Lloyd
+    // iterations (super codebook + two-level argmax + portable means),
+    // the hierarchical final assignment, cell-scoped pairs, survivors.
+    QueryDef("q229_scaled_semdedup", (s, dir) => {
+      val corpus = plantedNearDupCorpus(s, dir)
+      val k = math.max(16L, corpus.count() / 64).toInt
+      val cents = graft.operators.Similarity
+        .trainKMeansPortable(corpus, "vec_id", "v", k, iterations = 2,
+          hierarchicalAssign = Some(true))
+      graft.operators.Similarity
+        .clusterDedupWith(corpus, "vec_id", "v", NearDupSim, cents, hierarchical = Some(true))
+        .select("vec_id").orderBy("vec_id")
+    }, Some(SimilarityOps.scaledSemdedupOracle)),
 
     // SEMANTIC ADMISSION (round 17): a new batch checked against the
     // corpus at the embedding level — the SemDeDup sibling of the q121
@@ -756,4 +780,87 @@ object SimilarityOps {
          |  FROM e2 CROSS JOIN cent) WHERE arn = 1)
          |SELECT vec_id AS id, cell FROM asgn ORDER BY id""".stripMargin))
   )
+
+  /** One hierarchical-assignment CTE block (the `assignCellsHierarchical`
+    * replay, shared verbatim with the hand-written q216 oracle's shape):
+    * super seeds = ⌈√|cent|⌉ lowest-cid centroids, one flat portable Lloyd
+    * iteration over the centroid rows builds the super codebook, each
+    * centroid maps to its super, supers with no children drop, each corpus
+    * row argmaxes supers then its super's children. Emits CTEs suffixed
+    * `_$tag`; the final `asg_$tag` carries (vec_id, v, cell).
+    */
+  private def hierAssignCtes(tag: String, cent: String, corpus: String): String =
+    s"""sup0_$tag AS MATERIALIZED (SELECT cid AS sid, cv AS sv FROM $cent ORDER BY cid
+       |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM $cent)),
+       |sa_$tag AS MATERIALIZED (
+       |  SELECT sid, cv FROM (
+       |    SELECT s.sid, t.cv, row_number() OVER (PARTITION BY t.cid
+       |      ORDER BY ${duckCos("t.cv", "s.sv")} DESC NULLS LAST, s.sid) AS rn
+       |    FROM $cent t, sup0_$tag s) WHERE rn = 1),
+       |sup1_$tag AS MATERIALIZED (
+       |  SELECT sid, list(m ORDER BY pos) AS sv FROM (
+       |    SELECT sid, u.p AS pos,
+       |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |        / (COUNT(*) * 1048576.0) AS m
+       |    FROM (SELECT sid, unnest(list_transform(range(1, len(cv) + 1),
+       |      p -> {'p': p, 'x': cv[p]})) AS u FROM sa_$tag)
+       |    GROUP BY sid, u.p) GROUP BY sid),
+       |cm_$tag AS MATERIALIZED (
+       |  SELECT cid, sid FROM (
+       |    SELECT t.cid, s.sid, row_number() OVER (PARTITION BY t.cid
+       |      ORDER BY ${duckCos("t.cv", "s.sv")} DESC NULLS LAST, s.sid) AS rn
+       |    FROM $cent t, sup1_$tag s) WHERE rn = 1),
+       |supl_$tag AS (SELECT sid, sv FROM sup1_$tag
+       |  WHERE sid IN (SELECT DISTINCT sid FROM cm_$tag)),
+       |rs_$tag AS MATERIALIZED (
+       |  SELECT vec_id, v, sid FROM (
+       |    SELECT c.vec_id, c.v, s.sid, row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${duckCos("c.v", "s.sv")} DESC NULLS LAST, s.sid) AS rn
+       |    FROM $corpus c, supl_$tag s) WHERE rn = 1),
+       |asg_$tag AS MATERIALIZED (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT r.vec_id, r.v, ct.cid AS cell, row_number() OVER (PARTITION BY r.vec_id
+       |      ORDER BY ${duckCos("r.v", "ct.cv")} DESC NULLS LAST, ct.cid) AS rn
+       |    FROM rs_$tag r JOIN cm_$tag m ON m.sid = r.sid
+       |      JOIN $cent ct ON ct.cid = m.cid) WHERE rn = 1)""".stripMargin
+
+  /** One hierarchical Lloyd iteration: [[hierAssignCtes]] against the
+    * current centroids, then the portable integer-quantized mean per cell
+    * (clusters that lose every member drop, exactly like the Scala loop).
+    */
+  private def hierTrainIter(tag: String, centIn: String, centOut: String): String =
+    s"""${hierAssignCtes(tag, centIn, "c")},
+       |$centOut AS MATERIALIZED (
+       |  SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT cell, u.p AS pos,
+       |      CAST(SUM(CAST(round(u.x * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |        / (COUNT(*) * 1048576.0) AS m
+       |    FROM (SELECT cell, unnest(list_transform(range(1, len(v) + 1),
+       |      p -> {'p': p, 'x': v[p]})) AS u FROM asg_$tag)
+       |    GROUP BY cell, u.p) GROUP BY cell)""".stripMargin
+
+  /** The q229 oracle: corpus-scaled seeds, TWO hierarchical Lloyd
+    * iterations, hierarchical final assignment, cell-scoped pairs, min-id
+    * survivors — the complete scale-safe SemDeDup replayed bit-exactly.
+    */
+  def scaledSemdedupOracle: String =
+    s"""WITH RECURSIVE
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planted AS (SELECT vec_id + $PlantOffset AS vec_id, [v[1] + 0.05] || v[2:] AS v FROM base),
+       |c AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |cent0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id
+       |  LIMIT (SELECT CAST(GREATEST(16, count(*) // 64) AS BIGINT) FROM c)),
+       |${hierTrainIter("t1", "cent0", "cent1")},
+       |${hierTrainIter("t2", "cent1", "cent2")},
+       |${hierAssignCtes("f", "cent2", "c")},
+       |pairs AS (SELECT a.vec_id a_id, b.vec_id b_id
+       |  FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${duckCos("a.v", "b.v")} >= $NearDupSim),
+       |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(u, label) AS (
+       |  SELECT vec_id, vec_id FROM c
+       |  UNION
+       |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+       |clusters AS (SELECT u, CAST(min(label) AS BIGINT) AS cluster_id FROM walk GROUP BY u)
+       |SELECT u AS vec_id FROM clusters WHERE u = cluster_id ORDER BY vec_id""".stripMargin
 }

@@ -500,13 +500,19 @@ object TextOps {
         .localCheckpoint()
       val packed = graft.operators.Curation.packShards(enc, "doc_id", "n_bpe", budget = 4096L)
       val out = RelationalSupport.scratchDir(s, dir, "q219_shards")
-      enc.join(packed.select("doc_id", "shard"), "doc_id")
-        .select(col("doc_id"), col("token_ids"), col("n_bpe"), col("shard"))
-        // co-locate each shard before the dynamic-partition write: without
-        // this every task touches every shard dir (tasks × shards small
-        // files — measured 5.7× wall at 10×); with it, one file per shard
-        .repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      graft.sources.reftable.VersionedTable.publishPartitioned(
+        enc.join(packed.select("doc_id", "shard"), "doc_id")
+          .select(col("doc_id"), col("token_ids"), col("n_bpe"), col("shard"))
+          // co-locate each shard before the dynamic-partition write: without
+          // this every task touches every shard dir (tasks × shards small
+          // files — measured 5.7× wall at 10×); with it, one file per shard
+          .repartition(col("shard")),
+        // versioned (manifest-listed) root, NOT a bare partitionBy write:
+        // a fixed token budget means shard COUNT scales with the corpus,
+        // and the bare-Hive read path refuses >4096 directories by design
+        // (per-refresh driver re-walk) — the 100x spot check hit exactly
+        // that guard. The manifest lists any shard count in one read.
+        out, Seq("shard"))
       s.read.format("reftable")
         .option("path", out)
         .option("schema", "doc_id BIGINT, token_ids ARRAY<INT>, n_bpe BIGINT, shard INT")

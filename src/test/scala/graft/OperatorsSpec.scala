@@ -537,6 +537,35 @@ class OperatorsSpec extends AnyFunSuite {
       "auto with a corpus-scaled codebook must equal the pinned hierarchical form")
   }
 
+  test("trainKMeansPortable auto default: flat at small k, hierarchical past the threshold") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    // small k: auto must train with flat Lloyd assignment
+    assert(
+      cents(Similarity.trainKMeansPortable(e, "vec_id", "v", k = 8, iterations = 2)) ==
+      cents(Similarity.trainKMeansPortable(e, "vec_id", "v", k = 8, iterations = 2,
+        hierarchicalAssign = Some(false))),
+      "auto at small k must equal pinned flat training")
+    // corpus-scaled k (300 > threshold): auto must train hierarchically —
+    // the Lloyd passes are the O(n·k) term the 100× check caught
+    val auto = cents(Similarity.trainKMeansPortable(e, "vec_id", "v", k = 300, iterations = 2))
+    assert(auto ==
+      cents(Similarity.trainKMeansPortable(e, "vec_id", "v", k = 300, iterations = 2,
+        hierarchicalAssign = Some(true))),
+      "auto at corpus-scaled k must equal pinned hierarchical training")
+    // and hierarchical training genuinely differs from flat (it is an
+    // approximation, not a re-derivation) while staying deterministic
+    val flat = cents(Similarity.trainKMeansPortable(e, "vec_id", "v", k = 300, iterations = 2,
+      hierarchicalAssign = Some(false)))
+    assert(auto != flat, "the two training paths are distinct constructions")
+    val again = cents(Similarity.trainKMeansPortable(
+      e.repartition(11), "vec_id", "v", k = 300, iterations = 2,
+      hierarchicalAssign = Some(true)))
+    assert(auto == again, "hierarchical training must be byte-stable under any partitioning")
+  }
+
   test("SRP-LSH reaches >=60% recall@10 vs brute force and is far smaller than all-pairs") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
