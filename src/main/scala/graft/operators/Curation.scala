@@ -274,12 +274,27 @@ object Curation {
       df: DataFrame, idCol: String, weightCol: String, budget: Long,
       numParts: Int = 32): DataFrame = {
     require(budget > 0, "packShards needs a positive token budget")
-    val weighted = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+    withPrefixBefore(
+      df.select(col(idCol), col(weightCol).cast("long").as("__w")),
+      idCol, col("__w"), numParts)
+      .select(col(idCol), col("__w").as("n_tok"),
+        floor(col("__before") / budget).cast("int").as("shard"))
+  }
+
+  /** `df` + a `__before` column = the exclusive running sum of `weight` in
+    * `idCol` order — the shared two-level distributed prefix sum behind
+    * [[packShards]] and [[packSequences]]. Carries every input column
+    * through (plus `__w` = the evaluated weight), so callers can thread
+    * payloads (token-id arrays) alongside their offsets.
+    */
+  private def withPrefixBefore(
+      df: DataFrame, idCol: String, weight: Column, numParts: Int): DataFrame = {
+    val weighted = df.withColumn("__w", weight.cast("long"))
     // one pass: per-range-partition weight sum + max id. Only this job
     // sees the sampled RangePartitioner; its boundaries are captured as
     // data (max id per partition) and everything downstream derives from
     // those values, so partitioner nondeterminism cannot leak.
-    val stats = weighted
+    val stats = weighted.select(col(idCol), col("__w"))
       .repartitionByRange(numParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .groupBy("__pid").agg(sum("__w").as("s"), max(col(idCol)).as("hi"))
@@ -303,7 +318,41 @@ object Curation {
       .withColumn("__pid", when(col(idCol).isNull, lit(firstPid)).otherwise(pidExpr))
       .withColumn("__before",
         offsetOf(col("__pid")) + sum("__w").over(w) - col("__w"))
-      .select(col(idCol), col("__w").as("n_tok"),
-        floor(col("__before") / budget).cast("int").as("shard"))
+      .drop("__pid")
+  }
+
+  /** Pack per-document token-id arrays into FIXED-LENGTH training
+    * examples — the context-window packing step between tokenization and
+    * the training loop: documents concatenate in `idCol` order into one
+    * global token stream, which splits into ⌈total/seqLen⌉ windows of
+    * exactly `seqLen` tokens (the last may be short; windows CROSS
+    * document boundaries, the standard pretraining shape). Returns
+    * (example_id, token_ids, n_tok).
+    *
+    * Scale shape: the per-document offsets come from the shared two-level
+    * prefix sum (no global window), each token maps to its example by
+    * pure arithmetic in one narrow explode, and examples reassemble
+    * through ONE shuffle on example_id — total work O(total tokens),
+    * deterministic for a given `numParts`, engine-replayable (the oracle
+    * recomputes the same global positions as one running sum).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, idsCol: String, seqLen: Int,
+      numParts: Int = 32): DataFrame = {
+    require(seqLen > 0, "packSequences needs a positive sequence length")
+    val pre = withPrefixBefore(
+      df.select(col(idCol), col(idsCol).as("__ids")),
+      idCol, size(col("__ids")).cast("long"), numParts)
+    pre
+      .select(col("__before"), posexplode(col("__ids")).as(Seq("__j", "__tid")))
+      .select(
+        expr(s"(__before + __j) div $seqLen").as("example_id"),
+        ((col("__before") + col("__j")) % seqLen).cast("int").as("__pos"),
+        col("__tid"))
+      .groupBy("example_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+        s => s("__tid")).as("token_ids"))
+      .withColumn("n_tok", size(col("token_ids")))
   }
 }

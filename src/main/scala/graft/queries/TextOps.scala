@@ -574,8 +574,56 @@ object TextOps {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("tid").cast("long").as("tid"))
         .orderBy("doc_id", "pos")
-    }, Some(TextOps.bpeByteIdsOracle(30)))
+    }, Some(TextOps.bpeByteIdsOracle(30))),
+
+    // CONTEXT-WINDOW PACKING (round 18): the step between tokenization and
+    // the training loop — documents concatenate in doc_id order into one
+    // global token stream that splits into fixed 2048-token examples
+    // (windows CROSS document boundaries; the last is short). Offsets come
+    // from the shared two-level prefix sum (no global window), tokens map
+    // to examples by arithmetic, examples reassemble via ONE shuffle.
+    // Every example is checked: length, id mass, and a position-weighted
+    // mass that pins elementwise ORDER — the oracle recomputes the same
+    // global positions as a single running row_number in DuckDB.
+    QueryDef("q230_context_pack", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+      graft.operators.Curation.packSequences(enc, "doc_id", "token_ids", seqLen = 2048)
+        .select(col("example_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("id_mass"),
+          aggregate(
+            zip_with(col("token_ids"), sequence(lit(1), size(col("token_ids"))),
+              (t, i) => t.cast("long") * i),
+            lit(0L), (a, x) => a + x).as("ord_mass"))
+        .orderBy("example_id")
+    }, Some(TextOps.contextPackOracle(30, 2048)))
   )
+
+  /** The q230 oracle: the q212 vocabulary/segmentation chain over ALL
+    * documents, one global running row_number for token positions, then
+    * per-example length / id mass / position-weighted mass.
+    */
+  def contextPackOracle(nMerges: Int, seqLen: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |${bpeVocabCtes(nMerges)},
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |          FROM documents))),
+       |seq AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM docw JOIN wid USING (w))
+       |SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
+       |  CAST(sum(tid) AS BIGINT) AS id_mass,
+       |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
+       |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The Spark side of [[byteCorpusCte]]: the same deterministic non-ASCII
     * augmentation of the documents corpus.

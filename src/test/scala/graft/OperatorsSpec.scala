@@ -731,6 +731,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: fixed windows cross doc boundaries, order exact, layout-stable") {
+    import spark.implicits._
+    // global stream [1..9] with an empty doc in the middle; L=4 →
+    // examples 0:[1,2,3,4] 1:[5,6,7,8] 2:[9] (the short tail)
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq.empty[Int]), (4L, Seq(6, 7, 8, 9)))
+      .toDF("doc_id", "token_ids")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.packSequences(df, "doc_id", "token_ids", seqLen = 4)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
+        .sortBy(_._1).toSeq
+    val got = run(docs)
+    assert(got == Seq(
+      (0L, Seq(1, 2, 3, 4), 4),
+      (1L, Seq(5, 6, 7, 8), 4),
+      (2L, Seq(9), 1)), got.toString)
+    // deterministic under any incoming layout (the two-level prefix sum
+    // bakes range boundaries as data, not partitioner state)
+    assert(run(docs.repartition(7)) == got)
+    // a larger randomized stream equals the serial concatenation exactly
+    val rnd = new scala.util.Random(11)
+    val big = (0L until 300L).map(i => (i, Seq.fill(rnd.nextInt(20))(rnd.nextInt(1000))))
+    val serial = big.sortBy(_._1).flatMap(_._2)
+    val packed = run(big.toDF("doc_id", "token_ids"))
+    assert(packed.flatMap(_._2) == serial, "concatenation order must be exact")
+    assert(packed.init.forall(_._3 == 4) &&
+      packed.map(_._1) == packed.indices.map(_.toLong),
+      "every example except the tail is exactly seqLen; ids are dense")
+  }
+
   test("assignSplits is exhaustive, proportional, and stable under corpus growth") {
     import spark.implicits._
     val small = (0L until 2000L).map(i => (i, s"d$i")).toDF("id", "s")
