@@ -43,7 +43,19 @@ object ScaleCheck {
     args.toList match {
       case "gen" :: src :: out :: rest =>
         val only = rest.collectFirst { case s if s.startsWith("only=") =>
-          s.stripPrefix("only=").split(',').toSet }
+          s.stripPrefix("only=").split(',').map(_.trim).filter(_.nonEmpty).toSet }
+        // a typo'd table name would silently copy the "targeted" table at
+        // base scale and the spot check would measure flat scaling of 1×
+        // inputs — the same silent-wrong-measurement class BenchAB's
+        // rows=-1 guard exists for
+        val replicable = Set("customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+        only.foreach { o =>
+          val unknown = o.diff(replicable)
+          require(unknown.isEmpty,
+            s"ScaleCheck gen only=: unknown table(s) ${unknown.mkString(", ")}; " +
+              s"replicable tables are ${replicable.toSeq.sorted.mkString(", ")}")
+        }
         gen(spark, src, out,
           rest.filterNot(_.startsWith("only=")).headOption.map(_.toInt).getOrElse(10), only)
       case "run" :: dir :: names :: Nil =>

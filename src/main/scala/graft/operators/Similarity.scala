@@ -223,17 +223,23 @@ object Similarity {
   def clusterDedupWith(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       centroids: DataFrame, hierarchical: Option[Boolean] = None): DataFrame = {
-    // materialize the assignment ONCE (a narrow O(n·k) pass) and join both
-    // pair sides off it — halves the assignment work, and the truncated
-    // lineage sidesteps Spark's Union constraint-rewrite tripping on a
-    // self-joined union plan (key-not-found on the union child's attrs).
-    // The auto decision needs k; the codebook is small by design (it is
-    // collected to the driver for the argmax fold anyway), so the count
-    // is a metadata-scale job, not a corpus pass.
-    val useHier = hierarchical.getOrElse(centroids.count() > HierarchicalKThreshold)
+    // materialize the CODEBOOK first: it usually carries an expensive
+    // lineage (a full k-means training, or a corpus-wide TakeOrdered for
+    // seeds), and below it is evaluated more than once — the auto
+    // decision's count, then the assignment path's own collects. Without
+    // the checkpoint the count() alone re-runs the whole training
+    // (review-wave finding: the default production path paid training
+    // twice); after it, every re-read is k rows.
+    val cb = centroids.localCheckpoint()
+    val useHier = hierarchical.getOrElse(cb.count() > HierarchicalKThreshold)
+    // materialize the assignment ONCE (a narrow O(n·√k..k) pass) and join
+    // both pair sides off it — halves the assignment work, and the
+    // truncated lineage sidesteps Spark's Union constraint-rewrite
+    // tripping on a self-joined union plan (key-not-found on the union
+    // child's attrs)
     val assigned = (
-      if (useHier) assignCellsHierarchical(corpus, centroids, idCol, vecCol)
-      else assignCells(corpus, centroids, idCol, vecCol)).localCheckpoint()
+      if (useHier) assignCellsHierarchical(corpus, cb, idCol, vecCol)
+      else assignCells(corpus, cb, idCol, vecCol)).localCheckpoint()
     def side(prefix: String) = assigned.select(
       col(idCol).as(s"${prefix}_id"), col("cell"), col(vecCol).as(s"__v$prefix"))
     val pairs = side("a").join(side("b"), Seq("cell"))
@@ -249,27 +255,28 @@ object Similarity {
       Seq(idCol), "left_semi")
   }
 
-  /** The per-row argmax over a codebook, as a single narrow projection: the
-    * centroids (inherently small — a codebook is k vectors by design) are
-    * folded into a literal array of (cid, cv) structs ordered by cid, and
-    * `aggregate()` keeps the best (sim, cid) as it scans. Strict `>` over the
-    * cid-ordered array gives the lowest cid on ties — the same rule as a
-    * `row_number() OVER (ORDER BY sim DESC, cid)` argmax, with NO Exchange:
-    * the corpus-wide window shuffle the naive formulation pays is gone, and
-    * the pipeline stays narrow until the probe join.
-    *
-    * Returns a struct column with fields `cid` and `sim`.
-    */
   /** Past this many centroids the flat O(k)-cosines-per-row assignment is
-    * the dominant cost at corpus-scaled k, and [[clusterDedupWith]]'s auto
-    * default switches to the two-level O(√k) assignment. 256 keeps every
-    * small pinned-k oracle on the flat path (bit-replayable in one argmax)
-    * while any corpus big enough to train a 256+-cell codebook gets the
-    * scale-safe form without the caller reading a comment.
+    * the dominant cost at corpus-scaled k, and the auto defaults of
+    * [[clusterDedupWith]] and [[trainKMeansPortable]] switch to the
+    * two-level O(√k) assignment. 256 keeps every small pinned-k oracle on
+    * the flat path (bit-replayable in one argmax) while any corpus big
+    * enough to train a 256+-cell codebook gets the scale-safe form without
+    * the caller reading a comment.
     */
   val HierarchicalKThreshold = 256
 
-  /** Codebooks whose k·dim exceeds this leave the literal-fold plan for the
+  /** The per-row argmax over a codebook ([[bestCentroidVia]]), as a single
+    * narrow projection: the centroids (inherently small — a codebook is k
+    * vectors by design) are folded into a literal array of (cid, cv)
+    * structs ordered by cid, and `aggregate()` keeps the best (sim, cid)
+    * as it scans. Strict `>` over the cid-ordered array gives the lowest
+    * cid on ties — the same rule as a `row_number() OVER (ORDER BY sim
+    * DESC, cid)` argmax, with NO Exchange: the corpus-wide window shuffle
+    * the naive formulation pays is gone, and the pipeline stays narrow
+    * until the probe join. Returns a struct column with fields `cid` and
+    * `sim`.
+    *
+    * Codebooks whose k·dim exceeds this leave the literal-fold plan for the
     * [[graft.functions.NearestCentroid]] reference-object expression: the
     * fold's plan/codegen size grows O(k·dim) (fine for real codebooks, k in
     * the hundreds; pathological past tens of thousands), the expression's

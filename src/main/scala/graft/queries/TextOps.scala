@@ -590,7 +590,11 @@ object TextOps {
       val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // materialize the encode ONCE: packSequences' driver-side range-stats
+      // collect would otherwise re-run the full census-join encode before
+      // the real job (the q219 lesson, same shape)
       val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+        .localCheckpoint()
       graft.operators.Curation.packSequences(enc, "doc_id", "token_ids", seqLen = 2048)
         .select(col("example_id"),
           col("n_tok").cast("long").as("n_tok"),

@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   *
   * GROUP BY pushdown (round 18): a grouping is accepted iff every group
   * column is a DIRECTORY CONSTANT of every snapshot file — a current
-  * partition column, a since-removed one still carried by the file's own
-  * pv, or a hidden-partition gen column — verified per file against the
-  * pruned listing, because partition evolution makes pv presence a
-  * per-file fact. Each file then emits ONE partial row (its pv group
+  * partition column, or a since-removed one still carried by the file's
+  * own pv — verified per file against the pruned listing, because
+  * partition evolution makes pv presence a per-file fact. (Generated and
+  * hidden-transform columns are NOT servable here: a gen column is
+  * synthesized at read time and a hidden-transform directory never
+  * masquerades as a schema field — both fall back to the real scan.) Each file then emits ONE partial row (its pv group
   * values + its footer partials) and Spark's final aggregation merges and
   * groups them: the "daily row counts per domain" census on a 100 TB
   * table becomes a footer sweep plus a kilobyte-scale shuffle, zero data
@@ -241,11 +243,18 @@ class RefTableAggFooterReader(
       val nGroup = pushed.groupFields.length
       val out = new GenericInternalRow(nGroup + specs.length)
       // group columns: this file's directory values at the declared type
-      // (accept() verified pv presence for every file; null directory =
-      // SQL NULL group, exactly what the real scan would feed the agg)
+      // (null directory = SQL NULL group, exactly what the real scan would
+      // feed the agg). accept() verified pv presence against ITS listing,
+      // but a refresh-mode plan re-lists — a file published without the
+      // group directory between accept and plan must fail loudly, not
+      // NoSuchElementException mid-scan or silently mis-group
       pushed.groupFields.zipWithIndex.foreach { case (f, i) =>
-        out.update(i,
-          RefTablePartitioning.catalystValue(partition.partitionValues(f.name), f.dataType))
+        val raw = partition.partitionValues.getOrElse(f.name,
+          throw new IllegalStateException(
+            s"reftable: file ${partition.path} carries no '${f.name}' directory value; " +
+              "the snapshot changed between aggregate acceptance and planning — " +
+              "re-run the query (the new plan will decline the pushdown)"))
+        out.update(i, RefTablePartitioning.catalystValue(raw, f.dataType))
       }
       specs.zipWithIndex.map { case (s, i) => (s, nGroup + i) }.foreach { case (spec, i) =>
         spec match {
