@@ -294,11 +294,27 @@ object Curation {
     // sees the sampled RangePartitioner; its boundaries are captured as
     // data (max id per partition) and everything downstream derives from
     // those values, so partitioner nondeterminism cannot leak.
-    val stats = weighted.select(col(idCol), col("__w"))
+    //
+    // The same pass ENFORCES idCol uniqueness (and non-nullness): the
+    // running sum below orders by idCol, and the window's default RANGE
+    // frame gives duplicate ids identical __before — overlapping offsets,
+    // nondeterministically ordered output. Range partitioning co-locates
+    // equal keys, so per-partition count(*) == count(DISTINCT id) is an
+    // exact global check, paid inside the aggregation this pass already
+    // runs (a null id also trips it: count(*) counts nulls, countDistinct
+    // does not).
+    val rawStats = weighted.select(col(idCol), col("__w"))
       .repartitionByRange(numParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .groupBy("__pid").agg(sum("__w").as("s"), max(col(idCol)).as("hi"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.get(2))).sortBy(_._1)
+      .groupBy("__pid").agg(sum("__w").as("s"), max(col(idCol)).as("hi"),
+        count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd"))
+      .collect()
+    val dups = rawStats.filter(r => r.getLong(3) != r.getLong(4))
+    require(dups.isEmpty,
+      s"prefix-sum order column '$idCol' must be unique and non-null: " +
+        s"${dups.map(r => s"partition ${r.getInt(0)} has ${r.getLong(3)} rows " +
+          s"but ${r.getLong(4)} distinct ids").mkString("; ")}")
+    val stats = rawStats.map(r => (r.getInt(0), r.getLong(1), r.get(2))).sortBy(_._1)
     val exclusive = stats.scanLeft((0, 0L)) { case ((_, acc), (pid, s, _)) => (pid, acc + s) }
       .init.map(_._2) // offset for partition i = sum of partitions < i
     val offsetOf = map(stats.map(_._1).zip(exclusive).flatMap {
@@ -340,9 +356,18 @@ object Curation {
       df: DataFrame, idCol: String, idsCol: String, seqLen: Int,
       numParts: Int = 32): DataFrame = {
     require(seqLen > 0, "packSequences needs a positive sequence length")
+    // A null token-id array must fail LOUDLY: under Spark's default config
+    // size(NULL) = -1, which would silently shift every later document's
+    // offset by -1 (posexplode emits nothing for the null row), corrupting
+    // example alignment corpus-wide with no error. The guard costs nothing
+    // on the non-null path.
+    val sz = when(col("__ids").isNotNull, size(col("__ids")).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"packSequences: null $idsCol array at $idCol="),
+        col(idCol).cast("string"))).cast("long"))
     val pre = withPrefixBefore(
       df.select(col(idCol), col(idsCol).as("__ids")),
-      idCol, size(col("__ids")).cast("long"), numParts)
+      idCol, sz, numParts)
     pre
       .select(col("__before"), posexplode(col("__ids")).as(Seq("__j", "__tid")))
       .select(

@@ -112,10 +112,22 @@ object IvfIndex {
       idCol: String, vecCol: String, root: String,
       keepVersions: Int = 3): String = {
     val bp = corpus.sparkSession.sparkContext.broadcast(params)
+    // Fail LOUDLY on unencodable vectors (null or dim-mismatched —
+    // Sq.codesUdf yields null codes for both): a silently-null codes row
+    // would appear in [[topK]] results but never in [[sqTopK]]'s ADC path
+    // (which filters null codes), an asymmetry that surfaces only as
+    // missing neighbors. Rejecting at build time keeps the two probe
+    // paths answer-equivalent over the same layout.
+    val vcast = col(vecCol).cast("array<double>")
+    val sqCol = when(vcast.isNotNull && size(vcast) === params.dim,
+      Sq.codesUdf(bp)(vcast))
+      .otherwise(raise_error(concat(
+        lit(s"IvfIndex.buildSq: vector at $idCol="), col(idCol).cast("string"),
+        lit(s" is null or not dim ${params.dim} — it would get null SQ codes and " +
+          "silently vanish from the ADC probe path"))).cast("binary"))
     val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("cell"),
-        packVector(col(vecCol)).as("vec"),
-        Sq.codesUdf(bp)(col(vecCol).cast("array<double>")).as("sq"))
+        packVector(col(vecCol)).as("vec"), sqCol.as("sq"))
     val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
     VersionedTable.publish(
       centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
@@ -161,6 +173,10 @@ object IvfIndex {
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     val wAdc = Window.partitionBy("query_id").orderBy(col("ad").desc, col("id"))
+    // [[buildSq]] rejects unencodable vectors at build time, so for its
+    // layouts this filter is a no-op kept only as defense against
+    // hand-assembled codes tables — the two probe paths ([[topK]] /
+    // [[sqTopK]]) see the same row set over the same layout.
     val cands = readCellCodes(spark, root, cells)
       .filter(col("sq").isNotNull)
       .join(broadcast(probes), Seq("cell"))

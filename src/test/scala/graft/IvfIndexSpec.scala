@@ -142,6 +142,22 @@ class IvfIndexSpec extends AnyFunSuite {
       "the ADC scan must not read the packed vector column")
   }
 
+  test("buildSq rejects unencodable vectors instead of writing null codes") {
+    import spark.implicits._
+    import graft.operators.Sq
+    val c = corpus(50)
+    val params = Sq.train(c, "embedding")
+    // one truncated vector: codesUdf would yield null codes — the row would
+    // show up in topK but silently vanish from sqTopK's ADC path
+    val bad = c.union(Seq((9999L, Array(1.0, 0.0))).toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      IvfIndex.buildSq(bad, centroids, params, "vec_id", "embedding", tmpDir("sqbad"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null SQ codes")), s"wrong error: ${msgs(e)}")
+  }
+
   test("admission gate plans only probed cells' files and matches the direct join") {
     import spark.implicits._
     val c = corpus(400)

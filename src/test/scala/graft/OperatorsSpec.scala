@@ -761,6 +761,33 @@ class OperatorsSpec extends AnyFunSuite {
       "every example except the tail is exactly seqLen; ids are dense")
   }
 
+  test("prefix-sum operators fail loudly on null arrays and duplicate ids") {
+    import spark.implicits._
+    // null token_ids: size(NULL) = -1 would silently shift every later
+    // offset — must raise, not corrupt
+    val withNull = Seq((1L, Seq(1, 2)), (2L, null: Seq[Int]), (3L, Seq(3)))
+      .toDF("doc_id", "token_ids")
+    val e1 = intercept[Exception] {
+      graft.operators.Curation.packSequences(withNull, "doc_id", "token_ids", seqLen = 4)
+        .collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("null token_ids"),
+      s"wrong error: ${e1.getMessage}")
+    // duplicate order keys: overlapping offsets — must be rejected by the
+    // exact per-range-partition count vs countDistinct check
+    val dup = Seq((1L, 5L), (2L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Curation.packShards(dup, "id", "w", budget = 100L)
+    }
+    assert(e2.getMessage.contains("unique"), s"wrong error: ${e2.getMessage}")
+    // a null id is rejected by the same check
+    val withNullId = Seq(Some(1L), None, Some(3L)).map(id => (id.map(Long.box).orNull, 5L))
+      .toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.packShards(withNullId, "id", "w", budget = 100L)
+    }
+  }
+
   test("assignSplits is exhaustive, proportional, and stable under corpus growth") {
     import spark.implicits._
     val small = (0L until 2000L).map(i => (i, s"d$i")).toDF("id", "s")
