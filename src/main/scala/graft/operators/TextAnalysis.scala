@@ -572,6 +572,198 @@ object TextAnalysis {
       .withColumn("n_bpe", size(col("token_ids")).cast("long"))
   }
 
+  /** PRODUCTION-SCALE BPE vocabulary training on the merges axis —
+    * [[bpeTrainBytes]] with the merge loop run IN MEMORY over the collected
+    * census instead of one Spark job per merge. The distributed loop is
+    * fine at toy merge counts, but at a production 32k–50k-merge vocabulary
+    * it is 50k sequential driver round-trips — hours of pure job latency
+    * regardless of cluster size. This is how production trainers
+    * (GPT-2/tiktoken family) work: the corpus collapses ONCE to its
+    * Zipf-small pre-token census (the only corpus-sized pass — one shuffle
+    * on the pre-token), the census collects to the driver, and the merge
+    * loop runs in memory with an indexed incremental pair census —
+    * O(total census symbols + Σ touched-word lengths), seconds-class in
+    * the merge count.
+    *
+    * Bit-identical to [[bpeTrainBytes]] by construction (spec-asserted):
+    * the in-memory loop counts every adjacent symbol pair (overlaps
+    * included, weighted by word frequency), breaks ties on count DESC then
+    * the tab-joined pair ASC (symbols are pure-ASCII hex, so JVM string
+    * order equals the engines' byte order), and applies each merge
+    * left-to-right non-overlapping — exactly the distributed loop's
+    * `replace` semantics.
+    *
+    * Driver memory is bounded by `maxCensusWords` (fails loudly past it) —
+    * the census is distinct PRE-TOKENS, Zipf-bounded, not corpus-sized;
+    * `minFrequency > 1` prunes the census's singleton tail before the
+    * collect (what production trainers do on web-scale corpora) at the
+    * cost of training on the pruned census.
+    */
+  def bpeTrainBytesInMemory(
+      df: DataFrame, textCol: String, nMerges: Int,
+      minFrequency: Long = 1L, maxCensusWords: Long = 20_000_000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val census = df.select(explode(pretokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .filter(col("wf") >= minFrequency)
+      .select(byteSyms(col("w")).as("s"), col("wf"))
+      .collect() // Zipf-bounded: distinct pre-tokens, not corpus rows
+    require(census.length <= maxCensusWords,
+      s"bpeTrainBytesInMemory: census has ${census.length} words, over the " +
+        s"$maxCensusWords driver bound — raise minFrequency (production " +
+        "trainers prune the singleton tail) or maxCensusWords")
+    val words = census.map(r => (r.getString(0).trim.split("  "), r.getLong(1)))
+    trainMergesInMemory(words, nMerges)
+      .toDF("rank", "lhs", "rhs", "cnt")
+      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+  }
+
+  /** The in-memory merge loop behind [[bpeTrainBytesInMemory]]: an indexed
+    * incremental pair census (count map + sorted candidate set + pair→word
+    * inverted index), each merge touching only the words that contain its
+    * pair. Semantics are EXACTLY the distributed loop's: overlap-inclusive
+    * adjacent-pair counts weighted by `wf`, best = (count DESC, tab-joined
+    * pair ASC), merge applied left-to-right non-overlapping, loop stops
+    * early when no pairs remain.
+    */
+  private[graft] def trainMergesInMemory(
+      census: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = census.map(_._1) // mutated in place per merge
+    val wf = census.map(_._2)
+    val cnt = mutable.HashMap.empty[String, Long] // "lhs\trhs" -> weighted count
+    val wordsOf = mutable.HashMap.empty[String, mutable.Set[Int]]
+    // sorted candidates: count DESC, pair string ASC — first() is the merge
+    val order = new java.util.TreeSet[(Long, String)](
+      new java.util.Comparator[(Long, String)] {
+        def compare(a: (Long, String), b: (Long, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else a._2.compareTo(b._2)
+        }
+      })
+    def bump(pair: String, delta: Long, wid: Int, add: Boolean): Unit = {
+      val old = cnt.getOrElse(pair, 0L)
+      if (old != 0L) order.remove((old, pair))
+      val now = old + delta
+      if (now != 0L) { cnt(pair) = now; order.add((now, pair)) }
+      else cnt.remove(pair)
+      if (add) wordsOf.getOrElseUpdate(pair, mutable.Set.empty[Int]) += wid
+      // on removal the index entry stays: the word may still contain the
+      // pair elsewhere; stale entries are re-filtered at merge time (w2
+      // returns null), never wrong
+    }
+    def pairsOf(w: Array[String], f: (String, Int) => Unit): Unit = {
+      var i = 0
+      while (i + 1 < w.length) { f(w(i) + "\t" + w(i + 1), i); i += 1 }
+    }
+    var wi = 0
+    while (wi < syms.length) {
+      pairsOf(syms(wi), (p, _) => bump(p, wf(wi), wi, add = true))
+      wi += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= nMerges && !order.isEmpty) {
+      val (bestCnt, bestPair) = order.first()
+      val Array(a, b) = bestPair.split('\t')
+      merges += ((r, a, b, bestCnt))
+      val merged = a + b
+      val affected = wordsOf.getOrElse(bestPair, mutable.Set.empty)
+        .toArray // iteration order is irrelevant: updates are additive
+      wordsOf.remove(bestPair)
+      var k = 0
+      while (k < affected.length) {
+        val id = affected(k)
+        val w = w2(syms(id), a, b, merged)
+        if (w ne null) { // null = stale index entry (pair already gone)
+          pairsOf(syms(id), (p, _) => bump(p, -wf(id), id, add = false))
+          syms(id) = w
+          pairsOf(w, (p, _) => bump(p, wf(id), id, add = true))
+        }
+        k += 1
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** Left-to-right non-overlapping merge of (a, b) → merged in a symbol
+    * array — the in-memory equal of `replace(s, " a  b ", " ab ")` (a
+    * replaced occurrence is consumed; scanning resumes after it). Returns
+    * null when the pair does not occur (the caller's stale-index filter).
+    */
+  private def w2(w: Array[String], a: String, b: String, merged: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    var hit = false
+    while (i < w.length) {
+      if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+        out += merged; hit = true; i += 2
+      } else { out += w(i); i += 1 }
+    }
+    if (hit) out.toArray else null
+  }
+
+  /** ENCODE TO TOKEN-ID SEQUENCES under a byte-level vocabulary via
+    * SEQUENTIAL REPLAY IN A UDF — [[bpeEncodeIdsBytes]]' production sibling
+    * for LARGE merge lists. The chained-replace form fuses `nMerges`
+    * `replace` expressions into one projection: sound at tens of merges, an
+    * expression-tree/codegen blowup at thousands. Here the census word maps
+    * to its id array through ONE deterministic JVM function that replays
+    * the merges in rank order (each left-to-right non-overlapping — bit-
+    * identical to the replace chain, spec-asserted), skipping merges whose
+    * symbols never occurred in the word via a superset symbol set — O(len)
+    * per skipped merge batch, O(nMerges + Σ applied·len) per census word.
+    * Corpus scale shape is unchanged: the chain runs over the Zipf-small
+    * census once, documents reassemble through one doc-key shuffle.
+    */
+  def bpeEncodeIdsBytesSeq(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val mergesArr = merges.toArray
+    val mergedIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      mergedIds.getOrElseUpdate(a + b, 256 + i)
+    }
+    val bm = spark.sparkContext.broadcast((mergesArr, mergedIds.toMap))
+    val encodeUdf = udf { (w: String) =>
+      val (ms, ids) = bm.value
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var cur = new Array[String](bytes.length)
+      val present = scala.collection.mutable.HashSet.empty[String]
+      var i = 0
+      while (i < bytes.length) {
+        cur(i) = f"${bytes(i) & 0xff}%02x"
+        present += cur(i)
+        i += 1
+      }
+      var m = 0
+      while (m < ms.length && cur.length >= 2) {
+        val (a, b) = ms(m)
+        // `present` is a SUPERSET of current symbols (never pruned): a miss
+        // proves the pair can't occur; a stale hit only costs the scan
+        if (present.contains(a) && present.contains(b)) {
+          val next = w2(cur, a, b, a + b)
+          if (next ne null) { cur = next; present += a + b }
+        }
+        m += 1
+      }
+      cur.map(s => if (s.length == 2) Integer.parseInt(s, 16) else ids(s))
+    }
+    val words = df.select(col(idCol), posexplode(pretokens(col(textCol))).as(Seq("__wi", "w")))
+    val wordIds = words.select("w").distinct()
+      .withColumn("__tids", encodeUdf(col("w")))
+    words.join(wordIds, "w")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wi"), col("__tids")))),
+        e => e("__tids"))).as("token_ids"))
+      .withColumn("n_bpe", size(col("token_ids")).cast("long"))
+  }
+
   /** Repetition metrics — duplicate-token fraction and top-token share,
     * the classic boilerplate/low-quality markers in published corpus
     * filtering rules — from a single fused pass per document

@@ -604,7 +604,53 @@ object TextOps {
               (t, i) => t.cast("long") * i),
             lit(0L), (a, x) => a + x).as("ord_mass"))
         .orderBy("example_id")
-    }, Some(TextOps.contextPackOracle(30, 2048)))
+    }, Some(TextOps.contextPackOracle(30, 2048))),
+
+    // PRODUCTION-SCALE BPE TRAINING (round 19): the merges axis at a real
+    // vocabulary size. The distributed loop (q225) is one Spark job per
+    // merge — invisible at 30 merges, 50k sequential driver round-trips at
+    // a production vocabulary. Here the corpus collapses ONCE to its
+    // Zipf-small pre-token census (the only corpus-sized pass), the census
+    // collects to the driver, and 2048 merges train in memory with an
+    // indexed incremental pair census — how production trainers work,
+    // bit-identical to the distributed loop (spec-asserted). The synthetic
+    // corpus's 31-word vocabulary can't sustain a production merge count,
+    // so the corpus gets a deterministic Zipf-ish pseudo-word enrichment
+    // (id-keyed letter words over 10 moduli — ~2.2k distinct census words,
+    // counts from ~n/3 down to 1), computed identically in both engines.
+    // The oracle replays the ENTIRE merge loop as ONE recursive CTE (the
+    // per-level chained-CTE machinery of q225 cannot reach 2048 levels):
+    // each recursion step derives the round's argmax over the carried
+    // census and rewrites it, and the merge table re-derives per rank from
+    // the recursion history.
+    QueryDef("q231_bpe_train_prod", (s, dir) => {
+      graft.operators.TextAnalysis
+        .bpeTrainBytesInMemory(TextOps.richCorpus(t(s, dir, "documents")), "text",
+          nMerges = TextOps.ProdMerges)
+        .orderBy("rank")
+    }, Some(TextOps.bpeTrainProdOracle(TextOps.ProdMerges))),
+
+    // PRODUCTION-SCALE BPE ENCODE (round 19): token-id sequences under the
+    // 2048-merge vocabulary. The chained-replace projection (q226) fuses
+    // one replace per merge — an expression-tree/codegen blowup at
+    // thousands of merges; here each census word replays the merge list
+    // sequentially inside ONE deterministic JVM function (bit-identical to
+    // the replace chain, spec-asserted), so the merge count never touches
+    // the plan. Sampled documents explode to (doc_id, pos, tid) — the hash
+    // proves every sequence element under the production vocabulary.
+    QueryDef("q232_bpe_ids_prod", (s, dir) => {
+      val docs = TextOps.richCorpus(t(s, dir, "documents"))
+      val merges = graft.operators.TextAnalysis
+        .bpeTrainBytesInMemory(docs, "text", nMerges = TextOps.ProdMerges)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.TextAnalysis.bpeEncodeIdsBytesSeq(docs, "doc_id", "text", merges)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "tid")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tid").cast("long").as("tid"))
+        .orderBy("doc_id", "pos")
+    }, Some(TextOps.bpeProdIdsOracle(TextOps.ProdMerges)))
   )
 
   /** The q230 oracle: the q212 vocabulary/segmentation chain over ALL
@@ -832,6 +878,144 @@ object TextOps {
        |    SELECT w, count(*) AS wf FROM (
        |      SELECT unnest(regexp_extract_all(text, '$bytePretokenSql')) AS w
        |      FROM corpus) GROUP BY w))""".stripMargin
+
+  /** Production-merge-count entries (q231/q232) train this many merges.
+    * (`final val` literal: `defs` initializes before this point in the
+    * object body, so anything it reads eagerly must be a compile-time
+    * constant or a `def`.)
+    */
+  final val ProdMerges = 2048
+
+  /** Moduli for the deterministic pseudo-word enrichment: one tail word
+    * per modulus per document, `(doc_id · (2i+3)) mod mᵢ` rendered as
+    * letters — distinct-word counts per modulus from 3 to 863, so counts
+    * are Zipf-ish (~n/3 repeats down to singletons) and the census carries
+    * ~2.2k distinct words at sf0.01 — enough structure to sustain ≥2048
+    * merges (the achievable merge count ≈ distinct census words; the raw
+    * synthetic corpus has a 31-word vocabulary).
+    */
+  private def ProdMods = Seq(3, 7, 17, 37, 79, 167, 347, 499, 683, 863)
+  private def ProdAlpha = "abcdefghijklmnopqrstuvw" // 23 letters: base-23 digits
+
+  /** The documents corpus with the deterministic VOCABULARY enrichment for
+    * the production-merge-count entries: per modulus i, the tail word
+    * ` <letter_i>q<3 base-23 letters of (doc_id·(2i+3)) mod mᵢ>` — pure
+    * letter runs (the pre-tokenizer keeps them whole), identical
+    * construction in Spark and DuckDB ([[richCorpusCte]]).
+    */
+  def richCorpus(docs: DataFrame): DataFrame = {
+    val tails = ProdMods.zipWithIndex.map { case (m, i) =>
+      val v = s"((doc_id * ${2 * i + 3}) % $m)"
+      s"' ${('a' + i).toChar}q', " +
+        s"substr('$ProdAlpha', CAST($v DIV 529 AS INT) + 1, 1), " +
+        s"substr('$ProdAlpha', CAST(($v DIV 23) % 23 AS INT) + 1, 1), " +
+        s"substr('$ProdAlpha', CAST($v % 23 AS INT) + 1, 1)"
+    }
+    docs.select(col("doc_id"),
+      expr(s"concat(text, ${tails.mkString(", ")})").as("text"))
+  }
+
+  /** [[richCorpus]] in DuckDB dialect (`//` integer division). */
+  private def richCorpusCte: String = {
+    val tails = ProdMods.zipWithIndex.map { case (m, i) =>
+      val v = s"((doc_id * ${2 * i + 3}) % $m)"
+      s"' ${('a' + i).toChar}q' || substr('$ProdAlpha', $v // 529 + 1, 1) || " +
+        s"substr('$ProdAlpha', ($v // 23) % 23 + 1, 1) || " +
+        s"substr('$ProdAlpha', $v % 23 + 1, 1)"
+    }
+    s"""corpus AS MATERIALIZED (
+       |  SELECT doc_id, text || ${tails.mkString(" || ")} AS text FROM documents)""".stripMargin
+  }
+
+  /** The byte-level `w0` census over the enriched corpus. */
+  private def richW0: String =
+    s"""$richCorpusCte,
+       |w0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(lower(hex(w)), '(..)', ' \\1 ', 'g') AS s, wf FROM (
+       |    SELECT w, count(*) AS wf FROM (
+       |      SELECT unnest(regexp_extract_all(text, '$bytePretokenSql')) AS w
+       |      FROM corpus) GROUP BY w))""".stripMargin
+
+  /** The RECURSIVE merge-loop replay (q231/q232): the q225 oracle's
+    * per-level chained-CTE machinery needs one MATERIALIZED level per merge
+    * — unusable at 2048 levels — so the loop becomes ONE recursive CTE.
+    * Each recursion step computes the round's best pair (count DESC,
+    * tab-joined pair ASC — the pinned tie-break) as an aggregate over the
+    * carried census and applies the same left-to-right `replace`; the
+    * recursion stops at `nMerges` or when no pairs remain (`FROM t, b` is
+    * empty — exactly the Spark loop's exhaustion). The merge table
+    * re-derives per rank from the FULL recursion history (`t` keeps every
+    * iteration's census), and `wfin` is the final census for encode
+    * oracles. Requires DuckDB ≥ 1.0 (aggregates + multiple references over
+    * the recursive table in the recursive term).
+    */
+  private def bpeRecursionCtes(nMerges: Int): String =
+    s"""$richW0,
+       |t(it, w, s, wf) AS (
+       |  SELECT 0, w, s, wf FROM w0
+       |  UNION ALL
+       |  SELECT it + 1, w, replace(s, b.pat, b.rep), wf
+       |  FROM t, (
+       |    SELECT ' ' || split_part(pr, chr(9), 1) || '  ' || split_part(pr, chr(9), 2) || ' ' AS pat,
+       |           ' ' || replace(pr, chr(9), '') || ' ' AS rep
+       |    FROM (
+       |      SELECT unnest(list_transform(range(1, len(l)),
+       |        j -> l[j] || chr(9) || l[j + 1])) AS pr, wf AS wf2
+       |      FROM (SELECT string_split(trim(s), '  ') AS l, wf FROM t)
+       |    ) GROUP BY pr ORDER BY sum(wf2) DESC, pr LIMIT 1
+       |  ) b
+       |  WHERE it < $nMerges),
+       |stop AS (SELECT max(it) AS mi FROM t),
+       |allp AS (
+       |  SELECT it + 1 AS rank, unnest(list_transform(range(1, len(l)),
+       |    j -> l[j] || chr(9) || l[j + 1])) AS pr, wf
+       |  FROM (SELECT it, string_split(trim(s), '  ') AS l, wf FROM t WHERE it < $nMerges)),
+       |best AS (
+       |  SELECT rank, pr, cnt, row_number() OVER (PARTITION BY rank ORDER BY cnt DESC, pr) AS rn
+       |  FROM (SELECT rank, pr, CAST(sum(wf) AS BIGINT) AS cnt FROM allp GROUP BY rank, pr)),
+       |mergetab AS (
+       |  SELECT CAST(rank AS INT) AS rank, split_part(pr, chr(9), 1) AS lhs,
+       |    split_part(pr, chr(9), 2) AS rhs, replace(pr, chr(9), '') AS merged, cnt
+       |  FROM best, stop WHERE rn = 1 AND rank <= mi),
+       |wfin AS (SELECT w, s FROM t, stop WHERE it = mi)""".stripMargin
+
+  /** The q231 oracle: the recursive replay's merge table. */
+  def bpeTrainProdOracle(nMerges: Int): String =
+    s"""WITH RECURSIVE ${bpeRecursionCtes(nMerges)}
+       |SELECT rank, lhs, rhs, merged, cnt FROM mergetab ORDER BY rank""".stripMargin
+
+  /** The q232 oracle: byte vocabulary (base id = byte value, merge rank r
+    * at 255 + r, duplicate surfaces keep the smallest id) over the
+    * recursion's final census, reassembled per sampled document — the q226
+    * oracle's chain with the recursive replay supplying `wfin`/`mergetab`.
+    */
+  def bpeProdIdsOracle(nMerges: Int): String =
+    s"""WITH RECURSIVE ${bpeRecursionCtes(nMerges)},
+       |vocab AS MATERIALIZED (
+       |  SELECT tok, MIN(tid) AS tid FROM (
+       |    SELECT merged AS tok, 255 + rank AS tid FROM mergetab) GROUP BY tok),
+       |syms AS MATERIALIZED (
+       |  SELECT w, u.j AS j, u.s AS sym FROM (
+       |    SELECT w, unnest(list_transform(range(1, len(l) + 1),
+       |      j -> {'j': j, 's': l[j]})) AS u
+       |    FROM (SELECT w, string_split(trim(s), '  ') AS l FROM wfin))),
+       |wid AS MATERIALIZED (
+       |  SELECT sy.w, sy.j,
+       |    CASE WHEN length(sy.sym) = 2 THEN ${duckHexByte("sy.sym")}
+       |         ELSE v.tid END AS tid
+       |  FROM syms sy LEFT JOIN vocab v ON v.tok = sy.sym),
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(text, '$bytePretokenSql') AS ws
+       |          FROM corpus WHERE doc_id % 50 = 0))),
+       |seq AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) - 1 AS BIGINT) AS pos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM docw JOIN wid USING (w))
+       |SELECT doc_id, pos, tid FROM seq ORDER BY doc_id, pos""".stripMargin
 
   /** The q225 oracle: the byte-level merge loop — identical level
     * machinery to q205 over the byte census.

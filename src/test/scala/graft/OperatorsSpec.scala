@@ -1015,6 +1015,48 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, Seq(258, 32, 258), 3L)), ids.toString)
   }
 
+  test("in-memory BPE trainer and seq-replay encoder are bit-identical to the distributed forms") {
+    import spark.implicits._
+    // a corpus rich enough for 60+ merges with overlap/tie/collision
+    // structure: repeated runs (overlapping pairs), shared prefixes,
+    // non-ASCII multi-byte, per-doc pseudo-words forcing deep tie-breaks
+    val docs = (0L until 120L).map { i =>
+      val noise = s"q${('a' + (i % 17).toInt).toChar}${('a' + (i % 23).toInt).toChar}x"
+      (i, s"aaa bbb the cat $noise sat ${if (i % 3 == 0) "café" else "mat"} aaaa $noise$noise")
+    }.toDF("doc_id", "text")
+    val n = 64
+    val dist = graft.operators.TextAnalysis.bpeTrainBytes(docs, "text", nMerges = n)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val mem = graft.operators.TextAnalysis.bpeTrainBytesInMemory(docs, "text", nMerges = n)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(mem == dist, s"first divergence: ${mem.zip(dist).find(p => p._1 != p._2)}")
+    // encode: the sequential-replay UDF must equal the chained-replace form
+    val merges = dist.map(m => (m._2, m._3))
+    def seqOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    val chained = seqOf(graft.operators.TextAnalysis
+      .bpeEncodeIdsBytes(docs, "doc_id", "text", merges))
+    val replay = seqOf(graft.operators.TextAnalysis
+      .bpeEncodeIdsBytesSeq(docs, "doc_id", "text", merges))
+    assert(replay == chained,
+      s"first divergence: ${replay.zip(chained).find(p => p._1 != p._2)}")
+    // early exhaustion: asking for far more merges than the census can
+    // sustain stops at the same point on both paths
+    val tiny = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val dTiny = graft.operators.TextAnalysis.bpeTrainBytes(tiny, "text", nMerges = 500)
+      .collect().map(_.toSeq).toSeq
+    val mTiny = graft.operators.TextAnalysis.bpeTrainBytesInMemory(tiny, "text", nMerges = 500)
+      .collect().map(_.toSeq).toSeq
+    assert(mTiny == dTiny && mTiny.nonEmpty && mTiny.size < 500, s"got ${mTiny.size} merges")
+    // the census driver bound fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bpeTrainBytesInMemory(docs, "text", 4, maxCensusWords = 2)
+    }
+    assert(e.getMessage.contains("minFrequency"), e.getMessage)
+  }
+
   test("gopherRules: a column name needing backtick quoting works (no raw SQL interpolation)") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"the be to of and that have with word$i").mkString(" ")
