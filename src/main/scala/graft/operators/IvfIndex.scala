@@ -34,6 +34,14 @@ object IvfIndex {
     */
   def centroidsRoot(root: String): String = root.stripSuffix("/") + "_centroids"
 
+  /** [[buildSq]]'s trained quantization ranges live in a second sibling
+    * table (`pos, lo, hi` — d rows), so maintenance re-encodes changed rows
+    * with the EXACT params the resident codes were built with: SQ codes are
+    * only comparable within one trained range, and re-training on churn
+    * would silently mix scales.
+    */
+  def sqParamsRoot(root: String): String = root.stripSuffix("/") + "_sqparams"
+
   private val IndexSchema = "id BIGINT, cell BIGINT, vec BINARY"
   private val CentroidSchema = "cid BIGINT, cv BINARY"
 
@@ -132,7 +140,28 @@ object IvfIndex {
     VersionedTable.publish(
       centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
       centroidsRoot(root), keepVersions)
+    // persist the trained ranges: [[updateFromChangesSq]] re-encodes
+    // admitted/updated rows with these, never with re-trained ones
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VersionedTable.publish(
+      params.lo.indices.map(i => (i.toLong, params.lo(i), params.hi(i)))
+        .toDF("pos", "lo", "hi"),
+      sqParamsRoot(root), keepVersions)
     v
+  }
+
+  /** The published quantization ranges, reassembled — a bounded (d-row)
+    * driver round-trip, like the codebook collects the probes make.
+    */
+  def readSqParams(spark: SparkSession, root: String): Sq.SqParams = {
+    val rows = spark.read.format("reftable")
+      .option("path", sqParamsRoot(root))
+      .option("schema", "pos BIGINT, lo DOUBLE, hi DOUBLE").load()
+      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no published SQ params under ${sqParamsRoot(root)}")
+    Sq.SqParams(rows.map(_._2), rows.map(_._3))
   }
 
   /** The distinct cell ids `queries` would probe at `nProbe` — the bounded
@@ -241,7 +270,29 @@ object IvfIndex {
     */
   def updateFromChanges(
       spark: SparkSession, root: String, changes: DataFrame,
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3): String =
+    updateFromChangesImpl(spark, root, changes, keepVersions, sqParams = None)
+
+  /** [[updateFromChanges]] over a [[buildSq]] layout: the merged upserts
+    * additionally carry freshly-encoded SQ codes, computed with the
+    * PUBLISHED quantization ranges ([[sqParamsRoot]]) — the params the
+    * resident codes were built with, so the maintained codes column stays
+    * bit-equal to a full [[buildSq]] rebuild over the churned corpus
+    * (spec-asserted, and q233 oracles it end to end). Work is unchanged
+    * from the plain path: one narrow O(changes) assignment+encode pass plus
+    * the COW merge over the touched cells' files — an admitted wave
+    * re-encodes only its own rows, never the index. Unencodable new vectors
+    * fail loudly, exactly like [[buildSq]].
+    */
+  def updateFromChangesSq(
+      spark: SparkSession, root: String, changes: DataFrame,
+      keepVersions: Int = 3): String =
+    updateFromChangesImpl(spark, root, changes, keepVersions,
+      sqParams = Some(readSqParams(spark, root)))
+
+  private def updateFromChangesImpl(
+      spark: SparkSession, root: String, changes: DataFrame,
+      keepVersions: Int, sqParams: Option[Sq.SqParams]): String = {
     val cent = readCentroids(spark, root)
     def cellOf(packed: String, tmp: String): Column =
       when(col(packed).isNull, lit(null).cast("long"))
@@ -253,15 +304,27 @@ object IvfIndex {
       .withColumn("__newcell", cellOf("vec_after", "__nv"))
     // composite-key change rows: a row whose vector moved cells leaves the
     // old partition and enters the new one
+    val sqOf: Seq[Column] = sqParams.toSeq.map { p =>
+      val bp = spark.sparkContext.broadcast(p)
+      when(col("__nv").isNotNull && size(col("__nv")) === p.dim,
+        Sq.codesUdf(bp)(col("__nv")))
+        .otherwise(raise_error(concat(
+          lit("IvfIndex.updateFromChangesSq: changed vector at id="),
+          col("id").cast("string"),
+          lit(s" is null or not dim ${p.dim} — it would get null SQ codes and " +
+            "silently vanish from the ADC probe path"))).cast("binary"))
+        .as("sq")
+    }
+    val sqNull = sqParams.toSeq.map(_ => lit(null).cast("binary").as("sq"))
     val removals = withCells
       .filter(col("change_type") === "delete" ||
         (col("change_type") === "update" && col("__oldcell") =!= col("__newcell")))
-      .select(lit("delete").as("change_type"),
-        col("__oldcell").as("cell"), col("id"), col("vec_before").as("vec"))
+      .select(Seq(lit("delete").as("change_type"),
+        col("__oldcell").as("cell"), col("id"), col("vec_before").as("vec")) ++ sqNull: _*)
     val upserts = withCells
       .filter(col("change_type") =!= "delete")
-      .select(lit("update").as("change_type"),
-        col("__newcell").as("cell"), col("id"), col("vec_after").as("vec"))
+      .select(Seq(lit("update").as("change_type"),
+        col("__newcell").as("cell"), col("id"), col("vec_after").as("vec")) ++ sqOf: _*)
     graft.sources.reftable.RefTableMutations.applyChanges(
       spark, root, removals.unionAll(upserts), Seq("cell", "id"), keepVersions,
       partitionColumns = Seq("cell"),

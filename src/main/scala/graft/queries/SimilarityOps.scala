@@ -778,7 +778,91 @@ object SimilarityOps {
          |  SELECT e2.vec_id, cent.cid AS cell,
          |    row_number() OVER (PARTITION BY e2.vec_id ORDER BY ${duckCos("e2.v", "cent.cv")} DESC, cent.cid) arn
          |  FROM e2 CROSS JOIN cent) WHERE arn = 1)
-         |SELECT vec_id AS id, cell FROM asgn ORDER BY id""".stripMargin))
+         |SELECT vec_id AS id, cell FROM asgn ORDER BY id""".stripMargin)),
+
+    // O(changes) SQ8 CODE maintenance (round 19): q152's changefeed loop
+    // over the buildSq layout — the round-18 gap was that admitted waves
+    // implied a full rebuild to refresh the codes column. Two churn waves
+    // (delete/insert, then update/delete/insert — updates move cells AND
+    // change codes) merge through updateFromChangesSq, which re-encodes
+    // ONLY the changed rows with the PUBLISHED quantization ranges (the
+    // ranges the resident codes were built with — pinned by the layout, a
+    // sidecar d-row table, never re-trained on churn). The oracle rebuilds
+    // from scratch in DuckDB: flat assignment of the final corpus plus the
+    // exact quantizer replay (floor(t·255 + 0.5), clamped, v1-trained
+    // min/max ranges) — a hash match on every code byte proves maintained
+    // ≡ rebuild end to end. Updated vectors deliberately exceed the
+    // trained ranges, so the clamp path is exercised.
+    QueryDef("q233_sq_maintenance", (s, dir) => {
+      import graft.functions.VectorFunctions.packVector
+      import graft.sources.reftable.VersionedTable
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val params = graft.operators.Sq.train(e, "v")
+      val corpusRoot = RelationalSupport.scratchDir(s, dir, "q233_corpus")
+      val idxRoot = RelationalSupport.scratchDir(s, dir, "q233_sqidx")
+      // wave 1: delete ids ≡0 (mod 17), insert copies of ids ≡0 (mod 31)
+      val e2 = e.filter(col("vec_id") % 17 =!= 0)
+        .unionAll(e.filter(col("vec_id") % 31 === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("v")))
+      // wave 2: update ids ≡0 (mod 13) (first component +0.25 — past the
+      // trained hi, so re-encode clamps), delete ids ≡0 (mod 23), insert
+      // copies of ids ≡0 (mod 29)
+      val e3 = e2.filter(col("vec_id") % 23 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 13 === 0,
+            concat(array(element_at(col("v"), 1) + lit(0.25)),
+              slice(col("v"), lit(2), size(col("v")) - 1)))
+            .otherwise(col("v")).as("v"))
+        .unionAll(e2.filter(col("vec_id") % 29 === 0)
+          .select((col("vec_id") + 900000L).as("vec_id"), col("v")))
+      def packed(df: DataFrame) =
+        df.select(col("vec_id").as("id"), packVector(col("v")).as("vec"))
+      val v1 = VersionedTable.publish(packed(e), corpusRoot)
+      graft.operators.IvfIndex.buildSq(e, cent, params, "vec_id", "v", idxRoot)
+      val v2 = VersionedTable.publish(packed(e2), corpusRoot)
+      graft.operators.IvfIndex.updateFromChangesSq(s, idxRoot,
+        VersionedTable.changesImages(s, corpusRoot, Seq("id"), v1))
+      VersionedTable.publish(packed(e3), corpusRoot)
+      graft.operators.IvfIndex.updateFromChangesSq(s, idxRoot,
+        VersionedTable.changesImages(s, corpusRoot, Seq("id"), v2))
+      s.read.format("reftable")
+        .option("path", idxRoot)
+        .option("schema", "id BIGINT, cell BIGINT, vec BINARY, sq BINARY")
+        .option("partitionColumns", "cell")
+        .load()
+        .select(col("id"), col("cell"), lower(hex(col("sq"))).as("sq"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NCells),
+         |e2 AS (SELECT vec_id, v FROM e WHERE vec_id % 17 <> 0
+         |  UNION ALL SELECT vec_id + 500000, v FROM e WHERE vec_id % 31 = 0),
+         |e3 AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 13 = 0 THEN [v[1] + 0.25] || v[2:] ELSE v END AS v
+         |  FROM e2 WHERE vec_id % 23 <> 0
+         |  UNION ALL SELECT vec_id + 900000, v FROM e2 WHERE vec_id % 29 = 0),
+         |prm AS MATERIALIZED (
+         |  SELECT u.p AS pos, min(u.x) AS lo, max(u.x) AS hi FROM (
+         |    SELECT unnest(list_transform(range(1, len(v) + 1),
+         |      p -> {'p': p, 'x': v[p]})) AS u FROM e) GROUP BY u.p),
+         |asgn AS (SELECT vec_id, cell FROM (
+         |  SELECT e3.vec_id, cent.cid AS cell,
+         |    row_number() OVER (PARTITION BY e3.vec_id ORDER BY ${duckCos("e3.v", "cent.cv")} DESC, cent.cid) arn
+         |  FROM e3 CROSS JOIN cent) WHERE arn = 1),
+         |codes AS (
+         |  SELECT vec_id, string_agg(printf('%02x', c), '' ORDER BY pos) AS sq FROM (
+         |    SELECT x.vec_id, x.u.p AS pos,
+         |      CASE WHEN prm.hi <= prm.lo THEN 0
+         |           ELSE CAST(GREATEST(0, LEAST(255,
+         |             floor((x.u.x - prm.lo) / (prm.hi - prm.lo) * 255.0 + 0.5))) AS INT) END AS c
+         |    FROM (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+         |      p -> {'p': p, 'x': v[p]})) AS u FROM e3) x
+         |    JOIN prm ON prm.pos = x.u.p) GROUP BY vec_id)
+         |SELECT a.vec_id AS id, a.cell, c.sq
+         |FROM asgn a JOIN codes c USING (vec_id) ORDER BY id""".stripMargin))
   )
 
   /** One hierarchical-assignment CTE block (the `assignCellsHierarchical`

@@ -250,6 +250,77 @@ class IvfIndexSpec extends AnyFunSuite {
       s"maintenance must not rewrite unaffected cells; staged: $stagedCells")
   }
 
+  test("SQ8 changefeed maintenance: maintained codes == full rebuild after two waves") {
+    import spark.implicits._
+    import graft.operators.Sq
+    val c = corpus(400)
+    val params = Sq.train(c, "embedding") // trained ONCE, pinned by the layout
+    val root = tmpDir("sqmaint")
+    IvfIndex.buildSq(c, centroids, params, "vec_id", "embedding", root)
+    assert(IvfIndex.readSqParams(spark, root).lo.toSeq == params.lo.toSeq,
+      "buildSq must persist the trained ranges next to the layout")
+
+    def bi(rows: Seq[(Long, Option[Array[Double]], Option[Array[Double]], String)]) =
+      rows.toDF("id", "vb", "va", "change_type")
+        .select(col("id"), packVector(col("vb")).as("vec_before"),
+          packVector(col("va")).as("vec_after"), col("change_type"))
+    val vecOf = c.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // wave 1: insert 10 axis-0 vectors, delete ids 1/5/9
+    val insVec = (i: Int) => Array.tabulate(8)(d => if (d == 0) 1.0 else 0.001 * d)
+    val w1 = (1000 until 1010).map(i =>
+      (i.toLong, None: Option[Array[Double]], Some(insVec(i)), "insert")) ++
+      Seq(1L, 5L, 9L).map(id => (id, Some(vecOf(id)), None: Option[Array[Double]], "delete"))
+    IvfIndex.updateFromChangesSq(spark, root, bi(w1))
+    // wave 2: update ids 2/6 (perturbed vectors — cell moves possible),
+    // delete one wave-1 insert, insert one more
+    val pert = (id: Long) => vecOf(id).zipWithIndex.map { case (x, d) => if (d == 1) x + 0.2 else x }
+    val w2 = Seq(2L, 6L).map(id => (id, Some(vecOf(id)), Some(pert(id)), "update")) ++
+      Seq((1003L, Some(insVec(1003)), None: Option[Array[Double]], "delete"),
+        (2000L, None: Option[Array[Double]], Some(insVec(2000)), "insert"))
+    IvfIndex.updateFromChangesSq(spark, root, bi(w2))
+
+    // final corpus after both waves
+    val finalC = c.filter(!col("vec_id").isin(1L, 5L, 9L, 2L, 6L))
+      .unionAll(Seq(2L -> pert(2L), 6L -> pert(6L)).toDF("vec_id", "embedding"))
+      .unionAll(((1000 until 1010).filter(_ != 1003).map(i => i.toLong -> insVec(i))
+        :+ (2000L -> insVec(2000))).toDF("vec_id", "embedding"))
+    // bit-equality: maintained table == a from-scratch buildSq over finalC
+    val rebuildRoot = tmpDir("sqmaint_rebuild")
+    IvfIndex.buildSq(finalC, centroids, params, "vec_id", "embedding", rebuildRoot)
+    def dump(r: String) = spark.read.format("reftable")
+      .option("path", r).option("schema", "id BIGINT, cell BIGINT, vec BINARY, sq BINARY")
+      .option("partitionColumns", "cell").load()
+      .select(col("id"), col("cell"), lower(hex(col("vec"))).as("v"),
+        lower(hex(col("sq"))).as("sq"))
+      .orderBy("id").collect().toSeq
+    val maintained = dump(root)
+    val rebuilt = dump(rebuildRoot)
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      s"first divergence: ${maintained.zip(rebuilt).find(p => p._1 != p._2)}")
+
+    // the probe over the maintained layout still plans only probed cells'
+    // files, and its ADC scan still prunes the packed-vector column
+    val q = finalC.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val res = IvfIndex.sqTopK(spark, root, q, params, k = 5, nProbe = 2, refine = 4)
+    assert(res.count() > 0)
+    val cells = IvfIndex.probedCells(spark, root, q, nProbe = 2)
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "schema" -> "id BIGINT, cell BIGINT, vec BINARY, sq BINARY",
+      "partitionColumns" -> "cell").asJava))
+    val prunedFiles = SnapshotFiles.pruned(o,
+      Seq(org.apache.spark.sql.sources.In("cell", cells.map(_.asInstanceOf[Any]).toArray))).size
+    val allFiles = SnapshotFiles.pruned(o, Nil).size
+    assert(prunedFiles < allFiles, "test needs unprobed cells to prove pruning")
+    val codeScans = IvfIndex.readCellCodes(spark, root, cells)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitions.size == prunedFiles),
+      "maintained-layout probe must plan only probed cells' files")
+    assert(codeScans.forall(!_.scan.readSchema().fieldNames.contains("vec")))
+  }
+
   test("codebook reference path == literal fold, edge rows included") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
