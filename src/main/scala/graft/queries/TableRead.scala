@@ -531,6 +531,42 @@ object TableRead {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // GROUPED pushdown over the HIDDEN day transform (round 19): the daily
+    // census — GROUP BY to_date(ts) on a days(ts)-partitioned table — is
+    // served from directory values + footer statistics, zero data pages:
+    // every row of a day directory casts to the directory's own date, so
+    // each file contributes ONE partial row. This is the round-18 gap (the
+    // q227 machinery fell back for transform keys) and the commonest ops
+    // query on a 100 TB time-partitioned table. The entry REQUIRES the
+    // pushed plan (it throws on fallback — a silently-regular scan would
+    // still produce the right rows); the timezone guard and value fallback
+    // are spec-asserted.
+    QueryDef("q234_day_census_pushdown", (s, dir) => {
+      import graft.sources.reftable.VersionedTable
+      val root = RelationalSupport.scratchDir(s, dir, "q234_daycensus")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      VersionedTable.publishHiddenPartitioned(ev, root, Seq("days(ts)"))
+      val census = s.read.format("reftable")
+        .option("path", root)
+        .option("schema", "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+        .option("hiddenPartitions", "days(ts)")
+        .load()
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), count(col("user_id")).as("n_user"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          r4(min("value")).as("min_v"), r4(max("value")).as("max_v"))
+        .orderBy("day")
+      val plan = census.queryExecution.executedPlan.toString()
+      require(plan.contains("PushedGroupBy: [CAST(ts AS DATE)]"),
+        s"q234 requires the transform-served grouped footer scan; got:\n$plan")
+      census
+    }, Some(
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n, count(user_id) AS n_user,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -26,15 +26,16 @@ import org.apache.spark.sql.types._
   * few-kilobyte shuffle.
   *
   * GROUP BY pushdown (round 18): a grouping is accepted iff every group
-  * column is a DIRECTORY CONSTANT of every snapshot file — a current
-  * partition column, or a since-removed one still carried by the file's
-  * own pv — verified per file against the pruned listing, because
-  * partition evolution makes pv presence a per-file fact. (Generated and
-  * hidden-transform columns are NOT servable here: a gen column is
-  * synthesized at read time and a hidden-transform directory never
-  * masquerades as a schema field — both fall back to the real scan.) Each file then emits ONE partial row (its pv group
+  * key is a DIRECTORY CONSTANT of every snapshot file — a current
+  * partition column, a since-removed one still carried by the file's own
+  * pv, or (round 19) `CAST(src AS DATE)` over a `days(src)` HIDDEN
+  * transform, served through the transform's directory value — verified
+  * per file against the pruned listing, because partition evolution makes
+  * pv presence a per-file fact. (Generated columns are NOT servable: a
+  * gen column is synthesized at read time — falls back to the real
+  * scan.) Each file then emits ONE partial row (its directory group
   * values + its footer partials) and Spark's final aggregation merges and
-  * groups them: the "daily row counts per domain" census on a 100 TB
+  * groups them: the "daily row counts" census on a 100 TB time-partitioned
   * table becomes a footer sweep plus a kilobyte-scale shuffle, zero data
   * pages. Partial (not complete) pushdown is deliberate — multiple files
   * share a group, and merging them source-side would centralize on the
@@ -79,10 +80,36 @@ object RefTableAggregates {
       .filter(_ => !opts.genColumn.contains(field) && !opts.isPartitionCol(field))
       .map(f => (opts.storageColumn(field), f.dataType))
 
-  /** An accepted pushdown: the group columns (empty for the ungrouped
+  /** A servable group key: where the per-file constant group value comes
+    * from. [[PvKey]] is a partition column (current, or since-removed but
+    * still carried by the file's pv); [[DayKey]] is a `days(src)` HIDDEN
+    * transform served through its directory value — the group expression
+    * is `CAST(src AS DATE)`, which over a day directory is the directory's
+    * own date for every row (the layout derives dirs with `to_date`; for a
+    * TIMESTAMP source both sides are UTC-pinned, see [[dayCastKey]]).
+    */
+  sealed trait GroupKey {
+    /** Output column name in the partial row. */
+    def outName: String
+    /** Key into the file's directory values. */
+    def dirKey: String
+    def dataType: DataType
+  }
+  final case class PvKey(field: StructField) extends GroupKey {
+    def outName: String = field.name
+    def dirKey: String = field.name
+    def dataType: DataType = field.dataType
+  }
+  final case class DayKey(source: String, dirName: String) extends GroupKey {
+    def outName: String = s"CAST($source AS DATE)"
+    def dirKey: String = dirName
+    def dataType: DataType = DateType
+  }
+
+  /** An accepted pushdown: the group keys (empty for the ungrouped
     * form) and the aggregate specs, both positional.
     */
-  final case class PushedAgg(groupFields: Seq[StructField], specs: Seq[AggSpec])
+  final case class PushedAgg(groupFields: Seq[GroupKey], specs: Seq[AggSpec])
 
   /** Validate a candidate aggregation; Some iff every aggregate is
     * answerable exactly from footer statistics and every group column is a
@@ -91,16 +118,56 @@ object RefTableAggregates {
     * per-file; the listing is metadata-scale and plan-time repeats it
     * anyway).
     */
+  /** `CAST(src AS DATE)` group expression over a `days(src)` hidden
+    * transform: every row of a day directory casts to the directory's own
+    * date, so the dir value IS the group value. Timezone: the layout's dir
+    * derivation (`to_date`) and the pushed cast both read a TIMESTAMP
+    * source under the session timezone — the layout contract pins it to
+    * UTC (the pruning algebra hard-codes UTC day bands), so a TIMESTAMP
+    * source is servable only in a UTC session; DATE and TIMESTAMP_NTZ
+    * sources are timezone-independent.
+    */
+  private def dayCastKey(
+      opts: RefTableOptions,
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[GroupKey] =
+    e match {
+      case c: org.apache.spark.sql.connector.expressions.Cast if c.dataType == DateType =>
+        def tzSafe(dt: DataType): Boolean = dt match {
+          case DateType | TimestampNTZType => true
+          case TimestampType =>
+            org.apache.spark.sql.SparkSession.active
+              .sessionState.conf.sessionLocalTimeZone == "UTC"
+          case _ => false
+        }
+        for {
+          src <- simpleCol(c.expression)
+          day <- opts.transformFor(src).collect { case d: RefTableTransforms.Days => d }
+          srcField <- opts.schema.fields.find(_.name == src)
+          if tzSafe(srcField.dataType)
+        } yield DayKey(src, day.dirName)
+      case _ => None
+    }
+
   def accept(opts: RefTableOptions, agg: Aggregation): Option[PushedAgg] = {
-    val groupFields = agg.groupByExpressions().toSeq.map { e =>
-      simpleCol(e).flatMap(n => opts.schema.fields.find(_.name == n))
+    val groupFields: Seq[Option[GroupKey]] = agg.groupByExpressions().toSeq.map { e =>
+      simpleCol(e) match {
+        case Some(n) => opts.schema.fields.find(_.name == n).map(PvKey)
+        case None    => dayCastKey(opts, e)
+      }
     }
     if (groupFields.exists(_.isEmpty)) return None
     if (groupFields.nonEmpty) {
-      val fields = groupFields.flatten
+      val keys = groupFields.flatten
       val files = SnapshotFiles.pruned(opts, Nil)
-      val servable = fields.forall(f =>
-        files.forall(file => RefTableColumnarReader.pvConst(opts, file.partitionValues, f)))
+      // DIRECTORY-CONSTANT check per file: a partition column through
+      // pvConst; a transform key by dir presence (files published outside
+      // publishHiddenPartitioned carry no transform dir — not servable)
+      val servable = keys.forall {
+        case PvKey(f) =>
+          files.forall(file => RefTableColumnarReader.pvConst(opts, file.partitionValues, f))
+        case DayKey(_, dirName) =>
+          files.forall(_.partitionValues.contains(dirName))
+      }
       if (!servable) return None
     }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -125,7 +192,7 @@ object RefTableAggregates {
     * the declared field type, counts are longs).
     */
   def schemaOf(pushed: PushedAgg): StructType = StructType(
-    pushed.groupFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+    pushed.groupFields.map(k => StructField(k.outName, k.dataType, nullable = true)) ++
       pushed.specs.map {
         case CountStarSpec   => StructField("count(*)", LongType, nullable = false)
         case CountSpec(c)    => StructField(s"count($c)", LongType, nullable = false)
@@ -139,7 +206,7 @@ class RefTableAggScan(opts: RefTableOptions, pushed: RefTableAggregates.PushedAg
   override def readSchema(): StructType = RefTableAggregates.schemaOf(pushed)
   override def description(): String = {
     val grp = if (pushed.groupFields.isEmpty) ""
-      else s" PushedGroupBy: [${pushed.groupFields.map(_.name).mkString(", ")}]"
+      else s" PushedGroupBy: [${pushed.groupFields.map(_.outName).mkString(", ")}]"
     s"reftable(${opts.path}) PushedAggregates: [${pushed.specs.mkString(", ")}]$grp (footer statistics only)"
   }
   override def toBatch: Batch = new Batch {
@@ -248,13 +315,13 @@ class RefTableAggFooterReader(
       // but a refresh-mode plan re-lists — a file published without the
       // group directory between accept and plan must fail loudly, not
       // NoSuchElementException mid-scan or silently mis-group
-      pushed.groupFields.zipWithIndex.foreach { case (f, i) =>
-        val raw = partition.partitionValues.getOrElse(f.name,
+      pushed.groupFields.zipWithIndex.foreach { case (k, i) =>
+        val raw = partition.partitionValues.getOrElse(k.dirKey,
           throw new IllegalStateException(
-            s"reftable: file ${partition.path} carries no '${f.name}' directory value; " +
+            s"reftable: file ${partition.path} carries no '${k.dirKey}' directory value; " +
               "the snapshot changed between aggregate acceptance and planning — " +
               "re-run the query (the new plan will decline the pushdown)"))
-        out.update(i, RefTablePartitioning.catalystValue(raw, f.dataType))
+        out.update(i, RefTablePartitioning.catalystValue(raw, k.dataType))
       }
       specs.zipWithIndex.map { case (s, i) => (s, nGroup + i) }.foreach { case (spec, i) =>
         spec match {

@@ -897,6 +897,53 @@ class RefTableSourceSpec extends AnyFunSuite {
     assert(nonPart.collect().map(_.getLong(1)).sum == 6L)
   }
 
+  test("grouped pushdown over a days() hidden transform: CAST(ts AS DATE) served from dirs") {
+    val root = Files.createTempDirectory("reftable_gaggday_").toString
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1 + i % 7, i % 24, 5)), i * 1.5)
+    }
+    graft.sources.reftable.VersionedTable.publishHiddenPartitioned(
+      rows.toDF("id", "ts", "v"), root, Seq("days(ts)"))
+    def read() = spark.read.format("reftable")
+      .option("path", root).option("schema", "id BIGINT, ts TIMESTAMP, v DOUBLE")
+      .option("hiddenPartitions", "days(ts)").load()
+    val df = read().groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("v").as("mx"))
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PushedGroupBy: [CAST(ts AS DATE)]"),
+      s"expected the day-transform grouped footer scan, got:\n$planStr")
+    // values == the raw computation over the same rows
+    val raw = rows.toDF("id", "ts", "v").groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("v").as("mx"))
+      .orderBy("day").collect().toSeq
+    assert(df.orderBy("day").collect().toSeq == raw)
+    // to_date(ts) compiles to the same cast — also served
+    val viaToDate = read().groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    assert(viaToDate.queryExecution.executedPlan.toString().contains("PushedGroupBy"),
+      "to_date(ts) group must push like the explicit cast")
+    // a TIMESTAMP source is only servable under a UTC session: the dirs
+    // were derived in UTC, and the cast reads the session timezone
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = read().groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))
+      assert(!shifted.queryExecution.executedPlan.toString().contains("PushedAggregates"),
+        "non-UTC session must fall back to the real scan")
+      // and the fallback is CORRECT for the shifted timezone (00:05
+      // timestamps land on the previous local day)
+      val shiftedRaw = rows.toDF("id", "ts", "v")
+        .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))
+        .orderBy("day").collect().toSeq
+      assert(shifted.orderBy("day").collect().toSeq == shiftedRaw)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // grouping by the raw ts itself has no per-file constant: falls back
+    val byTs = read().groupBy("ts").agg(count(lit(1)).as("n"))
+    assert(!byTs.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+    assert(byTs.collect().map(_.getLong(1)).sum == 200L)
+  }
+
   test("dynamic partition pruning: a join prunes the partitioned scan at runtime") {
     val dir = Files.createTempDirectory("reftable_dpp_").toString
     import spark.implicits._
