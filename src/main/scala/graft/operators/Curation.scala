@@ -281,6 +281,34 @@ object Curation {
         floor(col("__before") / budget).cast("int").as("shard"))
   }
 
+  /** [[packShards]] with a CORPUS-SCALED budget — the production shape. A
+    * fixed token budget makes shard COUNT linear in the corpus: at 100×
+    * the 4096-token toy budget produced 25k shard directories and the
+    * write's per-shard-file constants dominated the wall (measured
+    * second-decade exponent ~1.1). Here the budget derives from the total:
+    * `max(minBudget, ⌈total / targetShards⌉)` — shard count saturates at
+    * `targetShards` and grows only below the `minBudget` floor, so the
+    * file count (and every per-file constant downstream: write tasks,
+    * listing, footers) is corpus-independent at scale. The total comes
+    * from the SAME bounded stats round-trip the two-level prefix sum
+    * already makes — the auto budget costs nothing extra. Deterministic
+    * and engine-replayable: the oracle recomputes the same integer budget
+    * formula.
+    */
+  def packShardsAuto(
+      df: DataFrame, idCol: String, weightCol: String,
+      targetShards: Int = 256, minBudget: Long = 4096L,
+      numParts: Int = 32): DataFrame = {
+    require(targetShards > 0, "packShardsAuto needs a positive shard target")
+    require(minBudget > 0, "packShardsAuto needs a positive budget floor")
+    val (pre, total) = withPrefixBeforeTotal(
+      df.select(col(idCol), col(weightCol).cast("long").as("__w")),
+      idCol, col("__w"), numParts)
+    val budget = math.max(minBudget, (total + targetShards - 1) / targetShards)
+    pre.select(col(idCol), col("__w").as("n_tok"),
+      floor(col("__before") / budget).cast("int").as("shard"))
+  }
+
   /** `df` + a `__before` column = the exclusive running sum of `weight` in
     * `idCol` order — the shared two-level distributed prefix sum behind
     * [[packShards]] and [[packSequences]]. Carries every input column
@@ -288,7 +316,15 @@ object Curation {
     * payloads (token-id arrays) alongside their offsets.
     */
   private def withPrefixBefore(
-      df: DataFrame, idCol: String, weight: Column, numParts: Int): DataFrame = {
+      df: DataFrame, idCol: String, weight: Column, numParts: Int): DataFrame =
+    withPrefixBeforeTotal(df, idCol, weight, numParts)._1
+
+  /** [[withPrefixBefore]] plus the TOTAL weight — already known from the
+    * stats round-trip, exposed so [[packShardsAuto]] can derive its budget
+    * without a second pass.
+    */
+  private def withPrefixBeforeTotal(
+      df: DataFrame, idCol: String, weight: Column, numParts: Int): (DataFrame, Long) = {
     val weighted = df.withColumn("__w", weight.cast("long"))
     // one pass: per-range-partition weight sum + max id. Only this job
     // sees the sampled RangePartitioner; its boundaries are captured as
@@ -330,11 +366,12 @@ object Curation {
       when(col(idCol) <= lit(hi), lit(pid)).otherwise(rest)
     }
     val w = Window.partitionBy("__pid").orderBy(idCol)
-    weighted
+    (weighted
       .withColumn("__pid", when(col(idCol).isNull, lit(firstPid)).otherwise(pidExpr))
       .withColumn("__before",
         offsetOf(col("__pid")) + sum("__w").over(w) - col("__w"))
-      .drop("__pid")
+      .drop("__pid"),
+      stats.map(_._2).sum)
   }
 
   /** Pack per-document token-id arrays into FIXED-LENGTH training

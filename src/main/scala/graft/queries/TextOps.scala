@@ -498,7 +498,14 @@ object TextOps {
       // join and the write would otherwise each re-run the census join
       val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
         .localCheckpoint()
-      val packed = graft.operators.Curation.packShards(enc, "doc_id", "n_bpe", budget = 4096L)
+      // CORPUS-SCALED budget (round 19): the fixed 4096-token toy budget
+      // made shard count linear in the corpus — 25k shard dirs at 100×,
+      // per-shard-file constants ~e1.1. packShardsAuto saturates the shard
+      // count at targetShards (budget = max(4096, ceil(total/256))), so
+      // file-count constants are corpus-independent at scale; the oracle
+      // recomputes the same integer budget formula.
+      val packed = graft.operators.Curation.packShardsAuto(
+        enc, "doc_id", "n_bpe", targetShards = 256, minBudget = 4096L)
       val out = RelationalSupport.scratchDir(s, dir, "q219_shards")
       graft.sources.reftable.VersionedTable.publishPartitioned(
         enc.join(packed.select("doc_id", "shard"), "doc_id")
@@ -523,7 +530,7 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("tok"),
           sum(aggregate(col("token_ids"), lit(0L), (a, x) => a + x)).as("id_mass"))
         .orderBy("shard")
-    }, Some(TextOps.shardWriteOracle(30, 4096L, 4))),
+    }, Some(TextOps.shardWriteOracle(30, minBudget = 4096L, targetShards = 256, shardLt = 4))),
 
     QueryDef("q213_tokenize_pack", (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -789,7 +796,12 @@ object TextOps {
     * and the pruned per-shard aggregate — `id_mass` re-derives the sum of
     * the very ids the shard files carry.
     */
-  def shardWriteOracle(nMerges: Int, budget: Long, shardLt: Int): String =
+  /** `minBudget`/`targetShards` replay [[graft.operators.Curation
+    * .packShardsAuto]]'s integer budget formula — the corpus-scaled
+    * production shape (shard count saturates at targetShards).
+    */
+  def shardWriteOracle(
+      nMerges: Int, minBudget: Long, targetShards: Int, shardLt: Int): String =
     s"""WITH ${bpeLevels(nMerges)},
        |${bpeVocabCtes(nMerges)},
        |widsum AS (
@@ -801,9 +813,12 @@ object TextOps {
        |perdoc AS (
        |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n, CAST(sum(ws) AS BIGINT) AS ids
        |  FROM docw JOIN widsum USING (w) GROUP BY 1),
+       |bud AS (SELECT GREATEST($minBudget, (CAST(sum(n) AS BIGINT) + ${targetShards - 1}) // $targetShards) AS b
+       |  FROM perdoc),
        |c AS (SELECT doc_id, n, ids,
        |  sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS pre FROM perdoc),
-       |s2 AS (SELECT doc_id, n, ids, CAST(floor(pre / $budget.0) AS INT) AS shard FROM c)
+       |s2 AS (SELECT doc_id, n, ids,
+       |  CAST(floor(pre / CAST(b AS DOUBLE)) AS INT) AS shard FROM c, bud)
        |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok,
        |  CAST(sum(ids) AS BIGINT) AS id_mass
        |FROM s2 WHERE shard < $shardLt GROUP BY shard ORDER BY shard""".stripMargin

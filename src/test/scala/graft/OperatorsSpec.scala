@@ -731,6 +731,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packShardsAuto: corpus-scaled budget saturates shard count, floor respected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 3000L).map(i => (i, 1L + rnd.nextInt(400).toLong))
+    val total = rows.map(_._2).sum
+    val df = rows.toDF("id", "w").repartition(16)
+    // big corpus: budget = ceil(total/targetShards), shard count ≈ target
+    val target = 16
+    val budget = math.max(10L, (total + target - 1) / target)
+    val got = graft.operators.Curation
+      .packShardsAuto(df, "id", "w", targetShards = target, minBudget = 10L)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    var acc = 0L
+    rows.foreach { case (id, w) =>
+      assert(got(id) == (acc / budget).toInt, s"doc $id: got ${got(id)}")
+      acc += w
+    }
+    assert(got.values.max == target - 1, s"shard count saturates at target: ${got.values.max}")
+    // small corpus: the minBudget floor wins (same result as fixed packShards)
+    val small = rows.take(20).toDF("id", "w")
+    val auto = graft.operators.Curation
+      .packShardsAuto(small, "id", "w", targetShards = 16, minBudget = 100000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq.sorted
+    val fixed = graft.operators.Curation.packShards(small, "id", "w", budget = 100000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq.sorted
+    assert(auto == fixed && auto.forall(_._2 == 0))
+  }
+
   test("packSequences: fixed windows cross doc boundaries, order exact, layout-stable") {
     import spark.implicits._
     // global stream [1..9] with an empty doc in the middle; L=4 →
