@@ -77,7 +77,13 @@ object Plans {
     // data pages), the SQ8-over-IVF probe (codes-column scan over pruned
     // cell listings), and the byte-level tokenizer's census train
     "q227_grouped_agg_pushdown", "q228_ivf_sq8_exact_limit",
-    "q225_bpe_byte_train")
+    "q225_bpe_byte_train",
+    // round-19: the day-census over hidden-transform dirs (PushedGroupBy
+    // on CAST(ts AS DATE), zero data pages), the 2048-merge token-id
+    // encode (the merge chain runs in a UDF over the census — the plan
+    // must NOT grow with the merge count), and the SQ8-maintained layout's
+    // final read
+    "q234_day_census_pushdown", "q232_bpe_ids_prod", "q233_sq_maintenance")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1085,6 +1085,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minFrequency"), e.getMessage)
   }
 
+  test("seq-replay encode: the plan does not grow with the merge count") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    // synthetic merge lists: hex-pair symbols, mostly never-applicable —
+    // exactly the shape of a large trained vocabulary at encode time
+    def merges(n: Int): Seq[(String, String)] =
+      (0 until n).map(i => (f"${i % 256}%02x", f"${(i * 7 + 1) % 256}%02x"))
+    def planLen(n: Int): Int =
+      graft.operators.TextAnalysis
+        .bpeEncodeIdsBytesSeq(docs, "doc_id", "text", merges(n))
+        .queryExecution.executedPlan.toString.length
+    val small = planLen(8)
+    val large = planLen(8192)
+    assert(large <= small + 64,
+      s"plan must stay O(1) in merges: $small chars at 8 vs $large at 8192")
+    // (the chained-replace contrast is not measurable here: plan toString
+    // truncates long expression trees, so its linear growth hides — the
+    // analyzed plan of the fold form carries one replace per merge by
+    // construction, which is exactly why the seq form exists)
+    // and an 8192-merge encode actually RUNS in bounded time
+    val ids = graft.operators.TextAnalysis
+      .bpeEncodeIdsBytesSeq(docs, "doc_id", "text", merges(8192))
+      .collect()
+    assert(ids.nonEmpty)
+  }
+
   test("gopherRules: a column name needing backtick quoting works (no raw SQL interpolation)") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"the be to of and that have with word$i").mkString(" ")
