@@ -657,7 +657,59 @@ object TextOps {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("tid").cast("long").as("tid"))
         .orderBy("doc_id", "pos")
-    }, Some(TextOps.bpeProdIdsOracle(TextOps.ProdMerges)))
+    }, Some(TextOps.bpeProdIdsOracle(TextOps.ProdMerges))),
+
+    // CENSUS-PRUNED BPE TRAINING (round 19): the web-scale driver-memory
+    // story — at 100 TB the distinct pre-token census can exceed any
+    // single machine, and production trainers prune the singleton tail
+    // before materializing counts. minFrequency=3 drops rare words BEFORE
+    // the collect (the census filter is one HAVING on the distributed
+    // aggregation), and the merge loop trains on the pruned census; the
+    // oracle replays the same threshold then the same recursion. Trained
+    // vocabulary differs from the unpruned one by construction — that is
+    // the documented production trade, here pinned and replayable.
+    QueryDef("q235_bpe_pruned_census", (s, dir) => {
+      graft.operators.TextAnalysis
+        .bpeTrainBytesInMemory(TextOps.richCorpus(t(s, dir, "documents")), "text",
+          nMerges = 512, minFrequency = 3L)
+        .orderBy("rank")
+    }, Some(TextOps.bpeTrainProdOracle(512, minFreq = 3L))),
+
+    // EOS-SEPARATED CONTEXT PACKING (round 19): q230 with the document
+    // separator every production pretraining pipeline inserts — each
+    // document's id sequence gets the reserved EOS id (the first id past
+    // the trained vocabulary, base+nMerges) appended before the global
+    // stream splits into fixed windows, so examples carry explicit
+    // document boundaries. Same scale shape as q230 (two-level prefix
+    // sum, one explode, one example-key shuffle); the oracle injects the
+    // same EOS rows into its global running row_number.
+    QueryDef("q236_context_pack_eos", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      // the reserved EOS id = first id past the vocabulary: base alphabet
+      // size + nMerges (rank ids advance per merge even on surface
+      // collisions). The base size recomputes bpeEncodeIds' definition:
+      // distinct single characters of the token census.
+      val b = docs
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) === 1).distinct().count().toInt
+      val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+        .withColumn("token_ids",
+          concat(col("token_ids"), array(lit(b + merges.size))))
+        .localCheckpoint()
+      graft.operators.Curation.packSequences(enc, "doc_id", "token_ids", seqLen = 2048)
+        .select(col("example_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("id_mass"),
+          aggregate(
+            zip_with(col("token_ids"), sequence(lit(1), size(col("token_ids"))),
+              (t, i) => t.cast("long") * i),
+            lit(0L), (a, x) => a + x).as("ord_mass"))
+        .orderBy("example_id")
+    }, Some(TextOps.contextPackEosOracle(30, 2048)))
   )
 
   /** The q230 oracle: the q212 vocabulary/segmentation chain over ALL
@@ -677,6 +729,33 @@ object TextOps {
        |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
        |    CAST(tid AS BIGINT) AS tid
        |  FROM docw JOIN wid USING (w))
+       |SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
+       |  CAST(sum(tid) AS BIGINT) AS id_mass,
+       |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
+       |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The q236 oracle: q230's chain with one EOS row (tid = base alphabet
+    * size + nMerges, the first id past the vocabulary) appended per
+    * document before the global running row_number.
+    */
+  def contextPackEosOracle(nMerges: Int, seqLen: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |${bpeVocabCtes(nMerges)},
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |          FROM documents))),
+       |tok AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
+       |seq AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM (
+       |    SELECT doc_id, wi, j, tid FROM tok
+       |    UNION ALL
+       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + $nMerges
+       |    FROM (SELECT DISTINCT doc_id FROM tok)))
        |SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
        |  CAST(sum(tid) AS BIGINT) AS id_mass,
        |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
@@ -942,14 +1021,19 @@ object TextOps {
        |  SELECT doc_id, text || ${tails.mkString(" || ")} AS text FROM documents)""".stripMargin
   }
 
-  /** The byte-level `w0` census over the enriched corpus. */
-  private def richW0: String =
+  /** The byte-level `w0` census over the enriched corpus; `minFreq > 1`
+    * prunes the singleton tail (the [[graft.operators.TextAnalysis
+    * .bpeTrainBytesInMemory]] `minFrequency` replay).
+    */
+  private def richW0(minFreq: Long = 1L): String = {
+    val having = if (minFreq > 1L) s" HAVING count(*) >= $minFreq" else ""
     s"""$richCorpusCte,
        |w0 AS MATERIALIZED (
        |  SELECT w, regexp_replace(lower(hex(w)), '(..)', ' \\1 ', 'g') AS s, wf FROM (
        |    SELECT w, count(*) AS wf FROM (
        |      SELECT unnest(regexp_extract_all(text, '$bytePretokenSql')) AS w
-       |      FROM corpus) GROUP BY w))""".stripMargin
+       |      FROM corpus) GROUP BY w$having))""".stripMargin
+  }
 
   /** The RECURSIVE merge-loop replay (q231/q232): the q225 oracle's
     * per-level chained-CTE machinery needs one MATERIALIZED level per merge
@@ -964,8 +1048,8 @@ object TextOps {
     * oracles. Requires DuckDB ≥ 1.0 (aggregates + multiple references over
     * the recursive table in the recursive term).
     */
-  private def bpeRecursionCtes(nMerges: Int): String =
-    s"""$richW0,
+  private def bpeRecursionCtes(nMerges: Int, minFreq: Long = 1L): String =
+    s"""${richW0(minFreq)},
        |t(it, w, s, wf) AS (
        |  SELECT 0, w, s, wf FROM w0
        |  UNION ALL
@@ -994,9 +1078,11 @@ object TextOps {
        |  FROM best, stop WHERE rn = 1 AND rank <= mi),
        |wfin AS (SELECT w, s FROM t, stop WHERE it = mi)""".stripMargin
 
-  /** The q231 oracle: the recursive replay's merge table. */
-  def bpeTrainProdOracle(nMerges: Int): String =
-    s"""WITH RECURSIVE ${bpeRecursionCtes(nMerges)}
+  /** The q231/q235 oracle: the recursive replay's merge table (`minFreq`
+    * prunes the census first — the q235 production-pruning form).
+    */
+  def bpeTrainProdOracle(nMerges: Int, minFreq: Long = 1L): String =
+    s"""WITH RECURSIVE ${bpeRecursionCtes(nMerges, minFreq)}
        |SELECT rank, lhs, rhs, merged, cnt FROM mergetab ORDER BY rank""".stripMargin
 
   /** The q232 oracle: byte vocabulary (base id = byte value, merge rank r
