@@ -330,27 +330,11 @@ object Curation {
     // sees the sampled RangePartitioner; its boundaries are captured as
     // data (max id per partition) and everything downstream derives from
     // those values, so partitioner nondeterminism cannot leak.
-    //
-    // The same pass ENFORCES idCol uniqueness (and non-nullness): the
-    // running sum below orders by idCol, and the window's default RANGE
-    // frame gives duplicate ids identical __before — overlapping offsets,
-    // nondeterministically ordered output. Range partitioning co-locates
-    // equal keys, so per-partition count(*) == count(DISTINCT id) is an
-    // exact global check, paid inside the aggregation this pass already
-    // runs (a null id also trips it: count(*) counts nulls, countDistinct
-    // does not).
-    val rawStats = weighted.select(col(idCol), col("__w"))
+    val stats = weighted.select(col(idCol), col("__w"))
       .repartitionByRange(numParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .groupBy("__pid").agg(sum("__w").as("s"), max(col(idCol)).as("hi"),
-        count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd"))
-      .collect()
-    val dups = rawStats.filter(r => r.getLong(3) != r.getLong(4))
-    require(dups.isEmpty,
-      s"prefix-sum order column '$idCol' must be unique and non-null: " +
-        s"${dups.map(r => s"partition ${r.getInt(0)} has ${r.getLong(3)} rows " +
-          s"but ${r.getLong(4)} distinct ids").mkString("; ")}")
-    val stats = rawStats.map(r => (r.getInt(0), r.getLong(1), r.get(2))).sortBy(_._1)
+      .groupBy("__pid").agg(sum("__w").as("s"), max(col(idCol)).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.get(2))).sortBy(_._1)
     val exclusive = stats.scanLeft((0, 0L)) { case ((_, acc), (pid, s, _)) => (pid, acc + s) }
       .init.map(_._2) // offset for partition i = sum of partitions < i
     val offsetOf = map(stats.map(_._1).zip(exclusive).flatMap {
@@ -358,18 +342,34 @@ object Curation {
     }: _*)
     // range partitions are contiguous in id order, so partition i is
     // exactly (hi_{i-1}, hi_i]: the FIRST non-empty partition whose max id
-    // is >= this row's id. Nulls sort first under the partitioner's
-    // ascending order → the first non-empty partition.
-    val firstPid = stats.headOption.map(_._1).getOrElse(0)
+    // is >= this row's id.
     val pidExpr = stats.init.foldRight(
       lit(stats.lastOption.map(_._1).getOrElse(0)): Column) { case ((pid, _, hi), rest) =>
       when(col(idCol) <= lit(hi), lit(pid)).otherwise(rest)
     }
     val w = Window.partitionBy("__pid").orderBy(idCol)
+    // ENFORCE idCol uniqueness and non-nullness, shuffle-free: the window's
+    // default RANGE frame would give duplicate ids identical __before —
+    // overlapping offsets, nondeterministically ordered output — and a
+    // null id has no defined position. Equal ids co-locate under the range
+    // partitioner and sort adjacently inside the window's existing
+    // per-partition sort, so a lag-equality probe detects every duplicate
+    // with zero extra exchanges (a countDistinct check here measurably
+    // doubled the stats pass's shuffle volume — review-wave finding). The
+    // guard folds into __before as a raising zero so column pruning can
+    // never drop it.
+    val guardZero = when(col(idCol).isNull,
+        raise_error(lit(s"prefix-sum order column '$idCol' must be non-null"))
+          .cast("long"))
+      .when(lag(col(idCol), 1).over(w) === col(idCol),
+        raise_error(concat(
+          lit(s"prefix-sum order column '$idCol' must be unique; duplicate key: "),
+          col(idCol).cast("string"))).cast("long"))
+      .otherwise(lit(0L))
     (weighted
-      .withColumn("__pid", when(col(idCol).isNull, lit(firstPid)).otherwise(pidExpr))
+      .withColumn("__pid", pidExpr)
       .withColumn("__before",
-        offsetOf(col("__pid")) + sum("__w").over(w) - col("__w"))
+        offsetOf(col("__pid")) + sum("__w").over(w) - col("__w") + guardZero)
       .drop("__pid"),
       stats.map(_._2).sum)
   }

@@ -481,20 +481,37 @@ object TextAnalysis {
       .collect().map(_.getString(0)).toSeq
     val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     baseChars.zipWithIndex.foreach { case (c, i) => vocab.getOrElseUpdate(c, i) }
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      vocab.getOrElseUpdate(a + b, baseChars.size + i)
+    mergedIdMap(merges, baseChars.size).foreach { case (tok, id) =>
+      vocab.getOrElseUpdate(tok, id)
     }
     val vocabCol = typedLit(vocab.toMap)
     val wordIds = applied.select(col("w"),
       transform(split(trim(col("s")), "  "), sym => element_at(vocabCol, sym))
         .as("__tids"))
+    reassembleIds(words, wordIds, idCol)
+  }
+
+  /** Merge-surface → id, ranks in order starting at `base`; a merged
+    * surface that collides with an earlier entry keeps the earlier
+    * (smaller) id — the one id rule every encode path shares.
+    */
+  private def mergedIdMap(merges: Seq[(String, String)], base: Int): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.getOrElseUpdate(a + b, base + i) }
+    m.toMap
+  }
+
+  /** The shared reassembly tail of every id-sequence encode: positioned
+    * words join their census id arrays, each document flattens
+    * `sort_array(collect_list(struct(pos, ids)))` — one doc-key shuffle.
+    */
+  private def reassembleIds(words: DataFrame, wordIds: DataFrame, idCol: String): DataFrame =
     words.join(wordIds, "w")
       .groupBy(idCol)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__wi"), col("__tids")))),
         e => e("__tids"))).as("token_ids"))
       .withColumn("n_bpe", size(col("token_ids")).cast("long"))
-  }
 
   /** GPT-2-style pre-tokenization pattern for the BYTE-level tokenizer:
     * contraction suffixes, optional-space-prefixed letter runs, digit
@@ -555,21 +572,12 @@ object TextAnalysis {
     val applied = merges.foldLeft(census) { case (d, (a, b)) =>
       d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
     }
-    val mergedIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      mergedIds.getOrElseUpdate(a + b, 256 + i)
-    }
-    val mergedMap = typedLit(mergedIds.toMap)
+    val mergedMap = typedLit(mergedIdMap(merges, 256))
     val wordIds = applied.select(col("w"),
       transform(split(trim(col("s")), "  "), sym =>
         when(length(sym) === 2, conv(sym, 16, 10).cast("int"))
           .otherwise(element_at(mergedMap, sym))).as("__tids"))
-    words.join(wordIds, "w")
-      .groupBy(idCol)
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__wi"), col("__tids")))),
-        e => e("__tids"))).as("token_ids"))
-      .withColumn("n_bpe", size(col("token_ids")).cast("long"))
+    reassembleIds(words, wordIds, idCol)
   }
 
   /** PRODUCTION-SCALE BPE vocabulary training on the merges axis —
@@ -723,12 +731,7 @@ object TextAnalysis {
   def bpeEncodeIdsBytesSeq(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
-    val mergesArr = merges.toArray
-    val mergedIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      mergedIds.getOrElseUpdate(a + b, 256 + i)
-    }
-    val bm = spark.sparkContext.broadcast((mergesArr, mergedIds.toMap))
+    val bm = spark.sparkContext.broadcast((merges.toArray, mergedIdMap(merges, 256)))
     val encodeUdf = udf { (w: String) =>
       val (ms, ids) = bm.value
       val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -756,12 +759,7 @@ object TextAnalysis {
     val words = df.select(col(idCol), posexplode(pretokens(col(textCol))).as(Seq("__wi", "w")))
     val wordIds = words.select("w").distinct()
       .withColumn("__tids", encodeUdf(col("w")))
-    words.join(wordIds, "w")
-      .groupBy(idCol)
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__wi"), col("__tids")))),
-        e => e("__tids"))).as("token_ids"))
-      .withColumn("n_bpe", size(col("token_ids")).cast("long"))
+    reassembleIds(words, wordIds, idCol)
   }
 
   /** Repetition metrics — duplicate-token fraction and top-token share,

@@ -734,13 +734,18 @@ object TextOps {
        |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
        |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** The q236 oracle: q230's chain with one EOS row (tid = base alphabet
-    * size + nMerges, the first id past the vocabulary) appended per
-    * document before the global running row_number.
+  /** The q236 oracle: q230's chain with one EOS row appended per document
+    * before the global running row_number. The EOS id is the first id
+    * past the vocabulary — base alphabet size + the TRAINED merge count
+    * (derived from the oracle's own merge tables, never the requested
+    * nMerges: on census exhaustion both engines must agree on the same
+    * smaller count — review-wave finding).
     */
   def contextPackEosOracle(nMerges: Int, seqLen: Int): String =
     s"""WITH ${bpeLevels(nMerges)},
        |${bpeVocabCtes(nMerges)},
+       |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k
+       |  FROM (${(1 to nMerges).map(i => s"SELECT rank FROM m$i").mkString(" UNION ALL ")})),
        |docw AS (
        |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
@@ -754,7 +759,7 @@ object TextOps {
        |  FROM (
        |    SELECT doc_id, wi, j, tid FROM tok
        |    UNION ALL
-       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + $nMerges
+       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + (SELECT k FROM mcnt)
        |    FROM (SELECT DISTINCT doc_id FROM tok)))
        |SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
        |  CAST(sum(tid) AS BIGINT) AS id_mass,
@@ -981,7 +986,7 @@ object TextOps {
   final val ProdMerges = 2048
 
   /** Moduli for the deterministic pseudo-word enrichment: one tail word
-    * per modulus per document, `(doc_id · (2i+3)) mod mᵢ` rendered as
+    * per modulus per document, `(doc_id · (mᵢ−1)) mod mᵢ` rendered as (mᵢ−1 is coprime to mᵢ, so every residue is reachable — a shared factor would collapse the modulus to one constant word; review-wave finding)
     * letters — distinct-word counts per modulus from 3 to 863, so counts
     * are Zipf-ish (~n/3 repeats down to singletons) and the census carries
     * ~2.2k distinct words at sf0.01 — enough structure to sustain ≥2048
@@ -993,13 +998,13 @@ object TextOps {
 
   /** The documents corpus with the deterministic VOCABULARY enrichment for
     * the production-merge-count entries: per modulus i, the tail word
-    * ` <letter_i>q<3 base-23 letters of (doc_id·(2i+3)) mod mᵢ>` — pure
+    * ` <letter_i>q<3 base-23 letters of (doc_id·(mᵢ−1)) mod mᵢ>` — pure
     * letter runs (the pre-tokenizer keeps them whole), identical
     * construction in Spark and DuckDB ([[richCorpusCte]]).
     */
   def richCorpus(docs: DataFrame): DataFrame = {
     val tails = ProdMods.zipWithIndex.map { case (m, i) =>
-      val v = s"((doc_id * ${2 * i + 3}) % $m)"
+      val v = s"((doc_id * ${m - 1}) % $m)"
       s"' ${('a' + i).toChar}q', " +
         s"substr('$ProdAlpha', CAST($v DIV 529 AS INT) + 1, 1), " +
         s"substr('$ProdAlpha', CAST(($v DIV 23) % 23 AS INT) + 1, 1), " +
@@ -1012,7 +1017,7 @@ object TextOps {
   /** [[richCorpus]] in DuckDB dialect (`//` integer division). */
   private def richCorpusCte: String = {
     val tails = ProdMods.zipWithIndex.map { case (m, i) =>
-      val v = s"((doc_id * ${2 * i + 3}) % $m)"
+      val v = s"((doc_id * ${m - 1}) % $m)"
       s"' ${('a' + i).toChar}q' || substr('$ProdAlpha', $v // 529 + 1, 1) || " +
         s"substr('$ProdAlpha', ($v // 23) % 23 + 1, 1) || " +
         s"substr('$ProdAlpha', $v % 23 + 1, 1)"

@@ -801,19 +801,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e1.getMessage != null && e1.getMessage.contains("null token_ids"),
       s"wrong error: ${e1.getMessage}")
-    // duplicate order keys: overlapping offsets — must be rejected by the
-    // exact per-range-partition count vs countDistinct check
+    // duplicate order keys: overlapping offsets — rejected by the
+    // shuffle-free lag-equality guard inside the existing window pass
+    // (equal keys co-locate and sort adjacently)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val dup = Seq((1L, 5L), (2L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "w")
-    val e2 = intercept[IllegalArgumentException] {
-      graft.operators.Curation.packShards(dup, "id", "w", budget = 100L)
+    val e2 = intercept[Exception] {
+      graft.operators.Curation.packShards(dup, "id", "w", budget = 100L).collect()
     }
-    assert(e2.getMessage.contains("unique"), s"wrong error: ${e2.getMessage}")
-    // a null id is rejected by the same check
+    assert(msgs(e2).exists(_.contains("must be unique")), s"wrong error: ${msgs(e2)}")
+    // a null id has no defined position — same guard, its own message
     val withNullId = Seq(Some(1L), None, Some(3L)).map(id => (id.map(Long.box).orNull, 5L))
       .toDF("id", "w")
-    intercept[IllegalArgumentException] {
-      graft.operators.Curation.packShards(withNullId, "id", "w", budget = 100L)
+    val e3 = intercept[Exception] {
+      graft.operators.Curation.packShards(withNullId, "id", "w", budget = 100L).collect()
     }
+    assert(msgs(e3).exists(_.contains("must be non-null")), s"wrong error: ${msgs(e3)}")
   }
 
   test("assignSplits is exhaustive, proportional, and stable under corpus growth") {
