@@ -171,6 +171,89 @@ case class UnpackVector(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared eval kernel for [[SqEncode]] — serves both the interpreted
+  * `nullSafeEval` and the generated code (the codegen emits a call, so the
+  * loop stays inside whole-stage codegen; same pattern as [[VectorCodec]]).
+  *
+  * Quantizer semantics pinned for engine replay (the oracle recomputes
+  * them): code_i = floor((x_i − lo_i) / (hi_i − lo_i) · 255 + 0.5) clamped
+  * to [0, 255] (HALF_UP), and a degenerate dimension (hi ≤ lo) encodes 0.
+  */
+object SqCodec {
+  def encode(a: ArrayData, lo: Array[Double], hi: Array[Double], fromFloat: Boolean): Array[Byte] = {
+    val d = lo.length
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val x = if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val c =
+        if (hi(i) <= lo(i)) 0
+        else {
+          val t = math.floor((x - lo(i)) / (hi(i) - lo(i)) * 255.0 + 0.5).toInt
+          if (t < 0) 0 else if (t > 255) 255 else t
+        }
+      out(i) = (c & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** `array<float|double>` (dim d) → `binary` (d SQ8 codes, one byte per
+  * dimension) against per-dimension [lo, hi] ranges — the codegen'd
+  * Catalyst form of [[graft.operators.Sq]]'s quantizer (see [[SqCodec]]
+  * for the pinned semantics). Like its siblings [[PackVector]] /
+  * [[CosineSimilarity]] it stays inside whole-stage codegen: the SQ8
+  * encode pass is the one corpus-wide scan of an index build, and a Scala
+  * UDF there would break the stage and box every row at 100 TB.
+  *
+  * A DIMENSION-MISMATCHED input yields NULL codes (matching the former
+  * UDF's contract): tolerable on the bare corpus-scan path, and the
+  * persisted layouts ([[graft.operators.IvfIndex.buildSq]]) wrap the call
+  * in a raise_error guard so a bad row fails the build loudly instead.
+  * The ranges ride in the expression as plan literals — d ≤ a few hundred
+  * doubles, codebook-class metadata, referenced from generated code via
+  * `addReferenceObj` (never stringified into source).
+  */
+case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
+    extends UnaryExpression {
+  require(lo.length == hi.length, "SqEncode: lo/hi range arrays must have equal length")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  private def fromFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sq_encode expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != lo.length) null
+    else SqCodec.encode(a, lo, hi, fromFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("sqHi", hi, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() != ${lo.length}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SqCodec.encode($c, $loRef, $hiRef, $fromFloat);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The ONE argmax kernel behind [[NearestCentroid]] and
   * [[HierarchicalNearestCentroid]] (each level of the latter). The
   * flat-vs-hierarchical and Spark-vs-oracle bit-exactness contracts all
@@ -422,4 +505,8 @@ object VectorFunctions {
   /** Column API for [[UnpackVector]]. */
   def unpackVector(b: Column): Column =
     ColumnBridge.column(UnpackVector(ColumnBridge.expression(b)))
+
+  /** Column API for [[SqEncode]]. */
+  def sqEncode(v: Column, lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(v), lo, hi))
 }

@@ -119,16 +119,15 @@ object IvfIndex {
       corpus: DataFrame, centroids: DataFrame, params: Sq.SqParams,
       idCol: String, vecCol: String, root: String,
       keepVersions: Int = 3): String = {
-    val bp = corpus.sparkSession.sparkContext.broadcast(params)
     // Fail LOUDLY on unencodable vectors (null or dim-mismatched —
-    // Sq.codesUdf yields null codes for both): a silently-null codes row
+    // Sq.codes yields null codes for both): a silently-null codes row
     // would appear in [[topK]] results but never in [[sqTopK]]'s ADC path
     // (which filters null codes), an asymmetry that surfaces only as
     // missing neighbors. Rejecting at build time keeps the two probe
     // paths answer-equivalent over the same layout.
     val vcast = col(vecCol).cast("array<double>")
     val sqCol = when(vcast.isNotNull && size(vcast) === params.dim,
-      Sq.codesUdf(bp)(vcast))
+      Sq.codes(vcast, params))
       .otherwise(raise_error(concat(
         lit(s"IvfIndex.buildSq: vector at $idCol="), col(idCol).cast("string"),
         lit(s" is null or not dim ${params.dim} — it would get null SQ codes and " +
@@ -305,9 +304,8 @@ object IvfIndex {
     // composite-key change rows: a row whose vector moved cells leaves the
     // old partition and enters the new one
     val sqOf: Seq[Column] = sqParams.toSeq.map { p =>
-      val bp = spark.sparkContext.broadcast(p)
       when(col("__nv").isNotNull && size(col("__nv")) === p.dim,
-        Sq.codesUdf(bp)(col("__nv")))
+        Sq.codes(col("__nv"), p))
         .otherwise(raise_error(concat(
           lit("IvfIndex.updateFromChangesSq: changed vector at id="),
           col("id").cast("string"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   *    keeps precision exact.
   *
   * Malformed rows (null / wrong-dimension vectors) encode to null and
-  * drop out of ADC candidacy — one bad row must not kill a 100 TB job.
+  * drop out of ADC candidacy on the BARE [[encode]]/[[adcTopK]] path —
+  * one bad row must not kill a 100 TB corpus-wide scan. The PERSISTED
+  * layouts deliberately invert that policy: [[IvfIndex.buildSq]] and
+  * [[IvfIndex.updateFromChangesSq]] `raise_error` on unencodable vectors
+  * at build/maintenance time, because a silently-null codes row in a
+  * stored index would answer [[IvfIndex.topK]] but vanish from
+  * [[IvfIndex.sqTopK]]'s ADC scan — an asymmetry that surfaces only as
+  * missing neighbors, far worse than a loud build failure.
   */
 object Sq {
 
@@ -74,36 +81,19 @@ object Sq {
     SqParams(lo, hi)
   }
 
-  /** floor(t · 255 + 0.5) clamped — pinned HALF_UP semantics so an engine
-    * replay (the oracle) can reproduce codes exactly.
+  /** The quantizer as a CODEGEN'D Catalyst expression
+    * ([[graft.functions.SqEncode]] — floor(t · 255 + 0.5) clamped, pinned
+    * HALF_UP semantics so an engine replay reproduces codes exactly): the
+    * encode pass is the one corpus-wide scan of an index build, and this
+    * keeps it inside whole-stage codegen instead of breaking the stage at
+    * a ScalaUDF. Null or dimension-mismatched vectors yield NULL codes.
     */
-  private def quantize(x: Double, lo: Double, hi: Double): Int = {
-    if (hi <= lo) return 0
-    val t = (x - lo) / (hi - lo)
-    val c = math.floor(t * 255.0 + 0.5).toInt
-    if (c < 0) 0 else if (c > 255) 255 else c
-  }
-
-  private[operators] def codesUdf(bp: org.apache.spark.broadcast.Broadcast[SqParams]) =
-    udf { (v: Seq[Double]) =>
-      val p = bp.value
-      if (v == null || v.length != p.dim) null
-      else {
-        val out = new Array[Byte](p.dim)
-        var i = 0
-        while (i < p.dim) {
-          out(i) = (quantize(v(i), p.lo(i), p.hi(i)) & 0xff).toByte
-          i += 1
-        }
-        out
-      }
-    }
+  def codes(v: Column, params: SqParams): Column =
+    graft.functions.VectorFunctions.sqEncode(v, params.lo, params.hi)
 
   /** One narrow encoding pass: (idCol, codes BINARY — one byte per dim). */
-  def encode(corpus: DataFrame, params: SqParams, idCol: String, vecCol: String): DataFrame = {
-    val bp = corpus.sparkSession.sparkContext.broadcast(params)
-    corpus.select(col(idCol), codesUdf(bp)(col(vecCol).cast("array<double>")).as("codes"))
-  }
+  def encode(corpus: DataFrame, params: SqParams, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), codes(col(vecCol).cast("array<double>"), params).as("codes"))
 
   /** Approximate cosine of the exact query against the RECONSTRUCTED
     * candidate (asymmetric distance computation).

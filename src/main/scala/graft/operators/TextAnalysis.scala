@@ -659,9 +659,17 @@ object TextAnalysis {
       if (now != 0L) { cnt(pair) = now; order.add((now, pair)) }
       else cnt.remove(pair)
       if (add) wordsOf.getOrElseUpdate(pair, mutable.Set.empty[Int]) += wid
-      // on removal the index entry stays: the word may still contain the
-      // pair elsewhere; stale entries are re-filtered at merge time (w2
-      // returns null), never wrong
+      else wordsOf.get(pair).foreach { s =>
+        // un-counting removes ALL of this word's occurrences of the pair
+        // and the re-count after the merge re-adds the wid for pairs still
+        // present, so dropping the wid here keeps the index EXACT — its
+        // memory stays proportional to LIVE pair occurrences instead of
+        // every (pair, word) combination ever observed, which would
+        // otherwise dominate the heap at a 20M-word census with 32k–50k
+        // merges (round-19 advisory)
+        s -= wid
+        if (s.isEmpty) wordsOf.remove(pair)
+      }
     }
     def pairsOf(w: Array[String], f: (String, Int) => Unit): Unit = {
       var i = 0
@@ -686,7 +694,8 @@ object TextAnalysis {
       while (k < affected.length) {
         val id = affected(k)
         val w = w2(syms(id), a, b, merged)
-        if (w ne null) { // null = stale index entry (pair already gone)
+        if (w ne null) { // defensive: the pruned index is exact, so null
+          // (word no longer contains the pair) should not occur
           pairsOf(syms(id), (p, _) => bump(p, -wf(id), id, add = false))
           syms(id) = w
           pairsOf(w, (p, _) => bump(p, wf(id), id, add = true))

@@ -127,16 +127,27 @@ object RefTableAggregates {
     * source is servable only in a UTC session; DATE and TIMESTAMP_NTZ
     * sources are timezone-independent.
     */
+  /** True iff `tz` denotes the UTC instant line — normalized, so the
+    * equivalent spellings ("UTC", "Etc/UTC", "GMT", "+00:00", "Z") all
+    * qualify instead of falling back to a full scan; an unparseable id is
+    * conservatively non-UTC.
+    */
+  private def isUtcZone(tz: String): Boolean =
+    try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+
   private def dayCastKey(
       opts: RefTableOptions,
-      e: org.apache.spark.sql.connector.expressions.Expression): Option[GroupKey] =
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      sessionTz: String): Option[GroupKey] =
     e match {
       case c: org.apache.spark.sql.connector.expressions.Cast if c.dataType == DateType =>
         def tzSafe(dt: DataType): Boolean = dt match {
           case DateType | TimestampNTZType => true
-          case TimestampType =>
-            org.apache.spark.sql.SparkSession.active
-              .sessionState.conf.sessionLocalTimeZone == "UTC"
+          // the QUERYING session's zone, captured at scan-builder
+          // construction — SparkSession.active here could be a different
+          // session of the same JVM at pushdown-accept time
+          case TimestampType => isUtcZone(sessionTz)
           case _ => false
         }
         for {
@@ -148,11 +159,12 @@ object RefTableAggregates {
       case _ => None
     }
 
-  def accept(opts: RefTableOptions, agg: Aggregation): Option[PushedAgg] = {
+  def accept(opts: RefTableOptions, agg: Aggregation,
+      sessionTz: String): Option[PushedAgg] = {
     val groupFields: Seq[Option[GroupKey]] = agg.groupByExpressions().toSeq.map { e =>
       simpleCol(e) match {
         case Some(n) => opts.schema.fields.find(_.name == n).map(PvKey)
-        case None    => dayCastKey(opts, e)
+        case None    => dayCastKey(opts, e, sessionTz)
       }
     }
     if (groupFields.exists(_.isEmpty)) return None

@@ -287,6 +287,11 @@ class RefTableScanBuilder(opts: RefTableOptions)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[RefTableAggregates.PushedAgg] = None
   private var pushedLimit: Option[Int] = None
+  // the QUERYING session's timezone, captured while its planning thread is
+  // constructing this builder — reading SparkSession.active later (at
+  // pushAggregation time) could observe a different session of the JVM
+  private val sessionTz: String =
+    org.apache.spark.sql.SparkSession.active.sessionState.conf.sessionLocalTimeZone
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our field order/types; honor the requested subset
@@ -330,7 +335,7 @@ class RefTableScanBuilder(opts: RefTableOptions)
     if (DeletionVectors.hasDv(
         SnapshotFiles.resolveDir(opts.path, opts.version, new org.apache.hadoop.conf.Configuration()),
         new org.apache.hadoop.conf.Configuration())) return false
-    RefTableAggregates.accept(opts, aggregation) match {
+    RefTableAggregates.accept(opts, aggregation, sessionTz) match {
       case Some(p) => pushedAgg = Some(p); true
       case None => false
     }
