@@ -771,6 +771,92 @@ object TextAnalysis {
     reassembleIds(words, wordIds, idCol)
   }
 
+  /** DECODE — token-id sequences back to text under a BYTE-level
+    * vocabulary ([[bpeTrainBytes]]/[[bpeTrainBytesInMemory]] merges, ids
+    * per [[bpeEncodeIdsBytes]]' GPT-2 convention). Each id maps to its
+    * byte-symbol surface — id < 256 is the byte itself, merge of rank r
+    * (id 255 + r) is the merged hex surface; the inverse of the encode-side
+    * id map is a FUNCTION even when two ranks share a surface, because
+    * every id has exactly one surface (the duplicate-surface rank's id just
+    * never appears in encoded output). Surfaces concatenate to the UTF-8
+    * byte stream and decode to text.
+    *
+    * Byte-level BPE makes `decode(encode(t)) == t` exact by construction:
+    * [[BytePretokenPattern]]'s branches cover every character (letters,
+    * digits, the explicit whitespace class, and an everything-else run), so
+    * the pre-tokens concatenate back to the original text with no loss —
+    * q237 oracles the round trip md5-per-document. This is the sample-
+    * inspection / contamination-audit path a production pipeline runs
+    * daily over packed shards.
+    *
+    * The id→surface replay runs in ONE deterministic JVM function with the
+    * merge list broadcast — same justification as [[bpeEncodeIdsBytesSeq]]:
+    * a production merge count must never enter the expression tree. Narrow
+    * per-row map work, no shuffle, no census. Appends `decoded` (null in →
+    * null out; an id outside [0, 255 + merges.length] fails loudly — it
+    * cannot come from this vocabulary).
+    */
+  def bpeDecodeIdsBytes(df: DataFrame, idsCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val bs = spark.sparkContext.broadcast(merges.toArray.map { case (a, b) => a + b })
+    val decodeUdf = udf { (ids: Seq[Int]) =>
+      if (ids == null) null
+      else {
+        val surf = bs.value
+        val hex = new java.lang.StringBuilder(ids.length * 2)
+        ids.foreach { id =>
+          if (id >= 0 && id < 256) {
+            hex.append("0123456789abcdef".charAt(id >> 4))
+            hex.append("0123456789abcdef".charAt(id & 0xf))
+          } else if (id >= 256 && id - 256 < surf.length) hex.append(surf(id - 256))
+          else throw new IllegalArgumentException(
+            s"bpeDecodeIdsBytes: id $id is outside the ${256 + surf.length}-entry vocabulary")
+        }
+        val bytes = new Array[Byte](hex.length / 2)
+        var i = 0
+        while (i < bytes.length) {
+          bytes(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4)
+            | Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+          i += 1
+        }
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
+    df.withColumn("decoded", decodeUdf(col(idsCol)))
+  }
+
+  /** DECODE under a CHAR-level vocabulary ([[bpeTrain]] merges, ids per
+    * [[bpeEncodeIds]]' convention: base char c at its byte-sorted rank,
+    * merge of rank r at B + r − 1). DETOKENIZATION, not inversion — the
+    * char-level tokenizer ([[tokens]]) drops case/punctuation/spacing, so
+    * the output is the concatenation of token surfaces; the exact
+    * round-trip property lives on the byte-level path
+    * ([[bpeDecodeIdsBytes]]). `extra` maps reserved ids (e.g. the EOS id
+    * appended by the packing entries) to display surfaces.
+    *
+    * The id→surface map here is bounded by the base alphabet (≤ 36 chars)
+    * plus the toy merge counts this family trains, so it rides the plan as
+    * one small literal map (no UDF); an id outside the map fails loudly
+    * rather than silently dropping from the concatenation. Appends
+    * `decoded`.
+    */
+  def bpeDecodeIdsChars(df: DataFrame, idsCol: String,
+      merges: Seq[(String, String)], baseChars: Seq[String],
+      extra: Map[Int, String] = Map.empty): DataFrame = {
+    val surfaces: Map[Int, String] =
+      baseChars.zipWithIndex.map { case (c, i) => i -> c }.toMap ++
+        merges.zipWithIndex.map { case ((a, b), i) => (baseChars.size + i) -> (a + b) } ++
+        extra
+    val m = typedLit(surfaces)
+    val decodedArr = transform(col(idsCol), id => element_at(m, id))
+    df.withColumn("decoded",
+      when(exists(decodedArr, s => s.isNull),
+        raise_error(lit(s"bpeDecodeIdsChars: $idsCol contains an id outside the " +
+          s"${surfaces.size}-entry vocabulary")))
+        .otherwise(array_join(decodedArr, "")))
+  }
+
   /** Repetition metrics — duplicate-token fraction and top-token share,
     * the classic boilerplate/low-quality markers in published corpus
     * filtering rules — from a single fused pass per document

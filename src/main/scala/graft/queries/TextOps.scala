@@ -709,7 +709,75 @@ object TextOps {
               (t, i) => t.cast("long") * i),
             lit(0L), (a, x) => a + x).as("ord_mass"))
         .orderBy("example_id")
-    }, Some(TextOps.contextPackEosOracle(30, 2048)))
+    }, Some(TextOps.contextPackEosOracle(30, 2048))),
+
+    // TOKENIZER DECODE ROUND-TRIP (round 20): ids → text under the
+    // production byte-level vocabulary — the previously-missing leg of the
+    // tokenizer surface (train q231 / encode q232 / pack q236 existed;
+    // sample inspection and contamination audits need DECODE). Byte-level
+    // BPE makes decode(encode(t)) == t exact by construction — the
+    // pre-tokenizer's branches cover every character and byte symbols
+    // concatenate losslessly — so the oracle is simply the ORIGINAL text's
+    // md5: a hash match proves the round trip byte-for-byte per document,
+    // multi-byte UTF-8 included (the corpus composes the non-ASCII tails
+    // with the vocabulary enrichment). The id→surface replay is one
+    // broadcast JVM function (the merge count never enters the plan, like
+    // the encode), narrow per-row work at any corpus size.
+    QueryDef("q237_bpe_roundtrip", (s, dir) => {
+      val docs = TextOps.richCorpus(TextOps.byteCorpus(t(s, dir, "documents")))
+      val merges = graft.operators.TextAnalysis
+        .bpeTrainBytesInMemory(docs, "text", nMerges = TextOps.ProdMerges)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.operators.TextAnalysis
+        .bpeEncodeIdsBytesSeq(docs, "doc_id", "text", merges)
+      val dec = graft.operators.TextAnalysis
+        .bpeDecodeIdsBytes(enc, "token_ids", merges)
+      // left join + coalesce: a doc the encode dropped (no pre-tokens —
+      // impossible for non-empty text) must surface as a mismatch, not a
+      // missing row
+      docs.join(dec.select("doc_id", "decoded"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          md5(coalesce(col("decoded"), lit("")).cast("binary")).as("decoded_md5"),
+          (coalesce(col("decoded"), lit("")) === col("text")).cast("int").as("ok"))
+        .orderBy("doc_id")
+    }, Some(TextOps.bpeRoundTripOracle)),
+
+    // PACKED-EXAMPLE DECODE (round 20): the daily sample-inspection path
+    // over the TRAINING ARTIFACT itself — q236's EOS-packed examples
+    // decoded back to text, the reserved EOS id rendered as a newline so
+    // document boundaries are visible in the decoded sample. Char-level
+    // decode is detokenization (case/punctuation/spacing dropped at
+    // tokenize time; the exact round trip is q237's byte-level property);
+    // the oracle re-derives the same id→surface map from its vocabulary
+    // CTEs and string_aggs each example's surfaces in global position
+    // order — the md5 proves every example's decoded text element-exactly.
+    QueryDef("q238_packed_decode", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      // the decode map needs the base alphabet itself (not just its size):
+      // distinct single characters of the token census, byte-sorted —
+      // bpeEncodeIds' exact id convention
+      val baseChars = docs
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) === 1).distinct().orderBy("c")
+        .collect().map(_.getString(0)).toSeq
+      val eos = baseChars.size + merges.size
+      val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+        .withColumn("token_ids", concat(col("token_ids"), array(lit(eos))))
+        .localCheckpoint()
+      val ex = graft.operators.Curation.packSequences(enc, "doc_id", "token_ids", seqLen = 2048)
+      graft.operators.TextAnalysis
+        .bpeDecodeIdsChars(ex, "token_ids", merges, baseChars, extra = Map(eos -> "\n"))
+        .select(col("example_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          size(filter(col("token_ids"), x => x === eos)).as("n_eos"),
+          md5(col("decoded").cast("binary")).as("decoded_md5"))
+        .orderBy("example_id")
+    }, Some(TextOps.packedDecodeOracle(30, 2048)))
   )
 
   /** The q230 oracle: the q212 vocabulary/segmentation chain over ALL
@@ -765,6 +833,59 @@ object TextOps {
        |  CAST(sum(tid) AS BIGINT) AS id_mass,
        |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
        |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The q237 oracle: byte-level BPE round-trips exactly, so the expected
+    * decode of every document IS the document — the oracle only has to
+    * rebuild the same composed corpus (byte tails, then the vocabulary
+    * enrichment) and hash the ORIGINAL text. No merge replay needed, which
+    * is what lets the entry train at the production merge count for free.
+    */
+  def bpeRoundTripOracle: String =
+    s"""WITH ${byteCorpusCte(name = "c0")},
+       |${richCorpusCte(from = "c0")}
+       |SELECT doc_id, md5(text) AS decoded_md5, CAST(1 AS INT) AS ok
+       |FROM corpus ORDER BY doc_id""".stripMargin
+
+  /** The q238 oracle: the q236 chain (vocabulary, per-doc EOS row, global
+    * running row_number, fixed windows) plus the id→surface DECODE map —
+    * base chars at their byte-sorted ranks, merge rank r's surface at
+    * b + r − 1 (every rank, duplicates included: ids are unique even when
+    * surfaces collide), the EOS id as a newline — string_agg'd per example
+    * in global position order.
+    */
+  def packedDecodeOracle(nMerges: Int, seqLen: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |${bpeVocabCtes(nMerges)},
+       |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k
+       |  FROM (${(1 to nMerges).map(i => s"SELECT rank FROM m$i").mkString(" UNION ALL ")})),
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |          FROM documents))),
+       |tok AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
+       |seq AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM (
+       |    SELECT doc_id, wi, j, tid FROM tok
+       |    UNION ALL
+       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + (SELECT k FROM mcnt)
+       |    FROM (SELECT DISTINCT doc_id FROM tok))),
+       |dec AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS tid, c AS sym FROM chars
+       |  UNION ALL
+       |  SELECT CAST(b + rank - 1 AS BIGINT), lhs || rhs
+       |  FROM (${(1 to nMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")}), nb
+       |  UNION ALL
+       |  SELECT (SELECT b FROM nb) + (SELECT k FROM mcnt), chr(10))
+       |SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
+       |  CAST(sum(CASE WHEN tid = (SELECT b FROM nb) + (SELECT k FROM mcnt)
+       |    THEN 1 ELSE 0 END) AS INT) AS n_eos,
+       |  md5(string_agg(d.sym, '' ORDER BY gpos)) AS decoded_md5
+       |FROM seq JOIN dec d USING (tid)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The Spark side of [[byteCorpusCte]]: the same deterministic non-ASCII
     * augmentation of the documents corpus.
@@ -959,19 +1080,19 @@ object TextOps {
     * synthetic corpus is pure ASCII, so both engines append the same
     * accented/symbol/em-dash tails to the same rows.
     */
-  private def byteCorpusCte: String =
-    """corpus AS MATERIALIZED (
-      |  SELECT doc_id, text ||
-      |    CASE WHEN doc_id % 4 = 0 THEN ' café №' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-      |    CASE WHEN doc_id % 7 = 0 THEN ' naïve—déjà vu' ELSE '' END AS text
-      |  FROM documents)""".stripMargin
+  private def byteCorpusCte(name: String = "corpus", from: String = "documents"): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' café №' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' naïve—déjà vu' ELSE '' END AS text
+       |  FROM $from)""".stripMargin
 
   /** The byte-level `w0` census: regex pre-tokens (case kept, optional
     * leading space attached), each unrolled to space-wrapped lowercase
     * hex UTF-8-byte symbols.
     */
   private def byteW0: String =
-    s"""$byteCorpusCte,
+    s"""${byteCorpusCte()},
        |w0 AS MATERIALIZED (
        |  SELECT w, regexp_replace(lower(hex(w)), '(..)', ' \\1 ', 'g') AS s, wf FROM (
        |    SELECT w, count(*) AS wf FROM (
@@ -1015,7 +1136,7 @@ object TextOps {
   }
 
   /** [[richCorpus]] in DuckDB dialect (`//` integer division). */
-  private def richCorpusCte: String = {
+  private def richCorpusCte(from: String = "documents"): String = {
     val tails = ProdMods.zipWithIndex.map { case (m, i) =>
       val v = s"((doc_id * ${m - 1}) % $m)"
       s"' ${('a' + i).toChar}q' || substr('$ProdAlpha', $v // 529 + 1, 1) || " +
@@ -1023,7 +1144,7 @@ object TextOps {
         s"substr('$ProdAlpha', $v % 23 + 1, 1)"
     }
     s"""corpus AS MATERIALIZED (
-       |  SELECT doc_id, text || ${tails.mkString(" || ")} AS text FROM documents)""".stripMargin
+       |  SELECT doc_id, text || ${tails.mkString(" || ")} AS text FROM $from)""".stripMargin
   }
 
   /** The byte-level `w0` census over the enriched corpus; `minFreq > 1`
@@ -1032,7 +1153,7 @@ object TextOps {
     */
   private def richW0(minFreq: Long = 1L): String = {
     val having = if (minFreq > 1L) s" HAVING count(*) >= $minFreq" else ""
-    s"""$richCorpusCte,
+    s"""${richCorpusCte()},
        |w0 AS MATERIALIZED (
        |  SELECT w, regexp_replace(lower(hex(w)), '(..)', ' \\1 ', 'g') AS s, wf FROM (
        |    SELECT w, count(*) AS wf FROM (

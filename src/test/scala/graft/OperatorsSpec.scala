@@ -1089,6 +1089,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minFrequency"), e.getMessage)
   }
 
+  test("byte-level decode inverts encode byte-exactly; char-level decode detokenizes") {
+    import spark.implicits._
+    // every hard case at once: multi-byte UTF-8 (2/3/4-byte), contractions,
+    // digit runs, tabs/newlines/vertical tab, symbol runs, leading spaces
+    val docs = Seq(
+      (1L, "The cat's mat — don't!  café №42\tnaïve\nend"),
+      (2L, "aaa aaaa aaaaa 𝄞 music 😀 emoji,,, ;; x"),
+      (3L, "   leading spaces and trailing   "),
+      (4L, "1234 5678 90 mixed123alpha")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis
+      .bpeTrainBytesInMemory(docs, "text", nMerges = 80)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    def roundTrip(ms: Seq[(String, String)]): Map[Long, String] = {
+      val enc = graft.operators.TextAnalysis.bpeEncodeIdsBytesSeq(docs, "doc_id", "text", ms)
+      graft.operators.TextAnalysis.bpeDecodeIdsBytes(enc, "token_ids", ms)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decoded")).toMap
+    }
+    val expected = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(roundTrip(merges) == expected, "decode(encode(t)) must equal t under trained merges")
+    assert(roundTrip(Nil) == expected, "the merge-free (pure byte) path must round-trip too")
+    // an id outside the vocabulary fails loudly, never silently drops
+    val bad = Seq((9L, Array(65, 66, 256 + merges.size + 7))).toDF("doc_id", "token_ids")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.TextAnalysis.bpeDecodeIdsBytes(bad, "token_ids", merges).collect()
+    }
+    assert(e.getMessage.contains("vocabulary") ||
+      e.getCause != null && e.getCause.getMessage.contains("vocabulary"), e.getMessage)
+
+    // char-level: decode is detokenization — concatenated lowercase token
+    // surfaces (plus mapped extras), against a hand-checkable vocabulary
+    val cdocs = Seq((1L, "ab ab ba!"), (2L, "b a ab")).toDF("doc_id", "text")
+    val cmerges = graft.operators.TextAnalysis.bpeTrain(cdocs, "text", nMerges = 2)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val baseChars = Seq("a", "b")
+    val eos = baseChars.size + cmerges.size
+    val cenc = graft.operators.TextAnalysis.bpeEncodeIds(cdocs, "doc_id", "text", cmerges)
+      .withColumn("token_ids", concat(col("token_ids"), array(lit(eos))))
+    val cdec = graft.operators.TextAnalysis
+      .bpeDecodeIdsChars(cenc, "token_ids", cmerges, baseChars, extra = Map(eos -> "|"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decoded")).toMap
+    assert(cdec == Map(1L -> "ababba|", 2L -> "baab|"), cdec.toString)
+    // unknown id raises
+    val cbad = Seq((7L, Array(0, 99))).toDF("doc_id", "token_ids")
+    val ce = intercept[Exception] {
+      graft.operators.TextAnalysis
+        .bpeDecodeIdsChars(cbad, "token_ids", cmerges, baseChars).collect()
+    }
+    assert(ce.getMessage.contains("vocabulary") ||
+      ce.getCause != null && ce.getCause.getMessage.contains("vocabulary"), ce.getMessage)
+  }
+
   test("seq-replay encode: the plan does not grow with the merge count") {
     import spark.implicits._
     val docs = Seq((1L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
