@@ -391,7 +391,31 @@ object Curation {
     */
   def packSequences(
       df: DataFrame, idCol: String, idsCol: String, seqLen: Int,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32): DataFrame =
+    packSequencesImpl(df, idCol, idsCol, seqLen, numParts, withSpans = false)
+
+  /** [[packSequences]] plus per-example DOCUMENT-BOUNDARY metadata — the
+    * `doc_spans` column the attention-masking pipelines ("no cross-document
+    * attention") need next to the token ids: the sorted start offsets of
+    * each document segment inside the example. A segment starts at offset
+    * 0 (the example begins mid-document or exactly on a boundary) and at
+    * every offset where a document's FIRST token lands; with the caller's
+    * EOS convention (one reserved id appended per document) that is
+    * exactly "offset 0 plus every position following an EOS".
+    *
+    * Derived in the SAME explode + example-key shuffle as the ids —
+    * the per-token "first token of its document" flag is `__j == 0`, free
+    * at posexplode time — so the spans column costs no extra pass and no
+    * extra exchange at any corpus size.
+    */
+  def packSequencesSpans(
+      df: DataFrame, idCol: String, idsCol: String, seqLen: Int,
+      numParts: Int = 32): DataFrame =
+    packSequencesImpl(df, idCol, idsCol, seqLen, numParts, withSpans = true)
+
+  private def packSequencesImpl(
+      df: DataFrame, idCol: String, idsCol: String, seqLen: Int,
+      numParts: Int, withSpans: Boolean): DataFrame = {
     require(seqLen > 0, "packSequences needs a positive sequence length")
     // A null token-id array must fail LOUDLY: under Spark's default config
     // size(NULL) = -1, which would silently shift every later document's
@@ -405,16 +429,26 @@ object Curation {
     val pre = withPrefixBefore(
       df.select(col(idCol), col(idsCol).as("__ids")),
       idCol, sz, numParts)
-    pre
+    val toks = pre
       .select(col("__before"), posexplode(col("__ids")).as(Seq("__j", "__tid")))
       .select(
         expr(s"(__before + __j) div $seqLen").as("example_id"),
         ((col("__before") + col("__j")) % seqLen).cast("int").as("__pos"),
-        col("__tid"))
+        col("__tid"),
+        (col("__j") === 0).as("__docstart"))
+    val spanAggs =
+      if (!withSpans) Nil
+      // collect_list skips the nulls the `when` leaves on non-start
+      // tokens; offset 0 is always a segment start (continuation or not)
+      else Seq(array_sort(array_distinct(concat(
+        array(lit(0)),
+        collect_list(when(col("__docstart"), col("__pos")))))).as("doc_spans"))
+    toks
       .groupBy("example_id")
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"), col("__tid")))),
-        s => s("__tid")).as("token_ids"))
+        s => s("__tid")).as("token_ids"),
+        spanAggs: _*)
       .withColumn("n_tok", size(col("token_ids")))
   }
 }

@@ -777,7 +777,41 @@ object TextOps {
           size(filter(col("token_ids"), x => x === eos)).as("n_eos"),
           md5(col("decoded").cast("binary")).as("decoded_md5"))
         .orderBy("example_id")
-    }, Some(TextOps.packedDecodeOracle(30, 2048)))
+    }, Some(TextOps.packedDecodeOracle(30, 2048))),
+
+    // BOUNDARY-OFFSET METADATA IN PACKED EXAMPLES (round 20): q236's
+    // EOS-separated packing with the per-example `doc_spans` column the
+    // attention-masking pipelines need — the sorted start offsets of each
+    // document segment inside the example (offset 0 always; plus every
+    // offset where a document's first token lands, i.e. the position after
+    // each EOS). Derived in the SAME explode pass and example-key shuffle
+    // as the ids (the "first token of its doc" flag is posexplode's j == 0
+    // — zero extra exchanges); the hash covers the spans element-exactly
+    // via the comma-joined offset list, and the oracle extends the same
+    // global running row_number replay with a min-gpos-per-document
+    // segment-start derivation.
+    QueryDef("q239_pack_doc_spans", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val b = docs
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) === 1).distinct().count().toInt
+      val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+        .withColumn("token_ids",
+          concat(col("token_ids"), array(lit(b + merges.size))))
+        .localCheckpoint()
+      graft.operators.Curation
+        .packSequencesSpans(enc, "doc_id", "token_ids", seqLen = 2048)
+        .select(col("example_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("id_mass"),
+          size(col("doc_spans")).as("n_spans"),
+          array_join(col("doc_spans").cast("array<string>"), ",").as("spans"))
+        .orderBy("example_id")
+    }, Some(TextOps.packDocSpansOracle(30, 2048)))
   )
 
   /** The q230 oracle: the q212 vocabulary/segmentation chain over ALL
@@ -886,6 +920,49 @@ object TextOps {
        |  md5(string_agg(d.sym, '' ORDER BY gpos)) AS decoded_md5
        |FROM seq JOIN dec d USING (tid)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The q239 oracle: the q236 chain (vocabulary, per-doc EOS row, global
+    * running row_number, fixed windows) plus segment starts — a document's
+    * first token is rank 1 of its per-document (wi, j) order; every
+    * example also starts a segment at offset 0. The spans list replays as
+    * a distinct-union + ordered string_agg.
+    */
+  def packDocSpansOracle(nMerges: Int, seqLen: Int): String =
+    s"""WITH ${bpeLevels(nMerges)},
+       |${bpeVocabCtes(nMerges)},
+       |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k
+       |  FROM (${(1 to nMerges).map(i => s"SELECT rank FROM m$i").mkString(" UNION ALL ")})),
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |          FROM documents))),
+       |tok AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
+       |seq AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
+       |    CAST(tid AS BIGINT) AS tid,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) AS rnd
+       |  FROM (
+       |    SELECT doc_id, wi, j, tid FROM tok
+       |    UNION ALL
+       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + (SELECT k FROM mcnt)
+       |    FROM (SELECT DISTINCT doc_id FROM tok))),
+       |starts AS (
+       |  SELECT gpos // $seqLen AS example_id, CAST(gpos % $seqLen AS INT) AS off
+       |  FROM seq WHERE rnd = 1
+       |  UNION
+       |  SELECT gpos // $seqLen AS example_id, 0 AS off FROM seq),
+       |sp AS (
+       |  SELECT example_id, CAST(count(*) AS INT) AS n_spans,
+       |    string_agg(CAST(off AS VARCHAR), ',' ORDER BY off) AS spans
+       |  FROM starts GROUP BY example_id),
+       |main AS (
+       |  SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
+       |    CAST(sum(tid) AS BIGINT) AS id_mass
+       |  FROM seq GROUP BY 1)
+       |SELECT m.example_id, m.n_tok, m.id_mass, sp.n_spans, sp.spans
+       |FROM main m JOIN sp USING (example_id) ORDER BY example_id""".stripMargin
 
   /** The Spark side of [[byteCorpusCte]]: the same deterministic non-ASCII
     * augmentation of the documents corpus.

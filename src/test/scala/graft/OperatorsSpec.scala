@@ -789,6 +789,41 @@ class OperatorsSpec extends AnyFunSuite {
       "every example except the tail is exactly seqLen; ids are dense")
   }
 
+  test("packSequencesSpans: segment starts = offset 0 + every doc's first token") {
+    import spark.implicits._
+    // stream: d1=[1,2,3] d2=[4,5] d3=[] d4=[6,7,8,9]; L=4 →
+    // ex0 [1,2,3,4]: starts 0 (d1) and 3 (d2); ex1 [5,6,7,8]: starts 0
+    // (d2 continues) and 1 (d4); ex2 [9]: start 0 only (d4 continues).
+    // d3 is empty (absent from the explode — no start anywhere).
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq.empty[Int]), (4L, Seq(6, 7, 8, 9)))
+      .toDF("doc_id", "token_ids")
+    val got = graft.operators.Curation
+      .packSequencesSpans(docs, "doc_id", "token_ids", seqLen = 4)
+      .select("example_id", "token_ids", "doc_spans", "n_tok")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getSeq[Int](2).toSeq, r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, Seq(1, 2, 3, 4), Seq(0, 3), 4),
+      (1L, Seq(5, 6, 7, 8), Seq(0, 1), 4),
+      (2L, Seq(9), Seq(0), 1)), got.toString)
+    // a doc starting exactly on an example boundary dedupes with the
+    // always-present offset 0 (EOS convention: one id appended per doc)
+    val aligned = Seq((1L, Seq(1, 2, 3, 9)), (2L, Seq(4, 5, 6, 9)))
+      .toDF("doc_id", "token_ids")
+    val g2 = graft.operators.Curation
+      .packSequencesSpans(aligned, "doc_id", "token_ids", seqLen = 4)
+      .select("example_id", "doc_spans")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    assert(g2 == Seq((0L, Seq(0)), (1L, Seq(0))), g2.toString)
+    // token_ids must be identical to the spanless form
+    val plain = graft.operators.Curation
+      .packSequences(docs, "doc_id", "token_ids", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2)) == plain)
+  }
+
   test("prefix-sum operators fail loudly on null arrays and duplicate ids") {
     import spark.implicits._
     // null token_ids: size(NULL) = -1 would silently shift every later
