@@ -115,10 +115,17 @@ object IvfIndex {
     * [[Sq.adcTopK]] scan lacks a layout for: at 100 TB the ADC pass reads
     * nprobe/ncells of a d-BYTE column instead of the whole d-double corpus.
     */
+  /** `metaCols` (round 20): corpus metadata columns (lang, license,
+    * tenant, …) copied INTO the layout next to the codes, so a filtered
+    * probe ([[sqTopKFiltered]]) can push its predicate through the
+    * reftable source into the probed cells' scan — "nearest neighbors
+    * among docs with lang='en'" at 100 TB must filter inside the
+    * nprobe/ncells slice, not post-filter a corpus-wide candidate set.
+    */
   def buildSq(
       corpus: DataFrame, centroids: DataFrame, params: Sq.SqParams,
       idCol: String, vecCol: String, root: String,
-      keepVersions: Int = 3): String = {
+      keepVersions: Int = 3, metaCols: Seq[String] = Nil): String = {
     // Fail LOUDLY on unencodable vectors (null or dim-mismatched —
     // Sq.codes yields null codes for both): a silently-null codes row
     // would appear in [[topK]] results but never in [[sqTopK]]'s ADC path
@@ -132,9 +139,9 @@ object IvfIndex {
         lit(s"IvfIndex.buildSq: vector at $idCol="), col(idCol).cast("string"),
         lit(s" is null or not dim ${params.dim} — it would get null SQ codes and " +
           "silently vanish from the ADC probe path"))).cast("binary"))
-    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).cast("long").as("id"), col("cell"),
-        packVector(col(vecCol)).as("vec"), sqCol.as("sq"))
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol, carry = metaCols)
+      .select(col(idCol).cast("long").as("id") +: col("cell") +:
+        metaCols.map(col) :+ packVector(col(vecCol)).as("vec") :+ sqCol.as("sq"): _*)
     val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
     VersionedTable.publish(
       centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
@@ -176,11 +183,14 @@ object IvfIndex {
   /** The probed cells' CODES only — the declared schema omits `vec`, so
     * the packed vectors never leave the files for the ADC scan.
     */
-  def readCellCodes(spark: SparkSession, root: String, cells: Seq[Long]): DataFrame =
+  def readCellCodes(spark: SparkSession, root: String, cells: Seq[Long],
+      metaDdl: String = ""): DataFrame = {
+    val meta = if (metaDdl.isEmpty) "" else s", $metaDdl"
     spark.read.format("reftable")
-      .option("path", root).option("schema", "id BIGINT, cell BIGINT, sq BINARY")
+      .option("path", root).option("schema", s"id BIGINT, cell BIGINT$meta, sq BINARY")
       .option("partitionColumns", "cell").load()
       .filter(col("cell").isin(cells: _*))
+  }
 
   /** SQ8 ADC top-k served from a [[buildSq]] layout: probe the nearest
     * cells, scan ONLY those cells' codes column (listing pruning × column
@@ -193,7 +203,38 @@ object IvfIndex {
     */
   def sqTopK(
       spark: SparkSession, root: String, queries: DataFrame, params: Sq.SqParams,
-      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame =
+    sqTopKImpl(spark, root, queries, params, k, nProbe, refine, meta = None)
+
+  /** [[sqTopK]] with a METADATA PREDICATE composed into the probed-cell
+    * codes scan (round 20) — the "nearest neighbors among docs with
+    * lang='en'" query over a [[buildSq]] layout built with `metaCols`.
+    * The predicate filters the 4×-compressed ADC scan itself: it pushes
+    * through the reftable source to parquet row-group/page skipping
+    * (and stays a residual for exactness), so at 100 TB the scan set is
+    * the MATCHING rows of nprobe/ncells of the codes column — never a
+    * corpus-wide candidate set post-filtered, and never a k' >> k
+    * over-fetch-then-drop. The exact re-rank reads full vectors for the
+    * ADC survivors only (already predicate-scoped, so the re-rank needs
+    * no second filter).
+    *
+    * Recall semantics: cell scoping is unchanged (the SemDeDup trade);
+    * REFINE interacts with selectivity — the ADC window is k·refine over
+    * the FILTERED candidates, so a highly-selective predicate needs no
+    * larger refine than the unfiltered probe (spec-pinned; with nProbe ≥
+    * ncells and refine past the corpus this degenerates to the exact
+    * filtered brute force, which q240 oracles).
+    */
+  def sqTopKFiltered(
+      spark: SparkSession, root: String, queries: DataFrame, params: Sq.SqParams,
+      metaDdl: String, predicate: Column,
+      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame =
+    sqTopKImpl(spark, root, queries, params, k, nProbe, refine,
+      meta = Some((metaDdl, predicate)))
+
+  private def sqTopKImpl(
+      spark: SparkSession, root: String, queries: DataFrame, params: Sq.SqParams,
+      k: Int, nProbe: Int, refine: Int, meta: Option[(String, Column)]): DataFrame = {
     val bp = spark.sparkContext.broadcast(params)
     val q = queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
       .filter(col("qv").isNotNull && size(col("qv")) === params.dim)
@@ -205,7 +246,9 @@ object IvfIndex {
     // layouts this filter is a no-op kept only as defense against
     // hand-assembled codes tables — the two probe paths ([[topK]] /
     // [[sqTopK]]) see the same row set over the same layout.
-    val cands = readCellCodes(spark, root, cells)
+    val codes = readCellCodes(spark, root, cells, meta.map(_._1).getOrElse(""))
+    val scoped = meta.fold(codes) { case (_, pred) => codes.filter(pred) }
+    val cands = scoped
       .filter(col("sq").isNotNull)
       .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))

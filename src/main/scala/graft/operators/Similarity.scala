@@ -311,8 +311,10 @@ object Similarity {
   }
 
   /** Nearest-centroid cell per corpus row — one narrow pass, no shuffle. */
-  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol), bestCentroid(centroids, vecCol)("cid").as("cell"), col(vecCol))
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      carry: Seq[String] = Nil): DataFrame =
+    corpus.select(col(idCol) +: bestCentroid(centroids, vecCol)("cid").as("cell") +:
+      col(vecCol) +: carry.map(col): _*)
 
   /** Test hook: [[assignCells]] with the codebook path forced, for the
     * literal-vs-reference equivalence spec.

@@ -862,7 +862,39 @@ object SimilarityOps {
          |      p -> {'p': p, 'x': v[p]})) AS u FROM e3) x
          |    JOIN prm ON prm.pos = x.u.p) GROUP BY vec_id)
          |SELECT a.vec_id AS id, a.cell, c.sq
-         |FROM asgn a JOIN codes c USING (vec_id) ORDER BY id""".stripMargin))
+         |FROM asgn a JOIN codes c USING (vec_id) ORDER BY id""".stripMargin)),
+
+    // FILTERED ANN OVER THE IVF/SQ8 LAYOUT (round 20): q144's metadata
+    // predicate composed into the INDEXED probe path — the layout carries
+    // the metadata column next to the codes (buildSq metaCols), and the
+    // predicate filters the probed cells' 4×-compressed ADC scan itself
+    // (pushed through the reftable source; IvfIndexSpec asserts the
+    // pushed filter and the planned-file count). At the exactness limit
+    // (every cell probed, refine past the corpus) the pipeline must
+    // degenerate to the exact label-filtered brute force — q144's oracle
+    // shape with a literal predicate; production-probe recall is spec'd
+    // in IvfIndexSpec, the right check for a lossy scorer.
+    QueryDef("q240_filtered_ivf_sq8", (s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val params = graft.operators.Sq.train(e, "embedding")
+      val root = RelationalSupport.scratchDir(s, dir, "q240_ivfsqf")
+      graft.operators.IvfIndex.buildSq(e, cent, params, "vec_id", "embedding", root,
+        metaCols = Seq("label"))
+      val refine = (e.count() / K + 1).toInt
+      graft.operators.IvfIndex.sqTopKFiltered(s, root, q, params,
+        "label INT", col("label") === 2, k = K, nProbe = NCells, refine = refine)
+        .orderBy("query_id", "rk")
+    }, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE label = 2),
+         |s AS (SELECT query_id, vec_id, ${duckCos("qv", "v")} AS sim FROM q, c WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+         |FROM r WHERE rn <= $K ORDER BY query_id, rk""".stripMargin))
   )
 
   /** One hierarchical-assignment CTE block (the `assignCellsHierarchical`

@@ -142,6 +142,67 @@ class IvfIndexSpec extends AnyFunSuite {
       "the ADC scan must not read the packed vector column")
   }
 
+  test("filtered SQ8 probe: predicate inside the probed-cell codes scan; exact limit; recall") {
+    import graft.operators.Sq
+    val c = corpus(400).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val params = Sq.train(c, "embedding")
+    val root = tmpDir("sqfilt")
+    IvfIndex.buildSq(c, centroids, params, "vec_id", "embedding", root,
+      metaCols = Seq("label"))
+    // exact limit: all cells + refine past the corpus must equal the
+    // label-filtered brute force (the q240 oracle shape)
+    val exact = Similarity.cosineTopK(
+      c.filter(col("label") === 1), q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    val limit = IvfIndex.sqTopKFiltered(spark, root, q, params,
+      "label INT", col("label") === 1, k = 5, nProbe = 4, refine = 200)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(limit.nonEmpty && limit == exact,
+      "all-cells + unbounded refine must degenerate to the filtered brute force")
+    // production probe settings: refine is k·refine over the FILTERED
+    // candidates, so recall within the probed scope holds without
+    // over-fetch — compare against the exact filtered rank inside the
+    // same probed cells
+    val cells = IvfIndex.probedCells(spark, root, q, nProbe = 2)
+    val scoped = IvfIndex.readCells(spark, root, cells)
+      .select(col("id").as("vec_id"),
+        graft.functions.VectorFunctions.unpackVector(col("vec")).as("embedding"))
+      .join(c.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === 1)
+    val scopedExact = Similarity.cosineTopK(scoped, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = IvfIndex.sqTopKFiltered(spark, root, q, params,
+      "label INT", col("label") === 1, k = 5, nProbe = 2, refine = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & scopedExact).size.toDouble / scopedExact.size
+    info(s"filtered SQ8-over-IVF recall@5 (same probe scope) = $recall")
+    assert(recall >= 0.9, s"filtered ADC recall $recall too low at refine=4")
+    // plan: the predicate is PUSHED into the codes scan (row-group/page
+    // skipping + residual), the scan plans only the probed cells' files,
+    // and it still never reads the packed vector column
+    val codesDf = IvfIndex.readCellCodes(spark, root, cells, "label INT")
+      .filter(col("label") === 1)
+    val planStr = codesDf.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters: [") && planStr.contains("EqualTo(label,1)"),
+      s"label predicate must push into the reftable scan:\n$planStr")
+    val o = RefTableOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "schema" -> "id BIGINT, cell BIGINT, label INT, vec BINARY, sq BINARY",
+      "partitionColumns" -> "cell").asJava))
+    val prunedFiles = SnapshotFiles.pruned(o,
+      Seq(org.apache.spark.sql.sources.In("cell", cells.map(_.asInstanceOf[Any]).toArray))).size
+    val codeScans = codesDf.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitions.size == prunedFiles),
+      "filtered codes scan must plan only probed cells' files")
+    assert(codeScans.forall(!_.scan.readSchema().fieldNames.contains("vec")),
+      "the filtered ADC scan must not read the packed vector column")
+  }
+
   test("buildSq rejects unencodable vectors instead of writing null codes") {
     import spark.implicits._
     import graft.operators.Sq
