@@ -811,7 +811,60 @@ object TextOps {
           size(col("doc_spans")).as("n_spans"),
           array_join(col("doc_spans").cast("array<string>"), ",").as("spans"))
         .orderBy("example_id")
-    }, Some(TextOps.packDocSpansOracle(30, 2048)))
+    }, Some(TextOps.packDocSpansOracle(30, 2048))),
+
+    // END-TO-END PRODUCTION TOKENIZER PIPELINE (round 20): the four
+    // stages a real pretraining job chains — q231's in-memory 2048-merge
+    // byte-BPE train, q232's sequential-replay encode, q236's EOS-append +
+    // fixed-window pack, q219's corpus-scaled shard write — composed as
+    // ONE entry, proving the column contracts align with nothing persisted
+    // between stages (the two localCheckpoints are lineage-reuse guards,
+    // not artifacts: encode feeds the pack's stats pass + explode, examples
+    // feed the shard stats pass + join + write — the q219/q230 lesson).
+    // The final artifact is the versioned shard-partitioned table of
+    // packed examples a training loop consumes; the hash re-derives each
+    // shard's token and id mass OUT OF the shard files. The oracle replays
+    // the full chain: recursive merge loop, vocabulary, full-corpus global
+    // row_number with per-doc EOS, window aggregation, auto-budget running
+    // sum, per-shard aggregate.
+    QueryDef("q241_tokenizer_pipeline", (s, dir) => {
+      val docs = TextOps.richCorpus(t(s, dir, "documents"))
+      val merges = graft.operators.TextAnalysis
+        .bpeTrainBytesInMemory(docs, "text", nMerges = TextOps.ProdMerges)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      // byte-level reserved EOS: first id past the trained vocabulary
+      // (base 0..255, merge rank r at 255 + r) — 256 + TRAINED count, so
+      // census exhaustion keeps both engines agreed
+      val eos = 256 + merges.size
+      val enc = graft.operators.TextAnalysis
+        .bpeEncodeIdsBytesSeq(docs, "doc_id", "text", merges)
+        .withColumn("token_ids", concat(col("token_ids"), array(lit(eos))))
+        .localCheckpoint()
+      val ex = graft.operators.Curation
+        .packSequences(enc, "doc_id", "token_ids", seqLen = 2048)
+        .localCheckpoint()
+      val packed = graft.operators.Curation.packShardsAuto(
+        ex, "example_id", "n_tok", targetShards = 8, minBudget = 4096L)
+      val out = RelationalSupport.scratchDir(s, dir, "q241_shards")
+      graft.sources.reftable.VersionedTable.publishPartitioned(
+        ex.join(packed.select("example_id", "shard"), "example_id")
+          .select(col("example_id"), col("token_ids"), col("n_tok"), col("shard"))
+          // co-locate each shard before the dynamic-partition write (the
+          // q219 lesson: without it every task touches every shard dir)
+          .repartition(col("shard")),
+        out, Seq("shard"))
+      s.read.format("reftable")
+        .option("path", out)
+        .option("schema", "example_id BIGINT, token_ids ARRAY<INT>, n_tok INT, shard INT")
+        .option("partitionColumns", "shard")
+        .load()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_examples"), sum("n_tok").as("tok"),
+          sum(aggregate(col("token_ids"), lit(0L), (a, x) => a + x)).as("id_mass"))
+        .orderBy("shard")
+    }, Some(TextOps.tokenizerPipelineOracle(
+      TextOps.ProdMerges, 2048, targetShards = 8, minBudget = 4096L)))
   )
 
   /** The q230 oracle: the q212 vocabulary/segmentation chain over ALL
@@ -1320,6 +1373,57 @@ object TextOps {
        |    CAST(tid AS BIGINT) AS tid
        |  FROM docw JOIN wid USING (w))
        |SELECT doc_id, pos, tid FROM seq ORDER BY doc_id, pos""".stripMargin
+
+  /** The q241 oracle: the full pipeline replay — the recursive merge loop
+    * ([[bpeRecursionCtes]]), the byte vocabulary over the final census,
+    * EVERY document's id sequence with the per-doc EOS row (256 + trained
+    * merge count) in one global running row_number, fixed `seqLen`
+    * windows, then [[graft.operators.Curation.packShardsAuto]]'s integer
+    * budget formula as a running sum over the example aggregates.
+    */
+  def tokenizerPipelineOracle(
+      nMerges: Int, seqLen: Int, targetShards: Int, minBudget: Long): String =
+    s"""WITH RECURSIVE ${bpeRecursionCtes(nMerges)},
+       |vocab AS MATERIALIZED (
+       |  SELECT tok, MIN(tid) AS tid FROM (
+       |    SELECT merged AS tok, 255 + rank AS tid FROM mergetab) GROUP BY tok),
+       |syms AS MATERIALIZED (
+       |  SELECT w, u.j AS j, u.s AS sym FROM (
+       |    SELECT w, unnest(list_transform(range(1, len(l) + 1),
+       |      j -> {'j': j, 's': l[j]})) AS u
+       |    FROM (SELECT w, string_split(trim(s), '  ') AS l FROM wfin))),
+       |wid AS MATERIALIZED (
+       |  SELECT sy.w, sy.j,
+       |    CASE WHEN length(sy.sym) = 2 THEN ${duckHexByte("sy.sym")}
+       |         ELSE v.tid END AS tid
+       |  FROM syms sy LEFT JOIN vocab v ON v.tok = sy.sym),
+       |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM mergetab),
+       |docw AS (
+       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> {'i': i, 'w': ws[i]})) AS u
+       |    FROM (SELECT doc_id, regexp_extract_all(text, '$bytePretokenSql') AS ws
+       |          FROM corpus))),
+       |tk AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
+       |seq AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
+       |    CAST(tid AS BIGINT) AS tid
+       |  FROM (
+       |    SELECT doc_id, wi, j, tid FROM tk
+       |    UNION ALL
+       |    SELECT doc_id, 2147483647, 0, 256 + (SELECT k FROM mcnt)
+       |    FROM (SELECT DISTINCT doc_id FROM tk))),
+       |ex AS (SELECT gpos // $seqLen AS example_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(tid) AS BIGINT) AS ids FROM seq GROUP BY 1),
+       |bud AS (SELECT GREATEST($minBudget,
+       |  (CAST(sum(n) AS BIGINT) + ${targetShards - 1}) // $targetShards) AS b FROM ex),
+       |cum AS (SELECT example_id, n, ids,
+       |  sum(n) OVER (ORDER BY example_id ROWS UNBOUNDED PRECEDING) - n AS pre FROM ex),
+       |s2 AS (SELECT example_id, n, ids,
+       |  CAST(floor(pre / CAST(b AS DOUBLE)) AS INT) AS shard FROM cum, bud)
+       |SELECT shard, count(*) AS n_examples, CAST(sum(n) AS BIGINT) AS tok,
+       |  CAST(sum(ids) AS BIGINT) AS id_mass
+       |FROM s2 GROUP BY shard ORDER BY shard""".stripMargin
 
   /** The q225 oracle: the byte-level merge loop — identical level
     * machinery to q205 over the byte census.
