@@ -203,6 +203,35 @@ class IvfIndexSpec extends AnyFunSuite {
       "the filtered ADC scan must not read the packed vector column")
   }
 
+  test("SQ8 encode path is codegen'd: no ScalaUDF node, expression == kernel") {
+    import graft.operators.Sq
+    // repartition keeps Catalyst from folding the local relation away —
+    // the projection must show up as a real codegen'd stage
+    val c = corpus(60).repartition(2)
+    val params = Sq.train(c, "embedding")
+    val enc = Sq.encode(c, params, "vec_id", "embedding")
+    enc.collect() // finalize AQE so the executed plan shows codegen stages
+    val analyzed = enc.queryExecution.analyzed.toString
+    val physical = enc.queryExecution.executedPlan.toString
+    assert(!analyzed.contains("UDF(") && !physical.contains("BatchEvalPython"),
+      s"encode must not plan a UDF:\n$analyzed")
+    // the `*(n)` prefix is the whole-stage-codegen marker in AQE's final
+    // plan rendering; the sqencode projection must carry it
+    assert(physical.split("\n").exists(l => l.contains("sqencode") &&
+      l.trim.matches("""(\+- )?\*\(\d+\) Project.*""")),
+      s"encode projection must stay inside whole-stage codegen:\n$physical")
+    // interpreted (nullSafeEval) and codegen paths agree, and a
+    // dimension-mismatched vector yields NULL codes on the bare path
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.5, 0.1, 0.0, 1.0, 0.3, 0.2, 0.9, 0.7)),
+      (2L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Sq.encode(rows, params, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(2L).isEmpty, "dim mismatch must yield null codes on the bare encode")
+    assert(got(1L).nonEmpty && got(1L).get.asInstanceOf[Array[Byte]].length == params.dim)
+  }
+
   test("buildSq rejects unencodable vectors instead of writing null codes") {
     import spark.implicits._
     import graft.operators.Sq
