@@ -83,7 +83,12 @@ object Plans {
     // encode (the merge chain runs in a UDF over the census — the plan
     // must NOT grow with the merge count), and the SQ8-maintained layout's
     // final read
-    "q234_day_census_pushdown", "q232_bpe_ids_prod", "q233_sq_maintenance")
+    "q234_day_census_pushdown", "q232_bpe_ids_prod", "q233_sq_maintenance",
+    // round-20: the filtered SQ8 probe (metadata predicate pushed into the
+    // probed-cell codes scan), the spans-carrying pack (same single
+    // example-key shuffle as q230/q236), and the end-to-end tokenizer
+    // pipeline's final shard read
+    "q240_filtered_ivf_sq8", "q239_pack_doc_spans", "q241_tokenizer_pipeline")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
