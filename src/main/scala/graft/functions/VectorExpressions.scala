@@ -180,11 +180,18 @@ case class UnpackVector(child: Expression) extends UnaryExpression {
   * to [0, 255] (HALF_UP), and a degenerate dimension (hi ≤ lo) encodes 0.
   */
 object SqCodec {
+  /** Returns null (→ NULL codes) when any element slot is null: ArrayData
+    * getters read undefined/zero values at null slots, so quantizing one
+    * would persist a plausible-but-wrong code into an index. NULL rides the
+    * expression's null channel instead, where the layout builds' loud guard
+    * ([[graft.operators.IvfIndex.buildSq]]) rejects the row.
+    */
   def encode(a: ArrayData, lo: Array[Double], hi: Array[Double], fromFloat: Boolean): Array[Byte] = {
     val d = lo.length
     val out = new Array[Byte](d)
     var i = 0
     while (i < d) {
+      if (a.isNullAt(i)) return null
       val x = if (fromFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val c =
         if (hi(i) <= lo(i)) 0
@@ -207,17 +214,24 @@ object SqCodec {
   * encode pass is the one corpus-wide scan of an index build, and a Scala
   * UDF there would break the stage and box every row at 100 TB.
   *
-  * A DIMENSION-MISMATCHED input yields NULL codes (matching the former
-  * UDF's contract): tolerable on the bare corpus-scan path, and the
-  * persisted layouts ([[graft.operators.IvfIndex.buildSq]]) wrap the call
-  * in a raise_error guard so a bad row fails the build loudly instead.
-  * The ranges ride in the expression as plan literals — d ≤ a few hundred
-  * doubles, codebook-class metadata, referenced from generated code via
-  * `addReferenceObj` (never stringified into source).
+  * A DIMENSION-MISMATCHED input — or one with a NULL element slot — yields
+  * NULL codes (matching the former UDF's contract): tolerable on the bare
+  * corpus-scan path, and the persisted layouts
+  * ([[graft.operators.IvfIndex.buildSq]]) wrap the call in a raise_error
+  * guard so a bad row fails the build loudly instead. The ranges ride in
+  * the expression as `Seq` params (STRUCTURAL equality — array-typed params
+  * would compare by reference and defeat Catalyst canonicalization /
+  * common-subexpression reuse when the same ranges are re-read in two plan
+  * branches), converted once to primitive arrays for the kernel and
+  * referenced from generated code via `addReferenceObj` (never stringified
+  * into source).
   */
-case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
+case class SqEncode(child: Expression, lo: Seq[Double], hi: Seq[Double])
     extends UnaryExpression {
   require(lo.length == hi.length, "SqEncode: lo/hi range arrays must have equal length")
+
+  private lazy val loArr = lo.toArray
+  private lazy val hiArr = hi.toArray
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -234,18 +248,21 @@ case class SqEncode(child: Expression, lo: Array[Double], hi: Array[Double])
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     if (a.numElements() != lo.length) null
-    else SqCodec.encode(a, lo, hi, fromFloat)
+    else SqCodec.encode(a, loArr, hiArr, fromFloat) // null on a null element slot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val loRef = ctx.addReferenceObj("sqLo", lo, "double[]")
-    val hiRef = ctx.addReferenceObj("sqHi", hi, "double[]")
+    val loRef = ctx.addReferenceObj("sqLo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("sqHi", hiArr, "double[]")
+    val r = ctx.freshName("sqCodes")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |if ($c.numElements() != ${lo.length}) {
+         |byte[] $r = ($c.numElements() != ${lo.length})
+         |  ? null : graft.functions.SqCodec.encode($c, $loRef, $hiRef, $fromFloat);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.SqCodec.encode($c, $loRef, $hiRef, $fromFloat);
+         |  ${ev.value} = $r;
          |}
        """.stripMargin)
   }
@@ -506,7 +523,9 @@ object VectorFunctions {
   def unpackVector(b: Column): Column =
     ColumnBridge.column(UnpackVector(ColumnBridge.expression(b)))
 
-  /** Column API for [[SqEncode]]. */
+  /** Column API for [[SqEncode]] (ranges copied to `Seq` so value-equal
+    * ranges canonicalize to the same expression).
+    */
   def sqEncode(v: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(SqEncode(ColumnBridge.expression(v), lo, hi))
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(v), lo.toSeq, hi.toSeq))
 }

@@ -42,6 +42,13 @@ object IvfIndex {
     */
   def sqParamsRoot(root: String): String = root.stripSuffix("/") + "_sqparams"
 
+  /** Sidecar recording a [[buildSq]] layout's `metaCols` (name + DDL type,
+    * in declaration order) — the layout tracks its OWN metadata schema, so
+    * filtered probes and maintenance derive it instead of trusting a
+    * hand-authored string that can silently drift from what was built.
+    */
+  def metaSchemaRoot(root: String): String = root.stripSuffix("/") + "_metaschema"
+
   private val IndexSchema = "id BIGINT, cell BIGINT, vec BINARY"
   private val CentroidSchema = "cid BIGINT, cv BINARY"
 
@@ -126,19 +133,17 @@ object IvfIndex {
       corpus: DataFrame, centroids: DataFrame, params: Sq.SqParams,
       idCol: String, vecCol: String, root: String,
       keepVersions: Int = 3, metaCols: Seq[String] = Nil): String = {
-    // Fail LOUDLY on unencodable vectors (null or dim-mismatched —
-    // Sq.codes yields null codes for both): a silently-null codes row
-    // would appear in [[topK]] results but never in [[sqTopK]]'s ADC path
-    // (which filters null codes), an asymmetry that surfaces only as
-    // missing neighbors. Rejecting at build time keeps the two probe
-    // paths answer-equivalent over the same layout.
+    // Fail LOUDLY on unencodable vectors (null, dim-mismatched, or with a
+    // null element slot — Sq.codes yields NULL codes for all three): a
+    // silently-null codes row would appear in [[topK]] results but never
+    // in [[sqTopK]]'s ADC path (which filters null codes), an asymmetry
+    // that surfaces only as missing neighbors. Guarding on the ENCODE
+    // RESULT covers every unencodable shape in one place; rejecting at
+    // build time keeps the two probe paths answer-equivalent over the
+    // same layout.
     val vcast = col(vecCol).cast("array<double>")
-    val sqCol = when(vcast.isNotNull && size(vcast) === params.dim,
-      Sq.codes(vcast, params))
-      .otherwise(raise_error(concat(
-        lit(s"IvfIndex.buildSq: vector at $idCol="), col(idCol).cast("string"),
-        lit(s" is null or not dim ${params.dim} — it would get null SQ codes and " +
-          "silently vanish from the ADC probe path"))).cast("binary"))
+    val sqCol = sqOrRaise(vcast, params,
+      lit(s"IvfIndex.buildSq: vector at $idCol="), col(idCol).cast("string"))
     val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol, carry = metaCols)
       .select(col(idCol).cast("long").as("id") +: col("cell") +:
         metaCols.map(col) :+ packVector(col(vecCol)).as("vec") :+ sqCol.as("sq"): _*)
@@ -154,8 +159,46 @@ object IvfIndex {
       params.lo.indices.map(i => (i.toLong, params.lo(i), params.hi(i)))
         .toDF("pos", "lo", "hi"),
       sqParamsRoot(root), keepVersions)
+    // persist the meta schema NEXT TO the layout (same publish/read
+    // mechanism as the ranges): [[sqTopKFiltered]] and
+    // [[updateFromChangesSq]] derive it from here, never from a caller
+    // string that could drift from what was built
+    if (metaCols.nonEmpty) {
+      val sch = assigned.schema
+      VersionedTable.publish(
+        metaCols.zipWithIndex
+          .map { case (c, i) => (i.toLong, c, sch(c).dataType.sql) }
+          .toDF("pos", "name", "ddl"),
+        metaSchemaRoot(root), keepVersions)
+    }
     v
   }
+
+  /** SQ codes or a loud build-time failure — NULL codes (null vector,
+    * wrong dimension, or a null element slot) become raise_error with the
+    * offending row's id, instead of a row that silently vanishes from the
+    * ADC probe path.
+    */
+  private def sqOrRaise(
+      vcast: Column, params: Sq.SqParams, msgPrefix: Column, idStr: Column): Column = {
+    val raw = Sq.codes(vcast, params)
+    when(raw.isNotNull, raw)
+      .otherwise(raise_error(concat(msgPrefix, idStr,
+        lit(s" is null, not dim ${params.dim}, or has a null element — it would " +
+          "get null SQ codes and silently vanish from the ADC probe path")))
+        .cast("binary"))
+  }
+
+  /** The published `metaCols` schema of a [[buildSq]] layout, in
+    * declaration order — empty for layouts built without metadata.
+    */
+  def readMetaSchema(spark: SparkSession, root: String): Seq[(String, String)] =
+    if (VersionedTable.resolve(metaSchemaRoot(root)).isEmpty) Nil
+    else spark.read.format("reftable")
+      .option("path", metaSchemaRoot(root))
+      .option("schema", "pos BIGINT, name STRING, ddl STRING").load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
 
   /** The published quantization ranges, reassembled — a bounded (d-row)
     * driver round-trip, like the codebook collects the probes make.
@@ -227,10 +270,19 @@ object IvfIndex {
     */
   def sqTopKFiltered(
       spark: SparkSession, root: String, queries: DataFrame, params: Sq.SqParams,
-      metaDdl: String, predicate: Column,
-      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame =
+      predicate: Column,
+      k: Int = 10, nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    // the meta DDL comes from the layout's own sidecar — a hand-authored
+    // string could declare a wrong type (all-null decode dropping every
+    // candidate) or a stale column list after a rebuild
+    val metaDdl = readMetaSchema(spark, root)
+      .map { case (n, t) => s"$n $t" }.mkString(", ")
+    require(metaDdl.nonEmpty,
+      s"sqTopKFiltered: layout at $root was built without metaCols — " +
+        "no metadata to filter on (rebuild with buildSq(..., metaCols = ...))")
     sqTopKImpl(spark, root, queries, params, k, nProbe, refine,
       meta = Some((metaDdl, predicate)))
+  }
 
   private def sqTopKImpl(
       spark: SparkSession, root: String, queries: DataFrame, params: Sq.SqParams,
@@ -324,7 +376,9 @@ object IvfIndex {
     * from the plain path: one narrow O(changes) assignment+encode pass plus
     * the COW merge over the touched cells' files — an admitted wave
     * re-encodes only its own rows, never the index. Unencodable new vectors
-    * fail loudly, exactly like [[buildSq]].
+    * fail loudly, exactly like [[buildSq]]. Over a `metaCols` layout the
+    * change batch must carry each upserted row's metadata values (same
+    * column names, after-image) — checked loudly up front.
     */
   def updateFromChangesSq(
       spark: SparkSession, root: String, changes: DataFrame,
@@ -336,6 +390,19 @@ object IvfIndex {
       spark: SparkSession, root: String, changes: DataFrame,
       keepVersions: Int, sqParams: Option[Sq.SqParams]): String = {
     val cent = readCentroids(spark, root)
+    // a metaCols layout stores metadata next to the codes, and the merge
+    // below writes FULL rows — so the change batch must carry each
+    // upserted row's (after-image) metadata values. Checked here, loudly:
+    // the merge layer's own missing-column failure would surface far from
+    // the cause.
+    val metaSchema = readMetaSchema(spark, root)
+    val missingMeta = metaSchema.map(_._1).filterNot(changes.columns.contains)
+    require(missingMeta.isEmpty,
+      s"updateFromChanges over the metaCols layout at $root: the change batch " +
+        s"must carry after-image metadata column(s) [${missingMeta.mkString(", ")}] " +
+        "next to vec_before/vec_after")
+    val metaVals: Seq[Column] = metaSchema.map { case (n, _) => col(n) }
+    val metaNulls: Seq[Column] = metaSchema.map { case (n, t) => lit(null).cast(t).as(n) }
     def cellOf(packed: String, tmp: String): Column =
       when(col(packed).isNull, lit(null).cast("long"))
         .otherwise(Similarity.bestCentroidVia(cent, tmp, literal = None)("cid"))
@@ -347,25 +414,22 @@ object IvfIndex {
     // composite-key change rows: a row whose vector moved cells leaves the
     // old partition and enters the new one
     val sqOf: Seq[Column] = sqParams.toSeq.map { p =>
-      when(col("__nv").isNotNull && size(col("__nv")) === p.dim,
-        Sq.codes(col("__nv"), p))
-        .otherwise(raise_error(concat(
-          lit("IvfIndex.updateFromChangesSq: changed vector at id="),
-          col("id").cast("string"),
-          lit(s" is null or not dim ${p.dim} — it would get null SQ codes and " +
-            "silently vanish from the ADC probe path"))).cast("binary"))
-        .as("sq")
+      sqOrRaise(col("__nv"), p,
+        lit("IvfIndex.updateFromChangesSq: changed vector at id="),
+        col("id").cast("string")).as("sq")
     }
     val sqNull = sqParams.toSeq.map(_ => lit(null).cast("binary").as("sq"))
     val removals = withCells
       .filter(col("change_type") === "delete" ||
         (col("change_type") === "update" && col("__oldcell") =!= col("__newcell")))
       .select(Seq(lit("delete").as("change_type"),
-        col("__oldcell").as("cell"), col("id"), col("vec_before").as("vec")) ++ sqNull: _*)
+        col("__oldcell").as("cell"), col("id")) ++ metaNulls ++
+        Seq(col("vec_before").as("vec")) ++ sqNull: _*)
     val upserts = withCells
       .filter(col("change_type") =!= "delete")
       .select(Seq(lit("update").as("change_type"),
-        col("__newcell").as("cell"), col("id"), col("vec_after").as("vec")) ++ sqOf: _*)
+        col("__newcell").as("cell"), col("id")) ++ metaVals ++
+        Seq(col("vec_after").as("vec")) ++ sqOf: _*)
     graft.sources.reftable.RefTableMutations.applyChanges(
       spark, root, removals.unionAll(upserts), Seq("cell", "id"), keepVersions,
       partitionColumns = Seq("cell"),

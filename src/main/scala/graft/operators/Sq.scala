@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   *    ADC, then the true cosine ranks the final k — standard re-ranking
   *    keeps precision exact.
   *
-  * Malformed rows (null / wrong-dimension vectors) encode to null and
+  * Malformed rows (null / wrong-dimension / null-element vectors) encode to null and
   * drop out of ADC candidacy on the BARE [[encode]]/[[adcTopK]] path —
   * one bad row must not kill a 100 TB corpus-wide scan. The PERSISTED
   * layouts deliberately invert that policy: [[IvfIndex.buildSq]] and
@@ -86,7 +86,8 @@ object Sq {
     * HALF_UP semantics so an engine replay reproduces codes exactly): the
     * encode pass is the one corpus-wide scan of an index build, and this
     * keeps it inside whole-stage codegen instead of breaking the stage at
-    * a ScalaUDF. Null or dimension-mismatched vectors yield NULL codes.
+    * a ScalaUDF. Null, dimension-mismatched, or null-element vectors yield
+    * NULL codes.
     */
   def codes(v: Column, params: SqParams): Column =
     graft.functions.VectorFunctions.sqEncode(v, params.lo, params.hi)

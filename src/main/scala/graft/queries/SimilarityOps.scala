@@ -886,7 +886,7 @@ object SimilarityOps {
         metaCols = Seq("label"))
       val refine = (e.count() / K + 1).toInt
       graft.operators.IvfIndex.sqTopKFiltered(s, root, q, params,
-        "label INT", col("label") === 2, k = K, nProbe = NCells, refine = refine)
+        col("label") === 2, k = K, nProbe = NCells, refine = refine)
         .orderBy("query_id", "rk")
     }, Some(
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < $NQueries),

@@ -690,12 +690,8 @@ object TextOps {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // the reserved EOS id = first id past the vocabulary: base alphabet
       // size + nMerges (rank ids advance per merge even on surface
-      // collisions). The base size recomputes bpeEncodeIds' definition:
-      // distinct single characters of the token census.
-      val b = docs
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-        .select(explode(split(col("w"), "")).as("c"))
-        .filter(length(col("c")) === 1).distinct().count().toInt
+      // collisions)
+      val b = TextOps.baseAlphabet(docs).size
       val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
         .withColumn("token_ids",
           concat(col("token_ids"), array(lit(b + merges.size))))
@@ -757,14 +753,8 @@ object TextOps {
       val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      // the decode map needs the base alphabet itself (not just its size):
-      // distinct single characters of the token census, byte-sorted —
-      // bpeEncodeIds' exact id convention
-      val baseChars = docs
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-        .select(explode(split(col("w"), "")).as("c"))
-        .filter(length(col("c")) === 1).distinct().orderBy("c")
-        .collect().map(_.getString(0)).toSeq
+      // the decode map needs the base alphabet itself (not just its size)
+      val baseChars = TextOps.baseAlphabet(docs)
       val eos = baseChars.size + merges.size
       val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
         .withColumn("token_ids", concat(col("token_ids"), array(lit(eos))))
@@ -795,10 +785,7 @@ object TextOps {
       val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val b = docs
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-        .select(explode(split(col("w"), "")).as("c"))
-        .filter(length(col("c")) === 1).distinct().count().toInt
+      val b = TextOps.baseAlphabet(docs).size
       val enc = graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
         .withColumn("token_ids",
           concat(col("token_ids"), array(lit(b + merges.size))))
@@ -889,15 +876,21 @@ object TextOps {
        |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
        |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** The q236 oracle: q230's chain with one EOS row appended per document
-    * before the global running row_number. The EOS id is the first id
-    * past the vocabulary — base alphabet size + the TRAINED merge count
-    * (derived from the oracle's own merge tables, never the requested
-    * nMerges: on census exhaustion both engines must agree on the same
-    * smaller count — review-wave finding).
+  /** The ONE copy of the EOS-packed replay chain shared by the
+    * q236/q238/q239 oracles (vocabulary CTEs → trained merge count →
+    * per-word token stream → per-doc EOS row at the 2147483647 wi
+    * sentinel → global running row_number into the `seq` CTE): the EOS-id
+    * expression, the sentinel ordering, and the tid cast must stay
+    * bit-identical across the three, so they are written once.
+    * `seqExtra` appends extra window columns to `seq` (q239's per-doc
+    * rank). The EOS id is the first id past the vocabulary — base
+    * alphabet size + the TRAINED merge count (derived from the oracle's
+    * own merge tables, never the requested nMerges: on census exhaustion
+    * both engines must agree on the same smaller count — review-wave
+    * finding).
     */
-  def contextPackEosOracle(nMerges: Int, seqLen: Int): String =
-    s"""WITH ${bpeLevels(nMerges)},
+  private def packedEosChain(nMerges: Int, seqExtra: String = ""): String =
+    s"""${bpeLevels(nMerges)},
        |${bpeVocabCtes(nMerges)},
        |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k
        |  FROM (${(1 to nMerges).map(i => s"SELECT rank FROM m$i").mkString(" UNION ALL ")})),
@@ -910,12 +903,18 @@ object TextOps {
        |tok AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
        |seq AS (
        |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
-       |    CAST(tid AS BIGINT) AS tid
+       |    CAST(tid AS BIGINT) AS tid$seqExtra
        |  FROM (
        |    SELECT doc_id, wi, j, tid FROM tok
        |    UNION ALL
        |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + (SELECT k FROM mcnt)
-       |    FROM (SELECT DISTINCT doc_id FROM tok)))
+       |    FROM (SELECT DISTINCT doc_id FROM tok)))""".stripMargin
+
+  /** The q236 oracle: q230's chain with one EOS row appended per document
+    * before the global running row_number ([[packedEosChain]]).
+    */
+  def contextPackEosOracle(nMerges: Int, seqLen: Int): String =
+    s"""WITH ${packedEosChain(nMerges)}
        |SELECT gpos // $seqLen AS example_id, count(*) AS n_tok,
        |  CAST(sum(tid) AS BIGINT) AS id_mass,
        |  CAST(sum(tid * (gpos % $seqLen + 1)) AS BIGINT) AS ord_mass
@@ -941,25 +940,7 @@ object TextOps {
     * in global position order.
     */
   def packedDecodeOracle(nMerges: Int, seqLen: Int): String =
-    s"""WITH ${bpeLevels(nMerges)},
-       |${bpeVocabCtes(nMerges)},
-       |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k
-       |  FROM (${(1 to nMerges).map(i => s"SELECT rank FROM m$i").mkString(" UNION ALL ")})),
-       |docw AS (
-       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
-       |      i -> {'i': i, 'w': ws[i]})) AS u
-       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-       |          FROM documents))),
-       |tok AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
-       |seq AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
-       |    CAST(tid AS BIGINT) AS tid
-       |  FROM (
-       |    SELECT doc_id, wi, j, tid FROM tok
-       |    UNION ALL
-       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + (SELECT k FROM mcnt)
-       |    FROM (SELECT DISTINCT doc_id FROM tok))),
+    s"""WITH ${packedEosChain(nMerges)},
        |dec AS (
        |  SELECT CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS tid, c AS sym FROM chars
        |  UNION ALL
@@ -981,26 +962,8 @@ object TextOps {
     * a distinct-union + ordered string_agg.
     */
   def packDocSpansOracle(nMerges: Int, seqLen: Int): String =
-    s"""WITH ${bpeLevels(nMerges)},
-       |${bpeVocabCtes(nMerges)},
-       |mcnt AS (SELECT CAST(count(*) AS BIGINT) AS k
-       |  FROM (${(1 to nMerges).map(i => s"SELECT rank FROM m$i").mkString(" UNION ALL ")})),
-       |docw AS (
-       |  SELECT doc_id, u.i AS wi, u.w AS w FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
-       |      i -> {'i': i, 'w': ws[i]})) AS u
-       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-       |          FROM documents))),
-       |tok AS (SELECT doc_id, wi, j, tid FROM docw JOIN wid USING (w)),
-       |seq AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY doc_id, wi, j) - 1 AS BIGINT) AS gpos,
-       |    CAST(tid AS BIGINT) AS tid,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) AS rnd
-       |  FROM (
-       |    SELECT doc_id, wi, j, tid FROM tok
-       |    UNION ALL
-       |    SELECT doc_id, 2147483647, 0, (SELECT b FROM nb) + (SELECT k FROM mcnt)
-       |    FROM (SELECT DISTINCT doc_id FROM tok))),
+    s"""WITH ${packedEosChain(nMerges, seqExtra =
+        ",\n    row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) AS rnd")},
        |starts AS (
        |  SELECT gpos // $seqLen AS example_id, CAST(gpos % $seqLen AS INT) AS off
        |  FROM seq WHERE rnd = 1
@@ -1016,6 +979,19 @@ object TextOps {
        |  FROM seq GROUP BY 1)
        |SELECT m.example_id, m.n_tok, m.id_mass, sp.n_spans, sp.spans
        |FROM main m JOIN sp USING (example_id) ORDER BY example_id""".stripMargin
+
+  /** The char-level base alphabet of `bpeEncodeIds`' id convention —
+    * distinct single characters of the token census, byte-sorted. ONE copy
+    * (q236/q238/q239 all derive ids or the EOS id from it): a drifting
+    * re-derivation would shift every token id by the alphabet-size delta
+    * and surface only as an oracle hash mismatch.
+    */
+  def baseAlphabet(docs: DataFrame): Seq[String] =
+    docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) === 1).distinct().orderBy("c")
+      .collect().map(_.getString(0)).toSeq
 
   /** The Spark side of [[byteCorpusCte]]: the same deterministic non-ASCII
     * augmentation of the documents corpus.

@@ -157,7 +157,7 @@ class IvfIndexSpec extends AnyFunSuite {
       c.filter(col("label") === 1), q, "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rk").collect().toSeq
     val limit = IvfIndex.sqTopKFiltered(spark, root, q, params,
-      "label INT", col("label") === 1, k = 5, nProbe = 4, refine = 200)
+      col("label") === 1, k = 5, nProbe = 4, refine = 200)
       .orderBy("query_id", "rk").collect().toSeq
     assert(limit.nonEmpty && limit == exact,
       "all-cells + unbounded refine must degenerate to the filtered brute force")
@@ -175,7 +175,7 @@ class IvfIndexSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = IvfIndex.sqTopKFiltered(spark, root, q, params,
-      "label INT", col("label") === 1, k = 5, nProbe = 2, refine = 4)
+      col("label") === 1, k = 5, nProbe = 2, refine = 4)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (got & scopedExact).size.toDouble / scopedExact.size
@@ -201,6 +201,62 @@ class IvfIndexSpec extends AnyFunSuite {
       "filtered codes scan must plan only probed cells' files")
     assert(codeScans.forall(!_.scan.readSchema().fieldNames.contains("vec")),
       "the filtered ADC scan must not read the packed vector column")
+  }
+
+  test("metaCols layout: maintenance carries meta, missing meta fails loudly, sidecar drives the probe") {
+    import spark.implicits._
+    import graft.operators.Sq
+    val c = corpus(200).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val params = Sq.train(c, "embedding")
+    val root = tmpDir("sqmetamaint")
+    IvfIndex.buildSq(c, centroids, params, "vec_id", "embedding", root,
+      metaCols = Seq("label"))
+    assert(IvfIndex.readMetaSchema(spark, root) == Seq(("label", "INT")),
+      "buildSq must persist the meta schema next to the layout")
+    def bi(rows: Seq[(Long, Option[Array[Double]], Option[Array[Double]], String)]) =
+      rows.toDF("id", "vb", "va", "change_type")
+        .select(col("id"), packVector(col("vb")).as("vec_before"),
+          packVector(col("va")).as("vec_after"), col("change_type"))
+    val insVec = (i: Int) => Array.tabulate(8)(d => if (d == 0) 1.0 else 0.001 * d)
+    val w = Seq((5000L, None: Option[Array[Double]], Some(insVec(1)), "insert"),
+      (7L, Some(c.filter(col("vec_id") === 7L).select("embedding")
+        .as[Array[Double]].head()), None: Option[Array[Double]], "delete"))
+    // a change batch WITHOUT the layout's meta column is rejected up front
+    val noMeta = intercept[IllegalArgumentException] {
+      IvfIndex.updateFromChangesSq(spark, root, bi(w))
+    }
+    assert(noMeta.getMessage.contains("metadata column"), noMeta.getMessage)
+    // with after-image meta the wave merges, and the maintained layout is
+    // bit-equal to a from-scratch meta build over the churned corpus
+    IvfIndex.updateFromChangesSq(spark, root, bi(w).withColumn("label", lit(2)))
+    val finalC = c.filter(col("vec_id") =!= 7L)
+      .unionAll(Seq((5000L, insVec(1), 2)).toDF("vec_id", "embedding", "label"))
+    val rebuildRoot = tmpDir("sqmetamaint_rb")
+    IvfIndex.buildSq(finalC, centroids, params, "vec_id", "embedding", rebuildRoot,
+      metaCols = Seq("label"))
+    def dump(r: String) = spark.read.format("reftable")
+      .option("path", r)
+      .option("schema", "id BIGINT, cell BIGINT, label INT, vec BINARY, sq BINARY")
+      .option("partitionColumns", "cell").load()
+      .select(col("id"), col("cell"), col("label"),
+        lower(hex(col("vec"))).as("v"), lower(hex(col("sq"))).as("sq"))
+      .orderBy("id").collect().toSeq
+    val maintained = dump(root)
+    assert(maintained.nonEmpty && maintained == dump(rebuildRoot),
+      s"first divergence: ${maintained.zip(dump(rebuildRoot)).find(p => p._1 != p._2)}")
+    // the filtered probe derives its meta DDL from the sidecar — the
+    // maintained row is findable by its metadata
+    val q = c.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    assert(IvfIndex.sqTopKFiltered(spark, root, q, params, col("label") === 2,
+      k = 3, nProbe = 4, refine = 100).count() > 0)
+    // and a plain (no-meta) layout refuses a filtered probe loudly
+    val plainRoot = tmpDir("sqnometa")
+    IvfIndex.buildSq(corpus(50), centroids, params, "vec_id", "embedding", plainRoot)
+    val noLayoutMeta = intercept[IllegalArgumentException] {
+      IvfIndex.sqTopKFiltered(spark, plainRoot, q, params, col("label") === 2, k = 3)
+    }
+    assert(noLayoutMeta.getMessage.contains("without metaCols"))
   }
 
   test("SQ8 encode path is codegen'd: no ScalaUDF node, expression == kernel") {
@@ -230,6 +286,20 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(got(2L).isEmpty, "dim mismatch must yield null codes on the bare encode")
     assert(got(1L).nonEmpty && got(1L).get.asInstanceOf[Array[Byte]].length == params.dim)
+    // ranges ride as Seq params, so two SqEncode nodes built from DISTINCT
+    // but value-equal range arrays canonicalize together (array-typed
+    // params would compare by reference and defeat CSE / exchange reuse).
+    // Compared post-analysis: both projections share one resolved child,
+    // leaving the range params as the only equality axis.
+    val two = c.select(
+      graft.functions.VectorFunctions
+        .sqEncode(col("embedding"), params.lo.clone(), params.hi.clone()).as("a"),
+      graft.functions.VectorFunctions
+        .sqEncode(col("embedding"), params.lo, params.hi).as("b"))
+    val nodes = two.queryExecution.analyzed.expressions
+      .flatMap(_.collect { case s: graft.functions.SqEncode => s })
+    assert(nodes.size == 2 && nodes(0).semanticEquals(nodes(1)),
+      "value-equal SQ ranges must produce semantically equal expressions")
   }
 
   test("buildSq rejects unencodable vectors instead of writing null codes") {
@@ -240,12 +310,26 @@ class IvfIndexSpec extends AnyFunSuite {
     // one truncated vector: codesUdf would yield null codes — the row would
     // show up in topK but silently vanish from sqTopK's ADC path
     val bad = c.union(Seq((9999L, Array(1.0, 0.0))).toDF("vec_id", "embedding"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e = intercept[Exception] {
       IvfIndex.buildSq(bad, centroids, params, "vec_id", "embedding", tmpDir("sqbad"))
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("null SQ codes")), s"wrong error: ${msgs(e)}")
+    // a correct-dimension vector with a NULL ELEMENT slot is just as
+    // unencodable (the getter would read an undefined/zero value): bare
+    // encode yields NULL, and the layout build rejects it loudly
+    val nullElem = spark.range(1).select(lit(9998L).as("vec_id"),
+      array((0 until 8).map(i =>
+        if (i == 3) lit(null).cast("double") else lit(i.toDouble)): _*).as("embedding"))
+    val bare = nullElem.select(graft.functions.VectorFunctions
+      .sqEncode(col("embedding"), params.lo, params.hi).as("sq")).head()
+    assert(bare.isNullAt(0), "null-element vector must encode to NULL, not zero-coded bytes")
+    val e2 = intercept[Exception] {
+      IvfIndex.buildSq(c.unionAll(nullElem), centroids, params,
+        "vec_id", "embedding", tmpDir("sqbadnull"))
+    }
+    assert(msgs(e2).exists(_.contains("null SQ codes")), s"wrong error: ${msgs(e2)}")
   }
 
   test("admission gate plans only probed cells' files and matches the direct join") {
