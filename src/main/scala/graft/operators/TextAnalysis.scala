@@ -609,16 +609,46 @@ object TextAnalysis {
     */
   def bpeTrainBytesInMemory(
       df: DataFrame, textCol: String, nMerges: Int,
-      minFrequency: Long = 1L, maxCensusWords: Long = 20_000_000L): DataFrame = {
-    val spark = df.sparkSession
+      minFrequency: Long = 1L, maxCensusWords: Long = 20_000_000L): DataFrame =
+    inMemoryTrain(
+      df.select(explode(pretokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .filter(col("wf") >= minFrequency)
+        .select(byteSyms(col("w")).as("s"), col("wf")),
+      nMerges, maxCensusWords, "bpeTrainBytesInMemory")
+
+  /** CHARACTER-level in-memory BPE training — [[bpeTrain]]'s in-memory
+    * sibling (exactly as [[bpeTrainBytesInMemory]] is [[bpeTrainBytes]]'):
+    * the corpus collapses ONCE to its Zipf-small word census (the only
+    * corpus-sized pass), the census collects to the driver, and the merge
+    * loop runs in [[trainMergesInMemory]] — bit-identical to the
+    * distributed loop (spec-asserted), seconds-class in the merge count
+    * instead of one Spark job per merge. The catalog's tokenize/pack
+    * entries use this as their vocabulary-prep step; the distributed loop
+    * stays the operator under test in q205.
+    */
+  def bpeTrainInMemory(
+      df: DataFrame, textCol: String, nMerges: Int,
+      minFrequency: Long = 1L, maxCensusWords: Long = 20_000_000L): DataFrame =
+    inMemoryTrain(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .filter(col("wf") >= minFrequency)
+        .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("wf")),
+      nMerges, maxCensusWords, "bpeTrainInMemory")
+
+  /** Shared collect + in-memory-loop tail of [[bpeTrainBytesInMemory]] and
+    * [[bpeTrainInMemory]]: `censusDf` is the space-wrapped symbol census
+    * `(s, wf)` — the only corpus-sized pass either caller runs.
+    */
+  private def inMemoryTrain(
+      censusDf: DataFrame, nMerges: Int, maxCensusWords: Long,
+      label: String): DataFrame = {
+    val spark = censusDf.sparkSession
     import spark.implicits._
-    val census = df.select(explode(pretokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wf"))
-      .filter(col("wf") >= minFrequency)
-      .select(byteSyms(col("w")).as("s"), col("wf"))
-      .collect() // Zipf-bounded: distinct pre-tokens, not corpus rows
+    val census = censusDf.collect() // Zipf-bounded: distinct words, not corpus rows
     require(census.length <= maxCensusWords,
-      s"bpeTrainBytesInMemory: census has ${census.length} words, over the " +
+      s"$label: census has ${census.length} words, over the " +
         s"$maxCensusWords driver bound — raise minFrequency (production " +
         "trainers prune the singleton tail) or maxCensusWords")
     val words = census.map(r => (r.getString(0).trim.split("  "), r.getLong(1)))

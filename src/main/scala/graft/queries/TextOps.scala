@@ -446,7 +446,7 @@ object TextOps {
     // re-encodes the identical census in DuckDB.
     QueryDef("q210_bpe_encode", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
@@ -466,7 +466,7 @@ object TextOps {
     // segments the census, and reassembles per-document order in DuckDB.
     QueryDef("q212_bpe_token_ids", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
@@ -491,7 +491,7 @@ object TextOps {
     // packShards now literally packs token-id arrays into shard files.
     QueryDef("q219_shard_write", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // materialize the encode ONCE: packShards' stats pass, the shard
@@ -534,7 +534,7 @@ object TextOps {
 
     QueryDef("q213_tokenize_pack", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // deliberately NOT checkpointed: only two lineage uses here (stats
@@ -572,7 +572,7 @@ object TextOps {
     // sequence element, multi-byte characters included.
     QueryDef("q226_bpe_byte_ids", (s, dir) => {
       val docs = TextOps.byteCorpus(t(s, dir, "documents"))
-      val merges = graft.operators.TextAnalysis.bpeTrainBytes(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainBytesInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.TextAnalysis.bpeEncodeIdsBytes(docs, "doc_id", "text", merges)
@@ -594,7 +594,7 @@ object TextOps {
     // global positions as a single running row_number in DuckDB.
     QueryDef("q230_context_pack", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // materialize the encode ONCE: packSequences' driver-side range-stats
@@ -685,7 +685,7 @@ object TextOps {
     // same EOS rows into its global running row_number.
     QueryDef("q236_context_pack_eos", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // the reserved EOS id = first id past the vocabulary: base alphabet
@@ -750,7 +750,7 @@ object TextOps {
     // order — the md5 proves every example's decoded text element-exactly.
     QueryDef("q238_packed_decode", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // the decode map needs the base alphabet itself (not just its size)
@@ -782,7 +782,7 @@ object TextOps {
     // segment-start derivation.
     QueryDef("q239_pack_doc_spans", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = 30)
+      val merges = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = 30)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val b = TextOps.baseAlphabet(docs).size

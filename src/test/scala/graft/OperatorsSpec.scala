@@ -1099,6 +1099,16 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
     assert(mem == dist, s"first divergence: ${mem.zip(dist).find(p => p._1 != p._2)}")
+    // char-level sibling (round-20 optimization: the tokenize/pack entries'
+    // vocabulary prep): bpeTrainInMemory must equal bpeTrain rank-by-rank,
+    // including early exhaustion when the char census can't sustain n merges
+    val distC = graft.operators.TextAnalysis.bpeTrain(docs, "text", nMerges = n)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val memC = graft.operators.TextAnalysis.bpeTrainInMemory(docs, "text", nMerges = n)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(memC == distC, s"first divergence: ${memC.zip(distC).find(p => p._1 != p._2)}")
     // encode: the sequential-replay UDF must equal the chained-replace form
     val merges = dist.map(m => (m._2, m._3))
     def seqOf(df: org.apache.spark.sql.DataFrame) =
