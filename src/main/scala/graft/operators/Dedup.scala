@@ -26,6 +26,22 @@ object Dedup {
     df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Compute-once materialization of a kernel output that the surrounding
+    * query references from several operator subtrees. Catalyst plans each
+    * reference as its own scan: the LSH pipelines referenced their band /
+    * shingle-set passes from the hot-bucket census, BOTH self-join sides
+    * and BOTH verify joins, so one `minHashLsh` executed the tokenize+md5
+    * text kernel up to SIX times over the full corpus (measured in
+    * q17's executed plan, round 20). A local checkpoint runs the kernel
+    * ONCE and serves every reference from the materialized (small, shuffle-
+    * shaped) intermediate — bands and shingle sets are the lightweight
+    * PROXY of the text (guide §8: materialize the proxy, never the
+    * payload), so the corpus text is read once per kernel instead of once
+    * per reference. Values are unchanged; only the pass count drops.
+    */
+  private[operators] def oncePerQuery(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   /** Distinct hashed k-shingle sets per document: (id, hs array<long>). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     df.select(col(idCol), shingleHashes(tokens(col(textCol)), k).as("hs"))
@@ -120,10 +136,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3, numBands: Int = 64,
       bucketCap: Int = 1000): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, k)
-    val bands = df
+    // one text pass each for the shingle sets and the band index — the
+    // census + both self-join sides + both verify joins below would
+    // otherwise each re-run the kernels over the whole corpus
+    val sets = oncePerQuery(shingleSets(df, idCol, textCol, k))
+    val bands = oncePerQuery(df
       .select(col(idCol), posexplode(minhashBands(tokens(col(textCol)), k, numBands)).as(Seq("p", "bk")))
-      .select(col(idCol).as("id"), col("bk"))
+      .select(col(idCol).as("id"), col("bk")))
     val candPairs = boundedSelfPairs(bands, bucketCap)
     val cands = candPairs
       .join(sets.select(col(idCol).as("a_id"), col("hs").as("ha")), Seq("a_id"))
@@ -147,10 +166,12 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 3, numBands: Int = 64,
       bucketCap: Int = 1000): DataFrame = {
-    def bandsOf(df: DataFrame, as: String) = df
+    // one band pass per side (the hot-bucket census and the cross-join
+    // side would otherwise each recompute the minhash kernel)
+    def bandsOf(df: DataFrame, as: String) = oncePerQuery(df
       .select(col(idCol).as(as),
         posexplode(minhashBands(tokens(col(textCol)), k, numBands)).as(Seq("p", "bk")))
-      .select(col(as), col("bk"))
+      .select(col(as), col("bk")))
     val cand = boundedCrossPairs(
       bandsOf(batch, "batch_id"), "batch_id",
       bandsOf(corpus, "corpus_id"), "corpus_id", bucketCap)
@@ -181,7 +202,9 @@ object Dedup {
       s"ngramJaccardPairs is the quarantined exact baseline (no LSH pruning): " +
         s"corpus has $n rows > cap $maxRows. Use minHashLsh at scale " +
         s"(or raise maxRows deliberately for an offline recall study).")
-    val sh = df.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), k)).as("h"))
+    // one text pass: the size census and both join sides below share it
+    val sh = oncePerQuery(
+      df.select(col(idCol), explode(shingleHashes(tokens(col(textCol)), k)).as("h")))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("a_id"), col("h"))
     val b = sh.select(col(idCol).as("b_id"), col("h"))
@@ -217,9 +240,11 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.9, k: Int = 3): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, k)
+    // one text pass: the document-frequency census, the prefix window, the
+    // candidate join and both verify joins all read the materialized sets
+    val sets = oncePerQuery(shingleSets(df, idCol, textCol, k)
       .filter(size(col("hs")) > 0)
-      .select(col(idCol), col("hs"), size(col("hs")).as("n"))
+      .select(col(idCol), col("hs"), size(col("hs")).as("n")))
     val sh = sets.select(col(idCol), col("n"), explode(col("hs")).as("h"))
     // global document frequency per shingle = the rarity order
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
@@ -369,7 +394,8 @@ object Dedup {
     * verification only; use [[simhashBandedPairs]] at scale).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 10): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    // one text pass: both cross-join sides read the materialized (id, hash)
+    val sh = oncePerQuery(simhash(df, idCol, textCol))
     val a = sh.select(col(idCol).as("a_id"), col("simhash").as("ha"))
     val b = sh.select(col(idCol).as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -385,7 +411,8 @@ object Dedup {
     */
   def simhashBandedPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "full recall is only guaranteed for maxHamming <= 3 with 4 bands")
-    val sh = simhash(df, idCol, textCol)
+    // one text pass: both band-join sides read the materialized (id, hash)
+    val sh = oncePerQuery(simhash(df, idCol, textCol))
     val bands = sh.select(col(idCol), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS b, shiftright(simhash, b * 15) & 32767 AS v))")).as("bk"))
     val a = bands.select(col(idCol).as("a_id"), col("simhash").as("ha"), col("bk"))

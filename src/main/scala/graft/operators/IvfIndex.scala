@@ -406,11 +406,15 @@ object IvfIndex {
     def cellOf(packed: String, tmp: String): Column =
       when(col(packed).isNull, lit(null).cast("long"))
         .otherwise(Similarity.bestCentroidVia(cent, tmp, literal = None)("cid"))
-    val withCells = changes
+    // compute the O(changes) assignment pass ONCE: the removals and
+    // upserts branches below (and the merge layer's several source
+    // evaluations) would otherwise each re-run the centroid-assignment
+    // joins over the change batch
+    val withCells = Dedup.oncePerQuery(changes
       .withColumn("__ov", unpackVector(col("vec_before")))
       .withColumn("__nv", unpackVector(col("vec_after")))
       .withColumn("__oldcell", cellOf("vec_before", "__ov"))
-      .withColumn("__newcell", cellOf("vec_after", "__nv"))
+      .withColumn("__newcell", cellOf("vec_after", "__nv")))
     // composite-key change rows: a row whose vector moved cells leaves the
     // old partition and enters the new one
     val sqOf: Seq[Column] = sqParams.toSeq.map { p =>

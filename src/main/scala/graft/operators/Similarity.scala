@@ -108,8 +108,11 @@ object Similarity {
       bitsPerTable: Int = 12, nTables: Int = 24, dim: Option[Int] = None,
       bucketCap: Int = 1000): DataFrame = {
     val sig = srpSignatureUdf(corpus, vecCol, bitsPerTable, nTables, dim)
-    val buckets = corpus
-      .select(col(idCol).as("id"), explode(sig(col(vecCol).cast("array<double>"))).as("bk"))
+    // one SRP-signature pass: the hot-bucket census and both self-join
+    // sides read the materialized (id, bucket) index instead of each
+    // re-running the signature kernel over the corpus
+    val buckets = Dedup.oncePerQuery(corpus
+      .select(col(idCol).as("id"), explode(sig(col(vecCol).cast("array<double>"))).as("bk")))
     // hot-bucket-bounded self-join: embedding corpora cluster — a dense
     // region can drop thousands of vectors into one SRP bucket
     val cands = Dedup.boundedSelfPairs(buckets, bucketCap)
@@ -138,9 +141,10 @@ object Similarity {
       threshold: Double, bitsPerTable: Int = 12, nTables: Int = 24,
       dim: Option[Int] = None, bucketCap: Int = 1000): DataFrame = {
     val sig = srpSignatureUdf(corpus, vecCol, bitsPerTable, nTables, dim)
-    def bucketsOf(df: DataFrame, as: String) = df
+    // one signature pass per side (census + cross-join side share it)
+    def bucketsOf(df: DataFrame, as: String) = Dedup.oncePerQuery(df
       .select(col(idCol).as(as), explode(sig(col(vecCol).cast("array<double>"))).as("bk"))
-      .select(col(as), col("bk"))
+      .select(col(as), col("bk")))
     val cand = Dedup.boundedCrossPairs(
       bucketsOf(batch, "batch_id"), "batch_id",
       bucketsOf(corpus, "corpus_id"), "corpus_id", bucketCap)

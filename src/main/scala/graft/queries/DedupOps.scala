@@ -167,14 +167,38 @@ object DedupOps {
       def appendTo(root: String, df: org.apache.spark.sql.DataFrame, schema: String): Unit =
         df.write.format("reftable").option("path", root).option("schema", schema)
           .mode("append").save()
-      def scount(): Long =
-        if (VersionedTable.resolve(stagingRoot, conf).isEmpty) 0L
-        else s.read.format("reftable").option("path", stagingRoot)
-          .option("schema", ddl).load().count()
+      // METADATA row-count poll: the staging table is plain appends (no
+      // deletion vectors), so its row count is the sum of its resolved
+      // listing's parquet footer counts — a few driver-side footer reads
+      // instead of a Spark count JOB per 100 ms poll. The poll no longer
+      // competes with the ingest stream's own micro-batches for executor
+      // slots, and the cadence can drop to 25 ms for ~free. Footer counts
+      // cache by root-relative path + length (committed files are
+      // immutable; a rewritten landing file changes length).
+      val footerRows = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+      def scount(): Long = VersionedTable.resolve(stagingRoot, conf) match {
+        case None => 0L
+        case Some(cur) =>
+          val v = new org.apache.hadoop.fs.Path(cur).getName
+          graft.sources.reftable.RefTableFileManifest
+            .resolve(stagingRoot, v, Nil, conf) match {
+            case Some(entries) => entries.map { e =>
+              footerRows.getOrElseUpdate((e.rel, e.len), {
+                val p = new org.apache.hadoop.fs.Path(stagingRoot, e.rel)
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              })
+            }.sum
+            case None => // no manifest (not expected for our own publishes)
+              s.read.format("reftable").option("path", stagingRoot)
+                .option("schema", ddl).load().count()
+          }
+      }
       def await(target: Long): Unit = {
         val t0 = System.nanoTime()
         val end = System.currentTimeMillis() + 60000L
-        while (scount() != target && System.currentTimeMillis() < end) Thread.sleep(100)
+        while (scount() != target && System.currentTimeMillis() < end) Thread.sleep(25)
         graft.BenchProbe.addDrain(System.nanoTime() - t0)
         require(scount() == target, s"ingest stalled: ${scount()} of $target")
       }
@@ -182,7 +206,11 @@ object DedupOps {
       def ver(): String = new org.apache.hadoop.fs.Path(
         VersionedTable.resolve(stagingRoot, conf).get).getName
       waveA.coalesce(2).write.mode("append").parquet(landing)
-      val q = RefTableIngest.ingestStream(s, opts, landing, triggerMs = 250L)
+      // 100 ms trigger: the trigger is pure scheduling cadence (idempotence
+      // lives in the log protocol) and a no-new-files trigger is now one
+      // cached-log pointer read, so a faster tick costs ~nothing and cuts
+      // each wave's landing→visible latency
+      val q = RefTableIngest.ingestStream(s, opts, landing, triggerMs = 100L)
       val (vA, vB, vC) = try {
         await(nA); val a = ver()
         waveB.coalesce(2).write.mode("append").parquet(landing)

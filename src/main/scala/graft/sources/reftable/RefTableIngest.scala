@@ -92,6 +92,24 @@ object RefTableIngest {
       catch { case scala.util.control.NonFatal(_) => () } // cleanup is best-effort
     }
 
+  /** Snapshot cache for the ingest log, keyed by the log table's RESOLVED
+    * VERSION (version dir names carry a uuid suffix, so a name can never
+    * alias different content — a wiped-and-recreated log misses). The
+    * streaming variant calls [[ingest]] every trigger, and each call was
+    * re-collecting the whole log through a Spark job even when the landing
+    * zone had nothing new; with the cache a no-change trigger costs one
+    * pointer read instead of a job, and the log read becomes O(new
+    * versions), not O(triggers) — the same snapshot caching every
+    * log-structured table format does. Entries never invalidate (committed
+    * versions are immutable); the LRU only bounds memory.
+    */
+  private val logCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, (Long, String)]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, (Long, String)]]): Boolean =
+        size() > 64
+    })
+
   /** The ingest-log sibling's options: append-only metadata rows, no
     * gates of its own, same retention as the table.
     */
@@ -133,12 +151,23 @@ object RefTableIngest {
     val lo = logOpts(opts)
 
     def readLog(): Map[String, (Long, String)] =
-      if (VersionedTable.resolve(lo.path, conf).isEmpty) Map.empty
-      else spark.read.format("reftable")
-        .option("path", lo.path).option("schema", LogSchema.toDDL).load()
-        .collect()
-        .map(r => (s"${r.getString(1)}:${r.getLong(2)}", (r.getLong(0), r.getString(1))))
-        .toMap
+      VersionedTable.resolve(lo.path, conf) match {
+        case None => Map.empty
+        case Some(cur) =>
+          val key = cur // full resolved version path: unique per publish
+          val hit = logCache.get(key)
+          if (hit != null) hit
+          else {
+            val m = spark.read.format("reftable")
+              .option("path", lo.path).option("schema", LogSchema.toDDL)
+              .option("version", new Path(cur).getName).load()
+              .collect()
+              .map(r => (s"${r.getString(1)}:${r.getLong(2)}", (r.getLong(0), r.getString(1))))
+              .toMap
+            logCache.put(key, m)
+            m
+          }
+      }
 
     def readFiles(paths: Seq[String]) =
       spark.read.format(format).schema(opts.schema)

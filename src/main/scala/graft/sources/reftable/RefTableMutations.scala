@@ -286,8 +286,8 @@ object RefTableMutations {
     val aligned0 = source.select(curCols.map(col): _*)
     // every source row is a full after-image; a dropped (violating) row's
     // mutation is skipped entirely — its key neither updates nor inserts
-    val aligned = aligned0.filter(
-      gateApply(spark, gate, aligned0, lit(true), col, "upsert"))
+    val aligned = materializeComputedSource(aligned0.filter(
+      gateApply(spark, gate, aligned0, lit(true), col, "upsert")))
 
     // ONE aggregation job answers emptiness AND the per-key-column bounds
     // (a separate isEmpty was a whole extra Spark job per commit —
@@ -401,7 +401,8 @@ object RefTableMutations {
       val a0 = source.select(curCols.map(col): _*)
       // full after-images: a dropped (violating) row's mutation is
       // skipped entirely (staged path pre-gates in the epoch writer)
-      a0.filter(gateApply(spark, gate, a0, lit(true), col, "upsert"))
+      materializeComputedSource(
+        a0.filter(gateApply(spark, gate, a0, lit(true), col, "upsert")))
     }
     // the key projection drives narrowing and the DV semi-join; for the
     // staged path it reads ONLY the key columns of the epoch files
@@ -512,6 +513,35 @@ object RefTableMutations {
     mergeClauses(spark, root, source, keyCols,
       fullRow(matchedUpdate), matchedDelete, fullRow(notMatchedInsert), keepVersions,
       partitionColumns, partitionTypes, gate)
+  }
+
+  /** Mutation sources are evaluated several times per commit: the
+    * narrowing aggregate, the bucket narrowing, the staged write, and (MoR)
+    * the DV key semi-join each plan their own scan of the source. A source
+    * that is itself COMPUTED — a snapshot diff, an assignment join, an
+    * aggregated changefeed — re-runs that whole computation per
+    * evaluation (q222/q233's centroid-assignment encode ran 3–4× per
+    * merge; a CDC apply re-ran its snapshot-diff join the same way).
+    * Materialize such sources once and serve every evaluation from the
+    * O(changes) intermediate — the same move Delta makes when it
+    * materializes merge sources. A source that is a bare scan/projection
+    * stays lazy: each evaluation is one column-PRUNED file read (the
+    * narrowing aggregate reads keys only), which is cheaper than writing
+    * and reading a full materialized copy.
+    */
+  private def materializeComputedSource(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val computed = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Generate | _: Window | _: Union |
+           _: Deduplicate => true
+      case _ => false
+    }
+    // lazy: no extra materialization job — the FIRST evaluation (the
+    // narrowing aggregate) computes and persists the source as a side
+    // effect, every later evaluation reads the persisted copy. The first
+    // evaluation loses column pruning (it materializes the full row), the
+    // price of serving the remaining evaluations from memory.
+    if (computed) df.localCheckpoint(eager = false) else df
   }
 
   /** Per-key-column bounds aggregates — (min, max) per key column,
@@ -665,7 +695,7 @@ object RefTableMutations {
     // source row BEFORE its extra columns are projected away; values cast
     // to the target column types so the rewrite never drifts the schema
     val valCols = curCols.filterNot(keyCols.contains)
-    val marked = source.select(
+    val marked = materializeComputedSource(source.select(
       keyCols.map(col) ++
         valCols.filter(updSet.contains).map(c => updSet(c).cast(types(c)).as(s"__u_$c")) ++
         curCols.filter(insSet.contains).map(c => insSet(c).cast(types(c)).as(s"__i_$c")) ++
@@ -673,7 +703,7 @@ object RefTableMutations {
           matchedUpdate.map(_._1).getOrElse(lit(false)).as("__upd"),
           matchedDelete.getOrElse(lit(false)).as("__del"),
           notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins"),
-          lit(true).as("__m")): _*)
+          lit(true).as("__m")): _*))
 
     val (empty, narrowed, mergeFilters) =
       if (nmbsActive) (false, files, None) // every file can hold unmatched rows
@@ -810,14 +840,14 @@ object RefTableMutations {
     val nmbsActive =
       notMatchedBySourceUpdate.nonEmpty || notMatchedBySourceDelete.nonEmpty
     val valCols = curCols.filterNot(keyCols.contains)
-    val marked = source.select(
+    val marked = materializeComputedSource(source.select(
       keyCols.map(col) ++
         valCols.filter(updSet.contains).map(c => updSet(c).cast(types(c)).as(s"__u_$c")) ++
         curCols.filter(insSet.contains).map(c => insSet(c).cast(types(c)).as(s"__i_$c")) ++
         Seq(
           matchedUpdate.map(_._1).getOrElse(lit(false)).as("__upd"),
           matchedDelete.getOrElse(lit(false)).as("__del"),
-          notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins")): _*)
+          notMatchedInsert.map(_._1).getOrElse(lit(false)).as("__ins")): _*))
     val (empty, narrowed, mergeFilters) =
       if (nmbsActive) (false, files, None) // every file can hold unmatched rows
       else mergeNarrow(
@@ -1216,9 +1246,12 @@ object RefTableMutations {
     val curCols = cur.columns.toSeq
     require(keyCols.forall(curCols.contains),
       s"key columns ${keyCols.filterNot(curCols.contains).mkString(", ")} not in the table")
-    val missing = curCols.filterNot(changes.columns.contains)
-    require(missing.isEmpty,
-      s"changefeed is missing table column(s): ${missing.mkString(", ")}")
+    val missing0 = curCols.filterNot(changes.columns.contains)
+    require(missing0.isEmpty,
+      s"changefeed is missing table column(s): ${missing0.mkString(", ")}")
+    // a diff-computed changefeed is evaluated by the bounds aggregate, the
+    // staged write AND the DV semi-join below — compute it once
+    val changesOnce = materializeComputedSource(changes)
     val ct = col("change_type")
     // one job: total, upsert count, and per-key-column bounds over ALL
     // changed keys (any key arity) — delete keys must narrow too
@@ -1228,7 +1261,7 @@ object RefTableMutations {
         org.apache.spark.sql.functions.count(lit(1)),
         org.apache.spark.sql.functions.sum(when(ct =!= "delete", 1L).otherwise(0L))) ++
         keyBoundAggs(keyCols)
-      val mm = changes.agg(aggs.head, aggs.tail: _*).first()
+      val mm = changesOnce.agg(aggs.head, aggs.tail: _*).first()
       val t = mm.getLong(0)
       val u = if (mm.isNullAt(1)) 0L else mm.getLong(1)
       if (t == 0L) (0L, 0L, Nil, None)
@@ -1243,7 +1276,7 @@ object RefTableMutations {
     }
     val narrowed =
       if (mayMatch.isEmpty) mayMatch
-      else bucketNarrow(current, files, changes, keyCols,
+      else bucketNarrow(current, files, changesOnce, keyCols,
         cur.schema.fields.map(f => f.name -> f.dataType).toMap, conf) match {
         case Some(keep) => mayMatch.filter(f => keep.contains(f.path))
         case None => mayMatch
@@ -1251,7 +1284,7 @@ object RefTableMutations {
     // after-image gate over the upsert images (deletes land nothing and
     // always apply): a violating upsert is SKIPPED — its key's old
     // position survives and no new image stages
-    val upsPass = gateApply(spark, gate, changes, ct =!= "delete", col,
+    val upsPass = gateApply(spark, gate, changesOnce, ct =!= "delete", col,
       "applyChanges upsert")
     VersionedTable.publishVia(root, keepVersions,
       parent = Some(new Path(current).getName), requireBase = true,
@@ -1261,7 +1294,7 @@ object RefTableMutations {
         removeTouched = false))) { staging =>
       if (nUpserts > 0L)
         VersionedTable.writeParquetMicros(
-          changes.filter(ct =!= "delete" && upsPass).select(curCols.map(col): _*),
+          changesOnce.filter(ct =!= "delete" && upsPass).select(curCols.map(col): _*),
           staging.toString, partitionColumns)
       if (narrowed.nonEmpty) {
         val metaAll = readFilesEx(spark, root, narrowed, partitionColumns, partitionTypes,
@@ -1276,7 +1309,7 @@ object RefTableMutations {
             "left_anti")
         }
         live.join(
-            changes.filter(ct === "delete" || upsPass)
+            changesOnce.filter(ct === "delete" || upsPass)
               .select(keyCols.map(col): _*).distinct(),
             keyCols, "left_semi")
           .select(col("__rel").as("file"), col("__pos").as("pos"))
