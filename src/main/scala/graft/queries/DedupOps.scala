@@ -167,34 +167,16 @@ object DedupOps {
       def appendTo(root: String, df: org.apache.spark.sql.DataFrame, schema: String): Unit =
         df.write.format("reftable").option("path", root).option("schema", schema)
           .mode("append").save()
-      // METADATA row-count poll: the staging table is plain appends (no
-      // deletion vectors), so its row count is the sum of its resolved
-      // listing's parquet footer counts — a few driver-side footer reads
-      // instead of a Spark count JOB per 100 ms poll. The poll no longer
-      // competes with the ingest stream's own micro-batches for executor
-      // slots, and the cadence can drop to 25 ms for ~free. Footer counts
-      // cache by root-relative path + length (committed files are
-      // immutable; a rewritten landing file changes length).
-      val footerRows = scala.collection.mutable.HashMap.empty[(String, Long), Long]
-      def scount(): Long = VersionedTable.resolve(stagingRoot, conf) match {
-        case None => 0L
-        case Some(cur) =>
-          val v = new org.apache.hadoop.fs.Path(cur).getName
-          graft.sources.reftable.RefTableFileManifest
-            .resolve(stagingRoot, v, Nil, conf) match {
-            case Some(entries) => entries.map { e =>
-              footerRows.getOrElseUpdate((e.rel, e.len), {
-                val p = new org.apache.hadoop.fs.Path(stagingRoot, e.rel)
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try r.getRecordCount finally r.close()
-              })
-            }.sum
-            case None => // no manifest (not expected for our own publishes)
-              s.read.format("reftable").option("path", stagingRoot)
-                .option("schema", ddl).load().count()
-          }
-      }
+      // METADATA row-count poll (RelationalSupport.appendOnlyRowCount): the
+      // staging table is plain appends (no deletion vectors), so the poll
+      // is a few cached driver-side footer reads instead of a Spark count
+      // JOB per poll — it stops competing with the ingest micro-batches
+      // for executor slots, and the cadence drops to 25 ms for ~free.
+      def scount(): Long =
+        RelationalSupport.appendOnlyRowCount(stagingRoot, conf) {
+          s.read.format("reftable").option("path", stagingRoot)
+            .option("schema", ddl).load().count()
+        }
       def await(target: Long): Unit = {
         val t0 = System.nanoTime()
         val end = System.currentTimeMillis() + 60000L

@@ -52,6 +52,40 @@ object RelationalSupport {
     d
   }
 
+  /** METADATA row count of an APPEND-ONLY versioned table: the sum of the
+    * resolved listing's parquet footer row counts — a few driver-side
+    * footer reads instead of a Spark count job. Used by the ingest-await
+    * polls (q198/q208), which previously ran a full count JOB per 100 ms
+    * poll, competing with the ingest stream's own micro-batches for
+    * executor slots. VALID ONLY for tables without deletion vectors /
+    * MoR state (footer counts ignore DV subtraction) — exactly the plain
+    * append staging tables those polls watch. Footer counts cache by
+    * (root, rel path, len): committed files are immutable.
+    */
+  private val footerRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), java.lang.Long]()
+  def appendOnlyRowCount(
+      root: String, conf: org.apache.hadoop.conf.Configuration)(
+      fallback: => Long): Long = {
+    import graft.sources.reftable.{RefTableFileManifest, VersionedTable}
+    VersionedTable.resolve(root, conf) match {
+      case None => 0L
+      case Some(cur) =>
+        val v = new org.apache.hadoop.fs.Path(cur).getName
+        RefTableFileManifest.resolve(root, v, Nil, conf) match {
+          case Some(entries) => entries.map { e =>
+            footerRowsCache.computeIfAbsent((root, e.rel, e.len), { _ =>
+              val p = new org.apache.hadoop.fs.Path(root, e.rel)
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
+            }).longValue()
+          }.sum
+          case None => fallback // no manifest: not one of our own publishes
+        }
+    }
+  }
+
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
     def rm(f: java.io.File): Unit = {

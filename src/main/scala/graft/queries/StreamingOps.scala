@@ -100,6 +100,21 @@ object StreamingOps {
     * overhead — size to the data and restore afterwards. A production job
     * sizes this once to its own key cardinality before the first run.
     */
+  /** Sleep just past the NEXT wall-clock refresh boundary. The reftable
+    * source reloads when floor(now / refreshInterval) advances, so after a
+    * publish the stream sees the new table once wall clock crosses the
+    * next interval multiple — a point in time, not a duration: the fixed
+    * `Thread.sleep(1300)` these entries used slept the worst case plus
+    * margin on every run (6 entries × 1.3 s of pure wall), where the
+    * boundary is on average half an interval away. The margin covers
+    * clock granularity; the `processAllAvailable()` that follows forces
+    * an offset poll, which is what actually observes the new generation.
+    */
+  private def sleepPastRefreshBoundary(intervalMs: Long = 1000L, marginMs: Long = 150L): Unit = {
+    val now = System.currentTimeMillis()
+    Thread.sleep(intervalMs - (now % intervalMs) + marginMs)
+  }
+
   private[queries] def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -660,7 +675,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // baseline generation consumed
       VersionedTable.publish(state2, root)
-      Thread.sleep(1300) // cross the 1s refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // the mutated generation's diff arrives
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -731,7 +746,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // bootstrap generation consumed
       VersionedTable.publish(state2, root)
-      Thread.sleep(1300) // cross the 1s refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // the delta generation arrives
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -802,7 +817,7 @@ object StreamingOps {
       // update moved to 103 are not deleted (the oracle encodes that)
       s.sql(s"UPDATE $cat.db.s SET s_nationkey = s_nationkey + 100 WHERE s_suppkey % 5 = 0")
       s.sql(s"DELETE FROM $cat.db.s WHERE s_nationkey = 3")
-      Thread.sleep(1300) // cross the 1s refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       drain(collect = true)
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       import s.implicits._
@@ -872,7 +887,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // baseline generation -> all-insert maintenance
       VersionedTable.publish(state2, root)
-      Thread.sleep(1300) // cross the 1s refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // mutated generation -> O(changes) maintenance
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -942,7 +957,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable()
       VersionedTable.publish(state2, rootA)
-      Thread.sleep(1300) // cross the 1s refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable()
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -1052,7 +1067,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // bootstrap generation lands as inserts
       VersionedTable.publish(state2, rootA)
-      Thread.sleep(1300) // cross the 1s refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // the delta generation appends
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
