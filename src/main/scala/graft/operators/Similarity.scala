@@ -458,6 +458,14 @@ object Similarity {
         .groupBy("cid", "pos").agg(componentMean.as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("cv"))
+        // persist the k-row codebook on first use (lazy checkpoint): the
+        // assignment paths collect the codebook at plan-BUILD time
+        // (bestCentroidVia), and a caller that references the returned
+        // codebook more than once (assign + publish + oracle replay) was
+        // re-executing the final iteration's full corpus aggregation per
+        // reference. Lazy: the first collect computes and persists, later
+        // references read k rows; a single-reference caller pays nothing.
+        .localCheckpoint(eager = false)
     }
     cent
   }
