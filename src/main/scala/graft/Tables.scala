@@ -59,9 +59,27 @@ object Tables {
       case _                                               => name
     }
 
+  /** Inferred-schema cache per table path: the testdata parquets are
+    * immutable within a JVM run (the driver regenerates them only between
+    * rounds), but every `load` re-inferred the schema with a footer read —
+    * and the SQL-catalog entries call [[registerAll]] (10 loads) each, so
+    * one bench run paid hundreds of redundant inferences. Metadata only;
+    * the data path is untouched.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     enableNanosAsLong(spark)
-    val raw = spark.read.parquet(path(dir, name))
+    val p = path(dir, name)
+    val cached = schemaCache.get(p)
+    val raw =
+      if (cached != null) spark.read.schema(cached).parquet(p)
+      else {
+        val df = spark.read.parquet(p)
+        schemaCache.put(p, df.schema)
+        df
+      }
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (driftTsCols.contains(f.name)) {
         val sql = tsNormalizeSql(f.name, f.dataType)
