@@ -69,17 +69,26 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** The raw on-disk schema of a testdata table, cache-served (see
+    * [[schemaCache]]) — used by the file-stream schema builders, which
+    * need the PRE-normalization encoding of the drift columns.
+    */
+  def rawSchema(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.types.StructType = {
     enableNanosAsLong(spark)
     val p = path(dir, name)
     val cached = schemaCache.get(p)
-    val raw =
-      if (cached != null) spark.read.schema(cached).parquet(p)
-      else {
-        val df = spark.read.parquet(p)
-        schemaCache.put(p, df.schema)
-        df
-      }
+    if (cached != null) cached
+    else {
+      val s = spark.read.parquet(p).schema
+      schemaCache.put(p, s)
+      s
+    }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    enableNanosAsLong(spark)
+    val p = path(dir, name)
+    val raw = spark.read.schema(rawSchema(spark, dir, name)).parquet(p)
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (driftTsCols.contains(f.name)) {
         val sql = tsNormalizeSql(f.name, f.dataType)

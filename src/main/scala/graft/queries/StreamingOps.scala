@@ -131,8 +131,7 @@ object StreamingOps {
     * loader so the two paths cannot skew.
     */
   private[queries] def tsEncoding(s: SparkSession, dir: String): (DataType, String) = {
-    Tables.enableNanosAsLong(s)
-    val t = s.read.parquet(Tables.path(dir, "events")).schema("ts").dataType
+    val t = Tables.rawSchema(s, dir, "events")("ts").dataType
     (t, Tables.tsNormalizeSql("ts", t))
   }
 
@@ -574,7 +573,7 @@ object StreamingOps {
     // stream-maintained sketch lost no heavy hitter.
     QueryDef("q139_stream_heavy_hitters", (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      val docsSchema = s.read.parquet(Tables.path(dir, "documents")).schema
+      val docsSchema = Tables.rawSchema(s, dir, "documents")
       val streamDir = Files.createTempDirectory("graft_hhstream_")
       Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "documents")))
