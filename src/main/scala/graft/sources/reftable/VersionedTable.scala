@@ -1754,20 +1754,60 @@ object VersionedTable {
     }
   }
 
+  /** The two sides of a version-to-version diff, FILE-DELTA narrowed when
+    * provably sound: a physical file referenced by BOTH versions with the
+    * SAME length and the SAME deletion-vector positions holds byte-
+    * identical live rows on both sides, so its keys can only produce
+    * "unchanged" diff rows — excluding shared files from both reads leaves
+    * the diff result untouched while the scan drops from O(table) to
+    * O(rewritten files), the CDF shape every log-structured format serves
+    * deltas with. (Key-level soundness rides the changefeed family's
+    * standing contract that snapshots are key-unique — the same contract
+    * the merge layer enforces on its sources.) Falls back to the full
+    * two-snapshot read when either version has no listing or the narrowed
+    * subsets disagree on schema (evolution across the boundary).
+    */
+  private def diffSides(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      fromVersion: String, conf: Configuration): (DataFrame, DataFrame) = {
+    val current = resolve(root, conf).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a versioned table root"))
+    val from = new Path(root, fromVersion).toString
+    def full = (readVersion(spark, from), readVersion(spark, current))
+    val (fromFiles, curFiles) =
+      (try SnapshotFiles.list(from) catch { case scala.util.control.NonFatal(_) => Nil },
+        try SnapshotFiles.list(current) catch { case scala.util.control.NonFatal(_) => Nil })
+    if (fromFiles.isEmpty || curFiles.isEmpty) return full
+    def key(f: SnapshotFile) = (f.path, f.length, f.dvPositions.sorted)
+    val shared = fromFiles.map(key).toSet intersect curFiles.map(key).toSet
+    if (shared.isEmpty) return full // disjoint versions: delta IS the full read
+    val beforeOnly = fromFiles.filterNot(f => shared(key(f)))
+    val afterOnly = curFiles.filterNot(f => shared(key(f)))
+    def readSubset(files: Seq[SnapshotFile], schemaOf: => DataFrame): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
+      else DeletionVectors.applyTo(
+        spark, spark.read.parquet(files.map(_.path): _*), files)
+    // schema anchor: one footer-sampled read over the FULL current listing
+    // (lazy — only a schema, no scan), so an empty side still types
+    lazy val anchor = spark.read.parquet(curFiles.map(_.path): _*)
+    val b = readSubset(beforeOnly, anchor)
+    val a = readSubset(afterOnly, anchor)
+    if (b.columns.toSeq != a.columns.toSeq) full else (b, a)
+  }
+
   /** Key-level changes (insert/delete/update) from `fromVersion` to the
     * current version — a changefeed between retained versions, composing
     * the versioned layer with [[graft.operators.SnapshotDiff]]: one
-    * key-shuffle join, no storage changelog needed.
+    * key-shuffle join over the FILE-DELTA of the two versions (see
+    * [[diffSides]]), no storage changelog needed.
     */
   def changes(
       spark: org.apache.spark.sql.SparkSession, root: String,
       keyCols: Seq[String], fromVersion: String): org.apache.spark.sql.DataFrame = {
-    val conf = new Configuration()
-    val current = resolve(root, conf).getOrElse(
-      throw new IllegalArgumentException(s"$root is not a versioned table root"))
-    val from = new Path(root, fromVersion).toString
-    graft.operators.SnapshotDiff.diff(
-      readVersion(spark, from), readVersion(spark, current), keyCols)
+    val (b, a) = diffSides(spark, root, fromVersion, new Configuration())
+    graft.operators.SnapshotDiff.diff(b, a, keyCols)
   }
 
   /** As [[changes]], with both row images per value column
@@ -1779,12 +1819,8 @@ object VersionedTable {
   def changesImages(
       spark: org.apache.spark.sql.SparkSession, root: String,
       keyCols: Seq[String], fromVersion: String): org.apache.spark.sql.DataFrame = {
-    val conf = new Configuration()
-    val current = resolve(root, conf).getOrElse(
-      throw new IllegalArgumentException(s"$root is not a versioned table root"))
-    val from = new Path(root, fromVersion).toString
-    graft.operators.SnapshotDiff.diffImages(
-      readVersion(spark, from), readVersion(spark, current), keyCols)
+    val (b, a) = diffSides(spark, root, fromVersion, new Configuration())
+    graft.operators.SnapshotDiff.diffImages(b, a, keyCols)
   }
 
   /** foreachBatch sink that publishes each micro-batch as a new version —
