@@ -210,15 +210,16 @@ object DedupOps {
       def admit(batch: org.apache.spark.sql.DataFrame): Unit = {
         val pinned = corpusAt(new org.apache.hadoop.fs.Path(
           VersionedTable.resolve(corpusRoot, conf).get).getName)
+        // the LSH pass runs exactly ONCE, into a local checkpoint; the
+        // quarantine append writes from it and the admission anti-join
+        // derives this wave's dup ids from it — no quarantine read-back
+        // (wave id spaces are disjoint, so this wave's own batch_ids are
+        // exactly the ids the anti-join needs)
         val pairs = graft.operators.Dedup.nearDupAgainst(
           pinned, batch, "doc_id", "text", threshold = 0.7, k = 3, numBands = NumBands)
+          .localCheckpoint(true)
         appendTo(quarantineRoot, pairs, qddl)
-        // the LSH pass ran exactly ONCE (into the quarantine append); the
-        // admission anti-join reads the dup ids back from the materialized
-        // quarantine table instead of recomputing the pass. Wave id spaces
-        // are disjoint, so earlier waves' batch_ids never mask this batch.
-        val dupIds = s.read.format("reftable").option("path", quarantineRoot)
-          .option("schema", qddl).load().select(col("batch_id")).distinct()
+        val dupIds = pairs.select(col("batch_id")).distinct()
         appendTo(corpusRoot, batch.join(dupIds,
           batch("doc_id") === col("batch_id"), "left_anti"), ddl)
       }

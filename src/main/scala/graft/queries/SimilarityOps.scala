@@ -438,15 +438,17 @@ object SimilarityOps {
       graft.operators.IvfIndex.build(waveA, cent, "vec_id", "v", idxRoot)
       val qddl = "batch_id BIGINT, corpus_id BIGINT, sim DOUBLE"
       def admit(batch: org.apache.spark.sql.DataFrame): Unit = {
+        // single-pass admission: the probe pass runs ONCE into a local
+        // checkpoint; the quarantine append writes from it and the
+        // anti-join derives this wave's dup ids from it — no table
+        // read-back (wave id spaces are disjoint, so this wave's own ids
+        // are exactly the ids the anti-join needs)
         val pairs = graft.operators.IvfIndex
           .admitAgainst(s, idxRoot, batch, "vec_id", "v", NearDupSim, nProbe = 2)
+          .localCheckpoint(true)
         pairs.write.format("reftable").option("path", quarantineRoot)
           .option("schema", qddl).mode("append").save()
-        // single-pass admission (the q208 fix): dup ids come back from the
-        // materialized quarantine, the LSH/probe pass never re-runs; wave
-        // id spaces are disjoint so earlier batch_ids never mask this wave
-        val dupIds = s.read.format("reftable").option("path", quarantineRoot)
-          .option("schema", qddl).load().select(col("batch_id")).distinct()
+        val dupIds = pairs.select(col("batch_id")).distinct()
         val survivors = batch.join(dupIds,
           batch("vec_id") === col("batch_id"), "left_anti")
         graft.operators.IvfIndex.updateFromChanges(s, idxRoot, survivors.select(
