@@ -66,8 +66,13 @@ object Tables {
     * one bench run paid hundreds of redundant inferences. Metadata only;
     * the data path is untouched.
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType]): Boolean =
+        size() > 64 // LRU bound, same as the ingest logCache: a long-lived
+          // service accretes one entry per table path otherwise
+    })
 
   /** The raw on-disk schema of a testdata table, cache-served (see
     * [[schemaCache]]) — used by the file-stream schema builders, which

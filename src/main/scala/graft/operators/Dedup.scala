@@ -38,9 +38,11 @@ object Dedup {
     * PROXY of the text (guide §8: materialize the proxy, never the
     * payload), so the corpus text is read once per kernel instead of once
     * per reference. Values are unchanged; only the pass count drops.
+    * Storage primitive (localCheckpoint vs lineage-backed persist) is
+    * [[Materialize.once]]'s deployment policy.
     */
   private[operators] def oncePerQuery(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    Materialize.once(df, eager = true)
 
   /** Distinct hashed k-shingle sets per document: (id, hs array<long>). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =

@@ -52,6 +52,32 @@ object IvfIndex {
   private val IndexSchema = "id BIGINT, cell BIGINT, vec BINARY"
   private val CentroidSchema = "cid BIGINT, cv BINARY"
 
+  /** Version-keyed cache of the BOUNDED sidecar round-trips (codebook rows,
+    * SQ params, meta schema — each ≤ ncells/d rows by construction). Every
+    * probe / admission / maintenance call collects these to the driver
+    * anyway (bestCentroidVia, probes broadcast, re-encode params); without
+    * the cache one q222-style admission wave re-collected the SAME
+    * published codebook 3–4 times (admitAgainst + both cellOf sides). Keyed
+    * by the sidecar's RESOLVED version dir — uuid-suffixed, so a key can
+    * never alias different content; republished sidecars get a new key.
+    * LRU-bounded like the ingest logCache. Metadata only: the cell DATA
+    * path still reads through the listing-pruned reftable scan.
+    */
+  private val sideCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > 64
+    })
+
+  private def cachedSide[T <: AnyRef](root: String)(compute: => T): T =
+    VersionedTable.resolve(root) match {
+      case None => compute // unpublished: nothing stable to key on
+      case Some(cur) =>
+        val hit = sideCache.get(cur)
+        if (hit != null) hit.asInstanceOf[T]
+        else { val v = compute; sideCache.put(cur, v); v }
+    }
+
   /** Assign every corpus row to its nearest centroid and publish the result
     * partitioned by `cell`, plus the codebook. One narrow assignment pass
     * (no Exchange before the partitioned write), one bounded codebook
@@ -71,11 +97,22 @@ object IvfIndex {
     v
   }
 
-  /** The published codebook, unpacked back to (cid, cv array<double>). */
-  def readCentroids(spark: SparkSession, root: String): DataFrame =
-    spark.read.format("reftable")
-      .option("path", centroidsRoot(root)).option("schema", CentroidSchema).load()
-      .select(col("cid"), unpackVector(col("cv")).as("cv"))
+  /** The published codebook, unpacked back to (cid, cv array<double>) —
+    * served from the version-keyed [[sideCache]] as a local relation: the
+    * codebook is bounded (ncells rows) and every consumer collects or
+    * broadcasts it anyway, so one reftable read per published version
+    * replaces one per reference.
+    */
+  def readCentroids(spark: SparkSession, root: String): DataFrame = {
+    val rows = cachedSide(centroidsRoot(root)) {
+      spark.read.format("reftable")
+        .option("path", centroidsRoot(root)).option("schema", CentroidSchema).load()
+        .select(col("cid"), unpackVector(col("cv")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    }
+    import spark.implicits._
+    rows.toDF("cid", "cv")
+  }
 
   /** The probed slice of the index for `cells`: reads through the reftable
     * source with the partition filter, so listing pruning plans only those
@@ -194,24 +231,27 @@ object IvfIndex {
     */
   def readMetaSchema(spark: SparkSession, root: String): Seq[(String, String)] =
     if (VersionedTable.resolve(metaSchemaRoot(root)).isEmpty) Nil
-    else spark.read.format("reftable")
-      .option("path", metaSchemaRoot(root))
-      .option("schema", "pos BIGINT, name STRING, ddl STRING").load()
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    else cachedSide(metaSchemaRoot(root)) {
+      spark.read.format("reftable")
+        .option("path", metaSchemaRoot(root))
+        .option("schema", "pos BIGINT, name STRING, ddl STRING").load()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    }
 
   /** The published quantization ranges, reassembled — a bounded (d-row)
     * driver round-trip, like the codebook collects the probes make.
     */
-  def readSqParams(spark: SparkSession, root: String): Sq.SqParams = {
-    val rows = spark.read.format("reftable")
-      .option("path", sqParamsRoot(root))
-      .option("schema", "pos BIGINT, lo DOUBLE, hi DOUBLE").load()
-      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(rows.nonEmpty, s"no published SQ params under ${sqParamsRoot(root)}")
-    Sq.SqParams(rows.map(_._2), rows.map(_._3))
-  }
+  def readSqParams(spark: SparkSession, root: String): Sq.SqParams =
+    cachedSide(sqParamsRoot(root)) {
+      val rows = spark.read.format("reftable")
+        .option("path", sqParamsRoot(root))
+        .option("schema", "pos BIGINT, lo DOUBLE, hi DOUBLE").load()
+        .collect().map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      require(rows.nonEmpty, s"no published SQ params under ${sqParamsRoot(root)}")
+      Sq.SqParams(rows.map(_._2), rows.map(_._3))
+    }
 
   /** The distinct cell ids `queries` would probe at `nProbe` — the bounded
     * driver round-trip (≤ ncells longs) every layout probe makes so

@@ -234,7 +234,7 @@ object Similarity {
     // the checkpoint the count() alone re-runs the whole training
     // (review-wave finding: the default production path paid training
     // twice); after it, every re-read is k rows.
-    val cb = centroids.localCheckpoint()
+    val cb = Materialize.once(centroids, eager = true)
     val useHier = hierarchical.getOrElse(cb.count() > HierarchicalKThreshold)
     // materialize the assignment ONCE (a narrow O(n·√k..k) pass) and join
     // both pair sides off it — halves the assignment work, and the
@@ -243,7 +243,7 @@ object Similarity {
     // child's attrs)
     val assigned = (
       if (useHier) assignCellsHierarchical(corpus, cb, idCol, vecCol)
-      else assignCells(corpus, cb, idCol, vecCol)).localCheckpoint()
+      else assignCells(corpus, cb, idCol, vecCol)).transform(Materialize.once(_, eager = true))
     def side(prefix: String) = assigned.select(
       col(idCol).as(s"${prefix}_id"), col("cell"), col(vecCol).as(s"__v$prefix"))
     val pairs = side("a").join(side("b"), Seq("cell"))
@@ -376,7 +376,7 @@ object Similarity {
     // (measured 2× the entry wall at 10×); after it, every re-read is k rows
     val cb = centroids
       .select(col("cid").cast("long").as("cid"), col("cv").cast("array<double>").as("cv"))
-      .localCheckpoint()
+      .transform(Materialize.once(_, eager = true))
     val centRows = cb.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     require(centRows.nonEmpty, "assignCellsHierarchical: empty codebook")
@@ -465,7 +465,7 @@ object Similarity {
         // re-executing the final iteration's full corpus aggregation per
         // reference. Lazy: the first collect computes and persists, later
         // references read k rows; a single-reference caller pays nothing.
-        .localCheckpoint(eager = false)
+        .transform(Materialize.once(_, eager = false))
     }
     cent
   }

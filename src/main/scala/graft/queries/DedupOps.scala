@@ -207,7 +207,12 @@ object DedupOps {
       // the anti-join recompute against the same snapshot
       val qddl = "batch_id BIGINT, corpus_id BIGINT, j DOUBLE"
       val quarantineRoot = s"$base/quarantine"
-      def admit(batch: org.apache.spark.sql.DataFrame): Unit = {
+      def admit(batch0: org.apache.spark.sql.DataFrame): Unit = {
+        // the wave delta is a COMPUTED source (staged-version anti-join)
+        // referenced by both LSH kernels AND the survivor anti-join —
+        // materialize it once (lazy: the band kernel's first action
+        // populates it) instead of re-running the staging diff per pass
+        val batch = graft.operators.Materialize.once(batch0)
         val pinned = corpusAt(new org.apache.hadoop.fs.Path(
           VersionedTable.resolve(corpusRoot, conf).get).getName)
         // the LSH pass runs exactly ONCE, into a local checkpoint; the
@@ -215,13 +220,20 @@ object DedupOps {
         // derives this wave's dup ids from it — no quarantine read-back
         // (wave id spaces are disjoint, so this wave's own batch_ids are
         // exactly the ids the anti-join needs)
-        val pairs = graft.operators.Dedup.nearDupAgainst(
-          pinned, batch, "doc_id", "text", threshold = 0.7, k = 3, numBands = NumBands)
-          .localCheckpoint(true)
-        appendTo(quarantineRoot, pairs, qddl)
+        val pairs = graft.operators.Materialize.once(graft.operators.Dedup.nearDupAgainst(
+          pinned, batch, "doc_id", "text", threshold = 0.7, k = 3, numBands = NumBands),
+          eager = true)
+        // after the pairs checkpoint the two commits are INDEPENDENT
+        // (disjoint roots, both reading materialized inputs): overlap the
+        // quarantine append with the survivor append instead of running
+        // ~5 driver-blocking action groups back to back (guide §2.6)
+        val qdone = RelationalSupport.overlap("q208-quarantine") {
+          appendTo(quarantineRoot, pairs, qddl)
+        }
         val dupIds = pairs.select(col("batch_id")).distinct()
         appendTo(corpusRoot, batch.join(dupIds,
           batch("doc_id") === col("batch_id"), "left_anti"), ddl)
+        qdone()
       }
       val batchB = stagedAt(vB).join(stagedAt(vA), Seq("doc_id"), "left_anti")
       admit(batchB)

@@ -62,8 +62,13 @@ object RelationalSupport {
     * append staging tables those polls watch. Footer counts cache by
     * (root, rel path, len): committed files are immutable.
     */
-  private val footerRowsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), java.lang.Long]()
+  private val footerRowsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, Long), java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Long), java.lang.Long]): Boolean =
+        size() > 4096 // LRU bound (≈ files of a few polled tables): in a
+          // long-lived service entries otherwise accrete per (root, rel, len)
+    })
   def appendOnlyRowCount(
       root: String, conf: org.apache.hadoop.conf.Configuration)(
       fallback: => Long): Long = {
@@ -72,17 +77,47 @@ object RelationalSupport {
       case None => 0L
       case Some(cur) =>
         val v = new org.apache.hadoop.fs.Path(cur).getName
+        // footer counts ignore deletion vectors: a `_DV/` sidecar under the
+        // resolved version means MoR state — take the full count instead of
+        // silently overcounting (the append-only precondition is now
+        // checked, not just documented)
+        val dvDir = new org.apache.hadoop.fs.Path(cur,
+          graft.sources.reftable.DeletionVectors.DvDir)
+        val hasDv = dvDir.getFileSystem(conf).exists(dvDir)
         RefTableFileManifest.resolve(root, v, Nil, conf) match {
-          case Some(entries) => entries.map { e =>
-            footerRowsCache.computeIfAbsent((root, e.rel, e.len), { _ =>
-              val p = new org.apache.hadoop.fs.Path(root, e.rel)
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
-            }).longValue()
-          }.sum
-          case None => fallback // no manifest: not one of our own publishes
+          case Some(entries) if !hasDv =>
+            entries.map { e =>
+              var n = footerRowsCache.get((root, e.rel, e.len))
+              if (n == null) {
+                val p = new org.apache.hadoop.fs.Path(root, e.rel)
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                n = try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
+                footerRowsCache.put((root, e.rel, e.len), n)
+              }
+              n.longValue()
+            }.sum
+          case _ => fallback // no manifest (not our publish) or MoR state
         }
+    }
+  }
+
+  /** Run `body` on its own driver thread so its Spark action groups overlap
+    * the caller's (guide §2.6: actions are only sequential because the
+    * driver calls them sequentially — the scheduler happily runs several
+    * jobs at once, and the second job's tasks back-fill executors the first
+    * leaves idle). For two INDEPENDENT commit groups (disjoint table roots,
+    * both reading an already-materialized intermediate) this halves the
+    * wave's sequential driver-blocking groups. The returned thunk joins and
+    * rethrows, so failures propagate exactly as in the sequential shape.
+    */
+  def overlap[T](desc: String)(body: => T): () => T = {
+    val task = new java.util.concurrent.FutureTask[T](() => body)
+    val th = new Thread(task, s"graft-overlap-$desc")
+    th.setDaemon(true)
+    th.start()
+    () => try task.get() catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }
 

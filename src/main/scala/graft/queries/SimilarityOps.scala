@@ -443,11 +443,17 @@ object SimilarityOps {
         // anti-join derives this wave's dup ids from it — no table
         // read-back (wave id spaces are disjoint, so this wave's own ids
         // are exactly the ids the anti-join needs)
-        val pairs = graft.operators.IvfIndex
-          .admitAgainst(s, idxRoot, batch, "vec_id", "v", NearDupSim, nProbe = 2)
-          .localCheckpoint(true)
-        pairs.write.format("reftable").option("path", quarantineRoot)
-          .option("schema", qddl).mode("append").save()
+        val pairs = graft.operators.Materialize.once(graft.operators.IvfIndex
+          .admitAgainst(s, idxRoot, batch, "vec_id", "v", NearDupSim, nProbe = 2),
+          eager = true)
+        // after the probe checkpoint the two commits are INDEPENDENT
+        // (quarantine root vs index root, both reading the materialized
+        // pairs): overlap them instead of running the wave's ~5 action
+        // groups back to back (guide §2.6)
+        val qdone = RelationalSupport.overlap("q222-quarantine") {
+          pairs.write.format("reftable").option("path", quarantineRoot)
+            .option("schema", qddl).mode("append").save()
+        }
         val dupIds = pairs.select(col("batch_id")).distinct()
         val survivors = batch.join(dupIds,
           batch("vec_id") === col("batch_id"), "left_anti")
@@ -456,6 +462,7 @@ object SimilarityOps {
           lit(null).cast("binary").as("vec_before"),
           packVector(col("v")).as("vec_after"),
           lit("insert").as("change_type")))
+        qdone()
       }
       admit(waveB)
       admit(waveC)
@@ -822,12 +829,25 @@ object SimilarityOps {
           .select((col("vec_id") + 900000L).as("vec_id"), col("v")))
       def packed(df: DataFrame) =
         df.select(col("vec_id").as("id"), packVector(col("v")).as("vec"))
+      // the corpus publishes and the index maintenance touch DISJOINT
+      // roots, so each corpus publish can overlap the index work that does
+      // not depend on it (guide §2.6). Ordering constraints kept: a
+      // changefeed (changesImages) pins BOTH version listings at
+      // CONSTRUCTION (diffSides resolves current eagerly), so it is built
+      // strictly before the next corpus publish starts; keepVersions=3
+      // retains v1..v3, so no concurrent retention can prune a pinned side.
+      val idxBuilt = RelationalSupport.overlap("q233-buildSq") {
+        graft.operators.IvfIndex.buildSq(e, cent, params, "vec_id", "v", idxRoot)
+      }
       val v1 = VersionedTable.publish(packed(e), corpusRoot)
-      graft.operators.IvfIndex.buildSq(e, cent, params, "vec_id", "v", idxRoot)
       val v2 = VersionedTable.publish(packed(e2), corpusRoot)
-      graft.operators.IvfIndex.updateFromChangesSq(s, idxRoot,
-        VersionedTable.changesImages(s, corpusRoot, Seq("id"), v1))
-      VersionedTable.publish(packed(e3), corpusRoot)
+      val ch1 = VersionedTable.changesImages(s, corpusRoot, Seq("id"), v1)
+      idxBuilt()
+      val pub3 = RelationalSupport.overlap("q233-publish-e3") {
+        VersionedTable.publish(packed(e3), corpusRoot)
+      }
+      graft.operators.IvfIndex.updateFromChangesSq(s, idxRoot, ch1)
+      pub3()
       graft.operators.IvfIndex.updateFromChangesSq(s, idxRoot,
         VersionedTable.changesImages(s, corpusRoot, Seq("id"), v2))
       s.read.format("reftable")

@@ -529,7 +529,7 @@ object RefTableMutations {
     * narrowing aggregate reads keys only), which is cheaper than writing
     * and reading a full materialized copy.
     */
-  private def materializeComputedSource(df: DataFrame): DataFrame = {
+  private[reftable] def materializeComputedSource(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val computed = df.queryExecution.analyzed.exists {
       case _: Join | _: Aggregate | _: Generate | _: Window | _: Union |
@@ -540,8 +540,12 @@ object RefTableMutations {
     // narrowing aggregate) computes and persists the source as a side
     // effect, every later evaluation reads the persisted copy. The first
     // evaluation loses column pruning (it materializes the full row), the
-    // price of serving the remaining evaluations from memory.
-    if (computed) df.localCheckpoint(eager = false) else df
+    // price of serving the remaining evaluations from memory. Storage
+    // primitive is [[graft.operators.Materialize.once]]'s deployment
+    // policy (localCheckpoint in local mode, lineage-backed persist on a
+    // cluster so an executor loss recomputes instead of failing the
+    // commit).
+    if (computed) graft.operators.Materialize.once(df, eager = false) else df
   }
 
   /** Per-key-column bounds aggregates — (min, max) per key column,

@@ -225,8 +225,14 @@ object RefTableWrites {
     val conf = new Configuration()
     guardBareRoot(opts, conf)
     opts.retainForMs.foreach(VersionedTable.declareRetention(opts.path, _, conf))
-    val aligned = alignedStorage(opts,
-      if (preEnforced) data.toDF() else enforceExpectations(opts, data))
+    // a COMPUTED append source (an anti-join delta, a union, an aggregated
+    // batch) is evaluated twice per commit — the emptiness probe below and
+    // the staged write each plan their own scan — so materialize it once,
+    // exactly like the mutation layer's merge sources; bare scans stay lazy
+    // (each evaluation is one pruned file read). The probe's first action
+    // populates the blocks, the write reads them back.
+    val aligned = RefTableMutations.materializeComputedSource(alignedStorage(opts,
+      if (preEnforced) data.toDF() else enforceExpectations(opts, data)))
     val marker = txn.map { case (a, b) => s"txn:$a:$b" }
     val committed = VersionedTable.withConflictRetry(opts.path) { () =>
       // pin the base FIRST: the marker check below is made against this

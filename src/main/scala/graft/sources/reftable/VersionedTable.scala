@@ -2,7 +2,7 @@ package graft.sources.reftable
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot isolation for refreshable tables on plain file storage.
   *
@@ -686,19 +686,43 @@ object VersionedTable {
     * timestamp filters unprunable. Session conf is the only switch parquet
     * exposes, so set and restore around the write.
     */
+  /** Counted conf region: commits may legally OVERLAP on driver threads
+    * (independent roots — see RelationalSupport.overlap), and a plain
+    * set/restore pair races — the first writer's restore could land while
+    * a second write is still between its set and its write planning,
+    * snapshotting the default INT96 into that job. The conf instead holds
+    * TIMESTAMP_MICROS while ANY write is in flight and restores to the
+    * first entrant's captured previous value when the last exits.
+    */
+  private val microsRegion = new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
+
   private[reftable] def writeParquetMicros(
       df: DataFrame, dir: String, partitionColumns: Seq[String] = Nil): Unit = {
     val tsConfKey = "spark.sql.parquet.outputTimestampType"
     val spark = df.sparkSession
-    val prevTs = spark.conf.getOption(tsConfKey)
-    spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+    microsRegion.synchronized {
+      microsRegion.get(spark) match {
+        case null =>
+          val prev = spark.conf.getOption(tsConfKey)
+          spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+          microsRegion.put(spark, (1, prev))
+        case (n, prev) => microsRegion.put(spark, (n + 1, prev))
+      }
+    }
     try {
       val writer = df.write
       (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
         .parquet(dir)
-    } finally prevTs match {
-      case Some(v) => spark.conf.set(tsConfKey, v)
-      case None => spark.conf.unset(tsConfKey)
+    } finally microsRegion.synchronized {
+      microsRegion.get(spark) match {
+        case (1, prev) =>
+          microsRegion.remove(spark)
+          prev match {
+            case Some(v) => spark.conf.set(tsConfKey, v)
+            case None => spark.conf.unset(tsConfKey)
+          }
+        case (n, prev) => microsRegion.put(spark, (n - 1, prev))
+      }
     }
   }
 
@@ -1794,7 +1818,11 @@ object VersionedTable {
     lazy val anchor = spark.read.parquet(curFiles.map(_.path): _*)
     val b = readSubset(beforeOnly, anchor)
     val a = readSubset(afterOnly, anchor)
-    if (b.columns.toSeq != a.columns.toSeq) full else (b, a)
+    // names AND types: a data-type change across the version boundary with
+    // unchanged names must also take the full-read fallback — the narrowed
+    // diff join could otherwise fail or miscompare on the drifted column
+    def shape(df: DataFrame) = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(b) != shape(a)) full else (b, a)
   }
 
   /** Key-level changes (insert/delete/update) from `fromVersion` to the
