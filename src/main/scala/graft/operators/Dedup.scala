@@ -42,7 +42,7 @@ object Dedup {
     * [[Materialize.once]]'s deployment policy.
     */
   private[operators] def oncePerQuery(df: DataFrame): DataFrame =
-    Materialize.once(df, eager = true)
+    Materialize.once(df, eager = false)
 
   /** Distinct hashed k-shingle sets per document: (id, hs array<long>). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =

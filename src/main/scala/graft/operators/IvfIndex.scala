@@ -90,10 +90,16 @@ object IvfIndex {
     val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("cell"),
         packVector(col(vecCol)).as("vec"))
+    // the codebook publish targets a DISJOINT sibling root and reads only
+    // the (already-collected-at-plan-build) centroids: overlap it with the
+    // corpus-sized data publish instead of serializing two commits
+    val cbDone = Overlap("ivf-codebook") {
+      VersionedTable.publish(
+        centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
+        centroidsRoot(root), keepVersions)
+    }
     val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
-    VersionedTable.publish(
-      centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
-      centroidsRoot(root), keepVersions)
+    cbDone()
     v
   }
 
@@ -184,30 +190,43 @@ object IvfIndex {
     val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol, carry = metaCols)
       .select(col(idCol).cast("long").as("id") +: col("cell") +:
         metaCols.map(col) :+ packVector(col(vecCol)).as("vec") :+ sqCol.as("sq"): _*)
-    val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
-    VersionedTable.publish(
-      centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
-      centroidsRoot(root), keepVersions)
-    // persist the trained ranges: [[updateFromChangesSq]] re-encodes
-    // admitted/updated rows with these, never with re-trained ones
     val spark = corpus.sparkSession
     import spark.implicits._
-    VersionedTable.publish(
-      params.lo.indices.map(i => (i.toLong, params.lo(i), params.hi(i)))
-        .toDF("pos", "lo", "hi"),
-      sqParamsRoot(root), keepVersions)
+    // the three sidecar publishes (codebook, trained ranges, meta schema)
+    // target DISJOINT sibling roots and depend only on plan-build-time
+    // state — overlap them with the corpus-sized data publish instead of
+    // serializing four commits
+    val cbDone = Overlap("ivfsq-codebook") {
+      VersionedTable.publish(
+        centroids.select(col("cid").cast("long").as("cid"), packVector(col("cv")).as("cv")),
+        centroidsRoot(root), keepVersions)
+    }
+    // persist the trained ranges: [[updateFromChangesSq]] re-encodes
+    // admitted/updated rows with these, never with re-trained ones
+    val prmDone = Overlap("ivfsq-params") {
+      VersionedTable.publish(
+        params.lo.indices.map(i => (i.toLong, params.lo(i), params.hi(i)))
+          .toDF("pos", "lo", "hi"),
+        sqParamsRoot(root), keepVersions)
+    }
     // persist the meta schema NEXT TO the layout (same publish/read
     // mechanism as the ranges): [[sqTopKFiltered]] and
     // [[updateFromChangesSq]] derive it from here, never from a caller
     // string that could drift from what was built
-    if (metaCols.nonEmpty) {
-      val sch = assigned.schema
-      VersionedTable.publish(
-        metaCols.zipWithIndex
-          .map { case (c, i) => (i.toLong, c, sch(c).dataType.sql) }
-          .toDF("pos", "name", "ddl"),
-        metaSchemaRoot(root), keepVersions)
-    }
+    val metaDone =
+      if (metaCols.isEmpty) () => ()
+      else {
+        val sch = assigned.schema
+        Overlap("ivfsq-metaschema") {
+          VersionedTable.publish(
+            metaCols.zipWithIndex
+              .map { case (c, i) => (i.toLong, c, sch(c).dataType.sql) }
+              .toDF("pos", "name", "ddl"),
+            metaSchemaRoot(root), keepVersions)
+        }
+      }
+    val v = VersionedTable.publishPartitioned(assigned, root, Seq("cell"), keepVersions)
+    cbDone(); prmDone(); metaDone()
     v
   }
 

@@ -27,6 +27,26 @@ import org.apache.spark.storage.StorageLevel
   * leaf: `LogicalRDD` vs `InMemoryRelation`) differs. Both serve every
   * reference from the materialized blocks, which is the point.
   */
+/** Driver-thread overlap for INDEPENDENT Spark action groups (guide §2.6:
+  * actions are only sequential because the driver calls them sequentially —
+  * the scheduler happily runs several jobs at once, and the second group's
+  * tasks back-fill executors the first leaves idle). Use only for groups
+  * with disjoint write targets whose inputs are already materialized or
+  * independent. The returned thunk joins and rethrows, so failures
+  * propagate exactly as in the sequential shape.
+  */
+object Overlap {
+  def apply[T](desc: String)(body: => T): () => T = {
+    val task = new java.util.concurrent.FutureTask[T](() => body)
+    val th = new Thread(task, s"graft-overlap-$desc")
+    th.setDaemon(true)
+    th.start()
+    () => try task.get() catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+}
+
 object Materialize {
 
   /** Materialize `df` once for multi-reference consumption. `eager` runs the

@@ -111,15 +111,8 @@ object RelationalSupport {
     * wave's sequential driver-blocking groups. The returned thunk joins and
     * rethrows, so failures propagate exactly as in the sequential shape.
     */
-  def overlap[T](desc: String)(body: => T): () => T = {
-    val task = new java.util.concurrent.FutureTask[T](() => body)
-    val th = new Thread(task, s"graft-overlap-$desc")
-    th.setDaemon(true)
-    th.start()
-    () => try task.get() catch {
-      case e: java.util.concurrent.ExecutionException => throw e.getCause
-    }
-  }
+  def overlap[T](desc: String)(body: => T): () => T =
+    graft.operators.Overlap(desc)(body)
 
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -951,6 +951,13 @@ object TableMutations {
     QueryDef("q181_version_tags", (s, dir) => {
       import graft.sources.reftable.VersionedTable
       val root = RelationalSupport.scratchDir(s, dir, "q181_tags")
+      // wipe so a warm re-run (bench runs entries twice) replays the tag
+      // scenario instead of failing on the already-existing tag — run 2
+      // previously threw (and was silently timed as a failure); the
+      // q208/q222 pattern. A single run (Verify/oracle) is unchanged.
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
       val base = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       VersionedTable.publish(base, root, keepVersions = 2)
@@ -988,6 +995,13 @@ object TableMutations {
     QueryDef("q182_timestamp_travel", (s, dir) => {
       import graft.sources.reftable.VersionedTable
       val root = RelationalSupport.scratchDir(s, dir, "q182_tt")
+      // wipe so a warm re-run replays from a fresh root — run 2 previously
+      // asked for a timestamp retention had already pruned and threw (and
+      // was silently timed as a failure); the q208/q222 pattern. A single
+      // run (Verify/oracle) is unchanged.
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
       val base = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       VersionedTable.publish(base, root)
