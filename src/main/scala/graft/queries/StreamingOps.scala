@@ -673,7 +673,7 @@ object StreamingOps {
       val df = s.readStream.format("reftable")
         .option("path", root)
         .option("schema", "s_suppkey BIGINT, s_nationkey INT")
-        .option("refreshInterval", "250ms")
+        .option("refreshInterval", "1s")
         .load()
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -691,7 +691,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // baseline generation consumed
       VersionedTable.publish(state2, root)
-      sleepPastRefreshBoundary(250L) // cross the 250ms refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // the mutated generation's diff arrives
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -744,7 +744,7 @@ object StreamingOps {
         .option("path", root)
         .option("schema", "s_suppkey BIGINT, s_nationkey INT")
         .option("changefeed", "true").option("keyColumns", "s_suppkey")
-        .option("refreshInterval", "250ms")
+        .option("refreshInterval", "1s")
         .load()
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -762,7 +762,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // bootstrap generation consumed
       VersionedTable.publish(state2, root)
-      sleepPastRefreshBoundary(250L) // cross the 250ms refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // the delta generation arrives
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -801,7 +801,7 @@ object StreamingOps {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       s.sql(s"DROP TABLE IF EXISTS $cat.db.s")
       s.sql(s"CREATE TABLE $cat.db.s (s_suppkey BIGINT, s_nationkey INT) USING reftable " +
-        "OPTIONS (keyColumns 's_suppkey', refreshInterval '250ms', " +
+        "OPTIONS (keyColumns 's_suppkey', refreshInterval '1s', " +
         "updateMode 'mergeOnRead', deleteMode 'mergeOnRead')")
       Tables.registerAll(s, dir)
       s.sql(s"INSERT INTO $cat.db.s SELECT s_suppkey, s_nationkey FROM supplier")
@@ -833,7 +833,7 @@ object StreamingOps {
       // update moved to 103 are not deleted (the oracle encodes that)
       s.sql(s"UPDATE $cat.db.s SET s_nationkey = s_nationkey + 100 WHERE s_suppkey % 5 = 0")
       s.sql(s"DELETE FROM $cat.db.s WHERE s_nationkey = 3")
-      sleepPastRefreshBoundary(250L) // cross the 250ms refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       drain(collect = true)
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       import s.implicits._
@@ -881,7 +881,7 @@ object StreamingOps {
       val df = s.readStream.format("reftable")
         .option("path", root)
         .option("schema", "c_custkey BIGINT, c_nationkey INT, cents BIGINT")
-        .option("refreshInterval", "250ms")
+        .option("refreshInterval", "1s")
         .load()
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -903,7 +903,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // baseline generation -> all-insert maintenance
       VersionedTable.publish(state2, root)
-      sleepPastRefreshBoundary(250L) // cross the 250ms refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // mutated generation -> O(changes) maintenance
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -956,7 +956,7 @@ object StreamingOps {
       val df = s.readStream.format("reftable")
         .option("path", rootA)
         .option("schema", "s_suppkey BIGINT, s_nationkey INT")
-        .option("refreshInterval", "250ms")
+        .option("refreshInterval", "1s")
         .load()
       val q = df.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -973,7 +973,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable()
       VersionedTable.publish(state2, rootA)
-      sleepPastRefreshBoundary(250L) // cross the 250ms refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable()
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()
@@ -1071,7 +1071,7 @@ object StreamingOps {
         .option("path", rootA)
         .option("schema", "s_suppkey BIGINT, s_nationkey INT")
         .option("changefeed", "true").option("keyColumns", "s_suppkey")
-        .option("refreshInterval", "250ms")
+        .option("refreshInterval", "1s")
         .load()
       val q = df.writeStream.format("reftable")
         .option("path", rootB)
@@ -1083,7 +1083,7 @@ object StreamingOps {
       val t0 = System.nanoTime()
       q.processAllAvailable() // bootstrap generation lands as inserts
       VersionedTable.publish(state2, rootA)
-      sleepPastRefreshBoundary(250L) // cross the 250ms refresh boundary
+      sleepPastRefreshBoundary() // cross the 1s refresh boundary
       q.processAllAvailable() // the delta generation appends
       graft.BenchProbe.addDrain(System.nanoTime() - t0)
       q.stop()

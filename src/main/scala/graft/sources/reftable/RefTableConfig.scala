@@ -11,14 +11,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * TableStreamingSourceConfig.java:109-111).
   */
 object Durations {
-  // "ms" before the single-letter units: "250ms" must not parse as 250m+s
-  private val Pattern = """^(\d+)(ms|[dhms])$""".r
+  private val Pattern = """^(\d+)([dhms])$""".r
 
   def parse(s: String): Long = s.trim match {
     case Pattern(n, unit) =>
       val v = n.toLong
       unit match {
-        case "ms" => v
         case "s" => v * 1000L
         case "m" => v * 60L * 1000L
         case "h" => v * 60L * 60L * 1000L
@@ -26,7 +24,7 @@ object Durations {
       }
     case other =>
       throw new IllegalArgumentException(
-        s"Invalid duration '$other': must match \\d+(ms|[dhms]) (e.g. '250ms', '5s', '10m', '1h', '2d')")
+        s"Invalid duration '$other': must match \\d+[dhms] (e.g. '5s', '10m', '1h', '2d')")
   }
 }
 

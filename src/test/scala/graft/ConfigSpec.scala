@@ -47,13 +47,6 @@ class ConfigSpec extends AnyFunSuite {
     assert(o.refreshMs == 5L * 24 * 3600 * 1000)
   }
 
-  // sub-second refresh (round 21): "250ms" parses as millis — and must not
-  // parse as 250 minutes + seconds (the ms-before-m alternation)
-  test("refreshInterval 250ms accepted as millis") {
-    val o = RefTableOptions.from(opts("refreshInterval" -> "250ms"))
-    assert(o.refreshMs == 250L)
-  }
-
   // reference :78-89 (rowField not in schema)
   test("rowField not in schema rejected") {
     val e = intercept[IllegalArgumentException] {
