@@ -507,8 +507,18 @@ object TextOps {
       val packed = graft.operators.Curation.packShardsAuto(
         enc, "doc_id", "n_bpe", targetShards = 256, minBudget = 4096L)
       val out = RelationalSupport.scratchDir(s, dir, "q219_shards")
+      // ATTACH the plan to the payload without shuffling the payload by
+      // doc_id (guide §8): shard = floor(prefix-sum-in-doc_id-order/budget)
+      // is monotone in doc_id, so each shard owns a CONTIGUOUS doc_id range
+      // — ≤targetShards boundary rows broadcast at ANY corpus size, and the
+      // only payload exchange left is the final repartition(shard). The
+      // equi-join-back shuffled the token-id arrays by doc_id first (SMJ on
+      // two checkpoint-leaf sides), i.e. the payload moved twice.
+      val bounds = packed.groupBy("shard")
+        .agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
       graft.sources.reftable.VersionedTable.publishPartitioned(
-        enc.join(packed.select("doc_id", "shard"), "doc_id")
+        enc.join(broadcast(bounds),
+            enc("doc_id") >= col("__lo") && enc("doc_id") <= col("__hi"))
           .select(col("doc_id"), col("token_ids"), col("n_bpe"), col("shard"))
           // co-locate each shard before the dynamic-partition write: without
           // this every task touches every shard dir (tasks × shards small
