@@ -46,6 +46,10 @@ object RelationalSupport {
     * copy per invocation).
     */
   def scratchDir(spark: SparkSession, dir: String, name: String): String = {
+    // every scratch consumer that streams gets the local-NIO checkpoint
+    // manager (self-guarding: non-local checkpoint paths keep the stock
+    // FileContext implementation) — see LocalAtomicCheckpointFileManager
+    graft.streaming.StreamDefaults.ensure(spark)
     val d = sys.props("java.io.tmpdir") + s"/graft_${name}_${scratchTag(spark, dir)}"
     cleanupHook
     created.add(d)

@@ -81,21 +81,29 @@ object RenameCommit extends CommitPrimitive {
     * The tmp sibling is consumed or deleted either way.
     */
   def putIfAbsent(dst: Path, content: Array[Byte], conf: Configuration): Boolean = {
-    val fs = dst.getFileSystem(conf)
-    val tmp = new Path(dst.getParent,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(tmp, true)
-    try out.write(content) finally out.close()
-    if (isLocal(tmp)) {
+    if (isLocal(dst)) {
+      // all-NIO on the local scheme: the Hadoop create/delete calls this
+      // path used to make fork subprocesses without native libhadoop
+      // (see LocalFs) — ~16 ms per claim for two syscalls' worth of work
+      val d = LocalFs.nio(dst)
+      LocalFs.ensureParent(d)
+      val tmp = d.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      java.nio.file.Files.write(tmp, content,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
       val won = try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(Option(dst.toUri.getPath).getOrElse(dst.toString)),
-          java.nio.file.Paths.get(Option(tmp.toUri.getPath).getOrElse(tmp.toString)))
+        java.nio.file.Files.createLink(d, tmp)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      fs.delete(tmp, false)
+      java.nio.file.Files.deleteIfExists(tmp)
       won
     } else {
+      val fs = dst.getFileSystem(conf)
+      val tmp = new Path(dst.getParent,
+        s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      val out = fs.create(tmp, true)
+      try out.write(content) finally out.close()
       try { fc(conf).rename(tmp, dst); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -104,10 +112,13 @@ object RenameCommit extends CommitPrimitive {
     }
   }
 
-  /** tmp + OVERWRITE rename; retried briefly around the local ChecksumFs
-    * delete-then-rename window, then surfaced (best-effort callers catch).
+  /** Local scheme: NIO tmp + rename(2) — atomic replace, no forks (and no
+    * delete-then-rename missing-file window, which the retry loop below
+    * exists to paper over). Elsewhere: tmp + OVERWRITE rename, retried
+    * briefly, then surfaced (best-effort callers catch).
     */
   def overwrite(dst: Path, content: Array[Byte], conf: Configuration): Unit = {
+    if (isLocal(dst)) return LocalFs.overwriteAtomic(dst, content)
     val fs = dst.getFileSystem(conf)
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp${System.nanoTime()}")
     val out = fs.create(tmp, true)
@@ -170,9 +181,14 @@ object ConditionalCommit extends CommitPrimitive {
   }
 
   /** Plain whole-object PUT: atomic on object stores (their visibility
-    * contract), which is the store class this primitive exists for.
+    * contract), which is the store class this primitive exists for. The
+    * local fallback (tests forcing this primitive onto a file root) gets
+    * the NIO atomic replace — a plain create-truncate would NOT model the
+    * store's whole-object visibility.
     */
   def overwrite(dst: Path, content: Array[Byte], conf: Configuration): Unit = {
+    val scheme = dst.toUri.getScheme
+    if (scheme == null || scheme == "file") return LocalFs.overwriteAtomic(dst, content)
     val fs = dst.getFileSystem(conf)
     val out = fs.create(dst, true)
     try out.write(content) finally out.close()

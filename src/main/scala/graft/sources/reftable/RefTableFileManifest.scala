@@ -199,8 +199,7 @@ object RefTableFileManifest {
         if (pv.nonEmpty) { val pn = e.putObject("pv"); pv.foreach { case (k, v) => pn.put(k, v) } }
       }
     }
-    val out = fs.create(new Path(staging, ManifestName), true)
-    try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
+    LocalFs.createWrite(fs, new Path(staging, ManifestName), om.writeValueAsBytes(rootNode))
     // merge-on-read deletion vectors: every manifest-writing commit
     // carries the parent's sidecars verbatim (O(sidecar files) metadata;
     // stale entries are inert — see DeletionVectors), so the new
@@ -238,8 +237,7 @@ object RefTableFileManifest {
         f.partitionValues.foreach { case (k, v) => pn.put(k, v) }
       }
     }
-    val out = fs.create(new Path(staging, ManifestName), true)
-    try out.write(om.writeValueAsBytes(rootNode)) finally out.close()
+    LocalFs.createWrite(fs, new Path(staging, ManifestName), om.writeValueAsBytes(rootNode))
   }
 
   /** Directories that retained `versions` depend on: every hop of each

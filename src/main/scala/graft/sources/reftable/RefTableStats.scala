@@ -163,8 +163,7 @@ object RefTableStats {
       f.set("cols", colsNode(mapper, cols))
       ()
     }
-    val out = fs.create(new Path(base, ManifestName), true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    LocalFs.createWrite(fs, new Path(base, ManifestName), mapper.writeValueAsBytes(root))
   }
 
   private def colsNode(

@@ -792,8 +792,13 @@ object VersionedTable {
     // version becomes visible with data and stats as one unit and the
     // manifest's relative file keys stay valid under the final name
     RefTableStats.writeManifest(staging.toString, conf)
-    if (prim.atomicDirRename)
-      fc(conf).rename(staging, new Path(rootPath, name))
+    if (prim.atomicDirRename) {
+      // local scheme: rename(2) via NIO — the FileContext local rename
+      // forks subprocesses (~28 ms/call without native libhadoop, see
+      // LocalFs); the uuid-suffixed destination cannot pre-exist
+      if (LocalFs.isLocal(rootPath)) LocalFs.moveNoReplace(staging, new Path(rootPath, name))
+      else fc(conf).rename(staging, new Path(rootPath, name))
+    }
     onBeforeClaim.foreach(_(root))
     // the commit claim makes the version visible (and is the CAS for
     // derived publishes); a lost claim deletes our never-committed dir —
