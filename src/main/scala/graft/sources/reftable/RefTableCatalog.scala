@@ -509,11 +509,15 @@ class RefTableCatalog extends TableCatalog with SupportsNamespaces with Procedur
       val dn = root.putArray("droppedColumns")
       dropped.toSeq.sorted.foreach(dn.add)
     }
-    val tmp = new Path(tablePath(ident), s"._TABLE.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, false)
-    try out.write(om.writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
-      tmp, descriptorPath(ident), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (LocalFs.isLocal(descriptorPath(ident)))
+      LocalFs.overwriteAtomic(descriptorPath(ident), om.writeValueAsBytes(root))
+    else {
+      val tmp = new Path(tablePath(ident), s"._TABLE.tmp${System.nanoTime()}")
+      val out = fs.create(tmp, false)
+      try out.write(om.writeValueAsBytes(root)) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(conf).rename(
+        tmp, descriptorPath(ident), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     loadTable(ident)
   }
 

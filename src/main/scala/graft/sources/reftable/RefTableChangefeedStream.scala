@@ -113,8 +113,18 @@ class RefTableChangefeedStream(
       val v = new Path(resolved).getName
       val fs = cfDir.getFileSystem(conf)
       fs.mkdirs(cfDir)
-      val out = fs.create(pinPath(gen), false)
-      try out.write(s"""{"version":"$v"}""".getBytes("UTF-8")) finally out.close()
+      val pinBytes = s"""{"version":"$v"}""".getBytes("UTF-8")
+      if (LocalFs.isLocal(pinPath(gen))) {
+        // CREATE_NEW keeps the no-overwrite contract of fs.create(_, false)
+        val d = LocalFs.nio(pinPath(gen))
+        LocalFs.ensureParent(d)
+        java.nio.file.Files.write(d, pinBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = fs.create(pinPath(gen), false)
+        try out.write(pinBytes) finally out.close()
+      }
       pins(gen) = v
       v
     }
@@ -178,7 +188,7 @@ class RefTableChangefeedStream(
     if (!fs.exists(new Path(scratch, DoneMarker))) {
       if (fs.exists(scratch)) fs.delete(scratch, true) // partial attempt
       materialize(Option(start).map(_.asInstanceOf[RefTableOffset]), e, scratch)
-      fs.create(new Path(scratch, DoneMarker), true).close()
+      LocalFs.createWrite(fs, new Path(scratch, DoneMarker), Array.emptyByteArray)
     }
     val files = SnapshotFiles.listPhysical(scratch.toString, Nil)
     RefTablePartitions.plan(files, e.gen)

@@ -1690,7 +1690,8 @@ object RefTableMutations {
             z.repartitionByRange(nOut, z(zc)).sortWithinPartitions(zc).drop(zc)
           } else df.repartitionByRange(nOut, cols.map(col): _*)
             .sortWithinPartitions(cols.map(col): _*)
-        VersionedTable.writeParquetMicros(sorted, staging.toString, partitionColumns)
+        VersionedTable.writeParquetMicros(sorted, staging.toString, partitionColumns,
+          colocatePartitions = false) // range/z-order pre-arranged above
         referenceRest(root, staging, current, wide, conf, partitionColumns)
       })
     }

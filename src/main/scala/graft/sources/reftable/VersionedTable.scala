@@ -210,6 +210,13 @@ object VersionedTable {
 
   private def fc(conf: Configuration): FileContext = FileContext.getFileContext(conf)
 
+  /** rename-into-fresh-name, NIO on the local scheme (the FileContext
+    * local rename forks subprocesses — see [[LocalFs]]).
+    */
+  private def renameNoReplace(src: Path, dst: Path, conf: Configuration): Unit =
+    if (LocalFs.isLocal(src)) LocalFs.moveNoReplace(src, dst)
+    else fc(conf).rename(src, dst)
+
   /** The current version directory of `root`, if it is a versioned table
     * root: the max committed sequence when the commit log exists (one
     * listing + one read — the same shape as a Delta log read), else the
@@ -479,9 +486,8 @@ object VersionedTable {
       val cols = node.putArray("cols")
       bucketCols.foreach(cols.add)
       node.put("n", nBuckets)
-      val out = staging.getFileSystem(new Configuration())
-        .create(new Path(staging, BucketsMarker), true)
-      try out.write(om.writeValueAsBytes(node)) finally out.close()
+      LocalFs.createWrite(staging.getFileSystem(new Configuration()),
+        new Path(staging, BucketsMarker), om.writeValueAsBytes(node))
     }
   }
 
@@ -537,9 +543,8 @@ object VersionedTable {
       // its commit record expires from the log — the verification
       // rebaseBranch's last-resort baseline fallback requires (underscore
       // name: invisible to listings, travels with the dir)
-      val sfs = staging.getFileSystem(conf)
-      val out = sfs.create(new Path(staging, CloneMarker), true)
-      try out.write(s"""{"src":"$srcRoot"}""".getBytes("UTF-8")) finally out.close()
+      LocalFs.createWrite(staging.getFileSystem(conf),
+        new Path(staging, CloneMarker), s"""{"src":"$srcRoot"}""".getBytes("UTF-8"))
     }
   }
 
@@ -697,9 +702,26 @@ object VersionedTable {
   private val microsRegion = new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
 
   private[reftable] def writeParquetMicros(
-      df: DataFrame, dir: String, partitionColumns: Seq[String] = Nil): Unit = {
+      df: DataFrame, dir: String, partitionColumns: Seq[String] = Nil,
+      colocatePartitions: Boolean = true): Unit = {
     val tsConfKey = "spark.sql.parquet.outputTimestampType"
     val spark = df.sparkSession
+    // Hive-layout writes: co-locate each partition VALUE onto one task
+    // before the dynamic-partition write (the q219 shard-write move,
+    // guide §6 "hash distribution avoids many-small-files at the cost of
+    // a shuffle" — Iceberg's write.distribution-mode=hash). Without this
+    // the staged file count is tasks × touched-partition-values, i.e. it
+    // scales with the CORE COUNT, not the data: measured at 10× data,
+    // q123's DML chain ran 1.9× SLOWER on 32 cores than on 8 purely from
+    // the file-count blowup each subsequent pass re-listed/re-read. With
+    // co-location the count is O(distinct partition values) at every
+    // core count. A single hot partition value becomes a one-task write —
+    // at real scale, size-skewed layouts should publish through the
+    // clustered/bucketed writers instead (explicit numFiles). Callers
+    // that pre-arrange their layout (recluster/z-order) opt out.
+    val src =
+      if (partitionColumns.isEmpty || !colocatePartitions) df
+      else df.repartition(partitionColumns.map(df.col): _*)
     microsRegion.synchronized {
       microsRegion.get(spark) match {
         case null =>
@@ -710,7 +732,7 @@ object VersionedTable {
       }
     }
     try {
-      val writer = df.write
+      val writer = src.write
       (if (partitionColumns.isEmpty) writer else writer.partitionBy(partitionColumns: _*))
         .parquet(dir)
     } finally microsRegion.synchronized {
@@ -796,8 +818,7 @@ object VersionedTable {
       // local scheme: rename(2) via NIO — the FileContext local rename
       // forks subprocesses (~28 ms/call without native libhadoop, see
       // LocalFs); the uuid-suffixed destination cannot pre-exist
-      if (LocalFs.isLocal(rootPath)) LocalFs.moveNoReplace(staging, new Path(rootPath, name))
-      else fc(conf).rename(staging, new Path(rootPath, name))
+      renameNoReplace(staging, new Path(rootPath, name), conf)
     }
     onBeforeClaim.foreach(_(root))
     // the commit claim makes the version visible (and is the CAS for
@@ -974,7 +995,7 @@ object VersionedTable {
         val freshNum = math.max(System.currentTimeMillis(),
           math.max(versionNum(head.version), versionNum(name)) + 1)
         val freshName = f"v$freshNum%019d" + "_" + java.util.UUID.randomUUID().toString.take(8)
-        fc(conf).rename(new Path(rootPath, name), new Path(rootPath, freshName))
+        renameNoReplace(new Path(rootPath, name), new Path(rootPath, freshName), conf)
         name = freshName
         onBeforeRebaseCommit.foreach(_(new Path(rootPath, name).toString))
         // backstop: a sweep that raced the pre-rename window leaves a
@@ -1907,7 +1928,7 @@ object VersionedTable {
       java.util.UUID.randomUUID().toString.take(8)
     val versionDir = new Path(rootPath, name)
     fs.mkdirs(versionDir)
-    entries.foreach(e => fc(conf).rename(e, new Path(versionDir, e.getName)))
+    entries.foreach(e => renameNoReplace(e, new Path(versionDir, e.getName), conf))
     // ONE final physical walk, materialized: the adopted version carries a
     // file manifest (and skipping stats), so every later resolution —
     // batch scans and each streaming refresh — is a single manifest read,
